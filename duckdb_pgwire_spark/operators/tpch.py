@@ -1,0 +1,189 @@
+"""Headline analytical queries (TPC-H-shaped) — the engine's flagships.
+
+These are the bench headliners: a wide scan-agg (Q1 shape), a
+filter-join-agg-topk (Q3 shape), and a deep FK-chain join (Q5 shape).
+
+Scale design: lineitem is the fact table (~600k rows at sf0.1, ~6B at a
+100 TB-class SF). Every plan here keeps the fact table streaming —
+dimension tables (region/nation/customer/supplier/part: thousands of
+rows, bounded cardinality) are broadcast so no shuffle of the fact side
+is needed for joins; the only shuffles are the final partial→final
+aggregations on low-cardinality grouping keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import load_table
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        ROUND(SUM(l_quantity), 2)                                     AS sum_qty,
+        ROUND(SUM(l_extendedprice), 2)                                AS sum_base_price,
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)             AS sum_disc_price,
+        ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        ROUND(AVG(l_quantity), 4)                                     AS avg_qty,
+        ROUND(AVG(l_extendedprice), 4)                                AS avg_price,
+        ROUND(AVG(l_discount), 4)                                     AS avg_disc,
+        COUNT(*)                                                      AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: wide scan + 8-way grouped aggregation.
+
+    Reference capability: delegated grouped aggregation
+    (``src/duckdb_pgwire_extension.cpp:52``). Spark plan: parquet scan with
+    the shipdate predicate pushed down, partial aggregation map-side, one
+    shuffle on the 2-value grouping key, final agg — survives any scale
+    because the shuffle volume is O(groups), not O(rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+        l_orderkey,
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        CAST(o_orderdate AS DATE)                         AS o_orderdate
+    FROM customer
+    JOIN orders    ON c_custkey = o_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "flagship"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dim filter → fact join → agg → top-k.
+
+    Scale design: customer and orders both scale with SF, so neither gets
+    a hard broadcast hint — AQE switches the join to broadcast at small SF
+    (post-filter sizes are below the threshold) and to shuffled hash/sort-
+    merge on a cluster. Both joins are equi-joins on the FK columns, so
+    they shuffle on the join key only when needed. ORDER BY+LIMIT compiles
+    to TakeOrderedAndProject (no global sort).
+    """
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT
+        n_name,
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: six-table FK-chain join through the star schema.
+
+    Scale design: region (5 rows) and nation (25 rows) are constant-size →
+    explicit broadcast; supplier/customer/orders scale with SF → no hint,
+    AQE promotes them to broadcast only while they fit. The
+    c_nationkey = s_nationkey local-supplier predicate is applied as part
+    of the customer join condition, as in the TPC-H spec. Final shuffle is
+    groupBy(n_name) — 25 groups, O(1) shuffle volume after partial aggs.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    dim = supplier.join(
+        F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dim, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            customer,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc())
+    )

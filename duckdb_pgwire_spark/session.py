@@ -1,0 +1,94 @@
+"""SparkSession lifecycle + table registration.
+
+The reference embeds one shared DuckDB ``DatabaseInstance`` and opens a
+fresh ``Connection`` per query against it
+(``src/duckdb_pgwire_extension.cpp:42,184-186``). The Spark analogue is a
+single shared ``SparkSession`` per process; per-client isolation (temp
+views, confs) would use ``spark.newSession()``.
+
+Scale notes (100 TB design intent, tested on local[32]):
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  runtime join-strategy switches replace hand-tuning per dataset size.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count here;
+  on a real cluster it should be ~2-3x total executor cores (AQE coalesces
+  downward, so err high).
+- Arrow enabled: every pandas/driver interchange is columnar batch, never
+  row-at-a-time pickle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_session(
+    app_name: str = "duckdb_pgwire_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build the shared session (the engine's ``DatabaseInstance``)."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # One JVM in local mode: shuffle partitions sized to cores, AQE
+        # coalesces small ones at runtime (at cluster scale AQE re-plans
+        # per-stage from map-output stats instead of static guesses).
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # DuckDB timestamps are UTC-naive; pin the session TZ so oracle
+        # comparisons are stable (SURVEY.md §1.2).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst pushes predicates/projections into it."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view named like the oracle's.
+
+    Mirrors the reference's catalog surface: any SQL arriving over the wire
+    resolves tables by bare name (``SELECT * FROM users``,
+    ``client/go/cmd/simple/main.go:31``).
+    """
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,57 @@
+"""Drive /root/repo/__spark_entry__.py the way the driver does."""
+import json, sys, hashlib
+sys.path.insert(0, "/root/repo")
+import duckdb
+import __spark_entry__ as e
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .appName("driver-sim").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+# t1 smoke: entry() at sf0.001
+df = e.entry(spark)
+rows = df.collect()
+print("entry() rows:", len(rows), "schema:", [f.name for f in df.schema])
+print("first row:", rows[0])
+
+# t2: every queries() entry at sf0.01 vs oracle
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+
+qs, osql = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:  # optional: subset by name
+    qs = {k: v for k, v in qs.items() if k in sys.argv[1:]}
+print(f"{len(qs)} queries, {len(osql)} with oracle")
+def canon(v):
+    if isinstance(v, float): return repr(v)
+    return str(v)
+ok = fail = 0
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, "/root/testdata/sf0.01")
+    srows = sdf.collect()
+    if name not in osql:
+        print(f"  {name}: rows-only, {len(srows)} rows"); ok += 1; continue
+    orows = con.execute(osql[name]).fetchall()
+    scols = sorted(sdf.columns)
+    sidx = [sdf.columns.index(c) for c in scols]
+    ocols_all = [d[0] for d in con.execute(osql[name]).description]
+    oidx = [ocols_all.index(c) for c in sorted(ocols_all)]
+    sset = sorted(tuple(canon(r[i]) for i in sidx) for r in srows)
+    oset = sorted(tuple(canon(r[i]) for i in oidx) for r in orows)
+    h1 = hashlib.md5(json.dumps(sset).encode()).hexdigest()
+    h2 = hashlib.md5(json.dumps(oset).encode()).hexdigest()
+    status = "MATCH" if h1 == h2 and sorted(scols) == sorted(ocols_all) else "MISMATCH"
+    if status == "MATCH": ok += 1
+    else:
+        fail += 1
+        print(f"  {name}: {status} spark={len(srows)} oracle={len(orows)}")
+        for a, b in list(zip(sset, oset))[:3]:
+            if a != b: print("    s:", a, "\n    o:", b)
+    print(f"  {name}: {status}")
+print(f"RESULT: {ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)
