@@ -1,1 +1,321 @@
-"""(being filled in)"""
+"""Aggregation surface (SURVEY.md §2.6).
+
+Everything DuckDB's hash aggregate provides through delegated SQL
+(``src/duckdb_pgwire_extension.cpp:52``): core aggs, DISTINCT aggs,
+approximate sketches, statistical moments, ordered-set aggs, grouping
+sets/cube/rollup, HAVING, FILTER clauses.
+
+Scale: all of these are partial+final hash aggregates in Spark — shuffle
+volume is O(groups), with AQE coalescing tiny post-agg partitions. The
+one intrinsically heavy op is exact COUNT(DISTINCT) (a second shuffle on
+(group, value)); approx_count_distinct is the 100 TB-scale alternative
+and is benchmarked next to it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import load_table, register_views
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT
+        COUNT(*)                                   AS n_rows,
+        COUNT(DISTINCT l_orderkey)                 AS n_orders,
+        ROUND(SUM(l_extendedprice), 2)             AS total_price,
+        ROUND(MIN(l_extendedprice), 2)             AS min_price,
+        ROUND(MAX(l_extendedprice), 2)             AS max_price,
+        ROUND(AVG(l_quantity), 4)                  AS avg_qty
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no GROUP BY) aggregation — single-row result via partial
+    aggs on every partition + one final reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT
+        l_returnflag,
+        COUNT(DISTINCT l_suppkey)                  AS n_supp,
+        ROUND(SUM(DISTINCT l_quantity), 2)         AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) / SUM(DISTINCT) — Catalyst expands to a two-phase
+    agg over (group, value) pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT
+        l_returnflag,
+        -- each engine runs its own HLL sketch; the portable contract is
+        -- the accuracy bound, so both sides emit the bound-check result
+        (ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+            <= 0.1 * COUNT(DISTINCT l_partkey)) AS approx_within_10pct,
+        COUNT(DISTINCT l_partkey)               AS exact_nd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). Estimates are engine-specific,
+    so the oracle checks the shared contract — estimate within 10% of
+    exact — rather than the raw sketch value. At 100 TB this replaces
+    exact COUNT(DISTINCT): mergeable fixed-size sketches, no second
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
+            )
+            <= 0.1 * F.countDistinct("l_partkey")
+        ).alias("approx_within_10pct"),
+        F.countDistinct("l_partkey").alias("exact_nd"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT
+        l_returnflag,
+        ROUND(stddev_samp(l_quantity), 4)          AS sd_samp,
+        ROUND(stddev_pop(l_quantity), 4)           AS sd_pop,
+        ROUND(var_samp(l_quantity), 4)             AS v_samp,
+        ROUND(var_pop(l_quantity), 4)              AS v_pop,
+        ROUND(corr(l_quantity, l_extendedprice), 4)      AS cor,
+        ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_s,
+        ROUND(covar_pop(l_quantity, l_extendedprice), 2)  AS cov_p
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (matching textbook definitions in both
+    engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp(q), 4).alias("sd_samp"),
+        F.round(F.stddev_pop(q), 4).alias("sd_pop"),
+        F.round(F.var_samp(q), 4).alias("v_samp"),
+        F.round(F.var_pop(q), 4).alias("v_pop"),
+        F.round(F.corr(q, p), 4).alias("cor"),
+        F.round(F.covar_samp(q, p), 2).alias("cov_s"),
+        F.round(F.covar_pop(q, p), 2).alias("cov_p"),
+    )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    -- Spark's skewness/kurtosis are POPULATION moments (g1, g2 = m4/m2^2-3);
+    -- DuckDB's are the sample-corrected versions, so the oracle computes the
+    -- population formulas explicitly from central moments.
+    WITH mu AS (
+        SELECT l_returnflag AS k, AVG(l_quantity) AS m FROM lineitem GROUP BY 1
+    )
+    SELECT
+        k AS l_returnflag,
+        ROUND((SUM(POW(l_quantity - m, 3)) / COUNT(*))
+              / POW(SUM(POW(l_quantity - m, 2)) / COUNT(*), 1.5), 4) AS skew,
+        ROUND((SUM(POW(l_quantity - m, 4)) / COUNT(*))
+              / POW(SUM(POW(l_quantity - m, 2)) / COUNT(*), 2) - 3, 4) AS kurt
+    FROM lineitem JOIN mu ON l_returnflag = mu.k
+    GROUP BY k, m
+    """,
+    tags=("agg", "stats"),
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skewness / kurtosis — definition drift documented in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 4).alias("skew"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt"),
+    )
+
+
+@query(
+    "agg_median_quantile",
+    oracle="""
+    SELECT
+        l_linestatus,
+        ROUND(median(l_extendedprice), 4) AS med_price,
+        list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                       x -> ROUND(x, 4)) AS quartiles
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "stats"),
+)
+def agg_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + continuous quantiles (linear interpolation in both
+    engines). Exact percentile is a sort-based agg — at 100 TB prefer
+    percentile_approx (t-digest, mergeable); see bench."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.transform(
+            F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])),
+            lambda x: F.round(x, 4),
+        ).alias("quartiles"),
+    )
+
+
+@query(
+    "agg_ordered_collect",
+    oracle="""
+    SELECT
+        n_nationkey,
+        string_agg(c_name, ',' ORDER BY c_name)    AS names_csv,
+        list_sort(list(c_custkey))                 AS custkeys,
+        bool_and(c_acctbal > -1000)                AS all_above_min,
+        bool_or(c_acctbal > 9000)                  AS any_rich,
+        min_by(c_name, c_custkey)                  AS first_by_key,
+        max_by(c_name, c_custkey)                  AS last_by_key
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+    tags=("agg",),
+)
+def agg_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_agg / array_agg (order pinned for determinism), bool_and/or,
+    min_by/max_by (arg-min/arg-max). collect_list order is partition-
+    dependent in Spark → always sort the collected array."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names_csv"),
+            F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+            F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_min"),
+            F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+            F.min_by("c_name", "c_custkey").alias("first_by_key"),
+            F.max_by("c_name", "c_custkey").alias("last_by_key"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT
+        l_returnflag, l_linestatus,
+        GROUPING(l_returnflag)  AS g_rf,
+        GROUPING(l_linestatus)  AS g_ls,
+        COUNT(*)                AS n,
+        ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy with GROUPING() indicators."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("g_rf"),
+        F.grouping("l_linestatus").alias("g_ls"),
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SQL path — same Catalyst Expand plan)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 2) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_having_filter",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        COUNT(*)                                            AS n_orders,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F')         AS n_finished,
+        ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 200000), 2) AS big_total
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 100 AND AVG(o_totalprice) > 100000
+    """,
+    tags=("agg",),
+)
+def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + per-aggregate FILTER (WHERE …) clauses (SQL path)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+            o_orderpriority,
+            COUNT(*)                                            AS n_orders,
+            COUNT(*) FILTER (WHERE o_orderstatus = 'F')         AS n_finished,
+            ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 200000), 2) AS big_total
+        FROM orders
+        GROUP BY o_orderpriority
+        HAVING COUNT(*) > 100 AND AVG(o_totalprice) > 100000
+        """
+    )

@@ -1,1 +1,283 @@
-"""(being filled in)"""
+"""Join surface (SURVEY.md §2.5).
+
+All join kinds a client of the reference can invoke through delegated SQL
+(``src/duckdb_pgwire_extension.cpp:52``): inner/outer/semi/anti/cross/
+theta/range/asof/lateral/USING. Physical choice is Catalyst's: equi-joins
+become broadcast or shuffled hash/sort-merge depending on runtime sizes
+(AQE); only genuinely bounded dimensions get explicit broadcast hints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..session import load_table
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, n_name
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_totalprice > 250000
+    """,
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain orders→customer→nation. nation (25 rows,
+    constant) is broadcast; orders↔customer shuffle on the key only when
+    AQE decides they no longer fit in memory."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("o_orderkey", "o_totalprice", "c_name", "n_name")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o.o_orderkey
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      ON c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — unmatched customers keep NULL order columns."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, c_custkey
+    FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o
+    RIGHT JOIN customer ON o.o_custkey = c_custkey
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of left)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, F.col("o_custkey") == F.col("c_custkey"), "right").select(
+        "o_orderkey", "c_custkey"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT lo.k AS low_key, hi.k AS high_key
+    FROM      (SELECT c_custkey AS k FROM customer WHERE c_acctbal < 1000) lo
+    FULL JOIN (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000) hi
+      ON lo.k = hi.k
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over two disjoint-ish key sets (NULLs on both sides)."""
+    c = load_table(spark, sf_dir, "customer")
+    lo = c.filter(F.col("c_acctbal") < 1000).select(F.col("c_custkey").alias("low_key"))
+    hi = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("high_key"))
+    return lo.join(hi, lo.low_key == hi.high_key, "full")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join: probe side streams, no row duplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (customers with no orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only sane between bounded dims (5×25 here);
+    at scale a cross join is a design error unless one side is tiny and
+    broadcast, which this is."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT a.s_suppkey AS richer, b.s_suppkey AS poorer
+    FROM supplier a JOIN supplier b
+      ON a.s_acctbal > b.s_acctbal AND a.s_nationkey <> b.s_nationkey
+    """,
+    tags=("join",),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join → BroadcastNestedLoopJoin. Valid only when
+    one side broadcasts; supplier is the smallest scaling table."""
+    a = load_table(spark, sf_dir, "supplier").alias("a")
+    b = load_table(spark, sf_dir, "supplier").alias("b")
+    return a.join(
+        F.broadcast(b),
+        (F.col("a.s_acctbal") > F.col("b.s_acctbal"))
+        & (F.col("a.s_nationkey") != F.col("b.s_nationkey")),
+    ).select(F.col("a.s_suppkey").alias("richer"), F.col("b.s_suppkey").alias("poorer"))
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderkey
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
+    WHERE l_quantity > 49
+    """,
+    tags=("join",),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate join: the equi key carries the shuffle
+    (hash join), the BETWEEN becomes a post-join filter — the scalable
+    shape for interval joins (never a pure cross product)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    o = load_table(spark, sf_dir, "orders")
+    return li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & F.col("l_shipdate").between(
+            F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ),
+    ).select("l_orderkey", "l_linenumber", "o_orderkey")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, MAX(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, p.purchase_id AS prev_purchase_id
+    FROM events e
+    ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts > p.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join (DuckDB v1.1.1 native): for each event, the most recent
+    STRICTLY-earlier purchase by the same user.
+
+    Spark has no ASOF operator — the scalable recipe (SURVEY.md §2.5) is
+    the union-merge: tag both streams, union, and take last(purchase_id,
+    ignoreNulls) over a (user, time)-ordered running window. ONE shuffle
+    (the window partition), no join explosion, no per-key skew beyond the
+    window sort — this is how it survives 100 TB where a range-join +
+    row_number would first materialize every (event × earlier purchase)
+    pair.
+
+    Ordering detail: at equal ts the probe sorts BEFORE the reference row
+    (is_ref ASC) so `>` (strict) semantics hold; purchases at identical
+    (user_id, ts) are pre-deduped to MAX(event_id) to make the match
+    deterministic on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+        .select("user_id", "ts", F.lit(1).alias("is_ref"), "purchase_id")
+    )
+    probes = ev.select(
+        "user_id", "ts", F.lit(0).alias("is_ref"), F.lit(None).cast("long").alias("purchase_id"),
+        "event_id",
+    )
+    merged = probes.unionByName(purchases.withColumn("event_id", F.lit(None).cast("long")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_ref")
+        .rowsBetween(Window.unboundedPreceding, -1)  # strictly-preceding rows
+    )
+    return (
+        merged.withColumn("prev_purchase_id", F.last("purchase_id", ignorenulls=True).over(w))
+        .filter(F.col("is_ref") == 0)
+        .select("event_id", "user_id", "prev_purchase_id")
+    )
+
+
+@query(
+    "join_using",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM (SELECT n_nationkey, n_name, n_regionkey AS r_regionkey FROM nation) n
+    JOIN region USING (r_regionkey)
+    """,
+    tags=("join",),
+)
+def join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USING-style join — single shared key column in the output."""
+    n = load_table(spark, sf_dir, "nation").withColumnRenamed("n_regionkey", "r_regionkey")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), ["r_regionkey"]).select("n_nationkey", "n_name", "r_name")
+
+
+@query(
+    "join_lateral_unnest",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 20
+    """,
+    tags=("join", "unnest"),
+)
+def join_lateral_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated UNNEST / LATERAL: explode a per-row derived array.
+    Generator runs inside the scan stage — no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))

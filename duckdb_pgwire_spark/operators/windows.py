@@ -1,1 +1,185 @@
-"""(being filled in)"""
+"""Window function surface (SURVEY.md §2.7).
+
+All delegated window machinery (ranking, offset, aggregates-over-window,
+frames, QUALIFY) re-expressed over ``pyspark.sql.Window``. Every window
+here orders with a unique tiebreak column — rank ties are the classic
+source of cross-engine nondeterminism.
+
+Scale: a window = one shuffle on the partition key + per-partition sort.
+Keys here (nation, customer, user) have bounded per-key row counts, so no
+single partition explodes; for skewed keys the recipe is pre-aggregation
+or key-salting before the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..session import load_table, register_views
+
+
+@query(
+    "win_ranking",
+    oracle="""
+    SELECT
+        c_custkey,
+        c_nationkey,
+        row_number()   OVER w AS rn,
+        rank()         OVER w AS rnk,
+        dense_rank()   OVER w AS drnk,
+        ROUND(percent_rank() OVER w, 6) AS prnk,
+        ntile(4)       OVER w AS quartile,
+        ROUND(cume_dist() OVER w, 6) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over a named window (WINDOW w AS …)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "win_offset",
+    oracle="""
+    SELECT
+        event_id,
+        user_id,
+        lag(event_id)      OVER w AS prev_id,
+        lead(event_id)     OVER w AS next_id,
+        lag(event_id, 2, -1) OVER w AS prev2_id,
+        first_value(event_id) OVER w AS first_id,
+        last_value(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS last_id,
+        nth_value(event_id, 3) OVER w AS third_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def win_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead (with offset+default), first/last/nth_value. last_value
+    needs the full frame — the default frame stops at CURRENT ROW in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+        F.lag("event_id", 2, -1).over(w).alias("prev2_id"),
+        F.first("event_id").over(w).alias("first_id"),
+        F.last("event_id").over(wfull).alias("last_id"),
+        F.nth_value("event_id", 3).over(w).alias("third_id"),
+    )
+
+
+@query(
+    "win_agg_frames",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS running_total,
+        ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+            AS moving_avg3,
+        COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                       RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+            AS near_key_count
+    FROM orders
+    """,
+    tags=("window", "frames"),
+)
+def win_agg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over ROWS and RANGE frames (running total, moving avg,
+    value-range count)."""
+    o = load_table(spark, sf_dir, "orders")
+    wtime = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(wtime.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(wtime.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+        F.count("*")
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-5, 0))
+        .alias("near_key_count"),
+    )
+
+
+@query(
+    "win_qualify_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+    tags=("window", "topk"),
+)
+def win_qualify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY (DuckDB convenience) → Spark rewrite: window column +
+    filter + drop. Top-3 orders per customer — the canonical top-k-per-
+    group plan (single shuffle, no self-join)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "win_sql_named",
+    oracle="""
+    SELECT
+        l_suppkey,
+        l_orderkey,
+        l_linenumber,
+        ROUND(SUM(l_quantity) OVER w, 2) AS supp_running_qty
+    FROM lineitem
+    WHERE l_suppkey < 20
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def win_sql_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause through the Spark SQL parser (dialect parity)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+            l_suppkey,
+            l_orderkey,
+            l_linenumber,
+            ROUND(SUM(l_quantity) OVER w, 2) AS supp_running_qty
+        FROM lineitem
+        WHERE l_suppkey < 20
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -77,7 +78,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan — Catalyst pushes predicates/projections into it."""
+    """Columnar parquet scan — Catalyst pushes predicates/projections into it.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader has no
+    native type for — read as nanosecond longs (legacy conf, runtime-
+    settable) and truncate to microsecond TimestampType, matching what
+    DuckDB does when it reads the same file (FIXTURES.md events note).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -112,6 +112,11 @@ def compare_spark_vs_duckdb(spark_df, con, sql: str, name: str = "?") -> None:
     desc = con.execute(f"DESCRIBE {sql}").fetchall()
     ocols = [d[0] for d in desc]
     otypes = [d[1] for d in desc]
+    # A DECIMAL anywhere in the oracle output means the SQL used bare
+    # numeric literals; the resulting Decimal values compare == to floats
+    # in Python but will NOT value-hash-match — force a DOUBLE cast.
+    bad = [c for c, t in zip(ocols, otypes) if "DECIMAL" in t.upper()]
+    assert not bad, f"{name}: oracle columns {bad} are DECIMAL — cast to DOUBLE in the SQL"
     orows = [tuple(r) for r in con.execute(sql).fetchall()]
 
     assert sorted(sch) == sorted(ocols), (
