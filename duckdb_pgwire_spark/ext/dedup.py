@@ -1,1 +1,341 @@
-"""(being filled in)"""
+"""[EXT] Deduplication operators over the ``documents`` corpus.
+
+Five strategies, each a ``queries()`` entry with a DuckDB oracle:
+
+- exact (content-hash groupBy)
+- MinHash + LSH banding (near-dup candidate pairs)
+- SimHash (16-bit fingerprint)
+- n-gram Jaccard (blocked pairwise similarity)
+- embedding-cosine near-dup (on ``embeddings``)
+
+Scale design (100 TB corpora): every strategy is shuffle-bounded —
+exact dedup shuffles on the content hash; MinHash/LSH shuffles on
+(band_idx, band_value) buckets, never all-pairs; Jaccard and cosine
+near-dup only compare within blocking buckets (lang × length band,
+label) so candidate pairs stay linear-ish, not quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import load_table
+
+N_MINHASH = 8      # minhash signature length
+N_BANDS = 4        # LSH bands (2 rows per band)
+
+
+def _shingles(words_col):
+    """Distinct 3-word shingles from a words array (both engines 1-based)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words_col) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words_col, i),
+                F.element_at(words_col, i + 1),
+                F.element_at(words_col, i + 2),
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+    tags=("ext", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+
+    One shuffle on md5(text); at 100 TB the map-side partial agg reduces
+    each partition to its distinct hashes first, so shuffle volume is
+    O(distinct docs).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM words WHERE len(w) >= 3
+    ), mh AS (
+        SELECT doc_id,
+               [list_aggregate(list_transform(shingles,
+                    s -> md5(CAST(j AS VARCHAR) || '|' || s)), 'min')
+                for j in range(1, {N_MINHASH + 1})] AS sig
+        FROM sh
+    ), bands AS (
+        SELECT doc_id, i AS band_idx, md5(sig[2*i - 1] || sig[2*i]) AS band_val
+        FROM mh CROSS JOIN unnest(range(1, {N_BANDS + 1})) AS t(i)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("ext", "dedup", "minhash"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs.
+
+    Pipeline: 3-word shingles → 8 minhashes (lexicographic min of
+    md5(seed|shingle)) → 4 bands of 2 → hash each band → bucket-join on
+    (band_idx, band_value), emit doc pairs sharing any band.
+
+    Scale: the ONLY join is on band buckets — identical signatures
+    collide, everything else doesn't, so the shuffle is O(docs × bands)
+    and the join output is O(true near-dups), never O(n²). Skewed buckets
+    (boilerplate docs) are the known hazard; AQE skew-join handles
+    moderate skew, and a bucket-size cap is the production escape hatch.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sh = d.select("doc_id", _shingles(words).alias("shingles")).filter(
+        F.size(words) >= 3
+    )
+    def seeded_md5(j: int):
+        # NB: must return an arity-1 lambda — F.transform treats a second
+        # lambda parameter as the array index
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    sig = sh.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("shingles"), seeded_md5(j)))
+                for j in range(1, N_MINHASH + 1)
+            ]
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            F.element_at("sig", 2 * i - 1), F.element_at("sig", 2 * i)
+                        )
+                    )
+                    for i in range(1, N_BANDS + 1)
+                ]
+            )
+        ).alias("band_idx0", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx0", F.col("band_val").alias("bv")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx0", F.col("band_val").alias("bv")
+    )
+    return (
+        a.join(b, ["band_idx0", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+_SIMHASH_SQL = """
+    WITH tok AS (
+        SELECT doc_id, md5({unnest_words}) AS h FROM {doc_src}
+    ), val AS (
+        SELECT doc_id,
+               ({hexpos}(substr(h, 1, 1)) - 1) * 4096
+             + ({hexpos}(substr(h, 2, 1)) - 1) * 256
+             + ({hexpos}(substr(h, 3, 1)) - 1) * 16
+             + ({hexpos}(substr(h, 4, 1)) - 1) AS v
+        FROM tok
+    ), bits AS (
+        SELECT doc_id, {bit_sums}
+        FROM val GROUP BY doc_id
+    )
+    SELECT doc_id, {assemble} AS simhash16
+    FROM bits
+"""
+
+
+def _simhash_sql(dialect: str) -> str:
+    """Render the SimHash query for either engine (dialect deltas only in
+    tokenize/unnest and strpos spelling)."""
+    if dialect == "duckdb":
+        unnest = "unnest(string_split(text, ' '))"
+        src = "documents"
+        hexpos = "strpos('0123456789abcdef', "
+        shift = "(v >> {b})"
+    else:
+        unnest = "word"
+        src = "(SELECT doc_id, explode(split(text, ' ')) AS word FROM documents)"
+        hexpos = "instr('0123456789abcdef', "
+        shift = "shiftright(v, {b})"
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN {shift.format(b=b)} & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    assemble = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return (
+        _SIMHASH_SQL.replace("{unnest_words}", unnest)
+        .replace("{doc_src}", src)
+        .replace("{hexpos}(", hexpos)
+        .replace("{bit_sums}", bit_sums)
+        .replace("{assemble}", assemble)
+    )
+
+
+@query("dedup_simhash", oracle=_simhash_sql("duckdb"), tags=("ext", "dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document.
+
+    Each token hashes to a 16-bit value (first 4 hex chars of md5 —
+    engine-portable); per bit, tokens vote ±1; the sign vector is the
+    fingerprint. Near-dups = small Hamming distance (tested in pytest);
+    this query emits the fingerprints.
+
+    Scale: explode → 16 conditional-sum aggregates → one shuffle on
+    doc_id. Token weighting (repeated words vote repeatedly) is
+    intentional — standard SimHash uses term frequency as weight.
+    """
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_simhash_sql("spark"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang, len(w) // 10 AS size_band,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))), 6)
+               AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.size_band = b.size_band AND a.doc_id < b.doc_id
+    WHERE len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))
+          >= 0.3 * (len(a.shingles) + len(b.shingles)
+                    - len(list_filter(a.shingles, s -> list_contains(b.shingles, s))))
+    """,
+    tags=("ext", "dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard similarity (threshold 0.3).
+
+    Blocking on (lang, size-band) keeps the self-join from going
+    quadratic: only plausibly-similar documents are ever compared —
+    the standard scale pattern for pairwise similarity.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        (F.size(words) / 10).cast("int").alias("size_band"),
+        _shingles(words).alias("shingles"),
+    ).filter(F.size(words) >= 3)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "size_band",
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "size_band",
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, ["lang", "size_band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("inter", inter)
+        .withColumn("uni", union)
+        .filter(F.col("inter") >= 0.3 * F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter").cast("double") / F.col("uni"), 6).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(
+             list_aggregate(list_transform(range(1, 65), i -> a.e[i] * b.e[i]), 'sum')
+             / (sqrt(list_aggregate(list_transform(range(1, 65), i -> a.e[i] * a.e[i]), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, 65), i -> b.e[i] * b.e[i]), 'sum'))),
+             6) AS cos_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(range(1, 65), i -> a.e[i] * b.e[i]), 'sum')
+          / (sqrt(list_aggregate(list_transform(range(1, 65), i -> a.e[i] * a.e[i]), 'sum'))
+           * sqrt(list_aggregate(list_transform(range(1, 65), i -> b.e[i] * b.e[i]), 'sum')))
+          > 0.3
+    """,
+    tags=("ext", "dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by class label.
+
+    Cosine is computed with identical operation order on both engines
+    (sequential dot then norms, all in DOUBLE) so the rounded values
+    hash-match. Label blocking bounds the pair count; the production
+    variant for unlabeled corpora is the LSH bucketing in
+    ``sim_lsh_bucketed`` (similarity.py).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), "label", F.col("e").alias("eb"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    pairs = a.join(b, ["label"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") > 0.3)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )

@@ -1,1 +1,113 @@
-"""(being filled in)"""
+"""[EXT] Multimodal column plumbing: opaque binary payloads + typed
+metadata, decoded via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked deterministic STUB (``FakeDecoder``); everything around
+it — binary columns, schema contract, partition-preserving mapInPandas,
+batch shapes — is real and oracle-/pytest-verified. A production build
+swaps ``FakeDecoder.decode`` for PIL/ffmpeg and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import load_table
+
+DECODE_SCHEMA = (
+    "doc_id LONG, n_bytes LONG, width INT, height INT, n_frames INT, codec STRING"
+)
+
+
+class FakeDecoder:
+    """STUB decoder: derives deterministic fake dimensions from the first
+    payload bytes. Replace ``decode`` with a real codec (PIL/av) in
+    production — the Spark plumbing does not change."""
+
+    @staticmethod
+    def decode(payload: bytes) -> dict:
+        if not payload:
+            raise NotImplementedError("real decode requires image/audio libs")
+        return {
+            "width": payload[0] % 64 + 1,
+            "height": payload[1 % len(payload)] % 64 + 1,
+            "n_frames": 1,
+            "codec": "fake",
+        }
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT
+        doc_id,
+        octet_length(encode(text))            AS n_bytes,
+        md5(text)                             AS checksum,
+        to_base64(encode(left(text, 8)))      AS head_b64
+    FROM documents
+    """,
+    tags=("ext", "multimodal"),
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata pass: payload size, checksum, head bytes.
+
+    The payload is text re-encoded as utf-8 bytes (stand-in for image
+    bytes — the fixture set has no binary table); at scale this is the
+    pure-map 'stat the blobs' pass run before any decode."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5("text").alias("checksum"),
+        F.base64(F.encode(F.expr("left(text, 8)"), "utf-8")).alias("head_b64"),
+    )
+
+
+@query(
+    "mm_decode_stub",
+    oracle="""
+    SELECT
+        doc_id,
+        octet_length(encode(text))            AS n_bytes,
+        ascii(left(text, 1)) % 64 + 1         AS width,
+        ascii(substr(text, 2, 1)) % 64 + 1    AS height,
+        1                                     AS n_frames,
+        'fake'                                AS codec
+    FROM documents
+    """,
+    tags=("ext", "multimodal", "mapInPandas"),
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode pipeline through mapInPandas (Arrow batch iterator).
+
+    Real part: binary column → per-partition pandas batches → typed
+    metadata rows with a declared schema. Stub part: ``FakeDecoder``
+    (see class docstring). The oracle reproduces the fake formula from
+    the text bytes, so the WHOLE plumbing path — encode, Arrow transfer,
+    batch iteration, schema projection — is value-checked.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [FakeDecoder.decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "width": [m["width"] for m in meta],
+                    "height": [m["height"] for m in meta],
+                    "n_frames": [m["n_frames"] for m in meta],
+                    "codec": [m["codec"] for m in meta],
+                }
+            )
+
+    return d.mapInPandas(decode_batches, schema=DECODE_SCHEMA)

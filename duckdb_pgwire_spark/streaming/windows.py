@@ -1,1 +1,192 @@
-"""(being filled in)"""
+"""Event-time windowing over the ``events`` stream-shaped table.
+
+Batch and streaming share the SAME window semantics in Spark —
+``F.window``/``F.session_window`` run identically in both modes, so the
+batch versions are oracle-checked and the streaming variants (watermark,
+late data, stateful dedup) reuse the logic with rows-only checks.
+
+Scale: event-time windows aggregate with partial aggs keyed on
+(window, key) — shuffle O(windows × keys). In streaming mode state is
+bounded by the watermark horizon; without a watermark, state grows
+unboundedly — hence every streaming query here declares one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import load_table, table_path
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*)            AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (batch mode ≡ streaming mode)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    -- a 1h window sliding every 30min: each event belongs to the two
+    -- windows starting at trunc30(ts) and trunc30(ts) - 30min
+    SELECT ws AS window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM (
+        SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                       time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+               value
+        FROM events
+    )
+    GROUP BY ws
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour, 30-minute slide). Spark's F.window emits
+    one row per overlapping window; the oracle materializes the same
+    membership via unnest."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    -- gap-and-island sessionization, 5-minute inactivity gap
+    -- new session when the gap is >= 5min (Spark session windows are
+    -- end-exclusive: an event at exactly prev+gap starts a new session)
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 5 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) via F.session_window; DuckDB oracle
+    is the classic lag + cumulative-sum gap-and-island rewrite.
+
+    The session END differs by definition (Spark: last_event+gap), so the
+    comparable output is (user, session_start, count, sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (ns timestamps → µs, as in
+    session.load_table).
+
+    FileStreamSource requires a DIRECTORY — the fixture is a single file,
+    so it is symlinked into a temp dir (zero copy)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(table_path(sf_dir, "events"), os.path.join(stream_dir, "events.parquet"))
+    schema = (
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@query("stream_watermark_agg", oracle=None, tags=("streaming", "watermark"))
+def stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE Structured Streaming: watermarked tumbling count.
+
+    readStream(parquet) → withWatermark(10 min) → windowed agg → memory
+    sink, driven to completion synchronously. No SQL oracle exists for
+    watermark semantics (rows-only check); the batch-equivalence is
+    asserted in tests/test_streaming.py.
+    """
+    stream = _read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wm_agg_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("wm_agg_out")
+
+
+@query("stream_dedup_watermark", oracle=None, tags=("streaming", "dedup"))
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE Structured Streaming: stateful dedup on event_id within a
+    watermark horizon (dropDuplicatesWithinWatermark) — state is purged
+    once the watermark passes, so memory is bounded at 100 TB/day rates.
+    Rows-only check (stateful streaming has no SQL oracle)."""
+    stream = _read_events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("dedup_out")
