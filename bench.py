@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS], one warm-up + timed runs per query,
+printing exactly ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the total of the per-query medians — the headline number the
+driver compares to BASELINE. Keep the session warm across queries (the
+reference is an embedded engine with zero per-query process cost; Spark's
+equivalent is one long-lived SparkSession, SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from duckdb_pgwire_spark import registry  # noqa: E402
+from duckdb_pgwire_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# Headline set: the flagship TPC-H-style queries plus one representative
+# per operator family (join, agg, window, setop, function groups, each
+# [EXT] pipeline). Full registry coverage is correctness's job
+# (drive_contract.py); bench tracks throughput of the load-bearing plans.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_inner",
+    "join_semi",
+    "join_asof",
+    "agg_cube",
+    "agg_stats",
+    "win_ranking",
+    "win_agg_frames",
+    "setop_union",
+    "sort_multi_key_nulls",
+    "fn_string_basic",
+    "fn_date_extract",
+    "fn_json",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "sim_lsh_bucketed",
+    "text_quality_score",
+    "text_token_count",
+]
+
+
+def _time_query(fn, spark, sf_dir: str) -> float:
+    """Median wall time of RUNS executions (after one warm-up)."""
+    fn(spark, sf_dir).collect()  # warm-up: plan + codegen + shuffle files
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main() -> None:
+    defs = registry.load_all()
+    spark = build_session(app_name="bench")
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or 0)
+
+    names = [n for n in HEADLINE if n in defs]
+    missing = [n for n in HEADLINE if n not in defs]
+    if missing:
+        print(f"bench: skipping unknown queries: {missing}", file=sys.stderr)
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        try:
+            per_query[name] = round(_time_query(defs[name].fn, spark, SF_DIR), 4)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            per_query[name] = -1.0
+
+    ok = {k: v for k, v in per_query.items() if v >= 0}
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_median_wall",
+                "value": round(sum(ok.values()), 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..session import load_table
+from ..session import load_table, load_table_parallel
 
 N_MINHASH = 8      # minhash signature length
 N_BANDS = 4        # LSH bands (2 rows per band)
@@ -108,24 +108,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boilerplate docs) are the known hazard; AQE skew-join handles
     moderate skew, and a bucket-size cap is the production escape hatch.
     """
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    sh = d.select("doc_id", _shingles(words).alias("shingles")).filter(
-        F.size(words) >= 3
-    )
-    def seeded_md5(j: int):
-        # NB: must return an arity-1 lambda — F.transform treats a second
-        # lambda parameter as the array index
-        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+    from .vectorized import minhash_sig_udf
 
-    sig = sh.select(
-        "doc_id",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("shingles"), seeded_md5(j)))
-                for j in range(1, N_MINHASH + 1)
-            ]
-        ).alias("sig"),
+    d = load_table_parallel(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    # Signature via an Arrow-batched kernel (see vectorized.py for why
+    # not nested HOF lambdas); bands/bucketing stay JVM-side built-ins.
+    sig = d.filter(F.size(words) >= 3).select(
+        "doc_id", minhash_sig_udf()("text").alias("sig")
     )
     bands = sig.select(
         "doc_id",
@@ -142,16 +132,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx0", "band_val"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_idx0", F.col("band_val").alias("bv")
+    # Pair generation WITHOUT a self-join: group docs per band bucket and
+    # expand i<j pairs inside the bucket. A self-join here makes Spark
+    # evaluate the whole minhash pipeline twice (the broadcast build side
+    # can't reuse the probe side's exchange); the groupBy computes
+    # signatures once and shuffles only (bucket, doc_id) rows. Buckets are
+    # near-dup groups, so the quadratic expansion is tiny per bucket —
+    # a bucket-size cap is the production guard for boilerplate-heavy
+    # corpora (giant buckets mean "all mutual near-dups" anyway).
+    buckets = (
+        bands.groupBy("band_idx0", "band_val")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_idx0", F.col("band_val").alias("bv")
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                ),
+            )
+        )
     )
     return (
-        a.join(b, ["band_idx0", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(pair.alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -185,7 +192,7 @@ def _simhash_sql(dialect: str) -> str:
         shift = "(v >> {b})"
     else:
         unnest = "word"
-        src = "(SELECT doc_id, explode(split(text, ' ')) AS word FROM documents)"
+        src = "(SELECT doc_id, explode(split(text, ' ')) AS word FROM documents_par)"
         hexpos = "instr('0123456789abcdef', "
         shift = "shiftright(v, {b})"
     bit_sums = ", ".join(
@@ -215,9 +222,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. Token weighting (repeated words vote repeatedly) is
     intentional — standard SimHash uses term frequency as weight.
     """
-    from ..session import register_views
-
-    register_views(spark, sf_dir)
+    load_table_parallel(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_par"
+    )
     return spark.sql(_simhash_sql("spark"))
 
 
@@ -251,7 +258,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic: only plausibly-similar documents are ever compared —
     the standard scale pattern for pairwise similarity.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     words = F.split("text", " ")
     sh = d.select(
         "doc_id",
@@ -318,24 +325,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant for unlabeled corpora is the LSH bucketing in
     ``sim_lsh_bucketed`` (similarity.py).
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
-    a = v.select(F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("vec_b"), "label", F.col("e").alias("eb"))
+    from .vectorized import cosine_seq_udf
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
-        )
-
+    cosine_seq = cosine_seq_udf()
+    e = load_table_parallel(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", "embedding")
+    a = v.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("eb"))
     pairs = a.join(b, ["label"]).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
-    )
     return (
-        pairs.withColumn("cos_raw", cos)
+        pairs.withColumn("cos_raw", cosine_seq(F.col("ea"), F.col("eb")))
         .filter(F.col("cos_raw") > 0.3)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )

@@ -77,21 +77,50 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes predicates/projections into it.
+
+    The scan DataFrame is memoized per (session, dir, table): re-reading
+    re-lists the directory and re-parses parquet footers, a fixed
+    ~50-100ms planning tax per query that the reference (a long-lived
+    embedded catalog) never pays. Parquet files here are immutable
+    fixtures, so the cached plan never goes stale.
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader has no
     native type for — read as nanosecond longs (legacy conf, runtime-
     settable) and truncate to microsecond TimestampType, matching what
     DuckDB does when it reads the same file (FIXTURES.md events note).
     """
+    key = (id(spark), sf_dir, name)
+    if key in _SCAN_CACHE:
+        return _SCAN_CACHE[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    _SCAN_CACHE[key] = df
+    return df
+
+
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + repartition to the session's full parallelism.
+
+    For compute-heavy per-row operators (shingling, hashing, vector
+    math). The fixture parquet files are single-row-group, so the scan
+    yields ONE partition regardless of core count — a cheap round-robin
+    shuffle first lets the expensive map stage use every core. At
+    cluster scale the same holds whenever upstream granularity (file
+    count, row groups) is coarser than the cluster: never let a heavy
+    map stage inherit a narrow scan.
+    """
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

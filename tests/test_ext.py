@@ -63,24 +63,14 @@ def test_lsh_bucket_contains_near_neighbors(spark):
     per-pair probability is ~20% on this near-random corpus, so
     expected hits ≈ 6/30 and P(0) < 1e-3; planes are md5-derived so the
     outcome is deterministic."""
-    from duckdb_pgwire_spark.ext.similarity import N_TABLES, _bucket_sql
-    from duckdb_pgwire_spark.session import register_views
+    from duckdb_pgwire_spark.ext.similarity import N_TABLES, lsh_signatures
 
     truth = sim_topk_bruteforce(spark, SF_DIR)
     top = {(r.query_id, r.vec_id) for r in truth.collect()}
-    register_views(spark, SF_DIR)
     # recompute per-table bucket membership (the query returns counts)
-    cols = ", ".join(
-        f"{_bucket_sql('spark', 'e', t)} AS b{t}" for t in range(N_TABLES)
-    )
-    buckets = spark.sql(
-        f"""
-        WITH v AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-                   FROM embeddings)
-        SELECT vec_id, {cols} FROM v
-        """
-    )
-    b = {r.vec_id: [r[f"b{t}"] for t in range(N_TABLES)] for r in buckets.collect()}
+    b: dict[int, list[int]] = {}
+    for r in lsh_signatures(spark, SF_DIR).collect():
+        b.setdefault(r.vec_id, [0] * N_TABLES)[r.tbl] = r.bucket
     is_cand = lambda q, v: any(bq == bv for bq, bv in zip(b[q], b[v]))
     hits = sum(1 for (q, v) in top if is_cand(q, v))
     assert hits > 0, "LSH tables share zero true top-10 neighbors — broken hashing"
