@@ -1,0 +1,49 @@
+"""CLI: ``python -m duckdb_pgwire_spark.server [--port 15432] [--sf-dir DIR]``.
+
+The analogue of loading the extension into a DuckDB process
+(duckdb_pgwire_init, src/duckdb_pgwire_extension.cpp:204-232): build the
+engine session, register the fixture views + the reference's UDFs, start
+the listener, and serve until interrupted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="pg-wire front-end for the Spark engine")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=15432)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="fixture dir whose parquet tables are pre-registered as views",
+    )
+    ap.add_argument(
+        "--reference-compat",
+        action="store_true",
+        help="reproduce the reference's drop-unmapped-columns quirk",
+    )
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    from ..functions.udfs import register_udfs
+    from ..session import build_session, register_views
+    from .app import PgWireServer
+
+    spark = build_session(app_name="duckdb_pgwire_spark_server")
+    register_views(spark, args.sf_dir)
+    register_udfs(spark)
+    server = PgWireServer(
+        spark, host=args.host, port=args.port, reference_compat=args.reference_compat
+    )
+    print(f"READY port={args.port}", flush=True)  # sentinel for test harnesses
+    asyncio.run(server.serve_forever())
+
+
+if __name__ == "__main__":
+    main()

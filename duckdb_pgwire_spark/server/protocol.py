@@ -1,0 +1,118 @@
+"""PostgreSQL wire-protocol (v3) message encoding/decoding — simple
+query protocol only, matching the reference's scope: the reference
+serves startup/auth/Query/RowDescription/DataRow/CommandComplete/
+ErrorResponse via its vendored pgwire library and explicitly defers the
+extended protocol ("Extended Query" is an unchecked milestone,
+/root/reference/README.md:23-29).
+
+Everything here is from the public PostgreSQL protocol documentation
+(protocol version 3.0). Text result format only — the reference
+serializes every value as text too (src/duckdb_pgwire_extension.cpp:
+136-164).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+PROTOCOL_V3 = 196608  # 3 << 16
+SSL_REQUEST = 80877103
+CANCEL_REQUEST = 80877102
+GSSENC_REQUEST = 80877104
+
+
+# ---------------------------------------------------------------- encode
+
+def _msg(tag: bytes, payload: bytes) -> bytes:
+    """Tagged message: tag byte + int32 length (self-inclusive) + payload."""
+    return tag + struct.pack("!I", len(payload) + 4) + payload
+
+
+def auth_ok() -> bytes:
+    return _msg(b"R", struct.pack("!I", 0))
+
+
+def parameter_status(name: str, value: str) -> bytes:
+    return _msg(b"S", name.encode() + b"\x00" + value.encode() + b"\x00")
+
+
+def backend_key_data(pid: int, secret: int) -> bytes:
+    return _msg(b"K", struct.pack("!II", pid, secret))
+
+
+def ready_for_query(status: bytes = b"I") -> bytes:
+    return _msg(b"Z", status)
+
+
+@dataclass(frozen=True)
+class FieldDesc:
+    name: str
+    type_oid: int
+    type_len: int = -1  # -1: variable length
+    type_mod: int = -1
+
+
+def row_description(fields: list[FieldDesc]) -> bytes:
+    body = struct.pack("!H", len(fields))
+    for f in fields:
+        body += (
+            f.name.encode()
+            + b"\x00"
+            + struct.pack("!IhIhih", 0, 0, f.type_oid, f.type_len, f.type_mod, 0)
+        )
+    return _msg(b"T", body)
+
+
+def data_row(values: list[bytes | None]) -> bytes:
+    body = struct.pack("!H", len(values))
+    for v in values:
+        if v is None:
+            body += struct.pack("!i", -1)
+        else:
+            body += struct.pack("!i", len(v)) + v
+    return _msg(b"D", body)
+
+
+def command_complete(tag: str) -> bytes:
+    return _msg(b"C", tag.encode() + b"\x00")
+
+
+def empty_query_response() -> bytes:
+    return _msg(b"I", b"")
+
+
+def error_response(message: str, sqlstate: str = "22000") -> bytes:
+    """The reference maps every engine error to one generic class
+    (SqlState::DataException, src/duckdb_pgwire_extension.cpp:68-73);
+    we default to the same 22000 but allow real SQLSTATEs."""
+    body = (
+        b"S" + b"ERROR\x00"
+        + b"V" + b"ERROR\x00"
+        + b"C" + sqlstate.encode() + b"\x00"
+        + b"M" + message.encode() + b"\x00"
+        + b"\x00"
+    )
+    return _msg(b"E", body)
+
+
+def notice_response(message: str) -> bytes:
+    body = b"S" + b"NOTICE\x00" + b"M" + message.encode() + b"\x00" + b"\x00"
+    return _msg(b"N", body)
+
+
+# ---------------------------------------------------------------- decode
+
+def parse_startup_payload(payload: bytes) -> dict[str, str]:
+    """key\\0value\\0...\\0 pairs after the protocol int32."""
+    params: dict[str, str] = {}
+    parts = payload.split(b"\x00")
+    for k, v in zip(parts[::2], parts[1::2]):
+        if k:
+            params[k.decode()] = v.decode()
+    return params
+
+
+def read_cstr(buf: bytes, off: int) -> tuple[str, int]:
+    end = buf.index(b"\x00", off)
+    return buf[off:end].decode(), end + 1

@@ -1,0 +1,150 @@
+"""Spark DataType → PostgreSQL OID map + text-format value encoders.
+
+The reference's map covers 9 types and SILENTLY DROPS columns of any
+other type from both RowDescription and every DataRow
+(src/duckdb_pgwire_extension.cpp:25-38 g_typemap; the `continue` at
+cpp:80-83 and cpp:125-128) — so `SELECT true, 1` returns one column.
+Per SURVEY.md §1.2 we implement the FULL map instead (bool, all ints,
+decimal→numeric, binary→bytea, arrays/structs/maps→text) and keep
+``reference_compat=True`` to reproduce the drop-column behavior, with a
+test documenting the divergence.
+
+All values are rendered in PG *text* format, like the reference
+(cpp:136-164: everything funnels through write_string/write_intN
+helpers in text protocol).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import json
+import math
+from typing import Any
+
+from pyspark.sql import types as T
+
+# PostgreSQL built-in type OIDs (public catalog constants).
+OID_BOOL = 16
+OID_BYTEA = 17
+OID_INT8 = 20
+OID_INT2 = 21
+OID_INT4 = 23
+OID_TEXT = 25
+OID_JSON = 114
+OID_FLOAT4 = 700
+OID_FLOAT8 = 701
+OID_VARCHAR = 1043
+OID_DATE = 1082
+OID_TIME = 1083
+OID_TIMESTAMP = 1114
+OID_TIMESTAMPTZ = 1184
+OID_NUMERIC = 1700
+
+# The 9 wire-visible types of the reference's g_typemap (cpp:25-38):
+# FLOAT, DOUBLE, SMALLINT, INTEGER, BIGINT, VARCHAR, DATE, TIME,
+# TIMESTAMP. (BOOLEAN has dead serialization code but is NOT mapped.)
+_REFERENCE_VISIBLE = (
+    T.FloatType,
+    T.DoubleType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.StringType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
+
+
+def pg_oid(dt: T.DataType) -> int:
+    if isinstance(dt, T.BooleanType):
+        return OID_BOOL
+    if isinstance(dt, T.ByteType | T.ShortType):
+        return OID_INT2
+    if isinstance(dt, T.IntegerType):
+        return OID_INT4
+    if isinstance(dt, T.LongType):
+        return OID_INT8
+    if isinstance(dt, T.FloatType):
+        return OID_FLOAT4
+    if isinstance(dt, T.DoubleType):
+        return OID_FLOAT8
+    if isinstance(dt, T.DecimalType):
+        return OID_NUMERIC
+    if isinstance(dt, T.StringType | T.VarcharType | T.CharType):
+        return OID_TEXT
+    if isinstance(dt, T.BinaryType):
+        return OID_BYTEA
+    if isinstance(dt, T.DateType):
+        return OID_DATE
+    if isinstance(dt, T.TimestampType):
+        return OID_TIMESTAMPTZ
+    if isinstance(dt, T.TimestampNTZType):
+        return OID_TIMESTAMP
+    # arrays/structs/maps/intervals: rendered as text (json / {...})
+    return OID_TEXT
+
+
+def reference_visible(dt: T.DataType) -> bool:
+    """Would the reference's g_typemap keep this column?"""
+    return isinstance(dt, _REFERENCE_VISIBLE)
+
+
+def _enc_float(v: float) -> str:
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    return repr(v)
+
+
+def _enc_timestamp(v: _dt.datetime) -> str:
+    s = v.strftime("%Y-%m-%d %H:%M:%S")
+    if v.microsecond:
+        s += f".{v.microsecond:06d}".rstrip("0")
+    return s
+
+
+def _enc_array(v: Any) -> str:
+    parts = []
+    for item in v:
+        if item is None:
+            parts.append("NULL")
+        else:
+            s = encode_text(item)
+            if any(c in s for c in ' ,{}"\\') or s == "":
+                s = '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+            parts.append(s)
+    return "{" + ",".join(parts) + "}"
+
+
+def encode_text(v: Any) -> str:
+    """Python value (from Row) → PG text-format string."""
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, float):
+        return _enc_float(v)
+    if isinstance(v, int | decimal.Decimal):
+        return str(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes | bytearray):
+        return "\\x" + bytes(v).hex()
+    if isinstance(v, _dt.datetime):
+        return _enc_timestamp(v)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _dt.time):
+        return v.isoformat()
+    if isinstance(v, list):
+        return _enc_array(v)
+    if isinstance(v, dict):
+        return json.dumps(v, default=str, separators=(",", ":"))
+    if hasattr(v, "asDict"):  # Row (struct)
+        return json.dumps(v.asDict(recursive=True), default=str, separators=(",", ":"))
+    return str(v)
+
+
+def encode_cell(v: Any) -> bytes | None:
+    return None if v is None else encode_text(v).encode()

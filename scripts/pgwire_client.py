@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Minimal blocking PG simple-query client for testing the wire server
+(no psql/psycopg in this container). Usage:
+
+    python scripts/pgwire_client.py 'SELECT 1' ['SELECT 2' ...]
+
+Prints, per statement: column names, rows (text format), command tag.
+Implements just enough of the public protocol: startup, Query,
+RowDescription/DataRow/CommandComplete/ErrorResponse/ReadyForQuery.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import sys
+
+
+class PgClient:
+    def __init__(self, host: str = "127.0.0.1", port: int = 15432, user: str = "spark"):
+        self.sock = socket.create_connection((host, port), timeout=60)
+        payload = struct.pack("!I", 196608)
+        for k, v in (("user", user), ("database", "main")):
+            payload += k.encode() + b"\x00" + v.encode() + b"\x00"
+        payload += b"\x00"
+        self.sock.sendall(struct.pack("!I", len(payload) + 4) + payload)
+        self._drain_until_ready()
+
+    def _read_msg(self) -> tuple[bytes, bytes]:
+        tag = self._recv(1)
+        (length,) = struct.unpack("!I", self._recv(4))
+        return tag, self._recv(length - 4)
+
+    def _recv(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("server closed")
+            buf += chunk
+        return buf
+
+    def _drain_until_ready(self) -> None:
+        while True:
+            tag, _ = self._read_msg()
+            if tag == b"Z":
+                return
+
+    def query(self, sql: str) -> list[dict]:
+        """Returns a list of result dicts: {columns, rows, tag} or {error}."""
+        self.sock.sendall(
+            b"Q" + struct.pack("!I", len(sql.encode()) + 5) + sql.encode() + b"\x00"
+        )
+        results: list[dict] = []
+        cur: dict | None = None
+        while True:
+            tag, body = self._read_msg()
+            if tag == b"T":
+                (nf,) = struct.unpack("!H", body[:2])
+                off, cols, oids = 2, [], []
+                for _ in range(nf):
+                    end = body.index(b"\x00", off)
+                    cols.append(body[off:end].decode())
+                    off = end + 1
+                    _, _, oid, _, _, _ = struct.unpack("!IhIhih", body[off : off + 18])
+                    oids.append(oid)
+                    off += 18
+                cur = {"columns": cols, "oids": oids, "rows": []}
+            elif tag == b"D":
+                (nc,) = struct.unpack("!H", body[:2])
+                off, row = 2, []
+                for _ in range(nc):
+                    (ln,) = struct.unpack("!i", body[off : off + 4])
+                    off += 4
+                    if ln == -1:
+                        row.append(None)
+                    else:
+                        row.append(body[off : off + ln].decode())
+                        off += ln
+                assert cur is not None
+                cur["rows"].append(row)
+            elif tag == b"C":
+                if cur is None:
+                    cur = {"columns": [], "oids": [], "rows": []}
+                cur["tag"] = body.rstrip(b"\x00").decode()
+                results.append(cur)
+                cur = None
+            elif tag == b"I":
+                results.append({"columns": [], "oids": [], "rows": [], "tag": ""})
+            elif tag == b"E":
+                fields = {}
+                for part in body.split(b"\x00"):
+                    if part:
+                        fields[chr(part[0])] = part[1:].decode()
+                results.append({"error": fields.get("M", "?"), "sqlstate": fields.get("C")})
+            elif tag == b"Z":
+                return results
+
+    def close(self) -> None:
+        self.sock.sendall(b"X" + struct.pack("!I", 4))
+        self.sock.close()
+
+
+if __name__ == "__main__":
+    import os
+
+    c = PgClient(
+        host=os.environ.get("PGWIRE_HOST", "127.0.0.1"),
+        port=int(os.environ.get("PGWIRE_PORT", "15432")),
+    )
+    for sql in sys.argv[1:] or ["SELECT 1 AS one"]:
+        for res in c.query(sql):
+            if "error" in res:
+                print(f"ERROR [{res['sqlstate']}]: {res['error']}")
+            else:
+                print("columns:", res["columns"])
+                for r in res["rows"]:
+                    print("  ", r)
+                print("tag:", res.get("tag"))
+    c.close()
