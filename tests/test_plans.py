@@ -1,0 +1,116 @@
+"""Plan-quality gate: the physical plans Catalyst picks must show the
+scale properties we designed for (SURVEY.md §4.2) — not just produce
+correct rows. Each assertion names the 100 TB failure mode it guards.
+
+These run against the static (pre-AQE) plan at sf0.01; sizes there make
+every dimension broadcastable, which is exactly what we assert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_pgwire_spark import registry
+from duckdb_pgwire_spark.plans import inspect as I
+from duckdb_pgwire_spark.session import load_table
+
+from .conftest import SF_DIR
+
+
+def _q(name):
+    return registry.load_all()[name]
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark):
+    """Guards: full-table scan at 100 TB (filter must reach parquet);
+    shuffling raw rows instead of partial aggregates."""
+    df = _q("q1_pricing_summary").fn(spark, SF_DIR)
+    pushed = " ".join(I.pushed_filters(df))
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed}"
+    assert I.partial_agg_before_shuffle(df), "no map-side combine before shuffle"
+
+
+def test_q1_column_pruning(spark):
+    """Guards: reading all 16 lineitem columns for a 10-column query —
+    scan width is the dominant I/O term on wide fact tables."""
+    df = _q("q1_pricing_summary").fn(spark, SF_DIR)
+    (cols,) = I.scan_read_columns(df)
+    assert "l_comment" not in cols and "l_partkey" not in cols, cols
+    assert {"l_quantity", "l_extendedprice", "l_returnflag"} <= cols
+
+
+def test_q3_broadcasts_dimensions_and_fuses_topk(spark):
+    """Guards: shuffling the fact table to join a KB-sized dimension;
+    global sort for an ORDER BY+LIMIT (must fuse to top-k)."""
+    df = _q("q3_shipping_priority").fn(spark, SF_DIR)
+    joins = I.join_nodes(df)
+    assert joins and all(j == "BroadcastHashJoin" for j in joins), joins
+    assert I.has_node(df, "TakeOrderedAndProject"), "ORDER BY+LIMIT not fused"
+
+
+def test_q5_no_cartesian_and_fact_joins_keyed(spark):
+    """Guards: a join-order accident producing nested-loop/cartesian on
+    the 6-table star join."""
+    df = _q("q5_local_supplier_volume").fn(spark, SF_DIR)
+    joins = I.join_nodes(df)
+    assert "CartesianProduct" not in joins and "BroadcastNestedLoopJoin" not in joins
+    assert "BroadcastHashJoin" in joins  # dims broadcast
+
+
+def test_projection_only_scan_reads_two_columns(spark):
+    """Narrow projection must prune the scan to exactly what's selected."""
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    (cols,) = I.scan_read_columns(li)
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_dedup_exact_single_shuffle(spark):
+    """Exact dedup must be one hash-shuffle on the content hash with
+    map-side partial agg — shuffle volume O(distinct docs), not O(docs)."""
+    df = _q("dedup_exact").fn(spark, SF_DIR)
+    assert I.partial_agg_before_shuffle(df)
+    assert I.exchange_count(df) == 1, I.simple_plan(df)
+
+
+def test_topk_global_no_full_sort(spark):
+    """ORDER BY+LIMIT must plan as TakeOrderedAndProject (no Exchange
+    rangepartitioning — a full distributed sort of the fact table)."""
+    df = _q("topk_global").fn(spark, SF_DIR)
+    assert I.has_node(df, "TakeOrderedAndProject")
+    assert "rangepartitioning" not in I.simple_plan(df)
+
+
+def test_semi_join_is_semi_in_plan(spark):
+    """EXISTS must stay a semi join (probe-side short circuit), never
+    dedup-after-inner-join."""
+    df = _q("join_semi").fn(spark, SF_DIR)
+    assert "LeftSemi" in I.formatted_plan(df)
+
+
+def test_lsh_join_probe_side_is_pruned(spark):
+    """The LSH candidate join's query side must push the vec_id IN (...)
+    predicate below the signature computation — probing 3 vectors, not
+    re-bucketing the corpus twice."""
+    from duckdb_pgwire_spark.ext.similarity import sim_lsh_bucketed
+
+    df = sim_lsh_bucketed(spark, SF_DIR)
+    plan = I.formatted_plan(df)
+    assert "vec_id#" in plan
+    pushed = " ".join(I.pushed_filters(df))
+    assert "In(vec_id" in pushed, pushed
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    """The q1 aggregate pipeline must run inside whole-stage codegen
+    (interpreted fallback = 10x row-at-a-time slowdown). AQE hides
+    codegen markers in the static simple plan, so ask the codegen
+    explain mode."""
+    import contextlib
+    import io
+    import re
+
+    df = _q("q1_pricing_summary").fn(spark, SF_DIR)
+    df.collect()  # materialize AQE's final plan (codegen happens per stage)
+    plan = I.formatted_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert re.search(r"\[codegen id : \d+\]", plan), plan[:800]

@@ -37,3 +37,62 @@ def test_stream_dedup_keeps_unique_ids(spark):
     uniq = out.select("event_id").distinct().count()
     n_src = load_table(spark, SF_DIR, "events").select("event_id").distinct().count()
     assert total == uniq == n_src
+
+
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    """The point of applyInPandasWithState: per-key state must SURVIVE
+    microbatch boundaries. Split the fixture into two files → two
+    batches (maxFilesPerTrigger=1); each user's LAST emitted update must
+    equal the full batch aggregate, and users present in both halves
+    must have emitted an intermediate (smaller) update first."""
+    from duckdb_pgwire_spark.streaming.stateful import user_totals_stream
+
+    ev = load_table(spark, SF_DIR, "events")
+    half = ev.count() // 2
+    stream_dir = tmp_path / "two_batches"
+    ev.filter(F.col("event_id") < half).coalesce(1).write.parquet(
+        str(stream_dir / "a.parquet")
+    )
+    ev.filter(F.col("event_id") >= half).coalesce(1).write.parquet(
+        str(stream_dir / "b.parquet")
+    )
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*/")
+    )
+    q = (
+        user_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_2batch")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("stateful_2batch").collect()
+    # last update per user (updates arrive in batch order; dedupe by max n)
+    final = {}
+    emitted_per_user: dict[int, int] = {}
+    for r in rows:
+        emitted_per_user[r.user_id] = emitted_per_user.get(r.user_id, 0) + 1
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    batch = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert {u: nt[0] for u, nt in final.items()} == {
+        u: nt[0] for u, nt in batch.items()
+    }
+    # at least one user spans both halves and therefore emitted twice
+    assert max(emitted_per_user.values()) == 2
