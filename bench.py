@@ -36,6 +36,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "join_inner",
     "join_semi",
     "join_asof",
@@ -54,6 +55,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "sim_lsh_bucketed",
+    "sim_ivf_probe",
     "text_quality_score",
     "text_token_count",
 ]

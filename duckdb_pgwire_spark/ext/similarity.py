@@ -188,3 +188,79 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+
+
+# --------------------------------------------------------------- IVF variant
+
+N_CENTROIDS = 8
+N_PROBE = 2
+
+_IVF_DOT = (
+    "list_aggregate(list_transform(range(1, {dim}), i -> {a}[i] * {b}[i]), 'sum')"
+)
+
+
+_IVF_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {N_CENTROIDS}
+    ), affin AS (
+        SELECT v.vec_id, c.cid,
+               {_IVF_DOT.format(dim=DIM + 1, a="v.e", b="c.ce")}
+               / (sqrt({_IVF_DOT.format(dim=DIM + 1, a="v.e", b="v.e")})
+                * sqrt({_IVF_DOT.format(dim=DIM + 1, a="c.ce", b="c.ce")})) AS sim
+        FROM v CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, cid FROM affin
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, cid FROM affin
+        WHERE vec_id IN {QUERY_IDS}
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) <= {N_PROBE}
+    )
+    SELECT p.query_id, COUNT(*) AS n_candidates
+    FROM probes p
+    JOIN assigned a ON a.cid = p.cid
+    WHERE a.vec_id <> p.query_id
+    GROUP BY p.query_id
+"""
+
+
+@query("sim_ivf_probe", oracle=_IVF_ORACLE, tags=("ext", "similarity", "ivf"))
+def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN candidate generation — the second scale
+    path next to LSH banding.
+
+    Index build = one broadcast pass: centroids (here the first
+    N_CENTROIDS vectors — deterministic stand-in for k-means, which
+    would just change the centroid table) are broadcast; each corpus
+    vector computes max-cosine assignment in a single Arrow-batched map
+    stage. Query = probe the N_PROBE nearest cells only: candidate cost
+    ~N_PROBE/N_CENTROIDS of the corpus. At 100 TB the assignment pass is
+    embarrassingly parallel and the per-cell candidate lists are the
+    partition layout for the probe join.
+    """
+    cos = cosine_seq_udf()
+    v = load_table_parallel(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = v.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    affin = v.join(F.broadcast(cent)).withColumn(
+        "sim", cos(F.col("embedding"), F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    ranked = affin.withColumn("rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter(F.col("vec_id").isin(*QUERY_IDS) & (F.col("rn") <= N_PROBE))
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    return (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_candidates"))
+    )

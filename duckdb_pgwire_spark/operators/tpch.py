@@ -187,3 +187,38 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc())
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter", "flagship"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure selective scan-aggregate — the pushdown showcase.
+
+    Every predicate (range on shipdate, between on discount, < on
+    quantity) reaches the parquet reader as a pushed filter; the scan
+    reads 4 columns of 16; the aggregate is a single global sum (partial
+    per partition, one row to the driver). At 100 TB this is the
+    min-possible-I/O plan: row groups outside the shipdate range are
+    skipped by parquet statistics entirely.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
