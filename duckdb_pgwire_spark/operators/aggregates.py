@@ -319,3 +319,28 @@ def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(*) > 100 AND AVG(o_totalprice) > 100000
         """
     )
+
+
+@query(
+    "agg_any_value",
+    oracle="""
+    SELECT c_mktsegment,
+           MIN(upper(c_mktsegment)) AS seg_upper,  -- constant per group ≡ any_value
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def agg_any_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``any_value`` surface (DuckDB exposes it; SURVEY §2.6).
+
+    any_value is nondeterministic on varying inputs, so the checkable
+    form aggregates an expression that is CONSTANT within each group —
+    'any' is then 'the' value and the oracle can use MIN. Spark executes
+    a genuine AnyValue aggregate (first non-null, partial+final)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.any_value(F.upper("c_mktsegment")).alias("seg_upper"),
+        F.count("*").alias("n"),
+    )
