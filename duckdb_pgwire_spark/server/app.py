@@ -33,7 +33,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 from . import protocol as P
-from .compat import rewrite, split_statements
+from .compat import parse_copy, rewrite, split_statements
 from .typemap import encode_cell, pg_oid, reference_visible
 
 log = logging.getLogger("duckdb_pgwire_spark.server")
@@ -178,7 +178,7 @@ class PgWireServer:
                 try:
                     await self._run_statement(stmt, writer)
                 except Exception as exc:  # noqa: BLE001 — any engine error → wire error
-                    writer.write(P.error_response(_exc_message(exc), "22000"))
+                    writer.write(P.error_response(_exc_message(exc), _sqlstate(exc)))
                     await writer.drain()
                     break  # PG aborts the rest of the message on error
             writer.write(P.ready_for_query())
@@ -186,6 +186,15 @@ class PgWireServer:
 
     async def _run_statement(self, stmt: str, writer: asyncio.StreamWriter) -> None:
         loop = asyncio.get_running_loop()
+        copy = parse_copy(stmt)
+        if copy is not None:
+            inner, path, fmt = copy
+            nrows = await loop.run_in_executor(
+                self._pool, self._run_copy, rewrite(inner), path, fmt
+            )
+            writer.write(P.command_complete(f"COPY {nrows}"))
+            await writer.drain()
+            return
         sql = rewrite(stmt)
         # "prepare": analysis only — schema is known before execution,
         # exactly like conn.Prepare → GetNames/GetTypes (cpp:52,62-64).
@@ -227,6 +236,40 @@ class PgWireServer:
                 nrows = 0
         writer.write(P.command_complete(_command_tag(stmt, nrows)))
         await writer.drain()
+
+
+    def _run_copy(self, inner_sql: str, path: str, fmt: str) -> int:
+        """COPY ... TO: DataFrameWriter is the Spark-native file sink
+        (distributed write — the path gets a directory of part files,
+        which is the scale-correct shape; single-file output would force
+        all data through one task)."""
+        df = self.spark.sql(inner_sql)
+        n = df.count()
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", "true").csv(path)
+        elif fmt == "json":
+            writer.json(path)
+        else:
+            writer.parquet(path)
+        return n
+
+
+def _sqlstate(exc: Exception) -> str:
+    """Real SQLSTATEs where Spark provides them (error-class framework);
+    the reference collapses everything to one DataException class
+    (cpp:68-73) — we keep the more useful codes."""
+    get = getattr(exc, "getSqlState", None)
+    if get is not None:
+        state = get()
+        if state:
+            return state
+    name = type(exc).__name__
+    if "Parse" in name:
+        return "42601"
+    if "Analysis" in name:
+        return "42000"
+    return "22000"
 
 
 def _next_batch(it: Iterator, n: int, keep: list[str]) -> list[list[bytes | None]]:

@@ -139,3 +139,26 @@ def split_statements(sql: str) -> list[str]:
         cur.append(seg)
     stmts.append("".join(cur))
     return [s.strip() for s in stmts if s.strip()]
+
+
+_COPY = re.compile(
+    r"^\s*COPY\s+(\(.*\)|\w+)\s+TO\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)[^)]*\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_copy(stmt: str) -> tuple[str, str, str] | None:
+    """DuckDB/PG ``COPY <table|(query)> TO 'path' (FORMAT fmt)`` →
+    (inner select SQL, path, format). Spark has no COPY statement; the
+    server executes it as DataFrameWriter (the reference reaches DuckDB's
+    COPY through the same delegated path, SURVEY.md §2.3). Format
+    defaults from the file extension (parquet/csv/json)."""
+    m = _COPY.match(stmt)
+    if not m:
+        return None
+    src, path, fmt = m.group(1), m.group(2), m.group(3)
+    inner = src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
+    if not fmt:
+        ext = path.rsplit(".", 1)[-1].lower()
+        fmt = ext if ext in ("parquet", "csv", "json") else "parquet"
+    return inner, path, fmt.lower()

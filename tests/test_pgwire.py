@@ -234,3 +234,83 @@ def test_reference_compat_drops_unmapped_columns(spark):
     srv = PgWireServer(spark, reference_compat=True)
     kept = [f.name for f in df.schema.fields if reference_visible(f.dataType)]
     assert kept == ["i"]
+
+
+def test_wire_copy_to_parquet(client, tmp_path):
+    """COPY (query) TO 'path' (FORMAT PARQUET) — the reference reaches
+    DuckDB's COPY via delegation (SURVEY.md §2.3); we map it to
+    DataFrameWriter. Output is a part-file directory (distributed write)."""
+    out = tmp_path / "copy_out.parquet"
+    (res,) = client.query(
+        f"COPY (SELECT r_regionkey, r_name FROM region) TO '{out}' (FORMAT PARQUET)"
+    )
+    assert res.get("tag") == "COPY 5", res
+    (back,) = client.query(f"SELECT COUNT(*) AS n FROM parquet.`{out}`")
+    assert back["rows"] == [["5"]]
+
+
+def test_wire_sqlstate_mapping(client):
+    (res,) = client.query("SELECT * FROM table_that_is_not_there")
+    assert res["sqlstate"] == "42P01", res  # undefined_table
+    (res,) = client.query("SELEC broken syntax")
+    assert res["sqlstate"] == "42601", res  # syntax_error
+
+
+def test_protocol_roundtrip_property():
+    """Property: any list of optional byte cells encodes to a DataRow the
+    client-side decoder parses back verbatim."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cell = st.one_of(st.none(), st.binary(max_size=64))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(cell, max_size=12))
+    def roundtrip(cells):
+        msg = P.data_row(cells)
+        assert msg[0:1] == b"D"
+        body = msg[5:]
+        (nc,) = struct.unpack("!H", body[:2])
+        assert nc == len(cells)
+        off, decoded = 2, []
+        for _ in range(nc):
+            (ln,) = struct.unpack("!i", body[off : off + 4])
+            off += 4
+            if ln == -1:
+                decoded.append(None)
+            else:
+                decoded.append(body[off : off + ln])
+                off += ln
+        assert off == len(body)
+        assert decoded == [bytes(c) if c is not None else None for c in cells]
+
+    roundtrip()
+
+
+def test_split_statements_property():
+    """Property: splitting never loses non-whitespace content outside
+    literals, and semicolons inside literals never split."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.text(alphabet="abc;' ", max_size=20)
+
+    @settings(max_examples=200, deadline=None)
+    @given(frag)
+    def check(sql):
+        parts = split_statements(sql)
+        # every returned part is non-empty and stripped
+        assert all(p == p.strip() and p for p in parts)
+        # unquoted semicolons are all consumed as separators: rejoining
+        # with ';' preserves the original modulo whitespace/empties
+        import re as _re
+
+        def canon(s):
+            return _re.sub(r"[\s;]+", "", s)
+
+        # only compare when quotes are balanced (unterminated literals
+        # swallow the rest of the string by design, like PG's lexer)
+        if sql.count("'") % 2 == 0:
+            assert canon(";".join(parts)) == canon(sql)
+
+    check()
