@@ -159,3 +159,32 @@ def view_create_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT o_orderpriority, COUNT(*) AS n FROM big_orders GROUP BY o_orderpriority"
     )
+
+
+@query(
+    "sink_partitioned_pruning",
+    oracle="""
+    SELECT user_id % 10 AS user_band, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY user_id % 10
+    """,
+    tags=("sink", "partitioning"),
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-pruned read-back.
+
+    Writes events partitioned by event_type (directory per value — the
+    layout that makes a 100 TB event store queryable), then reads with a
+    partition-key filter: the scan must list ONLY the matching
+    directory, never the other partitions' files. Pruning is asserted on
+    the plan in tests/test_plans.py; values here round-trip through the
+    partition columns (which parquet stores in the path, not the file).
+    """
+    out = os.path.join(tempfile.mkdtemp(prefix="pq_part_"), "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    return back.groupBy((F.col("user_id") % 10).alias("user_band")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )

@@ -114,3 +114,16 @@ def test_whole_stage_codegen_covers_agg(spark):
     plan = I.formatted_plan(df)
     assert "isFinalPlan=true" in plan
     assert re.search(r"\[codegen id : \d+\]", plan), plan[:800]
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    """A filter on the hive-partition key must become a PartitionFilters
+    entry (directory pruning at file-listing time), NOT a row-level
+    post-scan filter — at 100 TB this is the difference between listing
+    one directory and scanning every file."""
+    df = _q("sink_partitioned_pruning").fn(spark, SF_DIR)
+    plan = I.formatted_plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:1200]
