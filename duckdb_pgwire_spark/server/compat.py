@@ -13,8 +13,11 @@ Spark SQL covers almost all of it; this shim rewrites the known deltas
 - ``expr::type`` casts → ``CAST(expr AS type)``.
 - bare ``varchar``/``bpchar`` column types in DDL → ``STRING`` (Spark
   requires a length argument on VARCHAR).
-- ``QUALIFY`` needs no rewrite on Spark 4 (native support); listed here
-  because older Sparks would need the subquery rewrite.
+- ``QUALIFY pred`` (DuckDB window filter; Spark has no QUALIFY —
+  verified against Spark 4.1) → wrap in a subquery: window expressions
+  referenced inline in the predicate are hoisted into hidden
+  ``__qwN`` select columns, the outer query filters on them and
+  projects ``* EXCEPT (__qwN...)``.
 
 String-level regex rewrites, applied outside of quoted literals —
 deliberately minimal: every construct Spark already parses passes
@@ -114,9 +117,142 @@ def _rewrite_distinct_on(sql: str) -> str:
     )
 
 
+def _scan_top_level(sql: str):
+    """Yield (index, char) for characters at paren depth 0 outside
+    string literals — the positions where clause keywords live."""
+    depth = 0
+    for is_lit, seg_start, seg in _segments_with_offsets(sql):
+        if is_lit:
+            continue
+        for k, c in enumerate(seg):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0:
+                yield seg_start + k, c
+
+
+def _segments_with_offsets(sql: str):
+    off = 0
+    for is_lit, seg in _split_quoted(sql):
+        yield is_lit, off, seg
+        off += len(seg)
+
+
+def _find_keyword(sql: str, word: str, start: int = 0) -> int:
+    """Index of a top-level, word-boundary keyword occurrence; -1 if none."""
+    upper = sql.upper()
+    w = word.upper()
+    positions = [i for i, _ in _scan_top_level(sql)]
+    pos_set = set(positions)
+    i = start
+    while True:
+        i = upper.find(w, i)
+        if i == -1:
+            return -1
+        before_ok = i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+        end = i + len(w)
+        after_ok = end >= len(sql) or not (sql[end].isalnum() or sql[end] == "_")
+        # every char of the keyword must sit at top level
+        if before_ok and after_ok and all(j in pos_set for j in range(i, end)):
+            return i
+        i = end
+
+
+def _extract_window_exprs(pred: str) -> list[tuple[int, int]]:
+    """(start, end) spans of `fn(args) OVER (spec)` expressions in pred,
+    found with balanced-paren scanning (regex can't nest)."""
+    spans = []
+    upper = pred.upper()
+    i = 0
+    while True:
+        o = upper.find("OVER", i)
+        if o == -1:
+            return spans
+        # right: the OVER (...) parens
+        j = o + 4
+        while j < len(pred) and pred[j].isspace():
+            j += 1
+        if j >= len(pred) or pred[j] != "(":
+            i = o + 4
+            continue
+        depth = 0
+        end = j
+        while end < len(pred):
+            if pred[end] == "(":
+                depth += 1
+            elif pred[end] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            end += 1
+        # left: walk back over whitespace, then the call's balanced parens,
+        # then the function name
+        k = o - 1
+        while k >= 0 and pred[k].isspace():
+            k -= 1
+        if k < 0 or pred[k] != ")":
+            i = end + 1
+            continue
+        depth = 0
+        start = k
+        while start >= 0:
+            if pred[start] == ")":
+                depth += 1
+            elif pred[start] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            start -= 1
+        while start - 1 >= 0 and (pred[start - 1].isalnum() or pred[start - 1] == "_"):
+            start -= 1
+        spans.append((start, end + 1))
+        i = end + 1
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """DuckDB ``... QUALIFY pred [ORDER BY ...] [LIMIT ...]`` →
+    subquery + WHERE (Spark has no QUALIFY). Window expressions inline
+    in pred are hoisted into hidden select columns."""
+    q = _find_keyword(sql, "QUALIFY")
+    if q == -1:
+        return sql
+    head = sql[:q].rstrip()
+    rest = sql[q + len("QUALIFY") :]
+    # trailing clauses that must move to the OUTER query
+    tail_idx = len(rest)
+    for kw in ("ORDER BY", "LIMIT", "OFFSET"):
+        k = _find_keyword(rest, kw)
+        if k != -1:
+            tail_idx = min(tail_idx, k)
+    pred, tail = rest[:tail_idx].strip(), rest[tail_idx:].strip()
+    spans = _extract_window_exprs(pred)
+    hidden: list[str] = []
+    if spans:
+        new_pred = []
+        last = 0
+        for n, (s, e) in enumerate(spans):
+            hidden.append(f"{pred[s:e]} AS __qw{n}")
+            new_pred.append(pred[last:s])
+            new_pred.append(f"__qw{n}")
+            last = e
+        new_pred.append(pred[last:])
+        pred = "".join(new_pred)
+        # inject hidden columns into the SELECT list (before top-level FROM)
+        f = _find_keyword(head, "FROM")
+        head = head[:f].rstrip() + ", " + ", ".join(hidden) + " " + head[f:]
+        outer = "* EXCEPT (" + ", ".join(f"__qw{n}" for n in range(len(spans))) + ")"
+    else:
+        outer = "*"
+    out = f"SELECT {outer} FROM ({head}) WHERE {pred}"
+    return f"{out} {tail}" if tail else out
+
+
 def rewrite(sql: str) -> str:
     """Apply the full dialect pre-pass to one statement."""
     sql = _rewrite_distinct_on(sql)
+    sql = _rewrite_qualify(sql)
     return "".join(
         seg if is_lit else _rewrite_code(seg) for is_lit, seg in _split_quoted(sql)
     )

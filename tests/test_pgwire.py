@@ -314,3 +314,41 @@ def test_split_statements_property():
             assert canon(";".join(parts)) == canon(sql)
 
     check()
+
+
+def test_rewrite_qualify_alias():
+    out = rewrite(
+        "SELECT k, row_number() OVER (ORDER BY k) AS rn FROM t QUALIFY rn <= 3"
+    )
+    assert out == (
+        "SELECT * FROM (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM t) "
+        "WHERE rn <= 3"
+    )
+
+
+def test_rewrite_qualify_inline_window():
+    out = rewrite(
+        "SELECT a FROM t QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1"
+    )
+    assert "__qw0" in out and out.startswith("SELECT * EXCEPT (__qw0) FROM (")
+    # literal containing the keyword is untouched
+    assert rewrite("SELECT 'QUALIFY x' AS s FROM t") == "SELECT 'QUALIFY x' AS s FROM t"
+
+
+def test_wire_qualify_executes(client):
+    """DuckDB-dialect QUALIFY over the wire (Spark has no QUALIFY;
+    verified 4.1 parse error without the shim)."""
+    (res,) = client.query(
+        "SELECT n_nationkey, row_number() OVER (ORDER BY n_nationkey) AS rn "
+        "FROM nation QUALIFY rn <= 3"
+    )
+    assert "error" not in res, res
+    assert [r[0] for r in res["rows"]] == ["0", "1", "2"]
+    (res,) = client.query(
+        "SELECT n_regionkey, n_nationkey FROM nation "
+        "QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) = 1 "
+        "ORDER BY n_regionkey"
+    )
+    assert "error" not in res, res
+    assert res["columns"] == ["n_regionkey", "n_nationkey"]
+    assert len(res["rows"]) == 5  # one keeper per region
