@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "duckdb_pgwire_spark.ext.multimodal",
     "duckdb_pgwire_spark.streaming.windows",
     "duckdb_pgwire_spark.streaming.stateful",
+    "duckdb_pgwire_spark.streaming.joins",
 )
 
 
