@@ -79,3 +79,20 @@ def test_lsh_bucket_contains_near_neighbors(spark):
     for q in QUERY_IDS:
         expected = sum(1 for v in b if v != q and is_cand(q, v))
         assert counts[q] == expected
+
+
+def test_salted_join_is_salt_invariant(spark):
+    """salted_join must produce exactly the plain join's rows for any
+    salt count/seed — salting only changes shuffle layout."""
+    from duckdb_pgwire_spark.operators.skew import salted_join
+    from duckdb_pgwire_spark.session import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(o, "l_orderkey")
+    for n in (2, 8):
+        salted = salted_join(li, o, "l_orderkey", n_salts=n)
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
