@@ -28,6 +28,12 @@ def main() -> None:
         action="store_true",
         help="reproduce the reference's drop-unmapped-columns quirk",
     )
+    ap.add_argument(
+        "--isolate-sessions",
+        action="store_true",
+        help="spark.newSession() per client: isolated temp views/confs "
+        "over the shared catalog (the reference's connection model)",
+    )
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -36,10 +42,19 @@ def main() -> None:
     from .app import PgWireServer
 
     spark = build_session(app_name="duckdb_pgwire_spark_server")
-    register_views(spark, args.sf_dir)
-    register_udfs(spark)
+
+    def setup(sess):
+        register_views(sess, args.sf_dir)
+        register_udfs(sess)
+
+    setup(spark)
     server = PgWireServer(
-        spark, host=args.host, port=args.port, reference_compat=args.reference_compat
+        spark,
+        host=args.host,
+        port=args.port,
+        reference_compat=args.reference_compat,
+        isolate_sessions=args.isolate_sessions,
+        session_setup=setup,
     )
     print(f"READY port={args.port}", flush=True)  # sentinel for test harnesses
     asyncio.run(server.serve_forever())

@@ -63,6 +63,8 @@ class PgWireServer:
         port: int = 15432,
         reference_compat: bool = False,
         max_workers: int = 8,
+        isolate_sessions: bool = False,
+        session_setup=None,
     ) -> None:
         self.spark = spark
         self.host = host
@@ -70,6 +72,14 @@ class PgWireServer:
         # reference_compat=True reproduces the reference's drop-unmapped-
         # columns quirk (SURVEY.md §1.2) for bug-for-bug testing.
         self.reference_compat = reference_compat
+        # isolate_sessions=True gives each client its own
+        # spark.newSession(): shared catalog/executors, isolated temp
+        # views + confs — the Spark analogue of the reference's
+        # fresh-Connection-per-query on a shared DatabaseInstance
+        # (cpp:42,184-186). session_setup(session) re-registers
+        # per-session state (fixture views, UDFs) for each client.
+        self.isolate_sessions = isolate_sessions
+        self.session_setup = session_setup
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=max_workers)
         self._server: asyncio.AbstractServer | None = None
 
@@ -100,7 +110,19 @@ class PgWireServer:
         try:
             if not await self._startup(reader, writer):
                 return
-            await self._query_loop(reader, writer)
+            if self.isolate_sessions:
+                loop = asyncio.get_running_loop()
+
+                def make_session():
+                    sess = self.spark.newSession()
+                    if self.session_setup is not None:
+                        self.session_setup(sess)
+                    return sess
+
+                session = await loop.run_in_executor(self._pool, make_session)
+            else:
+                session = self.spark
+            await self._query_loop(reader, writer, session)
         except (asyncio.IncompleteReadError, ConnectionResetError):
             pass
         except Exception:  # noqa: BLE001
@@ -152,7 +174,10 @@ class PgWireServer:
     # ------------------------------------------------------------ queries
 
     async def _query_loop(
-        self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
+        self,
+        reader: asyncio.StreamReader,
+        writer: asyncio.StreamWriter,
+        session: SparkSession,
     ) -> None:
         while True:
             tag = await reader.readexactly(1)
@@ -176,7 +201,7 @@ class PgWireServer:
                 writer.write(P.empty_query_response())
             for stmt in stmts:
                 try:
-                    await self._run_statement(stmt, writer)
+                    await self._run_statement(stmt, writer, session)
                 except Exception as exc:  # noqa: BLE001 — any engine error → wire error
                     writer.write(P.error_response(_exc_message(exc), _sqlstate(exc)))
                     await writer.drain()
@@ -184,13 +209,15 @@ class PgWireServer:
             writer.write(P.ready_for_query())
             await writer.drain()
 
-    async def _run_statement(self, stmt: str, writer: asyncio.StreamWriter) -> None:
+    async def _run_statement(
+        self, stmt: str, writer: asyncio.StreamWriter, session: SparkSession
+    ) -> None:
         loop = asyncio.get_running_loop()
         copy = parse_copy(stmt)
         if copy is not None:
             inner, path, fmt = copy
             nrows = await loop.run_in_executor(
-                self._pool, self._run_copy, rewrite(inner), path, fmt
+                self._pool, self._run_copy, rewrite(inner), path, fmt, session
             )
             writer.write(P.command_complete(f"COPY {nrows}"))
             await writer.drain()
@@ -198,7 +225,7 @@ class PgWireServer:
         sql = rewrite(stmt)
         # "prepare": analysis only — schema is known before execution,
         # exactly like conn.Prepare → GetNames/GetTypes (cpp:52,62-64).
-        df: DataFrame = await loop.run_in_executor(self._pool, self.spark.sql, sql)
+        df: DataFrame = await loop.run_in_executor(self._pool, session.sql, sql)
         fields = [
             (f.name, f.dataType)
             for f in df.schema.fields
@@ -238,12 +265,14 @@ class PgWireServer:
         await writer.drain()
 
 
-    def _run_copy(self, inner_sql: str, path: str, fmt: str) -> int:
+    def _run_copy(
+        self, inner_sql: str, path: str, fmt: str, session: SparkSession | None = None
+    ) -> int:
         """COPY ... TO: DataFrameWriter is the Spark-native file sink
         (distributed write — the path gets a directory of part files,
         which is the scale-correct shape; single-file output would force
         all data through one task)."""
-        df = self.spark.sql(inner_sql)
+        df = (session or self.spark).sql(inner_sql)
         n = df.count()
         writer = df.write.mode("overwrite")
         if fmt == "csv":

@@ -352,3 +352,69 @@ def test_wire_qualify_executes(client):
     assert "error" not in res, res
     assert res["columns"] == ["n_regionkey", "n_nationkey"]
     assert len(res["rows"]) == 5  # one keeper per region
+
+
+def test_isolated_sessions_temp_views(spark):
+    """With isolate_sessions=True each connection gets its own
+    spark.newSession(): a temp view created on connection A must not
+    resolve on connection B, while catalog tables stay shared — the
+    reference's fresh-Connection-on-shared-instance model (cpp:42)."""
+    import importlib.util
+    from pathlib import Path
+
+    from duckdb_pgwire_spark.server.app import PgWireServer
+    from duckdb_pgwire_spark.session import register_views
+
+    server = PgWireServer(
+        spark,
+        host="127.0.0.1",
+        port=0,
+        isolate_sessions=True,
+        session_setup=lambda s: register_views(s, SF_DIR),
+    )
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    holder: dict[str, int] = {}
+
+    async def run():
+        await server.start()
+        holder["port"] = server._server.sockets[0].getsockname()[1]
+        started.set()
+
+    def tmain():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(run())
+        loop.run_forever()
+
+    threading.Thread(target=tmain, daemon=True).start()
+    assert started.wait(30)
+    spec = importlib.util.spec_from_file_location(
+        "pgwire_client2", Path(__file__).parent.parent / "scripts" / "pgwire_client.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    a = mod.PgClient(port=holder["port"])
+    b = mod.PgClient(port=holder["port"])
+    try:
+        (r,) = a.query("CREATE TEMP VIEW conn_a_private AS SELECT 42 AS v")
+        assert "error" not in r, r
+        (r,) = a.query("SELECT v FROM conn_a_private")
+        assert r["rows"] == [["42"]]
+        (r,) = b.query("SELECT v FROM conn_a_private")
+        assert "error" in r, "temp view leaked across isolated sessions"
+        # fixture views still visible on both (re-registered per session)
+        (r,) = b.query("SELECT COUNT(*) AS n FROM region")
+        assert r["rows"] == [["5"]]
+    finally:
+        a.close()
+        b.close()
+        loop.call_soon_threadsafe(loop.stop)
+
+
+def test_wire_complex_types_render_as_text(client):
+    (res,) = client.query(
+        "SELECT array(1, 2, 3) AS arr, named_struct('a', 1, 'b', 'x') AS st, "
+        "map('k', 1) AS m"
+    )
+    assert res["rows"] == [["{1,2,3}", '{"a":1,"b":"x"}', '{"k":1}']]
+    assert res["oids"] == [25, 25, 25]  # rendered as text
