@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "duckdb_pgwire_spark.operators.joins",
     "duckdb_pgwire_spark.operators.subqueries",
     "duckdb_pgwire_spark.operators.skew",
+    "duckdb_pgwire_spark.operators.pivot_cte",
     "duckdb_pgwire_spark.operators.aggregates",
     "duckdb_pgwire_spark.operators.windows",
     "duckdb_pgwire_spark.operators.sort_setops",
