@@ -192,3 +192,31 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fingerprint"),
         )
     )
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_id
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY lang
+    """,
+    tags=("ext", "text", "sampling"),
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% sample (md5(doc_id) first hex in {0,1}).
+
+    TABLESAMPLE/rand() are nondeterministic across engines, runs, and
+    partitionings — useless for reproducible training-data splits. A
+    content-hash predicate gives the same sample everywhere, composes
+    with pushdown (it's just a filter), and extends to weighted or
+    stratified variants by widening the hex range per stratum.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_id"))
+    )
