@@ -111,3 +111,60 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+N_FRAMES_SAMPLED = 3
+FRAME_LEN = 16
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id, k AS frame_idx,
+           md5(substr(text, 1 + k * (length(text) // {N_FRAMES_SAMPLED}), {FRAME_LEN}))
+               AS frame_md5,
+           length(substr(text, 1 + k * (length(text) // {N_FRAMES_SAMPLED}), {FRAME_LEN}))
+               AS frame_len
+    FROM documents
+    CROSS JOIN unnest([0, 1, 2]) AS t(k)
+    WHERE length(text) >= {N_FRAMES_SAMPLED}
+    """,
+    tags=("ext", "multimodal", "frames"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque media payload via mapInPandas.
+
+    Real part: binary payload → N_FRAMES_SAMPLED evenly-strided frames
+    per document, emitted as one row each from Arrow batches — the exact
+    plumbing a video pipeline uses (one input row fans out to k frame
+    rows inside the batch iterator, no explode shuffle). Stub part: a
+    "frame" is a byte slice (no codecs in this container); a real build
+    swaps the slicing for av/ffmpeg keyframe extraction, nothing else
+    changes. Oracle reproduces the slicing arithmetic in SQL.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_md5": [], "frame_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if len(data) < N_FRAMES_SAMPLED:
+                    continue
+                stride = len(data) // N_FRAMES_SAMPLED
+                for k in range(N_FRAMES_SAMPLED):
+                    frame = data[k * stride : k * stride + FRAME_LEN]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(k)
+                    rows["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                    rows["frame_len"].append(len(frame))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        sample_frames,
+        schema="doc_id LONG, frame_idx INT, frame_md5 STRING, frame_len INT",
+    )

@@ -418,3 +418,45 @@ def test_wire_complex_types_render_as_text(client):
     )
     assert res["rows"] == [["{1,2,3}", '{"a":1,"b":"x"}', '{"k":1}']]
     assert res["oids"] == [25, 25, 25]  # rendered as text
+
+
+def test_wire_explain_show_describe(client):
+    """Introspection statements PG users type interactively — all flow
+    through spark.sql and come back as ordinary result sets."""
+    (res,) = client.query("EXPLAIN SELECT COUNT(*) FROM region")
+    assert "error" not in res and res["rows"], res
+    assert "Physical Plan" in res["rows"][0][0]
+    (res,) = client.query("SHOW TABLES")
+    assert "error" not in res, res
+    (res,) = client.query("DESCRIBE region")
+    assert "error" not in res
+    assert res["rows"][0][0] == "r_regionkey" and res["rows"][0][1] in ("int", "bigint")
+
+
+def test_wire_concurrent_clients(wire_server):
+    """4 clients hammering the server concurrently: every reply must
+    belong to its own connection (no cross-talk through the shared
+    session/thread pool)."""
+    import importlib.util
+    from concurrent.futures import ThreadPoolExecutor
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "pgwire_client3", Path(__file__).parent.parent / "scripts" / "pgwire_client.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def worker(i: int) -> bool:
+        c = mod.PgClient(port=wire_server)
+        try:
+            for _ in range(5):
+                (res,) = c.query(f"SELECT {i} AS me, COUNT(*) AS n FROM nation")
+                if res["rows"] != [[str(i), "25"]]:
+                    return False
+            return True
+        finally:
+            c.close()
+
+    with ThreadPoolExecutor(4) as pool:
+        assert all(pool.map(worker, range(4)))
