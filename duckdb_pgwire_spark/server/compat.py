@@ -18,6 +18,13 @@ Spark SQL covers almost all of it; this shim rewrites the known deltas
   referenced inline in the predicate are hoisted into hidden
   ``__qwN`` select columns, the outer query filters on them and
   projects ``* EXCEPT (__qwN...)``.
+- DuckDB function spellings → Spark twins where the rename is exact
+  (``string_split``→``split``, ``list_*``→``array_*``/HOF names,
+  ``epoch_ms``→``unix_millis``, ...); ``strftime``/``strptime`` →
+  ``date_format``/``to_timestamp`` with %-directive translation;
+  ``* EXCLUDE (...)`` → ``* EXCEPT (...)``.
+- ``COPY <table|(query)> TO 'path' (FORMAT fmt)`` → parsed by
+  ``parse_copy`` and executed as a DataFrameWriter by the server.
 
 String-level regex rewrites, applied outside of quoted literals —
 deliberately minimal: every construct Spark already parses passes
@@ -58,7 +65,79 @@ def _split_quoted(sql: str) -> list[tuple[bool, str]]:
     return out
 
 
+# DuckDB function spellings whose Spark twin is a pure rename (same
+# argument order and semantics). Applied word-boundary + call-paren only.
+_FN_RENAMES = {
+    "string_split": "split",
+    "str_split": "split",
+    "list_contains": "array_contains",
+    "list_has": "array_contains",
+    "list_distinct": "array_distinct",
+    "list_sort": "array_sort",
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "list_append": "array_append",
+    "list_prepend": "array_prepend",
+    "list_position": "array_position",
+    # NOT mapped on purpose (arg/semantic mismatch — better to fail loudly
+    # than rewrite wrong): list_reverse_sort (desc needs a 2nd arg),
+    # list_aggregate (function-name arg vs lambda), len (strings vs lists),
+    # array_cosine_similarity (no Spark builtin; use ext/similarity).
+    "epoch_ms": "unix_millis",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    "regexp_matches": "rlike",
+    "strpos": "instr",
+    "prefix": "startswith",
+    "suffix": "endswith",
+}
+
+# strftime % directives → Spark/Java datetime pattern letters.
+_STRF = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%g": "SSS",
+    "%j": "DDD", "%a": "EEE", "%A": "EEEE", "%b": "MMM", "%B": "MMMM",
+    "%p": "a", "%Z": "zzz", "%%": "%",
+}
+
+
+def _translate_strf(fmt: str) -> str:
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            out.append(_STRF.get(fmt[i : i + 2], fmt[i : i + 2]))
+            i += 2
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_strftime(sql: str) -> str:
+    """DuckDB ``strftime(ts, '%Y-%m-%d')`` → ``date_format(ts, 'yyyy-MM-dd')``
+    and ``strptime(s, fmt)`` → ``to_timestamp(s, fmt)``, translating the
+    %-directives. Works on whole statements (needs the quoted format
+    argument, so it runs BEFORE literal splitting)."""
+
+    def fix(m: re.Match) -> str:
+        fn = "date_format" if m.group(1).lower() == "strftime" else "to_timestamp"
+        return f"{fn}({m.group(2)}, '{_translate_strf(m.group(3))}')"
+
+    return re.sub(
+        r"\b(strftime|strptime)\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*'([^']*)'\s*\)",
+        fix,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def _rewrite_code(seg: str) -> str:
+    # DuckDB → Spark function renames (call position only)
+    for old, new in _FN_RENAMES.items():
+        seg = re.sub(rf"\b{old}\s*\(", f"{new}(", seg, flags=re.IGNORECASE)
+    # SELECT * EXCLUDE (cols) [DuckDB] → * EXCEPT (cols) [Spark]
+    seg = re.sub(r"\*\s+EXCLUDE\s*\(", "* EXCEPT (", seg, flags=re.IGNORECASE)
     # expr::type → CAST(expr AS type) — simple identifier/number/paren-free exprs
     seg = re.sub(
         r"(\w+(?:\.\w+)*)\s*::\s*(\w+(?:\(\d+(?:,\s*\d+)?\))?)",
@@ -251,6 +330,7 @@ def _rewrite_qualify(sql: str) -> str:
 
 def rewrite(sql: str) -> str:
     """Apply the full dialect pre-pass to one statement."""
+    sql = _rewrite_strftime(sql)  # before literal split: needs the fmt string
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
     return "".join(

@@ -460,3 +460,36 @@ def test_wire_concurrent_clients(wire_server):
 
     with ThreadPoolExecutor(4) as pool:
         assert all(pool.map(worker, range(4)))
+
+
+def test_rewrite_function_renames():
+    assert rewrite("SELECT string_split(a, ' ') FROM t") == "SELECT split(a, ' ') FROM t"
+    assert rewrite("SELECT list_contains(l, 1) FROM t") == "SELECT array_contains(l, 1) FROM t"
+    # inside literals untouched
+    assert rewrite("SELECT 'string_split(x)'") == "SELECT 'string_split(x)'"
+
+
+def test_rewrite_strftime_strptime():
+    assert (
+        rewrite("SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') FROM t")
+        == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM t"
+    )
+    assert (
+        rewrite("SELECT strptime(s, '%d/%m/%Y') FROM t")
+        == "SELECT to_timestamp(s, 'dd/MM/yyyy') FROM t"
+    )
+
+
+def test_rewrite_star_exclude():
+    assert rewrite("SELECT * EXCLUDE (a, b) FROM t") == "SELECT * EXCEPT (a, b) FROM t"
+
+
+def test_wire_duckdb_dialect_functions(client):
+    """A reference-dialect query (DuckDB list/strftime spellings) must
+    run unmodified over the wire."""
+    (res,) = client.query(
+        "SELECT strftime(TIMESTAMP '2024-03-04 05:06:07', '%Y/%m/%d') AS d, "
+        "list_contains(string_split('a b c', ' '), 'b') AS has_b"
+    )
+    assert "error" not in res, res
+    assert res["rows"] == [["2024/03/04", "t"]]
