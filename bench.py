@@ -40,6 +40,8 @@ HEADLINE = [
     "join_inner",
     "join_semi",
     "join_asof",
+    "subq_correlated_scalar",
+    "pivot_segment_by_nation",
     "agg_cube",
     "agg_stats",
     "win_ranking",

@@ -15,6 +15,7 @@ identical across engines, no RNG state to ship.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -228,34 +229,79 @@ _IVF_ORACLE = f"""
 """
 
 
+def _make_ivf_assign_udf(centroids):
+    """pandas_udf: embedding → (assigned cell, N_PROBE nearest cells).
+
+    ``centroids`` is a (k, DIM) float64 array captured in the closure
+    (the "index": metadata-scale, shipped with the task like any
+    broadcast). Cosines accumulate sequentially over dims, matching the
+    oracle's fold order bit-for-bit; ties break to the smallest cid via
+    a stable lexsort, matching ORDER BY sim DESC, cid.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids
+    cnorm = None
+
+    @pandas_udf("assigned INT, probes ARRAY<INT>")
+    def ivf_assign(e: pd.Series) -> pd.DataFrame:
+        nonlocal cnorm
+        if len(e) == 0:
+            return pd.DataFrame({"assigned": [], "probes": []})
+        E = np.stack(e.to_numpy()).astype(np.float64)
+        n, d = E.shape
+        k = C.shape[0]
+        S = np.zeros((n, k))
+        en = np.zeros(n)
+        if cnorm is None:
+            cn = np.zeros(k)
+            for i in range(d):
+                cn += C[:, i] * C[:, i]
+            cnorm = np.sqrt(cn)
+        for i in range(d):
+            S += E[:, i : i + 1] * C[:, i][None, :]
+            en += E[:, i] * E[:, i]
+        S = S / (np.sqrt(en)[:, None] * cnorm[None, :])
+        assigned = []
+        probes = []
+        cids = np.arange(k)
+        for r in range(n):
+            order = np.lexsort((cids, -S[r]))  # sim desc, cid asc
+            assigned.append(int(order[0]))
+            probes.append([int(c) for c in order[:N_PROBE]])
+        return pd.DataFrame({"assigned": assigned, "probes": probes})
+
+    return ivf_assign
+
+
 @query("sim_ivf_probe", oracle=_IVF_ORACLE, tags=("ext", "similarity", "ivf"))
 def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN candidate generation — the second scale
     path next to LSH banding.
 
-    Index build = one broadcast pass: centroids (here the first
-    N_CENTROIDS vectors — deterministic stand-in for k-means, which
-    would just change the centroid table) are broadcast; each corpus
-    vector computes max-cosine assignment in a single Arrow-batched map
-    stage. Query = probe the N_PROBE nearest cells only: candidate cost
-    ~N_PROBE/N_CENTROIDS of the corpus. At 100 TB the assignment pass is
-    embarrassingly parallel and the per-cell candidate lists are the
-    partition layout for the probe join.
+    Index build = fetch the k centroids (here the first N_CENTROIDS
+    vectors — deterministic stand-in for k-means, which would only
+    change the centroid matrix) once at plan time; every corpus vector
+    then computes its cell assignment AND its probe list in a SINGLE
+    Arrow-batched map stage — no centroid cross join, no per-vector
+    window shuffle. Query = probe the N_PROBE nearest cells only:
+    candidate cost ~N_PROBE/N_CENTROIDS of the corpus. At 100 TB the
+    assignment pass is embarrassingly parallel and the per-cell
+    candidate lists are the partition layout for the probe join.
     """
-    cos = cosine_seq_udf()
+    import numpy as np
+
     v = load_table_parallel(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = v.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    affin = v.join(F.broadcast(cent)).withColumn(
-        "sim", cos(F.col("embedding"), F.col("ce"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    ranked = affin.withColumn("rn", F.row_number().over(w))
-    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    cent_rows = (
+        v.filter(F.col("vec_id") < N_CENTROIDS).orderBy("vec_id").collect()
+    )  # index build: k rows of metadata, not data-scale
+    C = np.array([list(r.embedding) for r in cent_rows], dtype=np.float64)
+    assign = _make_ivf_assign_udf(C)
+    x = v.select("vec_id", assign("embedding").alias("x"))
+    assigned = x.select("vec_id", F.col("x.assigned").alias("cid"))
     probes = (
-        ranked.filter(F.col("vec_id").isin(*QUERY_IDS) & (F.col("rn") <= N_PROBE))
-        .select(F.col("vec_id").alias("query_id"), "cid")
+        x.filter(F.col("vec_id").isin(*QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), F.explode("x.probes").alias("cid"))
     )
     return (
         F.broadcast(probes)
