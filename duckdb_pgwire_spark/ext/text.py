@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..session import load_table
+from ..session import load_table, load_table_parallel
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # The fixture corpus is synthetic word soup, so predictions are about
@@ -53,7 +53,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristics: length band, word stats, uniqueness
     ratio, punctuation count, composite pass/fail — the standard
     pre-training corpus filter shape (C4/Gopher-style rules)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_words = F.size(words)
     n_uniq = F.size(F.array_distinct(words))
@@ -98,8 +98,9 @@ def _lang_id_sql(dialect: str) -> str:
         ]
         cases.append(f"WHEN {' AND '.join(conds) or 'true'} THEN '{lang}'")
     score_cols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in s.items())
+    src = "documents" if dialect == "duckdb" else "documents_par"
     return f"""
-        WITH scored AS (SELECT doc_id, lang, {score_cols} FROM documents)
+        WITH scored AS (SELECT doc_id, lang, {score_cols} FROM {src})
         SELECT doc_id, lang AS labeled_lang,
                CASE {' '.join(cases)} ELSE 'unknown' END AS predicted_lang,
                s_en, s_de, s_fr, s_es
@@ -113,9 +114,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure map stage (no shuffle); real corpora would swap the stopword
     lists for char-n-gram profiles — same plan shape."""
-    from ..session import register_views
-
-    register_views(spark, sf_dir)
+    load_table_parallel(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_par"
+    )
     return spark.sql(_lang_id_sql("spark"))
 
 
@@ -135,7 +136,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: whitespace, BPE-ish regex, chars/4
     heuristic — the standard budget estimators for training-data
     pipelines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("ws_tokens"),
@@ -167,7 +168,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the 4 smallest hashes, hash their concatenation. Two documents
     share a fingerprint iff their smallest shingle-hashes agree — a
     locality-sensitive content signature that tolerates local edits."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     words = F.split("text", " ")
     shingles = F.array_distinct(
         F.transform(
