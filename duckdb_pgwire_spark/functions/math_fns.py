@@ -74,3 +74,34 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.greatest(t, d), 2).alias("max_rate"),
         F.round(F.least(t, d), 2).alias("min_rate"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255          AS band,
+           o_orderkey | 4096         AS bor,
+           xor(o_orderkey, 1365)     AS bxor,
+           o_orderkey << 2           AS shl,
+           o_orderkey >> 3           AS shr,
+           ~o_orderkey               AS bnot
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("function", "math", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (AND/OR/XOR/shifts/NOT) — all codegen'd
+    integer ops; the spellings differ (DuckDB infix `xor()`, `<<`;
+    Spark `^`, `shiftleft`), the semantics match on BIGINT."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(1365)).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.expr("~o_orderkey").alias("bnot"),
+    )
