@@ -93,18 +93,50 @@ def main() -> None:
             per_query[name] = -1.0
 
     ok = {k: v for k, v in per_query.items() if v >= 0}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_median_wall",
-                "value": round(sum(ok.values()), 4),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_total_median_wall",
+        "value": round(sum(ok.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if os.environ.get("SPARK_GRAFT_SCALE_CHECK") == "1":
+        out["scale_check_x16"] = _scale_check(spark, defs)
+    print(json.dumps(out))
     spark.stop()
+
+
+def _scale_check(spark, defs) -> dict[str, float]:
+    """Optional: replicate lineitem/orders 16x into /tmp (idempotent,
+    FK-preserving key shift) and report flagship wall-ratios — the
+    does-the-plan-absorb-growth sanity (BASELINE.md 'scale-sanity')."""
+    from pyspark.sql import functions as F
+
+    from duckdb_pgwire_spark.session import load_table
+
+    src, dst = SF_DIR, "/tmp/sf_synth16"
+    if not os.path.exists(dst):
+        os.makedirs(dst)
+        li = load_table(spark, src, "lineitem")
+        o = load_table(spark, src, "orders")
+        maxo = o.agg(F.max("o_orderkey")).first()[0] + 1
+        reps = spark.range(16).withColumnRenamed("id", "rep")
+        li.crossJoin(reps).withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.col("rep") * maxo
+        ).drop("rep").repartition(32).write.parquet(f"{dst}/lineitem.parquet")
+        o.crossJoin(reps).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("rep") * maxo
+        ).drop("rep").repartition(32).write.parquet(f"{dst}/orders.parquet")
+        for t in ("region", "nation", "customer", "supplier", "part"):
+            load_table(spark, src, t).write.mode("overwrite").parquet(
+                f"{dst}/{t}.parquet"
+            )
+    ratios = {}
+    for name in ("q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue"):
+        t_small = _time_query(defs[name].fn, spark, src)
+        t_big = _time_query(defs[name].fn, spark, dst)
+        ratios[name] = round(t_big / t_small, 2)
+    return ratios
 
 
 if __name__ == "__main__":
