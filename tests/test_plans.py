@@ -127,3 +127,12 @@ def test_partitioned_sink_prunes_partitions(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), plan[:1200]
+
+
+def test_topk_per_group_gets_window_group_limit(spark):
+    """row_number() <= k filters must trigger WindowGroupLimit (per-group
+    top-k pruning BEFORE the full window sort) — without it every group's
+    full row set sorts at the shuffle, which is the difference between
+    O(k) and O(group size) memory per key at 100 TB."""
+    df = _q("win_qualify_topk").fn(spark, SF_DIR)
+    assert "WindowGroupLimit" in I.simple_plan(df)
