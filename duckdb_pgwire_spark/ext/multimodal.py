@@ -168,3 +168,58 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         schema="doc_id LONG, frame_idx INT, frame_md5 STRING, frame_len INT",
     )
+
+
+RESIZE_DIM = 8
+
+
+@query(
+    "mm_resize_stub",
+    oracle=f"""
+    SELECT doc_id,
+           [ascii(substr(text, 1 + (k * (length(text) - 1)) // {RESIZE_DIM - 1}, 1))
+            for k in range(0, {RESIZE_DIM})] AS thumb,
+           ROUND(CAST(list_aggregate(
+               [ascii(substr(text, 1 + (k * (length(text) - 1)) // {RESIZE_DIM - 1}, 1))
+                for k in range(0, {RESIZE_DIM})], 'sum') AS DOUBLE) / {RESIZE_DIM}, 4)
+               AS mean_feature
+    FROM documents
+    WHERE length(text) >= {RESIZE_DIM}
+    """,
+    tags=("ext", "multimodal", "resize"),
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + feature-extract pipeline through mapInPandas.
+
+    Real part: payload → fixed-RESIZE_DIM "thumbnail" via evenly-spaced
+    sampling (the exact index arithmetic of nearest-neighbor image
+    resize, applied to a byte stream) plus a mean-activation feature —
+    Arrow batches in, typed array column out. Stub part: samples raw
+    bytes instead of decoded pixels (no codecs in this container; a real
+    build decodes first — see FakeDecoder). Oracle reproduces the index
+    arithmetic with list comprehension + ascii; fixture text is
+    single-byte so char==byte (NOTES.md caveat).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "thumb": [], "mean_feature": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data)
+                if n < RESIZE_DIM:
+                    continue
+                idx = [(k * (n - 1)) // (RESIZE_DIM - 1) for k in range(RESIZE_DIM)]
+                thumb = [data[i] for i in idx]
+                rows["doc_id"].append(doc_id)
+                rows["thumb"].append(thumb)
+                rows["mean_feature"].append(round(sum(thumb) / RESIZE_DIM, 4))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        resize_batches,
+        schema="doc_id LONG, thumb ARRAY<INT>, mean_feature DOUBLE",
+    )
