@@ -209,10 +209,29 @@ class PgWireServer:
             writer.write(P.ready_for_query())
             await writer.drain()
 
+    _TXN_TAGS = {
+        "BEGIN": "BEGIN",
+        "START": "BEGIN",
+        "COMMIT": "COMMIT",
+        "END": "COMMIT",
+        "ROLLBACK": "ROLLBACK",
+        "ABORT": "ROLLBACK",
+    }
+
     async def _run_statement(
         self, stmt: str, writer: asyncio.StreamWriter, session: SparkSession
     ) -> None:
         loop = asyncio.get_running_loop()
+        first = stmt.lstrip().split(None, 1)[0].upper() if stmt.strip() else ""
+        if first in self._TXN_TAGS:
+            # PG clients autosend BEGIN/COMMIT (implicit transactions).
+            # Spark has no transactions — every statement is autocommit —
+            # so acknowledge as a no-op rather than erroring, like any
+            # autocommit-only PG-compatible store. DuckDB behind the
+            # reference DOES have transactions; documented delta.
+            writer.write(P.command_complete(self._TXN_TAGS[first]))
+            await writer.drain()
+            return
         copy = parse_copy(stmt)
         if copy is not None:
             inner, path, fmt = copy
@@ -223,6 +242,18 @@ class PgWireServer:
             await writer.drain()
             return
         sql = rewrite(stmt)
+        if first == "SET":
+            # tolerate PG-style `SET k TO v` (session GUCs) that Spark's
+            # SET parser rejects: ack as a no-op instead of erroring —
+            # clients send these on connect. Spark-style SET k=v still
+            # executes for real below.
+            try:
+                await loop.run_in_executor(self._pool, session.sql, sql)
+            except Exception:  # noqa: BLE001
+                pass
+            writer.write(P.command_complete("SET"))
+            await writer.drain()
+            return
         # "prepare": analysis only — schema is known before execution,
         # exactly like conn.Prepare → GetNames/GetTypes (cpp:52,62-64).
         df: DataFrame = await loop.run_in_executor(self._pool, session.sql, sql)

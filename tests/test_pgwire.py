@@ -493,3 +493,21 @@ def test_wire_duckdb_dialect_functions(client):
     )
     assert "error" not in res, res
     assert res["rows"] == [["2024/03/04", "t"]]
+
+
+def test_wire_transaction_noops_and_set(client):
+    """PG clients autosend BEGIN/COMMIT (implicit transactions) and
+    SET k TO v on connect; the server must acknowledge rather than error
+    (Spark is autocommit-only — documented delta vs DuckDB)."""
+    (r,) = client.query("BEGIN")
+    assert r.get("tag") == "BEGIN", r
+    (r,) = client.query("SELECT 1 AS x")
+    assert r["rows"] == [["1"]]
+    (r,) = client.query("COMMIT")
+    assert r.get("tag") == "COMMIT", r
+    (r,) = client.query("ROLLBACK")
+    assert r.get("tag") == "ROLLBACK", r
+    (r,) = client.query("SET client_encoding TO 'UTF8'")
+    assert r.get("tag") == "SET", r
+    (r,) = client.query("SET spark.sql.shuffle.partitions=8")
+    assert r.get("tag") == "SET", r
