@@ -113,19 +113,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan + repartition to the session's full parallelism.
+def load_table_parallel(
+    spark: SparkSession, sf_dir: str, name: str, parts: int | None = None
+) -> DataFrame:
+    """Scan + repartition for compute-heavy per-row operators
+    (shingling, hashing, vector math). The fixture parquet files are
+    single-row-group, so the scan yields ONE partition regardless of
+    core count — a cheap round-robin shuffle first lets the expensive
+    map stage parallelize. At cluster scale the same holds whenever
+    upstream granularity (file count, row groups) is coarser than the
+    cluster: never let a heavy map stage inherit a narrow scan.
 
-    For compute-heavy per-row operators (shingling, hashing, vector
-    math). The fixture parquet files are single-row-group, so the scan
-    yields ONE partition regardless of core count — a cheap round-robin
-    shuffle first lets the expensive map stage use every core. At
-    cluster scale the same holds whenever upstream granularity (file
-    count, row groups) is coarser than the cluster: never let a heavy
-    map stage inherit a narrow scan.
+    Width is capped at 16 by default: these fixture tables are small,
+    and a pandas-UDF stage forks one Python worker PER PARTITION —
+    32 workers for 2000 rows costs more in fork/Arrow-setup time than
+    the compute saves, and is the measured source of run-to-run spikes
+    under concurrent load. Pass `parts` explicitly for genuinely large
+    inputs.
     """
     df = load_table(spark, sf_dir, name)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    if parts is None:
+        parts = min(16, spark.sparkContext.defaultParallelism)
+    return df.repartition(parts)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
