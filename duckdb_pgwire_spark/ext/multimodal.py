@@ -177,8 +177,11 @@ RESIZE_DIM = 8
     "mm_resize_stub",
     oracle=f"""
     SELECT doc_id,
-           [ascii(substr(text, 1 + (k * (length(text) - 1)) // {RESIZE_DIM - 1}, 1))
-            for k in range(0, {RESIZE_DIM})] AS thumb,
+           -- thumb emitted as CSV text: the driver's canonicalizer
+           -- cannot sort list cells
+           array_to_string(
+               [ascii(substr(text, 1 + (k * (length(text) - 1)) // {RESIZE_DIM - 1}, 1))
+                for k in range(0, {RESIZE_DIM})], ',') AS thumb,
            ROUND(CAST(list_aggregate(
                [ascii(substr(text, 1 + (k * (length(text) - 1)) // {RESIZE_DIM - 1}, 1))
                 for k in range(0, {RESIZE_DIM})], 'sum') AS DOUBLE) / {RESIZE_DIM}, 4)
@@ -215,11 +218,11 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 idx = [(k * (n - 1)) // (RESIZE_DIM - 1) for k in range(RESIZE_DIM)]
                 thumb = [data[i] for i in idx]
                 rows["doc_id"].append(doc_id)
-                rows["thumb"].append(thumb)
+                rows["thumb"].append(",".join(str(t) for t in thumb))
                 rows["mean_feature"].append(round(sum(thumb) / RESIZE_DIM, 4))
             yield pd.DataFrame(rows)
 
     return d.mapInPandas(
         resize_batches,
-        schema="doc_id LONG, thumb ARRAY<INT>, mean_feature DOUBLE",
+        schema="doc_id LONG, thumb STRING, mean_feature DOUBLE",
     )

@@ -27,9 +27,13 @@ from ..session import load_table
         len(list_filter(embedding, x -> x > 0))              AS n_positive,
         ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6)
                                                              AS vec_sum,
-        list_sort(list_transform(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 4)))
-                                                             AS head3_sorted,
-        range(1, 6)                                          AS one_to_five
+        -- arrays emitted as fixed-decimal CSV text: the driver's
+        -- canonicalizer cannot sort list cells
+        array_to_string(
+            list_sort(list_transform(embedding[1:3],
+                x -> CAST(CAST(ROUND(CAST(x AS DOUBLE), 4) AS DECIMAL(18,4)) AS VARCHAR))),
+            ',')                                             AS head3_sorted,
+        array_to_string(range(1, 6), ',')                    AS one_to_five
     FROM embeddings
     WHERE vec_id < 100
     """,
@@ -50,10 +54,16 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6
         ).alias("vec_sum"),
-        F.array_sort(
-            F.transform(F.slice(emb, 1, 3), lambda x: F.round(x.cast("double"), 4))
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.slice(emb, 1, 3),
+                    lambda x: F.round(x.cast("double"), 4).cast("decimal(18,4)").cast("string"),
+                )
+            ),
+            ",",
         ).alias("head3_sorted"),
-        F.sequence(F.lit(1), F.lit(5)).alias("one_to_five"),
+        F.array_join(F.sequence(F.lit(1), F.lit(5)), ",").alias("one_to_five"),
     )
 
 
@@ -62,8 +72,10 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         n_nationkey,
-        list_sort(list_distinct([n_regionkey, n_regionkey + 1, 0]))    AS dedup_sorted,
-        list_sort(list_concat([n_nationkey], [100, 200]))              AS concatenated,
+        array_to_string(
+            list_sort(list_distinct([n_regionkey, n_regionkey + 1, 0])), ',') AS dedup_sorted,
+        array_to_string(
+            list_sort(list_concat([n_nationkey], [100, 200])), ',')          AS concatenated,
         -- literals cast to DOUBLE: bare 1.0 is DECIMAL in DuckDB, and a
         -- Decimal result would not value-hash-match Spark's float
         ROUND(list_aggregate(
@@ -86,13 +98,21 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.array(F.lit(4.0), F.lit(5.0), F.lit(6.0))
     return n.select(
         "n_nationkey",
-        F.array_sort(
-            F.array_distinct(
-                F.array(F.col("n_regionkey"), F.col("n_regionkey") + 1, F.lit(0))
-            )
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.array(F.col("n_regionkey"), F.col("n_regionkey") + 1, F.lit(0))
+                )
+            ),
+            ",",
         ).alias("dedup_sorted"),
-        F.array_sort(
-            F.concat(F.array(F.col("n_nationkey").cast("int")), F.array(F.lit(100), F.lit(200)))
+        F.array_join(
+            F.array_sort(
+                F.concat(
+                    F.array(F.col("n_nationkey").cast("int")), F.array(F.lit(100), F.lit(200))
+                )
+            ),
+            ",",
         ).alias("concatenated"),
         F.round(
             F.aggregate(

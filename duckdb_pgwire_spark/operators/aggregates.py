@@ -172,8 +172,12 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         l_linestatus,
         ROUND(median(l_extendedprice), 4) AS med_price,
-        list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-                       x -> ROUND(x, 4)) AS quartiles
+        -- arrays are emitted as fixed-decimal CSV text: the driver's
+        -- canonicalizer cannot sort list cells (round-1 red row)
+        array_to_string(
+            list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                           x -> CAST(CAST(ROUND(x, 4) AS DECIMAL(18,4)) AS VARCHAR)),
+            ',') AS quartiles
     FROM lineitem
     GROUP BY l_linestatus
     """,
@@ -186,9 +190,12 @@ def agg_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
         F.round(F.median("l_extendedprice"), 4).alias("med_price"),
-        F.transform(
-            F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])),
-            lambda x: F.round(x, 4),
+        F.array_join(
+            F.transform(
+                F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])),
+                lambda x: F.round(x, 4).cast("decimal(18,4)").cast("string"),
+            ),
+            ",",
         ).alias("quartiles"),
     )
 
@@ -199,7 +206,7 @@ def agg_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         n_nationkey,
         string_agg(c_name, ',' ORDER BY c_name)    AS names_csv,
-        list_sort(list(c_custkey))                 AS custkeys,
+        array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
         bool_and(c_acctbal > -1000)                AS all_above_min,
         bool_or(c_acctbal > 9000)                  AS any_rich,
         min_by(c_name, c_custkey)                  AS first_by_key,
@@ -220,7 +227,7 @@ def agg_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_nationkey")
         .agg(
             F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names_csv"),
-            F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+            F.array_join(F.array_sort(F.collect_list("c_custkey")), ",").alias("custkeys"),
             F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_min"),
             F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
             F.min_by("c_name", "c_custkey").alias("first_by_key"),
