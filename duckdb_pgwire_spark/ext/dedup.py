@@ -17,14 +17,25 @@ label) so candidate pairs stay linear-ish, not quadratic.
 
 from __future__ import annotations
 
+import logging
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..session import load_table, load_table_parallel
+from .vectorized import MINHASH_SEEDS
 
 N_MINHASH = 8      # minhash signature length
 N_BANDS = 4        # LSH bands (2 rows per band)
+# Bucket-size cap: a band bucket larger than this is boilerplate (its
+# members are all mutual near-dups anyway) and its quadratic pair
+# expansion would make one straggler task at web scale — drop it, on
+# BOTH engine sides so the oracle agrees at any scale.
+LSH_BUCKET_CAP = 64
+
+logger = logging.getLogger(__name__)
 
 
 def _shingles(words_col):
@@ -69,48 +80,52 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_ORACLE = f"""
-    WITH words AS (
+# Shared WITH-block: shingles → one 60-bit hash per shingle → 8 xor-fold
+# minima → 4 bands of 2 → capped buckets → distinct candidate pairs.
+_SIG_LIST = ", ".join(
+    f"list_aggregate(list_transform(hs, h -> xor(h, {r})), 'min')"
+    for r in MINHASH_SEEDS
+)
+_MINHASH_CTES = f"""
+    words AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ), sh AS (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(w) - 1),
                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
         FROM words WHERE len(w) >= 3
-    ), mh AS (
+    ), hv AS (
         SELECT doc_id,
-               [list_aggregate(list_transform(shingles,
-                    s -> md5(CAST(j AS VARCHAR) || '|' || s)), 'min')
-                for j in range(1, {N_MINHASH + 1})] AS sig
+               list_transform(shingles,
+                   s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
         FROM sh
+    ), mh AS (
+        SELECT doc_id, [{_SIG_LIST}] AS sig FROM hv
     ), bands AS (
-        SELECT doc_id, i AS band_idx, md5(sig[2*i - 1] || sig[2*i]) AS band_val
+        SELECT doc_id, i AS band_idx,
+               CAST(sig[2*i - 1] AS VARCHAR) || '_' || CAST(sig[2*i] AS VARCHAR)
+                   AS band_val
         FROM mh CROSS JOIN unnest(range(1, {N_BANDS + 1})) AS t(i)
+    ), capped AS (
+        SELECT doc_id, band_idx, band_val FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val) <= {LSH_BUCKET_CAP}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-     AND a.doc_id < b.doc_id
 """
 
+_MINHASH_ORACLE = f"WITH {_MINHASH_CTES} SELECT doc_a, doc_b FROM pairs"
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("ext", "dedup", "minhash"))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate candidate pairs.
 
-    Pipeline: 3-word shingles → 8 minhashes (lexicographic min of
-    md5(seed|shingle)) → 4 bands of 2 → hash each band → bucket-join on
-    (band_idx, band_value), emit doc pairs sharing any band.
-
-    Scale: the ONLY join is on band buckets — identical signatures
-    collide, everything else doesn't, so the shuffle is O(docs × bands)
-    and the join output is O(true near-dups), never O(n²). Skewed buckets
-    (boilerplate docs) are the known hazard; AQE skew-join handles
-    moderate skew, and a bucket-size cap is the production escape hatch.
-    """
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) LSH candidate pairs — shared by dedup_minhash_lsh
+    (emits them) and dedup_ngram_jaccard (verifies them exactly)."""
     from .vectorized import minhash_sig_udf
 
-    d = load_table_parallel(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8)
     words = F.split("text", " ")
     # Signature via an Arrow-batched kernel (see vectorized.py for why
     # not nested HOF lambdas); bands/bucketing stay JVM-side built-ins.
@@ -122,10 +137,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.md5(
-                        F.concat(
-                            F.element_at("sig", 2 * i - 1), F.element_at("sig", 2 * i)
-                        )
+                    F.concat_ws(
+                        "_", F.element_at("sig", 2 * i - 1), F.element_at("sig", 2 * i)
                     )
                     for i in range(1, N_BANDS + 1)
                 ]
@@ -136,15 +149,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expand i<j pairs inside the bucket. A self-join here makes Spark
     # evaluate the whole minhash pipeline twice (the broadcast build side
     # can't reuse the probe side's exchange); the groupBy computes
-    # signatures once and shuffles only (bucket, doc_id) rows. Buckets are
-    # near-dup groups, so the quadratic expansion is tiny per bucket —
-    # a bucket-size cap is the production guard for boilerplate-heavy
-    # corpora (giant buckets mean "all mutual near-dups" anyway).
-    buckets = (
-        bands.groupBy("band_idx0", "band_val")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    # signatures once and shuffles only (bucket, doc_id) rows.
+    grouped = bands.groupBy("band_idx0", "band_val").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
+    # Bucket-size cap (mirrored in the oracle's QUALIFY): buckets above
+    # LSH_BUCKET_CAP are boilerplate — one such bucket at web scale is a
+    # single straggler task doing a quadratic expansion.
+    buckets = grouped.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= LSH_BUCKET_CAP)
+    )
+    if os.environ.get("SPARK_GRAFT_LOG_DROPPED_BUCKETS") == "1":
+        n_dropped = grouped.filter(F.size("ids") > LSH_BUCKET_CAP).count()
+        logger.warning("minhash LSH: dropped %d over-cap buckets", n_dropped)
     pair = F.explode(
         F.flatten(
             F.transform(
@@ -161,6 +178,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("ext", "dedup", "minhash"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs.
+
+    Pipeline: 3-word shingles → ONE 60-bit md5-derived hash per shingle
+    → 8 xor-fold minima (h_j = h XOR seed_j) → 4 bands of 2 → bucket on
+    (band_idx, band_value) with a size cap → doc pairs sharing any band.
+
+    Scale: the ONLY shuffle key is the band bucket — identical
+    signatures collide, everything else doesn't, so the shuffle is
+    O(docs × bands) and the join output is O(true near-dups), never
+    O(n²). Skewed buckets (boilerplate docs) are dropped by
+    LSH_BUCKET_CAP on both engine sides; AQE skew-join handles what's
+    below the cap.
+    """
+    return minhash_candidate_pairs(spark, sf_dir)
 
 
 _SIMHASH_SQL = """
@@ -228,69 +263,58 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_sql("spark"))
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH sh AS (
-        SELECT doc_id, lang, len(w) // 10 AS size_band,
-               list_distinct(list_transform(range(1, len(w) - 1),
-                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
-        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
-        WHERE len(w) >= 3
+_JACCARD_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    scored AS (
+        SELECT p.doc_a, p.doc_b,
+               len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
+               len(a.shingles) + len(b.shingles)
+                 - len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS uni
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
-                 / (len(a.shingles) + len(b.shingles)
-                    - len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))), 6)
-               AS jaccard
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.size_band = b.size_band AND a.doc_id < b.doc_id
-    WHERE len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))
-          >= 0.3 * (len(a.shingles) + len(b.shingles)
-                    - len(list_filter(a.shingles, s -> list_contains(b.shingles, s))))
-    """,
-    tags=("ext", "dedup", "jaccard"),
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise n-gram Jaccard similarity (threshold 0.3).
+    SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+    FROM scored
+    WHERE inter >= 0.3 * uni
+"""
 
-    Blocking on (lang, size-band) keeps the self-join from going
-    quadratic: only plausibly-similar documents are ever compared —
-    the standard scale pattern for pairwise similarity.
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("ext", "dedup", "jaccard"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard (threshold 0.3) over MinHash/LSH candidates.
+
+    The verification half of the production near-dup pipeline: LSH
+    banding proposes candidate pairs (linear-ish shuffle,
+    minhash_candidate_pairs), exact shingle-set Jaccard confirms them.
+    Round 1 compared all pairs inside (lang, size-band) blocks — still
+    O(n²) within a block, which a popular cell in a web corpus turns
+    into millions of comparisons (VERDICT.md r1 scale item). Here the
+    comparison count is O(candidates), each one two doc_id equi-join
+    lookups into the shingle-set table.
     """
-    d = load_table_parallel(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(spark, sf_dir)
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8)
     words = F.split("text", " ")
-    sh = d.select(
-        "doc_id",
-        "lang",
-        (F.size(words) / 10).cast("int").alias("size_band"),
-        _shingles(words).alias("shingles"),
-    ).filter(F.size(words) >= 3)
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        "lang",
-        "size_band",
-        F.col("shingles").alias("sh_a"),
+    sh = d.filter(F.size(words) >= 3).select(
+        "doc_id", _shingles(words).alias("shingles")
     )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        "lang",
-        "size_band",
-        F.col("shingles").alias("sh_b"),
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        a.join(b, ["lang", "size_band"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("inter", inter)
-        .withColumn("uni", union)
-        .filter(F.col("inter") >= 0.3 * F.col("uni"))
-        .select(
+    scored = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
             "doc_a",
-            "doc_b",
-            F.round(F.col("inter").cast("double") / F.col("uni"), 6).alias("jaccard"),
         )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+    )
+    return scored.filter(F.col("inter") >= 0.3 * F.col("uni")).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("inter").cast("double") / F.col("uni"), 6).alias("jaccard"),
     )
 
 
@@ -319,11 +343,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by class label.
 
+    VERIFICATION-ONLY at scale: the label-blocked self-join is still
+    O(n²) *within* a block, so this form is for validating candidates /
+    small corpora. The production path for unlabeled 100 TB corpora is
+    sign-LSH bucketing (``sim_lsh_bucketed``) to propose candidates,
+    then exact cosine on the candidate pairs only — the same
+    propose/verify split as dedup_ngram_jaccard over MinHash.
+
     Cosine is computed with identical operation order on both engines
     (sequential dot then norms, all in DOUBLE) so the rounded values
-    hash-match. Label blocking bounds the pair count; the production
-    variant for unlabeled corpora is the LSH bucketing in
-    ``sim_lsh_bucketed`` (similarity.py).
+    hash-match.
     """
     from .vectorized import cosine_seq_udf
 

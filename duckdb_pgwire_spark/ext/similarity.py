@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..session import load_table_parallel
+from ..session import load_table, load_table_parallel
 from .vectorized import cosine_seq_udf, make_lsh_buckets_udf
 
 QUERY_IDS = (0, 1, 2)
@@ -69,12 +69,25 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the scoring pass is a single map stage; only k rows per query
     reach the shuffle.
     """
-    v = load_table_parallel(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = v.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    # Width 4, not the default 16: the corpus is ~2k rows/SF-0.1 and a
+    # pandas-UDF stage forks one Python worker per partition — fork +
+    # Arrow setup dominates at this size. At real scale pass parts
+    # matched to the corpus (or drop the repartition: big tables arrive
+    # multi-partition already).
+    v = load_table_parallel(spark, sf_dir, "embeddings", parts=4).select(
+        "vec_id", "embedding"
     )
-    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).withColumn(
-        "cos_raw", cosine_seq_udf()(F.col("qe"), F.col("embedding"))
+    # Query side reads the un-repartitioned scan: the isin predicate
+    # pushes into the parquet scan; 3 rows don't need a shuffle.
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(*QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", cosine_seq_udf()(F.col("qe"), F.col("embedding")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
@@ -155,7 +168,9 @@ _LSH_ORACLE = f"""
 def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, tbl, bucket) rows: each vector's bucket id in each of the
     L hash tables — one Arrow-batched map stage over the corpus scan."""
-    v = load_table_parallel(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = load_table_parallel(spark, sf_dir, "embeddings", parts=4).select(
+        "vec_id", "embedding"
+    )
     return v.select(
         "vec_id", F.posexplode(_lsh_buckets()("embedding")).alias("tbl", "bucket")
     )
@@ -229,47 +244,47 @@ _IVF_ORACLE = f"""
 """
 
 
+def _cos_to_centroids(E: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) cosine matrix between rows of E and centroid rows of C.
+
+    Accumulates SEQUENTIALLY over dims (see vectorized.py module
+    docstring) so results are bit-identical to the oracle's SQL fold —
+    shared by the distributed kernel and the driver-side probe
+    computation, which must agree exactly.
+    """
+    n, d = E.shape
+    k = C.shape[0]
+    S = np.zeros((n, k))
+    en = np.zeros(n)
+    cn = np.zeros(k)
+    for i in range(d):
+        S += E[:, i : i + 1] * C[:, i][None, :]
+        en += E[:, i] * E[:, i]
+        cn += C[:, i] * C[:, i]
+    return S / (np.sqrt(en)[:, None] * np.sqrt(cn)[None, :])
+
+
 def _make_ivf_assign_udf(centroids):
-    """pandas_udf: embedding → (assigned cell, N_PROBE nearest cells).
+    """pandas_udf: embedding → assigned cell id.
 
     ``centroids`` is a (k, DIM) float64 array captured in the closure
     (the "index": metadata-scale, shipped with the task like any
-    broadcast). Cosines accumulate sequentially over dims, matching the
-    oracle's fold order bit-for-bit; ties break to the smallest cid via
-    a stable lexsort, matching ORDER BY sim DESC, cid.
+    broadcast). Ties break to the smallest cid via a stable lexsort,
+    matching ORDER BY sim DESC, cid.
     """
     from pyspark.sql.functions import pandas_udf
 
     C = centroids
-    cnorm = None
 
-    @pandas_udf("assigned INT, probes ARRAY<INT>")
-    def ivf_assign(e: pd.Series) -> pd.DataFrame:
-        nonlocal cnorm
+    @pandas_udf("int")
+    def ivf_assign(e: pd.Series) -> pd.Series:
         if len(e) == 0:
-            return pd.DataFrame({"assigned": [], "probes": []})
+            return pd.Series([], dtype="int32")
         E = np.stack(e.to_numpy()).astype(np.float64)
-        n, d = E.shape
-        k = C.shape[0]
-        S = np.zeros((n, k))
-        en = np.zeros(n)
-        if cnorm is None:
-            cn = np.zeros(k)
-            for i in range(d):
-                cn += C[:, i] * C[:, i]
-            cnorm = np.sqrt(cn)
-        for i in range(d):
-            S += E[:, i : i + 1] * C[:, i][None, :]
-            en += E[:, i] * E[:, i]
-        S = S / (np.sqrt(en)[:, None] * cnorm[None, :])
-        assigned = []
-        probes = []
-        cids = np.arange(k)
-        for r in range(n):
-            order = np.lexsort((cids, -S[r]))  # sim desc, cid asc
-            assigned.append(int(order[0]))
-            probes.append([int(c) for c in order[:N_PROBE]])
-        return pd.DataFrame({"assigned": assigned, "probes": probes})
+        S = _cos_to_centroids(E, C)
+        cids = np.arange(C.shape[0])
+        out = [int(np.lexsort((cids, -S[r]))[0]) for r in range(len(E))]
+        return pd.Series(out, dtype="int32")
 
     return ivf_assign
 
@@ -282,30 +297,59 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Index build = fetch the k centroids (here the first N_CENTROIDS
     vectors — deterministic stand-in for k-means, which would only
     change the centroid matrix) once at plan time; every corpus vector
-    then computes its cell assignment AND its probe list in a SINGLE
-    Arrow-batched map stage — no centroid cross join, no per-vector
-    window shuffle. Query = probe the N_PROBE nearest cells only:
-    candidate cost ~N_PROBE/N_CENTROIDS of the corpus. At 100 TB the
-    assignment pass is embarrassingly parallel and the per-cell
-    candidate lists are the partition layout for the probe join.
+    then computes its cell assignment in a SINGLE Arrow-batched map
+    stage — no centroid cross join, no per-vector window shuffle. The
+    query vectors' probe lists (N_PROBE nearest cells each) are
+    metadata-scale: computed on the DRIVER from the same collected rows
+    and joined as a literal broadcast frame — round 1 derived them from
+    a second branch of the kernel output, which made Spark evaluate the
+    assignment subtree twice (VERDICT.md r1 perf item). Query = probe
+    the N_PROBE nearest cells only: candidate cost ~N_PROBE/N_CENTROIDS
+    of the corpus. At 100 TB the assignment pass is embarrassingly
+    parallel and the per-cell candidate lists are the partition layout
+    for the probe join.
     """
     import numpy as np
 
-    v = load_table_parallel(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent_rows = (
-        v.filter(F.col("vec_id") < N_CENTROIDS).orderBy("vec_id").collect()
-    )  # index build: k rows of metadata, not data-scale
-    C = np.array([list(r.embedding) for r in cent_rows], dtype=np.float64)
-    assign = _make_ivf_assign_udf(C)
-    x = v.select("vec_id", assign("embedding").alias("x"))
-    assigned = x.select("vec_id", F.col("x.assigned").alias("cid"))
-    probes = (
-        x.filter(F.col("vec_id").isin(*QUERY_IDS))
-        .select(F.col("vec_id").alias("query_id"), F.explode("x.probes").alias("cid"))
+    v = load_table_parallel(spark, sf_dir, "embeddings", parts=4).select(
+        "vec_id", "embedding"
     )
+    # Index build: k + |Q| rows of metadata through one pushed-down scan.
+    small = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") < N_CENTROIDS) | F.col("vec_id").isin(*QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {r.vec_id: list(r.embedding) for r in small}
+    C = np.array([by_id[i] for i in range(N_CENTROIDS)], dtype=np.float64)
+    Q = np.array([by_id[q] for q in QUERY_IDS], dtype=np.float64)
+    # Driver-side probe lists — same sequential-fold cosine as the kernel.
+    S = _cos_to_centroids(Q, C)
+    cids = np.arange(N_CENTROIDS)
+    probed_by: dict[int, list[int]] = {}
+    for qi, qid in enumerate(QUERY_IDS):
+        for cid in np.lexsort((cids, -S[qi]))[:N_PROBE]:
+            probed_by.setdefault(int(cid), []).append(int(qid))
+    # The probe table is k*N_PROBE literal pairs — inline it as a
+    # cid → [query_ids] literal map + explode instead of a broadcast
+    # join: the whole query becomes scan → kernel → explode → one
+    # O(queries)-row shuffle, no broadcast stage at all.
+    mapping = F.create_map(
+        *[
+            e
+            for cid, qids in probed_by.items()
+            for e in (F.lit(cid), F.array(*[F.lit(q).cast("long") for q in qids]))
+        ]
+    )
+    assigned = v.select("vec_id", _make_ivf_assign_udf(C)("embedding").alias("cid"))
     return (
-        F.broadcast(probes)
-        .join(assigned, "cid")
+        assigned.select(
+            "vec_id",
+            F.explode(
+                F.coalesce(mapping[F.col("cid")], F.array().cast("array<long>"))
+            ).alias("query_id"),
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id")
         .agg(F.count("*").alias("n_candidates"))

@@ -66,7 +66,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # Result cardinality is bounded (|returnflag|x|linestatus| = 6
+        # groups at ANY scale), so present the ordering with a single-
+        # partition sort: a global orderBy would add a RangePartitioning
+        # exchange plus its sampling job just to sort 6 rows.
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -185,7 +190,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
-        .orderBy(F.col("revenue").desc())
+        # ≤25 nation groups at any scale — single-partition sort, not a
+        # RangePartitioning exchange (see q1).
+        .coalesce(1)
+        .sortWithinPartitions(F.col("revenue").desc())
     )
 
 

@@ -104,16 +104,25 @@ def win_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
             AS moving_avg3,
-        COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                       RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
-            AS near_key_count
+        COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL 5 DAY PRECEDING AND CURRENT ROW)
+            AS near_date_count
     FROM orders
     """,
     tags=("window", "frames"),
 )
 def win_agg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregates over ROWS and RANGE frames (running total, moving avg,
-    value-range count)."""
+    5-day-range count).
+
+    All three windows share the (o_custkey, o_orderdate[, o_orderkey])
+    sort prefix, so the plan sorts ONCE — round 1 ordered the RANGE
+    frame by o_orderkey instead, forcing a second sort per partition
+    (VERDICT.md r1 perf item). The RANGE count is over a calendar
+    interval, which is also the realistic shape ("orders within the
+    trailing 5 days"); COUNT over RANGE includes all order-key peers of
+    the same date, so the result is deterministic under ties.
+    """
     o = load_table(spark, sf_dir, "orders")
     wtime = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -123,9 +132,10 @@ def win_agg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").over(wtime.rowsBetween(Window.unboundedPreceding, 0)), 2
         ).alias("running_total"),
         F.round(F.avg("o_totalprice").over(wtime.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
-        F.count("*")
-        .over(Window.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-5, 0))
-        .alias("near_key_count"),
+        F.expr(
+            "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate "
+            "RANGE BETWEEN INTERVAL 5 DAYS PRECEDING AND CURRENT ROW)"
+        ).alias("near_date_count"),
     )
 
 

@@ -96,3 +96,24 @@ def test_salted_join_is_salt_invariant(spark):
         salted = salted_join(li, o, "l_orderkey", n_salts=n)
         assert salted.exceptAll(plain).count() == 0
         assert plain.exceptAll(salted).count() == 0
+
+
+def test_lsh_bucket_cap_drops_boilerplate(spark, tmp_path):
+    """A band bucket larger than LSH_BUCKET_CAP is dropped entirely
+    (boilerplate guard); buckets at or below the cap still pair up."""
+    from duckdb_pgwire_spark.ext.dedup import LSH_BUCKET_CAP, minhash_candidate_pairs
+
+    boiler = "the same boilerplate footer text appears on every page"
+    rare = "twin document body that appears exactly twice in the corpus"
+    rows = [(i, boiler) for i in range(LSH_BUCKET_CAP + 6)]
+    rows += [(1000, rare), (1001, rare)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(1).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b) for r in minhash_candidate_pairs(spark, sf_dir).collect()
+    }
+    assert pairs == {(1000, 1001)}, (
+        f"expected only the under-cap twin pair, got {len(pairs)} pairs"
+    )
