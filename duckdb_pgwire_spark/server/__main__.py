@@ -36,6 +36,18 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    # Pin the PROCESS timezone, not just the Spark session one: the
+    # non-Arrow toLocalIterator path converts timestamps through the
+    # host's local zone, which on a non-UTC host would shift the
+    # wall-clock text sent to clients.
+    os.environ["TZ"] = "UTC"
+    try:
+        import time as _time
+
+        _time.tzset()
+    except AttributeError:  # tzset is POSIX-only
+        pass
+
     logging.basicConfig(level=logging.INFO)
     from ..functions.udfs import register_udfs
     from ..session import build_session, register_views

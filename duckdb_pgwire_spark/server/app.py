@@ -82,6 +82,7 @@ class PgWireServer:
         self.session_setup = session_setup
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=max_workers)
         self._server: asyncio.AbstractServer | None = None
+        self._writers: set[asyncio.StreamWriter] = set()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -100,6 +101,15 @@ class PgWireServer:
         if self._server is not None:
             self._server.close()
             await self._server.wait_closed()
+        # Close lingering client transports while the loop is still
+        # alive — otherwise their GC after loop shutdown raises
+        # "Event loop is closed" unraisables.
+        for w in list(self._writers):
+            w.close()
+            try:
+                await w.wait_closed()
+            except Exception:  # noqa: BLE001
+                pass
         self._pool.shutdown(wait=False, cancel_futures=True)
 
     # ------------------------------------------------------------ handshake
@@ -107,6 +117,7 @@ class PgWireServer:
     async def _handle(
         self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
     ) -> None:
+        self._writers.add(writer)
         try:
             if not await self._startup(reader, writer):
                 return
@@ -128,6 +139,7 @@ class PgWireServer:
         except Exception:  # noqa: BLE001
             log.exception("session crashed")
         finally:
+            self._writers.discard(writer)
             writer.close()
             try:
                 await writer.wait_closed()
@@ -257,17 +269,19 @@ class PgWireServer:
         # "prepare": analysis only — schema is known before execution,
         # exactly like conn.Prepare → GetNames/GetTypes (cpp:52,62-64).
         df: DataFrame = await loop.run_in_executor(self._pool, session.sql, sql)
+        # Cells are addressed by POSITION throughout: PySpark Row name
+        # lookup returns the first matching field, so duplicate output
+        # names (SELECT 1 AS a, 2 AS a) would silently repeat the first
+        # column's value — and a by-name select is ambiguous the same way.
         fields = [
-            (f.name, f.dataType)
-            for f in df.schema.fields
+            (i, f.name, f.dataType)
+            for i, f in enumerate(df.schema.fields)
             if not self.reference_compat or reference_visible(f.dataType)
         ]
-        keep = [name for name, _ in fields]
-        if self.reference_compat and len(keep) < len(df.schema.fields) and keep:
-            df = df.select(*keep)
+        keep_idx = [i for i, _, _ in fields]
         writer.write(
             P.row_description(
-                [P.FieldDesc(name, pg_oid(dt)) for name, dt in fields]
+                [P.FieldDesc(name, pg_oid(dt)) for _, name, dt in fields]
             )
         )
         # "execute": stream partitions driver-side, write DataRows in
@@ -279,7 +293,7 @@ class PgWireServer:
             )
             while True:
                 batch = await loop.run_in_executor(
-                    self._pool, _next_batch, it, _BATCH_ROWS, keep
+                    self._pool, _next_batch, it, _BATCH_ROWS, keep_idx
                 )
                 if not batch:
                     break
@@ -332,14 +346,14 @@ def _sqlstate(exc: Exception) -> str:
     return "22000"
 
 
-def _next_batch(it: Iterator, n: int, keep: list[str]) -> list[list[bytes | None]]:
+def _next_batch(it: Iterator, n: int, keep_idx: list[int]) -> list[list[bytes | None]]:
     out = []
     for _ in range(n):
         try:
             row = next(it)
         except StopIteration:
             break
-        out.append([encode_cell(row[k]) for k in keep])
+        out.append([encode_cell(row[i]) for i in keep_idx])
     return out
 
 

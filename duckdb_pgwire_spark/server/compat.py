@@ -36,17 +36,27 @@ from __future__ import annotations
 import re
 
 
-def _split_quoted(sql: str) -> list[tuple[bool, str]]:
-    """Split into (is_literal, segment) runs so rewrites never touch the
-    inside of '...' / "..." / $$...$$ literals."""
-    out: list[tuple[bool, str]] = []
+_DOLLAR_TAG = re.compile(r"\$([A-Za-z_]\w*)?\$")
+
+
+def _lex(sql: str) -> list[tuple[str, str]]:
+    """Lex into (kind, segment) runs, kind ∈ {code, lit, comment}:
+    '...' / "..." / $[tag]$...$[tag]$ literals and ``--``-to-EOL /
+    ``/* */`` (nested, as in PG) comments are opaque — rewrites and
+    statement splitting only ever look at ``code`` runs."""
+    out: list[tuple[str, str]] = []
     i, n = 0, len(sql)
-    buf = []
+    buf: list[str] = []
+
+    def flush() -> None:
+        if buf:
+            out.append(("code", "".join(buf)))
+            buf.clear()
+
     while i < n:
         c = sql[i]
         if c in ("'", '"'):
-            out.append((False, "".join(buf)))
-            buf = []
+            flush()
             q = c
             j = i + 1
             while j < n:
@@ -56,13 +66,48 @@ def _split_quoted(sql: str) -> list[tuple[bool, str]]:
                         continue
                     break
                 j += 1
-            out.append((True, sql[i : j + 1]))
+            out.append(("lit", sql[i : j + 1]))
             i = j + 1
+        elif c == "-" and sql[i : i + 2] == "--":
+            flush()
+            j = sql.find("\n", i)
+            j = n if j == -1 else j + 1  # keep the newline with the comment
+            out.append(("comment", sql[i:j]))
+            i = j
+        elif c == "/" and sql[i : i + 2] == "/*":
+            flush()
+            depth = 1
+            j = i + 2
+            while j < n and depth:
+                if sql[j : j + 2] == "/*":
+                    depth += 1
+                    j += 2
+                elif sql[j : j + 2] == "*/":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            out.append(("comment", sql[i:j]))
+            i = j
+        elif c == "$" and (m := _DOLLAR_TAG.match(sql, i)):
+            flush()
+            tag = m.group(0)
+            j = sql.find(tag, m.end())
+            j = n if j == -1 else j + len(tag)
+            out.append(("lit", sql[i:j]))
+            i = j
         else:
             buf.append(c)
             i += 1
-    out.append((False, "".join(buf)))
+    flush()
+    if not out:
+        out.append(("code", ""))
     return out
+
+
+def _split_quoted(sql: str) -> list[tuple[bool, str]]:
+    """(is_protected, segment) runs; protected = literal or comment."""
+    return [(kind != "code", seg) for kind, seg in _lex(sql)]
 
 
 # DuckDB function spellings whose Spark twin is a pure rename (same
@@ -81,9 +126,11 @@ _FN_RENAMES = {
     "list_position": "array_position",
     # NOT mapped on purpose (arg/semantic mismatch — better to fail loudly
     # than rewrite wrong): list_reverse_sort (desc needs a 2nd arg),
-    # list_aggregate (function-name arg vs lambda), len (strings vs lists),
-    # array_cosine_similarity (no Spark builtin; use ext/similarity).
-    "epoch_ms": "unix_millis",
+    # len (strings vs lists), array_cosine_similarity (no Spark builtin;
+    # use ext/similarity), epoch_ms (overloaded: BIGINT→TIMESTAMP as well
+    # as TIMESTAMP→BIGINT — a blanket rename to unix_millis breaks the
+    # integer form). list_aggregate IS handled, by the dedicated
+    # _rewrite_list_aggregate scanner below.
     "to_base64": "base64",
     "from_base64": "unbase64",
     "regexp_matches": "rlike",
@@ -170,6 +217,70 @@ def _rewrite_code(seg: str) -> str:
     return seg
 
 
+# DuckDB list_aggregate(list, 'name') → Spark equivalent. sum/avg fold in
+# DOUBLE (DuckDB widens integer sums to HUGEINT — value-equal for doubles
+# and for any integer sum below 2^53; documented shim delta).
+_LIST_AGG_FORMS = {
+    "sum": "aggregate({e}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))",
+    "avg": (
+        "(aggregate({e}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))"
+        " / size({e}))"
+    ),
+    "mean": (
+        "(aggregate({e}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))"
+        " / size({e}))"
+    ),
+    "min": "array_min({e})",
+    "max": "array_max({e})",
+    "count": "size(filter({e}, __x -> __x IS NOT NULL))",
+    "string_agg": "array_join(transform({e}, __x -> CAST(__x AS STRING)), ',')",
+}
+
+_LIST_AGG_CALL = re.compile(r"\b(list_aggregate|array_aggregate|aggr)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_list_aggregate(sql: str) -> str:
+    """Rewrite ``list_aggregate(expr, 'fn')`` for the common aggregate
+    names (balanced-paren scan — the list expr may nest calls). Unknown
+    names pass through untouched and fail loudly in Spark, per the
+    file's fail-loudly policy."""
+    pos = 0
+    while True:
+        m = _LIST_AGG_CALL.search(sql, pos)
+        if m is None:
+            return sql
+        depth = 1
+        i = m.end()
+        args: list[str] = []
+        last = i
+        while i < len(sql) and depth:
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(sql[last:i])
+                    break
+            elif c == "'":  # skip literal
+                j = sql.find("'", i + 1)
+                i = len(sql) if j == -1 else j
+            elif c == "," and depth == 1:
+                args.append(sql[last:i])
+                last = i + 1
+            i += 1
+        if depth != 0:
+            return sql  # unbalanced: leave for Spark to report
+        fn = args[1].strip().strip("'").lower() if len(args) == 2 else None
+        form = _LIST_AGG_FORMS.get(fn) if fn else None
+        if form is None:
+            pos = m.end()  # unknown/malformed: skip, keep scanning
+            continue
+        e = args[0].strip()
+        sql = sql[: m.start()] + form.format(e=e) + sql[i + 1 :]
+        pos = m.start()  # re-scan from here: e may itself contain calls
+
+
 _DISTINCT_ON = re.compile(
     r"^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s*FROM\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -177,23 +288,45 @@ _DISTINCT_ON = re.compile(
 
 
 def _rewrite_distinct_on(sql: str) -> str:
-    """SELECT DISTINCT ON (k) cols FROM rest [ORDER BY o] →
+    """SELECT DISTINCT ON (k) cols FROM rest [ORDER BY o] [LIMIT/OFFSET] →
     window row_number per k, ordered by o (or k), filtered to 1.
-    Matches DuckDB/PG semantics: first row per key group."""
+    Matches DuckDB/PG semantics: first row per key group, output ordered
+    by o (PG guarantees the ORDER BY ordering of DISTINCT ON results —
+    it is re-appended to the outer query, where it can still see every
+    source column because the subquery projects ``*``). ORDER BY is
+    located with the top-level keyword scanner, so ORDER BYs inside
+    subqueries/parens are never mistaken for the outer clause."""
     m = _DISTINCT_ON.match(sql)
     if not m:
         return sql
     keys, cols, rest = m.group(1), m.group(2), m.group(3)
-    order_m = re.search(r"(.*)\bORDER\s+BY\b(.*)$", rest, re.IGNORECASE | re.DOTALL)
-    if order_m:
-        src, order = order_m.group(1), order_m.group(2)
+    k = _find_keyword(rest, "ORDER BY")
+    if k != -1:
+        src, order_tail = rest[:k], rest[k + len("ORDER BY") :]
+        # LIMIT/OFFSET after ORDER BY belong to the outer query too
+        t = len(order_tail)
+        for kw in ("LIMIT", "OFFSET"):
+            p = _find_keyword(order_tail, kw)
+            if p != -1:
+                t = min(t, p)
+        order, tail = order_tail[:t].strip(), order_tail[t:].strip()
+        outer_order = f" ORDER BY {order}"
     else:
-        src, order = rest, keys
-    return (
+        src, order, tail, outer_order = rest, keys, "", ""
+        # LIMIT/OFFSET may appear with no ORDER BY at all
+        t = len(src)
+        for kw in ("LIMIT", "OFFSET"):
+            p = _find_keyword(src, kw)
+            if p != -1:
+                t = min(t, p)
+        src, tail = src[:t], src[t:].strip()
+        order = keys
+    out = (
         f"SELECT {cols} FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order}) AS __don_rn "
-        f"FROM {src}) WHERE __don_rn = 1"
+        f"FROM {src}) WHERE __don_rn = 1{outer_order}"
     )
+    return f"{out} {tail}" if tail else out
 
 
 def _scan_top_level(sql: str):
@@ -331,6 +464,7 @@ def _rewrite_qualify(sql: str) -> str:
 def rewrite(sql: str) -> str:
     """Apply the full dialect pre-pass to one statement."""
     sql = _rewrite_strftime(sql)  # before literal split: needs the fmt string
+    sql = _rewrite_list_aggregate(sql)  # ditto: needs the quoted agg name
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
     return "".join(
@@ -338,13 +472,22 @@ def rewrite(sql: str) -> str:
     )
 
 
+def _effectively_empty(stmt: str) -> bool:
+    """True if the statement is only whitespace and/or comments."""
+    return all(
+        kind == "comment" or not seg.strip() for kind, seg in _lex(stmt)
+    )
+
+
 def split_statements(sql: str) -> list[str]:
     """Split a simple-Query payload on top-level semicolons (PG allows
-    several statements per message; each gets its own result cycle)."""
+    several statements per message; each gets its own result cycle).
+    Semicolons inside literals or comments never split; comment-only
+    fragments don't become statements."""
     stmts: list[str] = []
     cur: list[str] = []
-    for is_lit, seg in _split_quoted(sql):
-        if is_lit:
+    for kind, seg in _lex(sql):
+        if kind != "code":
             cur.append(seg)
             continue
         while ";" in seg:
@@ -354,7 +497,7 @@ def split_statements(sql: str) -> list[str]:
             cur = []
         cur.append(seg)
     stmts.append("".join(cur))
-    return [s.strip() for s in stmts if s.strip()]
+    return [s.strip() for s in stmts if s.strip() and not _effectively_empty(s)]
 
 
 _COPY = re.compile(

@@ -78,9 +78,13 @@ def pg_oid(dt: T.DataType) -> int:
         return OID_BYTEA
     if isinstance(dt, T.DateType):
         return OID_DATE
-    if isinstance(dt, T.TimestampType):
-        return OID_TIMESTAMPTZ
-    if isinstance(dt, T.TimestampNTZType):
+    # Both timestamp flavors map to plain `timestamp` (1114), like the
+    # reference (cpp:36 maps TIMESTAMP → Timestamp; TIMESTAMPTZ columns
+    # are dropped there). Advertising TimestampType as timestamptz would
+    # require offset-qualified rendering; the server pins the session TZ
+    # to UTC and renders naive UTC wall-clock, which is exactly what a
+    # `timestamp` column means.
+    if isinstance(dt, T.TimestampType | T.TimestampNTZType):
         return OID_TIMESTAMP
     # arrays/structs/maps/intervals: rendered as text (json / {...})
     return OID_TEXT
@@ -100,6 +104,8 @@ def _enc_float(v: float) -> str:
 
 
 def _enc_timestamp(v: _dt.datetime) -> str:
+    if v.tzinfo is not None:  # render aware values as UTC wall-clock
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     s = v.strftime("%Y-%m-%d %H:%M:%S")
     if v.microsecond:
         s += f".{v.microsecond:06d}".rstrip("0")

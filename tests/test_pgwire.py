@@ -135,6 +135,9 @@ def wire_server(spark):
     t.start()
     assert started.wait(30)
     yield port_holder["port"]
+    # orderly shutdown INSIDE the loop's lifetime (closes lingering
+    # transports; avoids "Event loop is closed" unraisables at GC)
+    asyncio.run_coroutine_threadsafe(server.stop(), loop).result(10)
     loop.call_soon_threadsafe(loop.stop)
 
 
@@ -511,3 +514,89 @@ def test_wire_transaction_noops_and_set(client):
     assert r.get("tag") == "SET", r
     (r,) = client.query("SET spark.sql.shuffle.partitions=8")
     assert r.get("tag") == "SET", r
+
+
+# ----------------------------------------------- round-2 ADVICE regression set
+
+
+def test_split_statements_comments():
+    # line comment hides its ';' and its quote; both statements survive
+    out = split_statements("SELECT 1; -- comment with ; and quote '\nSELECT 2")
+    assert len(out) == 2
+    assert out[0] == "SELECT 1"
+    assert out[1].endswith("SELECT 2")
+    # block comments (nested, as in PG) are opaque too
+    (s3,) = split_statements("/* a; /* nested ; */ b */ SELECT 3")
+    assert s3.endswith("SELECT 3")
+    # comment-only payloads produce no statements
+    assert split_statements("-- nothing here\n") == []
+    assert split_statements("/* just a comment */") == []
+
+
+def test_rewrite_ignores_comments():
+    # a function spelling inside a comment is NOT rewritten
+    out = rewrite("SELECT 1 -- string_split(x, ' ')\n")
+    assert "string_split(x, ' ')" in out  # untouched inside the comment
+
+
+def test_rewrite_distinct_on_subquery_order_by():
+    # ORDER BY inside the subquery must not be mistaken for the outer
+    # clause (round-1 bug: greedy regex split on the LAST ORDER BY)
+    out = rewrite(
+        "SELECT DISTINCT ON (k) k, v FROM (SELECT k, v FROM t ORDER BY v LIMIT 5) s"
+    )
+    assert out.count("ORDER BY v LIMIT 5) s") == 1
+    assert "__don_rn = 1" in out
+    assert not out.rstrip().endswith("LIMIT 5) s)")  # subquery stays intact
+
+
+def test_rewrite_distinct_on_preserves_output_order():
+    out = rewrite("SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC LIMIT 7")
+    # PG guarantees DISTINCT ON output ordering — ORDER BY re-appears on
+    # the outer query, LIMIT stays outermost
+    assert out.rstrip().endswith("LIMIT 7")
+    assert "__don_rn = 1 ORDER BY k, v DESC" in out
+
+
+def test_rewrite_list_aggregate_forms():
+    assert "aggregate(l, CAST(0 AS DOUBLE)" in rewrite("SELECT list_aggregate(l, 'sum')")
+    assert rewrite("SELECT list_aggregate(l, 'min') FROM t") == "SELECT array_min(l) FROM t"
+    assert rewrite("SELECT list_aggregate(l, 'max') FROM t") == "SELECT array_max(l) FROM t"
+    # nested call in the list argument survives the balanced-paren scan
+    out = rewrite("SELECT list_aggregate(transform(l, x -> x + 1), 'sum')")
+    assert out.startswith("SELECT aggregate(transform(l, x -> x + 1), CAST(0 AS DOUBLE)")
+    # unknown aggregate names pass through (fail loudly downstream)
+    assert "list_aggregate(l, 'median')" in rewrite("SELECT list_aggregate(l, 'median')")
+
+
+def test_rewrite_epoch_ms_not_renamed():
+    # epoch_ms is overloaded in DuckDB (BIGINT→TIMESTAMP and
+    # TIMESTAMP→BIGINT); a blanket rename broke the integer form
+    assert "epoch_ms(1640995200000)" in rewrite("SELECT epoch_ms(1640995200000)")
+
+
+def test_wire_duplicate_output_names(client):
+    # Row name-lookup returns the FIRST match — encoding must be positional
+    (res,) = client.query("SELECT 1 AS a, 2 AS a")
+    assert res["columns"] == ["a", "a"]
+    assert res["rows"] == [["1", "2"]]
+
+
+def test_wire_timestamp_is_plain_timestamp_oid(client):
+    (res,) = client.query("SELECT TIMESTAMP '2020-06-01 12:34:56' AS ts")
+    assert res["oids"] == [1114]  # timestamp, not timestamptz (1184)
+    assert res["rows"] == [["2020-06-01 12:34:56"]]
+
+
+def test_wire_comment_bearing_query(client):
+    (r1, r2) = client.query("SELECT 10 AS x; -- trailing note with ; inside\nSELECT 20 AS y")
+    assert r1["rows"] == [["10"]]
+    assert r2["rows"] == [["20"]]
+
+
+def test_wire_list_aggregate_duckdb_spelling(client):
+    (res,) = client.query(
+        "SELECT list_aggregate(array(1.0, 2.0, 3.5), 'sum') AS s, "
+        "list_aggregate(array(4, 1, 7), 'max') AS m"
+    )
+    assert res["rows"] == [["6.5", "7"]]
