@@ -41,6 +41,7 @@ _REGISTRY: dict[str, QueryDef] = {}
 _QUERY_MODULES = (
     "duckdb_pgwire_spark.operators.tpch",
     "duckdb_pgwire_spark.operators.sources",
+    "duckdb_pgwire_spark.operators.dml",
     "duckdb_pgwire_spark.operators.filters",
     "duckdb_pgwire_spark.operators.joins",
     "duckdb_pgwire_spark.operators.subqueries",

@@ -32,13 +32,85 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
+import re
+
 from . import protocol as P
-from .compat import parse_copy, rewrite, split_statements
+from .compat import _lex, parse_copy, rewrite, split_statements, split_top_level
 from .typemap import encode_cell, pg_oid, reference_visible
 
 log = logging.getLogger("duckdb_pgwire_spark.server")
 
 _BATCH_ROWS = 1024  # rows per write burst (the reference's chunks are ~2048)
+
+
+class _WireError(Exception):
+    """Server-originated error with an explicit SQLSTATE."""
+
+    def __init__(self, message: str, sqlstate: str) -> None:
+        super().__init__(message)
+        self._sqlstate = sqlstate
+
+    def getSqlState(self) -> str:  # noqa: N802 — matches PySpark's accessor
+        return self._sqlstate
+
+
+class _ConnState:
+    """Per-connection protocol state (the reference's per-session
+    Connection object, cpp:42): explicit-transaction flags for rollback
+    honesty, and SQL-level prepared statements."""
+
+    def __init__(self) -> None:
+        self.in_txn = False
+        self.wrote_in_txn = False
+        self.prepared: dict[str, str] = {}
+
+
+# Statements that mutate state (for rollback honesty).
+_WRITE_WORDS = {
+    "INSERT",
+    "UPDATE",
+    "DELETE",
+    "MERGE",
+    "CREATE",
+    "DROP",
+    "ALTER",
+    "TRUNCATE",
+    "COPY",
+}
+
+_PREPARE_RE = re.compile(r"^\s*PREPARE\s+(\w+)\s+AS\s+(.+)$", re.IGNORECASE | re.DOTALL)
+_EXECUTE_RE = re.compile(
+    r"^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$", re.IGNORECASE | re.DOTALL
+)
+_DEALLOC_RE = re.compile(
+    r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+|ALL)\s*$", re.IGNORECASE
+)
+
+
+def _substitute_params(sql: str, args: list[str]) -> str:
+    """Inline EXECUTE arguments into ``$N`` / ``?`` placeholders (code
+    segments only — a ``$1`` inside a string literal is data)."""
+    out: list[str] = []
+    qmark = iter(args)
+
+    def dollar(m: re.Match) -> str:
+        i = int(m.group(1))
+        if not 1 <= i <= len(args):
+            raise _WireError(f"no parameter ${i} (got {len(args)} args)", "42P02")
+        return args[i - 1]
+
+    for kind, seg in _lex(sql):
+        if kind != "code":
+            out.append(seg)
+            continue
+        seg = re.sub(r"\$(\d+)", dollar, seg)
+        while "?" in seg:
+            try:
+                seg = seg.replace("?", next(qmark), 1)
+            except StopIteration:
+                raise _WireError("not enough EXECUTE arguments for ?", "42P02") from None
+        out.append(seg)
+    return "".join(out)
 
 
 def _command_tag(sql: str, nrows: int) -> str:
@@ -191,6 +263,7 @@ class PgWireServer:
         writer: asyncio.StreamWriter,
         session: SparkSession,
     ) -> None:
+        state = _ConnState()
         while True:
             tag = await reader.readexactly(1)
             (length,) = struct.unpack("!I", await reader.readexactly(4))
@@ -213,7 +286,7 @@ class PgWireServer:
                 writer.write(P.empty_query_response())
             for stmt in stmts:
                 try:
-                    await self._run_statement(stmt, writer, session)
+                    await self._run_statement(stmt, writer, session, state)
                 except Exception as exc:  # noqa: BLE001 — any engine error → wire error
                     writer.write(P.error_response(_exc_message(exc), _sqlstate(exc)))
                     await writer.drain()
@@ -231,17 +304,106 @@ class PgWireServer:
     }
 
     async def _run_statement(
-        self, stmt: str, writer: asyncio.StreamWriter, session: SparkSession
+        self,
+        stmt: str,
+        writer: asyncio.StreamWriter,
+        session: SparkSession,
+        state: _ConnState | None = None,
     ) -> None:
         loop = asyncio.get_running_loop()
+        state = state or _ConnState()
         first = stmt.lstrip().split(None, 1)[0].upper() if stmt.strip() else ""
         if first in self._TXN_TAGS:
             # PG clients autosend BEGIN/COMMIT (implicit transactions).
             # Spark has no transactions — every statement is autocommit —
-            # so acknowledge as a no-op rather than erroring, like any
-            # autocommit-only PG-compatible store. DuckDB behind the
-            # reference DOES have transactions; documented delta.
-            writer.write(P.command_complete(self._TXN_TAGS[first]))
+            # so BEGIN/COMMIT ack as no-ops, like any autocommit-only
+            # PG-compatible store. ROLLBACK is the honesty boundary:
+            # after a write inside an explicit transaction it ERRORS
+            # instead of ack'ing, because the write cannot be undone —
+            # a silent ack would let a client believe data it inserted
+            # was discarded (DuckDB behind the reference has real
+            # transactions; VERDICT.md r1 item 6).
+            tag = self._TXN_TAGS[first]
+            if tag == "ROLLBACK" and state.wrote_in_txn:
+                state.in_txn = False
+                state.wrote_in_txn = False
+                raise _WireError(
+                    "cannot ROLLBACK: writes in this transaction were already "
+                    "applied (engine is autocommit-only)",
+                    "0A000",
+                )
+            if tag == "BEGIN":
+                state.in_txn = True
+                state.wrote_in_txn = False
+            else:
+                state.in_txn = False
+                state.wrote_in_txn = False
+            writer.write(P.command_complete(tag))
+            await writer.drain()
+            return
+        if state.in_txn and first in _WRITE_WORDS:
+            state.wrote_in_txn = True
+        if first == "PREPARE":
+            m = _PREPARE_RE.match(stmt)
+            if m is None:
+                raise _WireError("syntax error in PREPARE", "42601")
+            state.prepared[m.group(1).lower()] = m.group(2).strip()
+            writer.write(P.command_complete("PREPARE"))
+            await writer.drain()
+            return
+        if first == "EXECUTE":
+            m = _EXECUTE_RE.match(stmt)
+            if m is None:
+                raise _WireError("syntax error in EXECUTE", "42601")
+            name = m.group(1).lower()
+            if name not in state.prepared:
+                raise _WireError(f"prepared statement {name!r} does not exist", "26000")
+            args = (
+                [a.strip() for a in split_top_level(m.group(2))] if m.group(2) else []
+            )
+            inner = _substitute_params(state.prepared[name], args)
+            await self._run_statement(inner, writer, session, state)
+            return
+        if first == "DEALLOCATE":
+            m = _DEALLOC_RE.match(stmt)
+            if m is None:
+                raise _WireError("syntax error in DEALLOCATE", "42601")
+            name = m.group(1).lower()
+            if name == "all":
+                state.prepared.clear()
+            else:
+                state.prepared.pop(name, None)
+            writer.write(P.command_complete("DEALLOCATE"))
+            await writer.drain()
+            return
+        if first in ("UPDATE", "DELETE"):
+            # Rewrite-on-write DML (no in-place mutation on v1 parquet
+            # tables; the reference reaches DuckDB's DML via cpp:52).
+            from ..operators.dml import (
+                delete_from,
+                parse_delete,
+                parse_update,
+                update_table,
+            )
+
+            sql = rewrite(stmt)
+            if first == "UPDATE":
+                parsed = parse_update(sql)
+                if parsed is None:
+                    raise _WireError("syntax error in UPDATE", "42601")
+                table, assignments, pred = parsed
+                n = await loop.run_in_executor(
+                    self._pool, update_table, session, table, assignments, pred
+                )
+            else:
+                parsed = parse_delete(sql)
+                if parsed is None:
+                    raise _WireError("syntax error in DELETE", "42601")
+                table, pred = parsed
+                n = await loop.run_in_executor(
+                    self._pool, delete_from, session, table, pred
+                )
+            writer.write(P.command_complete(f"{first} {n}"))
             await writer.drain()
             return
         copy = parse_copy(stmt)

@@ -472,6 +472,19 @@ def rewrite(sql: str) -> str:
     )
 
 
+def split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on a separator char at paren depth 0 outside literals and
+    comments (for SET-clause assignments, EXECUTE argument lists)."""
+    cut: list[int] = [i for i, c in _scan_top_level(s) if c == sep]
+    parts = []
+    prev = 0
+    for i in cut:
+        parts.append(s[prev:i])
+        prev = i + 1
+    parts.append(s[prev:])
+    return parts
+
+
 def _effectively_empty(stmt: str) -> bool:
     """True if the statement is only whitespace and/or comments."""
     return all(

@@ -600,3 +600,62 @@ def test_wire_list_aggregate_duckdb_spelling(client):
         "list_aggregate(array(4, 1, 7), 'max') AS m"
     )
     assert res["rows"] == [["6.5", "7"]]
+
+
+def test_wire_update_delete_roundtrip(client, spark):
+    """CREATE → INSERT → UPDATE → DELETE → SELECT over the wire — the
+    reference executes the same statements by delegation (cpp:52); here
+    UPDATE/DELETE run the rewrite-on-write path (operators/dml.py)."""
+    spark.sql("DROP TABLE IF EXISTS accounts")
+    (r,) = client.query("CREATE TABLE accounts(id int, bal double)")
+    assert "error" not in r, r
+    (r,) = client.query(
+        "INSERT INTO accounts VALUES (1, 10.0), (2, 20.0), (3, 30.0)"
+    )
+    assert "error" not in r, r
+    (r,) = client.query("UPDATE accounts SET bal = bal + 5.0 WHERE id >= 2")
+    assert r["tag"] == "UPDATE 2", r
+    (r,) = client.query("DELETE FROM accounts WHERE bal > 30.0")
+    assert r["tag"] == "DELETE 1", r  # only id=3 (35.0) crosses
+    (r,) = client.query("SELECT id, bal FROM accounts ORDER BY id")
+    assert r["rows"] == [["1", "10.0"], ["2", "25.0"]]
+    spark.sql("DROP TABLE IF EXISTS accounts")
+
+
+def test_wire_rollback_after_write_errors(client, spark):
+    """A client must not be able to believe a write was rolled back."""
+    spark.sql("DROP TABLE IF EXISTS txn_demo")
+    (r,) = client.query("CREATE TABLE txn_demo(v int)")
+    assert "error" not in r, r
+    # read-only txn: ROLLBACK still acks (nothing to lose)
+    r1, r2, r3 = client.query("BEGIN; SELECT 1 AS x; ROLLBACK")
+    assert r3["tag"] == "ROLLBACK"
+    # write inside txn: ROLLBACK must error, and the write persists
+    out = client.query("BEGIN; INSERT INTO txn_demo VALUES (42); ROLLBACK")
+    assert any("error" in r for r in out), out
+    err = next(r for r in out if "error" in r)
+    assert err["sqlstate"] == "0A000"
+    (r,) = client.query("SELECT count(*) AS n FROM txn_demo")
+    assert r["rows"] == [["1"]]  # the insert was applied, honestly
+    spark.sql("DROP TABLE IF EXISTS txn_demo")
+
+
+def test_wire_prepare_execute(client):
+    (r,) = client.query("PREPARE plus_one AS SELECT $1 + 1 AS v")
+    assert r["tag"] == "PREPARE", r
+    (r,) = client.query("EXECUTE plus_one(41)")
+    assert r["rows"] == [["42"]]
+    # re-execute with a different argument (cached statement)
+    (r,) = client.query("EXECUTE plus_one(99)")
+    assert r["rows"] == [["100"]]
+    (r,) = client.query("DEALLOCATE plus_one")
+    assert r["tag"] == "DEALLOCATE"
+    (r,) = client.query("EXECUTE plus_one(1)")
+    assert "error" in r and r["sqlstate"] == "26000"
+
+
+def test_wire_prepare_execute_question_params(client):
+    (r,) = client.query("PREPARE q AS SELECT ? * ? AS p")
+    assert r["tag"] == "PREPARE"
+    (r,) = client.query("EXECUTE q(6, 7)")
+    assert r["rows"] == [["42"]]
