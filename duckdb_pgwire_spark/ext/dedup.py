@@ -357,7 +357,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .vectorized import cosine_seq_udf
 
     cosine_seq = cosine_seq_udf()
-    e = load_table_parallel(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings", parts=4)
     v = e.select("vec_id", "label", "embedding")
     a = v.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea"))
     b = v.select(F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("eb"))

@@ -23,6 +23,7 @@ rows removed (DELETE).
 from __future__ import annotations
 
 import re
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,7 +82,11 @@ def _rewrite_table(session: SparkSession, table: str, post_image_sql: str) -> No
     that reads the same table, so the stage hop is mandatory)."""
     stage = f"__dml_stage_{table.replace('.', '_')}"
     session.sql(f"DROP TABLE IF EXISTS {stage}")
-    session.sql(f"CREATE TABLE {stage} AS {post_image_sql}")
+    # fresh external location per statement: the default in-memory
+    # catalog forgets tables across processes but their warehouse dirs
+    # persist, and a leftover dir blocks a managed CTAS
+    loc = tempfile.mkdtemp(prefix="dml_stage_")
+    session.sql(f"CREATE TABLE {stage} USING parquet LOCATION '{loc}' AS {post_image_sql}")
     try:
         session.sql(f"INSERT OVERWRITE TABLE {table} SELECT * FROM {stage}")
     finally:
@@ -158,9 +163,10 @@ def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tbl = "dml_demo_customer"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    loc = tempfile.mkdtemp(prefix="dml_demo_")  # see _rewrite_table note
     load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
-    ).write.saveAsTable(tbl)
+    ).write.option("path", loc).mode("overwrite").saveAsTable(tbl)
     update_table(
         spark,
         tbl,

@@ -54,15 +54,27 @@ class _WireError(Exception):
         return self._sqlstate
 
 
+class _Portal:
+    """A bound (statement × parameters) pair awaiting Execute."""
+
+    def __init__(self, sql: str) -> None:
+        self.sql = sql
+        self.df = None  # analyzed lazily (Describe) and reused by Execute
+
+
 class _ConnState:
     """Per-connection protocol state (the reference's per-session
     Connection object, cpp:42): explicit-transaction flags for rollback
-    honesty, and SQL-level prepared statements."""
+    honesty, SQL-level prepared statements, and extended-protocol
+    statements/portals."""
 
     def __init__(self) -> None:
         self.in_txn = False
         self.wrote_in_txn = False
         self.prepared: dict[str, str] = {}
+        self.ext_stmts: dict[str, str] = {}  # Parse'd statements (raw SQL)
+        self.portals: dict[str, _Portal] = {}
+        self.skip_to_sync = False  # extended-protocol error recovery
 
 
 # Statements that mutate state (for rollback honesty).
@@ -85,6 +97,22 @@ _EXECUTE_RE = re.compile(
 _DEALLOC_RE = re.compile(
     r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+|ALL)\s*$", re.IGNORECASE
 )
+
+
+_NUMERIC_RE = re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+
+
+def _param_literal(p: bytes | None) -> str:
+    """Text-format parameter value → SQL literal (PG infers parameter
+    types; without a type-inference pass the portable approximation is:
+    numerics and booleans inline bare, everything else as an escaped
+    string literal — Spark's implicit casts cover the common cases)."""
+    if p is None:
+        return "NULL"
+    s = p.decode()
+    if _NUMERIC_RE.match(s) or s.lower() in ("true", "false"):
+        return s
+    return "'" + s.replace("'", "''") + "'"
 
 
 def _substitute_params(sql: str, args: list[str]) -> str:
@@ -270,10 +298,13 @@ class PgWireServer:
             payload = await reader.readexactly(length - 4)
             if tag == b"X":  # Terminate
                 return
+            if tag in (b"P", b"B", b"D", b"E", b"C", b"H", b"S"):
+                await self._handle_extended(tag, payload, writer, session, state)
+                continue
             if tag != b"Q":
                 writer.write(
                     P.error_response(
-                        f"unsupported message {tag!r} (simple query protocol only)",
+                        f"unsupported message {tag!r}",
                         "0A000",
                     )
                 )
@@ -294,6 +325,135 @@ class PgWireServer:
             writer.write(P.ready_for_query())
             await writer.drain()
 
+    # statements whose Execute returns rows (Describe sends RowDescription)
+    _ROW_WORDS = (
+        "SELECT",
+        "WITH",
+        "VALUES",
+        "TABLE",
+        "SHOW",
+        "DESCRIBE",
+        "DESC",
+        "EXPLAIN",
+    )
+
+    async def _handle_extended(
+        self,
+        tag: bytes,
+        payload: bytes,
+        writer: asyncio.StreamWriter,
+        session: SparkSession,
+        state: _ConnState,
+    ) -> None:
+        """Extended query protocol (Parse/Bind/Describe/Execute/Close/
+        Flush/Sync, text format). The reference never implemented this
+        ("Extended Query" unchecked, /root/reference/README.md:28) —
+        psycopg and JDBC default modes require it. After an error,
+        messages are discarded until Sync, per the PG spec."""
+        if tag == b"S":  # Sync — always answered, clears error state
+            state.skip_to_sync = False
+            writer.write(P.ready_for_query())
+            await writer.drain()
+            return
+        if state.skip_to_sync:
+            return
+        try:
+            if tag == b"P":
+                name, query, _oids = P.parse_parse(payload)
+                stmts = split_statements(query)
+                if len(stmts) > 1:
+                    raise _WireError(
+                        "cannot insert multiple commands into a prepared statement",
+                        "42601",
+                    )
+                state.ext_stmts[name] = stmts[0] if stmts else ""
+                writer.write(P.parse_complete())
+            elif tag == b"B":
+                portal, stmt_name, params = P.parse_bind(payload)
+                if stmt_name not in state.ext_stmts:
+                    raise _WireError(
+                        f"prepared statement {stmt_name!r} does not exist", "26000"
+                    )
+                sql = _substitute_params(
+                    state.ext_stmts[stmt_name],
+                    [_param_literal(p) for p in params],
+                )
+                state.portals[portal] = _Portal(sql)
+                writer.write(P.bind_complete())
+            elif tag == b"D":
+                kind, name = P.parse_describe(payload)
+                if kind == "S":
+                    if name not in state.ext_stmts:
+                        raise _WireError(
+                            f"prepared statement {name!r} does not exist", "26000"
+                        )
+                    sql = state.ext_stmts[name]
+                    n_params = len(set(re.findall(r"\$(\d+)", sql)))
+                    writer.write(P.parameter_description([25] * n_params))
+                    # schema preview: analyze with NULL-substituted params
+                    await self._describe_sql(
+                        _substitute_params(sql, ["NULL"] * max(n_params, 9)),
+                        writer,
+                        session,
+                    )
+                else:
+                    p = state.portals.get(name)
+                    if p is None:
+                        raise _WireError(f"portal {name!r} does not exist", "34000")
+                    await self._describe_sql(p.sql, writer, session, portal=p)
+            elif tag == b"E":
+                name, _maxrows = P.parse_execute(payload)
+                p = state.portals.get(name)
+                if p is None:
+                    raise _WireError(f"portal {name!r} does not exist", "34000")
+                if not p.sql:
+                    writer.write(P.empty_query_response())
+                else:
+                    await self._run_statement(
+                        p.sql,
+                        writer,
+                        session,
+                        state,
+                        send_row_desc=False,
+                        pre_df=p.df,
+                    )
+            elif tag == b"C":
+                kind, name = P.parse_close(payload)
+                (state.ext_stmts if kind == "S" else state.portals).pop(name, None)
+                writer.write(P.close_complete())
+            # b"H" (Flush) falls through to the drain below
+            await writer.drain()
+        except Exception as exc:  # noqa: BLE001 — protocol error recovery
+            writer.write(P.error_response(_exc_message(exc), _sqlstate(exc)))
+            await writer.drain()
+            state.skip_to_sync = True
+
+    async def _describe_sql(
+        self,
+        sql: str,
+        writer: asyncio.StreamWriter,
+        session: SparkSession,
+        portal: _Portal | None = None,
+    ) -> None:
+        """RowDescription (or NoData) for Describe; caches the analyzed
+        DataFrame on the portal so Execute doesn't re-analyze."""
+        first = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
+        if first not in self._ROW_WORDS:
+            writer.write(P.no_data())
+            return
+        loop = asyncio.get_running_loop()
+        df = await loop.run_in_executor(self._pool, session.sql, rewrite(sql))
+        if portal is not None:
+            portal.df = df
+        fields = [
+            (f.name, f.dataType)
+            for f in df.schema.fields
+            if not self.reference_compat or reference_visible(f.dataType)
+        ]
+        writer.write(
+            P.row_description([P.FieldDesc(n, pg_oid(dt)) for n, dt in fields])
+        )
+
     _TXN_TAGS = {
         "BEGIN": "BEGIN",
         "START": "BEGIN",
@@ -309,6 +469,9 @@ class PgWireServer:
         writer: asyncio.StreamWriter,
         session: SparkSession,
         state: _ConnState | None = None,
+        *,
+        send_row_desc: bool = True,
+        pre_df: DataFrame | None = None,
     ) -> None:
         loop = asyncio.get_running_loop()
         state = state or _ConnState()
@@ -362,7 +525,9 @@ class PgWireServer:
                 [a.strip() for a in split_top_level(m.group(2))] if m.group(2) else []
             )
             inner = _substitute_params(state.prepared[name], args)
-            await self._run_statement(inner, writer, session, state)
+            await self._run_statement(
+                inner, writer, session, state, send_row_desc=send_row_desc
+            )
             return
         if first == "DEALLOCATE":
             m = _DEALLOC_RE.match(stmt)
@@ -430,7 +595,25 @@ class PgWireServer:
             return
         # "prepare": analysis only — schema is known before execution,
         # exactly like conn.Prepare → GetNames/GetTypes (cpp:52,62-64).
-        df: DataFrame = await loop.run_in_executor(self._pool, session.sql, sql)
+        df: DataFrame = (
+            pre_df
+            if pre_df is not None
+            else await loop.run_in_executor(self._pool, session.sql, sql)
+        )
+        await self._stream_df(df, stmt, writer, send_row_desc=send_row_desc)
+
+    async def _stream_df(
+        self,
+        df: DataFrame,
+        stmt: str,
+        writer: asyncio.StreamWriter,
+        *,
+        send_row_desc: bool,
+    ) -> None:
+        """Stream a DataFrame as [RowDescription +] DataRows +
+        CommandComplete (the extended protocol sends RowDescription only
+        from Describe, never from Execute)."""
+        loop = asyncio.get_running_loop()
         # Cells are addressed by POSITION throughout: PySpark Row name
         # lookup returns the first matching field, so duplicate output
         # names (SELECT 1 AS a, 2 AS a) would silently repeat the first
@@ -441,11 +624,12 @@ class PgWireServer:
             if not self.reference_compat or reference_visible(f.dataType)
         ]
         keep_idx = [i for i, _, _ in fields]
-        writer.write(
-            P.row_description(
-                [P.FieldDesc(name, pg_oid(dt)) for _, name, dt in fields]
+        if send_row_desc:
+            writer.write(
+                P.row_description(
+                    [P.FieldDesc(name, pg_oid(dt)) for _, name, dt in fields]
+                )
             )
-        )
         # "execute": stream partitions driver-side, write DataRows in
         # bounded batches — chunk-at-a-time like cpp:119-165, no collect.
         nrows = 0

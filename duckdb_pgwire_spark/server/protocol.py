@@ -1,9 +1,12 @@
-"""PostgreSQL wire-protocol (v3) message encoding/decoding — simple
-query protocol only, matching the reference's scope: the reference
-serves startup/auth/Query/RowDescription/DataRow/CommandComplete/
-ErrorResponse via its vendored pgwire library and explicitly defers the
-extended protocol ("Extended Query" is an unchecked milestone,
-/root/reference/README.md:23-29).
+"""PostgreSQL wire-protocol (v3) message encoding/decoding.
+
+Covers the simple query protocol (the reference's scope — its vendored
+pgwire library serves startup/auth/Query/RowDescription/DataRow/
+CommandComplete/ErrorResponse) AND the extended query protocol
+(Parse/Bind/Describe/Execute/Close/Flush/Sync with text-format
+parameters), which the reference leaves as an unchecked milestone
+("Extended Query", /root/reference/README.md:23-29) — psycopg and JDBC
+default modes need it.
 
 Everything here is from the public PostgreSQL protocol documentation
 (protocol version 3.0). Text result format only — the reference
@@ -101,6 +104,35 @@ def notice_response(message: str) -> bytes:
     return _msg(b"N", body)
 
 
+# ------------------------------------------------- extended-protocol encode
+
+
+def parse_complete() -> bytes:
+    return _msg(b"1", b"")
+
+
+def bind_complete() -> bytes:
+    return _msg(b"2", b"")
+
+
+def close_complete() -> bytes:
+    return _msg(b"3", b"")
+
+
+def no_data() -> bytes:
+    return _msg(b"n", b"")
+
+
+def portal_suspended() -> bytes:
+    return _msg(b"s", b"")
+
+
+def parameter_description(oids: list[int]) -> bytes:
+    return _msg(b"t", struct.pack("!H", len(oids)) + b"".join(
+        struct.pack("!I", o) for o in oids
+    ))
+
+
 # ---------------------------------------------------------------- decode
 
 def parse_startup_payload(payload: bytes) -> dict[str, str]:
@@ -116,3 +148,66 @@ def parse_startup_payload(payload: bytes) -> dict[str, str]:
 def read_cstr(buf: bytes, off: int) -> tuple[str, int]:
     end = buf.index(b"\x00", off)
     return buf[off:end].decode(), end + 1
+
+
+def parse_parse(payload: bytes) -> tuple[str, str, list[int]]:
+    """Parse ('P'): statement name, query text, declared param OIDs."""
+    name, off = read_cstr(payload, 0)
+    query, off = read_cstr(payload, off)
+    (n,) = struct.unpack_from("!H", payload, off)
+    off += 2
+    oids = [struct.unpack_from("!I", payload, off + 4 * i)[0] for i in range(n)]
+    return name, query, oids
+
+
+def parse_bind(payload: bytes) -> tuple[str, str, list[bytes | None]]:
+    """Bind ('B'): portal name, statement name, parameter values (text
+    format; binary params are rejected by the caller via the format
+    codes, which this decoder folds into a ValueError)."""
+    portal, off = read_cstr(payload, 0)
+    stmt, off = read_cstr(payload, off)
+    (nfmt,) = struct.unpack_from("!H", payload, off)
+    off += 2
+    fmts = [struct.unpack_from("!H", payload, off + 2 * i)[0] for i in range(nfmt)]
+    off += 2 * nfmt
+    if any(f == 1 for f in fmts):
+        raise ValueError("binary parameter format not supported (text only)")
+    (nparams,) = struct.unpack_from("!H", payload, off)
+    off += 2
+    params: list[bytes | None] = []
+    for _ in range(nparams):
+        (ln,) = struct.unpack_from("!i", payload, off)
+        off += 4
+        if ln == -1:
+            params.append(None)
+        else:
+            params.append(payload[off : off + ln])
+            off += ln
+    # trailing result-format codes: text (0) only
+    (nres,) = struct.unpack_from("!H", payload, off)
+    off += 2
+    res = [struct.unpack_from("!H", payload, off + 2 * i)[0] for i in range(nres)]
+    if any(f == 1 for f in res):
+        raise ValueError("binary result format not supported (text only)")
+    return portal, stmt, params
+
+
+def parse_describe(payload: bytes) -> tuple[str, str]:
+    """Describe ('D'): kind ('S' statement | 'P' portal), name."""
+    kind = payload[0:1].decode()
+    name, _ = read_cstr(payload, 1)
+    return kind, name
+
+
+def parse_execute(payload: bytes) -> tuple[str, int]:
+    """Execute ('E'): portal name, max rows (0 = all)."""
+    name, off = read_cstr(payload, 0)
+    (maxrows,) = struct.unpack_from("!i", payload, off)
+    return name, maxrows
+
+
+def parse_close(payload: bytes) -> tuple[str, str]:
+    """Close ('C'): kind ('S' | 'P'), name."""
+    kind = payload[0:1].decode()
+    name, _ = read_cstr(payload, 1)
+    return kind, name

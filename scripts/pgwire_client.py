@@ -96,6 +96,65 @@ class PgClient:
             elif tag == b"Z":
                 return results
 
+    # ------------------------------------------------ extended protocol
+
+    def _send_msg(self, tag: bytes, payload: bytes) -> None:
+        self.sock.sendall(tag + struct.pack("!I", len(payload) + 4) + payload)
+
+    def extended_query(self, sql: str, params: list[str | None] | None = None) -> dict:
+        """One Parse/Bind/Describe/Execute/Sync cycle (text params) —
+        the psycopg/JDBC default mode the simple-query path can't test."""
+        params = params or []
+        self._send_msg(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!H", 0))
+        bind = b"\x00\x00" + struct.pack("!H", 0) + struct.pack("!H", len(params))
+        for p in params:
+            if p is None:
+                bind += struct.pack("!i", -1)
+            else:
+                bind += struct.pack("!i", len(p.encode())) + p.encode()
+        bind += struct.pack("!H", 0)
+        self._send_msg(b"B", bind)
+        self._send_msg(b"D", b"P\x00")
+        self._send_msg(b"E", b"\x00" + struct.pack("!i", 0))
+        self._send_msg(b"S", b"")
+        out: dict = {"columns": [], "oids": [], "rows": [], "events": []}
+        while True:
+            tag, body = self._read_msg()
+            out["events"].append(tag.decode())
+            if tag == b"T":
+                (nf,) = struct.unpack("!H", body[:2])
+                off = 2
+                for _ in range(nf):
+                    end = body.index(b"\x00", off)
+                    out["columns"].append(body[off:end].decode())
+                    off = end + 1
+                    _, _, oid, _, _, _ = struct.unpack("!IhIhih", body[off : off + 18])
+                    out["oids"].append(oid)
+                    off += 18
+            elif tag == b"D":
+                (nc,) = struct.unpack("!H", body[:2])
+                off, row = 2, []
+                for _ in range(nc):
+                    (ln,) = struct.unpack("!i", body[off : off + 4])
+                    off += 4
+                    if ln == -1:
+                        row.append(None)
+                    else:
+                        row.append(body[off : off + ln].decode())
+                        off += ln
+                out["rows"].append(row)
+            elif tag == b"C":
+                out["tag"] = body.rstrip(b"\x00").decode()
+            elif tag == b"E":
+                fields = {}
+                for part in body.split(b"\x00"):
+                    if part:
+                        fields[chr(part[0])] = part[1:].decode()
+                out["error"] = fields.get("M", "?")
+                out["sqlstate"] = fields.get("C")
+            elif tag == b"Z":
+                return out
+
     def close(self) -> None:
         self.sock.sendall(b"X" + struct.pack("!I", 4))
         self.sock.close()

@@ -659,3 +659,59 @@ def test_wire_prepare_execute_question_params(client):
     assert r["tag"] == "PREPARE"
     (r,) = client.query("EXECUTE q(6, 7)")
     assert r["rows"] == [["42"]]
+
+
+# ------------------------------------------------ extended query protocol
+
+
+def test_extended_query_basic(client):
+    out = client.extended_query("SELECT 1 AS one, 'x' AS s")
+    assert out["columns"] == ["one", "s"]
+    assert out["rows"] == [["1", "x"]]
+    assert out["tag"] == "SELECT 1"
+    # full message choreography: ParseComplete, BindComplete,
+    # RowDescription (from Describe), DataRow, CommandComplete, Ready
+    assert out["events"][:3] == ["1", "2", "T"]
+    assert out["events"][-1] == "Z"
+
+
+def test_extended_query_with_params(client):
+    out = client.extended_query("SELECT $1 + $2 AS total, $3 AS who", ["40", "2", "bob"])
+    assert out["rows"] == [["42", "bob"]]
+    out = client.extended_query("SELECT $1 IS NULL AS is_null", [None])
+    assert out["rows"] == [["t"]]
+
+
+def test_extended_query_fixture_join(client):
+    out = client.extended_query(
+        "SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = $1 ORDER BY n_name LIMIT 2",
+        ["ASIA"],
+    )
+    assert len(out["rows"]) == 2
+    assert out["tag"] == "SELECT 2"
+
+
+def test_extended_query_ddl_no_data(client, spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS ext_demo")
+    # explicit LOCATION: the in-memory catalog forgets tables between
+    # processes but their warehouse dirs persist and block re-CREATE
+    out = client.extended_query(
+        f"CREATE TABLE ext_demo(v int) USING parquet LOCATION '{tmp_path}/ext_demo'"
+    )
+    assert "error" not in out, out
+    assert "n" in out["events"]  # Describe answered NoData for DDL
+    out = client.extended_query("INSERT INTO ext_demo VALUES ($1)", ["7"])
+    # Spark's INSERT returns no row count through sql() — tag reports 0
+    assert out["tag"].startswith("INSERT 0")
+    out = client.extended_query("SELECT v FROM ext_demo")
+    assert out["rows"] == [["7"]]
+    spark.sql("DROP TABLE IF EXISTS ext_demo")
+
+
+def test_extended_query_error_recovers(client):
+    out = client.extended_query("SELECT * FROM no_such_table_ext")
+    assert "error" in out
+    # next cycle on the same connection works (skip-to-Sync recovery)
+    out = client.extended_query("SELECT 5 AS v")
+    assert out["rows"] == [["5"]]
