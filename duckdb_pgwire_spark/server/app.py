@@ -571,6 +571,16 @@ class PgWireServer:
             writer.write(P.command_complete(f"{first} {n}"))
             await writer.drain()
             return
+        if first == "MERGE":
+            from ..operators.dml import merge_into, parse_merge
+
+            spec = parse_merge(rewrite(stmt))
+            if spec is None:
+                raise _WireError("syntax error in MERGE", "42601")
+            n = await loop.run_in_executor(self._pool, merge_into, session, spec)
+            writer.write(P.command_complete(f"MERGE {n}"))
+            await writer.drain()
+            return
         copy = parse_copy(stmt)
         if copy is not None:
             inner, path, fmt = copy

@@ -622,6 +622,57 @@ def test_wire_update_delete_roundtrip(client, spark):
     spark.sql("DROP TABLE IF EXISTS accounts")
 
 
+def test_parse_merge_grammar():
+    from duckdb_pgwire_spark.operators.dml import parse_merge
+
+    spec = parse_merge(
+        "MERGE INTO tgt t USING (SELECT k, v FROM src WHERE v ON) s "
+        "ON t.id = s.k "
+        "WHEN MATCHED AND t.v < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = t.v + s.v, w = 1 "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.k, s.v)"
+    )
+    assert spec is not None
+    assert spec.target == "tgt" and spec.t_alias == "t"
+    assert spec.s_alias == "s" and "WHERE v ON" in spec.source_sql
+    assert [c.action for c in spec.clauses] == ["delete", "update", "insert"]
+    assert spec.clauses[1].assignments == [("v", "t.v + s.v"), ("w", "1")]
+    assert spec.clauses[2].insert_cols == ["id", "v"]
+    # bare-table source, no aliases, INSERT without column list
+    spec = parse_merge(
+        "MERGE INTO tgt USING src ON tgt.id = src.id "
+        "WHEN NOT MATCHED THEN INSERT VALUES (src.id, src.v)"
+    )
+    assert spec is not None
+    assert spec.t_alias == "tgt" and spec.source_sql == "SELECT * FROM src"
+    assert spec.clauses[0].insert_cols is None
+    # rejects: UPDATE under NOT MATCHED, missing ON, INSERT under MATCHED
+    assert parse_merge("MERGE INTO t USING s ON 1=1 WHEN NOT MATCHED THEN UPDATE SET a=1") is None
+    assert parse_merge("MERGE INTO t USING s WHEN MATCHED THEN DELETE") is None
+    assert parse_merge("MERGE INTO t USING s ON 1=1 WHEN MATCHED THEN INSERT VALUES (1)") is None
+
+
+def test_wire_merge_roundtrip(client, spark):
+    """MERGE over the wire — the reference reaches DuckDB's MERGE by
+    delegation (cpp:52); here it runs the rewrite-on-write recipe."""
+    spark.sql("DROP TABLE IF EXISTS minv")
+    (r,) = client.query("CREATE TABLE minv(id int, qty double)")
+    assert "error" not in r, r
+    (r,) = client.query("INSERT INTO minv VALUES (1, 5.0), (2, 0.0), (3, 7.0)")
+    assert "error" not in r, r
+    out = client.query(
+        "MERGE INTO minv t USING (SELECT * FROM VALUES (2, 4.0), (3, 1.0), (9, 9.0) "
+        "AS src(id, qty)) s ON t.id = s.id "
+        "WHEN MATCHED AND t.qty = 0.0 THEN UPDATE SET qty = s.qty "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.qty)"
+    )
+    assert out[-1]["tag"] == "MERGE 3", out  # 1 update + 1 delete + 1 insert
+    (r,) = client.query("SELECT id, qty FROM minv ORDER BY id")
+    assert r["rows"] == [["1", "5.0"], ["2", "4.0"], ["9", "9.0"]]
+    spark.sql("DROP TABLE IF EXISTS minv")
+
+
 def test_wire_rollback_after_write_errors(client, spark):
     """A client must not be able to believe a write was rolled back."""
     spark.sql("DROP TABLE IF EXISTS txn_demo")
