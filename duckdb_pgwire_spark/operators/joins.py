@@ -225,15 +225,18 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ordering detail: at equal ts the probe sorts BEFORE the reference row
     (is_ref ASC) so `>` (strict) semantics hold; purchases at identical
-    (user_id, ts) are pre-deduped to MAX(event_id) to make the match
-    deterministic on both engines.
+    (user_id, ts) need no pre-aggregation — ordering the window by
+    purchase_id ASC makes ``last(ignorenulls)`` pick the MAX purchase_id
+    of a tie group, the same value the oracle's MAX() dedup produces,
+    without spending a groupBy shuffle on it. The whole operator is ONE
+    shuffle (the window partition) end to end.
     """
     ev = load_table(spark, sf_dir, "events")
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("purchase_id"))
-        .select("user_id", "ts", F.lit(1).alias("is_ref"), "purchase_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_ref"),
+        F.col("event_id").alias("purchase_id"),
     )
     probes = ev.select(
         "user_id", "ts", F.lit(0).alias("is_ref"), F.lit(None).cast("long").alias("purchase_id"),
@@ -242,7 +245,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = probes.unionByName(purchases.withColumn("event_id", F.lit(None).cast("long")))
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_ref")
+        .orderBy("ts", "is_ref", "purchase_id")
         .rowsBetween(Window.unboundedPreceding, -1)  # strictly-preceding rows
     )
     return (
