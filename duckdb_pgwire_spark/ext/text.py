@@ -221,3 +221,175 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_id"))
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+    )
+    SELECT doc_id,
+           len(s)                                            AS n_3grams,
+           len(list_distinct(s))                             AS n_uniq_3grams,
+           ROUND(CAST(len(s) - len(list_distinct(s)) AS DOUBLE)
+                 / len(s), 4)                                AS dup_ratio,
+           (CAST(len(s) - len(list_distinct(s)) AS DOUBLE)
+                 / len(s)) <= 0.5                            AS passes_repetition
+    FROM sh
+    """,
+    tags=("ext", "text", "quality"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (Gopher-style): the fraction of
+    3-gram occurrences that are duplicates of an earlier 3-gram in the
+    SAME document. Boilerplate / template / looping-generation text
+    scores high and is dropped before training.
+
+    Pure per-row column expressions — no shuffle at all, whole-stage
+    codegen, trivially parallel at any corpus size.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sh = F.transform(  # NON-distinct shingles: repetition is the signal
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    n = F.size(sh)
+    n_uniq = F.size(F.array_distinct(sh))
+    dup = (n - n_uniq).cast("double") / n
+    return d.filter(F.size(words) >= 3).select(
+        "doc_id",
+        n.alias("n_3grams"),
+        n_uniq.alias("n_uniq_3grams"),
+        F.round(dup, 4).alias("dup_ratio"),
+        (dup <= 0.5).alias("passes_repetition"),
+    )
+
+
+@query(
+    "text_contamination_check",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+    probe AS (
+        SELECT doc_id, len(s) AS n_sh, unnest(s) AS g
+        FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT p.doc_id,
+           COUNT(*)                                    AS n_overlap,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(p.n_sh), 4) AS contamination
+    FROM probe p JOIN bench b ON p.g = b.g
+    GROUP BY p.doc_id
+    """,
+    tags=("ext", "text", "contamination"),
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: which corpus documents share a
+    3-gram shingle with the held-out "benchmark" set (here: every 97th
+    doc), and how much of the document overlaps.
+
+    Scale design: the benchmark side is small and bounded (eval sets are
+    thousands of docs, not billions) — its distinct shingle set is
+    BROADCAST, so the corpus side never shuffles its shingles; the only
+    shuffle is the per-doc overlap count, which carries matching
+    shingles only. This is the standard pre-training decontamination
+    join (e.g. GPT-3 appendix C / PaLM-style 3-gram overlap checks).
+    """
+    from .dedup import _shingles
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sh = d.filter(F.size(words) >= 3).select(
+        "doc_id", _shingles(words).alias("s")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    probe = sh.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("g")
+    )
+    return (
+        probe.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_overlap"),
+            F.round(F.count("*").cast("double") / F.min("n_sh"), 4).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, ROUND(score, 6) AS tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, word) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    tags=("ext", "text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic corpus-statistics
+    pipeline (keyword extraction / topic tagging ahead of training-data
+    curation).
+
+    Scale design: term frequencies shuffle on (doc, word) with map-side
+    partial aggregation; document frequencies aggregate to O(vocab)
+    rows and join back BROADCAST (a natural-language vocabulary is
+    bounded — low millions of terms — regardless of corpus size); the
+    corpus-size scalar joins the same way, keeping everything
+    distributed with no driver-side collect. Top-k per doc is the
+    single-shuffle WindowGroupLimit plan, not a self-join.
+    """
+    from pyspark.sql import Window
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score", F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", F.round("score", 6).alias("tfidf"))
+    )
