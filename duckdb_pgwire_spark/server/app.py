@@ -60,6 +60,11 @@ class _Portal:
     def __init__(self, sql: str) -> None:
         self.sql = sql
         self.df = None  # analyzed lazily (Describe) and reused by Execute
+        # portal-suspension state (Execute with maxrows > 0): a live row
+        # iterator survives across Execute messages until exhausted
+        self.it: Iterator | None = None
+        self.keep_idx: list[int] | None = None
+        self.sent = 0
 
 
 class _ConnState:
@@ -402,12 +407,18 @@ class PgWireServer:
                         raise _WireError(f"portal {name!r} does not exist", "34000")
                     await self._describe_sql(p.sql, writer, session, portal=p)
             elif tag == b"E":
-                name, _maxrows = P.parse_execute(payload)
+                name, maxrows = P.parse_execute(payload)
                 p = state.portals.get(name)
                 if p is None:
                     raise _WireError(f"portal {name!r} does not exist", "34000")
+                first = p.sql.lstrip().split(None, 1)[0].upper() if p.sql.strip() else ""
                 if not p.sql:
                     writer.write(P.empty_query_response())
+                elif p.it is not None or (maxrows > 0 and first in self._ROW_WORDS):
+                    # portal suspension: stream up to maxrows rows, keep
+                    # the iterator alive, answer PortalSuspended until
+                    # the result is exhausted (JDBC setFetchSize path)
+                    await self._execute_portal(p, maxrows, writer, session)
                 else:
                     await self._run_statement(
                         p.sql,
@@ -427,6 +438,56 @@ class PgWireServer:
             writer.write(P.error_response(_exc_message(exc), _sqlstate(exc)))
             await writer.drain()
             state.skip_to_sync = True
+
+    async def _execute_portal(
+        self,
+        p: _Portal,
+        maxrows: int,
+        writer: asyncio.StreamWriter,
+        session: SparkSession,
+    ) -> None:
+        """Execute honoring the row limit: DataRows then PortalSuspended
+        (more pending) or CommandComplete (exhausted). The row iterator
+        lives on the portal across Execute messages — Close or Sync-less
+        reuse both work, as in PG."""
+        loop = asyncio.get_running_loop()
+        if p.it is None:
+            df = (
+                p.df
+                if p.df is not None
+                else await loop.run_in_executor(self._pool, session.sql, rewrite(p.sql))
+            )
+            p.keep_idx = [
+                i
+                for i, f in enumerate(df.schema.fields)
+                if not self.reference_compat or reference_visible(f.dataType)
+            ]
+            p.it = await loop.run_in_executor(
+                self._pool, lambda: iter(df.toLocalIterator())
+            )
+            p.sent = 0
+        limit = maxrows if maxrows > 0 else None
+        n = 0
+        while True:
+            want = _BATCH_ROWS if limit is None else min(_BATCH_ROWS, limit - n)
+            if want == 0:
+                p.sent += n
+                writer.write(P.portal_suspended())
+                await writer.drain()
+                return
+            batch = await loop.run_in_executor(
+                self._pool, _next_batch, p.it, want, p.keep_idx
+            )
+            for encoded in batch:
+                writer.write(P.data_row(encoded))
+            n += len(batch)
+            await writer.drain()
+            if len(batch) < want:  # iterator exhausted
+                p.it = None
+                p.sent += n
+                writer.write(P.command_complete(_command_tag(p.sql, p.sent)))
+                await writer.drain()
+                return
 
     async def _describe_sql(
         self,

@@ -119,6 +119,11 @@ def close_complete() -> bytes:
     return _msg(b"3", b"")
 
 
+def portal_suspended() -> bytes:
+    """Execute hit its row limit with (possibly) more rows pending."""
+    return _msg(b"s", b"")
+
+
 def no_data() -> bytes:
     return _msg(b"n", b"")
 

@@ -155,6 +155,59 @@ class PgClient:
             elif tag == b"Z":
                 return out
 
+    def extended_fetch(self, sql: str, maxrows: int) -> dict:
+        """Parse/Bind once, then Execute(maxrows)+Flush repeatedly until
+        CommandComplete — exercises portal suspension (JDBC
+        setFetchSize / psycopg server-side-cursor style paging)."""
+        self._send_msg(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!H", 0))
+        self._send_msg(
+            b"B",
+            b"\x00\x00" + struct.pack("!H", 0) + struct.pack("!H", 0) + struct.pack("!H", 0),
+        )
+        out: dict = {"rows": [], "batches": [], "events": []}
+        done = False
+        while not done:
+            self._send_msg(b"E", b"\x00" + struct.pack("!i", maxrows))
+            self._send_msg(b"H", b"")
+            batch = 0
+            while True:
+                tag, body = self._read_msg()
+                out["events"].append(tag.decode())
+                if tag == b"D":
+                    (nc,) = struct.unpack("!H", body[:2])
+                    off, row = 2, []
+                    for _ in range(nc):
+                        (ln,) = struct.unpack("!i", body[off : off + 4])
+                        off += 4
+                        if ln == -1:
+                            row.append(None)
+                        else:
+                            row.append(body[off : off + ln].decode())
+                            off += ln
+                    out["rows"].append(row)
+                    batch += 1
+                elif tag == b"s":
+                    break
+                elif tag == b"C":
+                    out["tag"] = body.rstrip(b"\x00").decode()
+                    done = True
+                    break
+                elif tag == b"E":
+                    fields = {}
+                    for part in body.split(b"\x00"):
+                        if part:
+                            fields[chr(part[0])] = part[1:].decode()
+                    out["error"] = fields.get("M", "?")
+                    out["sqlstate"] = fields.get("C")
+                    done = True
+                    break
+            out["batches"].append(batch)
+        self._send_msg(b"S", b"")
+        while True:
+            tag, _body = self._read_msg()
+            if tag == b"Z":
+                return out
+
     def close(self) -> None:
         self.sock.sendall(b"X" + struct.pack("!I", 4))
         self.sock.close()

@@ -766,3 +766,34 @@ def test_extended_query_error_recovers(client):
     # next cycle on the same connection works (skip-to-Sync recovery)
     out = client.extended_query("SELECT 5 AS v")
     assert out["rows"] == [["5"]]
+
+
+def test_extended_portal_suspension(client):
+    """Execute with maxrows pages the result: DataRows + PortalSuspended
+    until the iterator drains, then CommandComplete with the TOTAL count
+    (JDBC setFetchSize / psycopg named-cursor paging)."""
+    out = client.extended_fetch(
+        "SELECT id FROM range(25) ORDER BY id", maxrows=10
+    )
+    assert "error" not in out, out
+    assert out["batches"] == [10, 10, 5]
+    assert out["events"].count("s") == 2
+    assert out["tag"] == "SELECT 25"
+    assert [r[0] for r in out["rows"]] == [str(i) for i in range(25)]
+
+
+def test_extended_portal_suspension_exact_boundary(client):
+    # maxrows divides the row count exactly: one extra suspend, then an
+    # empty final Execute answers CommandComplete
+    out = client.extended_fetch("SELECT id FROM range(20) ORDER BY id", maxrows=10)
+    assert "error" not in out, out
+    assert out["tag"] == "SELECT 20"
+    assert sum(out["batches"]) == 20
+
+
+def test_extended_maxrows_zero_streams_all(client):
+    out = client.extended_fetch("SELECT id FROM range(7) ORDER BY id", maxrows=0)
+    assert "error" not in out, out
+    assert out["batches"] == [7]
+    assert out["events"].count("s") == 0
+    assert out["tag"] == "SELECT 7"
