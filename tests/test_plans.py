@@ -136,3 +136,31 @@ def test_topk_per_group_gets_window_group_limit(spark):
     O(k) and O(group size) memory per key at 100 TB."""
     df = _q("win_qualify_topk").fn(spark, SF_DIR)
     assert "WindowGroupLimit" in I.simple_plan(df)
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    """Guards: shuffling the full corpus's shingles to meet the (small,
+    bounded) benchmark shingle set — the bench side must broadcast so
+    the corpus side stays map-local until the per-doc overlap count."""
+    df = _q("text_contamination_check").fn(spark, SF_DIR)
+    joins = I.join_nodes(df)
+    assert "BroadcastHashJoin" in joins, joins
+    assert "SortMergeJoin" not in joins, joins
+
+
+def test_tfidf_topk_and_broadcast_vocab(spark):
+    """Guards: (a) vocabulary join shuffling the (doc,word) side — the
+    O(vocab) document-frequency table must broadcast; (b) top-3-per-doc
+    sorting whole documents' term lists instead of WindowGroupLimit."""
+    df = _q("text_tfidf_top_terms").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """Guards: the asof recipe regressing to a pre-dedup groupBy (two
+    exchanges) — union-merge needs exactly ONE shuffle: the window
+    partition on user_id."""
+    df = _q("join_asof").fn(spark, SF_DIR)
+    assert I.exchange_count(df) == 1, I.simple_plan(df)[:1500]
