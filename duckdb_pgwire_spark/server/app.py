@@ -35,7 +35,14 @@ from pyspark.sql import DataFrame, SparkSession
 import re
 
 from . import protocol as P
-from .compat import _lex, parse_copy, rewrite, split_statements, split_top_level
+from .compat import (
+    _lex,
+    parse_copy,
+    parse_copy_from,
+    rewrite,
+    split_statements,
+    split_top_level,
+)
 from .typemap import encode_cell, pg_oid, reference_visible
 
 log = logging.getLogger("duckdb_pgwire_spark.server")
@@ -651,6 +658,15 @@ class PgWireServer:
             writer.write(P.command_complete(f"COPY {nrows}"))
             await writer.drain()
             return
+        copy_from = parse_copy_from(stmt)
+        if copy_from is not None:
+            table, path, fmt = copy_from
+            nrows = await loop.run_in_executor(
+                self._pool, self._run_copy_from, table, path, fmt, session
+            )
+            writer.write(P.command_complete(f"COPY {nrows}"))
+            await writer.drain()
+            return
         sql = rewrite(stmt)
         if first == "SET":
             # tolerate PG-style `SET k TO v` (session GUCs) that Spark's
@@ -726,6 +742,26 @@ class PgWireServer:
         writer.write(P.command_complete(_command_tag(stmt, nrows)))
         await writer.drain()
 
+
+    def _run_copy_from(
+        self, table: str, path: str, fmt: str, session: SparkSession | None = None
+    ) -> int:
+        """COPY <table> FROM: distributed read with the target table's
+        declared schema (no inference — PG loads into a known table),
+        appended via insertInto. Reading is as parallel as the source
+        file layout; no driver-side row handling."""
+        s = session or self.spark
+        tgt = s.table(table)
+        if fmt == "csv":
+            df = s.read.schema(tgt.schema).option("header", "true").csv(path)
+        elif fmt == "json":
+            df = s.read.schema(tgt.schema).json(path)
+        else:
+            df = s.read.parquet(path)
+        df = df.select(*tgt.columns)
+        n = df.count()
+        df.write.mode("append").insertInto(table)
+        return n
 
     def _run_copy(
         self, inner_sql: str, path: str, fmt: str, session: SparkSession | None = None

@@ -519,6 +519,28 @@ _COPY = re.compile(
 )
 
 
+_COPY_FROM = re.compile(
+    r"^\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)[^)]*\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_copy_from(stmt: str) -> tuple[str, str, str] | None:
+    """DuckDB/PG ``COPY <table> FROM 'path' (FORMAT fmt)`` →
+    (table, path, format). Bulk load into an existing table; the server
+    reads with the TARGET table's schema (PG semantics: COPY FROM loads
+    into a pre-declared table, no inference) and appends. Format
+    defaults from the file extension like parse_copy."""
+    m = _COPY_FROM.match(stmt)
+    if not m:
+        return None
+    table, path, fmt = m.group(1), m.group(2), m.group(3)
+    if not fmt:
+        ext = path.rsplit(".", 1)[-1].lower()
+        fmt = ext if ext in ("parquet", "csv", "json") else "parquet"
+    return table, path, fmt.lower()
+
+
 def parse_copy(stmt: str) -> tuple[str, str, str] | None:
     """DuckDB/PG ``COPY <table|(query)> TO 'path' (FORMAT fmt)`` →
     (inner select SQL, path, format). Spark has no COPY statement; the

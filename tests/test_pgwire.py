@@ -252,6 +252,41 @@ def test_wire_copy_to_parquet(client, tmp_path):
     assert back["rows"] == [["5"]]
 
 
+def test_wire_copy_from_roundtrip(client, spark, tmp_path):
+    """COPY TO then COPY FROM — bulk unload/load cycle over the wire
+    (the reference reaches DuckDB's COPY FROM by the same delegation)."""
+    out = tmp_path / "copy_cycle.parquet"
+    (res,) = client.query(f"COPY (SELECT r_regionkey, r_name FROM region) TO '{out}'")
+    assert res.get("tag") == "COPY 5", res
+    spark.sql("DROP TABLE IF EXISTS copy_tgt")
+    (res,) = client.query("CREATE TABLE copy_tgt(r_regionkey bigint, r_name string)")
+    assert "error" not in res, res
+    (res,) = client.query(f"COPY copy_tgt FROM '{out}' (FORMAT PARQUET)")
+    assert res.get("tag") == "COPY 5", res
+    # append semantics: a second load doubles the rows
+    (res,) = client.query(f"COPY copy_tgt FROM '{out}'")
+    assert res.get("tag") == "COPY 5", res
+    (back,) = client.query("SELECT COUNT(*) AS n, COUNT(DISTINCT r_name) AS d FROM copy_tgt")
+    assert back["rows"] == [["10", "5"]]
+    spark.sql("DROP TABLE IF EXISTS copy_tgt")
+
+
+def test_wire_copy_from_csv(client, spark, tmp_path):
+    out = tmp_path / "copy_csv_dir"
+    (res,) = client.query(
+        f"COPY (SELECT n_nationkey, n_name FROM nation) TO '{out}' (FORMAT CSV)"
+    )
+    assert res.get("tag") == "COPY 25", res
+    spark.sql("DROP TABLE IF EXISTS copy_csv_tgt")
+    (res,) = client.query("CREATE TABLE copy_csv_tgt(n_nationkey bigint, n_name string)")
+    assert "error" not in res, res
+    (res,) = client.query(f"COPY copy_csv_tgt FROM '{out}' (FORMAT CSV)")
+    assert res.get("tag") == "COPY 25", res
+    (back,) = client.query("SELECT MIN(n_nationkey) AS lo, MAX(n_nationkey) AS hi FROM copy_csv_tgt")
+    assert back["rows"] == [["0", "24"]]
+    spark.sql("DROP TABLE IF EXISTS copy_csv_tgt")
+
+
 def test_wire_sqlstate_mapping(client):
     (res,) = client.query("SELECT * FROM table_that_is_not_there")
     assert res["sqlstate"] == "42P01", res  # undefined_table
