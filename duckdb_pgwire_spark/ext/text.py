@@ -339,6 +339,95 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_corpus_curation",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang, text, w,
+               list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+        FROM base WHERE len(w) >= 3
+    ),
+    q AS (
+        SELECT doc_id, lang, text FROM sh
+        WHERE length(text) BETWEEN 50 AND 10000
+          AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2
+          AND CAST(len(s) - len(list_distinct(s)) AS DOUBLE) / len(s) <= 0.5
+    ),
+    dedup AS (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM q
+    ),
+    sampled AS (
+        SELECT doc_id, lang, text FROM dedup
+        WHERE rn = 1
+          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7')
+    )
+    SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+           SUM(length(text)) AS total_chars
+    FROM sampled GROUP BY lang
+    """,
+    tags=("ext", "text", "pipeline"),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan: quality
+    filter (length band + uniqueness) → repetition filter (duplicate
+    3-gram ratio) → exact dedup keeping the lowest doc_id per content
+    hash → deterministic 50% hash sample → per-language stats.
+
+    This is the composition story: each stage is the same logic as its
+    standalone operator (text_quality_score / text_repetition_ratio /
+    dedup_exact / sample_hash_deterministic), but expressed as one
+    DataFrame so Catalyst fuses the three map-side filters into a
+    single scan pass — the only shuffles are the dedup window on
+    md5(text) and the final tiny groupBy(lang). At 100 TB that is scan
+    → filter (fused, pushdown-friendly) → one content-hash shuffle →
+    O(langs) rows out.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    uniq_ratio = F.size(F.array_distinct(words)).cast("double") / F.size(words)
+    dup_ratio = (F.size(sh) - F.size(F.array_distinct(sh))).cast("double") / F.size(sh)
+    from pyspark.sql import Window
+
+    w_hash = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.filter(
+            (F.size(words) >= 3)
+            & F.length("text").between(50, 10000)
+            & (uniq_ratio > 0.2)
+            & (dup_ratio <= 0.5)
+        )
+        .withColumn("rn", F.row_number().over(w_hash))
+        .filter(
+            (F.col("rn") == 1)
+            & F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            )
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+
+
+@query(
     "text_tfidf_top_terms",
     oracle="""
     WITH tokens AS (
