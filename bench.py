@@ -107,9 +107,10 @@ def main() -> None:
 
 
 def _scale_check(spark, defs) -> dict[str, float]:
-    """Optional: replicate lineitem/orders 16x into /tmp (idempotent,
-    FK-preserving key shift) and report flagship wall-ratios — the
-    does-the-plan-absorb-growth sanity (BASELINE.md 'scale-sanity')."""
+    """Optional: replicate lineitem/orders AND the documents corpus 16x
+    into /tmp (idempotent, key-shifted so replicas stay distinct) and
+    report wall-ratios for the flagships plus the [EXT] text pipeline —
+    the does-the-plan-absorb-growth sanity (BASELINE.md 'scale-sanity')."""
     from pyspark.sql import functions as F
 
     from duckdb_pgwire_spark.session import load_table
@@ -127,12 +128,28 @@ def _scale_check(spark, defs) -> dict[str, float]:
         o.crossJoin(reps).withColumn(
             "o_orderkey", F.col("o_orderkey") + F.col("rep") * maxo
         ).drop("rep").repartition(32).write.parquet(f"{dst}/orders.parquet")
+        d = load_table(spark, src, "documents")
+        maxd = d.agg(F.max("doc_id")).first()[0] + 1
+        # replica docs get a per-replica word prefix so near-dup
+        # structure is preserved but replicas aren't trivial clones
+        d.crossJoin(reps).withColumn(
+            "doc_id", F.col("doc_id") + F.col("rep") * maxd
+        ).withColumn(
+            "text", F.concat(F.lit("r"), F.col("rep").cast("string"), F.lit(" "), "text")
+        ).drop("rep").repartition(32).write.parquet(f"{dst}/documents.parquet")
         for t in ("region", "nation", "customer", "supplier", "part"):
             load_table(spark, src, t).write.mode("overwrite").parquet(
                 f"{dst}/{t}.parquet"
             )
     ratios = {}
-    for name in ("q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue"):
+    for name in (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q6_forecast_revenue",
+        "dedup_minhash_lsh",
+        "text_contamination_check",
+        "text_tfidf_top_terms",
+    ):
         t_small = _time_query(defs[name].fn, spark, src)
         t_big = _time_query(defs[name].fn, spark, dst)
         ratios[name] = round(t_big / t_small, 2)
