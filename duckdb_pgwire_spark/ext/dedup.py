@@ -346,9 +346,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERIFICATION-ONLY at scale: the label-blocked self-join is still
     O(n²) *within* a block, so this form is for validating candidates /
     small corpora. The production path for unlabeled 100 TB corpora is
-    sign-LSH bucketing (``sim_lsh_bucketed``) to propose candidates,
-    then exact cosine on the candidate pairs only — the same
-    propose/verify split as dedup_ngram_jaccard over MinHash.
+    ``dedup_embedding_cosine_lsh`` (similarity.py): sign-LSH buckets
+    propose candidates, exact cosine verifies only those pairs — the
+    same propose/verify split as dedup_ngram_jaccard over MinHash.
 
     Cosine is computed with identical operation order on both engines
     (sequential dot then norms, all in DOUBLE) so the rounded values

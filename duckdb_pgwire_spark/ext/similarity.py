@@ -354,3 +354,105 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("*").alias("n_candidates"))
     )
+
+
+# ------------------------------------------- LSH-wired embedding dedup
+
+# Bucket cap for ALL-PAIRS dedup (vs per-query retrieval above): with
+# B=6 sign bits a uniform corpus puts ~|corpus|/64 vectors in a bucket,
+# so the cap bounds the quadratic expansion of pathological (near-
+# duplicate-cluster) buckets, exactly like dedup.LSH_BUCKET_CAP for
+# minhash; members of an over-cap bucket are mutual near-dups anyway.
+EMB_BUCKET_CAP = 256
+
+_COS_FOLD = (
+    "list_aggregate(list_transform(range(1, {dim}), i -> {a}[i] * {b}[i]), 'sum')"
+)
+_PAIR_COS = (
+    f"{_COS_FOLD.format(dim=DIM + 1, a='a.e', b='b.e')}"
+    f" / (sqrt({_COS_FOLD.format(dim=DIM + 1, a='a.e', b='a.e')})"
+    f" * sqrt({_COS_FOLD.format(dim=DIM + 1, a='b.e', b='b.e')}))"
+)
+
+_EMB_DEDUP_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    sig AS ({" UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {{b{t}}} AS bucket FROM v" for t in range(N_TABLES)
+    )}),
+    capped AS (
+        SELECT vec_id, tbl, bucket FROM sig
+        QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket)
+                BETWEEN 2 AND {EMB_BUCKET_CAP}
+    ),
+    pairs AS (
+        SELECT DISTINCT p.vec_id AS vec_a, c.vec_id AS vec_b
+        FROM capped p JOIN capped c
+          ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND({_PAIR_COS}, 6) AS cos_sim
+    FROM pairs JOIN v a ON a.vec_id = vec_a JOIN v b ON b.vec_id = vec_b
+    WHERE {_PAIR_COS} > 0.3
+""".format(**{f"b{t}": _bucket_sql_duckdb("e", t) for t in range(N_TABLES)})
+
+
+@query(
+    "dedup_embedding_cosine_lsh",
+    oracle=_EMB_DEDUP_ORACLE,
+    tags=("ext", "dedup", "embedding", "lsh"),
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at scale: sign-LSH buckets PROPOSE
+    candidate pairs, exact cosine (> 0.3) VERIFIES them — the unlabeled
+    production path that replaces ``dedup_embedding_cosine``'s
+    label-blocked O(n²) self-join (verification-only form).
+
+    Pair expansion happens INSIDE capped buckets (collect_list +
+    i<j expansion, mirroring the minhash pipeline) — never a bucket
+    self-join, so the signature kernel runs once and the shuffle
+    carries (bucket, vec_id) rows, O(corpus × L). Verification joins
+    the candidate list back to the vectors twice by vec_id and runs one
+    Arrow-batched cosine kernel per pair — O(candidates), not O(n²).
+    """
+    sig = lsh_signatures(spark, sf_dir)
+    grouped = sig.groupBy("tbl", "bucket").agg(
+        F.array_sort(F.collect_list("vec_id")).alias("ids")
+    )
+    buckets = grouped.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= EMB_BUCKET_CAP)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                    lambda b: F.struct(a.alias("vec_a"), b.alias("vec_b")),
+                ),
+            )
+        )
+    )
+    cand = (
+        buckets.select(pair.alias("p"))
+        .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
+        .distinct()
+    )
+    v = load_table_parallel(spark, sf_dir, "embeddings", parts=4).select(
+        "vec_id", "embedding"
+    )
+    cosine_seq = cosine_seq_udf()
+    return (
+        cand.join(
+            v.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")),
+            "vec_a",
+        )
+        .join(
+            v.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")),
+            "vec_b",
+        )
+        .withColumn("cos_raw", cosine_seq(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_raw") > 0.3)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
