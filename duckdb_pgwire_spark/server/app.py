@@ -459,10 +459,13 @@ class PgWireServer:
         reuse both work, as in PG."""
         loop = asyncio.get_running_loop()
         if p.it is None:
+            rewritten = rewrite(p.sql)
+            if p.df is None and _PG_CATALOG_RE.search(rewritten):
+                await loop.run_in_executor(self._pool, _refresh_pg_catalog, session)
             df = (
                 p.df
                 if p.df is not None
-                else await loop.run_in_executor(self._pool, session.sql, rewrite(p.sql))
+                else await loop.run_in_executor(self._pool, session.sql, rewritten)
             )
             p.keep_idx = [
                 i
@@ -510,7 +513,10 @@ class PgWireServer:
             writer.write(P.no_data())
             return
         loop = asyncio.get_running_loop()
-        df = await loop.run_in_executor(self._pool, session.sql, rewrite(sql))
+        rewritten = rewrite(sql)
+        if _PG_CATALOG_RE.search(rewritten):
+            await loop.run_in_executor(self._pool, _refresh_pg_catalog, session)
+        df = await loop.run_in_executor(self._pool, session.sql, rewritten)
         if portal is not None:
             portal.df = df
         fields = [
@@ -680,6 +686,8 @@ class PgWireServer:
             writer.write(P.command_complete("SET"))
             await writer.drain()
             return
+        if _PG_CATALOG_RE.search(sql):
+            await loop.run_in_executor(self._pool, _refresh_pg_catalog, session)
         # "prepare": analysis only — schema is known before execution,
         # exactly like conn.Prepare → GetNames/GetTypes (cpp:52,62-64).
         df: DataFrame = (
@@ -797,6 +805,34 @@ def _sqlstate(exc: Exception) -> str:
     if "Analysis" in name:
         return "42000"
     return "22000"
+
+
+def _refresh_pg_catalog(session: SparkSession) -> None:
+    """Minimal pg_catalog emulation: the reference's DuckDB ships real
+    pg_catalog views (pg_tables, pg_views, pg_namespace, ...) that psql
+    and BI tools query on connect; here they are rebuilt on demand from
+    the Spark catalog as temp views of the same names (the shim strips
+    the pg_catalog. qualifier)."""
+    cat = session.catalog
+    db = cat.currentDatabase()
+    tables, views = [], []
+    for t in cat.listTables():
+        if (t.tableType or "").upper() in ("VIEW", "TEMPORARY", "TEMP"):
+            views.append((t.namespace[0] if t.namespace else db, t.name, "spark"))
+        else:
+            tables.append((t.namespace[0] if t.namespace else db, t.name, "spark"))
+    session.createDataFrame(
+        tables, "schemaname string, tablename string, tableowner string"
+    ).coalesce(1).createOrReplaceTempView("pg_tables")
+    session.createDataFrame(
+        views, "schemaname string, viewname string, viewowner string"
+    ).coalesce(1).createOrReplaceTempView("pg_views")
+    session.createDataFrame(
+        [(db,), ("pg_catalog",)], "nspname string"
+    ).coalesce(1).createOrReplaceTempView("pg_namespace")
+
+
+_PG_CATALOG_RE = re.compile(r"\bpg_(tables|views|namespace)\b", re.IGNORECASE)
 
 
 def _next_batch(it: Iterator, n: int, keep_idx: list[int]) -> list[list[bytes | None]]:

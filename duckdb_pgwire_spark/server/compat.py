@@ -214,6 +214,17 @@ def _rewrite_code(seg: str) -> str:
     # bare varchar/bpchar (no length) in DDL → STRING
     seg = re.sub(r"\bvarchar\b(?!\s*\()", "STRING", seg, flags=re.IGNORECASE)
     seg = re.sub(r"\bbpchar\b(?!\s*\()", "STRING", seg, flags=re.IGNORECASE)
+    # PG handshake introspection: clients parse version() expecting a
+    # 'PostgreSQL X.Y' prefix (Spark's version() returns its own string);
+    # pg_catalog-qualified relations resolve to the server-maintained
+    # temp views of the same names (app._refresh_pg_catalog).
+    seg = re.sub(
+        r"\bversion\s*\(\s*\)",
+        "'PostgreSQL 15.0 (duckdb_pgwire_spark, Apache Spark engine)'",
+        seg,
+        flags=re.IGNORECASE,
+    )
+    seg = re.sub(r"\bpg_catalog\s*\.\s*", "", seg, flags=re.IGNORECASE)
     return seg
 
 

@@ -287,6 +287,24 @@ def test_wire_copy_from_csv(client, spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS copy_csv_tgt")
 
 
+def test_wire_version_and_pg_catalog(client, spark):
+    """Connect-time introspection: clients parse version() for a
+    'PostgreSQL' prefix and list relations via pg_catalog.pg_tables —
+    DuckDB behind the reference answers both natively."""
+    (res,) = client.query("SELECT version() AS v")
+    assert res["rows"][0][0].startswith("PostgreSQL "), res
+    spark.sql("DROP TABLE IF EXISTS pgcat_demo")
+    (res,) = client.query("CREATE TABLE pgcat_demo(x int)")
+    assert "error" not in res, res
+    (res,) = client.query(
+        "SELECT tablename FROM pg_catalog.pg_tables WHERE tablename = 'pgcat_demo'"
+    )
+    assert res["rows"] == [["pgcat_demo"]], res
+    (res,) = client.query("SELECT nspname FROM pg_namespace ORDER BY nspname")
+    assert ["pg_catalog"] in res["rows"], res
+    spark.sql("DROP TABLE IF EXISTS pgcat_demo")
+
+
 def test_wire_sqlstate_mapping(client):
     (res,) = client.query("SELECT * FROM table_that_is_not_there")
     assert res["sqlstate"] == "42P01", res  # undefined_table
