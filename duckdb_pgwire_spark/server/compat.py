@@ -225,6 +225,20 @@ def _rewrite_code(seg: str) -> str:
         flags=re.IGNORECASE,
     )
     seg = re.sub(r"\bpg_catalog\s*\.\s*", "", seg, flags=re.IGNORECASE)
+    # DuckDB USING SAMPLE → Spark TABLESAMPLE (approximate on both
+    # engines; row/percent forms only — reservoir options unmapped)
+    seg = re.sub(
+        r"\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT\b)",
+        r"TABLESAMPLE (\1 PERCENT)",
+        seg,
+        flags=re.IGNORECASE,
+    )
+    seg = re.sub(
+        r"\bUSING\s+SAMPLE\s+(\d+)\s+ROWS\b",
+        r"TABLESAMPLE (\1 ROWS)",
+        seg,
+        flags=re.IGNORECASE,
+    )
     return seg
 
 
@@ -472,8 +486,29 @@ def _rewrite_qualify(sql: str) -> str:
     return f"{out} {tail}" if tail else out
 
 
+_READ_FILE = re.compile(
+    r"\bread_(parquet|json_auto|json)\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE
+)
+
+
+def _rewrite_read_files(sql: str) -> str:
+    """DuckDB ``read_parquet('p')`` / ``read_json[_auto]('p')`` →
+    Spark's ``parquet.`p`` / ``json.`p`` direct-file relations (the
+    reference's primary data-access idiom — DuckDB over files).
+    ``read_csv[_auto]`` is deliberately unmapped: DuckDB auto-detects
+    headers, Spark's csv.`p` does not — silent column shift; fail loudly
+    per the shim's policy."""
+
+    def sub(m: re.Match) -> str:
+        fmt = "parquet" if m.group(1).lower() == "parquet" else "json"
+        return f"{fmt}.`{m.group(2)}`"
+
+    return _READ_FILE.sub(sub, sql)
+
+
 def rewrite(sql: str) -> str:
     """Apply the full dialect pre-pass to one statement."""
+    sql = _rewrite_read_files(sql)  # before literal split: needs the path string
     sql = _rewrite_strftime(sql)  # before literal split: needs the fmt string
     sql = _rewrite_list_aggregate(sql)  # ditto: needs the quoted agg name
     sql = _rewrite_distinct_on(sql)

@@ -287,6 +287,19 @@ def test_wire_copy_from_csv(client, spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS copy_csv_tgt")
 
 
+def test_wire_read_parquet_and_sample(client):
+    """DuckDB spellings: read_parquet('path') file relations and
+    USING SAMPLE — both execute through the dialect shim."""
+    (res,) = client.query(
+        "SELECT count(*) AS n FROM read_parquet('/root/testdata/sf0.001/region.parquet')"
+    )
+    assert res["rows"] == [["5"]], res
+    (res,) = client.query("SELECT r_name FROM region USING SAMPLE 3 ROWS")
+    assert len(res["rows"]) == 3, res
+    (res,) = client.query("SELECT count(*) AS n FROM lineitem USING SAMPLE 100 PERCENT")
+    assert "error" not in res, res
+
+
 def test_wire_version_and_pg_catalog(client, spark):
     """Connect-time introspection: clients parse version() for a
     'PostgreSQL' prefix and list relations via pg_catalog.pg_tables —
