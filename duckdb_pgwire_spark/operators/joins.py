@@ -284,3 +284,57 @@ def join_lateral_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generator runs inside the scan stage — no shuffle at all."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     return d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "bucketed"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both tables written bucketBy(8) on the
+    join key, so the sort-merge join consumes the tables' on-disk hash
+    partitioning and needs NO exchange on either side (asserted in
+    tests/test_plans.py) — the only shuffle in the whole plan is the
+    final tiny groupBy(segment).
+
+    This is the 100 TB pattern for repeated fact-fact joins: pay the
+    partitioning once at write time, join exchange-free forever after —
+    on a cluster this is the difference between re-shuffling 100 TB per
+    query and zero join-time network traffic. (The ``merge`` hint pins
+    SMJ so the demo doesn't degenerate to broadcast at toy scale; at
+    real scale neither side fits the broadcast threshold anyway.)
+    """
+    import tempfile
+
+    for name, key, cols in (
+        ("orders", "o_custkey", ("o_custkey", "o_totalprice")),
+        ("customer", "c_custkey", ("c_custkey", "c_mktsegment")),
+    ):
+        tbl = f"bkt_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        loc = tempfile.mkdtemp(prefix=f"bkt_{name}_")  # see dml note
+        (
+            load_table(spark, sf_dir, name)
+            .select(*cols)
+            .write.option("path", loc)
+            .bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    o = spark.table("bkt_orders")
+    c = spark.table("bkt_customer")
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

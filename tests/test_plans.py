@@ -158,6 +158,18 @@ def test_tfidf_topk_and_broadcast_vocab(spark):
     assert "WindowGroupLimit" in plan, plan[:1500]
 
 
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Guards: the bucketed join re-shuffling its inputs anyway — with
+    both sides bucketBy(8) on the key, the ONLY exchange in the plan
+    must be the final groupBy; the sort-merge join reads the buckets'
+    hash layout directly. At 100 TB this is zero join-time network
+    traffic vs re-shuffling both tables every query."""
+    df = _q("join_bucketed_colocated").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert I.exchange_count(df) == 1, plan[:1500]
+
+
 def test_asof_join_is_single_shuffle(spark):
     """Guards: the asof recipe regressing to a pre-dedup groupBy (two
     exchanges) — union-merge needs exactly ONE shuffle: the window
