@@ -198,6 +198,56 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with an extra join-side predicate,
+    then a DOUBLE aggregation (per-customer order count → histogram of
+    counts).
+
+    Scale design: the left join keys both sides on custkey (one
+    shuffle, or broadcast at small SF via AQE); the first aggregation
+    reuses the join's clustering (groupBy on the same key — no second
+    exchange); the histogram aggregation shuffles O(distinct counts)
+    rows. The non-key predicate rides ON the join (not a post-filter) —
+    filtering after a LEFT join would wrongly drop customers with only
+    urgent orders.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        # histogram cardinality is O(max orders per customer) — bounded;
+        # single-partition sort, not a RangePartitioning exchange (see q1)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
     "q6_forecast_revenue",
     oracle="""
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
