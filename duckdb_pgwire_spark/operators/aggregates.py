@@ -351,3 +351,54 @@ def agg_any_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value(F.upper("c_mktsegment")).alias("seg_upper"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_funnel_conversion",
+    oracle="""
+    WITH stage AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        COUNT(*) AS n_users,
+        SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
+        SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)   AS clicked_after_view,
+        SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+                 THEN 1 ELSE 0 END)                         AS purchased_in_order
+    FROM stage
+    """,
+    tags=("agg", "funnel"),
+)
+def agg_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel / sequential-pattern analysis: per-user first-touch times
+    for view → click → purchase, rolled into ordered-conversion counts.
+
+    The classic product-analytics (and event-log curation) shape done
+    as CONDITIONAL AGGREGATION: one shuffle on user_id with map-side
+    partial MINs, then a scalar rollup — never a per-stage self-join,
+    which is the naive funnel implementation that re-shuffles the event
+    log once per funnel step. NULL comparisons drop non-converters on
+    both engines identically (NULL > NULL is NULL → CASE falls through).
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_touch(et: str, alias: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts"))).alias(alias)
+
+    stage = ev.groupBy("user_id").agg(
+        first_touch("view", "t_view"),
+        first_touch("click", "t_click"),
+        first_touch("purchase", "t_purchase"),
+    )
+    ordered = F.col("t_click") > F.col("t_view")
+    full = ordered & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("viewed"),
+        F.sum(F.when(ordered, 1).otherwise(0)).alias("clicked_after_view"),
+        F.sum(F.when(full, 1).otherwise(0)).alias("purchased_in_order"),
+    )
