@@ -482,3 +482,37 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", F.round("score", 6).alias("tfidf"))
     )
+
+
+@query(
+    "text_scrub_patterns",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\b(the|and|der|und|le|et|el|y)\b'))
+               AS n_scrubbed,
+           md5(regexp_replace(text, '\b(the|and|der|und|le|et|el|y)\b',
+                              '[TERM]', 'g')) AS scrubbed_hash
+    FROM documents
+    """,
+    tags=("ext", "text", "scrub"),
+)
+def text_scrub_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scrubbing (the PII-redaction shape): regex-replace every
+    match of a term set with a placeholder and count the redactions.
+    Real pipelines swap the pattern for emails/phones/SSNs — same plan:
+    a pure per-row map stage (regexp_replace + regexp_count), zero
+    shuffle, trivially parallel. The scrubbed text is emitted as its
+    md5 (compact deterministic witness that both engines produced the
+    identical redacted string).
+
+    Dialect note: DuckDB's regexp_replace is first-match-only without
+    the 'g' flag; Spark's replaces all matches — the oracle passes 'g'
+    so semantics agree.
+    """
+    pattern = r"\b(the|and|der|und|le|et|el|y)\b"
+    d = load_table_parallel(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pattern)).alias("n_scrubbed"),
+        F.md5(F.regexp_replace("text", pattern, "[TERM]")).alias("scrubbed_hash"),
+    )
