@@ -93,3 +93,40 @@ def fn_string_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(t, "([a-z]+) join", 1).alias("word_before_join"),
         F.regexp_replace(t, r"\s+", "_").alias("underscored"),
     )
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS lev,
+           (levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20)
+               AS near_match
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id < 100
+    """,
+    tags=("function", "string", "distance"),
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity (levenshtein) between neighboring
+    documents' prefixes — the fuzzy-matching primitive behind
+    record-linkage / near-dup candidate verification. Both engines
+    implement the identical unit-cost Levenshtein, so values match
+    exactly. The adjacent-pair join keys on doc_id (equi-join, no
+    cross product); the distance itself is a JVM built-in, no UDF.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    a = d.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa")
+    )
+    b = d.select((F.col("doc_id") - 1).alias("doc_a"), F.col("prefix").alias("pb"),
+                 F.col("doc_id").alias("doc_b"))
+    lev = F.levenshtein("pa", "pb")
+    return a.join(b, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        lev.alias("lev"),
+        (lev <= 20).alias("near_match"),
+    )
