@@ -193,3 +193,65 @@ def win_sql_named(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@query(
+    "ts_gap_fill_forward",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, ROUND(SUM(value), 2) AS v
+        FROM events WHERE user_id < 20 GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY user_id),
+    spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    joined AS (
+        SELECT s.user_id, s.h, hv.v
+        FROM spine s LEFT JOIN hourly hv ON hv.user_id = s.user_id AND hv.h = s.h
+    )
+    SELECT user_id, h, (v IS NULL) AS was_gap,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM joined
+    """,
+    tags=("window", "timeseries"),
+)
+def ts_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + forward fill (the hypertable
+    ``time_bucket_gapfill``/``locf`` shape): per-user hourly grid
+    between first and last activity, LEFT-joined to the hourly
+    aggregate, missing hours carried forward with the last observation.
+
+    Scale design: the spine is GENERATED per user from two aggregate
+    bounds (explode(sequence(...)) — O(hours) rows, no driver loop, no
+    cross join with a global calendar), the join keys on (user, hour),
+    and the fill is one window pass ordered by the grid — everything
+    clusters on user_id, so the grid build, join, and fill share one
+    shuffle footprint at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "h",
+        F.col("v").isNull().alias("was_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
