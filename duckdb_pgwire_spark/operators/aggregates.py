@@ -402,3 +402,48 @@ def agg_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(ordered, 1).otherwise(0)).alias("clicked_after_view"),
         F.sum(F.when(full, 1).otherwise(0)).alias("purchased_in_order"),
     )
+
+
+@query(
+    "agg_cohort_retention",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    first_wk AS (SELECT user_id, MIN(wk) AS cohort FROM activity GROUP BY user_id)
+    SELECT f.cohort,
+           date_diff('day', f.cohort, a.wk) // 7 AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN first_wk f ON a.user_id = f.user_id
+    GROUP BY f.cohort, week_offset
+    """,
+    tags=("agg", "cohort"),
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    per week-offset of return activity — the standard retention matrix.
+
+    Scale design: activity dedups to (user, week) — one shuffle with
+    map-side partials; the first-week table derives from the SAME
+    clustering (groupBy user on already-user-clustered rows); the
+    cohort join keys on user_id; the output is O(weeks²) rows at any
+    corpus size. Week truncation (Monday start) and day-difference
+    arithmetic agree across engines by construction — offsets are
+    exact multiples of 7 days.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    first_wk = activity.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        activity.join(first_wk, "user_id")
+        .select(
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
