@@ -447,3 +447,41 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "agg_histogram_width_bucket",
+    oracle="""
+    -- DuckDB has no width_bucket; the PG/Spark semantics spelled out:
+    -- [lo,hi) split into n equal buckets 1..n, 0/n+1 = under/overflow
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 500000.0 THEN 11
+                ELSE 1 + CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT)
+           END AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (identical bucket edge
+    semantics on both engines: n+2 buckets with 0/n+1 as under/over-
+    flow). The distribution-profiling primitive — one scan, map-side
+    partials, O(buckets) shuffle rows at any data size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(10)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

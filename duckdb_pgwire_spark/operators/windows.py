@@ -255,3 +255,38 @@ def ts_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("was_gap"),
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@query(
+    "win_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT prev, event_type AS next, COUNT(*) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, next
+    """,
+    tags=("window", "sequence"),
+)
+def win_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (first-order path analysis): each
+    user's clickstream ordered by time, lag() pairs consecutive events,
+    transitions aggregate to an O(types²) matrix — the input to funnel
+    diagnosis and Markov attribution models. One window shuffle on
+    user_id, one O(types²) aggregation; ties broken by event_id for
+    cross-engine determinism.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    return (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+    )
