@@ -290,3 +290,41 @@ def win_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev", F.col("event_type").alias("next"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "win_share_of_total",
+    oracle="""
+    WITH per_nation AS (
+        SELECT n_name, ROUND(SUM(c_acctbal), 2) AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, bal,
+           ROUND(bal / SUM(bal) OVER (), 6) AS share
+    FROM per_nation
+    """,
+    tags=("window", "ratio"),
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (percent-of-report): per-nation balance divided by
+    the grand total via an UNPARTITIONED window over the aggregate.
+
+    Scale note: the global window runs over the POST-aggregate rows
+    (O(nations), not O(customers)) — the aggregation shuffles once, the
+    share pass touches 25 rows on one partition. Rounding the numerator
+    before the ratio keeps the division bit-identical across engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("bal"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        "bal",
+        F.round(F.col("bal") / F.sum("bal").over(w), 6).alias("share"),
+    )
