@@ -338,3 +338,41 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey < 100
+    """,
+    tags=("join", "lateral"),
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    orders per customer) — the SQL-standard lateral form both engines
+    parse (DuckDB spells the join with a comma, Spark with JOIN
+    LATERAL). Catalyst decorrelates the lateral into a window-based
+    plan rather than re-executing the subquery per outer row — the same
+    rewrite a hand-written row_number()<=2 would produce, so it scales
+    as one shuffle, not O(customers) subqueries.
+    """
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 100
+        """
+    )
