@@ -485,3 +485,33 @@ def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+           -- each engine runs its own sketch (t-digest vs KLL-ish); the
+           -- portable contract is the accuracy band, as in agg_approx_distinct
+           (ABS(approx_quantile(l_extendedprice, 0.5)
+                - quantile_cont(l_extendedprice, 0.5))
+              <= 0.05 * quantile_cont(l_extendedprice, 0.5)) AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — the mergeable-sketch percentile that replaces
+    exact (sort-based) quantiles at 100 TB. Sketch values are
+    engine-specific, so the oracle checks the shared contract: the
+    approximation lands within 5% of the exact median (the same
+    bound-check pattern as agg_approx_distinct)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = F.expr("percentile(l_extendedprice, 0.5)")
+    approx = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    return li.groupBy("l_returnflag").agg(
+        F.round(exact, 4).alias("exact_median"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
+    )
