@@ -18,8 +18,10 @@ sketches with engine-specific estimates) register with ``oracle=None``
 from __future__ import annotations
 
 import importlib
+import json
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -87,9 +89,57 @@ def load_all() -> dict[str, QueryDef]:
     return dict(_REGISTRY)
 
 
+def _driver_green_names() -> set[str]:
+    """Entries already verified green by the driver in any past round.
+
+    The driver's per-round correctness harness checks a bounded prefix of
+    ``queries()`` (50 entries in rounds 1-2), so iteration order decides
+    coverage. We read every ``CORRECTNESS_r*.json`` at the repo root and
+    collect the entries that passed; ordering puts everything else first,
+    which rotates the driver's window onto never-verified entries each
+    round automatically as new result files land.
+    """
+    green: set[str] = set()
+    root = Path(__file__).resolve().parent.parent
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            results = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(results, dict):
+            continue
+        for name, res in results.items():
+            if not isinstance(res, dict):
+                continue
+            ok = (
+                res.get("err") is None
+                and res.get("rows_match", True)
+                and res.get("schema_match", True)
+                and res.get("hash_match", True) in (True, None)
+            )
+            if ok:
+                green.add(name)
+    return green
+
+
+def ordered_names() -> list[str]:
+    """Registry names, never-driver-verified entries first (stable within)."""
+    defs = load_all()
+    green = _driver_green_names()
+    unseen = [n for n in defs if n not in green]
+    seen = [n for n in defs if n in green]
+    return unseen + seen
+
+
 def spark_queries() -> dict[str, QueryFn]:
-    return {name: qd.fn for name, qd in load_all().items()}
+    defs = load_all()
+    return {name: defs[name].fn for name in ordered_names()}
 
 
 def oracle_queries() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in load_all().items() if qd.oracle is not None}
+    defs = load_all()
+    return {
+        name: defs[name].oracle
+        for name in ordered_names()
+        if defs[name].oracle is not None
+    }
