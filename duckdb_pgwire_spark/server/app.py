@@ -124,32 +124,62 @@ def _param_literal(p: bytes | None) -> str:
     s = p.decode()
     if _NUMERIC_RE.match(s) or s.lower() in ("true", "false"):
         return s
-    return "'" + s.replace("'", "''") + "'"
+    # Spark's parser treats backslash as an escape inside string literals
+    # (unlike PG standard_conforming_strings), so backslashes must be
+    # doubled too or a value ending in '\' breaks out of the literal.
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+_PLACEHOLDER_RE = re.compile(r"\$(\d+)|\?")
+
+
+def _count_params(sql: str) -> int:
+    """Parameter count for Describe('S'): scan only code segments (a
+    ``$1`` inside a string literal is data), and size by the MAX ``$N``
+    index — PG numbers parameters, so ``$1, $3`` means three slots — plus
+    any ``?`` placeholders, which are positional."""
+    max_dollar = 0
+    n_qmark = 0
+    for kind, seg in _lex(sql):
+        if kind != "code":
+            continue
+        for m in _PLACEHOLDER_RE.finditer(seg):
+            if m.group(1) is not None:
+                max_dollar = max(max_dollar, int(m.group(1)))
+            else:
+                n_qmark += 1
+    return max_dollar + n_qmark
 
 
 def _substitute_params(sql: str, args: list[str]) -> str:
     """Inline EXECUTE arguments into ``$N`` / ``?`` placeholders (code
-    segments only — a ``$1`` inside a string literal is data)."""
+    segments only — a ``$1`` inside a string literal is data). One
+    left-to-right pass over the original text: inserted replacement text
+    is never re-scanned, so a bound value containing ``?`` or ``$2``
+    cannot be mistaken for a placeholder."""
     out: list[str] = []
-    qmark = iter(args)
-
-    def dollar(m: re.Match) -> str:
-        i = int(m.group(1))
-        if not 1 <= i <= len(args):
-            raise _WireError(f"no parameter ${i} (got {len(args)} args)", "42P02")
-        return args[i - 1]
-
+    qmark_idx = 0
     for kind, seg in _lex(sql):
         if kind != "code":
             out.append(seg)
             continue
-        seg = re.sub(r"\$(\d+)", dollar, seg)
-        while "?" in seg:
-            try:
-                seg = seg.replace("?", next(qmark), 1)
-            except StopIteration:
-                raise _WireError("not enough EXECUTE arguments for ?", "42P02") from None
-        out.append(seg)
+        pos = 0
+        for m in _PLACEHOLDER_RE.finditer(seg):
+            out.append(seg[pos : m.start()])
+            if m.group(1) is not None:
+                i = int(m.group(1))
+                if not 1 <= i <= len(args):
+                    raise _WireError(
+                        f"no parameter ${i} (got {len(args)} args)", "42P02"
+                    )
+                out.append(args[i - 1])
+            else:
+                if qmark_idx >= len(args):
+                    raise _WireError("not enough EXECUTE arguments for ?", "42P02")
+                out.append(args[qmark_idx])
+                qmark_idx += 1
+            pos = m.end()
+        out.append(seg[pos:])
     return "".join(out)
 
 
@@ -400,11 +430,11 @@ class PgWireServer:
                             f"prepared statement {name!r} does not exist", "26000"
                         )
                     sql = state.ext_stmts[name]
-                    n_params = len(set(re.findall(r"\$(\d+)", sql)))
+                    n_params = _count_params(sql)
                     writer.write(P.parameter_description([25] * n_params))
                     # schema preview: analyze with NULL-substituted params
                     await self._describe_sql(
-                        _substitute_params(sql, ["NULL"] * max(n_params, 9)),
+                        _substitute_params(sql, ["NULL"] * n_params),
                         writer,
                         session,
                     )
@@ -657,18 +687,18 @@ class PgWireServer:
             return
         copy = parse_copy(stmt)
         if copy is not None:
-            inner, path, fmt = copy
+            inner, path, fmt, header = copy
             nrows = await loop.run_in_executor(
-                self._pool, self._run_copy, rewrite(inner), path, fmt, session
+                self._pool, self._run_copy, rewrite(inner), path, fmt, header, session
             )
             writer.write(P.command_complete(f"COPY {nrows}"))
             await writer.drain()
             return
         copy_from = parse_copy_from(stmt)
         if copy_from is not None:
-            table, path, fmt = copy_from
+            table, path, fmt, header = copy_from
             nrows = await loop.run_in_executor(
-                self._pool, self._run_copy_from, table, path, fmt, session
+                self._pool, self._run_copy_from, table, path, fmt, header, session
             )
             writer.write(P.command_complete(f"COPY {nrows}"))
             await writer.drain()
@@ -752,16 +782,22 @@ class PgWireServer:
 
 
     def _run_copy_from(
-        self, table: str, path: str, fmt: str, session: SparkSession | None = None
+        self,
+        table: str,
+        path: str,
+        fmt: str,
+        header: bool = False,
+        session: SparkSession | None = None,
     ) -> int:
         """COPY <table> FROM: distributed read with the target table's
         declared schema (no inference — PG loads into a known table),
         appended via insertInto. Reading is as parallel as the source
-        file layout; no driver-side row handling."""
+        file layout; no driver-side row handling. CSV is headerless
+        unless the statement's HEADER option says otherwise (PG default)."""
         s = session or self.spark
         tgt = s.table(table)
         if fmt == "csv":
-            df = s.read.schema(tgt.schema).option("header", "true").csv(path)
+            df = s.read.schema(tgt.schema).option("header", str(header).lower()).csv(path)
         elif fmt == "json":
             df = s.read.schema(tgt.schema).json(path)
         else:
@@ -772,7 +808,12 @@ class PgWireServer:
         return n
 
     def _run_copy(
-        self, inner_sql: str, path: str, fmt: str, session: SparkSession | None = None
+        self,
+        inner_sql: str,
+        path: str,
+        fmt: str,
+        header: bool = False,
+        session: SparkSession | None = None,
     ) -> int:
         """COPY ... TO: DataFrameWriter is the Spark-native file sink
         (distributed write — the path gets a directory of part files,
@@ -782,7 +823,7 @@ class PgWireServer:
         n = df.count()
         writer = df.write.mode("overwrite")
         if fmt == "csv":
-            writer.option("header", "true").csv(path)
+            writer.option("header", str(header).lower()).csv(path)
         elif fmt == "json":
             writer.json(path)
         else:

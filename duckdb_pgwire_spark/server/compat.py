@@ -560,45 +560,65 @@ def split_statements(sql: str) -> list[str]:
 
 
 _COPY = re.compile(
-    r"^\s*COPY\s+(\(.*\)|\w+)\s+TO\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)[^)]*\))?\s*$",
+    r"^\s*COPY\s+(\(.*\)|\w+)\s+TO\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
 _COPY_FROM = re.compile(
-    r"^\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)[^)]*\))?\s*$",
+    r"^\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
+_COPY_FORMAT_OPT = re.compile(r"\bFORMAT\s+(\w+)", re.IGNORECASE)
+_COPY_HEADER_OPT = re.compile(r"\bHEADER(?:\s+(\w+))?", re.IGNORECASE)
 
-def parse_copy_from(stmt: str) -> tuple[str, str, str] | None:
-    """DuckDB/PG ``COPY <table> FROM 'path' (FORMAT fmt)`` →
-    (table, path, format). Bulk load into an existing table; the server
-    reads with the TARGET table's schema (PG semantics: COPY FROM loads
-    into a pre-declared table, no inference) and appends. Format
-    defaults from the file extension like parse_copy."""
+
+def _copy_options(opts: str | None, path: str) -> tuple[str, bool]:
+    """(format, header) from a COPY option list. Format defaults from
+    the file extension; HEADER defaults FALSE (PG/DuckDB semantics —
+    COPY csv is headerless unless HEADER [true] is given)."""
+    fmt = None
+    header = False
+    if opts:
+        fm = _COPY_FORMAT_OPT.search(opts)
+        if fm:
+            fmt = fm.group(1)
+        hm = _COPY_HEADER_OPT.search(opts)
+        if hm:
+            header = (hm.group(1) or "true").lower() in ("true", "on", "1")
+    if not fmt:
+        ext = path.rsplit(".", 1)[-1].lower()
+        fmt = ext if ext in ("parquet", "csv", "json") else "parquet"
+    return fmt.lower(), header
+
+
+def parse_copy_from(stmt: str) -> tuple[str, str, str, bool] | None:
+    """DuckDB/PG ``COPY <table> FROM 'path' (FORMAT fmt, HEADER)`` →
+    (table, path, format, header). Bulk load into an existing table; the
+    server reads with the TARGET table's schema (PG semantics: COPY FROM
+    loads into a pre-declared table, no inference) and appends. Format
+    defaults from the file extension like parse_copy; HEADER defaults
+    false (PG default — a standard headerless CSV must not lose row 1)."""
     m = _COPY_FROM.match(stmt)
     if not m:
         return None
-    table, path, fmt = m.group(1), m.group(2), m.group(3)
-    if not fmt:
-        ext = path.rsplit(".", 1)[-1].lower()
-        fmt = ext if ext in ("parquet", "csv", "json") else "parquet"
-    return table, path, fmt.lower()
+    table, path, opts = m.group(1), m.group(2), m.group(3)
+    fmt, header = _copy_options(opts, path)
+    return table, path, fmt, header
 
 
-def parse_copy(stmt: str) -> tuple[str, str, str] | None:
-    """DuckDB/PG ``COPY <table|(query)> TO 'path' (FORMAT fmt)`` →
-    (inner select SQL, path, format). Spark has no COPY statement; the
-    server executes it as DataFrameWriter (the reference reaches DuckDB's
-    COPY through the same delegated path, SURVEY.md §2.3). Format
-    defaults from the file extension (parquet/csv/json)."""
+def parse_copy(stmt: str) -> tuple[str, str, str, bool] | None:
+    """DuckDB/PG ``COPY <table|(query)> TO 'path' (FORMAT fmt, HEADER)``
+    → (inner select SQL, path, format, header). Spark has no COPY
+    statement; the server executes it as DataFrameWriter (the reference
+    reaches DuckDB's COPY through the same delegated path, SURVEY.md
+    §2.3). Format defaults from the file extension (parquet/csv/json);
+    HEADER defaults false, matching PG COPY TO csv."""
     m = _COPY.match(stmt)
     if not m:
         return None
-    src, path, fmt = m.group(1), m.group(2), m.group(3)
+    src, path, opts = m.group(1), m.group(2), m.group(3)
     inner = src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
-    if not fmt:
-        ext = path.rsplit(".", 1)[-1].lower()
-        fmt = ext if ext in ("parquet", "csv", "json") else "parquet"
-    return inner, path, fmt.lower()
+    fmt, header = _copy_options(opts, path)
+    return inner, path, fmt, header

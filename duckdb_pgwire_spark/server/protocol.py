@@ -128,10 +128,6 @@ def no_data() -> bytes:
     return _msg(b"n", b"")
 
 
-def portal_suspended() -> bytes:
-    return _msg(b"s", b"")
-
-
 def parameter_description(oids: list[int]) -> bytes:
     return _msg(b"t", struct.pack("!H", len(oids)) + b"".join(
         struct.pack("!I", o) for o in oids

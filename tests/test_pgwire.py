@@ -287,6 +287,38 @@ def test_wire_copy_from_csv(client, spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS copy_csv_tgt")
 
 
+def test_wire_copy_csv_header_option(client, spark, tmp_path):
+    """COPY csv defaults HEADERLESS (PG semantics — ADVICE r2: hardcoded
+    header=true silently dropped row 1 of standard CSVs); explicit
+    HEADER [true] is honored on both TO and FROM."""
+    from duckdb_pgwire_spark.server.compat import parse_copy, parse_copy_from
+
+    assert parse_copy_from("COPY t FROM '/x.csv' (FORMAT CSV)") == (
+        "t", "/x.csv", "csv", False)
+    assert parse_copy_from("COPY t FROM '/x.csv' (FORMAT CSV, HEADER)") == (
+        "t", "/x.csv", "csv", True)
+    assert parse_copy_from("COPY t FROM '/x.csv' (FORMAT CSV, HEADER false)") == (
+        "t", "/x.csv", "csv", False)
+    assert parse_copy("COPY t TO '/x.csv' (HEADER true, FORMAT CSV)") == (
+        "SELECT * FROM t", "/x.csv", "csv", True)
+
+    # headerless file loaded with default options keeps every row
+    out = tmp_path / "hdr_cycle"
+    (res,) = client.query(
+        f"COPY (SELECT r_regionkey, r_name FROM region) TO '{out}' "
+        "(FORMAT CSV, HEADER)"
+    )
+    assert res.get("tag") == "COPY 5", res
+    spark.sql("DROP TABLE IF EXISTS copy_hdr_tgt")
+    (res,) = client.query("CREATE TABLE copy_hdr_tgt(r_regionkey bigint, r_name string)")
+    assert "error" not in res, res
+    (res,) = client.query(f"COPY copy_hdr_tgt FROM '{out}' (FORMAT CSV, HEADER)")
+    assert res.get("tag") == "COPY 5", res
+    (back,) = client.query("SELECT COUNT(*) AS n FROM copy_hdr_tgt")
+    assert back["rows"] == [["5"]]
+    spark.sql("DROP TABLE IF EXISTS copy_hdr_tgt")
+
+
 def test_wire_read_parquet_and_sample(client):
     """DuckDB spellings: read_parquet('path') file relations and
     USING SAMPLE — both execute through the dialect shim."""
@@ -797,6 +829,50 @@ def test_extended_query_with_params(client):
     assert out["rows"] == [["42", "bob"]]
     out = client.extended_query("SELECT $1 IS NULL AS is_null", [None])
     assert out["rows"] == [["t"]]
+
+
+def test_extended_query_param_containing_placeholder_chars(client):
+    """A bound string containing '?' or '$2' is DATA — one-pass
+    substitution must not re-scan inserted text (ADVICE r2: psycopg text
+    param 'any luck?' previously corrupted the statement)."""
+    out = client.extended_query("SELECT $1 AS a, $2 AS b", ["any luck?", "x"])
+    assert "error" not in out, out
+    assert out["rows"] == [["any luck?", "x"]]
+    out = client.extended_query("SELECT $1 AS a", ["costs $2 now?"])
+    assert "error" not in out, out
+    assert out["rows"] == [["costs $2 now?"]]
+
+
+def test_extended_query_param_backslash_injection(client):
+    """A bound value ending in a backslash (or containing \\') must not
+    break out of the generated literal (ADVICE r2: Spark treats
+    backslash as an escape inside string literals, unlike PG)."""
+    out = client.extended_query("SELECT $1 AS v", ["trailing\\"])
+    assert "error" not in out, out
+    assert out["rows"] == [["trailing\\"]]
+    out = client.extended_query("SELECT $1 AS v, 2 AS two", ["a\\', 1 AS two --"])
+    assert "error" not in out, out
+    assert out["rows"] == [["a\\', 1 AS two --", "2"]]
+    out = client.extended_query("SELECT length($1) AS n", ["\\\\"])
+    assert "error" not in out, out
+    assert out["rows"] == [["2"]]
+
+
+def test_extended_query_ten_plus_params(client):
+    """$10+ placeholders: Describe sizes by the max $N index, not a
+    hard-coded cap of 9 (ADVICE r2)."""
+    sql = "SELECT " + " + ".join(f"${i}" for i in range(1, 12)) + " AS total"
+    out = client.extended_query(sql, [str(i) for i in range(1, 12)])
+    assert "error" not in out, out
+    assert out["rows"] == [[str(sum(range(1, 12)))]]
+
+
+def test_extended_query_dollar_in_literal_not_param(client):
+    """A $1 inside a string literal is data, for both Describe's param
+    count and substitution."""
+    out = client.extended_query("SELECT '$1 each' AS price, $1 AS v", ["7"])
+    assert "error" not in out, out
+    assert out["rows"] == [["$1 each", "7"]]
 
 
 def test_extended_query_fixture_join(client):
