@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import asyncio
 import concurrent.futures
+import itertools
 import logging
 import os
 import struct
@@ -87,6 +88,7 @@ class _ConnState:
         self.ext_stmts: dict[str, str] = {}  # Parse'd statements (raw SQL)
         self.portals: dict[str, _Portal] = {}
         self.skip_to_sync = False  # extended-protocol error recovery
+        self.job_tag = ""  # Spark job tag for CancelRequest targeting
 
 
 # Statements that mutate state (for rollback honesty).
@@ -225,6 +227,32 @@ class PgWireServer:
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=max_workers)
         self._server: asyncio.AbstractServer | None = None
         self._writers: set[asyncio.StreamWriter] = set()
+        # CancelRequest routing: secret key (sent in BackendKeyData) →
+        # Spark job tag of that connection's in-flight queries.
+        self._cancel_tags: dict[int, str] = {}
+        self._key_counter = itertools.count(1)
+
+    # ------------------------------------------------------------ execution
+
+    def _exec(self, session: SparkSession, tag: str, fn, *args):
+        """Run fn in the worker pool with this connection's Spark job tag
+        set on the worker thread (thread-local in Spark) so a concurrent
+        CancelRequest can kill exactly this connection's running jobs via
+        cancelJobsWithTag — true cancellation, not just a dropped socket."""
+        loop = asyncio.get_running_loop()
+
+        def call():
+            sc = session.sparkContext
+            sc.clearJobTags()
+            if tag:
+                sc.addJobTag(tag)
+                sc.setInterruptOnCancel(True)
+            try:
+                return fn(*args)
+            finally:
+                sc.clearJobTags()
+
+        return loop.run_in_executor(self._pool, call)
 
     # ------------------------------------------------------------ lifecycle
 
@@ -260,8 +288,10 @@ class PgWireServer:
         self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
     ) -> None:
         self._writers.add(writer)
+        cancel_key: int | None = None
         try:
-            if not await self._startup(reader, writer):
+            cancel_key = await self._startup(reader, writer)
+            if cancel_key is None:
                 return
             if self.isolate_sessions:
                 loop = asyncio.get_running_loop()
@@ -275,12 +305,16 @@ class PgWireServer:
                 session = await loop.run_in_executor(self._pool, make_session)
             else:
                 session = self.spark
-            await self._query_loop(reader, writer, session)
+            await self._query_loop(
+                reader, writer, session, self._cancel_tags[cancel_key]
+            )
         except (asyncio.IncompleteReadError, ConnectionResetError):
             pass
         except Exception:  # noqa: BLE001
             log.exception("session crashed")
         finally:
+            if cancel_key is not None:
+                self._cancel_tags.pop(cancel_key, None)
             self._writers.discard(writer)
             writer.close()
             try:
@@ -290,7 +324,9 @@ class PgWireServer:
 
     async def _startup(
         self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
-    ) -> bool:
+    ) -> int | None:
+        """Handshake; returns the connection's cancel key (registered in
+        _cancel_tags) or None when no query loop should start."""
         while True:
             raw = await reader.readexactly(4)
             (length,) = struct.unpack("!I", raw)
@@ -301,11 +337,24 @@ class PgWireServer:
                 await writer.drain()
                 continue
             if code == P.CANCEL_REQUEST:
-                return False
+                # Out-of-band cancel: kill the target connection's Spark
+                # jobs (not merely this throwaway socket). PG never
+                # answers a CancelRequest.
+                if len(payload) >= 12:
+                    _pid, key = struct.unpack("!II", payload[4:12])
+                    tag = self._cancel_tags.get(key)
+                    if tag:
+                        loop = asyncio.get_running_loop()
+                        await loop.run_in_executor(
+                            self._pool,
+                            self.spark.sparkContext.cancelJobsWithTag,
+                            tag,
+                        )
+                return None
             if code != P.PROTOCOL_V3:
                 writer.write(P.error_response(f"unsupported protocol {code}", "08P01"))
                 await writer.drain()
-                return False
+                return None
             params = P.parse_startup_payload(payload[4:])
             log.info("startup: %s", params)
             break
@@ -320,10 +369,12 @@ class PgWireServer:
             ("standard_conforming_strings", "on"),
         ):
             writer.write(P.parameter_status(k, v))
-        writer.write(P.backend_key_data(os.getpid() & 0x7FFFFFFF, 0))
+        key = next(self._key_counter) & 0x7FFFFFFF
+        self._cancel_tags[key] = f"pgwire-conn-{key}"
+        writer.write(P.backend_key_data(os.getpid() & 0x7FFFFFFF, key))
         writer.write(P.ready_for_query())
         await writer.drain()
-        return True
+        return key
 
     # ------------------------------------------------------------ queries
 
@@ -332,8 +383,10 @@ class PgWireServer:
         reader: asyncio.StreamReader,
         writer: asyncio.StreamWriter,
         session: SparkSession,
+        job_tag: str = "",
     ) -> None:
         state = _ConnState()
+        state.job_tag = job_tag
         while True:
             tag = await reader.readexactly(1)
             (length,) = struct.unpack("!I", await reader.readexactly(4))
@@ -455,7 +508,9 @@ class PgWireServer:
                     # portal suspension: stream up to maxrows rows, keep
                     # the iterator alive, answer PortalSuspended until
                     # the result is exhausted (JDBC setFetchSize path)
-                    await self._execute_portal(p, maxrows, writer, session)
+                    await self._execute_portal(
+                        p, maxrows, writer, session, tag=state.job_tag
+                    )
                 else:
                     await self._run_statement(
                         p.sql,
@@ -482,6 +537,7 @@ class PgWireServer:
         maxrows: int,
         writer: asyncio.StreamWriter,
         session: SparkSession,
+        tag: str = "",
     ) -> None:
         """Execute honoring the row limit: DataRows then PortalSuspended
         (more pending) or CommandComplete (exhausted). The row iterator
@@ -495,15 +551,15 @@ class PgWireServer:
             df = (
                 p.df
                 if p.df is not None
-                else await loop.run_in_executor(self._pool, session.sql, rewritten)
+                else await self._exec(session, tag, session.sql, rewritten)
             )
             p.keep_idx = [
                 i
                 for i, f in enumerate(df.schema.fields)
                 if not self.reference_compat or reference_visible(f.dataType)
             ]
-            p.it = await loop.run_in_executor(
-                self._pool, lambda: iter(df.toLocalIterator())
+            p.it = await self._exec(
+                session, tag, lambda: iter(df.toLocalIterator())
             )
             p.sent = 0
         limit = maxrows if maxrows > 0 else None
@@ -515,8 +571,8 @@ class PgWireServer:
                 writer.write(P.portal_suspended())
                 await writer.drain()
                 return
-            batch = await loop.run_in_executor(
-                self._pool, _next_batch, p.it, want, p.keep_idx
+            batch = await self._exec(
+                session, tag, _next_batch, p.it, want, p.keep_idx
             )
             for encoded in batch:
                 writer.write(P.data_row(encoded))
@@ -661,16 +717,17 @@ class PgWireServer:
                 if parsed is None:
                     raise _WireError("syntax error in UPDATE", "42601")
                 table, assignments, pred = parsed
-                n = await loop.run_in_executor(
-                    self._pool, update_table, session, table, assignments, pred
+                n = await self._exec(
+                    session, state.job_tag, update_table, session, table,
+                    assignments, pred,
                 )
             else:
                 parsed = parse_delete(sql)
                 if parsed is None:
                     raise _WireError("syntax error in DELETE", "42601")
                 table, pred = parsed
-                n = await loop.run_in_executor(
-                    self._pool, delete_from, session, table, pred
+                n = await self._exec(
+                    session, state.job_tag, delete_from, session, table, pred
                 )
             writer.write(P.command_complete(f"{first} {n}"))
             await writer.drain()
@@ -681,15 +738,16 @@ class PgWireServer:
             spec = parse_merge(rewrite(stmt))
             if spec is None:
                 raise _WireError("syntax error in MERGE", "42601")
-            n = await loop.run_in_executor(self._pool, merge_into, session, spec)
+            n = await self._exec(session, state.job_tag, merge_into, session, spec)
             writer.write(P.command_complete(f"MERGE {n}"))
             await writer.drain()
             return
         copy = parse_copy(stmt)
         if copy is not None:
             inner, path, fmt, header = copy
-            nrows = await loop.run_in_executor(
-                self._pool, self._run_copy, rewrite(inner), path, fmt, header, session
+            nrows = await self._exec(
+                session, state.job_tag, self._run_copy, rewrite(inner), path,
+                fmt, header, session,
             )
             writer.write(P.command_complete(f"COPY {nrows}"))
             await writer.drain()
@@ -697,8 +755,9 @@ class PgWireServer:
         copy_from = parse_copy_from(stmt)
         if copy_from is not None:
             table, path, fmt, header = copy_from
-            nrows = await loop.run_in_executor(
-                self._pool, self._run_copy_from, table, path, fmt, header, session
+            nrows = await self._exec(
+                session, state.job_tag, self._run_copy_from, table, path,
+                fmt, header, session,
             )
             writer.write(P.command_complete(f"COPY {nrows}"))
             await writer.drain()
@@ -723,9 +782,12 @@ class PgWireServer:
         df: DataFrame = (
             pre_df
             if pre_df is not None
-            else await loop.run_in_executor(self._pool, session.sql, sql)
+            else await self._exec(session, state.job_tag, session.sql, sql)
         )
-        await self._stream_df(df, stmt, writer, send_row_desc=send_row_desc)
+        await self._stream_df(
+            df, stmt, writer, send_row_desc=send_row_desc,
+            session=session, tag=state.job_tag,
+        )
 
     async def _stream_df(
         self,
@@ -734,11 +796,12 @@ class PgWireServer:
         writer: asyncio.StreamWriter,
         *,
         send_row_desc: bool,
+        session: SparkSession | None = None,
+        tag: str = "",
     ) -> None:
         """Stream a DataFrame as [RowDescription +] DataRows +
         CommandComplete (the extended protocol sends RowDescription only
         from Describe, never from Execute)."""
-        loop = asyncio.get_running_loop()
         # Cells are addressed by POSITION throughout: PySpark Row name
         # lookup returns the first matching field, so duplicate output
         # names (SELECT 1 AS a, 2 AS a) would silently repeat the first
@@ -757,14 +820,15 @@ class PgWireServer:
             )
         # "execute": stream partitions driver-side, write DataRows in
         # bounded batches — chunk-at-a-time like cpp:119-165, no collect.
+        sess = session or self.spark
         nrows = 0
         if fields:
-            it: Iterator = await loop.run_in_executor(
-                self._pool, lambda: iter(df.toLocalIterator())
+            it: Iterator = await self._exec(
+                sess, tag, lambda: iter(df.toLocalIterator())
             )
             while True:
-                batch = await loop.run_in_executor(
-                    self._pool, _next_batch, it, _BATCH_ROWS, keep_idx
+                batch = await self._exec(
+                    sess, tag, _next_batch, it, _BATCH_ROWS, keep_idx
                 )
                 if not batch:
                     break
@@ -774,7 +838,7 @@ class PgWireServer:
                 await writer.drain()
         else:
             # DDL/DML or a fully-dropped schema: run for effect, count rows
-            nrows = await loop.run_in_executor(self._pool, lambda: df.count())
+            nrows = await self._exec(sess, tag, df.count)
             if self.reference_compat and df.schema.fields:
                 nrows = 0
         writer.write(P.command_complete(_command_tag(stmt, nrows)))
@@ -840,6 +904,9 @@ def _sqlstate(exc: Exception) -> str:
         state = get()
         if state:
             return state
+    msg = str(exc)
+    if "cancelled" in msg or "canceled" in msg:
+        return "57014"  # query_canceled — CancelRequest killed the jobs
     name = type(exc).__name__
     if "Parse" in name:
         return "42601"

@@ -18,6 +18,8 @@ import sys
 
 class PgClient:
     def __init__(self, host: str = "127.0.0.1", port: int = 15432, user: str = "spark"):
+        self.host, self.port = host, port
+        self.backend_key: tuple[int, int] | None = None  # (pid, secret)
         self.sock = socket.create_connection((host, port), timeout=60)
         payload = struct.pack("!I", 196608)
         for k, v in (("user", user), ("database", "main")):
@@ -42,9 +44,19 @@ class PgClient:
 
     def _drain_until_ready(self) -> None:
         while True:
-            tag, _ = self._read_msg()
+            tag, body = self._read_msg()
+            if tag == b"K":  # BackendKeyData — needed for CancelRequest
+                self.backend_key = struct.unpack("!II", body)
             if tag == b"Z":
                 return
+
+    def cancel(self) -> None:
+        """Out-of-band CancelRequest on a fresh socket (PG wire shape:
+        new connection, 16-byte packet, no response, socket closed)."""
+        pid, key = self.backend_key or (0, 0)
+        s = socket.create_connection((self.host, self.port), timeout=10)
+        s.sendall(struct.pack("!IIII", 16, 80877102, pid, key))
+        s.close()
 
     def query(self, sql: str) -> list[dict]:
         """Returns a list of result dicts: {columns, rows, tag} or {error}."""
