@@ -32,6 +32,7 @@ import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 import re
 
@@ -429,6 +430,7 @@ class PgWireServer:
         "SHOW",
         "DESCRIBE",
         "DESC",
+        "SUMMARIZE",
         "EXPLAIN",
     )
 
@@ -548,11 +550,12 @@ class PgWireServer:
             rewritten = rewrite(p.sql)
             if p.df is None and _PG_CATALOG_RE.search(rewritten):
                 await loop.run_in_executor(self._pool, _refresh_pg_catalog, session)
-            df = (
-                p.df
-                if p.df is not None
-                else await self._exec(session, tag, session.sql, rewritten)
-            )
+            if p.df is not None:
+                df = p.df
+            elif _is_introspection(p.sql):
+                df = await self._exec(session, tag, _introspection_df, session, p.sql)
+            else:
+                df = await self._exec(session, tag, session.sql, rewritten)
             p.keep_idx = [
                 i
                 for i, f in enumerate(df.schema.fields)
@@ -595,14 +598,19 @@ class PgWireServer:
         """RowDescription (or NoData) for Describe; caches the analyzed
         DataFrame on the portal so Execute doesn't re-analyze."""
         first = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
-        if first not in self._ROW_WORDS:
+        if first not in self._ROW_WORDS and not _is_introspection(sql):
             writer.write(P.no_data())
             return
         loop = asyncio.get_running_loop()
         rewritten = rewrite(sql)
         if _PG_CATALOG_RE.search(rewritten):
             await loop.run_in_executor(self._pool, _refresh_pg_catalog, session)
-        df = await loop.run_in_executor(self._pool, session.sql, rewritten)
+        if _is_introspection(sql):
+            df = await loop.run_in_executor(
+                self._pool, _introspection_df, session, sql
+            )
+        else:
+            df = await loop.run_in_executor(self._pool, session.sql, rewritten)
         if portal is not None:
             portal.df = df
         fields = [
@@ -700,6 +708,17 @@ class PgWireServer:
                 state.prepared.pop(name, None)
             writer.write(P.command_complete("DEALLOCATE"))
             await writer.drain()
+            return
+        if first in ("DESCRIBE", "DESC", "SUMMARIZE", "SHOW") and _is_introspection(
+            stmt
+        ):
+            df = await self._exec(
+                session, state.job_tag, _introspection_df, session, stmt
+            )
+            await self._stream_df(
+                df, "SELECT", writer, send_row_desc=send_row_desc,
+                session=session, tag=state.job_tag,
+            )
             return
         if first in ("UPDATE", "DELETE"):
             # Rewrite-on-write DML (no in-place mutation on v1 parquet
@@ -941,6 +960,120 @@ def _refresh_pg_catalog(session: SparkSession) -> None:
 
 
 _PG_CATALOG_RE = re.compile(r"\bpg_(tables|views|namespace)\b", re.IGNORECASE)
+
+
+# --------------------------------------------------- DuckDB introspection
+# DESCRIBE / SHOW TABLES / SUMMARIZE — the first statements a human at a
+# psql prompt types after connecting. The reference delegates them to
+# DuckDB verbatim (cpp:52); Spark's native forms have different output
+# shapes, so these handlers produce DuckDB-shaped results (VERDICT r2
+# item 4).
+
+_INTROSPECT_RE = re.compile(
+    r"^\s*(DESCRIBE|DESC|SUMMARIZE)\s+(.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+(ALL\s+)?TABLES\s*;?\s*$", re.IGNORECASE)
+
+_DUCK_TYPE_MAP = {
+    "string": "VARCHAR",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
+def _duck_type(dt) -> str:
+    s = dt.simpleString()
+    return _DUCK_TYPE_MAP.get(s, s.upper())
+
+
+def _is_introspection(stmt: str) -> bool:
+    return bool(_INTROSPECT_RE.match(stmt) or _SHOW_TABLES_RE.match(stmt))
+
+
+def _relation_df(session: SparkSession, target: str) -> DataFrame:
+    """DESCRIBE/SUMMARIZE accept a table name or a query (DuckDB does)."""
+    head = target.lstrip().split(None, 1)[0].upper() if target.strip() else ""
+    if head in ("SELECT", "WITH", "VALUES", "TABLE") or target.lstrip().startswith("("):
+        return session.sql(rewrite(target.strip().strip("()")))
+    return session.table(target.strip())
+
+
+def _introspection_df(session: SparkSession, stmt: str) -> DataFrame:
+    if _SHOW_TABLES_RE.match(stmt):
+        names = sorted(t.name for t in session.catalog.listTables())
+        return session.createDataFrame([(n,) for n in names], "name string").coalesce(1)
+    m = _INTROSPECT_RE.match(stmt)
+    assert m is not None
+    word, target = m.group(1).upper(), m.group(2)
+    df = _relation_df(session, target)
+    if word in ("DESCRIBE", "DESC"):
+        rows = [
+            (f.name, _duck_type(f.dataType), "YES" if f.nullable else "NO",
+             None, None, None)
+            for f in df.schema.fields
+        ]
+        return session.createDataFrame(
+            rows,
+            "column_name string, column_type string, null string, "
+            "key string, default string, extra string",
+        ).coalesce(1)
+    return _summarize_df(session, df)
+
+
+def _summarize_df(session: SparkSession, df: DataFrame) -> DataFrame:
+    """DuckDB SUMMARIZE: per-column min/max/approx_unique/avg/std/
+    quartiles/count/null_percentage. ONE aggregation pass over the data
+    (all columns' stats in a single job — partial aggs map-side, one
+    row reaches the driver), then a metadata-scale pivot to rows."""
+    from pyspark.sql import types as T
+
+    atomic = (T.NumericType, T.StringType, T.DateType, T.TimestampType,
+              T.TimestampNTZType, T.BooleanType)
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for f in df.schema.fields:
+        c, n = F.col(f.name), f.name
+        is_num = isinstance(f.dataType, T.NumericType)
+        if isinstance(f.dataType, atomic):
+            aggs += [F.min(c).cast("string").alias(f"{n}__min"),
+                     F.max(c).cast("string").alias(f"{n}__max"),
+                     F.approx_count_distinct(c).alias(f"{n}__uniq")]
+        aggs.append(F.count(c).alias(f"{n}__count"))
+        if is_num:
+            aggs += [F.avg(c).cast("double").alias(f"{n}__avg"),
+                     F.stddev(c).cast("double").alias(f"{n}__std"),
+                     F.percentile_approx(c, F.lit([0.25, 0.5, 0.75]))
+                      .cast("array<double>").alias(f"{n}__q")]
+    stats = df.agg(*aggs).first().asDict()
+    total = stats["__total"]
+    rows = []
+    for f in df.schema.fields:
+        n = f.name
+        q = stats.get(f"{n}__q") or [None, None, None]
+        cnt = stats.get(f"{n}__count", 0)
+        rows.append((
+            n, _duck_type(f.dataType),
+            stats.get(f"{n}__min"), stats.get(f"{n}__max"),
+            stats.get(f"{n}__uniq"),
+            stats.get(f"{n}__avg"), stats.get(f"{n}__std"),
+            q[0], q[1], q[2], cnt,
+            round(100.0 * (total - cnt) / total, 2) if total else None,
+        ))
+    return session.createDataFrame(
+        rows,
+        "column_name string, column_type string, min string, max string, "
+        "approx_unique bigint, avg double, std double, "
+        "q25 double, q50 double, q75 double, count bigint, "
+        "null_percentage double",
+    ).coalesce(1)
 
 
 def _next_batch(it: Iterator, n: int, keep_idx: list[int]) -> list[list[bytes | None]]:

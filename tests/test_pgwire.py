@@ -319,6 +319,46 @@ def test_wire_copy_csv_header_option(client, spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS copy_hdr_tgt")
 
 
+def test_wire_describe_table(client):
+    """DuckDB-style DESCRIBE — first-contact psql usability (VERDICT r2
+    item 4; the reference delegates it to DuckDB verbatim, cpp:52)."""
+    (res,) = client.query("DESCRIBE region")
+    assert res["columns"] == [
+        "column_name", "column_type", "null", "key", "default", "extra"
+    ]
+    got = {r[0]: r[1] for r in res["rows"]}
+    assert got == {"r_regionkey": "INTEGER", "r_name": "VARCHAR"}
+    # DESCRIBE <query> works too (DuckDB accepts both)
+    (res,) = client.query("DESCRIBE SELECT 1 AS a, 'x' AS b")
+    got = {r[0]: r[1] for r in res["rows"]}
+    assert got == {"a": "INTEGER", "b": "VARCHAR"}
+
+
+def test_wire_show_tables(client):
+    (res,) = client.query("SHOW TABLES")
+    assert res["columns"] == ["name"]
+    names = [r[0] for r in res["rows"]]
+    assert "region" in names and "nation" in names
+    assert names == sorted(names)
+
+
+def test_wire_summarize(client):
+    (res,) = client.query("SUMMARIZE region")
+    assert res["columns"][:5] == [
+        "column_name", "column_type", "min", "max", "approx_unique"
+    ]
+    rows = {r[0]: r for r in res["rows"]}
+    assert set(rows) == {"r_regionkey", "r_name"}
+    key = rows["r_regionkey"]
+    # min=0, max=4, count=5, null_percentage=0
+    assert key[2] == "0" and key[3] == "4"
+    assert key[10] == "5" and key[11] == "0.0"
+    # string column: no avg/std/quartiles
+    assert rows["r_name"][5] is None
+    (res,) = client.query("SUMMARIZE SELECT n_nationkey FROM nation")
+    assert len(res["rows"]) == 1 and res["rows"][0][0] == "n_nationkey"
+
+
 def test_wire_read_parquet_and_sample(client):
     """DuckDB spellings: read_parquet('path') file relations and
     USING SAMPLE — both execute through the dialect shim."""
@@ -531,7 +571,8 @@ def test_wire_explain_show_describe(client):
     assert "error" not in res, res
     (res,) = client.query("DESCRIBE region")
     assert "error" not in res
-    assert res["rows"][0][0] == "r_regionkey" and res["rows"][0][1] in ("int", "bigint")
+    assert res["rows"][0][0] == "r_regionkey"
+    assert res["rows"][0][1] in ("INTEGER", "BIGINT")  # DuckDB-shaped output
 
 
 def test_wire_concurrent_clients(wire_server):
