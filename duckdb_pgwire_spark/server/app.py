@@ -42,8 +42,10 @@ from .compat import (
     parse_copy,
     parse_copy_from,
     rewrite,
+    rewrite_integer_sums,
     split_statements,
     split_top_level,
+    statement_tables,
 )
 from .typemap import encode_cell, pg_oid, reference_visible
 
@@ -555,7 +557,10 @@ class PgWireServer:
             elif _is_introspection(p.sql):
                 df = await self._exec(session, tag, _introspection_df, session, p.sql)
             else:
-                df = await self._exec(session, tag, session.sql, rewritten)
+                df = await self._exec(
+                    session, tag,
+                    lambda: session.sql(_hugeint_sums(session, rewritten)),
+                )
             p.keep_idx = [
                 i
                 for i, f in enumerate(df.schema.fields)
@@ -610,7 +615,9 @@ class PgWireServer:
                 self._pool, _introspection_df, session, sql
             )
         else:
-            df = await loop.run_in_executor(self._pool, session.sql, rewritten)
+            df = await loop.run_in_executor(
+                self._pool, lambda: session.sql(_hugeint_sums(session, rewritten))
+            )
         if portal is not None:
             portal.df = df
         fields = [
@@ -801,7 +808,10 @@ class PgWireServer:
         df: DataFrame = (
             pre_df
             if pre_df is not None
-            else await self._exec(session, state.job_tag, session.sql, sql)
+            else await self._exec(
+                session, state.job_tag,
+                lambda: session.sql(_hugeint_sums(session, sql)),
+            )
         )
         await self._stream_df(
             df, stmt, writer, send_row_desc=send_row_desc,
@@ -932,6 +942,31 @@ def _sqlstate(exc: Exception) -> str:
     if "Analysis" in name:
         return "42000"
     return "22000"
+
+
+_HAS_SUM_RE = re.compile(r"(?<![\w.])SUM\s*\(", re.IGNORECASE)
+
+
+def _hugeint_sums(session: SparkSession, sql: str) -> str:
+    """Apply rewrite_integer_sums with the integer columns of the
+    statement's tables (catalog lookups — runs in the worker pool).
+    Gives wire SUM(int) DuckDB's HUGEINT semantics: DECIMAL(38,0)
+    accumulation that cannot overflow at 100 TB row counts."""
+    if not _HAS_SUM_RE.search(sql):
+        return sql
+    from pyspark.sql import types as T
+
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    int_cols: set[str] = set()
+    for name in statement_tables(sql):
+        try:
+            fields = session.table(name).schema.fields
+        except Exception:  # noqa: BLE001 — file relations, typos: skip
+            continue
+        int_cols.update(
+            f.name.lower() for f in fields if isinstance(f.dataType, int_types)
+        )
+    return rewrite_integer_sums(sql, int_cols)
 
 
 def _refresh_pg_catalog(session: SparkSession) -> None:

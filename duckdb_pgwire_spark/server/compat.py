@@ -531,6 +531,87 @@ def split_top_level(s: str, sep: str = ",") -> list[str]:
     return parts
 
 
+_SUM_CALL = re.compile(r"(?<![\w.])SUM\s*\(", re.IGNORECASE)
+_SUM_IDENT = re.compile(r"[A-Za-z_][A-Za-z_0-9.]*")
+# tokens allowed in an integer-only sum argument besides identifiers:
+# integer literals, + - * %, parens, whitespace (no '/', no functions —
+# anything else leaves the SUM untouched, which is always safe)
+_SUM_SAFE = re.compile(r"^[\d\s()+\-*%]*$")
+
+
+def rewrite_integer_sums(sql: str, int_cols: set[str]) -> str:
+    """DuckDB ``SUM(int)`` returns HUGEINT (128-bit); Spark's returns
+    LONG, which overflows on a 100 TB count-sum (ANSI mode errors, else
+    wraps). Rewrite ``SUM(expr)`` to DECIMAL(38,0) accumulation when
+    every identifier in expr is a known *integer* column and the rest is
+    integer arithmetic — conservative: any literal, function, non-integer
+    column, or '/' leaves the call unchanged. int_cols holds lowercase
+    unqualified integer column names of the statement's tables."""
+    # char-level mask of code (vs literal/comment) regions
+    mask = []
+    for kind, seg in _lex(sql):
+        mask.extend([kind == "code"] * len(seg))
+    out = []
+    pos = 0
+    while True:
+        m = _SUM_CALL.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            break
+        if not all(mask[m.start() : m.end()]):
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if mask[j]:
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+            j += 1
+        if depth:  # unbalanced — bail on this call
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
+        arg = sql[m.end() : j - 1]
+        if not all(mask[m.end() : j - 1]):
+            out.append(sql[pos:j])
+            pos = j
+            continue
+        body = arg
+        distinct = ""
+        dm = re.match(r"^\s*DISTINCT\b", body, re.IGNORECASE)
+        if dm:
+            distinct, body = "DISTINCT ", body[dm.end() :]
+        idents = _SUM_IDENT.findall(body)
+        all_int = all(
+            ident.rsplit(".", 1)[-1].lower() in int_cols for ident in idents
+        )
+        leftover = _SUM_IDENT.sub("", body)
+        if all_int and _SUM_SAFE.match(leftover):
+            out.append(sql[pos : m.start()])
+            out.append(f"SUM({distinct}CAST(({body.strip()}) AS DECIMAL(38,0)))")
+            pos = j
+        else:
+            out.append(sql[pos:j])
+            pos = j
+    return "".join(out)
+
+
+_FROM_TABLE_RE = re.compile(r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
+
+
+def statement_tables(sql: str) -> list[str]:
+    """Table identifiers after FROM/JOIN in code segments (simple cases;
+    subqueries contribute their own inner FROMs)."""
+    names: list[str] = []
+    for kind, seg in _lex(sql):
+        if kind == "code":
+            names.extend(_FROM_TABLE_RE.findall(seg))
+    return names
+
+
 def _effectively_empty(stmt: str) -> bool:
     """True if the statement is only whitespace and/or comments."""
     return all(

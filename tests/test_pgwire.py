@@ -319,6 +319,54 @@ def test_wire_copy_csv_header_option(client, spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS copy_hdr_tgt")
 
 
+def test_rewrite_integer_sums_unit():
+    from duckdb_pgwire_spark.server.compat import rewrite_integer_sums
+
+    cols = {"v", "w"}
+    assert rewrite_integer_sums("SELECT SUM(v) FROM t", cols) == (
+        "SELECT SUM(CAST((v) AS DECIMAL(38,0))) FROM t"
+    )
+    assert rewrite_integer_sums("SELECT sum(v * 2 + w) FROM t", cols) == (
+        "SELECT SUM(CAST((v * 2 + w) AS DECIMAL(38,0))) FROM t"
+    )
+    assert rewrite_integer_sums("SELECT SUM(DISTINCT v) FROM t", cols) == (
+        "SELECT SUM(DISTINCT CAST((v) AS DECIMAL(38,0))) FROM t"
+    )
+    # non-integer column, functions, division, literals: untouched
+    assert rewrite_integer_sums("SELECT SUM(price) FROM t", cols) == (
+        "SELECT SUM(price) FROM t"
+    )
+    assert rewrite_integer_sums("SELECT SUM(abs(v)) FROM t", cols) == (
+        "SELECT SUM(abs(v)) FROM t"
+    )
+    assert rewrite_integer_sums("SELECT SUM(v / 2) FROM t", cols) == (
+        "SELECT SUM(v / 2) FROM t"
+    )
+    # inside a string literal: data, not a call
+    assert rewrite_integer_sums("SELECT 'SUM(v)' FROM t", cols) == (
+        "SELECT 'SUM(v)' FROM t"
+    )
+
+
+def test_wire_integer_sum_no_overflow(client, spark, tmp_path):
+    """Wire SUM over an integer column accumulates in DECIMAL(38,0)
+    (DuckDB returns HUGEINT — VERDICT r2 item 5): an overflow-provoking
+    fixture must return the exact 128-bit answer, not a LONG error/wrap."""
+    import duckdb
+
+    spark.sql("DROP TABLE IF EXISTS big_sum_fx")
+    spark.createDataFrame(
+        [(9_000_000_000_000_000_000,)] * 4, "v long"
+    ).write.option("path", str(tmp_path / "big_sum_fx")).saveAsTable("big_sum_fx")
+    (res,) = client.query("SELECT SUM(v) AS s FROM big_sum_fx")
+    assert "error" not in res, res
+    expected = duckdb.sql(
+        "SELECT SUM(v) FROM (SELECT 9000000000000000000 AS v FROM range(4))"
+    ).fetchone()[0]
+    assert res["rows"] == [[str(expected)]]  # 36e18 > LONG max (9.2e18)
+    spark.sql("DROP TABLE IF EXISTS big_sum_fx")
+
+
 def test_wire_describe_table(client):
     """DuckDB-style DESCRIBE — first-contact psql usability (VERDICT r2
     item 4; the reference delegates it to DuckDB verbatim, cpp:52)."""
