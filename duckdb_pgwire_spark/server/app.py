@@ -47,7 +47,13 @@ from .compat import (
     split_top_level,
     statement_tables,
 )
-from .typemap import encode_cell, pg_oid, reference_visible
+from .typemap import (
+    decode_binary_param,
+    encode_binary,
+    encode_cell,
+    pg_oid,
+    reference_visible,
+)
 
 log = logging.getLogger("duckdb_pgwire_spark.server")
 
@@ -68,13 +74,16 @@ class _WireError(Exception):
 class _Portal:
     """A bound (statement × parameters) pair awaiting Execute."""
 
-    def __init__(self, sql: str) -> None:
+    def __init__(self, sql: str, result_fmts: list[int] | None = None) -> None:
         self.sql = sql
         self.df = None  # analyzed lazily (Describe) and reused by Execute
+        # result format codes from Bind (0 text / 1 binary, PG broadcast
+        # rules applied against the output column count at Execute time)
+        self.result_fmts = result_fmts or []
         # portal-suspension state (Execute with maxrows > 0): a live row
         # iterator survives across Execute messages until exhausted
         self.it: Iterator | None = None
-        self.keep_idx: list[int] | None = None
+        self.cells: list | None = None  # (row index, encoder) per column
         self.sent = 0
 
 
@@ -88,7 +97,8 @@ class _ConnState:
         self.in_txn = False
         self.wrote_in_txn = False
         self.prepared: dict[str, str] = {}
-        self.ext_stmts: dict[str, str] = {}  # Parse'd statements (raw SQL)
+        # Parse'd statements: name → (raw SQL, declared parameter OIDs)
+        self.ext_stmts: dict[str, tuple[str, list[int]]] = {}
         self.portals: dict[str, _Portal] = {}
         self.skip_to_sync = False  # extended-protocol error recovery
         self.job_tag = ""  # Spark job tag for CancelRequest targeting
@@ -458,26 +468,37 @@ class PgWireServer:
             return
         try:
             if tag == b"P":
-                name, query, _oids = P.parse_parse(payload)
+                name, query, oids = P.parse_parse(payload)
                 stmts = split_statements(query)
                 if len(stmts) > 1:
                     raise _WireError(
                         "cannot insert multiple commands into a prepared statement",
                         "42601",
                     )
-                state.ext_stmts[name] = stmts[0] if stmts else ""
+                state.ext_stmts[name] = (stmts[0] if stmts else "", oids)
                 writer.write(P.parse_complete())
             elif tag == b"B":
-                portal, stmt_name, params = P.parse_bind(payload)
+                portal, stmt_name, params, param_fmts, result_fmts = P.parse_bind(
+                    payload
+                )
                 if stmt_name not in state.ext_stmts:
                     raise _WireError(
                         f"prepared statement {stmt_name!r} does not exist", "26000"
                     )
+                stmt_sql, declared_oids = state.ext_stmts[stmt_name]
+                decoded: list[bytes | None] = []
+                for i, p in enumerate(params):
+                    if p is not None and i < len(param_fmts) and param_fmts[i] == 1:
+                        oid = declared_oids[i] if i < len(declared_oids) else 0
+                        try:
+                            p = decode_binary_param(p, oid)
+                        except (ValueError, struct.error) as exc:
+                            raise _WireError(str(exc), "0A000") from None
+                    decoded.append(p)
                 sql = _substitute_params(
-                    state.ext_stmts[stmt_name],
-                    [_param_literal(p) for p in params],
+                    stmt_sql, [_param_literal(p) for p in decoded]
                 )
-                state.portals[portal] = _Portal(sql)
+                state.portals[portal] = _Portal(sql, result_fmts)
                 writer.write(P.bind_complete())
             elif tag == b"D":
                 kind, name = P.parse_describe(payload)
@@ -486,7 +507,7 @@ class PgWireServer:
                         raise _WireError(
                             f"prepared statement {name!r} does not exist", "26000"
                         )
-                    sql = state.ext_stmts[name]
+                    sql, _ = state.ext_stmts[name]
                     n_params = _count_params(sql)
                     writer.write(P.parameter_description([25] * n_params))
                     # schema preview: analyze with NULL-substituted params
@@ -506,9 +527,12 @@ class PgWireServer:
                 if p is None:
                     raise _WireError(f"portal {name!r} does not exist", "34000")
                 first = p.sql.lstrip().split(None, 1)[0].upper() if p.sql.strip() else ""
+                wants_binary = any(f == 1 for f in p.result_fmts)
                 if not p.sql:
                     writer.write(P.empty_query_response())
-                elif p.it is not None or (maxrows > 0 and first in self._ROW_WORDS):
+                elif p.it is not None or (
+                    (maxrows > 0 or wants_binary) and first in self._ROW_WORDS
+                ):
                     # portal suspension: stream up to maxrows rows, keep
                     # the iterator alive, answer PortalSuspended until
                     # the result is exhausted (JDBC setFetchSize path)
@@ -561,11 +585,12 @@ class PgWireServer:
                     session, tag,
                     lambda: session.sql(_hugeint_sums(session, rewritten)),
                 )
-            p.keep_idx = [
-                i
+            kept = [
+                (i, f.dataType)
                 for i, f in enumerate(df.schema.fields)
                 if not self.reference_compat or reference_visible(f.dataType)
             ]
+            p.cells = _make_cells(kept, p.result_fmts)
             p.it = await self._exec(
                 session, tag, lambda: iter(df.toLocalIterator())
             )
@@ -580,7 +605,7 @@ class PgWireServer:
                 await writer.drain()
                 return
             batch = await self._exec(
-                session, tag, _next_batch, p.it, want, p.keep_idx
+                session, tag, _next_batch, p.it, want, p.cells
             )
             for encoded in batch:
                 writer.write(P.data_row(encoded))
@@ -625,8 +650,16 @@ class PgWireServer:
             for f in df.schema.fields
             if not self.reference_compat or reference_visible(f.dataType)
         ]
+        fmts = P.expand_formats(
+            portal.result_fmts if portal is not None else [], len(fields)
+        )
         writer.write(
-            P.row_description([P.FieldDesc(n, pg_oid(dt)) for n, dt in fields])
+            P.row_description(
+                [
+                    P.FieldDesc(n, pg_oid(dt), fmt=fmt)
+                    for (n, dt), fmt in zip(fields, fmts)
+                ]
+            )
         )
 
     _TXN_TAGS = {
@@ -840,7 +873,7 @@ class PgWireServer:
             for i, f in enumerate(df.schema.fields)
             if not self.reference_compat or reference_visible(f.dataType)
         ]
-        keep_idx = [i for i, _, _ in fields]
+        cells = [(i, encode_cell) for i, _, _ in fields]  # simple path: text
         if send_row_desc:
             writer.write(
                 P.row_description(
@@ -857,7 +890,7 @@ class PgWireServer:
             )
             while True:
                 batch = await self._exec(
-                    sess, tag, _next_batch, it, _BATCH_ROWS, keep_idx
+                    sess, tag, _next_batch, it, _BATCH_ROWS, cells
                 )
                 if not batch:
                     break
@@ -1111,14 +1144,27 @@ def _summarize_df(session: SparkSession, df: DataFrame) -> DataFrame:
     ).coalesce(1)
 
 
-def _next_batch(it: Iterator, n: int, keep_idx: list[int]) -> list[list[bytes | None]]:
+def _make_cells(kept: list, result_fmts: list[int]) -> list:
+    """Per-output-column (row index, encoder) pairs honoring the
+    portal's result format codes (PG broadcast rules)."""
+    fmts = P.expand_formats(result_fmts, len(kept))
+    cells = []
+    for (i, dt), fmt in zip(kept, fmts):
+        if fmt == 1:
+            cells.append((i, (lambda d: lambda v: encode_binary(v, d))(dt)))
+        else:
+            cells.append((i, encode_cell))
+    return cells
+
+
+def _next_batch(it: Iterator, n: int, cells: list) -> list[list[bytes | None]]:
     out = []
     for _ in range(n):
         try:
             row = next(it)
         except StopIteration:
             break
-        out.append([encode_cell(row[i]) for i in keep_idx])
+        out.append([enc(row[i]) for i, enc in cells])
     return out
 
 

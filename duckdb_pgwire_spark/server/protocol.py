@@ -54,6 +54,7 @@ class FieldDesc:
     type_oid: int
     type_len: int = -1  # -1: variable length
     type_mod: int = -1
+    fmt: int = 0  # 0 text, 1 binary (portal describes echo Bind's choice)
 
 
 def row_description(fields: list[FieldDesc]) -> bytes:
@@ -62,7 +63,7 @@ def row_description(fields: list[FieldDesc]) -> bytes:
         body += (
             f.name.encode()
             + b"\x00"
-            + struct.pack("!IhIhih", 0, 0, f.type_oid, f.type_len, f.type_mod, 0)
+            + struct.pack("!IhIhih", 0, 0, f.type_oid, f.type_len, f.type_mod, f.fmt)
         )
     return _msg(b"T", body)
 
@@ -161,18 +162,30 @@ def parse_parse(payload: bytes) -> tuple[str, str, list[int]]:
     return name, query, oids
 
 
-def parse_bind(payload: bytes) -> tuple[str, str, list[bytes | None]]:
-    """Bind ('B'): portal name, statement name, parameter values (text
-    format; binary params are rejected by the caller via the format
-    codes, which this decoder folds into a ValueError)."""
+def expand_formats(fmts: list[int], n: int) -> list[int]:
+    """PG format-code broadcast rules: [] → all text, [f] → f for all,
+    else one per item."""
+    if not fmts:
+        return [0] * n
+    if len(fmts) == 1:
+        return fmts * n
+    return fmts
+
+
+def parse_bind(
+    payload: bytes,
+) -> tuple[str, str, list[bytes | None], list[int], list[int]]:
+    """Bind ('B'): portal name, statement name, parameter values,
+    parameter format codes, result format codes (0 text / 1 binary —
+    the caller decodes binary params and encodes binary results; the
+    reference is text-only, cpp:136-164, so binary support here is an
+    over-reference improvement for JDBC binaryTransfer)."""
     portal, off = read_cstr(payload, 0)
     stmt, off = read_cstr(payload, off)
     (nfmt,) = struct.unpack_from("!H", payload, off)
     off += 2
     fmts = [struct.unpack_from("!H", payload, off + 2 * i)[0] for i in range(nfmt)]
     off += 2 * nfmt
-    if any(f == 1 for f in fmts):
-        raise ValueError("binary parameter format not supported (text only)")
     (nparams,) = struct.unpack_from("!H", payload, off)
     off += 2
     params: list[bytes | None] = []
@@ -184,13 +197,10 @@ def parse_bind(payload: bytes) -> tuple[str, str, list[bytes | None]]:
         else:
             params.append(payload[off : off + ln])
             off += ln
-    # trailing result-format codes: text (0) only
     (nres,) = struct.unpack_from("!H", payload, off)
     off += 2
     res = [struct.unpack_from("!H", payload, off + 2 * i)[0] for i in range(nres)]
-    if any(f == 1 for f in res):
-        raise ValueError("binary result format not supported (text only)")
-    return portal, stmt, params
+    return portal, stmt, params, expand_formats(fmts, nparams), res
 
 
 def parse_describe(payload: bytes) -> tuple[str, str]:

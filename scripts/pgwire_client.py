@@ -113,23 +113,42 @@ class PgClient:
     def _send_msg(self, tag: bytes, payload: bytes) -> None:
         self.sock.sendall(tag + struct.pack("!I", len(payload) + 4) + payload)
 
-    def extended_query(self, sql: str, params: list[str | None] | None = None) -> dict:
-        """One Parse/Bind/Describe/Execute/Sync cycle (text params) —
-        the psycopg/JDBC default mode the simple-query path can't test."""
+    def extended_query(
+        self,
+        sql: str,
+        params: list[str | bytes | None] | None = None,
+        *,
+        param_oids: list[int] | None = None,
+        param_binary: bool = False,
+        result_binary: bool = False,
+        raw_rows: bool = False,
+    ) -> dict:
+        """One Parse/Bind/Describe/Execute/Sync cycle — the psycopg/JDBC
+        default mode the simple-query path can't test. param_binary sends
+        parameters in binary format (param_oids declared in Parse);
+        result_binary requests binary result cells (raw_rows keeps them
+        as bytes instead of utf-8 decoding)."""
         params = params or []
-        self._send_msg(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!H", 0))
-        bind = b"\x00\x00" + struct.pack("!H", 0) + struct.pack("!H", len(params))
+        oids = param_oids or []
+        parse = b"\x00" + sql.encode() + b"\x00" + struct.pack("!H", len(oids))
+        for o in oids:
+            parse += struct.pack("!I", o)
+        self._send_msg(b"P", parse)
+        bind = b"\x00\x00"
+        bind += struct.pack("!HH", 1, 1) if param_binary else struct.pack("!H", 0)
+        bind += struct.pack("!H", len(params))
         for p in params:
             if p is None:
                 bind += struct.pack("!i", -1)
             else:
-                bind += struct.pack("!i", len(p.encode())) + p.encode()
-        bind += struct.pack("!H", 0)
+                b = p if isinstance(p, bytes) else p.encode()
+                bind += struct.pack("!i", len(b)) + b
+        bind += struct.pack("!HH", 1, 1) if result_binary else struct.pack("!H", 0)
         self._send_msg(b"B", bind)
         self._send_msg(b"D", b"P\x00")
         self._send_msg(b"E", b"\x00" + struct.pack("!i", 0))
         self._send_msg(b"S", b"")
-        out: dict = {"columns": [], "oids": [], "rows": [], "events": []}
+        out: dict = {"columns": [], "oids": [], "fmts": [], "rows": [], "events": []}
         while True:
             tag, body = self._read_msg()
             out["events"].append(tag.decode())
@@ -140,8 +159,9 @@ class PgClient:
                     end = body.index(b"\x00", off)
                     out["columns"].append(body[off:end].decode())
                     off = end + 1
-                    _, _, oid, _, _, _ = struct.unpack("!IhIhih", body[off : off + 18])
+                    _, _, oid, _, _, fmt = struct.unpack("!IhIhih", body[off : off + 18])
                     out["oids"].append(oid)
+                    out["fmts"].append(fmt)
                     off += 18
             elif tag == b"D":
                 (nc,) = struct.unpack("!H", body[:2])
@@ -152,7 +172,8 @@ class PgClient:
                     if ln == -1:
                         row.append(None)
                     else:
-                        row.append(body[off : off + ln].decode())
+                        cell = body[off : off + ln]
+                        row.append(cell if raw_rows else cell.decode())
                         off += ln
                 out["rows"].append(row)
             elif tag == b"C":

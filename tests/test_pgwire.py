@@ -999,6 +999,68 @@ def test_extended_query_error_recovers(client):
     assert out["rows"] == [["5"]]
 
 
+def test_extended_binary_result_format(client):
+    """Binary result format (JDBC binaryTransfer): the full fixed-layout
+    type matrix round-trips in PG binary encodings. Over-reference — the
+    reference is text-only (cpp:136-164)."""
+    out = client.extended_query(
+        "SELECT CAST(1 AS smallint) AS i2, CAST(2 AS int) AS i4, "
+        "CAST(-9223372036854775808 AS bigint) AS i8, "
+        "CAST(1.5 AS float) AS f4, CAST(2.5 AS double) AS f8, "
+        "true AS b, 'héllo' AS s, CAST(NULL AS int) AS nul, "
+        "DATE '2024-01-02' AS d, TIMESTAMP '2024-01-02 03:04:05.25' AS ts",
+        result_binary=True,
+        raw_rows=True,
+    )
+    assert "error" not in out, out
+    assert all(f == 1 for f in out["fmts"]), out["fmts"]
+    (row,) = out["rows"]
+    assert row[0] == struct.pack("!h", 1)
+    assert row[1] == struct.pack("!i", 2)
+    assert row[2] == struct.pack("!q", -(2**63))
+    assert row[3] == struct.pack("!f", 1.5)
+    assert row[4] == struct.pack("!d", 2.5)
+    assert row[5] == b"\x01"
+    assert row[6] == "héllo".encode()
+    assert row[7] is None
+    assert row[8] == struct.pack("!i", 8767)  # days since 2000-01-01
+    micros = (8767 * 86400 + 3 * 3600 + 4 * 60 + 5) * 1_000_000 + 250_000
+    assert row[9] == struct.pack("!q", micros)
+
+
+def test_extended_binary_params(client):
+    """Binary-format Bind parameters decoded via the OIDs declared in
+    Parse (int8, float8, text, bool)."""
+    out = client.extended_query(
+        "SELECT $1 + 1 AS a, $2 * 2 AS b, $3 AS c, $4 AS d",
+        params=[
+            struct.pack("!q", 41),
+            struct.pack("!d", 1.25),
+            b"bob",
+            b"\x01",
+        ],
+        param_oids=[20, 701, 25, 16],
+        param_binary=True,
+    )
+    assert "error" not in out, out
+    assert out["rows"] == [["42", "2.5", "bob", "t"]]
+
+
+def test_extended_binary_unsupported_type_fails_loudly(client):
+    """A binary request for a type without a fixed public layout
+    (numeric) refuses instead of sending corrupt bytes."""
+    out = client.extended_query(
+        "SELECT CAST(1.5 AS decimal(10,2)) AS n",
+        result_binary=True,
+        raw_rows=True,
+    )
+    assert "error" in out
+    assert "binary result format" in out["error"]
+    # connection recovers for the next cycle
+    out = client.extended_query("SELECT 7 AS v")
+    assert out["rows"] == [["7"]]
+
+
 def test_cancel_request_kills_running_query(client):
     """CancelRequest → cancelJobsWithTag: the running Spark jobs are
     actually killed (not just the socket dropped — VERDICT r2 item 2),
