@@ -39,6 +39,60 @@ def test_stream_dedup_keeps_unique_ids(spark):
     assert total == uniq == n_src
 
 
+def test_tumbling_window_foreachbatch_converges_to_batch(spark, tmp_path):
+    """VERDICT r2 item 8: the tumbling-window agg run as an ACTUAL
+    multi-microbatch streaming query (file source, maxFilesPerTrigger=1,
+    foreachBatch sink in update mode) converges to the batch answer from
+    stream_tumbling_window once the replay completes."""
+    from duckdb_pgwire_spark.streaming.windows import stream_tumbling_window
+
+    ev = load_table(spark, SF_DIR, "events")
+    half = ev.count() // 2
+    stream_dir = tmp_path / "tw_batches"
+    ev.filter(F.col("event_id") < half).coalesce(1).write.parquet(
+        str(stream_dir / "a.parquet")
+    )
+    ev.filter(F.col("event_id") >= half).coalesce(1).write.parquet(
+        str(stream_dir / "b.parquet")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*/")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    state: dict = {}
+    batches: list[int] = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        batches.append(len(rows))
+        for r in rows:  # update mode: last write per key wins
+            state[(r.window_start, r.event_type)] = (r.n, r.total_value)
+
+    q = agg.writeStream.outputMode("update").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    expected = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in stream_tumbling_window(spark, SF_DIR).collect()
+    }
+    assert state == expected
+    assert len([b for b in batches if b]) >= 2  # genuinely incremental
+
+
 def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     """The point of applyInPandasWithState: per-key state must SURVIVE
     microbatch boundaries. Split the fixture into two files → two
