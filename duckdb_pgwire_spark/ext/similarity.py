@@ -210,24 +210,57 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CENTROIDS = 8
 N_PROBE = 2
+N_LLOYD = 2  # k-means refinement iterations (Lloyd)
 
 _IVF_DOT = (
     "list_aggregate(list_transform(range(1, {dim}), i -> {a}[i] * {b}[i]), 'sum')"
 )
 
 
+def _ivf_sim_sql(a: str, b: str) -> str:
+    return (
+        f"{_IVF_DOT.format(dim=DIM + 1, a=a, b=b)}"
+        f" / (sqrt({_IVF_DOT.format(dim=DIM + 1, a=a, b=a)})"
+        f" * sqrt({_IVF_DOT.format(dim=DIM + 1, a=b, b=b)}))"
+    )
+
+
+def _ivf_lloyd_cte(i: int) -> str:
+    """One Lloyd iteration as SQL CTEs: assign every vector to its
+    nearest cent{i-1}, recompute each centroid as the per-dimension mean
+    of its members ROUNDED to 6 decimals (the rounding is what makes the
+    Spark and DuckDB means bit-identical despite different summation
+    orders), empty clusters keep their previous centroid."""
+    p = i - 1
+    return f"""
+    affin{p} AS (
+        SELECT v.vec_id, c.cid, {_ivf_sim_sql("v.e", "c.ce")} AS sim
+        FROM v CROSS JOIN cent{p} c
+    ), asg{p} AS (
+        SELECT vec_id, cid FROM affin{p}
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+    ), mean{i} AS (
+        SELECT a.cid, t.i AS dim, ROUND(AVG(v.e[t.i]), 6) AS m
+        FROM asg{p} a JOIN v USING (vec_id) CROSS JOIN range(1, {DIM + 1}) t(i)
+        GROUP BY a.cid, t.i
+    ), clist{i} AS (
+        SELECT cid, list(m ORDER BY dim) AS ce FROM mean{i} GROUP BY cid
+    ), cent{i} AS (
+        SELECT c.cid, COALESCE(l.ce, c.ce) AS ce
+        FROM cent{p} c LEFT JOIN clist{i} l USING (cid)
+    )"""
+
+
 _IVF_ORACLE = f"""
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
-    ), cent AS (
+    ), cent0 AS (
         SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {N_CENTROIDS}
-    ), affin AS (
-        SELECT v.vec_id, c.cid,
-               {_IVF_DOT.format(dim=DIM + 1, a="v.e", b="c.ce")}
-               / (sqrt({_IVF_DOT.format(dim=DIM + 1, a="v.e", b="v.e")})
-                * sqrt({_IVF_DOT.format(dim=DIM + 1, a="c.ce", b="c.ce")})) AS sim
-        FROM v CROSS JOIN cent c
+    ), {",".join(_ivf_lloyd_cte(i) for i in range(1, N_LLOYD + 1))},
+    affin AS (
+        SELECT v.vec_id, c.cid, {_ivf_sim_sql("v.e", "c.ce")} AS sim
+        FROM v CROSS JOIN cent{N_LLOYD} c
     ), assigned AS (
         SELECT vec_id, cid FROM affin
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
@@ -289,23 +322,47 @@ def _make_ivf_assign_udf(centroids):
     return ivf_assign
 
 
-@query("sim_ivf_probe", oracle=_IVF_ORACLE, tags=("ext", "similarity", "ivf"))
-def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN candidate generation — the second scale
-    path next to LSH banding.
+def _lloyd_refine(spark, v: DataFrame, C: "np.ndarray") -> "np.ndarray":
+    """One Lloyd iteration as DataFrame aggregations: assign every
+    vector to its nearest centroid (Arrow kernel, one map stage), then
+    per-(cell, dimension) means via posexplode + groupBy — partial aggs
+    map-side, k×DIM rows to the driver (metadata-scale). Means are
+    ROUNDED to 6 decimals so the oracle's independently-summed AVG lands
+    on the same value; empty cells keep their previous centroid."""
+    assigned = v.select("vec_id", _make_ivf_assign_udf(C)("embedding").alias("cid"))
+    rows = (
+        assigned.join(v, "vec_id")
+        .select("cid", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+        .collect()
+    )
+    C1 = C.copy()
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cid.setdefault(r.cid, {})[r.pos] = r.m
+    for cid, dims in by_cid.items():
+        if len(dims) == C.shape[1]:
+            C1[cid] = [dims[p] for p in range(C.shape[1])]
+    return C1
 
-    Index build = fetch the k centroids (here the first N_CENTROIDS
-    vectors — deterministic stand-in for k-means, which would only
-    change the centroid matrix) once at plan time; every corpus vector
-    then computes its cell assignment in a SINGLE Arrow-batched map
-    stage — no centroid cross join, no per-vector window shuffle. The
-    query vectors' probe lists (N_PROBE nearest cells each) are
-    metadata-scale: computed on the DRIVER from the same collected rows
-    and joined as a literal broadcast frame — round 1 derived them from
-    a second branch of the kernel output, which made Spark evaluate the
-    assignment subtree twice (VERDICT.md r1 perf item). Query = probe
-    the N_PROBE nearest cells only: candidate cost ~N_PROBE/N_CENTROIDS
-    of the corpus. At 100 TB the assignment pass is embarrassingly
+
+def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN candidate generation — the second scale
+    path next to LSH banding. Returns raw (vec_id, query_id) candidate
+    pairs; the registry entry aggregates them to counts.
+
+    Index build = k-means: seed with the first N_CENTROIDS vectors, then
+    N_LLOYD Lloyd iterations expressed as DataFrame aggregations (each:
+    one Arrow-batched assignment map stage + one k×DIM-row mean agg —
+    VERDICT r2 item 6; the r2 version used the raw seeds). Every corpus
+    vector then computes its final cell assignment in a SINGLE
+    Arrow-batched map stage — no centroid cross join, no per-vector
+    window shuffle. The query vectors' probe lists (N_PROBE nearest
+    cells each) are metadata-scale: computed on the DRIVER from the same
+    centroid matrix and inlined as a literal map. Query = probe the
+    N_PROBE nearest cells only: candidate cost ~N_PROBE/N_CENTROIDS of
+    the corpus. At 100 TB the assignment passes are embarrassingly
     parallel and the per-cell candidate lists are the partition layout
     for the probe join.
     """
@@ -324,6 +381,8 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_id = {r.vec_id: list(r.embedding) for r in small}
     C = np.array([by_id[i] for i in range(N_CENTROIDS)], dtype=np.float64)
     Q = np.array([by_id[q] for q in QUERY_IDS], dtype=np.float64)
+    for _ in range(N_LLOYD):
+        C = _lloyd_refine(spark, v, C)
     # Driver-side probe lists — same sequential-fold cosine as the kernel.
     S = _cos_to_centroids(Q, C)
     cids = np.arange(N_CENTROIDS)
@@ -343,14 +402,20 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     assigned = v.select("vec_id", _make_ivf_assign_udf(C)("embedding").alias("cid"))
+    return assigned.select(
+        "vec_id",
+        F.explode(
+            F.coalesce(mapping[F.col("cid")], F.array().cast("array<long>"))
+        ).alias("query_id"),
+    ).filter(F.col("vec_id") != F.col("query_id"))
+
+
+@query("sim_ivf_probe", oracle=_IVF_ORACLE, tags=("ext", "similarity", "ivf"))
+def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate counts per query from the k-means IVF index (see
+    ivf_candidate_pairs for the full design discussion)."""
     return (
-        assigned.select(
-            "vec_id",
-            F.explode(
-                F.coalesce(mapping[F.col("cid")], F.array().cast("array<long>"))
-            ).alias("query_id"),
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
+        ivf_candidate_pairs(spark, sf_dir)
         .groupBy("query_id")
         .agg(F.count("*").alias("n_candidates"))
     )
