@@ -124,13 +124,17 @@ _FN_RENAMES = {
     "list_append": "array_append",
     "list_prepend": "array_prepend",
     "list_position": "array_position",
+    # len: DuckDB accepts strings AND lists; Spark's length covers
+    # strings/binary (the overwhelmingly common usage) and still fails
+    # loudly on arrays — strictly better than rejecting everything.
+    "len": "length",
     # NOT mapped on purpose (arg/semantic mismatch — better to fail loudly
-    # than rewrite wrong): list_reverse_sort (desc needs a 2nd arg),
-    # len (strings vs lists), array_cosine_similarity (no Spark builtin;
+    # than rewrite wrong): array_cosine_similarity (no Spark builtin;
     # use ext/similarity), epoch_ms (overloaded: BIGINT→TIMESTAMP as well
     # as TIMESTAMP→BIGINT — a blanket rename to unix_millis breaks the
-    # integer form). list_aggregate IS handled, by the dedicated
-    # _rewrite_list_aggregate scanner below.
+    # integer form). list_aggregate IS handled by the dedicated
+    # _rewrite_list_aggregate scanner below; list_reverse_sort by
+    # _rewrite_unary_fns (needs Spark's explicit direction argument).
     "to_base64": "base64",
     "from_base64": "unbase64",
     "regexp_matches": "rlike",
@@ -304,6 +308,47 @@ def _rewrite_list_aggregate(sql: str) -> str:
         e = args[0].strip()
         sql = sql[: m.start()] + form.format(e=e) + sql[i + 1 :]
         pos = m.start()  # re-scan from here: e may itself contain calls
+
+
+_UNARY_REWRITES = {
+    # list_reverse_sort(x) → sort_array(x, false): descending sort, the
+    # only extra being Spark's explicit direction argument.
+    "list_reverse_sort": "sort_array({e}, false)",
+}
+
+_UNARY_CALL = re.compile(
+    rf"\b({'|'.join(_UNARY_REWRITES)})\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_unary_fns(sql: str) -> str:
+    """DuckDB single-argument spellings whose Spark twin needs an extra
+    argument (balanced-paren scan; nested calls fine)."""
+    pos = 0
+    while True:
+        m = _UNARY_CALL.search(sql, pos)
+        if m is None:
+            return sql
+        depth = 1
+        i = m.end()
+        while i < len(sql) and depth:
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif c == "'":  # skip literal
+                j = sql.find("'", i + 1)
+                i = len(sql) if j == -1 else j
+            i += 1
+        if depth != 0:
+            return sql  # unbalanced: leave for Spark to report
+        e = sql[m.end() : i].strip()
+        form = _UNARY_REWRITES[m.group(1).lower()]
+        sql = sql[: m.start()] + form.format(e=e) + sql[i + 1 :]
+        pos = m.start()  # re-scan: e may contain rewritable calls
 
 
 _DISTINCT_ON = re.compile(
@@ -511,6 +556,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_read_files(sql)  # before literal split: needs the path string
     sql = _rewrite_strftime(sql)  # before literal split: needs the fmt string
     sql = _rewrite_list_aggregate(sql)  # ditto: needs the quoted agg name
+    sql = _rewrite_unary_fns(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
     return "".join(

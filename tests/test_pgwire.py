@@ -99,6 +99,18 @@ def test_rewrite_distinct_on():
     assert out.startswith("SELECT k, v FROM (")
 
 
+def test_rewrite_len_and_list_reverse_sort():
+    assert rewrite("SELECT len(name) FROM t") == "SELECT length(name) FROM t"
+    assert rewrite("SELECT list_reverse_sort([3,1,2]) AS s") == (
+        "SELECT sort_array([3,1,2], false) AS s"
+    )
+    # nested call inside the argument
+    out = rewrite("SELECT list_reverse_sort(list_distinct(xs)) AS s FROM t")
+    assert out == "SELECT sort_array(array_distinct(xs), false) AS s FROM t"
+    # never inside string literals
+    assert rewrite("SELECT 'len(x)'") == "SELECT 'len(x)'"
+
+
 def test_split_statements():
     assert split_statements("a; b ; ;c") == ["a", "b", "c"]
     assert split_statements("SELECT ';'") == ["SELECT ';'"]
