@@ -323,27 +323,54 @@ def _make_ivf_assign_udf(centroids):
 
 
 def _lloyd_refine(spark, v: DataFrame, C: "np.ndarray") -> "np.ndarray":
-    """One Lloyd iteration as DataFrame aggregations: assign every
-    vector to its nearest centroid (Arrow kernel, one map stage), then
-    per-(cell, dimension) means via posexplode + groupBy — partial aggs
-    map-side, k×DIM rows to the driver (metadata-scale). Means are
-    ROUNDED to 6 decimals so the oracle's independently-summed AVG lands
-    on the same value; empty cells keep their previous centroid."""
-    assigned = v.select("vec_id", _make_ivf_assign_udf(C)("embedding").alias("cid"))
-    rows = (
-        assigned.join(v, "vec_id")
-        .select("cid", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("cid", "pos")
-        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
-        .collect()
-    )
-    C1 = C.copy()
-    by_cid: dict[int, dict[int, float]] = {}
+    """One Lloyd iteration as ONE fused Arrow map stage: each partition
+    assigns its vectors to the nearest centroid and emits per-cell
+    partial (sum-vector, count) rows — at most k rows per partition, no
+    shuffle at all; the driver combines ≤ partitions×k partials and
+    takes the mean. Means are ROUNDED to 6 decimals so the oracle's
+    independently-ordered AVG lands on the same value; empty cells keep
+    their previous centroid. This is the 100 TB k-means shape: the full
+    corpus is touched exactly once per iteration in an embarrassingly
+    parallel pass, and only metadata leaves the executors."""
+    k, dim = C.shape
+    Cb = C
+
+    def partials(batches: "pd.DataFrame") -> "pd.DataFrame":
+        sums = np.zeros((k, dim))
+        cnt = np.zeros(k, dtype=np.int64)
+        cids = np.arange(k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            S = _cos_to_centroids(E, Cb)
+            assign = np.array(
+                [int(np.lexsort((cids, -S[r]))[0]) for r in range(len(E))]
+            )
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    sums[c] += E[mask].sum(axis=0)
+                    cnt[c] += int(mask.sum())
+        present = [c for c in range(k) if cnt[c]]
+        yield pd.DataFrame(
+            {
+                "cid": present,
+                "sums": [sums[c].tolist() for c in present],
+                "n": [int(cnt[c]) for c in present],
+            }
+        )
+
+    rows = v.select("embedding").mapInPandas(
+        partials, "cid INT, sums ARRAY<DOUBLE>, n LONG"
+    ).collect()
+    agg: dict[int, tuple] = {}
     for r in rows:
-        by_cid.setdefault(r.cid, {})[r.pos] = r.m
-    for cid, dims in by_cid.items():
-        if len(dims) == C.shape[1]:
-            C1[cid] = [dims[p] for p in range(C.shape[1])]
+        s, n = agg.get(r.cid, (np.zeros(dim), 0))
+        agg[r.cid] = (s + np.array(r.sums), n + r.n)
+    C1 = C.copy()
+    for cid, (s, n) in agg.items():
+        C1[cid] = np.round(s / n, 6)
     return C1
 
 
@@ -368,8 +395,14 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    v = load_table_parallel(spark, sf_dir, "embeddings", parts=4).select(
-        "vec_id", "embedding"
+    # Cached: the corpus is read by every Lloyd pass plus the final
+    # assignment — the canonical Spark k-means shape (MLlib caches its
+    # input for exactly this reason). Cross-invocation plan matching
+    # reuses the same cache entry.
+    v = (
+        load_table_parallel(spark, sf_dir, "embeddings", parts=4)
+        .select("vec_id", "embedding")
+        .cache()
     )
     # Index build: k + |Q| rows of metadata through one pushed-down scan.
     small = (
