@@ -367,3 +367,72 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") > 0.3)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+# --------------------------------------------- connected-component clusters
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach(n, l) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.n
+    )
+    SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
+"""
+
+
+@query("dedup_cluster_components", oracle=_CC_ORACLE, tags=("ext", "dedup", "graph"))
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the minhash
+    LSH pair graph — the step that turns pairwise candidates into a
+    keep-one-per-cluster dedup policy (A~B and B~C must collapse to ONE
+    representative even when A~C was never proposed).
+
+    Spark-first iterative algorithm: min-label propagation. Every round
+    is one shuffle join (neighbor labels along edges) plus one min-agg;
+    labels converge in O(component diameter) rounds — near-dup clusters
+    are shallow, so 2-4 rounds in practice. Each round's result is
+    localCheckpoint()ed: iterative self-joins otherwise stack lineage
+    until planning itself dominates (the classic Spark iterative-graph
+    trap). Convergence is an exact driver-side check (count of changed
+    labels — a metadata-scale job per round). The DuckDB oracle computes
+    the same fixpoint declaratively with a recursive CTE (min reachable
+    label). Cluster id = smallest doc_id in the component.
+    """
+    pairs = minhash_candidate_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()  # pairs pipeline runs once, not per round
+    )
+    labels = (
+        edges.select(F.col("src").alias("n"))
+        .distinct()
+        .withColumn("l", F.col("n"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # backstop; exits on convergence below
+        neighbor = (
+            edges.join(labels, edges.src == labels.n)
+            .select(F.col("dst").alias("n"), "l")
+        )
+        new_labels = (
+            labels.union(neighbor).groupBy("n").agg(F.min("l").alias("l"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "n")
+            .filter(F.col("a.l") != F.col("b.l"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("doc_id"), F.col("l").alias("cluster_id"))

@@ -117,7 +117,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -186,7 +186,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -279,4 +279,274 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
             "revenue"
         )
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: bilateral trade volume between two
+    nations by ship year.
+
+    Scale shape: lineitem streams; supplier/customer/nation are
+    broadcast (the two nation roles are two broadcasts of a 25-row
+    table). The disjunctive nation-pair predicate is applied after the
+    joins on broadcast-held columns — no fact-side shuffle at all until
+    the final O(nations² × years) aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01 00:00:00").cast("timestamp"),
+                F.lit("1997-12-31 00:00:00").cast("timestamp"),
+            )
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: one nation's share of regional
+    revenue for one part type, by order year.
+
+    Scale shape: the 8-way join keeps lineitem streaming — part,
+    supplier, customer, both nation roles, and region are all broadcast
+    dimensions; the conditional share is a single grouped aggregation
+    over O(years) groups. The p_type filter prunes the part broadcast
+    before the join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("volume", volume)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: top-20 customers by revenue
+    lost to returns in one quarter.
+
+    Scale shape: both fact-side predicates (order date range, return
+    flag) push into the scans before the join; customer/nation
+    broadcast; the top-20 is TakeOrderedAndProject over the grouped
+    result, not a global sort. Ordering ties break on c_custkey so the
+    LIMIT cut is deterministic across engines (revenue is compared
+    ROUNDED for the same reason).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(
+        100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: promo share of one month's revenue.
+
+    Scale shape: shipdate range pushes into the lineitem scan; part is
+    broadcast; the conditional ratio is one global aggregate — a single
+    row leaves the executors.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", volume).otherwise(0.0))
+                / F.sum(volume),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds a threshold, with their customers.
+
+    Scale shape: the IN-subquery is a self-aggregation of lineitem
+    (partial sums map-side) semi-joined back on the order key — at any
+    scale the filter side is O(orders over threshold), which Spark
+    executes as a shuffled semi join on the already-aggregated (small)
+    side; customer is broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select(F.col("l_orderkey").alias("__big_key"))
+    )
+    return (
+        li.join(big, F.col("l_orderkey") == F.col("__big_key"), "left_semi")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
     )

@@ -116,6 +116,41 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     assert not np.allclose(C0, C1), "Lloyd iteration left every centroid unchanged"
 
 
+def test_cluster_components_match_union_find(spark):
+    """dedup_cluster_components must equal a reference union-find over
+    the same LSH pairs: transitive closure (A~B, B~C → one cluster) and
+    min-doc_id representative."""
+    from duckdb_pgwire_spark.ext.dedup import (
+        dedup_cluster_components,
+        minhash_candidate_pairs,
+    )
+
+    pairs = [(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(spark, SF_DIR).collect()]
+    assert pairs, "fixture produced no candidate pairs"
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_cluster_components(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # at least one transitive merge happened (cluster bigger than a pair)
+    from collections import Counter
+
+    assert max(Counter(expected.values()).values()) >= 2
+
+
 def test_multimodal_decoder_pil_branch_and_fallback():
     """Decoder uses a real codec when one is importable and the payload
     decodes; anything else falls back to the deterministic stub (which
