@@ -41,6 +41,8 @@ from .compat import (
     _lex,
     parse_copy,
     parse_copy_from,
+    parse_copy_stdin,
+    parse_copy_stdout,
     rewrite,
     rewrite_integer_sums,
     split_statements,
@@ -51,6 +53,7 @@ from .typemap import (
     decode_binary_param,
     encode_binary,
     encode_cell,
+    encode_text,
     pg_oid,
     reference_visible,
 )
@@ -425,7 +428,9 @@ class PgWireServer:
                 writer.write(P.empty_query_response())
             for stmt in stmts:
                 try:
-                    await self._run_statement(stmt, writer, session, state)
+                    await self._run_statement(
+                        stmt, writer, session, state, reader=reader
+                    )
                 except Exception as exc:  # noqa: BLE001 — any engine error → wire error
                     writer.write(P.error_response(_exc_message(exc), _sqlstate(exc)))
                     await writer.drain()
@@ -680,6 +685,7 @@ class PgWireServer:
         *,
         send_row_desc: bool = True,
         pre_df: DataFrame | None = None,
+        reader: asyncio.StreamReader | None = None,
     ) -> None:
         loop = asyncio.get_running_loop()
         state = state or _ConnState()
@@ -801,6 +807,25 @@ class PgWireServer:
             writer.write(P.command_complete(f"MERGE {n}"))
             await writer.drain()
             return
+        stdout_copy = parse_copy_stdout(stmt)
+        if stdout_copy is not None:
+            inner, fmt, header = stdout_copy
+            await self._copy_to_stdout(
+                inner, fmt, header, writer, session, state.job_tag
+            )
+            return
+        stdin_copy = parse_copy_stdin(stmt)
+        if stdin_copy is not None:
+            if reader is None:
+                raise _WireError(
+                    "COPY FROM STDIN is only supported in the simple protocol",
+                    "0A000",
+                )
+            table, cols, fmt, header = stdin_copy
+            await self._copy_from_stdin(
+                table, cols, fmt, header, reader, writer, session, state.job_tag
+            )
+            return
         copy = parse_copy(stmt)
         if copy is not None:
             inner, path, fmt, header = copy
@@ -906,6 +931,150 @@ class PgWireServer:
         writer.write(P.command_complete(_command_tag(stmt, nrows)))
         await writer.drain()
 
+
+    async def _copy_to_stdout(
+        self,
+        inner_sql: str,
+        fmt: str,
+        header: bool,
+        writer: asyncio.StreamWriter,
+        session: SparkSession,
+        tag: str,
+    ) -> None:
+        """COPY ... TO STDOUT: CopyOutResponse + CopyData rows. Streams
+        toLocalIterator batches — bounded memory at any result size."""
+        import csv
+        import io
+
+        df = await self._exec(
+            session, tag, lambda: session.sql(rewrite(inner_sql))
+        )
+        fields = df.schema.fields
+        ncols = len(fields)
+        writer.write(P.copy_out_response(ncols))
+        await writer.drain()
+        is_csv = fmt == "csv"
+        it = await self._exec(session, tag, lambda: iter(df.toLocalIterator()))
+        nrows = 0
+        if is_csv and header:
+            buf = io.StringIO()
+            csv.writer(buf).writerow([f.name for f in fields])
+            writer.write(P.copy_data(buf.getvalue().encode()))
+
+        def next_chunk():
+            rows = []
+            for _ in range(_BATCH_ROWS):
+                try:
+                    rows.append(next(it))
+                except StopIteration:
+                    break
+            if not rows:
+                return None, 0
+            buf = io.StringIO()
+            if is_csv:
+                w = csv.writer(buf, lineterminator="\n")
+                for row in rows:
+                    w.writerow(
+                        ["" if v is None else encode_text(v) for v in row]
+                    )
+            else:  # PG text format: tab-separated, \N nulls
+                for row in rows:
+                    buf.write(
+                        "\t".join(
+                            "\\N" if v is None else encode_text(v) for v in row
+                        )
+                        + "\n"
+                    )
+            return buf.getvalue().encode(), len(rows)
+
+        loop = asyncio.get_running_loop()
+        while True:
+            chunk, n = await loop.run_in_executor(self._pool, next_chunk)
+            if chunk is None:
+                break
+            writer.write(P.copy_data(chunk))
+            nrows += n
+            await writer.drain()
+        writer.write(P.copy_done())
+        writer.write(P.command_complete(f"COPY {nrows}"))
+        await writer.drain()
+
+    async def _copy_from_stdin(
+        self,
+        table: str,
+        cols: list[str],
+        fmt: str,
+        header: bool,
+        reader: asyncio.StreamReader,
+        writer: asyncio.StreamWriter,
+        session: SparkSession,
+        tag: str,
+    ) -> None:
+        """COPY <table> FROM STDIN (psql \\copy): CopyInResponse, spool
+        CopyData chunks to a temp file (no full in-memory buffering),
+        then one distributed Spark load + insertInto on CopyDone."""
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        tgt = session.table(table)
+        target_cols = cols or tgt.columns
+        writer.write(P.copy_in_response(len(target_cols)))
+        await writer.drain()
+        tmp = tempfile.NamedTemporaryFile(
+            mode="wb", suffix=".copyin", delete=False
+        )
+        try:
+            while True:
+                mtag = await reader.readexactly(1)
+                (length,) = struct.unpack("!I", await reader.readexactly(4))
+                payload = await reader.readexactly(length - 4)
+                if mtag == b"d":
+                    tmp.write(payload)
+                elif mtag == b"c":  # CopyDone
+                    break
+                elif mtag == b"f":  # CopyFail
+                    msg = payload.rstrip(b"\x00").decode(errors="replace")
+                    raise _WireError(f"COPY from stdin failed: {msg}", "57014")
+                elif mtag in (b"H", b"S"):  # Flush/Sync mid-copy: ignore
+                    continue
+                else:
+                    raise _WireError(
+                        f"unexpected message {mtag!r} during COPY", "08P01"
+                    )
+            tmp.close()
+
+            def load() -> int:
+                sub_schema = T.StructType(
+                    [tgt.schema[c] for c in target_cols]
+                )
+                r = session.read.schema(sub_schema)
+                if fmt == "csv":
+                    r = r.option("header", str(header).lower())
+                else:  # PG text format: tab-separated, \N nulls, no quoting
+                    r = r.option("sep", "\t").option("nullValue", "\\N").option(
+                        "quote", "\u0000"
+                    )
+                df = r.csv(tmp.name)
+                for c in tgt.columns:
+                    if c not in target_cols:
+                        df = df.withColumn(
+                            c, F.lit(None).cast(tgt.schema[c].dataType)
+                        )
+                df = df.select(*tgt.columns)
+                n = df.count()
+                df.write.mode("append").insertInto(table)
+                return n
+
+            nrows = await self._exec(session, tag, load)
+            writer.write(P.command_complete(f"COPY {nrows}"))
+            await writer.drain()
+        finally:
+            tmp.close()
+            try:
+                os.unlink(tmp.name)
+            except OSError:
+                pass
 
     def _run_copy_from(
         self,

@@ -720,6 +720,61 @@ def _copy_options(opts: str | None, path: str) -> tuple[str, bool]:
     return fmt.lower(), header
 
 
+_COPY_STDIN = re.compile(
+    r"^\s*COPY\s+([\w.]+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN"
+    r"\s*(?:WITH\s*)?(?:\(([^)]*)\)|((?:CSV|TEXT)(?:\s+HEADER)?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_COPY_STDOUT = re.compile(
+    r"^\s*COPY\s+(\(.*\)|[\w.]+)\s+TO\s+STDOUT"
+    r"\s*(?:WITH\s*)?(?:\(([^)]*)\)|((?:CSV|TEXT)(?:\s+HEADER)?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _stdin_options(opts: str | None, legacy: str | None) -> tuple[str, bool]:
+    """(format, header) for the STDIN/STDOUT forms: option list or the
+    legacy bare `CSV [HEADER]` suffix; default PG text format."""
+    if legacy:
+        parts = legacy.split()
+        return parts[0].lower(), len(parts) > 1
+    fmt = "text"
+    header = False
+    if opts:
+        fm = _COPY_FORMAT_OPT.search(opts)
+        if fm:
+            fmt = fm.group(1).lower()
+        hm = _COPY_HEADER_OPT.search(opts)
+        if hm:
+            header = (hm.group(1) or "true").lower() in ("true", "on", "1")
+    return fmt, header
+
+
+def parse_copy_stdin(stmt: str) -> tuple[str, list[str], str, bool] | None:
+    """``COPY <table> [(cols)] FROM STDIN [WITH] [(opts) | CSV [HEADER]]``
+    → (table, column list, format, header). The psql \\copy wire shape."""
+    m = _COPY_STDIN.match(stmt)
+    if not m:
+        return None
+    table, cols, opts, legacy = m.groups()
+    fmt, header = _stdin_options(opts, legacy)
+    col_list = [c.strip() for c in cols.split(",")] if cols else []
+    return table, col_list, fmt, header
+
+
+def parse_copy_stdout(stmt: str) -> tuple[str, str, bool] | None:
+    """``COPY <table|(query)> TO STDOUT [WITH] [(opts) | CSV [HEADER]]``
+    → (inner select SQL, format, header)."""
+    m = _COPY_STDOUT.match(stmt)
+    if not m:
+        return None
+    src, opts, legacy = m.groups()
+    inner = src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
+    fmt, header = _stdin_options(opts, legacy)
+    return inner, fmt, header
+
+
 def parse_copy_from(stmt: str) -> tuple[str, str, str, bool] | None:
     """DuckDB/PG ``COPY <table> FROM 'path' (FORMAT fmt, HEADER)`` →
     (table, path, format, header). Bulk load into an existing table; the

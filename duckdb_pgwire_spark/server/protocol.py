@@ -105,6 +105,27 @@ def notice_response(message: str) -> bytes:
     return _msg(b"N", body)
 
 
+# ------------------------------------------------------- COPY sub-protocol
+
+
+def copy_in_response(ncols: int) -> bytes:
+    """CopyInResponse ('G'): text overall format, per-column text."""
+    return _msg(b"G", struct.pack("!bH", 0, ncols) + b"\x00\x00" * ncols)
+
+
+def copy_out_response(ncols: int) -> bytes:
+    """CopyOutResponse ('H'): text overall format, per-column text."""
+    return _msg(b"H", struct.pack("!bH", 0, ncols) + b"\x00\x00" * ncols)
+
+
+def copy_data(chunk: bytes) -> bytes:
+    return _msg(b"d", chunk)
+
+
+def copy_done() -> bytes:
+    return _msg(b"c", b"")
+
+
 # ------------------------------------------------- extended-protocol encode
 
 

@@ -99,12 +99,55 @@ class PgClient:
                 cur = None
             elif tag == b"I":
                 results.append({"columns": [], "oids": [], "rows": [], "tag": ""})
+            elif tag == b"H":  # CopyOutResponse: collect CopyData chunks
+                cur = {"columns": [], "oids": [], "rows": [], "copy_out": b""}
+            elif tag == b"d":
+                assert cur is not None
+                cur["copy_out"] += body
+            elif tag == b"c":  # CopyDone
+                pass
+            elif tag == b"G":  # CopyInResponse — caller uses copy_in()
+                cur = {"columns": [], "oids": [], "rows": [], "copy_in": True}
             elif tag == b"E":
                 fields = {}
                 for part in body.split(b"\x00"):
                     if part:
                         fields[chr(part[0])] = part[1:].decode()
                 results.append({"error": fields.get("M", "?"), "sqlstate": fields.get("C")})
+            elif tag == b"Z":
+                return results
+
+    def copy_in(self, sql: str, data: bytes, chunk: int = 8192) -> list[dict]:
+        """COPY <table> FROM STDIN: send the statement, stream `data` as
+        CopyData chunks, CopyDone, return the results (like query())."""
+        self.sock.sendall(
+            b"Q" + struct.pack("!I", len(sql.encode()) + 5) + sql.encode() + b"\x00"
+        )
+        tag, body = self._read_msg()
+        if tag == b"E":
+            fields = {}
+            for part in body.split(b"\x00"):
+                if part:
+                    fields[chr(part[0])] = part[1:].decode()
+            self._drain_until_ready()
+            return [{"error": fields.get("M", "?"), "sqlstate": fields.get("C")}]
+        assert tag == b"G", f"expected CopyInResponse, got {tag!r}"
+        for i in range(0, len(data), chunk):
+            self._send_msg(b"d", data[i : i + chunk])
+        self._send_msg(b"c", b"")
+        results: list[dict] = []
+        while True:
+            tag, body = self._read_msg()
+            if tag == b"C":
+                results.append({"tag": body.rstrip(b"\x00").decode()})
+            elif tag == b"E":
+                fields = {}
+                for part in body.split(b"\x00"):
+                    if part:
+                        fields[chr(part[0])] = part[1:].decode()
+                results.append(
+                    {"error": fields.get("M", "?"), "sqlstate": fields.get("C")}
+                )
             elif tag == b"Z":
                 return results
 

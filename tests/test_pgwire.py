@@ -379,6 +379,69 @@ def test_wire_integer_sum_no_overflow(client, spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS big_sum_fx")
 
 
+def test_wire_copy_from_stdin_csv(client, spark, tmp_path):
+    """COPY t FROM STDIN (FORMAT CSV) — the psql \\copy wire shape:
+    CopyInResponse, CopyData chunks spooled to a temp file, one
+    distributed load on CopyDone."""
+    spark.sql("DROP TABLE IF EXISTS copy_stdin_tgt")
+    (res,) = client.query(
+        f"CREATE TABLE copy_stdin_tgt(a bigint, b string) "
+        f"USING parquet LOCATION '{tmp_path}/copy_stdin_tgt'"
+    )
+    assert "error" not in res, res
+    out = client.copy_in(
+        "COPY copy_stdin_tgt FROM STDIN (FORMAT CSV)",
+        b"1,one\n2,two\n3,three\n",
+    )
+    assert out[-1].get("tag") == "COPY 3", out
+    # column list reorders; HEADER skips the first line
+    out = client.copy_in(
+        "COPY copy_stdin_tgt (b, a) FROM STDIN (FORMAT CSV, HEADER)",
+        b"b,a\nfour,4\n",
+    )
+    assert out[-1].get("tag") == "COPY 1", out
+    (back,) = client.query(
+        "SELECT COUNT(*) AS n, SUM(a) AS s FROM copy_stdin_tgt"
+    )
+    assert back["rows"] == [["4", "10"]]
+    spark.sql("DROP TABLE IF EXISTS copy_stdin_tgt")
+
+
+def test_wire_copy_from_stdin_text_format(client, spark, tmp_path):
+    """Default PG text format: tab-separated, \\N nulls."""
+    spark.sql("DROP TABLE IF EXISTS copy_stdin_txt")
+    (res,) = client.query(
+        f"CREATE TABLE copy_stdin_txt(a bigint, b string) "
+        f"USING parquet LOCATION '{tmp_path}/copy_stdin_txt'"
+    )
+    assert "error" not in res, res
+    out = client.copy_in(
+        "COPY copy_stdin_txt FROM STDIN", b"5\thello\n6\t\\N\n"
+    )
+    assert out[-1].get("tag") == "COPY 2", out
+    (back,) = client.query(
+        "SELECT COUNT(*) AS n, COUNT(b) AS nb FROM copy_stdin_txt"
+    )
+    assert back["rows"] == [["2", "1"]]  # one NULL b
+    spark.sql("DROP TABLE IF EXISTS copy_stdin_txt")
+
+
+def test_wire_copy_to_stdout(client):
+    (res,) = client.query(
+        "COPY (SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey) "
+        "TO STDOUT (FORMAT CSV, HEADER)"
+    )
+    assert res.get("tag") == "COPY 5", res
+    lines = res["copy_out"].decode().splitlines()
+    assert lines[0] == "r_regionkey,r_name"
+    assert len(lines) == 6 and lines[1].startswith("0,")
+    # PG text format default: tab-separated, no header
+    (res,) = client.query("COPY region TO STDOUT")
+    assert res.get("tag") == "COPY 5"
+    rows = [ln.split("\t") for ln in res["copy_out"].decode().splitlines()]
+    assert len(rows) == 5 and all(len(r) == 2 for r in rows)
+
+
 def test_wire_describe_table(client):
     """DuckDB-style DESCRIBE — first-contact psql usability (VERDICT r2
     item 4; the reference delegates it to DuckDB verbatim, cpp:52)."""
