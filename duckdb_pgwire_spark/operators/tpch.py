@@ -550,3 +550,53 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("agg", "subquery", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the supplier(s) with the maximum revenue
+    in a quarter (view + scalar subquery in the spec).
+
+    Scale shape: revenue is one partial-agg shuffle keyed on supplier;
+    the MAX is a 1-row scalar broadcast back onto the (already small)
+    per-supplier aggregate; supplier joins broadcast. The equality
+    compares 4-decimal ROUNDED revenues on both engines, so the
+    max-picking can't flip on summation-order ulps.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

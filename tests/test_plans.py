@@ -176,3 +176,41 @@ def test_asof_join_is_single_shuffle(spark):
     partition on user_id."""
     df = _q("join_asof").fn(spark, SF_DIR)
     assert I.exchange_count(df) == 1, I.simple_plan(df)[:1500]
+
+
+def test_q7_q8_all_broadcast_no_cartesian(spark):
+    """The 6- and 8-table TPC-H star joins must keep the fact table
+    streaming: every join broadcast at this scale, never a cartesian or
+    nested-loop fallback from the disjunctive nation-pair predicate."""
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        df = _q(name).fn(spark, SF_DIR)
+        joins = I.join_nodes(df)
+        assert joins and all(j == "BroadcastHashJoin" for j in joins), (name, joins)
+
+
+def test_q10_topk_fused(spark):
+    """Q10's ORDER BY+LIMIT 20 must fuse to TakeOrderedAndProject —
+    a global range-partitioned sort of the grouped result is the 100 TB
+    failure mode."""
+    df = _q("q10_returned_items").fn(spark, SF_DIR)
+    assert I.has_node(df, "TakeOrderedAndProject")
+    assert "rangepartitioning" not in I.simple_plan(df)
+    pushed = " ".join(I.pushed_filters(df))
+    assert "l_returnflag" in pushed, pushed  # flag filter reaches the scan
+
+
+def test_q18_semi_join_on_aggregated_side(spark):
+    """Q18's IN-subquery must plan as a semi join against the
+    aggregated (small) order set — not an inner join + dedup."""
+    df = _q("q18_large_volume_customers").fn(spark, SF_DIR)
+    assert "LeftSemi" in I.formatted_plan(df)
+
+
+def test_cluster_components_edges_computed_once(spark):
+    """The connected-components entry must not re-run the minhash
+    pipeline per iteration: the edge list is checkpointed, so the final
+    plan contains no minhash kernel stages (they ran exactly once at
+    build time)."""
+    df = _q("dedup_cluster_components").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "ArrowEvalPython" not in plan and "mapInPandas" not in plan.lower(), plan
