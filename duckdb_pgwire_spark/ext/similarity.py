@@ -554,3 +554,95 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") > 0.3)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+# ------------------------------------------------- int8-quantized ANN
+
+QUANT_BITS_MAX = 127  # symmetric int8 range
+
+
+@query(
+    "sim_quantized_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), q8 AS (
+        SELECT vec_id,
+               list_transform(
+                   e, x -> CAST(floor(
+                       x / (list_max(list_transform(e, y -> abs(y))) / {QUANT_BITS_MAX})
+                       + 0.5) AS BIGINT)) AS q
+        FROM v
+    ), queries AS (
+        SELECT vec_id AS query_id, q AS qq FROM q8 WHERE vec_id IN {QUERY_IDS}
+    ), scored AS (
+        SELECT query_id, v8.vec_id,
+               CAST(list_aggregate(
+                        list_transform(range(1, {DIM + 1}), i -> qq[i] * q[i]),
+                        'sum') AS DOUBLE)
+               / (sqrt(CAST(list_aggregate(
+                        list_transform(range(1, {DIM + 1}), i -> qq[i] * qq[i]),
+                        'sum') AS DOUBLE))
+                * sqrt(CAST(list_aggregate(
+                        list_transform(range(1, {DIM + 1}), i -> q[i] * q[i]),
+                        'sum') AS DOUBLE))) AS qcos
+        FROM queries CROSS JOIN q8 v8
+        WHERE v8.vec_id <> query_id
+    )
+    SELECT query_id, vec_id, ROUND(qcos, 6) AS qcos_sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY qcos DESC, vec_id) <= {TOP_K}
+    """,
+    tags=("ext", "similarity", "quantized"),
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over int8-QUANTIZED embeddings — the 4× memory /
+    bandwidth reduction every 100 TB vector store uses.
+
+    Symmetric per-vector quantization: scale = max|x|/127, q_i =
+    floor(x_i/scale + 0.5). The cosine of quantized vectors reduces to
+    dot_int / sqrt(norm_int_a * norm_int_b) — the per-vector scales
+    CANCEL, so the score is computed from exact integer sums and is
+    bit-identical across engines with NO accumulation-order contract
+    (unlike the float kernels, which need the sequential-fold rule).
+
+    Implementation is pure JVM column HOFs — transform / zip_with /
+    aggregate inside whole-stage codegen, no Python at all: quantization
+    is a map over the scan, scoring is a broadcast of |Q| quantized
+    query vectors, and only k rows per query survive the window. Recall
+    vs the exact float top-k is asserted in tests/test_ext.py.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast(
+        "double"
+    ) / F.lit(float(QUANT_BITS_MAX))
+    quantize = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("long"),
+    )
+    q8 = v.select("vec_id", quantize.alias("q"))
+    queries = q8.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    int_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    dot = int_sum(F.zip_with("qq", "q", lambda a, b: a * b)).cast("double")
+    norm = lambda c: F.sqrt(  # noqa: E731
+        int_sum(F.transform(c, lambda x: x * x)).cast("double")
+    )
+    scored = (
+        q8.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("qcos", dot / (norm(F.col("qq")) * norm(F.col("q"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", F.round("qcos", 6).alias("qcos_sim"))
+    )

@@ -807,6 +807,22 @@ class PgWireServer:
             writer.write(P.command_complete(f"MERGE {n}"))
             await writer.drain()
             return
+        if first in ("ANALYZE", "VACUUM"):
+            # PG/DuckDB maintenance statements. ANALYZE <t> maps to real
+            # Spark table statistics (CBO input); bare ANALYZE and VACUUM
+            # ack as no-ops — parquet-v1 tables have nothing to vacuum,
+            # and erroring would break psql habits and cron scripts.
+            m = re.match(r"^\s*ANALYZE\s+([\w.]+)\s*;?\s*$", stmt, re.IGNORECASE)
+            if m:
+                await self._exec(
+                    session,
+                    state.job_tag,
+                    session.sql,
+                    f"ANALYZE TABLE {m.group(1)} COMPUTE STATISTICS",
+                )
+            writer.write(P.command_complete(first))
+            await writer.drain()
+            return
         stdout_copy = parse_copy_stdout(stmt)
         if stdout_copy is not None:
             inner, fmt, header = stdout_copy

@@ -116,6 +116,22 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     assert not np.allclose(C0, C1), "Lloyd iteration left every centroid unchanged"
 
 
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization must preserve most of the exact top-10: 64-dim
+    vectors at 127 levels lose little cosine precision."""
+    from duckdb_pgwire_spark.ext.similarity import QUERY_IDS, sim_quantized_topk
+
+    exact = {}
+    for r in sim_topk_bruteforce(spark, SF_DIR).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    quant = {}
+    for r in sim_quantized_topk(spark, SF_DIR).collect():
+        quant.setdefault(r.query_id, set()).add(r.vec_id)
+    for q in QUERY_IDS:
+        overlap = len(exact[q] & quant[q]) / len(exact[q])
+        assert overlap >= 0.7, f"query {q}: quantized recall {overlap:.1f}"
+
+
 def test_cluster_components_match_union_find(spark):
     """dedup_cluster_components must equal a reference union-find over
     the same LSH pairs: transitive closure (A~B, B~C → one cluster) and

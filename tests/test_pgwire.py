@@ -379,6 +379,29 @@ def test_wire_integer_sum_no_overflow(client, spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS big_sum_fx")
 
 
+def test_wire_analyze_and_vacuum(client, spark, tmp_path):
+    """ANALYZE <t> computes real Spark table statistics; bare ANALYZE
+    and VACUUM ack as no-ops (psql habits must not error)."""
+    spark.sql("DROP TABLE IF EXISTS analyze_tgt")
+    (res,) = client.query(
+        f"CREATE TABLE analyze_tgt(v int) USING parquet "
+        f"LOCATION '{tmp_path}/analyze_tgt'"
+    )
+    assert "error" not in res, res
+    (res,) = client.query("INSERT INTO analyze_tgt VALUES (1), (2), (3)")
+    assert "error" not in res, res
+    (res,) = client.query("ANALYZE analyze_tgt")
+    assert res.get("tag") == "ANALYZE", res
+    stats = spark.sql("DESCRIBE TABLE EXTENDED analyze_tgt").collect()
+    stats_row = [r for r in stats if r.col_name == "Statistics"]
+    assert stats_row and "3 rows" in stats_row[0].data_type
+    (res,) = client.query("ANALYZE")
+    assert res.get("tag") == "ANALYZE", res
+    (res,) = client.query("VACUUM")
+    assert res.get("tag") == "VACUUM", res
+    spark.sql("DROP TABLE IF EXISTS analyze_tgt")
+
+
 def test_wire_copy_from_stdin_csv(client, spark, tmp_path):
     """COPY t FROM STDIN (FORMAT CSV) — the psql \\copy wire shape:
     CopyInResponse, CopyData chunks spooled to a temp file, one
