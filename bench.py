@@ -60,6 +60,15 @@ HEADLINE = [
     "sim_ivf_probe",
     "text_quality_score",
     "text_token_count",
+    # round-3 additions (DuckDB baselines in BASELINE.md r3 sub-table)
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "dedup_cluster_components",
+    "sim_quantized_topk",
 ]
 
 
