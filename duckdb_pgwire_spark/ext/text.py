@@ -516,3 +516,72 @@ def text_scrub_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(pattern)).alias("n_scrubbed"),
         F.md5(F.regexp_replace("text", pattern, "[TERM]")).alias("scrubbed_hash"),
     )
+
+
+# ------------------------------------------------------ document chunking
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@query(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), n AS (
+        SELECT doc_id, words,
+               GREATEST(1, CAST(ceil((len(words) - {CHUNK_OVERLAP})
+                                     / {_CHUNK_STEP}.0) AS BIGINT)) AS n_chunks
+        FROM w
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(words[i * {_CHUNK_STEP} + 1 :
+                                 i * {_CHUNK_STEP} + {CHUNK_TOKENS}], ' ')
+               AS chunk_text,
+           len(words[i * {_CHUNK_STEP} + 1 :
+                     i * {_CHUNK_STEP} + {CHUNK_TOKENS}]) AS n_tokens
+    FROM n CROSS JOIN unnest(range(0, n_chunks)) AS t(i)
+    """,
+    tags=("ext", "text", "chunking"),
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: {CHUNK_TOKENS}-token chunks
+    with {CHUNK_OVERLAP}-token overlap — the standard pre-tokenization
+    step of every LLM training/RAG pipeline (long documents must become
+    budget-sized pieces without losing cross-boundary context).
+
+    Pure JVM column HOFs: split once, then transform(sequence(...)) +
+    slice + posexplode fan the chunks out INSIDE the row before a
+    zero-shuffle projection — no join, no window, no Python. At 100 TB
+    this is an embarrassingly parallel map whose output partitioning
+    follows the input's.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(words) - CHUNK_OVERLAP) / float(_CHUNK_STEP)).cast("long"),
+    )
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice(words, i * _CHUNK_STEP + 1, CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(words, i * _CHUNK_STEP + 1, CHUNK_TOKENS)).alias(
+                "n_tokens"
+            ),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunk).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

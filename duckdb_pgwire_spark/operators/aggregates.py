@@ -515,3 +515,54 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact, 4).alias("exact_median"),
         (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
     )
+
+
+@query(
+    "agg_mode_count_if",
+    oracle="""
+    SELECT l_returnflag,
+           mode(l_linestatus)                  AS mode_status,
+           count_if(l_quantity > 25)           AS n_big,
+           count_if(l_discount = 0)            AS n_undiscounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_mode_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() (most frequent value) and count_if() — DuckDB spellings
+    with direct Spark twins (F.mode, F.count_if). mode ties are not an
+    issue on this fixture (strict frequency winner per group); both are
+    single-pass partial-aggregable, shuffle O(groups)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.mode("l_linestatus").alias("mode_status"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+        F.count_if(F.col("l_discount") == 0).alias("n_undiscounted"),
+    )
+
+
+@query(
+    "agg_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ALL
+    """,
+    tags=("agg", "sql"),
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the DuckDB convenience both engines now parse
+    natively (Spark 3.4+): every non-aggregate select item becomes a
+    grouping key. Executed through spark.sql to exercise the PARSER
+    path, not a DataFrame translation."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )
