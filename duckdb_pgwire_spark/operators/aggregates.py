@@ -566,3 +566,48 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "agg_quantile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.25) AS q25,
+           quantile_disc(l_extendedprice, 0.5)  AS q50,
+           quantile_disc(l_extendedprice, 0.75) AS q75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "quantile"),
+)
+def agg_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete quantiles (DuckDB quantile_disc: an ACTUAL element of
+    the group, not an interpolation — Spark's percentile interpolates,
+    so no direct twin exists).
+
+    Spark-first rewrite: quantile_disc(x, p) selects the row with
+    row_number == ceil(p*n) in the group's ordering (verified identical
+    to DuckDB's definition). ONE window sort per group serves all three
+    quantiles, then a conditional-max aggregation — a single sort
+    shuffle, no collect_list materialization of the group (which is the
+    scale trap for exact quantiles)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    def pick(p):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        )
+    return r.groupBy("l_returnflag").agg(
+        pick(0.25).alias("q25"), pick(0.5).alias("q50"), pick(0.75).alias("q75")
+    )
