@@ -80,7 +80,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         l_orderkey,
-        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
         CAST(o_orderdate AS DATE)                         AS o_orderdate
     FROM customer
     JOIN orders    ON c_custkey = o_custkey
@@ -136,7 +136,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         n_name,
-        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
