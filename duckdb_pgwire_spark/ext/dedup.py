@@ -436,3 +436,56 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("n").alias("doc_id"), F.col("l").alias("cluster_id"))
+
+
+_KEEP_CANONICAL_ORACLE = f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach(n, l) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.n
+    ),
+    clusters AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           (c.doc_id IS NULL OR c.cluster_id = d.doc_id) AS keep
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+"""
+
+
+@query(
+    "pipeline_dedup_keep_canonical",
+    oracle=_KEEP_CANONICAL_ORACLE,
+    tags=("ext", "dedup", "pipeline"),
+)
+def pipeline_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup POLICY: every document gets (cluster_id, keep) —
+    near-dup clusters keep exactly their canonical (min doc_id) member,
+    singletons keep themselves. This is the decision table a corpus
+    curation job anti-joins against before training.
+
+    Scale shape: the cluster map from dedup_cluster_components is
+    O(docs-in-any-pair) — tiny next to the corpus — so the final join
+    broadcasts it against the full documents scan; everything upstream
+    is the already-bucketed LSH + label-propagation pipeline."""
+    clusters = dedup_cluster_components(spark, sf_dir).withColumnRenamed(
+        "doc_id", "c_doc"
+    )
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8).select("doc_id")
+    return (
+        d.join(F.broadcast(clusters), d.doc_id == clusters.c_doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            (
+                F.col("c_doc").isNull()
+                | (F.col("cluster_id") == F.col("doc_id"))
+            ).alias("keep"),
+        )
+    )
