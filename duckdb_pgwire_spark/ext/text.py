@@ -585,3 +585,45 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+STRATUM_QUOTA = 50
+
+
+@query(
+    "sample_stratified_by_source",
+    oracle=f"""
+    SELECT source, doc_id
+    FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+        FROM documents
+    ) ranked
+    WHERE rk <= {STRATUM_QUOTA}
+    """,
+    tags=("ext", "sampling"),
+)
+def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with a per-stratum quota: up to
+    {STRATUM_QUOTA} documents per source, chosen by md5-rank — the
+    corpus-mixing primitive (cap every source's contribution so one
+    crawl doesn't dominate the training mix) with a DETERMINISTIC,
+    engine-independent selection (hash order, not RNG state).
+
+    Scale shape: one window shuffle keyed on the stratum; the md5 rank
+    is computed map-side. Skewed strata cost one sort each —
+    WindowGroupLimit pushes the quota below the sort at the partition
+    level, so no stratum materializes beyond its top-{STRATUM_QUOTA}."""
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= STRATUM_QUOTA)
+        .select("source", "doc_id")
+    )

@@ -1227,6 +1227,31 @@ _INTROSPECT_RE = re.compile(
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+(ALL\s+)?TABLES\s*;?\s*$", re.IGNORECASE)
 
+# PG session GUCs that clients read on connect (JDBC reads transaction
+# isolation; psql tab-completion reads several). Spark's SHOW only knows
+# its own confs, so these answer PG-shaped one-row results directly.
+_PG_GUCS = {
+    "transaction isolation level": ("transaction_isolation", "read committed"),
+    "transaction_isolation": ("transaction_isolation", "read committed"),
+    "server_version": ("server_version", "15.0 (duckdb_pgwire_spark)"),
+    "server_encoding": ("server_encoding", "UTF8"),
+    "client_encoding": ("client_encoding", "UTF8"),
+    "standard_conforming_strings": ("standard_conforming_strings", "on"),
+    "timezone": ("TimeZone", "UTC"),
+    "datestyle": ("DateStyle", "ISO, MDY"),
+    "search_path": ("search_path", "default"),
+    "max_identifier_length": ("max_identifier_length", "63"),
+}
+
+_SHOW_GUC_RE = re.compile(r"^\s*SHOW\s+([\w ]+?)\s*;?\s*$", re.IGNORECASE)
+
+
+def _show_guc(stmt: str) -> tuple[str, str] | None:
+    m = _SHOW_GUC_RE.match(stmt)
+    if m is None:
+        return None
+    return _PG_GUCS.get(m.group(1).strip().lower())
+
 _DUCK_TYPE_MAP = {
     "string": "VARCHAR",
     "int": "INTEGER",
@@ -1249,7 +1274,11 @@ def _duck_type(dt) -> str:
 
 
 def _is_introspection(stmt: str) -> bool:
-    return bool(_INTROSPECT_RE.match(stmt) or _SHOW_TABLES_RE.match(stmt))
+    return bool(
+        _INTROSPECT_RE.match(stmt)
+        or _SHOW_TABLES_RE.match(stmt)
+        or _show_guc(stmt) is not None
+    )
 
 
 def _relation_df(session: SparkSession, target: str) -> DataFrame:
@@ -1261,6 +1290,10 @@ def _relation_df(session: SparkSession, target: str) -> DataFrame:
 
 
 def _introspection_df(session: SparkSession, stmt: str) -> DataFrame:
+    guc = _show_guc(stmt)
+    if guc is not None:
+        name, value = guc
+        return session.createDataFrame([(value,)], f"`{name}` string").coalesce(1)
     if _SHOW_TABLES_RE.match(stmt):
         names = sorted(t.name for t in session.catalog.listTables())
         return session.createDataFrame([(n,) for n in names], "name string").coalesce(1)

@@ -488,6 +488,21 @@ def test_wire_show_tables(client):
     assert names == sorted(names)
 
 
+def test_wire_show_pg_gucs(client):
+    """JDBC/psql read PG session GUCs on connect; Spark's SHOW only
+    knows its own confs, so these answer PG-shaped one-row results."""
+    (res,) = client.query("SHOW TRANSACTION ISOLATION LEVEL")
+    assert res["columns"] == ["transaction_isolation"]
+    assert res["rows"] == [["read committed"]]
+    (res,) = client.query("SHOW TimeZone")
+    assert res["rows"] == [["UTC"]]
+    (res,) = client.query("SHOW server_version")
+    assert res["rows"][0][0].startswith("15.0")
+    # SHOW TABLES is not shadowed by the GUC path
+    (res,) = client.query("SHOW TABLES")
+    assert res["columns"] == ["name"]
+
+
 def test_wire_summarize(client):
     (res,) = client.query("SUMMARIZE region")
     assert res["columns"][:5] == [
