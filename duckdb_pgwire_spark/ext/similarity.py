@@ -398,9 +398,12 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cached: the corpus is read by every Lloyd pass plus the final
     # assignment — the canonical Spark k-means shape (MLlib caches its
     # input for exactly this reason). Cross-invocation plan matching
-    # reuses the same cache entry.
+    # reuses the same cache entry. parts=5 (not the 4 every OTHER
+    # similarity query uses) keeps this cache entry from plan-matching
+    # their scans — a cached plan would replace their parquet source and
+    # silently defeat predicate pushdown on the probe side.
     v = (
-        load_table_parallel(spark, sf_dir, "embeddings", parts=4)
+        load_table_parallel(spark, sf_dir, "embeddings", parts=5)
         .select("vec_id", "embedding")
         .cache()
     )
