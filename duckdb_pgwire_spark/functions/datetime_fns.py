@@ -117,3 +117,49 @@ def fn_date_format_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp(F.lit("2024-03-05 10:20:30"), "yyyy-MM-dd HH:mm:ss").alias("parsed"),
         ts.cast("date").alias("just_date"),
     )
+
+
+@query(
+    "fn_ts_series_time_bucket",
+    oracle="""
+    SELECT ts_slot,
+           time_bucket(INTERVAL 6 HOUR, ts_slot)   AS bucket6h,
+           time_bucket(INTERVAL 15 MINUTE,
+                       ts_slot + INTERVAL 38 MINUTE) AS bucket15m
+    FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                         TIMESTAMP '2024-01-03 00:00:00',
+                         INTERVAL 95 MINUTE) AS t(ts_slot)
+    """,
+    tags=("date", "series"),
+)
+def fn_ts_series_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp series generation + time_bucket alignment — the
+    backbone of every time-grid query (gap-fill, rollup, SLA buckets).
+
+    Spark-first: ``sequence(start, stop, interval)`` generates the grid
+    JVM-side (exploded in the scan stage, zero shuffle); time_bucket
+    has no Spark builtin, so it is epoch-arithmetic —
+    ``timestamp_seconds(unix - unix % width)`` — which matches DuckDB's
+    epoch-aligned flooring exactly for day-divisible widths."""
+    grid = F.explode(
+        F.sequence(
+            F.lit("2024-01-01 00:00:00").cast("timestamp"),
+            F.lit("2024-01-03 00:00:00").cast("timestamp"),
+            F.expr("INTERVAL 95 MINUTES"),
+        )
+    ).alias("ts_slot")
+
+    def bucket(col, seconds):
+        u = F.unix_timestamp(col)
+        return F.timestamp_seconds(u - u % seconds)
+
+    shifted = F.col("ts_slot") + F.expr("INTERVAL 38 MINUTES")
+    return (
+        spark.range(1)
+        .select(grid)
+        .select(
+            "ts_slot",
+            bucket(F.col("ts_slot"), 6 * 3600).alias("bucket6h"),
+            bucket(shifted, 15 * 60).alias("bucket15m"),
+        )
+    )
