@@ -611,3 +611,57 @@ def agg_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("l_returnflag").agg(
         pick(0.25).alias("q25"), pick(0.5).alias("q50"), pick(0.75).alias("q75")
     )
+
+
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    WITH per_nation AS (
+        SELECT c_nationkey, COUNT(DISTINCT o_custkey) AS exact_nation
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    ), overall AS (
+        SELECT COUNT(DISTINCT o_custkey) AS exact_total FROM orders
+    )
+    SELECT (SELECT COUNT(*) FROM per_nation)      AS n_groups,
+           (SELECT exact_total FROM overall)      AS exact_total,
+           true                                   AS merged_within_5pct
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-sketch distinct counting: build one HLL sketch PER
+    GROUP (hll_sketch_agg), then merge the group sketches
+    (hll_union_agg) to answer the global question WITHOUT rescanning
+    the data — the at-scale pattern where sketches are stored per
+    partition/day and unioned on read.
+
+    Sketch bytes are engine-specific, so (as with agg_approx_distinct)
+    the portable contract is the accuracy band: the estimate from the
+    MERGED sketches must land within 5% of the exact global distinct —
+    which also proves the merge is lossless across groups."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sketches = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    exact_total = o.select(
+        F.countDistinct("o_custkey").alias("exact_total")
+    )
+    merged = sketches.agg(
+        F.count("*").alias("n_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"),
+    )
+    return (
+        merged.join(F.broadcast(exact_total))
+        .select(
+            "n_groups",
+            "exact_total",
+            (
+                F.abs(F.col("est_total") - F.col("exact_total"))
+                <= 0.05 * F.col("exact_total")
+            ).alias("merged_within_5pct"),
+        )
+    )
