@@ -807,6 +807,12 @@ class PgWireServer:
             writer.write(P.command_complete(f"MERGE {n}"))
             await writer.drain()
             return
+        if first == "COMMENT":
+            # COMMENT ON <obj> IS '...': Spark's only works on real
+            # tables (fixtures are views) — ack as a metadata no-op.
+            writer.write(P.command_complete("COMMENT"))
+            await writer.drain()
+            return
         if first in ("ANALYZE", "VACUUM"):
             # PG/DuckDB maintenance statements. ANALYZE <t> maps to real
             # Spark table statistics (CBO input); bare ANALYZE and VACUUM
@@ -1188,31 +1194,81 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
 
 
 def _refresh_pg_catalog(session: SparkSession) -> None:
-    """Minimal pg_catalog emulation: the reference's DuckDB ships real
-    pg_catalog views (pg_tables, pg_views, pg_namespace, ...) that psql
-    and BI tools query on connect; here they are rebuilt on demand from
-    the Spark catalog as temp views of the same names (the shim strips
-    the pg_catalog. qualifier)."""
+    """pg_catalog + information_schema emulation: the reference's DuckDB
+    ships real catalog views (pg_tables, pg_class, pg_type,
+    information_schema.tables/columns, ...) that psql and BI tools query
+    on connect; here they are rebuilt on demand from the Spark catalog
+    as temp views (the shim strips the pg_catalog. qualifier and maps
+    information_schema. → info_schema_)."""
     cat = session.catalog
     db = cat.currentDatabase()
-    tables, views = [], []
-    for t in cat.listTables():
-        if (t.tableType or "").upper() in ("VIEW", "TEMPORARY", "TEMP"):
-            views.append((t.namespace[0] if t.namespace else db, t.name, "spark"))
-        else:
-            tables.append((t.namespace[0] if t.namespace else db, t.name, "spark"))
-    session.createDataFrame(
-        tables, "schemaname string, tablename string, tableowner string"
-    ).coalesce(1).createOrReplaceTempView("pg_tables")
-    session.createDataFrame(
-        views, "schemaname string, viewname string, viewowner string"
-    ).coalesce(1).createOrReplaceTempView("pg_views")
-    session.createDataFrame(
-        [(db,), ("pg_catalog",)], "nspname string"
-    ).coalesce(1).createOrReplaceTempView("pg_namespace")
+    tables, views, classes, is_tables, is_columns = [], [], [], [], []
+    for oid, t in enumerate(cat.listTables(), start=100001):
+        is_view = (t.tableType or "").upper() in ("VIEW", "TEMPORARY", "TEMP")
+        schema = t.namespace[0] if t.namespace else db
+        (views if is_view else tables).append((schema, t.name, "spark"))
+        classes.append((oid, t.name, schema, "v" if is_view else "r"))
+        is_tables.append(
+            ("spark_catalog", schema, t.name, "VIEW" if is_view else "BASE TABLE")
+        )
+        try:
+            for pos, f in enumerate(session.table(t.name).schema.fields, start=1):
+                is_columns.append(
+                    (
+                        "spark_catalog", schema, t.name, f.name, pos,
+                        f.dataType.simpleString(),
+                        "YES" if f.nullable else "NO",
+                    )
+                )
+        except Exception:  # noqa: BLE001 — unreadable table: skip columns
+            pass
+    mk = session.createDataFrame
+    mk(tables, "schemaname string, tablename string, tableowner string").coalesce(
+        1
+    ).createOrReplaceTempView("pg_tables")
+    mk(views, "schemaname string, viewname string, viewowner string").coalesce(
+        1
+    ).createOrReplaceTempView("pg_views")
+    mk([(db,), ("pg_catalog",)], "nspname string").coalesce(
+        1
+    ).createOrReplaceTempView("pg_namespace")
+    mk(
+        classes, "oid long, relname string, relnamespace string, relkind string"
+    ).coalesce(1).createOrReplaceTempView("pg_class")
+    mk(
+        [
+            (16, "bool"), (17, "bytea"), (20, "int8"), (21, "int2"),
+            (23, "int4"), (25, "text"), (114, "json"), (700, "float4"),
+            (701, "float8"), (1043, "varchar"), (1082, "date"),
+            (1083, "time"), (1114, "timestamp"), (1184, "timestamptz"),
+            (1700, "numeric"),
+        ],
+        "oid long, typname string",
+    ).coalesce(1).createOrReplaceTempView("pg_type")
+    mk([(1, "main")], "oid long, datname string").coalesce(
+        1
+    ).createOrReplaceTempView("pg_database")
+    mk([("spark",)], "rolname string").coalesce(1).createOrReplaceTempView(
+        "pg_roles"
+    )
+    mk(
+        is_tables,
+        "table_catalog string, table_schema string, table_name string, "
+        "table_type string",
+    ).coalesce(1).createOrReplaceTempView("info_schema_tables")
+    mk(
+        is_columns,
+        "table_catalog string, table_schema string, table_name string, "
+        "column_name string, ordinal_position int, data_type string, "
+        "is_nullable string",
+    ).coalesce(1).createOrReplaceTempView("info_schema_columns")
 
 
-_PG_CATALOG_RE = re.compile(r"\bpg_(tables|views|namespace)\b", re.IGNORECASE)
+_PG_CATALOG_RE = re.compile(
+    r"\bpg_(tables|views|namespace|class|type|database|roles)\b"
+    r"|\binformation_schema\s*\.|\binfo_schema_(tables|columns)\b",
+    re.IGNORECASE,
+)
 
 
 # --------------------------------------------------- DuckDB introspection
@@ -1229,19 +1285,9 @@ _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+(ALL\s+)?TABLES\s*;?\s*$", re.IGNORECA
 
 # PG session GUCs that clients read on connect (JDBC reads transaction
 # isolation; psql tab-completion reads several). Spark's SHOW only knows
-# its own confs, so these answer PG-shaped one-row results directly.
-_PG_GUCS = {
-    "transaction isolation level": ("transaction_isolation", "read committed"),
-    "transaction_isolation": ("transaction_isolation", "read committed"),
-    "server_version": ("server_version", "15.0 (duckdb_pgwire_spark)"),
-    "server_encoding": ("server_encoding", "UTF8"),
-    "client_encoding": ("client_encoding", "UTF8"),
-    "standard_conforming_strings": ("standard_conforming_strings", "on"),
-    "timezone": ("TimeZone", "UTC"),
-    "datestyle": ("DateStyle", "ISO, MDY"),
-    "search_path": ("search_path", "default"),
-    "max_identifier_length": ("max_identifier_length", "63"),
-}
+# its own confs, so these answer PG-shaped one-row results directly;
+# the same table backs current_setting('x') in the shim.
+from .compat import PG_GUCS as _PG_GUCS  # noqa: E402
 
 _SHOW_GUC_RE = re.compile(r"^\s*SHOW\s+([\w ]+?)\s*;?\s*$", re.IGNORECASE)
 

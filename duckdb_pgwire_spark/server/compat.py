@@ -229,6 +229,22 @@ def _rewrite_code(seg: str) -> str:
         flags=re.IGNORECASE,
     )
     seg = re.sub(r"\bpg_catalog\s*\.\s*", "", seg, flags=re.IGNORECASE)
+    # information_schema.<t> → the server-maintained info_schema_<t>
+    # temp views (BI tools introspect through these)
+    seg = re.sub(
+        r"\binformation_schema\s*\.\s*", "info_schema_", seg, flags=re.IGNORECASE
+    )
+    # PG client-handshake functions with no Spark twin
+    import os as _os
+
+    seg = re.sub(
+        r"\bpg_backend_pid\s*\(\s*\)", str(_os.getpid() & 0x7FFFFFFF), seg,
+        flags=re.IGNORECASE,
+    )
+    # bare SQL-standard niladic localtimestamp (PG allows no parens)
+    seg = re.sub(
+        r"\blocaltimestamp\b(?!\s*\()", "localtimestamp()", seg, flags=re.IGNORECASE
+    )
     # DuckDB USING SAMPLE → Spark TABLESAMPLE (approximate on both
     # engines; row/percent forms only — reservoir options unmapped)
     seg = re.sub(
@@ -308,6 +324,84 @@ def _rewrite_list_aggregate(sql: str) -> str:
         e = args[0].strip()
         sql = sql[: m.start()] + form.format(e=e) + sql[i + 1 :]
         pos = m.start()  # re-scan from here: e may itself contain calls
+
+
+# PG session GUCs clients read on connect (also answered by SHOW in the
+# server; current_setting('x') inlines the same values as literals).
+PG_GUCS = {
+    "transaction isolation level": ("transaction_isolation", "read committed"),
+    "transaction_isolation": ("transaction_isolation", "read committed"),
+    "server_version": ("server_version", "15.0 (duckdb_pgwire_spark)"),
+    "server_encoding": ("server_encoding", "UTF8"),
+    "client_encoding": ("client_encoding", "UTF8"),
+    "standard_conforming_strings": ("standard_conforming_strings", "on"),
+    "timezone": ("TimeZone", "UTC"),
+    "datestyle": ("DateStyle", "ISO, MDY"),
+    "search_path": ("search_path", "default"),
+    "max_identifier_length": ("max_identifier_length", "63"),
+}
+
+
+def _rewrite_pg_client_fns(sql: str) -> str:
+    """PG client-handshake spellings (run BEFORE literal splitting —
+    current_setting/CAST-INTERVAL need the quoted argument):
+    current_setting('x') → its value, CAST('lit' AS INTERVAL) →
+    INTERVAL 'lit' (Spark parses the literal form, not the cast)."""
+
+    def setting(m: re.Match) -> str:
+        guc = PG_GUCS.get(m.group(1).strip().lower())
+        val = guc[1] if guc else ""
+        return "'" + val.replace("'", "''") + "'"
+
+    sql = re.sub(
+        r"\bcurrent_setting\s*\(\s*'([^']*)'\s*\)", setting, sql, flags=re.IGNORECASE
+    )
+    sql = re.sub(
+        r"\bCAST\s*\(\s*'([^']*)'\s*AS\s+INTERVAL\s*\)",
+        r"INTERVAL '\1'",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # comment-lookup helpers: no comments catalog → NULL (args commonly
+    # contain string literals, hence the pre-split placement)
+    sql = re.sub(
+        r"\b(?:obj|col|shobj)_description\s*\([^()]*\)",
+        "CAST(NULL AS STRING)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return sql
+
+
+_ARRAY_CTOR = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+
+
+def _rewrite_array_constructor(sql: str) -> str:
+    """PG ``ARRAY[a, b, ...]`` → Spark ``array(a, b, ...)``. Lex-aware
+    bracket matching (elements may be string literals containing ']');
+    innermost-first so nesting works."""
+    while True:
+        mask = []
+        for kind, seg in _lex(sql):
+            mask.extend([kind == "code"] * len(seg))
+        m = None
+        for cand in _ARRAY_CTOR.finditer(sql):
+            if all(mask[cand.start() : cand.end()]):
+                m = cand  # take the LAST (innermost-ish) match each pass
+        if m is None:
+            return sql
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if mask[j]:
+                if sql[j] == "[":
+                    depth += 1
+                elif sql[j] == "]":
+                    depth -= 1
+            j += 1
+        if depth:
+            return sql  # unbalanced: leave for Spark to report
+        inner = sql[m.end() : j - 1]
+        sql = sql[: m.start()] + "array(" + inner + ")" + sql[j:]
 
 
 _UNARY_REWRITES = {
@@ -556,12 +650,25 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_read_files(sql)  # before literal split: needs the path string
     sql = _rewrite_strftime(sql)  # before literal split: needs the fmt string
     sql = _rewrite_list_aggregate(sql)  # ditto: needs the quoted agg name
+    sql = _rewrite_pg_client_fns(sql)  # ditto: current_setting / CAST-INTERVAL
+    sql = _rewrite_array_constructor(sql)
     sql = _rewrite_unary_fns(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
-    return "".join(
-        seg if is_lit else _rewrite_code(seg) for is_lit, seg in _split_quoted(sql)
-    )
+    parts = _split_quoted(sql)
+    out: list[str] = []
+    for i, (is_lit, seg) in enumerate(parts):
+        if is_lit:
+            out.append(seg)
+            continue
+        seg = _rewrite_code(seg)
+        # PG escape-string prefix: E'...' → '...' (Spark already treats
+        # backslash as an escape inside literals, covering \n \t \\ \')
+        nxt_is_lit = i + 1 < len(parts) and parts[i + 1][0]
+        if nxt_is_lit and parts[i + 1][1].startswith("'"):
+            seg = re.sub(r"(?<![\w.])[Ee]$", "", seg)
+        out.append(seg)
+    return "".join(out)
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:

@@ -488,6 +488,42 @@ def test_wire_show_tables(client):
     assert names == sorted(names)
 
 
+def test_wire_client_handshake_compat(client):
+    """The statements real clients (psql, psycopg, JDBC, DBeaver) issue
+    on connect/introspection — every one must succeed (round-3 sweep)."""
+    checks = [
+        ("SELECT current_setting('server_version') AS v", "15.0 (duckdb_pgwire_spark)"),
+        ("SELECT oid FROM pg_type WHERE typname = 'int4'", "23"),
+        ("SELECT datname FROM pg_database", "main"),
+        ("SELECT rolname FROM pg_roles", "spark"),
+    ]
+    for sql, expected in checks:
+        (res,) = client.query(sql)
+        assert "error" not in res, (sql, res)
+        assert res["rows"][0][0] == expected, (sql, res["rows"])
+    (res,) = client.query("SELECT pg_backend_pid() AS pid")
+    assert "error" not in res and int(res["rows"][0][0]) > 0
+    (res,) = client.query(
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name = 'region' ORDER BY ordinal_position"
+    )
+    assert "error" not in res, res
+    assert [r[0] for r in res["rows"]] == ["r_regionkey", "r_name"]
+    (res,) = client.query("SELECT relname FROM pg_catalog.pg_class WHERE relname = 'region'")
+    assert res["rows"] == [["region"]]
+    for sql in (
+        "SELECT localtimestamp",
+        "SELECT E'ab\\ncd' AS s",
+        "SELECT CAST('1 day' AS INTERVAL) AS iv",
+        "SELECT obj_description(1, 'pg_class') AS d",
+        "COMMENT ON TABLE region IS 'x'",
+    ):
+        (res,) = client.query(sql)
+        assert "error" not in res, (sql, res)
+    (res,) = client.query("SELECT ARRAY[1,2,3] AS a, ARRAY['x','y]z'] AS b")
+    assert res["rows"] == [["{1,2,3}", "{x,y]z}"]]
+
+
 def test_wire_show_pg_gucs(client):
     """JDBC/psql read PG session GUCs on connect; Spark's SHOW only
     knows its own confs, so these answer PG-shaped one-row results."""
