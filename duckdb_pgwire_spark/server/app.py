@@ -1202,12 +1202,16 @@ def _refresh_pg_catalog(session: SparkSession) -> None:
     information_schema. → info_schema_)."""
     cat = session.catalog
     db = cat.currentDatabase()
-    tables, views, classes, is_tables, is_columns = [], [], [], [], []
+    # namespace oids: psql's \d joins pg_class.relnamespace =
+    # pg_namespace.oid, so the links must be oid-keyed
+    ns_oids = {db: 2200, "pg_catalog": 11}
+    tables, views, classes, attrs, is_tables, is_columns = [], [], [], [], [], []
     for oid, t in enumerate(cat.listTables(), start=100001):
         is_view = (t.tableType or "").upper() in ("VIEW", "TEMPORARY", "TEMP")
         schema = t.namespace[0] if t.namespace else db
+        ns_oids.setdefault(schema, 2200 + len(ns_oids))
         (views if is_view else tables).append((schema, t.name, "spark"))
-        classes.append((oid, t.name, schema, "v" if is_view else "r"))
+        classes.append((oid, t.name, ns_oids[schema], "v" if is_view else "r"))
         is_tables.append(
             ("spark_catalog", schema, t.name, "VIEW" if is_view else "BASE TABLE")
         )
@@ -1220,6 +1224,9 @@ def _refresh_pg_catalog(session: SparkSession) -> None:
                         "YES" if f.nullable else "NO",
                     )
                 )
+                attrs.append(
+                    (oid, f.name, pg_oid(f.dataType), pos, not f.nullable)
+                )
         except Exception:  # noqa: BLE001 — unreadable table: skip columns
             pass
     mk = session.createDataFrame
@@ -1229,12 +1236,17 @@ def _refresh_pg_catalog(session: SparkSession) -> None:
     mk(views, "schemaname string, viewname string, viewowner string").coalesce(
         1
     ).createOrReplaceTempView("pg_views")
-    mk([(db,), ("pg_catalog",)], "nspname string").coalesce(
-        1
-    ).createOrReplaceTempView("pg_namespace")
     mk(
-        classes, "oid long, relname string, relnamespace string, relkind string"
+        [(o, n) for n, o in ns_oids.items()], "oid long, nspname string"
+    ).coalesce(1).createOrReplaceTempView("pg_namespace")
+    mk(
+        classes, "oid long, relname string, relnamespace long, relkind string"
     ).coalesce(1).createOrReplaceTempView("pg_class")
+    mk(
+        attrs,
+        "attrelid long, attname string, atttypid long, attnum int, "
+        "attnotnull boolean",
+    ).coalesce(1).createOrReplaceTempView("pg_attribute")
     mk(
         [
             (16, "bool"), (17, "bytea"), (20, "int8"), (21, "int2"),
@@ -1265,7 +1277,7 @@ def _refresh_pg_catalog(session: SparkSession) -> None:
 
 
 _PG_CATALOG_RE = re.compile(
-    r"\bpg_(tables|views|namespace|class|type|database|roles)\b"
+    r"\bpg_(tables|views|namespace|class|type|database|roles|attribute)\b"
     r"|\binformation_schema\s*\.|\binfo_schema_(tables|columns)\b",
     re.IGNORECASE,
 )

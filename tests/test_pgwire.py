@@ -524,6 +524,28 @@ def test_wire_client_handshake_compat(client):
     assert res["rows"] == [["{1,2,3}", "{x,y]z}"]]
 
 
+def test_wire_psql_describe_join_shape(client):
+    """The oid-keyed joins psql's \\d issues: pg_class → pg_namespace on
+    relnamespace = oid, pg_attribute → pg_class/pg_type on
+    attrelid/atttypid."""
+    (res,) = client.query(
+        "SELECT c.relname, n.nspname FROM pg_class c "
+        "JOIN pg_namespace n ON c.relnamespace = n.oid "
+        "WHERE c.relname = 'region'"
+    )
+    assert "error" not in res, res
+    assert res["rows"] and res["rows"][0][0] == "region"
+    (res,) = client.query(
+        "SELECT a.attname, t.typname FROM pg_attribute a "
+        "JOIN pg_class c ON a.attrelid = c.oid "
+        "JOIN pg_type t ON a.atttypid = t.oid "
+        "WHERE c.relname = 'region' ORDER BY a.attnum"
+    )
+    assert "error" not in res, res
+    assert [r[0] for r in res["rows"]] == ["r_regionkey", "r_name"]
+    assert [r[1] for r in res["rows"]] == ["int4", "text"]
+
+
 def test_wire_show_pg_gucs(client):
     """JDBC/psql read PG session GUCs on connect; Spark's SHOW only
     knows its own confs, so these answer PG-shaped one-row results."""
