@@ -29,7 +29,12 @@ KEYS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "part": ["p_partkey"],
     "supplier": ["s_suppkey"],
-    "events": ["event_id", "user_id"],
+    # user_id deliberately NOT offset: scaling should densify each
+    # user's timeline (sessions merge, windows deepen) rather than mint
+    # 100x sparse users whose every event is its own session — the
+    # latter made session-window output size equal input size, turning
+    # the scale check into a driver-collect benchmark.
+    "events": ["event_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
     "region": [],
