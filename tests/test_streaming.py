@@ -93,6 +93,57 @@ def test_tumbling_window_foreachbatch_converges_to_batch(spark, tmp_path):
     assert len([b for b in batches if b]) >= 2  # genuinely incremental
 
 
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join — the enrichment shape every production
+    pipeline runs (stream joins a slowly-changing dimension without
+    watermark state: the static side is just re-broadcast per batch).
+    Streamed result must converge to the batch join."""
+    ev = load_table(spark, SF_DIR, "events")
+    # static dimension: user tier derived from user_id (deterministic)
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+    )
+    dim_path = tmp_path / "user_dim"
+    dim.write.parquet(str(dim_path))
+    static_dim = spark.read.parquet(str(dim_path))
+    stream_dir = tmp_path / "enrich_src"
+    half = ev.count() // 2
+    ev.filter(F.col("event_id") < half).coalesce(1).write.parquet(
+        str(stream_dir / "a.parquet")
+    )
+    ev.filter(F.col("event_id") >= half).coalesce(1).write.parquet(
+        str(stream_dir / "b.parquet")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/*/")
+    )
+    enriched = (
+        stream.join(static_dim, "user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {r.tier: r.n for r in spark.table("enrich_out").collect()}
+    batch = {
+        r.tier: r.n
+        for r in ev.join(static_dim, "user_id").groupBy("tier").agg(F.count("*").alias("n")).collect()
+    }
+    assert streamed == batch and set(streamed) == {"gold", "std"}
+
+
 def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     """The point of applyInPandasWithState: per-key state must SURVIVE
     microbatch boundaries. Split the fixture into two files → two
