@@ -611,13 +611,17 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines with NO accumulation-order contract
     (unlike the float kernels, which need the sequential-fold rule).
 
-    Implementation is pure JVM column HOFs — transform / zip_with /
-    aggregate inside whole-stage codegen, no Python at all: quantization
-    is a map over the scan, scoring is a broadcast of |Q| quantized
-    query vectors, and only k rows per query survive the window. Recall
-    vs the exact float top-k is asserted in tests/test_ext.py.
+    Quantization is JVM column HOFs (one map over the scan); SCORING is
+    an Arrow-batched numpy int64 kernel — Spark's HOF lambdas evaluate
+    interpreted per element, which made the O(corpus × queries × dim)
+    scoring pass the bottleneck at scale (40 s at the 100× replica);
+    the integer math is exact either way, so the kernel swap cannot
+    change a single score. Only k rows per query survive the window.
+    Recall vs the exact float top-k is asserted in tests/test_ext.py.
     """
-    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = load_table_parallel(spark, sf_dir, "embeddings", parts=4).select(
+        "vec_id", "embedding"
+    )
     scale = F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast(
         "double"
     ) / F.lit(float(QUANT_BITS_MAX))
@@ -629,17 +633,25 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = q8.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
-    int_sum = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0).cast("long"), lambda a, x: a + x
-    )
-    dot = int_sum(F.zip_with("qq", "q", lambda a, b: a * b)).cast("double")
-    norm = lambda c: F.sqrt(  # noqa: E731
-        int_sum(F.transform(c, lambda x: x * x)).cast("double")
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def qcos_kernel(qq: pd.Series, q: pd.Series) -> pd.Series:
+        if len(qq) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(qq.to_numpy()).astype(np.int64)
+        B = np.stack(q.to_numpy()).astype(np.int64)
+        dot = (A * B).sum(axis=1).astype(np.float64)
+        # sqrt(na) * sqrt(nb), NOT sqrt(na*nb): the oracle multiplies
+        # two sqrts — double results must match bit-for-bit
+        na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        return pd.Series(dot / (na * nb))
+
     scored = (
         q8.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("qcos", dot / (norm(F.col("qq")) * norm(F.col("q"))))
+        .withColumn("qcos", qcos_kernel(F.col("qq"), F.col("q")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcos").desc(), F.col("vec_id")
