@@ -627,3 +627,47 @@ def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= STRATUM_QUOTA)
         .select("source", "doc_id")
     )
+
+
+@query(
+    "text_unigram_lm_score",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM w
+    ), vocab AS (
+        SELECT word, COUNT(*) AS c FROM w GROUP BY word
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(c / (SELECT n FROM tot))), 4) AS avg_logprob
+    FROM w JOIN vocab USING (word)
+    GROUP BY doc_id
+    """,
+    tags=("ext", "text", "lm"),
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: every document's average
+    log-probability under the corpus's own unigram distribution — the
+    pseudo-perplexity signal quality-filtering pipelines threshold on
+    (gibberish and boilerplate both sit in the tails).
+
+    Scale shape: token counts are ONE shuffle with map-side combine
+    (vocabulary is Zipf-bounded); scoring joins the exploded tokens to
+    the vocabulary on the word key (AQE picks broadcast while the vocab
+    fits, shuffle join beyond) and aggregates per document. The corpus
+    total rides along as a broadcast single-row frame, exactly like the
+    oracle's scalar subquery."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = w.groupBy("word").agg(F.count("*").alias("c"))
+    tot = w.agg(F.count("*").alias("n"))
+    return (
+        w.join(vocab, "word")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
+        )
+    )
