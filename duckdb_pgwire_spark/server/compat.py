@@ -241,6 +241,11 @@ def _rewrite_code(seg: str) -> str:
         r"\bpg_backend_pid\s*\(\s*\)", str(_os.getpid() & 0x7FFFFFFF), seg,
         flags=re.IGNORECASE,
     )
+    # DuckDB/PG EXPLAIN ANALYZE → Spark's nearest (EXTENDED shows the
+    # full plan stack; Spark has no in-band runtime metrics output)
+    seg = re.sub(
+        r"\bEXPLAIN\s+ANALYZE\b", "EXPLAIN EXTENDED", seg, flags=re.IGNORECASE
+    )
     # bare SQL-standard niladic localtimestamp (PG allows no parens)
     seg = re.sub(
         r"\blocaltimestamp\b(?!\s*\()", "localtimestamp()", seg, flags=re.IGNORECASE

@@ -546,6 +546,12 @@ def test_wire_psql_describe_join_shape(client):
     assert [r[1] for r in res["rows"]] == ["int4", "text"]
 
 
+def test_wire_explain_analyze(client):
+    (res,) = client.query("EXPLAIN ANALYZE SELECT COUNT(*) FROM region")
+    assert "error" not in res, res
+    assert any("Physical Plan" in (r[0] or "") for r in res["rows"])
+
+
 def test_wire_show_pg_gucs(client):
     """JDBC/psql read PG session GUCs on connect; Spark's SHOW only
     knows its own confs, so these answer PG-shaped one-row results."""
