@@ -375,6 +375,14 @@ def _rewrite_pg_client_fns(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+    # PG regexp_split_to_table(s, re) → explode(split(s, re)) — both
+    # treat the pattern as a regex (pre-split: the pattern is a literal)
+    sql = re.sub(
+        r"\bregexp_split_to_table\s*\(([^()]*)\)",
+        r"explode(split(\1))",
+        sql,
+        flags=re.IGNORECASE,
+    )
     return sql
 
 

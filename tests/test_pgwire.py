@@ -546,6 +546,14 @@ def test_wire_psql_describe_join_shape(client):
     assert [r[1] for r in res["rows"]] == ["int4", "text"]
 
 
+def test_wire_regexp_split_to_table(client):
+    (res,) = client.query(
+        "SELECT regexp_split_to_table('a1b22c', '[0-9]+') AS part"
+    )
+    assert "error" not in res, res
+    assert [r[0] for r in res["rows"]] == ["a", "b", "c"]
+
+
 def test_wire_explain_analyze(client):
     (res,) = client.query("EXPLAIN ANALYZE SELECT COUNT(*) FROM region")
     assert "error" not in res, res
