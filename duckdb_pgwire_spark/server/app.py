@@ -807,6 +807,19 @@ class PgWireServer:
             writer.write(P.command_complete(f"MERGE {n}"))
             await writer.drain()
             return
+        if first == "PIVOT":
+            pivot_sql = await self._exec(
+                session, state.job_tag, _dynamic_pivot_sql, session, stmt
+            )
+            if pivot_sql is not None:
+                df = await self._exec(
+                    session, state.job_tag, session.sql, pivot_sql
+                )
+                await self._stream_df(
+                    df, "SELECT", writer, send_row_desc=send_row_desc,
+                    session=session, tag=state.job_tag,
+                )
+                return
         if first == "COMMENT":
             # COMMENT ON <obj> IS '...': Spark's only works on real
             # tables (fixtures are views) — ack as a metadata no-op.
@@ -1166,6 +1179,65 @@ def _sqlstate(exc: Exception) -> str:
     if "Analysis" in name:
         return "42000"
     return "22000"
+
+
+# DuckDB dynamic PIVOT: `PIVOT <tbl> ON <col> USING <fn>(<arg>)
+# [GROUP BY cols]` — DuckDB auto-detects the value list; Spark's PIVOT
+# clause needs it explicit, so the server resolves the distinct values
+# first (schema-aware shim, like the integer-sum rewrite).
+_PIVOT_STMT_RE = re.compile(
+    r"^\s*PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s+USING\s+(\w+)\s*\(\s*([\w.*]+)\s*\)"
+    r"(?:\s+GROUP\s+BY\s+([\w.,\s]+?))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_PIVOT_MAX_VALUES = 100
+
+
+def _dynamic_pivot_sql(session: SparkSession, stmt: str) -> str | None:
+    """DuckDB PIVOT statement → Spark PIVOT clause with the IN-list
+    resolved from the data (bounded — beyond _PIVOT_MAX_VALUES distinct
+    values a pivot is a mistake and errors loudly)."""
+    m = _PIVOT_STMT_RE.match(stmt)
+    if m is None:
+        return None
+    tbl, on_col, fn, arg, group = m.groups()
+    rows = (
+        session.sql(f"SELECT DISTINCT {on_col} FROM {tbl} ORDER BY 1")
+        .limit(_PIVOT_MAX_VALUES + 1)
+        .collect()
+    )
+    if len(rows) > _PIVOT_MAX_VALUES:
+        raise _WireError(
+            f"PIVOT ON {on_col}: more than {_PIVOT_MAX_VALUES} distinct "
+            "values — specify the value list explicitly",
+            "54000",
+        )
+    vals = []
+    for r in rows:
+        v = r[0]
+        if v is None:
+            continue
+        if isinstance(v, str):
+            esc = v.replace("\\", "\\\\").replace("'", "''")
+            vals.append(f"'{esc}' AS `{v}`")
+        else:
+            vals.append(f"{v} AS `{v}`")
+    if not vals:
+        raise _WireError(f"PIVOT ON {on_col}: no values to pivot", "22000")
+    agg_arg = "1" if arg == "*" else arg
+    proj_cols = [c.strip() for c in group.split(",")] if group else []
+    src = (
+        f"(SELECT {', '.join([*proj_cols, on_col, agg_arg])} FROM {tbl})"
+        if proj_cols and agg_arg != "1"
+        else (f"(SELECT {', '.join([*proj_cols, on_col])}, 1 AS __one FROM {tbl})"
+              if proj_cols else tbl)
+    )
+    if proj_cols and agg_arg == "1":
+        agg_arg = "__one"
+    return (
+        f"SELECT * FROM {src} "
+        f"PIVOT ({fn}({agg_arg}) FOR {on_col} IN ({', '.join(vals)}))"
+    )
 
 
 _HAS_SUM_RE = re.compile(r"(?<![\w.])SUM\s*\(", re.IGNORECASE)

@@ -546,6 +546,34 @@ def test_wire_psql_describe_join_shape(client):
     assert [r[1] for r in res["rows"]] == ["int4", "text"]
 
 
+def test_wire_dynamic_pivot(client, spark):
+    """DuckDB's PIVOT statement: the server resolves the distinct value
+    list (Spark's PIVOT clause needs it explicit) and pivots."""
+    (res,) = client.query(
+        "PIVOT orders ON o_orderpriority USING count(*) GROUP BY o_orderstatus"
+    )
+    assert "error" not in res, res
+    # columns: o_orderstatus + one per distinct priority, sorted
+    prios = sorted(
+        r.o_orderpriority
+        for r in spark.table("orders").select("o_orderpriority").distinct().collect()
+    )
+    assert res["columns"] == ["o_orderstatus"] + prios
+    # cross-check one cell against a plain group-by
+    expected = {
+        (r.o_orderstatus, r.o_orderpriority): r.n
+        for r in spark.sql(
+            "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+            "FROM orders GROUP BY 1, 2"
+        ).collect()
+    }
+    for row in res["rows"]:
+        status = row[0]
+        for col, cell in zip(prios, row[1:]):
+            want = expected.get((status, col))
+            assert (cell is None and want is None) or int(cell) == want
+
+
 def test_wire_regexp_split_to_table(client):
     (res,) = client.query(
         "SELECT regexp_split_to_table('a1b22c', '[0-9]+') AS part"
