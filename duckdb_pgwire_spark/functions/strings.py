@@ -130,3 +130,34 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         lev.alias("lev"),
         (lev <= 20).alias("near_match"),
     )
+
+
+@query(
+    "fn_string_parts",
+    oracle="""
+    SELECT doc_id,
+           split_part(text, ' ', 1)          AS first_word,
+           split_part(text, ' ', 3)          AS third_word,
+           translate(left(text, 20), 'aeiou', '*****') AS devoweled,
+           ascii(left(text, 1))              AS first_code,
+           chr(65 + CAST(doc_id % 26 AS INT)) AS doc_letter,
+           right(text, 6)                    AS tail6
+    FROM documents
+    WHERE doc_id < 500
+    """,
+    tags=("string",),
+)
+def fn_string_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_part / translate / ascii / chr / left / right —
+    the PG-and-DuckDB string spellings with direct Spark twins (all
+    whole-stage-codegen column expressions, pure map)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return d.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(3)).alias("third_word"),
+        F.translate(F.expr("left(text, 20)"), "aeiou", "*****").alias("devoweled"),
+        F.ascii(F.expr("left(text, 1)")).alias("first_code"),
+        F.chr(65 + (F.col("doc_id") % 26).cast("int")).alias("doc_letter"),
+        F.expr("right(text, 6)").alias("tail6"),
+    )
