@@ -368,7 +368,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
               IN ('0','1','2','3','4','5','6','7')
     )
     SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
-           SUM(length(text)) AS total_chars
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
     FROM sampled GROUP BY lang
     """,
     tags=("ext", "text", "pipeline"),

@@ -365,10 +365,10 @@ def agg_any_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
         COUNT(*) AS n_users,
-        SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
-        SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)   AS clicked_after_view,
-        SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
-                 THEN 1 ELSE 0 END)                         AS purchased_in_order
+        CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+        CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)   AS clicked_after_view,
+        CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+                 THEN 1 ELSE 0 END) AS BIGINT)              AS purchased_in_order
     FROM stage
     """,
     tags=("agg", "funnel"),
@@ -522,8 +522,8 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            mode(l_linestatus)                  AS mode_status,
-           count_if(l_quantity > 25)           AS n_big,
-           count_if(l_discount = 0)            AS n_undiscounted
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
+           CAST(count_if(l_discount = 0) AS BIGINT)  AS n_undiscounted
     FROM lineitem
     GROUP BY l_returnflag
     """,

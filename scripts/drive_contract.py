@@ -36,7 +36,19 @@ for name, fn in sorted(qs.items()):
     srows = sdf.collect()
     if name not in osql:
         print(f"  {name}: rows-only, {len(srows)} rows"); ok += 1; continue
-    orows = con.execute(osql[name]).fetchall()
+    res = con.execute(osql[name])
+    orows = res.fetchall()
+    # r3 lesson: DuckDB HUGEINT (SUM(int)/count_if) degrades to float64 when
+    # the driver fetches via pandas/arrow -> '150.0' vs Spark's '150' hash
+    # mismatch even though fetchall() ints compare clean. Fail loud here so
+    # oracles get an explicit CAST(... AS BIGINT).
+    arrow_schema = con.execute(osql[name]).arrow().schema
+    hug = [f.name for f in arrow_schema
+           if str(f.type) in ("decimal128(38, 0)", "decimal256(76, 0)")]
+    if hug:
+        fail += 1
+        print(f"  {name}: HUGEINT-OUTPUT {hug} — cast the oracle to BIGINT")
+        continue
     scols = sorted(sdf.columns)
     sidx = [sdf.columns.index(c) for c in scols]
     ocols_all = [d[0] for d in con.execute(osql[name]).description]
