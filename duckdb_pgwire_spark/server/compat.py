@@ -135,6 +135,12 @@ _FN_RENAMES = {
     # integer form). list_aggregate IS handled by the dedicated
     # _rewrite_list_aggregate scanner below; list_reverse_sort by
     # _rewrite_unary_fns (needs Spark's explicit direction argument).
+    # DuckDB array_length(list) ≡ Spark size(list); list_min/max/reverse
+    # are element-order/semantics-exact renames
+    "array_length": "size",
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "list_reverse": "reverse",
     "to_base64": "base64",
     "from_base64": "unbase64",
     "regexp_matches": "rlike",
@@ -421,6 +427,16 @@ _UNARY_REWRITES = {
     # list_reverse_sort(x) → sort_array(x, false): descending sort, the
     # only extra being Spark's explicit direction argument.
     "list_reverse_sort": "sort_array({e}, false)",
+    # DuckDB list aggregates as unary spellings (same DOUBLE-widening
+    # forms as list_aggregate(x, 'fn') above, so both spellings agree)
+    "list_sum": "aggregate({e}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))",
+    "list_avg": (
+        "(aggregate({e}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))"
+        " / size({e}))"
+    ),
+    # list_unique: COUNT of distinct non-NULL elements (DuckDB semantics)
+    "list_unique": "size(array_distinct(filter({e}, __x -> __x IS NOT NULL)))",
+    "list_count": "size(filter({e}, __x -> __x IS NOT NULL))",
 }
 
 _UNARY_CALL = re.compile(
@@ -600,6 +616,127 @@ def _extract_window_exprs(pred: str) -> list[tuple[int, int]]:
         i = end + 1
 
 
+_ASOF_CLAUSE_END = (
+    "WHERE",
+    "GROUP",
+    "HAVING",
+    "WINDOW",
+    "QUALIFY",
+    "ORDER",
+    "LIMIT",
+    "OFFSET",
+    "UNION",
+    "INTERSECT",
+    "EXCEPT",
+    "JOIN",
+    "LEFT",
+    "RIGHT",
+    "FULL",
+    "INNER",
+    "CROSS",
+    "ASOF",
+    "SEMI",
+    "ANTI",
+)
+
+_ASOF_INEQ = re.compile(r"(<=|>=|<(?![=>])|>(?!=))")
+
+
+def _rewrite_asof_join(sql: str) -> str:
+    """DuckDB ``a ASOF [LEFT] JOIN b [AS] al ON eq-keys AND a.ts >= b.ts``
+    → Spark correlated LATERAL subquery with ``ORDER BY b.ts <dir> LIMIT 1``
+    (reference-reachable syntax: DuckDB v1.1.1 parses ASOF JOIN through
+    ``src/duckdb_pgwire_extension.cpp:52``; Spark SQL has no ASOF).
+
+    Catalyst decorrelates the limit-1 into a WindowGroupLimit — the
+    pick-latest-match is computed per key group, not per probe row. The
+    ASOF inequality (the single non-equality conjunct) gives the sort
+    key and direction: probe >= build → latest earlier match (DESC),
+    probe <= build → earliest later match (ASC). Conditions we can't
+    confidently parse (zero or multiple inequalities, USING form, unaliased
+    operands) pass through untouched and fail loudly in Spark's parser
+    per the shim policy. The DataFrame recipe (operators/joins.py
+    join_asof) remains the one-shuffle scale path; this shim is dialect
+    parity for wire clients."""
+    guard = 0
+    while guard < 8:
+        guard += 1
+        a = _find_keyword(sql, "ASOF")
+        if a == -1:
+            return sql
+        rest = sql[a + 4 :]
+        m = re.match(r"\s+(LEFT\s+(OUTER\s+)?)?JOIN\b", rest, re.IGNORECASE)
+        if not m:
+            return sql
+        is_left = bool(m.group(1))
+        pos = a + 4 + m.end()
+        # --- table ref: identifier chain or parenthesized subquery
+        ref_m = re.match(r"\s*(\(|[A-Za-z_][\w.]*)", sql[pos:])
+        if not ref_m:
+            return sql
+        if ref_m.group(1) == "(":
+            depth, j = 0, pos + ref_m.start(1)
+            while j < len(sql):
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            ref = sql[pos + ref_m.start(1) : j + 1]
+            pos = j + 1
+        else:
+            ref = ref_m.group(1)
+            pos += ref_m.end(1)
+        # --- optional [AS] alias (stop at ON)
+        alias = ref.split(".")[-1] if not ref.startswith("(") else None
+        al_m = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", sql[pos:], re.IGNORECASE)
+        if al_m and al_m.group(1).upper() != "ON":
+            alias = al_m.group(1)
+            pos += al_m.end()
+        if alias is None:
+            return sql  # subquery with no alias: un-referenceable, bail
+        on_m = re.match(r"\s+ON\b", sql[pos:], re.IGNORECASE)
+        if not on_m:
+            return sql  # USING form not supported — fail loudly downstream
+        cond_start = pos + on_m.end()
+        # --- condition runs to the next top-level clause keyword
+        tail = sql[cond_start:]
+        end = len(tail)
+        for kw in _ASOF_CLAUSE_END:
+            k = _find_keyword(tail, kw)
+            if k != -1:
+                end = min(end, k)
+        cond = tail[:end].strip()
+        # --- the single inequality conjunct defines sort key + direction
+        conjs = [c.strip() for c in re.split(r"\bAND\b", cond, flags=re.IGNORECASE)]
+        ineqs = [c for c in conjs if _ASOF_INEQ.search(c)]
+        if len(ineqs) != 1:
+            return sql
+        op_m = _ASOF_INEQ.search(ineqs[0])
+        lhs, rhs = ineqs[0][: op_m.start()].strip(), ineqs[0][op_m.end() :].strip()
+        op = op_m.group(1)
+        pat = re.compile(rf"(?<![\w.]){re.escape(alias)}\.", re.IGNORECASE)
+        in_lhs, in_rhs = bool(pat.search(lhs)), bool(pat.search(rhs))
+        if in_lhs == in_rhs:
+            return sql  # can't tell which operand is the build side
+        sort_expr = lhs if in_lhs else rhs
+        # probe-side-relative operator: probe >= build → look back (DESC)
+        probe_op = {">": ">", ">=": ">=", "<": "<", "<=": "<="}[op]
+        if in_lhs:  # build on the left: flip
+            probe_op = {">": "<", ">=": "<=", "<": ">", "<=": ">="}[op]
+        direction = "DESC" if probe_op in (">", ">=") else "ASC"
+        from_clause = f"{ref} AS {alias}"
+        join_kw = "LEFT JOIN LATERAL" if is_left else "JOIN LATERAL"
+        lateral = (
+            f"{join_kw} (SELECT * FROM {from_clause} WHERE {cond} "
+            f"ORDER BY {sort_expr} {direction} LIMIT 1) AS {alias} ON TRUE"
+        )
+        sql = sql[:a] + lateral + " " + tail[end:]
+    return sql
+
+
 def _rewrite_qualify(sql: str) -> str:
     """DuckDB ``... QUALIFY pred [ORDER BY ...] [LIMIT ...]`` →
     subquery + WHERE (Spark has no QUALIFY). Window expressions inline
@@ -667,6 +804,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_array_constructor(sql)
     sql = _rewrite_unary_fns(sql)
     sql = _rewrite_distinct_on(sql)
+    sql = _rewrite_asof_join(sql)  # before QUALIFY: it wraps FROM in a subquery
     sql = _rewrite_qualify(sql)
     parts = _split_quoted(sql)
     out: list[str] = []

@@ -120,9 +120,20 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (ns timestamps → µs, as in
-    session.load_table).
+def _read_events_stream(
+    spark: SparkSession, sf_dir: str, copies: int = 1
+) -> DataFrame:
+    """readStream over the events parquet, producing the SAME µs
+    TimestampType timestamps as the batch reader (session.load_table).
+
+    The fixture's ``ts`` is parquet TIMESTAMP(NANOS). Depending on the
+    reader path a declared ``ts LONG`` schema surfaces it either as
+    nanosecond longs (the batch legacy ``nanosAsLong`` path) or as
+    microsecond longs (the file-stream source's conversion) — a blind
+    ``div 1000`` on the latter compresses 30 days of 2024 events into
+    43 minutes of 1970 (round-4 verdict bug). Detect the scale per row:
+    µs values for any plausible date are < 1e17 (~year 5138), ns values
+    for any date past 1973 are > 1e17.
 
     FileStreamSource requires a DIRECTORY — the fixture is a single file,
     so it is symlinked into a temp dir (zero copy)."""
@@ -131,13 +142,22 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(table_path(sf_dir, "events"), os.path.join(stream_dir, "events.parquet"))
+    # copies>1 symlinks the fixture N times: a deliberate duplicate feed
+    # so stateful dedup has real duplicates to drop (round-4 verdict: the
+    # dedup check passed vacuously on an all-unique stream).
+    for i in range(copies):
+        os.symlink(
+            table_path(sf_dir, "events"), os.path.join(stream_dir, f"events_{i}.parquet")
+        )
     schema = (
         "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
         "value DOUBLE, props STRING"
     )
     raw = spark.readStream.schema(schema).parquet(stream_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    micros = F.when(F.col("ts") > F.lit(10**17), F.expr("ts div 1000")).otherwise(
+        F.col("ts")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
 @query("stream_watermark_agg", oracle=None, tags=("streaming", "watermark"))
@@ -169,13 +189,21 @@ def stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("wm_agg_out")
 
 
-@query("stream_dedup_watermark", oracle=None, tags=("streaming", "dedup"))
+@query(
+    "stream_dedup_watermark",
+    oracle="SELECT COUNT(DISTINCT event_id) AS n_unique FROM events",
+    tags=("streaming", "dedup"),
+)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENUINE Structured Streaming: stateful dedup on event_id within a
     watermark horizon (dropDuplicatesWithinWatermark) — state is purged
     once the watermark passes, so memory is bounded at 100 TB/day rates.
-    Rows-only check (stateful streaming has no SQL oracle)."""
-    stream = _read_events_stream(spark, sf_dir)
+
+    The stream is fed TWO copies of the fixture (copies=2), so every
+    event_id arrives twice and a no-op dedup would return 2× the oracle
+    count — the check is no longer vacuous (round-4 verdict item 5). The
+    deduped row count is SQL-expressible, so this is now oracle-checked."""
+    stream = _read_events_stream(spark, sf_dir, copies=2)
     deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -189,4 +217,4 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table("dedup_out")
+    return spark.table("dedup_out").agg(F.count("*").alias("n_unique"))

@@ -111,6 +111,23 @@ def test_rewrite_len_and_list_reverse_sort():
     assert rewrite("SELECT 'len(x)'") == "SELECT 'len(x)'"
 
 
+def test_rewrite_asof_join():
+    out = rewrite("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts")
+    assert "JOIN LATERAL" in out and "ORDER BY b.ts DESC LIMIT 1" in out
+    out = rewrite("SELECT * FROM a ASOF LEFT JOIN b x ON a.k = x.k AND a.ts < x.ts")
+    assert "LEFT JOIN LATERAL" in out and "ORDER BY x.ts ASC LIMIT 1" in out
+    # build side on the LEFT of the inequality: direction flips
+    out = rewrite("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND b.ts <= a.ts")
+    assert "ORDER BY b.ts DESC LIMIT 1" in out
+    # unparseable forms pass through untouched (fail loudly downstream)
+    assert "ASOF" in rewrite("SELECT * FROM a ASOF JOIN b USING (k)")
+    assert "ASOF" in rewrite(
+        "SELECT * FROM a ASOF JOIN b ON a.ts >= b.ts AND a.t2 < b.t2"
+    )
+    # never inside string literals
+    assert rewrite("SELECT 'ASOF JOIN'") == "SELECT 'ASOF JOIN'"
+
+
 def test_split_statements():
     assert split_statements("a; b ; ;c") == ["a", "b", "c"]
     assert split_statements("SELECT ';'") == ["SELECT ';'"]
@@ -1342,3 +1359,58 @@ def test_extended_maxrows_zero_streams_all(client):
     assert out["batches"] == [7]
     assert out["events"].count("s") == 0
     assert out["tag"] == "SELECT 7"
+
+
+def test_wire_asof_join_matches_duckdb(client):
+    """The reference-reachable ASOF JOIN syntax (DuckDB v1.1.1 parses it
+    through src/duckdb_pgwire_extension.cpp:52) must work from any wire
+    client; result checked against DuckDB running the identical SQL on
+    the identical fixture."""
+    import duckdb
+
+    sql = (
+        "SELECT e.event_id, p.event_id AS prev_purchase_id "
+        "FROM events e ASOF LEFT JOIN "
+        "(SELECT user_id, ts, MAX(event_id) AS event_id FROM events "
+        " WHERE event_type = 'purchase' GROUP BY user_id, ts) p "
+        "ON e.user_id = p.user_id AND e.ts > p.ts "
+        "WHERE e.event_id < 200 ORDER BY e.event_id"
+    )
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    expected = [
+        [None if v is None else str(v) for v in row]
+        for row in con.execute(sql).fetchall()
+    ]
+    assert res["columns"] == ["event_id", "prev_purchase_id"]
+    assert res["rows"] == expected
+
+
+def test_wire_list_function_tail_matches_duckdb(client):
+    """VERDICT r4 item 6: DuckDB's array_length / list_sum / list_avg /
+    list_unique / list_count spellings over the wire, golden-checked
+    against DuckDB running the identical SQL."""
+    import duckdb
+
+    sql = (
+        "SELECT array_length(ARRAY[1,2,3]) AS n, "
+        "list_avg(ARRAY[1, 2, 3, 4]) AS a, "
+        "list_unique(ARRAY[1, 2, 2, NULL, 3]) AS u, "
+        "list_count(ARRAY[1, NULL, 3]) AS c, "
+        "list_min(ARRAY[3,1,2]) AS lo, list_max(ARRAY[3,1,2]) AS hi"
+    )
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    expected = [
+        [None if v is None else str(v) for v in row]
+        for row in duckdb.connect().execute(sql).fetchall()
+    ]
+    assert res["rows"] == expected
+    # list_sum widens to DOUBLE (same policy as list_aggregate(x,'sum'))
+    (res,) = client.query("SELECT list_sum(ARRAY[1.5, 2.5]) AS s")
+    assert res["rows"] == [["4.0"]]
