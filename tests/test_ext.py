@@ -242,3 +242,20 @@ def test_lsh_bucket_cap_drops_boilerplate(spark, tmp_path):
     assert pairs == {(1000, 1001)}, (
         f"expected only the under-cap twin pair, got {len(pairs)} pairs"
     )
+
+
+def test_ivf_lloyd_sampling_cap_path(spark, monkeypatch):
+    """The 100 TB guard: above LLOYD_SAMPLE_MAX the Lloyd refinement
+    reads a deterministic modulus sample instead of the full corpus.
+    Force the cap below the fixture size and check the index still
+    produces candidates for every query (the sampled centroids are a
+    valid index, just trained on fewer vectors)."""
+    from duckdb_pgwire_spark.ext import similarity
+
+    monkeypatch.setattr(similarity, "LLOYD_SAMPLE_MAX", 50)
+    out = {
+        r.query_id: r.n_candidates
+        for r in similarity.sim_ivf_probe(spark, SF_DIR).collect()
+    }
+    assert set(out) == set(similarity.QUERY_IDS)
+    assert all(n > 0 for n in out.values())
