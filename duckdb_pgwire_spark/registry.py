@@ -122,13 +122,47 @@ def _driver_green_names() -> set[str]:
     return green
 
 
+# Core entries pinned near the front of every round's driver window
+# (r4 verdict item 7): the rotating never-green-first order alone let a
+# regression in a flagship operator hide outside the checked prefix for
+# a full round. These go right after the never-verified entries, so the
+# ~50-entry window always re-checks them.
+FLAGSHIP = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "join_inner",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_asof",
+    "join_bucketed_colocated",
+    "agg_rollup",
+    "win_ranking",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_lsh_bucketed",
+    "stream_stream_join_attribution",
+)
+
+
 def ordered_names() -> list[str]:
-    """Registry names, never-driver-verified entries first (stable within)."""
+    """Registry names: never-driver-verified first, then the pinned
+    flagship set, then the rest (stable within each group)."""
     defs = load_all()
     green = _driver_green_names()
     unseen = [n for n in defs if n not in green]
-    seen = [n for n in defs if n in green]
-    return unseen + seen
+    pinned = [n for n in FLAGSHIP if n in defs and n in green and n not in unseen]
+    rest = [n for n in defs if n in green and n not in pinned]
+    return unseen + pinned + rest
 
 
 def spark_queries() -> dict[str, QueryFn]:

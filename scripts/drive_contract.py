@@ -36,22 +36,37 @@ for name, fn in sorted(qs.items()):
     srows = sdf.collect()
     if name not in osql:
         print(f"  {name}: rows-only, {len(srows)} rows"); ok += 1; continue
-    res = con.execute(osql[name])
-    orows = res.fetchall()
+    # ONE oracle execution: rows, schema, and column names all derive
+    # from a single arrow table (the old fetchall/.arrow()/.description
+    # triple ran every oracle three times).
+    tbl = con.execute(osql[name]).arrow()
+    orows = [tuple(row.values()) for row in tbl.to_pylist()]
     # r3 lesson: DuckDB HUGEINT (SUM(int)/count_if) degrades to float64 when
     # the driver fetches via pandas/arrow -> '150.0' vs Spark's '150' hash
     # mismatch even though fetchall() ints compare clean. Fail loud here so
-    # oracles get an explicit CAST(... AS BIGINT).
-    arrow_schema = con.execute(osql[name]).arrow().schema
-    hug = [f.name for f in arrow_schema
-           if str(f.type) in ("decimal128(38, 0)", "decimal256(76, 0)")]
+    # oracles get an explicit CAST(... AS BIGINT). Structural check
+    # (scale-0 decimal of precision >= 38, walked recursively so a
+    # HUGEINT nested in a struct/list is caught too); a genuine
+    # DECIMAL(38,0) output also needs an explicit cast.
+    import pyarrow.types as pt
+    def _hug(t):
+        if pt.is_decimal(t) and t.scale == 0 and t.precision >= 38:
+            return True
+        if pt.is_struct(t):
+            return any(_hug(t.field(i).type) for i in range(t.num_fields))
+        if pt.is_list(t) or pt.is_large_list(t):
+            return _hug(t.value_type)
+        if pt.is_map(t):
+            return _hug(t.key_type) or _hug(t.item_type)
+        return False
+    hug = [f.name for f in tbl.schema if _hug(f.type)]
     if hug:
         fail += 1
         print(f"  {name}: HUGEINT-OUTPUT {hug} — cast the oracle to BIGINT")
         continue
     scols = sorted(sdf.columns)
     sidx = [sdf.columns.index(c) for c in scols]
-    ocols_all = [d[0] for d in con.execute(osql[name]).description]
+    ocols_all = list(tbl.schema.names)
     oidx = [ocols_all.index(c) for c in sorted(ocols_all)]
     sset = sorted(tuple(canon(r[i]) for i in sidx) for r in srows)
     oset = sorted(tuple(canon(r[i]) for i in oidx) for r in orows)
