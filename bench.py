@@ -69,6 +69,19 @@ HEADLINE = [
     "q18_large_volume_customers",
     "dedup_cluster_components",
     "sim_quantized_topk",
+    # round-5 additions: the remaining TPC-H shapes (DuckDB baselines in
+    # BASELINE.md r5 sub-table)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q11_important_part_share",
+    "q12_priority_shipclass",
+    "q16_parts_supplier_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
 ]
 
 

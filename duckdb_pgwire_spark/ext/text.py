@@ -671,3 +671,53 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_logprob"),
         )
     )
+
+
+# Cross-document boilerplate: a bigram in >= this many documents is
+# shared scaffolding, not content (the C4-style "line seen in N pages"
+# rule at phrase granularity — the fixture's texts have no newlines).
+BOILERPLATE_MIN_DF = 40
+
+
+@query(
+    "text_boilerplate_phrases",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS phrase
+           FROM w, unnest(range(1, len(ws))) AS t(i))
+    SELECT phrase, COUNT(DISTINCT doc_id) AS df
+    FROM sh GROUP BY phrase
+    HAVING df >= {BOILERPLATE_MIN_DF}
+    ORDER BY df DESC, phrase
+    """,
+    tags=("ext", "text", "boilerplate"),
+)
+def text_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: phrases (bigrams) whose
+    document frequency exceeds a threshold — the phrase-level analogue
+    of C4's "drop any line that appears on 3+ pages" cleaning rule
+    (headers, footers, cookie banners at web scale).
+
+    Scale shape: explode to (doc, bigram) pairs — pure JVM string ops,
+    zero Python — then ONE shuffle for the distinct-count on the phrase
+    key. Distinct (phrase, doc) pairs partial-aggregate map-side first,
+    so the shuffle carries near-distinct pairs, not raw occurrences;
+    the surviving report is tiny (df-thresholded) at any corpus size.
+    The removal step is then a broadcast filter of this set against the
+    corpus, same as text_scrub_patterns.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + F.lit(1))
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(bigrams).alias("phrase"))
+        .groupBy("phrase")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DF)
+        .orderBy(F.col("df").desc(), "phrase")
+    )

@@ -139,6 +139,17 @@ FLAGSHIP = (
     "q14_promo_revenue",
     "q15_top_supplier",
     "q18_large_volume_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q11_important_part_share",
+    "q12_priority_shipclass",
+    "q16_parts_supplier_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
     "join_inner",
     "join_left_outer",
     "join_semi",

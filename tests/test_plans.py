@@ -214,3 +214,42 @@ def test_cluster_components_edges_computed_once(spark):
     df = _q("dedup_cluster_components").fn(spark, SF_DIR)
     plan = I.simple_plan(df)
     assert "ArrowEvalPython" not in plan and "mapInPandas" not in plan.lower(), plan
+
+
+def test_q9_star_join_broadcasts_dims_and_pushes_like(spark):
+    """Guards (r5 TPC-H additions): the 5-table star must broadcast the
+    LIKE-pruned part plus supplier/nation (no fact shuffle for dims),
+    and never degrade to a nested loop."""
+    df = _q("q9_product_type_profit").fn(spark, SF_DIR)
+    joins = I.join_nodes(df)
+    assert "CartesianProduct" not in joins and "BroadcastNestedLoopJoin" not in joins
+    assert joins.count("BroadcastHashJoin") >= 3, joins
+
+
+def test_q19_disjunctive_residual_no_cartesian(spark):
+    """Guards: the OR-of-ANDs predicate spanning both join sides must
+    ride the p_partkey equi join as a residual — a planner that can't
+    see the equi key under the disjunction falls back to a nested loop
+    over lineitem x part."""
+    df = _q("q19_disjunctive_revenue").fn(spark, SF_DIR)
+    joins = I.join_nodes(df)
+    assert "CartesianProduct" not in joins and "BroadcastNestedLoopJoin" not in joins
+    assert "BroadcastHashJoin" in joins, joins
+
+
+def test_q21_semi_anti_keep_equi_keys(spark):
+    """Guards: the EXISTS/NOT EXISTS self-joins must keep the orderkey
+    equi key (hash-partitioned) — the non-equi residuals (suppkey <>,
+    shipdate >) must not force a nested-loop over lineitem x lineitem."""
+    df = _q("q21_waiting_suppliers").fn(spark, SF_DIR)
+    joins = I.join_nodes(df)
+    assert "CartesianProduct" not in joins and "BroadcastNestedLoopJoin" not in joins
+
+
+def test_q4_semi_join_carries_equi_key(spark):
+    """Guards: the correlated non-equi EXISTS (shipdate > orderdate+30d)
+    must execute as an equi semi join on orderkey with a residual, not a
+    nested loop."""
+    df = _q("q4_order_priority").fn(spark, SF_DIR)
+    joins = I.join_nodes(df)
+    assert "CartesianProduct" not in joins and "BroadcastNestedLoopJoin" not in joins
