@@ -237,13 +237,14 @@ def test_q19_disjunctive_residual_no_cartesian(spark):
     assert "BroadcastHashJoin" in joins, joins
 
 
-def test_q21_semi_anti_keep_equi_keys(spark):
-    """Guards: the EXISTS/NOT EXISTS self-joins must keep the orderkey
-    equi key (hash-partitioned) — the non-equi residuals (suppkey <>,
-    shipdate >) must not force a nested-loop over lineitem x lineitem."""
+def test_q21_single_fact_pass_no_cartesian(spark):
+    """Guards: the folded EXISTS/NOT EXISTS must stay a single
+    aggregation pass over lineitem + a window — no self-join fallback,
+    no nested loop; fact appears in exactly one scan."""
     df = _q("q21_waiting_suppliers").fn(spark, SF_DIR)
     joins = I.join_nodes(df)
     assert "CartesianProduct" not in joins and "BroadcastNestedLoopJoin" not in joins
+    assert I.has_node(df, "Window")
 
 
 def test_q4_semi_join_carries_equi_key(spark):
