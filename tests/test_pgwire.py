@@ -600,9 +600,11 @@ def test_wire_regexp_split_to_table(client):
 
 
 def test_wire_explain_analyze(client):
+    # r5: ANALYZE now executes and profiles (see
+    # test_wire_explain_analyze_has_runtime_metrics for the full check)
     (res,) = client.query("EXPLAIN ANALYZE SELECT COUNT(*) FROM region")
     assert "error" not in res, res
-    assert any("Physical Plan" in (r[0] or "") for r in res["rows"])
+    assert any("executed in" in (r[0] or "") for r in res["rows"])
 
 
 def test_wire_show_pg_gucs(client):
@@ -1414,3 +1416,23 @@ def test_wire_list_function_tail_matches_duckdb(client):
     # list_sum widens to DOUBLE (same policy as list_aggregate(x,'sum'))
     (res,) = client.query("SELECT list_sum(ARRAY[1.5, 2.5]) AS s")
     assert res["rows"] == [["4.0"]]
+
+
+def test_wire_explain_analyze_has_runtime_metrics(client):
+    """EXPLAIN ANALYZE must EXECUTE the query and return per-operator
+    runtime metrics (r4 verdict: the EXPLAIN EXTENDED mapping returned
+    plans without metrics — DuckDB's profiler, reachable through the
+    reference's cpp:52 delegation, shows rows and timings)."""
+    (res,) = client.query(
+        "EXPLAIN ANALYZE SELECT l_returnflag, COUNT(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    assert "error" not in res, res
+    assert res["columns"] == ["explain_analyze"]
+    text = "\n".join(r[0] for r in res["rows"])
+    assert "executed in" in text  # wall time header
+    assert "Scan parquet" in text
+    assert "number of output rows" in text
+    # plain EXPLAIN still returns an UN-executed plan
+    (res2,) = client.query("EXPLAIN SELECT 1 AS one")
+    assert "error" not in res2, res2
