@@ -38,7 +38,11 @@ import re
 
 from . import protocol as P
 from .compat import (
+    MACRO_DDL_RE,
+    MACRO_DROP_RE,
     _lex,
+    define_macro,
+    drop_macro,
     parse_copy,
     parse_copy_from,
     parse_copy_stdin,
@@ -766,6 +770,25 @@ class PgWireServer:
                 session=session, tag=state.job_tag,
             )
             return
+        if first in ("CREATE", "DROP") and "MACRO" in stmt.upper():
+            # DuckDB scalar macros (catalog-scope): calls are textually
+            # inlined by compat.expand_macros at rewrite() time
+            if mm := MACRO_DDL_RE.match(stmt):
+                try:
+                    define_macro(mm.group(2), mm.group(3), mm.group(4), bool(mm.group(1)))
+                except ValueError as exc:
+                    raise _WireError(str(exc), "42723") from exc
+                writer.write(P.command_complete("CREATE MACRO"))
+                await writer.drain()
+                return
+            if md := MACRO_DROP_RE.match(stmt):
+                try:
+                    drop_macro(md.group(2), bool(md.group(1)))
+                except ValueError as exc:
+                    raise _WireError(str(exc), "42883") from exc
+                writer.write(P.command_complete("DROP MACRO"))
+                await writer.drain()
+                return
         if first == "EXPLAIN" and (m := _EXPLAIN_ANALYZE_RE.match(stmt)):
             # intercepted BEFORE rewrite() (which maps the plain form to
             # EXPLAIN EXTENDED): ANALYZE must actually run the query

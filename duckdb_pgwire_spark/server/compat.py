@@ -795,8 +795,116 @@ def _rewrite_read_files(sql: str) -> str:
     return _READ_FILE.sub(sub, sql)
 
 
+# ---------------------------------------------------------------- macros
+# DuckDB ``CREATE [OR REPLACE] MACRO f(a, b := 10) AS expr`` (scalar
+# macros; reachable through the reference's cpp:52 delegation). Spark
+# has no SQL macros, so calls are expanded TEXTUALLY before the dialect
+# pre-pass — the same inlining DuckDB's binder performs. The registry is
+# module-scope because DuckDB macros are catalog-scope (one embedded
+# catalog per process; the server shares one SparkSession the same way).
+MACROS: dict[str, tuple[list[tuple[str, str | None]], str]] = {}
+
+MACRO_DDL_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+(\w+)\s*\(([^)]*)\)\s+AS\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+MACRO_DROP_RE = re.compile(
+    r"^\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.IGNORECASE
+)
+
+
+def define_macro(name: str, params_src: str, body: str, replace: bool) -> None:
+    key = name.lower()
+    if not replace and key in MACROS:
+        raise ValueError(f"macro {name!r} already exists (use CREATE OR REPLACE)")
+    params: list[tuple[str, str | None]] = []
+    if params_src.strip():
+        for raw in split_top_level(params_src):
+            if ":=" in raw:
+                pname, default = raw.split(":=", 1)
+                params.append((pname.strip().lower(), default.strip()))
+            else:
+                params.append((raw.strip().lower(), None))
+    MACROS[key] = (params, body.strip())
+
+
+def drop_macro(name: str, if_exists: bool) -> None:
+    if MACROS.pop(name.lower(), None) is None and not if_exists:
+        raise ValueError(f"macro {name!r} does not exist")
+
+
+def _substitute_macro_params(body: str, binding: dict[str, str]) -> str:
+    out: list[str] = []
+    for is_lit, seg in _split_quoted(body):
+        if is_lit:
+            out.append(seg)
+            continue
+        for pname, arg in binding.items():
+            seg = re.sub(rf"\b{re.escape(pname)}\b", f"({arg})", seg, flags=re.IGNORECASE)
+        out.append(seg)
+    return "".join(out)
+
+
+def expand_macros(sql: str) -> str:
+    """Inline every registered macro call (nested and recursive uses
+    re-scan to a fixpoint, depth-capped). Arity/name mismatches raise —
+    the server maps them to wire errors, like DuckDB's binder would."""
+    if not MACROS:
+        return sql
+    for _ in range(10):
+        mask: list[bool] = []
+        for kind, seg in _lex(sql):
+            mask.extend([kind == "code"] * len(seg))
+        call = None
+        for m in re.finditer(r"\b(\w+)\s*\(", sql):
+            if m.group(1).lower() in MACROS and all(mask[m.start() : m.end()]):
+                call = m
+                break
+        if call is None:
+            return sql
+        params, body = MACROS[call.group(1).lower()]
+        depth, j = 1, call.end()
+        while j < len(sql) and depth:
+            if mask[j]:
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            j += 1
+        if depth:
+            return sql  # unbalanced — let Spark's parser report it
+        raw_args = split_top_level(sql[call.end() : j])
+        raw_args = [a for a in (x.strip() for x in raw_args) if a]
+        binding: dict[str, str] = {p: d for p, d in params if d is not None}
+        positional = [a for a in raw_args if ":=" not in a.split("(", 1)[0]]
+        named = [a for a in raw_args if a not in positional]
+        if len(positional) > len(params):
+            raise ValueError(
+                f"macro {call.group(1)!r} takes at most {len(params)} arguments"
+            )
+        for (pname, _), arg in zip(params, positional):
+            binding[pname] = arg
+        for a in named:
+            pname, arg = a.split(":=", 1)
+            pname = pname.strip().lower()
+            if pname not in {p for p, _ in params}:
+                raise ValueError(f"macro {call.group(1)!r} has no parameter {pname!r}")
+            binding[pname] = arg.strip()
+        missing = [p for p, _ in params if p not in binding]
+        if missing:
+            raise ValueError(
+                f"macro {call.group(1)!r} missing argument(s): {', '.join(missing)}"
+            )
+        expansion = "(" + _substitute_macro_params(body, binding) + ")"
+        sql = sql[: call.start()] + expansion + sql[j + 1 :]
+    return sql
+
+
 def rewrite(sql: str) -> str:
     """Apply the full dialect pre-pass to one statement."""
+    sql = expand_macros(sql)  # first: macro bodies go through every rewrite below
     sql = _rewrite_read_files(sql)  # before literal split: needs the path string
     sql = _rewrite_strftime(sql)  # before literal split: needs the fmt string
     sql = _rewrite_list_aggregate(sql)  # ditto: needs the quoted agg name

@@ -1436,3 +1436,51 @@ def test_wire_explain_analyze_has_runtime_metrics(client):
     # plain EXPLAIN still returns an UN-executed plan
     (res2,) = client.query("EXPLAIN SELECT 1 AS one")
     assert "error" not in res2, res2
+
+
+def test_wire_create_macro_matches_duckdb(client):
+    """DuckDB scalar macros over the wire (reference-reachable via
+    cpp:52): definition, expansion inside a real query, defaults with
+    := named args, nested calls, OR REPLACE, DROP, and binder-style
+    errors — golden-checked against DuckDB where results flow."""
+    import duckdb
+
+    con = duckdb.connect()
+    for stmt in (
+        "CREATE MACRO addit(a, b) AS a + b",
+        "CREATE MACRO scaled(x, f := 10) AS x * f",
+    ):
+        (r,) = client.query(stmt)
+        assert "error" not in r, r
+        con.execute(stmt)
+    sql = (
+        "SELECT r_regionkey, addit(r_regionkey, 100) AS shifted, "
+        "scaled(r_regionkey) AS s10, scaled(r_regionkey, f := 3) AS s3, "
+        "addit(addit(r_regionkey, 1), 2) AS nested "
+        "FROM region ORDER BY r_regionkey"
+    )
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    con.execute(
+        "CREATE VIEW region AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/region.parquet')"
+    )
+    expected = [[str(v) for v in row] for row in con.execute(sql).fetchall()]
+    assert res["rows"] == expected
+    # duplicate without OR REPLACE errors; OR REPLACE redefines
+    (r,) = client.query("CREATE MACRO addit(a, b) AS a - b")
+    assert "error" in r
+    (r,) = client.query("CREATE OR REPLACE MACRO addit(a, b) AS a * b")
+    assert "error" not in r, r
+    (res,) = client.query("SELECT addit(2, 3) AS r")
+    assert res["rows"] == [["6"]]
+    # macro names never expand inside string literals
+    (res,) = client.query("SELECT 'addit(1,2)' AS s")
+    assert res["rows"] == [["addit(1,2)"]]
+    (r,) = client.query("DROP MACRO addit")
+    assert "error" not in r, r
+    (r,) = client.query("SELECT addit(1, 2) AS r")
+    assert "error" in r  # gone: fails loudly in Spark's analyzer
+    (r,) = client.query("DROP MACRO IF EXISTS addit")
+    assert "error" not in r, r
+    client.query("DROP MACRO IF EXISTS scaled")
