@@ -775,7 +775,7 @@ class PgWireServer:
             # inlined by compat.expand_macros at rewrite() time
             if mm := MACRO_DDL_RE.match(stmt):
                 try:
-                    define_macro(mm.group(2), mm.group(3), mm.group(4), bool(mm.group(1)))
+                    define_macro(mm.group(2), mm.group(3), mm.group(5), bool(mm.group(1)))
                 except ValueError as exc:
                     raise _WireError(str(exc), "42723") from exc
                 writer.write(P.command_complete("CREATE MACRO"))

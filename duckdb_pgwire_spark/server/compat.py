@@ -804,8 +804,11 @@ def _rewrite_read_files(sql: str) -> str:
 # catalog per process; the server shares one SparkSession the same way).
 MACROS: dict[str, tuple[list[tuple[str, str | None]], str]] = {}
 
+# group 4 = optional TABLE keyword: a DuckDB TABLE macro's body is a
+# SELECT; the parenthesized expansion is then a derived table in FROM
+# position — the same textual inline covers both macro kinds.
 MACRO_DDL_RE = re.compile(
-    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+(\w+)\s*\(([^)]*)\)\s+AS\s+(.+?)\s*;?\s*$",
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+(\w+)\s*\(([^)]*)\)\s+AS\s+(TABLE\s+)?(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 MACRO_DROP_RE = re.compile(

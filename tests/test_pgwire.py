@@ -1484,3 +1484,28 @@ def test_wire_create_macro_matches_duckdb(client):
     (r,) = client.query("DROP MACRO IF EXISTS addit")
     assert "error" not in r, r
     client.query("DROP MACRO IF EXISTS scaled")
+
+
+def test_wire_table_macro_matches_duckdb(client):
+    """DuckDB TABLE macros: the parenthesized expansion is a derived
+    table in FROM position."""
+    import duckdb
+
+    ddl = (
+        "CREATE MACRO nations_of(rk) AS TABLE "
+        "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = rk"
+    )
+    sql = "SELECT n_name FROM nations_of(2) ORDER BY n_nationkey"
+    (r,) = client.query(ddl)
+    assert "error" not in r, r
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW nation AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/nation.parquet')"
+    )
+    con.execute(ddl)
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    assert res["rows"] == [[str(v) for v in row] for row in con.execute(sql).fetchall()]
+    (r,) = client.query("DROP MACRO nations_of")
+    assert "error" not in r, r
