@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..session import load_table, load_table_parallel
@@ -720,4 +721,68 @@ def text_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") >= BOILERPLATE_MIN_DF)
         .orderBy(F.col("df").desc(), "phrase")
+    )
+
+
+# Sequence packing: training context budget (tokens per packed sequence).
+PACK_CONTEXT = 512
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source
+                                               ORDER BY doc_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)
+                           - n_tokens) / {PACK_CONTEXT}) AS BIGINT) AS bin_id
+        FROM sized
+    )
+    SELECT source, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+    tags=("ext", "text", "packing"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget training
+    sequences ({PACK_CONTEXT} tokens) — the step between chunking and
+    batch assembly in every LLM data pipeline (padding waste is the
+    enemy; packing several short documents per sequence reclaims it).
+
+    The bin id is floor(exclusive-prefix-sum / budget) within each
+    source stream — a deterministic streaming pack that needs ONE
+    window cumsum, no driver loop, no Python. (A document longer than
+    the budget still advances the cursor — real pipelines chunk first;
+    compose with text_chunk_documents.) At 100 TB: the window
+    partitions by source shard, so state is one running sum per
+    partition; output is the per-bin manifest the batcher consumes.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_CONTEXT),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
     )
