@@ -789,6 +789,14 @@ class PgWireServer:
                 writer.write(P.command_complete("DROP MACRO"))
                 await writer.drain()
                 return
+        if first == "PRAGMA":
+            df = await self._exec(session, state.job_tag, _pragma_df, session, stmt)
+            if df is not None:
+                await self._stream_df(
+                    df, "SELECT", writer, send_row_desc=send_row_desc,
+                    session=session, tag=state.job_tag,
+                )
+                return
         if first == "EXPLAIN" and (m := _EXPLAIN_ANALYZE_RE.match(stmt)):
             # intercepted BEFORE rewrite() (which maps the plain form to
             # EXPLAIN EXTENDED): ANALYZE must actually run the query
@@ -1448,6 +1456,45 @@ def _is_introspection(stmt: str) -> bool:
 _EXPLAIN_ANALYZE_RE = re.compile(
     r"^\s*EXPLAIN\s+ANALYZE\s+(.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
+
+_PRAGMA_RE = re.compile(
+    r"^\s*PRAGMA\s+(\w+)\s*(?:\(\s*'?([^')]*)'?\s*\))?\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _pragma_df(session: SparkSession, stmt: str) -> DataFrame | None:
+    """DuckDB PRAGMA statements a psql user types (reference-reachable
+    via cpp:52), answered DuckDB-shaped: version, database_list,
+    show_tables, table_info('t'). Unknown pragmas return None and fall
+    through to Spark's parser (loud error, per shim policy)."""
+    m = _PRAGMA_RE.match(stmt)
+    if m is None:
+        return None
+    name, arg = m.group(1).lower(), m.group(2)
+    if name == "version":
+        return session.createDataFrame(
+            [("v1.1.1 (duckdb_pgwire_spark)", f"spark-{session.version}")],
+            "library_version string, source_id string",
+        )
+    if name == "database_list":
+        return session.createDataFrame(
+            [(0, "main", None)], "seq int, name string, file string"
+        )
+    if name == "show_tables":
+        rows = [(t.name,) for t in session.catalog.listTables()]
+        return session.createDataFrame(rows or [], "name string").orderBy("name")
+    if name == "table_info" and arg:
+        fields = session.table(arg).schema.fields
+        rows = [
+            (i, f.name, _duck_type(f.dataType), not f.nullable, None, False)
+            for i, f in enumerate(fields)
+        ]
+        return session.createDataFrame(
+            rows,
+            "cid int, name string, type string, notnull boolean, "
+            "dflt_value string, pk boolean",
+        )
+    return None
 
 # Per-operator metrics worth surfacing (the status store tracks dozens;
 # these are the ones a DuckDB EXPLAIN ANALYZE reader looks for).

@@ -1509,3 +1509,26 @@ def test_wire_table_macro_matches_duckdb(client):
     assert res["rows"] == [[str(v) for v in row] for row in con.execute(sql).fetchall()]
     (r,) = client.query("DROP MACRO nations_of")
     assert "error" not in r, r
+
+
+def test_wire_pragma_statements(client):
+    """DuckDB PRAGMA spellings a psql user types: version,
+    database_list, show_tables, table_info('t') — DuckDB-shaped
+    columns; unknown pragmas fail loudly."""
+    (res,) = client.query("PRAGMA version")
+    assert res["columns"] == ["library_version", "source_id"]
+    assert "duckdb_pgwire_spark" in res["rows"][0][0]
+    (res,) = client.query("PRAGMA database_list")
+    assert res["columns"] == ["seq", "name", "file"]
+    assert res["rows"][0][1] == "main"
+    (res,) = client.query("PRAGMA show_tables")
+    assert res["columns"] == ["name"]
+    names = [r[0] for r in res["rows"]]
+    assert "region" in names and "lineitem" in names
+    (res,) = client.query("PRAGMA table_info('region')")
+    assert res["columns"] == ["cid", "name", "type", "notnull", "dflt_value", "pk"]
+    byname = {r[1]: r for r in res["rows"]}
+    assert byname["r_regionkey"][2] == "INTEGER"
+    assert byname["r_name"][2] == "VARCHAR"
+    (res,) = client.query("PRAGMA enable_profiling")
+    assert "error" in res  # unknown pragma: loud, not silently ack'd
