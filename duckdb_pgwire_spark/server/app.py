@@ -589,6 +589,12 @@ class PgWireServer:
                 df = p.df
             elif _is_introspection(p.sql):
                 df = await self._exec(session, tag, _introspection_df, session, p.sql)
+            elif ea := _EXPLAIN_ANALYZE_RE.match(p.sql):
+                # extended-protocol EXPLAIN ANALYZE (JDBC/psycopg):
+                # execute + profile, same as the simple-query path
+                df = await self._exec(
+                    session, tag, _explain_analyze_df, session, ea.group(1)
+                )
             else:
                 df = await self._exec(
                     session, tag,

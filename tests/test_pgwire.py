@@ -1532,3 +1532,14 @@ def test_wire_pragma_statements(client):
     assert byname["r_name"][2] == "VARCHAR"
     (res,) = client.query("PRAGMA enable_profiling")
     assert "error" in res  # unknown pragma: loud, not silently ack'd
+
+
+def test_extended_explain_analyze_profiles(client):
+    """EXPLAIN ANALYZE through the extended protocol (the JDBC/psycopg
+    default mode) must execute + profile like the simple-query path."""
+    out = client.extended_fetch(
+        "EXPLAIN ANALYZE SELECT COUNT(*) AS n FROM region", maxrows=100
+    )
+    assert "error" not in out, out
+    text = "\n".join(r[0] for r in out["rows"])
+    assert "executed in" in text and "Scan parquet" in text
