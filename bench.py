@@ -168,6 +168,9 @@ def _scale_check(spark, defs) -> dict[str, float]:
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q6_forecast_revenue",
+        "q2_min_cost_supplier",
+        "q4_order_priority",
+        "q21_waiting_suppliers",
         "dedup_minhash_lsh",
         "text_contamination_check",
         "text_tfidf_top_terms",
