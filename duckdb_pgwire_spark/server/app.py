@@ -911,10 +911,10 @@ class PgWireServer:
             return
         copy = parse_copy(stmt)
         if copy is not None:
-            inner, path, fmt, header = copy
+            inner, path, fmt, header, compression, partition_by = copy
             nrows = await self._exec(
                 session, state.job_tag, self._run_copy, rewrite(inner), path,
-                fmt, header, session,
+                fmt, header, session, compression, partition_by,
             )
             writer.write(P.command_complete(f"COPY {nrows}"))
             await writer.drain()
@@ -1192,14 +1192,22 @@ class PgWireServer:
         fmt: str,
         header: bool = False,
         session: SparkSession | None = None,
+        compression: str | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """COPY ... TO: DataFrameWriter is the Spark-native file sink
         (distributed write — the path gets a directory of part files,
         which is the scale-correct shape; single-file output would force
-        all data through one task)."""
+        all data through one task). COMPRESSION maps to the writer's
+        codec option; PARTITION_BY to partitionBy (hive-style layout,
+        the same directory scheme DuckDB emits)."""
         df = (session or self.spark).sql(inner_sql)
         n = df.count()
         writer = df.write.mode("overwrite")
+        if compression:
+            writer = writer.option("compression", compression)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
         if fmt == "csv":
             writer.option("header", str(header).lower()).csv(path)
         elif fmt == "json":

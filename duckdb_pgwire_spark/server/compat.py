@@ -1055,8 +1055,10 @@ def split_statements(sql: str) -> list[str]:
     return [s.strip() for s in stmts if s.strip() and not _effectively_empty(s)]
 
 
+# option list allows ONE level of nested parens (PARTITION_BY (a, b))
 _COPY = re.compile(
-    r"^\s*COPY\s+(\(.*\)|\w+)\s+TO\s+'([^']+)'\s*(?:\(([^)]*)\))?\s*$",
+    r"^\s*COPY\s+(\(.*\)|\w+)\s+TO\s+'([^']+)'\s*"
+    r"(?:\(((?:[^()]|\([^()]*\))*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1068,14 +1070,24 @@ _COPY_FROM = re.compile(
 
 _COPY_FORMAT_OPT = re.compile(r"\bFORMAT\s+(\w+)", re.IGNORECASE)
 _COPY_HEADER_OPT = re.compile(r"\bHEADER(?:\s+(\w+))?", re.IGNORECASE)
+_COPY_COMPRESSION_OPT = re.compile(r"\bCOMPRESSION\s+'?(\w+)'?", re.IGNORECASE)
+_COPY_PARTITION_OPT = re.compile(
+    r"\bPARTITION_BY\s+(?:\(([^)]*)\)|(\w+))", re.IGNORECASE
+)
 
 
-def _copy_options(opts: str | None, path: str) -> tuple[str, bool]:
-    """(format, header) from a COPY option list. Format defaults from
-    the file extension; HEADER defaults FALSE (PG/DuckDB semantics —
-    COPY csv is headerless unless HEADER [true] is given)."""
+def _copy_options(
+    opts: str | None, path: str
+) -> tuple[str, bool, str | None, list[str]]:
+    """(format, header, compression, partition_by) from a COPY option
+    list. Format defaults from the file extension; HEADER defaults
+    FALSE (PG/DuckDB semantics — COPY csv is headerless unless HEADER
+    [true] is given); COMPRESSION and PARTITION_BY (DuckDB COPY
+    options) map onto DataFrameWriter's codec option / partitionBy."""
     fmt = None
     header = False
+    compression = None
+    partition_by: list[str] = []
     if opts:
         fm = _COPY_FORMAT_OPT.search(opts)
         if fm:
@@ -1083,10 +1095,17 @@ def _copy_options(opts: str | None, path: str) -> tuple[str, bool]:
         hm = _COPY_HEADER_OPT.search(opts)
         if hm:
             header = (hm.group(1) or "true").lower() in ("true", "on", "1")
+        cm = _COPY_COMPRESSION_OPT.search(opts)
+        if cm:
+            compression = cm.group(1).lower()
+        pm = _COPY_PARTITION_OPT.search(opts)
+        if pm:
+            cols = pm.group(1) if pm.group(1) is not None else pm.group(2)
+            partition_by = [c.strip() for c in cols.split(",") if c.strip()]
     if not fmt:
         ext = path.rsplit(".", 1)[-1].lower()
         fmt = ext if ext in ("parquet", "csv", "json") else "parquet"
-    return fmt.lower(), header
+    return fmt.lower(), header, compression, partition_by
 
 
 _COPY_STDIN = re.compile(
@@ -1155,13 +1174,14 @@ def parse_copy_from(stmt: str) -> tuple[str, str, str, bool] | None:
     if not m:
         return None
     table, path, opts = m.group(1), m.group(2), m.group(3)
-    fmt, header = _copy_options(opts, path)
+    fmt, header, _compression, _partition = _copy_options(opts, path)
     return table, path, fmt, header
 
 
-def parse_copy(stmt: str) -> tuple[str, str, str, bool] | None:
-    """DuckDB/PG ``COPY <table|(query)> TO 'path' (FORMAT fmt, HEADER)``
-    → (inner select SQL, path, format, header). Spark has no COPY
+def parse_copy(stmt: str) -> tuple[str, str, str, bool, str | None, list[str]] | None:
+    """DuckDB/PG ``COPY <table|(query)> TO 'path' (FORMAT fmt, HEADER,
+    COMPRESSION codec, PARTITION_BY (cols))`` → (inner select SQL, path,
+    format, header, compression, partition_by). Spark has no COPY
     statement; the server executes it as DataFrameWriter (the reference
     reaches DuckDB's COPY through the same delegated path, SURVEY.md
     §2.3). Format defaults from the file extension (parquet/csv/json);
@@ -1171,5 +1191,5 @@ def parse_copy(stmt: str) -> tuple[str, str, str, bool] | None:
         return None
     src, path, opts = m.group(1), m.group(2), m.group(3)
     inner = src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
-    fmt, header = _copy_options(opts, path)
-    return inner, path, fmt, header
+    fmt, header, compression, partition_by = _copy_options(opts, path)
+    return inner, path, fmt, header, compression, partition_by

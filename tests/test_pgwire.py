@@ -329,7 +329,10 @@ def test_wire_copy_csv_header_option(client, spark, tmp_path):
     assert parse_copy_from("COPY t FROM '/x.csv' (FORMAT CSV, HEADER false)") == (
         "t", "/x.csv", "csv", False)
     assert parse_copy("COPY t TO '/x.csv' (HEADER true, FORMAT CSV)") == (
-        "SELECT * FROM t", "/x.csv", "csv", True)
+        "SELECT * FROM t", "/x.csv", "csv", True, None, [])
+    assert parse_copy(
+        "COPY t TO '/y' (FORMAT PARQUET, COMPRESSION zstd, PARTITION_BY (a, b))"
+    ) == ("SELECT * FROM t", "/y", "parquet", False, "zstd", ["a", "b"])
 
     # headerless file loaded with default options keeps every row
     out = tmp_path / "hdr_cycle"
@@ -1543,3 +1546,23 @@ def test_extended_explain_analyze_profiles(client):
     assert "error" not in out, out
     text = "\n".join(r[0] for r in out["rows"])
     assert "executed in" in text and "Scan parquet" in text
+
+
+def test_wire_copy_compression_and_partition_by(client, spark, tmp_path):
+    """DuckDB COPY TO options COMPRESSION and PARTITION_BY map onto the
+    DataFrameWriter codec / hive-style partition layout."""
+    out = tmp_path / "part_copy"
+    (res,) = client.query(
+        f"COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation) TO '{out}' "
+        "(FORMAT PARQUET, COMPRESSION zstd, PARTITION_BY (n_regionkey))"
+    )
+    assert res.get("tag") == "COPY 25", res
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("n_regionkey="))
+    assert len(dirs) == 5, dirs
+    files = os.listdir(out / dirs[0])
+    assert any(".zstd." in f or f.endswith(".parquet") for f in files)
+    back = spark.read.parquet(str(out))
+    assert back.count() == 25
+    assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey"}
