@@ -160,14 +160,25 @@ def _read_events_stream(
     return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
-@query("stream_watermark_agg", oracle=None, tags=("streaming", "watermark"))
+@query(
+    "stream_watermark_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "watermark"),
+)
 def stream_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENUINE Structured Streaming: watermarked tumbling count.
 
     readStream(parquet) → withWatermark(10 min) → windowed agg → memory
-    sink, driven to completion synchronously. No SQL oracle exists for
-    watermark semantics (rows-only check); the batch-equivalence is
-    asserted in tests/test_streaming.py.
+    sink, driven to completion synchronously. Oracle-checked since r5:
+    a complete single-replay of the fixture has no late data beyond the
+    watermark, so the watermarked streaming result equals the batch
+    tumbling aggregate the SQL computes (the multi-microbatch
+    late-data path is covered by tests/test_streaming.py).
     """
     stream = _read_events_stream(spark, sf_dir)
     agg = (
