@@ -423,6 +423,175 @@ def _rewrite_array_constructor(sql: str) -> str:
         sql = sql[: m.start()] + "array(" + inner + ")" + sql[j:]
 
 
+def _code_mask(sql: str) -> list[bool]:
+    mask: list[bool] = []
+    for kind, seg in _lex(sql):
+        mask.extend([kind == "code"] * len(seg))
+    return mask
+
+
+def _split_code_level(s: str, mask_off: int, mask: list[bool], sep: str) -> list[int]:
+    """Positions of `sep` at paren/bracket depth 0 in code regions of s
+    (mask indexed with mask_off + i)."""
+    depth = 0
+    out = []
+    for i, c in enumerate(s):
+        if not mask[mask_off + i]:
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c == sep:
+            out.append(i)
+    return out
+
+
+# keywords that can directly precede a bracket LITERAL in expression
+# position — an identifier-looking token from this set is never a
+# subscript base
+_BRACKET_KEYWORDS = {
+    "SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "THEN", "ELSE", "WHEN",
+    "CASE", "END", "IN", "ON", "AS", "BY", "GROUP", "ORDER", "HAVING",
+    "LIMIT", "OFFSET", "UNION", "ALL", "DISTINCT", "VALUES", "SET",
+    "RETURNING", "JOIN", "WITH", "RECURSIVE", "IF", "ROW", "INTERVAL",
+    "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "TRUE", "FALSE", "EXCEPT",
+    "INTERSECT", "LATERAL", "USING", "OVER", "PARTITION", "RETURN",
+    "COALESCE", "ELSEIF",
+}
+
+_COMPREHENSION_RE = re.compile(
+    r"^(?P<expr>.+?)\s+FOR\s+(?P<var>\w+)\s+IN\s+(?P<src>.+?)(?:\s+IF\s+(?P<cond>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_brackets(sql: str) -> str:
+    """DuckDB bracket idioms → Spark (v1.1.1 dialect, reachable through
+    the reference's ``cpp:52`` delegation):
+
+    - bare list literal   ``[a, b]``              → ``array(a, b)``
+    - list comprehension  ``[e FOR x IN l IF c]`` → ``transform(filter(l, x -> c), x -> e)``
+    - subscript           ``base[i]``             → ``element_at(base, i)``
+    - slice               ``base[a:b]``           → ``slice(base, a, b - a + 1)``
+
+    The subscript rewrite is a CORRECTNESS shim, not sugar: Spark parses
+    ``base[i]`` natively but 0-BASED — passing a DuckDB client's 1-based
+    subscript through would return the silently-wrong neighbor element.
+    ``element_at`` is 1-based (negatives count from the end), matching
+    DuckDB exactly. A ``[`` preceded by an identifier char, ``)`` or
+    ``]`` is a subscript; anything else starts a literal. Innermost
+    brackets rewrite first; empty subscripts (``int[]`` casts) and
+    open-ended slices pass through to fail loudly."""
+    guard = 0
+    while guard < 50:
+        guard += 1
+        mask = _code_mask(sql)
+        # innermost '[': one whose span contains no further code-level '['
+        target = None
+        for m in re.finditer(r"\[", sql):
+            if not mask[m.start()]:
+                continue
+            depth, j = 1, m.start() + 1
+            inner = False
+            while j < len(sql) and depth:
+                if mask[j]:
+                    if sql[j] == "[":
+                        inner = True
+                        break
+                    if sql[j] == "]":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j += 1
+            if inner:
+                continue
+            if depth != 0:
+                return sql  # unbalanced: leave for the parser
+            target = (m.start(), j)
+            break
+        if target is None:
+            return sql
+        lb, rb = target
+        content = sql[lb + 1 : rb]
+        # classify by the previous non-space code char
+        k = lb - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        is_subscript = k >= 0 and mask[k] and (sql[k].isalnum() or sql[k] in "_)]")
+        if is_subscript and sql[k] not in ")]":
+            # a KEYWORD before '[' means a literal in expression position
+            # (SELECT [1,2], THEN [..], IN [..]...), not a subscript base
+            w_end = k + 1
+            w_start = k
+            while w_start >= 0 and (sql[w_start].isalnum() or sql[w_start] == "_"):
+                w_start -= 1
+            if sql[w_start + 1 : w_end].upper() in _BRACKET_KEYWORDS:
+                is_subscript = False
+        if is_subscript:
+            if not content.strip():
+                return sql  # type spelling like int[] — not ours to touch
+            # base: balanced group (call/subscript result) + identifier chain
+            end = k
+            start = k
+            if sql[k] in ")]":
+                close, open_ = sql[k], "(" if sql[k] == ")" else "["
+                depth = 0
+                while start >= 0:
+                    if mask[start]:
+                        if sql[start] == close:
+                            depth += 1
+                        elif sql[start] == open_:
+                            depth -= 1
+                            if depth == 0:
+                                break
+                    start -= 1
+                start -= 1
+            while start >= 0 and (sql[start].isalnum() or sql[start] in "._"):
+                start -= 1
+            start += 1
+            base = sql[start : end + 1]
+            if not base.strip():
+                return sql
+            colons = _split_code_level(content, lb + 1, mask, ":")
+            if len(colons) == 1:
+                a, b = content[: colons[0]].strip(), content[colons[0] + 1 :].strip()
+                if not a or not b:
+                    return sql  # open-ended slice: fail loudly downstream
+                repl = f"slice({base}, {a}, ({b}) - ({a}) + 1)"
+            elif colons:
+                return sql
+            else:
+                repl = f"element_at({base}, {content.strip()})"
+            sql = sql[:start] + repl + sql[rb + 1 :]
+            continue
+        # literal or comprehension
+        cm = None
+        # only treat FOR as a comprehension when it sits at depth 0
+        for fm in re.finditer(r"\bFOR\b", content, re.IGNORECASE):
+            depth = 0
+            ok = True
+            for i2, c2 in enumerate(content[: fm.start()]):
+                if not mask[lb + 1 + i2]:
+                    continue
+                if c2 in "([":
+                    depth += 1
+                elif c2 in ")]":
+                    depth -= 1
+            if depth == 0 and mask[lb + 1 + fm.start()]:
+                cm = _COMPREHENSION_RE.match(content)
+            break
+        if cm:
+            var, expr, src = cm.group("var"), cm.group("expr"), cm.group("src")
+            cond = cm.group("cond")
+            inner_src = f"filter({src}, {var} -> {cond})" if cond else src
+            repl = f"transform({inner_src}, {var} -> {expr})"
+        else:
+            repl = f"array({content})"
+        sql = sql[:lb] + repl + sql[rb + 1 :]
+    return sql
+
+
 _UNARY_REWRITES = {
     # list_reverse_sort(x) → sort_array(x, false): descending sort, the
     # only extra being Spark's explicit direction argument.
@@ -913,6 +1082,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_list_aggregate(sql)  # ditto: needs the quoted agg name
     sql = _rewrite_pg_client_fns(sql)  # ditto: current_setting / CAST-INTERVAL
     sql = _rewrite_array_constructor(sql)
+    sql = _rewrite_brackets(sql)  # after ARRAY[..]: bare [..] / l[i] / slices
     sql = _rewrite_unary_fns(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_asof_join(sql)  # before QUALIFY: it wraps FROM in a subquery

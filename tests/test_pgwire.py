@@ -102,7 +102,7 @@ def test_rewrite_distinct_on():
 def test_rewrite_len_and_list_reverse_sort():
     assert rewrite("SELECT len(name) FROM t") == "SELECT length(name) FROM t"
     assert rewrite("SELECT list_reverse_sort([3,1,2]) AS s") == (
-        "SELECT sort_array([3,1,2], false) AS s"
+        "SELECT sort_array(array(3,1,2), false) AS s"  # bare [..] → array(..)
     )
     # nested call inside the argument
     out = rewrite("SELECT list_reverse_sort(list_distinct(xs)) AS s FROM t")
@@ -1566,3 +1566,47 @@ def test_wire_copy_compression_and_partition_by(client, spark, tmp_path):
     back = spark.read.parquet(str(out))
     assert back.count() == 25
     assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_wire_with_recursive_matches_duckdb(client):
+    """WITH RECURSIVE is native in both engines (Spark 4.1 added it) —
+    the wire passes it through untouched; golden-check vs DuckDB."""
+    import duckdb
+
+    sql = (
+        "WITH RECURSIVE fib(a, b) AS ("
+        " SELECT 0, 1 UNION ALL SELECT b, a + b FROM fib WHERE a < 1000)"
+        " SELECT a FROM fib ORDER BY a"
+    )
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    expected = [[str(v) for v in row] for row in duckdb.connect().execute(sql).fetchall()]
+    assert res["rows"] == expected
+
+
+def test_wire_bracket_idioms_match_duckdb(client):
+    """DuckDB bracket idioms: bare list literals, 1-BASED subscripts
+    (Spark's native base[i] is 0-based — passthrough would be silently
+    wrong), negative indexing, slices, and list comprehensions. Golden
+    vs DuckDB running the identical SQL."""
+    import duckdb
+
+    sql = (
+        "SELECT [1, 2, 3] AS lit, "
+        "[10, 20, 30][1] AS first, "
+        "[10, 20, 30][-1] AS last, "
+        "[10, 20, 30, 40][2:3] AS sl, "
+        "[x * 2 FOR x IN [1, 2, 3] IF x > 1] AS comp, "
+        "string_split('a,b,c', ',')[2] AS second"
+    )
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    def pgtext(v):  # our wire renders arrays PG-style: {a,b}
+        if isinstance(v, list):
+            return "{" + ",".join(str(x) for x in v) + "}"
+        return str(v)
+
+    expected = [
+        [pgtext(v) for v in row] for row in duckdb.connect().execute(sql).fetchall()
+    ]
+    assert res["rows"] == expected, (res["rows"], expected)
