@@ -592,6 +592,82 @@ def _rewrite_brackets(sql: str) -> str:
     return sql
 
 
+_STRUCT_KEY = re.compile(r"^\s*'([^']*)'\s*:\s*(.+)$", re.DOTALL)
+
+
+def _rewrite_struct_literals(sql: str) -> str:
+    """DuckDB struct literal ``{'a': 1, 'b': x}`` → Spark
+    ``named_struct('a', 1, 'b', x)``. Bare braces never appear in Spark
+    SQL, so any code-level ``{`` whose body parses as quoted-key pairs
+    is a struct; anything else passes through to fail loudly.
+    Innermost-first so nesting works."""
+    guard = 0
+    while guard < 25:
+        guard += 1
+        mask = _code_mask(sql)
+        target = None
+        for m in re.finditer(r"\{", sql):
+            if not mask[m.start()]:
+                continue
+            depth, j = 1, m.start() + 1
+            inner = False
+            while j < len(sql) and depth:
+                if mask[j]:
+                    if sql[j] == "{":
+                        inner = True
+                        break
+                    if sql[j] == "}":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j += 1
+            if inner:
+                continue
+            if depth != 0:
+                return sql
+            target = (m.start(), j)
+            break
+        if target is None:
+            return sql
+        lb, rb = target
+        body = sql[lb + 1 : rb]
+        pairs = []
+        ok = bool(body.strip())
+        for part in split_top_level(body):
+            km = _STRUCT_KEY.match(part)
+            if km is None:
+                ok = False
+                break
+            pairs.append((km.group(1), km.group(2).strip()))
+        if not ok:
+            return sql  # not a struct literal — leave for the parser
+        args = ", ".join(f"'{k}', {v}" for k, v in pairs)
+        sql = sql[:lb] + f"named_struct({args})" + sql[rb + 1 :]
+    return sql
+
+
+def _rewrite_from_first(sql: str) -> str:
+    """DuckDB FROM-first syntax: ``FROM t`` → ``SELECT * FROM t`` and
+    ``FROM t SELECT cols [ORDER BY ...]`` → ``SELECT cols FROM t
+    [ORDER BY ...]`` (statement-level only — subqueries keep normal
+    order in DuckDB too). The FROM part splices in after the select
+    list, BEFORE any trailing clause keywords."""
+    if not re.match(r"^\s*FROM\b", sql, re.IGNORECASE):
+        return sql
+    sel = _find_keyword(sql, "SELECT")
+    if sel == -1:
+        return "SELECT * " + sql.lstrip()
+    head = sql[:sel].strip()
+    tail = sql[sel:].rstrip().rstrip(";")
+    cut = len(tail)
+    for kw in ("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY", "ORDER",
+               "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT"):
+        k = _find_keyword(tail, kw)
+        if k != -1:
+            cut = min(cut, k)
+    return tail[:cut].rstrip() + " " + head + " " + tail[cut:]
+
+
 _UNARY_REWRITES = {
     # list_reverse_sort(x) → sort_array(x, false): descending sort, the
     # only extra being Spark's explicit direction argument.
@@ -1083,6 +1159,8 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_pg_client_fns(sql)  # ditto: current_setting / CAST-INTERVAL
     sql = _rewrite_array_constructor(sql)
     sql = _rewrite_brackets(sql)  # after ARRAY[..]: bare [..] / l[i] / slices
+    sql = _rewrite_struct_literals(sql)
+    sql = _rewrite_from_first(sql)
     sql = _rewrite_unary_fns(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_asof_join(sql)  # before QUALIFY: it wraps FROM in a subquery

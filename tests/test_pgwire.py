@@ -1610,3 +1610,20 @@ def test_wire_bracket_idioms_match_duckdb(client):
         [pgtext(v) for v in row] for row in duckdb.connect().execute(sql).fetchall()
     ]
     assert res["rows"] == expected, (res["rows"], expected)
+
+
+def test_wire_struct_literal_and_from_first(client):
+    """DuckDB struct literals {'k': v} (→ named_struct) and FROM-first
+    statements (FROM t / FROM t SELECT cols)."""
+    (res,) = client.query("SELECT {'a': 1, 'b': 'x'}.a AS v")
+    assert "error" not in res, res
+    assert res["rows"] == [["1"]]
+    (res,) = client.query("FROM region")
+    assert "error" not in res, res
+    assert len(res["rows"]) == 5 and res["columns"][0] == "r_regionkey"
+    (res,) = client.query("FROM region SELECT r_name ORDER BY r_name LIMIT 2")
+    assert "error" not in res, res
+    assert res["columns"] == ["r_name"] and len(res["rows"]) == 2
+    # braces inside string literals stay data
+    (res,) = client.query("SELECT '{not: struct}' AS s")
+    assert res["rows"] == [["{not: struct}"]]
