@@ -75,3 +75,46 @@ def test_integer_sum_rewrite_is_stable(sql, cols):
     if "sum" not in sql.lower():
         assert once == sql
     assert rewrite_integer_sums(once, cols) == once
+
+
+# --- bracket-idiom rewrite vs DuckDB (r5): generated list expressions
+# must produce identical VALUES through both engines' front doors.
+
+_INT = st.integers(min_value=-5, max_value=7)
+
+
+@st.composite
+def _list_expr(draw, depth=0):
+    """A DuckDB expression string whose value is deterministic: either a
+    flat list literal, a subscript of one, or a slice."""
+    items = draw(st.lists(_INT, min_size=1, max_size=5))
+    lit = "[" + ", ".join(str(i) for i in items) + "]"
+    form = draw(st.sampled_from(["lit", "sub", "slice", "comp"]))
+    if form == "lit":
+        return lit
+    if form == "sub":
+        idx = draw(st.integers(min_value=1, max_value=len(items)))
+        if draw(st.booleans()):
+            idx = -idx  # negative: count from the end, both engines
+        return f"{lit}[{idx}]"
+    if form == "slice":
+        a = draw(st.integers(min_value=1, max_value=len(items)))
+        b = draw(st.integers(min_value=a, max_value=len(items)))
+        return f"{lit}[{a}:{b}]"
+    mult = draw(st.integers(min_value=0, max_value=3))
+    return f"[x * {mult} FOR x IN {lit} IF x > 0]"
+
+
+@given(expr=_list_expr())
+@settings(max_examples=60, deadline=None)
+def test_bracket_rewrite_matches_duckdb_values(spark, expr):
+    """rewrite() must map every generated bracket idiom onto a Spark
+    expression with the SAME value DuckDB computes — especially the
+    1-based subscripts, where Spark's native parse is 0-based and a
+    missed rewrite is a silently-wrong answer."""
+    import duckdb
+
+    sql = f"SELECT {expr} AS v"
+    expected = duckdb.connect().execute(sql).fetchall()[0][0]
+    got = spark.sql(rewrite(sql)).collect()[0][0]
+    assert got == expected, (expr, rewrite(sql), got, expected)

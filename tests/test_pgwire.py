@@ -1627,3 +1627,43 @@ def test_wire_struct_literal_and_from_first(client):
     # braces inside string literals stay data
     (res,) = client.query("SELECT '{not: struct}' AS s")
     assert res["rows"] == [["{not: struct}"]]
+
+
+def test_wire_concurrent_connections(wire_server):
+    """8 clients hammering the server concurrently from their own
+    sockets: results must be correct and isolated (no cross-connection
+    state bleed, no pool deadlock). Exercises the per-connection
+    asyncio tasks + shared thread-pool execution path under load."""
+    import importlib.util
+    from concurrent.futures import ThreadPoolExecutor
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "pgwire_client_cc", Path(__file__).parent.parent / "scripts" / "pgwire_client.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def worker(i: int) -> list:
+        c = mod.PgClient(port=wire_server)
+        try:
+            out = []
+            for q, want in (
+                (f"SELECT {i} + 1 AS v", str(i + 1)),
+                ("SELECT COUNT(*) AS n FROM region", "5"),
+                (f"SELECT r_name FROM region WHERE r_regionkey = {i % 5}", None),
+                (f"SELECT SUM(x) AS s FROM (SELECT explode(sequence(1, {i + 3})) AS x)",
+                 str((i + 3) * (i + 4) // 2)),
+            ):
+                (res,) = c.query(q)
+                assert "error" not in res, (i, q, res)
+                if want is not None:
+                    assert res["rows"][0][0] == want, (i, q, res["rows"])
+                out.append(res)
+            return out
+        finally:
+            c.close()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(worker, range(8)))
+    assert len(results) == 8
