@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "duckdb_pgwire_spark.ext.text",
     "duckdb_pgwire_spark.ext.multimodal",
     "duckdb_pgwire_spark.streaming.windows",
+    "duckdb_pgwire_spark.streaming.dedup",
     "duckdb_pgwire_spark.streaming.stateful",
     "duckdb_pgwire_spark.streaming.joins",
 )
