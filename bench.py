@@ -176,6 +176,12 @@ def _scale_check(spark, defs) -> dict[str, float]:
         "text_tfidf_top_terms",
     ):
         t_small = _time_query(defs[name].fn, spark, src)
+        # double warm-up on the replica dir: right after the build its
+        # files are cold in the page cache, and a single warm pass still
+        # reads 26x-looking ratios that a second pass shows are really
+        # ~4x (measured on q3) — the ratio should reflect the plan, not
+        # first-touch I/O.
+        _time_query(defs[name].fn, spark, dst)
         t_big = _time_query(defs[name].fn, spark, dst)
         ratios[name] = round(t_big / t_small, 2)
     return ratios
