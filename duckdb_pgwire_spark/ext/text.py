@@ -716,7 +716,12 @@ def text_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        d.select("doc_id", F.explode(bigrams).alias("phrase"))
+        # size >= 2 guard: a one-word document makes sequence(1, 0) count
+        # DOWN in Spark ([1, 0]) and element_at(ws, 0) then throws — the
+        # oracle's range(1, len) is simply empty, so filtering changes
+        # nothing for matching rows
+        d.filter(F.size(ws) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("phrase"))
         .groupBy("phrase")
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") >= BOILERPLATE_MIN_DF)

@@ -808,7 +808,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_part_share",
     oracle="""
     WITH val AS (
-        SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS value
+        -- per-term DECIMAL cast: exact, order-independent sums (same
+        -- cross-engine .xx5-boundary hazard q9 hit)
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18, 4))) AS DOUBLE) AS value
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON n_nationkey = s_nationkey
@@ -841,7 +845,15 @@ def q11_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("value")
+        )
     )
     total = val.agg((F.sum("value") * F.lit(0.001)).alias("threshold"))
     return (
@@ -944,7 +956,8 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_qty_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
       AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
@@ -974,14 +987,21 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         branded.join(F.broadcast(avgs), F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
 @query(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18, 4))) AS DOUBLE), 2) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -1026,7 +1046,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ).cast("double"),
+                2,
             ).alias("revenue")
         )
     )

@@ -585,16 +585,18 @@ class PgWireServer:
             rewritten = rewrite(p.sql)
             if p.df is None and _PG_CATALOG_RE.search(rewritten):
                 await loop.run_in_executor(self._pool, _refresh_pg_catalog, session)
-            if p.df is not None:
-                df = p.df
-            elif _is_introspection(p.sql):
-                df = await self._exec(session, tag, _introspection_df, session, p.sql)
-            elif ea := _EXPLAIN_ANALYZE_RE.match(p.sql):
+            if ea := _EXPLAIN_ANALYZE_RE.match(p.sql):
                 # extended-protocol EXPLAIN ANALYZE (JDBC/psycopg):
-                # execute + profile, same as the simple-query path
+                # execute + profile — checked BEFORE the Describe-cached
+                # df, which would otherwise shadow this with the
+                # unexecuted EXPLAIN EXTENDED plan
                 df = await self._exec(
                     session, tag, _explain_analyze_df, session, ea.group(1)
                 )
+            elif p.df is not None:
+                df = p.df
+            elif _is_introspection(p.sql):
+                df = await self._exec(session, tag, _introspection_df, session, p.sql)
             else:
                 df = await self._exec(
                     session, tag,
@@ -654,11 +656,19 @@ class PgWireServer:
             df = await loop.run_in_executor(
                 self._pool, _introspection_df, session, sql
             )
+        elif _EXPLAIN_ANALYZE_RE.match(sql):
+            # schema only — Execute must run + profile, so the df is NOT
+            # cached on the portal (a cached df would shadow the
+            # profiled path with the unexecuted EXPLAIN EXTENDED plan)
+            df = await loop.run_in_executor(
+                self._pool,
+                lambda: session.createDataFrame([], "explain_analyze string"),
+            )
         else:
             df = await loop.run_in_executor(
                 self._pool, lambda: session.sql(_hugeint_sums(session, rewritten))
             )
-        if portal is not None:
+        if portal is not None and not _EXPLAIN_ANALYZE_RE.match(sql):
             portal.df = df
         fields = [
             (f.name, f.dataType)

@@ -483,9 +483,18 @@ def _rewrite_brackets(sql: str) -> str:
     ``]`` is a subscript; anything else starts a literal. Innermost
     brackets rewrite first; empty subscripts (``int[]`` casts) and
     open-ended slices pass through to fail loudly."""
+    # each pass consumes one bracket pair, so the guard only trips on a
+    # pathological/adversarial statement — and then it must FAIL, not
+    # fall through: an unrewritten 1-based subscript would parse 0-based
+    # in Spark and return the silently-wrong neighbor element.
     guard = 0
-    while guard < 50:
+    while True:
         guard += 1
+        if guard > 500:
+            raise ValueError(
+                "bracket-rewrite limit exceeded (over 500 bracket "
+                "constructs in one statement)"
+            )
         mask = _code_mask(sql)
         # innermost '[': one whose span contains no further code-level '['
         target = None
@@ -1082,14 +1091,22 @@ def drop_macro(name: str, if_exists: bool) -> None:
 
 
 def _substitute_macro_params(body: str, binding: dict[str, str]) -> str:
+    """SIMULTANEOUS substitution: one alternation pass over the body.
+    Sequential per-parameter passes would re-scan earlier insertions —
+    ``addit(b, 10)`` against ``a + b`` first inlined ``a → (b)`` and the
+    ``b`` pass then captured that inserted ``b`` too, yielding
+    ``((10)) + (10)`` (a silently wrong constant)."""
+    if not binding:
+        return body
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(p) for p in binding) + r")\b", re.IGNORECASE
+    )
     out: list[str] = []
     for is_lit, seg in _split_quoted(body):
         if is_lit:
             out.append(seg)
             continue
-        for pname, arg in binding.items():
-            seg = re.sub(rf"\b{re.escape(pname)}\b", f"({arg})", seg, flags=re.IGNORECASE)
-        out.append(seg)
+        out.append(pat.sub(lambda m: f"({binding[m.group(1).lower()]})", seg))
     return "".join(out)
 
 
@@ -1100,9 +1117,7 @@ def expand_macros(sql: str) -> str:
     if not MACROS:
         return sql
     for _ in range(10):
-        mask: list[bool] = []
-        for kind, seg in _lex(sql):
-            mask.extend([kind == "code"] * len(seg))
+        mask = _code_mask(sql)
         call = None
         for m in re.finditer(r"\b(\w+)\s*\(", sql):
             if m.group(1).lower() in MACROS and all(mask[m.start() : m.end()]):
@@ -1126,8 +1141,11 @@ def expand_macros(sql: str) -> str:
         raw_args = split_top_level(sql[call.end() : j])
         raw_args = [a for a in (x.strip() for x in raw_args) if a]
         binding: dict[str, str] = {p: d for p, d in params if d is not None}
-        positional = [a for a in raw_args if ":=" not in a.split("(", 1)[0]]
-        named = [a for a in raw_args if a not in positional]
+        # named iff the arg LEADS with `ident :=` — a ':=' buried in a
+        # string literal ('k:=v') or nested call must stay positional
+        named_re = re.compile(r"^\s*[A-Za-z_]\w*\s*:=")
+        positional = [a for a in raw_args if not named_re.match(a)]
+        named = [a for a in raw_args if named_re.match(a)]
         if len(positional) > len(params):
             raise ValueError(
                 f"macro {call.group(1)!r} takes at most {len(params)} arguments"

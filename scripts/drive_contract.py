@@ -40,7 +40,10 @@ for name, fn in sorted(qs.items()):
     # from a single arrow table (the old fetchall/.arrow()/.description
     # triple ran every oracle three times).
     tbl = con.execute(osql[name]).arrow()
-    orows = [tuple(row.values()) for row in tbl.to_pylist()]
+    # positional extraction (NOT to_pylist dicts — those collapse
+    # duplicate-named columns and misalign against schema.names)
+    _cols = [c.to_pylist() for c in tbl.columns]
+    orows = list(zip(*_cols)) if _cols else [()] * tbl.num_rows
     # r3 lesson: DuckDB HUGEINT (SUM(int)/count_if) degrades to float64 when
     # the driver fetches via pandas/arrow -> '150.0' vs Spark's '150' hash
     # mismatch even though fetchall() ints compare clean. Fail loud here so

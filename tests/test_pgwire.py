@@ -1667,3 +1667,56 @@ def test_wire_concurrent_connections(wire_server):
     with ThreadPoolExecutor(max_workers=8) as pool:
         results = list(pool.map(worker, range(8)))
     assert len(results) == 8
+
+
+def test_macro_substitution_is_simultaneous(client):
+    """Code-review r5 fix: sequential parameter substitution captured an
+    argument that referenced a column named like a later parameter
+    (addit(b, 10) against body a + b expanded to ((10)) + (10) — a
+    silently wrong constant). Substitution is now one simultaneous
+    pass; also: a ':=' inside a string-literal argument must stay
+    positional, not parse as a named argument."""
+    import duckdb
+
+    (r,) = client.query("CREATE OR REPLACE MACRO addit2(a, b) AS a + b")
+    assert "error" not in r, r
+    sql = (
+        "SELECT r_regionkey, addit2(r_regionkey + 1, 10) AS v1, "
+        "addit2(10, r_regionkey) AS v2 FROM region ORDER BY r_regionkey"
+    )
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW region AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/region.parquet')"
+    )
+    con.execute("CREATE MACRO addit2(a, b) AS a + b")
+    expected = [[str(v) for v in row] for row in con.execute(sql).fetchall()]
+    assert res["rows"] == expected
+    # the capture shape itself: argument named like the OTHER parameter
+    (r,) = client.query("CREATE OR REPLACE MACRO swapped(a, b) AS a - b")
+    assert "error" not in r, r
+    (res,) = client.query(
+        "SELECT swapped(r_regionkey, 1) AS d FROM region WHERE r_regionkey = 4"
+    )
+    assert res["rows"] == [["3"]]
+    # ':=' inside a string literal is data, not a named argument
+    (r,) = client.query("CREATE OR REPLACE MACRO tagit(s) AS upper(s)")
+    assert "error" not in r, r
+    (res,) = client.query("SELECT tagit('k:=v') AS t")
+    assert res["rows"] == [["K:=V"]]
+    for m in ("addit2", "swapped", "tagit"):
+        client.query(f"DROP MACRO IF EXISTS {m}")
+
+
+def test_extended_describe_then_explain_analyze_profiles(client):
+    """Code-review r5 fix: the Describe-cached portal df shadowed the
+    EXPLAIN ANALYZE execute branch, so the JDBC Parse/Bind/Describe/
+    Execute cycle got the unexecuted plan with no metrics."""
+    out = client.extended_query(
+        "EXPLAIN ANALYZE SELECT COUNT(*) AS n FROM region"
+    )
+    assert "error" not in out, out
+    text = "\n".join(r[0] for r in out["rows"])
+    assert "executed in" in text and "Scan parquet" in text
