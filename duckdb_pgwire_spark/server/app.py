@@ -865,6 +865,22 @@ class PgWireServer:
             writer.write(P.command_complete(f"MERGE {n}"))
             await writer.drain()
             return
+        if first == "UNPIVOT":
+            m = _UNPIVOT_STMT_RE.match(stmt)
+            if m is not None:
+                tbl, cols, name_col, val_col = (
+                    m.group(1), m.group(2), m.group(3), m.group(4)
+                )
+                sql = (
+                    f"SELECT * FROM {tbl} UNPIVOT ({val_col} FOR {name_col} "
+                    f"IN ({cols}))"
+                )
+                df = await self._exec(session, state.job_tag, session.sql, sql)
+                await self._stream_df(
+                    df, "SELECT", writer, send_row_desc=send_row_desc,
+                    session=session, tag=state.job_tag,
+                )
+                return
         if first == "PIVOT":
             pivot_sql = await self._exec(
                 session, state.job_tag, _dynamic_pivot_sql, session, stmt
@@ -1251,6 +1267,15 @@ def _sqlstate(exc: Exception) -> str:
 # [GROUP BY cols]` — DuckDB auto-detects the value list; Spark's PIVOT
 # clause needs it explicit, so the server resolves the distinct values
 # first (schema-aware shim, like the integer-sum rewrite).
+# DuckDB statement-level UNPIVOT: `UNPIVOT <tbl> ON <cols> INTO NAME <n>
+# VALUE <v>` → Spark's table-expression UNPIVOT clause (same output
+# columns and rows; Spark drops NULL cells like DuckDB does).
+_UNPIVOT_STMT_RE = re.compile(
+    r"^\s*UNPIVOT\s+([\w.]+)\s+ON\s+(.+?)\s+INTO\s+NAME\s+(\w+)"
+    r"\s+VALUE\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _PIVOT_STMT_RE = re.compile(
     r"^\s*PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s+USING\s+(\w+)\s*\(\s*([\w.*]+)\s*\)"
     r"(?:\s+GROUP\s+BY\s+([\w.,\s]+?))?\s*;?\s*$",

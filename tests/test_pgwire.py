@@ -1720,3 +1720,32 @@ def test_extended_describe_then_explain_analyze_profiles(client):
     assert "error" not in out, out
     text = "\n".join(r[0] for r in out["rows"])
     assert "executed in" in text and "Scan parquet" in text
+
+
+def test_wire_unpivot_statement_matches_duckdb(client):
+    """DuckDB's statement-level UNPIVOT (sibling of the dynamic PIVOT
+    statement): UNPIVOT t ON cols INTO NAME n VALUE v."""
+    import duckdb
+
+    sql = (
+        "UNPIVOT (SELECT 1 AS id, 10.5 AS a, 20.5 AS b) "
+        "ON a, b INTO NAME metric VALUE val"
+    )
+    # our shim takes a table name; build a temp view through the wire
+    (r,) = client.query(
+        "CREATE OR REPLACE TEMPORARY VIEW unpiv_m AS SELECT 1 AS id, "
+        "10.5 AS a, 20.5 AS b"
+    )
+    assert "error" not in r, r
+    (res,) = client.query("UNPIVOT unpiv_m ON a, b INTO NAME metric VALUE val")
+    assert "error" not in res, res
+    assert res["columns"] == ["id", "metric", "val"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE unpiv_m AS SELECT 1 AS id, 10.5 AS a, 20.5 AS b")
+    expected = [
+        [str(v) for v in row]
+        for row in con.execute(
+            "UNPIVOT unpiv_m ON a, b INTO NAME metric VALUE val"
+        ).fetchall()
+    ]
+    assert sorted(map(tuple, res["rows"])) == sorted(map(tuple, expected))
