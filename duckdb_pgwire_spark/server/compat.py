@@ -677,6 +677,107 @@ def _rewrite_from_first(sql: str) -> str:
     return tail[:cut].rstrip() + " " + head + " " + tail[cut:]
 
 
+# one arrow step: -> or ->> followed by a quoted key or an integer index
+_ARROW_STEP = re.compile(r"\s*(->>?)\s*(?:'([^']*)'|(\d+))")
+
+
+def _rewrite_json_arrows(sql: str) -> str:
+    """PG/DuckDB JSON arrow operators → ``get_json_object`` with a
+    composed path: ``j -> 'a' ->> 'b'`` → ``get_json_object(j, '$.a.b')``
+    and integer steps → ``$[i]`` (0-based in both engines).
+
+    Semantics note: a chain ENDING in ``->>`` (text extraction) is
+    exact. A final ``->`` whose target is an object or number renders
+    identically too; only a final ``->`` landing on a STRING value
+    differs (DuckDB keeps the JSON quotes, get_json_object unquotes) —
+    documented approximation, the common idioms are exact."""
+    guard = 0
+    scan_from = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        first = None
+        for m in _ARROW_STEP.finditer(sql, scan_from):
+            # the arrow token itself must be code-level
+            a = m.start() + (len(m.group(0)) - len(m.group(0).lstrip()))
+            if all(mask[a : a + len(m.group(1))]):
+                first = m
+                break
+        if first is None:
+            return sql
+        # walk the full chain of consecutive steps
+        steps = []
+        pos = first.start()
+        end = first.start()
+        while True:
+            m = _ARROW_STEP.match(sql, end)
+            if m is None:
+                break
+            key = m.group(2)
+            steps.append(f".{key}" if key is not None else f"[{m.group(3)}]")
+            end = m.end()
+        # operand before the chain: string literal, paren group, or
+        # identifier chain (fail open — leave untouched — otherwise)
+        k = pos - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        if k < 0:
+            return sql
+        if sql[k] == "'":
+            # find the literal segment that ENDS at k (lexer offsets)
+            off = 0
+            start = None
+            for kind, seg in _lex(sql):
+                if kind == "lit" and off + len(seg) - 1 == k:
+                    start = off
+                    break
+                off += len(seg)
+            if start is None:
+                return sql
+        elif sql[k] == ")":
+            depth, start = 0, k
+            while start >= 0:
+                if mask[start]:
+                    if sql[start] == ")":
+                        depth += 1
+                    elif sql[start] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                start -= 1
+            start -= 1
+            while start >= 0 and (sql[start].isalnum() or sql[start] in "._"):
+                start -= 1
+            start += 1
+        elif sql[k].isalnum() or sql[k] == "_":
+            start = k
+            while start >= 0 and (sql[start].isalnum() or sql[start] in "._"):
+                start -= 1
+            start += 1
+        else:
+            scan_from = end
+            continue
+        # LAMBDA GUARD: `x -> 'k'` is also DuckDB lambda syntax (body a
+        # string constant). A lambda's parameter always directly follows
+        # '(' or ',', so a single-`->` chain whose bare-identifier
+        # operand sits there is left alone (a JSON arrow in argument
+        # position can always be written `->>`, and an unrewritten `->`
+        # fails LOUDLY in Spark's parser — never silently wrong).
+        if first.group(1) == "->":
+            p = start - 1
+            while p >= 0 and sql[p].isspace():
+                p -= 1
+            if p >= 0 and sql[p] in "(,":
+                scan_from = end
+                continue
+        operand = sql[start : k + 1]
+        path = "$" + "".join(steps)
+        repl = f"get_json_object({operand}, '{path}')"
+        sql = sql[:start] + repl + sql[end:]
+        scan_from = 0
+    return sql
+
+
 _UNARY_REWRITES = {
     # list_reverse_sort(x) → sort_array(x, false): descending sort, the
     # only extra being Spark's explicit direction argument.
@@ -1178,6 +1279,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_array_constructor(sql)
     sql = _rewrite_brackets(sql)  # after ARRAY[..]: bare [..] / l[i] / slices
     sql = _rewrite_struct_literals(sql)
+    sql = _rewrite_json_arrows(sql)
     sql = _rewrite_from_first(sql)
     sql = _rewrite_unary_fns(sql)
     sql = _rewrite_distinct_on(sql)

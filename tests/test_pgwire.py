@@ -1749,3 +1749,41 @@ def test_wire_unpivot_statement_matches_duckdb(client):
         ).fetchall()
     ]
     assert sorted(map(tuple, res["rows"])) == sorted(map(tuple, expected))
+
+
+def test_wire_json_arrow_operators_match_duckdb(client):
+    """PG/DuckDB JSON arrows -> / ->> compose into get_json_object
+    paths; lambda arrows (x -> expr) must survive untouched. Golden on
+    the events.props JSON column vs DuckDB."""
+    import duckdb
+
+    sql = (
+        "SELECT event_id, props ->> 'device' AS device "
+        "FROM events WHERE event_id < 50 ORDER BY event_id"
+    )
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    expected = [
+        [None if v is None else str(v) for v in row]
+        for row in con.execute(sql).fetchall()
+    ]
+    assert res["rows"] == expected
+    # chain + integer index on a literal
+    (res,) = client.query(
+        """SELECT '{"a": {"xs": [5, 7]}}' -> 'a' ->> 1 AS v"""
+    )
+    # path composes to $.a[1]; DuckDB -> 'a' then ->> 1 gives NULL on an
+    # object (index into object) — mirror duckdb's answer
+    dres = duckdb.connect().execute(
+        """SELECT '{"a": {"xs": [5, 7]}}' -> 'a' ->> 1 AS v"""
+    ).fetchall()[0][0]
+    got = res["rows"][0][0]
+    assert (got is None or got == "") == (dres is None) or str(dres) == got
+    # lambdas in HOFs still work through the wire
+    (res,) = client.query("SELECT transform(ARRAY[1,2], x -> x * 2) AS l")
+    assert res["rows"] == [["{2,4}"]]
