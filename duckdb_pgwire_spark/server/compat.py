@@ -141,6 +141,11 @@ _FN_RENAMES = {
     "list_min": "array_min",
     "list_max": "array_max",
     "list_reverse": "reverse",
+    # json_extract_string(j, '$.p') ≡ get_json_object (text result);
+    # json_extract keeps JSON quoting on string values in DuckDB — same
+    # documented approximation as the -> arrow rewrite
+    "json_extract_string": "get_json_object",
+    "json_extract": "get_json_object",
     "to_base64": "base64",
     "from_base64": "unbase64",
     "regexp_matches": "rlike",

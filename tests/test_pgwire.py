@@ -1787,3 +1787,26 @@ def test_wire_json_arrow_operators_match_duckdb(client):
     # lambdas in HOFs still work through the wire
     (res,) = client.query("SELECT transform(ARRAY[1,2], x -> x * 2) AS l")
     assert res["rows"] == [["{2,4}"]]
+
+
+def test_wire_json_extract_spellings_match_duckdb(client):
+    """DuckDB json_extract_string / json_extract map to
+    get_json_object (text semantics; exact for $-paths)."""
+    import duckdb
+
+    sql = (
+        "SELECT event_id, json_extract_string(props, '$.device') AS d "
+        "FROM events WHERE event_id < 30 ORDER BY event_id"
+    )
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    expected = [
+        [None if v is None else str(v) for v in row]
+        for row in con.execute(sql).fetchall()
+    ]
+    assert res["rows"] == expected
