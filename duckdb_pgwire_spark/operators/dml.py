@@ -352,6 +352,340 @@ def merge_into(session: SparkSession, spec: MergeSpec) -> int:
     return n
 
 
+# --------------------------------------------------------------- RETURNING
+
+def split_returning(stmt: str) -> tuple[str, str | None]:
+    """Split a DML statement at its top-level ``RETURNING`` clause.
+
+    PG clients (every ORM: SQLAlchemy, ActiveRecord, asyncpg users) emit
+    ``INSERT … RETURNING`` on every insert; the reference reaches
+    DuckDB's RETURNING through delegation
+    (``/root/reference/src/duckdb_pgwire_extension.cpp:52``).
+    Returns ``(body, projection-or-None)``.
+    """
+    from ..server.compat import _find_keyword
+
+    i = _find_keyword(stmt, "RETURNING")
+    if i == -1:
+        return stmt, None
+    return stmt[:i].rstrip(), stmt[i + len("RETURNING") :].strip().rstrip(";").strip()
+
+
+def _materialize(session: SparkSession, sql: str) -> DataFrame:
+    """Snapshot a SELECT to a temp parquet dir and read it back —
+    decouples the result from the source table so the subsequent
+    rewrite-on-write of that table cannot invalidate it. Distributed
+    write, never through the driver."""
+    loc = tempfile.mkdtemp(prefix="dml_ret_")
+    session.sql(sql).write.mode("overwrite").parquet(loc)
+    return session.read.parquet(loc)
+
+
+def project_returning(session: SparkSession, df: DataFrame, proj: str) -> DataFrame:
+    """Evaluate a RETURNING projection over the affected-rows snapshot.
+    The snapshot carries the target table's columns, so ``*`` and any
+    column expression behave exactly as PG's RETURNING scope."""
+    import uuid
+
+    view = f"__returning_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
+    out = session.sql(f"SELECT {proj} FROM {view}")
+    out.schema  # force analysis now so a bad projection errors here  # noqa: B018
+    # the uuid-fresh view stays registered for the lazy execution that
+    # streams the rows; no name collision across statements/sessions
+    return out
+
+
+def update_returning(
+    session: SparkSession,
+    table: str,
+    assignments: list[tuple[str, str]],
+    pred: str | None,
+) -> DataFrame:
+    """UPDATE that also snapshots the post-image of the affected rows
+    (PG: RETURNING sees the NEW values). Returns the snapshot; the
+    affected count is its row count."""
+    cols = session.table(table).columns
+    set_map = {c.lower(): e for c, e in assignments}
+    proj = ", ".join(
+        f"({set_map[c.lower()]}) AS {c}" if c.lower() in set_map else c for c in cols
+    )
+    where = f" WHERE coalesce(({pred}), false)" if pred is not None else ""
+    affected = _materialize(session, f"SELECT {proj} FROM {table}{where}")
+    update_table(session, table, assignments, pred)
+    return affected
+
+
+def delete_returning(
+    session: SparkSession, table: str, pred: str | None
+) -> DataFrame:
+    """DELETE that snapshots the removed rows (PG: RETURNING sees the
+    OLD values)."""
+    where = f" WHERE coalesce(({pred}), false)" if pred is not None else ""
+    affected = _materialize(session, f"SELECT * FROM {table}{where}")
+    delete_from(session, table, pred)
+    return affected
+
+
+# ------------------------------------------------------- INSERT / UPSERT
+
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.]+)\s*(\([^()]*\))?\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+@dataclass
+class ConflictSpec:
+    """``ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET … [WHERE p]``."""
+
+    key_cols: list[str] | None
+    action: str  # 'nothing' | 'update'
+    assignments: list[tuple[str, str]] = field(default_factory=list)
+    pred: str | None = None
+
+
+@dataclass
+class InsertSpec:
+    table: str
+    cols: list[str] | None  # explicit column list; None = positional all
+    source_sql: str  # VALUES … or SELECT … (already dialect-rewritten)
+    conflict: ConflictSpec | None
+
+
+def parse_insert(stmt: str) -> InsertSpec | None:
+    """``INSERT INTO t [(cols)] <VALUES…|SELECT…> [ON CONFLICT …]`` →
+    spec, or None for grammar this fast path doesn't cover (BY NAME,
+    INSERT OVERWRITE, DEFAULT VALUES — those fall through to Spark's
+    own INSERT when no RETURNING/ON CONFLICT tail forces this path)."""
+    from ..server.compat import _find_keyword, split_top_level
+
+    m = _INSERT.match(stmt)
+    if m is None:
+        return None
+    table = m.group(1)
+    cols = (
+        [c.strip() for c in m.group(2)[1:-1].split(",")] if m.group(2) else None
+    )
+    tail = m.group(3).rstrip().rstrip(";")
+
+    conflict: ConflictSpec | None = None
+    ic = _find_keyword(tail, "CONFLICT")
+    if ic != -1:
+        on = re.search(r"\bON\s*$", tail[:ic], re.IGNORECASE)
+        if on is None:
+            return None
+        clause = tail[ic + len("CONFLICT") :].strip()
+        tail = tail[: on.start()].rstrip()
+        key_cols = None
+        if clause.startswith("("):
+            depth, end = 0, -1
+            for i, ch in enumerate(clause):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            if end == -1:
+                return None
+            key_cols = [c.strip() for c in split_top_level(clause[1:end])]
+            clause = clause[end + 1 :].strip()
+        if re.fullmatch(r"DO\s+NOTHING", clause, re.IGNORECASE):
+            conflict = ConflictSpec(key_cols, "nothing")
+        else:
+            dm = re.match(r"^DO\s+UPDATE\s+SET\s+(.*)$", clause, re.IGNORECASE | re.DOTALL)
+            if dm is None:
+                return None
+            set_part, pred = _split_where(dm.group(1))
+            assignments = []
+            for piece in split_top_level(set_part):
+                if "=" not in piece:
+                    return None
+                col, expr = piece.split("=", 1)
+                assignments.append((col.strip(), expr.strip()))
+            conflict = ConflictSpec(key_cols, "update", assignments, pred)
+
+    src = tail.strip()
+    if not re.match(r"^(VALUES|SELECT|WITH|TABLE|FROM)\b", src, re.IGNORECASE):
+        return None
+    return InsertSpec(table, cols, src, conflict)
+
+
+def stage_insert_rows(
+    session: SparkSession, table: str, cols: list[str] | None, source_sql: str
+) -> DataFrame:
+    """Materialize the exact rows an INSERT would add, aligned to the
+    target schema: explicit column list maps positionally, missing
+    columns fill with typed NULLs (no DEFAULT metadata on parquet-v1
+    tables), every cell cast to the target column type. A
+    ``__ins_ord`` column preserves within-statement row order for
+    VALUES sources (RETURNING streams in insert order)."""
+    tgt_fields = session.table(table).schema.fields
+    src = session.sql(source_sql)
+    names = cols if cols is not None else [f.name for f in tgt_fields]
+    if len(src.columns) != len(names):
+        raise ValueError(
+            f"INSERT has {len(src.columns)} expressions but {len(names)} target columns"
+        )
+    src = src.toDF(*names)
+    by_lower = {c.lower(): c for c in names}
+    aligned = [
+        F.col(by_lower[f.name.lower()]).cast(f.dataType).alias(f.name)
+        if f.name.lower() in by_lower
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in tgt_fields
+    ]
+    staged = src.select(*aligned).withColumn(
+        "__ins_ord", F.monotonically_increasing_id()
+    )
+    loc = tempfile.mkdtemp(prefix="ins_stage_")
+    staged.write.mode("overwrite").parquet(loc)
+    return session.read.parquet(loc)
+
+
+def insert_rows(session: SparkSession, staged: DataFrame, table: str) -> int:
+    """Append the staged rows (already schema-aligned) to the target.
+    Returns the inserted-row count."""
+    staged.drop("__ins_ord").write.insertInto(table, overwrite=False)
+    return staged.count()
+
+
+_EXCLUDED_RE = re.compile(r"(?<![\w.])excluded\s*\.\s*", re.IGNORECASE)
+_IDENT_RE = re.compile(r"(?<![\w.'\"])([A-Za-z_]\w*)\b(?!\s*\(|\s*\.)")
+_SQL_KEYWORDS = {
+    "and", "or", "not", "case", "when", "then", "else", "end", "null",
+    "true", "false", "is", "in", "like", "ilike", "between", "distinct",
+    "from", "cast", "as", "interval",
+}
+
+
+def _qualify_conflict_expr(expr: str, target_cols: set[str], table: str) -> str:
+    """PG scope rules inside DO UPDATE SET / WHERE: ``excluded.c`` is
+    the proposed row, an unqualified (or table-name-qualified)
+    identifier is the target table's current row. The rewrite runs over
+    a joined (t, s) context where both sides carry every column, so
+    bare target columns must be t-qualified to avoid ambiguity.
+    Literal-safe: splits on quotes."""
+    from ..server.compat import _split_quoted
+
+    tbl_leaf = table.split(".")[-1]
+    tbl_re = re.compile(
+        rf"(?<![\w.])(?:{re.escape(table)}|{re.escape(tbl_leaf)})\s*\.\s*",
+        re.IGNORECASE,
+    )
+    out = []
+    for is_lit, seg in _split_quoted(expr):
+        if is_lit:
+            out.append(seg)
+            continue
+        seg = _EXCLUDED_RE.sub("s.", seg)
+        seg = tbl_re.sub("t.", seg)
+        seg = _IDENT_RE.sub(
+            lambda m: f"t.{m.group(1)}"
+            if m.group(1).lower() in target_cols
+            and m.group(1).lower() not in _SQL_KEYWORDS
+            else m.group(1),
+            seg,
+        )
+        out.append(seg)
+    return "".join(out)
+
+
+def upsert_into(
+    session: SparkSession, table: str, staged: DataFrame, conflict: ConflictSpec
+) -> DataFrame:
+    """INSERT … ON CONFLICT via the rewrite-on-write recipe. Returns
+    the affected-rows snapshot (inserted + updated post-image rows) —
+    its count is PG's command-tag count and it feeds RETURNING.
+
+    Scale shape: one broadcast-or-shuffle join of the batch against the
+    target per arm, then the same two-full-table-writes swap every DML
+    statement uses. Within-batch duplicate keys ERROR, exactly like
+    DuckDB's constraint check (golden-probed: both arms raise
+    "duplicate key" on an intra-batch repeat). NULL key cells never
+    match (plain equality, PG unique-constraint semantics)."""
+    import uuid
+
+    cols = session.table(table).columns
+    keys = conflict.key_cols
+    src = staged.drop("__ins_ord")
+    if keys is not None:
+        dup = (
+            src.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
+        )  # bounded: one row max, batch-sized input
+        if dup:
+            key_txt = ", ".join(str(dup[0][k]) for k in keys)
+            raise ValueError(
+                f"PRIMARY KEY or UNIQUE constraint violated: duplicate key \"{key_txt}\""
+            )
+    sview = f"__upsert_src_{uuid.uuid4().hex[:12]}"
+    src.createOrReplaceTempView(sview)
+    collist = ", ".join(cols)
+
+    if keys is None:
+        # No conflict target: our tables carry no unique constraints, so
+        # nothing can conflict — PG inserts everything (DO UPDATE without
+        # a target requires a constraint and is rejected in parse_insert's
+        # caller via this same reasoning).
+        if conflict.action == "update":
+            raise ValueError(
+                "ON CONFLICT DO UPDATE requires a conflict target (no unique "
+                "constraints exist on this table)"
+            )
+        affected = _materialize(session, f"SELECT {collist} FROM {sview}")
+        aview = f"__upsert_aff_{uuid.uuid4().hex[:12]}"
+        affected.createOrReplaceTempView(aview)
+        _rewrite_table(
+            session, table,
+            f"SELECT {collist} FROM {table} UNION ALL SELECT {collist} FROM {aview}",
+        )
+        return affected
+
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    inserted = (
+        f"SELECT {', '.join(f's.{c} AS {c}' for c in cols)} "
+        f"FROM {sview} s LEFT ANTI JOIN {table} t ON ({cond})"
+    )
+    if conflict.action == "nothing":
+        affected = _materialize(session, inserted)
+        aview = f"__upsert_aff_{uuid.uuid4().hex[:12]}"
+        affected.createOrReplaceTempView(aview)
+        post = f"SELECT {collist} FROM {table} UNION ALL SELECT {collist} FROM {aview}"
+        _rewrite_table(session, table, post)
+        return affected
+
+    target_cols = {c.lower() for c in cols}
+    set_map = {
+        c.lower(): _qualify_conflict_expr(e, target_cols, table)
+        for c, e in conflict.assignments
+    }
+    predq = (
+        f"coalesce(({_qualify_conflict_expr(conflict.pred, target_cols, table)}), false)"
+        if conflict.pred is not None
+        else "true"
+    )
+    upd_proj = ", ".join(
+        f"({set_map[c.lower()]}) AS {c}" if c.lower() in set_map else f"t.{c} AS {c}"
+        for c in cols
+    )
+    updated = (
+        f"SELECT {upd_proj} FROM {table} t JOIN {sview} s ON ({cond}) WHERE {predq}"
+    )
+    affected = _materialize(session, f"{updated} UNION ALL {inserted}")
+    aview = f"__upsert_aff_{uuid.uuid4().hex[:12]}"
+    affected.createOrReplaceTempView(aview)
+    kept = (
+        f"SELECT {', '.join(f't.{c} AS {c}' for c in cols)} "
+        f"FROM {table} t LEFT JOIN (SELECT *, true AS __m FROM {sview}) s "
+        f"ON ({cond}) WHERE NOT (coalesce(s.__m, false) AND {predq})"
+    )
+    post = f"{kept} UNION ALL SELECT {collist} FROM {aview}"
+    _rewrite_table(session, table, post)
+    return affected
+
+
 @query(
     "dml_update_delete",
     oracle="""
@@ -449,3 +783,85 @@ def dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert spec is not None
     merge_into(spark, spec)
     return spark.table(tbl).select("c_custkey", F.round("c_acctbal", 2).alias("bal"))
+
+
+@query(
+    "dml_insert_returning",
+    oracle="""
+    SELECT c_custkey + 100000 AS id, upper(c_name) AS name,
+           CAST(NULL AS VARCHAR) AS note
+    FROM customer WHERE c_custkey <= 50
+    """,
+    tags=("dml",),
+)
+def dml_insert_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT … (column list) … RETURNING through the full wire-path
+    machinery: align-and-stage (missing column → typed NULL), append,
+    project RETURNING over the staged snapshot. The oracle recomputes
+    the rows PG/DuckDB's RETURNING would yield (the reference reaches
+    DuckDB's RETURNING via delegation,
+    ``/root/reference/src/duckdb_pgwire_extension.cpp:52``)."""
+    tbl = "dml_ret_demo"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    loc = tempfile.mkdtemp(prefix="dml_ret_demo_")
+    spark.sql(
+        "SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS STRING) AS name, "
+        "CAST(NULL AS STRING) AS note WHERE 1 = 0"
+    ).write.option("path", loc).mode("overwrite").saveAsTable(tbl)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__ret_src_customer")
+    staged = stage_insert_rows(
+        spark, tbl, ["id", "name"],
+        "SELECT c_custkey + 100000, upper(c_name) FROM __ret_src_customer "
+        "WHERE c_custkey <= 50",
+    )
+    insert_rows(spark, staged, tbl)
+    return project_returning(spark, staged.drop("__ins_ord"), "id, name, note")
+
+
+@query(
+    "dml_upsert",
+    oracle="""
+    WITH src AS (SELECT c_custkey * 2 AS k, 50.0 AS delta
+                 FROM customer WHERE c_custkey <= 400),
+    tgt AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+    kept AS (
+        SELECT t.k, t.bal FROM tgt t LEFT JOIN src s ON t.k = s.k
+        WHERE NOT (s.k IS NOT NULL AND coalesce((t.bal < 5000.0), false))
+    ),
+    upd AS (
+        SELECT t.k, t.bal + s.delta AS bal
+        FROM tgt t JOIN src s ON t.k = s.k
+        WHERE coalesce((t.bal < 5000.0), false)
+    ),
+    ins AS (
+        SELECT s.k, s.delta AS bal FROM src s
+        WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.k = s.k)
+    )
+    SELECT k, ROUND(bal, 2) AS bal
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    """,
+    tags=("dml",),
+)
+def dml_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT … ON CONFLICT (k) DO UPDATE SET … WHERE … on a real
+    catalog table, through the same parse → stage → upsert path the
+    wire server uses (statement text exercises ``excluded.``, a bare
+    target column, and a table-qualified column in the WHERE arm). The
+    oracle is the pure-SELECT post-image of PG upsert semantics."""
+    tbl = "dml_upsert_customer"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    loc = tempfile.mkdtemp(prefix="dml_upsert_")
+    load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS k", "c_acctbal AS bal"
+    ).write.option("path", loc).mode("overwrite").saveAsTable(tbl)
+    spark.table(tbl).createOrReplaceTempView("__upsert_tgt_view")
+    spec = parse_insert(
+        f"INSERT INTO {tbl} "
+        "SELECT k * 2 AS k, 50.0 AS bal FROM __upsert_tgt_view WHERE k <= 400 "
+        f"ON CONFLICT (k) DO UPDATE SET bal = bal + excluded.bal "
+        f"WHERE {tbl}.bal < 5000.0"
+    )
+    assert spec is not None and spec.conflict is not None
+    staged = stage_insert_rows(spark, tbl, spec.cols, spec.source_sql)
+    upsert_into(spark, tbl, staged, spec.conflict)
+    return spark.table(tbl).select("k", F.round("bal", 2).alias("bal"))

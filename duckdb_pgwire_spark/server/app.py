@@ -829,32 +829,115 @@ class PgWireServer:
             # tables; the reference reaches DuckDB's DML via cpp:52).
             from ..operators.dml import (
                 delete_from,
+                delete_returning,
                 parse_delete,
                 parse_update,
+                project_returning,
+                split_returning,
+                update_returning,
                 update_table,
             )
 
-            sql = rewrite(stmt)
+            sql, returning = split_returning(rewrite(stmt))
             if first == "UPDATE":
                 parsed = parse_update(sql)
                 if parsed is None:
                     raise _WireError("syntax error in UPDATE", "42601")
                 table, assignments, pred = parsed
-                n = await self._exec(
-                    session, state.job_tag, update_table, session, table,
-                    assignments, pred,
-                )
+                if returning is not None:
+                    aff = await self._exec(
+                        session, state.job_tag, update_returning, session,
+                        table, assignments, pred,
+                    )
+                else:
+                    n = await self._exec(
+                        session, state.job_tag, update_table, session, table,
+                        assignments, pred,
+                    )
             else:
                 parsed = parse_delete(sql)
                 if parsed is None:
                     raise _WireError("syntax error in DELETE", "42601")
                 table, pred = parsed
-                n = await self._exec(
-                    session, state.job_tag, delete_from, session, table, pred
+                if returning is not None:
+                    aff = await self._exec(
+                        session, state.job_tag, delete_returning, session,
+                        table, pred,
+                    )
+                else:
+                    n = await self._exec(
+                        session, state.job_tag, delete_from, session, table, pred
+                    )
+            if returning is not None:
+                df = await self._exec(
+                    session, state.job_tag, project_returning, session, aff,
+                    returning,
                 )
+                await self._stream_df(
+                    df, stmt, writer, send_row_desc=send_row_desc,
+                    session=session, tag=state.job_tag,
+                )
+                return
             writer.write(P.command_complete(f"{first} {n}"))
             await writer.drain()
             return
+        if first == "INSERT":
+            # INSERT … RETURNING / ON CONFLICT fast path (PG ORMs emit
+            # RETURNING on every insert; the reference reaches DuckDB's
+            # via cpp:52). Plain INSERT falls through to Spark's own.
+            from ..operators.dml import (
+                insert_rows,
+                parse_insert,
+                project_returning,
+                split_returning,
+                stage_insert_rows,
+                upsert_into,
+            )
+
+            sql, returning = split_returning(rewrite(stmt))
+            spec = parse_insert(sql)
+            if returning is not None or (spec is not None and spec.conflict):
+                if spec is None:
+                    raise _WireError(
+                        "unsupported INSERT form with RETURNING", "0A000"
+                    )
+                staged = await self._exec(
+                    session, state.job_tag, stage_insert_rows, session,
+                    spec.table, spec.cols, spec.source_sql,
+                )
+                if spec.conflict is not None:
+                    aff = await self._exec(
+                        session, state.job_tag, upsert_into, session,
+                        spec.table, staged, spec.conflict,
+                    )
+                else:
+                    await self._exec(
+                        session, state.job_tag, insert_rows, session, staged,
+                        spec.table,
+                    )
+                    aff = staged.drop("__ins_ord")
+                if returning is not None:
+                    # DuckDB quirk (golden-probed): ON CONFLICT …
+                    # RETURNING yields the PROPOSED rows, not the
+                    # affected post-image — match the delegated engine.
+                    ret_src = (
+                        staged.drop("__ins_ord")
+                        if spec.conflict is not None
+                        else aff
+                    )
+                    df = await self._exec(
+                        session, state.job_tag, project_returning, session,
+                        ret_src, returning,
+                    )
+                    await self._stream_df(
+                        df, stmt, writer, send_row_desc=send_row_desc,
+                        session=session, tag=state.job_tag,
+                    )
+                    return
+                n = await self._exec(session, state.job_tag, aff.count)
+                writer.write(P.command_complete(f"INSERT 0 {n}"))
+                await writer.drain()
+                return
         if first == "MERGE":
             from ..operators.dml import merge_into, parse_merge
 

@@ -1810,3 +1810,104 @@ def test_wire_json_extract_spellings_match_duckdb(client):
         for row in con.execute(sql).fetchall()
     ]
     assert res["rows"] == expected
+
+
+def _fresh_wire_table(spark, name):
+    """Drop a test table AND its possibly-orphaned warehouse dir (a
+    prior aborted run leaves the dir behind; the in-memory catalog
+    forgets the table, and the leftover dir then blocks CREATE)."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+
+
+def test_wire_insert_returning(client, spark):
+    """INSERT … RETURNING over the wire — the most-hit PG-client surface
+    the reference delegates to DuckDB (cpp:52); every ORM emits it."""
+    _fresh_wire_table(spark, "ret_users")
+    client.query("CREATE TABLE ret_users(id int, name varchar)")
+    (res,) = client.query(
+        "INSERT INTO ret_users VALUES (1, 'ada'), (2, 'bob') RETURNING *"
+    )
+    assert "error" not in res, res
+    assert res["tag"] == "INSERT 0 2"
+    assert sorted(res["rows"]) == [["1", "ada"], ["2", "bob"]]
+    # expression projection + column-list insert with NULL fill
+    (res,) = client.query(
+        "INSERT INTO ret_users (id) VALUES (3) RETURNING id * 10 AS ten, name"
+    )
+    assert res["tag"] == "INSERT 0 1"
+    assert res["rows"] == [["30", None]]
+    (res,) = client.query("SELECT count(*) AS n FROM ret_users")
+    assert res["rows"] == [["3"]]
+    spark.sql("DROP TABLE IF EXISTS ret_users")
+
+
+def test_wire_update_delete_returning(client, spark):
+    """UPDATE RETURNING sees NEW values; DELETE RETURNING sees OLD rows."""
+    _fresh_wire_table(spark, "ret_acct")
+    client.query("CREATE TABLE ret_acct(id int, bal double)")
+    client.query("INSERT INTO ret_acct VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    (res,) = client.query(
+        "UPDATE ret_acct SET bal = bal + 5.0 WHERE id >= 2 RETURNING id, bal"
+    )
+    assert "error" not in res, res
+    assert res["tag"] == "UPDATE 2"
+    assert sorted(res["rows"]) == [["2", "25.0"], ["3", "35.0"]]
+    (res,) = client.query("DELETE FROM ret_acct WHERE bal > 26.0 RETURNING *")
+    assert res["tag"] == "DELETE 1"
+    assert res["rows"] == [["3", "35.0"]]
+    (res,) = client.query("SELECT id FROM ret_acct ORDER BY id")
+    assert res["rows"] == [["1"], ["2"]]
+    spark.sql("DROP TABLE IF EXISTS ret_acct")
+
+
+def test_wire_on_conflict_golden_vs_duckdb(client, spark):
+    """INSERT … ON CONFLICT DO NOTHING / DO UPDATE (incl. excluded.*,
+    bare-target-column scope, WHERE arm) — statement-for-statement
+    golden against DuckDB with a real PRIMARY KEY constraint."""
+    import duckdb
+
+    stmts = [
+        "INSERT INTO upx VALUES (1, 10.0), (2, 20.0)",
+        "INSERT INTO upx VALUES (2, 5.0), (3, 30.0) ON CONFLICT (k) DO NOTHING RETURNING k, v",
+        "INSERT INTO upx VALUES (1, 100.0), (4, 40.0) "
+        "ON CONFLICT (k) DO UPDATE SET v = v + excluded.v RETURNING k, v",
+        "INSERT INTO upx VALUES (2, 1.0), (3, 2.0) "
+        "ON CONFLICT (k) DO UPDATE SET v = excluded.v WHERE upx.v < 25.0 RETURNING k, v",
+        "SELECT k, v FROM upx ORDER BY k",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE upx(k INTEGER PRIMARY KEY, v DOUBLE)")
+    golden = [con.execute(s).fetchall() for s in stmts]
+    con.close()
+
+    _fresh_wire_table(spark, "upx")
+    client.query("CREATE TABLE upx(k int, v double)")
+    for s, want in zip(stmts, golden):
+        (res,) = client.query(s)
+        assert "error" not in res, (s, res)
+        if res.get("rows") is not None and "RETURNING" in s or s.startswith("SELECT"):
+            got = sorted((int(r[0]), float(r[1])) for r in res["rows"])
+            assert got == sorted((int(a), float(b)) for a, b in want), s
+    spark.sql("DROP TABLE IF EXISTS upx")
+
+
+def test_wire_on_conflict_do_nothing_counts(client, spark):
+    """Command-tag counts PG-style: skipped conflicts aren't counted."""
+    _fresh_wire_table(spark, "upn")
+    client.query("CREATE TABLE upn(k int, v int)")
+    (res,) = client.query("INSERT INTO upn VALUES (1, 1), (2, 2)")
+    (res,) = client.query(
+        "INSERT INTO upn VALUES (1, 9), (9, 9) ON CONFLICT (k) DO NOTHING"
+    )
+    assert res["tag"] == "INSERT 0 1"
+    # batch-internal duplicate keys ERROR, like DuckDB's constraint check
+    (res,) = client.query(
+        "INSERT INTO upn VALUES (7, 70), (7, 71) ON CONFLICT (k) DO NOTHING"
+    )
+    assert "error" in res and "duplicate key" in res["error"].lower(), res
+    (res,) = client.query("SELECT count(*) AS n FROM upn WHERE k = 7")
+    assert res["rows"] == [["0"]]
+    spark.sql("DROP TABLE IF EXISTS upn")
