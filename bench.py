@@ -85,6 +85,15 @@ HEADLINE = [
 ]
 
 
+def _time_once(fn, spark, sf_dir: str) -> float:
+    """ONE un-warmed execution — captures first-touch I/O (page-cache
+    cold after a replica build), where lost-pushdown regressions that
+    multiply bytes scanned actually show."""
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).collect()
+    return time.perf_counter() - t0
+
+
 def _time_query(fn, spark, sf_dir: str) -> float:
     """Median wall time of RUNS executions (after one warm-up)."""
     fn(spark, sf_dir).collect()  # warm-up: plan + codegen + shuffle files
@@ -180,10 +189,14 @@ def _scale_check(spark, defs) -> dict[str, float]:
         # files are cold in the page cache, and a single warm pass still
         # reads 26x-looking ratios that a second pass shows are really
         # ~4x (measured on q3) — the ratio should reflect the plan, not
-        # first-touch I/O.
-        _time_query(defs[name].fn, spark, dst)
+        # first-touch I/O. The COLD first-touch time is recorded too
+        # (r5 ADVICE): a plan regression whose cost is extra bytes
+        # scanned (e.g. a lost filter pushdown) shows up in cold I/O
+        # while staying invisible to the warm ratio.
+        t_cold = _time_once(defs[name].fn, spark, dst)
         t_big = _time_query(defs[name].fn, spark, dst)
         ratios[name] = round(t_big / t_small, 2)
+        ratios[f"{name}__cold"] = round(t_cold / t_small, 2)
     return ratios
 
 

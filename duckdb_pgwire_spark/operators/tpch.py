@@ -811,17 +811,21 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- per-term DECIMAL cast: exact, order-independent sums (same
         -- cross-engine .xx5-boundary hazard q9 hit)
         SELECT l_partkey,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18, 4))) AS DOUBLE) AS value
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18, 4))) AS value_dec
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON n_nationkey = s_nationkey
         WHERE n_name IN ('NATION_3', 'NATION_7')
         GROUP BY l_partkey
     )
-    SELECT l_partkey AS partkey, ROUND(value, 2) AS value
+    -- threshold comparison stays in DECIMAL on BOTH engines (r5 ADVICE:
+    -- a double SUM's partial-agg order is nondeterministic and a part
+    -- within ULPs of the 0.1% cutoff could flip); value*1000 > total is
+    -- exact — no division/scale rules involved
+    SELECT l_partkey AS partkey, ROUND(CAST(value_dec AS DOUBLE), 2) AS value
     FROM val
-    WHERE value > (SELECT SUM(value) * 0.001 FROM val)
+    WHERE value_dec * 1000 > (SELECT SUM(value_dec) FROM val)
     ORDER BY value DESC, partkey
     """,
     tags=("agg", "subquery", "flagship"),
@@ -850,17 +854,18 @@ def q11_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                     "decimal(18,4)"
                 )
-            )
-            .cast("double")
-            .alias("value")
+            ).alias("value_dec")
         )
     )
-    total = val.agg((F.sum("value") * F.lit(0.001)).alias("threshold"))
+    # DECIMAL threshold on both engines (see oracle comment): exact
+    # value*1000 vs exact total — immune to double partial-sum order
+    total = val.agg(F.sum("value_dec").alias("total_dec"))
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("threshold"))
+        .filter(F.col("value_dec") * 1000 > F.col("total_dec"))
         .select(
-            F.col("l_partkey").alias("partkey"), F.round("value", 2).alias("value")
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("value_dec").cast("double"), 2).alias("value"),
         )
         .orderBy(F.col("value").desc(), "partkey")
     )

@@ -48,6 +48,7 @@ from .compat import (
     parse_copy_stdin,
     parse_copy_stdout,
     rewrite,
+    rewrite_array_length,
     rewrite_integer_sums,
     split_statements,
     split_top_level,
@@ -1415,19 +1416,25 @@ def _dynamic_pivot_sql(session: SparkSession, stmt: str) -> str | None:
 
 
 _HAS_SUM_RE = re.compile(r"(?<![\w.])SUM\s*\(", re.IGNORECASE)
+_HAS_LEN_RE = re.compile(r"(?<![\w.])length\s*\(", re.IGNORECASE)
 
 
 def _hugeint_sums(session: SparkSession, sql: str) -> str:
-    """Apply rewrite_integer_sums with the integer columns of the
-    statement's tables (catalog lookups — runs in the worker pool).
-    Gives wire SUM(int) DuckDB's HUGEINT semantics: DECIMAL(38,0)
-    accumulation that cannot overflow at 100 TB row counts."""
-    if not _HAS_SUM_RE.search(sql):
+    """Schema-aware rewrites that need the statement's resolved column
+    types (catalog lookups — runs in the worker pool):
+    - SUM(int) → DECIMAL(38,0) accumulation (DuckDB HUGEINT semantics;
+      cannot overflow at 100 TB row counts);
+    - length(array_col) → size(array_col) (DuckDB's polymorphic
+      len/length; Spark's length rejects arrays)."""
+    has_sum = _HAS_SUM_RE.search(sql) is not None
+    has_len = _HAS_LEN_RE.search(sql) is not None
+    if not (has_sum or has_len):
         return sql
     from pyspark.sql import types as T
 
     int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     int_cols: set[str] = set()
+    array_cols: set[str] = set()
     for name in statement_tables(sql):
         try:
             fields = session.table(name).schema.fields
@@ -1436,7 +1443,14 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         int_cols.update(
             f.name.lower() for f in fields if isinstance(f.dataType, int_types)
         )
-    return rewrite_integer_sums(sql, int_cols)
+        array_cols.update(
+            f.name.lower() for f in fields if isinstance(f.dataType, T.ArrayType)
+        )
+    if has_len:  # array_cols may be empty — the always-array function
+        sql = rewrite_array_length(sql, array_cols)  # heads still rewrite
+    if has_sum:
+        sql = rewrite_integer_sums(sql, int_cols)
+    return sql
 
 
 def _refresh_pg_catalog(session: SparkSession) -> None:

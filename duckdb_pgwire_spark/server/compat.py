@@ -142,10 +142,9 @@ _FN_RENAMES = {
     "list_max": "array_max",
     "list_reverse": "reverse",
     # json_extract_string(j, '$.p') ≡ get_json_object (text result);
-    # json_extract keeps JSON quoting on string values in DuckDB — same
-    # documented approximation as the -> arrow rewrite
+    # json_extract (JSON result, keeps quoting) is handled by the
+    # dedicated _rewrite_json_extract scanner (variant form)
     "json_extract_string": "get_json_object",
-    "json_extract": "get_json_object",
     "to_base64": "base64",
     "from_base64": "unbase64",
     "regexp_matches": "rlike",
@@ -686,16 +685,48 @@ def _rewrite_from_first(sql: str) -> str:
 _ARROW_STEP = re.compile(r"\s*(->>?)\s*(?:'([^']*)'|(\d+))")
 
 
-def _rewrite_json_arrows(sql: str) -> str:
-    """PG/DuckDB JSON arrow operators → ``get_json_object`` with a
-    composed path: ``j -> 'a' ->> 'b'`` → ``get_json_object(j, '$.a.b')``
-    and integer steps → ``$[i]`` (0-based in both engines).
+_LAMBDA_HOFS = {
+    "transform", "filter", "exists", "forall", "aggregate", "reduce",
+    "zip_with", "map_filter", "map_zip_with", "transform_keys",
+    "transform_values", "array_sort",
+}
 
-    Semantics note: a chain ENDING in ``->>`` (text extraction) is
-    exact. A final ``->`` whose target is an object or number renders
-    identically too; only a final ``->`` landing on a STRING value
-    differs (DuckDB keeps the JSON quotes, get_json_object unquotes) —
-    documented approximation, the common idioms are exact."""
+
+def _enclosing_call_head(sql: str, mask, pos: int) -> str | None:
+    """Lowercased name of the function call whose argument list contains
+    ``pos``, or None when the enclosing '(' is a bare paren / absent."""
+    depth = 0
+    i = pos - 1
+    while i >= 0:
+        if mask[i]:
+            c = sql[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    j = i - 1
+                    while j >= 0 and sql[j].isspace():
+                        j -= 1
+                    e = j
+                    while j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
+                        j -= 1
+                    return sql[j + 1 : e + 1].lower() if e > j else None
+                depth -= 1
+        i -= 1
+    return None
+
+
+def _rewrite_json_arrows(sql: str) -> str:
+    """PG/DuckDB JSON arrow operators → a composed path expression:
+    ``j -> 'a' ->> 'b'`` → ``get_json_object(j, '$.a.b')`` and integer
+    steps → ``$[i]`` (0-based in both engines).
+
+    A chain ENDING in ``->>`` (text extraction) maps to
+    ``get_json_object`` — exact. A chain ending in ``->`` must keep
+    JSON rendering (DuckDB preserves quotes on string values), so it
+    maps to ``to_json(variant_get(try_parse_json(j), path, 'variant'))``
+    — probed byte-for-byte against DuckDB for string/number/object/
+    bool/float/index/missing cases (test_pgwire.py golden)."""
     guard = 0
     scan_from = 0
     while guard < 100:
@@ -714,12 +745,14 @@ def _rewrite_json_arrows(sql: str) -> str:
         steps = []
         pos = first.start()
         end = first.start()
+        last_op = first.group(1)
         while True:
             m = _ARROW_STEP.match(sql, end)
             if m is None:
                 break
             key = m.group(2)
             steps.append(f".{key}" if key is not None else f"[{m.group(3)}]")
+            last_op = m.group(1)
             end = m.end()
         # operand before the chain: string literal, paren group, or
         # identifier chain (fail open — leave untouched — otherwise)
@@ -763,24 +796,73 @@ def _rewrite_json_arrows(sql: str) -> str:
             scan_from = end
             continue
         # LAMBDA GUARD: `x -> 'k'` is also DuckDB lambda syntax (body a
-        # string constant). A lambda's parameter always directly follows
-        # '(' or ',', so a single-`->` chain whose bare-identifier
-        # operand sits there is left alone (a JSON arrow in argument
-        # position can always be written `->>`, and an unrewritten `->`
-        # fails LOUDLY in Spark's parser — never silently wrong).
+        # string constant). A lambda parameter (bare identifier or a
+        # `(x, y)` list) always directly follows '(' or ',' INSIDE a
+        # higher-order function's argument list — so only skip when the
+        # enclosing call head is a known lambda HOF. The parenthesized
+        # PG idiom `(j -> 'a')` and arrows in other functions' argument
+        # position now translate (r5 ADVICE item: the blanket '('/','
+        # guard rejected those). An unrewritten `->` in a skipped HOF
+        # still fails LOUDLY in Spark's parser — never silently wrong.
         if first.group(1) == "->":
             p = start - 1
             while p >= 0 and sql[p].isspace():
                 p -= 1
-            if p >= 0 and sql[p] in "(,":
+            if (
+                p >= 0
+                and sql[p] in "(,"
+                and _enclosing_call_head(sql, mask, start) in _LAMBDA_HOFS
+            ):
                 scan_from = end
                 continue
         operand = sql[start : k + 1]
         path = "$" + "".join(steps)
-        repl = f"get_json_object({operand}, '{path}')"
+        if last_op == "->":
+            repl = (
+                f"to_json(variant_get(try_parse_json({operand}), '{path}', 'variant'))"
+            )
+        else:
+            repl = f"get_json_object({operand}, '{path}')"
         sql = sql[:start] + repl + sql[end:]
         scan_from = 0
     return sql
+
+
+_JSON_EXTRACT_CALL = re.compile(r"(?<![\w.])json_extract\s*\(", re.IGNORECASE)
+
+
+def _rewrite_json_extract(sql: str) -> str:
+    """DuckDB ``json_extract(j, path)`` returns JSON (string values keep
+    their quotes), so it maps to the same variant form as a final ``->``
+    chain; ``json_extract_string`` (text result) stays a plain
+    ``get_json_object`` rename."""
+    pos = 0
+    while True:
+        m = _JSON_EXTRACT_CALL.search(sql, pos)
+        if m is None:
+            return sql
+        mask = _code_mask(sql)
+        if not all(mask[m.start() : m.end()]):
+            pos = m.end()
+            continue
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql  # unbalanced — leave for the parser to reject
+        args = split_top_level(sql[m.end() : i - 1])
+        if len(args) != 2:
+            pos = i
+            continue
+        j, path = args[0].strip(), args[1].strip()
+        repl = f"to_json(variant_get(try_parse_json({j}), {path}, 'variant'))"
+        sql = sql[: m.start()] + repl + sql[i:]
+        pos = m.start() + len(repl)
 
 
 _UNARY_REWRITES = {
@@ -1204,8 +1286,16 @@ def _substitute_macro_params(body: str, binding: dict[str, str]) -> str:
     ``((10)) + (10)`` (a silently wrong constant)."""
     if not binding:
         return body
+    # (?<![\w.]) not \b: a qualified reference's column part (`t.a`)
+    # must NOT match parameter `a` — DuckDB's binder resolves t.a to
+    # the column (ASOF-alias pattern style, line ~1162). The `(`
+    # lookahead refuses function-call heads sharing a param's name.
+    # `a.x` heads DO substitute: struct-typed args dot their fields.
     pat = re.compile(
-        r"\b(" + "|".join(re.escape(p) for p in binding) + r")\b", re.IGNORECASE
+        r"(?<![\w.])("
+        + "|".join(re.escape(p) for p in binding)
+        + r")\b(?!\s*\()",
+        re.IGNORECASE,
     )
     out: list[str] = []
     for is_lit, seg in _split_quoted(body):
@@ -1285,6 +1375,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_brackets(sql)  # after ARRAY[..]: bare [..] / l[i] / slices
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_json_arrows(sql)
+    sql = _rewrite_json_extract(sql)
     sql = _rewrite_from_first(sql)
     sql = _rewrite_unary_fns(sql)
     sql = _rewrite_distinct_on(sql)
@@ -1384,6 +1475,67 @@ def rewrite_integer_sums(sql: str, int_cols: set[str]) -> str:
         else:
             out.append(sql[pos:j])
             pos = j
+    return "".join(out)
+
+
+_LENGTH_CALL = re.compile(r"(?<![\w.])length\s*\(", re.IGNORECASE)
+# function heads that always produce an array in Spark — len/length on
+# one of these is an element count (size), not a char count
+_ARRAY_FN_HEAD = re.compile(
+    r"^\s*(split|array|sequence|collect_list|collect_set|array_agg|transform"
+    r"|filter|array_distinct|array_sort|sort_array|slice|flatten|array_repeat"
+    r"|map_keys|map_values|array_union|array_intersect|array_except"
+    r"|array_compact|array_remove|array_append|array_prepend)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def rewrite_array_length(sql: str, array_cols: set[str]) -> str:
+    """DuckDB's ``len``/``length`` is polymorphic (chars for strings,
+    element count for lists); Spark's ``length`` rejects arrays. After
+    the textual ``len``→``length`` rename, retarget calls whose argument
+    is a known ARRAY column (schema-resolved, like
+    ``rewrite_integer_sums``) or an always-array function call to
+    ``size``. Anything unrecognized keeps ``length`` and fails loudly on
+    an array — never a silent wrong answer. array_cols holds lowercase
+    unqualified array-typed column names of the statement's tables."""
+    mask = []
+    for kind, seg in _lex(sql):
+        mask.extend([kind == "code"] * len(seg))
+    out = []
+    pos = 0
+    while True:
+        m = _LENGTH_CALL.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            break
+        if not all(mask[m.start() : m.end()]):
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if mask[j]:
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+            j += 1
+        if depth:  # unbalanced — bail on this call
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
+        arg = sql[m.end() : j - 1]
+        ident = re.fullmatch(r"\s*([A-Za-z_][\w.]*)\s*", arg)
+        is_array = (
+            ident is not None
+            and ident.group(1).rsplit(".", 1)[-1].lower() in array_cols
+        ) or (ident is None and _ARRAY_FN_HEAD.match(arg) is not None)
+        out.append(sql[pos : m.start()])
+        out.append("size(" if is_array else sql[m.start() : m.end()])
+        # resume right after the head: nested length(...) inside the
+        # argument still gets its own visit
+        pos = m.end()
     return "".join(out)
 
 

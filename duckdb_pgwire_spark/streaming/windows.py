@@ -157,7 +157,18 @@ def _read_events_stream(
     micros = F.when(F.col("ts") > F.lit(10**17), F.expr("ts div 1000")).otherwise(
         F.col("ts")
     )
-    return raw.withColumn("ts", F.timestamp_micros(micros))
+    # r5 ADVICE: the sniff misreads ns values for dates before ~1973 as
+    # µs (silently 1970-epoch). Guard the blind spot LOUDLY: after scale
+    # resolution every value must land in 1900–2200 when read as µs —
+    # anything else raises instead of producing a silently-shifted time.
+    lo, hi = -2208988800 * 10**6, 7258118400 * 10**6
+    checked = F.when(micros.between(F.lit(lo), F.lit(hi)), micros).otherwise(
+        F.expr(
+            "raise_error('ambiguous event-ts scale: value outside 1900-2200 "
+            "read as microseconds')"
+        ).cast("long")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(checked))
 
 
 @query(

@@ -1911,3 +1911,99 @@ def test_wire_on_conflict_do_nothing_counts(client, spark):
     (res,) = client.query("SELECT count(*) AS n FROM upn WHERE k = 7")
     assert res["rows"] == [["0"]]
     spark.sql("DROP TABLE IF EXISTS upn")
+
+
+def test_wire_polymorphic_len_golden(client):
+    """DuckDB's len/length is polymorphic (chars for strings, element
+    count for lists). One statement mixing a string column, an array
+    column, and an array-producing call — golden vs DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    sql = (
+        "SELECT doc_id, len(text) AS nc, len(string_split(text, ' ')) AS nw "
+        "FROM documents WHERE doc_id < 5 ORDER BY doc_id"
+    )
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    want = [[str(v) for v in row] for row in con.execute(sql).fetchall()]
+    assert res["rows"] == want
+    sql = "SELECT vec_id, len(embedding) AS n FROM embeddings WHERE vec_id < 3 ORDER BY vec_id"
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    want = [[str(v) for v in row] for row in con.execute(sql).fetchall()]
+    assert res["rows"] == want
+    # length() spelled out on an array column works the same way
+    (res,) = client.query(
+        "SELECT length(embedding) AS n FROM embeddings WHERE vec_id = 0"
+    )
+    assert "error" not in res, res
+    con.close()
+
+
+def test_wire_json_final_arrow_exact_vs_duckdb(client):
+    """A chain ending in `->` keeps DuckDB's JSON rendering exactly
+    (string values stay quoted) — the r5 approximation is closed via
+    to_json(variant_get(...)). Also covers the parenthesized idiom
+    `(j -> 'a')` and arrows in function-argument position, which the
+    old blanket lambda guard refused to translate."""
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        """SELECT '{"a": "x"}' -> 'a' AS v""",
+        """SELECT '{"a": 123}' -> 'a' AS v""",
+        """SELECT '{"a": {"b": 1, "c": [1,2]}}' -> 'a' AS v""",
+        """SELECT '{"a": true}' -> 'a' AS v""",
+        """SELECT '{"a": 1.5}' -> 'a' AS v""",
+        """SELECT '{"a": [5, 7]}' -> 'a' -> 1 AS v""",
+        """SELECT '{"a": 1}' -> 'missing' AS v""",
+        """SELECT ('{"a": "s"}' -> 'a') AS v""",
+        """SELECT coalesce('{"a": "s"}' -> 'a', '-') AS v""",
+        """SELECT json_extract('{"a": "x"}', '$.a') AS v""",
+        """SELECT json_extract('{"a": {"b": [1]}}', '$.a.b') AS v""",
+    ]
+    for sql in cases:
+        (res,) = client.query(sql)
+        assert "error" not in res, (sql, res)
+        want = con.execute(sql).fetchall()[0][0]
+        got = res["rows"][0][0]
+        assert got == (None if want is None else str(want)), (sql, got, want)
+    # lambda HOFs still skip the arrow rewrite
+    (res,) = client.query("SELECT filter(ARRAY['a','b'], x -> x = 'a') AS l")
+    assert res["rows"] == [["{a}"]]
+    con.close()
+
+
+def test_macro_param_not_captured_by_qualified_column(client):
+    """ADVICE r5: a macro body mixing a qualified column `t.a` with a
+    parameter also named `a` must bind t.a to the COLUMN (DuckDB binder
+    semantics) — the old \\b-bounded pattern rewrote both and produced
+    a parse error."""
+    import duckdb
+
+    ddl = (
+        "CREATE OR REPLACE MACRO addkey2(r_regionkey) AS TABLE "
+        "SELECT r.r_regionkey + r_regionkey AS v FROM region r"
+    )
+    (r,) = client.query(ddl)
+    assert "error" not in r, r
+    sql = "SELECT * FROM addkey2(100) ORDER BY v"
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW region AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/region.parquet')"
+    )
+    con.execute(ddl.replace("OR REPLACE ", ""))
+    expected = [[str(v) for v in row] for row in con.execute(sql).fetchall()]
+    assert res["rows"] == expected
