@@ -178,9 +178,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document, emitted as one row each from Arrow batches — the exact
     plumbing a video pipeline uses (one input row fans out to k frame
     rows inside the batch iterator, no explode shuffle). Stub part: a
-    "frame" is a byte slice (no codecs in this container); a real build
-    swaps the slicing for av/ffmpeg keyframe extraction, nothing else
-    changes. Oracle reproduces the slicing arithmetic in SQL.
+    "frame" is a character slice of the decoded payload (no codecs in
+    this container); a real build swaps the slicing for av/ffmpeg
+    keyframe extraction, nothing else changes. The kernel decodes
+    before slicing so its units match the oracle's char-based substr on
+    multibyte text (r5 verdict: byte-vs-char arithmetic only agreed on
+    single-byte fixtures). Oracle reproduces the slicing arithmetic in
+    SQL.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
@@ -192,15 +196,17 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "frame_md5": [], "frame_len": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
-                if len(data) < N_FRAMES_SAMPLED:
+                chars = bytes(payload).decode("utf-8")
+                if len(chars) < N_FRAMES_SAMPLED:
                     continue
-                stride = len(data) // N_FRAMES_SAMPLED
+                stride = len(chars) // N_FRAMES_SAMPLED
                 for k in range(N_FRAMES_SAMPLED):
-                    frame = data[k * stride : k * stride + FRAME_LEN]
+                    frame = chars[k * stride : k * stride + FRAME_LEN]
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(k)
-                    rows["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                    rows["frame_md5"].append(
+                        hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    )
                     rows["frame_len"].append(len(frame))
             yield pd.DataFrame(rows)
 

@@ -49,6 +49,7 @@ from .compat import (
     parse_copy_stdout,
     rewrite,
     rewrite_array_length,
+    rewrite_columns_star,
     rewrite_integer_sums,
     split_statements,
     split_top_level,
@@ -1417,6 +1418,7 @@ def _dynamic_pivot_sql(session: SparkSession, stmt: str) -> str | None:
 
 _HAS_SUM_RE = re.compile(r"(?<![\w.])SUM\s*\(", re.IGNORECASE)
 _HAS_LEN_RE = re.compile(r"(?<![\w.])length\s*\(", re.IGNORECASE)
+_HAS_COLUMNS_RE = re.compile(r"(?<![\w.])COLUMNS\s*\(", re.IGNORECASE)
 
 
 def _hugeint_sums(session: SparkSession, sql: str) -> str:
@@ -1425,16 +1427,20 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     - SUM(int) → DECIMAL(38,0) accumulation (DuckDB HUGEINT semantics;
       cannot overflow at 100 TB row counts);
     - length(array_col) → size(array_col) (DuckDB's polymorphic
-      len/length; Spark's length rejects arrays)."""
+      len/length; Spark's length rejects arrays);
+    - COLUMNS(*) / COLUMNS('regex') star expressions → explicit
+      schema-resolved column lists."""
     has_sum = _HAS_SUM_RE.search(sql) is not None
     has_len = _HAS_LEN_RE.search(sql) is not None
-    if not (has_sum or has_len):
+    has_columns = _HAS_COLUMNS_RE.search(sql) is not None
+    if not (has_sum or has_len or has_columns):
         return sql
     from pyspark.sql import types as T
 
     int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     int_cols: set[str] = set()
     array_cols: set[str] = set()
+    ordered_cols: list[str] = []
     for name in statement_tables(sql):
         try:
             fields = session.table(name).schema.fields
@@ -1446,6 +1452,11 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         array_cols.update(
             f.name.lower() for f in fields if isinstance(f.dataType, T.ArrayType)
         )
+        for f in fields:
+            if f.name not in ordered_cols:
+                ordered_cols.append(f.name)
+    if has_columns and ordered_cols:
+        sql = rewrite_columns_star(sql, ordered_cols)
     if has_len:  # array_cols may be empty — the always-array function
         sql = rewrite_array_length(sql, array_cols)  # heads still rewrite
     if has_sum:

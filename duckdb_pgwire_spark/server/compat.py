@@ -1539,6 +1539,87 @@ def rewrite_array_length(sql: str, array_cols: set[str]) -> str:
     return "".join(out)
 
 
+_COLUMNS_CALL = re.compile(r"(?<![\w.])COLUMNS\s*\(", re.IGNORECASE)
+
+
+def _matching_paren(sql: str, mask, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at open_idx, or -1."""
+    depth = 0
+    for i in range(open_idx, len(sql)):
+        if mask[i]:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+    return -1
+
+
+def rewrite_columns_star(sql: str, ordered_cols: list[str]) -> str:
+    """DuckDB ``COLUMNS(*)`` / ``COLUMNS('regex')`` star expressions
+    (reachable through the reference's ``cpp:52`` delegation) → an
+    explicit column list resolved against the statement's table schema.
+    ``fn(COLUMNS(...))`` expands to one ``fn(c) AS c`` per column —
+    DuckDB names the outputs by the bare column name (probed). The
+    regex uses search (partial-match) semantics, like DuckDB's. A
+    non-matching regex raises, mirroring DuckDB's binder error; forms
+    beyond bare/single-fn-wrap are left alone to fail loudly."""
+    guard = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        m = None
+        for cand in _COLUMNS_CALL.finditer(sql):
+            if all(mask[cand.start() : cand.end()]):
+                m = cand
+                break
+        if m is None:
+            return sql
+        open_idx = m.end() - 1
+        close = _matching_paren(sql, mask, open_idx)
+        if close == -1:
+            return sql
+        arg = sql[open_idx + 1 : close].strip()
+        if arg == "*":
+            names = list(ordered_cols)
+        elif re.fullmatch(r"'[^']*'", arg):
+            rex = re.compile(arg[1:-1], re.IGNORECASE)
+            names = [c for c in ordered_cols if rex.search(c)]
+            if not names:
+                raise ValueError(
+                    f'No matching columns found that match regex "{arg[1:-1]}"'
+                )
+        else:
+            return sql  # computed arg / EXCLUDE tail: loud parser failure
+        if not names:
+            raise ValueError("COLUMNS(*) found no columns to expand")
+        # wrap form: COLUMNS is the sole argument of an enclosing call
+        k = m.start() - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        fn_start = None
+        if k >= 0 and sql[k] == "(" and mask[k]:
+            j = k - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            e = j
+            while j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
+                j -= 1
+            p = close + 1
+            while p < len(sql) and sql[p].isspace():
+                p += 1
+            if e > j and p < len(sql) and sql[p] == ")":
+                fn_start, fn_name, fn_close = j + 1, sql[j + 1 : e + 1], p
+        if fn_start is not None:
+            repl = ", ".join(f"{fn_name}({c}) AS {c}" for c in names)
+            sql = sql[:fn_start] + repl + sql[fn_close + 1 :]
+        else:
+            repl = ", ".join(names)
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+    return sql
+
+
 _FROM_TABLE_RE = re.compile(r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
 
 

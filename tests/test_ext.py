@@ -259,3 +259,38 @@ def test_ivf_lloyd_sampling_cap_path(spark, monkeypatch):
     }
     assert set(out) == set(similarity.QUERY_IDS)
     assert all(n > 0 for n in out.values())
+
+
+def test_mm_frame_sample_multibyte_chars(spark, tmp_path):
+    """r5 verdict item: the frame kernel sliced UTF-8 BYTES while the
+    oracle slices CHARS — they agreed only on ASCII fixtures. The kernel
+    now decodes before slicing; verify on multibyte text against DuckDB
+    running the registry oracle on the same rows."""
+    import duckdb
+
+    from duckdb_pgwire_spark.ext.multimodal import mm_frame_sample
+    from duckdb_pgwire_spark.registry import load_all
+
+    rows = [
+        (1, "héllo wörld — ünïcode ça va? ßßß çœur naïve 日本語テキスト"),
+        (2, "数据管道中的多字节文本样本，用于帧切片测试。"),
+        (3, "plain ascii text long enough to slice into frames easily"),
+    ]
+    docdir = tmp_path / "mbdocs"
+    spark.createDataFrame(
+        [(i, t, "xx", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(docdir / "documents.parquet"))
+
+    got = sorted(
+        tuple(r) for r in mm_frame_sample(spark, str(docdir)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{docdir}/documents.parquet/*.parquet')"
+    )
+    oracle = load_all()["mm_frame_sample"].oracle
+    want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+    con.close()
+    assert got == want

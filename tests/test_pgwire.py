@@ -2007,3 +2007,32 @@ def test_macro_param_not_captured_by_qualified_column(client):
     con.execute(ddl.replace("OR REPLACE ", ""))
     expected = [[str(v) for v in row] for row in con.execute(sql).fetchall()]
     assert res["rows"] == expected
+
+
+def test_wire_columns_star_expressions(client):
+    """DuckDB COLUMNS(*) / COLUMNS('regex') projection shorthand —
+    socket-golden vs DuckDB on column names AND values, including the
+    fn(COLUMNS(...)) per-column expansion and the binder error."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    sql = "SELECT COLUMNS('l_.*key') FROM lineitem ORDER BY 1, 2 LIMIT 3"
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    cur = con.execute(sql)
+    assert res["columns"] == [d[0] for d in cur.description]
+    assert res["rows"] == [[str(v) for v in row] for row in cur.fetchall()]
+    sql = "SELECT min(COLUMNS(*)) FROM region"
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    cur = con.execute(sql)
+    assert res["columns"] == [d[0] for d in cur.description]
+    assert res["rows"] == [[str(v) for v in row] for row in cur.fetchall()]
+    # non-matching regex errors like DuckDB's binder
+    (res,) = client.query("SELECT COLUMNS('zz_.*') FROM region")
+    assert "error" in res and "No matching columns" in res["error"], res
+    con.close()
