@@ -49,33 +49,55 @@ def _split_where(tail: str) -> tuple[str, str | None]:
     return tail[:w], tail[w + len("WHERE") :].strip()
 
 
-def parse_update(stmt: str) -> tuple[str, list[tuple[str, str]], str | None] | None:
-    """``UPDATE t SET a = e1, b = e2 [WHERE p]`` →
-    (table, [(col, expr)], predicate) — expressions stay SQL text."""
-    from ..server.compat import split_top_level
+def parse_update(
+    stmt: str,
+) -> tuple[str, list[tuple[str, str]], str | None, tuple[str, str] | None] | None:
+    """``UPDATE t SET a = e1, b = e2 [FROM rel [alias]] [WHERE p]`` →
+    (table, [(col, expr)], predicate, from_rel) — expressions stay SQL
+    text; from_rel is (sql-or-name, alias) for the PG joined-UPDATE
+    extension (DuckDB supports it; reachable via cpp:52)."""
+    from ..server.compat import _find_keyword, split_top_level
 
     m = _UPDATE.match(stmt)
     if m is None:
         return None
     table, tail = m.group(1), m.group(2)
     set_part, pred = _split_where(tail)
+    from_rel = None
+    f = _find_keyword(set_part, "FROM")
+    if f != -1:
+        from_rel = _parse_rel(set_part[f + len("FROM") :].strip().rstrip(";"))
+        if from_rel is None:
+            return None
+        set_part = set_part[:f]
     assignments = []
     for piece in split_top_level(set_part):
         if "=" not in piece:
             return None
         col, expr = piece.split("=", 1)
         assignments.append((col.strip(), expr.strip()))
-    return table, assignments, pred
+    return table, assignments, pred, from_rel
 
 
-def parse_delete(stmt: str) -> tuple[str, str | None] | None:
-    """``DELETE FROM t [WHERE p]`` → (table, predicate)."""
+def parse_delete(
+    stmt: str,
+) -> tuple[str, str | None, tuple[str, str] | None] | None:
+    """``DELETE FROM t [USING rel [alias]] [WHERE p]`` →
+    (table, predicate, using_rel)."""
+    from ..server.compat import _find_keyword
+
     m = _DELETE.match(stmt)
     if m is None:
         return None
     table, tail = m.group(1), m.group(2)
-    _, pred = _split_where(" " + tail)
-    return table, pred
+    head, pred = _split_where(" " + tail)
+    using_rel = None
+    u = _find_keyword(head, "USING")
+    if u != -1:
+        using_rel = _parse_rel(head[u + len("USING") :].strip().rstrip(";"))
+        if using_rel is None:
+            return None
+    return table, pred, using_rel
 
 
 def _rewrite_table(session: SparkSession, table: str, post_image_sql: str) -> None:
@@ -424,6 +446,97 @@ def delete_returning(
     where = f" WHERE coalesce(({pred}), false)" if pred is not None else ""
     affected = _materialize(session, f"SELECT * FROM {table}{where}")
     delete_from(session, table, pred)
+    return affected
+
+
+# ----------------------------------------------------- joined UPDATE/DELETE
+
+def update_from(
+    session: SparkSession,
+    table: str,
+    assignments: list[tuple[str, str]],
+    pred: str | None,
+    from_rel: tuple[str, str],
+) -> DataFrame:
+    """PG joined UPDATE (``UPDATE t SET … FROM src WHERE cond``; DuckDB
+    supports it through the reference's cpp:52 delegation). Returns the
+    affected-rows post-image snapshot (count = PG's command tag;
+    RETURNING projects over it).
+
+    Shape: snapshot the target with a synthetic ``__rid`` (parquet rows
+    have no rowid), join against the source on the WHERE condition,
+    keep ONE match per target row (PG updates each target row once;
+    multi-match choice is arbitrary in PG too), then stitch the
+    post-image with a left join on __rid and swap. Two joins + the
+    usual two-table-write swap — all key-partitioned, no driver loop."""
+    import uuid
+
+    cols = session.table(table).columns
+    leaf = table.split(".")[-1]
+    src_rel, src_alias = from_rel
+    src_sql = src_rel if " " in src_rel else f"SELECT * FROM {src_rel}"
+    set_map = {c.lower(): e for c, e in assignments}
+    collist = ", ".join(cols)
+    rid = _materialize(
+        session,
+        f"SELECT *, monotonically_increasing_id() AS __rid FROM {table}",
+    )
+    sv = f"__updfrom_{uuid.uuid4().hex[:12]}"
+    rid.createOrReplaceTempView(sv)
+    on = f"({pred})" if pred is not None else "true"
+    proj = ", ".join(
+        f"({set_map[c.lower()]}) AS {c}" if c.lower() in set_map else f"{leaf}.{c} AS {c}"
+        for c in cols
+    )
+    matched = _materialize(
+        session,
+        f"SELECT __rid, {collist} FROM ("
+        f"SELECT {leaf}.__rid AS __rid, {proj}, "
+        f"row_number() OVER (PARTITION BY {leaf}.__rid ORDER BY {leaf}.__rid) AS __rn "
+        f"FROM {sv} {leaf} JOIN ({src_sql}) {src_alias} ON {on}"
+        f") WHERE __rn = 1",
+    )
+    mv = f"__updmatch_{uuid.uuid4().hex[:12]}"
+    matched.createOrReplaceTempView(mv)
+    post_cols = ", ".join(
+        f"CASE WHEN m.__rid IS NOT NULL THEN m.{c} ELSE s0.{c} END AS {c}"
+        if c.lower() in set_map
+        else f"s0.{c} AS {c}"
+        for c in cols
+    )
+    _rewrite_table(
+        session,
+        table,
+        f"SELECT {post_cols} FROM {sv} s0 LEFT JOIN {mv} m ON s0.__rid = m.__rid",
+    )
+    return session.sql(f"SELECT {collist} FROM {mv}")
+
+
+def delete_using(
+    session: SparkSession,
+    table: str,
+    pred: str | None,
+    using_rel: tuple[str, str],
+) -> DataFrame:
+    """PG joined DELETE (``DELETE FROM t USING src WHERE cond``).
+    Returns the removed-rows snapshot. Semi join finds the victims,
+    anti join builds the post-image — both on the same key expression,
+    no rowid needed."""
+    leaf = table.split(".")[-1]
+    src_rel, src_alias = using_rel
+    src_sql = src_rel if " " in src_rel else f"SELECT * FROM {src_rel}"
+    on = f"({pred})" if pred is not None else "true"
+    affected = _materialize(
+        session,
+        f"SELECT {leaf}.* FROM {table} {leaf} "
+        f"LEFT SEMI JOIN ({src_sql}) {src_alias} ON {on}",
+    )
+    _rewrite_table(
+        session,
+        table,
+        f"SELECT {leaf}.* FROM {table} {leaf} "
+        f"LEFT ANTI JOIN ({src_sql}) {src_alias} ON {on}",
+    )
     return affected
 
 

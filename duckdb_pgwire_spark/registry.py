@@ -90,19 +90,19 @@ def load_all() -> dict[str, QueryDef]:
     return dict(_REGISTRY)
 
 
-def _driver_green_names() -> set[str]:
-    """Entries already verified green by the driver in any past round.
+def _driver_green_rounds() -> dict[str, int]:
+    """name → LATEST round the driver verified it green.
 
     The driver's per-round correctness harness checks a bounded prefix of
-    ``queries()`` (50 entries in rounds 1-2), so iteration order decides
-    coverage. We read every ``CORRECTNESS_r*.json`` at the repo root and
-    collect the entries that passed; ordering puts everything else first,
-    which rotates the driver's window onto never-verified entries each
-    round automatically as new result files land.
+    ``queries()`` (~50 entries), so iteration order decides coverage. We
+    read every ``CORRECTNESS_r*.json`` at the repo root; ordering puts
+    never-verified entries first and then rotates by staleness (r5
+    verdict item 8: oldest-verified entries pull forward so no entry
+    starves outside the window indefinitely).
     """
-    green: set[str] = set()
+    green: dict[str, int] = {}
     root = Path(__file__).resolve().parent.parent
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+    for rnd, path in enumerate(sorted(root.glob("CORRECTNESS_r*.json")), start=1):
         try:
             results = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -119,8 +119,12 @@ def _driver_green_names() -> set[str]:
                 and res.get("hash_match", True) in (True, None)
             )
             if ok:
-                green.add(name)
+                green[name] = max(green.get(name, 0), rnd)
     return green
+
+
+def _driver_green_names() -> set[str]:
+    return set(_driver_green_rounds())
 
 
 # Core entries pinned near the front of every round's driver window
@@ -168,12 +172,18 @@ FLAGSHIP = (
 
 def ordered_names() -> list[str]:
     """Registry names: never-driver-verified first, then the pinned
-    flagship set, then the rest (stable within each group)."""
+    flagship set, then the rest ordered OLDEST-latest-green first (a
+    stale entry re-enters the driver's bounded window before one the
+    driver just re-checked; registry order breaks ties stably)."""
     defs = load_all()
-    green = _driver_green_names()
+    green = _driver_green_rounds()
     unseen = [n for n in defs if n not in green]
-    pinned = [n for n in FLAGSHIP if n in defs and n in green and n not in unseen]
-    rest = [n for n in defs if n in green and n not in pinned]
+    pinned = [n for n in FLAGSHIP if n in defs and n in green]
+    order = {n: i for i, n in enumerate(defs)}
+    rest = sorted(
+        (n for n in defs if n in green and n not in pinned),
+        key=lambda n: (green[n], order[n]),
+    )
     return unseen + pinned + rest
 
 

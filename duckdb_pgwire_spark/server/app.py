@@ -832,10 +832,12 @@ class PgWireServer:
             from ..operators.dml import (
                 delete_from,
                 delete_returning,
+                delete_using,
                 parse_delete,
                 parse_update,
                 project_returning,
                 split_returning,
+                update_from,
                 update_returning,
                 update_table,
             )
@@ -845,8 +847,17 @@ class PgWireServer:
                 parsed = parse_update(sql)
                 if parsed is None:
                     raise _WireError("syntax error in UPDATE", "42601")
-                table, assignments, pred = parsed
-                if returning is not None:
+                table, assignments, pred, from_rel = parsed
+                if from_rel is not None:
+                    # PG joined UPDATE: the snapshot serves both the
+                    # count and RETURNING
+                    aff = await self._exec(
+                        session, state.job_tag, update_from, session, table,
+                        assignments, pred, from_rel,
+                    )
+                    if returning is None:
+                        n = await self._exec(session, state.job_tag, aff.count)
+                elif returning is not None:
                     aff = await self._exec(
                         session, state.job_tag, update_returning, session,
                         table, assignments, pred,
@@ -860,8 +871,15 @@ class PgWireServer:
                 parsed = parse_delete(sql)
                 if parsed is None:
                     raise _WireError("syntax error in DELETE", "42601")
-                table, pred = parsed
-                if returning is not None:
+                table, pred, using_rel = parsed
+                if using_rel is not None:
+                    aff = await self._exec(
+                        session, state.job_tag, delete_using, session, table,
+                        pred, using_rel,
+                    )
+                    if returning is None:
+                        n = await self._exec(session, state.job_tag, aff.count)
+                elif returning is not None:
                     aff = await self._exec(
                         session, state.job_tag, delete_returning, session,
                         table, pred,

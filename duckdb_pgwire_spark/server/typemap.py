@@ -175,7 +175,69 @@ def binary_support(dt: T.DataType) -> bool:
         T.BooleanType | T.ByteType | T.ShortType | T.IntegerType | T.LongType
         | T.FloatType | T.DoubleType | T.StringType | T.VarcharType
         | T.CharType | T.BinaryType | T.DateType | T.TimestampType
-        | T.TimestampNTZType,
+        | T.TimestampNTZType | T.DecimalType,
+    )
+
+
+def _encode_pg_numeric(d) -> bytes:
+    """PG binary NUMERIC: int16 ndigits/weight/sign/dscale + int16
+    base-10000 digits, most significant first (public layout from the
+    PG protocol docs; closes the last loud refusal for JDBC
+    binaryTransfer users — the reference itself is text-only,
+    cpp:136-164)."""
+    import decimal
+
+    d = decimal.Decimal(d)
+    if d.is_nan():
+        return _struct.pack("!hhhh", 0, 0, 0xC000, 0)
+    sign = 0x4000 if d < 0 else 0x0000
+    t = abs(d).as_tuple()
+    dscale = max(0, -t.exponent)
+    # full decimal-digit string split at the point, each side padded to
+    # whole base-10000 groups
+    digits = "".join(map(str, t.digits))
+    if t.exponent >= 0:
+        int_part, frac_part = digits + "0" * t.exponent, ""
+    else:
+        cut = len(digits) + t.exponent
+        int_part, frac_part = digits[:cut] if cut > 0 else "", digits[max(cut, 0):]
+        frac_part = "0" * max(0, -cut) + frac_part
+    int_part = int_part.lstrip("0")
+    int_part = "0" * (-len(int_part) % 4) + int_part
+    frac_part = frac_part + "0" * (-len(frac_part) % 4)
+    groups = [
+        int(int_part[i : i + 4]) for i in range(0, len(int_part), 4)
+    ] + [int(frac_part[i : i + 4]) for i in range(0, len(frac_part), 4)]
+    weight = len(int_part) // 4 - 1
+    # strip leading zero groups (weight counts from the FIRST kept one)
+    while groups and groups[0] == 0:
+        groups.pop(0)
+        weight -= 1
+    while groups and groups[-1] == 0:
+        groups.pop()
+    if not groups:
+        return _struct.pack("!hhhh", 0, 0, 0, dscale)
+    return _struct.pack(
+        f"!hhhh{len(groups)}h", len(groups), weight, sign, dscale, *groups
+    )
+
+
+def _decode_pg_numeric(raw: bytes) -> str:
+    """PG binary NUMERIC → decimal text (Bind parameter path)."""
+    ndigits, weight, sign, dscale = _struct.unpack_from("!hhhh", raw)
+    if sign == 0xC000:
+        return "NaN"
+    groups = _struct.unpack_from(f"!{ndigits}h", raw, 8)
+    # value = sum(groups[i] * 10000^(weight - i)); render with dscale
+    import decimal
+
+    total = decimal.Decimal(0)
+    for i, g in enumerate(groups):
+        total += decimal.Decimal(g) * (decimal.Decimal(10000) ** (weight - i))
+    if sign == 0x4000:
+        total = -total
+    return str(total.quantize(decimal.Decimal(1).scaleb(-dscale))) if dscale else str(
+        total.to_integral_value()
     )
 
 
@@ -206,6 +268,8 @@ def encode_binary(v: Any, dt: T.DataType) -> bytes | None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         micros = (v - _PG_EPOCH_TS) // _dt.timedelta(microseconds=1)
         return _struct.pack("!q", micros)
+    if isinstance(dt, T.DecimalType):
+        return _encode_pg_numeric(v)
     raise ValueError(f"binary result format not supported for {dt.simpleString()}")
 
 
@@ -237,4 +301,6 @@ def decode_binary_param(raw: bytes, oid: int) -> bytes:
         return _enc_timestamp(
             _PG_EPOCH_TS + _dt.timedelta(microseconds=micros)
         ).encode()
+    if oid == OID_NUMERIC:
+        return _decode_pg_numeric(raw).encode()
     raise ValueError(f"binary parameter format not supported for oid {oid}")

@@ -118,3 +118,32 @@ def test_bracket_rewrite_matches_duckdb_values(spark, expr):
     expected = duckdb.connect().execute(sql).fetchall()[0][0]
     got = spark.sql(rewrite(sql)).collect()[0][0]
     assert got == expected, (expr, rewrite(sql), got, expected)
+
+
+@given(
+    d=st.decimals(
+        allow_nan=False,
+        allow_infinity=False,
+        min_value=-10**20,
+        max_value=10**20,
+        places=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pg_numeric_binary_roundtrip(d):
+    """PG binary NUMERIC codec: encode → decode reproduces the exact
+    decimal value AND its display scale (base-10000 digit grouping,
+    negative weights, zero stripping)."""
+    import decimal
+
+    from duckdb_pgwire_spark.server.typemap import (
+        _decode_pg_numeric,
+        _encode_pg_numeric,
+    )
+
+    back = _decode_pg_numeric(_encode_pg_numeric(d))
+    assert decimal.Decimal(back) == d, (d, back)
+    # display scale preserved: same count of fractional digits
+    want_scale = max(0, -d.as_tuple().exponent)
+    got_scale = len(back.split(".")[1]) if "." in back else 0
+    assert got_scale == want_scale, (d, back)

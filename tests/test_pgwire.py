@@ -1281,11 +1281,41 @@ def test_extended_binary_params(client):
     assert out["rows"] == [["42", "2.5", "bob", "t"]]
 
 
+def test_extended_binary_numeric(client):
+    """PG binary NUMERIC (public int16 ndigits/weight/sign/dscale +
+    base-10000 digits layout) — the r5 'last loud refusal' for JDBC
+    binaryTransfer users, now encoded for results and decoded for
+    Bind parameters."""
+    out = client.extended_query(
+        "SELECT CAST(1234.5678 AS decimal(10,4)) AS a, "
+        "CAST(-0.001 AS decimal(10,3)) AS b, "
+        "CAST(0 AS decimal(5,2)) AS c, "
+        "CAST(100000000 AS decimal(12,0)) AS d",
+        result_binary=True,
+        raw_rows=True,
+    )
+    assert "error" not in out, out
+    (row,) = out["rows"]
+    assert row[0] == struct.pack("!hhhh2h", 2, 0, 0, 4, 1234, 5678)
+    assert row[1] == struct.pack("!hhhh1h", 1, -1, 0x4000, 3, 10)
+    assert row[2] == struct.pack("!hhhh", 0, 0, 0, 2)
+    assert row[3] == struct.pack("!hhhh1h", 1, 2, 0, 0, 1)
+    # binary numeric Bind parameter decodes through oid 1700
+    out = client.extended_query(
+        "SELECT $1 + 1 AS v",
+        params=[struct.pack("!hhhh2h", 2, 0, 0, 2, 12, 5000)],
+        param_oids=[1700],
+        param_binary=True,
+    )
+    assert "error" not in out, out
+    assert out["rows"] == [["13.50"]]
+
+
 def test_extended_binary_unsupported_type_fails_loudly(client):
     """A binary request for a type without a fixed public layout
-    (numeric) refuses instead of sending corrupt bytes."""
+    (arrays) refuses instead of sending corrupt bytes."""
     out = client.extended_query(
-        "SELECT CAST(1.5 AS decimal(10,2)) AS n",
+        "SELECT array(1, 2) AS a",
         result_binary=True,
         raw_rows=True,
     )
@@ -2036,3 +2066,53 @@ def test_wire_columns_star_expressions(client):
     (res,) = client.query("SELECT COLUMNS('zz_.*') FROM region")
     assert "error" in res and "No matching columns" in res["error"], res
     con.close()
+
+
+def test_wire_update_from_delete_using_golden(client, spark):
+    """PG joined DML (UPDATE … FROM / DELETE … USING) —
+    statement-for-statement golden vs DuckDB, incl. RETURNING and tag
+    counts."""
+    import duckdb
+
+    setup = [
+        "INSERT INTO updt VALUES (1, 10), (2, 20), (3, 30)",
+        "INSERT INTO upds VALUES (1, 5), (3, 7)",
+    ]
+    stmts = [
+        "UPDATE updt SET v = v + upds.d FROM upds WHERE updt.k = upds.k",
+        "SELECT k, v FROM updt ORDER BY k",
+        "DELETE FROM updt USING upds WHERE updt.k = upds.k AND upds.d > 5 RETURNING k, v",
+        "SELECT k, v FROM updt ORDER BY k",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE updt(k INT, v INT)")
+    con.execute("CREATE TABLE upds(k INT, d INT)")
+    for s in setup:
+        con.execute(s)
+    golden = [con.execute(s).fetchall() for s in stmts]
+    con.close()
+
+    for t in ("updt", "upds"):
+        _fresh_wire_table(spark, t)
+    client.query("CREATE TABLE updt(k int, v int)")
+    client.query("CREATE TABLE upds(k int, d int)")
+    for s in setup:
+        client.query(s)
+    for s, want in zip(stmts, golden):
+        (res,) = client.query(s)
+        assert "error" not in res, (s, res)
+        if "RETURNING" in s or s.startswith("SELECT"):
+            got = sorted(tuple(int(x) for x in r) for r in res["rows"])
+            assert got == sorted(want), (s, got, want)
+    # joined-update tag counts the affected rows: table is now
+    # (1,15),(2,20); only k=1 matches the source
+    (res,) = client.query(
+        "UPDATE updt SET v = 0 FROM upds WHERE updt.k = upds.k"
+    )
+    assert res["tag"] == "UPDATE 1", res
+    (res,) = client.query(
+        "UPDATE updt SET v = upds.d FROM upds WHERE updt.k = upds.k RETURNING k, v"
+    )
+    assert res["tag"] == "UPDATE 1" and res["rows"] == [["1", "5"]], res
+    for t in ("updt", "upds"):
+        _fresh_wire_table(spark, t)
