@@ -449,6 +449,66 @@ def delete_returning(
     return affected
 
 
+# ------------------------------------------------- schema-changing DDL
+
+def truncate_table(session: SparkSession, table: str) -> int:
+    """``TRUNCATE [TABLE] t``: Spark's native TRUNCATE refuses external
+    tables (every table this server creates is external — the in-memory
+    catalog forgets managed dirs across processes), so reuse the
+    rewrite-on-write DELETE with no predicate. Returns removed count."""
+    return delete_from(session, table, None)
+
+
+def _recreate_table(session: SparkSession, table: str, select_sql: str) -> None:
+    """Schema-CHANGING rewrite (rename/drop column): the post-image has
+    a different schema, so INSERT OVERWRITE can't swap it — CTAS to a
+    stage, drop the target, recreate it from the stage. Distributed
+    writes throughout; external locations, so no leftover-dir CTAS
+    failures."""
+    stage = f"__alter_stage_{table.replace('.', '_')}"
+    session.sql(f"DROP TABLE IF EXISTS {stage}")
+    loc = tempfile.mkdtemp(prefix="alter_stage_")
+    session.sql(
+        f"CREATE TABLE {stage} USING parquet LOCATION '{loc}' AS {select_sql}"
+    )
+    try:
+        session.sql(f"DROP TABLE {table}")
+        newloc = tempfile.mkdtemp(prefix="alter_new_")
+        session.sql(
+            f"CREATE TABLE {table} USING parquet LOCATION '{newloc}' "
+            f"AS SELECT * FROM {stage}"
+        )
+    finally:
+        session.sql(f"DROP TABLE IF EXISTS {stage}")
+
+
+def rename_column(session: SparkSession, table: str, old: str, new: str) -> None:
+    """ALTER TABLE … RENAME COLUMN (v1 parquet tables can't in-place;
+    PG/DuckDB support it via delegation, cpp:52)."""
+    cols = session.table(table).columns
+    if old.lower() not in {c.lower() for c in cols}:
+        raise ValueError(f'column "{old}" does not exist')
+    sel = ", ".join(
+        f"{c} AS {new}" if c.lower() == old.lower() else c for c in cols
+    )
+    _recreate_table(session, table, f"SELECT {sel} FROM {table}")
+
+
+def drop_column(
+    session: SparkSession, table: str, col: str, if_exists: bool = False
+) -> None:
+    """ALTER TABLE … DROP COLUMN via recreate."""
+    cols = session.table(table).columns
+    if col.lower() not in {c.lower() for c in cols}:
+        if if_exists:
+            return
+        raise ValueError(f'column "{col}" does not exist')
+    keep = [c for c in cols if c.lower() != col.lower()]
+    if not keep:
+        raise ValueError("cannot drop the only column of a table")
+    _recreate_table(session, table, f"SELECT {', '.join(keep)} FROM {table}")
+
+
 # ----------------------------------------------------- joined UPDATE/DELETE
 
 def update_from(

@@ -51,6 +51,7 @@ from .compat import (
     rewrite_array_length,
     rewrite_columns_star,
     rewrite_integer_sums,
+    rewrite_star_replace,
     split_statements,
     split_top_level,
     statement_tables,
@@ -997,6 +998,53 @@ class PgWireServer:
                     session=session, tag=state.job_tag,
                 )
                 return
+        if first == "TRUNCATE":
+            m = re.match(
+                r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", stmt, re.IGNORECASE
+            )
+            if m is not None:
+                from ..operators.dml import truncate_table
+
+                await self._exec(
+                    session, state.job_tag, truncate_table, session, m.group(1)
+                )
+                writer.write(P.command_complete("TRUNCATE TABLE"))
+                await writer.drain()
+                return
+        if first == "ALTER":
+            # RENAME/DROP COLUMN need recreate-on-write (v1 parquet
+            # tables can't mutate schema in place); ADD COLUMNS and
+            # RENAME TO run natively via the generic path below.
+            if m := re.match(
+                r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?"
+                r"(\w+)\s+TO\s+(\w+)\s*;?\s*$",
+                stmt,
+                re.IGNORECASE,
+            ):
+                from ..operators.dml import rename_column
+
+                await self._exec(
+                    session, state.job_tag, rename_column, session,
+                    m.group(1), m.group(2), m.group(3),
+                )
+                writer.write(P.command_complete("ALTER TABLE"))
+                await writer.drain()
+                return
+            if m := re.match(
+                r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?"
+                r"(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+                stmt,
+                re.IGNORECASE,
+            ):
+                from ..operators.dml import drop_column
+
+                await self._exec(
+                    session, state.job_tag, drop_column, session,
+                    m.group(1), m.group(3), bool(m.group(2)),
+                )
+                writer.write(P.command_complete("ALTER TABLE"))
+                await writer.drain()
+                return
         if first == "COMMENT":
             # COMMENT ON <obj> IS '...': Spark's only works on real
             # tables (fixtures are views) — ack as a metadata no-op.
@@ -1437,6 +1485,7 @@ def _dynamic_pivot_sql(session: SparkSession, stmt: str) -> str | None:
 _HAS_SUM_RE = re.compile(r"(?<![\w.])SUM\s*\(", re.IGNORECASE)
 _HAS_LEN_RE = re.compile(r"(?<![\w.])length\s*\(", re.IGNORECASE)
 _HAS_COLUMNS_RE = re.compile(r"(?<![\w.])COLUMNS\s*\(", re.IGNORECASE)
+_HAS_STAR_REPLACE_RE = re.compile(r"(?<![\w.])\*\s+REPLACE\s*\(", re.IGNORECASE)
 
 
 def _hugeint_sums(session: SparkSession, sql: str) -> str:
@@ -1451,7 +1500,8 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     has_sum = _HAS_SUM_RE.search(sql) is not None
     has_len = _HAS_LEN_RE.search(sql) is not None
     has_columns = _HAS_COLUMNS_RE.search(sql) is not None
-    if not (has_sum or has_len or has_columns):
+    has_replace = _HAS_STAR_REPLACE_RE.search(sql) is not None
+    if not (has_sum or has_len or has_columns or has_replace):
         return sql
     from pyspark.sql import types as T
 
@@ -1475,6 +1525,8 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                 ordered_cols.append(f.name)
     if has_columns and ordered_cols:
         sql = rewrite_columns_star(sql, ordered_cols)
+    if has_replace and ordered_cols:
+        sql = rewrite_star_replace(sql, ordered_cols)
     if has_len:  # array_cols may be empty — the always-array function
         sql = rewrite_array_length(sql, array_cols)  # heads still rewrite
     if has_sum:

@@ -145,6 +145,12 @@ _FN_RENAMES = {
     # json_extract (JSON result, keeps quoting) is handled by the
     # dedicated _rewrite_json_extract scanner (variant form)
     "json_extract_string": "get_json_object",
+    # DuckDB arg_min/arg_max(val, key) ≡ Spark min_by/max_by (same
+    # argument order: value expression first, ordering key second)
+    "arg_min": "min_by",
+    "arg_max": "max_by",
+    "argmin": "min_by",
+    "argmax": "max_by",
     "to_base64": "base64",
     "from_base64": "unbase64",
     "regexp_matches": "rlike",
@@ -1537,6 +1543,50 @@ def rewrite_array_length(sql: str, array_cols: set[str]) -> str:
         # argument still gets its own visit
         pos = m.end()
     return "".join(out)
+
+
+_STAR_REPLACE = re.compile(r"(?<![\w.])\*\s+REPLACE\s*\(", re.IGNORECASE)
+
+
+def rewrite_star_replace(sql: str, ordered_cols: list[str]) -> str:
+    """DuckDB ``SELECT * REPLACE (expr AS col, …)``: expand ``*`` to the
+    schema-resolved column list with the named positions replaced by
+    their expressions (same exec-time schema pass as COLUMNS()). An
+    unknown column name raises, mirroring DuckDB's binder."""
+    guard = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        m = None
+        for cand in _STAR_REPLACE.finditer(sql):
+            if all(mask[cand.start() : cand.end()]):
+                m = cand
+                break
+        if m is None:
+            return sql
+        open_idx = m.end() - 1
+        close = _matching_paren(sql, mask, open_idx)
+        if close == -1:
+            return sql
+        repls: dict[str, str] = {}
+        for piece in split_top_level(sql[open_idx + 1 : close]):
+            am = re.match(r"^(.*)\s+AS\s+(\w+)\s*$", piece.strip(),
+                          re.IGNORECASE | re.DOTALL)
+            if am is None:
+                return sql  # unsupported shape: loud parser failure
+            repls[am.group(2).lower()] = am.group(1).strip()
+        lower = {c.lower() for c in ordered_cols}
+        for name in repls:
+            if name not in lower:
+                raise ValueError(
+                    f'column "{name}" in REPLACE list does not exist'
+                )
+        parts = [
+            f"({repls[c.lower()]}) AS {c}" if c.lower() in repls else c
+            for c in ordered_cols
+        ]
+        sql = sql[: m.start()] + ", ".join(parts) + sql[close + 1 :]
+    return sql
 
 
 _COLUMNS_CALL = re.compile(r"(?<![\w.])COLUMNS\s*\(", re.IGNORECASE)

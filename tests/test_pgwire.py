@@ -2116,3 +2116,63 @@ def test_wire_update_from_delete_using_golden(client, spark):
     assert res["tag"] == "UPDATE 1" and res["rows"] == [["1", "5"]], res
     for t in ("updt", "upds"):
         _fresh_wire_table(spark, t)
+
+
+def test_wire_truncate_and_alter_columns(client, spark):
+    """TRUNCATE and ALTER TABLE RENAME/DROP COLUMN over the wire —
+    v1 parquet tables can't mutate in place, so these run through the
+    recreate-on-write path; ADD COLUMNS runs natively."""
+    _fresh_wire_table(spark, "alt_w")
+    client.query("CREATE TABLE alt_w(a int, b varchar)")
+    client.query("INSERT INTO alt_w VALUES (1, 'x'), (2, 'y')")
+    (res,) = client.query("ALTER TABLE alt_w ADD COLUMNS (c double)")
+    assert "error" not in res, res
+    (res,) = client.query("ALTER TABLE alt_w RENAME COLUMN b TO bb")
+    assert "error" not in res, res
+    (res,) = client.query("SELECT * FROM alt_w ORDER BY a")
+    assert res["columns"] == ["a", "bb", "c"]
+    assert res["rows"] == [["1", "x", None], ["2", "y", None]]
+    (res,) = client.query("ALTER TABLE alt_w DROP COLUMN c")
+    assert "error" not in res, res
+    (res,) = client.query("ALTER TABLE alt_w DROP COLUMN IF EXISTS zz")
+    assert "error" not in res, res
+    (res,) = client.query("ALTER TABLE alt_w DROP COLUMN zz")
+    assert "error" in res and "does not exist" in res["error"], res
+    (res,) = client.query("TRUNCATE alt_w")
+    assert res["tag"] == "TRUNCATE TABLE", res
+    (res,) = client.query("SELECT count(*) AS n FROM alt_w")
+    assert res["rows"] == [["0"]]
+    # schema survives the truncate
+    (res,) = client.query("SELECT * FROM alt_w")
+    assert res["columns"] == ["a", "bb"]
+    _fresh_wire_table(spark, "alt_w")
+
+
+def test_wire_star_replace_and_argminmax_golden(client):
+    """DuckDB * REPLACE star expression and arg_min/arg_max — golden vs
+    DuckDB on the region fixture."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW region AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/region.parquet')"
+    )
+    sql = "SELECT * REPLACE (r_regionkey * 10 AS r_regionkey) FROM region ORDER BY r_regionkey"
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    cur = con.execute(sql)
+    assert res["columns"] == [d[0] for d in cur.description]
+    assert res["rows"] == [[str(v) for v in row] for row in cur.fetchall()]
+    sql = (
+        "SELECT arg_min(r_name, r_regionkey) AS lo, "
+        "arg_max(r_name, r_regionkey) AS hi FROM region"
+    )
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    want = con.execute(sql).fetchall()[0]
+    assert res["rows"] == [[want[0], want[1]]]
+    # unknown column in REPLACE errors like the binder
+    (res,) = client.query("SELECT * REPLACE (1 AS nope) FROM region")
+    assert "error" in res and "does not exist" in res["error"], res
+    con.close()
