@@ -40,9 +40,14 @@ from . import protocol as P
 from .compat import (
     MACRO_DDL_RE,
     MACRO_DROP_RE,
+    SEQ_DDL_RE,
+    SEQ_DROP_RE,
     _lex,
     define_macro,
+    define_sequence,
     drop_macro,
+    drop_sequence,
+    substitute_sequence_fns,
     parse_copy,
     parse_copy_from,
     parse_copy_stdin,
@@ -778,6 +783,30 @@ class PgWireServer:
             writer.write(P.command_complete("DEALLOCATE"))
             await writer.drain()
             return
+        if first == "CREATE" and (m := SEQ_DDL_RE.match(stmt)):
+            try:
+                define_sequence(m.group(2), m.group(3) or "", bool(m.group(1)))
+            except ValueError as exc:
+                raise _WireError(str(exc), "42P07") from exc
+            writer.write(P.command_complete("CREATE SEQUENCE"))
+            await writer.drain()
+            return
+        if first == "DROP" and (m := SEQ_DROP_RE.match(stmt)):
+            try:
+                drop_sequence(m.group(2), bool(m.group(1)))
+            except ValueError as exc:
+                raise _WireError(str(exc), "42704") from exc
+            writer.write(P.command_complete("DROP SEQUENCE"))
+            await writer.drain()
+            return
+        if "val(" in stmt.lower():
+            # nextval('s') / currval('s'): allocate BEFORE dispatch so
+            # every downstream path (INSERT fast path, generic) sees
+            # plain integer literals
+            try:
+                stmt = substitute_sequence_fns(stmt)
+            except ValueError as exc:
+                raise _WireError(str(exc), "55000") from exc
         if first in ("DESCRIBE", "DESC", "SUMMARIZE", "SHOW") and _is_introspection(
             stmt
         ):

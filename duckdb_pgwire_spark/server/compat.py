@@ -1250,6 +1250,99 @@ def _rewrite_read_files(sql: str) -> str:
 # pre-pass — the same inlining DuckDB's binder performs. The registry is
 # module-scope because DuckDB macros are catalog-scope (one embedded
 # catalog per process; the server shares one SparkSession the same way).
+# ------------------------------------------------------------- sequences
+# DuckDB supports CREATE SEQUENCE / nextval / currval through the
+# reference's cpp:52 delegation. State is server-process scope (like
+# MACROS — the reference's DuckDB instance is per-process too). Golden
+# semantics (probed): nextval advances PER OCCURRENCE within one row
+# and PER ROW over a row set; the row-set form is refused loudly here
+# (textual substitution can't allocate per executor row), the literal
+# forms — every ORM idiom — are exact.
+
+import threading as _threading
+
+SEQUENCES: dict[str, dict] = {}  # name -> {"next": int, "inc": int, "cur": int|None}
+_SEQ_LOCK = _threading.Lock()
+
+SEQ_DDL_RE = re.compile(
+    r"^\s*CREATE\s+SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+SEQ_DROP_RE = re.compile(
+    r"^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
+_SEQ_START_RE = re.compile(r"\bSTART\s+(?:WITH\s+)?(-?\d+)", re.IGNORECASE)
+_SEQ_INC_RE = re.compile(r"\bINCREMENT\s+(?:BY\s+)?(-?\d+)", re.IGNORECASE)
+_SEQ_FN_RE = re.compile(
+    r"(?<![\w.])(nextval|currval)\s*\(\s*'([\w.]+)'\s*\)", re.IGNORECASE
+)
+
+
+def define_sequence(name: str, options: str, if_not_exists: bool) -> None:
+    key = name.lower()
+    with _SEQ_LOCK:
+        if key in SEQUENCES:
+            if if_not_exists:
+                return
+            raise ValueError(f"sequence {name!r} already exists")
+        sm = _SEQ_START_RE.search(options or "")
+        im = _SEQ_INC_RE.search(options or "")
+        SEQUENCES[key] = {
+            "next": int(sm.group(1)) if sm else 1,
+            "inc": int(im.group(1)) if im else 1,
+            "cur": None,
+        }
+
+
+def drop_sequence(name: str, if_exists: bool) -> None:
+    if SEQUENCES.pop(name.lower(), None) is None and not if_exists:
+        raise ValueError(f"sequence {name!r} does not exist")
+
+
+def substitute_sequence_fns(sql: str) -> str:
+    """Replace each code-level nextval('s')/currval('s') occurrence with
+    its allocated integer literal. Refuses when the statement also has a
+    top-level FROM — there nextval is per-ROW (DuckDB golden) and a
+    per-occurrence substitution would be silently wrong."""
+    if not _SEQ_FN_RE.search(sql):
+        return sql
+    # scan the FULL string: the quoted sequence name lives in a literal
+    # lexer segment, so only the function-name token is mask-checked
+    mask = _code_mask(sql)
+    has_from = _find_keyword(sql, "FROM") != -1
+    out: list[str] = []
+    pos = 0
+    for m in _SEQ_FN_RE.finditer(sql):
+        if not all(mask[m.start(1) : m.end(1)]):
+            continue  # spelled inside a string literal/comment
+        fn, name = m.group(1).lower(), m.group(2).lower()
+        seq = SEQUENCES.get(name)
+        if seq is None:
+            raise ValueError(f"sequence {m.group(2)!r} does not exist")
+        if has_from:
+            raise ValueError(
+                "nextval/currval over a row set (statement with FROM) is "
+                "not supported — DuckDB advances the sequence per row; "
+                "use literal VALUES or a rowless SELECT"
+            )
+        with _SEQ_LOCK:
+            if fn == "nextval":
+                v = seq["next"]
+                seq["cur"] = v
+                seq["next"] = v + seq["inc"]
+            else:
+                if seq["cur"] is None:
+                    raise ValueError(
+                        f"currval: sequence {name!r} has not been used yet"
+                    )
+                v = seq["cur"]
+        out.append(sql[pos : m.start()])
+        out.append(str(v))
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 MACROS: dict[str, tuple[list[tuple[str, str | None]], str]] = {}
 
 # group 4 = optional TABLE keyword: a DuckDB TABLE macro's body is a

@@ -2176,3 +2176,54 @@ def test_wire_star_replace_and_argminmax_golden(client):
     (res,) = client.query("SELECT * REPLACE (1 AS nope) FROM region")
     assert "error" in res and "does not exist" in res["error"], res
     con.close()
+
+
+def test_wire_sequences_golden(client, spark):
+    """CREATE SEQUENCE / nextval / currval — golden vs DuckDB for the
+    literal idioms (per-occurrence in one row, per-VALUES-row inserts);
+    the per-row-set form refuses loudly instead of silently allocating
+    one value for all rows."""
+    import duckdb
+
+    con = duckdb.connect()
+    stmts_setup = ["CREATE SEQUENCE sq START 5 INCREMENT 2"]
+    stmts = [
+        "SELECT nextval('sq') AS v, nextval('sq') AS w",
+        "SELECT currval('sq') AS c",
+    ]
+    for s in stmts_setup:
+        con.execute(s)
+    golden = [con.execute(s).fetchall() for s in stmts]
+
+    (res,) = client.query(stmts_setup[0])
+    assert res["tag"] == "CREATE SEQUENCE", res
+    for s, want in zip(stmts, golden):
+        (res,) = client.query(s)
+        assert "error" not in res, (s, res)
+        assert res["rows"] == [[str(v) for v in want[0]]], (s, res)
+    # per-VALUES-row allocation matches DuckDB
+    con.execute("CREATE TABLE sq_t(a INT, b VARCHAR)")
+    con.execute("INSERT INTO sq_t VALUES (nextval('sq'), 'x'), (nextval('sq'), 'y')")
+    want = con.execute("SELECT a, b FROM sq_t ORDER BY a").fetchall()
+    _fresh_wire_table(spark, "sq_t")
+    client.query("CREATE TABLE sq_t(a int, b varchar)")
+    (res,) = client.query(
+        "INSERT INTO sq_t VALUES (nextval('sq'), 'x'), (nextval('sq'), 'y')"
+    )
+    assert "error" not in res, res
+    (res,) = client.query("SELECT a, b FROM sq_t ORDER BY a")
+    assert res["rows"] == [[str(a), b] for a, b in want]
+    # row-set form: LOUD refusal (DuckDB allocates per row there)
+    (res,) = client.query("SELECT nextval('sq') FROM region")
+    assert "error" in res and "per row" in res["error"], res
+    # unknown sequence + duplicate creation error like DuckDB
+    (res,) = client.query("SELECT nextval('nope')")
+    assert "error" in res, res
+    (res,) = client.query("CREATE SEQUENCE sq")
+    assert "error" in res, res
+    (res,) = client.query("CREATE SEQUENCE IF NOT EXISTS sq")
+    assert res["tag"] == "CREATE SEQUENCE", res
+    (res,) = client.query("DROP SEQUENCE sq")
+    assert res["tag"] == "DROP SEQUENCE", res
+    _fresh_wire_table(spark, "sq_t")
+    con.close()
