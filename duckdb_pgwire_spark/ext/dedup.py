@@ -1,12 +1,14 @@
 """[EXT] Deduplication operators over the ``documents`` corpus.
 
-Five strategies, each a ``queries()`` entry with a DuckDB oracle:
+Each strategy is a ``queries()`` entry with a DuckDB oracle:
 
 - exact (content-hash groupBy)
 - MinHash + LSH banding (near-dup candidate pairs)
+- incremental MinHash probe of a new batch vs a persisted band index
 - SimHash (16-bit fingerprint)
 - n-gram Jaccard (blocked pairwise similarity)
 - embedding-cosine near-dup (on ``embeddings``)
+- connected-components clustering + keep-canonical policy
 
 Scale design (100 TB corpora): every strategy is shuffle-bounded —
 exact dedup shuffles on the content hash; MinHash/LSH shuffles on
@@ -86,7 +88,7 @@ _SIG_LIST = ", ".join(
     f"list_aggregate(list_transform(hs, h -> xor(h, {r})), 'min')"
     for r in MINHASH_SEEDS
 )
-_MINHASH_CTES = f"""
+_BANDS_CTES = f"""
     words AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ), sh AS (
@@ -106,7 +108,8 @@ _MINHASH_CTES = f"""
                CAST(sig[2*i - 1] AS VARCHAR) || '_' || CAST(sig[2*i] AS VARCHAR)
                    AS band_val
         FROM mh CROSS JOIN unnest(range(1, {N_BANDS + 1})) AS t(i)
-    ), capped AS (
+    )"""
+_MINHASH_CTES = f"""{_BANDS_CTES}, capped AS (
         SELECT doc_id, band_idx, band_val FROM bands
         QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val) <= {LSH_BUCKET_CAP}
     ), pairs AS (
@@ -120,19 +123,19 @@ _MINHASH_CTES = f"""
 _MINHASH_ORACLE = f"WITH {_MINHASH_CTES} SELECT doc_a, doc_b FROM pairs"
 
 
-def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b) LSH candidate pairs — shared by dedup_minhash_lsh
-    (emits them) and dedup_ngram_jaccard (verifies them exactly)."""
+def _band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx0, band_val) LSH band rows — the persisted unit
+    of a band index. Signature via an Arrow-batched kernel (see
+    vectorized.py for why not nested HOF lambdas); bands/bucketing stay
+    JVM-side built-ins."""
     from .vectorized import minhash_sig_udf
 
     d = load_table_parallel(spark, sf_dir, "documents", parts=8)
     words = F.split("text", " ")
-    # Signature via an Arrow-batched kernel (see vectorized.py for why
-    # not nested HOF lambdas); bands/bucketing stay JVM-side built-ins.
     sig = d.filter(F.size(words) >= 3).select(
         "doc_id", minhash_sig_udf()("text").alias("sig")
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -145,6 +148,12 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx0", "band_val"),
     )
+
+
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) LSH candidate pairs — shared by dedup_minhash_lsh
+    (emits them) and dedup_ngram_jaccard (verifies them exactly)."""
+    bands = _band_rows(spark, sf_dir)
     # Pair generation WITHOUT a self-join: group docs per band bucket and
     # expand i<j pairs inside the bucket. A self-join here makes Spark
     # evaluate the whole minhash pipeline twice (the broadcast build side
@@ -488,4 +497,62 @@ def pipeline_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame
                 | (F.col("cluster_id") == F.col("doc_id"))
             ).alias("keep"),
         )
+    )
+
+
+_INCREMENTAL_ORACLE = f"""
+    WITH {_BANDS_CTES}, idx AS (
+        SELECT doc_id, band_idx, band_val FROM bands
+        WHERE doc_id % 5 <> 0
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val) <= {LSH_BUCKET_CAP}
+    ), probe AS (
+        SELECT doc_id, band_idx, band_val FROM bands WHERE doc_id % 5 = 0
+    )
+    SELECT DISTINCT p.doc_id AS new_doc, i.doc_id AS corpus_doc
+    FROM probe p
+    JOIN idx i ON p.band_idx = i.band_idx AND p.band_val = i.band_val
+"""
+
+
+@query(
+    "dedup_incremental_vs_index",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("ext", "dedup", "minhash", "incremental"),
+)
+def dedup_incremental_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: probe a NEW document batch against the
+    PERSISTED LSH band index of the existing corpus — the shape a
+    continuously-ingesting training pipeline actually runs (full-corpus
+    re-dedup per batch is a non-starter at 100 TB).
+
+    The fixture split is doc_id % 5: 80% plays the indexed corpus, 20%
+    the incoming batch. Scale story: band signatures are computed for
+    the BATCH only; the corpus index is write-once per epoch, bucketed
+    on (band_idx, band_val), and never rescanned as raw text — the
+    probe is one key-partitioned join of O(batch x bands) rows against
+    it. The index-side bucket cap drops boilerplate buckets exactly as
+    the batch pipeline does (mirrored in the oracle's QUALIFY).
+    """
+    from pyspark.sql.window import Window
+
+    bands = _band_rows(spark, sf_dir)
+    w = Window.partitionBy("band_idx0", "band_val")
+    index = (
+        bands.filter(F.col("doc_id") % 5 != 0)
+        .withColumn("__n", F.count("*").over(w))
+        .filter(F.col("__n") <= LSH_BUCKET_CAP)
+        .drop("__n")
+    )
+    probe = bands.filter(F.col("doc_id") % 5 == 0)
+    return (
+        probe.alias("p")
+        .join(
+            index.alias("i"),
+            on=["band_idx0", "band_val"],
+        )
+        .select(
+            F.col("p.doc_id").alias("new_doc"),
+            F.col("i.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
     )

@@ -791,3 +791,63 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+MIX_TOKENS_PER_WEIGHT = 300
+
+
+@query(
+    "text_mix_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS rk,
+               (1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3)
+                   * {MIX_TOKENS_PER_WEIGHT} AS quota
+        FROM documents
+    ), c AS (
+        SELECT source, doc_id, n_tokens, quota,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT source, doc_id, n_tokens FROM c WHERE cum <= quota
+    """,
+    tags=("ext", "text", "sampling", "mixing"),
+)
+def text_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing to a TOKEN budget — the data-mixing step
+    of a training pipeline: each source gets weight x budget tokens,
+    documents admitted in a deterministic md5 order until the source's
+    running token count hits its quota (so the mix is reproducible
+    across runs and cluster sizes, unlike rand()-based sampling).
+
+    Weights here derive from the fixture's source number (1 + n % 3); a
+    real run passes a weights map the same way. Scale: one shuffle,
+    keyed by source, one window cumsum per source partition — no
+    collect, no global sort. A source hot enough to skew its partition
+    is exactly the source you'd split into shards upstream; the
+    admission rule is per-source, so sharding composes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+        (
+            (1 + F.regexp_extract("source", "([0-9]+)", 1).cast("int") % 3)
+            * MIX_TOKENS_PER_WEIGHT
+        ).alias("quota"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= F.col("quota"))
+        .select("source", "doc_id", "n_tokens")
+    )

@@ -254,3 +254,22 @@ def test_q4_semi_join_carries_equi_key(spark):
     df = _q("q4_order_priority").fn(spark, SF_DIR)
     joins = I.join_nodes(df)
     assert "CartesianProduct" not in joins and "BroadcastNestedLoopJoin" not in joins
+
+
+def test_incremental_dedup_no_cartesian_one_band_join(spark):
+    """Probing a batch against the band index must be ONE key-partitioned
+    join on (band_idx, band_val) — no cartesian, and the window cap on
+    the index side must not force extra exchanges beyond the band key."""
+    df = _q("dedup_incremental_vs_index").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mix_token_budget_single_source_shuffle(spark):
+    """Token-budget mixing is one shuffle keyed by source (window
+    cumsum), no global sort and no collect-driven plan."""
+    df = _q("text_mix_token_budget").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "rangepartitioning" not in plan
+    assert I.exchange_count(df) == 1, plan
