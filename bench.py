@@ -82,6 +82,9 @@ HEADLINE = [
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
+    # round-6 additions (DuckDB baselines in BASELINE.md r6 sub-table)
+    "dedup_incremental_vs_index",
+    "text_mix_token_budget",
 ]
 
 

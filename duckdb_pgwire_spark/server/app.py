@@ -40,14 +40,19 @@ from . import protocol as P
 from .compat import (
     MACRO_DDL_RE,
     MACRO_DROP_RE,
+    RESET_VAR_RE,
     SEQ_DDL_RE,
     SEQ_DROP_RE,
+    SET_VAR_RE,
+    VARIABLES,
+    _COPY_FORMAT_OPT,
     _lex,
     define_macro,
     define_sequence,
     drop_macro,
     drop_sequence,
     substitute_sequence_fns,
+    substitute_variables,
     parse_copy,
     parse_copy_from,
     parse_copy_stdin,
@@ -807,6 +812,46 @@ class PgWireServer:
                 stmt = substitute_sequence_fns(stmt)
             except ValueError as exc:
                 raise _WireError(str(exc), "55000") from exc
+        if first == "SET" and (m := SET_VAR_RE.match(stmt)):
+            # DuckDB v1.1 SQL variables: value is a scalar evaluated NOW
+            row = await self._exec(
+                session, state.job_tag,
+                lambda e=m.group(2): session.sql(
+                    f"SELECT ({rewrite(e)}) AS v"
+                ).first(),
+            )
+            VARIABLES[m.group(1).lower()] = row["v"]
+            writer.write(P.command_complete("SET"))
+            await writer.drain()
+            return
+        if first == "RESET" and (m := RESET_VAR_RE.match(stmt)):
+            VARIABLES.pop(m.group(1).lower(), None)
+            writer.write(P.command_complete("RESET"))
+            await writer.drain()
+            return
+        if "getvariable" in stmt.lower():
+            stmt = substitute_variables(stmt)
+        if first == "CHECKPOINT":
+            # DuckDB CHECKPOINT flushes the WAL; parquet tables have no
+            # WAL — ack as a maintenance no-op (same policy as VACUUM)
+            writer.write(P.command_complete("CHECKPOINT"))
+            await writer.drain()
+            return
+        if first == "EXPORT" and (m := _EXPORT_DB_RE.match(stmt)):
+            n = await self._exec(
+                session, state.job_tag, _export_database, session,
+                m.group(1), (m.group(2) or ""),
+            )
+            writer.write(P.command_complete(f"EXPORT DATABASE {n}"))
+            await writer.drain()
+            return
+        if first == "IMPORT" and (m := _IMPORT_DB_RE.match(stmt)):
+            n = await self._exec(
+                session, state.job_tag, _import_database, session, m.group(1)
+            )
+            writer.write(P.command_complete(f"IMPORT DATABASE {n}"))
+            await writer.drain()
+            return
         if first in ("DESCRIBE", "DESC", "SUMMARIZE", "SHOW") and _is_introspection(
             stmt
         ):
@@ -1561,6 +1606,80 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     if has_sum:
         sql = rewrite_integer_sums(sql, int_cols)
     return sql
+
+
+_EXPORT_DB_RE = re.compile(
+    r"^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\((.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_IMPORT_DB_RE = re.compile(
+    r"^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _export_database(session: SparkSession, path: str, opts: str) -> int:
+    """DuckDB ``EXPORT DATABASE 'dir'``: one data file per permanent
+    table plus schema.sql/load.sql, same layout DuckDB writes (probed:
+    ``<table>.parquet|csv`` + the two SQL files). Distributed writes;
+    only the DDL text goes through the driver. Returns table count."""
+    import os
+
+    fmt = "parquet"
+    fm = _COPY_FORMAT_OPT.search(opts or "")
+    if fm:
+        fmt = fm.group(1).lower()
+    if fmt not in ("parquet", "csv"):
+        raise ValueError(f"EXPORT DATABASE format {fmt!r} not supported")
+    os.makedirs(path, exist_ok=True)
+    schema_lines: list[str] = []
+    load_lines: list[str] = []
+    n = 0
+    for t in session.catalog.listTables():
+        if (t.tableType or "").upper() not in ("EXTERNAL", "MANAGED"):
+            continue  # views/temp fixtures are not export units
+        df = session.table(t.name)
+        target = f"{path}/{t.name}.{fmt}"
+        writer = df.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", "true").csv(target)
+        else:
+            writer.parquet(target)
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}" for f in df.schema.fields
+        )
+        schema_lines.append(f"CREATE TABLE {t.name} ({cols});")
+        load_lines.append(f"COPY {t.name} FROM '{target}';")
+        n += 1
+    with open(f"{path}/schema.sql", "w") as fh:
+        fh.write("\n".join(schema_lines) + "\n")
+    with open(f"{path}/load.sql", "w") as fh:
+        fh.write("\n".join(load_lines) + "\n")
+    return n
+
+
+def _import_database(session: SparkSession, path: str) -> int:
+    """DuckDB ``IMPORT DATABASE 'dir'``: recreate every table exported
+    by ``EXPORT DATABASE`` (reads the data files directly — the
+    schema.sql dialect is Spark's own, from _export_database)."""
+    import os
+    import tempfile as _tf
+
+    n = 0
+    for entry in sorted(os.listdir(path)):
+        base, dot, ext = entry.rpartition(".")
+        if ext not in ("parquet", "csv") or not base:
+            continue
+        src = f"{path}/{entry}"
+        df = (
+            session.read.option("header", "true").option("inferSchema", "true").csv(src)
+            if ext == "csv"
+            else session.read.parquet(src)
+        )
+        session.sql(f"DROP TABLE IF EXISTS {base}")
+        loc = _tf.mkdtemp(prefix=f"import_{base}_")
+        df.write.option("path", loc).mode("overwrite").saveAsTable(base)
+        n += 1
+    return n
 
 
 def _refresh_pg_catalog(session: SparkSession) -> None:

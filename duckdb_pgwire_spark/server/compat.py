@@ -1343,6 +1343,53 @@ def substitute_sequence_fns(sql: str) -> str:
     return "".join(out)
 
 
+# ---------------------------------------------------------- SQL variables
+# DuckDB v1.1 SET VARIABLE / getvariable() / RESET VARIABLE (the
+# reference pins v1.1.1; the container's oracle duckdb is 1.0, so wire
+# tests assert the DOCUMENTED semantics: getvariable of an unset name
+# is NULL, values are scalars evaluated at SET time).
+
+VARIABLES: dict[str, object] = {}
+
+SET_VAR_RE = re.compile(
+    r"^\s*SET\s+VARIABLE\s+(\w+)\s*=\s*(.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+RESET_VAR_RE = re.compile(
+    r"^\s*RESET\s+VARIABLE\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_GETVAR_RE = re.compile(
+    r"(?<![\w.])getvariable\s*\(\s*'(\w+)'\s*\)", re.IGNORECASE
+)
+
+
+def _sql_literal(v: object) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def substitute_variables(sql: str) -> str:
+    """Replace code-level getvariable('name') occurrences with the
+    stored scalar as a literal (NULL when unset — DuckDB semantics)."""
+    if not _GETVAR_RE.search(sql):
+        return sql
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    for m in _GETVAR_RE.finditer(sql):
+        if not all(mask[m.start() : m.start() + len("getvariable")]):
+            continue
+        out.append(sql[pos : m.start()])
+        out.append(_sql_literal(VARIABLES.get(m.group(1).lower())))
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 MACROS: dict[str, tuple[list[tuple[str, str | None]], str]] = {}
 
 # group 4 = optional TABLE keyword: a DuckDB TABLE macro's body is a

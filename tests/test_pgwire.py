@@ -2227,3 +2227,62 @@ def test_wire_sequences_golden(client, spark):
     assert res["tag"] == "DROP SEQUENCE", res
     _fresh_wire_table(spark, "sq_t")
     con.close()
+
+
+def test_wire_set_variable_and_getvariable(client):
+    """DuckDB v1.1 SQL variables (the reference pins v1.1.1): SET
+    VARIABLE evaluates the scalar at SET time; getvariable of an unset
+    name is NULL; RESET VARIABLE unsets."""
+    (res,) = client.query("SET VARIABLE vx = 40 + 2")
+    assert res["tag"] == "SET", res
+    (res,) = client.query("SELECT getvariable('vx') AS v")
+    assert res["rows"] == [["42"]]
+    (res,) = client.query("SET VARIABLE vs = 'he''llo'")
+    (res,) = client.query("SELECT getvariable('vs') AS v")
+    assert res["rows"] == [["he'llo"]]
+    # variables compose into real queries
+    (res,) = client.query(
+        "SELECT r_name FROM region WHERE r_regionkey = getvariable('vx') - 42"
+    )
+    assert len(res["rows"]) == 1
+    (res,) = client.query("SELECT getvariable('unset_name') AS v")
+    assert res["rows"] == [[None]]
+    (res,) = client.query("RESET VARIABLE vx")
+    assert res["tag"] == "RESET", res
+    (res,) = client.query("SELECT getvariable('vx') AS v")
+    assert res["rows"] == [[None]]
+    (res,) = client.query("CHECKPOINT")
+    assert res["tag"] == "CHECKPOINT", res
+
+
+def test_wire_export_import_database(client, spark, tmp_path):
+    """EXPORT DATABASE 'dir' writes one data file per permanent table
+    plus schema.sql/load.sql (DuckDB's layout); IMPORT DATABASE
+    recreates the tables."""
+    import os
+
+    _fresh_wire_table(spark, "exp_t1")
+    _fresh_wire_table(spark, "exp_t2")
+    client.query("CREATE TABLE exp_t1(a int, b varchar)")
+    client.query("INSERT INTO exp_t1 VALUES (1, 'x'), (2, 'y')")
+    client.query("CREATE TABLE exp_t2(k double)")
+    client.query("INSERT INTO exp_t2 VALUES (1.5)")
+    d = str(tmp_path / "exp")
+    (res,) = client.query(f"EXPORT DATABASE '{d}'")
+    assert "error" not in res, res
+    names = set(os.listdir(d))
+    assert {"schema.sql", "load.sql"} <= names
+    assert "exp_t1.parquet" in names and "exp_t2.parquet" in names
+    schema_sql = open(f"{d}/schema.sql").read()
+    assert "CREATE TABLE exp_t1" in schema_sql
+    # wipe and re-import
+    spark.sql("DROP TABLE exp_t1")
+    spark.sql("DROP TABLE exp_t2")
+    (res,) = client.query(f"IMPORT DATABASE '{d}'")
+    assert "error" not in res, res
+    (res,) = client.query("SELECT a, b FROM exp_t1 ORDER BY a")
+    assert res["rows"] == [["1", "x"], ["2", "y"]]
+    (res,) = client.query("SELECT k FROM exp_t2")
+    assert res["rows"] == [["1.5"]]
+    _fresh_wire_table(spark, "exp_t1")
+    _fresh_wire_table(spark, "exp_t2")
