@@ -730,9 +730,9 @@ def _rewrite_json_arrows(sql: str) -> str:
     A chain ENDING in ``->>`` (text extraction) maps to
     ``get_json_object`` — exact. A chain ending in ``->`` must keep
     JSON rendering (DuckDB preserves quotes on string values), so it
-    maps to ``to_json(variant_get(try_parse_json(j), path, 'variant'))``
-    — probed byte-for-byte against DuckDB for string/number/object/
-    bool/float/index/missing cases (test_pgwire.py golden)."""
+    maps to the conditional ``_json_value_expr`` form — golden-tested
+    and hypothesis-fuzzed byte-for-byte against DuckDB
+    (test_pgwire.py / test_compat_properties.py)."""
     guard = 0
     scan_from = 0
     while guard < 100:
@@ -824,14 +824,29 @@ def _rewrite_json_arrows(sql: str) -> str:
         operand = sql[start : k + 1]
         path = "$" + "".join(steps)
         if last_op == "->":
-            repl = (
-                f"to_json(variant_get(try_parse_json({operand}), '{path}', 'variant'))"
-            )
+            repl = _json_value_expr(operand, f"'{path}'")
         else:
             repl = f"get_json_object({operand}, '{path}')"
         sql = sql[:start] + repl + sql[end:]
         scan_from = 0
     return sql
+
+
+def _json_value_expr(operand: str, path: str) -> str:
+    """JSON-typed extraction (final ``->`` / ``json_extract``) matching
+    DuckDB byte-for-byte (fuzz-verified): strings/objects/arrays need
+    the variant form (quotes kept, compact object rendering) while
+    numbers/booleans/JSON-null need ``get_json_object``'s raw handling
+    (DuckDB renders 1.50→'1.5', 0.0→'0.0', 1e2→'100.0' — exactly GJO's
+    double formatting — and a JSON null is SQL NULL, where to_json
+    gives the string 'null'). The first character of the variant
+    rendering picks the branch."""
+    tj = f"to_json(variant_get(try_parse_json({operand}), {path}, 'variant'))"
+    gjo = f"get_json_object({operand}, {path})"
+    return (
+        f"(CASE WHEN left({tj}, 1) IN ('\"', '{{', '[') THEN {tj} "
+        f"ELSE {gjo} END)"
+    )
 
 
 _JSON_EXTRACT_CALL = re.compile(r"(?<![\w.])json_extract\s*\(", re.IGNORECASE)
@@ -866,7 +881,7 @@ def _rewrite_json_extract(sql: str) -> str:
             pos = i
             continue
         j, path = args[0].strip(), args[1].strip()
-        repl = f"to_json(variant_get(try_parse_json({j}), {path}, 'variant'))"
+        repl = _json_value_expr(j, path)
         sql = sql[: m.start()] + repl + sql[i:]
         pos = m.start() + len(repl)
 

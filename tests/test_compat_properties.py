@@ -147,3 +147,59 @@ def test_pg_numeric_binary_roundtrip(d):
     want_scale = max(0, -d.as_tuple().exponent)
     got_scale = len(back.split(".")[1]) if "." in back else 0
     assert got_scale == want_scale, (d, back)
+
+
+@st.composite
+def _json_chain(draw):
+    """A JSON document + an arrow chain over it, DuckDB-valid."""
+    leaf = draw(
+        st.one_of(
+            st.integers(min_value=-99, max_value=99),
+            st.booleans(),
+            st.text(alphabet="abxyz", min_size=0, max_size=5),
+            st.floats(min_value=-9, max_value=9, allow_nan=False).map(
+                lambda f: round(f, 3)
+            ),
+        )
+    )
+    keys = draw(st.lists(st.sampled_from(["a", "b", "k1"]), min_size=1, max_size=3))
+    doc = leaf
+    steps = []
+    for k in keys:
+        wrap_list = draw(st.booleans())
+        if wrap_list:
+            idx = draw(st.integers(min_value=0, max_value=2))
+            doc = [None] * idx + [doc]
+            steps.append(idx)
+        doc = {k: doc}
+        steps.append(k)
+    import json as _json
+
+    chain = ""
+    for s in reversed(steps):
+        chain += f" -> {s}" if isinstance(s, int) else f" -> '{s}'"
+    final = draw(st.sampled_from(["->", "->>"]))
+    if final == "->>":
+        chain = chain.rsplit("->", 1)
+        chain = chain[0] + "->>" + chain[1]
+    return _json.dumps(doc), chain
+
+
+@given(case=_json_chain())
+@settings(max_examples=80, deadline=None)
+def test_json_arrow_chains_match_duckdb(spark, case):
+    """The full -> / ->> chain rewrite (incl. the r6 variant form that
+    preserves JSON quoting on a final ->) must match DuckDB exactly on
+    randomized documents and chains."""
+    import duckdb
+
+    doc, chain = case
+    sql = f"SELECT '{doc}'{chain} AS v"
+    expected = duckdb.connect().execute(sql).fetchall()[0][0]
+    got = spark.sql(rewrite(sql)).collect()[0][0]
+    assert got == (None if expected is None else str(expected)), (
+        sql,
+        rewrite(sql),
+        got,
+        expected,
+    )

@@ -2286,3 +2286,19 @@ def test_wire_export_import_database(client, spark, tmp_path):
     assert res["rows"] == [["1.5"]]
     _fresh_wire_table(spark, "exp_t1")
     _fresh_wire_table(spark, "exp_t2")
+
+
+def test_wire_insert_by_name_and_describe_select(client, spark):
+    """DuckDB INSERT BY NAME and DESCRIBE SELECT run natively through
+    Spark's parser — pinned here so a future fast-path change can't
+    silently drop them."""
+    _fresh_wire_table(spark, "bn_w")
+    client.query("CREATE TABLE bn_w(a int, b varchar)")
+    (res,) = client.query("INSERT INTO bn_w BY NAME SELECT 'x' AS b, 1 AS a")
+    assert "error" not in res, res
+    (res,) = client.query("SELECT a, b FROM bn_w")
+    assert res["rows"] == [["1", "x"]]
+    (res,) = client.query("DESCRIBE SELECT a, b FROM bn_w")
+    assert "error" not in res, res
+    assert [r[0] for r in res["rows"]] == ["a", "b"]
+    _fresh_wire_table(spark, "bn_w")
