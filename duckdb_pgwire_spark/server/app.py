@@ -1752,6 +1752,36 @@ def _refresh_pg_catalog(session: SparkSession) -> None:
     mk([("spark",)], "rolname string").coalesce(1).createOrReplaceTempView(
         "pg_roles"
     )
+    # Empty-but-typed relations psql's \d and BI introspection join
+    # against (no indexes/constraints/comments exist on parquet tables;
+    # an EMPTY result keeps those multi-join queries running where a
+    # missing relation errors the whole \d):
+    mk(
+        [],
+        "indexrelid long, indrelid long, indisprimary boolean, "
+        "indisunique boolean, indkey string",
+    ).coalesce(1).createOrReplaceTempView("pg_index")
+    mk(
+        [],
+        "oid long, conname string, connamespace long, contype string, "
+        "conrelid long, conkey array<int>, condeferrable boolean, "
+        "condeferred boolean, convalidated boolean",
+    ).coalesce(1).createOrReplaceTempView("pg_constraint")
+    mk(
+        [],
+        "schemaname string, tablename string, indexname string, "
+        "tablespace string, indexdef string",
+    ).coalesce(1).createOrReplaceTempView("pg_indexes")
+    mk(
+        [], "objoid long, classoid long, objsubid int, description string"
+    ).coalesce(1).createOrReplaceTempView("pg_description")
+    mk([(403, "btree")], "oid long, amname string").coalesce(
+        1
+    ).createOrReplaceTempView("pg_am")
+    mk(
+        sorted({(g[0], g[1]) for g in _PG_GUCS.values()}),
+        "name string, setting string",
+    ).coalesce(1).createOrReplaceTempView("pg_settings")
     mk(
         is_tables,
         "table_catalog string, table_schema string, table_name string, "
@@ -1766,7 +1796,8 @@ def _refresh_pg_catalog(session: SparkSession) -> None:
 
 
 _PG_CATALOG_RE = re.compile(
-    r"\bpg_(tables|views|namespace|class|type|database|roles|attribute)\b"
+    r"\bpg_(tables|views|namespace|class|type|database|roles|attribute"
+    r"|index|indexes|constraint|description|am|settings)\b"
     r"|\binformation_schema\s*\.|\binfo_schema_(tables|columns)\b",
     re.IGNORECASE,
 )

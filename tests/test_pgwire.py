@@ -2302,3 +2302,32 @@ def test_wire_insert_by_name_and_describe_select(client, spark):
     assert "error" not in res, res
     assert [r[0] for r in res["rows"]] == ["a", "b"]
     _fresh_wire_table(spark, "bn_w")
+
+
+def test_wire_psql_d_constraint_index_joins(client):
+    """The pg_index/pg_constraint/pg_description joins psql's \\d <table>
+    issues must run (empty results — parquet tables carry no indexes or
+    constraints) instead of erroring the whole describe."""
+    (res,) = client.query(
+        "SELECT c2.relname, i.indisprimary, i.indisunique "
+        "FROM pg_catalog.pg_class c, pg_catalog.pg_class c2, pg_catalog.pg_index i "
+        "WHERE c.relname = 'region' AND c.oid = i.indrelid AND i.indexrelid = c2.oid"
+    )
+    assert "error" not in res, res
+    assert res["rows"] == []
+    (res,) = client.query(
+        "SELECT conname, contype FROM pg_catalog.pg_constraint "
+        "WHERE conrelid = 0"
+    )
+    assert "error" not in res, res
+    (res,) = client.query(
+        "SELECT obj_description FROM pg_description LIMIT 1"
+        .replace("obj_description", "description")
+    )
+    assert "error" not in res, res
+    (res,) = client.query(
+        "SELECT name, setting FROM pg_settings WHERE name = 'server_encoding'"
+    )
+    assert res["rows"] == [["server_encoding", "UTF8"]]
+    (res,) = client.query("SELECT indexname FROM pg_indexes WHERE tablename = 'region'")
+    assert "error" not in res and res["rows"] == []
