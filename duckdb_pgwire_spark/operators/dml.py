@@ -1038,3 +1038,46 @@ def dml_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_insert_rows(spark, tbl, spec.cols, spec.source_sql)
     upsert_into(spark, tbl, staged, spec.conflict)
     return spark.table(tbl).select("k", F.round("bal", 2).alias("bal"))
+
+
+@query(
+    "dml_update_from",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey AS k, c_acctbal AS delta FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT t.c_custkey,
+           ROUND(CASE WHEN s.k IS NOT NULL THEN t.c_acctbal + s.delta
+                      ELSE t.c_acctbal END, 2) AS bal
+    FROM customer t LEFT JOIN src s ON t.c_custkey = s.k
+    """,
+    tags=("dml",),
+)
+def dml_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG joined UPDATE (``UPDATE t SET … FROM src WHERE cond``) on a
+    real catalog table through the full parse → rid-snapshot → stitch
+    path the wire server uses. Source keys are unique (customer PK), so
+    the one-match-per-target-row rule is deterministic and the oracle
+    is a pure LEFT-JOIN post-image."""
+    tbl = "dml_updfrom_customer"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    loc = tempfile.mkdtemp(prefix="dml_updfrom_")
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).write.option("path", loc).mode("overwrite").saveAsTable(tbl)
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).createOrReplaceTempView("__updfrom_src_customer")
+    parsed = parse_update(
+        f"UPDATE {tbl} SET c_acctbal = c_acctbal + s.delta "
+        "FROM (SELECT c_custkey AS k, c_acctbal AS delta "
+        "FROM __updfrom_src_customer WHERE c_mktsegment = 'BUILDING') s "
+        f"WHERE {tbl}.c_custkey = s.k"
+    )
+    assert parsed is not None and parsed[3] is not None
+    table, assignments, pred, from_rel = parsed
+    update_from(spark, table, assignments, pred, from_rel)
+    return spark.table(tbl).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
