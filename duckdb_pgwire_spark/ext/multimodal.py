@@ -183,8 +183,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyframe extraction, nothing else changes. The kernel decodes
     before slicing so its units match the oracle's char-based substr on
     multibyte text (r5 verdict: byte-vs-char arithmetic only agreed on
-    single-byte fixtures). Oracle reproduces the slicing arithmetic in
-    SQL.
+    single-byte fixtures); the binary column + per-row decode is KEPT
+    deliberately — it models the bytes-in, codec-step, frames-out
+    pipeline shape even though plain text would suffice here. Oracle
+    reproduces the slicing arithmetic in SQL.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")

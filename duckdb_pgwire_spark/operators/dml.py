@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import re
 import tempfile
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -393,13 +394,42 @@ def split_returning(stmt: str) -> tuple[str, str | None]:
     return stmt[:i].rstrip(), stmt[i + len("RETURNING") :].strip().rstrip(";").strip()
 
 
+# Bounded janitor (code-review r6): every RETURNING/upsert/joined-DML
+# statement materializes a snapshot dir and registers uuid temp views;
+# on a long-lived server that's unbounded /tmp + catalog growth. Rows
+# are always consumed within their own statement, so anything 64
+# statements old is garbage — drop the oldest past that window.
+_SNAPSHOT_DIRS: "deque[str]" = deque()
+_TEMP_VIEWS: "deque[str]" = deque()
+_JANITOR_KEEP = 64
+
+
+def _track_snapshot_dir(loc: str) -> None:
+    import shutil
+
+    _SNAPSHOT_DIRS.append(loc)
+    while len(_SNAPSHOT_DIRS) > _JANITOR_KEEP:
+        shutil.rmtree(_SNAPSHOT_DIRS.popleft(), ignore_errors=True)
+
+
+def _track_temp_view(session: SparkSession, name: str) -> None:
+    _TEMP_VIEWS.append(name)
+    while len(_TEMP_VIEWS) > _JANITOR_KEEP:
+        old = _TEMP_VIEWS.popleft()
+        try:
+            session.catalog.dropTempView(old)
+        except Exception:  # noqa: BLE001 — already gone / other session
+            pass
+
+
 def _materialize(session: SparkSession, sql: str) -> DataFrame:
     """Snapshot a SELECT to a temp parquet dir and read it back —
     decouples the result from the source table so the subsequent
     rewrite-on-write of that table cannot invalidate it. Distributed
-    write, never through the driver."""
+    write, never through the driver; dirs are janitor-bounded."""
     loc = tempfile.mkdtemp(prefix="dml_ret_")
     session.sql(sql).write.mode("overwrite").parquet(loc)
+    _track_snapshot_dir(loc)
     return session.read.parquet(loc)
 
 
@@ -411,6 +441,7 @@ def project_returning(session: SparkSession, df: DataFrame, proj: str) -> DataFr
 
     view = f"__returning_{uuid.uuid4().hex[:12]}"
     df.createOrReplaceTempView(view)
+    _track_temp_view(session, view)
     out = session.sql(f"SELECT {proj} FROM {view}")
     out.schema  # force analysis now so a bad projection errors here  # noqa: B018
     # the uuid-fresh view stays registered for the lazy execution that
@@ -461,25 +492,20 @@ def truncate_table(session: SparkSession, table: str) -> int:
 
 def _recreate_table(session: SparkSession, table: str, select_sql: str) -> None:
     """Schema-CHANGING rewrite (rename/drop column): the post-image has
-    a different schema, so INSERT OVERWRITE can't swap it — CTAS to a
-    stage, drop the target, recreate it from the stage. Distributed
-    writes throughout; external locations, so no leftover-dir CTAS
-    failures."""
-    stage = f"__alter_stage_{table.replace('.', '_')}"
-    session.sql(f"DROP TABLE IF EXISTS {stage}")
-    loc = tempfile.mkdtemp(prefix="alter_stage_")
+    a different schema, so INSERT OVERWRITE can't swap it. Build the
+    NEW table fully (CTAS — the only step that can fail on data) BEFORE
+    touching the target, then swap with a metadata-only drop+rename:
+    the failure window is two catalog operations, not a distributed
+    write (code-review r6: the stage-then-recreate order could lose the
+    table if the second CTAS failed)."""
+    tmp = f"__alter_new_{table.replace('.', '_')}"
+    session.sql(f"DROP TABLE IF EXISTS {tmp}")
+    loc = tempfile.mkdtemp(prefix="alter_new_")
     session.sql(
-        f"CREATE TABLE {stage} USING parquet LOCATION '{loc}' AS {select_sql}"
+        f"CREATE TABLE {tmp} USING parquet LOCATION '{loc}' AS {select_sql}"
     )
-    try:
-        session.sql(f"DROP TABLE {table}")
-        newloc = tempfile.mkdtemp(prefix="alter_new_")
-        session.sql(
-            f"CREATE TABLE {table} USING parquet LOCATION '{newloc}' "
-            f"AS SELECT * FROM {stage}"
-        )
-    finally:
-        session.sql(f"DROP TABLE IF EXISTS {stage}")
+    session.sql(f"DROP TABLE {table}")
+    session.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
 
 
 def rename_column(session: SparkSession, table: str, old: str, new: str) -> None:
@@ -543,6 +569,7 @@ def update_from(
     )
     sv = f"__updfrom_{uuid.uuid4().hex[:12]}"
     rid.createOrReplaceTempView(sv)
+    _track_temp_view(session, sv)
     on = f"({pred})" if pred is not None else "true"
     proj = ", ".join(
         f"({set_map[c.lower()]}) AS {c}" if c.lower() in set_map else f"{leaf}.{c} AS {c}"
@@ -558,6 +585,7 @@ def update_from(
     )
     mv = f"__updmatch_{uuid.uuid4().hex[:12]}"
     matched.createOrReplaceTempView(mv)
+    _track_temp_view(session, mv)
     post_cols = ", ".join(
         f"CASE WHEN m.__rid IS NOT NULL THEN m.{c} ELSE s0.{c} END AS {c}"
         if c.lower() in set_map
@@ -702,6 +730,12 @@ def stage_insert_rows(
         raise ValueError(
             f"INSERT has {len(src.columns)} expressions but {len(names)} target columns"
         )
+    tgt_names = {f.name.lower() for f in tgt_fields}
+    for c in names:
+        if c.lower() not in tgt_names:
+            # PG errors here; silently dropping the value would lose
+            # data on a typo'd column list (code-review r6)
+            raise ValueError(f'column "{c}" of relation "{table}" does not exist')
     src = src.toDF(*names)
     by_lower = {c.lower(): c for c in names}
     aligned = [
@@ -785,8 +819,14 @@ def upsert_into(
     keys = conflict.key_cols
     src = staged.drop("__ins_ord")
     if keys is not None:
+        nn = src
+        for k in keys:
+            # NULL key cells never conflict (unique-constraint
+            # semantics; the join arms below honor the same rule) —
+            # exclude them from the duplicate check too
+            nn = nn.filter(F.col(k).isNotNull())
         dup = (
-            src.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
+            nn.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
         )  # bounded: one row max, batch-sized input
         if dup:
             key_txt = ", ".join(str(dup[0][k]) for k in keys)
@@ -795,6 +835,7 @@ def upsert_into(
             )
     sview = f"__upsert_src_{uuid.uuid4().hex[:12]}"
     src.createOrReplaceTempView(sview)
+    _track_temp_view(session, sview)
     collist = ", ".join(cols)
 
     if keys is None:
@@ -810,6 +851,7 @@ def upsert_into(
         affected = _materialize(session, f"SELECT {collist} FROM {sview}")
         aview = f"__upsert_aff_{uuid.uuid4().hex[:12]}"
         affected.createOrReplaceTempView(aview)
+        _track_temp_view(session, aview)
         _rewrite_table(
             session, table,
             f"SELECT {collist} FROM {table} UNION ALL SELECT {collist} FROM {aview}",
@@ -825,6 +867,7 @@ def upsert_into(
         affected = _materialize(session, inserted)
         aview = f"__upsert_aff_{uuid.uuid4().hex[:12]}"
         affected.createOrReplaceTempView(aview)
+        _track_temp_view(session, aview)
         post = f"SELECT {collist} FROM {table} UNION ALL SELECT {collist} FROM {aview}"
         _rewrite_table(session, table, post)
         return affected
@@ -849,6 +892,7 @@ def upsert_into(
     affected = _materialize(session, f"{updated} UNION ALL {inserted}")
     aview = f"__upsert_aff_{uuid.uuid4().hex[:12]}"
     affected.createOrReplaceTempView(aview)
+    _track_temp_view(session, aview)
     kept = (
         f"SELECT {', '.join(f't.{c} AS {c}' for c in cols)} "
         f"FROM {table} t LEFT JOIN (SELECT *, true AS __m FROM {sview}) s "

@@ -151,6 +151,12 @@ _FN_RENAMES = {
     "arg_max": "max_by",
     "argmin": "min_by",
     "argmax": "max_by",
+    # datetime spellings (DuckDB → Spark twins, same arg order)
+    "datetrunc": "date_trunc",
+    "week": "weekofyear",
+    "to_hex": "hex",
+    "gen_random_uuid": "uuid",
+    "list_zip": "arrays_zip",
     "to_base64": "base64",
     "from_base64": "unbase64",
     "regexp_matches": "rlike",
@@ -695,6 +701,11 @@ _LAMBDA_HOFS = {
     "transform", "filter", "exists", "forall", "aggregate", "reduce",
     "zip_with", "map_filter", "map_zip_with", "transform_keys",
     "transform_values", "array_sort",
+    # DuckDB spellings: the arrow rewrite runs BEFORE the rename pass,
+    # so the pre-rename heads need lambda protection too (code-review
+    # r6: `list_transform(l, x -> 'a')` lost its guard otherwise)
+    "list_transform", "list_filter", "list_sort", "list_aggregate",
+    "list_reduce",
 }
 
 
@@ -854,18 +865,26 @@ _JSON_EXTRACT_CALL = re.compile(r"(?<![\w.])json_extract\s*\(", re.IGNORECASE)
 
 def _rewrite_json_extract(sql: str) -> str:
     """DuckDB ``json_extract(j, path)`` returns JSON (string values keep
-    their quotes), so it maps to the same variant form as a final ``->``
-    chain; ``json_extract_string`` (text result) stays a plain
-    ``get_json_object`` rename."""
-    pos = 0
-    while True:
-        m = _JSON_EXTRACT_CALL.search(sql, pos)
-        if m is None:
-            return sql
+    their quotes), so it maps to the same conditional form as a final
+    ``->`` chain; ``json_extract_string`` (text result) stays a plain
+    ``get_json_object`` rename. INNERMOST-first: the LAST regex match
+    in the string can't contain another call, so nested
+    ``json_extract(json_extract(...))`` rewrites inside-out
+    (code-review r6: scanning forward past the replacement skipped the
+    operand's embedded inner call)."""
+    guard = 0
+    skipped: set[int] = set()
+    while guard < 200:
+        guard += 1
         mask = _code_mask(sql)
-        if not all(mask[m.start() : m.end()]):
-            pos = m.end()
-            continue
+        matches = [
+            m
+            for m in _JSON_EXTRACT_CALL.finditer(sql)
+            if all(mask[m.start() : m.end()]) and m.start() not in skipped
+        ]
+        if not matches:
+            return sql
+        m = matches[-1]
         depth, i = 1, m.end()
         while i < len(sql) and depth:
             if mask[i]:
@@ -878,12 +897,118 @@ def _rewrite_json_extract(sql: str) -> str:
             return sql  # unbalanced — leave for the parser to reject
         args = split_top_level(sql[m.end() : i - 1])
         if len(args) != 2:
-            pos = i
+            skipped.add(m.start())  # wrong arity: leave, loud downstream
             continue
         j, path = args[0].strip(), args[1].strip()
-        repl = _json_value_expr(j, path)
+        sql = sql[: m.start()] + _json_value_expr(j, path) + sql[i:]
+        skipped = {s for s in skipped if s < m.start()}
+    return sql
+
+
+_DT_DIFF_CALL = re.compile(
+    r"(?<![\w.])(date_diff|datediff|date_sub|datesub)\s*\(", re.IGNORECASE
+)
+_DT_UNITS = {
+    "year", "quarter", "month", "week", "day", "hour", "minute", "second",
+    "millisecond", "microsecond",
+}
+
+
+def _rewrite_datetime_diffs(sql: str) -> str:
+    """DuckDB's quoted-unit datetime differences → Spark (probed):
+
+    - ``date_sub('u', a, b)`` counts COMPLETE units — exactly Spark's
+      ``timestampdiff(U, a, b)``.
+    - ``date_diff('u', a, b)`` counts unit-BOUNDARY crossings —
+      ``timestampdiff(U, date_trunc('U', a), date_trunc('U', b))``
+      (complete units between the truncated endpoints ≡ crossings).
+
+    Only the 3-arg quoted-unit form rewrites; Spark's own 2-arg
+    datediff/date_sub pass through untouched."""
+    guard = 0
+    skipped: set[int] = set()
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        matches = [
+            m
+            for m in _DT_DIFF_CALL.finditer(sql)
+            if all(mask[m.start() : m.end()]) and m.start() not in skipped
+        ]
+        if not matches:
+            return sql
+        m = matches[-1]  # innermost-first (same scheme as json_extract)
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql
+        args = split_top_level(sql[m.end() : i - 1])
+        unit = args[0].strip().strip("'").lower() if args else ""
+        if len(args) != 3 or unit not in _DT_UNITS or not re.fullmatch(
+            r"'[A-Za-z]+'", args[0].strip()
+        ):
+            skipped.add(m.start())
+            continue
+        fn = m.group(1).lower()
+        a, b = args[1].strip(), args[2].strip()
+        u = unit.upper()
+        if fn in ("date_sub", "datesub"):
+            repl = f"timestampdiff({u}, {a}, {b})"
+        else:
+            repl = (
+                f"timestampdiff({u}, date_trunc('{u}', {a}), "
+                f"date_trunc('{u}', {b}))"
+            )
         sql = sql[: m.start()] + repl + sql[i:]
-        pos = m.start() + len(repl)
+        skipped = {s for s in skipped if s < m.start()}
+    return sql
+
+
+_REGEXP_EXTRACT_CALL = re.compile(
+    r"(?<![\w.])(regexp_extract(?:_all)?)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_regexp_default_group(sql: str) -> str:
+    """DuckDB's regexp_extract/_all default to group 0 (whole match);
+    Spark defaults to group 1 (errors when the pattern has no group).
+    Append ``, 0`` to 2-arg calls; explicit-group calls pass through."""
+    guard = 0
+    skipped: set[int] = set()
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        matches = [
+            m
+            for m in _REGEXP_EXTRACT_CALL.finditer(sql)
+            if all(mask[m.start() : m.end()]) and m.start() not in skipped
+        ]
+        if not matches:
+            return sql
+        m = matches[-1]
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql
+        args = split_top_level(sql[m.end() : i - 1])
+        if len(args) != 2:
+            skipped.add(m.start())
+            continue
+        sql = sql[: i - 1] + ", 0" + sql[i - 1 :]
+        skipped = {s for s in skipped if s < m.start()}
+    return sql
 
 
 _UNARY_REWRITES = {
@@ -900,6 +1025,10 @@ _UNARY_REWRITES = {
     # list_unique: COUNT of distinct non-NULL elements (DuckDB semantics)
     "list_unique": "size(array_distinct(filter({e}, __x -> __x IS NOT NULL)))",
     "list_count": "size(filter({e}, __x -> __x IS NOT NULL))",
+    # DuckDB datetime spellings without a direct Spark twin
+    "isodow": "(weekday({e}) + 1)",  # ISO Monday=1..Sunday=7
+    "dayname": "date_format({e}, 'EEEE')",  # DuckDB returns FULL names
+    "monthname": "date_format({e}, 'MMMM')",
 }
 
 _UNARY_CALL = re.compile(
@@ -1324,7 +1453,14 @@ def substitute_sequence_fns(sql: str) -> str:
     # scan the FULL string: the quoted sequence name lives in a literal
     # lexer segment, so only the function-name token is mask-checked
     mask = _code_mask(sql)
-    has_from = _find_keyword(sql, "FROM") != -1
+    first = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
+    # per-ROW contexts: any statement evaluating over existing rows
+    # (UPDATE/DELETE/MERGE always; anything with a top-level FROM).
+    # DuckDB advances the sequence once per row there — a single
+    # substituted literal would be silently wrong (code-review r6).
+    per_row = first in ("UPDATE", "DELETE", "MERGE") or (
+        _find_keyword(sql, "FROM") != -1
+    )
     out: list[str] = []
     pos = 0
     for m in _SEQ_FN_RE.finditer(sql):
@@ -1334,11 +1470,12 @@ def substitute_sequence_fns(sql: str) -> str:
         seq = SEQUENCES.get(name)
         if seq is None:
             raise ValueError(f"sequence {m.group(2)!r} does not exist")
-        if has_from:
+        if per_row:
             raise ValueError(
-                "nextval/currval over a row set (statement with FROM) is "
-                "not supported — DuckDB advances the sequence per row; "
-                "use literal VALUES or a rowless SELECT"
+                "nextval/currval in a per-row context (UPDATE/DELETE/MERGE "
+                "or a statement with FROM) is not supported — DuckDB "
+                "advances the sequence per row; use literal VALUES or a "
+                "rowless SELECT"
             )
         with _SEQ_LOCK:
             if fn == "nextval":
@@ -1537,6 +1674,8 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_json_arrows(sql)
     sql = _rewrite_json_extract(sql)
+    sql = _rewrite_datetime_diffs(sql)
+    sql = _rewrite_regexp_default_group(sql)
     sql = _rewrite_from_first(sql)
     sql = _rewrite_unary_fns(sql)
     sql = _rewrite_distinct_on(sql)

@@ -190,8 +190,10 @@ def _encode_pg_numeric(d) -> bytes:
     d = decimal.Decimal(d)
     if d.is_nan():
         return _struct.pack("!hhhh", 0, 0, 0xC000, 0)
-    sign = 0x4000 if d < 0 else 0x0000
-    t = abs(d).as_tuple()
+    # as_tuple is context-free; abs()/arithmetic would round values
+    # wider than the ambient 28-digit context (code-review r6)
+    t = d.as_tuple()
+    sign = 0x4000 if t.sign else 0x0000
     dscale = max(0, -t.exponent)
     # full decimal-digit string split at the point, each side padded to
     # whole base-10000 groups
@@ -223,22 +225,34 @@ def _encode_pg_numeric(d) -> bytes:
 
 
 def _decode_pg_numeric(raw: bytes) -> str:
-    """PG binary NUMERIC → decimal text (Bind parameter path)."""
+    """PG binary NUMERIC → decimal text (Bind parameter path).
+    Reconstructed from the digit STRING (exact at any width — decimal
+    arithmetic under the default 28-digit context would silently round
+    parameters wider than 28 significant digits; code-review r6)."""
     ndigits, weight, sign, dscale = _struct.unpack_from("!hhhh", raw)
     if sign == 0xC000:
         return "NaN"
     groups = _struct.unpack_from(f"!{ndigits}h", raw, 8)
-    # value = sum(groups[i] * 10000^(weight - i)); render with dscale
     import decimal
 
-    total = decimal.Decimal(0)
-    for i, g in enumerate(groups):
-        total += decimal.Decimal(g) * (decimal.Decimal(10000) ** (weight - i))
-    if sign == 0x4000:
-        total = -total
-    return str(total.quantize(decimal.Decimal(1).scaleb(-dscale))) if dscale else str(
-        total.to_integral_value()
-    )
+    with decimal.localcontext() as ctx:
+        # scaleb/quantize are CONTEXT operations — everything must run
+        # under the widened precision or the default 28 digits round
+        ctx.prec = max(60, len(groups) * 4 + dscale + 8)
+        if groups:
+            digs = "".join(f"{g:04d}" for g in groups)
+            # value = int(digs) * 10^(4 * (weight + 1 - len(groups)))
+            total = decimal.Decimal(int(digs)).scaleb(
+                4 * (weight + 1 - len(groups))
+            )
+        else:
+            total = decimal.Decimal(0)
+        if sign == 0x4000:
+            total = -total
+        q = total.quantize(decimal.Decimal(1).scaleb(-dscale))
+    # fixed-point text: scientific notation would type the substituted
+    # literal as DOUBLE in Spark's ANSI rules (lossy for wide numerics)
+    return format(q, "f")
 
 
 def encode_binary(v: Any, dt: T.DataType) -> bytes | None:

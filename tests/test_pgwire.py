@@ -2331,3 +2331,101 @@ def test_wire_psql_d_constraint_index_joins(client):
     assert res["rows"] == [["server_encoding", "UTF8"]]
     (res,) = client.query("SELECT indexname FROM pg_indexes WHERE tablename = 'region'")
     assert "error" not in res and res["rows"] == []
+
+
+def test_wire_code_review_r6_regressions(client, spark):
+    """Regression pins for the r6 code-review findings."""
+    import duckdb
+
+    # 1. nextval in a per-row UPDATE refuses loudly (one substituted
+    #    literal for all rows would be silently wrong)
+    client.query("CREATE SEQUENCE IF NOT EXISTS crseq")
+    (res,) = client.query("UPDATE region SET r_regionkey = nextval('crseq')")
+    assert "error" in res and "per row" in res["error"], res
+    client.query("DROP SEQUENCE crseq")
+    # 2. INSERT with an unknown column errors like PG, never drops data
+    _fresh_wire_table(spark, "crt")
+    client.query("CREATE TABLE crt(a int, b int)")
+    (res,) = client.query("INSERT INTO crt (a, bogus) VALUES (1, 2) RETURNING *")
+    assert "error" in res and "does not exist" in res["error"], res
+    (res,) = client.query("SELECT count(*) AS n FROM crt")
+    assert res["rows"] == [["0"]]
+    # 3. DuckDB-spelled lambda HOFs keep their guard before the rename
+    (res,) = client.query("SELECT list_transform([1, 2], x -> 'a') AS l")
+    assert "error" not in res, res
+    assert res["rows"] == [["{a,a}"]]
+    # 4. nested json_extract rewrites inside-out
+    sql = """SELECT json_extract(json_extract('{"a": {"b": "x"}}', '$.a'), '$.b') AS v"""
+    (res,) = client.query(sql)
+    assert "error" not in res, res
+    want = duckdb.connect().execute(sql).fetchall()[0][0]
+    assert res["rows"][0][0] == str(want), (res, want)
+    # 5. NULL keys never conflict NOR trip the duplicate-key check
+    (res,) = client.query(
+        "INSERT INTO crt VALUES (NULL, 10), (NULL, 20) ON CONFLICT (a) DO NOTHING"
+    )
+    assert "error" not in res, res
+    (res,) = client.query("SELECT count(*) AS n FROM crt")
+    assert res["rows"] == [["2"]]
+    _fresh_wire_table(spark, "crt")
+
+
+def test_binary_numeric_wide_precision():
+    """31-digit NUMERIC round-trips exactly (digit-string decode; the
+    default 28-digit decimal context would silently round)."""
+    import decimal
+
+    from duckdb_pgwire_spark.server.typemap import (
+        _decode_pg_numeric,
+        _encode_pg_numeric,
+    )
+
+    for s in (
+        "1234567890123456789012345678901",
+        "-9999999999999999999999999999.9999",
+        "0.00000000000000000000000000012345",
+    ):
+        d = decimal.Decimal(s)
+        assert decimal.Decimal(_decode_pg_numeric(_encode_pg_numeric(d))) == d, s
+
+
+def test_wire_datetime_diff_spellings_golden(client):
+    """DuckDB date_diff/datediff (boundary crossings), date_sub
+    (complete units), datetrunc, week, isodow, dayname, monthname,
+    to_hex, regexp_extract default group — golden vs DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        "SELECT date_diff('day', DATE '2024-01-01', DATE '2024-03-05') AS v",
+        "SELECT date_diff('month', DATE '2024-01-15', DATE '2024-03-10') AS v",
+        "SELECT date_diff('year', DATE '2023-12-31', DATE '2024-01-01') AS v",
+        "SELECT date_diff('week', DATE '2024-05-12', DATE '2024-05-13') AS v",
+        "SELECT date_diff('hour', TIMESTAMP '2024-01-01 10:59:00', TIMESTAMP '2024-01-01 12:01:00') AS v",
+        "SELECT date_sub('month', DATE '2024-01-15', DATE '2024-03-10') AS v",
+        "SELECT date_sub('month', DATE '2024-01-15', DATE '2024-03-20') AS v",
+        "SELECT datediff('day', DATE '2024-01-01', DATE '2024-01-31') AS v",
+        # CAST: DuckDB's datetrunc keeps DATE for date inputs, Spark's
+        # date_trunc always returns TIMESTAMP (value identical)
+        "SELECT CAST(datetrunc('month', DATE '2024-05-17') AS DATE) AS v",
+        "SELECT week(DATE '2024-05-17') AS v",
+        "SELECT isodow(DATE '2024-05-17') AS v",
+        "SELECT isodow(DATE '2024-05-19') AS v",
+        "SELECT dayname(DATE '2024-05-17') AS v",
+        "SELECT monthname(DATE '2024-01-17') AS v",
+        "SELECT to_hex(255) AS v",
+        "SELECT regexp_extract('a1b22c', '[0-9]+') AS v",
+        "SELECT regexp_extract_all('a1b22c', '[0-9]+') AS v",
+        "SELECT regexp_extract('a1b22c', '([a-z])([0-9]+)', 2) AS v",
+    ]
+    for sql in cases:
+        (res,) = client.query(sql)
+        assert "error" not in res, (sql, res)
+        want = con.execute(sql).fetchall()[0][0]
+        got = res["rows"][0][0]
+        if isinstance(want, list):
+            want_txt = "{" + ",".join(str(x) for x in want) + "}"
+            assert got == want_txt, (sql, got, want)
+        else:
+            assert got == str(want), (sql, got, want)
+    con.close()
