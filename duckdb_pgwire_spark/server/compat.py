@@ -157,6 +157,14 @@ _FN_RENAMES = {
     "to_hex": "hex",
     "gen_random_uuid": "uuid",
     "list_zip": "arrays_zip",
+    "list_concat": "concat",
+    "array_concat": "concat",
+    "list_intersect": "array_intersect",
+    "array_to_string": "array_join",
+    # same literal-separator caveat as string_split→split (regex arg)
+    "string_to_array": "split",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
     "to_base64": "base64",
     "from_base64": "unbase64",
     "regexp_matches": "rlike",
@@ -1011,6 +1019,67 @@ def _rewrite_regexp_default_group(sql: str) -> str:
     return sql
 
 
+# arity-keyed call rewrites: (nargs, template). Templates must not
+# re-produce a matching call of the same arity (the TRIM keyword forms
+# below parse as ONE argument on rescan, so the scanner skips them).
+_NARY_REWRITES: dict[str, tuple[int, str]] = {
+    # DuckDB [lr]trim(string, chars) vs Spark [lr]trim(chars, string):
+    # SWAPPED argument order — passthrough returns silently wrong
+    # values, the worst failure class. The keyword TRIM form is
+    # order-explicit on both engines.
+    "ltrim": (2, "trim(LEADING {1} FROM {0})"),
+    "rtrim": (2, "trim(TRAILING {1} FROM {0})"),
+    "trim": (2, "trim(BOTH {1} FROM {0})"),
+    # scalar xor (DuckDB function; Spark only has the ^ operator)
+    "xor": (2, "(({0}) ^ ({1}))"),
+    # DuckDB list_slice/array_slice(l, begin, end) is 1-based END-
+    # INCLUSIVE; Spark slice takes (start, LENGTH)
+    "list_slice": (3, "slice({0}, {1}, ({2}) - ({1}) + 1)"),
+    "array_slice": (3, "slice({0}, {1}, ({2}) - ({1}) + 1)"),
+}
+
+_NARY_CALL = re.compile(
+    rf"(?<![\w.])({'|'.join(_NARY_REWRITES)})\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_nary_fns(sql: str) -> str:
+    """Arity-matched call rewrites (innermost-first, same scheme as
+    _rewrite_json_extract); other arities pass through untouched."""
+    guard = 0
+    skipped: set[int] = set()
+    while guard < 200:
+        guard += 1
+        mask = _code_mask(sql)
+        matches = [
+            m
+            for m in _NARY_CALL.finditer(sql)
+            if all(mask[m.start() : m.end()]) and m.start() not in skipped
+        ]
+        if not matches:
+            return sql
+        m = matches[-1]
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql
+        nargs, template = _NARY_REWRITES[m.group(1).lower()]
+        args = [a.strip() for a in split_top_level(sql[m.end() : i - 1])]
+        if len(args) != nargs:
+            skipped.add(m.start())
+            continue
+        repl = template.format(*args)
+        sql = sql[: m.start()] + repl + sql[i:]
+        skipped = {s for s in skipped if s < m.start()}
+    return sql
+
+
 _UNARY_REWRITES = {
     # list_reverse_sort(x) → sort_array(x, false): descending sort, the
     # only extra being Spark's explicit direction argument.
@@ -1029,6 +1098,9 @@ _UNARY_REWRITES = {
     "isodow": "(weekday({e}) + 1)",  # ISO Monday=1..Sunday=7
     "dayname": "date_format({e}, 'EEEE')",  # DuckDB returns FULL names
     "monthname": "date_format({e}, 'MMMM')",
+    # float classification (no Spark builtins)
+    "isinf": "(abs({e}) = double('Infinity'))",
+    "isfinite": "(NOT isnan({e}) AND abs({e}) <> double('Infinity'))",
 }
 
 _UNARY_CALL = re.compile(
@@ -1676,6 +1748,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_json_extract(sql)
     sql = _rewrite_datetime_diffs(sql)
     sql = _rewrite_regexp_default_group(sql)
+    sql = _rewrite_nary_fns(sql)
     sql = _rewrite_from_first(sql)
     sql = _rewrite_unary_fns(sql)
     sql = _rewrite_distinct_on(sql)

@@ -2429,3 +2429,45 @@ def test_wire_datetime_diff_spellings_golden(client):
         else:
             assert got == str(want), (sql, got, want)
     con.close()
+
+
+def test_wire_trim_args_and_more_spellings_golden(client):
+    """2-arg [lr]trim have SWAPPED argument order between DuckDB and
+    Spark (silently wrong values on passthrough — worst failure class);
+    plus the r6 rename batch — golden vs DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        "SELECT ltrim('xxabc', 'x') AS v",
+        "SELECT rtrim('abcxx', 'x') AS v",
+        "SELECT trim('xabcx', 'x') AS v",
+        "SELECT ltrim('  abc') AS v",
+        "SELECT xor(5, 3) AS v",
+        "SELECT list_slice([1, 2, 3, 4], 2, 3) AS v",
+        "SELECT list_concat([1], [2, 3]) AS v",
+        "SELECT list_intersect([1, 2, 3], [2, 3, 4]) AS v",
+        "SELECT array_to_string([1, 2, 3], '-') AS v",
+        "SELECT string_to_array('a-b', '-') AS v",
+        "SELECT starts_with('abc', 'ab') AS v",
+        "SELECT ends_with('abc', 'bc') AS v",
+        "SELECT isinf(CAST('inf' AS DOUBLE)) AS v",
+        "SELECT isfinite(1.5) AS v",
+    ]
+    for sql in cases:
+        (res,) = client.query(sql)
+        assert "error" not in res, (sql, res)
+        want = con.execute(sql).fetchall()[0][0]
+        got = res["rows"][0][0]
+        if isinstance(want, list):
+            # set-semantics functions (list_intersect) leave element
+            # order unspecified on both engines — compare as multisets
+            got_elems = sorted(got.strip("{}").split(","))
+            assert got_elems == sorted(str(x) for x in want), (sql, got, want)
+            continue
+        if isinstance(want, bool):
+            want = "t" if want else "f"
+        else:
+            want = str(want)
+        assert got == want, (sql, got, want)
+    con.close()
