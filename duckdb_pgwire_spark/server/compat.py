@@ -165,6 +165,8 @@ _FN_RENAMES = {
     "string_to_array": "split",
     "starts_with": "startswith",
     "ends_with": "endswith",
+    "arbitrary": "any_value",
+    "list": "collect_list",
     "to_base64": "base64",
     "from_base64": "unbase64",
     "regexp_matches": "rlike",
@@ -219,6 +221,14 @@ def _rewrite_code(seg: str) -> str:
         seg = re.sub(rf"\b{old}\s*\(", f"{new}(", seg, flags=re.IGNORECASE)
     # SELECT * EXCLUDE (cols) [DuckDB] → * EXCEPT (cols) [Spark]
     seg = re.sub(r"\*\s+EXCLUDE\s*\(", "* EXCEPT (", seg, flags=re.IGNORECASE)
+    # agg(x) FILTER (pred) [DuckDB shorthand] → FILTER (WHERE pred).
+    # Anchored to a preceding ')' — the aggregate FILTER clause always
+    # follows the aggregate call's close paren, while the HOF
+    # filter(l, x -> ...) in expression position never does.
+    seg = re.sub(
+        r"(\)\s*)FILTER\s*\(\s*(?!WHERE\b)", r"\1FILTER (WHERE ", seg,
+        flags=re.IGNORECASE,
+    )
     # expr::type → CAST(expr AS type) — simple identifier/number/paren-free exprs
     seg = re.sub(
         r"(\w+(?:\.\w+)*)\s*::\s*(\w+(?:\(\d+(?:,\s*\d+)?\))?)",
@@ -1101,6 +1111,14 @@ _UNARY_REWRITES = {
     # float classification (no Spark builtins)
     "isinf": "(abs({e}) = double('Infinity'))",
     "isfinite": "(NOT isnan({e}) AND abs({e}) <> double('Infinity'))",
+    # geometric mean: the log-space identity both engines compute
+    "geomean": "exp(avg(ln({e})))",
+    "geometric_mean": "exp(avg(ln({e})))",
+    # favg/fsum: DuckDB's Kahan-compensated DOUBLE aggregates — the
+    # cast matters (Spark's avg over a decimal literal keeps decimal
+    # scale); compensation itself is an accumulator detail
+    "favg": "avg(CAST({e} AS DOUBLE))",
+    "fsum": "sum(CAST({e} AS DOUBLE))",
 }
 
 _UNARY_CALL = re.compile(

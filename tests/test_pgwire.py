@@ -2471,3 +2471,32 @@ def test_wire_trim_args_and_more_spellings_golden(client):
             want = str(want)
         assert got == want, (sql, got, want)
     con.close()
+
+
+def test_wire_aggregate_spellings_golden(client):
+    """DuckDB aggregate spellings: FILTER without WHERE, favg/fsum,
+    arbitrary, list(), geomean — golden vs DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+    rel = "(VALUES (1, 2.0), (2, 4.0), (3, 6.0)) t(a, b)"
+    cases = [
+        f"SELECT sum(a) FILTER (a > 1) AS v FROM {rel}",
+        f"SELECT favg(b) AS v FROM {rel}",
+        f"SELECT fsum(b) AS v FROM {rel}",
+        f"SELECT list(a) AS v FROM {rel}",
+        f"SELECT ROUND(geomean(b), 6) AS v FROM {rel}",
+        f"SELECT arbitrary(a) AS v FROM (SELECT * FROM {rel} ORDER BY a) s",
+    ]
+    for sql in cases:
+        (res,) = client.query(sql)
+        assert "error" not in res, (sql, res)
+        want = con.execute(sql).fetchall()[0][0]
+        got = res["rows"][0][0]
+        if isinstance(want, list):
+            assert sorted(got.strip("{}").split(",")) == sorted(
+                str(x) for x in want
+            ), (sql, got, want)
+        else:
+            assert got == str(want), (sql, got, want)
+    con.close()
