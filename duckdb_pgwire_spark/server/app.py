@@ -159,10 +159,11 @@ def _param_literal(p: bytes | None) -> str:
     s = p.decode()
     if _NUMERIC_RE.match(s) or s.lower() in ("true", "false"):
         return s
-    # Spark's parser treats backslash as an escape inside string literals
-    # (unlike PG standard_conforming_strings), so backslashes must be
-    # doubled too or a value ending in '\' breaks out of the literal.
-    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    # PG-style literal: quote doubling only. The substituted statement
+    # always passes through compat.rewrite(), whose _pg_escape_literals
+    # pass doubles backslashes for Spark's escape-processing parser —
+    # escaping here too would quadruple them.
+    return "'" + s.replace("'", "''") + "'"
 
 
 _PLACEHOLDER_RE = re.compile(r"\$(\d+)|\?")

@@ -481,6 +481,301 @@ def _split_code_level(s: str, mask_off: int, mask: list[bool], sep: str) -> list
     return out
 
 
+# ------------------------------------------------- PG literal + operator syntax
+
+
+def _pg_escape_literals(sql: str) -> str:
+    """PG/DuckDB string literals are standard-conforming — a backslash is
+    a plain character — while Spark's parser processes backslash escapes
+    inside ``'...'``. Double every backslash in non-E-prefixed
+    single-quoted literals so the value Spark sees equals the value the
+    client sent (``'\\d'`` regex patterns, values ending in ``\\``).
+    ``E'...'`` literals pass through: PG escape-string semantics match
+    Spark's own escape handling for the common ``\\n \\t \\\\ \\'`` set."""
+    parts = _lex(sql)
+    out: list[str] = []
+    for idx, (kind, seg) in enumerate(parts):
+        if kind == "lit" and seg.startswith("'") and "\\" in seg:
+            prev = parts[idx - 1][1] if idx and parts[idx - 1][0] == "code" else ""
+            if re.search(r"(?<![\w.])[Ee]$", prev):
+                out.append(seg)
+            else:
+                out.append(seg.replace("\\", "\\\\"))
+        else:
+            out.append(seg)
+    return "".join(out)
+
+
+def _strip_numeric_underscores(sql: str) -> str:
+    """DuckDB numeric literals allow ``1_000_000`` separators."""
+    if "_" not in sql:
+        return sql
+    mask = _code_mask(sql)
+    chars = list(sql)
+    for m in re.finditer(r"(?<![\w.])\d[\d_]*\d", sql):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        # reject identifier-ish tails (e.g. 1_a is a parse error anyway)
+        if m.end() < len(sql) and (sql[m.end()].isalpha() or sql[m.end()] == "_"):
+            continue
+        for i in range(m.start(), m.end()):
+            if chars[i] == "_":
+                chars[i] = ""
+    return "".join(chars)
+
+
+def _abs_segments(sql: str) -> list[tuple[str, int, int]]:
+    segs: list[tuple[str, int, int]] = []
+    pos = 0
+    for kind, seg in _lex(sql):
+        segs.append((kind, pos, pos + len(seg)))
+        pos += len(seg)
+    return segs
+
+
+def _seg_at(segs: list[tuple[str, int, int]], i: int) -> tuple[str, int, int]:
+    for kind, a, b in segs:
+        if a <= i < b:
+            return kind, a, b
+    return "code", i, i
+
+
+def _scan_left_operand(sql: str, segs, end: int) -> int:
+    """Start index of the tightest value expression ending at ``end``
+    (exclusive): literal / paren group (with optional call head) /
+    qualified identifier or number. Returns ``end`` when nothing
+    operand-like precedes (caller leaves the operator alone)."""
+    i = end
+    while i > 0 and sql[i - 1].isspace():
+        i -= 1
+    if i == 0:
+        return end
+    kind, a, _b = _seg_at(segs, i - 1)
+    if kind == "lit":
+        return a
+    c = sql[i - 1]
+    if c == ")" or c == "]":
+        close, open_ = (")", "(") if c == ")" else ("]", "[")
+        depth = 0
+        j = i
+        while j > 0:
+            j -= 1
+            if sql[j] == close:
+                depth += 1
+            elif sql[j] == open_:
+                depth -= 1
+                if depth == 0:
+                    break
+        m = re.search(r"[A-Za-z_][\w.]*\s*$", sql[:j])
+        if m and m.group(0).strip().upper() not in _BRACKET_KEYWORDS:
+            return m.start()
+        return j
+    m = re.search(r"[\w.$]+$", sql[:i])
+    if m and m.group(0).upper() in _BRACKET_KEYWORDS:
+        return end
+    return m.start() if m else end
+
+
+def _scan_right_operand(sql: str, segs, start: int) -> int:
+    """End index (exclusive) of the tightest value expression starting
+    at/after ``start``: optional sign, then literal / paren group /
+    call / qualified identifier or number (with optional trailing
+    ``(...)`` for calls and ``::type`` casts)."""
+    n = len(sql)
+    i = start
+    while i < n and sql[i].isspace():
+        i += 1
+    if i < n and sql[i] in "+-":
+        i += 1
+        while i < n and sql[i].isspace():
+            i += 1
+    if i >= n:
+        return start
+    kind, _a, b = _seg_at(segs, i)
+    if kind == "lit":
+        return b
+    if sql[i] == "(":
+        depth = 0
+        j = i
+        while j < n:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+        return start
+    m = re.match(r"[\w.$]+", sql[i:])
+    if not m:
+        return start
+    j = i + m.end()
+    k = j
+    while k < n and sql[k].isspace():
+        k += 1
+    if k < n and sql[k] == "(":  # call form
+        depth = 0
+        while k < n:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    return k + 1
+            k += 1
+    return j
+
+
+def _glob_to_regex(pat: str) -> str:
+    out = ["^"]
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch in r"\.^$+{}()|":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    out.append("$")
+    return "".join(out)
+
+
+def _rewrite_operators(sql: str) -> str:
+    """DuckDB operator spellings Spark's parser rejects or mis-reads:
+
+    - ``a ** b`` and ``a ^ b``  → ``POWER(a, b)``  (Spark ``^`` is XOR —
+      passthrough would be silently wrong, the worst failure class)
+    - ``a // b``                → ``FLOOR(a / b)`` (floor division)
+    - ``n!``                    → ``factorial(n)``
+    - ``@x``                    → ``abs(x)``
+    - ``s ~ p`` / ``s !~ p``    → ``RLIKE`` / ``NOT RLIKE``
+    - ``s ~* p`` / ``s !~* p``  → case-insensitive RLIKE via ``(?i)``
+    - ``~~`` family             → LIKE / ILIKE spellings
+    - ``s SIMILAR TO p``        → anchored RLIKE (both engines treat the
+      pattern as a regex matched against the WHOLE string)
+    - ``s GLOB 'pat'``          → anchored RLIKE on the translated glob
+      (literal patterns only; expression patterns pass through loudly)
+    """
+    guard = 0
+    while guard < 400:
+        guard += 1
+        segs = _abs_segments(sql)
+        mask = _code_mask(sql)
+        m = None
+        for cand in re.finditer(
+            r"\*\*|//|\^|!~~\*|~~\*|!~~|~~|!~\*|~\*|!~(?!~)|~|!|@"
+            r"|\bSIMILAR\s+TO\b|\bGLOB\b",
+            sql,
+            re.IGNORECASE,
+        ):
+            if not all(mask[cand.start() : cand.end()]):
+                continue
+            op = cand.group(0)
+            if op == "!" and cand.end() < len(sql) and sql[cand.end()] in "=~":
+                continue
+            if op == "~" and not _infix_context(sql, segs, cand.start()):
+                continue  # prefix bitwise NOT: Spark-native
+            if op == "!" and not _infix_context(sql, segs, cand.start()):
+                continue  # ``!`` with no left operand: leave for parser
+            if op == "@" and _infix_context(sql, segs, cand.start()):
+                continue  # infix @ (no DuckDB meaning): leave loud
+            m = cand
+            break
+        if m is None:
+            return sql
+        op = m.group(0)
+        opu = re.sub(r"\s+", " ", op.upper())
+        if opu in ("**", "^", "//"):
+            ls = _scan_left_operand(sql, segs, m.start())
+            re_ = _scan_right_operand(sql, segs, m.end())
+            if ls == m.start() or re_ == m.end():
+                return sql  # malformed: leave for Spark's parser
+            if opu == "//":
+                # unary minus binds TIGHTER than multiplicative ops
+                # (PG precedence): -7 // 2 is floor(-7 / 2) = -4
+                k = ls
+                while k > 0 and sql[k - 1].isspace():
+                    k -= 1
+                if k > 0 and sql[k - 1] == "-" and not _infix_context(
+                    sql, segs, k - 1
+                ):
+                    ls = k - 1
+            left, right = sql[ls : m.start()].strip(), sql[m.end() : re_].strip()
+            fn = "POWER({0}, {1})" if opu != "//" else "FLOOR(({0}) / ({1}))"
+            sql = sql[:ls] + fn.format(left, right) + sql[re_:]
+        elif opu == "!":
+            ls = _scan_left_operand(sql, segs, m.start())
+            if ls == m.start():
+                return sql
+            left = sql[ls : m.start()].strip()
+            sql = sql[:ls] + f"factorial({left})" + sql[m.end() :]
+        elif opu == "@":
+            re_ = _scan_right_operand(sql, segs, m.end())
+            if re_ == m.end():
+                return sql
+            right = sql[m.end() : re_].strip()
+            sql = sql[: m.start()] + f"abs({right})" + sql[re_:]
+        elif opu in ("~*", "!~*"):
+            re_ = _scan_right_operand(sql, segs, m.end())
+            if re_ == m.end():
+                return sql
+            right = sql[m.end() : re_].strip()
+            neg = "NOT " if opu.startswith("!") else ""
+            sql = (
+                sql[: m.start()]
+                + f" {neg}RLIKE concat('(?i)', {right})"
+                + sql[re_:]
+            )
+        elif opu in ("~", "!~", "~~", "!~~", "~~*", "!~~*"):
+            kw = {
+                "~": " RLIKE ",
+                "!~": " NOT RLIKE ",
+                "~~": " LIKE ",
+                "!~~": " NOT LIKE ",
+                "~~*": " ILIKE ",
+                "!~~*": " NOT ILIKE ",
+            }[opu]
+            sql = sql[: m.start()] + kw + sql[m.end() :]
+        elif opu == "SIMILAR TO":
+            re_ = _scan_right_operand(sql, segs, m.end())
+            if re_ == m.end():
+                return sql
+            right = sql[m.end() : re_].strip()
+            sql = (
+                sql[: m.start()]
+                + f" RLIKE concat('^(?:', {right}, ')$')"
+                + sql[re_:]
+            )
+        elif opu == "GLOB":
+            re_ = _scan_right_operand(sql, segs, m.end())
+            pat = sql[m.end() : re_].strip()
+            if not (pat.startswith("'") and pat.endswith("'")):
+                return sql  # non-literal glob: loud passthrough
+            rx = _glob_to_regex(pat[1:-1]).replace("\\", "\\\\").replace("'", "''")
+            sql = sql[: m.start()] + f" RLIKE '{rx}'" + sql[re_:]
+    return sql
+
+
+def _infix_context(sql: str, segs, i: int) -> bool:
+    """True when position i follows a value operand (word char, literal,
+    or close paren/bracket) — i.e. the operator at i is infix/postfix."""
+    j = i
+    while j > 0 and sql[j - 1].isspace():
+        j -= 1
+    if j == 0:
+        return False
+    kind, _a, _b = _seg_at(segs, j - 1)
+    if kind == "lit":
+        return True
+    if not re.match(r"[\w)\]]", sql[j - 1]):
+        return False
+    m = re.search(r"[A-Za-z_][\w]*$", sql[:j])
+    if m and m.group(0).upper() in _BRACKET_KEYWORDS:
+        return False  # keyword, not an operand: expression start
+    return True
+
+
 # keywords that can directly precede a bracket LITERAL in expression
 # position — an identifier-looking token from this set is never a
 # subscript base
@@ -1755,6 +2050,10 @@ def expand_macros(sql: str) -> str:
 def rewrite(sql: str) -> str:
     """Apply the full dialect pre-pass to one statement."""
     sql = expand_macros(sql)  # first: macro bodies go through every rewrite below
+    sql = _pg_escape_literals(sql)  # PG literal semantics before anything
+    # else EMITS Spark-escaped literals of its own
+    sql = _strip_numeric_underscores(sql)
+    sql = _rewrite_operators(sql)  # before nary: xor() legitimately emits ^
     sql = _rewrite_read_files(sql)  # before literal split: needs the path string
     sql = _rewrite_strftime(sql)  # before literal split: needs the fmt string
     sql = _rewrite_list_aggregate(sql)  # ditto: needs the quoted agg name

@@ -1,0 +1,465 @@
+#!/usr/bin/env python
+"""Dialect-gap probe: run a battery of DuckDB idioms through the wire
+server AND through DuckDB, report statements where the wire errors but
+DuckDB succeeds (gap), or where values diverge (mismatch).
+
+Usage:  python scripts/probe_compat.py [category ...]
+
+Advisory tool — findings feed new shims/tests; not part of the suite.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import math
+import sys
+import threading
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+
+from duckdb_pgwire_spark.functions.udfs import register_udfs  # noqa: E402
+from duckdb_pgwire_spark.server.app import PgWireServer  # noqa: E402
+from duckdb_pgwire_spark.session import (  # noqa: E402
+    TABLES,
+    build_session,
+    register_views,
+    table_path,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# ---------------------------------------------------------------- battery
+
+BATTERY: dict[str, list[str]] = {
+    "select_misc": [
+        "SELECT 1_000_000 AS n",
+        "SELECT 0x10 AS h",
+        "SELECT 1e3 AS e",
+        "SELECT 'Inf'::DOUBLE AS inf",
+        "SELECT '-inf'::DOUBLE AS ninf",
+        "SELECT 'nan'::DOUBLE AS nan",
+        "SELECT 3 // 2 AS idiv",
+        "SELECT 2 ** 10 AS p",
+        "SELECT 5 % 3 AS m",
+        "SELECT -7 // 2 AS negidiv",
+        "SELECT 10 & 6 AS band, 10 | 6 AS bor, xor(10, 6) AS bxor",
+        "SELECT 1 << 4 AS shl, 256 >> 4 AS shr",
+        "SELECT ~5 AS bnot",
+        "SELECT @-4 AS absop",
+        "SELECT 4! AS fact",
+        "SELECT TRUE AND NULL AS a, FALSE OR NULL AS b",
+        "SELECT 1 BETWEEN 0 AND 2 AS bt",
+        "SELECT NULLIF(1, 1) AS n1, NULLIF(2, 1) AS n2",
+        "SELECT IFNULL(NULL, 9) AS c1",
+        "SELECT IF(1 < 2, 'y', 'n') AS i",
+        "SELECT CASE 2 WHEN 1 THEN 'a' WHEN 2 THEN 'b' END AS c",
+        "SELECT DISTINCT ON (r_regionkey % 2) r_regionkey FROM region ORDER BY r_regionkey % 2, r_regionkey",
+    ],
+    "order_group": [
+        "SELECT r_regionkey % 2 AS par, count(*) AS c FROM region GROUP BY ALL ORDER BY ALL",
+        "SELECT n_regionkey, count(*) AS c FROM nation GROUP BY 1 ORDER BY 1",
+        "SELECT n_regionkey FROM nation ORDER BY ALL LIMIT 3",
+        "SELECT n_name FROM nation ORDER BY n_name DESC NULLS LAST LIMIT 2",
+        "SELECT r_regionkey FROM region ORDER BY 1 LIMIT 10% ",
+        "SELECT r_regionkey FROM region ORDER BY 1 OFFSET 3",
+        "SELECT count(*) FILTER (r_regionkey > 1) AS c FROM region",
+        "SELECT grouping(n_regionkey) AS g, n_regionkey, count(*) AS c FROM nation GROUP BY ROLLUP(n_regionkey) ORDER BY g, n_regionkey NULLS LAST LIMIT 4",
+    ],
+    "strings": [
+        "SELECT format('{} x {}', 1, 'a') AS f",
+        "SELECT printf('%d-%s', 7, 'z') AS p",
+        "SELECT repeat('ab', 3) AS r",
+        "SELECT reverse('abc') AS v",
+        "SELECT md5('abc') AS h",
+        "SELECT levenshtein('kitten', 'sitting') AS l",
+        "SELECT jaccard('duck', 'luck') AS j",
+        "SELECT jaro_winkler_similarity('duck', 'duckdb') AS jw",
+        "SELECT hamming('abc', 'abd') AS hd",
+        "SELECT regexp_matches('hello', 'l+') AS m",
+        "SELECT regexp_replace('aaa', 'a', 'b', 'g') AS g",
+        "SELECT regexp_extract('abc123', '([a-z]+)(\\d+)', 2) AS e",
+        "SELECT regexp_extract_all('a1b2', '\\d') AS ea",
+        "SELECT regexp_split_to_array('a,b;c', '[,;]') AS sp",
+        "SELECT string_split('a,b,c', ',') AS ss",
+        "SELECT str_split_regex('a1b2c', '\\d') AS sr",
+        "SELECT split_part('a|b|c', '|', 2) AS s2",
+        "SELECT starts_with('abcdef', 'abc') AS sw, ends_with('abcdef', 'def') AS ew",
+        "SELECT prefix('abcdef', 'abc') AS p, suffix('abcdef', 'def') AS s",
+        "SELECT contains('abcdef', 'cd') AS c",
+        "SELECT position('b' IN 'abc') AS pos",
+        "SELECT strpos('hello', 'll') AS sp2",
+        "SELECT instr('hello', 'll') AS ins",
+        "SELECT left('abcdef', 2) AS l, right('abcdef', 2) AS r",
+        "SELECT lpad('7', 3, '0') AS lp, rpad('7', 3, '0') AS rp",
+        "SELECT ltrim('  x  ') AS lt, rtrim('  x  ') AS rt, trim('  x  ') AS t",
+        "SELECT ltrim('xxaxx', 'x') AS lt2, rtrim('xxaxx', 'x') AS rt2, trim('xxaxx', 'x') AS t2",
+        "SELECT ascii('A') AS a, chr(66) AS b",
+        "SELECT unicode('€') AS u",
+        "SELECT strip_accents('café') AS sa",
+        "SELECT translate('abc', 'ab', 'xy') AS tr",
+        "SELECT replace('aaa', 'a', 'b') AS rp2",
+        "SELECT substring('abcdef', 2, 3) AS s1, substr('abcdef', 2, 3) AS s3",
+        "SELECT substring('abcdef' FROM 2 FOR 3) AS s4",
+        "SELECT 'abc' LIKE 'a%' AS lk, 'abc' ILIKE 'A%' AS il",
+        "SELECT 'abc' SIMILAR TO 'a.c' AS st",
+        "SELECT 'abc' GLOB 'a*' AS gl",
+        "SELECT 'abc' ~ 'a.c' AS rx, 'abc' !~ 'xyz' AS nrx",
+        "SELECT 'a_c' LIKE 'a$_c' ESCAPE '$' AS esc",
+        "SELECT concat_ws('-', 'a', NULL, 'b') AS cw",
+        "SELECT 'a' || 'b' || 'c' AS cat",
+        "SELECT upper('a') AS u2, lower('A') AS l2, initcap('hello world') AS ic",
+        "SELECT length('abc') AS n, strlen('abc') AS sl",
+        "SELECT bit_length('abc') AS bl, octet_length('abc') AS ol",
+        "SELECT to_base(255, 16) AS tb",
+        "SELECT bar(3, 0, 10, 10) AS br",
+        "SELECT to_hex(255) AS th, from_hex('ff') AS fh",
+        "SELECT base64('ab'::BLOB) AS b64, from_base64('YWI=') AS fb",
+        "SELECT encode('ab') AS en, decode('ab'::BLOB) AS de",
+        "SELECT nfc_normalize('é') AS nfc",
+        "SELECT string_agg(n_name, ',' ORDER BY n_name) AS sa FROM (SELECT n_name FROM nation LIMIT 3)",
+    ],
+    "datetime": [
+        "SELECT DATE '2024-03-05' + 3 AS d",
+        "SELECT DATE '2024-03-05' - DATE '2024-03-01' AS dd",
+        "SELECT TIMESTAMP '2024-03-05 01:02:03' + INTERVAL 90 MINUTE AS t",
+        "SELECT TIMESTAMP '2024-03-05 01:02:03' - INTERVAL '1 day' AS t2",
+        "SELECT INTERVAL 2 DAY + INTERVAL 3 HOUR AS iv",
+        "SELECT date_trunc('month', DATE '2024-03-15') AS dt",
+        "SELECT datetrunc('week', TIMESTAMP '2024-03-15 10:00:00') AS dt2",
+        "SELECT date_part('year', DATE '2024-03-15') AS y",
+        "SELECT datepart('dow', DATE '2024-03-17') AS dow",
+        "SELECT dayname(DATE '2024-03-17') AS dn, monthname(DATE '2024-03-17') AS mn",
+        "SELECT dayofweek(DATE '2024-03-17') AS d1, dayofyear(DATE '2024-03-17') AS d2, weekofyear(DATE '2024-03-17') AS w",
+        "SELECT isodow(DATE '2024-03-17') AS iso",
+        "SELECT last_day(DATE '2024-02-05') AS ld",
+        "SELECT make_date(2024, 3, 5) AS md",
+        "SELECT make_timestamp(2024, 3, 5, 10, 30, 12.5) AS mt",
+        "SELECT epoch(TIMESTAMP '2024-01-01 00:00:00') AS ep",
+        "SELECT epoch_ms(TIMESTAMP '2024-01-01 00:00:00.5') AS em",
+        "SELECT to_timestamp(1704067200) AS tt",
+        "SELECT age(TIMESTAMP '2024-03-05', TIMESTAMP '2023-01-04') AS ag",
+        "SELECT greatest(DATE '2024-01-01', DATE '2024-02-01') AS g",
+        "SELECT date_diff('day', DATE '2024-01-01', DATE '2024-03-01') AS dd2",
+        "SELECT date_add(DATE '2024-01-31', INTERVAL 1 MONTH) AS da",
+        "SELECT time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-05 01:17:00') AS tb",
+        "SELECT strftime(DATE '2024-03-05', '%Y/%m/%d') AS sf",
+        "SELECT strptime('05-03-2024', '%d-%m-%Y') AS sp",
+        "SELECT EXTRACT(epoch FROM INTERVAL 90 MINUTE) AS exi",
+        "SELECT TIME '11:30:00' AS t3",
+        "SELECT TIMESTAMP '2024-03-05 01:02:03'::DATE AS cast1",
+        "SELECT '2024-03-05'::DATE AS cast2",
+    ],
+    "numeric": [
+        "SELECT round(2.5) AS r1, round(3.567, 2) AS r2",
+        "SELECT ceil(1.1) AS c, floor(1.9) AS f, trunc(1.9) AS t",
+        "SELECT abs(-3) AS a, sign(-3) AS s",
+        "SELECT sqrt(2) AS q, cbrt(27) AS cb",
+        "SELECT exp(1) AS e, ln(2.718281828) AS l, log10(100) AS lg, log2(8) AS l2",
+        "SELECT log(100) AS lg2",
+        "SELECT pow(2, 10) AS p, power(2, 0.5) AS p2",
+        "SELECT pi() AS pi",
+        "SELECT sin(0) AS s1, cos(0) AS c1, tan(0) AS t1, atan2(1, 1) AS a2",
+        "SELECT degrees(pi()) AS dg, radians(180) AS rd",
+        "SELECT gamma(5) AS g, lgamma(5) AS lg3",
+        "SELECT factorial(5) AS fa",
+        "SELECT even(2.5) AS ev",
+        "SELECT isnan('nan'::DOUBLE) AS n1, isinf('inf'::DOUBLE) AS n2, isfinite(1.0) AS n3",
+        "SELECT greatest(1, 2, 3) AS g2, least(1, 2, 3) AS l3",
+        "SELECT gcd(12, 18) AS gc, lcm(4, 6) AS lc",
+        "SELECT bit_count(7) AS bc",
+        "SELECT random() >= 0 AND random() <= 1 AS rnd",
+        "SELECT setseed(0.5)",
+        "SELECT 1.5::DECIMAL(10,2) AS d",
+        "SELECT 170141183460469231731687303715884105727 AS hug",
+    ],
+    "aggregates": [
+        "SELECT bool_and(r_regionkey >= 0) AS ba, bool_or(r_regionkey > 3) AS bo FROM region",
+        "SELECT bit_and(r_regionkey + 1) AS b1, bit_or(r_regionkey) AS b2, bit_xor(r_regionkey) AS b3 FROM region",
+        "SELECT product(r_regionkey + 1) AS pr FROM region",
+        "SELECT entropy(n_regionkey) AS en FROM nation",
+        "SELECT covar_pop(n_nationkey, n_regionkey) AS cp, covar_samp(n_nationkey, n_regionkey) AS cs FROM nation",
+        "SELECT regr_slope(n_nationkey, n_regionkey) AS rs, regr_intercept(n_nationkey, n_regionkey) AS ri, regr_r2(n_nationkey, n_regionkey) AS r2 FROM nation",
+        "SELECT regr_count(n_nationkey, n_regionkey) AS rc, regr_avgx(n_nationkey, n_regionkey) AS rx, regr_avgy(n_nationkey, n_regionkey) AS ry FROM nation",
+        "SELECT quantile_cont(n_nationkey, [0.25, 0.5, 0.75]) AS qs FROM nation",
+        "SELECT histogram(n_regionkey) AS h FROM nation",
+        "SELECT min(n_name) AS mn, max(n_name) AS mx FROM nation",
+        "SELECT arg_min(n_name, n_nationkey) AS am, arg_max(n_name, n_nationkey) AS ax FROM nation",
+        "SELECT sum(DISTINCT n_regionkey) AS sd FROM nation",
+        "SELECT median(n_nationkey) AS md FROM nation",
+        "SELECT mad(n_nationkey) AS mad FROM nation",
+        "SELECT approx_quantile(n_nationkey, 0.5) BETWEEN 10 AND 14 AS aq FROM nation",
+        "SELECT skewness(n_nationkey) AS sk, kurtosis(n_nationkey) AS ku FROM nation",
+        "SELECT var_pop(n_nationkey) AS vp, var_samp(n_nationkey) AS vs FROM nation",
+        "SELECT stddev(n_nationkey) AS sd2 FROM nation",
+        "SELECT corr(n_nationkey, n_regionkey) AS co FROM nation",
+        "SELECT min(n_nationkey ORDER BY n_name) AS mo FROM nation",
+        "SELECT first(n_name ORDER BY n_nationkey) AS f, last(n_name ORDER BY n_nationkey) AS la FROM nation",
+        "SELECT array_agg(n_regionkey ORDER BY n_nationkey DESC) AS aa FROM (SELECT * FROM nation LIMIT 3)",
+    ],
+    "lists": [
+        "SELECT [1, 2, 3] AS l",
+        "SELECT list_value(1, 2, 3) AS lv",
+        "SELECT range(5) AS r",
+        "SELECT range(2, 5) AS r2",
+        "SELECT range(0, 10, 3) AS r3",
+        "SELECT flatten([[1, 2], [3]]) AS fl",
+        "SELECT list_concat([1], [2, 3]) AS lc",
+        "SELECT [1] || [2] AS lcat",
+        "SELECT list_contains([1, 2], 2) AS lco",
+        "SELECT array_contains([1, 2], 3) AS ac",
+        "SELECT list_position([7, 8, 9], 9) AS lp",
+        "SELECT list_transform([1, 2, 3], x -> x * 2) AS lt",
+        "SELECT list_filter([1, 2, 3], x -> x > 1) AS lf",
+        "SELECT list_reduce([1, 2, 3], (a, b) -> a + b) AS lr",
+        "SELECT list_sort([3, 1, 2]) AS ls",
+        "SELECT list_reverse_sort([1, 3, 2]) AS lrs",
+        "SELECT list_distinct([1, 1, 2]) AS ld",
+        "SELECT list_unique([1, 1, 2]) AS lu",
+        "SELECT list_min([3, 1]) AS lmin, list_max([3, 1]) AS lmax",
+        "SELECT list_sum([1, 2, 3]) AS lsum, list_avg([1, 2, 3]) AS lavg",
+        "SELECT len([1, 2, 3]) AS ln",
+        "SELECT array_length([1, 2, 3]) AS al",
+        "SELECT list_slice([1, 2, 3, 4], 2, 3) AS sl",
+        "SELECT [1, 2, 3, 4][2:3] AS br",
+        "SELECT [1, 2, 3][2] AS idx",
+        "SELECT list_zip([1, 2], [3, 4]) AS lz",
+        "SELECT list_append([1], 2) AS la, list_prepend(0, [1]) AS lpre",
+        "SELECT array_push_back([1], 2) AS pb, array_push_front([1], 0) AS pf",
+        "SELECT list_intersect([1, 2, 3], [2, 3, 4]) AS li",
+        "SELECT list_has_any([1, 2], [2, 9]) AS ha, list_has_all([1, 2, 3], [1, 2]) AS hall",
+        "SELECT array_cosine_similarity([1.0, 0.0], [1.0, 0.0]) AS cos",
+        "SELECT array_inner_product([1.0, 2.0], [3.0, 4.0]) AS ip",
+        "SELECT list_grade_up([3, 1, 2]) AS gu",
+        "SELECT list_aggregate([1, 2, 3], 'sum') AS lag",
+        "SELECT list_aggr([1, 2, 3], 'max') AS lag2",
+        "SELECT unnest([1, 2, 3]) AS u",
+        "SELECT unnest(generate_series(1, 3)) AS ug",
+        "SELECT generate_subscripts([7, 8, 9], 1) AS gsub",
+        "SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1] AS comp",
+        "SELECT string_to_array('a,b', ',') AS sta",
+        "SELECT array_to_string([1, 2], '-') AS ats",
+        "SELECT list_string_agg(['a', 'b']) AS lsa",
+    ],
+    "structs_maps": [
+        "SELECT {'a': 1, 'b': 'x'} AS s",
+        "SELECT struct_pack(a := 1, b := 2) AS sp",
+        "SELECT {'a': 1}.a AS fa",
+        "SELECT struct_extract({'a': 1, 'b': 2}, 'b') AS se",
+        "SELECT row(1, 'x') AS r",
+        "SELECT map([1, 2], ['a', 'b']) AS m",
+        "SELECT map([1, 2], ['a', 'b'])[2] AS mi",
+        "SELECT map_extract(map([1], ['a']), 1) AS me",
+        "SELECT element_at(map([1], ['a']), 1) AS ea",
+        "SELECT cardinality(map([1, 2], ['a', 'b'])) AS ca",
+        "SELECT map_keys(map([1, 2], ['a', 'b'])) AS mk, map_values(map([1, 2], ['a', 'b'])) AS mv",
+        "SELECT map_from_entries([(1, 'a'), (2, 'b')]) AS mfe",
+        "SELECT union_value(num := 2) AS uv",
+    ],
+    "json": [
+        "SELECT '{\"a\": {\"b\": 7}}'::JSON -> 'a' ->> 'b' AS j",
+        "SELECT json_extract('{\"a\": [1, 2]}', '$.a[1]') AS je",
+        "SELECT json_extract_string('{\"a\": \"x\"}', '$.a') AS js",
+        "SELECT json_array_length('[1, 2, 3]') AS jal",
+        "SELECT json_structure('{\"a\": 1}') AS jst",
+        "SELECT json_valid('{\"a\": 1}') AS jv",
+        "SELECT json_keys('{\"a\": 1, \"b\": 2}') AS jk",
+        "SELECT to_json([1, 2]) AS tj",
+        "SELECT json_object('a', 1) AS jo",
+        "SELECT json_array(1, 2) AS ja",
+        "SELECT json_merge_patch('{\"a\": 1}', '{\"b\": 2}') AS jm",
+        "SELECT json_contains('{\"a\": 1}', '1') AS jc",
+        "SELECT json_type('{\"a\": 1}') AS jt",
+        "SELECT json_transform('{\"a\": 1}', '{\"a\": \"VARCHAR\"}') AS jtr",
+    ],
+    "subqueries": [
+        "SELECT r_name FROM region WHERE r_regionkey = (SELECT min(r_regionkey) FROM region)",
+        "SELECT r_name FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM nation WHERE n_nationkey < 3) ORDER BY r_name",
+        "SELECT r_name FROM region WHERE EXISTS (SELECT 1 FROM nation WHERE n_regionkey = r_regionkey AND n_nationkey > 20) ORDER BY r_name",
+        "SELECT r_name FROM region WHERE r_regionkey = ANY (SELECT n_regionkey FROM nation WHERE n_nationkey < 2) ORDER BY r_name",
+        "SELECT r_name FROM region WHERE r_regionkey < ALL (SELECT n_regionkey + 3 FROM nation) ORDER BY r_name",
+        "SELECT r_name, (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey) AS cnt FROM region ORDER BY r_name",
+        "SELECT (SELECT 42) AS scalar",
+        "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(id, v) ORDER BY id",
+        "WITH x AS (SELECT 1 AS a) SELECT * FROM x",
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 5) SELECT sum(n) AS s FROM t",
+        "SELECT n_name FROM nation WHERE (n_regionkey, n_nationkey) IN (SELECT n_regionkey, min(n_nationkey) FROM nation GROUP BY n_regionkey) ORDER BY n_name",
+        "SELECT r_name, u FROM region, unnest([1, 2]) AS t(u) WHERE r_regionkey = 0 ORDER BY u",
+    ],
+    "ddl_dml": [
+        "CREATE OR REPLACE TABLE probe_t1 AS SELECT 1 AS a, 'x' AS b",
+        "SELECT * FROM probe_t1",
+        "INSERT INTO probe_t1 VALUES (2, 'y'), (3, 'z')",
+        "INSERT INTO probe_t1 (b, a) VALUES ('w', 4)",
+        "INSERT INTO probe_t1 BY NAME SELECT 'v' AS b, 5 AS a",
+        "INSERT INTO probe_t1 SELECT 6, 'u' RETURNING a",
+        "UPDATE probe_t1 SET b = upper(b) WHERE a <= 2",
+        "DELETE FROM probe_t1 WHERE a = 3",
+        "SELECT * FROM probe_t1 ORDER BY a",
+        "CREATE OR REPLACE TEMP TABLE probe_tmp AS SELECT 9 AS z",
+        "SELECT * FROM probe_tmp",
+        "DROP TABLE probe_tmp",
+        "ALTER TABLE probe_t1 ADD COLUMN c INT DEFAULT 0",
+        "SELECT a, c FROM probe_t1 ORDER BY a LIMIT 2",
+        "ALTER TABLE probe_t1 RENAME COLUMN c TO c2",
+        "ALTER TABLE probe_t1 DROP COLUMN c2",
+        "CREATE OR REPLACE VIEW probe_v AS SELECT a FROM probe_t1",
+        "SELECT count(*) AS c FROM probe_v",
+        "DROP VIEW probe_v",
+        "DROP TABLE probe_t1",
+    ],
+    "txn_misc": [
+        "BEGIN",
+        "COMMIT",
+        "BEGIN TRANSACTION",
+        "ROLLBACK",
+        "SET TimeZone = 'UTC'",
+        "SELECT current_setting('TimeZone') AS tz",
+        "SHOW TABLES",
+        "SELECT current_schema() AS cs",
+        "SELECT current_database() AS cd",
+        "SELECT version() AS v",
+        "SELECT typeof(1) AS t1, typeof('x') AS t2, typeof([1]) AS t3",
+        "SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a",
+        "FROM region SELECT r_name ORDER BY r_name LIMIT 1",
+        "FROM region LIMIT 1",
+        "SELECT * FROM region POSITIONAL JOIN (SELECT 1 AS x UNION ALL SELECT 2) t LIMIT 2",
+        "SELECT * FROM region USING SAMPLE 2 ROWS",
+        "SELECT count(*) AS c FROM region TABLESAMPLE RESERVOIR(3 ROWS)",
+        "SELECT r_name FROM region ORDER BY r_name LIMIT 2 OFFSET 1",
+        "DESCRIBE SELECT 1 AS x",
+        "SELECT alias(r_name) AS al FROM region LIMIT 1",
+        "SELECT hash(42) = hash(42) AS h",
+        "SELECT uuid() <> uuid() AS u",
+        "SELECT gen_random_uuid() IS NOT NULL AS g",
+        "SELECT txid_current() >= 0 AS t",
+        "SELECT pg_typeof(1) AS pt",
+        "SELECT coalesce(NULL, NULL, 3) AS c",
+        "VALUES (1, 2), (3, 4)",
+        "SELECT columns('r_.*') FROM region ORDER BY r_regionkey LIMIT 1",
+        "SELECT * EXCLUDE (r_comment) FROM region ORDER BY r_regionkey LIMIT 1",
+        "SELECT * REPLACE (upper(r_name) AS r_name) FROM region ORDER BY r_regionkey LIMIT 1",
+        "SELECT min(COLUMNS(['n_nationkey', 'n_regionkey'])) FROM nation",
+    ],
+}
+
+
+def norm_cell(v: object) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return str(v)
+
+
+def rows_equal(wire_rows: list[list[str | None]], duck_rows: list[tuple]) -> bool:
+    if len(wire_rows) != len(duck_rows):
+        return False
+    for wr, dr in zip(wire_rows, duck_rows):
+        if len(wr) != len(dr):
+            return False
+        for wc, dc in zip(wr, dr):
+            dn = norm_cell(dc)
+            if wc == dn:
+                continue
+            # tolerant float compare
+            try:
+                if wc is not None and dn is not None and abs(float(wc) - float(dn)) <= 1e-9 * max(1.0, abs(float(dn))):
+                    continue
+            except (TypeError, ValueError):
+                pass
+            return False
+    return True
+
+
+def main() -> None:
+    cats = sys.argv[1:] or list(BATTERY)
+    spark = build_session(app_name="probe", cpus=8)
+    register_views(spark, SF_DIR)
+    register_udfs(spark)
+
+    server = PgWireServer(spark, host="127.0.0.1", port=0)
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    holder: dict[str, int] = {}
+
+    async def run():
+        await server.start()
+        holder["port"] = server._server.sockets[0].getsockname()[1]
+        started.set()
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(run())
+        loop.run_forever()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    assert started.wait(60)
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "pgwire_client", REPO / "scripts" / "pgwire_client.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    client = mod.PgClient(port=holder["port"])
+
+    duck = duckdb.connect()
+    for name in TABLES:
+        p = table_path(SF_DIR, name)
+        if Path(p).exists():
+            duck.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+    counts = {"ok": 0, "gap": 0, "mismatch": 0, "duck_err": 0, "both_err": 0}
+    for cat in cats:
+        for sql in BATTERY[cat]:
+            try:
+                duck_rows = duck.execute(sql).fetchall()
+                duck_err = None
+            except Exception as e:  # noqa: BLE001
+                duck_rows, duck_err = None, f"{type(e).__name__}: {e}"
+            try:
+                results = client.query(sql)
+                wire_err = None
+                for r in results:
+                    if "error" in r:
+                        wire_err = r["error"]
+                wire_rows = results[-1].get("rows") if results else []
+            except Exception as e:  # noqa: BLE001
+                wire_err, wire_rows = f"CLIENT {type(e).__name__}: {e}", None
+                client = mod.PgClient(port=holder["port"])
+
+            if duck_err and wire_err:
+                counts["both_err"] += 1
+            elif duck_err:
+                counts["duck_err"] += 1
+                print(f"DUCK-ERR [{cat}] {sql}\n    duck: {duck_err}")
+            elif wire_err:
+                counts["gap"] += 1
+                print(f"GAP  [{cat}] {sql}\n    wire: {str(wire_err)[:300]}")
+            elif duck_rows is not None and not rows_equal(wire_rows or [], duck_rows):
+                counts["mismatch"] += 1
+                print(
+                    f"DIFF [{cat}] {sql}\n    wire: {str(wire_rows)[:200]}\n"
+                    f"    duck: {str(duck_rows)[:200]}"
+                )
+            else:
+                counts["ok"] += 1
+    print("\nSUMMARY", counts)
+    client.close()
+    asyncio.run_coroutine_threadsafe(server.stop(), loop).result(10)
+    loop.call_soon_threadsafe(loop.stop)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
