@@ -1,0 +1,515 @@
+"""DuckDB scalar-function parity UDFs (wire-surface compat).
+
+Functions DuckDB v1.x exposes through the reference's ``conn.Prepare``
+delegation (``src/duckdb_pgwire_extension.cpp:52``) that have no Spark
+builtin or expression-template equivalent. All are Arrow-vectorized
+pandas UDFs (batch-at-a-time, the same execution shape as DuckDB's
+vectorized scalar functions); none sit on analytical hot paths — they
+are utility scalars, so the Python round-trip is acceptable and the
+semantics are matched to DuckDB exactly (probed per docstring).
+
+Registered by ``functions.udfs.register_udfs`` so every wire session
+and test session sees them.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- strings
+
+
+@F.pandas_udf(T.DoubleType())
+def _jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Character-set Jaccard similarity (DuckDB jaccard: probed
+    jaccard('duck','luck') = 0.6 — set intersection / union)."""
+
+    def f(x, y):
+        if x is None or y is None:
+            return None
+        sx, sy = set(x), set(y)
+        if not sx and not sy:
+            return 1.0
+        return len(sx & sy) / len(sx | sy)
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
+@F.pandas_udf(T.LongType())
+def _hamming(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Positional mismatch count; DuckDB ERRORS on unequal lengths —
+    matched (the error text differs, the refusal does not)."""
+
+    def f(x, y):
+        if x is None or y is None:
+            return None
+        if len(x) != len(y):
+            raise ValueError("Mismatch Function: Strings must be of equal length!")
+        return sum(1 for p, q in zip(x, y) if p != q)
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)], dtype="object")
+
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    match_dist = max(n1, n2) // 2 - 1
+    f1 = [False] * n1
+    f2 = [False] * n2
+    matches = 0
+    for i in range(n1):
+        lo, hi = max(0, i - match_dist), min(n2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not f2[j] and s1[i] == s2[j]:
+                f1[i] = f2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(n1):
+        if f1[i]:
+            while not f2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / n1 + matches / n2 + (matches - t) / matches) / 3
+
+
+@F.pandas_udf(T.DoubleType())
+def _jaro_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if x is None or y is None else _jaro(x, y) for x, y in zip(a, b)],
+        dtype="float64",
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaro-Winkler with the standard 0.1 prefix scale, boost threshold
+    0.7 (probed: jaro_winkler_similarity('duck','duckdb') = 0.93333…)."""
+
+    def f(x, y):
+        if x is None or y is None:
+            return None
+        j = _jaro(x, y)
+        if j <= 0.7:
+            return j
+        prefix = 0
+        for p, q in zip(x[:4], y[:4]):
+            if p != q:
+                break
+            prefix += 1
+        return j + prefix * 0.1 * (1 - j)
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
+@F.pandas_udf(T.LongType())
+def _damerau_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Unrestricted Damerau-Levenshtein (probed: ('abc','acb') = 1)."""
+
+    def f(s1, s2):
+        if s1 is None or s2 is None:
+            return None
+        n1, n2 = len(s1), len(s2)
+        big = n1 + n2
+        da: dict[str, int] = {}
+        d = [[0] * (n2 + 2) for _ in range(n1 + 2)]
+        d[0][0] = big
+        for i in range(n1 + 1):
+            d[i + 1][0] = big
+            d[i + 1][1] = i
+        for j in range(n2 + 1):
+            d[0][j + 1] = big
+            d[1][j + 1] = j
+        for i in range(1, n1 + 1):
+            db = 0
+            for j in range(1, n2 + 1):
+                k = da.get(s2[j - 1], 0)
+                m = db
+                if s1[i - 1] == s2[j - 1]:
+                    cost = 0
+                    db = j
+                else:
+                    cost = 1
+                d[i + 1][j + 1] = min(
+                    d[i][j] + cost,
+                    d[i + 1][j] + 1,
+                    d[i][j + 1] + 1,
+                    d[k][m] + (i - k - 1) + 1 + (j - m - 1),
+                )
+            da[s1[i - 1]] = i
+        return d[n1 + 1][n2 + 1]
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)], dtype="object")
+
+
+@F.pandas_udf(T.StringType())
+def _nfc_normalize(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _strip_accents(s: pd.Series) -> pd.Series:
+    def f(x):
+        if x is None:
+            return None
+        return "".join(
+            c
+            for c in unicodedata.normalize("NFD", x)
+            if unicodedata.category(c) != "Mn"
+        )
+
+    return s.map(f)
+
+
+@F.pandas_udf(T.StringType())
+def _regexp_replace_one(s: pd.Series, pat: pd.Series, rep: pd.Series) -> pd.Series:
+    """DuckDB regexp_replace default: FIRST occurrence only (Spark's
+    builtin replaces all — the shim routes 3-arg calls here)."""
+    import re as _re
+
+    def f(x, p, r):
+        if x is None or p is None or r is None:
+            return None
+        # translate RE2/PCRE backrefs \1 → Python \1 (both accept \N)
+        return _re.sub(p, r.replace("\\", "\\\\"), x, count=1)
+
+    return pd.Series([f(x, p, r) for x, p, r in zip(s, pat, rep)], dtype="object")
+
+
+_BAR_EIGHTHS = " ▏▎▍▌▋▊▉"
+
+
+@F.pandas_udf(T.StringType())
+def _bar(x: pd.Series, mi: pd.Series, ma: pd.Series, width: pd.Series) -> pd.Series:
+    """DuckDB bar(): full blocks + one eighth-block partial, then
+    space-padded so the BYTE length reaches ``width`` (probed quirk —
+    '███ ' is 10 UTF-8 bytes)."""
+
+    def f(v, lo, hi, w):
+        if v is None or lo is None or hi is None or w is None:
+            return None
+        w = int(w)
+        frac = 0.0 if hi == lo else (float(v) - float(lo)) / (float(hi) - float(lo))
+        frac = min(1.0, max(0.0, frac))
+        units = frac * w
+        full = int(units)
+        eighths = int((units - full) * 8)
+        out = "█" * full + (_BAR_EIGHTHS[eighths] if eighths > 0 else "")
+        pad = w - len(out.encode("utf-8"))
+        return out + " " * max(0, pad)
+
+    return pd.Series([f(*t) for t in zip(x, mi, ma, width)], dtype="object")
+
+
+# ---------------------------------------------------------------- numerics
+
+
+@F.pandas_udf(T.DoubleType())
+def _gamma(x: pd.Series) -> pd.Series:
+    return x.map(lambda v: math.gamma(v) if v is not None else None).astype(
+        "float64"
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _lgamma(x: pd.Series) -> pd.Series:
+    return x.map(lambda v: math.lgamma(v) if v is not None else None).astype(
+        "float64"
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _gcd(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if x is None or y is None else math.gcd(int(x), int(y))
+            for x, y in zip(a, b)
+        ],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _lcm(a: pd.Series, b: pd.Series) -> pd.Series:
+    def f(x, y):
+        if x is None or y is None:
+            return None
+        x, y = int(x), int(y)
+        if x == 0 or y == 0:
+            return 0
+        return abs(x * y) // math.gcd(x, y)
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)], dtype="object")
+
+
+# ---------------------------------------------------------------- datetime
+
+
+@F.pandas_udf(T.StringType())
+def _age_text(a: pd.Series, b: pd.Series) -> pd.Series:
+    """PG/DuckDB age(a, b): calendar interval rendered as DuckDB text
+    ('1 year 2 months 1 day 07:30:00', negatives per-component, zero →
+    '00:00:00'). Returns VARCHAR — Spark intervals cannot mix
+    year-month and day-time parts, and PG clients read text anyway
+    (documented type delta)."""
+    from dateutil.relativedelta import relativedelta
+
+    def f(x, y):
+        if x is None or y is None:
+            return None
+        rd = relativedelta(x, y)
+        neg = "-" if (x < y) else ""
+        parts = []
+        for val, unit in ((rd.years, "year"), (rd.months, "month"), (rd.days, "day")):
+            if val:
+                parts.append(f"{val} {unit}" + ("s" if abs(val) != 1 else ""))
+        micros = (
+            (rd.hours * 3600 + rd.minutes * 60 + rd.seconds) * 1_000_000
+            + rd.microseconds
+        )
+        if micros or not parts:
+            am = abs(micros)
+            hh, rem = divmod(am, 3_600_000_000)
+            mm, rem = divmod(rem, 60_000_000)
+            ss, us = divmod(rem, 1_000_000)
+            t = f"{hh:02d}:{mm:02d}:{ss:02d}"
+            if us:
+                t += f".{us:06d}".rstrip("0")
+            parts.append((neg if micros else "") + t)
+        return " ".join(parts)
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)], dtype="object")
+
+
+# ---------------------------------------------------------------- JSON
+
+
+@F.pandas_udf(T.BooleanType())
+def _json_valid(s: pd.Series) -> pd.Series:
+    def f(x):
+        if x is None:
+            return None
+        try:
+            json.loads(x)
+            return True
+        except (ValueError, TypeError):
+            return False
+
+    return pd.Series([f(x) for x in s], dtype="object")
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _json_keys(s: pd.Series) -> pd.Series:
+    def f(x):
+        if x is None:
+            return None
+        try:
+            v = json.loads(x)
+        except (ValueError, TypeError):
+            return None
+        return list(v.keys()) if isinstance(v, dict) else None
+
+    return pd.Series([f(x) for x in s], dtype="object")
+
+
+def _dump(v) -> str:
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+@F.pandas_udf(T.StringType())
+def _json_merge_patch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """RFC 7386 merge patch (probed: null values delete keys, patch
+    wins, key order = remaining-target-then-patch)."""
+
+    def merge(t, p):
+        if not isinstance(p, dict):
+            return p
+        out = dict(t) if isinstance(t, dict) else {}
+        for k, v in p.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = merge(out.get(k), v)
+        return out
+
+    def f(x, y):
+        if x is None or y is None:
+            return None
+        try:
+            return _dump(merge(json.loads(x), json.loads(y)))
+        except (ValueError, TypeError):
+            return None
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)], dtype="object")
+
+
+def _duck_json_type(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "BOOLEAN"
+    if isinstance(v, int):
+        return "UBIGINT" if v >= 0 else "BIGINT"
+    if isinstance(v, float):
+        return "DOUBLE"
+    if isinstance(v, str):
+        return "VARCHAR"
+    if isinstance(v, list):
+        return "ARRAY"
+    return "OBJECT"
+
+
+@F.pandas_udf(T.StringType())
+def _json_type(s: pd.Series) -> pd.Series:
+    def f(x):
+        if x is None:
+            return None
+        try:
+            return _duck_json_type(json.loads(x))
+        except (ValueError, TypeError):
+            return None
+
+    return pd.Series([f(x) for x in s], dtype="object")
+
+
+@F.pandas_udf(T.BooleanType())
+def _json_contains(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Structural containment (MySQL-style, which DuckDB follows):
+    scalars by equality, objects by subset, arrays by element
+    containment."""
+
+    def contains(h, n):
+        if isinstance(n, dict):
+            if isinstance(h, dict):
+                return all(k in h and contains(h[k], v) for k, v in n.items())
+            if isinstance(h, list):
+                return any(contains(e, n) for e in h)
+            return False
+        if isinstance(n, list):
+            if isinstance(h, list):
+                return all(any(contains(e, x) for e in h) for x in n)
+            return False
+        if isinstance(h, list):
+            return any(contains(e, n) for e in h)
+        if isinstance(h, dict):
+            return any(contains(v, n) for v in h.values())
+        return h == n
+
+    def f(x, y):
+        if x is None or y is None:
+            return None
+        try:
+            return contains(json.loads(x), json.loads(y))
+        except (ValueError, TypeError):
+            return None
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)], dtype="object")
+
+
+# ------------------------------------------------------------ type names
+
+
+def _duck_typename_one(t: str) -> str:
+    """Spark typeof() text → DuckDB type name (recursive for nested)."""
+    t = t.strip()
+    low = t.lower()
+    simple = {
+        "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INTEGER",
+        "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+        "string": "VARCHAR", "boolean": "BOOLEAN", "date": "DATE",
+        "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+        "binary": "BLOB", "void": '"NULL"', "null": '"NULL"',
+    }
+    if low in simple:
+        return simple[low]
+    if low.startswith("decimal"):
+        return t.upper()
+    if low.startswith("interval"):
+        return "INTERVAL"
+    if low.startswith("array<") and low.endswith(">"):
+        return _duck_typename_one(t[6:-1]) + "[]"
+    if low.startswith("map<") and low.endswith(">"):
+        inner = t[4:-1]
+        depth = 0
+        for i, c in enumerate(inner):
+            if c in "<(":
+                depth += 1
+            elif c in ">)":
+                depth -= 1
+            elif c == "," and depth == 0:
+                return (
+                    "MAP("
+                    + _duck_typename_one(inner[:i])
+                    + ", "
+                    + _duck_typename_one(inner[i + 1 :])
+                    + ")"
+                )
+    if low.startswith("struct<") and low.endswith(">"):
+        inner = t[7:-1]
+        fields = []
+        depth = 0
+        last = 0
+        for i, c in enumerate(inner + ","):
+            if c in "<(":
+                depth += 1
+            elif c in ">)":
+                depth -= 1
+            elif c == "," and depth == 0:
+                fld = inner[last:i] if i <= len(inner) else inner[last:]
+                name, _, ftype = fld.partition(":")
+                fields.append(f"{name.strip()} {_duck_typename_one(ftype)}")
+                last = i + 1
+        return "STRUCT(" + ", ".join(fields) + ")"
+    return t.upper()
+
+
+@F.pandas_udf(T.StringType())
+def _duck_typename(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: _duck_typename_one(x) if x is not None else None)
+
+
+# ------------------------------------------------------------ registration
+
+
+def register_compat_udfs(spark: SparkSession) -> None:
+    spark.udf.register("jaccard", _jaccard)
+    spark.udf.register("hamming", _hamming)
+    spark.udf.register("mismatches", _hamming)
+    spark.udf.register("jaro_similarity", _jaro_similarity)
+    spark.udf.register("jaro_winkler_similarity", _jaro_winkler)
+    spark.udf.register("damerau_levenshtein", _damerau_levenshtein)
+    spark.udf.register("nfc_normalize", _nfc_normalize)
+    spark.udf.register("strip_accents", _strip_accents)
+    spark.udf.register("__regexp_replace_one", _regexp_replace_one)
+    spark.udf.register("bar", _bar)
+    spark.udf.register("gamma", _gamma)
+    spark.udf.register("lgamma", _lgamma)
+    spark.udf.register("gcd", _gcd)
+    spark.udf.register("greatest_common_divisor", _gcd)
+    spark.udf.register("lcm", _lcm)
+    spark.udf.register("least_common_multiple", _lcm)
+    spark.udf.register("age", _age_text)
+    spark.udf.register("json_valid", _json_valid)
+    spark.udf.register("json_keys", _json_keys)
+    spark.udf.register("json_merge_patch", _json_merge_patch)
+    spark.udf.register("json_type", _json_type)
+    spark.udf.register("json_contains", _json_contains)
+    spark.udf.register("__duck_typename", _duck_typename)

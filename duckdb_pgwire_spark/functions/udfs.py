@@ -36,9 +36,13 @@ def duckdb_pgwire_udf(name: pd.Series) -> pd.Series:
 
 def register_udfs(spark: SparkSession) -> None:
     """Register the reference's function surface into the Spark catalog
-    (the analogue of ExtensionUtil::RegisterFunction, cpp:206-212)."""
+    (the analogue of ExtensionUtil::RegisterFunction, cpp:206-212),
+    plus the DuckDB scalar-parity UDF batch (compat_udfs)."""
+    from .compat_udfs import register_compat_udfs
+
     spark.udf.register("duckdb_pgwire", duckdb_pgwire_udf)
     spark.udf.register("pg_is_in_recovery", lambda: False, T.BooleanType())
+    register_compat_udfs(spark)
 
 
 @query(

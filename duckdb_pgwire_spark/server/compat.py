@@ -113,8 +113,8 @@ def _split_quoted(sql: str) -> list[tuple[bool, str]]:
 # DuckDB function spellings whose Spark twin is a pure rename (same
 # argument order and semantics). Applied word-boundary + call-paren only.
 _FN_RENAMES = {
-    "string_split": "split",
-    "str_split": "split",
+    # string_split/str_split/string_to_array are NARY rewrites (the
+    # separator is literal text; Spark's split takes a regex)
     "list_contains": "array_contains",
     "list_has": "array_contains",
     "list_distinct": "array_distinct",
@@ -122,7 +122,10 @@ _FN_RENAMES = {
     "list_transform": "transform",
     "list_filter": "filter",
     "list_append": "array_append",
-    "list_prepend": "array_prepend",
+    # list_prepend is a NARY rewrite: DuckDB's argument order is
+    # (elem, list), Spark's array_prepend is (array, elem)
+    "array_push_back": "array_append",
+    "array_push_front": "array_prepend",  # both take (list, elem)
     "list_position": "array_position",
     # len: DuckDB accepts strings AND lists; Spark's length covers
     # strings/binary (the overwhelmingly common usage) and still fails
@@ -173,6 +176,23 @@ _FN_RENAMES = {
     "strpos": "instr",
     "prefix": "startswith",
     "suffix": "endswith",
+    # ---- round-6 probe batch (semantics-exact renames, DuckDB-probed)
+    "strlen": "length",
+    "editdist3": "levenshtein",
+    "str_split_regex": "split",
+    "string_split_regex": "split",
+    "regexp_split_to_array": "split",
+    "list_value": "array",
+    "list_pack": "array",
+    "row": "struct",
+    "epoch_ms": "unix_millis",  # TIMESTAMP form; BIGINT→TS overload stays loud
+    "from_hex": "unhex",
+    "approx_quantile": "approx_percentile",
+    "quantile_cont": "percentile",  # same linear interpolation, list or scalar
+    "mean": "avg",
+    # unnest in expression position ≡ explode (FROM-position unnest is
+    # handled structurally by _rewrite_table_fns before this runs)
+    "unnest": "explode",
 }
 
 # strftime % directives → Spark/Java datetime pattern letters.
@@ -235,29 +255,47 @@ def _rewrite_code(seg: str) -> str:
         r"CAST(\1 AS \2)",
         seg,
     )
-    # FROM generate_series(a, b[, s]) [AS alias] → inclusive explode(sequence)
-    def gs(m: re.Match) -> str:
-        args, alias = m.group(1), m.group(2) or "generate_series"
-        return (
-            f"FROM (SELECT explode(sequence({args})) AS {alias})"
-        )
-
-    seg = re.sub(
-        r"FROM\s+generate_series\s*\(([^)]*)\)(?:\s+(?:AS\s+)?(\w+))?",
-        gs,
-        seg,
-        flags=re.IGNORECASE,
-    )
-    # scalar generate_series(...) (not FROM position): list-returning
-    seg = re.sub(
-        r"(?<!FROM )\bgenerate_series\s*\(",
-        "sequence(",
-        seg,
-        flags=re.IGNORECASE,
-    )
     # bare varchar/bpchar (no length) in DDL → STRING
     seg = re.sub(r"\bvarchar\b(?!\s*\()", "STRING", seg, flags=re.IGNORECASE)
     seg = re.sub(r"\bbpchar\b(?!\s*\()", "STRING", seg, flags=re.IGNORECASE)
+    # DuckDB/PG binary types → Spark BINARY
+    seg = re.sub(r"\bBLOB\b", "BINARY", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\bBYTEA\b", "BINARY", seg, flags=re.IGNORECASE)
+    # DuckDB TABLESAMPLE RESERVOIR(n ROWS/%) → Spark TABLESAMPLE forms
+    # (both are approximate samplers; reservoir exactness is not
+    # preserved — Spark's row sampler is the nearest physical plan)
+    seg = re.sub(
+        r"\bTABLESAMPLE\s+(?:RESERVOIR|BERNOULLI|SYSTEM)\s*\(",
+        "TABLESAMPLE (",
+        seg,
+        flags=re.IGNORECASE,
+    )
+    # markers emitted by the nary pass (dodge its rescan loop)
+    seg = re.sub(r"\b__typeof__\s*\(", "typeof(", seg, flags=re.IGNORECASE)
+    seg = re.sub(
+        r"\b__regexp_replace_all__\s*\(", "regexp_replace(", seg,
+        flags=re.IGNORECASE,
+    )
+    seg = re.sub(
+        r"\b__element_at__\s*\(", "element_at(", seg, flags=re.IGNORECASE
+    )
+    # txid_current(): monotone-enough constant (no MVCC underneath)
+    seg = re.sub(
+        r"\btxid_current\s*\(\s*\)", "CAST(1000 AS BIGINT)", seg,
+        flags=re.IGNORECASE,
+    )
+    # alias(expr): DuckDB's binder answers the expression's OUTPUT name
+    # — the outer AS when present, else the identifier itself
+    seg = re.sub(
+        r"\balias\s*\(\s*([A-Za-z_][\w.]*)\s*\)(\s+AS\s+([A-Za-z_]\w*))?",
+        lambda m: (
+            f"'{m.group(3)}' AS {m.group(3)}"
+            if m.group(3)
+            else "'" + m.group(1).split(".")[-1] + "'"
+        ),
+        seg,
+        flags=re.IGNORECASE,
+    )
     # PG handshake introspection: clients parse version() expecting a
     # 'PostgreSQL X.Y' prefix (Spark's version() returns its own string);
     # pg_catalog-qualified relations resolve to the server-maintained
@@ -326,7 +364,10 @@ _LIST_AGG_FORMS = {
     "string_agg": "array_join(transform({e}, __x -> CAST(__x AS STRING)), ',')",
 }
 
-_LIST_AGG_CALL = re.compile(r"\b(list_aggregate|array_aggregate|aggr)\s*\(", re.IGNORECASE)
+_LIST_AGG_CALL = re.compile(
+    r"(?<![\w.])(list_aggregate|array_aggregate|list_aggr|aggr)\s*\(",
+    re.IGNORECASE,
+)
 
 
 def _rewrite_list_aggregate(sql: str) -> str:
@@ -345,9 +386,9 @@ def _rewrite_list_aggregate(sql: str) -> str:
         last = i
         while i < len(sql) and depth:
             c = sql[i]
-            if c == "(":
+            if c in "([":
                 depth += 1
-            elif c == ")":
+            elif c in ")]":
                 depth -= 1
                 if depth == 0:
                     args.append(sql[last:i])
@@ -691,18 +732,28 @@ def _rewrite_operators(sql: str) -> str:
             re_ = _scan_right_operand(sql, segs, m.end())
             if ls == m.start() or re_ == m.end():
                 return sql  # malformed: leave for Spark's parser
-            if opu == "//":
-                # unary minus binds TIGHTER than multiplicative ops
-                # (PG precedence): -7 // 2 is floor(-7 / 2) = -4
-                k = ls
-                while k > 0 and sql[k - 1].isspace():
-                    k -= 1
-                if k > 0 and sql[k - 1] == "-" and not _infix_context(
-                    sql, segs, k - 1
-                ):
-                    ls = k - 1
+            # DuckDB binds unary minus TIGHTER than these operators
+            # (probed: -2 ^ 2 = 4, -7 // 2 = -3) — grab it
+            k = ls
+            while k > 0 and sql[k - 1].isspace():
+                k -= 1
+            if k > 0 and sql[k - 1] == "-" and not _infix_context(
+                sql, segs, k - 1
+            ):
+                ls = k - 1
             left, right = sql[ls : m.start()].strip(), sql[m.end() : re_].strip()
-            fn = "POWER({0}, {1})" if opu != "//" else "FLOOR(({0}) / ({1}))"
+            if opu == "//":
+                # DuckDB // (probed): truncating division on integer
+                # types, PLAIN division on fractional types. Fractional
+                # literals keep /; everything else gets Spark's DIV
+                # (exact for int columns; doubles error loudly there).
+                frac = re.compile(r"^-?\d*\.\d|^-?\d+[eE]|DOUBLE|FLOAT|REAL")
+                if frac.search(left) or frac.search(right):
+                    fn = "(({0}) / ({1}))"
+                else:
+                    fn = "(({0}) DIV ({1}))"
+            else:
+                fn = "POWER({0}, {1})"
             sql = sql[:ls] + fn.format(left, right) + sql[re_:]
         elif opu == "!":
             ls = _scan_left_operand(sql, segs, m.start())
@@ -1324,10 +1375,151 @@ def _rewrite_regexp_default_group(sql: str) -> str:
     return sql
 
 
-# arity-keyed call rewrites: (nargs, template). Templates must not
-# re-produce a matching call of the same arity (the TRIM keyword forms
-# below parse as ONE argument on rescan, so the scanner skips them).
-_NARY_REWRITES: dict[str, tuple[int, str]] = {
+def _tpl_range_list(args: list[str], *, inclusive: bool) -> str | None:
+    """DuckDB range()/generate_series() in scalar position → a guarded
+    Spark sequence(). range is end-EXCLUSIVE, generate_series INCLUSIVE;
+    both return [] when the bounds run against the step (Spark's
+    sequence ERRORS there, and sequence(1, 0) with the default step
+    would silently count DOWN — the guard is correctness, not polish).
+    Timestamp series (INTERVAL step) skip the sign() guard: the grid is
+    aligned to the start, so the exclusive end just steps back 1µs."""
+    if len(args) == 1:
+        a, b, s = "0", args[0], "1"
+    elif len(args) == 2:
+        (a, b), s = args, "1"
+    elif len(args) == 3:
+        a, b, s = args
+    else:
+        return None
+    if re.search(r"\bINTERVAL\b", s, re.IGNORECASE) or re.search(
+        r"\bTIMESTAMP\b|\bDATE\b", a, re.IGNORECASE
+    ):
+        end = b if inclusive else f"({b}) - INTERVAL 1 MICROSECOND"
+        return f"sequence({a}, {end}, {s})"
+    cmp = "<=" if not inclusive else "<"
+    end = b if inclusive else f"({b}) - CAST(sign({s}) AS BIGINT)"
+    return (
+        f"(CASE WHEN (({b}) - ({a})) * sign({s}) {cmp} 0 "
+        f"THEN slice(sequence({a}, {a}), 1, 0) "
+        f"ELSE sequence({a}, {end}, {s}) END)"
+    )
+
+
+def _tpl_regexp_replace(args: list[str]) -> str | None:
+    """DuckDB regexp_replace replaces the FIRST match by default ('g'
+    flag for all); Spark's replaces ALL. Passthrough is silently wrong."""
+    if len(args) == 3:
+        return "__regexp_replace_one({0}, {1}, {2})".format(*args)
+    if len(args) != 4:
+        return None
+    m = re.match(r"^'([a-z]*)'$", args[3].strip())
+    if not m:
+        return None  # non-literal flags: loud passthrough
+    flags = set(m.group(1))
+    if not flags <= {"g", "i"}:
+        return None
+    pat = f"concat('(?i)', {args[1]})" if "i" in flags else args[1]
+    if "g" in flags:
+        # marker dodges the rescan (a bare 3-arg regexp_replace would
+        # re-match as the replace-FIRST form); _rewrite_code unmasks it
+        return f"__regexp_replace_all__({args[0]}, {pat}, {args[2]})"
+    return f"__regexp_replace_one({args[0]}, {pat}, {args[2]})"
+
+
+def _tpl_date_part(args: list[str]) -> str | None:
+    """DuckDB date_part fields whose Spark twin disagrees: 'dow' is
+    Sunday=0 (Spark's DAYOFWEEK is Sunday=1), 'epoch' has no Spark
+    field. Everything else passes through to Spark's native date_part."""
+    if len(args) != 2:
+        return None
+    field = args[0].strip().strip("'").lower()
+    src = args[1]
+    if field in ("dow", "dayofweek", "weekday"):
+        return f"((weekday({src}) + 1) % 7)"
+    if field == "isodow":
+        return f"(weekday({src}) + 1)"
+    if field == "epoch":
+        return f"(unix_micros(CAST({src} AS TIMESTAMP)) / 1e6)"
+    return None
+
+
+_TIME_BUCKET_SECS = {
+    "microsecond": 0.000001, "microseconds": 0.000001,
+    "millisecond": 0.001, "milliseconds": 0.001,
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _tpl_time_bucket(args: list[str]) -> str | None:
+    """time_bucket(INTERVAL, ts) for literal intervals: second-based
+    widths bucket on the epoch-aligned grid (DuckDB's origin for
+    sub-week widths is 2000-01-03 00:00, which lies ON every
+    whole-second grid that divides a day, so epoch alignment agrees for
+    the practical widths); 1 month / 1 year map to date_trunc. Other
+    widths (weeks, n-month) pass through loudly."""
+    if len(args) != 2:
+        return None
+    m = re.match(
+        r"(?i)^\s*INTERVAL\s+(?:'(\d+)\s+(\w+)'|(\d+)\s+(\w+))\s*$", args[0]
+    )
+    if not m:
+        return None
+    n = int(m.group(1) or m.group(3))
+    unit = (m.group(2) or m.group(4)).lower()
+    ts = args[1]
+    if unit in ("month", "months") and n == 1:
+        return f"CAST(date_trunc('month', {ts}) AS DATE)"
+    if unit in ("year", "years") and n == 1:
+        return f"CAST(date_trunc('year', {ts}) AS DATE)"
+    if unit not in _TIME_BUCKET_SECS:
+        return None
+    secs = _TIME_BUCKET_SECS[unit] * n
+    if secs != int(secs) or int(secs) == 0 or 86400 % int(secs) not in (0,):
+        # non-integer or non-day-dividing widths change the origin story
+        return None
+    secs = int(secs)
+    return (
+        f"timestamp_seconds(CAST(floor(unix_micros(CAST({ts} AS TIMESTAMP))"
+        f" / 1e6 / {secs}) AS BIGINT) * {secs})"
+    )
+
+
+def _tpl_date_add(args: list[str]) -> str | None:
+    if len(args) == 2 and re.match(r"(?i)^\s*INTERVAL\b", args[1]):
+        # DuckDB date_add(DATE, INTERVAL) returns TIMESTAMP
+        return f"CAST(({args[0]}) + ({args[1]}) AS TIMESTAMP)"
+    return None  # integer second arg: Spark-native date_add
+
+
+def _tpl_element_at(args: list[str]) -> str | None:
+    """DuckDB 1.x element_at/subscript on a MAP returns a LIST ([] when
+    the key is absent). Detectable for map-constructor bases — the
+    fixture tables have no MAP columns, so the literal-constructor form
+    is the reachable surface; array bases keep Spark's native scalar."""
+    if len(args) != 2:
+        return None
+    base = args[0].lower()
+    if not (base.startswith("map(") or base.startswith("map_from_arrays(")):
+        return None
+    return (
+        f"(CASE WHEN map_contains_key({args[0]}, {args[1]}) "
+        f"THEN array(__element_at__({args[0]}, {args[1]})) "
+        f"ELSE array() END)"
+    )
+
+
+_GRADE_UP = (
+    "transform(array_sort(zip_with({0}, sequence(1, size({0})), "
+    "(__v, __i) -> struct(__v AS v, __i AS i))), __s -> __s.i)"
+)
+
+# arity-keyed call rewrites: (nargs, template). nargs None = any arity,
+# template may be a callable(args) -> str | None (None: leave alone,
+# loud downstream). Templates must not re-produce a matching call of
+# the same name+arity (the TRIM keyword forms below parse as ONE
+# argument on rescan, so the scanner skips them).
+_NARY_REWRITES: dict = {
     # DuckDB [lr]trim(string, chars) vs Spark [lr]trim(chars, string):
     # SWAPPED argument order — passthrough returns silently wrong
     # values, the worst failure class. The keyword TRIM form is
@@ -1341,6 +1533,89 @@ _NARY_REWRITES: dict[str, tuple[int, str]] = {
     # INCLUSIVE; Spark slice takes (start, LENGTH)
     "list_slice": (3, "slice({0}, {1}, ({2}) - ({1}) + 1)"),
     "array_slice": (3, "slice({0}, {1}, ({2}) - ({1}) + 1)"),
+    # ---- literal-separator splits (Spark split takes a REGEX — the
+    # \Q..\E quoting makes the separator literal, matching DuckDB)
+    "string_split": (2, "split({0}, concat('\\\\Q', {1}, '\\\\E'))"),
+    "str_split": (2, "split({0}, concat('\\\\Q', {1}, '\\\\E'))"),
+    "string_to_array": (2, "split({0}, concat('\\\\Q', {1}, '\\\\E'))"),
+    # ---- list functions
+    "list_prepend": (2, "array_prepend({1}, {0})"),  # DuckDB: (elem, list)
+    "list_reduce": (
+        2,
+        "aggregate(slice({0}, 2, greatest(size({0}) - 1, 0)), "
+        "element_at({0}, 1), {1})",
+    ),
+    "list_has_any": (2, "arrays_overlap({0}, {1})"),
+    "list_has_all": (2, "(size(array_except({1}, {0})) = 0)"),
+    "list_grade_up": (1, _GRADE_UP),
+    "list_string_agg": (
+        1, "array_join(transform({0}, __x -> CAST(__x AS STRING)), ',')"
+    ),
+    "generate_subscripts": (2, "explode(sequence(1, size({0})))"),
+    "range": (None, lambda a: _tpl_range_list(a, inclusive=False)),
+    "generate_series": (None, lambda a: _tpl_range_list(a, inclusive=True)),
+    # ---- maps / structs
+    "map": (2, "map_from_arrays({0}, {1})"),  # DuckDB map takes two LISTs
+    "map_extract": (
+        2,
+        "(CASE WHEN map_contains_key({0}, {1}) "
+        "THEN array(__element_at__({0}, {1})) ELSE array() END)",
+    ),
+    "struct_extract": (2, "({0})[{1}]"),
+    # ---- strings
+    "regexp_replace": (None, _tpl_regexp_replace),
+    "to_base": (2, "conv(CAST({0} AS STRING), 10, {1})"),
+    "unicode": (1, "(CASE WHEN length({0}) = 0 THEN -1 ELSE ascii({0}) END)"),
+    "ord": (1, "(CASE WHEN length({0}) = 0 THEN -1 ELSE ascii({0}) END)"),
+    "encode": (1, "encode({0}, 'UTF-8')"),  # DuckDB: VARCHAR → UTF-8 BLOB
+    "decode": (1, "decode({0}, 'UTF-8')"),
+    # ---- datetime
+    "epoch": (1, "(unix_micros(CAST({0} AS TIMESTAMP)) / 1e6)"),
+    "dayofweek": (1, "((weekday({0}) + 1) % 7)"),  # DuckDB: Sunday=0
+    "date_part": (None, _tpl_date_part),
+    "datepart": (None, _tpl_date_part),
+    "time_bucket": (None, _tpl_time_bucket),
+    "date_add": (None, _tpl_date_add),
+    # ---- numerics
+    "log": (1, "log10({0})"),  # DuckDB 1-arg log is BASE-10 (Spark: ln)
+    "trunc": (1, "(CASE WHEN ({0}) < 0 THEN ceil({0}) ELSE floor({0}) END)"),
+    "even": (
+        1,
+        "CAST(2 * ceil(abs(CAST({0} AS DOUBLE)) / 2) * "
+        "(CASE WHEN ({0}) < 0 THEN -1 ELSE 1 END) AS DOUBLE)",
+    ),
+    "setseed": (1, "CAST(NULL AS DOUBLE)"),  # no statement-scoped RNG seed
+    # bar() default width 80 (the emitted 4-arg call re-matches with
+    # the wrong arity and is skipped — no rescan loop)
+    "bar": (3, "bar({0}, {1}, {2}, 80)"),
+    # ---- typeof: DuckDB type names (marker dodges the rescan loop;
+    # _rewrite_code unmasks it after the nary pass)
+    "typeof": (1, "__duck_typename(__typeof__({0}))"),
+    # pg_typeof: PG spells the same names in lowercase (probed:
+    # 'integer', 'decimal(2,1)', 'integer[]')
+    "pg_typeof": (1, "lower(__duck_typename(__typeof__({0})))"),
+    "element_at": (None, _tpl_element_at),
+    # ---- JSON constructors (named_struct keeps per-value types, which
+    # array() would unify away; mixed-type json_array is a documented
+    # delta — Spark's array() coerces to a common type)
+    "json_object": (
+        None,
+        lambda a: (
+            "'{}'"
+            if not a or a == [""]
+            else (
+                f"to_json(named_struct({', '.join(a)}))"
+                if len(a) % 2 == 0
+                else None
+            )
+        ),
+    ),
+    "json_array": (
+        None,
+        lambda a: (
+            "'[]'" if not a or a == [""] else f"to_json(array({', '.join(a)}))"
+        ),
+    ),
 }
 
 _NARY_CALL = re.compile(
@@ -1376,10 +1651,16 @@ def _rewrite_nary_fns(sql: str) -> str:
             return sql
         nargs, template = _NARY_REWRITES[m.group(1).lower()]
         args = [a.strip() for a in split_top_level(sql[m.end() : i - 1])]
-        if len(args) != nargs:
+        if nargs is not None and len(args) != nargs:
             skipped.add(m.start())
             continue
-        repl = template.format(*args)
+        if callable(template):
+            repl = template(args)
+            if repl is None:
+                skipped.add(m.start())
+                continue
+        else:
+            repl = template.format(*args)
         sql = sql[: m.start()] + repl + sql[i:]
         skipped = {s for s in skipped if s < m.start()}
     return sql
@@ -2047,6 +2328,283 @@ def expand_macros(sql: str) -> str:
     return sql
 
 
+_TABLE_FN_RE = re.compile(
+    r"(,|\bFROM\b|\bJOIN\b)\s*(generate_series|range|unnest)\s*\(",
+    re.IGNORECASE,
+)
+_TABLE_FN_ALIAS_RE = re.compile(
+    r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(?:\(\s*([A-Za-z_]\w*)\s*\))?",
+    re.IGNORECASE,
+)
+_ALIAS_STOPWORDS = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "ON", "JOIN", "INNER",
+    "LEFT", "RIGHT", "FULL", "CROSS", "UNION", "INTERSECT", "EXCEPT",
+    "HAVING", "QUALIFY", "USING", "AS", "LATERAL", "SELECT", "WINDOW",
+    "POSITIONAL", "ASOF", "NATURAL", "SEMI", "ANTI", "SAMPLE",
+    "TABLESAMPLE", "RETURNING", "SET", "VALUES", "WITH",
+}
+
+
+def _rewrite_table_fns(sql: str) -> str:
+    """FROM-position table functions → Spark structural forms:
+
+    - ``FROM generate_series/range(...) [t [(c)]]``
+        → ``FROM (SELECT explode(<series-expr>) AS c) t``
+    - ``, unnest(E) [AS] t(c)`` (lateral, correlated to the left table)
+        → `` LATERAL VIEW explode(E) t AS c``
+      (same lateral form for comma-joined generate_series/range).
+
+    DuckDB names the emitted column after the function when no column
+    alias is given. Expression-position unnest/generate_series/range
+    are handled by the rename/nary tables after this pass."""
+    guard = 0
+    skipped: set[int] = set()
+    while guard < 50:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _TABLE_FN_RE.finditer(sql)
+                if all(mask[c.start() : c.end()]) and c.start() not in skipped
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        lead, fn = m.group(1), m.group(2).lower()
+        if lead == "," and not _in_from_clause(sql, mask, m.start()):
+            # a comma in a SELECT/GROUP BY list, not a lateral join —
+            # scalar-position handling (nary/rename tables) applies
+            skipped.add(m.start())
+            continue
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql
+        args = [a.strip() for a in split_top_level(sql[m.end() : i - 1])]
+        if fn == "unnest":
+            expr = args[0] if len(args) == 1 else None
+        else:
+            expr = _tpl_range_list(args, inclusive=(fn == "generate_series"))
+        if expr is None:
+            skipped.add(m.start())  # unsupported shape: loud downstream
+            continue
+        # optional "[AS] t[(c)]" alias tail
+        t_alias, col_alias, tail_end = None, None, i
+        am = _TABLE_FN_ALIAS_RE.match(sql, i)
+        if am and am.group(1).upper() not in _ALIAS_STOPWORDS:
+            t_alias, col_alias, tail_end = am.group(1), am.group(2), am.end()
+        col = col_alias or fn
+        tname = t_alias or f"__{fn}_t"
+        if lead == ",":
+            repl = f" LATERAL VIEW explode({expr}) {tname} AS {col}"
+            sql = sql[: m.start()] + repl + sql[tail_end:]
+        else:
+            repl = f"{lead} (SELECT explode({expr}) AS {col}) {tname}"
+            sql = sql[: m.start()] + repl + sql[tail_end:]
+        skipped = {s for s in skipped if s < m.start()}
+    return sql
+
+
+def _in_from_clause(sql: str, mask: list[bool], pos: int) -> bool:
+    """True when the nearest same-depth clause keyword scanning BACK
+    from ``pos`` is FROM/JOIN (so a comma at ``pos`` continues a FROM
+    list). SELECT/WHERE/GROUP/... at the same depth means the comma
+    separates expressions instead."""
+    depth = 0
+    i = pos - 1
+    while i >= 0:
+        if mask[i]:
+            c = sql[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    return False  # opened a subexpression/arg list
+                depth -= 1
+            elif depth == 0 and (c.isalpha() or c == "_"):
+                j = i
+                while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+                    j -= 1
+                word = sql[j : i + 1].upper()
+                if word in ("FROM", "JOIN"):
+                    return True
+                if word in (
+                    "SELECT", "WHERE", "HAVING", "QUALIFY", "SET",
+                    "VALUES", "BY", "LIMIT", "OFFSET", "WINDOW", "ON",
+                ):
+                    return False
+                i = j
+        i -= 1
+    return False
+
+
+def _printf_spec(spec: str) -> str | None:
+    m = re.match(r"^([<>]?)(0?)(\d*)(?:\.(\d+))?([dfsxXoe]?)$", spec)
+    if not m:
+        return None
+    align, zero, width, prec, typ = m.groups()
+    flag = "-" if align == "<" else ("0" if zero else "")
+    typ = typ or ("f" if prec else "s")
+    return f"{flag}{width or ''}{'.' + prec if prec else ''}{typ}"
+
+
+def _fmtlib_to_printf(fmt: str) -> str | None:
+    """fmtlib '{}' / '{:spec}' / '{N}' format (DuckDB's format()) → the
+    printf form Spark's format_string speaks (positional via %N$)."""
+    out: list[str] = []
+    i, auto = 0, 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "{":
+            if fmt[i : i + 2] == "{{":
+                out.append("{")
+                i += 2
+                continue
+            j = fmt.find("}", i)
+            if j == -1:
+                return None
+            body = fmt[i + 1 : j]
+            argno, spec = body.split(":", 1) if ":" in body else (body, "")
+            if argno == "":
+                auto += 1
+                idx = auto
+            elif argno.isdigit():
+                idx = int(argno) + 1
+            else:
+                return None
+            conv = _printf_spec(spec)
+            if conv is None:
+                return None
+            out.append(f"%{idx}${conv}")
+            i = j + 1
+        elif c == "}":
+            if fmt[i : i + 2] == "}}":
+                out.append("}")
+                i += 2
+                continue
+            return None
+        elif c == "%":
+            out.append("%%")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+_FORMAT_CALL = re.compile(r"(?<![\w.])format\s*\(\s*'", re.IGNORECASE)
+
+
+def _rewrite_format(sql: str) -> str:
+    """DuckDB ``format('fmtlib...', args)`` → ``format_string('printf',
+    args)`` for literal format strings covering the fmtlib subset
+    ({}, {N}, fill/width/precision/d-f-s-x-o-e). Runs BEFORE literal
+    splitting (needs the quoted format)."""
+    guard = 0
+    while guard < 50:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _FORMAT_CALL.finditer(sql)
+                if all(mask[c.start() : c.start() + 6])
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, i = 1, m.end() - 1  # back up onto the quote
+        # locate the end of the call with the mask-aware scan
+        i = m.end() - 1
+        depth = 1
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql
+        args = [a.strip() for a in split_top_level(sql[m.end() - 1 : i - 1])]
+        fm = re.match(r"^'((?:[^']|'')*)'$", args[0])
+        if not fm:
+            return sql
+        printf = _fmtlib_to_printf(fm.group(1))
+        if printf is None:
+            return sql  # unsupported spec: loud downstream
+        # Java's formatter is strict about argument classes: route each
+        # argument through the cast its conversions demand (%f rejects
+        # DECIMAL literals, %d rejects INT-vs-BIGINT mismatches)
+        casts: dict[int, str] = {}
+        for cm in re.finditer(r"%(\d+)\$[-0]?\d*(?:\.\d+)?([dfsxXoe])", printf):
+            idx, typ = int(cm.group(1)), cm.group(2)
+            if typ in ("f", "e"):
+                casts[idx] = "DOUBLE"
+            elif typ in ("d", "x", "X", "o"):
+                casts[idx] = "BIGINT"
+        rest = [
+            f"CAST({a} AS {casts[n + 1]})" if (n + 1) in casts else a
+            for n, a in enumerate(args[1:])
+        ]
+        printf = printf.replace("'", "''")
+        repl = (
+            f"format_string('{printf}', {', '.join(rest)})"
+            if rest
+            else f"'{printf}'"
+        )
+        sql = sql[: m.start()] + repl + sql[i:]
+    return sql
+
+
+_STRUCT_PACK_CALL = re.compile(r"(?<![\w.])struct_pack\s*\(", re.IGNORECASE)
+
+
+def _rewrite_struct_pack(sql: str) -> str:
+    """``struct_pack(a := 1, b := x)`` → ``named_struct('a', 1, 'b', x)``."""
+    guard = 0
+    while guard < 50:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _STRUCT_PACK_CALL.finditer(sql)
+                if all(mask[c.start() : c.end()])
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql
+        pairs = []
+        for a in split_top_level(sql[m.end() : i - 1]):
+            pm = re.match(r"^\s*([A-Za-z_]\w*)\s*:=\s*(.+)$", a, re.DOTALL)
+            if not pm:
+                return sql  # not the := form: loud downstream
+            pairs.append(f"'{pm.group(1)}', {pm.group(2).strip()}")
+        sql = sql[: m.start()] + f"named_struct({', '.join(pairs)})" + sql[i:]
+    return sql
+
+
 def rewrite(sql: str) -> str:
     """Apply the full dialect pre-pass to one statement."""
     sql = expand_macros(sql)  # first: macro bodies go through every rewrite below
@@ -2058,13 +2616,17 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_strftime(sql)  # before literal split: needs the fmt string
     sql = _rewrite_list_aggregate(sql)  # ditto: needs the quoted agg name
     sql = _rewrite_pg_client_fns(sql)  # ditto: current_setting / CAST-INTERVAL
+    sql = _rewrite_format(sql)  # ditto: needs the quoted fmtlib string
     sql = _rewrite_array_constructor(sql)
     sql = _rewrite_brackets(sql)  # after ARRAY[..]: bare [..] / l[i] / slices
     sql = _rewrite_struct_literals(sql)
+    sql = _rewrite_struct_pack(sql)
     sql = _rewrite_json_arrows(sql)
     sql = _rewrite_json_extract(sql)
     sql = _rewrite_datetime_diffs(sql)
     sql = _rewrite_regexp_default_group(sql)
+    sql = _rewrite_table_fns(sql)  # FROM-position fns BEFORE the nary
+    # pass claims their scalar spellings
     sql = _rewrite_nary_fns(sql)
     sql = _rewrite_from_first(sql)
     sql = _rewrite_unary_fns(sql)

@@ -74,8 +74,11 @@ def test_encode_text_values():
 
 def test_rewrite_generate_series_from():
     out = rewrite("select 'euiko' from generate_series(0, 10)")
-    assert "explode(sequence(0, 10))" in out
+    assert "explode(" in out and "sequence(0, 10" in out
     assert "generate_series(" not in out
+    # empty-series guard: DuckDB generate_series(1, 0) is [] — Spark's
+    # bare sequence(1, 0) would silently count DOWN
+    assert "CASE WHEN" in rewrite("SELECT generate_series(1, 0)")
 
 
 def test_rewrite_cast_colons():
@@ -838,7 +841,7 @@ def test_isolated_sessions_temp_views(spark):
 def test_wire_complex_types_render_as_text(client):
     (res,) = client.query(
         "SELECT array(1, 2, 3) AS arr, named_struct('a', 1, 'b', 'x') AS st, "
-        "map('k', 1) AS m"
+        "map(['k'], [1]) AS m"  # DuckDB map(): two LISTS
     )
     assert res["rows"] == [["{1,2,3}", '{"a":1,"b":"x"}', '{"k":1}']]
     assert res["oids"] == [25, 25, 25]  # rendered as text
@@ -888,7 +891,10 @@ def test_wire_concurrent_clients(wire_server):
 
 
 def test_rewrite_function_renames():
-    assert rewrite("SELECT string_split(a, ' ') FROM t") == "SELECT split(a, ' ') FROM t"
+    # string_split's separator is LITERAL text — the \Q..\E quoting
+    # keeps Spark's regex-based split from treating '.' as a wildcard
+    out = rewrite("SELECT string_split(a, ' ') FROM t")
+    assert "split(a, concat(" in out and "\\\\Q" in out
     assert rewrite("SELECT list_contains(l, 1) FROM t") == "SELECT array_contains(l, 1) FROM t"
     # inside literals untouched
     assert rewrite("SELECT 'string_split(x)'") == "SELECT 'string_split(x)'"
@@ -991,10 +997,11 @@ def test_rewrite_list_aggregate_forms():
     assert "list_aggregate(l, 'median')" in rewrite("SELECT list_aggregate(l, 'median')")
 
 
-def test_rewrite_epoch_ms_not_renamed():
-    # epoch_ms is overloaded in DuckDB (BIGINT→TIMESTAMP and
-    # TIMESTAMP→BIGINT); a blanket rename broke the integer form
-    assert "epoch_ms(1640995200000)" in rewrite("SELECT epoch_ms(1640995200000)")
+def test_rewrite_epoch_ms_maps_to_unix_millis():
+    # epoch_ms(TIMESTAMP) → unix_millis; the BIGINT→TIMESTAMP overload
+    # fails LOUDLY at analysis (DATATYPE_MISMATCH) rather than silently
+    # — the timestamp form is the one clients hit
+    assert "unix_millis(" in rewrite("SELECT epoch_ms(TIMESTAMP '2024-01-01')")
 
 
 def test_wire_duplicate_output_names(client):
@@ -1334,11 +1341,11 @@ def test_cancel_request_kills_running_query(client):
 
     assert client.backend_key is not None and client.backend_key[1] > 0
 
-    # ~3e12 multiplications: minutes of JVM work if NOT cancelled — the
+    # ~2e14 row combinations: minutes of JVM work if NOT cancelled — the
     # test passing quickly is itself evidence the jobs were killed.
     slow_sql = (
-        "SELECT count(*) AS n FROM range(30000000) a CROSS JOIN range(100000) b "
-        "WHERE (a.id * b.id) % 7 = 3"
+        "SELECT count(*) AS n FROM lineitem a CROSS JOIN lineitem b "
+        "WHERE (a.l_orderkey * b.l_orderkey) % 7 = 3"
     )
     result: dict = {}
 
@@ -1370,7 +1377,7 @@ def test_extended_portal_suspension(client):
     until the iterator drains, then CommandComplete with the TOTAL count
     (JDBC setFetchSize / psycopg named-cursor paging)."""
     out = client.extended_fetch(
-        "SELECT id FROM range(25) ORDER BY id", maxrows=10
+        "SELECT id FROM range(25) t(id) ORDER BY id", maxrows=10
     )
     assert "error" not in out, out
     assert out["batches"] == [10, 10, 5]
@@ -1382,14 +1389,18 @@ def test_extended_portal_suspension(client):
 def test_extended_portal_suspension_exact_boundary(client):
     # maxrows divides the row count exactly: one extra suspend, then an
     # empty final Execute answers CommandComplete
-    out = client.extended_fetch("SELECT id FROM range(20) ORDER BY id", maxrows=10)
+    out = client.extended_fetch(
+        "SELECT id FROM range(20) t(id) ORDER BY id", maxrows=10
+    )
     assert "error" not in out, out
     assert out["tag"] == "SELECT 20"
     assert sum(out["batches"]) == 20
 
 
 def test_extended_maxrows_zero_streams_all(client):
-    out = client.extended_fetch("SELECT id FROM range(7) ORDER BY id", maxrows=0)
+    out = client.extended_fetch(
+        "SELECT id FROM range(7) t(id) ORDER BY id", maxrows=0
+    )
     assert "error" not in out, out
     assert out["batches"] == [7]
     assert out["events"].count("s") == 0
