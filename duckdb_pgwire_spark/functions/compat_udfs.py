@@ -424,6 +424,58 @@ def _json_contains(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([f(x, y) for x, y in zip(a, b)], dtype="object")
 
 
+# ----------------------------------------------------------- aggregates
+# Grouped-agg pandas UDFs (Arrow per-group batches). These are utility
+# statistics, not fact-table hot paths; each ships one column of the
+# group to Python. DuckDB semantics probed in tests/test_compat_battery.
+
+
+@F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+def _product_agg(v: pd.Series) -> float:
+    s = v.dropna()
+    return float(s.prod()) if len(s) else None
+
+
+@F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+def _mad_agg(v: pd.Series) -> float:
+    """Median absolute deviation (probed: mad of [1,2,2,3] = 0.5 —
+    interpolated median on the deviations, same as DuckDB)."""
+    s = v.dropna().astype("float64")
+    if not len(s):
+        return None
+    return float((s - s.median()).abs().median())
+
+
+@F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+def _entropy_agg(v: pd.Series) -> float:
+    """Shannon entropy in bits over value frequencies (probed: 1.5 for
+    [1,2,2,3])."""
+    import numpy as np
+
+    s = v.dropna()
+    if not len(s):
+        return None
+    p = s.value_counts(normalize=True).to_numpy()
+    return float(-(p * np.log2(p)).sum())
+
+
+@F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+def _kurtosis_sample_agg(v: pd.Series) -> float:
+    """DuckDB kurtosis = SAMPLE excess kurtosis (Excel KURT); pandas
+    .kurt() implements the same estimator (values agree to float
+    accumulation order, ~1e-13)."""
+    s = v.dropna().astype("float64")
+    out = s.kurt()
+    return None if pd.isna(out) else float(out)
+
+
+@F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+def _skewness_sample_agg(v: pd.Series) -> float:
+    s = v.dropna().astype("float64")
+    out = s.skew()
+    return None if pd.isna(out) else float(out)
+
+
 # ------------------------------------------------------------ type names
 
 
@@ -513,3 +565,8 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("json_type", _json_type)
     spark.udf.register("json_contains", _json_contains)
     spark.udf.register("__duck_typename", _duck_typename)
+    spark.udf.register("product", _product_agg)
+    spark.udf.register("mad", _mad_agg)
+    spark.udf.register("entropy", _entropy_agg)
+    spark.udf.register("__duck_kurtosis", _kurtosis_sample_agg)
+    spark.udf.register("__duck_skewness", _skewness_sample_agg)

@@ -27,6 +27,7 @@ import asyncio
 import concurrent.futures
 import itertools
 import logging
+import math
 import os
 import struct
 from collections.abc import Iterator
@@ -147,6 +148,60 @@ _DEALLOC_RE = re.compile(
 
 
 _NUMERIC_RE = re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+
+_CREATE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?TABLE\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNION_BY_NAME_RE = re.compile(r"\bUNION\s+(ALL\s+)?BY\s+NAME\b", re.IGNORECASE)
+_LIMIT_PCT_RE = re.compile(
+    r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT\b)\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _union_by_name_df(session: SparkSession, stmt: str):
+    """DuckDB ``q1 UNION [ALL] BY NAME q2`` → DataFrame unionByName
+    with allowMissingColumns (DuckDB NULL-fills absent columns). Parts
+    are split at paren depth 0; ORDER BY/LIMIT tails stay inside their
+    part (rare on BY-NAME unions; a mis-scoped tail fails loudly in the
+    part's own parse). Returns None when the spelling is only inside
+    parens — the generic path then reports Spark's own error."""
+    from .compat import _code_mask  # depth/mask helpers live there
+
+    mask = _code_mask(stmt)
+    parts: list[tuple[str, bool]] = []  # (sql, all_flag of the JOINING op)
+    depth = 0
+    last = 0
+    i = 0
+    found = False
+    while i < len(stmt):
+        if mask[i]:
+            c = stmt[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and c in "Uu":
+                m = _UNION_BY_NAME_RE.match(stmt, i)
+                if m and all(mask[i : m.end()]):
+                    parts.append((stmt[last:i], bool(m.group(1))))
+                    last = m.end()
+                    i = m.end()
+                    found = True
+                    continue
+        i += 1
+    if not found:
+        return None
+    parts.append((stmt[last:].rstrip().rstrip(";"), False))
+    df = session.sql(rewrite(parts[0][0]))
+    dedupe = False
+    for k in range(1, len(parts)):
+        nxt = session.sql(rewrite(parts[k][0]))
+        df = df.unionByName(nxt, allowMissingColumns=True)
+        if not parts[k - 1][1]:  # plain UNION dedupes
+            dedupe = True
+    return df.distinct() if dedupe else df
 
 
 def _param_literal(p: bytes | None) -> str:
@@ -1141,6 +1196,75 @@ class PgWireServer:
                 )
             writer.write(P.command_complete(first))
             await writer.drain()
+            return
+        if first == "CREATE" and (m := _CREATE_TABLE_RE.match(stmt)):
+            or_replace, temp, name, rest = (
+                bool(m.group(1)), bool(m.group(2)), m.group(4), m.group(5)
+            )
+            if temp and re.match(r"(?i)^\s*AS\b", rest):
+                # DuckDB TEMP TABLE AS: session-scoped — a Spark temp
+                # view is the session-scoped analogue (lazy; DML into
+                # it fails loudly, matching the view-ness honestly)
+                await self._exec(
+                    session, state.job_tag, session.sql,
+                    f"CREATE OR REPLACE TEMPORARY VIEW {name} "
+                    + rewrite(rest),
+                )
+                writer.write(P.command_complete("CREATE TABLE"))
+                await writer.drain()
+                return
+            if or_replace:
+                # Spark's v1 catalog has no REPLACE TABLE AS SELECT —
+                # drop-then-create is the same visible state
+                await self._exec(
+                    session, state.job_tag, session.sql,
+                    f"DROP TABLE IF EXISTS {name}",
+                )
+                await self._exec(
+                    session, state.job_tag, session.sql,
+                    rewrite(f"CREATE TABLE {name} {rest}"),
+                )
+                writer.write(P.command_complete("CREATE TABLE"))
+                await writer.drain()
+                return
+            if temp:
+                # TEMP TABLE with a column list: approximated by a real
+                # table (documented session-scope delta)
+                await self._exec(
+                    session, state.job_tag, session.sql,
+                    rewrite(f"CREATE TABLE {name} {rest}"),
+                )
+                writer.write(P.command_complete("CREATE TABLE"))
+                await writer.drain()
+                return
+        if first in ("SELECT", "WITH", "VALUES", "TABLE", "FROM") and (
+            _UNION_BY_NAME_RE.search(stmt)
+        ):
+            df = await self._exec(
+                session, state.job_tag, _union_by_name_df, session, stmt
+            )
+            if df is not None:
+                await self._stream_df(
+                    df, "SELECT", writer, send_row_desc=send_row_desc,
+                    session=session, tag=state.job_tag,
+                )
+                return
+        if first in ("SELECT", "WITH", "VALUES", "TABLE", "FROM") and (
+            mp := _LIMIT_PCT_RE.search(stmt)
+        ):
+            base = rewrite(stmt[: mp.start()])
+            pct = float(mp.group(1))
+
+            def _pct_df(s=base, p=pct):
+                df = session.sql(_hugeint_sums(session, s))
+                k = int(math.ceil(df.count() * p / 100.0))
+                return df.limit(k)
+
+            df = await self._exec(session, state.job_tag, _pct_df)
+            await self._stream_df(
+                df, "SELECT", writer, send_row_desc=send_row_desc,
+                session=session, tag=state.job_tag,
+            )
             return
         stdout_copy = parse_copy_stdout(stmt)
         if stdout_copy is not None:

@@ -176,6 +176,15 @@ _FN_RENAMES = {
     "strpos": "instr",
     "prefix": "startswith",
     "suffix": "endswith",
+    # ---- aggregate statistics: DuckDB's kurtosis/skewness are SAMPLE
+    # (Excel-style) estimators, Spark's are population — a passthrough
+    # is silently wrong. kurtosis_pop ≡ Spark's kurtosis exactly
+    # (probed: -0.674…). Order matters: the kurtosis rule must run
+    # before kurtosis_pop emits a plain kurtosis( of its own.
+    "kurtosis": "__duck_kurtosis",
+    "skewness": "__duck_skewness",
+    "kurtosis_pop": "kurtosis",
+    "skewness_pop": "skewness",
     # ---- round-6 probe batch (semantics-exact renames, DuckDB-probed)
     "strlen": "length",
     "editdist3": "levenshtein",
@@ -278,6 +287,9 @@ def _rewrite_code(seg: str) -> str:
     )
     seg = re.sub(
         r"\b__element_at__\s*\(", "element_at(", seg, flags=re.IGNORECASE
+    )
+    seg = re.sub(
+        r"\b__date_trunc__\s*\(", "date_trunc(", seg, flags=re.IGNORECASE
     )
     # txid_current(): monotone-enough constant (no MVCC underneath)
     seg = re.sub(
@@ -680,6 +692,33 @@ def _glob_to_regex(pat: str) -> str:
             out.append(ch)
     out.append("$")
     return "".join(out)
+
+
+_DATE_LIT_DIFF = re.compile(
+    r"(DATE\s*'[^']+')\s*-\s*(DATE\s*'[^']+')", re.IGNORECASE
+)
+
+
+def _rewrite_date_literal_diff(sql: str) -> str:
+    """``DATE 'a' - DATE 'b'`` → day count (DuckDB: BIGINT days; Spark:
+    an INTERVAL). Literal form only — column-typed differences need the
+    schema and stay loud."""
+    guard = 0
+    while guard < 20:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (c for c in _DATE_LIT_DIFF.finditer(sql) if mask[c.start()]),
+            None,
+        )
+        if m is None:
+            return sql
+        sql = (
+            sql[: m.start()]
+            + f"datediff({m.group(1)}, {m.group(2)})"
+            + sql[m.end() :]
+        )
+    return sql
 
 
 def _rewrite_operators(sql: str) -> str:
@@ -1196,7 +1235,39 @@ def _rewrite_json_arrows(sql: str) -> str:
             ):
                 scan_from = end
                 continue
+        # extend over a ::JSON cast so `'…'::JSON -> 'a'` binds the
+        # whole cast expression, not the bare type word
+        while True:
+            q = start - 1
+            while q >= 0 and sql[q].isspace():
+                q -= 1
+            if q < 1 or sql[q - 1 : q + 1] != "::":
+                break
+            q -= 2
+            while q >= 0 and sql[q].isspace():
+                q -= 1
+            if q >= 0 and sql[q] == "'":
+                off = 0
+                st2 = None
+                for kind, seg in _lex(sql):
+                    if kind == "lit" and off + len(seg) - 1 == q:
+                        st2 = off
+                        break
+                    off += len(seg)
+                if st2 is None:
+                    break
+                start = st2
+            elif q >= 0 and (sql[q].isalnum() or sql[q] == "_"):
+                st2 = q
+                while st2 >= 0 and (sql[st2].isalnum() or sql[st2] in "._"):
+                    st2 -= 1
+                start = st2 + 1
+            else:
+                break
         operand = sql[start : k + 1]
+        # a JSON cast is an identity for the string input the Spark
+        # JSON functions take (Spark has no JSON type to cast to)
+        operand = re.sub(r"\s*::\s*JSON\b", "", operand, flags=re.IGNORECASE)
         path = "$" + "".join(steps)
         if last_op == "->":
             repl = _json_value_expr(operand, f"'{path}'")
@@ -1443,6 +1514,21 @@ def _tpl_date_part(args: list[str]) -> str | None:
     return None
 
 
+_DATE_TRUNC_DATE_UNITS = {
+    "day", "week", "month", "quarter", "year", "decade", "century",
+    "millennium", "isoyear",
+}
+
+
+def _tpl_date_trunc(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    unit = args[0].strip().strip("'").lower()
+    if unit not in _DATE_TRUNC_DATE_UNITS:
+        return None  # sub-day units keep TIMESTAMP on both engines
+    return f"CAST(__date_trunc__({args[0]}, {args[1]}) AS DATE)"
+
+
 _TIME_BUCKET_SECS = {
     "microsecond": 0.000001, "microseconds": 0.000001,
     "millisecond": 0.001, "milliseconds": 0.001,
@@ -1574,10 +1660,20 @@ _NARY_REWRITES: dict = {
     "dayofweek": (1, "((weekday({0}) + 1) % 7)"),  # DuckDB: Sunday=0
     "date_part": (None, _tpl_date_part),
     "datepart": (None, _tpl_date_part),
+    # DuckDB date_trunc returns DATE for day-or-coarser units (probed —
+    # even for TIMESTAMP inputs); Spark always returns TIMESTAMP
+    "date_trunc": (None, lambda a: _tpl_date_trunc(a)),
+    "datetrunc": (None, lambda a: _tpl_date_trunc(a)),
     "time_bucket": (None, _tpl_time_bucket),
     "date_add": (None, _tpl_date_add),
     # ---- numerics
     "log": (1, "log10({0})"),  # DuckDB 1-arg log is BASE-10 (Spark: ln)
+    # quantile_disc/quantile: SQL-standard discrete percentile (smallest
+    # value whose cume_dist ≥ p) — matches DuckDB's lower-rank pick
+    "quantile_disc": (
+        2, "percentile_disc({1}) WITHIN GROUP (ORDER BY {0})"
+    ),
+    "quantile": (2, "percentile_disc({1}) WITHIN GROUP (ORDER BY {0})"),
     "trunc": (1, "(CASE WHEN ({0}) < 0 THEN ceil({0}) ELSE floor({0}) END)"),
     "even": (
         1,
@@ -2503,6 +2599,126 @@ def _fmtlib_to_printf(fmt: str) -> str | None:
 _FORMAT_CALL = re.compile(r"(?<![\w.])format\s*\(\s*'", re.IGNORECASE)
 
 
+_AGG_OB_CALL = re.compile(
+    r"(?<![\w.])(string_agg|group_concat|array_agg|collect_list|list|"
+    r"first|last|arbitrary|any_value|min|max|sum|avg|count)\s*\(",
+    re.IGNORECASE,
+)
+
+_ORDER_INSENSITIVE = {"min", "max", "sum", "avg", "count", "arbitrary", "any_value"}
+
+_ARRAY_AGG_SORTED = (
+    "transform(array_sort(collect_list(struct({k} AS __k, {v} AS __v)), "
+    "(__l, __r) -> CASE WHEN __l.__k IS NULL AND __r.__k IS NULL THEN 0 "
+    "WHEN __l.__k IS NULL THEN {nl} WHEN __r.__k IS NULL THEN {nr} "
+    "WHEN __l.__k < __r.__k THEN {lt} WHEN __l.__k > __r.__k THEN {gt} "
+    "ELSE 0 END), __s -> __s.__v)"
+)
+
+
+def _rewrite_agg_order_by(sql: str) -> str:
+    """DuckDB allows ``ORDER BY`` inside ANY aggregate's argument list.
+    Spark equivalents (probed against DuckDB):
+
+    - ``string_agg(x[, sep] ORDER BY spec)`` → ``listagg(x, sep)
+      WITHIN GROUP (ORDER BY spec)`` (Spark 4 syntax; multi-key specs
+      pass straight through)
+    - ``array_agg/list/collect_list(x ORDER BY k [DESC])`` → sort a
+      collected (key, value) struct array, then project the values
+      (single sort key; DuckDB default NULLS LAST, DESC → NULLS FIRST
+      matches Spark's array_sort comparator branches)
+    - ``first(x ORDER BY k)`` → ``min_by(x, k)``; last → max_by (and
+      mirrored for DESC)
+    - order-insensitive aggregates just drop the clause."""
+    guard = 0
+    skipped: set[int] = set()
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _AGG_OB_CALL.finditer(sql)
+                if all(mask[c.start() : c.end()]) and c.start() not in skipped
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        name = m.group(1).lower()
+        depth, i = 1, m.end()
+        ob_pos = -1
+        while i < len(sql) and depth:
+            if mask[i]:
+                c = sql[i]
+                if c in "([":
+                    depth += 1
+                elif c in ")]":
+                    depth -= 1
+                elif (
+                    depth == 1
+                    and ob_pos == -1
+                    and c in "Oo"
+                    and re.match(r"ORDER\s+BY\b", sql[i:], re.IGNORECASE)
+                    and not (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+                ):
+                    ob_pos = i
+            i += 1
+        if depth or ob_pos == -1:
+            skipped.add(m.start())
+            continue
+        head = sql[m.end() : ob_pos].strip()
+        spec = sql[ob_pos : i - 1].strip()[len("ORDER BY") :].strip()
+        args = [a.strip() for a in split_top_level(head)]
+        repl = None
+        if name in _ORDER_INSENSITIVE:
+            repl = f"{name}({', '.join(args)})"
+        elif name in ("string_agg", "group_concat"):
+            sep = args[1] if len(args) > 1 else "','"
+            repl = (
+                f"listagg({args[0]}, {sep}) WITHIN GROUP (ORDER BY {spec})"
+            )
+        elif name in ("array_agg", "collect_list", "list"):
+            sm = re.match(
+                r"^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$",
+                spec,
+                re.IGNORECASE | re.DOTALL,
+            )
+            key = sm.group(1).strip()
+            desc = (sm.group(2) or "").upper() == "DESC"
+            if "," in key or len(args) != 1:
+                skipped.add(m.start())  # multi-key/multi-arg: loud
+                continue
+            lt, gt = (-1, 1) if not desc else (1, -1)
+            # DuckDB default: NULLS LAST for ASC, NULLS FIRST for DESC
+            nl, nr = (1, -1)
+            if sm.group(3):
+                nl, nr = (-1, 1) if sm.group(3).upper() == "FIRST" else (1, -1)
+            elif desc:
+                nl, nr = (-1, 1)
+            repl = _ARRAY_AGG_SORTED.format(
+                k=key, v=args[0], lt=lt, gt=gt, nl=nl, nr=nr
+            )
+        elif name in ("first", "last"):
+            sm = re.match(
+                r"^(.*?)(?:\s+(ASC|DESC))?\s*$", spec, re.IGNORECASE | re.DOTALL
+            )
+            key = sm.group(1).strip()
+            desc = (sm.group(2) or "").upper() == "DESC"
+            if "," in key or len(args) != 1:
+                skipped.add(m.start())
+                continue
+            want_min = (name == "first") != desc
+            fn = "min_by" if want_min else "max_by"
+            repl = f"{fn}({args[0]}, {key})"
+        if repl is None:
+            skipped.add(m.start())
+            continue
+        sql = sql[: m.start()] + repl + sql[i:]
+        skipped = {s for s in skipped if s < m.start()}
+    return sql
+
+
 def _rewrite_format(sql: str) -> str:
     """DuckDB ``format('fmtlib...', args)`` → ``format_string('printf',
     args)`` for literal format strings covering the fmtlib subset
@@ -2566,6 +2782,130 @@ def _rewrite_format(sql: str) -> str:
     return sql
 
 
+_QUANTIFIED_RE = re.compile(
+    r"(=|!=|<>|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_quantified_subq(sql: str) -> str:
+    """PG/DuckDB quantified comparisons against subqueries — Spark has
+    no ANY/ALL/SOME comparison syntax:
+
+    - ``x = ANY (sub)``   → ``x IN (sub)``
+    - ``x <> ALL (sub)``  → ``x NOT IN (sub)``
+    - other ops: correlated EXISTS / NOT EXISTS over the subquery. The
+      NOT-EXISTS ALL form treats a NULL element as a failed comparison
+      where the engines produce NULL — identical under WHERE (NULL ≡
+      FALSE there), the position these operators appear in.
+    """
+    guard = 0
+    skipped: set[int] = set()
+    while guard < 50:
+        guard += 1
+        mask = _code_mask(sql)
+        segs = _abs_segments(sql)
+        m = next(
+            (
+                c
+                for c in _QUANTIFIED_RE.finditer(sql)
+                if all(mask[c.start() : c.end()]) and c.start() not in skipped
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql
+        sub = sql[m.end() : i - 1].strip()
+        if not re.match(r"(?i)^\s*(SELECT|WITH|VALUES|TABLE)\b", sub):
+            skipped.add(m.start())  # list-valued ANY: loud passthrough
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        if ls == m.start():
+            skipped.add(m.start())
+            continue
+        lhs = sql[ls : m.start()].strip()
+        op = m.group(1)
+        quant = m.group(2).upper()
+        if op == "=" and quant in ("ANY", "SOME"):
+            repl = f"{lhs} IN ({sub})"
+        elif op in ("<>", "!=") and quant == "ALL":
+            repl = f"{lhs} NOT IN ({sub})"
+        elif quant in ("ANY", "SOME"):
+            repl = (
+                f"EXISTS (SELECT 1 FROM ({sub}) AS __q(__v) "
+                f"WHERE ({lhs}) {op} __v)"
+            )
+        else:
+            repl = (
+                f"NOT EXISTS (SELECT 1 FROM ({sub}) AS __q(__v) "
+                f"WHERE NOT (({lhs}) {op} __v) OR __v IS NULL)"
+            )
+        sql = sql[:ls] + repl + sql[i:]
+        skipped = {s for s in skipped if s < ls}
+    return sql
+
+
+_POSITIONAL_RE = re.compile(r"\bPOSITIONAL\s+JOIN\b", re.IGNORECASE)
+_TABLE_REF_RE = re.compile(
+    r"[A-Za-z_][\w.]*(\s+(?:AS\s+)?[A-Za-z_]\w*)?", re.IGNORECASE
+)
+
+
+def _rewrite_positional_join(sql: str) -> str:
+    """DuckDB ``A POSITIONAL JOIN B`` (row-by-row zip, padding the
+    shorter side with NULLs) → FULL JOIN on per-side row_number.
+
+    Scale note: positional semantics depend on row ORDER, so both sides
+    are numbered through a single-partition window — inherently
+    non-distributed, as on any engine. Fine for the wire-compat
+    surface; large-scale zips should join on a key instead."""
+    guard = 0
+    while guard < 20:
+        guard += 1
+        mask = _code_mask(sql)
+        segs = _abs_segments(sql)
+        m = next(
+            (
+                c
+                for c in _POSITIONAL_RE.finditer(sql)
+                if all(mask[c.start() : c.end()])
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        ls = _scan_left_operand(sql, segs, m.start())
+        if ls == m.start():
+            return sql
+        left = sql[ls : m.start()].strip()
+        # right side: table name or parenthesized subquery, optional alias
+        rs = _scan_right_operand(sql, segs, m.end())
+        if rs == m.end():
+            return sql
+        right = sql[m.end() : rs].strip()
+        am = _TABLE_FN_ALIAS_RE.match(sql, rs)
+        if am and am.group(1).upper() not in _ALIAS_STOPWORDS and not am.group(2):
+            rs = am.end()  # swallow the alias: both sides get renumbered
+        num = "row_number() OVER (ORDER BY monotonically_increasing_id())"
+        repl = (
+            f"(SELECT * EXCEPT (__lpos, __rpos) FROM "
+            f"(SELECT *, {num} AS __lpos FROM {left}) __pl "
+            f"FULL JOIN (SELECT *, {num} AS __rpos FROM {right}) __pr "
+            f"ON __pl.__lpos = __pr.__rpos) __pj"
+        )
+        sql = sql[:ls] + repl + " " + sql[rs:]
+    return sql
+
+
 _STRUCT_PACK_CALL = re.compile(r"(?<![\w.])struct_pack\s*\(", re.IGNORECASE)
 
 
@@ -2611,6 +2951,7 @@ def rewrite(sql: str) -> str:
     sql = _pg_escape_literals(sql)  # PG literal semantics before anything
     # else EMITS Spark-escaped literals of its own
     sql = _strip_numeric_underscores(sql)
+    sql = _rewrite_date_literal_diff(sql)  # before '-' reaches Spark
     sql = _rewrite_operators(sql)  # before nary: xor() legitimately emits ^
     sql = _rewrite_read_files(sql)  # before literal split: needs the path string
     sql = _rewrite_strftime(sql)  # before literal split: needs the fmt string
@@ -2625,6 +2966,9 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_json_extract(sql)
     sql = _rewrite_datetime_diffs(sql)
     sql = _rewrite_regexp_default_group(sql)
+    sql = _rewrite_agg_order_by(sql)  # before renames: needs DuckDB names
+    sql = _rewrite_quantified_subq(sql)
+    sql = _rewrite_positional_join(sql)
     sql = _rewrite_table_fns(sql)  # FROM-position fns BEFORE the nary
     # pass claims their scalar spellings
     sql = _rewrite_nary_fns(sql)
@@ -2886,6 +3230,20 @@ def rewrite_columns_star(sql: str, ordered_cols: list[str]) -> str:
                 raise ValueError(
                     f'No matching columns found that match regex "{arg[1:-1]}"'
                 )
+        elif re.fullmatch(
+            r"(?:\[\s*'[^']*'(\s*,\s*'[^']*')*\s*\]"
+            r"|array\(\s*'[^']*'(\s*,\s*'[^']*')*\s*\))",
+            arg,
+            re.IGNORECASE,
+        ):
+            # COLUMNS(['a', 'b']) literal name-list form (the bracket
+            # pass has usually already turned [..] into array(..))
+            lowered = {c.lower(): c for c in ordered_cols}
+            names = []
+            for lit in re.findall(r"'([^']*)'", arg):
+                if lit.lower() not in lowered:
+                    raise ValueError(f'Column "{lit}" not found')
+                names.append(lowered[lit.lower()])
         else:
             return sql  # computed arg / EXCLUDE tail: loud parser failure
         if not names:

@@ -124,6 +124,24 @@ BATTERY = [
     "SELECT json_merge_patch('{\"a\": 1, \"c\": 3}', '{\"b\": 2, \"a\": null}') AS jm",
     "SELECT json_type('{\"a\": 1}') AS t1, json_type('[1]') AS t2, json_type('\"x\"') AS t3, json_type('1') AS t4, json_type('-1') AS t5, json_type('1.5') AS t6",
     "SELECT json_contains('{\"a\": 1}', '1') AS c1, json_contains('[1, 2]', '[2]') AS c2, json_contains('[1, 2]', '9') AS c3",
+    # ---- aggregates (ORDER BY inside args, UDAF batch)
+    "SELECT string_agg(n_name, '-' ORDER BY n_name DESC) AS sa FROM (SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 3) t",
+    "SELECT string_agg(n_name ORDER BY n_name) AS sa2 FROM (SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 3) t",
+    "SELECT group_concat(n_name ORDER BY n_name DESC) AS gc FROM (SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 3) t",
+    "SELECT array_agg(n_regionkey ORDER BY n_nationkey DESC) AS aa FROM (SELECT * FROM nation ORDER BY n_nationkey LIMIT 4) t",
+    "SELECT first(n_name ORDER BY n_nationkey) AS f, last(n_name ORDER BY n_nationkey) AS la FROM nation",
+    "SELECT first(n_name ORDER BY n_nationkey DESC) AS fd FROM nation",
+    "SELECT min(n_nationkey ORDER BY n_name) AS mo, sum(n_regionkey ORDER BY n_name) AS so FROM nation",
+    "SELECT product(r_regionkey + 1) AS pr FROM region",
+    "SELECT mad(n_nationkey) AS m FROM nation",
+    "SELECT entropy(n_regionkey) AS e FROM nation",
+    "SELECT round(kurtosis(n_nationkey), 9) AS k, round(skewness(n_nationkey), 9) AS sk FROM nation",
+    "SELECT round(kurtosis_pop(n_nationkey), 9) AS kp FROM nation",
+    "SELECT quantile_disc(n_nationkey, 0.5) AS qd, quantile(n_nationkey, 0.25) AS q FROM nation",
+    "SELECT quantile_cont(n_nationkey, [0.25, 0.5, 0.75]) AS qc FROM nation",
+    "SELECT approx_quantile(n_nationkey, 0.5) BETWEEN 10 AND 14 AS aq FROM nation",
+    # unique-mode input (all-tied inputs break ties engine-arbitrarily)
+    "SELECT mode(x) AS mo2 FROM (VALUES (1), (2), (2)) t(x)",
     # ---- typeof
     "SELECT typeof(1) AS t1, typeof('x') AS t2, typeof(1.5::DOUBLE) AS t3, typeof([1, 2]) AS t4, typeof(DATE '2024-01-01') AS t5, typeof(true) AS t6",
     "SELECT pg_typeof(1) AS pt",
@@ -193,3 +211,25 @@ def test_hamming_unequal_lengths_errors(spark):
     register_udfs(spark)
     with pytest.raises(Exception, match="equal length"):
         spark.sql(rewrite("SELECT hamming('abc', 'abcd') AS h")).collect()
+
+
+DATETIME_EXTRAS = [
+    "SELECT date_trunc('month', DATE '2024-03-15') AS dt",
+    "SELECT date_trunc('month', TIMESTAMP '2024-03-15 10:00:00') AS dt2",
+    "SELECT date_trunc('hour', TIMESTAMP '2024-03-15 10:42:00') AS dt3",
+    "SELECT datetrunc('week', TIMESTAMP '2024-03-15 10:00:00') AS dt4",
+    "SELECT DATE '2024-03-05' - DATE '2024-03-01' AS dd",
+]
+
+
+def test_datetime_extras_match_duckdb(spark, oracle):
+    register_udfs(spark)
+    failures = []
+    for sql in DATETIME_EXTRAS:
+        duck = oracle.execute(sql).fetchall()
+        got = [tuple(r) for r in spark.sql(rewrite(sql)).collect()]
+        want = sorted(_canon(r) for r in duck)
+        have = sorted(_canon(tuple(r)) for r in got)
+        if want != have:
+            failures.append((sql, f"want {want!r} got {have!r}"))
+    assert not failures, "\n".join(f"{s}\n    {m}" for s, m in failures)

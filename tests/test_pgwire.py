@@ -2511,3 +2511,100 @@ def test_wire_aggregate_spellings_golden(client):
         else:
             assert got == str(want), (sql, got, want)
     con.close()
+
+
+def test_wire_create_or_replace_and_temp_table(client, spark):
+    """DuckDB CREATE OR REPLACE TABLE (Spark's v1 catalog lacks RTAS —
+    served as drop+create) and TEMP TABLE AS (session temp view)."""
+    spark.sql("DROP TABLE IF EXISTS probe_cor")
+    (r,) = client.query("CREATE OR REPLACE TABLE probe_cor AS SELECT 1 AS a")
+    assert "error" not in r, r
+    (r,) = client.query("CREATE OR REPLACE TABLE probe_cor AS SELECT 2 AS a")
+    assert "error" not in r, r
+    (r,) = client.query("SELECT a FROM probe_cor")
+    assert r["rows"] == [["2"]]
+    (r,) = client.query("DROP TABLE probe_cor")
+    assert "error" not in r, r
+    (r,) = client.query("CREATE TEMP TABLE probe_tmp AS SELECT 9 AS z")
+    assert "error" not in r, r
+    (r,) = client.query("SELECT z FROM probe_tmp")
+    assert r["rows"] == [["9"]]
+    spark.catalog.dropTempView("probe_tmp")
+
+
+def test_wire_union_by_name(client):
+    (r,) = client.query(
+        "SELECT 1 AS a, 'x' AS b UNION ALL BY NAME SELECT 'y' AS b, 2 AS a "
+        "UNION ALL BY NAME SELECT 3 AS a"
+    )
+    assert "error" not in r, r
+    rows = sorted(r["rows"])
+    assert rows == [["1", "x"], ["2", "y"], ["3", None]]
+
+
+def test_wire_limit_percent(client):
+    (r,) = client.query(
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 10%"
+    )
+    assert "error" not in r, r
+    assert len(r["rows"]) == 3  # ceil(25 * 0.10) = 3, DuckDB semantics
+
+
+def test_wire_positional_join_matches_duckdb(client):
+    import duckdb
+
+    sql = (
+        "SELECT r_regionkey, x FROM region POSITIONAL JOIN "
+        "(SELECT 10 AS x UNION ALL SELECT 20) t ORDER BY r_regionkey"
+    )
+    con = duckdb.connect()
+    for name in ("region",):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    want = [
+        [None if c is None else str(c) for c in row]
+        for row in con.execute(sql).fetchall()
+    ]
+    con.close()
+    (r,) = client.query(sql)
+    assert "error" not in r, r
+    assert r["rows"] == want
+
+
+def test_wire_quantified_subqueries(client):
+    (r,) = client.query(
+        "SELECT r_name FROM region WHERE r_regionkey = ANY "
+        "(SELECT n_regionkey FROM nation WHERE n_nationkey < 2) ORDER BY r_name"
+    )
+    assert "error" not in r, r
+    assert len(r["rows"]) == 2
+    (r,) = client.query(
+        "SELECT r_name FROM region WHERE r_regionkey < ALL "
+        "(SELECT n_regionkey + 3 FROM nation) ORDER BY r_name"
+    )
+    assert "error" not in r, r
+    assert [x[0] for x in r["rows"]] == ["AFRICA", "AMERICA", "ASIA"]
+
+
+def test_wire_json_cast_arrow_chain(client):
+    (r,) = client.query(
+        "SELECT '{\"a\": {\"b\": 7}}'::JSON -> 'a' ->> 'b' AS j"
+    )
+    assert "error" not in r, r
+    assert r["rows"] == [["7"]]
+
+
+def test_wire_columns_list_form(client):
+    (r,) = client.query(
+        "SELECT COLUMNS(['n_name', 'n_regionkey']) FROM nation "
+        "ORDER BY n_nationkey LIMIT 1"
+    )
+    assert "error" not in r, r
+    assert r["columns"] == ["n_name", "n_regionkey"]
+    (r,) = client.query(
+        "SELECT min(COLUMNS(['n_nationkey', 'n_regionkey'])) FROM nation"
+    )
+    assert "error" not in r, r
+    assert r["rows"] == [["0", "0"]]
