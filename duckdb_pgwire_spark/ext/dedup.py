@@ -556,3 +556,91 @@ def dedup_incremental_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ------------------------------------------------- SemDeDup (semantic dedup)
+
+# Within-cluster cosine above this marks the higher-id vector a
+# semantic duplicate (fixture cosines top out near 0.5; production
+# SemDeDup uses ~0.95+ on real text embeddings — the threshold is data-
+# dependent, the machinery is not).
+SEMDEDUP_TH = 0.35
+
+
+def _semdedup_oracle() -> str:
+    from .similarity import N_CENTROIDS, N_LLOYD, _ivf_lloyd_cte, _ivf_sim_sql
+
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), cent0 AS (
+        SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {N_CENTROIDS}
+    ), {",".join(_ivf_lloyd_cte(i) for i in range(1, N_LLOYD + 1))},
+    affin AS (
+        SELECT v.vec_id, c.cid, {_ivf_sim_sql("v.e", "c.ce")} AS sim
+        FROM v CROSS JOIN cent{N_LLOYD} c
+    ), assigned AS (
+        SELECT vec_id, cid FROM affin
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+    ), dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE {_ivf_sim_sql("va.e", "vb.e")} > {SEMDEDUP_TH}
+    )
+    SELECT a.vec_id, a.cid AS cell, (d.vec_id IS NULL) AS kept
+    FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+    """
+
+
+@query(
+    "dedup_semantic_kmeans",
+    oracle=_semdedup_oracle(),
+    tags=("ext", "dedup", "embedding", "kmeans"),
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via k-means clustering of embeddings — cluster the
+    corpus, compare pairs only WITHIN a cluster, drop the higher-id
+    member of any pair above the cosine threshold (the paper keeps one
+    representative per semantic duplicate group; lowest-id is the
+    deterministic stand-in for its centroid-distance rule).
+
+    Scale shape (the paper's own argument): clustering makes the
+    pairwise step tractable — k grows with the corpus so cluster sizes
+    stay bounded, making within-cluster comparison O(n·cluster_size)
+    instead of O(n²). Here: index build shares the IVF k-means
+    (one cached corpus, Lloyd passes as fused Arrow map stages,
+    centroid matrix cached per corpus epoch), assignment is ONE
+    Arrow-batched map pass, and the pair step is a single self-join
+    shuffled on the cell id — no all-pairs stage anywhere.
+    """
+    from .similarity import _make_ivf_assign_udf, corpus_with_centroids
+    from .vectorized import cosine_seq_udf
+
+    v, C = corpus_with_centroids(spark, sf_dir)
+    assign = _make_ivf_assign_udf(C)
+    asg = v.withColumn("cell", assign("embedding"))
+    cosine_seq = cosine_seq_udf()
+    a = asg.select(
+        F.col("vec_id").alias("keep_id"), "cell", F.col("embedding").alias("ea")
+    )
+    b = asg.select("vec_id", "cell", F.col("embedding").alias("eb"))
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("keep_id") < F.col("vec_id"))
+        .filter(cosine_seq(F.col("ea"), F.col("eb")) > SEMDEDUP_TH)
+        .select("vec_id")
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        asg.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -382,6 +382,68 @@ def _lloyd_refine(spark, v: DataFrame, C: "np.ndarray") -> "np.ndarray":
     return C1
 
 
+def corpus_with_centroids(spark: SparkSession, sf_dir: str):
+    """(cached corpus DataFrame, refined k-means centroid matrix) — the
+    shared index build for IVF probing AND SemDeDup-style semantic
+    clustering.
+
+    Corpus caching: the corpus is read by every Lloyd pass plus the
+    final assignment — the canonical Spark k-means shape (MLlib caches
+    its input for exactly this reason). parts=5 (not the 4 every OTHER
+    similarity query uses) keeps this cache entry from plan-matching
+    their scans — a cached plan would replace their parquet source and
+    silently defeat predicate pushdown on the probe side.
+
+    Lloyd refinement needs a REPRESENTATIVE input, not the whole
+    corpus: above the cap, refine on a deterministic modulus sample so
+    each iteration's pass is bounded (~LLOYD_SAMPLE_MAX rows) no matter
+    the corpus size — at 100 TB the index build stays O(cap × N_LLOYD)
+    while the final assignment still touches every vector exactly once.
+    Fixture scales sit far below the cap, so oracle parity is exact.
+
+    Index persistence: a deployed system builds the index ONCE per
+    corpus epoch and serves many probes — rebuilding k-means per query
+    is not the steady-state cost. The refined centroid matrix is cached
+    keyed by (sf_dir, corpus fingerprint): count + id-sum + first-
+    component-sum, all from the ONE materialization job the build needs
+    anyway, so an in-place corpus change (even at equal cardinality)
+    rebuilds. Deterministic: the cached matrix is exactly what the
+    rebuild would produce."""
+    import numpy as np
+
+    v = (
+        load_table_parallel(spark, sf_dir, "embeddings", parts=5)
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {r.vec_id: list(r.embedding) for r in seeds}
+    C = np.array([by_id[i] for i in range(N_CENTROIDS)], dtype=np.float64)
+    fp = v.agg(
+        F.count("*").alias("n"),
+        F.sum("vec_id").alias("sid"),
+        F.round(F.sum(F.element_at("embedding", 1)), 4).alias("s1"),
+    ).first()
+    n_corpus = fp["n"]
+    ckey = (sf_dir, int(n_corpus), int(fp["sid"] or 0), float(fp["s1"] or 0.0))
+    cached = _IVF_CENTROIDS.get(ckey)
+    if cached is not None:
+        return v, cached.copy()
+    refine_in = v
+    if n_corpus > LLOYD_SAMPLE_MAX:
+        stride = n_corpus // LLOYD_SAMPLE_MAX + 1
+        refine_in = v.filter(F.col("vec_id") % stride == 0)
+    for _ in range(N_LLOYD):
+        C = _lloyd_refine(spark, refine_in, C)
+    _IVF_CENTROIDS[ckey] = C.copy()
+    return v, C
+
+
 def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN candidate generation — the second scale
     path next to LSH banding. Returns raw (vec_id, query_id) candidate
@@ -403,61 +465,16 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    # Cached: the corpus is read by every Lloyd pass plus the final
-    # assignment — the canonical Spark k-means shape (MLlib caches its
-    # input for exactly this reason). Cross-invocation plan matching
-    # reuses the same cache entry. parts=5 (not the 4 every OTHER
-    # similarity query uses) keeps this cache entry from plan-matching
-    # their scans — a cached plan would replace their parquet source and
-    # silently defeat predicate pushdown on the probe side.
-    v = (
-        load_table_parallel(spark, sf_dir, "embeddings", parts=5)
-        .select("vec_id", "embedding")
-        .cache()
-    )
-    # Index build: k + |Q| rows of metadata through one pushed-down scan.
+    v, C = corpus_with_centroids(spark, sf_dir)
+    # Query vectors: |Q| rows of metadata through one pushed-down scan.
     small = (
         load_table(spark, sf_dir, "embeddings")
-        .filter((F.col("vec_id") < N_CENTROIDS) | F.col("vec_id").isin(*QUERY_IDS))
+        .filter(F.col("vec_id").isin(*QUERY_IDS))
         .select("vec_id", "embedding")
         .collect()
     )
     by_id = {r.vec_id: list(r.embedding) for r in small}
-    C = np.array([by_id[i] for i in range(N_CENTROIDS)], dtype=np.float64)
     Q = np.array([by_id[q] for q in QUERY_IDS], dtype=np.float64)
-    # Lloyd refinement needs a REPRESENTATIVE input, not the whole
-    # corpus: above the cap, refine on a deterministic modulus sample so
-    # each iteration's pass is bounded (~LLOYD_SAMPLE_MAX rows) no matter
-    # the corpus size — at 100 TB the index build stays O(cap × N_LLOYD)
-    # while the final assignment still touches every vector exactly once.
-    # Fixture scales sit far below the cap, so oracle parity is exact.
-    # (count() doubles as cache materialization before the Lloyd passes.)
-    # Index persistence: a deployed IVF system builds the index ONCE per
-    # corpus epoch and serves many probes — rebuilding k-means per query
-    # is not the steady-state cost. Cache the refined centroid matrix
-    # keyed by (sf_dir, corpus fingerprint): count + id-sum + first-
-    # component-sum, all from the ONE materialization job the build
-    # needs anyway, so an in-place corpus change (even at equal
-    # cardinality) rebuilds (code-review r6). Deterministic: the cached
-    # matrix is exactly what the rebuild would produce.
-    fp = v.agg(
-        F.count("*").alias("n"),
-        F.sum("vec_id").alias("sid"),
-        F.round(F.sum(F.element_at("embedding", 1)), 4).alias("s1"),
-    ).first()
-    n_corpus = fp["n"]
-    ckey = (sf_dir, int(n_corpus), int(fp["sid"] or 0), float(fp["s1"] or 0.0))
-    cached = _IVF_CENTROIDS.get(ckey)
-    if cached is not None:
-        C = cached.copy()
-    else:
-        refine_in = v
-        if n_corpus > LLOYD_SAMPLE_MAX:
-            stride = n_corpus // LLOYD_SAMPLE_MAX + 1
-            refine_in = v.filter(F.col("vec_id") % stride == 0)
-        for _ in range(N_LLOYD):
-            C = _lloyd_refine(spark, refine_in, C)
-        _IVF_CENTROIDS[ckey] = C.copy()
     # Driver-side probe lists — same sequential-fold cosine as the kernel.
     S = _cos_to_centroids(Q, C)
     cids = np.arange(N_CENTROIDS)

@@ -851,3 +851,65 @@ def text_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum") <= F.col("quota"))
         .select("source", "doc_id", "n_tokens")
     )
+
+
+# ------------------------------------------------ deterministic epoch shuffle
+
+SHUFFLE_SEED = 7  # epoch number: changing it re-permutes the whole corpus
+
+
+@query(
+    "sample_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           row_number() OVER (
+               ORDER BY md5({SHUFFLE_SEED} || ':' || CAST(doc_id AS VARCHAR)),
+                        doc_id
+           ) AS shuffle_pos
+    FROM documents
+    """,
+    tags=("ext", "sampling", "shuffle"),
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: assign every document a
+    position in a pseudo-random permutation keyed by (epoch seed,
+    doc_id) — the pre-training data-order primitive. Hash order instead
+    of RNG state makes the permutation reproducible across engines,
+    re-runs, and cluster sizes, and a new epoch is just a new seed.
+
+    Scale shape: a global row_number window would single-partition the
+    whole corpus — instead the rank is computed DISTRIBUTED in two
+    passes: (1) bucket every row by the first md5 byte pair (the bucket
+    id is a PREFIX of the sort key, so bucket order ≡ global order) and
+    count each bucket — 256 metadata rows to the driver; (2) rank
+    within each bucket (256-way parallel window) and add the bucket's
+    broadcast cumulative offset. Identical positions to the global
+    rank, no single-point sort. Writers then emit shards in
+    shuffle_pos ranges, read sequentially at train time.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8)
+    from pyspark.sql.window import Window
+
+    key = F.md5(
+        F.concat(F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    keyed = d.select("doc_id", key.alias("__k")).withColumn(
+        "__b", F.substring("__k", 1, 2)
+    )
+    counts = sorted(
+        (r["__b"], r["n"])
+        for r in keyed.groupBy("__b").agg(F.count("*").alias("n")).collect()
+    )
+    offsets: dict[str, int] = {}
+    acc = 0
+    for b, n in counts:
+        offsets[b] = acc
+        acc += n
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("__b").orderBy("__k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (F.row_number().over(w) + off_map[F.col("__b")]).alias("shuffle_pos"),
+    )

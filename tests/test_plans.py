@@ -273,3 +273,21 @@ def test_mix_token_budget_single_source_shuffle(spark):
     plan = I.simple_plan(df)
     assert "rangepartitioning" not in plan
     assert I.exchange_count(df) == 1, plan
+
+
+def test_global_shuffle_is_bucket_parallel(spark):
+    """The epoch-shuffle rank must be the two-pass bucket form: window
+    partitioned by the md5-prefix bucket (hash exchange), never a
+    global single-partition sort."""
+    df = _q("sample_global_shuffle").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "SinglePartition" not in plan, plan
+
+
+def test_semdedup_pairs_shuffle_on_cell_only(spark):
+    """SemDeDup's within-cluster pair join must shuffle on the k-means
+    cell id — no cartesian/all-pairs stage anywhere in the plan."""
+    df = _q("dedup_semantic_kmeans").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
