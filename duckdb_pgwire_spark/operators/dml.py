@@ -631,9 +631,26 @@ def delete_using(
 # ------------------------------------------------------- INSERT / UPSERT
 
 _INSERT = re.compile(
-    r"^\s*INSERT\s+INTO\s+([\w.]+)\s*(\([^()]*\))?\s*(.*)$",
+    r"^\s*INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\s+([\w.]+)\s*"
+    r"(\([^()]*\))?\s*(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+# table → declared PRIMARY KEY columns, recorded by the server when a
+# CREATE TABLE carries PK constraints (compat.strip_table_constraints
+# removes the syntax Spark's DDL parser rejects; the key lives here so
+# bare ON CONFLICT / INSERT OR REPLACE / OR IGNORE can resolve it like
+# DuckDB's binder does).
+PRIMARY_KEYS: dict[str, list[str]] = {}
+
+_NO_PK_ERROR = (
+    "There are no UNIQUE/PRIMARY KEY Indexes that refer to this table, "
+    "ON CONFLICT is a no-op"
+)
+
+
+def _table_pk(table: str) -> list[str] | None:
+    return PRIMARY_KEYS.get(table.lower().split(".")[-1])
 
 
 @dataclass
@@ -664,13 +681,25 @@ def parse_insert(stmt: str) -> InsertSpec | None:
     m = _INSERT.match(stmt)
     if m is None:
         return None
-    table = m.group(1)
+    or_kind = (m.group(1) or "").lower()
+    table = m.group(2)
     cols = (
-        [c.strip() for c in m.group(2)[1:-1].split(",")] if m.group(2) else None
+        [c.strip() for c in m.group(3)[1:-1].split(",")] if m.group(3) else None
     )
-    tail = m.group(3).rstrip().rstrip(";")
+    tail = m.group(4).rstrip().rstrip(";")
 
     conflict: ConflictSpec | None = None
+    if or_kind:
+        # DuckDB sugar: OR REPLACE ≡ ON CONFLICT (pk) DO UPDATE SET
+        # <every column> = excluded.<column>; OR IGNORE ≡ DO NOTHING.
+        # The PK resolves at execution (upsert_into), like the binder.
+        conflict = ConflictSpec(
+            None, "replace" if or_kind == "replace" else "nothing"
+        )
+        src = tail.strip()
+        if not re.match(r"^(VALUES|SELECT|WITH|TABLE|FROM)\b", src, re.IGNORECASE):
+            return None
+        return InsertSpec(table, cols, src, conflict)
     ic = _find_keyword(tail, "CONFLICT")
     if ic != -1:
         on = re.search(r"\bON\s*$", tail[:ic], re.IGNORECASE)
@@ -817,46 +846,32 @@ def upsert_into(
 
     cols = session.table(table).columns
     keys = conflict.key_cols
+    if keys is None:
+        # bare ON CONFLICT / INSERT OR REPLACE / OR IGNORE: resolve the
+        # declared PRIMARY KEY like DuckDB's binder; a PK-less table is
+        # the binder error DuckDB raises (probed, both arms)
+        keys = _table_pk(table)
+        if keys is None:
+            raise ValueError(_NO_PK_ERROR)
     src = staged.drop("__ins_ord")
-    if keys is not None:
-        nn = src
-        for k in keys:
-            # NULL key cells never conflict (unique-constraint
-            # semantics; the join arms below honor the same rule) —
-            # exclude them from the duplicate check too
-            nn = nn.filter(F.col(k).isNotNull())
-        dup = (
-            nn.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
-        )  # bounded: one row max, batch-sized input
-        if dup:
-            key_txt = ", ".join(str(dup[0][k]) for k in keys)
-            raise ValueError(
-                f"PRIMARY KEY or UNIQUE constraint violated: duplicate key \"{key_txt}\""
-            )
+    nn = src
+    for k in keys:
+        # NULL key cells never conflict (unique-constraint
+        # semantics; the join arms below honor the same rule) —
+        # exclude them from the duplicate check too
+        nn = nn.filter(F.col(k).isNotNull())
+    dup = (
+        nn.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
+    )  # bounded: one row max, batch-sized input
+    if dup:
+        key_txt = ", ".join(str(dup[0][k]) for k in keys)
+        raise ValueError(
+            f"PRIMARY KEY or UNIQUE constraint violated: duplicate key \"{key_txt}\""
+        )
     sview = f"__upsert_src_{uuid.uuid4().hex[:12]}"
     src.createOrReplaceTempView(sview)
     _track_temp_view(session, sview)
     collist = ", ".join(cols)
-
-    if keys is None:
-        # No conflict target: our tables carry no unique constraints, so
-        # nothing can conflict — PG inserts everything (DO UPDATE without
-        # a target requires a constraint and is rejected in parse_insert's
-        # caller via this same reasoning).
-        if conflict.action == "update":
-            raise ValueError(
-                "ON CONFLICT DO UPDATE requires a conflict target (no unique "
-                "constraints exist on this table)"
-            )
-        affected = _materialize(session, f"SELECT {collist} FROM {sview}")
-        aview = f"__upsert_aff_{uuid.uuid4().hex[:12]}"
-        affected.createOrReplaceTempView(aview)
-        _track_temp_view(session, aview)
-        _rewrite_table(
-            session, table,
-            f"SELECT {collist} FROM {table} UNION ALL SELECT {collist} FROM {aview}",
-        )
-        return affected
 
     cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     inserted = (
@@ -869,6 +884,25 @@ def upsert_into(
         affected.createOrReplaceTempView(aview)
         _track_temp_view(session, aview)
         post = f"SELECT {collist} FROM {table} UNION ALL SELECT {collist} FROM {aview}"
+        _rewrite_table(session, table, post)
+        return affected
+
+    if conflict.action == "replace":
+        # INSERT OR REPLACE: the staged row wholesale replaces the
+        # conflicting target row (probed: DuckDB keeps no old columns)
+        replaced = (
+            f"SELECT {', '.join(f's.{c} AS {c}' for c in cols)} "
+            f"FROM {table} t JOIN {sview} s ON ({cond})"
+        )
+        affected = _materialize(session, f"{replaced} UNION ALL {inserted}")
+        aview = f"__upsert_aff_{uuid.uuid4().hex[:12]}"
+        affected.createOrReplaceTempView(aview)
+        _track_temp_view(session, aview)
+        kept = (
+            f"SELECT {', '.join(f't.{c} AS {c}' for c in cols)} "
+            f"FROM {table} t LEFT ANTI JOIN {sview} s ON ({cond})"
+        )
+        post = f"{kept} UNION ALL SELECT {collist} FROM {aview}"
         _rewrite_table(session, table, post)
         return affected
 

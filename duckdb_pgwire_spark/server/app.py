@@ -66,6 +66,7 @@ from .compat import (
     split_statements,
     split_top_level,
     statement_tables,
+    strip_table_constraints,
 )
 from .typemap import (
     decode_binary_param,
@@ -1197,6 +1198,20 @@ class PgWireServer:
             writer.write(P.command_complete(first))
             await writer.drain()
             return
+        if first == "CREATE" and "TABLE" in stmt.upper():
+            # strip PG/DuckDB constraint syntax Spark's parser rejects;
+            # the PRIMARY KEY moves into the dml registry so bare ON
+            # CONFLICT / INSERT OR REPLACE / OR IGNORE resolve it
+            stripped, tname, pks = strip_table_constraints(stmt)
+            if tname is not None:
+                from ..operators.dml import PRIMARY_KEYS
+
+                stmt = stripped
+                key = tname.lower().split(".")[-1]
+                if pks:
+                    PRIMARY_KEYS[key] = pks
+                else:
+                    PRIMARY_KEYS.pop(key, None)
         if first == "CREATE" and (m := _CREATE_TABLE_RE.match(stmt)):
             or_replace, temp, name, rest = (
                 bool(m.group(1)), bool(m.group(2)), m.group(4), m.group(5)

@@ -3277,6 +3277,69 @@ def rewrite_columns_star(sql: str, ordered_cols: list[str]) -> str:
 _FROM_TABLE_RE = re.compile(r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
 
 
+_CREATE_TABLE_DDL_RE = re.compile(
+    r"^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*)\(",
+    re.IGNORECASE,
+)
+
+
+def strip_table_constraints(
+    sql: str,
+) -> tuple[str, str | None, list[str] | None]:
+    """Remove constraint syntax Spark's DDL parser rejects from a
+    ``CREATE TABLE (col-list)`` statement, returning (stripped_sql,
+    table, primary_key_cols). Handled: inline/table-level PRIMARY KEY
+    (recorded — the server keeps it so bare ON CONFLICT and INSERT OR
+    REPLACE/IGNORE resolve the key like DuckDB's binder), UNIQUE,
+    REFERENCES, FOREIGN KEY, CHECK (enforcement is dropped — parquet
+    tables have no index; PK uniqueness IS enforced on the upsert
+    paths). NOT NULL and DEFAULT stay: Spark accepts both."""
+    m = _CREATE_TABLE_DDL_RE.match(sql)
+    if m is None:
+        return sql, None, None
+    open_idx = m.end() - 1
+    mask = _code_mask(sql)
+    close = _matching_paren(sql, mask, open_idx)
+    if close == -1:
+        return sql, None, None
+    inner = sql[open_idx + 1 : close]
+    pks: list[str] = []
+    kept: list[str] = []
+    for el in split_top_level(inner):
+        el_s = el.strip()
+        if not el_s:
+            continue
+        body = re.sub(r"(?i)^CONSTRAINT\s+\w+\s+", "", el_s)
+        tm = re.match(r"(?i)^PRIMARY\s+KEY\s*\(([^)]*)\)\s*$", body)
+        if tm:
+            pks.extend(c.strip().strip('"') for c in tm.group(1).split(","))
+            continue
+        if re.match(r"(?i)^(UNIQUE\s*\(|CHECK\s*\(|FOREIGN\s+KEY\b)", body):
+            continue
+        col = el_s
+        im = re.search(r"(?i)\bPRIMARY\s+KEY\b", col)
+        if im:
+            name = re.match(r'\s*("[^"]+"|\w+)', col)
+            if name:
+                pks.append(name.group(1).strip('"'))
+            col = re.sub(r"(?i)\s*\bPRIMARY\s+KEY\b", "", col)
+        col = re.sub(
+            r"(?i)\s*\bREFERENCES\s+[\w.]+\s*(\([^)]*\))?"
+            r"(\s+ON\s+(DELETE|UPDATE)\s+(CASCADE|RESTRICT|SET\s+NULL|"
+            r"SET\s+DEFAULT|NO\s+ACTION))*",
+            "",
+            col,
+        )
+        col = re.sub(r"(?i)\s*\bCHECK\s*\([^()]*\)", "", col)
+        col = re.sub(r"(?i)\s*\bUNIQUE\b", "", col)
+        kept.append(col.strip())
+    if not kept:
+        return sql, m.group(2), pks or None
+    new_sql = sql[: open_idx + 1] + ", ".join(kept) + sql[close:]
+    return new_sql, m.group(2), pks or None
+
+
 def statement_tables(sql: str) -> list[str]:
     """Table identifiers after FROM/JOIN in code segments (simple cases;
     subqueries contribute their own inner FROMs)."""

@@ -2608,3 +2608,64 @@ def test_wire_columns_list_form(client):
     )
     assert "error" not in r, r
     assert r["rows"] == [["0", "0"]]
+
+
+def test_wire_primary_key_ddl_and_or_replace(client, spark):
+    """PG/DuckDB constraint DDL (PRIMARY KEY, UNIQUE, CHECK, REFERENCES)
+    parses; the PK drives INSERT OR REPLACE / OR IGNORE and bare ON
+    CONFLICT — statement-for-statement golden vs DuckDB."""
+    import duckdb
+
+    stmts = [
+        "INSERT INTO pkt VALUES (1, 'x', 10), (2, 'y', 20)",
+        "INSERT OR REPLACE INTO pkt VALUES (1, 'z', 30)",
+        "INSERT OR IGNORE INTO pkt VALUES (2, 'q', 99), (3, 'n', 3)",
+        "INSERT INTO pkt VALUES (9, 'a', 1) ON CONFLICT DO NOTHING",
+        "INSERT INTO pkt VALUES (9, 'b', 2) ON CONFLICT DO NOTHING",
+        "INSERT INTO pkt VALUES (9, 'c', 7) ON CONFLICT DO UPDATE SET c = excluded.c",
+        "SELECT * FROM pkt ORDER BY a",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pkt(a INT PRIMARY KEY, b VARCHAR, c INT)")
+    golden = [con.execute(s).fetchall() for s in stmts]
+    con.close()
+
+    _fresh_wire_table(spark, "pkt")
+    (r,) = client.query(
+        "CREATE TABLE pkt(a INT PRIMARY KEY, b VARCHAR UNIQUE, "
+        "c INT CHECK (c >= 0))"
+    )
+    assert "error" not in r, r
+    for s, want in zip(stmts, golden):
+        (res,) = client.query(s)
+        assert "error" not in res, (s, res)
+        if s.startswith("SELECT"):
+            got = sorted(res["rows"])
+            assert got == sorted(
+                [str(x) if x is not None else None for x in row] for row in want
+            ), (s, got, want)
+    spark.sql("DROP TABLE IF EXISTS pkt")
+
+
+def test_wire_or_replace_without_pk_errors_like_duckdb(client, spark):
+    _fresh_wire_table(spark, "nopkt")
+    client.query("CREATE TABLE nopkt(a INT)")
+    (res,) = client.query("INSERT OR REPLACE INTO nopkt VALUES (1)")
+    assert "error" in res and "no UNIQUE/PRIMARY KEY" in res["error"], res
+    (res,) = client.query("INSERT INTO nopkt VALUES (1) ON CONFLICT DO NOTHING")
+    assert "error" in res and "no UNIQUE/PRIMARY KEY" in res["error"], res
+    spark.sql("DROP TABLE IF EXISTS nopkt")
+
+
+def test_wire_composite_pk_table_constraint(client, spark):
+    _fresh_wire_table(spark, "cpk")
+    (r,) = client.query(
+        "CREATE TABLE cpk(a INT, b INT, v VARCHAR, PRIMARY KEY (a, b))"
+    )
+    assert "error" not in r, r
+    client.query("INSERT INTO cpk VALUES (1, 1, 'x')")
+    (r,) = client.query("INSERT OR REPLACE INTO cpk VALUES (1, 1, 'y')")
+    assert "error" not in r, r
+    (r,) = client.query("SELECT v FROM cpk")
+    assert r["rows"] == [["y"]]
+    spark.sql("DROP TABLE IF EXISTS cpk")
