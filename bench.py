@@ -85,6 +85,8 @@ HEADLINE = [
     # round-6 additions (DuckDB baselines in BASELINE.md r6 sub-table)
     "dedup_incremental_vs_index",
     "text_mix_token_budget",
+    "dedup_semantic_kmeans",
+    "sample_global_shuffle",
 ]
 
 

@@ -565,6 +565,11 @@ def dedup_incremental_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup uses ~0.95+ on real text embeddings — the threshold is data-
 # dependent, the machinery is not).
 SEMDEDUP_TH = 0.35
+# target mean cluster size: k = max(8, n // SEMDEDUP_CELL_TARGET), so
+# the within-cluster pair join stays O(n · SEMDEDUP_CELL_TARGET). At
+# the sf0.01 oracle scale (500 vectors) this resolves to the oracle's
+# fixed 8 centroids exactly.
+SEMDEDUP_CELL_TARGET = 64
 
 
 def _semdedup_oracle() -> str:
@@ -609,18 +614,24 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in for its centroid-distance rule).
 
     Scale shape (the paper's own argument): clustering makes the
-    pairwise step tractable — k grows with the corpus so cluster sizes
-    stay bounded, making within-cluster comparison O(n·cluster_size)
-    instead of O(n²). Here: index build shares the IVF k-means
-    (one cached corpus, Lloyd passes as fused Arrow map stages,
-    centroid matrix cached per corpus epoch), assignment is ONE
-    Arrow-batched map pass, and the pair step is a single self-join
-    shuffled on the cell id — no all-pairs stage anywhere.
+    pairwise step tractable — k GROWS WITH THE CORPUS
+    (max(8, n/{SEMDEDUP_CELL_TARGET}), so mean cluster size stays
+    ~{SEMDEDUP_CELL_TARGET} at any scale), making the within-cluster
+    comparison O(n·cluster_size) instead of O(n²). A fixed k would make
+    the pair join quadratic again at 100×. At the sf0.01 oracle scale
+    the formula lands exactly on the oracle's 8 centroids, so SQL
+    parity holds where the driver checks it. Index build shares the
+    IVF k-means (one cached corpus, Lloyd passes as fused Arrow map
+    stages, centroid matrix cached per corpus epoch), assignment is
+    ONE Arrow-batched map pass, and the pair step is a single
+    self-join shuffled on the cell id — no all-pairs stage anywhere.
     """
     from .similarity import _make_ivf_assign_udf, corpus_with_centroids
     from .vectorized import cosine_seq_udf
 
-    v, C = corpus_with_centroids(spark, sf_dir)
+    v, C = corpus_with_centroids(
+        spark, sf_dir, k=lambda n: max(8, n // SEMDEDUP_CELL_TARGET)
+    )
     assign = _make_ivf_assign_udf(C)
     asg = v.withColumn("cell", assign("embedding"))
     cosine_seq = cosine_seq_udf()

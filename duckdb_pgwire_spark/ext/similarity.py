@@ -382,7 +382,7 @@ def _lloyd_refine(spark, v: DataFrame, C: "np.ndarray") -> "np.ndarray":
     return C1
 
 
-def corpus_with_centroids(spark: SparkSession, sf_dir: str):
+def corpus_with_centroids(spark: SparkSession, sf_dir: str, k=None):
     """(cached corpus DataFrame, refined k-means centroid matrix) — the
     shared index build for IVF probing AND SemDeDup-style semantic
     clustering.
@@ -408,7 +408,11 @@ def corpus_with_centroids(spark: SparkSession, sf_dir: str):
     component-sum, all from the ONE materialization job the build needs
     anyway, so an in-place corpus change (even at equal cardinality)
     rebuilds. Deterministic: the cached matrix is exactly what the
-    rebuild would produce."""
+    rebuild would produce.
+
+    ``k`` overrides the centroid count (None = N_CENTROIDS); it may be
+    a callable(n_corpus) -> int, resolved after the fingerprint count —
+    SemDeDup passes a corpus-scaled k so cluster sizes stay bounded."""
     import numpy as np
 
     v = (
@@ -416,21 +420,25 @@ def corpus_with_centroids(spark: SparkSession, sf_dir: str):
         .select("vec_id", "embedding")
         .cache()
     )
-    seeds = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < N_CENTROIDS)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    by_id = {r.vec_id: list(r.embedding) for r in seeds}
-    C = np.array([by_id[i] for i in range(N_CENTROIDS)], dtype=np.float64)
     fp = v.agg(
         F.count("*").alias("n"),
         F.sum("vec_id").alias("sid"),
         F.round(F.sum(F.element_at("embedding", 1)), 4).alias("s1"),
     ).first()
     n_corpus = fp["n"]
-    ckey = (sf_dir, int(n_corpus), int(fp["sid"] or 0), float(fp["s1"] or 0.0))
+    n_cent = k(n_corpus) if callable(k) else (k or N_CENTROIDS)
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < n_cent)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {r.vec_id: list(r.embedding) for r in seeds}
+    C = np.array([by_id[i] for i in range(n_cent)], dtype=np.float64)
+    ckey = (
+        sf_dir, n_cent, int(n_corpus), int(fp["sid"] or 0),
+        float(fp["s1"] or 0.0),
+    )
     cached = _IVF_CENTROIDS.get(ckey)
     if cached is not None:
         return v, cached.copy()
