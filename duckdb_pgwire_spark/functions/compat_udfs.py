@@ -378,6 +378,20 @@ def _duck_json_type(v) -> str:
 
 
 @F.pandas_udf(T.StringType())
+def _json_quote(s: pd.Series) -> pd.Series:
+    """DuckDB json_quote: render any scalar as its JSON text."""
+
+    def f(v):
+        if v is None:
+            return None
+        if hasattr(v, "item"):
+            v = v.item()
+        return _dump(v)
+
+    return pd.Series([f(x) for x in s], dtype="object")
+
+
+@F.pandas_udf(T.StringType())
 def _json_type(s: pd.Series) -> pd.Series:
     def f(x):
         if x is None:
@@ -563,6 +577,7 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("json_keys", _json_keys)
     spark.udf.register("json_merge_patch", _json_merge_patch)
     spark.udf.register("json_type", _json_type)
+    spark.udf.register("json_quote", _json_quote)
     spark.udf.register("json_contains", _json_contains)
     spark.udf.register("__duck_typename", _duck_typename)
     spark.udf.register("product", _product_agg)

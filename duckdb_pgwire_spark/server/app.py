@@ -1176,6 +1176,19 @@ class PgWireServer:
                 writer.write(P.command_complete("ALTER TABLE"))
                 await writer.drain()
                 return
+        if (first == "CREATE" and re.match(
+            r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\b", stmt, re.IGNORECASE
+        )) or (first == "DROP" and re.match(
+            r"^\s*DROP\s+INDEX\b", stmt, re.IGNORECASE
+        )):
+            # ORMs/migrations emit index DDL on every deploy; parquet
+            # tables have no secondary indexes (DuckDB's ART is an
+            # engine detail, not a visible result) — ack as a no-op.
+            # NOTE: a UNIQUE index's constraint is NOT enforced (the
+            # PRIMARY KEY path is; documented delta).
+            writer.write(P.command_complete(f"{first} INDEX"))
+            await writer.drain()
+            return
         if first == "COMMENT":
             # COMMENT ON <obj> IS '...': Spark's only works on real
             # tables (fixtures are views) — ack as a metadata no-op.

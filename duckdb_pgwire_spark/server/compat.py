@@ -193,6 +193,11 @@ _FN_RENAMES = {
     "regexp_split_to_array": "split",
     "list_value": "array",
     "list_pack": "array",
+    "apply": "transform",
+    "list_apply": "transform",
+    "today": "current_date",
+    "get_current_timestamp": "current_timestamp",
+    "transaction_timestamp": "current_timestamp",
     "row": "struct",
     "epoch_ms": "unix_millis",  # TIMESTAMP form; BIGINT→TS overload stays loud
     "from_hex": "unhex",
@@ -277,6 +282,17 @@ def _rewrite_code(seg: str) -> str:
         r"\bTABLESAMPLE\s+(?:RESERVOIR|BERNOULLI|SYSTEM)\s*\(",
         "TABLESAMPLE (",
         seg,
+        flags=re.IGNORECASE,
+    )
+    # DuckDB puts IGNORE/RESPECT NULLS INSIDE the window-function call
+    # parens; Spark wants it after the close paren
+    seg = re.sub(
+        r"\s+(IGNORE|RESPECT)\s+NULLS\s*\)", r") \1 NULLS", seg,
+        flags=re.IGNORECASE,
+    )
+    # PG CTE materialization hints: Spark's optimizer decides itself
+    seg = re.sub(
+        r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", "AS (", seg,
         flags=re.IGNORECASE,
     )
     # markers emitted by the nary pass (dodge its rescan loop)
@@ -1691,6 +1707,62 @@ _NARY_REWRITES: dict = {
     # 'integer', 'decimal(2,1)', 'integer[]')
     "pg_typeof": (1, "lower(__duck_typename(__typeof__({0})))"),
     "element_at": (None, _tpl_element_at),
+    # ---- vector list functions (sequential HOF folds; same operation
+    # order as ext/vectorized's kernels)
+    "list_dot_product": (
+        2,
+        "aggregate(zip_with({0}, {1}, (__x, __y) -> "
+        "CAST(__x AS DOUBLE) * __y), CAST(0 AS DOUBLE), (__s, __v) -> __s + __v)",
+    ),
+    "list_inner_product": (
+        2,
+        "aggregate(zip_with({0}, {1}, (__x, __y) -> "
+        "CAST(__x AS DOUBLE) * __y), CAST(0 AS DOUBLE), (__s, __v) -> __s + __v)",
+    ),
+    "list_cosine_similarity": (
+        2,
+        "(aggregate(zip_with({0}, {1}, (__x, __y) -> CAST(__x AS DOUBLE) * __y),"
+        " CAST(0 AS DOUBLE), (__s, __v) -> __s + __v)"
+        " / (sqrt(aggregate({0}, CAST(0 AS DOUBLE), (__s, __v) -> __s + CAST(__v AS DOUBLE) * __v))"
+        " * sqrt(aggregate({1}, CAST(0 AS DOUBLE), (__s, __v) -> __s + CAST(__v AS DOUBLE) * __v))))",
+    ),
+    "list_distance": (
+        2,
+        "sqrt(aggregate(zip_with({0}, {1}, (__x, __y) -> "
+        "(CAST(__x AS DOUBLE) - __y) * (CAST(__x AS DOUBLE) - __y)), "
+        "CAST(0 AS DOUBLE), (__s, __v) -> __s + __v))",
+    ),
+    # ---- more list HOF spellings
+    "list_select": (
+        2, "transform({1}, __i -> element_at({0}, CAST(__i AS INT)))"
+    ),
+    "list_where": (
+        2,
+        "transform(filter(zip_with({0}, {1}, (__v, __m) -> "
+        "struct(__v AS v, __m AS m)), __s -> __s.m), __s -> __s.v)",
+    ),
+    # ---- datetime field extras (probed: century(2024)=21, decade=202)
+    "century": (1, "CAST(floor((year({0}) - 1) / 100) + 1 AS BIGINT)"),
+    "decade": (1, "CAST(floor(year({0}) / 10) AS BIGINT)"),
+    "era": (1, "(CASE WHEN year({0}) > 0 THEN 1 ELSE 0 END)"),
+    # interval constructors (make_interval: y, m, w, d, h, min, s)
+    "to_years": (1, "make_interval({0})"),
+    "to_months": (1, "make_interval(0, {0})"),
+    "to_weeks": (1, "make_interval(0, 0, {0})"),
+    "to_days": (1, "make_interval(0, 0, 0, {0})"),
+    "to_hours": (1, "make_interval(0, 0, 0, 0, {0})"),
+    "to_minutes": (1, "make_interval(0, 0, 0, 0, 0, {0})"),
+    "to_seconds": (1, "make_interval(0, 0, 0, 0, 0, 0, {0})"),
+    # session is pinned UTC: timezone offsets of any timestamp are 0
+    "timezone": (1, "CAST(0 AS BIGINT)"),
+    "timezone_hour": (1, "CAST(0 AS BIGINT)"),
+    "timezone_minute": (1, "CAST(0 AS BIGINT)"),
+    # JSON aggregate constructors
+    "json_group_array": (1, "to_json(collect_list({0}))"),
+    "json_group_object": (
+        2,
+        "to_json(map_from_arrays(collect_list({0}), collect_list({1})))",
+    ),
     # ---- JSON constructors (named_struct keeps per-value types, which
     # array() would unify away; mixed-type json_array is a documented
     # delta — Spark's array() coerces to a common type)
@@ -1775,6 +1847,7 @@ _UNARY_REWRITES = {
     ),
     # list_unique: COUNT of distinct non-NULL elements (DuckDB semantics)
     "list_unique": "size(array_distinct(filter({e}, __x -> __x IS NOT NULL)))",
+    "array_unique": "size(array_distinct(filter({e}, __x -> __x IS NOT NULL)))",
     "list_count": "size(filter({e}, __x -> __x IS NOT NULL))",
     # DuckDB datetime spellings without a direct Spark twin
     "isodow": "(weekday({e}) + 1)",  # ISO Monday=1..Sunday=7

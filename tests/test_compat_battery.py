@@ -142,6 +142,26 @@ BATTERY = [
     "SELECT approx_quantile(n_nationkey, 0.5) BETWEEN 10 AND 14 AS aq FROM nation",
     # unique-mode input (all-tied inputs break ties engine-arbitrarily)
     "SELECT mode(x) AS mo2 FROM (VALUES (1), (2), (2)) t(x)",
+    # ---- vector list functions + HOF spellings (battery 3)
+    "SELECT list_cosine_similarity([1.0, 2.0], [2.0, 4.0]) AS c",
+    "SELECT list_dot_product([1.0, 2.0], [3.0, 4.0]) AS d, list_inner_product([1, 2], [3, 4]) AS ip",
+    "SELECT list_distance([1.0, 2.0], [4.0, 6.0]) AS di",
+    "SELECT list_select([10, 20, 30], [1, 3]) AS ls, list_where([1, 2, 3], [true, false, true]) AS lw",
+    "SELECT apply([1, 2], x -> x + 1) AS ap, list_apply([1, 2], x -> x * 2) AS la2",
+    "SELECT array_unique([1, 1, 2]) AS au",
+    # ---- json aggregates / quote
+    "SELECT json_group_array(x) AS ja2 FROM (SELECT unnest([1, 2]) AS x ORDER BY x) t",
+    "SELECT json_group_object(x, y) AS jo2 FROM (VALUES (1, 'a'), (2, 'b')) t(x, y)",
+    "SELECT json_quote('a') AS jq",
+    # ---- IGNORE NULLS placement, CTE hints, datetime fields, intervals
+    "SELECT last_value(x IGNORE NULLS) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv FROM (VALUES (1, 1), (NULL, 2), (3, 3)) t(x, y)",
+    "WITH t AS MATERIALIZED (SELECT 1 AS a) SELECT * FROM t",
+    "WITH t AS NOT MATERIALIZED (SELECT 1 AS a) SELECT * FROM t",
+    "SELECT century(DATE '2024-01-01') AS c2, decade(DATE '2024-01-01') AS d2, era(DATE '2024-01-01') AS e2",
+    "SELECT timezone_hour(TIMESTAMP '2024-01-01') AS tz",
+    "SELECT TIMESTAMP '2024-01-01 00:00:00' + to_hours(2) AS th",
+    "SELECT TIMESTAMP '2024-01-01 00:00:00' + to_days(3) AS td",
+    "SELECT today() = current_date AS tc",
     # ---- typeof
     "SELECT typeof(1) AS t1, typeof('x') AS t2, typeof(1.5::DOUBLE) AS t3, typeof([1, 2]) AS t4, typeof(DATE '2024-01-01') AS t5, typeof(true) AS t6",
     "SELECT pg_typeof(1) AS pt",

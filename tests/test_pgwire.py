@@ -2669,3 +2669,15 @@ def test_wire_composite_pk_table_constraint(client, spark):
     (r,) = client.query("SELECT v FROM cpk")
     assert r["rows"] == [["y"]]
     spark.sql("DROP TABLE IF EXISTS cpk")
+
+
+def test_wire_create_drop_index_noop(client, spark):
+    _fresh_wire_table(spark, "idxt")
+    client.query("CREATE TABLE idxt(a INT)")
+    (r,) = client.query("CREATE INDEX i1 ON idxt(a)")
+    assert "error" not in r and r["tag"] == "CREATE INDEX", r
+    (r,) = client.query("CREATE UNIQUE INDEX i2 ON idxt(a)")
+    assert "error" not in r, r
+    (r,) = client.query("DROP INDEX i1")
+    assert "error" not in r and r["tag"] == "DROP INDEX", r
+    spark.sql("DROP TABLE IF EXISTS idxt")
