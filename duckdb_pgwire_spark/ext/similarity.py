@@ -427,6 +427,14 @@ def corpus_with_centroids(spark: SparkSession, sf_dir: str, k=None):
     ).first()
     n_corpus = fp["n"]
     n_cent = k(n_corpus) if callable(k) else (k or N_CENTROIDS)
+    ckey = (
+        sf_dir, n_cent, int(n_corpus), int(fp["sid"] or 0),
+        float(fp["s1"] or 0.0),
+    )
+    cached = _IVF_CENTROIDS.get(ckey)
+    if cached is not None:
+        # steady-state serve path: no seed scan, no Lloyd passes
+        return v, cached.copy()
     seeds = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < n_cent)
@@ -435,13 +443,6 @@ def corpus_with_centroids(spark: SparkSession, sf_dir: str, k=None):
     )
     by_id = {r.vec_id: list(r.embedding) for r in seeds}
     C = np.array([by_id[i] for i in range(n_cent)], dtype=np.float64)
-    ckey = (
-        sf_dir, n_cent, int(n_corpus), int(fp["sid"] or 0),
-        float(fp["s1"] or 0.0),
-    )
-    cached = _IVF_CENTROIDS.get(ckey)
-    if cached is not None:
-        return v, cached.copy()
     refine_in = v
     if n_corpus > LLOYD_SAMPLE_MAX:
         stride = n_corpus // LLOYD_SAMPLE_MAX + 1

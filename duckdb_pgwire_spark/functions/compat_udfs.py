@@ -182,14 +182,31 @@ def _strip_accents(s: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def _regexp_replace_one(s: pd.Series, pat: pd.Series, rep: pd.Series) -> pd.Series:
     """DuckDB regexp_replace default: FIRST occurrence only (Spark's
-    builtin replaces all — the shim routes 3-arg calls here)."""
+    builtin replaces all — the shim routes 3-arg calls here). The
+    replacement passes through verbatim: RE2 and Python both spell
+    backreferences \\1..\\9 (code-review r6: escaping them broke
+    '\\2\\1' swaps)."""
     import re as _re
 
     def f(x, p, r):
         if x is None or p is None or r is None:
             return None
-        # translate RE2/PCRE backrefs \1 → Python \1 (both accept \N)
-        return _re.sub(p, r.replace("\\", "\\\\"), x, count=1)
+        return _re.sub(p, r, x, count=1)
+
+    return pd.Series([f(x, p, r) for x, p, r in zip(s, pat, rep)], dtype="object")
+
+
+@F.pandas_udf(T.StringType())
+def _regexp_replace_g(s: pd.Series, pat: pd.Series, rep: pd.Series) -> pd.Series:
+    """'g'-flag regexp_replace with RE2 \\N backreference semantics —
+    Spark's builtin uses Java's $N replacement syntax, so backref
+    replacements route here instead."""
+    import re as _re
+
+    def f(x, p, r):
+        if x is None or p is None or r is None:
+            return None
+        return _re.sub(p, r, x)
 
     return pd.Series([f(x, p, r) for x, p, r in zip(s, pat, rep)], dtype="object")
 
@@ -565,6 +582,7 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("nfc_normalize", _nfc_normalize)
     spark.udf.register("strip_accents", _strip_accents)
     spark.udf.register("__regexp_replace_one", _regexp_replace_one)
+    spark.udf.register("__regexp_replace_g", _regexp_replace_g)
     spark.udf.register("bar", _bar)
     spark.udf.register("gamma", _gamma)
     spark.udf.register("lgamma", _lgamma)

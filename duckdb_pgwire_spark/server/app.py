@@ -161,14 +161,34 @@ _LIMIT_PCT_RE = re.compile(
 )
 
 
+def _select_df(session: SparkSession, stmt: str) -> DataFrame:
+    """DataFrame for a SELECT-shaped statement, handling the spellings
+    Spark's parser can't take whole (UNION BY NAME, LIMIT n%) on EVERY
+    protocol path — the extended-protocol portal executes through here
+    too, so fetchSize/binary clients see the same dialect surface."""
+    if _UNION_BY_NAME_RE.search(stmt):
+        df = _union_by_name_df(session, stmt)
+        if df is not None:
+            return df
+    mp = _LIMIT_PCT_RE.search(stmt)
+    if mp:
+        base = rewrite(stmt[: mp.start()])
+        d0 = session.sql(_hugeint_sums(session, base))
+        k = int(math.ceil(d0.count() * float(mp.group(1)) / 100.0))
+        return d0.limit(k)
+    return session.sql(_hugeint_sums(session, rewrite(stmt)))
+
+
 def _union_by_name_df(session: SparkSession, stmt: str):
     """DuckDB ``q1 UNION [ALL] BY NAME q2`` → DataFrame unionByName
     with allowMissingColumns (DuckDB NULL-fills absent columns). Parts
-    are split at paren depth 0; ORDER BY/LIMIT tails stay inside their
-    part (rare on BY-NAME unions; a mis-scoped tail fails loudly in the
-    part's own parse). Returns None when the spelling is only inside
+    are split at paren depth 0; plain UNION dedupes the ACCUMULATED
+    result at its own step (left-associative — a later UNION ALL keeps
+    duplicates it introduces, probed vs DuckDB). A trailing top-level
+    ORDER BY / LIMIT / OFFSET on the last part scopes to the WHOLE
+    union, as in SQL. Returns None when the spelling is only inside
     parens — the generic path then reports Spark's own error."""
-    from .compat import _code_mask  # depth/mask helpers live there
+    from .compat import _code_mask, _find_keyword
 
     mask = _code_mask(stmt)
     parts: list[tuple[str, bool]] = []  # (sql, all_flag of the JOINING op)
@@ -194,15 +214,29 @@ def _union_by_name_df(session: SparkSession, stmt: str):
         i += 1
     if not found:
         return None
-    parts.append((stmt[last:].rstrip().rstrip(";"), False))
+    final = stmt[last:].rstrip().rstrip(";")
+    # the union's tail: first top-level ORDER BY/LIMIT/OFFSET of the
+    # last part belongs to the whole statement
+    cut = len(final)
+    for kw in ("ORDER BY", "LIMIT", "OFFSET"):
+        p = _find_keyword(final, kw)
+        if p != -1:
+            cut = min(cut, p)
+    tail = final[cut:].strip()
+    parts.append((final[:cut], False))
     df = session.sql(rewrite(parts[0][0]))
-    dedupe = False
     for k in range(1, len(parts)):
         nxt = session.sql(rewrite(parts[k][0]))
         df = df.unionByName(nxt, allowMissingColumns=True)
-        if not parts[k - 1][1]:  # plain UNION dedupes
-            dedupe = True
-    return df.distinct() if dedupe else df
+        if not parts[k - 1][1]:  # plain UNION dedupes what's accumulated
+            df = df.distinct()
+    if tail:
+        import uuid
+
+        v = f"__ubn_{uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(v)
+        df = session.sql(rewrite(f"SELECT * FROM {v} {tail}"))
+    return df
 
 
 def _param_literal(p: bytes | None) -> str:
@@ -669,8 +703,7 @@ class PgWireServer:
                 df = await self._exec(session, tag, _introspection_df, session, p.sql)
             else:
                 df = await self._exec(
-                    session, tag,
-                    lambda: session.sql(_hugeint_sums(session, rewritten)),
+                    session, tag, _select_df, session, p.sql
                 )
             kept = [
                 (i, f.dataType)
@@ -736,7 +769,7 @@ class PgWireServer:
             )
         else:
             df = await loop.run_in_executor(
-                self._pool, lambda: session.sql(_hugeint_sums(session, rewritten))
+                self._pool, _select_df, session, sql
             )
         if portal is not None and not _EXPLAIN_ANALYZE_RE.match(sql):
             portal.df = df
@@ -1214,17 +1247,33 @@ class PgWireServer:
         if first == "CREATE" and "TABLE" in stmt.upper():
             # strip PG/DuckDB constraint syntax Spark's parser rejects;
             # the PRIMARY KEY moves into the dml registry so bare ON
-            # CONFLICT / INSERT OR REPLACE / OR IGNORE resolve it
+            # CONFLICT / INSERT OR REPLACE / OR IGNORE resolve it. ANY
+            # create of the name (including CTAS, which has no column
+            # list) resets the entry — a stale PK would let INSERT OR
+            # REPLACE silently delete rows of a recreated PK-less table.
+            from ..operators.dml import PRIMARY_KEYS
+
             stripped, tname, pks = strip_table_constraints(stmt)
             if tname is not None:
-                from ..operators.dml import PRIMARY_KEYS
-
                 stmt = stripped
+            else:
+                cm = _CREATE_TABLE_RE.match(stmt)
+                tname = cm.group(4) if cm else None
+            if tname is not None:
                 key = tname.lower().split(".")[-1]
                 if pks:
                     PRIMARY_KEYS[key] = pks
                 else:
                     PRIMARY_KEYS.pop(key, None)
+        if first == "DROP" and (
+            dm := re.match(
+                r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)", stmt,
+                re.IGNORECASE,
+            )
+        ):
+            from ..operators.dml import PRIMARY_KEYS
+
+            PRIMARY_KEYS.pop(dm.group(1).lower().split(".")[-1], None)
         if first == "CREATE" and (m := _CREATE_TABLE_RE.match(stmt)):
             or_replace, temp, name, rest = (
                 bool(m.group(1)), bool(m.group(2)), m.group(4), m.group(5)

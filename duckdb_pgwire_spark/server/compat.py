@@ -1507,9 +1507,15 @@ def _tpl_regexp_replace(args: list[str]) -> str | None:
         return None
     pat = f"concat('(?i)', {args[1]})" if "i" in flags else args[1]
     if "g" in flags:
-        # marker dodges the rescan (a bare 3-arg regexp_replace would
-        # re-match as the replace-FIRST form); _rewrite_code unmasks it
-        return f"__regexp_replace_all__({args[0]}, {pat}, {args[2]})"
+        # Spark's builtin replacement syntax is Java's $N, not RE2's
+        # \N — only a literal replacement WITHOUT backrefs/dollars can
+        # use it; anything else routes through the Python UDF
+        rm = re.match(r"^'([^\\$]*)'$", args[2])
+        if rm is not None:
+            # marker dodges the rescan (a bare 3-arg regexp_replace
+            # would re-match as the replace-FIRST form)
+            return f"__regexp_replace_all__({args[0]}, {pat}, {args[2]})"
+        return f"__regexp_replace_g({args[0]}, {pat}, {args[2]})"
     return f"__regexp_replace_one({args[0]}, {pat}, {args[2]})"
 
 
@@ -1530,16 +1536,26 @@ def _tpl_date_part(args: list[str]) -> str | None:
     return None
 
 
-_DATE_TRUNC_DATE_UNITS = {
-    "day", "week", "month", "quarter", "year", "decade", "century",
-    "millennium", "isoyear",
-}
+_DATE_TRUNC_DATE_UNITS = {"day", "week", "month", "quarter", "year"}
 
 
 def _tpl_date_trunc(args: list[str]) -> str | None:
     if len(args) != 2:
         return None
     unit = args[0].strip().strip("'").lower()
+    ts = args[1]
+    # units Spark's date_trunc does NOT know (it returns NULL for them
+    # — silently wrong): express via year arithmetic, or refuse loudly
+    if unit == "decade":
+        return f"make_date(CAST(floor(year({ts}) / 10) * 10 AS INT), 1, 1)"
+    if unit == "century":
+        # DuckDB rounds down to the multiple (2024 → 2000), unlike
+        # PG's year-1-based centuries (probed)
+        return f"make_date(CAST(floor(year({ts}) / 100) * 100 AS INT), 1, 1)"
+    if unit == "millennium":
+        return f"make_date(CAST(floor(year({ts}) / 1000) * 1000 AS INT), 1, 1)"
+    if unit == "isoyear":
+        return "CAST(raise_error('date_trunc: isoyear is not supported') AS DATE)"
     if unit not in _DATE_TRUNC_DATE_UNITS:
         return None  # sub-day units keep TIMESTAMP on both engines
     return f"CAST(__date_trunc__({args[0]}, {args[1]}) AS DATE)"
@@ -1757,11 +1773,19 @@ _NARY_REWRITES: dict = {
     "timezone": (1, "CAST(0 AS BIGINT)"),
     "timezone_hour": (1, "CAST(0 AS BIGINT)"),
     "timezone_minute": (1, "CAST(0 AS BIGINT)"),
-    # JSON aggregate constructors
-    "json_group_array": (1, "to_json(collect_list({0}))"),
+    # JSON aggregate constructors. collect_list drops NULLs, so values
+    # ride inside a struct (structs are never NULL) and unwrap after —
+    # DuckDB keeps nulls ('[1,null,2]', probed); map_from_entries keeps
+    # key/value rows PAIRED (two independent collect_lists could
+    # mis-align when one column has NULLs).
+    "json_group_array": (
+        1,
+        "to_json(transform(collect_list(struct({0} AS v)), __s -> __s.v))",
+    ),
     "json_group_object": (
         2,
-        "to_json(map_from_arrays(collect_list({0}), collect_list({1})))",
+        "to_json(map_from_entries(collect_list("
+        "struct({0} AS key, {1} AS value))))",
     ),
     # ---- JSON constructors (named_struct keeps per-value types, which
     # array() would unify away; mixed-type json_array is a documented
@@ -2751,7 +2775,7 @@ def _rewrite_agg_order_by(sql: str) -> str:
             repl = (
                 f"listagg({args[0]}, {sep}) WITHIN GROUP (ORDER BY {spec})"
             )
-        elif name in ("array_agg", "collect_list", "list"):
+        elif name in ("array_agg", "collect_list", "list", "first", "last"):
             sm = re.match(
                 r"^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$",
                 spec,
@@ -2763,27 +2787,22 @@ def _rewrite_agg_order_by(sql: str) -> str:
                 skipped.add(m.start())  # multi-key/multi-arg: loud
                 continue
             lt, gt = (-1, 1) if not desc else (1, -1)
-            # DuckDB default: NULLS LAST for ASC, NULLS FIRST for DESC
+            # DuckDB default: NULL keys sort LAST in BOTH directions
+            # (probed: array_agg(v ORDER BY k DESC) puts the NULL-key
+            # row last); explicit NULLS FIRST/LAST overrides
             nl, nr = (1, -1)
-            if sm.group(3):
-                nl, nr = (-1, 1) if sm.group(3).upper() == "FIRST" else (1, -1)
-            elif desc:
+            if sm.group(3) and sm.group(3).upper() == "FIRST":
                 nl, nr = (-1, 1)
-            repl = _ARRAY_AGG_SORTED.format(
+            sorted_arr = _ARRAY_AGG_SORTED.format(
                 k=key, v=args[0], lt=lt, gt=gt, nl=nl, nr=nr
             )
-        elif name in ("first", "last"):
-            sm = re.match(
-                r"^(.*?)(?:\s+(ASC|DESC))?\s*$", spec, re.IGNORECASE | re.DOTALL
-            )
-            key = sm.group(1).strip()
-            desc = (sm.group(2) or "").upper() == "DESC"
-            if "," in key or len(args) != 1:
-                skipped.add(m.start())
-                continue
-            want_min = (name == "first") != desc
-            fn = "min_by" if want_min else "max_by"
-            repl = f"{fn}({args[0]}, {key})"
+            if name in ("first", "last"):
+                # element of the DuckDB-sorted array — min_by/max_by
+                # would SKIP null sort keys, which DuckDB includes
+                idx = "1" if name == "first" else "-1"
+                repl = f"element_at({sorted_arr}, {idx})"
+            else:
+                repl = sorted_arr
         if repl is None:
             skipped.add(m.start())
             continue
@@ -2845,12 +2864,16 @@ def _rewrite_format(sql: str) -> str:
             f"CAST({a} AS {casts[n + 1]})" if (n + 1) in casts else a
             for n, a in enumerate(args[1:])
         ]
-        printf = printf.replace("'", "''")
-        repl = (
-            f"format_string('{printf}', {', '.join(rest)})"
-            if rest
-            else f"'{printf}'"
-        )
+        if rest:
+            repl = (
+                f"format_string('{printf.replace(chr(39), chr(39) * 2)}', "
+                f"{', '.join(rest)})"
+            )
+        else:
+            # no arguments: emit the formatted text directly — undo the
+            # printf %% escaping first ('100%' stays '100%')
+            plain = printf.replace("%%", "%").replace("'", "''")
+            repl = f"'{plain}'"
         sql = sql[: m.start()] + repl + sql[i:]
     return sql
 

@@ -162,6 +162,17 @@ BATTERY = [
     "SELECT TIMESTAMP '2024-01-01 00:00:00' + to_hours(2) AS th",
     "SELECT TIMESTAMP '2024-01-01 00:00:00' + to_days(3) AS td",
     "SELECT today() = current_date AS tc",
+    # ---- code-review r6 regressions: null sort keys, backrefs,
+    # json_group nulls, format %%, date_trunc decade/century
+    "SELECT array_agg(v ORDER BY k DESC) AS aa2 FROM (VALUES (1, 10), (2, NULL), (3, 20)) t(v, k)",
+    "SELECT array_agg(v ORDER BY k) AS aa3 FROM (VALUES (1, 10), (2, NULL), (3, 20)) t(v, k)",
+    "SELECT first(v ORDER BY k) AS f2, last(v ORDER BY k) AS l2 FROM (VALUES (1, 10), (2, NULL), (3, 20)) t(v, k)",
+    "SELECT regexp_replace('duck', '(d)(u)', '\\2\\1') AS rr",
+    "SELECT regexp_replace('duckduck', '(d)(u)', '\\2\\1', 'g') AS rrg",
+    "SELECT json_group_array(v) AS jga FROM (VALUES (1), (NULL), (2)) t(v)",
+    "SELECT json_group_object(k, v) AS jgo FROM (VALUES ('a', 1), ('b', NULL)) t(k, v)",
+    "SELECT format('100%') AS pf",
+    "SELECT date_trunc('decade', DATE '2024-05-05') AS dd2, date_trunc('century', DATE '2024-05-05') AS dc, date_trunc('millennium', DATE '2024-05-05') AS dm",
     # ---- typeof
     "SELECT typeof(1) AS t1, typeof('x') AS t2, typeof(1.5::DOUBLE) AS t3, typeof([1, 2]) AS t4, typeof(DATE '2024-01-01') AS t5, typeof(true) AS t6",
     "SELECT pg_typeof(1) AS pt",

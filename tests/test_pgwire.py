@@ -2681,3 +2681,46 @@ def test_wire_create_drop_index_noop(client, spark):
     (r,) = client.query("DROP INDEX i1")
     assert "error" not in r and r["tag"] == "DROP INDEX", r
     spark.sql("DROP TABLE IF EXISTS idxt")
+
+
+def test_wire_union_by_name_mixed_and_tail(client):
+    """Left-assoc dedup: a later UNION ALL keeps its duplicates; a
+    trailing LIMIT scopes to the WHOLE union (code-review r6)."""
+    (r,) = client.query(
+        "SELECT 1 AS a UNION BY NAME SELECT 2 AS a UNION ALL BY NAME SELECT 2 AS a"
+    )
+    assert "error" not in r, r
+    assert sorted(x[0] for x in r["rows"]) == ["1", "2", "2"]
+    (r,) = client.query(
+        "SELECT n_nationkey AS k FROM nation UNION ALL BY NAME "
+        "SELECT n_nationkey AS k FROM nation ORDER BY k LIMIT 3"
+    )
+    assert "error" not in r, r
+    assert [x[0] for x in r["rows"]] == ["0", "0", "1"]
+
+
+def test_wire_pk_registry_drop_clears(client, spark):
+    """DROP TABLE clears the PK registry: a recreated PK-less table
+    must raise DuckDB's binder error, not silently upsert."""
+    _fresh_wire_table(spark, "pkre")
+    client.query("CREATE TABLE pkre(a INT PRIMARY KEY)")
+    client.query("DROP TABLE pkre")
+    client.query("CREATE TABLE pkre(a INT)")
+    (res,) = client.query("INSERT OR REPLACE INTO pkre VALUES (1)")
+    assert "error" in res and "no UNIQUE/PRIMARY KEY" in res["error"], res
+    spark.sql("DROP TABLE IF EXISTS pkre")
+
+
+def test_wire_extended_protocol_dialect_spellings(client):
+    """UNION BY NAME and LIMIT n% through the extended protocol (the
+    portal path bypassed them before code-review r6)."""
+    out = client.extended_query(
+        "SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a"
+    )
+    assert "error" not in out, out
+    assert sorted(x[0] for x in out["rows"]) == ["1", "2"]
+    out = client.extended_query(
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 10%"
+    )
+    assert "error" not in out, out
+    assert len(out["rows"]) == 3
