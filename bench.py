@@ -87,6 +87,7 @@ HEADLINE = [
     "text_mix_token_budget",
     "dedup_semantic_kmeans",
     "sample_global_shuffle",
+    "text_mix_temperature",
 ]
 
 

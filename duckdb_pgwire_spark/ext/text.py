@@ -913,3 +913,78 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.row_number().over(w) + off_map[F.col("__b")]).alias("shuffle_pos"),
     )
+
+
+# --------------------------------------- temperature (alpha) source mixing
+
+MIX_ALPHA = 0.5        # multinomial smoothing exponent (XLM-style)
+MIX_TARGET_FRAC = 0.5  # expected fraction of total tokens kept
+
+
+@query(
+    "text_mix_temperature",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ), st AS (
+        SELECT source, SUM(ntok) AS t FROM tok GROUP BY source
+    ), g AS (
+        SELECT ROUND(SUM(pow(t, {MIX_ALPHA})), 6) AS s,
+               SUM(t) AS total
+        FROM st
+    ), p AS (
+        SELECT st.source,
+               ROUND(LEAST(1.0,
+                   {MIX_TARGET_FRAC} * g.total
+                   * (pow(st.t, {MIX_ALPHA}) / g.s) / st.t), 6) AS keep_p
+        FROM st CROSS JOIN g
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN p ON p.source = d.source
+    WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)
+               AS BIGINT) AS DOUBLE) / 4503599627370496 < p.keep_p
+    """,
+    tags=("ext", "sampling", "mixing"),
+)
+def text_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mixing (the multinomial
+    alpha-sampling of XLM / mBERT, public): per-source keep probability
+    p_s ∝ t_s^alpha / t_s, so low-resource sources are UP-sampled
+    relative to their size while the expected kept-token total stays at
+    MIX_TARGET_FRAC of the corpus. Selection is a deterministic
+    md5-uniform per doc (hash order, not RNG state) — reproducible
+    across engines, re-runs, and cluster sizes; complements
+    text_mix_token_budget's hard quotas with the probabilistic mix
+    most pre-training recipes actually use.
+
+    Scale shape: ONE map-side token count + per-source agg (#sources
+    rows to the driver), probabilities broadcast as a literal map, then
+    a ZERO-shuffle filter over the corpus. Cross-engine exactness: the
+    driver mirrors the oracle's arithmetic operation-for-operation (the
+    shared power-sum is rounded to 6 decimals on both sides, the
+    uniform uses 52 hash bits so the double conversion is exact).
+    """
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8)
+    tok = d.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("ntok")
+    )
+    st = tok.groupBy("source").agg(F.sum("ntok").alias("t")).collect()
+    totals = {r["source"]: int(r["t"]) for r in st}
+    total = sum(totals.values())
+    s = round(sum(t ** MIX_ALPHA for t in totals.values()), 6)
+    keep_p = {
+        src: round(
+            min(1.0, MIX_TARGET_FRAC * total * (t ** MIX_ALPHA / s) / t), 6
+        )
+        for src, t in totals.items()
+    }
+    p_map = F.create_map(*[F.lit(x) for kv in keep_p.items() for x in kv])
+    uniform = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    return d.filter(uniform < p_map[F.col("source")]).select("doc_id", "source")
