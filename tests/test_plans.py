@@ -291,3 +291,14 @@ def test_semdedup_pairs_shuffle_on_cell_only(spark):
     plan = I.simple_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mix_temperature_zero_shuffle_filter(spark):
+    """The alpha-mix filter stage must be key-shuffle-free:
+    probabilities arrive as a broadcast literal map, so the kept-docs
+    plan is scan + filter (the loader's round-robin repartition is the
+    only exchange — no hash/range partitioning, no join)."""
+    df = _q("text_mix_temperature").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "Join" not in plan, plan
