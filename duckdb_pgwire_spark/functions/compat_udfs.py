@@ -490,6 +490,19 @@ def _entropy_agg(v: pd.Series) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
+@F.pandas_udf(T.MapType(T.StringType(), T.LongType()), F.PandasUDFType.GROUPED_AGG)
+def _histogram_agg(v: pd.Series):
+    """DuckDB histogram(x): value → count map, keys in value order.
+    Keys are STRINGS here (one registration can't be polymorphic over
+    the key type; DuckDB types them by input — documented delta, the
+    wire's text rendering is the visible surface either way)."""
+    s = v.dropna()
+    if not len(s):
+        return None
+    c = s.value_counts().sort_index()
+    return {str(k): int(n) for k, n in c.items()}
+
+
 @F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
 def _kurtosis_sample_agg(v: pd.Series) -> float:
     """DuckDB kurtosis = SAMPLE excess kurtosis (Excel KURT); pandas
@@ -601,5 +614,6 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("product", _product_agg)
     spark.udf.register("mad", _mad_agg)
     spark.udf.register("entropy", _entropy_agg)
+    spark.udf.register("histogram", _histogram_agg)
     spark.udf.register("__duck_kurtosis", _kurtosis_sample_agg)
     spark.udf.register("__duck_skewness", _skewness_sample_agg)

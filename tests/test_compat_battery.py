@@ -138,6 +138,7 @@ BATTERY = [
     "SELECT round(kurtosis(n_nationkey), 9) AS k, round(skewness(n_nationkey), 9) AS sk FROM nation",
     "SELECT round(kurtosis_pop(n_nationkey), 9) AS kp FROM nation",
     "SELECT quantile_disc(n_nationkey, 0.5) AS qd, quantile(n_nationkey, 0.25) AS q FROM nation",
+    "SELECT histogram(n_regionkey) AS h FROM nation",
     "SELECT quantile_cont(n_nationkey, [0.25, 0.5, 0.75]) AS qc FROM nation",
     "SELECT approx_quantile(n_nationkey, 0.5) BETWEEN 10 AND 14 AS aq FROM nation",
     # unique-mode input (all-tied inputs break ties engine-arbitrarily)
@@ -188,6 +189,8 @@ _NEEDS_TABLES = ("region", "nation", "customer", "lineitem", "orders")
 
 
 def _canon(v, depth=0):
+    # dict keys canonize to str: histogram() returns MAP<STRING,LONG>
+    # where DuckDB types keys by input (documented delta)
     if isinstance(v, bool):
         return v
     if isinstance(v, Decimal):
@@ -210,7 +213,15 @@ def _canon(v, depth=0):
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x, depth + 1) for x in v)
     if isinstance(v, dict):
-        return tuple(sorted((k, _canon(x, depth + 1)) for k, x in v.items()))
+        if set(v.keys()) == {"key", "value"} and isinstance(v.get("key"), list):
+            # duckdb 1.0's Python rendering of a MAP value
+            return tuple(
+                sorted(
+                    (str(k), _canon(x, depth + 1))
+                    for k, x in zip(v["key"], v["value"])
+                )
+            )
+        return tuple(sorted((str(k), _canon(x, depth + 1)) for k, x in v.items()))
     if isinstance(v, bytes):
         return v.hex()
     return v
