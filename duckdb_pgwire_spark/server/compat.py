@@ -737,6 +737,57 @@ def _rewrite_date_literal_diff(sql: str) -> str:
     return sql
 
 
+_INTERVAL_EPOCH_SECS = {
+    "microsecond": 1e-6, "microseconds": 1e-6, "us": 1e-6,
+    "millisecond": 1e-3, "milliseconds": 1e-3, "ms": 1e-3,
+    "second": 1.0, "seconds": 1.0, "s": 1.0,
+    "minute": 60.0, "minutes": 60.0, "min": 60.0,
+    "hour": 3600.0, "hours": 3600.0, "h": 3600.0,
+    "day": 86400.0, "days": 86400.0, "d": 86400.0,
+    "week": 604800.0, "weeks": 604800.0,
+    # DuckDB's calendar-free conversions (probed): month = 30 days,
+    # year = 365.25 days
+    "month": 2592000.0, "months": 2592000.0,
+    "year": 31557600.0, "years": 31557600.0,
+    "decade": 315576000.0, "decades": 315576000.0,
+    "century": 3155760000.0, "centuries": 3155760000.0,
+    "millennium": 31557600000.0, "millennia": 31557600000.0,
+}
+
+_INTERVAL_EPOCH_RE = re.compile(
+    r"(?:EXTRACT\s*\(\s*epoch\s+FROM\s+|epoch\s*\(\s*)"
+    r"INTERVAL\s+(?:'([^']+)'|(\d+)\s+(\w+))\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _interval_literal_seconds(spec: str) -> float | None:
+    total = 0.0
+    parts = re.findall(r"(-?\d+(?:\.\d+)?)\s*([A-Za-z]+)", spec)
+    if not parts:
+        return None
+    for n, unit in parts:
+        secs = _INTERVAL_EPOCH_SECS.get(unit.lower())
+        if secs is None:
+            return None
+        total += float(n) * secs
+    return total
+
+
+def _rewrite_interval_epoch(sql: str) -> str:
+    """``EXTRACT(epoch FROM INTERVAL '…')`` / ``epoch(INTERVAL …)`` for
+    LITERAL intervals — evaluated at rewrite time (Spark can't extract
+    epoch from an interval). Non-literal interval operands stay loud."""
+    def sub(m: re.Match) -> str:
+        spec = m.group(1) if m.group(1) else f"{m.group(2)} {m.group(3)}"
+        secs = _interval_literal_seconds(spec)
+        if secs is None:
+            return m.group(0)
+        return repr(secs)
+
+    return _INTERVAL_EPOCH_RE.sub(sub, sql)
+
+
 def _rewrite_operators(sql: str) -> str:
     """DuckDB operator spellings Spark's parser rejects or mis-reads:
 
@@ -3048,6 +3099,7 @@ def rewrite(sql: str) -> str:
     # else EMITS Spark-escaped literals of its own
     sql = _strip_numeric_underscores(sql)
     sql = _rewrite_date_literal_diff(sql)  # before '-' reaches Spark
+    sql = _rewrite_interval_epoch(sql)  # before the epoch() nary claims it
     sql = _rewrite_operators(sql)  # before nary: xor() legitimately emits ^
     sql = _rewrite_read_files(sql)  # before literal split: needs the path string
     sql = _rewrite_strftime(sql)  # before literal split: needs the fmt string

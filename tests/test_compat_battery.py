@@ -163,6 +163,8 @@ BATTERY = [
     "SELECT TIMESTAMP '2024-01-01 00:00:00' + to_hours(2) AS th",
     "SELECT TIMESTAMP '2024-01-01 00:00:00' + to_days(3) AS td",
     "SELECT today() = current_date AS tc",
+    "SELECT EXTRACT(epoch FROM INTERVAL '90 minutes') AS ie1, EXTRACT(epoch FROM INTERVAL '1 day 2 hours') AS ie2",
+    "SELECT epoch(INTERVAL '1 month') AS ie3, EXTRACT(epoch FROM INTERVAL 2 DAY) AS ie4",
     # ---- code-review r6 regressions: null sort keys, backrefs,
     # json_group nulls, format %%, date_trunc decade/century
     "SELECT array_agg(v ORDER BY k DESC) AS aa2 FROM (VALUES (1, 10), (2, NULL), (3, 20)) t(v, k)",
