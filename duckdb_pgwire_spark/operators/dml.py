@@ -641,6 +641,14 @@ _INSERT = re.compile(
 # removes the syntax Spark's DDL parser rejects; the key lives here so
 # bare ON CONFLICT / INSERT OR REPLACE / OR IGNORE can resolve it like
 # DuckDB's binder does).
+#
+# Lifetime: process-scoped, MATCHING the catalog — the server runs on
+# Spark's in-memory catalog, so managed tables themselves do not
+# survive a restart; recreating them re-registers their PKs. If this
+# server is ever pointed at a persistent metastore (Hive), this dict
+# must move into table properties (e.g. TBLPROPERTIES
+# 'duckdb_pgwire.primary_key') reloaded at startup, or PK-dependent
+# upserts on pre-existing tables would raise the no-PK binder error.
 PRIMARY_KEYS: dict[str, list[str]] = {}
 
 _NO_PK_ERROR = (

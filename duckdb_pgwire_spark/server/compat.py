@@ -609,11 +609,15 @@ def _seg_at(segs: list[tuple[str, int, int]], i: int) -> tuple[str, int, int]:
     return "code", i, i
 
 
+_TYPED_LITERAL_KEYWORDS = {"INTERVAL", "DATE", "TIMESTAMP", "TIME"}
+
+
 def _scan_left_operand(sql: str, segs, end: int) -> int:
     """Start index of the tightest value expression ending at ``end``
-    (exclusive): literal / paren group (with optional call head) /
-    qualified identifier or number. Returns ``end`` when nothing
-    operand-like precedes (caller leaves the operator alone)."""
+    (exclusive): literal (incl. typed literals ``DATE '…'``) / paren
+    group (with optional call head) / ``CASE…END`` block / qualified
+    identifier or number. Returns ``end`` when nothing operand-like
+    precedes (caller decides skip-vs-refuse)."""
     i = end
     while i > 0 and sql[i - 1].isspace():
         i -= 1
@@ -621,6 +625,11 @@ def _scan_left_operand(sql: str, segs, end: int) -> int:
         return end
     kind, a, _b = _seg_at(segs, i - 1)
     if kind == "lit":
+        # typed literal: the keyword is part of the operand — without
+        # it, INTERVAL '1 day' ^ 2 would garble to INTERVAL POWER(...)
+        m = re.search(r"[A-Za-z_]\w*\s*$", sql[:a])
+        if m and m.group(0).strip().upper() in _TYPED_LITERAL_KEYWORDS:
+            return m.start()
         return a
     c = sql[i - 1]
     if c == ")" or c == "]":
@@ -640,6 +649,22 @@ def _scan_left_operand(sql: str, segs, end: int) -> int:
             return m.start()
         return j
     m = re.search(r"[\w.$]+$", sql[:i])
+    if m and m.group(0).upper() == "END":
+        # CASE … END block: scan back to the matching CASE (nesting-
+        # aware, literal-masked)
+        depth = 0
+        for w in reversed(
+            list(re.finditer(r"\b(CASE|END)\b", sql[:i], re.IGNORECASE))
+        ):
+            if _seg_at(segs, w.start())[0] != "code":
+                continue
+            if w.group(0).upper() == "END":
+                depth += 1
+            else:
+                depth -= 1
+                if depth == 0:
+                    return w.start()
+        return end
     if m and m.group(0).upper() in _BRACKET_KEYWORDS:
         return end
     return m.start() if m else end
@@ -678,7 +703,30 @@ def _scan_right_operand(sql: str, segs, start: int) -> int:
     m = re.match(r"[\w.$]+", sql[i:])
     if not m:
         return start
+    word = m.group(0).upper()
+    if word == "CASE":
+        # CASE … END block: scan forward to the matching END
+        depth = 0
+        for w in re.finditer(r"\b(CASE|END)\b", sql[i:], re.IGNORECASE):
+            if _seg_at(segs, i + w.start())[0] != "code":
+                continue
+            if w.group(0).upper() == "CASE":
+                depth += 1
+            else:
+                depth -= 1
+                if depth == 0:
+                    return i + w.end()
+        return start
     j = i + m.end()
+    if word in _TYPED_LITERAL_KEYWORDS:
+        # typed literal: extend over the following string literal
+        k = j
+        while k < n and sql[k].isspace():
+            k += 1
+        kind, _a, b = _seg_at(segs, k)
+        if k < n and kind == "lit":
+            return b
+        return start if word == "INTERVAL" else j
     k = j
     while k < n and sql[k].isspace():
         k += 1
@@ -796,20 +844,27 @@ def _rewrite_operators(sql: str) -> str:
     - ``a // b``                → ``FLOOR(a / b)`` (floor division)
     - ``n!``                    → ``factorial(n)``
     - ``@x``                    → ``abs(x)``
-    - ``s ~ p`` / ``s !~ p``    → ``RLIKE`` / ``NOT RLIKE``
-    - ``s ~* p`` / ``s !~* p``  → case-insensitive RLIKE via ``(?i)``
+    - ``s ~ p`` / ``s !~ p``    → anchored RLIKE (DuckDB ``~`` is a
+      FULL regex match, probed — unlike PG's partial match)
+    - ``s ~* p`` / ``s !~* p``  → loud refusal (no such operator in
+      DuckDB v1.1, probed: Catalog Error)
     - ``~~`` family             → LIKE / ILIKE spellings
     - ``s SIMILAR TO p``        → anchored RLIKE (both engines treat the
       pattern as a regex matched against the WHOLE string)
     - ``s GLOB 'pat'``          → anchored RLIKE on the translated glob
       (literal patterns only; expression patterns pass through loudly)
-    """
+
+    An occurrence whose operands can't be scanned is SKIPPED, so every
+    later operator in the statement still rewrites — one odd spelling
+    no longer disables the whole pass. Exception: ``^`` — Spark parses
+    ``^`` as XOR, so an unrewritable power occurrence raises instead
+    of passing through silently wrong."""
     guard = 0
     while guard < 400:
         guard += 1
         segs = _abs_segments(sql)
         mask = _code_mask(sql)
-        m = None
+        new_sql = None
         for cand in re.finditer(
             r"\*\*|//|\^|!~~\*|~~\*|!~~|~~|!~\*|~\*|!~(?!~)|~|!|@"
             r"|\bSIMILAR\s+TO\b|\bGLOB\b",
@@ -827,91 +882,115 @@ def _rewrite_operators(sql: str) -> str:
                 continue  # ``!`` with no left operand: leave for parser
             if op == "@" and _infix_context(sql, segs, cand.start()):
                 continue  # infix @ (no DuckDB meaning): leave loud
-            m = cand
+            new_sql = _attempt_operator_rewrite(sql, segs, cand)
+            if new_sql is None:
+                if op == "^":
+                    raise ValueError(
+                        "cannot rewrite '^' (DuckDB power) near "
+                        f"{sql[max(0, cand.start() - 20) : cand.end() + 20]!r}"
+                        " — refusing to pass through (Spark '^' is XOR)"
+                    )
+                continue  # unrewritable occurrence: skip, keep scanning
             break
-        if m is None:
+        if new_sql is None:
             return sql
-        op = m.group(0)
-        opu = re.sub(r"\s+", " ", op.upper())
-        if opu in ("**", "^", "//"):
-            ls = _scan_left_operand(sql, segs, m.start())
-            re_ = _scan_right_operand(sql, segs, m.end())
-            if ls == m.start() or re_ == m.end():
-                return sql  # malformed: leave for Spark's parser
-            # DuckDB binds unary minus TIGHTER than these operators
-            # (probed: -2 ^ 2 = 4, -7 // 2 = -3) — grab it
-            k = ls
-            while k > 0 and sql[k - 1].isspace():
-                k -= 1
-            if k > 0 and sql[k - 1] == "-" and not _infix_context(
-                sql, segs, k - 1
-            ):
-                ls = k - 1
-            left, right = sql[ls : m.start()].strip(), sql[m.end() : re_].strip()
-            if opu == "//":
-                # DuckDB // (probed): truncating division on integer
-                # types, PLAIN division on fractional types. Fractional
-                # literals keep /; everything else gets Spark's DIV
-                # (exact for int columns; doubles error loudly there).
-                frac = re.compile(r"^-?\d*\.\d|^-?\d+[eE]|DOUBLE|FLOAT|REAL")
-                if frac.search(left) or frac.search(right):
-                    fn = "(({0}) / ({1}))"
-                else:
-                    fn = "(({0}) DIV ({1}))"
-            else:
-                fn = "POWER({0}, {1})"
-            sql = sql[:ls] + fn.format(left, right) + sql[re_:]
-        elif opu == "!":
-            ls = _scan_left_operand(sql, segs, m.start())
-            if ls == m.start():
-                return sql
-            left = sql[ls : m.start()].strip()
-            sql = sql[:ls] + f"factorial({left})" + sql[m.end() :]
-        elif opu == "@":
-            re_ = _scan_right_operand(sql, segs, m.end())
-            if re_ == m.end():
-                return sql
-            right = sql[m.end() : re_].strip()
-            sql = sql[: m.start()] + f"abs({right})" + sql[re_:]
-        elif opu in ("~*", "!~*"):
-            re_ = _scan_right_operand(sql, segs, m.end())
-            if re_ == m.end():
-                return sql
-            right = sql[m.end() : re_].strip()
-            neg = "NOT " if opu.startswith("!") else ""
-            sql = (
-                sql[: m.start()]
-                + f" {neg}RLIKE concat('(?i)', {right})"
-                + sql[re_:]
-            )
-        elif opu in ("~", "!~", "~~", "!~~", "~~*", "!~~*"):
-            kw = {
-                "~": " RLIKE ",
-                "!~": " NOT RLIKE ",
-                "~~": " LIKE ",
-                "!~~": " NOT LIKE ",
-                "~~*": " ILIKE ",
-                "!~~*": " NOT ILIKE ",
-            }[opu]
-            sql = sql[: m.start()] + kw + sql[m.end() :]
-        elif opu == "SIMILAR TO":
-            re_ = _scan_right_operand(sql, segs, m.end())
-            if re_ == m.end():
-                return sql
-            right = sql[m.end() : re_].strip()
-            sql = (
-                sql[: m.start()]
-                + f" RLIKE concat('^(?:', {right}, ')$')"
-                + sql[re_:]
-            )
-        elif opu == "GLOB":
-            re_ = _scan_right_operand(sql, segs, m.end())
-            pat = sql[m.end() : re_].strip()
-            if not (pat.startswith("'") and pat.endswith("'")):
-                return sql  # non-literal glob: loud passthrough
-            rx = _glob_to_regex(pat[1:-1]).replace("\\", "\\\\").replace("'", "''")
-            sql = sql[: m.start()] + f" RLIKE '{rx}'" + sql[re_:]
+        sql = new_sql
     return sql
+
+
+def _attempt_operator_rewrite(sql: str, segs, m: re.Match) -> str | None:
+    """Rewrite ONE operator occurrence; None when its operands can't be
+    scanned (caller decides skip-vs-refuse)."""
+    opu = re.sub(r"\s+", " ", m.group(0).upper())
+    if opu in ("**", "^", "//"):
+        ls = _scan_left_operand(sql, segs, m.start())
+        re_ = _scan_right_operand(sql, segs, m.end())
+        if ls == m.start() or re_ == m.end():
+            return None
+        # DuckDB binds unary minus TIGHTER than these operators
+        # (probed: -2 ^ 2 = 4, -7 // 2 = -3) — grab it
+        k = ls
+        while k > 0 and sql[k - 1].isspace():
+            k -= 1
+        if k > 0 and sql[k - 1] == "-" and not _infix_context(
+            sql, segs, k - 1
+        ):
+            ls = k - 1
+        left, right = sql[ls : m.start()].strip(), sql[m.end() : re_].strip()
+        if opu == "//":
+            # DuckDB // (probed): truncating division on integer
+            # types, PLAIN division on fractional types. Fractional
+            # literals keep /; everything else gets Spark's DIV
+            # (exact for int columns; doubles error loudly there).
+            frac = re.compile(r"^-?\d*\.\d|^-?\d+[eE]|DOUBLE|FLOAT|REAL")
+            if frac.search(left) or frac.search(right):
+                fn = "(({0}) / ({1}))"
+            else:
+                fn = "(({0}) DIV ({1}))"
+        else:
+            fn = "POWER({0}, {1})"
+        return sql[:ls] + fn.format(left, right) + sql[re_:]
+    if opu == "!":
+        ls = _scan_left_operand(sql, segs, m.start())
+        if ls == m.start():
+            return None
+        left = sql[ls : m.start()].strip()
+        return sql[:ls] + f"factorial({left})" + sql[m.end() :]
+    if opu == "@":
+        re_ = _scan_right_operand(sql, segs, m.end())
+        if re_ == m.end():
+            return None
+        right = sql[m.end() : re_].strip()
+        return sql[: m.start()] + f"abs({right})" + sql[re_:]
+    if opu in ("~*", "!~*"):
+        # DuckDB v1.1 has NO ~* / !~* (probed: Catalog Error, unlike
+        # PG's case-insensitive match) — the reference server forwards
+        # to DuckDB and errors, so a silent PG-semantics answer here
+        # would diverge. Refuse loudly instead.
+        raise ValueError(
+            f"Scalar Function with name {opu!r} does not exist in the "
+            "DuckDB v1.1 dialect (use regexp_matches(s, '(?i)pat'))"
+        )
+    if opu in ("~", "!~"):
+        # DuckDB ~ is a FULL match (probed: 'abc' ~ 'a' = false;
+        # regexp_full_match semantics) — PG's partial-match RLIKE
+        # would be silently wrong on unanchored patterns.
+        re_ = _scan_right_operand(sql, segs, m.end())
+        if re_ == m.end():
+            return None
+        right = sql[m.end() : re_].strip()
+        neg = "NOT " if opu.startswith("!") else ""
+        return (
+            sql[: m.start()]
+            + f" {neg}RLIKE concat('^(?:', {right}, ')$')"
+            + sql[re_:]
+        )
+    if opu in ("~~", "!~~", "~~*", "!~~*"):
+        kw = {
+            "~~": " LIKE ",
+            "!~~": " NOT LIKE ",
+            "~~*": " ILIKE ",
+            "!~~*": " NOT ILIKE ",
+        }[opu]
+        return sql[: m.start()] + kw + sql[m.end() :]
+    if opu == "SIMILAR TO":
+        re_ = _scan_right_operand(sql, segs, m.end())
+        if re_ == m.end():
+            return None
+        right = sql[m.end() : re_].strip()
+        return (
+            sql[: m.start()]
+            + f" RLIKE concat('^(?:', {right}, ')$')"
+            + sql[re_:]
+        )
+    if opu == "GLOB":
+        re_ = _scan_right_operand(sql, segs, m.end())
+        pat = sql[m.end() : re_].strip()
+        if not (pat.startswith("'") and pat.endswith("'")):
+            return None  # non-literal glob: loud passthrough
+        rx = _glob_to_regex(pat[1:-1]).replace("\\", "\\\\").replace("'", "''")
+        return sql[: m.start()] + f" RLIKE '{rx}'" + sql[re_:]
+    return None
 
 
 def _infix_context(sql: str, segs, i: int) -> bool:
@@ -928,6 +1007,8 @@ def _infix_context(sql: str, segs, i: int) -> bool:
     if not re.match(r"[\w)\]]", sql[j - 1]):
         return False
     m = re.search(r"[A-Za-z_][\w]*$", sql[:j])
+    if m and m.group(0).upper() == "END":
+        return True  # CASE…END closes a value expression
     if m and m.group(0).upper() in _BRACKET_KEYWORDS:
         return False  # keyword, not an operand: expression start
     return True
@@ -1587,6 +1668,36 @@ def _tpl_date_part(args: list[str]) -> str | None:
     return None
 
 
+def _tpl_quantile_disc(args: list[str]) -> str | None:
+    """``quantile_disc(x, p)`` → ``percentile_disc(p) WITHIN GROUP``.
+    A LIST second argument (valid DuckDB, returns a list) expands to an
+    array of per-percentile aggregates — Spark's percentile_disc takes
+    only a scalar literal. Non-literal lists raise (loud refusal: the
+    naive translation would be rejected by Spark anyway, but with an
+    opaque analyzer error)."""
+    if len(args) != 2:
+        return None
+    col, q = args[0].strip(), args[1].strip()
+    inner = None
+    m = re.match(r"^array\s*\((.*)\)$", q, re.IGNORECASE | re.DOTALL)
+    if m:
+        inner = m.group(1)
+    elif q.startswith("[") and q.endswith("]"):
+        inner = q[1:-1]
+    if inner is None:
+        return f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})"
+    parts = [p.strip() for p in split_top_level(inner) if p.strip()]
+    if not all(re.match(r"^-?\d+(\.\d+)?$", p) for p in parts):
+        raise ValueError(
+            "quantile_disc with a non-literal list argument is not "
+            f"supported (got {q!r})"
+        )
+    calls = ", ".join(
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY {col})" for p in parts
+    )
+    return f"array({calls})"
+
+
 _DATE_TRUNC_DATE_UNITS = {"day", "week", "month", "quarter", "year"}
 
 
@@ -1752,11 +1863,11 @@ _NARY_REWRITES: dict = {
     # ---- numerics
     "log": (1, "log10({0})"),  # DuckDB 1-arg log is BASE-10 (Spark: ln)
     # quantile_disc/quantile: SQL-standard discrete percentile (smallest
-    # value whose cume_dist ≥ p) — matches DuckDB's lower-rank pick
-    "quantile_disc": (
-        2, "percentile_disc({1}) WITHIN GROUP (ORDER BY {0})"
-    ),
-    "quantile": (2, "percentile_disc({1}) WITHIN GROUP (ORDER BY {0})"),
+    # value whose cume_dist ≥ p) — matches DuckDB's lower-rank pick;
+    # list arguments expand per-percentile (Spark's percentile_disc is
+    # scalar-literal only, unlike percentile which takes arrays)
+    "quantile_disc": (2, lambda a: _tpl_quantile_disc(a)),
+    "quantile": (2, lambda a: _tpl_quantile_disc(a)),
     "trunc": (1, "(CASE WHEN ({0}) < 0 THEN ceil({0}) ELSE floor({0}) END)"),
     "even": (
         1,
@@ -1995,9 +2106,9 @@ def _rewrite_distinct_on(sql: str) -> str:
     if not m:
         return sql
     keys, cols, rest = m.group(1), m.group(2), m.group(3)
-    k = _find_keyword(rest, "ORDER BY")
+    k, kend = _find_keyword_span(rest, "ORDER BY")
     if k != -1:
-        src, order_tail = rest[:k], rest[k + len("ORDER BY") :]
+        src, order_tail = rest[:k], rest[kend:]
         # LIMIT/OFFSET after ORDER BY belong to the outer query too
         t = len(order_tail)
         for kw in ("LIMIT", "OFFSET"):
@@ -2047,24 +2158,26 @@ def _segments_with_offsets(sql: str):
         off += len(seg)
 
 
+def _find_keyword_span(
+    sql: str, word: str, start: int = 0
+) -> tuple[int, int]:
+    """(start, end) of a top-level, word-boundary keyword occurrence;
+    (-1, -1) if none. Multi-word keywords match across any whitespace
+    run (``ORDER  BY``, ``ORDER\\nBY``)."""
+    pos_set = {i for i, _ in _scan_top_level(sql)}
+    pat = re.compile(
+        r"\b" + r"\s+".join(re.escape(w) for w in word.split()) + r"\b",
+        re.IGNORECASE,
+    )
+    for m in pat.finditer(sql, start):
+        if all(j in pos_set for j in range(m.start(), m.end())):
+            return m.start(), m.end()
+    return -1, -1
+
+
 def _find_keyword(sql: str, word: str, start: int = 0) -> int:
     """Index of a top-level, word-boundary keyword occurrence; -1 if none."""
-    upper = sql.upper()
-    w = word.upper()
-    positions = [i for i, _ in _scan_top_level(sql)]
-    pos_set = set(positions)
-    i = start
-    while True:
-        i = upper.find(w, i)
-        if i == -1:
-            return -1
-        before_ok = i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
-        end = i + len(w)
-        after_ok = end >= len(sql) or not (sql[end].isalnum() or sql[end] == "_")
-        # every char of the keyword must sit at top level
-        if before_ok and after_ok and all(j in pos_set for j in range(i, end)):
-            return i
-        i = end
+    return _find_keyword_span(sql, word, start)[0]
 
 
 def _extract_window_exprs(pred: str) -> list[tuple[int, int]]:

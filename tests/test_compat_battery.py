@@ -32,6 +32,14 @@ BATTERY = [
     "SELECT 4! AS f",
     "SELECT @(-4) AS a, @7 AS b",
     "SELECT 'abc' ~ 'a.c' AS r1, 'abc' !~ 'xyz' AS r2",
+    # r7: DuckDB ~ is a FULL match (probed: 'abc' ~ 'a' = false) —
+    # PG-style partial RLIKE would silently diverge on these
+    "SELECT 'abc' ~ 'a' AS f1, 'abc' ~ '.*b.*' AS f2, 'abc' !~ 'b' AS f3",
+    # one unrewritable occurrence must not disable later rewrites
+    # (r7: CASE…END is now a scannable operand; 4 ^ 2 after it rewrites)
+    "SELECT CASE WHEN 1 = 1 THEN 3 END ^ 2 AS c1, 4 ^ 2 AS c2, 'abc' ~ 'a' AS c3",
+    "SELECT 2 ^ CASE WHEN 1 = 1 THEN 3 ELSE 2 END AS c",
+    "SELECT CASE WHEN 1 = 1 THEN 4 ELSE 3 END! AS cf",
     "SELECT 'abc' ~~ 'a%' AS lk, 'ABC' ~~* 'a%' AS ilk, 'abc' !~~ 'b%' AS nlk",
     "SELECT 'abc' SIMILAR TO 'a.c' AS s1, 'abc' SIMILAR TO 'a' AS s2",
     "SELECT 'abc' GLOB 'a*' AS g1, 'abc' GLOB 'a?d' AS g2",
@@ -140,6 +148,10 @@ BATTERY = [
     "SELECT quantile_disc(n_nationkey, 0.5) AS qd, quantile(n_nationkey, 0.25) AS q FROM nation",
     "SELECT histogram(n_regionkey) AS h FROM nation",
     "SELECT quantile_cont(n_nationkey, [0.25, 0.5, 0.75]) AS qc FROM nation",
+    # r7: LIST-valued quantile_disc/quantile (per-percentile expansion —
+    # Spark's percentile_disc takes only a scalar literal)
+    "SELECT quantile_disc(n_nationkey, [0.25, 0.5, 0.75]) AS qdl FROM nation",
+    "SELECT quantile(o_custkey, [0.1, 0.9]) AS ql FROM orders",
     "SELECT approx_quantile(n_nationkey, 0.5) BETWEEN 10 AND 14 AS aq FROM nation",
     # unique-mode input (all-tied inputs break ties engine-arbitrarily)
     "SELECT mode(x) AS mo2 FROM (VALUES (1), (2), (2)) t(x)",

@@ -273,3 +273,71 @@ def test_operator_rewrite_matches_duckdb_numerically(expr):
         assert _math.isnan(w) == _math.isnan(g), (sql, rewritten)
         return
     assert g == _pytest.approx(w, rel=1e-9, abs=1e-9), (sql, rewritten, want, got)
+
+
+# ---------------------------------------------------------------- r7 fixes
+
+
+def test_find_keyword_whitespace_tolerant():
+    """Multi-word keywords match across any whitespace run — a literal
+    substring find would scope a trailing ``ORDER\\n BY`` to the last
+    UNION arm instead of the whole statement."""
+    from duckdb_pgwire_spark.server.compat import _find_keyword, _find_keyword_span
+
+    assert _find_keyword("a ORDER BY b", "ORDER BY") == 2
+    assert _find_keyword("a ORDER  BY b", "ORDER BY") == 2
+    assert _find_keyword("a ORDER\nBY b", "ORDER BY") == 2
+    assert _find_keyword("a ORDER\n\t BY b", "ORDER BY") == 2
+    s, e = _find_keyword_span("x ORDER \n BY y", "ORDER BY")
+    assert (s, e) == (2, 12)
+    # still literal-masked and word-bounded
+    assert _find_keyword("'ORDER BY' x", "ORDER BY") == -1
+    assert _find_keyword("PREORDER BY", "ORDER BY") == -1
+
+
+def test_unrewritable_occurrence_skips_not_aborts():
+    """One odd operator spelling must not disable every later rewrite in
+    the statement (r6 bug: the whole pass bailed with the raw SQL)."""
+    out = rewrite("SELECT a GLOB b, 4 ** 2 AS p, 'x' ~ 'y' AS r FROM t")
+    assert "POWER(4, 2)" in out  # later ** still rewritten
+    assert "RLIKE" in out  # later ~ still rewritten
+    assert "GLOB" in out  # non-literal glob left for a loud parse error
+
+
+def test_unrewritable_power_raises():
+    """Spark parses ``^`` as XOR — an occurrence we can't rewrite must
+    refuse loudly, never pass through to silently compute the wrong op."""
+    with _pytest.raises(ValueError, match="XOR"):
+        rewrite("SELECT GROUP ^ 2")
+
+
+def test_typed_literal_operands_not_garbled():
+    """INTERVAL/DATE/TIMESTAMP literals are single operands: the typed-
+    literal keyword travels with the quoted part on both sides."""
+    out = rewrite("SELECT INTERVAL '1 day' ^ 2")
+    assert "POWER(INTERVAL '1 day', 2)" in out
+    out = rewrite("SELECT DATE '2024-01-02' ^ 2")
+    assert "POWER(DATE '2024-01-02', 2)" in out
+
+
+def test_case_end_block_is_an_operand():
+    out = rewrite("SELECT CASE WHEN x THEN 1 END ^ 2, 4 ^ 2 FROM t")
+    assert "POWER(CASE WHEN x THEN 1 END, 2)" in out
+    assert "POWER(4, 2)" in out
+    out = rewrite("SELECT 2 ^ CASE WHEN x THEN 3 ELSE 4 END FROM t")
+    assert "POWER(2, CASE WHEN x THEN 3 ELSE 4 END)" in out
+    # nested CASE
+    out = rewrite(
+        "SELECT CASE WHEN x THEN CASE WHEN y THEN 1 END ELSE 2 END ^ 2 FROM t"
+    )
+    assert out.startswith(
+        "SELECT POWER(CASE WHEN x THEN CASE WHEN y THEN 1 END ELSE 2 END, 2)"
+    )
+
+
+def test_quantile_disc_list_argument():
+    out = rewrite("SELECT quantile_disc(x, [0.25, 0.75]) AS q FROM t")
+    assert out.count("percentile_disc") == 2
+    assert "array(" in out
+    with _pytest.raises(ValueError, match="non-literal"):
+        rewrite("SELECT quantile_disc(x, [a, b]) FROM t")
