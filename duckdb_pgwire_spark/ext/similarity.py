@@ -209,6 +209,11 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- IVF variant
 
 N_CENTROIDS = 8
+# IVF k growth: k = max(N_CENTROIDS, n // IVF_CELL_TARGET) keeps mean
+# cell size ~IVF_CELL_TARGET, so per-query probe cost stays constant
+# (N_PROBE·IVF_CELL_TARGET candidate vectors) at any corpus size. At
+# sf0.01 (the oracle scale) the law resolves to exactly N_CENTROIDS.
+IVF_CELL_TARGET = 64
 N_PROBE = 2
 N_LLOYD = 2  # k-means refinement iterations (Lloyd)
 # Lloyd input cap: past this many vectors, centroid refinement reads a
@@ -361,13 +366,15 @@ def _lloyd_refine(spark, v: DataFrame, C: "np.ndarray") -> "np.ndarray":
                     sums[c] += E[mask].sum(axis=0)
                     cnt[c] += int(mask.sum())
         present = [c for c in range(k) if cnt[c]]
-        yield pd.DataFrame(
-            {
-                "cid": present,
-                "sums": [sums[c].tolist() for c in present],
-                "n": [int(cnt[c]) for c in present],
-            }
-        )
+        if present:  # empty partition: an empty float64 column would
+            # fail Arrow's ndarray→list<double> conversion
+            yield pd.DataFrame(
+                {
+                    "cid": present,
+                    "sums": [sums[c].tolist() for c in present],
+                    "n": [int(cnt[c]) for c in present],
+                }
+            )
 
     rows = v.select("embedding").mapInPandas(
         partials, "cid INT, sums ARRAY<DOUBLE>, n LONG"
@@ -453,6 +460,165 @@ def corpus_with_centroids(spark: SparkSession, sf_dir: str, k=None):
     return v, C
 
 
+# ------------------------------------------- hierarchical (two-level) index
+
+# Above this k, a flat centroid matrix stops being viable: the driver
+# holds k×DIM doubles and every assignment batch does k-row matmuls —
+# with k ∝ corpus (SemDeDup's growth law) that is O(n²·d/k_target)
+# total work and GBs of driver memory at 10⁹ vectors. Past the cap the
+# index goes TWO-LEVEL: √k coarse centroids stay driver-held, the k
+# fine centroids live in a DataFrame partitioned by coarse cell, and
+# assignment is coarse-argmax (O(√k·d) per vector) + a cogrouped
+# within-cell fine-argmax (O(k/√k·d) per vector) — O(n·√k·d) overall,
+# driver memory O(√k·d). Below the cap the flat path is exact k-means
+# and keeps oracle parity; fixture scales never exceed the cap.
+HIER_K_MAX_FLAT = 4096
+# Per-coarse-cell sample cap for the FINE k-means build: each cell's
+# mini-Lloyd reads at most ~this many members (deterministic modulus
+# sample), so build cost stays O(n) regardless of k.
+FINE_BUILD_CELL_MAX = 4096
+
+
+class HierIndex:
+    """Two-level k-means index: ``coarse`` is a (kc, DIM) driver-held
+    matrix, ``fine`` a DataFrame of (coarse, fine_id, centroid) rows —
+    the full k×DIM matrix never exists in one address space."""
+
+    def __init__(self, coarse, fine: DataFrame, k: int, kf: int):
+        self.coarse = coarse
+        self.fine = fine
+        self.k = k
+        self.kf = kf  # fine centroids per coarse cell (global id stride)
+
+
+def build_hier_index(
+    spark: SparkSession, v: DataFrame, n_corpus: int, n_cent: int
+) -> HierIndex:
+    """Build the two-level index.
+
+    1. kc = ⌈√k⌉ coarse centroids: the existing flat Lloyd build
+       (seeded with the first kc vectors, refined on a bounded sample).
+    2. Fine centroids: one coarse-assignment pass over a per-cell-capped
+       sample, then ONE ``applyInPandas`` over coarse groups — each cell
+       runs its own mini-Lloyd locally and emits ≤ kf (fine_id,
+       centroid) rows. Fully distributed: no fine matrix on the driver,
+       no shuffle beyond the one groupBy(coarse).
+
+    Global fine ids are ``coarse * kf + local`` so cell identity is
+    stable without coordination.
+    """
+    import math
+
+    kc = max(2, math.isqrt(max(0, n_cent - 1)) + 1)  # ceil(sqrt(k))
+    kf = -(-n_cent // kc)
+
+    seeds = (
+        v.filter(F.col("vec_id") < kc).select("vec_id", "embedding").collect()
+    )
+    by_id = {r.vec_id: list(r.embedding) for r in seeds}
+    C = np.array([by_id[i] for i in range(kc)], dtype=np.float64)
+    refine_in = v
+    if n_corpus > LLOYD_SAMPLE_MAX:
+        stride = n_corpus // LLOYD_SAMPLE_MAX + 1
+        refine_in = v.filter(F.col("vec_id") % stride == 0)
+    for _ in range(N_LLOYD):
+        C = _lloyd_refine(spark, refine_in, C)
+
+    # fine build input: cap the EXPECTED per-cell member count so the
+    # mini-Lloyd groups stay small no matter the corpus size
+    cell_stride = max(1, n_corpus // (kc * FINE_BUILD_CELL_MAX))
+    build_in = v
+    if cell_stride > 1:
+        build_in = v.filter(F.col("vec_id") % cell_stride == 0)
+    asg = build_in.withColumn("coarse", _make_ivf_assign_udf(C)("embedding"))
+
+    def cell_kmeans(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cid = int(key[0])
+        ids = pdf["vec_id"].to_numpy()
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        k_local = min(kf, len(E))
+        order = np.argsort(ids)  # deterministic seeds: lowest vec_ids
+        Cf = E[order[:k_local]].copy()
+        for _ in range(N_LLOYD):
+            S = _cos_to_centroids(E, Cf)
+            a = np.argmax(S, axis=1)
+            for c in range(k_local):
+                m = a == c
+                if m.any():
+                    Cf[c] = np.round(E[m].mean(axis=0), 6)
+        return pd.DataFrame(
+            {
+                "coarse": cid,
+                "fine_id": [cid * kf + i for i in range(k_local)],
+                "centroid": [row.tolist() for row in Cf],
+            }
+        )
+
+    fine = (
+        asg.groupBy("coarse")
+        .applyInPandas(
+            cell_kmeans, "coarse int, fine_id long, centroid array<double>"
+        )
+        .cache()
+    )
+    fine.count()  # materialize once: the index is built, not re-derived
+    return HierIndex(C, fine, n_cent, kf)
+
+
+def hier_assign(v: DataFrame, idx: HierIndex) -> DataFrame:
+    """Corpus → (vec_id, cell, embedding) under a two-level index.
+
+    Coarse assignment is an Arrow map pass against the driver-held
+    matrix; fine assignment COGROUPS vectors with their cell's fine
+    centroids on the coarse id — one corpus shuffle, each task sees
+    only its cells' centroids (never the k×DIM matrix), memory per
+    group O(cell_size·d + kf·d)."""
+    kf = idx.kf
+    asg = v.withColumn("coarse", _make_ivf_assign_udf(idx.coarse)("embedding"))
+
+    def pick(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(left):
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cell": pd.Series([], dtype="int64"),
+                    "embedding": pd.Series([], dtype="object"),
+                }
+            )
+        if not len(right):
+            # cell with no fine centroids (empty in the build sample):
+            # degenerate to the coarse cell's first global slot
+            cell = left["coarse"].astype("int64") * kf
+            return pd.DataFrame(
+                {
+                    "vec_id": left["vec_id"],
+                    "cell": cell,
+                    "embedding": left["embedding"],
+                }
+            )
+        r = right.sort_values("fine_id")
+        Cf = np.stack(r["centroid"].to_numpy()).astype(np.float64)
+        gids = r["fine_id"].to_numpy()
+        E = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        S = _cos_to_centroids(E, Cf)
+        a = np.argmax(S, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": left["vec_id"],
+                "cell": gids[a],
+                "embedding": left["embedding"],
+            }
+        )
+
+    return (
+        asg.groupBy("coarse")
+        .cogroup(idx.fine.groupBy("coarse"))
+        .applyInPandas(
+            pick, "vec_id long, cell long, embedding array<float>"
+        )
+    )
+
+
 def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN candidate generation — the second scale
     path next to LSH banding. Returns raw (vec_id, query_id) candidate
@@ -474,7 +640,16 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    v, C = corpus_with_centroids(spark, sf_dir)
+    # k grows with the corpus (fixed mean cell size → probe cost
+    # N_PROBE·IVF_CELL_TARGET vectors per query at ANY scale); at the
+    # fixture scales the law resolves to the oracle's N_CENTROIDS
+    # exactly at sf0.01. Above HIER_K_MAX_FLAT the index goes two-level
+    # (see build_hier_index) — same probe semantics, bounded driver.
+    vfull = load_table_parallel(spark, sf_dir, "embeddings", parts=5).select(
+        "vec_id", "embedding"
+    )
+    n_corpus = vfull.count()
+    n_cent = max(N_CENTROIDS, n_corpus // IVF_CELL_TARGET)
     # Query vectors: |Q| rows of metadata through one pushed-down scan.
     small = (
         load_table(spark, sf_dir, "embeddings")
@@ -484,13 +659,50 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     by_id = {r.vec_id: list(r.embedding) for r in small}
     Q = np.array([by_id[q] for q in QUERY_IDS], dtype=np.float64)
-    # Driver-side probe lists — same sequential-fold cosine as the kernel.
-    S = _cos_to_centroids(Q, C)
-    cids = np.arange(N_CENTROIDS)
     probed_by: dict[int, list[int]] = {}
-    for qi, qid in enumerate(QUERY_IDS):
-        for cid in np.lexsort((cids, -S[qi]))[:N_PROBE]:
-            probed_by.setdefault(int(cid), []).append(int(qid))
+    if n_cent <= HIER_K_MAX_FLAT:
+        v, C = corpus_with_centroids(
+            spark, sf_dir, k=lambda n: max(N_CENTROIDS, n // IVF_CELL_TARGET)
+        )
+        # Driver-side probe lists — same sequential-fold cosine as the
+        # kernel.
+        S = _cos_to_centroids(Q, C)
+        cids = np.arange(n_cent)
+        for qi, qid in enumerate(QUERY_IDS):
+            for cid in np.lexsort((cids, -S[qi]))[:N_PROBE]:
+                probed_by.setdefault(int(cid), []).append(int(qid))
+        assigned = v.select(
+            "vec_id", _make_ivf_assign_udf(C)("embedding").alias("cid")
+        )
+    else:
+        idx = build_hier_index(spark, vfull.cache(), n_corpus, n_cent)
+        # Probe lists, two-level: N_PROBE nearest coarse cells, then the
+        # N_PROBE nearest fine cells among their fines — only those
+        # fine rows are collected (≤ N_PROBE·kf per query: metadata).
+        Sc = _cos_to_centroids(Q, idx.coarse)
+        ccids = np.arange(idx.coarse.shape[0])
+        probe_coarse = {
+            qid: [int(c) for c in np.lexsort((ccids, -Sc[qi]))[:N_PROBE]]
+            for qi, qid in enumerate(QUERY_IDS)
+        }
+        wanted = sorted({c for cs in probe_coarse.values() for c in cs})
+        by_coarse: dict[int, list] = {}
+        for r in idx.fine.filter(F.col("coarse").isin(wanted)).collect():
+            by_coarse.setdefault(r.coarse, []).append(
+                (r.fine_id, np.array(r.centroid, dtype=np.float64))
+            )
+        for qi, qid in enumerate(QUERY_IDS):
+            cand = sorted(
+                f for c in probe_coarse[qid] for f in by_coarse.get(c, [])
+            )
+            Cf = np.stack([c for _, c in cand])
+            gids = [g for g, _ in cand]
+            Sf = _cos_to_centroids(Q[qi : qi + 1], Cf)[0]
+            for oi in np.lexsort((np.arange(len(gids)), -Sf))[:N_PROBE]:
+                probed_by.setdefault(int(gids[oi]), []).append(int(qid))
+        assigned = hier_assign(vfull, idx).select(
+            "vec_id", F.col("cell").alias("cid")
+        )
     # The probe table is k*N_PROBE literal pairs — inline it as a
     # cid → [query_ids] literal map + explode instead of a broadcast
     # join: the whole query becomes scan → kernel → explode → one
@@ -502,7 +714,6 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for e in (F.lit(cid), F.array(*[F.lit(q).cast("long") for q in qids]))
         ]
     )
-    assigned = v.select("vec_id", _make_ivf_assign_udf(C)("embedding").alias("cid"))
     return assigned.select(
         "vec_id",
         F.explode(

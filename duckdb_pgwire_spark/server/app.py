@@ -942,6 +942,69 @@ class PgWireServer:
             writer.write(P.command_complete(f"IMPORT DATABASE {n}"))
             await writer.drain()
             return
+        if first == "ATTACH":
+            m = _ATTACH_RE.match(stmt)
+            if m is None:
+                raise _WireError(
+                    "unsupported ATTACH form (supported: ATTACH "
+                    "[IF NOT EXISTS] '<path|:memory:>' [AS name] "
+                    "[(READ_ONLY)])",
+                    "0A000",
+                )
+            try:
+                await self._exec(
+                    session, state.job_tag, _attach_database, session,
+                    m.group(2), m.group(3), m.group(4) or "", bool(m.group(1)),
+                )
+            except NotImplementedError as exc:
+                raise _WireError(str(exc), "0A000") from exc
+            except ValueError as exc:
+                raise _WireError(str(exc), "42000") from exc
+            writer.write(P.command_complete("ATTACH"))
+            await writer.drain()
+            return
+        if first == "DETACH":
+            m = _DETACH_RE.match(stmt)
+            if m is None:
+                raise _WireError("syntax error in DETACH", "42601")
+            try:
+                await self._exec(
+                    session, state.job_tag, _detach_database, session,
+                    m.group(2), bool(m.group(1)),
+                )
+            except ValueError as exc:
+                raise _WireError(str(exc), "42000") from exc
+            writer.write(P.command_complete("DETACH"))
+            await writer.drain()
+            return
+        if first == "USE" and (m := _USE_RE.match(stmt)):
+            # DuckDB USE db / USE db.schema (schema must be main — the
+            # Spark namespace has no intermediate schema level)
+            db, schema = m.group(1), m.group(2)
+            if schema is not None and schema.lower() != "main":
+                raise _WireError(
+                    f"USE {db}.{schema}: only the main schema exists in "
+                    "an attached database",
+                    "3D000",
+                )
+            await self._exec(
+                session, state.job_tag, session.sql, f"USE `{db}`"
+            )
+            writer.write(P.command_complete("USE"))
+            await writer.drain()
+            return
+        if first in _WRITE_WORDS and ATTACHED:
+            ro = [
+                a for a, meta in ATTACHED.items()
+                if meta["kind"] == "file_ro"
+                and re.search(rf"(?i)\b{re.escape(a)}\s*\.", stmt)
+            ]
+            if ro:
+                raise _WireError(
+                    f'database "{ro[0]}" is attached READ_ONLY: '
+                    "writes are not allowed",
+                    "25006",
+                )
         if first in ("DESCRIBE", "DESC", "SUMMARIZE", "SHOW") and _is_introspection(
             stmt
         ):
@@ -1818,6 +1881,114 @@ _IMPORT_DB_RE = re.compile(
     r"^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$", re.IGNORECASE
 )
 
+# --------------------------------------------------------- ATTACH / DETACH
+
+_ATTACH_RE = re.compile(
+    r"^\s*ATTACH\s+(?:DATABASE\s+)?(IF\s+NOT\s+EXISTS\s+)?'([^']*)'"
+    r"(?:\s+AS\s+(\w+))?\s*(?:\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DETACH_RE = re.compile(
+    r"^\s*DETACH\s+(?:DATABASE\s+)?(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_USE_RE = re.compile(r"^\s*USE\s+(\w+)(?:\.(\w+))?\s*;?\s*$", re.IGNORECASE)
+
+# alias → {"kind": "memory" | "file_ro", "path": str | None}
+ATTACHED: dict[str, dict] = {}
+
+
+def _attach_database(
+    session: SparkSession, path: str, alias: str | None, opts: str,
+    if_not_exists: bool,
+) -> str:
+    """DuckDB ``ATTACH`` → Spark database (namespace) in the session
+    catalog; qualified names (``db.t`` and DuckDB's explicit
+    ``db.main.t``) then resolve through Spark's own resolver.
+
+    Supported forms (the reference delegates the full grammar to
+    DuckDB via cpp:52; this covers the common client uses):
+    - ``ATTACH ':memory:' AS x`` — fresh database, tables live in the
+      session catalog exactly like DuckDB's in-memory db.
+    - ``ATTACH 'file.db' AS x (READ_ONLY)`` with an EXISTING DuckDB
+      file — the file's tables are imported (DuckDB → Arrow → Spark)
+      into database x; the file itself is never written.
+    Writable file-backed attach refuses loudly: Spark tables cannot
+    transparently persist into a DuckDB-format file, and accepting the
+    statement while dropping the persistence contract would lose user
+    data silently (0A000).
+    """
+    from .compat import ATTACHED_DBS
+
+    name = alias or (path.rsplit("/", 1)[-1].split(".")[0] or "db")
+    name_l = name.lower()
+    exists = any(
+        d.name.lower() == name_l for d in session.catalog.listDatabases()
+    )
+    if exists:
+        if if_not_exists:
+            return name
+        # DuckDB: Binder Error: ... database with name "x" already exists
+        raise ValueError(
+            f'Failed to attach database: database with name "{name}" '
+            "already exists"
+        )
+    read_only = bool(
+        re.search(r"\bREAD_ONLY\b", opts or "", re.IGNORECASE)
+    )
+    if path == ":memory:" or path == "":
+        session.sql(f"CREATE DATABASE `{name}`")
+        ATTACHED[name_l] = {"kind": "memory", "path": None}
+    elif read_only:
+        import os
+
+        if not os.path.exists(path):
+            raise ValueError(f'Failed to attach database "{path}": file not found')
+        import duckdb as _duck
+
+        con = _duck.connect(path, read_only=True)
+        try:
+            tables = [r[0] for r in con.execute("SHOW TABLES").fetchall()]
+            session.sql(f"CREATE DATABASE `{name}`")
+            for t in tables:
+                arrow_t = con.execute(f'SELECT * FROM "{t}"').fetch_arrow_table()
+                session.createDataFrame(arrow_t.to_pandas()).write.saveAsTable(
+                    f"`{name}`.`{t}`"
+                )
+        finally:
+            con.close()
+        ATTACHED[name_l] = {"kind": "file_ro", "path": path}
+    else:
+        raise NotImplementedError(
+            "writable file-backed ATTACH is not supported (tables could "
+            "not persist back into a DuckDB-format file); use "
+            "ATTACH ':memory:' AS name, or (READ_ONLY) for an existing file"
+        )
+    ATTACHED_DBS.add(name_l)
+    return name
+
+
+def _detach_database(
+    session: SparkSession, name: str, if_exists: bool
+) -> None:
+    from .compat import ATTACHED_DBS
+
+    name_l = name.lower()
+    if name_l not in ATTACHED:
+        if if_exists:
+            return
+        raise ValueError(
+            f'Failed to detach database with name "{name}": database not found'
+        )
+    if session.catalog.currentDatabase().lower() == name_l:
+        raise ValueError(
+            f'Cannot detach database "{name}" because it is the default '
+            "database. Select a different database using `USE`"
+        )
+    session.sql(f"DROP DATABASE IF EXISTS `{name}` CASCADE")
+    ATTACHED.pop(name_l, None)
+    ATTACHED_DBS.discard(name_l)
+
 
 def _export_database(session: SparkSession, path: str, opts: str) -> int:
     """DuckDB ``EXPORT DATABASE 'dir'``: one data file per permanent
@@ -2016,6 +2187,7 @@ _INTROSPECT_RE = re.compile(
     r"^\s*(DESCRIBE|DESC|SUMMARIZE)\s+(.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+(ALL\s+)?TABLES\s*;?\s*$", re.IGNORECASE)
+_SHOW_DATABASES_RE = re.compile(r"^\s*SHOW\s+DATABASES\s*;?\s*$", re.IGNORECASE)
 
 # PG session GUCs that clients read on connect (JDBC reads transaction
 # isolation; psql tab-completion reads several). Spark's SHOW only knows
@@ -2057,6 +2229,7 @@ def _is_introspection(stmt: str) -> bool:
     return bool(
         _INTROSPECT_RE.match(stmt)
         or _SHOW_TABLES_RE.match(stmt)
+        or _SHOW_DATABASES_RE.match(stmt)
         or _show_guc(stmt) is not None
     )
 
@@ -2085,8 +2258,12 @@ def _pragma_df(session: SparkSession, stmt: str) -> DataFrame | None:
             "library_version string, source_id string",
         )
     if name == "database_list":
+        rows = [(0, "main", None)] + [
+            (i + 1, a, ATTACHED[a]["path"])
+            for i, a in enumerate(sorted(ATTACHED))
+        ]
         return session.createDataFrame(
-            [(0, "main", None)], "seq int, name string, file string"
+            rows, "seq int, name string, file string"
         )
     if name == "show_tables":
         rows = [(t.name,) for t in session.catalog.listTables()]
@@ -2192,6 +2369,12 @@ def _introspection_df(session: SparkSession, stmt: str) -> DataFrame:
     if _SHOW_TABLES_RE.match(stmt):
         names = sorted(t.name for t in session.catalog.listTables())
         return session.createDataFrame([(n,) for n in names], "name string").coalesce(1)
+    if _SHOW_DATABASES_RE.match(stmt):
+        # DuckDB: one database_name row per attached database
+        names = sorted(d.name for d in session.catalog.listDatabases())
+        return session.createDataFrame(
+            [(n,) for n in names], "database_name string"
+        ).coalesce(1)
     m = _INTROSPECT_RE.match(stmt)
     assert m is not None
     word, target = m.group(1).upper(), m.group(2)

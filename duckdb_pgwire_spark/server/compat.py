@@ -3205,9 +3205,32 @@ def _rewrite_struct_pack(sql: str) -> str:
     return sql
 
 
+# databases attached via ATTACH (server/app.py registers them); used to
+# strip DuckDB's explicit-schema spelling db.main.t → db.t, since the
+# Spark analogue of an attached DuckDB database is a database/namespace
+# with no intermediate schema level
+ATTACHED_DBS: set[str] = set()
+
+
+def _rewrite_attached_main(sql: str) -> str:
+    if not ATTACHED_DBS or ".main." not in sql.lower():
+        return sql
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        if not all(mask[m.start() : m.end()]):
+            return m.group(0)
+        if m.group(1).lower() in ATTACHED_DBS:
+            return f"{m.group(1)}.{m.group(2)}"
+        return m.group(0)
+
+    return re.sub(r"\b(\w+)\.main\.(\w+)", sub, sql)
+
+
 def rewrite(sql: str) -> str:
     """Apply the full dialect pre-pass to one statement."""
     sql = expand_macros(sql)  # first: macro bodies go through every rewrite below
+    sql = _rewrite_attached_main(sql)  # db.main.t → db.t for attached dbs
     sql = _pg_escape_literals(sql)  # PG literal semantics before anything
     # else EMITS Spark-escaped literals of its own
     sql = _strip_numeric_underscores(sql)

@@ -294,3 +294,154 @@ def test_mm_frame_sample_multibyte_chars(spark, tmp_path):
     want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
     con.close()
     assert got == want
+
+
+# ----------------------------------------- hierarchical (two-level) k-means
+
+
+def test_hier_index_assignment_is_exact_two_level(spark):
+    """build_hier_index + hier_assign: every vector's cell must equal
+    the two-level rule computed independently on the driver — nearest
+    coarse centroid, then nearest fine centroid WITHIN that coarse cell
+    (fixture is 500×64: driver verification is trivial; the code path
+    is the same one that runs when SemDeDup's k outgrows the flat cap)."""
+    import numpy as np
+
+    from duckdb_pgwire_spark.ext.similarity import (
+        _cos_to_centroids,
+        build_hier_index,
+        hier_assign,
+        load_table_parallel,
+    )
+
+    v = (
+        load_table_parallel(spark, SF_DIR, "embeddings", parts=5)
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    n = v.count()
+    idx = build_hier_index(spark, v, n, n_cent=8)  # kc=3, kf=3
+    assert idx.coarse.shape[0] == 3 and idx.kf == 3
+    got = {r.vec_id: r.cell for r in hier_assign(v, idx).collect()}
+    assert len(got) == n
+
+    fine_rows = idx.fine.collect()
+    fine_by_coarse: dict[int, list] = {}
+    for r in fine_rows:
+        fine_by_coarse.setdefault(r.coarse, []).append(
+            (r.fine_id, np.array(r.centroid))
+        )
+    E = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in v.collect()
+    }
+    for vid, e in E.items():
+        S = _cos_to_centroids(e[None, :], idx.coarse)
+        coarse = int(np.argmax(S, axis=1)[0])
+        fines = sorted(fine_by_coarse[coarse])
+        Cf = np.stack([c for _, c in fines])
+        a = int(np.argmax(_cos_to_centroids(e[None, :], Cf), axis=1)[0])
+        assert got[vid] == fines[a][0], (vid, coarse)
+
+
+def test_semdedup_hier_path_semantics(spark, monkeypatch):
+    """Force SemDeDup onto the hierarchical path (cap lowered under the
+    fixture's k=8) and verify the DEDUP CONTRACT holds for whatever
+    assignment the two-level index produced: within every cell, the
+    higher-id member of any pair with cosine > TH is dropped, everything
+    else kept — recomputed exactly on the driver."""
+    import numpy as np
+
+    import duckdb_pgwire_spark.ext.similarity as sim
+    from duckdb_pgwire_spark.ext.dedup import SEMDEDUP_TH, dedup_semantic_kmeans
+    from duckdb_pgwire_spark.session import load_table
+
+    monkeypatch.setattr(sim, "HIER_K_MAX_FLAT", 4)
+    rows = dedup_semantic_kmeans(spark, SF_DIR).collect()
+    assert len(rows) == 500 and {r.vec_id for r in rows} == set(range(500))
+
+    E = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        # sequential fold, matching the engine kernels
+        s = sa = sb = 0.0
+        for i in range(len(a)):
+            s += a[i] * b[i]
+            sa += a[i] * a[i]
+            sb += b[i] * b[i]
+        return s / (np.sqrt(sa) * np.sqrt(sb))
+
+    by_cell: dict[int, list[int]] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    assert len(by_cell) > 1  # the index actually partitioned the corpus
+    dropped = set()
+    for members in by_cell.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                if cos(E[a], E[b]) > SEMDEDUP_TH:
+                    dropped.add(b)
+    got_kept = {r.vec_id: r.kept for r in rows}
+    for vid in range(500):
+        assert got_kept[vid] == (vid not in dropped), vid
+
+
+def test_ivf_probe_hier_path(spark, monkeypatch):
+    """sim_ivf_probe under a forced two-level index must equal the
+    driver-side recomputation of the same deterministic construction:
+    coarse/fine argmax assignment + two-level probe lists."""
+    import numpy as np
+
+    import duckdb_pgwire_spark.ext.similarity as sim
+    from duckdb_pgwire_spark.session import load_table
+
+    monkeypatch.setattr(sim, "HIER_K_MAX_FLAT", 4)
+    got = {
+        r.query_id: r.n_candidates
+        for r in sim.sim_ivf_probe(spark, SF_DIR).collect()
+    }
+
+    v = (
+        sim.load_table_parallel(spark, SF_DIR, "embeddings", parts=5)
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    idx = sim.build_hier_index(spark, v, 500, 8)  # deterministic rebuild
+    fine_by_coarse: dict[int, list] = {}
+    for r in idx.fine.collect():
+        fine_by_coarse.setdefault(r.coarse, []).append(
+            (r.fine_id, np.array(r.centroid, dtype=np.float64))
+        )
+    E = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def two_level_cell(e):
+        coarse = int(np.argmax(sim._cos_to_centroids(e[None, :], idx.coarse)))
+        fines = sorted(fine_by_coarse[coarse])
+        Cf = np.stack([c for _, c in fines])
+        return fines[int(np.argmax(sim._cos_to_centroids(e[None, :], Cf)))][0]
+
+    cells = {vid: two_level_cell(e) for vid, e in E.items()}
+    ccids = np.arange(idx.coarse.shape[0])
+    want = {}
+    for qid in sim.QUERY_IDS:
+        Sc = sim._cos_to_centroids(E[qid][None, :], idx.coarse)[0]
+        pc = [int(c) for c in np.lexsort((ccids, -Sc))[: sim.N_PROBE]]
+        cand = sorted(f for c in pc for f in fine_by_coarse.get(c, []))
+        Cf = np.stack([c for _, c in cand])
+        gids = [g for g, _ in cand]
+        Sf = sim._cos_to_centroids(E[qid][None, :], Cf)[0]
+        probes = {
+            int(gids[i])
+            for i in np.lexsort((np.arange(len(gids)), -Sf))[: sim.N_PROBE]
+        }
+        want[qid] = sum(
+            1 for vid, c in cells.items() if c in probes and vid != qid
+        )
+    assert got == want

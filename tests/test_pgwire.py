@@ -2724,3 +2724,101 @@ def test_wire_extended_protocol_dialect_spellings(client):
     )
     assert "error" not in out, out
     assert len(out["rows"]) == 3
+
+
+# ------------------------------------------------------------- ATTACH/DETACH
+
+
+def test_wire_attach_memory_golden(client, spark):
+    """ATTACH ':memory:' / qualified DML+SELECT (db.t and db.main.t) /
+    DETACH — value-compared against DuckDB running the identical
+    statement sequence (r6 verdict missing item 1)."""
+    import duckdb
+
+    con = duckdb.connect()
+    seq = [
+        "ATTACH ':memory:' AS attx",
+        "CREATE TABLE attx.t AS SELECT 1 AS a, 'p' AS b",
+        "INSERT INTO attx.t VALUES (2, 'q')",
+    ]
+    for s in seq:
+        (r,) = client.query(s)
+        assert "error" not in r, (s, r)
+        con.execute(s)
+    for sel in (
+        "SELECT a, b FROM attx.t ORDER BY a",
+        "SELECT a, b FROM attx.main.t ORDER BY a",
+        "SELECT count(*) AS n FROM attx.t",
+    ):
+        (r,) = client.query(sel)
+        want = [[str(c) for c in row] for row in con.execute(sel).fetchall()]
+        assert r["rows"] == want, (sel, r)
+    # SHOW DATABASES includes the attachment (names beyond the default
+    # db differ between engines, so assert membership not equality)
+    (r,) = client.query("SHOW DATABASES")
+    assert ["attx"] in r["rows"]
+    assert "attx" in [row[0] for row in con.execute("SHOW DATABASES").fetchall()]
+    # duplicate attach errors like DuckDB's binder; IF NOT EXISTS acks
+    (r,) = client.query("ATTACH ':memory:' AS attx")
+    assert "error" in r and "already exists" in r["error"]
+    (r,) = client.query("ATTACH IF NOT EXISTS ':memory:' AS attx")
+    assert "error" not in r
+    # detach drops resolution; unknown detach errors; IF EXISTS acks
+    for s in ("DETACH attx",):
+        (r,) = client.query(s)
+        assert "error" not in r, (s, r)
+        con.execute(s)
+    (r,) = client.query("SELECT * FROM attx.t")
+    assert "error" in r
+    (r,) = client.query("DETACH attx")
+    assert "error" in r and "not found" in r["error"]
+    (r,) = client.query("DETACH IF EXISTS attx")
+    assert "error" not in r
+    (r,) = client.query("SHOW DATABASES")
+    assert ["attx"] not in r["rows"]
+    con.close()
+
+
+def test_wire_attach_file_readonly_and_refusals(client, tmp_path):
+    """READ_ONLY attach of an existing DuckDB file imports its tables;
+    writes into it refuse; writable file attach refuses loudly."""
+    import duckdb
+
+    dbfile = str(tmp_path / "att_ro.db")
+    con = duckdb.connect(dbfile)
+    con.execute("CREATE TABLE ft AS SELECT 9 AS c UNION ALL SELECT 10")
+    con.close()
+
+    (r,) = client.query(f"ATTACH '{dbfile}' AS attro (READ_ONLY)")
+    assert "error" not in r, r
+    (r,) = client.query("SELECT c FROM attro.ft ORDER BY c")
+    assert r["rows"] == [["9"], ["10"]]
+    (r,) = client.query("INSERT INTO attro.ft VALUES (11)")
+    assert "error" in r and "READ_ONLY" in r["error"]
+    (r,) = client.query("DETACH attro")
+    assert "error" not in r
+    # writable file-backed attach: loud refusal (0A000), never silent
+    (r,) = client.query(f"ATTACH '{dbfile}' AS attrw")
+    assert "error" in r and "READ_ONLY" in r["error"]
+    # missing file: loud
+    (r,) = client.query("ATTACH '/nonexistent/x.db' AS attmiss (READ_ONLY)")
+    assert "error" in r
+
+
+def test_wire_use_database(client):
+    """USE switches the default database; DETACH of the current database
+    refuses with DuckDB's wording."""
+    (r,) = client.query("ATTACH ':memory:' AS attu")
+    assert "error" not in r
+    (r,) = client.query("USE attu")
+    assert "error" not in r
+    (r,) = client.query("CREATE TABLE uu AS SELECT 5 AS b")
+    assert "error" not in r, r
+    (r,) = client.query("SELECT b FROM uu")
+    assert r["rows"] == [["5"]]
+    (r,) = client.query("DETACH attu")
+    assert "error" in r and "default database" in r["error"]
+    (r,) = client.query("USE default")
+    assert "error" not in r
+    (r,) = client.query("DETACH attu")
+    assert "error" not in r
