@@ -582,6 +582,197 @@ def _duck_typename(s: pd.Series) -> pd.Series:
     return s.map(lambda x: _duck_typename_one(x) if x is not None else None)
 
 
+# ------------------------------------------------- json_structure/transform
+
+# DuckDB json_structure (probed): scalar leaves are UBIGINT (int ≥ 0) /
+# BIGINT (int < 0) / DOUBLE / VARCHAR / BOOLEAN / NULL; arrays merge
+# their elements' structures; objects union their keys recursively.
+# Merge lattice: NULL is neutral; UBIGINT∪BIGINT→BIGINT; int∪DOUBLE→
+# DOUBLE; any cross-category (num∪str, bool∪num, scalar∪object, …) →
+# JSON. Rendering quirks (probed): an empty object renders "JSON",
+# an empty array renders ["NULL"].
+
+_NUM_ORDER = {"UBIGINT": 0, "BIGINT": 1, "DOUBLE": 2}
+
+
+def _jstruct_node(v):
+    if isinstance(v, bool):
+        return "BOOLEAN"
+    if isinstance(v, int):
+        return "UBIGINT" if v >= 0 else "BIGINT"
+    if isinstance(v, float):
+        return "DOUBLE"
+    if isinstance(v, str):
+        return "VARCHAR"
+    if v is None:
+        return "NULL"
+    if isinstance(v, list):
+        node = "NULL"
+        for e in v:
+            node = _jstruct_merge(node, _jstruct_node(e))
+        return [node]
+    # object
+    out: dict = {}
+    for k, e in v.items():
+        out[k] = _jstruct_node(e)
+    return out
+
+
+def _jstruct_merge(a, b):
+    if a == "NULL":
+        return b
+    if b == "NULL":
+        return a
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, n in b.items():
+            out[k] = _jstruct_merge(out[k], n) if k in out else n
+        return out
+    if isinstance(a, list) and isinstance(b, list):
+        return [_jstruct_merge(a[0], b[0])]
+    if isinstance(a, str) and isinstance(b, str):
+        if a == b:
+            return a
+        if a in _NUM_ORDER and b in _NUM_ORDER:
+            return a if _NUM_ORDER[a] >= _NUM_ORDER[b] else b
+    return "JSON"
+
+
+def _jstruct_render(node) -> str:
+    if isinstance(node, str):
+        return json.dumps(node)
+    if isinstance(node, list):
+        return f"[{_jstruct_render(node[0])}]"
+    if not node:  # probed: {} renders as "JSON"
+        return '"JSON"'
+    parts = ", ".join(
+        f"{json.dumps(k)}:{_jstruct_render(v)}" for k, v in node.items()
+    )
+    return "{" + parts + "}"
+
+
+@F.pandas_udf(T.StringType())
+def _json_structure(s: pd.Series) -> pd.Series:
+    def f(x):
+        if x is None:
+            return None
+        try:
+            v = json.loads(x)
+        except Exception as exc:  # noqa: BLE001 — DuckDB wording
+            raise ValueError(f"Malformed JSON: {exc}. Input: {x}") from exc
+        return _jstruct_render(_jstruct_node(v)).replace(", ", ",")
+
+    return s.map(f)
+
+
+_JT_INTS = {
+    "UBIGINT": None, "BIGINT": None, "HUGEINT": None, "INTEGER": None,
+    "INT": None, "UINTEGER": None, "SMALLINT": None, "USMALLINT": None,
+    "TINYINT": None, "UTINYINT": None,
+}
+
+
+def _jt_coerce(v, spec):
+    """One value against one DuckDB json_transform spec node — DuckDB's
+    lenient TRY-style coercions (probed: 1.9→INTEGER rounds half-even;
+    'zz'→INTEGER is NULL; true→INTEGER is 1; 1→BOOLEAN is true;
+    object→VARCHAR is its compact JSON text; missing keys are NULL)."""
+    if isinstance(spec, dict):
+        if not isinstance(v, dict):
+            return None
+        return {k: _jt_coerce(v.get(k), sub) for k, sub in spec.items()}
+    if isinstance(spec, list):
+        if not isinstance(v, list):
+            return None
+        return [_jt_coerce(e, spec[0]) for e in v]
+    t = spec.upper()
+    base = t.split("(")[0].strip()
+    if v is None:
+        return None
+    if base in ("JSON", "NULL"):
+        return v if isinstance(v, str) else json.dumps(
+            v, separators=(",", ":")
+        )
+    if base in ("VARCHAR", "TEXT", "STRING", "CHAR", "BPCHAR"):
+        if isinstance(v, str):
+            return v
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return json.dumps(v, separators=(",", ":"))
+    if base in _JT_INTS:
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            return round(v)  # half-even, like DuckDB's cast
+        if isinstance(v, str):
+            try:
+                return int(v)
+            except ValueError:
+                try:
+                    return round(float(v))
+                except ValueError:
+                    return None
+        return None
+    if base in ("DOUBLE", "FLOAT8", "FLOAT", "REAL", "FLOAT4", "DECIMAL",
+                "NUMERIC"):
+        if isinstance(v, bool):
+            return float(v)
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, str):
+            try:
+                return float(v)
+            except ValueError:
+                return None
+        return None
+    if base in ("BOOLEAN", "BOOL", "LOGICAL"):
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, (int, float)):
+            return v != 0
+        if isinstance(v, str):
+            low = v.strip().lower()
+            if low in ("true", "t", "1"):
+                return True
+            if low in ("false", "f", "0"):
+                return False
+            return None
+        return None
+    if base in ("DATE", "TIMESTAMP", "DATETIME", "TIME", "TIMESTAMPTZ"):
+        # string forms pass through for from_json's parser; DuckDB
+        # probes: numeric → NULL
+        return v if isinstance(v, str) else None
+    return None  # unknown names are rejected at rewrite time
+
+
+@F.pandas_udf(T.StringType())
+def _json_transform_norm(s: pd.Series, spec: pd.Series) -> pd.Series:
+    """Normalize a JSON document against a (constant) json_transform
+    spec, emitting ``{"v": <coerced>}`` for a downstream Spark
+    ``from_json(..., 'v <type>')`` to shred — the UDF owns DuckDB's
+    lenient coercions, from_json owns the typing."""
+    import functools
+
+    @functools.lru_cache(maxsize=64)
+    def parsed(sp: str):
+        return json.loads(sp)
+
+    def f(x, sp):
+        if x is None or sp is None:
+            return None
+        try:
+            v = json.loads(x)
+        except Exception as exc:  # noqa: BLE001
+            raise ValueError(f"Malformed JSON: {exc}. Input: {x}") from exc
+        return json.dumps(
+            {"v": _jt_coerce(v, parsed(sp))}, separators=(",", ":")
+        )
+
+    return pd.Series([f(x, sp) for x, sp in zip(s, spec)])
+
+
 # ------------------------------------------------------------ registration
 
 
@@ -610,6 +801,8 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("json_type", _json_type)
     spark.udf.register("json_quote", _json_quote)
     spark.udf.register("json_contains", _json_contains)
+    spark.udf.register("json_structure", _json_structure)
+    spark.udf.register("__json_transform__", _json_transform_norm)
     spark.udf.register("__duck_typename", _duck_typename)
     spark.udf.register("product", _product_agg)
     spark.udf.register("mad", _mad_agg)

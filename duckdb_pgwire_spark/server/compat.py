@@ -1668,6 +1668,71 @@ def _tpl_date_part(args: list[str]) -> str | None:
     return None
 
 
+_JT_TYPE_DDL = {
+    "UBIGINT": "BIGINT", "BIGINT": "BIGINT", "HUGEINT": "BIGINT",
+    "INTEGER": "INT", "INT": "INT", "UINTEGER": "INT",
+    "SMALLINT": "SMALLINT", "USMALLINT": "SMALLINT",
+    "TINYINT": "TINYINT", "UTINYINT": "TINYINT",
+    "DOUBLE": "DOUBLE", "FLOAT8": "DOUBLE",
+    "FLOAT": "FLOAT", "REAL": "FLOAT", "FLOAT4": "FLOAT",
+    "VARCHAR": "STRING", "TEXT": "STRING", "STRING": "STRING",
+    "CHAR": "STRING", "BPCHAR": "STRING",
+    "BOOLEAN": "BOOLEAN", "BOOL": "BOOLEAN", "LOGICAL": "BOOLEAN",
+    "DATE": "DATE", "TIMESTAMP": "TIMESTAMP", "DATETIME": "TIMESTAMP",
+    "TIME": "STRING",  # Spark has no TIME type; text is DuckDB's wire form
+    "TIMESTAMPTZ": "TIMESTAMP",
+    "JSON": "STRING", "NULL": "STRING",
+}
+
+
+def _jt_spec_ddl(spec) -> str:
+    """DuckDB json_transform structure node → Spark DDL type string."""
+    if isinstance(spec, dict):
+        inner = ", ".join(
+            f"`{k}`: {_jt_spec_ddl(v)}" for k, v in spec.items()
+        )
+        return f"STRUCT<{inner}>"
+    if isinstance(spec, list):
+        return f"ARRAY<{_jt_spec_ddl(spec[0])}>"
+    t = str(spec).upper().strip()
+    base = t.split("(")[0].strip()
+    if base in ("DECIMAL", "NUMERIC"):
+        return t if "(" in t else "DECIMAL(18,3)"
+    ddl = _JT_TYPE_DDL.get(base)
+    if ddl is None:
+        # DuckDB wording: Catalog Error: Type with name X does not exist
+        raise ValueError(f"Type with name {base} does not exist!")
+    return ddl
+
+
+def _tpl_json_transform(args: list[str]) -> str | None:
+    """``json_transform(j, 'structure')`` (and its ``from_json`` alias
+    spelling when the 2nd argument is a JSON structure literal) →
+    DuckDB-coerced shredding: a pandas UDF normalizes the document
+    against the structure (lenient casts, probed — see compat_udfs),
+    then Spark's from_json types the result, so the value IS a struct/
+    array with the DuckDB-equivalent Spark type. The structure must be
+    a constant (DuckDB binder: "JSON structure must be a constant!")."""
+    import json as _json
+
+    if len(args) != 2:
+        return None
+    spec = args[1].strip()
+    m = re.match(r"^'(.*)'$", spec, re.DOTALL)
+    if not m:
+        raise ValueError("JSON structure must be a constant!")
+    try:
+        parsed = _json.loads(m.group(1).replace("''", "'"))
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(
+            f"Malformed JSON structure: {m.group(1)!r}"
+        ) from exc
+    ddl = _jt_spec_ddl(parsed)
+    return (
+        f"from_json(__json_transform__({args[0]}, {spec}), 'v {ddl}').v"
+    )
+
+
 def _tpl_quantile_disc(args: list[str]) -> str | None:
     """``quantile_disc(x, p)`` → ``percentile_disc(p) WITHIN GROUP``.
     A LIST second argument (valid DuckDB, returns a list) expands to an
@@ -1842,6 +1907,8 @@ _NARY_REWRITES: dict = {
         "THEN array(__element_at__({0}, {1})) ELSE array() END)",
     ),
     "struct_extract": (2, "({0})[{1}]"),
+    # ---- json shredding (r7: closes 2 of the 4 probe refusals)
+    "json_transform": (2, lambda a: _tpl_json_transform(a)),
     # ---- strings
     "regexp_replace": (None, _tpl_regexp_replace),
     "to_base": (2, "conv(CAST({0} AS STRING), 10, {1})"),
@@ -2229,6 +2296,174 @@ def _extract_window_exprs(pred: str) -> list[tuple[int, int]]:
             start -= 1
         spans.append((start, end + 1))
         i = end + 1
+
+
+# ------------------------------------------- window frame EXCLUDE / GROUPS
+
+_EXCLUDE_CLAUSE = re.compile(
+    r"\s*\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\b", re.IGNORECASE
+)
+_GROUPS_FRAME = re.compile(
+    r"\bGROUPS\s+(?:BETWEEN\b|UNBOUNDED\b|CURRENT\b|\d)", re.IGNORECASE
+)
+_FRAME_CLAUSE = re.compile(r"\b(ROWS|RANGE)\b", re.IGNORECASE)
+_FRAME_BOUNDS = re.compile(
+    r"^\s*(?:BETWEEN\s+(UNBOUNDED\s+PRECEDING|\S+\s+PRECEDING|CURRENT\s+ROW)"
+    r"\s+AND\s+(CURRENT\s+ROW|\S+\s+FOLLOWING|UNBOUNDED\s+FOLLOWING)"
+    r"|(UNBOUNDED\s+PRECEDING|\S+\s+PRECEDING|CURRENT\s+ROW))\s*$",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_window_exclude(sql: str) -> str:
+    """DuckDB window frame ``EXCLUDE`` (supported there; Spark has no
+    equivalent) and ``GROUPS`` frame mode (NOT supported by DuckDB
+    v1.1 either — probed: "Parser Error: GROUPS mode for window
+    functions is not implemented yet" — so parity is the same loud
+    parser refusal, not an implementation).
+
+    EXCLUDE rewrites to frame-aggregate subtraction for the
+    DECOMPOSABLE aggregates sum/count/avg:
+
+      S(frame) - S(excluded),  guarded by the excluded-adjusted count
+      so an empty post-exclusion frame yields NULL like DuckDB.
+
+    The excluded set is CURRENT ROW / the peer GROUP / TIES
+    (peers minus the current row); peer totals come from a second
+    window over the same partition+order with frame
+    ``RANGE BETWEEN CURRENT ROW AND CURRENT ROW`` (exactly the peer
+    group). Correct only when every excluded row is inside the frame,
+    so: EXCLUDE CURRENT ROW requires a frame containing the current
+    row (start ≤ CURRENT ROW ≤ end — validated); EXCLUDE GROUP/TIES
+    additionally require RANGE mode (a RANGE frame containing the
+    current row contains ALL its peers; a ROWS frame can cut the peer
+    group, where subtraction would be silently wrong → loud refusal).
+    Non-decomposable aggregates (min/max/...) refuse loudly.
+    """
+    if not re.search(r"\bEXCLUDE\b|\bGROUPS\b", sql, re.IGNORECASE):
+        return sql
+    mask = _code_mask(sql)
+    for g in _GROUPS_FRAME.finditer(sql):
+        if all(mask[g.start() : g.end()]):
+            raise ValueError(
+                "GROUPS mode for window functions is not implemented yet"
+            )
+    guard = 0
+    while guard < 50:
+        guard += 1
+        mask = _code_mask(sql)
+        target = None
+        for start, end in _extract_window_exprs(sql):
+            seg = sql[start:end]
+            em = _EXCLUDE_CLAUSE.search(seg)
+            if em and all(mask[start + em.start() : start + em.end()]):
+                target = (start, end, em)
+                break
+        if target is None:
+            return sql
+        start, end, em = target
+        seg = sql[start:end]
+        kind = re.sub(r"\s+", " ", em.group(1).upper())
+        # split `fn(args) OVER (spec)`
+        fm = re.match(r"^(\w+)\s*\(", seg)
+        if not fm:
+            raise ValueError(f"cannot parse window call for EXCLUDE: {seg!r}")
+        fn = fm.group(1)
+        depth, i = 0, fm.end() - 1
+        while i < len(seg):
+            if seg[i] == "(":
+                depth += 1
+            elif seg[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        args = seg[fm.end() : i]
+        ospec = seg[i + 1 :]
+        om = re.match(r"\s*OVER\s*\(", ospec, re.IGNORECASE)
+        spec = ospec[om.end() : -1]
+        spec_wo = _EXCLUDE_CLAUSE.sub(" ", spec).strip()
+        if kind == "NO OTHERS":  # standard no-op spelling
+            sql = sql[:start] + f"{fn}({args}) OVER ({spec_wo})" + sql[end:]
+            continue
+        fnl = fn.lower()
+        if fnl not in ("sum", "count", "avg"):
+            raise ValueError(
+                f"window EXCLUDE with {fn}() is not supported (only the "
+                "decomposable aggregates sum/count/avg can subtract the "
+                "excluded rows)"
+            )
+        arg = args.strip()
+        star = arg == "*"
+        if star and fnl != "count":
+            raise ValueError(f"{fn}(*) is not a valid window aggregate")
+        frm = _FRAME_CLAUSE.search(spec_wo)
+        if frm:
+            fmode = frm.group(1).upper()
+            bounds = spec_wo[frm.end() :].strip()
+            spec_po = spec_wo[: frm.start()].strip()
+            if not _FRAME_BOUNDS.match(bounds):
+                raise ValueError(
+                    f"window EXCLUDE: frame {bounds!r} may not contain "
+                    "the current row — the subtraction rewrite would be "
+                    "wrong; only frames spanning the current row are "
+                    "supported"
+                )
+        else:
+            # frame_exclusion is grammatically part of the frame clause
+            # (DuckDB probe: OVER (ORDER BY k EXCLUDE GROUP) is a
+            # Parser Error) — match, don't extend the grammar
+            raise ValueError(
+                'syntax error at or near "EXCLUDE" (a window frame '
+                "clause is required before EXCLUDE)"
+            )
+        if kind in ("GROUP", "TIES") and fmode == "ROWS":
+            raise ValueError(
+                f"window EXCLUDE {kind} with a ROWS frame is not "
+                "supported: a ROWS frame can cut the peer group, so the "
+                "peer-subtraction rewrite would be silently wrong (use a "
+                "RANGE frame)"
+            )
+        over_f = f"OVER ({spec_wo})"
+        over_p = f"OVER ({spec_po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+        cnt_arg = "*" if star else arg
+        S = f"sum({arg}) {over_f}" if not star else None
+        Cn = f"count({cnt_arg}) {over_f}"
+        if star:
+            xnn = "1"
+        else:
+            xnn = f"(CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END)"
+        if kind == "CURRENT ROW":
+            excl_sum = f"COALESCE({arg}, 0)" if not star else None
+            excl_cnt = xnn
+        else:
+            PS = f"sum({arg}) {over_p}" if not star else None
+            PC = f"count({cnt_arg}) {over_p}"
+            if kind == "GROUP":
+                excl_sum = f"COALESCE({PS}, 0)" if not star else None
+                excl_cnt = PC
+            else:  # TIES: peers minus the current row itself
+                excl_sum = (
+                    f"(COALESCE({PS}, 0) - COALESCE({arg}, 0))"
+                    if not star
+                    else None
+                )
+                excl_cnt = f"({PC} - {xnn})"
+        rem = f"({Cn} - {excl_cnt})"
+        if fnl == "count":
+            repl = rem
+        elif fnl == "sum":
+            repl = (
+                f"(CASE WHEN {rem} = 0 THEN NULL "
+                f"ELSE ({S} - {excl_sum}) END)"
+            )
+        else:  # avg
+            repl = (
+                f"(CASE WHEN {rem} = 0 THEN NULL "
+                f"ELSE ({S} - {excl_sum}) / {rem} END)"
+            )
+        sql = sql[:start] + repl + sql[end:]
+    return sql
 
 
 _ASOF_CLAUSE_END = (
@@ -3259,6 +3494,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_from_first(sql)
     sql = _rewrite_unary_fns(sql)
     sql = _rewrite_distinct_on(sql)
+    sql = _rewrite_window_exclude(sql)  # frame EXCLUDE / GROUPS refusal
     sql = _rewrite_asof_join(sql)  # before QUALIFY: it wraps FROM in a subquery
     sql = _rewrite_qualify(sql)
     parts = _split_quoted(sql)

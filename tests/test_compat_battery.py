@@ -130,6 +130,18 @@ BATTERY = [
     "SELECT json_object('a', 1, 'b', 'x') AS jo",
     "SELECT json_array(1, 2) AS ja",
     "SELECT json_merge_patch('{\"a\": 1, \"c\": 3}', '{\"b\": 2, \"a\": null}') AS jm",
+    # r7: json_structure (recursive structure merge) + json_transform
+    # (constant-structure shredding with DuckDB's lenient coercions)
+    'SELECT json_structure(\'{"a": 1, "b": "x", "c": [1.5, 2], "d": {"e": true}}\') AS s',
+    "SELECT json_structure('[{\"a\":1},{\"a\":2,\"b\":\"y\"}]') AS s1,"
+    " json_structure('[1, \"a\"]') AS s2, json_structure('[]') AS s3,"
+    " json_structure('{}') AS s4, json_structure('[-1, 2]') AS s5",
+    "SELECT (json_transform('{\"a\": 1.9, \"b\": \"x\"}', '{\"a\": \"INTEGER\", \"b\": \"VARCHAR\"}')).a AS a,"
+    " (json_transform('{\"a\": 1.9, \"b\": \"x\"}', '{\"a\": \"INTEGER\", \"b\": \"VARCHAR\"}')).b AS b",
+    "SELECT (json_transform('[{\"n\": 1}, {\"n\": 7}]', '[{\"n\": \"BIGINT\"}]'))[2].n AS n",
+    "SELECT (json_transform('{\"a\": \"zz\"}', '{\"a\": \"INTEGER\"}')).a AS a",
+    "SELECT (json_transform('{\"a\": \"2024-01-05\"}', '{\"a\": \"DATE\"}')).a AS d",
+    "SELECT json_transform('5', '\"INTEGER\"') AS t, json_transform('{\"a\": 5}', '\"VARCHAR\"') AS t2",
     "SELECT json_type('{\"a\": 1}') AS t1, json_type('[1]') AS t2, json_type('\"x\"') AS t3, json_type('1') AS t4, json_type('-1') AS t5, json_type('1.5') AS t6",
     "SELECT json_contains('{\"a\": 1}', '1') AS c1, json_contains('[1, 2]', '[2]') AS c2, json_contains('[1, 2]', '9') AS c3",
     # ---- aggregates (ORDER BY inside args, UDAF batch)
@@ -168,6 +180,25 @@ BATTERY = [
     "SELECT json_quote('a') AS jq",
     # ---- IGNORE NULLS placement, CTE hints, datetime fields, intervals
     "SELECT last_value(x IGNORE NULLS) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv FROM (VALUES (1, 1), (NULL, 2), (3, 3)) t(x, y)",
+    # r7: window frame EXCLUDE (subtraction rewrite) — every variant
+    # value-compared on a peer-heavy fixture incl. a NULL measure
+    "SELECT k, x, sum(x) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS s"
+    " FROM (VALUES (1, 10), (2, 20), (2, 21), (3, NULL), (4, 40), (4, 41), (4, 42), (6, 60)) t(k, x)",
+    "SELECT k, x, sum(x) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s"
+    " FROM (VALUES (1, 10), (2, 20), (2, 21), (3, NULL), (4, 40), (4, 41), (4, 42), (6, 60)) t(k, x)",
+    "SELECT k, x, sum(x) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS s"
+    " FROM (VALUES (1, 10), (2, 20), (2, 21), (3, NULL), (4, 40), (4, 41), (4, 42), (6, 60)) t(k, x)",
+    "SELECT k, x, sum(x) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS s"
+    " FROM (VALUES (1, 10), (2, 20), (2, 21), (3, NULL), (4, 40), (4, 41), (4, 42), (6, 60)) t(k, x)",
+    "SELECT k, x, sum(x) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) AS s"
+    " FROM (VALUES (1, 10), (2, 20), (2, 21), (3, NULL), (4, 40), (4, 41), (4, 42), (6, 60)) t(k, x)",
+    "SELECT k, x, count(x) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS c,"
+    " count(*) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS cs"
+    " FROM (VALUES (1, 10), (2, 20), (2, 21), (3, NULL), (4, 40), (4, 41), (4, 42), (6, 60)) t(k, x)",
+    "SELECT k, x, avg(x) OVER (ORDER BY k RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS a"
+    " FROM (VALUES (1, 10), (2, 20), (2, 21), (3, NULL), (4, 40), (4, 41), (4, 42), (6, 60)) t(k, x)",
+    "SELECT k, x, sum(x) OVER (PARTITION BY k % 2 ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS s"
+    " FROM (VALUES (1, 10), (2, 20), (2, 21), (3, NULL), (4, 40), (4, 41), (4, 42), (6, 60)) t(k, x)",
     "WITH t AS MATERIALIZED (SELECT 1 AS a) SELECT * FROM t",
     "WITH t AS NOT MATERIALIZED (SELECT 1 AS a) SELECT * FROM t",
     "SELECT century(DATE '2024-01-01') AS c2, decade(DATE '2024-01-01') AS d2, era(DATE '2024-01-01') AS e2",

@@ -341,3 +341,28 @@ def test_quantile_disc_list_argument():
     assert "array(" in out
     with _pytest.raises(ValueError, match="non-literal"):
         rewrite("SELECT quantile_disc(x, [a, b]) FROM t")
+
+
+def test_window_exclude_and_groups_refusals():
+    """GROUPS mode refuses with DuckDB's own parser wording (probed:
+    v1.1 does not implement it); EXCLUDE forms outside the subtraction
+    rewrite's validity envelope refuse loudly instead of computing a
+    silently-wrong subtraction."""
+    cases = [
+        ("SELECT sum(x) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t",
+         "GROUPS mode"),
+        ("SELECT min(x) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) FROM t",
+         "min"),
+        ("SELECT sum(x) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) FROM t",
+         "ROWS frame"),
+        ("SELECT sum(x) OVER (ORDER BY k ROWS BETWEEN 5 FOLLOWING AND 8 FOLLOWING EXCLUDE CURRENT ROW) FROM t",
+         "may not contain"),
+        ("SELECT sum(x) OVER (ORDER BY k EXCLUDE GROUP) FROM t",
+         "frame clause is required"),
+    ]
+    for sql, frag in cases:
+        with _pytest.raises(ValueError, match=frag):
+            rewrite(sql)
+    # literals never trip the refusals
+    assert rewrite("SELECT 'GROUPS BETWEEN 1'") == "SELECT 'GROUPS BETWEEN 1'"
+    assert "EXCLUDE TIES" in rewrite("SELECT 'x EXCLUDE TIES'")
