@@ -86,8 +86,37 @@ def pg_oid(dt: T.DataType) -> int:
     # `timestamp` column means.
     if isinstance(dt, T.TimestampType | T.TimestampNTZType):
         return OID_TIMESTAMP
-    # arrays/structs/maps/intervals: rendered as text (json / {...})
+    if isinstance(dt, T.ArrayType):
+        # 1-D arrays of base types advertise the real PG array OID (the
+        # element-text rendering already matches the PG array literal
+        # format, and binary transfer needs the true OID for clients to
+        # decode the cells); nested/struct elements stay text
+        elem_oid = pg_oid(dt.elementType)
+        arr = _ARRAY_OIDS.get(elem_oid)
+        if arr is not None and not isinstance(
+            dt.elementType, T.ArrayType | T.StructType | T.MapType
+        ):
+            return arr
+    # nested arrays/structs/maps/intervals: rendered as text (json / {...})
     return OID_TEXT
+
+
+# element OID → array OID (public pg_type catalog values)
+_ARRAY_OIDS = {
+    16: 1000,   # bool
+    17: 1001,   # bytea
+    21: 1005,   # int2
+    23: 1007,   # int4
+    20: 1016,   # int8
+    25: 1009,   # text
+    1043: 1015,  # varchar
+    700: 1021,  # float4
+    701: 1022,  # float8
+    1700: 1231,  # numeric
+    1082: 1182,  # date
+    1114: 1115,  # timestamp
+}
+_ELEM_OIDS = {v: k for k, v in _ARRAY_OIDS.items()}
 
 
 def reference_visible(dt: T.DataType) -> bool:
@@ -170,6 +199,10 @@ _PG_EPOCH_TS = _dt.datetime(2000, 1, 1)
 
 
 def binary_support(dt: T.DataType) -> bool:
+    if isinstance(dt, T.ArrayType):
+        # 1-D arrays of base types use the public PG array layout
+        # (ndim/flags/elemoid header + dim + length-prefixed cells)
+        return pg_oid(dt) in _ELEM_OIDS
     return isinstance(
         dt,
         T.BooleanType | T.ByteType | T.ShortType | T.IntegerType | T.LongType
@@ -284,6 +317,26 @@ def encode_binary(v: Any, dt: T.DataType) -> bytes | None:
         return _struct.pack("!q", micros)
     if isinstance(dt, T.DecimalType):
         return _encode_pg_numeric(v)
+    if isinstance(dt, T.ArrayType) and pg_oid(dt) in _ELEM_OIDS:
+        # public PG array layout: int32 ndim, int32 hasnull flag,
+        # uint32 element oid, then per dim (int32 size, int32 lower
+        # bound = 1), then length-prefixed element cells (-1 = NULL).
+        # Spark arrays are 1-D; PG sends ndim=0 for an empty array.
+        elem_oid = _ELEM_OIDS[pg_oid(dt)]
+        items = list(v)
+        if not items:
+            return _struct.pack("!iiI", 0, 0, elem_oid)
+        hasnull = 1 if any(e is None for e in items) else 0
+        out = [
+            _struct.pack("!iiIii", 1, hasnull, elem_oid, len(items), 1)
+        ]
+        for e in items:
+            if e is None:
+                out.append(_struct.pack("!i", -1))
+            else:
+                cell = encode_binary(e, dt.elementType)
+                out.append(_struct.pack("!i", len(cell)) + cell)
+        return b"".join(out)
     raise ValueError(f"binary result format not supported for {dt.simpleString()}")
 
 
@@ -317,4 +370,36 @@ def decode_binary_param(raw: bytes, oid: int) -> bytes:
         ).encode()
     if oid == OID_NUMERIC:
         return _decode_pg_numeric(raw).encode()
+    if oid in _ELEM_OIDS:
+        return _decode_binary_array(raw, _ELEM_OIDS[oid])
     raise ValueError(f"binary parameter format not supported for oid {oid}")
+
+
+def _decode_binary_array(raw: bytes, elem_oid: int) -> bytes:
+    """PG binary array → PG array-literal text bytes (the param
+    substitution pipeline is text-based; the text form round-trips
+    through the same quoting rules as result rendering)."""
+    ndim, _flags, _eoid = _struct.unpack_from("!iiI", raw)
+    if ndim == 0:
+        return b"{}"
+    if ndim != 1:
+        raise ValueError(
+            f"only 1-dimensional binary array parameters are supported "
+            f"(got ndim={ndim})"
+        )
+    size, _lb = _struct.unpack_from("!ii", raw, 12)
+    pos = 20
+    parts: list[str] = []
+    for _ in range(size):
+        (ln,) = _struct.unpack_from("!i", raw, pos)
+        pos += 4
+        if ln == -1:
+            parts.append("NULL")
+            continue
+        cell = raw[pos : pos + ln]
+        pos += ln
+        s = decode_binary_param(cell, elem_oid).decode()
+        if any(c in s for c in ' ,{}"\\') or s == "":
+            s = '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        parts.append(s)
+    return ("{" + ",".join(parts) + "}").encode()

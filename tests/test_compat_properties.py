@@ -366,3 +366,57 @@ def test_window_exclude_and_groups_refusals():
     # literals never trip the refusals
     assert rewrite("SELECT 'GROUPS BETWEEN 1'") == "SELECT 'GROUPS BETWEEN 1'"
     assert "EXCLUDE TIES" in rewrite("SELECT 'x EXCLUDE TIES'")
+
+
+@given(
+    xs=st.lists(
+        st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)), max_size=12
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_pg_binary_array_roundtrip_int4(xs):
+    """PG binary array layout round-trips: encode a Spark int array cell,
+    decode it through the Bind-parameter path, and land on the same PG
+    array literal the TEXT path renders."""
+    from pyspark.sql import types as T
+
+    from duckdb_pgwire_spark.server.typemap import (
+        decode_binary_param,
+        encode_binary,
+        encode_text,
+    )
+
+    dt = T.ArrayType(T.IntegerType())
+    raw = encode_binary(xs, dt)
+    assert decode_binary_param(raw, 1007).decode() == encode_text(xs)
+
+
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_characters="\x00"
+                ),
+                max_size=8,
+            ),
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_pg_binary_array_roundtrip_text(xs):
+    """Text arrays: the binary decode applies the same quoting rules as
+    the text renderer, so both paths agree on every weird string."""
+    from pyspark.sql import types as T
+
+    from duckdb_pgwire_spark.server.typemap import (
+        decode_binary_param,
+        encode_binary,
+        encode_text,
+    )
+
+    dt = T.ArrayType(T.StringType())
+    raw = encode_binary(xs, dt)
+    assert decode_binary_param(raw, 1009).decode() == encode_text(xs)

@@ -844,7 +844,9 @@ def test_wire_complex_types_render_as_text(client):
         "map(['k'], [1]) AS m"  # DuckDB map(): two LISTS
     )
     assert res["rows"] == [["{1,2,3}", '{"a":1,"b":"x"}', '{"k":1}']]
-    assert res["oids"] == [25, 25, 25]  # rendered as text
+    # r7: base-type arrays advertise the real PG array OID (_int4);
+    # structs/maps stay text
+    assert res["oids"] == [1007, 25, 25]
 
 
 def test_wire_explain_show_describe(client):
@@ -1320,9 +1322,9 @@ def test_extended_binary_numeric(client):
 
 def test_extended_binary_unsupported_type_fails_loudly(client):
     """A binary request for a type without a fixed public layout
-    (arrays) refuses instead of sending corrupt bytes."""
+    (nested arrays) refuses instead of sending corrupt bytes."""
     out = client.extended_query(
-        "SELECT array(1, 2) AS a",
+        "SELECT array(array(1), array(2)) AS a",
         result_binary=True,
         raw_rows=True,
     )
@@ -2859,3 +2861,40 @@ def test_wire_window_exclude_golden(client):
     )
     assert "error" in r and "GROUPS mode" in r["error"]
     con.close()
+
+
+def test_extended_binary_arrays(client):
+    """Binary result format for 1-D base-type arrays (public PG array
+    layout: ndim/hasnull/elemoid header + dim + length-prefixed cells)
+    — closes the r6 'binary arrays' loud refusal for JDBC
+    binaryTransfer clients."""
+    out = client.extended_query(
+        "SELECT array(1, NULL, 3) AS a, CAST(array() AS array<int>) AS e, "
+        "array(1.5D, 2.5D) AS f, array('x', 'a b') AS s",
+        result_binary=True,
+        raw_rows=True,
+    )
+    assert "error" not in out, out
+    (row,) = out["rows"]
+    want_a = struct.pack("!iiIii", 1, 1, 23, 3, 1)
+    want_a += struct.pack("!ii", 4, 1) + struct.pack("!i", -1)
+    want_a += struct.pack("!ii", 4, 3)
+    assert row[0] == want_a
+    assert row[1] == struct.pack("!iiI", 0, 0, 23)  # empty: ndim=0
+    want_f = struct.pack("!iiIii", 1, 0, 701, 2, 1)
+    want_f += struct.pack("!id", 8, 1.5) + struct.pack("!id", 8, 2.5)
+    assert row[2] == want_f
+    want_s = struct.pack("!iiIii", 1, 0, 25, 2, 1)
+    want_s += struct.pack("!i", 1) + b"x" + struct.pack("!i", 3) + b"a b"
+    assert row[3] == want_s
+    # binary int8[] Bind parameter decodes through oid 1016
+    arr = struct.pack("!iiIii", 1, 0, 20, 2, 1)
+    arr += struct.pack("!iq", 8, 7) + struct.pack("!iq", 8, 9)
+    out = client.extended_query(
+        "SELECT $1 AS v",
+        params=[arr],
+        param_oids=[1016],
+        param_binary=True,
+    )
+    assert "error" not in out, out
+    assert out["rows"] == [["{7,9}"]]
