@@ -28,6 +28,21 @@ from duckdb_pgwire_spark.session import build_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# Sub-second queries whose r5→r6 driver deltas (>15%) were shown to be
+# scheduling noise, not plan changes: median-of-5 tightens the estimate
+# (r6 verdict item 7; variance bounds recorded in BASELINE.md).
+EXTRA_RUNS = {"sim_topk_bruteforce": 5, "sim_lsh_bucketed": 5}
+
+# Queries whose first (warm-up) execution builds a persisted index that
+# steady-state serving amortizes (k-means centroids, LSH band parquet).
+# The warm-up second is REAL one-time cost — reported separately so it
+# stays visible and can't silently regress (r6 verdict item 8).
+INDEX_WARMUP = {
+    "dedup_semantic_kmeans",
+    "sim_ivf_probe",
+    "dedup_incremental_vs_index",
+}
+
 # Headline set: the flagship TPC-H-style queries plus one representative
 # per operator family (join, agg, window, setop, function groups, each
 # [EXT] pipeline). Full registry coverage is correctness's job
@@ -100,15 +115,19 @@ def _time_once(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def _time_query(fn, spark, sf_dir: str) -> float:
-    """Median wall time of RUNS executions (after one warm-up)."""
-    fn(spark, sf_dir).collect()  # warm-up: plan + codegen + shuffle files
+def _time_query(fn, spark, sf_dir: str, runs: int = 0) -> tuple[float, float]:
+    """(median wall of runs, warm-up wall). The warm-up pass pays plan +
+    codegen + shuffle-file setup — and, for index-backed queries, the
+    one-time index build the steady-state serve path amortizes."""
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).collect()
+    warm = time.perf_counter() - t0
     samples = []
-    for _ in range(RUNS):
+    for _ in range(runs or RUNS):
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         samples.append(time.perf_counter() - t0)
-    return statistics.median(samples)
+    return statistics.median(samples), warm
 
 
 def main() -> None:
@@ -122,9 +141,15 @@ def main() -> None:
         print(f"bench: skipping unknown queries: {missing}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
+    warmups: dict[str, float] = {}
     for name in names:
         try:
-            per_query[name] = round(_time_query(defs[name].fn, spark, SF_DIR), 4)
+            med, warm = _time_query(
+                defs[name].fn, spark, SF_DIR, EXTRA_RUNS.get(name, 0)
+            )
+            per_query[name] = round(med, 4)
+            if name in INDEX_WARMUP:
+                warmups[name] = round(warm, 4)
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             per_query[name] = -1.0
@@ -135,6 +160,7 @@ def main() -> None:
         "value": round(sum(ok.values()), 4),
         "unit": "sec",
         "queries": per_query,
+        "index_warmup_sec": warmups,
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_SCALE_CHECK") == "1":
@@ -190,7 +216,7 @@ def _scale_check(spark, defs) -> dict[str, float]:
         "text_contamination_check",
         "text_tfidf_top_terms",
     ):
-        t_small = _time_query(defs[name].fn, spark, src)
+        t_small, _ = _time_query(defs[name].fn, spark, src)
         # double warm-up on the replica dir: right after the build its
         # files are cold in the page cache, and a single warm pass still
         # reads 26x-looking ratios that a second pass shows are really
@@ -200,7 +226,7 @@ def _scale_check(spark, defs) -> dict[str, float]:
         # scanned (e.g. a lost filter pushdown) shows up in cold I/O
         # while staying invisible to the warm ratio.
         t_cold = _time_once(defs[name].fn, spark, dst)
-        t_big = _time_query(defs[name].fn, spark, dst)
+        t_big, _ = _time_query(defs[name].fn, spark, dst)
         ratios[name] = round(t_big / t_small, 2)
         ratios[f"{name}__cold"] = round(t_cold / t_small, 2)
     return ratios

@@ -2055,6 +2055,17 @@ def _import_database(session: SparkSession, path: str) -> int:
     return n
 
 
+def _list_user_tables(session: SparkSession):
+    """catalog.listTables() minus internal staging views (RETURNING
+    snapshots, UNION-BY-NAME tails, ...) — dunder-prefixed names are
+    engine plumbing and must not surface in SHOW TABLES / pg_catalog /
+    information_schema, where DuckDB shows only user objects."""
+    return [
+        t for t in session.catalog.listTables()
+        if not t.name.startswith("__")
+    ]
+
+
 def _refresh_pg_catalog(session: SparkSession) -> None:
     """pg_catalog + information_schema emulation: the reference's DuckDB
     ships real catalog views (pg_tables, pg_class, pg_type,
@@ -2068,7 +2079,7 @@ def _refresh_pg_catalog(session: SparkSession) -> None:
     # pg_namespace.oid, so the links must be oid-keyed
     ns_oids = {db: 2200, "pg_catalog": 11}
     tables, views, classes, attrs, is_tables, is_columns = [], [], [], [], [], []
-    for oid, t in enumerate(cat.listTables(), start=100001):
+    for oid, t in enumerate(_list_user_tables(session), start=100001):
         is_view = (t.tableType or "").upper() in ("VIEW", "TEMPORARY", "TEMP")
         schema = t.namespace[0] if t.namespace else db
         ns_oids.setdefault(schema, 2200 + len(ns_oids))
@@ -2266,7 +2277,7 @@ def _pragma_df(session: SparkSession, stmt: str) -> DataFrame | None:
             rows, "seq int, name string, file string"
         )
     if name == "show_tables":
-        rows = [(t.name,) for t in session.catalog.listTables()]
+        rows = [(t.name,) for t in _list_user_tables(session)]
         return session.createDataFrame(rows or [], "name string").orderBy("name")
     if name == "table_info" and arg:
         fields = session.table(arg).schema.fields
@@ -2367,7 +2378,7 @@ def _introspection_df(session: SparkSession, stmt: str) -> DataFrame:
         name, value = guc
         return session.createDataFrame([(value,)], f"`{name}` string").coalesce(1)
     if _SHOW_TABLES_RE.match(stmt):
-        names = sorted(t.name for t in session.catalog.listTables())
+        names = sorted(t.name for t in _list_user_tables(session))
         return session.createDataFrame([(n,) for n in names], "name string").coalesce(1)
     if _SHOW_DATABASES_RE.match(stmt):
         # DuckDB: one database_name row per attached database

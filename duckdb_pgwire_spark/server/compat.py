@@ -3440,6 +3440,72 @@ def _rewrite_struct_pack(sql: str) -> str:
     return sql
 
 
+_UNION_FN_CALL = re.compile(
+    r"(?<![\w.])union_(value|tag|extract)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_union_fns(sql: str) -> str:
+    """DuckDB UNION-type surface over tagged structs:
+
+    - ``union_value(tag := e)`` → ``named_struct('__utag','tag','tag',e)``
+    - ``union_tag(u)``          → ``(u).__utag``
+    - ``union_extract(u,'t')``  → ``(u).t``
+
+    The wire renderer prints a ``__utag`` struct as its active member's
+    text (typemap.encode_text), matching how DuckDB renders a union as
+    the value itself. Member-set unification across branches (a CASE
+    whose arms carry different tags, UNION of union columns) is NOT
+    emulated — Spark's type checker rejects those loudly, and a missing
+    tag in union_extract fails in Spark's resolver like DuckDB's
+    binder. Probe case: ``SELECT union_value(num := 2)`` → ``2``."""
+    guard = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _UNION_FN_CALL.finditer(sql)
+                if all(mask[c.start() : c.end()])
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        kind = m.group(1).lower()
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql
+        args = split_top_level(sql[m.end() : i - 1])
+        if kind == "value":
+            pm = re.match(
+                r"^\s*([A-Za-z_]\w*)\s*:=\s*(.+)$", args[0], re.DOTALL
+            ) if len(args) == 1 else None
+            if not pm:
+                return sql  # not the tag := expr form: loud downstream
+            tag, expr = pm.group(1), pm.group(2).strip()
+            repl = f"named_struct('__utag', '{tag}', '{tag}', {expr})"
+        elif kind == "tag":
+            if len(args) != 1:
+                return sql
+            repl = f"({args[0].strip()}).__utag"
+        else:  # extract
+            tm = re.match(r"^\s*'(\w+)'\s*$", args[1]) if len(args) == 2 else None
+            if not tm:
+                return sql
+            repl = f"({args[0].strip()}).{tm.group(1)}"
+        sql = sql[: m.start()] + repl + sql[i:]
+    return sql
+
+
 # databases attached via ATTACH (server/app.py registers them); used to
 # strip DuckDB's explicit-schema spelling db.main.t → db.t, since the
 # Spark analogue of an attached DuckDB database is a database/namespace
@@ -3481,6 +3547,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_brackets(sql)  # after ARRAY[..]: bare [..] / l[i] / slices
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_struct_pack(sql)
+    sql = _rewrite_union_fns(sql)
     sql = _rewrite_json_arrows(sql)
     sql = _rewrite_json_extract(sql)
     sql = _rewrite_datetime_diffs(sql)

@@ -177,7 +177,14 @@ def encode_text(v: Any) -> str:
     if isinstance(v, dict):
         return json.dumps(v, default=str, separators=(",", ":"))
     if hasattr(v, "asDict"):  # Row (struct)
-        return json.dumps(v.asDict(recursive=True), default=str, separators=(",", ":"))
+        d = v.asDict(recursive=True)
+        if "__utag" in d:
+            # UNION-type emulation (compat._rewrite_union_fns): render
+            # the active member's text, like DuckDB renders a union as
+            # the value itself ('NULL' for a null member, DuckDB-probed)
+            val = d.get(d["__utag"])
+            return encode_text(val) if val is not None else "NULL"
+        return json.dumps(d, default=str, separators=(",", ":"))
     return str(v)
 
 

@@ -143,6 +143,13 @@ BATTERY = [
     "SELECT (json_transform('{\"a\": \"2024-01-05\"}', '{\"a\": \"DATE\"}')).a AS d",
     "SELECT json_transform('5', '\"INTEGER\"') AS t, json_transform('{\"a\": 5}', '\"VARCHAR\"') AS t2",
     "SELECT json_type('{\"a\": 1}') AS t1, json_type('[1]') AS t2, json_type('\"x\"') AS t3, json_type('1') AS t4, json_type('-1') AS t5, json_type('1.5') AS t6",
+    # r7: UNION-type surface over tagged structs (scalar-returning
+    # forms; the bare union_value wire rendering is socket-tested)
+    "SELECT union_tag(union_value(num := 2)) AS t",
+    "SELECT union_extract(union_value(num := 2), 'num') AS v,"
+    " union_extract(union_value(s := 'hi'), 's') AS s",
+    "SELECT union_tag(u) AS t, union_extract(u, 'k') AS v FROM"
+    " (SELECT union_value(k := n_nationkey) u FROM nation) x",
     "SELECT json_contains('{\"a\": 1}', '1') AS c1, json_contains('[1, 2]', '[2]') AS c2, json_contains('[1, 2]', '9') AS c3",
     # ---- aggregates (ORDER BY inside args, UDAF batch)
     "SELECT string_agg(n_name, '-' ORDER BY n_name DESC) AS sa FROM (SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 3) t",

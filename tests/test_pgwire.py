@@ -2898,3 +2898,38 @@ def test_extended_binary_arrays(client):
     )
     assert "error" not in out, out
     assert out["rows"] == [["{7,9}"]]
+
+
+def test_wire_union_type_emulation(client):
+    """DuckDB UNION-type surface (union_value/union_tag/union_extract)
+    over tagged structs — the wire renders a union as its active
+    member's text, exactly like DuckDB renders `SELECT union_value(num
+    := 2)` as `2` (closes the r6 probe refusal; compat.
+    _rewrite_union_fns)."""
+    (r,) = client.query(
+        "SELECT union_value(num := 2) AS uv, union_value(s := 'hi') AS us"
+    )
+    assert "error" not in r, r
+    assert r["rows"] == [["2", "hi"]]
+    (r,) = client.query(
+        "SELECT union_tag(union_value(num := 2)) AS t, "
+        "union_extract(union_value(num := 2), 'num') AS v"
+    )
+    assert "error" not in r, r
+    assert r["rows"] == [["num", "2"]]
+    # null member renders as DuckDB's CAST(union AS VARCHAR) does
+    (r,) = client.query("SELECT union_value(num := CAST(NULL AS INT)) AS u")
+    assert "error" not in r, r
+    assert r["rows"] == [["NULL"]]
+    # over a row set, through a subquery column reference
+    (r,) = client.query(
+        "SELECT union_tag(u) AS t, union_extract(u, 'n') AS v FROM "
+        "(SELECT union_value(n := range) u FROM range(3)) x ORDER BY v"
+    )
+    assert "error" not in r, r
+    assert r["rows"] == [["n", "0"], ["n", "1"], ["n", "2"]]
+    # a missing tag fails loudly in the resolver (DuckDB: binder error)
+    (r,) = client.query(
+        "SELECT union_extract(union_value(num := 2), 'nope') AS v"
+    )
+    assert "error" in r
