@@ -897,9 +897,17 @@ class PgWireServer:
         if "val(" in stmt.lower():
             # nextval('s') / currval('s'): allocate BEFORE dispatch so
             # every downstream path (INSERT fast path, generic) sees
-            # plain integer literals
+            # plain integer literals (or, for the per-row SELECT shape,
+            # a pre-reserved row_number block). The count probe runs on
+            # the pool thread like every Spark call.
+            def _count(q: str) -> int:
+                return session.sql(rewrite(q)).first()[0]
+
             try:
-                stmt = substitute_sequence_fns(stmt)
+                stmt = await self._exec(
+                    session, state.job_tag,
+                    substitute_sequence_fns, stmt, _count,
+                )
             except ValueError as exc:
                 raise _WireError(str(exc), "55000") from exc
         if first == "SET" and (m := SET_VAR_RE.match(stmt)):

@@ -2701,11 +2701,25 @@ def drop_sequence(name: str, if_exists: bool) -> None:
         raise ValueError(f"sequence {name!r} does not exist")
 
 
-def substitute_sequence_fns(sql: str) -> str:
+def substitute_sequence_fns(sql: str, count_rows=None) -> str:
     """Replace each code-level nextval('s')/currval('s') occurrence with
-    its allocated integer literal. Refuses when the statement also has a
-    top-level FROM — there nextval is per-ROW (DuckDB golden) and a
-    per-occurrence substitution would be silently wrong."""
+    its allocated integer literal.
+
+    Per-ROW contexts (a statement with a top-level FROM) advance the
+    sequence once per row in DuckDB, so a single substituted literal
+    would be silently wrong. There, the bulk-key-assignment shape —
+    ONE nextval in a SELECT / INSERT…SELECT — is handled by block
+    reservation: ``count_rows`` (server-provided; runs the source query
+    wrapped in count(*)) sizes a block [base, base+n·inc), the sequence
+    advances by n up front (sequences are non-transactional, like PG:
+    a failed statement leaves a gap), and the occurrence rewrites to
+    ``(row_number() OVER (ORDER BY monotonically_increasing_id()) - 1)
+    * inc + base`` — the same VALUE SET DuckDB allocates; which row
+    gets which value follows scan order in both engines, neither
+    guarantees it. currval does not advance, so in per-row contexts it
+    substitutes as a constant exactly. Everything else (multiple
+    per-row nextvals, nextval+currval interleavings, UPDATE/DELETE/
+    MERGE row contexts) refuses loudly."""
     if not _SEQ_FN_RE.search(sql):
         return sql
     # scan the FULL string: the quoted sequence name lives in a literal
@@ -2714,27 +2728,69 @@ def substitute_sequence_fns(sql: str) -> str:
     first = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
     # per-ROW contexts: any statement evaluating over existing rows
     # (UPDATE/DELETE/MERGE always; anything with a top-level FROM).
-    # DuckDB advances the sequence once per row there — a single
-    # substituted literal would be silently wrong (code-review r6).
     per_row = first in ("UPDATE", "DELETE", "MERGE") or (
         _find_keyword(sql, "FROM") != -1
     )
+    occs = [
+        m for m in _SEQ_FN_RE.finditer(sql)
+        if all(mask[m.start(1) : m.end(1)])
+    ]
+    for m in occs:
+        if SEQUENCES.get(m.group(2).lower()) is None:
+            raise ValueError(f"sequence {m.group(2)!r} does not exist")
+    n_next = sum(1 for m in occs if m.group(1).lower() == "nextval")
+    if per_row and n_next:
+        if (
+            count_rows is None
+            or first not in ("SELECT", "WITH", "INSERT")
+            or n_next != 1
+            or len(occs) != 1
+        ):
+            raise ValueError(
+                "nextval in a per-row context is only supported as a "
+                "single occurrence in SELECT / INSERT ... SELECT (DuckDB "
+                "advances the sequence per row; the block-reservation "
+                "rewrite can't track multiple interleaved calls or "
+                "UPDATE/DELETE/MERGE row contexts)"
+            )
+        (m,) = occs
+        seq = SEQUENCES[m.group(2).lower()]
+        src = sql
+        if first == "INSERT":
+            im = re.match(
+                r"^\s*INSERT\s+(?:OR\s+\w+\s+)?INTO\s+[\w.]+\s*"
+                r"(?:\([^()]*\))?\s*(.*)$",
+                sql,
+                re.IGNORECASE | re.DOTALL,
+            )
+            src = im.group(1) if im else ""
+            if not re.match(r"^\s*(SELECT|WITH)\b", src, re.IGNORECASE):
+                raise ValueError(
+                    "nextval in a per-row context is only supported in "
+                    "SELECT / INSERT ... SELECT"
+                )
+        off = len(sql) - len(src)
+        probe = src[: m.start() - off] + "NULL" + src[m.end() - off :]
+        n = int(
+            count_rows(
+                f"SELECT count(*) FROM ({probe.rstrip().rstrip(';')}) __seq_n"
+            )
+        )
+        with _SEQ_LOCK:
+            base, inc = seq["next"], seq["inc"]
+            if n > 0:
+                seq["next"] = base + n * inc
+                seq["cur"] = base + (n - 1) * inc
+        repl = (
+            f"((row_number() OVER (ORDER BY monotonically_increasing_id())"
+            f" - 1) * {inc} + {base})"
+        )
+        return sql[: m.start()] + repl + sql[m.end() :]
     out: list[str] = []
     pos = 0
-    for m in _SEQ_FN_RE.finditer(sql):
-        if not all(mask[m.start(1) : m.end(1)]):
-            continue  # spelled inside a string literal/comment
+    for m in occs:
         fn, name = m.group(1).lower(), m.group(2).lower()
-        seq = SEQUENCES.get(name)
-        if seq is None:
-            raise ValueError(f"sequence {m.group(2)!r} does not exist")
-        if per_row:
-            raise ValueError(
-                "nextval/currval in a per-row context (UPDATE/DELETE/MERGE "
-                "or a statement with FROM) is not supported — DuckDB "
-                "advances the sequence per row; use literal VALUES or a "
-                "rowless SELECT"
-            )
+        seq = SEQUENCES[name]
         with _SEQ_LOCK:
             if fn == "nextval":
                 v = seq["next"]

@@ -2226,9 +2226,35 @@ def test_wire_sequences_golden(client, spark):
     assert "error" not in res, res
     (res,) = client.query("SELECT a, b FROM sq_t ORDER BY a")
     assert res["rows"] == [[str(a), b] for a, b in want]
-    # row-set form: LOUD refusal (DuckDB allocates per row there)
-    (res,) = client.query("SELECT nextval('sq') FROM region")
-    assert "error" in res and "per row" in res["error"], res
+    # row-set form (r7): block reservation — DuckDB allocates per row;
+    # the VALUE SET matches (row order is scan order in both engines,
+    # guaranteed by neither)
+    want_set = sorted(
+        v for (v,) in con.execute("SELECT nextval('sq') FROM range(5)").fetchall()
+    )
+    (res,) = client.query("SELECT nextval('sq') AS v FROM range(5)")
+    assert "error" not in res, res
+    assert sorted(int(r[0]) for r in res["rows"]) == want_set, res
+    # currval reflects the end of the reserved block, like DuckDB
+    want_cur = con.execute("SELECT currval('sq')").fetchall()[0][0]
+    (res,) = client.query("SELECT currval('sq') AS c")
+    assert res["rows"] == [[str(want_cur)]], res
+    # INSERT ... SELECT bulk key assignment
+    con.execute("INSERT INTO sq_t SELECT nextval('sq'), 'z' FROM range(3)")
+    want_rows = sorted(
+        (a, b) for a, b in con.execute("SELECT a, b FROM sq_t WHERE b = 'z'").fetchall()
+    )
+    (res,) = client.query("INSERT INTO sq_t SELECT nextval('sq'), 'z' FROM range(3)")
+    assert "error" not in res, res
+    (res,) = client.query("SELECT a, b FROM sq_t WHERE b = 'z' ORDER BY a")
+    assert [(int(a), b) for a, b in res["rows"]] == want_rows, res
+    # multi-nextval and UPDATE row contexts still refuse loudly
+    (res,) = client.query(
+        "SELECT nextval('sq') AS a, nextval('sq') AS b FROM range(2)"
+    )
+    assert "error" in res and "per-row" in res["error"], res
+    (res,) = client.query("UPDATE sq_t SET a = nextval('sq')")
+    assert "error" in res and "per-row" in res["error"], res
     # unknown sequence + duplicate creation error like DuckDB
     (res,) = client.query("SELECT nextval('nope')")
     assert "error" in res, res
