@@ -107,6 +107,7 @@ HEADLINE = [
     # round-7 additions (DuckDB baselines in BASELINE.md r7 sub-table)
     "text_dup_span_fraction",
     "text_dsir_weights",
+    "mm_phash_near_dup",
 ]
 
 

@@ -274,3 +274,133 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_batches,
         schema="doc_id LONG, thumb STRING, mean_feature DOUBLE",
     )
+
+
+# aHash dimensions: 64 evenly-spaced samples ≡ the 8×8 grayscale grid of
+# the classic average-hash; 4 bands of 16 bits for the hamming-LSH join.
+PHASH_BITS = 64
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 6
+# band buckets larger than this are near-constant payloads (the image
+# analogue of boilerplate); their quadratic pair expansion is dropped on
+# BOTH engine sides, like dedup.LSH_BUCKET_CAP
+PHASH_BUCKET_CAP = 64
+
+_PHASH_SAMPLES_SQL = (
+    f"[ascii(substr(text, (i * length(text)) // {PHASH_BITS} + 1, 1))"
+    f" for i in range(0, {PHASH_BITS})]"
+)
+
+
+@query(
+    "mm_phash_near_dup",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id,
+               array_to_string(list_transform({_PHASH_SAMPLES_SQL},
+                   v -> CASE WHEN v * {PHASH_BITS} >
+                       list_aggregate({_PHASH_SAMPLES_SQL}, 'sum')
+                       THEN '1' ELSE '0' END), '') AS bits
+        FROM documents WHERE length(text) >= {PHASH_BITS}
+    ),
+    bands AS (
+        SELECT doc_id, bits, i AS band_idx,
+               substr(bits, i * 16 + 1, 16) AS band_val
+        FROM sig CROSS JOIN unnest(range(0, {PHASH_BANDS})) AS t(i)
+    ),
+    capped AS (
+        SELECT * FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val)
+            <= {PHASH_BUCKET_CAP}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.bits AS bits_a, b.bits AS bits_b
+        FROM capped a JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming(bits_a, bits_b) AS ham
+    FROM pairs WHERE hamming(bits_a, bits_b) <= {PHASH_MAX_HAMMING}
+    """,
+    tags=("ext", "multimodal", "dedup", "phash"),
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for image-like payloads:
+    64-bit average-hash (aHash) → 16-bit band LSH → exact hamming
+    verification of in-bucket candidates.
+
+    Real part (the 100-TB shape): the hash is 64 evenly-spaced samples
+    thresholded against their mean — exactly the 8×8-grid aHash
+    pipeline — computed entirely in whole-stage-codegen built-ins
+    (sequence/transform/ascii, integer-only compare v*64 > Σv so both
+    engines branch identically); candidate pairs come from a banded
+    hamming-LSH join (a pair within hamming ≤ 6 of 64 bits shares at
+    least one of 4 exact 16-bit bands — pigeonhole), buckets capped on
+    both sides, hamming verified via per-band XOR popcount, never an
+    all-pairs scan. Stub part: samples raw payload bytes instead of
+    decoded pixels (no codecs in this container — a real build decodes
+    and downsamples first, see FakeDecoder; the banding/verify planes
+    are unchanged).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    # the hash expression is built as SQL text (per-element substring
+    # needs a column position, which F.substring does not accept). The
+    # sample array and its sum are HOISTED into their own projections:
+    # inlined, Spark re-evaluates the 64-substr array once per bit
+    # (64×64 substr calls per row — measured 47 s vs 2.3 s at sf0.1).
+    sig = (
+        d.filter(n >= PHASH_BITS)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {PHASH_BITS - 1}), i -> "
+                f"ascii(substr(text, (i * length(text)) div {PHASH_BITS} + 1, 1)))"
+            ).alias("s"),
+        )
+        .withColumn("ssum", F.expr("aggregate(s, 0, (a, x) -> a + x)"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_join(transform(s, v -> CASE WHEN v * {PHASH_BITS} "
+                f"> ssum THEN '1' ELSE '0' END), '')"
+            ).alias("bits"),
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        "bits",
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("band_idx"),
+    ).withColumn("band_val", F.expr("substr(bits, band_idx * 16 + 1, 16)"))
+    from pyspark.sql.window import Window
+
+    capped = bands.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band_idx", "band_val")),
+    ).filter(F.col("bucket_n") <= PHASH_BUCKET_CAP)
+    a = capped.select(
+        "band_idx", "band_val",
+        F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"),
+    )
+    b = capped.select(
+        "band_idx", "band_val",
+        F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b"),
+    )
+    ham = sum(
+        F.bit_count(
+            F.conv(F.expr(f"substr(bits_a, {k * 16 + 1}, 16)"), 2, 10).cast("long")
+            .bitwiseXOR(
+                F.conv(F.expr(f"substr(bits_b, {k * 16 + 1}, 16)"), 2, 10).cast("long")
+            )
+        )
+        for k in range(PHASH_BANDS)
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "bits_a", "bits_b")
+        .distinct()
+        .select("doc_a", "doc_b", ham.alias("ham"))
+        .filter(F.col("ham") <= PHASH_MAX_HAMMING)
+    )

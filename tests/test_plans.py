@@ -349,3 +349,14 @@ def test_dsir_weights_no_corpus_join(spark):
     # repartition is the only other exchange
     assert plan.count("hashpartitioning") == 1, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_phash_near_dup_banded_join_no_cartesian(spark):
+    """The phash hamming-LSH must pair candidates through the banded
+    equi-join — an all-pairs/cartesian stage at 100 TB of images is the
+    failure mode the banding exists to prevent."""
+    df = _q("mm_phash_near_dup").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_val" in plan, plan
