@@ -174,7 +174,9 @@ def _select_df(session: SparkSession, stmt: str) -> DataFrame:
     if mp:
         base = rewrite(stmt[: mp.start()])
         d0 = session.sql(_hugeint_sums(session, base))
-        k = int(math.ceil(d0.count() * float(mp.group(1)) / 100.0))
+        # DuckDB TRUNCATES the percentage row count (probed: LIMIT 10%
+        # of 5 rows returns 0 rows, 90% returns 4)
+        k = int(d0.count() * float(mp.group(1)) / 100.0)
         return d0.limit(k)
     return session.sql(_hugeint_sums(session, rewrite(stmt)))
 
@@ -1405,7 +1407,7 @@ class PgWireServer:
 
             def _pct_df(s=base, p=pct):
                 df = session.sql(_hugeint_sums(session, s))
-                k = int(math.ceil(df.count() * p / 100.0))
+                k = int(df.count() * p / 100.0)  # DuckDB truncates (see _select_df)
                 return df.limit(k)
 
             df = await self._exec(session, state.job_tag, _pct_df)
@@ -2399,9 +2401,20 @@ def _introspection_df(session: SparkSession, stmt: str) -> DataFrame:
     word, target = m.group(1).upper(), m.group(2)
     df = _relation_df(session, target)
     if word in ("DESCRIBE", "DESC"):
+        # DuckDB reports null=NO only for a base TABLE's NOT NULL
+        # columns; a described QUERY is always YES (probed r7 — Spark's
+        # literal non-nullability leaked through as NO)
+        head = target.lstrip().split(None, 1)[0].upper() if target.strip() else ""
+        is_query = head in ("SELECT", "WITH", "VALUES", "TABLE") or (
+            target.lstrip().startswith("(")
+        )
         rows = [
-            (f.name, _duck_type(f.dataType), "YES" if f.nullable else "NO",
-             None, None, None)
+            (
+                f.name,
+                _duck_type(f.dataType),
+                "YES" if (is_query or f.nullable) else "NO",
+                None, None, None,
+            )
             for f in df.schema.fields
         ]
         return session.createDataFrame(

@@ -2575,7 +2575,8 @@ def test_wire_limit_percent(client):
         "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 10%"
     )
     assert "error" not in r, r
-    assert len(r["rows"]) == 3  # ceil(25 * 0.10) = 3, DuckDB semantics
+    # DuckDB TRUNCATES: int(25 * 0.10) = 2 (probed r7; was wrongly ceil)
+    assert len(r["rows"]) == 2
 
 
 def test_wire_positional_join_matches_duckdb(client):
@@ -2751,7 +2752,7 @@ def test_wire_extended_protocol_dialect_spellings(client):
         "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 10%"
     )
     assert "error" not in out, out
-    assert len(out["rows"]) == 3
+    assert len(out["rows"]) == 2  # DuckDB truncates int(25 * 0.10)
 
 
 # ------------------------------------------------------------- ATTACH/DETACH
