@@ -220,6 +220,7 @@ def _scale_check(spark, defs) -> dict[str, float]:
         "dedup_minhash_lsh",
         "text_contamination_check",
         "text_tfidf_top_terms",
+        "text_dup_span_fraction",
     ):
         t_small, _ = _time_query(defs[name].fn, spark, src)
         # double warm-up on the replica dir: right after the build its

@@ -420,3 +420,38 @@ def test_pg_binary_array_roundtrip_text(xs):
     dt = T.ArrayType(T.StringType())
     raw = encode_binary(xs, dt)
     assert decode_binary_param(raw, 1009).decode() == encode_text(xs)
+
+
+_UV_TAGS = st.sampled_from(["num", "s", "tag_1", "x"])
+_UV_VALS = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                               whitelist_characters=" ,'"),
+        max_size=12,
+    ),
+)
+
+
+@given(_UV_TAGS, _UV_VALS)
+@settings(max_examples=60, deadline=None)
+def test_union_fn_rewrite_matches_duckdb(tag, val):
+    """union_tag/union_extract over random tags and values must agree
+    with DuckDB, and the rewrite must always produce the tagged-struct
+    form (no union_* spelling may survive to Spark's parser)."""
+    lit = str(val) if isinstance(val, int) else "'" + val.replace("'", "''") + "'"
+    sql = (
+        f"SELECT union_tag(union_value({tag} := {lit})) AS t, "
+        f"union_extract(union_value({tag} := {lit}), '{tag}') AS v"
+    )
+    con = _duckdb.connect()
+    try:
+        want = con.execute(sql).fetchone()
+    finally:
+        con.close()
+    assert want[0] == tag and want[1] == val
+    rewritten = rewrite(sql)
+    assert "union_" not in rewritten.lower(), rewritten
+    assert f"named_struct('__utag', '{tag}'" in rewritten, rewritten
+    # field access must target the same tag the struct carries
+    assert f".__utag" in rewritten and f".{tag}" in rewritten
