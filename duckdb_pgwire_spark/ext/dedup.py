@@ -694,27 +694,28 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         HIER_K_MAX_FLAT,
         _make_ivf_assign_udf,
         build_hier_index,
+        corpus_df,
+        corpus_fingerprint,
         corpus_with_centroids,
-        load_table_parallel,
     )
     from .vectorized import cosine_seq_udf
 
     k_fn = lambda n: max(8, n // SEMDEDUP_CELL_TARGET)  # noqa: E731
-    v = (
-        load_table_parallel(spark, sf_dir, "embeddings", parts=5)
-        .select("vec_id", "embedding")
-    )
-    n_corpus = v.count()
+    v = corpus_df(spark, sf_dir)
+    fp = corpus_fingerprint(v)  # one job: branch decision + index-cache
+    # key (a separate uncached count() doubled the corpus scans per
+    # execution, code review r7)
+    n_corpus = fp["n"]
     if k_fn(n_corpus) > HIER_K_MAX_FLAT:
         from .similarity import hier_assign
 
-        idx = build_hier_index(spark, v.cache(), n_corpus, k_fn(n_corpus))
+        idx = build_hier_index(spark, v, n_corpus, k_fn(n_corpus))
         asg = hier_assign(v, idx).withColumnRenamed("cell", "cell_l")
         asg = asg.select(
             "vec_id", F.col("cell_l").cast("int").alias("cell"), "embedding"
         )
     else:
-        v, C = corpus_with_centroids(spark, sf_dir, k=k_fn)
+        v, C = corpus_with_centroids(spark, sf_dir, k=k_fn, v=v, fp=fp)
         assign = _make_ivf_assign_udf(C)
         asg = v.withColumn("cell", assign("embedding"))
     cosine_seq = cosine_seq_udf()

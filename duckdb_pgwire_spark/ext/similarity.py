@@ -389,7 +389,28 @@ def _lloyd_refine(spark, v: DataFrame, C: "np.ndarray") -> "np.ndarray":
     return C1
 
 
-def corpus_with_centroids(spark: SparkSession, sf_dir: str, k=None):
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cached embeddings corpus every index build shares (parts=5 —
+    see corpus_with_centroids docstring for why not 4)."""
+    return (
+        load_table_parallel(spark, sf_dir, "embeddings", parts=5)
+        .select("vec_id", "embedding")
+        .cache()
+    )
+
+
+def corpus_fingerprint(v: DataFrame):
+    """One aggregation job: corpus count + id-sum + first-component sum
+    — the index caches key on it, and callers reuse ``n`` for the
+    flat-vs-hierarchical branch decision."""
+    return v.agg(
+        F.count("*").alias("n"),
+        F.sum("vec_id").alias("sid"),
+        F.round(F.sum(F.element_at("embedding", 1)), 4).alias("s1"),
+    ).first()
+
+
+def corpus_with_centroids(spark: SparkSession, sf_dir: str, k=None, v=None, fp=None):
     """(cached corpus DataFrame, refined k-means centroid matrix) — the
     shared index build for IVF probing AND SemDeDup-style semantic
     clustering.
@@ -419,19 +440,18 @@ def corpus_with_centroids(spark: SparkSession, sf_dir: str, k=None):
 
     ``k`` overrides the centroid count (None = N_CENTROIDS); it may be
     a callable(n_corpus) -> int, resolved after the fingerprint count —
-    SemDeDup passes a corpus-scaled k so cluster sizes stay bounded."""
+    SemDeDup passes a corpus-scaled k so cluster sizes stay bounded.
+
+    ``v``/``fp`` let a caller that already loaded the corpus and ran
+    the fingerprint aggregation (to pick flat-vs-hierarchical) pass
+    both in — otherwise every execution would pay an extra uncached
+    corpus scan just for the branch decision (code review r7)."""
     import numpy as np
 
-    v = (
-        load_table_parallel(spark, sf_dir, "embeddings", parts=5)
-        .select("vec_id", "embedding")
-        .cache()
-    )
-    fp = v.agg(
-        F.count("*").alias("n"),
-        F.sum("vec_id").alias("sid"),
-        F.round(F.sum(F.element_at("embedding", 1)), 4).alias("s1"),
-    ).first()
+    if v is None:
+        v = corpus_df(spark, sf_dir)
+    if fp is None:
+        fp = corpus_fingerprint(v)
     n_corpus = fp["n"]
     n_cent = k(n_corpus) if callable(k) else (k or N_CENTROIDS)
     ckey = (
@@ -645,10 +665,10 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture scales the law resolves to the oracle's N_CENTROIDS
     # exactly at sf0.01. Above HIER_K_MAX_FLAT the index goes two-level
     # (see build_hier_index) — same probe semantics, bounded driver.
-    vfull = load_table_parallel(spark, sf_dir, "embeddings", parts=5).select(
-        "vec_id", "embedding"
-    )
-    n_corpus = vfull.count()
+    vfull = corpus_df(spark, sf_dir)
+    fp = corpus_fingerprint(vfull)  # one job: count for the branch +
+    # the index-cache key (no separate uncached count, code review r7)
+    n_corpus = fp["n"]
     n_cent = max(N_CENTROIDS, n_corpus // IVF_CELL_TARGET)
     # Query vectors: |Q| rows of metadata through one pushed-down scan.
     small = (
@@ -662,7 +682,9 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed_by: dict[int, list[int]] = {}
     if n_cent <= HIER_K_MAX_FLAT:
         v, C = corpus_with_centroids(
-            spark, sf_dir, k=lambda n: max(N_CENTROIDS, n // IVF_CELL_TARGET)
+            spark, sf_dir,
+            k=lambda n: max(N_CENTROIDS, n // IVF_CELL_TARGET),
+            v=vfull, fp=fp,
         )
         # Driver-side probe lists — same sequential-fold cosine as the
         # kernel.
@@ -675,7 +697,7 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", _make_ivf_assign_udf(C)("embedding").alias("cid")
         )
     else:
-        idx = build_hier_index(spark, vfull.cache(), n_corpus, n_cent)
+        idx = build_hier_index(spark, vfull, n_corpus, n_cent)
         # Probe lists, two-level: N_PROBE nearest coarse cells, then the
         # N_PROBE nearest fine cells among their fines — only those
         # fine rows are collected (≤ N_PROBE·kf per query: metadata).
@@ -695,6 +717,13 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand = sorted(
                 f for c in probe_coarse[qid] for f in by_coarse.get(c, [])
             )
+            if not cand:
+                # every probed coarse cell was empty in the fine build
+                # sample (a Lloyd seed that attracted no members can
+                # still rank among the nearest coarse centroids) —
+                # degrade to zero candidates for this query rather than
+                # crash on np.stack([]) (code review r7)
+                continue
             Cf = np.stack([c for _, c in cand])
             gids = [g for g, _ in cand]
             Sf = _cos_to_centroids(Q[qi : qi + 1], Cf)[0]

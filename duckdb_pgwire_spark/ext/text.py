@@ -1081,10 +1081,17 @@ def _dsir_ratios(spark: SparkSession, sf_dir: str, bk: DataFrame) -> list[int]:
 
     fp = (
         load_table(spark, sf_dir, "documents")
-        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("sid"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").alias("sid"),
+            # content term: an in-place text edit at equal cardinality
+            # and identical ids must still rebuild (the IVF centroid
+            # cache's s1 precedent; code review r7)
+            F.sum(F.length("text")).alias("schars"),
+        )
         .first()
     )
-    key = (sf_dir, int(fp["n"]), int(fp["sid"] or 0))
+    key = (sf_dir, int(fp["n"]), int(fp["sid"] or 0), int(fp["schars"] or 0))
     cached = _DSIR_RATIOS.get(key)
     if cached is not None:
         return cached

@@ -645,7 +645,9 @@ def _jstruct_render(node) -> str:
         return f"[{_jstruct_render(node[0])}]"
     if not node:  # probed: {} renders as "JSON"
         return '"JSON"'
-    parts = ", ".join(
+    # joined with bare ',' — a post-hoc replace(', ', ',') would corrupt
+    # object keys containing ', ' (code review r7)
+    parts = ",".join(
         f"{json.dumps(k)}:{_jstruct_render(v)}" for k, v in node.items()
     )
     return "{" + parts + "}"
@@ -660,7 +662,7 @@ def _json_structure(s: pd.Series) -> pd.Series:
             v = json.loads(x)
         except Exception as exc:  # noqa: BLE001 — DuckDB wording
             raise ValueError(f"Malformed JSON: {exc}. Input: {x}") from exc
-        return _jstruct_render(_jstruct_node(v)).replace(", ", ",")
+        return _jstruct_render(_jstruct_node(v))
 
     return s.map(f)
 

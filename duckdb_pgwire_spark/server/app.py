@@ -997,21 +997,24 @@ class PgWireServer:
                     "an attached database",
                     "3D000",
                 )
+            # DuckDB names for the starting database (main / memory)
+            # resolve to Spark's `default` — PRAGMA database_list
+            # advertises 'main', so USE main must round-trip (r7)
+            db_l = db.lower()
+            if db_l in _DEFAULT_DB_ALIASES and db_l not in ATTACHED:
+                db = "default"
             await self._exec(
                 session, state.job_tag, session.sql, f"USE `{db}`"
             )
+            CURRENT_DB[0] = db.lower()
             writer.write(P.command_complete("USE"))
             await writer.drain()
             return
         if first in _WRITE_WORDS and ATTACHED:
-            ro = [
-                a for a, meta in ATTACHED.items()
-                if meta["kind"] == "file_ro"
-                and re.search(rf"(?i)\b{re.escape(a)}\s*\.", stmt)
-            ]
-            if ro:
+            ro_target = _readonly_write_target(stmt)
+            if ro_target is not None:
                 raise _WireError(
-                    f'database "{ro[0]}" is attached READ_ONLY: '
+                    f'database "{ro_target}" is attached READ_ONLY: '
                     "writes are not allowed",
                     "25006",
                 )
@@ -1907,6 +1910,48 @@ _USE_RE = re.compile(r"^\s*USE\s+(\w+)(?:\.(\w+))?\s*;?\s*$", re.IGNORECASE)
 # alias → {"kind": "memory" | "file_ro", "path": str | None}
 ATTACHED: dict[str, dict] = {}
 
+# current database, tracked by the USE handler (one shared SparkSession
+# → one shared current database, like the reference's single DuckDB
+# instance). Spark's default database answers to DuckDB's names for it.
+CURRENT_DB = ["default"]
+_DEFAULT_DB_ALIASES = {"default", "main", "memory"}
+
+_WRITE_TARGET_RE = re.compile(
+    r"^\s*(?:"
+    r"INSERT\s+(?:OR\s+\w+\s+)?INTO"
+    r"|UPDATE"
+    r"|DELETE\s+FROM"
+    r"|MERGE\s+INTO"
+    r"|TRUNCATE(?:\s+TABLE)?"
+    r"|CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
+    r"(?:TABLE|VIEW)(?:\s+IF\s+NOT\s+EXISTS)?"
+    r"|DROP\s+(?:TABLE|VIEW)(?:\s+IF\s+EXISTS)?"
+    r"|ALTER\s+TABLE"
+    r"|COPY"
+    r")\s+([\w.\"]+)",
+    re.IGNORECASE,
+)
+
+
+def _readonly_write_target(stmt: str) -> str | None:
+    """Alias of a READ_ONLY-attached database this statement WRITES to,
+    else None. The check binds to the statement's write TARGET (the
+    table after INTO/UPDATE/FROM/...), not a substring scan — an
+    ``INSERT INTO local_t SELECT * FROM ro.t`` READ of the RO database
+    is legal, and an unqualified write after ``USE ro`` must still be
+    caught (code review r7)."""
+    ro = {a for a, meta in ATTACHED.items() if meta["kind"] == "file_ro"}
+    if not ro:
+        return None
+    m = _WRITE_TARGET_RE.match(stmt)
+    if m is None:
+        return None
+    target = m.group(1).replace('"', "").lower()
+    if "." in target:
+        db = target.split(".")[0]
+        return db if db in ro else None
+    return CURRENT_DB[0] if CURRENT_DB[0] in ro else None
+
 
 def _attach_database(
     session: SparkSession, path: str, alias: str | None, opts: str,
@@ -1962,7 +2007,10 @@ def _attach_database(
             session.sql(f"CREATE DATABASE `{name}`")
             for t in tables:
                 arrow_t = con.execute(f'SELECT * FROM "{t}"').fetch_arrow_table()
-                session.createDataFrame(arrow_t.to_pandas()).write.saveAsTable(
+                # hand Spark the Arrow table directly (PySpark 4):
+                # to_pandas() would coerce nullable int columns to
+                # float64 with NaN-for-NULL (code review r7)
+                session.createDataFrame(arrow_t).write.saveAsTable(
                     f"`{name}`.`{t}`"
                 )
         finally:

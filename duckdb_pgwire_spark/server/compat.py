@@ -2343,8 +2343,28 @@ def _rewrite_window_exclude(sql: str) -> str:
     if not re.search(r"\bEXCLUDE\b|\bGROUPS\b", sql, re.IGNORECASE):
         return sql
     mask = _code_mask(sql)
+    # GROUPS is an unreserved word (a column named `groups` is legal) —
+    # the refusal only applies INSIDE a window spec: an OVER (...) body
+    # or a named WINDOW w AS (...) body (code review r7).
+    win_spans = []
+    for wm in re.finditer(
+        r"\b(?:OVER|WINDOW\s+\w+\s+AS)\s*\(", sql, re.IGNORECASE
+    ):
+        if not all(mask[wm.start() : wm.end()]):
+            continue
+        depth, j = 1, wm.end()
+        while j < len(sql) and depth:
+            if mask[j]:
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+            j += 1
+        win_spans.append((wm.end(), j))
     for g in _GROUPS_FRAME.finditer(sql):
-        if all(mask[g.start() : g.end()]):
+        if all(mask[g.start() : g.end()]) and any(
+            s <= g.start() < e for s, e in win_spans
+        ):
             raise ValueError(
                 "GROUPS mode for window functions is not implemented yet"
             )
@@ -2769,6 +2789,27 @@ def substitute_sequence_fns(sql: str, count_rows=None) -> str:
                     "nextval in a per-row context is only supported in "
                     "SELECT / INSERT ... SELECT"
                 )
+        # clauses applied AFTER the SELECT list evaluates break the
+        # reservation: the row_number window runs over the pre-LIMIT/
+        # pre-DISTINCT/pre-setop row set while the count probe counts
+        # FINAL rows, so emitted values would fall outside the reserved
+        # block and later allocations would collide (code review r7).
+        # GROUP BY/HAVING are fine — window and probe both see
+        # post-group rows.
+        bad = [
+            kw for kw in ("LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+            if _find_keyword(src, kw) != -1
+        ]
+        if re.match(r"^\s*SELECT\s+DISTINCT\b", src, re.IGNORECASE):
+            bad.append("DISTINCT")
+        if bad:
+            raise ValueError(
+                "nextval in a per-row context with "
+                + "/".join(bad)
+                + " is not supported — the block-reservation rewrite "
+                "numbers rows before that clause applies, so allocated "
+                "values would escape the reserved range"
+            )
         off = len(sql) - len(src)
         probe = src[: m.start() - off] + "NULL" + src[m.end() - off :]
         n = int(

@@ -377,6 +377,11 @@ def decode_binary_param(raw: bytes, oid: int) -> bytes:
         ).encode()
     if oid == OID_NUMERIC:
         return _decode_pg_numeric(raw).encode()
+    if oid == OID_BYTEA:
+        # binary bytea payload IS the raw bytes; text form is the hex
+        # escape (without this branch a bytea[] param passed the array
+        # gate then failed per cell, code review r7)
+        return b"\\x" + raw.hex().encode()
     if oid in _ELEM_OIDS:
         return _decode_binary_array(raw, _ELEM_OIDS[oid])
     raise ValueError(f"binary parameter format not supported for oid {oid}")

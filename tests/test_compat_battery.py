@@ -133,6 +133,8 @@ BATTERY = [
     # r7: json_structure (recursive structure merge) + json_transform
     # (constant-structure shredding with DuckDB's lenient coercions)
     'SELECT json_structure(\'{"a": 1, "b": "x", "c": [1.5, 2], "d": {"e": true}}\') AS s',
+    # r7 fix: keys containing ', ' survive rendering verbatim
+    "SELECT json_structure('{\"a, b\": 1, \"c\": \"x\"}') AS skey",
     "SELECT json_structure('[{\"a\":1},{\"a\":2,\"b\":\"y\"}]') AS s1,"
     " json_structure('[1, \"a\"]') AS s2, json_structure('[]') AS s3,"
     " json_structure('{}') AS s4, json_structure('[-1, 2]') AS s5",

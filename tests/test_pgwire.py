@@ -2816,14 +2816,39 @@ def test_wire_attach_file_readonly_and_refusals(client, tmp_path):
     dbfile = str(tmp_path / "att_ro.db")
     con = duckdb.connect(dbfile)
     con.execute("CREATE TABLE ft AS SELECT 9 AS c UNION ALL SELECT 10")
+    con.execute(
+        "CREATE TABLE fn AS SELECT 1 AS i UNION ALL SELECT NULL"
+    )
     con.close()
 
     (r,) = client.query(f"ATTACH '{dbfile}' AS attro (READ_ONLY)")
     assert "error" not in r, r
     (r,) = client.query("SELECT c FROM attro.ft ORDER BY c")
     assert r["rows"] == [["9"], ["10"]]
+    # nullable int column survives the Arrow import as an INT with a
+    # real NULL (r7: to_pandas() coerced it to DOUBLE with NaN)
+    (r,) = client.query("SELECT i FROM attro.fn ORDER BY i NULLS LAST")
+    assert r["rows"] == [["1"], [None]], r
+    assert r["oids"] == [23], r
     (r,) = client.query("INSERT INTO attro.ft VALUES (11)")
     assert "error" in r and "READ_ONLY" in r["error"]
+    # READING the RO database from a write to a LOCAL table is legal
+    # (r7: the old substring guard refused it), and the guard binds to
+    # the write TARGET — including unqualified writes after USE
+    (r,) = client.query("CREATE TABLE att_local AS SELECT c FROM attro.ft")
+    assert "error" not in r, r
+    (r,) = client.query("INSERT INTO att_local SELECT c FROM attro.ft")
+    assert "error" not in r, r
+    (r,) = client.query("SELECT count(*) AS n FROM att_local")
+    assert r["rows"] == [["4"]]
+    (r,) = client.query("DROP TABLE att_local")
+    assert "error" not in r
+    (r,) = client.query("USE attro")
+    assert "error" not in r
+    (r,) = client.query("INSERT INTO ft VALUES (11)")
+    assert "error" in r and "READ_ONLY" in r["error"], r
+    (r,) = client.query("USE main")  # database_list's name round-trips
+    assert "error" not in r, r
     (r,) = client.query("DETACH attro")
     assert "error" not in r
     # writable file-backed attach: loud refusal (0A000), never silent
@@ -2960,3 +2985,61 @@ def test_wire_union_type_emulation(client):
         "SELECT union_extract(union_value(num := 2), 'nope') AS v"
     )
     assert "error" in r
+
+
+def test_wire_groups_identifier_not_refused(client):
+    """`groups` is an unreserved word — only GROUPS *frame mode* inside
+    a window spec refuses (r7: the refusal fired on any `groups
+    BETWEEN` text in the statement)."""
+    (r,) = client.query(
+        "SELECT x AS groups FROM (VALUES (3), (12)) t(x) "
+        "WHERE x BETWEEN 1 AND 10"
+    )
+    assert "error" not in r, r
+    assert r["rows"] == [["3"]]
+    (r,) = client.query(
+        "SELECT groups FROM (SELECT 5 AS groups) t WHERE groups BETWEEN 1 AND 10"
+    )
+    assert "error" not in r, r
+    # the real frame mode still refuses with DuckDB's wording
+    (r,) = client.query(
+        "SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND "
+        "CURRENT ROW) FROM (VALUES (1)) t(x)"
+    )
+    assert "error" in r and "GROUPS mode" in r["error"]
+
+
+def test_wire_nextval_rowset_refusals(client):
+    """Block reservation numbers rows before LIMIT/DISTINCT/set-ops
+    apply, so those shapes refuse instead of emitting values outside
+    the reserved range (code review r7)."""
+    (r,) = client.query("CREATE SEQUENCE sq_r7 START 100")
+    assert "error" not in r, r
+    for bad in (
+        "SELECT nextval('sq_r7') AS id FROM range(10) LIMIT 3",
+        "SELECT DISTINCT nextval('sq_r7') AS id FROM range(3)",
+        "SELECT nextval('sq_r7') FROM range(2) UNION ALL SELECT 1",
+    ):
+        (r,) = client.query(bad)
+        assert "error" in r and "reserved range" in r["error"], (bad, r)
+    # the sequence was never advanced by the refused statements
+    (r,) = client.query("SELECT nextval('sq_r7') AS v")
+    assert r["rows"] == [["100"]], r
+    (r,) = client.query("DROP SEQUENCE sq_r7")
+    assert "error" not in r
+
+
+def test_extended_binary_bytea_array_param(client):
+    """bytea[] binary Bind parameter (oid 1001) decodes — the array
+    gate accepted it but the per-cell decode lacked a bytea branch
+    (code review r7)."""
+    arr = struct.pack("!iiIii", 1, 0, 17, 2, 1)
+    arr += struct.pack("!i", 2) + b"\x01\x02" + struct.pack("!i", 1) + b"\xff"
+    out = client.extended_query(
+        "SELECT $1 AS v",
+        params=[arr],
+        param_oids=[1001],
+        param_binary=True,
+    )
+    assert "error" not in out, out
+    assert out["rows"] == [['{"\\\\x0102","\\\\xff"}']], out
