@@ -108,6 +108,7 @@ HEADLINE = [
     "text_dup_span_fraction",
     "text_dsir_weights",
     "mm_phash_near_dup",
+    "dedup_containment",
 ]
 
 

@@ -331,6 +331,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_ORACLE = f"""
+    WITH {_MINHASH_CTES},
+    scored AS (
+        SELECT p.doc_a, p.doc_b,
+               len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
+               len(a.shingles) AS na, len(b.shingles) AS nb
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter AS DOUBLE) / na, 6) AS cont_a_in_b,
+           ROUND(CAST(inter AS DOUBLE) / nb, 6) AS cont_b_in_a
+    FROM scored
+    WHERE inter >= 0.8 * na OR inter >= 0.8 * nb
+"""
+
+
+@query(
+    "dedup_containment",
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("ext", "dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT over MinHash/LSH candidates: flag
+    a pair when >=80% of EITHER document's shingle set lies inside the
+    other's. Jaccard misses the quote-plus-commentary case (a short doc
+    fully embedded in a long one scores low symmetric overlap, high
+    containment) — the Broder resemblance/containment split; dedup
+    pipelines use containment to collapse sub-document duplication.
+
+    Same scale shape as dedup_ngram_jaccard: candidate pairs come from
+    the banded LSH join (never all-pairs), each verified by two doc_id
+    equi-join lookups into the shingle-set table.
+    """
+    cand = minhash_candidate_pairs(spark, sf_dir)
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8)
+    words = F.split("text", " ")
+    sh = d.filter(F.size(words) >= 3).select(
+        "doc_id", _shingles(words).alias("shingles")
+    )
+    scored = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("na", F.size("sh_a"))
+        .withColumn("nb", F.size("sh_b"))
+    )
+    return scored.filter(
+        (F.col("inter") >= 0.8 * F.col("na"))
+        | (F.col("inter") >= 0.8 * F.col("nb"))
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("inter").cast("double") / F.col("na"), 6).alias(
+            "cont_a_in_b"
+        ),
+        F.round(F.col("inter").cast("double") / F.col("nb"), 6).alias(
+            "cont_b_in_a"
+        ),
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle="""
