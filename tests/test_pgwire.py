@@ -3043,3 +3043,46 @@ def test_extended_binary_bytea_array_param(client):
     )
     assert "error" not in out, out
     assert out["rows"] == [['{"\\\\x0102","\\\\xff"}']], out
+
+
+def test_wire_concurrent_clients(wire_server):
+    """8 clients issuing interleaved queries concurrently: every
+    connection gets ITS OWN correct results (no cross-talk between
+    per-connection states/portals), and the server survives a mid-run
+    error on one connection while the others proceed."""
+    import concurrent.futures
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "pgwire_client_cc",
+        Path(__file__).parent.parent / "scripts" / "pgwire_client.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def worker(i: int) -> list:
+        c = mod.PgClient(port=wire_server)
+        try:
+            out = []
+            for k in range(5):
+                if i == 3 and k == 2:  # one connection errors mid-run
+                    (r,) = c.query("SELECT nope_col FROM region")
+                    assert "error" in r
+                    continue
+                (r,) = c.query(
+                    f"SELECT {i} * 100 + {k} AS v, count(*) AS n FROM nation"
+                )
+                assert "error" not in r, (i, k, r)
+                out.append((int(r["rows"][0][0]), int(r["rows"][0][1])))
+            return out
+        finally:
+            c.close()
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(worker, range(8)))
+    for i, out in enumerate(results):
+        want = [
+            (i * 100 + k, 25) for k in range(5) if not (i == 3 and k == 2)
+        ]
+        assert out == want, (i, out)
