@@ -1122,6 +1122,43 @@ def _dsir_ratios(spark: SparkSession, sf_dir: str, bk: DataFrame) -> list[int]:
     return lr
 
 
+def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, logw_micro) for every RAW doc — the shared
+    DSIR scoring pipeline (see text_dsir_weights for the design)."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), (F.size("w") - 1).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+        ),
+    )
+    bk = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("int")
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    lr = _dsir_ratios(spark, sf_dir, bk)
+    lr_arr = F.array(*[F.lit(v).cast("long") for v in lr])
+    return (
+        bk.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.element_at(lr_arr, F.col("b") + 1).alias("lr"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lr").alias("logw_micro"),
+        )
+    )
+
+
+
 @query(
     "text_dsir_weights",
     oracle=f"""
@@ -1183,43 +1220,107 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cached like the IVF centroids; visible as index_warmup_sec in
     bench output).
     """
-    d = load_table_parallel(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), (F.size("w") - 1).cast("int")),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
-        ),
+    return _dsir_doc_weights(spark, sf_dir).select(
+        "doc_id",
+        "n_bigrams",
+        "logw_micro",
+        F.round(
+            F.col("logw_micro").cast("double") / 1e6 / F.col("n_bigrams"), 4
+        ).alias("avg_lw"),
     )
-    bk = (
-        d.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("g"))
-        .select(
-            "doc_id",
-            (
-                F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("int")
-                % DSIR_BUCKETS
-            ).alias("b"),
-        )
+
+
+# resample size: fixture-scale constant; a production run sets it to
+# the target token budget. TakeOrdered top-k — never a global sort.
+DSIR_KEEP = 40
+
+# the full DSIR weight pipeline as a reusable SQL CTE chain (mirrors
+# _dsir_doc_weights; shared by the weights oracle above conceptually,
+# duplicated textually because each oracle must be standalone SQL)
+_DSIR_SQL_CTES = f"""
+    w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    bk AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1]))), 1, 4)) AS INT) % {DSIR_BUCKETS} AS b
+      FROM w WHERE len(w) >= 2
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS tt,
+             SUM(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS tr
+      FROM bk
+    ),
+    cnt AS (
+      SELECT b,
+             SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS cr
+      FROM bk GROUP BY b
+    ),
+    r AS (
+      SELECT gs.b, CAST(ROUND(LN(
+                 ((COALESCE(cnt.ct, 0) + 1.0) / (tot.tt + {DSIR_BUCKETS}))
+               / ((COALESCE(cnt.cr, 0) + 1.0) / (tot.tr + {DSIR_BUCKETS}))
+             ) * 1000000) AS BIGINT) AS lr
+      FROM (SELECT unnest(range(0, {DSIR_BUCKETS})) AS b) gs
+      CROSS JOIN tot LEFT JOIN cnt ON cnt.b = gs.b
+    ),
+    per AS (
+      SELECT bk.doc_id, CAST(SUM(r.lr) AS BIGINT) AS logw_micro
+      FROM bk JOIN r ON r.b = bk.b
+      WHERE bk.doc_id % 97 <> 0 GROUP BY bk.doc_id
+    )"""
+
+
+@query(
+    "sample_dsir_gumbel_topk",
+    oracle=f"""
+    WITH {_DSIR_SQL_CTES},
+    keyed AS (
+      SELECT doc_id, logw_micro,
+             CAST(logw_micro + ROUND(-LN(-LN(
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_dsir'), 1, 13))
+                     AS BIGINT) / 4503599627370496.0
+             )) * 1000000) AS BIGINT) AS score_micro
+      FROM per
     )
-    lr = _dsir_ratios(spark, sf_dir, bk)
-    lr_arr = F.array(*[F.lit(v).cast("long") for v in lr])
+    SELECT doc_id, logw_micro, score_micro FROM keyed
+    ORDER BY score_micro DESC, doc_id LIMIT {DSIR_KEEP}
+    """,
+    tags=("ext", "text", "sampling", "dsir"),
+)
+def sample_dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING via deterministic Gumbel-top-k
+    (the sampling-without-replacement step of arXiv:2302.03169 §2:
+    adding Gumbel noise to log-weights and taking the top-k draws k
+    docs proportionally to their importance weights, without
+    replacement).
+
+    Determinism + cross-engine exactness: the Gumbel perturbation's
+    uniform comes from md5(doc_id||'_dsir') (the repo's standard
+    hash-uniform), and -ln(-ln(u)) is rounded to integer micro-nats on
+    both engines — the sort key is exact integer arithmetic, ties
+    broken by doc_id. Scale: the plan is the weight pipeline + ONE
+    TakeOrdered top-k (no global sort, no single-partition window);
+    the k boundary never shuffles more than k rows per partition.
+    """
+    wdf = _dsir_doc_weights(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_dsir"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    gumbel_micro = F.round(-F.log(-F.log(u)) * 1000000.0).cast("long")
     return (
-        bk.filter(F.col("doc_id") % 97 != 0)
-        .select("doc_id", F.element_at(lr_arr, F.col("b") + 1).alias("lr"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("lr").alias("logw_micro"),
-        )
-        .select(
+        wdf.select(
             "doc_id",
-            "n_bigrams",
             "logw_micro",
-            F.round(
-                F.col("logw_micro").cast("double") / 1e6 / F.col("n_bigrams"),
-                4,
-            ).alias("avg_lw"),
+            (F.col("logw_micro") + gumbel_micro).alias("score_micro"),
         )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(DSIR_KEEP)
     )

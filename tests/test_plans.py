@@ -360,3 +360,12 @@ def test_phash_near_dup_banded_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band_val" in plan, plan
+
+
+def test_dsir_gumbel_topk_is_take_ordered(spark):
+    """The resampling top-k must plan as TakeOrderedAndProject — a
+    global range-sort of per-doc scores is the 100 TB failure mode."""
+    df = _q("sample_dsir_gumbel_topk").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "TakeOrdered" in plan, plan
+    assert "rangepartitioning" not in plan, plan
