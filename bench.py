@@ -42,6 +42,7 @@ INDEX_WARMUP = {
     "sim_ivf_probe",
     "dedup_incremental_vs_index",
     "text_dsir_weights",
+    "sample_dsir_gumbel_topk",
 }
 
 # Headline set: the flagship TPC-H-style queries plus one representative
@@ -109,6 +110,7 @@ HEADLINE = [
     "text_dsir_weights",
     "mm_phash_near_dup",
     "dedup_containment",
+    "sample_dsir_gumbel_topk",
 ]
 
 
