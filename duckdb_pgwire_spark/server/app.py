@@ -161,11 +161,71 @@ _LIMIT_PCT_RE = re.compile(
 )
 
 
+# pipeline('<registry op>') table function: exposes every queries()
+# operator (dedup/similarity/text/multimodal pipelines) to PG clients
+# as a relation — `SELECT * FROM pipeline('dedup_exact') WHERE ...`
+# composes with arbitrary SQL around it. Over-reference: the reference
+# delegates to DuckDB, which has none of these operators. Data comes
+# from the same sf_dir whose tables the server registers as views.
+_PIPELINE_FN_RE = re.compile(
+    r"(?<![\w.])pipeline\s*\(\s*'(\w+)'\s*\)", re.IGNORECASE
+)
+PIPELINE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _substitute_pipeline_fns(session: SparkSession, stmt: str) -> str:
+    """Replace each code-level ``pipeline('name')`` with a temp view
+    materializing (lazily) that registry operator's DataFrame."""
+    from .compat import _code_mask
+
+    from .. import registry as _registry
+
+    if re.search(r"(?<![\w.])pipeline_ops\s*\(\s*\)", stmt, re.IGNORECASE):
+        defs0 = _registry.load_all()
+        rows = [
+            (n, ", ".join(d.tags or ()), d.oracle is not None)
+            for n, d in sorted(defs0.items())
+        ]
+        session.createDataFrame(
+            rows, "name string, tags string, has_oracle boolean"
+        ).coalesce(1).createOrReplaceTempView("__pipeline_ops")
+        stmt = re.sub(
+            r"(?<![\w.])pipeline_ops\s*\(\s*\)",
+            "__pipeline_ops",
+            stmt,
+            flags=re.IGNORECASE,
+        )
+    mask = _code_mask(stmt)
+    out: list[str] = []
+    pos = 0
+    defs = None
+    for m in _PIPELINE_FN_RE.finditer(stmt):
+        if not all(mask[m.start() : m.start() + len("pipeline")]):
+            continue
+        if defs is None:
+            defs = _registry.load_all()
+        name = m.group(1).lower()
+        if name not in defs:
+            raise ValueError(
+                f"pipeline: unknown operator {name!r} (run SELECT * FROM "
+                "pipeline_ops() for the catalog)"
+            )
+        view = f"__pipeline_{name}"
+        defs[name].fn(session, PIPELINE_SF_DIR).createOrReplaceTempView(view)
+        out.append(stmt[pos : m.start()])
+        out.append(view)
+        pos = m.end()
+    out.append(stmt[pos:])
+    return "".join(out)
+
+
 def _select_df(session: SparkSession, stmt: str) -> DataFrame:
     """DataFrame for a SELECT-shaped statement, handling the spellings
     Spark's parser can't take whole (UNION BY NAME, LIMIT n%) on EVERY
     protocol path — the extended-protocol portal executes through here
     too, so fetchSize/binary clients see the same dialect surface."""
+    if "pipeline" in stmt.lower():
+        stmt = _substitute_pipeline_fns(session, stmt)
     if _UNION_BY_NAME_RE.search(stmt):
         df = _union_by_name_df(session, stmt)
         if df is not None:
@@ -896,6 +956,17 @@ class PgWireServer:
             writer.write(P.command_complete("DROP SEQUENCE"))
             await writer.drain()
             return
+        if "pipeline" in stmt.lower():
+            # pipeline('op') / pipeline_ops(): materialize registry
+            # operators as temp views BEFORE dispatch (covers simple
+            # AND extended paths; _select_df repeats this for portals)
+            try:
+                stmt = await self._exec(
+                    session, state.job_tag,
+                    _substitute_pipeline_fns, session, stmt,
+                )
+            except ValueError as exc:
+                raise _WireError(str(exc), "42883") from exc
         if "val(" in stmt.lower():
             # nextval('s') / currval('s'): allocate BEFORE dispatch so
             # every downstream path (INSERT fast path, generic) sees

@@ -3086,3 +3086,31 @@ def test_wire_concurrent_clients(wire_server):
             (i * 100 + k, 25) for k in range(5) if not (i == 3 and k == 2)
         ]
         assert out == want, (i, out)
+
+
+def test_wire_pipeline_table_function(client):
+    """pipeline('<op>') exposes every registry operator as a relation
+    to PG clients; pipeline_ops() lists the catalog. Over-reference —
+    the reference's DuckDB has none of these operators."""
+    (r,) = client.query(
+        "SELECT count(*) AS n FROM pipeline('text_token_count')"
+    )
+    assert "error" not in r, r
+    assert int(r["rows"][0][0]) == 500  # every fixture document
+    # composes with arbitrary SQL: projection + filter + order + join
+    (r,) = client.query(
+        "SELECT d.doc_id, p.n_spans FROM pipeline('text_dup_span_fraction') p "
+        "JOIN documents d ON d.doc_id = p.doc_id "
+        "WHERE p.flagged ORDER BY d.doc_id LIMIT 3"
+    )
+    assert "error" not in r, r
+    assert len(r["rows"]) == 3 and r["columns"] == ["doc_id", "n_spans"]
+    # catalog function
+    (r,) = client.query(
+        "SELECT count(*) AS n FROM pipeline_ops() WHERE has_oracle"
+    )
+    assert "error" not in r, r
+    assert int(r["rows"][0][0]) >= 170
+    # unknown operator: loud with a pointer to the catalog
+    (r,) = client.query("SELECT * FROM pipeline('nope_op')")
+    assert "error" in r and "pipeline_ops" in r["error"], r
