@@ -102,3 +102,84 @@ def stream_minhash_bucket_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table("stream_lsh_buckets")
+
+
+_DSIR_STREAM_ORACLE = None  # built lazily below (needs ext.text constants)
+
+
+def _dsir_stream_oracle() -> str:
+    from ..ext.text import _DSIR_SQL_CTES
+
+    return f"""
+    WITH {_DSIR_SQL_CTES}
+    SELECT doc_id, logw_micro FROM per WHERE logw_micro > 0
+    """
+
+
+@query(
+    "stream_dsir_score_filter",
+    oracle=_dsir_stream_oracle(),
+    tags=("streaming", "text", "dsir"),
+)
+def stream_dsir_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR quality gate: score each ARRIVING document's
+    hashed-bigram stream against the per-epoch target/raw distributions
+    and keep target-leaning docs (log importance weight > 0).
+
+    Deployment shape: the distributions are estimated OFFLINE per
+    corpus epoch (the cached _dsir_ratios build — exactly what the
+    batch op uses) and shipped to the stream as a literal array, so the
+    online path is a stateless projection + per-doc aggregation: no
+    joins, no state beyond the per-doc counter. Complete mode + the
+    per-doc groupBy is the fixture-scale harness; a production stream
+    would watermark on event time and emit per-doc scores append-mode.
+    The oracle recomputes the identical integer micro-nat pipeline in
+    SQL over the static fixture."""
+    from ..ext.text import DSIR_BUCKETS, _dsir_ratios
+    from ..session import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), (F.size("w") - 1).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+        ),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("int") % DSIR_BUCKETS
+    )
+    bk = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .select("doc_id", bucket.alias("b"))
+    )
+    # epoch distribution build (batch, cached) — the exact bk pipeline
+    # the batch op uses, so stream scores and oracle agree bit-exact
+    lr = _dsir_ratios(spark, sf_dir, bk)
+    lr_arr = F.array(*[F.lit(v).cast("long") for v in lr])
+
+    stream = _read_documents_stream(spark, sf_dir)
+    sbk = (
+        stream.select("doc_id", F.split("text", " ").alias("w"))
+        .filter((F.size("w") >= 2) & (F.col("doc_id") % 97 != 0))
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .select("doc_id", F.element_at(lr_arr, bucket + 1).alias("lr"))
+    )
+    agg = (
+        sbk.groupBy("doc_id")
+        .agg(F.sum("lr").alias("logw_micro"))
+        .filter(F.col("logw_micro") > 0)
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_dsir_scores")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("stream_dsir_scores")
