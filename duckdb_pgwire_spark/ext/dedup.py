@@ -276,21 +276,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_sql("spark"))
 
 
-_JACCARD_ORACLE = f"""
-    WITH {_MINHASH_CTES},
+# shared verification scaffold: LSH candidate pairs joined to both
+# sides' shingle sets with intersection + set sizes — jaccard and
+# containment are different projections/thresholds over the same rows
+_SCORED_CTES = f"""{_MINHASH_CTES},
     scored AS (
         SELECT p.doc_a, p.doc_b,
                len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
-               len(a.shingles) + len(b.shingles)
-                 - len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS uni
+               len(a.shingles) AS na, len(b.shingles) AS nb
         FROM pairs p
         JOIN sh a ON a.doc_id = p.doc_a
         JOIN sh b ON b.doc_id = p.doc_b
-    )
-    SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+    )"""
+
+_JACCARD_ORACLE = f"""
+    WITH {_SCORED_CTES}
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
     FROM scored
-    WHERE inter >= 0.3 * uni
+    WHERE inter >= 0.3 * (na + nb - inter)
 """
+
+
+def _scored_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs joined to both documents' shingle sets, with
+    ``inter``/``na``/``nb`` columns — the shared verification scaffold
+    of dedup_ngram_jaccard and dedup_containment (each is one
+    projection + threshold over these rows)."""
+    cand = minhash_candidate_pairs(spark, sf_dir)
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8)
+    words = F.split("text", " ")
+    sh = d.filter(F.size(words) >= 3).select(
+        "doc_id", _shingles(words).alias("shingles")
+    )
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("na", F.size("sh_a"))
+        .withColumn("nb", F.size("sh_b"))
+    )
 
 
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("ext", "dedup", "jaccard"))
@@ -306,23 +337,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison count is O(candidates), each one two doc_id equi-join
     lookups into the shingle-set table.
     """
-    cand = minhash_candidate_pairs(spark, sf_dir)
-    d = load_table_parallel(spark, sf_dir, "documents", parts=8)
-    words = F.split("text", " ")
-    sh = d.filter(F.size(words) >= 3).select(
-        "doc_id", _shingles(words).alias("shingles")
-    )
-    scored = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
-            "doc_b",
-        )
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+    scored = _scored_candidate_pairs(spark, sf_dir).withColumn(
+        "uni", F.col("na") + F.col("nb") - F.col("inter")
     )
     return scored.filter(F.col("inter") >= 0.3 * F.col("uni")).select(
         "doc_a",
@@ -332,15 +348,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAINMENT_ORACLE = f"""
-    WITH {_MINHASH_CTES},
-    scored AS (
-        SELECT p.doc_a, p.doc_b,
-               len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS inter,
-               len(a.shingles) AS na, len(b.shingles) AS nb
-        FROM pairs p
-        JOIN sh a ON a.doc_id = p.doc_a
-        JOIN sh b ON b.doc_id = p.doc_b
-    )
+    WITH {_SCORED_CTES}
     SELECT doc_a, doc_b,
            ROUND(CAST(inter AS DOUBLE) / na, 6) AS cont_a_in_b,
            ROUND(CAST(inter AS DOUBLE) / nb, 6) AS cont_b_in_a
@@ -366,25 +374,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded LSH join (never all-pairs), each verified by two doc_id
     equi-join lookups into the shingle-set table.
     """
-    cand = minhash_candidate_pairs(spark, sf_dir)
-    d = load_table_parallel(spark, sf_dir, "documents", parts=8)
-    words = F.split("text", " ")
-    sh = d.filter(F.size(words) >= 3).select(
-        "doc_id", _shingles(words).alias("shingles")
-    )
-    scored = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
-            "doc_b",
-        )
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("na", F.size("sh_a"))
-        .withColumn("nb", F.size("sh_b"))
-    )
+    scored = _scored_candidate_pairs(spark, sf_dir)
     return scored.filter(
         (F.col("inter") >= 0.8 * F.col("na"))
         | (F.col("inter") >= 0.8 * F.col("nb"))

@@ -1159,10 +1159,11 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "text_dsir_weights",
-    oracle=f"""
-    WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+# the full DSIR weight pipeline as a reusable SQL CTE chain (mirrors
+# _dsir_doc_weights) — interpolated into the weights, gumbel-top-k and
+# streaming-filter oracles so the distribution SQL exists exactly once
+_DSIR_SQL_CTES = f"""
+    w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
     bk AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(unnest(list_transform(range(1, len(w)),
@@ -1193,7 +1194,13 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(r.lr) AS BIGINT) AS logw_micro
       FROM bk JOIN r ON r.b = bk.b
       WHERE bk.doc_id % 97 <> 0 GROUP BY bk.doc_id
-    )
+    )"""
+
+
+@query(
+    "text_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_SQL_CTES}
     SELECT doc_id, n_bigrams, logw_micro,
            ROUND(CAST(logw_micro AS DOUBLE) / 1e6 / n_bigrams, 4) AS avg_lw
     FROM per
@@ -1233,43 +1240,6 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # resample size: fixture-scale constant; a production run sets it to
 # the target token budget. TakeOrdered top-k — never a global sort.
 DSIR_KEEP = 40
-
-# the full DSIR weight pipeline as a reusable SQL CTE chain (mirrors
-# _dsir_doc_weights; shared by the weights oracle above conceptually,
-# duplicated textually because each oracle must be standalone SQL)
-_DSIR_SQL_CTES = f"""
-    w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-    bk AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(unnest(list_transform(range(1, len(w)),
-                 i -> w[i] || ' ' || w[i+1]))), 1, 4)) AS INT) % {DSIR_BUCKETS} AS b
-      FROM w WHERE len(w) >= 2
-    ),
-    tot AS (
-      SELECT SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS tt,
-             SUM(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS tr
-      FROM bk
-    ),
-    cnt AS (
-      SELECT b,
-             SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS ct,
-             SUM(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS cr
-      FROM bk GROUP BY b
-    ),
-    r AS (
-      SELECT gs.b, CAST(ROUND(LN(
-                 ((COALESCE(cnt.ct, 0) + 1.0) / (tot.tt + {DSIR_BUCKETS}))
-               / ((COALESCE(cnt.cr, 0) + 1.0) / (tot.tr + {DSIR_BUCKETS}))
-             ) * 1000000) AS BIGINT) AS lr
-      FROM (SELECT unnest(range(0, {DSIR_BUCKETS})) AS b) gs
-      CROSS JOIN tot LEFT JOIN cnt ON cnt.b = gs.b
-    ),
-    per AS (
-      SELECT bk.doc_id, CAST(SUM(r.lr) AS BIGINT) AS logw_micro
-      FROM bk JOIN r ON r.b = bk.b
-      WHERE bk.doc_id % 97 <> 0 GROUP BY bk.doc_id
-    )"""
-
 
 @query(
     "sample_dsir_gumbel_topk",

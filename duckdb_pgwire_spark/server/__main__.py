@@ -51,7 +51,11 @@ def main() -> None:
     logging.basicConfig(level=logging.INFO)
     from ..functions.udfs import register_udfs
     from ..session import build_session, register_views
-    from .app import PgWireServer
+    from .app import PgWireServer, set_pipeline_sf_dir
+
+    # pipeline('<op>') operators must read the SAME data the registered
+    # views serve (code review r7: env-only default could diverge)
+    set_pipeline_sf_dir(args.sf_dir)
 
     spark = build_session(app_name="duckdb_pgwire_spark_server")
 

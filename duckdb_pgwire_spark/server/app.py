@@ -170,17 +170,42 @@ _LIMIT_PCT_RE = re.compile(
 _PIPELINE_FN_RE = re.compile(
     r"(?<![\w.])pipeline\s*\(\s*'(\w+)'\s*\)", re.IGNORECASE
 )
+_PIPELINE_OPS_RE = re.compile(
+    r"(?<![\w.])pipeline_ops\s*\(\s*\)", re.IGNORECASE
+)
+# Data directory for pipeline() operators — MUST match the sf_dir whose
+# tables the server registers as views. `python -m ...server --sf-dir X`
+# sets it via set_pipeline_sf_dir (server/__main__.py); the env var
+# covers embedded use.
 PIPELINE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# (name, sf_dir) pairs whose temp view exists. Lazy operators re-execute
+# their plan on every query through the view (fixture tables stay the
+# source of truth); operators that run eagerly inside their fn
+# (streaming replays, driver-side index builds) materialize ONCE per
+# server process — the per-epoch shape. A restart refreshes.
+_PIPELINE_VIEWS: set[tuple[str, str]] = set()
+
+
+def set_pipeline_sf_dir(sf_dir: str) -> None:
+    global PIPELINE_SF_DIR
+    PIPELINE_SF_DIR = sf_dir
+    _PIPELINE_VIEWS.clear()
 
 
 def _substitute_pipeline_fns(session: SparkSession, stmt: str) -> str:
-    """Replace each code-level ``pipeline('name')`` with a temp view
-    materializing (lazily) that registry operator's DataFrame."""
+    """Replace each code-level ``pipeline('name')`` / ``pipeline_ops()``
+    with a temp view over that registry operator's DataFrame."""
     from .compat import _code_mask
 
     from .. import registry as _registry
 
-    if re.search(r"(?<![\w.])pipeline_ops\s*\(\s*\)", stmt, re.IGNORECASE):
+    mask = _code_mask(stmt)
+    ops_hits = [
+        m for m in _PIPELINE_OPS_RE.finditer(stmt)
+        if all(mask[m.start() : m.end()])
+    ]
+    if ops_hits:
         defs0 = _registry.load_all()
         rows = [
             (n, ", ".join(d.tags or ()), d.oracle is not None)
@@ -189,13 +214,15 @@ def _substitute_pipeline_fns(session: SparkSession, stmt: str) -> str:
         session.createDataFrame(
             rows, "name string, tags string, has_oracle boolean"
         ).coalesce(1).createOrReplaceTempView("__pipeline_ops")
-        stmt = re.sub(
-            r"(?<![\w.])pipeline_ops\s*\(\s*\)",
-            "__pipeline_ops",
-            stmt,
-            flags=re.IGNORECASE,
-        )
-    mask = _code_mask(stmt)
+        out0: list[str] = []
+        pos0 = 0
+        for m in ops_hits:
+            out0.append(stmt[pos0 : m.start()])
+            out0.append("__pipeline_ops")
+            pos0 = m.end()
+        out0.append(stmt[pos0:])
+        stmt = "".join(out0)
+        mask = _code_mask(stmt)
     out: list[str] = []
     pos = 0
     defs = None
@@ -211,7 +238,9 @@ def _substitute_pipeline_fns(session: SparkSession, stmt: str) -> str:
                 "pipeline_ops() for the catalog)"
             )
         view = f"__pipeline_{name}"
-        defs[name].fn(session, PIPELINE_SF_DIR).createOrReplaceTempView(view)
+        if (name, PIPELINE_SF_DIR) not in _PIPELINE_VIEWS:
+            defs[name].fn(session, PIPELINE_SF_DIR).createOrReplaceTempView(view)
+            _PIPELINE_VIEWS.add((name, PIPELINE_SF_DIR))
         out.append(stmt[pos : m.start()])
         out.append(view)
         pos = m.end()
@@ -225,7 +254,11 @@ def _select_df(session: SparkSession, stmt: str) -> DataFrame:
     protocol path — the extended-protocol portal executes through here
     too, so fetchSize/binary clients see the same dialect surface."""
     if "pipeline" in stmt.lower():
-        stmt = _substitute_pipeline_fns(session, stmt)
+        try:
+            stmt = _substitute_pipeline_fns(session, stmt)
+        except ValueError as exc:
+            # extended-protocol path: same 42883 the simple path maps to
+            raise _WireError(str(exc), "42883") from exc
     if _UNION_BY_NAME_RE.search(stmt):
         df = _union_by_name_df(session, stmt)
         if df is not None:

@@ -104,10 +104,9 @@ def stream_minhash_bucket_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_lsh_buckets")
 
 
-_DSIR_STREAM_ORACLE = None  # built lazily below (needs ext.text constants)
-
-
 def _dsir_stream_oracle() -> str:
+    # built at decoration time; the local import keeps module import
+    # order flexible (ext.text ↔ streaming have no cycle today)
     from ..ext.text import _DSIR_SQL_CTES
 
     return f"""

@@ -3045,7 +3045,7 @@ def test_extended_binary_bytea_array_param(client):
     assert out["rows"] == [['{"\\\\x0102","\\\\xff"}']], out
 
 
-def test_wire_concurrent_clients(wire_server):
+def test_wire_concurrent_clients_stress(wire_server):
     """8 clients issuing interleaved queries concurrently: every
     connection gets ITS OWN correct results (no cross-talk between
     per-connection states/portals), and the server survives a mid-run
