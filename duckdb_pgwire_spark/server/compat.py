@@ -2662,7 +2662,27 @@ def _rewrite_read_files(sql: str) -> str:
         fmt = "parquet" if m.group(1).lower() == "parquet" else "json"
         return f"{fmt}.`{m.group(2)}`"
 
-    return _READ_FILE.sub(sub, sql)
+    sql = _READ_FILE.sub(sub, sql)
+    # DuckDB's bare-path idiom: FROM 'x.parquet' / JOIN 'y.json' (the
+    # quoted file IS the relation). Only after a code-level FROM/JOIN —
+    # a path string anywhere else is data. CSV stays unmapped (DuckDB
+    # sniffs headers, Spark's csv.`p` does not — silent column shift).
+    if ".parquet'" in sql or ".json'" in sql:
+        mask = _code_mask(sql)
+
+        def sub_bare(m: re.Match) -> str:
+            if not all(mask[m.start(1) : m.end(1)]):
+                return m.group(0)
+            fmt = "parquet" if m.group(3).lower() == "parquet" else "json"
+            return f"{m.group(1)}{fmt}.`{m.group(2)}`"
+
+        sql = re.sub(
+            r"(\b(?:FROM|JOIN)\s+)'([^']+\.(parquet|json))'",
+            sub_bare,
+            sql,
+            flags=re.IGNORECASE,
+        )
+    return sql
 
 
 # ---------------------------------------------------------------- macros

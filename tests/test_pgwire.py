@@ -3114,3 +3114,28 @@ def test_wire_pipeline_table_function(client):
     # unknown operator: loud with a pointer to the catalog
     (r,) = client.query("SELECT * FROM pipeline('nope_op')")
     assert "error" in r and "pipeline_ops" in r["error"], r
+
+
+def test_wire_pipeline_composes_with_copy_and_extended(client, tmp_path):
+    """pipeline() relations work through COPY TO and the extended
+    protocol (Parse/Describe/Execute) — the substitution runs before
+    dispatch on every path."""
+    out = client.extended_query(
+        "SELECT count(*) AS n FROM pipeline('text_token_count')"
+    )
+    assert "error" not in out, out
+    assert out["rows"] == [["500"]]
+    dest = str(tmp_path / "scores.parquet")
+    (r,) = client.query(
+        f"COPY (SELECT * FROM pipeline('text_quality_score')) TO '{dest}' "
+        "(FORMAT PARQUET)"
+    )
+    assert "error" not in r, r
+    assert r["tag"].startswith("COPY")
+    # DuckDB's bare-path idiom (r7: FROM 'x.parquet' is the relation)
+    (r,) = client.query(f"SELECT count(*) AS n FROM '{dest}'")
+    assert "error" not in r, r
+    assert int(r["rows"][0][0]) == 500
+    # a path string anywhere else stays data
+    (r,) = client.query("SELECT 'a.parquet' AS s")
+    assert r["rows"] == [["a.parquet"]]
