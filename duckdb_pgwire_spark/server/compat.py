@@ -2667,7 +2667,9 @@ def _rewrite_read_files(sql: str) -> str:
     # quoted file IS the relation). Only after a code-level FROM/JOIN —
     # a path string anywhere else is data. CSV stays unmapped (DuckDB
     # sniffs headers, Spark's csv.`p` does not — silent column shift).
-    if ".parquet'" in sql or ".json'" in sql:
+    if (".parquet'" in sql or ".json'" in sql) and not re.match(
+        r"\s*COPY\b", sql, re.IGNORECASE
+    ):  # COPY t FROM 'path' keeps its raw path for the COPY parser
         mask = _code_mask(sql)
 
         def sub_bare(m: re.Match) -> str:
