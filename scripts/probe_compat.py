@@ -36,6 +36,10 @@ SF_DIR = "/root/testdata/sf0.01"
 
 BATTERY: dict[str, list[str]] = {
     "select_misc": [
+        # r7: DuckDB's bare-path relation + UNION-type surface
+        f"SELECT count(*) AS n FROM '{SF_DIR}/region.parquet'",
+        "SELECT union_tag(union_value(num := 2)) AS t,"
+        " union_extract(union_value(num := 2), 'num') AS v",
         "SELECT 1_000_000 AS n",
         "SELECT 0x10 AS h",
         "SELECT 1e3 AS e",
