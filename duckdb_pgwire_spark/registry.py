@@ -170,15 +170,33 @@ FLAGSHIP = (
 )
 
 
+def _current_round() -> int:
+    """1 + the number of driver CORRECTNESS files already on disk —
+    the round whose window ordered_names() is being computed FOR."""
+    root = Path(__file__).resolve().parent.parent
+    return len(list(root.glob("CORRECTNESS_r*.json"))) + 1
+
+
 def ordered_names() -> list[str]:
     """Registry names: never-driver-verified first, then the pinned
-    flagship set, then the rest ordered OLDEST-latest-green first (a
-    stale entry re-enters the driver's bounded window before one the
-    driver just re-checked; registry order breaks ties stably)."""
+    flagship HALF for this round's parity, then the rest ordered
+    OLDEST-latest-green first (a stale entry re-enters the driver's
+    bounded window before one the driver just re-checked; registry
+    order breaks ties stably).
+
+    Only HALF of FLAGSHIP pins each round (r7 verdict item 1): the full
+    34-entry pin ate ~70% of the driver's ~50-entry window and starved
+    the stale tail for 4-5 rounds. The halves interleave (even/odd
+    index) so each keeps cross-family coverage, and alternate by round
+    parity so every flagship is still driver-checked at most one round
+    apart; the off-parity half was green LAST round, so the staleness
+    sort re-admits it quickly anyway if slots remain."""
     defs = load_all()
     green = _driver_green_rounds()
     unseen = [n for n in defs if n not in green]
-    pinned = [n for n in FLAGSHIP if n in defs and n in green]
+    par = _current_round() % 2
+    half = [n for i, n in enumerate(FLAGSHIP) if i % 2 == par]
+    pinned = [n for n in half if n in defs and n in green]
     order = {n: i for i, n in enumerate(defs)}
     rest = sorted(
         (n for n in defs if n in green and n not in pinned),

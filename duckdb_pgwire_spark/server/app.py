@@ -2030,10 +2030,30 @@ _WRITE_TARGET_RE = re.compile(
     r"|CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
     r"(?:TABLE|VIEW)(?:\s+IF\s+NOT\s+EXISTS)?"
     r"|DROP\s+(?:TABLE|VIEW)(?:\s+IF\s+EXISTS)?"
-    r"|ALTER\s+TABLE"
-    r"|COPY"
+    r"|ALTER\s+TABLE(?:\s+IF\s+EXISTS)?"
     r")\s+([\w.\"]+)",
     re.IGNORECASE,
+)
+
+# COPY <tbl> FROM 'file' LOADS INTO the table (a write); COPY <tbl> TO
+# 'file' / COPY (SELECT ...) TO 'file' only READ it — DuckDB allows the
+# latter from a READ_ONLY attach (ADVICE r7 item 2).
+_COPY_LOAD_RE = re.compile(
+    r"^\s*COPY\s+([\w.\"]+)\s*(?:\([^()]*\))?\s+FROM\b", re.IGNORECASE
+)
+# Write verbs _WRITE_TARGET_RE doesn't bind a target for (ADVICE r7
+# item 4: ALTER VIEW ro.v RENAME, CREATE INDEX ... ON ro.t fell through)
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"[\w.\"]+\s+ON\s+([\w.\"]+)",
+    re.IGNORECASE,
+)
+_ALTER_ANY_RE = re.compile(
+    r"^\s*ALTER\s+\w+\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)", re.IGNORECASE
+)
+_WRITE_WORDS = frozenset(
+    ("INSERT", "UPDATE", "DELETE", "MERGE", "TRUNCATE", "CREATE", "DROP",
+     "ALTER", "COPY")  # COPY gates dispatch; only COPY ... FROM is a write
 )
 
 
@@ -2043,12 +2063,36 @@ def _readonly_write_target(stmt: str) -> str | None:
     table after INTO/UPDATE/FROM/...), not a substring scan — an
     ``INSERT INTO local_t SELECT * FROM ro.t`` READ of the RO database
     is legal, and an unqualified write after ``USE ro`` must still be
-    caught (code review r7)."""
+    caught (code review r7). COPY only counts when the direction is
+    FROM (a load); COPY ... TO is an export and stays legal on RO.
+    When the verb is a write word but no pattern binds a target, any
+    RO-alias qualifier in the statement refuses conservatively rather
+    than silently diverging from DuckDB's RO refusal (ADVICE r7)."""
     ro = {a for a, meta in ATTACHED.items() if meta["kind"] == "file_ro"}
     if not ro:
         return None
-    m = _WRITE_TARGET_RE.match(stmt)
+    first = stmt.split(None, 1)[0].upper() if stmt.split() else ""
+    if first == "COPY":
+        m = _COPY_LOAD_RE.match(stmt)
+        if m is None:
+            return None
+    else:
+        m = (
+            _WRITE_TARGET_RE.match(stmt)
+            or _CREATE_INDEX_RE.match(stmt)
+            or _ALTER_ANY_RE.match(stmt)
+        )
     if m is None:
+        if first in _WRITE_WORDS:
+            for a in sorted(ro):
+                if re.search(
+                    rf'\b{re.escape(a)}\s*\.', stmt, re.IGNORECASE
+                ):
+                    return a
+            if CURRENT_DB[0] in ro and first in ("INSERT", "UPDATE",
+                                                 "DELETE", "MERGE",
+                                                 "TRUNCATE"):
+                return CURRENT_DB[0]
         return None
     target = m.group(1).replace('"', "").lower()
     if "." in target:

@@ -2667,13 +2667,23 @@ def _rewrite_read_files(sql: str) -> str:
     # quoted file IS the relation). Only after a code-level FROM/JOIN —
     # a path string anywhere else is data. CSV stays unmapped (DuckDB
     # sniffs headers, Spark's csv.`p` does not — silent column shift).
-    if (".parquet'" in sql or ".json'" in sql) and not re.match(
-        r"\s*COPY\b", sql, re.IGNORECASE
-    ):  # COPY t FROM 'path' keeps its raw path for the COPY parser
+    if ".parquet'" in sql or ".json'" in sql:
         mask = _code_mask(sql)
+        # COPY t FROM 'path' keeps its raw path for the COPY parser —
+        # but ONLY that operand: bare paths inside a parenthesized
+        # source query (COPY (SELECT * FROM 'x.parquet') TO 'out') are
+        # ordinary relations and still rewrite (ADVICE r7 item 3).
+        copy_load = re.match(
+            r"\s*COPY\s+[\w.\"]+\s*(?:\([^()]*\))?\s+(FROM)\s+'[^']+'",
+            sql,
+            re.IGNORECASE,
+        )
+        skip = copy_load.span(1) if copy_load else None
 
         def sub_bare(m: re.Match) -> str:
             if not all(mask[m.start(1) : m.end(1)]):
+                return m.group(0)
+            if skip and m.start(1) == skip[0]:
                 return m.group(0)
             fmt = "parquet" if m.group(3).lower() == "parquet" else "json"
             return f"{m.group(1)}{fmt}.`{m.group(2)}`"
@@ -2785,18 +2795,15 @@ def substitute_sequence_fns(sql: str, count_rows=None) -> str:
         if (
             count_rows is None
             or first not in ("SELECT", "WITH", "INSERT")
-            or n_next != 1
-            or len(occs) != 1
+            or n_next != len(occs)
         ):
             raise ValueError(
-                "nextval in a per-row context is only supported as a "
-                "single occurrence in SELECT / INSERT ... SELECT (DuckDB "
-                "advances the sequence per row; the block-reservation "
-                "rewrite can't track multiple interleaved calls or "
-                "UPDATE/DELETE/MERGE row contexts)"
+                "nextval in a per-row context is only supported in "
+                "SELECT / INSERT ... SELECT without interleaved currval "
+                "(DuckDB advances the sequence per row; the "
+                "block-reservation rewrite can't track a row-dependent "
+                "currval or UPDATE/DELETE/MERGE row contexts)"
             )
-        (m,) = occs
-        seq = SEQUENCES[m.group(2).lower()]
         src = sql
         if first == "INSERT":
             im = re.match(
@@ -2813,13 +2820,17 @@ def substitute_sequence_fns(sql: str, count_rows=None) -> str:
                 )
         # clauses applied AFTER the SELECT list evaluates break the
         # reservation: the row_number window runs over the pre-LIMIT/
-        # pre-DISTINCT/pre-setop row set while the count probe counts
-        # FINAL rows, so emitted values would fall outside the reserved
-        # block and later allocations would collide (code review r7).
+        # pre-DISTINCT/pre-setop/pre-QUALIFY row set while the count
+        # probe counts FINAL rows, so emitted values would fall outside
+        # the reserved block and later allocations would collide (code
+        # review r7; QUALIFY per ADVICE r7 — the QUALIFY rewrite filters
+        # AFTER this substitution numbered every source row).
         # GROUP BY/HAVING are fine — window and probe both see
         # post-group rows.
         bad = [
-            kw for kw in ("LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+            kw for kw in (
+                "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "QUALIFY",
+            )
             if _find_keyword(src, kw) != -1
         ]
         if re.match(r"^\s*SELECT\s+DISTINCT\b", src, re.IGNORECASE):
@@ -2833,22 +2844,59 @@ def substitute_sequence_fns(sql: str, count_rows=None) -> str:
                 "values would escape the reserved range"
             )
         off = len(sql) - len(src)
-        probe = src[: m.start() - off] + "NULL" + src[m.end() - off :]
+        # probe with EVERY occurrence nulled so the count is occurrence-free
+        parts, ppos = [], 0
+        for m in occs:
+            parts.append(src[ppos : m.start() - off])
+            parts.append("NULL")
+            ppos = m.end() - off
+        parts.append(src[ppos:])
+        probe = "".join(parts)
         n = int(
             count_rows(
                 f"SELECT count(*) FROM ({probe.rstrip().rstrip(';')}) __seq_n"
             )
         )
-        with _SEQ_LOCK:
-            base, inc = seq["next"], seq["inc"]
-            if n > 0:
-                seq["next"] = base + n * inc
-                seq["cur"] = base + (n - 1) * inc
-        repl = (
-            f"((row_number() OVER (ORDER BY monotonically_increasing_id())"
-            f" - 1) * {inc} + {base})"
-        )
-        return sql[: m.start()] + repl + sql[m.end() :]
+        # One disjoint block of n values PER OCCURRENCE (verdict r7 item
+        # 8): DuckDB's vectorized executor evaluates each nextval
+        # expression over the whole chunk in turn, so within a chunk
+        # occurrence j of sequence s yields s.base + (j*n + row)*inc —
+        # per-occurrence blocks reproduce that value layout exactly for
+        # a single chunk; across chunk boundaries neither engine
+        # guarantees row assignment (same caveat as the 1-occurrence
+        # shape above).
+        seq_occ_ord: dict[str, int] = {}
+        blk_base: dict[str, int] = {}
+        repls: list[str] = []
+        for m in occs:
+            name = m.group(2).lower()
+            j = seq_occ_ord.get(name, 0)
+            seq_occ_ord[name] = j + 1
+            seq = SEQUENCES[name]
+            with _SEQ_LOCK:
+                if j == 0:
+                    # first occurrence of this sequence: reserve ALL its
+                    # blocks at once so interleaved sequences stay dense
+                    total = sum(
+                        1 for o in occs if o.group(2).lower() == name
+                    ) * n
+                    blk_base[name] = seq["next"]
+                    if total > 0:
+                        seq["next"] = blk_base[name] + total * seq["inc"]
+                        seq["cur"] = seq["next"] - seq["inc"]
+                base = blk_base[name] + j * n * seq["inc"]
+                inc = seq["inc"]
+            repls.append(
+                f"((row_number() OVER (ORDER BY"
+                f" monotonically_increasing_id()) - 1) * {inc} + {base})"
+            )
+        out_parts, opos = [], 0
+        for m, repl in zip(occs, repls):
+            out_parts.append(sql[opos : m.start()])
+            out_parts.append(repl)
+            opos = m.end()
+        out_parts.append(sql[opos:])
+        return "".join(out_parts)
     out: list[str] = []
     pos = 0
     for m in occs:
@@ -4086,7 +4134,7 @@ def split_statements(sql: str) -> list[str]:
 
 # option list allows ONE level of nested parens (PARTITION_BY (a, b))
 _COPY = re.compile(
-    r"^\s*COPY\s+(\(.*\)|\w+)\s+TO\s+'([^']+)'\s*"
+    r"^\s*COPY\s+(\(.*\)|[\w.]+)\s+TO\s+'([^']+)'\s*"
     r"(?:\(((?:[^()]|\([^()]*\))*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )

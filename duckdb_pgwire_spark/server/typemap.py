@@ -178,11 +178,21 @@ def encode_text(v: Any) -> str:
         return json.dumps(v, default=str, separators=(",", ":"))
     if hasattr(v, "asDict"):  # Row (struct)
         d = v.asDict(recursive=True)
-        if "__utag" in d:
+        tag = d.get("__utag")
+        if (
+            isinstance(tag, str)
+            and len(d) == 2
+            and tag in d
+            and tag != "__utag"
+        ):
             # UNION-type emulation (compat._rewrite_union_fns): render
             # the active member's text, like DuckDB renders a union as
-            # the value itself ('NULL' for a null member, DuckDB-probed)
-            val = d.get(d["__utag"])
+            # the value itself ('NULL' for a null member, DuckDB-probed).
+            # The sentinel check requires the EXACT two-field
+            # {__utag, <tag>} shape that rewrite emits — a user struct
+            # that merely contains a __utag field renders as JSON like
+            # any other struct (ADVICE r7 item 5).
+            val = d[tag]
             return encode_text(val) if val is not None else "NULL"
         return json.dumps(d, default=str, separators=(",", ":"))
     return str(v)

@@ -2248,13 +2248,46 @@ def test_wire_sequences_golden(client, spark):
     assert "error" not in res, res
     (res,) = client.query("SELECT a, b FROM sq_t WHERE b = 'z' ORDER BY a")
     assert [(int(a), b) for a, b in res["rows"]] == want_rows, res
-    # multi-nextval and UPDATE row contexts still refuse loudly
+    # multi-occurrence per-row nextval (r8): per-occurrence disjoint
+    # blocks reproduce DuckDB's vectorized single-chunk layout
+    # (occurrence j over the whole chunk, then occurrence j+1)
+    want_multi = con.execute(
+        "SELECT nextval('sq') AS a, nextval('sq') AS b FROM range(2)"
+    ).fetchall()
     (res,) = client.query(
         "SELECT nextval('sq') AS a, nextval('sq') AS b FROM range(2)"
+    )
+    assert "error" not in res, res
+    assert [(int(a), int(b)) for a, b in res["rows"]] == want_multi, res
+    # interleaved sequences each reserve their own dense blocks
+    con.execute("CREATE SEQUENCE sq2 START 100 INCREMENT 3")
+    want_two = con.execute(
+        "SELECT nextval('sq') AS a, nextval('sq2') AS b, nextval('sq') AS c"
+        " FROM range(3)"
+    ).fetchall()
+    client.query("CREATE SEQUENCE sq2 START 100 INCREMENT 3")
+    (res,) = client.query(
+        "SELECT nextval('sq') AS a, nextval('sq2') AS b, nextval('sq') AS c"
+        " FROM range(3)"
+    )
+    assert "error" not in res, res
+    assert [tuple(int(x) for x in r) for r in res["rows"]] == want_two, res
+    client.query("DROP SEQUENCE sq2")
+    # currval interleaved with per-row nextval and UPDATE row contexts
+    # still refuse loudly
+    (res,) = client.query(
+        "SELECT nextval('sq') AS a, currval('sq') AS b FROM range(2)"
     )
     assert "error" in res and "per-row" in res["error"], res
     (res,) = client.query("UPDATE sq_t SET a = nextval('sq')")
     assert "error" in res and "per-row" in res["error"], res
+    # QUALIFY applies after the SELECT list numbers rows — refuses
+    # (ADVICE r7 item 1: silent block escape otherwise)
+    (res,) = client.query(
+        "SELECT nextval('sq') AS v FROM range(10) "
+        "QUALIFY row_number() OVER (ORDER BY v) <= 3"
+    )
+    assert "error" in res and "QUALIFY" in res["error"], res
     # unknown sequence + duplicate creation error like DuckDB
     (res,) = client.query("SELECT nextval('nope')")
     assert "error" in res, res
@@ -2843,10 +2876,31 @@ def test_wire_attach_file_readonly_and_refusals(client, tmp_path):
     assert r["rows"] == [["4"]]
     (r,) = client.query("DROP TABLE att_local")
     assert "error" not in r
+    # COPY ... TO only READS the RO database — DuckDB allows it
+    # (ADVICE r7 item 2: the old guard refused any COPY first-operand)
+    out_csv = str(tmp_path / "ro_export.csv")
+    (r,) = client.query(f"COPY attro.ft TO '{out_csv}' (HEADER)")
+    assert "error" not in r, r
+    (r,) = client.query(
+        f"COPY (SELECT c FROM attro.ft) TO '{out_csv}' (HEADER)"
+    )
+    assert "error" not in r, r
+    # ... but COPY ... FROM loads INTO the table — still refused
+    (r,) = client.query(f"COPY attro.ft FROM '{out_csv}' (HEADER)")
+    assert "error" in r and "READ_ONLY" in r["error"], r
+    # write verbs the target regex can't bind still refuse when an RO
+    # alias is the qualifier (ADVICE r7 item 4)
+    (r,) = client.query("ALTER VIEW attro.ft RENAME TO ft2")
+    assert "error" in r and "READ_ONLY" in r["error"], r
+    (r,) = client.query("CREATE INDEX ro_idx ON attro.ft (c)")
+    assert "error" in r and "READ_ONLY" in r["error"], r
     (r,) = client.query("USE attro")
     assert "error" not in r
     (r,) = client.query("INSERT INTO ft VALUES (11)")
     assert "error" in r and "READ_ONLY" in r["error"], r
+    # unqualified COPY TO after USE ro is still a read — allowed
+    (r,) = client.query(f"COPY ft TO '{out_csv}' (HEADER)")
+    assert "error" not in r, r
     (r,) = client.query("USE main")  # database_list's name round-trips
     assert "error" not in r, r
     (r,) = client.query("DETACH attro")
@@ -2985,6 +3039,19 @@ def test_wire_union_type_emulation(client):
         "SELECT union_extract(union_value(num := 2), 'nope') AS v"
     )
     assert "error" in r
+    # a USER struct that merely contains a __utag field is NOT the
+    # union sentinel — it renders as JSON like any other struct
+    # (ADVICE r7 item 5: the old check keyed on the field name alone)
+    (r,) = client.query(
+        "SELECT named_struct('__utag', 'x', 'a', 1, 'b', 2) AS s"
+    )
+    assert "error" not in r, r
+    assert r["rows"] == [['{"__utag":"x","a":1,"b":2}']], r
+    (r,) = client.query(
+        "SELECT named_struct('__utag', 7, 'x', 1) AS s"  # non-string tag
+    )
+    assert "error" not in r, r
+    assert r["rows"] == [['{"__utag":7,"x":1}']], r
 
 
 def test_wire_groups_identifier_not_refused(client):
@@ -3139,3 +3206,22 @@ def test_wire_pipeline_composes_with_copy_and_extended(client, tmp_path):
     # a path string anywhere else stays data
     (r,) = client.query("SELECT 'a.parquet' AS s")
     assert r["rows"] == [["a.parquet"]]
+    # bare path inside a COPY source subquery still rewrites (ADVICE r7
+    # item 3: the whole-statement COPY skip broke this legal shape) ...
+    dest2 = str(tmp_path / "copied_again.parquet")
+    (r,) = client.query(
+        f"COPY (SELECT * FROM '{dest}') TO '{dest2}' (FORMAT PARQUET)"
+    )
+    assert "error" not in r, r
+    (r,) = client.query(f"SELECT count(*) AS n FROM '{dest2}'")
+    assert int(r["rows"][0][0]) == 500
+    # ... while COPY <tbl> FROM 'x.parquet' keeps its raw path operand
+    (r,) = client.query(
+        f"CREATE TABLE cp_bare AS SELECT * FROM '{dest2}' LIMIT 0"
+    )
+    assert "error" not in r, r
+    (r,) = client.query(f"COPY cp_bare FROM '{dest2}' (FORMAT PARQUET)")
+    assert "error" not in r, r
+    (r,) = client.query("SELECT count(*) AS n FROM cp_bare")
+    assert int(r["rows"][0][0]) == 500
+    client.query("DROP TABLE cp_bare")
