@@ -2014,6 +2014,11 @@ _USE_RE = re.compile(r"^\s*USE\s+(\w+)(?:\.(\w+))?\s*;?\s*$", re.IGNORECASE)
 # alias → {"kind": "memory" | "file_ro", "path": str | None}
 ATTACHED: dict[str, dict] = {}
 
+# rows per Arrow batch for the streamed READ_ONLY-attach import —
+# bounds peak driver memory to one batch (tests shrink it to force
+# multi-batch paths)
+_ATTACH_BATCH_ROWS = 1 << 20
+
 # current database, tracked by the USE handler (one shared SparkSession
 # → one shared current database, like the reference's single DuckDB
 # instance). Spark's default database answers to DuckDB's names for it.
@@ -2153,14 +2158,16 @@ def _attach_database(
         try:
             tables = [r[0] for r in con.execute("SHOW TABLES").fetchall()]
             session.sql(f"CREATE DATABASE `{name}`")
-            for t in tables:
-                arrow_t = con.execute(f'SELECT * FROM "{t}"').fetch_arrow_table()
-                # hand Spark the Arrow table directly (PySpark 4):
-                # to_pandas() would coerce nullable int columns to
-                # float64 with NaN-for-NULL (code review r7)
-                session.createDataFrame(arrow_t).write.saveAsTable(
-                    f"`{name}`.`{t}`"
-                )
+            _import_ro_tables(session, con, name, tables)
+        except Exception:
+            # a half-imported database would make a RETRY of the same
+            # ATTACH fail on the leftover managed-table locations —
+            # drop what was created before re-raising
+            try:
+                session.sql(f"DROP DATABASE IF EXISTS `{name}` CASCADE")
+            except Exception:
+                pass
+            raise
         finally:
             con.close()
         ATTACHED[name_l] = {"kind": "file_ro", "path": path}
@@ -2172,6 +2179,37 @@ def _attach_database(
         )
     ATTACHED_DBS.add(name_l)
     return name
+
+
+def _import_ro_tables(session, con, name: str, tables: list[str]) -> None:
+    """Import DuckDB tables into Spark database `name`, streaming Arrow
+    record batches (bounded driver memory; see _attach_database)."""
+    import pyarrow as _pa
+
+    for t in tables:
+        # STREAM the import batch-wise (r7 verdict item 2): a
+        # fetch_arrow_table() of the whole file was the last unbounded
+        # driver-memory path — a 100 GB attached table would OOM the
+        # driver. Arrow batches are handed to Spark directly
+        # (to_pandas() would coerce nullable int columns to float64
+        # with NaN-for-NULL, code review r7) and appended to the
+        # managed table, so peak driver memory is one batch regardless
+        # of table size.
+        reader = con.execute(f'SELECT * FROM "{t}"') \
+            .fetch_record_batch(_ATTACH_BATCH_ROWS)
+        qual = f"`{name}`.`{t}`"
+        wrote = False
+        for batch in reader:
+            df = session.createDataFrame(_pa.Table.from_batches([batch]))
+            if wrote:
+                df.write.mode("append").saveAsTable(qual)
+            else:
+                df.write.saveAsTable(qual)
+                wrote = True
+        if not wrote:  # zero-row table: keep its schema
+            session.createDataFrame(
+                _pa.Table.from_batches([], schema=reader.schema)
+            ).write.saveAsTable(qual)
 
 
 def _detach_database(

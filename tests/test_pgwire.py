@@ -2913,6 +2913,49 @@ def test_wire_attach_file_readonly_and_refusals(client, tmp_path):
     assert "error" in r
 
 
+def test_wire_attach_streamed_import_multibatch(client, tmp_path, monkeypatch):
+    """The READ_ONLY-attach import streams Arrow record batches (r7
+    verdict item 2: one fetch_arrow_table() of the whole file was the
+    last unbounded driver-memory path). Forcing a tiny batch size
+    exercises the multi-batch append path; NULL ints must survive every
+    batch (the r7 NaN regression stays netted)."""
+    import duckdb
+
+    from duckdb_pgwire_spark.server import app as app_mod
+
+    monkeypatch.setattr(app_mod, "_ATTACH_BATCH_ROWS", 7)
+    dbfile = str(tmp_path / "att_stream.db")
+    con = duckdb.connect(dbfile)
+    con.execute(
+        "CREATE TABLE big AS SELECT range AS i, "
+        "CASE WHEN range % 5 = 0 THEN NULL ELSE range * 2 END AS j "
+        "FROM range(40)"
+    )
+    con.execute("CREATE TABLE empty_t(a INT, b VARCHAR)")
+    con.close()
+
+    (r,) = client.query(f"ATTACH '{dbfile}' AS attst (READ_ONLY)")
+    assert "error" not in r, r
+    (r,) = client.query(
+        "SELECT count(*) AS n, count(j) AS nj, sum(j) AS s FROM attst.big"
+    )
+    # 40 rows over 6 batches of 7; 8 NULLs; sum 2*(780-140) = 1280
+    assert r["rows"] == [["40", "32", "1280"]], r
+    (r,) = client.query("SELECT i, j FROM attst.big ORDER BY i LIMIT 6")
+    assert r["rows"] == [
+        ["0", None], ["1", "2"], ["2", "4"], ["3", "6"], ["4", "8"],
+        ["5", None],
+    ], r
+    # nullable int stays BIGINT (oid 20) through every appended batch
+    assert r["oids"] == [20, 20], r
+    # zero-row table keeps its schema
+    (r,) = client.query("SELECT * FROM attst.empty_t")
+    assert "error" not in r, r
+    assert r["rows"] == [] and r["columns"] == ["a", "b"], r
+    (r,) = client.query("DETACH attst")
+    assert "error" not in r, r
+
+
 def test_wire_use_database(client):
     """USE switches the default database; DETACH of the current database
     refuses with DuckDB's wording."""
