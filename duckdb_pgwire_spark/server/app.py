@@ -248,6 +248,135 @@ def _substitute_pipeline_fns(session: SparkSession, stmt: str) -> str:
     return "".join(out)
 
 
+# CSV relations: DuckDB's sniffing auto-detection (bare ``FROM
+# 'x.csv'`` and ``read_csv[_auto]('x.csv')``) maps to a hidden temp
+# view over an explicit-schema spark.read.csv — the sniff reads one
+# bounded driver-side sample (csv_sniff.py mirrors DuckDB's probed
+# rules); the scan itself is distributed and never uses inferSchema's
+# full extra pass. Views cache per (path, mtime, overrides).
+_CSV_REL_RE = re.compile(
+    r"(\b(?:FROM|JOIN)\s+)'([^']+\.(?:csv|tsv))'", re.IGNORECASE
+)
+_READ_CSV_RE = re.compile(
+    r"\bread_csv(?:_auto)?\s*\(\s*'([^']+)'\s*((?:,[^()]*)?)\)",
+    re.IGNORECASE,
+)
+_CSV_VIEWS: dict[tuple, str] = {}
+
+
+def _parse_read_csv_args(argtext: str) -> dict:
+    """Named-arg tail of read_csv: header/delim/sep overrides map
+    through; anything else refuses loudly (the sniffer otherwise
+    silently contradicts an explicit user option)."""
+    overrides: dict = {}
+    argtext = (argtext or "").strip().lstrip(",").strip()
+    if not argtext:
+        return overrides
+    # split on commas OUTSIDE quotes (delim=',' carries one inside)
+    parts, buf, inq = [], [], False
+    for ch in argtext:
+        if ch == "'":
+            inq = not inq
+            buf.append(ch)
+        elif ch == "," and not inq:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    for part in parts:
+        part = part.strip()
+        if not part:
+            continue
+        m = re.match(r"(\w+)\s*(?::=|=)\s*(.+)$", part)
+        if not m:
+            raise ValueError(
+                f"read_csv: unsupported argument {part!r} — positional "
+                "options are not supported; use header=/delim= or a "
+                "CREATE VIEW over the sniffed relation"
+            )
+        k, v = m.group(1).lower(), m.group(2).strip().strip("'")
+        if k in ("delim", "sep"):
+            overrides["sep"] = v
+        elif k == "header":
+            overrides["header"] = v.lower() in ("true", "1")
+        else:
+            raise ValueError(
+                f"read_csv: option {k!r} is not supported — supported "
+                "named options: header, delim/sep (the sniffer "
+                "auto-detects the rest)"
+            )
+    return overrides
+
+
+def _csv_view(session: SparkSession, path: str, overrides: dict) -> str:
+    import glob as _glob
+    import hashlib
+
+    from .csv_sniff import sniff_file
+
+    matches = sorted(_glob.glob(path)) or [path]
+    if not os.path.isfile(matches[0]):
+        raise ValueError(f'could not open CSV file "{path}"')
+    mtime = max(os.path.getmtime(m) for m in matches)
+    key = (path, mtime, tuple(sorted(overrides.items())))
+    view = _CSV_VIEWS.get(key)
+    if view is not None:
+        return view
+    sn = sniff_file(
+        path, sep=overrides.get("sep"), header=overrides.get("header")
+    )
+    df = (
+        session.read.option("sep", sn["sep"])
+        .option("header", str(sn["header"]).lower())
+        .schema(sn["schema_ddl"])
+        .csv(path)
+    ).selectExpr(*sn["select_exprs"])
+    view = "__csvrel_" + hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    df.createOrReplaceTempView(view)
+    _CSV_VIEWS[key] = view
+    return view
+
+
+def _substitute_csv_relations(session: SparkSession, stmt: str) -> str:
+    """Bare-path CSV relations + read_csv[_auto]() → sniffed temp
+    views. The COPY <tbl> FROM 'x.csv' operand keeps its raw path for
+    the COPY loader (which applies the same sniff on its own path)."""
+    from .compat import _code_mask
+
+    low = stmt.lower()
+    if ".csv" not in low and ".tsv" not in low and "read_csv" not in low:
+        return stmt
+    mask = _code_mask(stmt)
+    out: list[str] = []
+    pos = 0
+    for m in _READ_CSV_RE.finditer(stmt):
+        if not all(mask[m.start() : m.start() + 8]):
+            continue
+        view = _csv_view(session, m.group(1), _parse_read_csv_args(m.group(2)))
+        out.append(stmt[pos : m.start()])
+        out.append(view)
+        pos = m.end()
+    out.append(stmt[pos:])
+    stmt = "".join(out)
+    mask = _code_mask(stmt)
+    copy_load = re.match(
+        r"\s*COPY\s+[\w.\"]+\s*(?:\([^()]*\))?\s+(FROM)\s+'[^']+'",
+        stmt,
+        re.IGNORECASE,
+    )
+    skip = copy_load.span(1) if copy_load else None
+
+    def sub_bare(m: re.Match) -> str:
+        if not all(mask[m.start(1) : m.end(1)]):
+            return m.group(0)
+        if skip and m.start(1) == skip[0]:
+            return m.group(0)
+        return m.group(1) + _csv_view(session, m.group(2), {})
+
+    return _CSV_REL_RE.sub(sub_bare, stmt)
+
+
 def _select_df(session: SparkSession, stmt: str) -> DataFrame:
     """DataFrame for a SELECT-shaped statement, handling the spellings
     Spark's parser can't take whole (UNION BY NAME, LIMIT n%) on EVERY
@@ -259,6 +388,11 @@ def _select_df(session: SparkSession, stmt: str) -> DataFrame:
         except ValueError as exc:
             # extended-protocol path: same 42883 the simple path maps to
             raise _WireError(str(exc), "42883") from exc
+    try:
+        stmt = _substitute_csv_relations(session, stmt)
+    except ValueError as exc:
+        # DuckDB reports sniff/open failures as IO Error
+        raise _WireError(str(exc), "58030") from exc
     if _UNION_BY_NAME_RE.search(stmt):
         df = _union_by_name_df(session, stmt)
         if df is not None:
@@ -1000,6 +1134,19 @@ class PgWireServer:
                 )
             except ValueError as exc:
                 raise _WireError(str(exc), "42883") from exc
+        low0 = stmt.lower()
+        if ".csv" in low0 or ".tsv" in low0 or "read_csv" in low0:
+            # CSV relations sniff + substitute BEFORE dispatch so DDL
+            # (CREATE VIEW/TABLE AS), COPY subqueries, and the generic
+            # path all see the resolved view (the extended path repeats
+            # this inside _select_df)
+            try:
+                stmt = await self._exec(
+                    session, state.job_tag,
+                    _substitute_csv_relations, session, stmt,
+                )
+            except ValueError as exc:
+                raise _WireError(str(exc), "58030") from exc
         if "val(" in stmt.lower():
             # nextval('s') / currval('s'): allocate BEFORE dispatch so
             # every downstream path (INSERT fast path, generic) sees

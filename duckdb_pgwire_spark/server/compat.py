@@ -2654,9 +2654,10 @@ def _rewrite_read_files(sql: str) -> str:
     """DuckDB ``read_parquet('p')`` / ``read_json[_auto]('p')`` →
     Spark's ``parquet.`p`` / ``json.`p`` direct-file relations (the
     reference's primary data-access idiom — DuckDB over files).
-    ``read_csv[_auto]`` is deliberately unmapped: DuckDB auto-detects
-    headers, Spark's csv.`p` does not — silent column shift; fail loudly
-    per the shim's policy."""
+    ``read_csv[_auto]`` and bare '.csv' paths are handled UPSTREAM by
+    the session-aware sniffing substitution (app._substitute_csv_
+    relations + csv_sniff.py) — they need dialect detection, which a
+    textual rewrite cannot do."""
 
     def sub(m: re.Match) -> str:
         fmt = "parquet" if m.group(1).lower() == "parquet" else "json"

@@ -1,0 +1,182 @@
+"""CSV dialect sniffer replicating DuckDB's auto-detection (probed
+against DuckDB v1.0 — see tests/test_pgwire.py CSV battery):
+
+- delimiter ∈ {',', ';', '\\t', '|'}: the one giving the most columns
+  with a CONSISTENT per-line field count across the sample;
+- per-column type inference over the data rows, lattice
+  BOOLEAN → BIGINT → DOUBLE → DATE → TIME → TIMESTAMP → VARCHAR
+  (empty fields are NULL and never disqualify a type);
+- header = first row present whose value in SOME column does not parse
+  as that column's data type — and, per DuckDB's observed rule, an
+  all-VARCHAR table also claims its first row as the header;
+- duplicate header names deduplicate with _1, _2, … suffixes.
+
+The sniff reads ONE bounded sample (first ``SAMPLE_BYTES`` of the first
+matching file) on the driver; the actual scan is a distributed
+``spark.read.csv`` with the EXPLICIT sniffed schema — never Spark's
+``inferSchema``, which would run a full extra pass over every byte of
+a 100 TB input just to guess types.
+
+DuckDB's TIME type has no Spark analogue; TIME columns scan as STRING
+(same rendered text on the wire, different OID — documented gap).
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import re
+
+SAMPLE_BYTES = 64 * 1024
+SAMPLE_LINES = 100
+_DELIMS = (",", ";", "\t", "|")
+
+# DuckDB's CSV boolean sniff accepts true/false/t/f case-insensitively
+# (probed: yes/no → VARCHAR, 1/0 → BIGINT)
+_BOOL = {"true", "false", "t", "f"}
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_TIME_RE = re.compile(r"^\d{2}:\d{2}:\d{2}(\.\d+)?$")
+_TS_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?$"
+)
+
+# inference lattice, narrowest first; VARCHAR always parses
+_TYPES = ("BOOLEAN", "BIGINT", "DOUBLE", "DATE", "TIME", "TIMESTAMP")
+
+
+def _parses_as(v: str, t: str) -> bool:
+    if v == "":
+        return True  # NULL fits every type
+    if t == "BOOLEAN":
+        return v.lower() in _BOOL
+    if t == "BIGINT":
+        try:
+            return -(2**63) <= int(v) < 2**63
+        except ValueError:
+            return False
+    if t == "DOUBLE":
+        try:
+            float(v)
+            return True
+        except ValueError:
+            return False
+    if t == "DATE":
+        return bool(_DATE_RE.match(v))
+    if t == "TIME":
+        return bool(_TIME_RE.match(v))
+    if t == "TIMESTAMP":
+        return bool(_TS_RE.match(v))
+    return True  # VARCHAR
+
+
+def _infer_column(values: list[str]) -> str:
+    for t in _TYPES:
+        if any(v != "" for v in values) and all(
+            _parses_as(v, t) for v in values
+        ):
+            return t
+    return "VARCHAR"
+
+
+def _split_sample(text: str, delim: str) -> list[list[str]]:
+    return list(_csv.reader(io.StringIO(text), delimiter=delim))
+
+
+def sniff_text(
+    text: str, sep: str | None = None, header: bool | None = None
+) -> dict:
+    """Sniff a decoded sample. Returns ``{"sep", "header", "names",
+    "types"}`` (types in DuckDB names). ``sep``/``header`` force an
+    explicit user option instead of detecting it."""
+    # drop a trailing partial line (the sample may cut mid-record)
+    if "\n" in text:
+        text = text[: text.rfind("\n") + 1]
+    lines = [ln for ln in text.splitlines() if ln != ""][:SAMPLE_LINES]
+    if not lines:
+        raise ValueError("empty CSV sample")
+    sample = "\n".join(lines) + "\n"
+    if sep is not None:
+        best = sep
+    else:
+        best, best_cols = ",", 1
+        for d in _DELIMS:
+            rows = _split_sample(sample, d)
+            counts = {len(r) for r in rows if r}
+            if len(counts) == 1:
+                (n,) = counts
+                if n > best_cols:
+                    best, best_cols = d, n
+    rows = [r for r in _split_sample(sample, best) if r]
+    ncol = max(len(r) for r in rows)
+    grid = [[*(r), *[""] * (ncol - len(r))] for r in rows]
+    rest = grid[1:]
+    types_rest = (
+        [_infer_column([row[c] for row in rest]) for c in range(ncol)]
+        if rest
+        else ["VARCHAR"] * ncol
+    )
+    if header is None:
+        header = all(t == "VARCHAR" for t in types_rest) or any(
+            not _parses_as(grid[0][c], types_rest[c]) for c in range(ncol)
+        )
+    if header:
+        names: list[str] = []
+        used: set[str] = set()
+        for raw in grid[0]:
+            base = raw if raw != "" else "column"
+            name, k = base, 0
+            while name in used:  # DuckDB dedups a,a → a, a_1
+                k += 1
+                name = f"{base}_{k}"
+            used.add(name)
+            names.append(name)
+        types = types_rest
+    else:
+        names = [f"column{i}" for i in range(ncol)]
+        types = [_infer_column([row[c] for row in grid]) for c in range(ncol)]
+    return {"sep": best, "header": header, "names": names, "types": types}
+
+
+_SPARK_TYPES = {
+    # BOOLEAN scans as string + a CASE projection: Spark's CSV reader
+    # only parses true/false, but DuckDB's boolean sniff also accepts
+    # t/f — the projection keeps both forms, codegen-side
+    "BOOLEAN": "string",
+    "BIGINT": "long",
+    "DOUBLE": "double",
+    "DATE": "date",
+    "TIME": "string",  # Spark has no TIME type; text matches on the wire
+    "TIMESTAMP": "timestamp",
+    "VARCHAR": "string",
+}
+
+
+def sniff_file(
+    path: str, sep: str | None = None, header: bool | None = None
+) -> dict:
+    """Sniff the first matching file of ``path`` (globs allowed). Adds
+    ``schema_ddl`` — the explicit Spark schema for the scan."""
+    import glob as _glob
+    import os
+
+    matches = sorted(_glob.glob(path)) or [path]
+    first = matches[0]
+    if not os.path.isfile(first):
+        raise ValueError(f'could not open CSV file "{path}"')
+    with open(first, "rb") as f:
+        raw = f.read(SAMPLE_BYTES)
+    res = sniff_text(raw.decode("utf-8", errors="replace"), sep, header)
+    res["schema_ddl"] = ", ".join(
+        f"`{n}` {_SPARK_TYPES[t]}"
+        for n, t in zip(res["names"], res["types"])
+    )
+    res["select_exprs"] = [
+        (
+            f"CASE WHEN lower(`{n}`) IN ('true', 't') THEN true "
+            f"WHEN lower(`{n}`) IN ('false', 'f') THEN false END AS `{n}`"
+            if t == "BOOLEAN"
+            else f"`{n}`"
+        )
+        for n, t in zip(res["names"], res["types"])
+    ]
+    return res

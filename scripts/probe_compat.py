@@ -32,12 +32,23 @@ from duckdb_pgwire_spark.session import (  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
 
+# CSV fixture for the bare-path/read_csv sniffing cases (r8): written
+# at import so the battery strings can embed the path
+_CSV_FIXTURE = "/tmp/__probe_fixture.csv"
+with open(_CSV_FIXTURE, "w") as _f:
+    _f.write("a,b,c\n1,2,x\n3,4,y\n5,6,z\n")
+
 # ---------------------------------------------------------------- battery
 
 BATTERY: dict[str, list[str]] = {
     "select_misc": [
         # r7: DuckDB's bare-path relation + UNION-type surface
         f"SELECT count(*) AS n FROM '{SF_DIR}/region.parquet'",
+        # r8: bare-path CSV relations sniff like DuckDB
+        f"SELECT * FROM '{_CSV_FIXTURE}' ORDER BY a",
+        f"SELECT sum(b) AS s FROM read_csv_auto('{_CSV_FIXTURE}')",
+        f"SELECT c FROM read_csv('{_CSV_FIXTURE}', header=true, "
+        "delim=',') ORDER BY c",
         "SELECT union_tag(union_value(num := 2)) AS t,"
         " union_extract(union_value(num := 2), 'num') AS v",
         "SELECT 1_000_000 AS n",

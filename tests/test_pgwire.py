@@ -3097,6 +3097,72 @@ def test_wire_union_type_emulation(client):
     assert r["rows"] == [['{"__utag":7,"x":1}']], r
 
 
+def test_wire_csv_bare_path_sniffing(client, tmp_path):
+    """Bare-path CSV relations (r7 verdict item 4): FROM 'x.csv' sniffs
+    delimiter/header/types with DuckDB's probed rules (csv_sniff.py) —
+    value-compared against DuckDB reading the SAME files."""
+    import duckdb
+
+    cases = {
+        "basic.csv": "a,b,c\n1,2,x\n3,4,y\n",
+        "noheader.csv": "1,2,x\n3,4,y\n",
+        "semicolon.csv": "a;b\n1;hello\n2;world\n",
+        "pipe.csv": "x|y\n5|p\n6|q\n",
+        "alltext.csv": "name,city\nalice,nyc\nbob,sf\n",
+        "quoted.csv": 'a,b\n"x,1",2\n"y,3",4\n',
+        "dates.csv": "d,v\n2020-01-02,1.5\n2021-03-04,2.25\n",
+        "bools.csv": "f1\ntrue\nf\nt\nfalse\n",
+        "crlf.csv": "a,b\r\n1,x\r\n2,y\r\n",
+        "dup.csv": "a,a\n1,2\n",
+    }
+    con = duckdb.connect()
+    for fn, content in cases.items():
+        p = str(tmp_path / fn)
+        with open(p, "w") as f:
+            f.write(content)
+        res = con.execute(f"SELECT * FROM '{p}'")
+        want_cols = [c[0] for c in res.description]
+        want = [
+            [None if v is None else str(v) for v in row]
+            for row in res.fetchall()
+        ]
+        (r,) = client.query(f"SELECT * FROM '{p}'")
+        assert "error" not in r, (fn, r)
+        assert r["columns"] == want_cols, (fn, r["columns"], want_cols)
+        def _norm(rows):
+            return sorted(
+                [
+                    # booleans render t/f on the wire, True/False in
+                    # the duckdb python API
+                    [{"t": "True", "f": "False"}.get(v, v) for v in row]
+                    for row in rows
+                ]
+            )
+        assert _norm(r["rows"]) == _norm(want), (fn, r["rows"], want)
+    con.close()
+    # read_csv / read_csv_auto + overrides
+    p = str(tmp_path / "basic.csv")
+    (r,) = client.query(f"SELECT count(*) AS n FROM read_csv_auto('{p}')")
+    assert r["rows"] == [["2"]], r
+    (r,) = client.query(
+        f"SELECT a FROM read_csv('{p}', header=true, delim=',') ORDER BY a"
+    )
+    assert r["rows"] == [["1"], ["3"]], r
+    # unsupported read_csv option: loud refusal naming the option
+    (r,) = client.query(f"SELECT * FROM read_csv('{p}', quote='x')")
+    assert "error" in r and "quote" in r["error"], r
+    # missing file: loud, DuckDB-style IO error
+    (r,) = client.query("SELECT * FROM '/nonexistent/nope.csv'")
+    assert "error" in r and "nope.csv" in r["error"], r
+    # COPY load operand keeps its raw path (the loader handles it)
+    client.query("CREATE TABLE csv_load(a int, b int, c varchar)")
+    (r,) = client.query(f"COPY csv_load FROM '{p}' (HEADER)")
+    assert "error" not in r, r
+    (r,) = client.query("SELECT count(*) AS n FROM csv_load")
+    assert r["rows"] == [["2"]], r
+    client.query("DROP TABLE csv_load")
+
+
 def test_wire_groups_identifier_not_refused(client):
     """`groups` is an unreserved word — only GROUPS *frame mode* inside
     a window spec refuses (r7: the refusal fired on any `groups
