@@ -87,17 +87,23 @@ def pg_oid(dt: T.DataType) -> int:
     if isinstance(dt, T.TimestampType | T.TimestampNTZType):
         return OID_TIMESTAMP
     if isinstance(dt, T.ArrayType):
-        # 1-D arrays of base types advertise the real PG array OID (the
-        # element-text rendering already matches the PG array literal
-        # format, and binary transfer needs the true OID for clients to
-        # decode the cells); nested/struct elements stay text
-        elem_oid = pg_oid(dt.elementType)
-        arr = _ARRAY_OIDS.get(elem_oid)
-        if arr is not None and not isinstance(
-            dt.elementType, T.ArrayType | T.StructType | T.MapType
+        # arrays of base types advertise the real PG array OID. PG has
+        # ONE array type per element type regardless of dimensionality
+        # (int4[][] is still oid 1007), so nested arrays of base
+        # scalars share it — text renders {{1,2},{3,4}} and the binary
+        # codec writes the ndim>1 header (r7 verdict item 5). PG's
+        # MAXDIM is 6; deeper nesting (and struct/map elements) stays
+        # text.
+        inner, depth = dt.elementType, 1
+        while isinstance(inner, T.ArrayType) and depth <= 6:
+            inner, depth = inner.elementType, depth + 1
+        if depth <= 6 and not isinstance(
+            inner, T.ArrayType | T.StructType | T.MapType
         ):
-            return arr
-    # nested arrays/structs/maps/intervals: rendered as text (json / {...})
+            arr = _ARRAY_OIDS.get(pg_oid(inner))
+            if arr is not None:
+                return arr
+    # structs/maps/intervals/over-deep arrays: rendered as text
     return OID_TEXT
 
 
@@ -146,6 +152,10 @@ def _enc_array(v: Any) -> str:
     for item in v:
         if item is None:
             parts.append("NULL")
+        elif isinstance(item, list):
+            # sub-array of a multidimensional array: rendered inline,
+            # NOT quoted — PG's int[][] text form is {{1,2},{3,4}}
+            parts.append(_enc_array(item))
         else:
             s = encode_text(item)
             if any(c in s for c in ' ,{}"\\') or s == "":
@@ -217,8 +227,9 @@ _PG_EPOCH_TS = _dt.datetime(2000, 1, 1)
 
 def binary_support(dt: T.DataType) -> bool:
     if isinstance(dt, T.ArrayType):
-        # 1-D arrays of base types use the public PG array layout
-        # (ndim/flags/elemoid header + dim + length-prefixed cells)
+        # arrays of base types (any depth ≤ 6) use the public PG array
+        # layout (ndim/flags/elemoid header + dims + length-prefixed
+        # cells, row-major); ragged rows refuse at encode time
         return pg_oid(dt) in _ELEM_OIDS
     return isinstance(
         dt,
@@ -337,21 +348,43 @@ def encode_binary(v: Any, dt: T.DataType) -> bytes | None:
     if isinstance(dt, T.ArrayType) and pg_oid(dt) in _ELEM_OIDS:
         # public PG array layout: int32 ndim, int32 hasnull flag,
         # uint32 element oid, then per dim (int32 size, int32 lower
-        # bound = 1), then length-prefixed element cells (-1 = NULL).
-        # Spark arrays are 1-D; PG sends ndim=0 for an empty array.
+        # bound = 1), then length-prefixed element cells (-1 = NULL) in
+        # row-major order. ndim>1 for nested arrays (r7 verdict item
+        # 5); PG sends ndim=0 for an empty array. PG arrays are
+        # RECTANGULAR — a ragged Spark nested array cannot be expressed
+        # in this layout and refuses loudly rather than mis-shaping.
         elem_oid = _ELEM_OIDS[pg_oid(dt)]
-        items = list(v)
-        if not items:
+        elem_dt = dt.elementType
+        dims = [len(v)]
+        probe = v
+        while isinstance(elem_dt, T.ArrayType):
+            rows = [e for e in probe if e is not None]
+            if any(e is None for e in probe):
+                raise ValueError(
+                    "binary array format: NULL sub-array is not "
+                    "representable in a PG multidimensional array"
+                )
+            sizes = {len(e) for e in rows}
+            if len(sizes) > 1:
+                raise ValueError(
+                    "binary array format: ragged nested array is not "
+                    "representable (PG arrays are rectangular) — use "
+                    "text result format"
+                )
+            dims.append(sizes.pop() if sizes else 0)
+            probe = [x for e in rows for x in e]
+            elem_dt = elem_dt.elementType
+        if not v or 0 in dims:
             return _struct.pack("!iiI", 0, 0, elem_oid)
-        hasnull = 1 if any(e is None for e in items) else 0
-        out = [
-            _struct.pack("!iiIii", 1, hasnull, elem_oid, len(items), 1)
-        ]
-        for e in items:
+        hasnull = 1 if any(e is None for e in probe) else 0
+        out = [_struct.pack("!iiI", len(dims), hasnull, elem_oid)]
+        for d in dims:
+            out.append(_struct.pack("!ii", d, 1))
+        for e in probe:
             if e is None:
                 out.append(_struct.pack("!i", -1))
             else:
-                cell = encode_binary(e, dt.elementType)
+                cell = encode_binary(e, elem_dt)
                 out.append(_struct.pack("!i", len(cell)) + cell)
         return b"".join(out)
     raise ValueError(f"binary result format not supported for {dt.simpleString()}")
@@ -404,24 +437,44 @@ def _decode_binary_array(raw: bytes, elem_oid: int) -> bytes:
     ndim, _flags, _eoid = _struct.unpack_from("!iiI", raw)
     if ndim == 0:
         return b"{}"
-    if ndim != 1:
+    if not 1 <= ndim <= 6:  # PG MAXDIM is 6
         raise ValueError(
-            f"only 1-dimensional binary array parameters are supported "
-            f"(got ndim={ndim})"
+            f"binary array parameter: ndim={ndim} outside PG's 1..6"
         )
-    size, _lb = _struct.unpack_from("!ii", raw, 12)
-    pos = 20
-    parts: list[str] = []
-    for _ in range(size):
+    dims: list[int] = []
+    pos = 12
+    for _ in range(ndim):
+        size, _lb = _struct.unpack_from("!ii", raw, pos)
+        dims.append(size)
+        pos += 8
+    total = 1
+    for d in dims:
+        total *= d
+    cells: list[str] = []
+    for _ in range(total):
         (ln,) = _struct.unpack_from("!i", raw, pos)
         pos += 4
         if ln == -1:
-            parts.append("NULL")
+            cells.append("NULL")
             continue
         cell = raw[pos : pos + ln]
         pos += ln
         s = decode_binary_param(cell, elem_oid).decode()
         if any(c in s for c in ' ,{}"\\') or s == "":
             s = '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
-        parts.append(s)
-    return ("{" + ",".join(parts) + "}").encode()
+        cells.append(s)
+
+    def nest(vals: list[str], ds: list[int]) -> str:
+        if len(ds) == 1:
+            return "{" + ",".join(vals) + "}"
+        step = len(vals) // ds[0] if ds[0] else 0
+        return (
+            "{"
+            + ",".join(
+                nest(vals[i * step : (i + 1) * step], ds[1:])
+                for i in range(ds[0])
+            )
+            + "}"
+        )
+
+    return nest(cells, dims).encode()

@@ -3049,6 +3049,50 @@ def test_extended_binary_arrays(client):
     assert out["rows"] == [["{7,9}"]]
 
 
+def test_extended_binary_nested_arrays(client):
+    """ndim=2 binary arrays (r7 verdict item 5): nested base-type
+    arrays ship in the public multidimensional layout (dims row-major),
+    advertise the SAME array OID PG uses for every dimensionality, and
+    decode as Bind parameters back to the {{..}} literal."""
+    out = client.extended_query(
+        "SELECT array(array(1, 2), array(3, NULL)) AS m",
+        result_binary=True,
+        raw_rows=True,
+    )
+    assert "error" not in out, out
+    assert out["oids"] == [1007], out
+    (row,) = out["rows"]
+    want = struct.pack("!iiI", 2, 1, 23)
+    want += struct.pack("!ii", 2, 1) + struct.pack("!ii", 2, 1)
+    want += struct.pack("!ii", 4, 1) + struct.pack("!ii", 4, 2)
+    want += struct.pack("!ii", 4, 3) + struct.pack("!i", -1)
+    assert row[0] == want, (row[0].hex(), want.hex())
+    # text format of the same cell is the PG literal, sub-arrays unquoted
+    (r,) = client.query("SELECT array(array(1, 2), array(3, NULL)) AS m")
+    assert r["rows"] == [["{{1,2},{3,NULL}}"]], r
+    # ndim=2 Bind parameter decodes row-major into the nested literal
+    arr = struct.pack("!iiI", 2, 0, 20)
+    arr += struct.pack("!ii", 2, 1) + struct.pack("!ii", 3, 1)
+    for v in (1, 2, 3, 4, 5, 6):
+        arr += struct.pack("!iq", 8, v)
+    out = client.extended_query(
+        "SELECT $1 AS v",
+        params=[arr],
+        param_oids=[1016],
+        param_binary=True,
+    )
+    assert "error" not in out, out
+    assert out["rows"] == [["{{1,2,3},{4,5,6}}"]]
+    # a RAGGED nested array cannot use the binary format: loud error,
+    # not a mis-shaped rectangle
+    out = client.extended_query(
+        "SELECT array(array(1, 2), array(3)) AS m",
+        result_binary=True,
+        raw_rows=True,
+    )
+    assert "error" in out and "ragged" in out["error"], out
+
+
 def test_wire_union_type_emulation(client):
     """DuckDB UNION-type surface (union_value/union_tag/union_extract)
     over tagged structs — the wire renders a union as its active
