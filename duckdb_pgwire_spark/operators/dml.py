@@ -642,14 +642,14 @@ _INSERT = re.compile(
 # bare ON CONFLICT / INSERT OR REPLACE / OR IGNORE can resolve it like
 # DuckDB's binder does).
 #
-# Lifetime: process-scoped, MATCHING the catalog — the server runs on
-# Spark's in-memory catalog, so managed tables themselves do not
-# survive a restart; recreating them re-registers their PKs. If this
-# server is ever pointed at a persistent metastore (Hive), this dict
-# must move into table properties (e.g. TBLPROPERTIES
-# 'duckdb_pgwire.primary_key') reloaded at startup, or PK-dependent
-# upserts on pre-existing tables would raise the no-PK binder error.
+# Lifetime: the dict is the process-local cache; the durable copy lives
+# in table properties (TBLPROPERTIES 'duckpg.pk', written by the CREATE
+# handler) and reloads lazily on a dict miss — so against a persistent
+# catalog, PK-dependent upserts keep working after a server restart
+# (r7 verdict item 7).
 PRIMARY_KEYS: dict[str, list[str]] = {}
+
+PK_PROPERTY = "duckpg.pk"
 
 _NO_PK_ERROR = (
     "There are no UNIQUE/PRIMARY KEY Indexes that refer to this table, "
@@ -657,8 +657,22 @@ _NO_PK_ERROR = (
 )
 
 
-def _table_pk(table: str) -> list[str] | None:
-    return PRIMARY_KEYS.get(table.lower().split(".")[-1])
+def _table_pk(session: SparkSession, table: str) -> list[str] | None:
+    key = table.lower().split(".")[-1]
+    pk = PRIMARY_KEYS.get(key)
+    if pk is not None:
+        return pk
+    try:
+        rows = session.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    except Exception:  # noqa: BLE001 — temp view / missing table: no PK
+        return None
+    for r in rows:
+        if r["key"] == PK_PROPERTY:
+            pks = [c.strip() for c in r["value"].split(",") if c.strip()]
+            if pks:
+                PRIMARY_KEYS[key] = pks
+                return pks
+    return None
 
 
 @dataclass
@@ -858,7 +872,7 @@ def upsert_into(
         # bare ON CONFLICT / INSERT OR REPLACE / OR IGNORE: resolve the
         # declared PRIMARY KEY like DuckDB's binder; a PK-less table is
         # the binder error DuckDB raises (probed, both arms)
-        keys = _table_pk(table)
+        keys = _table_pk(session, table)
         if keys is None:
             raise ValueError(_NO_PK_ERROR)
     src = staged.drop("__ins_ord")

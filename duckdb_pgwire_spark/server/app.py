@@ -1590,6 +1590,16 @@ class PgWireServer:
                 key = tname.lower().split(".")[-1]
                 if pks:
                     PRIMARY_KEYS[key] = pks
+                    # ALSO persist into table properties so the PK
+                    # survives a server restart against a persistent
+                    # catalog — _table_pk reloads it lazily on a dict
+                    # miss (r7 verdict item 7)
+                    stmt = (
+                        stmt.rstrip().rstrip(";")
+                        + " TBLPROPERTIES ('duckpg.pk'='"
+                        + ",".join(pks)
+                        + "')"
+                    )
                 else:
                     PRIMARY_KEYS.pop(key, None)
         if first == "DROP" and (

@@ -2709,6 +2709,44 @@ def test_wire_primary_key_ddl_and_or_replace(client, spark):
     spark.sql("DROP TABLE IF EXISTS pkt")
 
 
+def test_wire_pk_survives_registry_restart(client, spark):
+    """The PK persists in TBLPROPERTIES ('duckpg.pk') at CREATE time
+    and reloads lazily (r7 verdict item 7): clearing the in-process
+    registry — what a server restart does while a persistent catalog
+    keeps the table — still resolves INSERT OR REPLACE."""
+    from duckdb_pgwire_spark.operators.dml import PRIMARY_KEYS
+
+    _fresh_wire_table(spark, "pkrestart")
+    (r,) = client.query(
+        "CREATE TABLE pkrestart(a INT PRIMARY KEY, v VARCHAR)"
+    )
+    assert "error" not in r, r
+    props = {
+        row["key"]: row["value"]
+        for row in spark.sql("SHOW TBLPROPERTIES pkrestart").collect()
+    }
+    assert props.get("duckpg.pk") == "a", props
+    client.query("INSERT INTO pkrestart VALUES (1, 'x')")
+    PRIMARY_KEYS.clear()  # simulate restart; dict is only a cache
+    (r,) = client.query("INSERT OR REPLACE INTO pkrestart VALUES (1, 'y')")
+    assert "error" not in r, r
+    (r,) = client.query("SELECT v FROM pkrestart")
+    assert r["rows"] == [["y"]], r
+    # composite PK round-trips through the property too
+    _fresh_wire_table(spark, "pkrestart2")
+    client.query(
+        "CREATE TABLE pkrestart2(a INT, b INT, v VARCHAR, PRIMARY KEY (a, b))"
+    )
+    PRIMARY_KEYS.clear()
+    client.query("INSERT INTO pkrestart2 VALUES (1, 2, 'x')")
+    (r,) = client.query("INSERT OR REPLACE INTO pkrestart2 VALUES (1, 2, 'z')")
+    assert "error" not in r, r
+    (r,) = client.query("SELECT v FROM pkrestart2")
+    assert r["rows"] == [["z"]], r
+    spark.sql("DROP TABLE IF EXISTS pkrestart")
+    spark.sql("DROP TABLE IF EXISTS pkrestart2")
+
+
 def test_wire_or_replace_without_pk_errors_like_duckdb(client, spark):
     _fresh_wire_table(spark, "nopkt")
     client.query("CREATE TABLE nopkt(a INT)")
