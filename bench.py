@@ -163,11 +163,35 @@ def main() -> None:
             per_query[name] = -1.0
 
     ok = {k: v for k, v in per_query.items() if v >= 0}
+
+    def _qclass(n: str) -> str:
+        """Per-class buckets so a regression localizes without
+        per-query spelunking (r7 verdict item 9) — the headline total
+        mixes queries of very different baseline cost."""
+        if n.startswith("q") and n[1].isdigit():
+            return "tpch"
+        if n.startswith("dedup_"):
+            return "ext-dedup"
+        if n.startswith("sim_"):
+            return "ext-sim"
+        if n.startswith(("text_", "sample_")):
+            return "ext-text"
+        if n.startswith("mm_"):
+            return "ext-mm"
+        if n.startswith("stream_"):
+            return "streaming"
+        return "core-sql"
+
+    subtotals: dict[str, float] = {}
+    for k, v in ok.items():
+        c = _qclass(k)
+        subtotals[c] = round(subtotals.get(c, 0.0) + v, 4)
     out = {
         "metric": "headline_query_total_median_wall",
         "value": round(sum(ok.values()), 4),
         "unit": "sec",
         "queries": per_query,
+        "class_subtotals_sec": dict(sorted(subtotals.items())),
         "index_warmup_sec": warmups,
         "sf": sf,
     }
