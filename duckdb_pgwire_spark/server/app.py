@@ -326,6 +326,32 @@ def _csv_view(session: SparkSession, path: str, overrides: dict) -> str:
     sn = sniff_file(
         path, sep=overrides.get("sep"), header=overrides.get("header")
     )
+    # Spark's file index treats '_'/'.'-prefixed basenames as hidden
+    # metadata (the parquet _SUCCESS convention) and SILENTLY skips
+    # them; DuckDB reads them. For a single file, bridge through a
+    # safely-named symlink; for a glob mixing hidden names, refuse
+    # loudly rather than silently dropping part of the input.
+    hidden = [m for m in matches if os.path.basename(m)[:1] in ("_", ".")]
+    if hidden and len(matches) == 1:
+        import tempfile
+
+        safe = os.path.join(
+            tempfile.gettempdir(),
+            "csvrel_"
+            + hashlib.md5(os.path.abspath(matches[0]).encode()).hexdigest()[:12]
+            + "_"
+            + os.path.basename(matches[0]).lstrip("_."),
+        )
+        if not os.path.islink(safe) and not os.path.exists(safe):
+            os.symlink(os.path.abspath(matches[0]), safe)
+        path = safe
+    elif hidden:
+        raise ValueError(
+            f'CSV glob "{path}" matches hidden-named files '
+            f"({os.path.basename(hidden[0])!r}): Spark's scanner skips "
+            "'_'/'.'-prefixed files — rename them or list them "
+            "individually"
+        )
     df = (
         session.read.option("sep", sn["sep"])
         .option("header", str(sn["header"]).lower())

@@ -3236,6 +3236,14 @@ def test_wire_csv_bare_path_sniffing(client, tmp_path):
     # missing file: loud, DuckDB-style IO error
     (r,) = client.query("SELECT * FROM '/nonexistent/nope.csv'")
     assert "error" in r and "nope.csv" in r["error"], r
+    # '_'-prefixed basenames: Spark's scanner treats them as hidden
+    # metadata and silently skips them — the view bridges through a
+    # safely-named symlink so DuckDB-parity reads still work
+    ph = str(tmp_path / "_hidden.csv")
+    with open(ph, "w") as f:
+        f.write("a,b\n7,x\n8,y\n")
+    (r,) = client.query(f"SELECT sum(a) AS s FROM '{ph}'")
+    assert r["rows"] == [["15"]], r
     # COPY load operand keeps its raw path (the loader handles it)
     client.query("CREATE TABLE csv_load(a int, b int, c varchar)")
     (r,) = client.query(f"COPY csv_load FROM '{p}' (HEADER)")
