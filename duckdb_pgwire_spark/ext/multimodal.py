@@ -70,8 +70,11 @@ class Decoder:
 
         try:
             img = decode_image(payload)
-        except NotImplementedError:
-            img = None  # recognized magic, compressed: try PIL
+        except (NotImplementedError, ValueError):
+            # recognized magic but compressed OR malformed (a text
+            # payload can start with 'BM'/'P5' by accident — code
+            # review r8): try PIL, then the deterministic fake
+            img = None
         if img is not None:
             return {
                 "width": img.width,

@@ -170,11 +170,19 @@ FLAGSHIP = (
 )
 
 
+_ROUND_CACHE: list[int] = []
+
+
 def _current_round() -> int:
-    """1 + the number of driver CORRECTNESS files already on disk —
-    the round whose window ordered_names() is being computed FOR."""
-    root = Path(__file__).resolve().parent.parent
-    return len(list(root.glob("CORRECTNESS_r*.json"))) + 1
+    """1 + the number of driver CORRECTNESS files on disk at FIRST
+    call — the round whose window ordered_names() is computed for.
+    Memoized so the parity cannot flip mid-process if the driver lands
+    this round's file while the process is still running (code review
+    r8)."""
+    if not _ROUND_CACHE:
+        root = Path(__file__).resolve().parent.parent
+        _ROUND_CACHE.append(len(list(root.glob("CORRECTNESS_r*.json"))) + 1)
+    return _ROUND_CACHE[0]
 
 
 def ordered_names() -> list[str]:

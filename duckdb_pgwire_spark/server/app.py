@@ -261,7 +261,9 @@ _READ_CSV_RE = re.compile(
     r"\bread_csv(?:_auto)?\s*\(\s*'([^']+)'\s*((?:,[^()]*)?)\)",
     re.IGNORECASE,
 )
-_CSV_VIEWS: dict[tuple, str] = {}
+# (path, overrides) → mtime of the file(s) the catalog objects were
+# built from; a newer mtime drops and recreates them
+_CSV_VIEWS: dict[tuple, float] = {}
 
 
 def _parse_read_csv_args(argtext: str) -> dict:
@@ -310,6 +312,15 @@ def _parse_read_csv_args(argtext: str) -> dict:
 
 
 def _csv_view(session: SparkSession, path: str, overrides: dict) -> str:
+    """Catalog name for a sniffed CSV relation: a PERMANENT external
+    table (``USING csv OPTIONS (path ...)``, no data copy) so user DDL
+    like CREATE VIEW ... AS SELECT FROM 'x.csv' composes (a temp view
+    would trip Spark's no-persistent-over-temporary rule, code review
+    r8), plus a projection view on top when boolean columns need the
+    t/f CASE. Qualified into `default` so it resolves regardless of the
+    session's current database. Cache keyed (path, overrides) → mtime;
+    a changed file drops and recreates the objects (no unbounded
+    view leak)."""
     import glob as _glob
     import hashlib
 
@@ -319,10 +330,11 @@ def _csv_view(session: SparkSession, path: str, overrides: dict) -> str:
     if not os.path.isfile(matches[0]):
         raise ValueError(f'could not open CSV file "{path}"')
     mtime = max(os.path.getmtime(m) for m in matches)
-    key = (path, mtime, tuple(sorted(overrides.items())))
-    view = _CSV_VIEWS.get(key)
-    if view is not None:
-        return view
+    key = (path, tuple(sorted(overrides.items())))
+    name = "__csvrel_" + hashlib.md5(repr(key).encode()).hexdigest()[:12]
+    qual = f"default.`{name}`"
+    if _CSV_VIEWS.get(key) == mtime:
+        return qual
     sn = sniff_file(
         path, sep=overrides.get("sep"), header=overrides.get("header")
     )
@@ -352,16 +364,31 @@ def _csv_view(session: SparkSession, path: str, overrides: dict) -> str:
             "'_'/'.'-prefixed files — rename them or list them "
             "individually"
         )
-    df = (
-        session.read.option("sep", sn["sep"])
-        .option("header", str(sn["header"]).lower())
-        .schema(sn["schema_ddl"])
-        .csv(path)
-    ).selectExpr(*sn["select_exprs"])
-    view = "__csvrel_" + hashlib.md5(repr(key).encode()).hexdigest()[:12]
-    df.createOrReplaceTempView(view)
-    _CSV_VIEWS[key] = view
-    return view
+    needs_proj = any("CASE" in e for e in sn["select_exprs"])
+    raw = f"default.`{name}__raw`" if needs_proj else qual
+    for drop in (
+        f"DROP VIEW IF EXISTS {qual}",
+        f"DROP TABLE IF EXISTS {qual}",
+        f"DROP TABLE IF EXISTS default.`{name}__raw`",
+    ):
+        try:
+            session.sql(drop)
+        except Exception:  # noqa: BLE001 — name bound to the other kind
+            pass
+    sep_sql = sn["sep"].replace("\\", "\\\\").replace("'", "\\'")
+    session.sql(
+        f"CREATE TABLE {raw} ({sn['schema_ddl']}) USING csv OPTIONS ("
+        f"path '{path}', sep '{sep_sql}', "
+        f"header '{str(sn['header']).lower()}')"
+    )
+    if needs_proj:
+        session.sql(
+            f"CREATE VIEW {qual} AS SELECT "
+            + ", ".join(sn["select_exprs"])
+            + f" FROM {raw}"
+        )
+    _CSV_VIEWS[key] = mtime
+    return qual
 
 
 def _substitute_csv_relations(session: SparkSession, stmt: str) -> str:
@@ -369,6 +396,8 @@ def _substitute_csv_relations(session: SparkSession, stmt: str) -> str:
     views. The COPY <tbl> FROM 'x.csv' operand keeps its raw path for
     the COPY loader (which applies the same sniff on its own path)."""
     from .compat import _code_mask
+
+    from .compat import copy_from_operand_span
 
     low = stmt.lower()
     if ".csv" not in low and ".tsv" not in low and "read_csv" not in low:
@@ -386,12 +415,7 @@ def _substitute_csv_relations(session: SparkSession, stmt: str) -> str:
     out.append(stmt[pos:])
     stmt = "".join(out)
     mask = _code_mask(stmt)
-    copy_load = re.match(
-        r"\s*COPY\s+[\w.\"]+\s*(?:\([^()]*\))?\s+(FROM)\s+'[^']+'",
-        stmt,
-        re.IGNORECASE,
-    )
-    skip = copy_load.span(1) if copy_load else None
+    skip = copy_from_operand_span(stmt)
 
     def sub_bare(m: re.Match) -> str:
         if not all(mask[m.start(1) : m.end(1)]):

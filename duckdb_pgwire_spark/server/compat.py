@@ -2645,6 +2645,21 @@ def _rewrite_qualify(sql: str) -> str:
     return f"{out} {tail}" if tail else out
 
 
+_COPY_FROM_OPERAND = re.compile(
+    r"\s*COPY\s+[\w.\"]+\s*(?:\([^()]*\))?\s+(FROM)\s+'[^']+'",
+    re.IGNORECASE,
+)
+
+
+def copy_from_operand_span(sql: str) -> tuple[int, int] | None:
+    """Span of the FROM keyword of a ``COPY <tbl> FROM 'path'`` load —
+    the one quoted-path operand bare-path rewrites must NOT touch
+    (shared by the parquet/json rewrite here and the CSV substitution
+    in app.py, so the skip rules cannot drift apart)."""
+    m = _COPY_FROM_OPERAND.match(sql)
+    return m.span(1) if m else None
+
+
 _READ_FILE = re.compile(
     r"\bread_(parquet|json_auto|json)\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE
 )
@@ -2674,12 +2689,7 @@ def _rewrite_read_files(sql: str) -> str:
         # but ONLY that operand: bare paths inside a parenthesized
         # source query (COPY (SELECT * FROM 'x.parquet') TO 'out') are
         # ordinary relations and still rewrite (ADVICE r7 item 3).
-        copy_load = re.match(
-            r"\s*COPY\s+[\w.\"]+\s*(?:\([^()]*\))?\s+(FROM)\s+'[^']+'",
-            sql,
-            re.IGNORECASE,
-        )
-        skip = copy_load.span(1) if copy_load else None
+        skip = copy_from_operand_span(sql)
 
         def sub_bare(m: re.Match) -> str:
             if not all(mask[m.start(1) : m.end(1)]):

@@ -44,22 +44,25 @@ _TS_RE = re.compile(
 _TYPES = ("BOOLEAN", "BIGINT", "DOUBLE", "DATE", "TIME", "TIMESTAMP")
 
 
+# STRICT numeric forms — the intersection of what DuckDB's sniffer and
+# Spark's CSV parser both accept. Python's int()/float() are looser
+# ('1_0', 'inf', 'nan') and would make the explicit Spark schema
+# silently NULL real data (code review r8); DuckDB's underscore
+# numerals and bare inf/nan stay VARCHAR here (data preserved, type
+# diverges — the lesser evil).
+_INT_RE = re.compile(r"^-?\d+$")
+_FLOAT_RE = re.compile(r"^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
 def _parses_as(v: str, t: str) -> bool:
     if v == "":
         return True  # NULL fits every type
     if t == "BOOLEAN":
         return v.lower() in _BOOL
     if t == "BIGINT":
-        try:
-            return -(2**63) <= int(v) < 2**63
-        except ValueError:
-            return False
+        return bool(_INT_RE.match(v)) and -(2**63) <= int(v) < 2**63
     if t == "DOUBLE":
-        try:
-            float(v)
-            return True
-        except ValueError:
-            return False
+        return bool(_FLOAT_RE.match(v))
     if t == "DATE":
         return bool(_DATE_RE.match(v))
     if t == "TIME":
@@ -110,15 +113,23 @@ def sniff_text(
     ncol = max(len(r) for r in rows)
     grid = [[*(r), *[""] * (ncol - len(r))] for r in rows]
     rest = grid[1:]
-    types_rest = (
-        [_infer_column([row[c] for row in rest]) for c in range(ncol)]
-        if rest
-        else ["VARCHAR"] * ncol
-    )
-    if header is None:
-        header = all(t == "VARCHAR" for t in types_rest) or any(
-            not _parses_as(grid[0][c], types_rest[c]) for c in range(ncol)
-        )
+    if rest:
+        types_rest = [
+            _infer_column([row[c] for row in rest]) for c in range(ncol)
+        ]
+        if header is None:
+            header = all(t == "VARCHAR" for t in types_rest) or any(
+                not _parses_as(grid[0][c], types_rest[c])
+                for c in range(ncol)
+            )
+    else:
+        # single-line file (probed): DuckDB keeps a numeric/mixed row
+        # as DATA ('1,2,3' → column0.. with one row; 'a,1' too) and
+        # claims an all-text row as a header-only table ('a,b' → empty)
+        row0_types = [_infer_column([grid[0][c]]) for c in range(ncol)]
+        if header is None:
+            header = all(t == "VARCHAR" for t in row0_types)
+        types_rest = ["VARCHAR"] * ncol
     if header:
         names: list[str] = []
         used: set[str] = set()

@@ -161,6 +161,12 @@ def _enc_array(v: Any) -> str:
             if any(c in s for c in ' ,{}"\\') or s == "":
                 s = '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
             parts.append(s)
+    if parts and all(
+        isinstance(i, list) for i in v
+    ) and all(p == "{}" for p in parts):
+        # PG cannot represent [[],[]] — any zero-size dimension
+        # normalizes to '{}' (matches the binary encoder's ndim=0)
+        return "{}"
     return "{" + ",".join(parts) + "}"
 
 

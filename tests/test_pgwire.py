@@ -1322,9 +1322,10 @@ def test_extended_binary_numeric(client):
 
 def test_extended_binary_unsupported_type_fails_loudly(client):
     """A binary request for a type without a fixed public layout
-    (nested arrays) refuses instead of sending corrupt bytes."""
+    (structs; nested base-type arrays gained the ndim>1 layout in r8)
+    refuses instead of sending corrupt bytes."""
     out = client.extended_query(
-        "SELECT array(array(1), array(2)) AS a",
+        "SELECT named_struct('a', 1, 'b', 'x') AS s",
         result_binary=True,
         raw_rows=True,
     )
@@ -3196,6 +3197,14 @@ def test_wire_csv_bare_path_sniffing(client, tmp_path):
         "bools.csv": "f1\ntrue\nf\nt\nfalse\n",
         "crlf.csv": "a,b\r\n1,x\r\n2,y\r\n",
         "dup.csv": "a,a\n1,2\n",
+        # single-line files (code review r8): numeric/mixed row is
+        # DATA, all-text row is a header-only table
+        "onerow_num.csv": "1,2,3\n",
+        "onerow_mixed.csv": "a,1\n",
+        "onerow_text.csv": "a,b\n",
+        # '+5' is not a DuckDB BIGINT either → both sides VARCHAR
+        "plusnum.csv": "x\n+5\n-3\n",
+        "exp.csv": "x\n1e3\n2E-2\n.5\n",
     }
     con = duckdb.connect()
     for fn, content in cases.items():
@@ -3244,6 +3253,34 @@ def test_wire_csv_bare_path_sniffing(client, tmp_path):
         f.write("a,b\n7,x\n8,y\n")
     (r,) = client.query(f"SELECT sum(a) AS s FROM '{ph}'")
     assert r["rows"] == [["15"]], r
+    # Spark-unparseable-but-Python-parseable forms stay VARCHAR (data
+    # preserved; Python int('1_0')=10 would have silently NULLed)
+    pu = str(tmp_path / "underscores.csv")
+    with open(pu, "w") as f:
+        f.write("v\n1_0\n2_5\n")
+    (r,) = client.query(f"SELECT v FROM '{pu}' ORDER BY v")
+    assert r["rows"] == [["1_0"], ["2_5"]], r
+    # CREATE VIEW over a bare-path CSV relation composes (the relation
+    # is a permanent external table, not a temp view — code review r8)
+    (r,) = client.query(f"CREATE VIEW csv_v AS SELECT a, b FROM '{p}'")
+    assert "error" not in r, r
+    (r,) = client.query("SELECT sum(a + b) AS s FROM csv_v")
+    assert r["rows"] == [["10"]], r
+    client.query("DROP VIEW csv_v")
+    # a REWRITTEN file (new mtime) is re-sniffed — no stale cache
+    pm = str(tmp_path / "mutate.csv")
+    with open(pm, "w") as f:
+        f.write("a,b\n1,2\n")
+    (r,) = client.query(f"SELECT count(*) AS n FROM '{pm}'")
+    assert r["rows"] == [["1"]], r
+    import os as _os
+    import time as _time
+
+    with open(pm, "w") as f:
+        f.write("a,b\n1,2\n3,4\n5,6\n")
+    _os.utime(pm, (_time.time() + 2, _time.time() + 2))
+    (r,) = client.query(f"SELECT count(*) AS n FROM '{pm}'")
+    assert r["rows"] == [["3"]], r
     # COPY load operand keeps its raw path (the loader handles it)
     client.query("CREATE TABLE csv_load(a int, b int, c varchar)")
     (r,) = client.query(f"COPY csv_load FROM '{p}' (HEADER)")
