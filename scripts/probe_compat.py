@@ -363,15 +363,42 @@ BATTERY: dict[str, list[str]] = {
 
 
 def norm_cell(v: object) -> str | None:
+    """DuckDB Python value → the text the WIRE would render for the
+    same value (r8: routed through the server's own encode_text so
+    list/bool/float/Infinity representation artifacts stop counting as
+    mismatches — only genuine value differences remain)."""
     if v is None:
         return None
-    if isinstance(v, bool):
-        return "t" if v else "f"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    return str(v)
+    from duckdb_pgwire_spark.server.typemap import encode_text
+
+    return encode_text(v)
+
+
+# Cases where a DIFF is understood and accepted, with the reason —
+# counted as 'known' so the mismatch census only surfaces NEW drift.
+KNOWN_DIFFS: dict[str, str] = {
+    "SELECT current_schema() AS cs": "identity: Spark default db answers",
+    "SELECT current_database() AS cd": "identity: Spark default db answers",
+    "SELECT version() AS v": "identity: PG-compatible banner",
+    "SELECT * FROM region USING SAMPLE 2 ROWS": "random sample",
+    "SELECT list_distinct([1, 1, 2]) AS ld":
+        "unordered result (DuckDB hash order vs Spark first-occurrence)",
+    "SELECT list_intersect([1, 2, 3], [2, 3, 4]) AS li":
+        "unordered result (DuckDB hash order vs Spark first-occurrence)",
+    "SELECT age(TIMESTAMP '2024-03-05', TIMESTAMP '2023-01-04') AS ag":
+        "python API yields timedelta; wire matches DuckDB's interval text",
+    "SELECT histogram(n_regionkey) AS h FROM nation":
+        "python API yields dict-of-lists; wire renders the map as json",
+    "SELECT row(1, 'x') AS r": "python API yields tuple; wire renders json",
+    "SELECT map([1, 2], ['a', 'b']) AS m":
+        "python API yields dict-of-lists; wire renders the map as json",
+    "SELECT map_from_entries([(1, 'a'), (2, 'b')]) AS mfe":
+        "python API yields dict-of-lists; wire renders the map as json",
+    "SELECT list_zip([1, 2], [3, 4]) AS lz":
+        "python API yields tuples; wire renders struct json",
+}
+
+_DML_WORDS = ("CREATE", "INSERT", "UPDATE", "DELETE", "DROP", "ALTER")
 
 
 def rows_equal(wire_rows: list[list[str | None]], duck_rows: list[tuple]) -> bool:
@@ -462,11 +489,21 @@ def main() -> None:
                 counts["gap"] += 1
                 print(f"GAP  [{cat}] {sql}\n    wire: {str(wire_err)[:300]}")
             elif duck_rows is not None and not rows_equal(wire_rows or [], duck_rows):
-                counts["mismatch"] += 1
-                print(
-                    f"DIFF [{cat}] {sql}\n    wire: {str(wire_rows)[:200]}\n"
-                    f"    duck: {str(duck_rows)[:200]}"
-                )
+                if sql in KNOWN_DIFFS:
+                    counts["known"] = counts.get("known", 0) + 1
+                elif (
+                    not wire_rows
+                    and sql.split(None, 1)[0].upper() in _DML_WORDS
+                ):
+                    # wire DML answers with a command tag, duckdb's
+                    # python API with a rowcount row — not a diff
+                    counts["ok"] += 1
+                else:
+                    counts["mismatch"] += 1
+                    print(
+                        f"DIFF [{cat}] {sql}\n    wire: {str(wire_rows)[:200]}\n"
+                        f"    duck: {str(duck_rows)[:200]}"
+                    )
             else:
                 counts["ok"] += 1
     print("\nSUMMARY", counts)
