@@ -30,6 +30,7 @@ import logging
 import math
 import os
 import struct
+import threading
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -262,8 +263,11 @@ _READ_CSV_RE = re.compile(
     re.IGNORECASE,
 )
 # (path, overrides) → mtime of the file(s) the catalog objects were
-# built from; a newer mtime drops and recreates them
+# built from; a newer mtime drops and recreates them. The lock
+# serializes create/drop so two concurrent clients referencing the
+# same new file don't race CREATE TABLE on the shared name.
 _CSV_VIEWS: dict[tuple, float] = {}
+_CSV_VIEWS_LOCK = threading.Lock()
 
 
 def _parse_read_csv_args(argtext: str) -> dict:
@@ -335,6 +339,21 @@ def _csv_view(session: SparkSession, path: str, overrides: dict) -> str:
     qual = f"default.`{name}`"
     if _CSV_VIEWS.get(key) == mtime:
         return qual
+    with _CSV_VIEWS_LOCK:
+        if _CSV_VIEWS.get(key) == mtime:  # lost the create race: reuse
+            return qual
+        return _csv_view_create(session, path, matches, overrides,
+                                key, mtime, name, qual)
+
+
+def _csv_view_create(
+    session: SparkSession, path: str, matches: list, overrides: dict,
+    key: tuple, mtime: float, name: str, qual: str,
+) -> str:
+    import hashlib
+
+    from .csv_sniff import sniff_file
+
     sn = sniff_file(
         path, sep=overrides.get("sep"), header=overrides.get("header")
     )
