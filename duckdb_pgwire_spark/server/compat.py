@@ -1033,6 +1033,51 @@ _COMPREHENSION_RE = re.compile(
 )
 
 
+# DuckDB/PG array-type suffix in cast/DDL positions: INT[] → ARRAY<INT>
+# (Spark has no T[] type syntax). Only a TYPE NAME directly followed by
+# EMPTY brackets matches — subscripts carry content and the bare
+# empty-list literal [] has no identifier before it.
+_ARRAY_TYPE_SUFFIX = re.compile(
+    r"(?<![\w.'\"])(\w+(?:\s*\([^()]*\))?)((?:\s*\[\s*\])+)"
+)
+_ARRAY_ELEM_TYPES = {
+    "int": "INT", "integer": "INT", "int4": "INT", "signed": "INT",
+    "bigint": "BIGINT", "int8": "BIGINT", "long": "BIGINT",
+    "hugeint": "DECIMAL(38,0)",
+    "smallint": "SMALLINT", "int2": "SMALLINT",
+    "tinyint": "TINYINT", "int1": "TINYINT",
+    "double": "DOUBLE", "float8": "DOUBLE",
+    "real": "FLOAT", "float4": "FLOAT", "float": "FLOAT",
+    "varchar": "STRING", "text": "STRING", "bpchar": "STRING",
+    "string": "STRING", "char": "STRING",
+    "boolean": "BOOLEAN", "bool": "BOOLEAN",
+    "date": "DATE", "timestamp": "TIMESTAMP", "datetime": "TIMESTAMP",
+    "blob": "BINARY", "bytea": "BINARY",
+    "decimal": None, "numeric": None,  # keep their (p,s) args verbatim
+}
+
+
+def _rewrite_array_type_suffix(sql: str) -> str:
+    if "[" not in sql:
+        return sql
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        if not all(mask[m.start() : m.end()]):
+            return m.group(0)
+        base = m.group(1)
+        name = base.split("(")[0].strip().lower()
+        if name not in _ARRAY_ELEM_TYPES:
+            return m.group(0)
+        mapped = _ARRAY_ELEM_TYPES[name]
+        out = base if mapped is None else mapped
+        for _ in range(m.group(2).count("[")):
+            out = f"ARRAY<{out}>"
+        return out
+
+    return _ARRAY_TYPE_SUFFIX.sub(sub, sql)
+
+
 def _rewrite_brackets(sql: str) -> str:
     """DuckDB bracket idioms → Spark (v1.1.1 dialect, reachable through
     the reference's ``cpp:52`` delegation):
@@ -1995,9 +2040,40 @@ _NARY_REWRITES: dict = {
     "to_months": (1, "make_interval(0, {0})"),
     "to_weeks": (1, "make_interval(0, 0, {0})"),
     "to_days": (1, "make_interval(0, 0, 0, {0})"),
-    "to_hours": (1, "make_interval(0, 0, 0, 0, {0})"),
-    "to_minutes": (1, "make_interval(0, 0, 0, 0, 0, {0})"),
-    "to_seconds": (1, "make_interval(0, 0, 0, 0, 0, 0, {0})"),
+    # sub-day units use make_dt_interval: DayTimeIntervalType composes
+    # in timestamp arithmetic like CalendarInterval AND collects to a
+    # Python timedelta (CalendarIntervalType.fromInternal is
+    # unimplemented — a bare SELECT to_seconds(..) could not ship)
+    "to_hours": (1, "make_dt_interval(0, {0})"),
+    "to_minutes": (1, "make_dt_interval(0, 0, {0})"),
+    "to_seconds": (1, "make_dt_interval(0, 0, 0, {0})"),
+    "to_milliseconds": (1, "make_dt_interval(0, 0, 0, {0} / 1000.0)"),
+    "to_microseconds": (
+        1, "make_dt_interval(0, 0, 0, {0} / 1000000.0)"
+    ),
+    # ---- r8 sweep gaps
+    "sha256": (1, "sha2({0}, 256)"),
+    # first non-NULL element; get() stays NULL-safe where ANSI
+    # subscripts would raise on an empty/all-NULL list
+    "list_any_value": (
+        1, "get(filter({0}, __lav -> __lav IS NOT NULL), 0)"
+    ),
+    # truncate-or-pad to length n (2-arg pads NULL, 3-arg pads {2});
+    # sequence(1, 0) would DESCEND in Spark, so n <= 0 short-circuits
+    "list_resize": (
+        None,
+        lambda a: (
+            None
+            if len(a) not in (2, 3)
+            else (
+                f"(CASE WHEN ({a[1]}) <= 0 THEN slice({a[0]}, 1, 0) "
+                f"ELSE transform(sequence(1, {a[1]}), __i -> "
+                f"CASE WHEN __i <= size({a[0]}) THEN get({a[0]}, __i - 1)"
+                + (f" ELSE {a[2]}" if len(a) == 3 else "")
+                + " END) END)"
+            )
+        ),
+    ),
     # session is pinned UTC: timezone offsets of any timestamp are 0
     "timezone": (1, "CAST(0 AS BIGINT)"),
     "timezone_hour": (1, "CAST(0 AS BIGINT)"),
@@ -3722,6 +3798,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_pg_client_fns(sql)  # ditto: current_setting / CAST-INTERVAL
     sql = _rewrite_format(sql)  # ditto: needs the quoted fmtlib string
     sql = _rewrite_array_constructor(sql)
+    sql = _rewrite_array_type_suffix(sql)  # INT[] types BEFORE brackets
     sql = _rewrite_brackets(sql)  # after ARRAY[..]: bare [..] / l[i] / slices
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_struct_pack(sql)

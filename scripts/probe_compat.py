@@ -359,6 +359,34 @@ BATTERY: dict[str, list[str]] = {
         "SELECT * REPLACE (upper(r_name) AS r_name) FROM region ORDER BY r_regionkey LIMIT 1",
         "SELECT min(COLUMNS(['n_nationkey', 'n_regionkey'])) FROM nation",
     ],
+    "r8_sweep": [
+        "SELECT array_slice([1,2,3,4], 2, 3) AS s",
+        "SELECT list_resize([1,2], 4, 0) AS r",
+        "SELECT damerau_levenshtein('abc', 'acb') AS d",
+        "SELECT array_unique([1,1,2]) AS u",
+        "SELECT TRY_CAST('x' AS INT) AS t",
+        "SELECT quarter(DATE '2024-05-05') AS q",
+        "SELECT sha256('abc') AS h",
+        "SELECT list_any_value([NULL, 7, 8]) AS av",
+        "SELECT unnest([1,2]) AS u",
+        "SELECT generate_subscripts([9,8,7], 1) AS g",
+        "SELECT last_day(DATE '2024-02-05') AS ld",
+        "SELECT monthname(DATE '2024-02-05') AS mn, dayname(DATE '2024-02-05') AS dn",
+        "SELECT isodow(DATE '2024-02-05') AS iso, week(DATE '2024-02-05') AS wk",
+        "SELECT strftime(DATE '2024-02-05', '%Y/%m/%d') AS sf",
+        "SELECT strptime('05-02-2024', '%d-%m-%Y') AS sp",
+        "SELECT epoch_ms(TIMESTAMP '2024-01-01 00:00:01') AS em",
+        "SELECT printf('%d-%s', 7, 'x') AS pf",
+        "SELECT format('{}-{}', 7, 'x') AS fm",
+        "SELECT map_keys(map([1,2],['a','b'])) AS mk",
+        "SELECT map_values(map([1,2],['a','b'])) AS mv",
+        "SELECT element_at(map([1,2],['a','b']), 1) AS ea",
+        "SELECT string_agg(x, '/') AS sa FROM (VALUES ('a'),('b')) t(x)",
+        "SELECT to_milliseconds(1500) AS ms",
+        "SELECT [NULL]::INT[] AS a",
+        "SELECT CAST([[1],[2]] AS BIGINT[][]) AS b",
+        "SELECT ['a','b']::VARCHAR[] AS c",
+    ],
 }
 
 

@@ -112,6 +112,16 @@ BATTERY = [
     "SELECT list_aggregate([1, 2, 3], 'sum') AS lag, list_aggr([1, 2, 3], 'max') AS lag2",
     "SELECT unnest([1, 2, 3]) AS u",
     "SELECT generate_subscripts([7, 8, 9], 1) AS gs",
+    # r8 sweep closures
+    "SELECT list_resize([1, 2], 4) AS r2a, list_resize([1, 2], 4, 0) AS r3a,"
+    " list_resize([1, 2, 3], 2) AS trunc, list_resize([1], 0) AS zero",
+    "SELECT list_any_value([NULL, 7, 8]) AS av,"
+    " list_any_value(CAST([NULL] AS INT[])) AS avnull",
+    # T[] array-type syntax (r8: Spark needs ARRAY<T>)
+    "SELECT [NULL]::INT[] AS a, CAST([[1],[2]] AS BIGINT[][]) AS b,"
+    " ['a','b']::VARCHAR[] AS c, [1.5]::DECIMAL(10,2)[] AS d",
+    "SELECT sha256('abc') AS h",
+    "SELECT to_milliseconds(1500) AS ms, to_microseconds(2500000) AS us",
     "SELECT * FROM generate_series(0, 3)",
     "SELECT * FROM generate_series(0, 2) t(i)",
     "SELECT * FROM range(4)",
