@@ -386,6 +386,30 @@ BATTERY: dict[str, list[str]] = {
         "SELECT [NULL]::INT[] AS a",
         "SELECT CAST([[1],[2]] AS BIGINT[][]) AS b",
         "SELECT ['a','b']::VARCHAR[] AS c",
+        # aggregates sweep
+        "SELECT arg_max(x, y) AS am, arg_min(x, y) AS an"
+        " FROM (VALUES ('a',1),('b',9)) t(x,y)",
+        "SELECT mode(x) AS m FROM (VALUES (1),(1),(2)) t(x)",
+        "SELECT product(x) AS p FROM (VALUES (2),(3),(4)) t(x)",
+        "SELECT bool_and(x) AS ba, bool_or(x) AS bo"
+        " FROM (VALUES (true),(false)) t(x)",
+        "SELECT bit_and(x) AS b1, bit_or(x) AS b2, bit_xor(x) AS b3"
+        " FROM (VALUES (12),(10)) t(x)",
+        "SELECT ROUND(skewness(x), 6) AS sk, ROUND(kurtosis(x), 6) AS ku"
+        " FROM (VALUES (1.0),(2.0),(4.0),(8.0)) t(x)",
+        "SELECT ROUND(corr(x, y), 6) AS c, covar_pop(x, y) AS cp,"
+        " covar_samp(x, y) AS cs FROM (VALUES (1,2),(2,4),(3,5)) t(x,y)",
+        "SELECT ROUND(entropy(x), 6) AS e FROM (VALUES (1),(1),(2)) t(x)",
+        "SELECT mad(x) AS m FROM (VALUES (1.0),(2.0),(9.0)) t(x)",
+        "SELECT ROUND(regr_slope(y, x), 6) AS rs,"
+        " ROUND(regr_intercept(y, x), 6) AS ri, ROUND(regr_r2(y, x), 6) AS r2"
+        " FROM (VALUES (1,2),(2,4),(3,5)) t(x,y)",
+        "SELECT favg(x) AS f, fsum(x) AS fs FROM (VALUES (1.5),(2.5)) t(x)",
+        "SELECT string_agg(DISTINCT x, ',' ORDER BY x) AS s"
+        " FROM (VALUES ('a'),('a'),('b')) t(x)",
+        "SELECT arbitrary(x) AS ar, first(x) AS fi, last(x) AS la"
+        " FROM (VALUES (5),(6)) t(x)",
+        "SELECT count(*) FILTER (x > 1) AS cf FROM (VALUES (1),(2),(3)) t(x)",
     ],
 }
 
