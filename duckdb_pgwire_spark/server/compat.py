@@ -2053,6 +2053,32 @@ _NARY_REWRITES: dict = {
     ),
     # ---- r8 sweep gaps
     "sha256": (1, "sha2({0}, 256)"),
+    # LIKE-with-escape function spellings → the operator form
+    "like_escape": (3, "({0} LIKE {1} ESCAPE {2})"),
+    "not_like_escape": (3, "({0} NOT LIKE {1} ESCAPE {2})"),
+    "ilike_escape": (3, "({0} ILIKE {1} ESCAPE {2})"),
+    "not_ilike_escape": (3, "({0} NOT ILIKE {1} ESCAPE {2})"),
+    # path helpers (probed: both / and \ separate; '' when the path
+    # ends with a separator / has none)
+    # (backslash depth: 4 in the SQL text → 2 after Spark literal
+    # processing → an escaped backslash inside the regex class)
+    "parse_filename": (
+        None,
+        lambda a: (
+            f"regexp_extract({a[0]}, '([^/\\\\\\\\]*)$', 1)"
+            if len(a) == 1
+            or (len(a) == 2 and a[1].strip().lower() in ("false", "0"))
+            else (
+                f"regexp_replace(regexp_extract({a[0]}, "
+                f"'([^/\\\\\\\\]*)$', 1), '\\\\.[^.]*$', '')"
+                if len(a) == 2 and a[1].strip().lower() in ("true", "1")
+                else None
+            )
+        ),
+    ),
+    "parse_dirpath": (
+        1, "regexp_replace({0}, '[/\\\\\\\\]?[^/\\\\\\\\]*$', '')"
+    ),
     # first non-NULL element; get() stays NULL-safe where ANSI
     # subscripts would raise on an empty/all-NULL list
     "list_any_value": (

@@ -410,6 +410,32 @@ BATTERY: dict[str, list[str]] = {
         "SELECT arbitrary(x) AS ar, first(x) AS fi, last(x) AS la"
         " FROM (VALUES (5),(6)) t(x)",
         "SELECT count(*) FILTER (x > 1) AS cf FROM (VALUES (1),(2),(3)) t(x)",
+        # window + string sweep
+        "SELECT ntile(2) OVER (ORDER BY x) AS n FROM (VALUES (1),(2),(3)) t(x)",
+        "SELECT cume_dist() OVER (ORDER BY x) AS c FROM (VALUES (1),(2)) t(x)",
+        "SELECT percent_rank() OVER (ORDER BY x) AS p"
+        " FROM (VALUES (1),(2)) t(x)",
+        "SELECT nth_value(x, 2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND UNBOUNDED FOLLOWING) AS nv"
+        " FROM (VALUES (5),(6),(7)) t(x)",
+        "SELECT lag(x, 1, -1) OVER (ORDER BY x) AS lg,"
+        " lead(x, 1, -1) OVER (ORDER BY x) AS ld FROM (VALUES (1),(2)) t(x)",
+        "SELECT x, sum(x) OVER w AS s FROM (VALUES (1),(2)) t(x)"
+        " WINDOW w AS (ORDER BY x)",
+        "SELECT strip_accents('áé') AS sa",
+        "SELECT unicode('A') AS u, ord('B') AS o, chr(67) AS c",
+        "SELECT to_base(255, 16) AS tb",
+        "SELECT bin(5) AS b, hex(255) AS h",
+        "SELECT ltrim('xxa', 'x') AS lt, rtrim('axx', 'x') AS rt,"
+        " trim('xax', 'x') AS tr",
+        "SELECT split_part('a/b/c', '/', 2) AS sp",
+        "SELECT position('b' IN 'abc') AS p, strpos('abc', 'b') AS s2,"
+        " instr('abc', 'b') AS i",
+        "SELECT regexp_replace('aaa', 'a', 'b', 'g') AS g",
+        "SELECT like_escape('a%c', 'a$%c', '$') AS le",
+        "SELECT 'abc' LIKE 'a%' ESCAPE '$' AS lk",
+        "SELECT parse_filename('/a/b/c.txt') AS pf,"
+        " parse_dirpath('/a/b/c.txt') AS pd",
     ],
 }
 

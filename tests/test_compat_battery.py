@@ -120,6 +120,16 @@ BATTERY = [
     # T[] array-type syntax (r8: Spark needs ARRAY<T>)
     "SELECT [NULL]::INT[] AS a, CAST([[1],[2]] AS BIGINT[][]) AS b,"
     " ['a','b']::VARCHAR[] AS c, [1.5]::DECIMAL(10,2)[] AS d",
+    # LIKE-with-escape function spellings + path helpers (r8)
+    "SELECT like_escape('a%c', 'a$%c', '$') AS le,"
+    " not_like_escape('abc', 'a$%', '$') AS nl,"
+    " ilike_escape('A%c', 'a$%C', '$') AS il",
+    "SELECT parse_filename('/a/b/c.txt') AS f1, parse_filename('/a/b/') AS f2,"
+    " parse_filename('c.txt') AS f3, parse_filename('a\\b\\c.txt') AS f4,"
+    " parse_filename('/a/c.txt', true) AS f5,"
+    " parse_filename('/a/c.txt', false) AS f6",
+    "SELECT parse_dirpath('/a/b/c.txt') AS d1, parse_dirpath('/c.txt') AS d2,"
+    " parse_dirpath('c.txt') AS d3, parse_dirpath('/a/b/') AS d4",
     "SELECT sha256('abc') AS h",
     "SELECT to_milliseconds(1500) AS ms, to_microseconds(2500000) AS us",
     "SELECT * FROM generate_series(0, 3)",
