@@ -1532,9 +1532,13 @@ class PgWireServer:
         if first == "UNPIVOT":
             m = _UNPIVOT_STMT_RE.match(stmt)
             if m is not None:
-                tbl, cols, name_col, val_col = (
-                    m.group(1), m.group(2), m.group(3), m.group(4)
-                )
+                tbl, cols = m.group(1), m.group(2)
+                name_col = m.group(3) or "name"
+                val_col = m.group(4) or "value"
+                if tbl.startswith("("):
+                    # rewrite the inner query through the full dialect
+                    # pipeline; alias for Spark's derived-table rule
+                    tbl = f"({rewrite(tbl[1:-1])}) __unpivot_src"
                 sql = (
                     f"SELECT * FROM {tbl} UNPIVOT ({val_col} FOR {name_col} "
                     f"IN ({cols}))"
@@ -2103,9 +2107,12 @@ def _sqlstate(exc: Exception) -> str:
 # DuckDB statement-level UNPIVOT: `UNPIVOT <tbl> ON <cols> INTO NAME <n>
 # VALUE <v>` → Spark's table-expression UNPIVOT clause (same output
 # columns and rows; Spark drops NULL cells like DuckDB does).
+# source: bare table name OR parenthesized query; the INTO NAME/VALUE
+# tail is optional — DuckDB defaults the output columns to name/value
+# (probed)
 _UNPIVOT_STMT_RE = re.compile(
-    r"^\s*UNPIVOT\s+([\w.]+)\s+ON\s+(.+?)\s+INTO\s+NAME\s+(\w+)"
-    r"\s+VALUE\s+(\w+)\s*;?\s*$",
+    r"^\s*UNPIVOT\s+([\w.]+|\(.*?\))\s+ON\s+(.+?)"
+    r"(?:\s+INTO\s+NAME\s+(\w+)\s+VALUE\s+(\w+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 

@@ -436,6 +436,11 @@ BATTERY: dict[str, list[str]] = {
         "SELECT 'abc' LIKE 'a%' ESCAPE '$' AS lk",
         "SELECT parse_filename('/a/b/c.txt') AS pf,"
         " parse_dirpath('/a/b/c.txt') AS pd",
+        # statement forms
+        "UNPIVOT (SELECT 1 AS a, 2 AS b) ON a, b",
+        "UNPIVOT (SELECT 9 AS k, 1 AS a, 2 AS b) ON a, b"
+        " INTO NAME attr VALUE v",
+        "SELECT gen_random_uuid() IS NOT NULL AS u",
     ],
 }
 
