@@ -253,6 +253,20 @@ def _lgamma(x: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def _nextafter(a: pd.Series, b: pd.Series) -> pd.Series:
+    """IEEE-754 next representable double from a toward b (DuckDB
+    nextafter; math.nextafter is exact — no float round-trip drift)."""
+    return pd.Series(
+        [
+            None if x is None or y is None
+            else math.nextafter(float(x), float(y))
+            for x, y in zip(a, b)
+        ],
+        dtype="float64",
+    )
+
+
 @F.pandas_udf(T.LongType())
 def _gcd(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
@@ -792,6 +806,7 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("bar", _bar)
     spark.udf.register("gamma", _gamma)
     spark.udf.register("lgamma", _lgamma)
+    spark.udf.register("nextafter", _nextafter)
     spark.udf.register("gcd", _gcd)
     spark.udf.register("greatest_common_divisor", _gcd)
     spark.udf.register("lcm", _lcm)

@@ -1033,6 +1033,87 @@ _COMPREHENSION_RE = re.compile(
 )
 
 
+def _rewrite_dot_calls(sql: str) -> str:
+    """DuckDB method-call chaining: ``(expr).fn(args)`` /
+    ``call(...).fn(args)`` → ``fn(expr, args)`` (Spark has no method
+    syntax). Only receivers ending in ')' rewrite — a bare identifier
+    receiver is indistinguishable from a qualified function name
+    (``db.fn(x)``) without a catalog, and DuckDB v1.0 itself rejects
+    string-literal receivers (probed). Innermost-first loop handles
+    chains like ``(x).trim().len()``."""
+    if ").len(" not in sql and not re.search(
+        r"\)\s*\.\s*\w+\s*\(", sql
+    ):
+        return sql
+    changed = True
+    while changed:
+        changed = False
+        mask = _code_mask(sql)
+        for m in re.finditer(r"\)\s*\.\s*(\w+)\s*\(", sql):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            close = m.start()
+            depth, i = 0, close
+            while i >= 0:  # matching '(' of the receiver
+                if mask[i]:
+                    if sql[i] == ")":
+                        depth += 1
+                    elif sql[i] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                i -= 1
+            if i < 0:
+                continue
+            j = i - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            if j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
+                # call(...).fn() — the receiver is the WHOLE call,
+                # identifier included (possibly dotted: db.f(x).fn()).
+                # After a KEYWORD the paren group alone is the receiver.
+                k = j
+                while k >= 0 and (sql[k].isalnum() or sql[k] in "_."):
+                    k -= 1
+                head = sql[k + 1 : j + 1]
+                if (
+                    head
+                    and head[0] not in ".0123456789"
+                    and head.upper() not in (
+                        "AND", "OR", "NOT", "THEN", "ELSE", "WHEN", "IN",
+                        "SELECT", "WHERE", "FROM", "ON", "BY", "AS",
+                        "OVER", "FILTER", "EXISTS", "BETWEEN", "LIKE",
+                        "ILIKE", "ALL", "ANY", "SOME", "VALUES", "JOIN",
+                        "USING", "HAVING", "RETURNING", "DISTINCT",
+                        "UNION", "INTERSECT", "EXCEPT", "LIMIT", "OFFSET",
+                        "SET", "CASE", "END", "ESCAPE", "INTERVAL",
+                    )
+                ):
+                    i = k + 1
+            recv = sql[i : close + 1]
+            a_open = m.end() - 1
+            depth, a = 0, a_open
+            while a < len(sql):  # matching ')' of the args
+                if mask[a]:
+                    if sql[a] == "(":
+                        depth += 1
+                    elif sql[a] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                a += 1
+            if a >= len(sql):
+                continue
+            args = sql[a_open + 1 : a].strip()
+            repl = f"{m.group(1)}({recv}, {args})" if args else (
+                f"{m.group(1)}({recv})"
+            )
+            sql = sql[:i] + repl + sql[a + 1 :]
+            changed = True
+            break
+    return sql
+
+
 # DuckDB/PG array-type suffix in cast/DDL positions: INT[] → ARRAY<INT>
 # (Spark has no T[] type syntax). Only a TYPE NAME directly followed by
 # EMPTY brackets matches — subscripts carry content and the bare
@@ -2053,6 +2134,18 @@ _NARY_REWRITES: dict = {
     ),
     # ---- r8 sweep gaps
     "sha256": (1, "sha2({0}, 256)"),
+    # probed: DuckDB signbit is a plain x < 0 (signbit(-0.0) = false)
+    "signbit": (1, "({0} < 0)"),
+    # round AWAY from zero to the next even number (probed: 2.5→4,
+    # -2.5→-4, 3.0→4, -3.0→-4, 2.0→2)
+    "even": (
+        1,
+        "CAST(CASE WHEN {0} >= 0 THEN "
+        "(CASE WHEN ceil({0}) % 2 = 0 THEN ceil({0}) "
+        "ELSE ceil({0}) + 1 END) ELSE "
+        "(CASE WHEN floor({0}) % 2 = 0 THEN floor({0}) "
+        "ELSE floor({0}) - 1 END) END AS DOUBLE)",
+    ),
     # LIKE-with-escape function spellings → the operator form
     "like_escape": (3, "({0} LIKE {1} ESCAPE {2})"),
     "not_like_escape": (3, "({0} NOT LIKE {1} ESCAPE {2})"),
@@ -3836,6 +3929,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_agg_order_by(sql)  # before renames: needs DuckDB names
     sql = _rewrite_quantified_subq(sql)
     sql = _rewrite_positional_join(sql)
+    sql = _rewrite_dot_calls(sql)  # (expr).fn() before nary sees fn
     sql = _rewrite_table_fns(sql)  # FROM-position fns BEFORE the nary
     # pass claims their scalar spellings
     sql = _rewrite_nary_fns(sql)

@@ -441,6 +441,37 @@ BATTERY: dict[str, list[str]] = {
         "UNPIVOT (SELECT 9 AS k, 1 AS a, 2 AS b) ON a, b"
         " INTO NAME attr VALUE v",
         "SELECT gen_random_uuid() IS NOT NULL AS u",
+        # dot-call chaining, CTE hints, misc scalar surface
+        "SELECT ('ab' || 'c').len() AS chain",
+        "WITH x AS MATERIALIZED (SELECT 2 AS v) SELECT v FROM x",
+        "WITH x AS NOT MATERIALIZED (SELECT 2 AS v) SELECT v FROM x",
+        "SELECT 'abc' SIMILAR TO 'a.c' AS st,"
+        " 'abc' NOT SIMILAR TO 'x' AS nst",
+        "SELECT date_diff('day', DATE '2024-01-01', DATE '2024-02-01') AS dd",
+        "SELECT date_add(DATE '2024-01-01', INTERVAL 3 MONTHS) AS da",
+        "SELECT INTERVAL 90 SECONDS + TIMESTAMP '2024-01-01' AS t1",
+        "SELECT 1 LIMIT ALL",
+        "SELECT 2 OFFSET 0",
+        # NOTE: ordering a ROLLUP by an UNPROJECTED grouping column is
+        # a loud Spark analyzer error (the Expand node shields it) —
+        # the projected spelling below is the portable form
+        "SELECT r_name, grouping(r_name) AS g, count(*) AS n FROM region"
+        " GROUP BY ROLLUP(r_name) ORDER BY g, r_name NULLS LAST LIMIT 2",
+        "SELECT pow(2, 3) AS p, cbrt(27) AS cb, log2(8) AS l2,"
+        " log10(100) AS l10, ln(exp(1)) AS ll, log(100) AS lg",
+        "SELECT gamma(5) AS gm, lgamma(5) AS lg2, factorial(4) AS fa",
+        "SELECT isfinite(1.0) AS f1, isinf('inf'::DOUBLE) AS f2,"
+        " isnan('nan'::DOUBLE) AS f3, signbit(-1.0) AS sb",
+        "SELECT cot(1) AS ct, degrees(pi()) AS dg, radians(180.0) AS rd",
+        "SELECT even(2.5) AS ev, nextafter(1.0, 2.0) AS na",
+        "SELECT even(-2.5) AS e1, even(3.0) AS e2, even(-3.0) AS e3,"
+        " even(2.0) AS e4",
+        "SELECT signbit(-0.0) AS s0, signbit(0.0) AS s1, signbit(-5) AS s2",
+        # dot-call method chaining (paren / call receivers; DuckDB v1.0
+        # itself rejects string-literal receivers)
+        "SELECT ('ab' || 'c').len() AS chain",
+        "SELECT (n_name).lower().len() AS ll FROM nation ORDER BY 1 LIMIT 2",
+        "SELECT upper('a').len() AS l",
     ],
 }
 

@@ -130,6 +130,15 @@ BATTERY = [
     " parse_filename('/a/c.txt', false) AS f6",
     "SELECT parse_dirpath('/a/b/c.txt') AS d1, parse_dirpath('/c.txt') AS d2,"
     " parse_dirpath('c.txt') AS d3, parse_dirpath('/a/b/') AS d4",
+    # even / signbit / nextafter (r8; probed semantics)
+    "SELECT even(2.5) AS e0, even(-2.5) AS e1, even(3.0) AS e2,"
+    " even(-3.0) AS e3, even(2.0) AS e4, even(0.0) AS e5",
+    "SELECT signbit(-0.0) AS s0, signbit(0.0) AS s1, signbit(-5) AS s2,"
+    " signbit(3) AS s3",
+    "SELECT nextafter(1.0, 2.0) AS na, nextafter(1.0, 0.0) AS nb",
+    # dot-call method chaining (paren / call receivers)
+    "SELECT ('ab' || 'c').len() AS chain",
+    "SELECT upper('a').len() AS l",
     "SELECT sha256('abc') AS h",
     "SELECT to_milliseconds(1500) AS ms, to_microseconds(2500000) AS us",
     "SELECT * FROM generate_series(0, 3)",
