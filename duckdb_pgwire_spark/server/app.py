@@ -328,8 +328,6 @@ def _csv_view(session: SparkSession, path: str, overrides: dict) -> str:
     import glob as _glob
     import hashlib
 
-    from .csv_sniff import sniff_file
-
     matches = sorted(_glob.glob(path)) or [path]
     if not os.path.isfile(matches[0]):
         raise ValueError(f'could not open CSV file "{path}"')
@@ -337,10 +335,11 @@ def _csv_view(session: SparkSession, path: str, overrides: dict) -> str:
     key = (path, tuple(sorted(overrides.items())))
     name = "__csvrel_" + hashlib.md5(repr(key).encode()).hexdigest()[:12]
     qual = f"default.`{name}`"
-    if _CSV_VIEWS.get(key) == mtime:
-        return qual
+    # the whole check-create runs under the lock: an unlocked fast
+    # path could hand out the name mid-DROP/recreate of another
+    # thread's refresh of the same changed file (code review r8)
     with _CSV_VIEWS_LOCK:
-        if _CSV_VIEWS.get(key) == mtime:  # lost the create race: reuse
+        if _CSV_VIEWS.get(key) == mtime:
             return qual
         return _csv_view_create(session, path, matches, overrides,
                                 key, mtime, name, qual)
@@ -1530,11 +1529,9 @@ class PgWireServer:
             await writer.drain()
             return
         if first == "UNPIVOT":
-            m = _UNPIVOT_STMT_RE.match(stmt)
+            m = _match_unpivot_stmt(stmt)
             if m is not None:
-                tbl, cols = m.group(1), m.group(2)
-                name_col = m.group(3) or "name"
-                val_col = m.group(4) or "value"
+                tbl, cols, name_col, val_col = m
                 if tbl.startswith("("):
                     # rewrite the inner query through the full dialect
                     # pipeline; alias for Spark's derived-table rule
@@ -2107,14 +2104,50 @@ def _sqlstate(exc: Exception) -> str:
 # DuckDB statement-level UNPIVOT: `UNPIVOT <tbl> ON <cols> INTO NAME <n>
 # VALUE <v>` → Spark's table-expression UNPIVOT clause (same output
 # columns and rows; Spark drops NULL cells like DuckDB does).
-# source: bare table name OR parenthesized query; the INTO NAME/VALUE
-# tail is optional — DuckDB defaults the output columns to name/value
-# (probed)
-_UNPIVOT_STMT_RE = re.compile(
-    r"^\s*UNPIVOT\s+([\w.]+|\(.*?\))\s+ON\s+(.+?)"
-    r"(?:\s+INTO\s+NAME\s+(\w+)\s+VALUE\s+(\w+))?\s*;?\s*$",
+# ON-list + optional INTO NAME/VALUE tail — DuckDB defaults the output
+# columns to name/value (probed)
+_UNPIVOT_TAIL_RE = re.compile(
+    r"^\s*ON\s+(.+?)(?:\s+INTO\s+NAME\s+(\w+)\s+VALUE\s+(\w+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _match_unpivot_stmt(stmt: str) -> tuple[str, str, str, str] | None:
+    """(source, on_cols, name_col, val_col) of a DuckDB UNPIVOT
+    statement, or None. The parenthesized-source form scans BALANCED
+    code-level parens — a lazy regex would cut the source at the first
+    ') ON ' inside the inner query (code review r8)."""
+    from .compat import _code_mask
+
+    m = re.match(r"^\s*UNPIVOT\s+", stmt, re.IGNORECASE)
+    if m is None:
+        return None
+    rest = stmt[m.end() :]
+    if rest.startswith("("):
+        mask = _code_mask(rest)
+        depth = 0
+        end = -1
+        for i, ch in enumerate(rest):
+            if mask[i]:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+        if end < 0:
+            return None
+        src, tail = rest[: end + 1], rest[end + 1 :]
+    else:
+        tm = re.match(r"([\w.]+)(.*)$", rest, re.DOTALL)
+        if tm is None:
+            return None
+        src, tail = tm.group(1), tm.group(2)
+    t = _UNPIVOT_TAIL_RE.match(tail)
+    if t is None:
+        return None
+    return src, t.group(1), t.group(2) or "name", t.group(3) or "value"
 
 _PIVOT_STMT_RE = re.compile(
     r"^\s*PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s+USING\s+(\w+)\s*\(\s*([\w.*]+)\s*\)"

@@ -2119,8 +2119,8 @@ _NARY_REWRITES: dict = {
     # interval constructors (make_interval: y, m, w, d, h, min, s)
     "to_years": (1, "make_interval({0})"),
     "to_months": (1, "make_interval(0, {0})"),
-    "to_weeks": (1, "make_interval(0, 0, {0})"),
-    "to_days": (1, "make_interval(0, 0, 0, {0})"),
+    "to_weeks": (1, "make_dt_interval(7 * ({0}))"),
+    "to_days": (1, "make_dt_interval({0})"),
     # sub-day units use make_dt_interval: DayTimeIntervalType composes
     # in timestamp arithmetic like CalendarInterval AND collects to a
     # Python timedelta (CalendarIntervalType.fromInternal is
@@ -2136,16 +2136,6 @@ _NARY_REWRITES: dict = {
     "sha256": (1, "sha2({0}, 256)"),
     # probed: DuckDB signbit is a plain x < 0 (signbit(-0.0) = false)
     "signbit": (1, "({0} < 0)"),
-    # round AWAY from zero to the next even number (probed: 2.5→4,
-    # -2.5→-4, 3.0→4, -3.0→-4, 2.0→2)
-    "even": (
-        1,
-        "CAST(CASE WHEN {0} >= 0 THEN "
-        "(CASE WHEN ceil({0}) % 2 = 0 THEN ceil({0}) "
-        "ELSE ceil({0}) + 1 END) ELSE "
-        "(CASE WHEN floor({0}) % 2 = 0 THEN floor({0}) "
-        "ELSE floor({0}) - 1 END) END AS DOUBLE)",
-    ),
     # LIKE-with-escape function spellings → the operator form
     "like_escape": (3, "({0} LIKE {1} ESCAPE {2})"),
     "not_like_escape": (3, "({0} NOT LIKE {1} ESCAPE {2})"),

@@ -147,6 +147,32 @@ def _enc_timestamp(v: _dt.datetime) -> str:
     return s
 
 
+def _enc_interval(td: _dt.timedelta) -> str:
+    """Day-time interval → DuckDB's interval text (probed via
+    ``interval::VARCHAR``: '00:01:30', '3 days', '3 days 00:00:05',
+    '-3 days -00:00:02', fractional seconds trimmed '00:00:01.5').
+    Spark's DayTimeIntervalType is one normalized micros quantity, so
+    hour counts ≥ 24 render with the days split out ('1 day 02:00:00'
+    where DuckDB's un-normalized 26-hour component shows '26:00:00') —
+    equal values, canonical componentization."""
+    total = td // _dt.timedelta(microseconds=1)
+    sgn = "-" if total < 0 else ""
+    a = abs(total)
+    days, rem = divmod(a, 86_400_000_000)
+    h, rem = divmod(rem, 3_600_000_000)
+    m, rem = divmod(rem, 60_000_000)
+    s, us = divmod(rem, 1_000_000)
+    parts: list[str] = []
+    if days:
+        parts.append(f"{sgn}{days} day" + ("s" if days != 1 else ""))
+    if h or m or s or us or not days:
+        t = f"{sgn}{h:02d}:{m:02d}:{s:02d}"
+        if us:
+            t += f".{us:06d}".rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
 def _enc_array(v: Any) -> str:
     parts = []
     for item in v:
@@ -184,6 +210,8 @@ def encode_text(v: Any) -> str:
         return "\\x" + bytes(v).hex()
     if isinstance(v, _dt.datetime):
         return _enc_timestamp(v)
+    if isinstance(v, _dt.timedelta):
+        return _enc_interval(v)
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, _dt.time):

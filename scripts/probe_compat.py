@@ -11,7 +11,6 @@ Advisory tool — findings feed new shims/tests; not part of the suite.
 from __future__ import annotations
 
 import asyncio
-import math
 import sys
 import threading
 from pathlib import Path
@@ -440,9 +439,14 @@ BATTERY: dict[str, list[str]] = {
         "UNPIVOT (SELECT 1 AS a, 2 AS b) ON a, b",
         "UNPIVOT (SELECT 9 AS k, 1 AS a, 2 AS b) ON a, b"
         " INTO NAME attr VALUE v",
+        # ') ON ' inside the source query (code review r8: a lazy
+        # regex cut the source at the join's ON)
+        "UNPIVOT (SELECT t.a, u.b FROM (SELECT 1 AS a) t"
+        " JOIN (SELECT 2 AS b) u ON 1 = 1) ON a, b",
+        "SELECT to_seconds(90) AS s, to_milliseconds(1500) AS ms,"
+        " to_days(3) + to_seconds(5) AS mix",
         "SELECT gen_random_uuid() IS NOT NULL AS u",
-        # dot-call chaining, CTE hints, misc scalar surface
-        "SELECT ('ab' || 'c').len() AS chain",
+        # CTE hints, misc scalar surface
         "WITH x AS MATERIALIZED (SELECT 2 AS v) SELECT v FROM x",
         "WITH x AS NOT MATERIALIZED (SELECT 2 AS v) SELECT v FROM x",
         "SELECT 'abc' SIMILAR TO 'a.c' AS st,"

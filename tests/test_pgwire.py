@@ -87,6 +87,51 @@ def test_rewrite_cast_colons():
     assert rewrite("SELECT 'a::b'") == "SELECT 'a::b'"
 
 
+def test_interval_text_rendering_matches_duckdb():
+    """encode_text of a day-time interval pins DuckDB's probed
+    interval::VARCHAR forms EXACTLY (independent of the probe's
+    comparator, which normalizes both sides through this function —
+    code review r8: a self-certified encoder defect must be caught
+    here, not by the census)."""
+    import datetime as dt
+
+    from duckdb_pgwire_spark.server.typemap import encode_text
+
+    cases = [
+        (dt.timedelta(seconds=90), "00:01:30"),
+        (dt.timedelta(seconds=-2), "-00:00:02"),
+        (dt.timedelta(days=3), "3 days"),
+        (dt.timedelta(days=1), "1 day"),
+        (dt.timedelta(days=3, seconds=5), "3 days 00:00:05"),
+        (dt.timedelta(days=-3), "-3 days"),
+        (dt.timedelta(days=-3, seconds=-2), "-3 days -00:00:02"),
+        (dt.timedelta(seconds=1.5), "00:00:01.5"),
+        (dt.timedelta(microseconds=1), "00:00:00.000001"),
+        (dt.timedelta(0), "00:00:00"),
+        # Spark's micros quantity is normalized: 26 h renders with the
+        # day split out (DuckDB's un-normalized component would show
+        # '26:00:00' — equal value, canonical componentization)
+        (dt.timedelta(hours=26), "1 day 02:00:00"),
+    ]
+    # every expected string (except the documented 26h normalization)
+    # IS DuckDB's own ::VARCHAR rendering of the same value
+    import duckdb
+
+    con = duckdb.connect()
+    for td, want in cases[:-1]:
+        total = td // dt.timedelta(microseconds=1)
+        sgn = -1 if total < 0 else 1
+        days, rem = divmod(abs(total), 86_400_000_000)
+        got = con.execute(
+            f"SELECT (to_days(CAST({sgn * days} AS INT)) + "
+            f"to_microseconds({sgn * rem}))::VARCHAR"
+        ).fetchone()[0]
+        assert got == want, (td, got, want)
+    con.close()
+    for td, want in cases:
+        assert encode_text(td) == want, (td, encode_text(td), want)
+
+
 def test_rewrite_bare_varchar():
     assert rewrite("CREATE TABLE users(name varchar)") == "CREATE TABLE users(name STRING)"
     assert "varchar(10)" in rewrite("CREATE TABLE t(a varchar(10))")
