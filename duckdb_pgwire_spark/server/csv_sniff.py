@@ -113,14 +113,31 @@ def sniff_text(
     ncol = max(len(r) for r in rows)
     grid = [[*(r), *[""] * (ncol - len(r))] for r in rows]
     rest = grid[1:]
+    if header is None and all(v == "" for v in grid[0]):
+        # an all-empty first row is DATA (a row of NULLs) — DuckDB
+        # never claims empty header names (found by the r8 CSV fuzzer)
+        header = False
     if rest:
         types_rest = [
             _infer_column([row[c] for row in rest]) for c in range(ncol)
         ]
         if header is None:
-            header = all(t == "VARCHAR" for t in types_rest) or any(
-                not _parses_as(grid[0][c], types_rest[c])
+            # a column whose DATA rows are all empty types as SQL NULL
+            # in DuckDB, so ANY non-empty first-row cell there fails
+            # the type check and claims the header (found by the r8
+            # CSV fuzzer on degenerate mostly-empty grids)
+            null_col_hdr = any(
+                grid[0][c] != ""
+                and all(row[c] == "" for row in rest)
                 for c in range(ncol)
+            )
+            header = (
+                null_col_hdr
+                or all(t == "VARCHAR" for t in types_rest)
+                or any(
+                    not _parses_as(grid[0][c], types_rest[c])
+                    for c in range(ncol)
+                )
             )
     else:
         # single-line file (probed): DuckDB keeps a numeric/mixed row
@@ -133,10 +150,12 @@ def sniff_text(
     if header:
         names: list[str] = []
         used: set[str] = set()
-        for raw in grid[0]:
-            base = raw if raw != "" else "column"
+        for ci, raw in enumerate(grid[0]):
+            # DuckDB names an EMPTY header cell positionally (column1
+            # for index 1 — fuzzer-probed), and dedups a,a → a, a_1
+            base = raw if raw != "" else f"column{ci}"
             name, k = base, 0
-            while name in used:  # DuckDB dedups a,a → a, a_1
+            while name in used:
                 k += 1
                 name = f"{base}_{k}"
             used.add(name)

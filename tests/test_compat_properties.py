@@ -497,3 +497,98 @@ def test_union_fn_rewrite_matches_duckdb(tag, val):
     assert f"named_struct('__utag', '{tag}'" in rewritten, rewritten
     # field access must target the same tag the struct carries
     assert f".__utag" in rewritten and f".{tag}" in rewritten
+
+
+# ------------------------------------------------------ CSV sniff fuzz
+
+# value space where DuckDB's sniffer and ours agree BY DESIGN —
+# excluded: candidate delimiter chars (quoting ambiguity resolves
+# engine-specifically), underscore numerals / inf / nan / leading '+'
+# (DuckDB-only numeric forms our sniffer deliberately keeps VARCHAR so
+# Spark's parser can't silently NULL them), quotes/newlines in cells.
+_CSV_TEXT = st.text(
+    alphabet="abcdefghjkmpqrsuvwxyz XYZ.-:", min_size=1, max_size=8
+).filter(lambda s: s.strip() == s and s.lower() not in ("inf", "nan"))
+_CSV_CELLS = {
+    "int": st.integers(-(10**6), 10**6).map(str),
+    "float": st.floats(
+        min_value=-1000, max_value=1000, allow_nan=False
+    ).map(lambda v: f"{v:.3f}"),
+    "text": _CSV_TEXT,
+    "bool": st.sampled_from(["true", "false", "t", "f"]),
+    "date": st.dates(
+        min_value=__import__("datetime").date(2000, 1, 1),
+        max_value=__import__("datetime").date(2030, 12, 28),
+    ).map(lambda d: d.isoformat()),
+}
+
+
+@given(data=st.data())
+@settings(max_examples=20, deadline=None)
+def test_csv_sniff_fuzz_matches_duckdb(spark, tmp_path_factory, data):
+    """Random typed CSVs (delimiter × header × nullable cells) read by
+    THIS engine's sniff+scan must value-match DuckDB reading the same
+    file — the systematic net over csv_sniff's probed rules (r8)."""
+    import csv as _csv
+    import uuid
+
+    import duckdb
+
+    from duckdb_pgwire_spark.server.csv_sniff import sniff_file
+    from duckdb_pgwire_spark.server.typemap import encode_text
+
+    ncols = data.draw(st.integers(1, 4))
+    nrows = data.draw(st.integers(1, 6))
+    delim = data.draw(st.sampled_from([",", ";", "|", "\t"]))
+    header = data.draw(st.booleans())
+    kinds = [
+        data.draw(st.sampled_from(list(_CSV_CELLS))) for _ in range(ncols)
+    ]
+    grid = []
+    for _ in range(nrows):
+        row = [
+            ""
+            if data.draw(st.integers(0, 9)) == 0
+            else data.draw(_CSV_CELLS[kinds[c]])
+            for c in range(ncols)
+        ]
+        if all(v == "" for v in row):
+            # documented engine delta: Spark's CSV reader SKIPS rows
+            # where every field is null; DuckDB keeps a NULL row
+            row[0] = data.draw(_CSV_CELLS[kinds[0]])
+        grid.append(row)
+    path = str(
+        tmp_path_factory.mktemp("csvfuzz") / f"f{uuid.uuid4().hex[:8]}.csv"
+    )
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f, delimiter=delim)
+        if header:
+            w.writerow([f"col_{chr(97 + c)}" for c in range(ncols)])
+        w.writerows(grid)
+
+    con = duckdb.connect()
+    try:
+        res = con.execute(f"SELECT * FROM '{path}'")
+        duck_cols = [c[0] for c in res.description]
+        duck_rows = res.fetchall()
+    finally:
+        con.close()
+
+    sn = sniff_file(path)
+    df = (
+        spark.read.option("sep", sn["sep"])
+        .option("header", str(sn["header"]).lower())
+        .schema(sn["schema_ddl"])
+        .csv(path)
+    ).selectExpr(*sn["select_exprs"])
+    assert df.columns == duck_cols, (sn, duck_cols, open(path).read())
+
+    def canon(rows):
+        return sorted(
+            tuple("\x00NULL" if v is None else encode_text(v) for v in r)
+            for r in rows
+        )
+
+    assert canon(r for r in df.collect()) == canon(duck_rows), (
+        sn, open(path).read()
+    )
