@@ -3250,6 +3250,8 @@ def test_wire_csv_bare_path_sniffing(client, tmp_path):
         # '+5' is not a DuckDB BIGINT either → both sides VARCHAR
         "plusnum.csv": "x\n+5\n-3\n",
         "exp.csv": "x\n1e3\n2E-2\n.5\n",
+        # tab separator survives the external-table OPTIONS literal
+        "tabs.tsv": "a\tb\n1\tq\n2\tr\n",
     }
     con = duckdb.connect()
     for fn, content in cases.items():
