@@ -592,3 +592,34 @@ def test_csv_sniff_fuzz_matches_duckdb(spark, tmp_path_factory, data):
     assert canon(r for r in df.collect()) == canon(duck_rows), (
         sn, open(path).read()
     )
+
+
+@given(
+    micros=st.integers(
+        min_value=-(10**15), max_value=10**15
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_text_fuzz_matches_duckdb(micros):
+    """Randomized day-time intervals: encode_text must equal DuckDB's
+    interval::VARCHAR for the SAME canonical day/time components (the
+    r8 unit test pins the probed fixed cases; this sweeps the space —
+    sign combinations, fractional-second trimming, day pluralization)."""
+    import datetime as dt
+
+    import duckdb
+
+    from duckdb_pgwire_spark.server.typemap import encode_text
+
+    td = dt.timedelta(microseconds=micros)
+    sgn = -1 if micros < 0 else 1
+    days, rem = divmod(abs(micros), 86_400_000_000)
+    con = duckdb.connect()
+    try:
+        want = con.execute(
+            f"SELECT (to_days(CAST({sgn * days} AS INT)) + "
+            f"to_microseconds({sgn * rem}))::VARCHAR"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert encode_text(td) == want, (micros, encode_text(td), want)
