@@ -1138,6 +1138,99 @@ _ARRAY_ELEM_TYPES = {
 }
 
 
+# DuckDB-only scalar type names in CAST positions → value-preserving
+# Spark types (the unsigned family widens one size; 128-bit maps to
+# Spark's widest decimal)
+_DUCK_ONLY_TYPES = {
+    "hugeint": "DECIMAL(38,0)", "uhugeint": "DECIMAL(38,0)",
+    "utinyint": "SMALLINT", "usmallint": "INT",
+    "uinteger": "BIGINT", "ubigint": "DECIMAL(20,0)",
+}
+
+_STRUCT_TYPE_RE = re.compile(
+    r"\bSTRUCT\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_MAP_TYPE_CAST_RE = re.compile(
+    r"(::\s*|\bAS\s+)MAP\s*\(((?:[^()]|\([^()]*\))*)\)", re.IGNORECASE
+)
+_COLON_TYPE_RE = re.compile(
+    r"(::\s*)(" + "|".join(_DUCK_ONLY_TYPES) + r")\b", re.IGNORECASE
+)
+_CAST_AS_TYPE_RE = re.compile(
+    r"(\bAS\s+)(" + "|".join(_DUCK_ONLY_TYPES) + r")(\s*\))",
+    re.IGNORECASE,
+)
+
+
+def _map_type_word(t: str) -> str:
+    word = t.strip()
+    base = word.split("(")[0].split("<")[0].strip().lower()
+    if base in _DUCK_ONLY_TYPES:
+        return _DUCK_ONLY_TYPES[base]
+    mapped = _ARRAY_ELEM_TYPES.get(base)
+    return word if mapped is None else mapped
+
+
+def _rewrite_duck_types(sql: str) -> str:
+    """DuckDB type spellings Spark's parser rejects, in TYPE positions:
+    ``STRUCT(a INT, b VARCHAR)`` → ``STRUCT<a: INT, b: STRING>``
+    (unambiguous anywhere — a struct-VALUE call with ``name type``
+    fields is not valid SQL, and single-token fields leave the text
+    untouched), ``::MAP(K, V)`` / ``CAST(x AS MAP(K, V))`` →
+    ``MAP<K, V>``, and the unsigned/128-bit scalar family after ``::``
+    or as a CAST tail (the closing-paren anchor keeps column aliases
+    named like types out of reach)."""
+    up = sql.upper()
+    if "STRUCT" not in up and "MAP" not in up and not any(
+        t.upper() in up for t in _DUCK_ONLY_TYPES
+    ):
+        return sql
+    mask = _code_mask(sql)
+
+    def sub_struct(m: re.Match) -> str:
+        if not all(mask[m.start() : m.end()]):
+            return m.group(0)
+        fields = split_top_level(m.group(1))
+        out = []
+        for f in fields:
+            fm = re.match(r"^\s*(\w+)\s+(\S.*?)\s*$", f)
+            if fm is None:
+                return m.group(0)  # not type syntax: leave verbatim
+            out.append(f"{fm.group(1)}: {_map_type_word(fm.group(2))}")
+        return "STRUCT<" + ", ".join(out) + ">"
+
+    def sub_map(m: re.Match) -> str:
+        if not all(mask[m.start() : m.end()]):
+            return m.group(0)
+        parts = split_top_level(m.group(2))
+        if len(parts) != 2:
+            return m.group(0)
+        return (
+            m.group(1)
+            + "MAP<"
+            + ", ".join(_map_type_word(p) for p in parts)
+            + ">"
+        )
+
+    def sub_scalar(m: re.Match) -> str:
+        if not all(mask[m.start() : m.end()]):
+            return m.group(0)
+        tail = m.group(3) if m.lastindex == 3 else ""
+        return m.group(1) + _DUCK_ONLY_TYPES[m.group(2).lower()] + tail
+
+    prev = None
+    while prev != sql:  # nested STRUCT types resolve innermost-first
+        prev = sql
+        sql = _STRUCT_TYPE_RE.sub(sub_struct, sql)
+        mask = _code_mask(sql)
+    sql = _MAP_TYPE_CAST_RE.sub(sub_map, sql)
+    mask = _code_mask(sql)
+    sql = _COLON_TYPE_RE.sub(sub_scalar, sql)
+    mask = _code_mask(sql)
+    sql = _CAST_AS_TYPE_RE.sub(sub_scalar, sql)
+    return sql
+
+
 def _rewrite_array_type_suffix(sql: str) -> str:
     if "[" not in sql:
         return sql
@@ -2136,6 +2229,7 @@ _NARY_REWRITES: dict = {
     "sha256": (1, "sha2({0}, 256)"),
     # probed: DuckDB signbit is a plain x < 0 (signbit(-0.0) = false)
     "signbit": (1, "({0} < 0)"),
+    "row_to_json": (1, "to_json({0})"),
     # LIKE-with-escape function spellings → the operator form
     "like_escape": (3, "({0} LIKE {1} ESCAPE {2})"),
     "not_like_escape": (3, "({0} NOT LIKE {1} ESCAPE {2})"),
@@ -3908,6 +4002,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_format(sql)  # ditto: needs the quoted fmtlib string
     sql = _rewrite_array_constructor(sql)
     sql = _rewrite_array_type_suffix(sql)  # INT[] types BEFORE brackets
+    sql = _rewrite_duck_types(sql)  # STRUCT(...)/MAP(...)/unsigned casts
     sql = _rewrite_brackets(sql)  # after ARRAY[..]: bare [..] / l[i] / slices
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_struct_pack(sql)
@@ -4196,6 +4291,46 @@ def rewrite_columns_star(sql: str, ordered_cols: list[str]) -> str:
                 if lit.lower() not in lowered:
                     raise ValueError(f'Column "{lit}" not found')
                 names.append(lowered[lit.lower()])
+        elif (lm := re.fullmatch(
+            r"(\w+)\s*->\s*(?:(lower|upper)\s*\(\s*\1\s*\)|\1)\s+"
+            r"(NOT\s+)?(LIKE|ILIKE|SIMILAR\s+TO)\s+'([^']*)'",
+            arg,
+            re.IGNORECASE,
+        )):
+            # COLUMNS(c -> c LIKE 'pat') lambda over column NAMES —
+            # evaluated here against the schema (r8). LIKE wildcards:
+            # % = any run, _ = any char; ILIKE folds case; SIMILAR TO
+            # is a regex full match.
+            fn, neg, op, pat = (
+                (lm.group(2) or "").lower(),
+                bool(lm.group(3)),
+                lm.group(4).upper().split()[0],
+                lm.group(5),
+            )
+            if op in ("LIKE", "ILIKE"):
+                rx = re.compile(
+                    "".join(
+                        ".*" if ch == "%" else "." if ch == "_"
+                        else re.escape(ch)
+                        for ch in pat
+                    )
+                    + r"\Z",
+                    re.IGNORECASE if op == "ILIKE" else 0,
+                )
+            else:
+                rx = re.compile(pat + r"\Z")
+            def _nm(c: str) -> str:
+                return c.lower() if fn == "lower" else (
+                    c.upper() if fn == "upper" else c
+                )
+            names = [
+                c for c in ordered_cols
+                if bool(rx.match(_nm(c))) != neg
+            ]
+            if not names:
+                raise ValueError(
+                    "No matching columns found that match the lambda"
+                )
         else:
             return sql  # computed arg / EXCLUDE tail: loud parser failure
         if not names:

@@ -476,6 +476,20 @@ BATTERY: dict[str, list[str]] = {
         "SELECT ('ab' || 'c').len() AS chain",
         "SELECT (n_name).lower().len() AS ll FROM nation ORDER BY 1 LIMIT 2",
         "SELECT upper('a').len() AS l",
+        # type-system idioms
+        "SELECT COLUMNS(c -> c LIKE 'r_n%') FROM region ORDER BY 1 LIMIT 1",
+        "SELECT {'a': 1, 'b': 'x'}::STRUCT(a INT, b VARCHAR) AS s",
+        "SELECT CAST(NULL AS STRUCT(a INT)) AS s2",
+        "SELECT '5'::UTINYINT AS u1, '50000'::USMALLINT AS u2,"
+        " '3000000000'::UINTEGER AS u3",
+        "SELECT 'abc'::CHAR(2) AS c2",
+        "SELECT TIME '12:30:45' AS t",
+        "SELECT struct_extract({'a': 7}, 'a') AS se",
+        # struct_insert stays a loud refusal: splatting UNKNOWN struct
+        # fields needs catalog introspection no textual rewrite has
+        "SELECT row_to_json({'a': 1}) AS rj",
+        "SELECT map_concat(map([1],['x']), map([2],['y'])) AS mc",
+        "SELECT cardinality(map([1,2],['a','b'])) AS cd",
     ],
 }
 
@@ -514,6 +528,8 @@ KNOWN_DIFFS: dict[str, str] = {
         "python API yields dict-of-lists; wire renders the map as json",
     "SELECT list_zip([1, 2], [3, 4]) AS lz":
         "python API yields tuples; wire renders struct json",
+    "SELECT map_concat(map([1],['x']), map([2],['y'])) AS mc":
+        "python API yields dict-of-lists; wire renders the map as json",
 }
 
 _DML_WORDS = ("CREATE", "INSERT", "UPDATE", "DELETE", "DROP", "ALTER")

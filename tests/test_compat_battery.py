@@ -139,6 +139,14 @@ BATTERY = [
     # dot-call method chaining (paren / call receivers)
     "SELECT ('ab' || 'c').len() AS chain",
     "SELECT upper('a').len() AS l",
+    # DuckDB type spellings in cast positions (r8)
+    "SELECT {'a': 1, 'b': 'x'}::STRUCT(a INT, b VARCHAR) AS s",
+    "SELECT CAST(NULL AS STRUCT(a INT)) IS NULL AS s2",
+    "SELECT CAST(NULL AS STRUCT(a INT[], b STRUCT(c VARCHAR))) IS NULL"
+    " AS nested",
+    "SELECT '5'::UTINYINT AS u1, '50000'::USMALLINT AS u2,"
+    " '3000000000'::UINTEGER AS u3, CAST('5' AS UBIGINT) AS u4",
+    "SELECT row_to_json({'a': 1}) AS rj",
     "SELECT sha256('abc') AS h",
     "SELECT to_milliseconds(1500) AS ms, to_microseconds(2500000) AS us",
     "SELECT * FROM generate_series(0, 3)",
