@@ -4270,6 +4270,23 @@ def rewrite_columns_star(sql: str, ordered_cols: list[str]) -> str:
         arg = sql[open_idx + 1 : close].strip()
         if arg == "*":
             names = list(ordered_cols)
+        elif (em := re.fullmatch(
+            # EXCEPT too: the generic star-EXCLUDE→EXCEPT rewrite runs
+            # before this schema pass sees the argument
+            r"\*\s+(?:EXCLUDE|EXCEPT)\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)",
+            arg,
+            re.IGNORECASE,
+        )):
+            # COLUMNS(* EXCLUDE (a, b)) — drop the listed names; an
+            # unknown name is DuckDB's binder error (probed)
+            excl = {e.strip().lower() for e in em.group(1).split(",")}
+            lowered = {c.lower() for c in ordered_cols}
+            for e in excl:
+                if e not in lowered:
+                    raise ValueError(
+                        f'Column "{e}" in EXCLUDE list not found'
+                    )
+            names = [c for c in ordered_cols if c.lower() not in excl]
         elif re.fullmatch(r"'[^']*'", arg):
             rex = re.compile(arg[1:-1], re.IGNORECASE)
             names = [c for c in ordered_cols if rex.search(c)]

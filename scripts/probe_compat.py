@@ -490,6 +490,8 @@ BATTERY: dict[str, list[str]] = {
         "SELECT row_to_json({'a': 1}) AS rj",
         "SELECT map_concat(map([1],['x']), map([2],['y'])) AS mc",
         "SELECT cardinality(map([1,2],['a','b'])) AS cd",
+        "SELECT COLUMNS(* EXCLUDE (r_name)) FROM region ORDER BY 1 LIMIT 1",
+        "SELECT min(COLUMNS(* EXCLUDE (r_name))) FROM region",
     ],
 }
 
