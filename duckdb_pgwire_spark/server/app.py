@@ -1191,6 +1191,41 @@ class PgWireServer:
             writer.write(P.command_complete("DROP SEQUENCE"))
             await writer.drain()
             return
+        if first == "CREATE" and (m := _CREATE_TYPE_RE.match(stmt)):
+            from .compat import TYPE_ALIASES, resolve_type_text
+
+            name, body = m.group(1), m.group(2).strip().rstrip(";").strip()
+            if re.match(r"^ENUM\b", body, re.IGNORECASE):
+                # ENUM comparisons follow DEFINITION order — a string
+                # emulation would silently mis-sort; refuse loudly
+                raise _WireError(
+                    "CREATE TYPE ... AS ENUM is not supported: enum "
+                    "definition-order comparisons cannot be emulated "
+                    "as strings without silently mis-sorting. Use a "
+                    "dimension table with an ordinal column, or a "
+                    "STRING column with a CHECK constraint.",
+                    "0A000",
+                )
+            TYPE_ALIASES[name.lower()] = await self._exec(
+                session, state.job_tag, resolve_type_text, body
+            )
+            writer.write(P.command_complete("CREATE TYPE"))
+            await writer.drain()
+            return
+        if first == "DROP" and (m := _DROP_TYPE_RE.match(stmt)):
+            from .compat import TYPE_ALIASES
+
+            if (
+                TYPE_ALIASES.pop(m.group(2).lower(), None) is None
+                and not m.group(1)
+            ):
+                raise _WireError(
+                    f'Type with name "{m.group(2)}" does not exist!',
+                    "42704",
+                )
+            writer.write(P.command_complete("DROP TYPE"))
+            await writer.drain()
+            return
         if "pipeline" in stmt.lower():
             # pipeline('op') / pipeline_ops(): materialize registry
             # operators as temp views BEFORE dispatch (covers simple
@@ -2276,6 +2311,14 @@ _DETACH_RE = re.compile(
     re.IGNORECASE,
 )
 _USE_RE = re.compile(r"^\s*USE\s+(\w+)(?:\.(\w+))?\s*;?\s*$", re.IGNORECASE)
+
+_CREATE_TYPE_RE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+(\w+)\s+AS\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_DROP_TYPE_RE = re.compile(
+    r"^\s*DROP\s+TYPE\s+(IF\s+EXISTS\s+)?(\w+)(?:\s+CASCADE)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 # alias → {"kind": "memory" | "file_ro", "path": str | None}
 ATTACHED: dict[str, dict] = {}

@@ -1138,6 +1138,29 @@ _ARRAY_ELEM_TYPES = {
 }
 
 
+# user-defined type aliases (CREATE TYPE name AS <type>; server-process
+# scope like MACROS/SEQUENCES — DuckDB types are catalog-scope). Values
+# are RESOLVED Spark type text. ENUM types refuse at CREATE: their
+# definition-order comparisons cannot be emulated as strings without
+# silently mis-sorting.
+TYPE_ALIASES: dict[str, str] = {}
+
+
+def resolve_type_text(t: str) -> str:
+    """A DuckDB type fragment → Spark type text (arrays, STRUCT/MAP
+    spellings, duck-only scalars, nested aliases)."""
+    out = _rewrite_duck_types(_rewrite_array_type_suffix(t)).strip()
+    base = out.split("(")[0].split("<")[0].strip().lower()
+    if base == out.lower():  # bare scalar word: map it directly
+        if base in TYPE_ALIASES:
+            return TYPE_ALIASES[base]
+        if base in _DUCK_ONLY_TYPES:
+            return _DUCK_ONLY_TYPES[base]
+        mapped = _ARRAY_ELEM_TYPES.get(base)
+        return out if mapped is None else mapped
+    return out
+
+
 # DuckDB-only scalar type names in CAST positions → value-preserving
 # Spark types (the unsigned family widens one size; 128-bit maps to
 # Spark's widest decimal)
@@ -1181,8 +1204,11 @@ def _rewrite_duck_types(sql: str) -> str:
     or as a CAST tail (the closing-paren anchor keeps column aliases
     named like types out of reach)."""
     up = sql.upper()
-    if "STRUCT" not in up and "MAP" not in up and not any(
-        t.upper() in up for t in _DUCK_ONLY_TYPES
+    if (
+        "STRUCT" not in up
+        and "MAP" not in up
+        and not any(t.upper() in up for t in _DUCK_ONLY_TYPES)
+        and not any(n.upper() in up for n in TYPE_ALIASES)
     ):
         return sql
     mask = _code_mask(sql)
@@ -1228,6 +1254,44 @@ def _rewrite_duck_types(sql: str) -> str:
     sql = _COLON_TYPE_RE.sub(sub_scalar, sql)
     mask = _code_mask(sql)
     sql = _CAST_AS_TYPE_RE.sub(sub_scalar, sql)
+    sql = _substitute_type_aliases(sql)
+    return sql
+
+
+def _substitute_type_aliases(sql: str) -> str:
+    """CREATE TYPE aliases in TYPE positions: after ``::``, as a
+    paren-anchored CAST tail, and — in CREATE TABLE column lists —
+    as the word FOLLOWING a column name."""
+    if not TYPE_ALIASES:
+        return sql
+    mask = _code_mask(sql)
+    names = "|".join(re.escape(n) for n in TYPE_ALIASES)
+
+    def sub(m: re.Match) -> str:
+        if not all(mask[m.start() : m.end()]):
+            return m.group(0)
+        if m.group(1).strip().upper() in (
+            "TABLE", "EXISTS", "IF", "REPLACE", "TEMP", "TEMPORARY",
+            "CREATE", "OR", "NOT",
+        ):
+            return m.group(0)  # a TABLE named like the alias, etc.
+        tail = m.group(3) if (m.lastindex or 0) >= 3 else ""
+        return m.group(1) + TYPE_ALIASES[m.group(2).lower()] + tail
+
+    sql = re.sub(rf"(::\s*)({names})\b", sub, sql, flags=re.IGNORECASE)
+    mask = _code_mask(sql)
+    sql = re.sub(
+        rf"(\bAS\s+)({names})(\s*\))", sub, sql, flags=re.IGNORECASE
+    )
+    if re.match(
+        r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\b",
+        sql,
+        re.IGNORECASE,
+    ):
+        mask = _code_mask(sql)
+        sql = re.sub(
+            rf"(\w+\s+)({names})\b", sub, sql, flags=re.IGNORECASE
+        )
     return sql
 
 

@@ -3337,6 +3337,44 @@ def test_wire_csv_bare_path_sniffing(client, tmp_path):
     client.query("DROP TABLE csv_load")
 
 
+def test_wire_create_type_aliases(client, spark):
+    """CREATE TYPE name AS <type> (STRUCT/scalar aliases): usable in
+    casts and CREATE TABLE column lists; ENUM refuses loudly (its
+    definition-order comparisons can't be emulated as strings without
+    silently mis-sorting); DROP TYPE matches DuckDB's error shape."""
+    (r,) = client.query("CREATE TYPE pt AS STRUCT(x INT, y INT)")
+    assert r["tag"] == "CREATE TYPE", r
+    (r,) = client.query("CREATE TYPE uid AS UBIGINT")
+    assert r["tag"] == "CREATE TYPE", r
+    (r,) = client.query("SELECT ({'x': 1, 'y': 2})::pt AS p")
+    assert r["rows"] == [['{"x":1,"y":2}']], r
+    (r,) = client.query("SELECT '7'::uid AS u")
+    assert r["rows"] == [["7"]], r
+    _fresh_wire_table(spark, "pts_t")
+    (r,) = client.query("CREATE TABLE pts_t(p pt, u uid)")
+    assert "error" not in r, r
+    (r,) = client.query(
+        "INSERT INTO pts_t VALUES (({'x': 1, 'y': 2})::pt, 5)"
+    )
+    assert "error" not in r, r
+    (r,) = client.query("SELECT p.x + p.y AS s, u FROM pts_t")
+    assert r["rows"] == [["3", "5"]], r
+    client.query("DROP TABLE pts_t")
+    # ENUM: loud refusal naming the remediation
+    (r,) = client.query("CREATE TYPE mood AS ENUM ('sad', 'happy')")
+    assert "error" in r and "definition-order" in r["error"], r
+    # drop semantics
+    (r,) = client.query("DROP TYPE pt")
+    assert r["tag"] == "DROP TYPE", r
+    (r,) = client.query("SELECT CAST(NULL AS pt) AS gone")
+    assert "error" in r, r
+    (r,) = client.query("DROP TYPE nope")
+    assert "error" in r and "does not exist" in r["error"], r
+    (r,) = client.query("DROP TYPE IF EXISTS nope")
+    assert r["tag"] == "DROP TYPE", r
+    client.query("DROP TYPE IF EXISTS uid")
+
+
 def test_wire_groups_identifier_not_refused(client):
     """`groups` is an unreserved word — only GROUPS *frame mode* inside
     a window spec refuses (r7: the refusal fired on any `groups
