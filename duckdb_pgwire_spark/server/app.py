@@ -1195,6 +1195,11 @@ class PgWireServer:
             from .compat import TYPE_ALIASES, resolve_type_text
 
             name, body = m.group(1), m.group(2).strip().rstrip(";").strip()
+            if name.lower() in TYPE_ALIASES:
+                # DuckDB: Catalog Error on duplicate type creation
+                raise _WireError(
+                    f'Type with name "{name}" already exists!', "42710"
+                )
             if re.match(r"^ENUM\b", body, re.IGNORECASE):
                 # ENUM comparisons follow DEFINITION order — a string
                 # emulation would silently mis-sort; refuse loudly

@@ -1188,6 +1188,8 @@ _CAST_AS_TYPE_RE = re.compile(
 def _map_type_word(t: str) -> str:
     word = t.strip()
     base = word.split("(")[0].split("<")[0].strip().lower()
+    if base == word.lower() and base in TYPE_ALIASES:
+        return TYPE_ALIASES[base]  # alias as a STRUCT/MAP field type
     if base in _DUCK_ONLY_TYPES:
         return _DUCK_ONLY_TYPES[base]
     mapped = _ARRAY_ELEM_TYPES.get(base)

@@ -3360,6 +3360,16 @@ def test_wire_create_type_aliases(client, spark):
     (r,) = client.query("SELECT p.x + p.y AS s, u FROM pts_t")
     assert r["rows"] == [["3", "5"]], r
     client.query("DROP TABLE pts_t")
+    # nested alias inside a STRUCT field + duplicate-name error
+    (r,) = client.query("CREATE TYPE wrap AS STRUCT(inner pt, n uid)")
+    assert r["tag"] == "CREATE TYPE", r
+    (r,) = client.query(
+        "SELECT ({'inner': {'x': 1, 'y': 2}, 'n': 9})::wrap IS NOT NULL AS ok"
+    )
+    assert r["rows"] == [["t"]], r
+    client.query("DROP TYPE wrap")
+    (r,) = client.query("CREATE TYPE pt AS UBIGINT")
+    assert "error" in r and "already exists" in r["error"], r
     # ENUM: loud refusal naming the remediation
     (r,) = client.query("CREATE TYPE mood AS ENUM ('sad', 'happy')")
     assert "error" in r and "definition-order" in r["error"], r
