@@ -31,7 +31,13 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # Sub-second queries whose r5→r6 driver deltas (>15%) were shown to be
 # scheduling noise, not plan changes: median-of-5 tightens the estimate
 # (r6 verdict item 7; variance bounds recorded in BASELINE.md).
-EXTRA_RUNS = {"sim_topk_bruteforce": 5, "sim_lsh_bucketed": 5}
+# q17 joined r9: its 0.26→0.37 s r7→r8 driver delta was the round's only
+# >1.25x mover (r8 verdict item 5) — median-of-5 to settle noise vs real.
+EXTRA_RUNS = {
+    "sim_topk_bruteforce": 5,
+    "sim_lsh_bucketed": 5,
+    "q17_small_qty_revenue": 5,
+}
 
 # Queries whose first (warm-up) execution builds a persisted index that
 # steady-state serving amortizes (k-means centroids, LSH band parquet).
@@ -186,18 +192,40 @@ def main() -> None:
     for k, v in ok.items():
         c = _qclass(k)
         subtotals[c] = round(subtotals.get(c, 0.0) + v, 4)
+    # The driver captures only the LAST ~2000 chars of stdout; round 8's
+    # line outgrew that window (class subtotals + warmups pushed it over
+    # → BENCH_r08 parsed:null, the round's perf number of record lost).
+    # Fix (r8 verdict item 1): the stdout line carries ONLY the fields
+    # the driver contract names, 3-decimal walls, no separators padding;
+    # subtotals/warmups/scale-check move to stderr and bench_full.json.
     out = {
         "metric": "headline_query_total_median_wall",
-        "value": round(sum(ok.values()), 4),
+        "value": round(sum(ok.values()), 3),
         "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in per_query.items()},
+        "sf": sf,
+    }
+    full = {
+        **out,
         "queries": per_query,
         "class_subtotals_sec": dict(sorted(subtotals.items())),
         "index_warmup_sec": warmups,
-        "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_SCALE_CHECK") == "1":
-        out["scale_check_x16"] = _scale_check(spark, defs)
-    print(json.dumps(out))
+        full["scale_check_x16"] = _scale_check(spark, defs)
+    print(
+        "bench: class_subtotals_sec="
+        + json.dumps(full["class_subtotals_sec"], separators=(",", ":"))
+        + " index_warmup_sec="
+        + json.dumps(full["index_warmup_sec"], separators=(",", ":")),
+        file=sys.stderr,
+    )
+    Path(__file__).resolve().parent.joinpath("bench_full.json").write_text(
+        json.dumps(full, separators=(",", ":")) + "\n"
+    )
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1800, f"bench line {len(line)} chars breaches driver capture"
+    print(line)
     spark.stop()
 
 

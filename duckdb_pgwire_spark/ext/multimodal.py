@@ -14,6 +14,7 @@ changes.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -340,8 +341,13 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 rows["doc_id"].append(doc_id)
                 rows["thumb"].append(",".join(str(t) for t in thumb))
+                # half-AWAY-from-zero to match DuckDB ROUND — Python
+                # round() is half-to-even, and sum/64 can land on a
+                # 4-decimal tie (ADVICE r8 item 3); values are >= 0 so
+                # floor(x*1e4 + 0.5) is exactly half-away.
+                mean = sum(thumb) / (RESIZE_DIM * RESIZE_DIM)
                 rows["mean_feature"].append(
-                    round(sum(thumb) / (RESIZE_DIM * RESIZE_DIM), 4)
+                    math.floor(mean * 1e4 + 0.5) / 1e4
                 )
             yield pd.DataFrame(rows)
 

@@ -765,6 +765,42 @@ def parse_insert(stmt: str) -> InsertSpec | None:
     return InsertSpec(table, cols, src, conflict)
 
 
+def _coerce_enum_value(col, tgt_dt, src_dt):
+    """A bare string inserted into an ENUM-emulation column (DuckDB
+    implicit-casts VARCHAR → enum) → the ordered struct, validated
+    against the member list recovered from the self-describing label
+    field name (compat.ENUM_TYPES). Returns None when the target is
+    not an enum struct or the source is already struct-shaped."""
+    from pyspark.sql import types as T
+
+    if not (
+        isinstance(tgt_dt, T.StructType)
+        and len(tgt_dt.fields) == 2
+        and tgt_dt.fields[0].name == "__ecode"
+        and tgt_dt.fields[1].name.startswith("__elabel_")
+    ) or isinstance(src_dt, T.StructType):
+        return None
+    from ..server.compat import ENUM_TYPES
+
+    tn = tgt_dt.fields[1].name[len("__elabel_"):]
+    members = ENUM_TYPES.get(tn)
+    if not members:
+        return None
+    s = col.cast("string")
+    pos = F.array_position(F.array(*[F.lit(m) for m in members]), s)
+    msg = F.concat(
+        F.lit("Could not convert string '"), s, F.lit(f"' to enum {tn}")
+    )
+    code = (
+        F.when(pos == 0, F.raise_error(msg).cast("int"))
+        .otherwise(pos.cast("int"))
+        .alias("__ecode")
+    )
+    return F.when(s.isNull(), F.lit(None).cast(tgt_dt)).otherwise(
+        F.struct(code, s.alias(tgt_dt.fields[1].name))
+    )
+
+
 def stage_insert_rows(
     session: SparkSession, table: str, cols: list[str] | None, source_sql: str
 ) -> DataFrame:
@@ -789,8 +825,18 @@ def stage_insert_rows(
             raise ValueError(f'column "{c}" of relation "{table}" does not exist')
     src = src.toDF(*names)
     by_lower = {c.lower(): c for c in names}
+    src_types = {f.name.lower(): f.dataType for f in src.schema.fields}
+
+    def _cell(f):
+        c = F.col(by_lower[f.name.lower()])
+        src_dt = src_types[f.name.lower()]
+        coerced = _coerce_enum_value(c, f.dataType, src_dt)
+        return (coerced if coerced is not None else c.cast(f.dataType)).alias(
+            f.name
+        )
+
     aligned = [
-        F.col(by_lower[f.name.lower()]).cast(f.dataType).alias(f.name)
+        _cell(f)
         if f.name.lower() in by_lower
         else F.lit(None).cast(f.dataType).alias(f.name)
         for f in tgt_fields

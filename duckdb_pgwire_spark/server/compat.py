@@ -1140,10 +1140,316 @@ _ARRAY_ELEM_TYPES = {
 
 # user-defined type aliases (CREATE TYPE name AS <type>; server-process
 # scope like MACROS/SEQUENCES — DuckDB types are catalog-scope). Values
-# are RESOLVED Spark type text. ENUM types refuse at CREATE: their
-# definition-order comparisons cannot be emulated as strings without
-# silently mis-sorting.
+# are RESOLVED Spark type text.
 TYPE_ALIASES: dict[str, str] = {}
+
+# ---------------------------------------------------------------- ENUM
+# CREATE TYPE ... AS ENUM (r8 verdict item 3). An enum VALUE travels as
+# ``STRUCT<__ecode: INT, __elabel_<type>: STRING>``: Spark orders
+# structs field-by-field, so declaration-order comparisons, ORDER BY,
+# min/max, GROUP BY and joins are NATIVE — the ordering is embedded in
+# the value, surviving tables/CTAS with no column registry. The label
+# field name is self-describing: the wire encoder renders it and the
+# INSERT coercion recovers the member list from it. DuckDB-probed
+# (v1.x): enum-enum compares by declaration order; enum-vs-varchar
+# compares AS VARCHAR (lexically — probed `'ok'::mood < 'sad'` = true);
+# invalid casts raise a conversion error; TRY_CAST yields NULL; values
+# render as the label; enum_code() is the 0-based declaration index.
+ENUM_TYPES: dict[str, list[str]] = {}
+
+
+def enum_struct_type(name: str) -> str:
+    return f"STRUCT<__ecode: INT, __elabel_{name.lower()}: STRING>"
+
+
+def define_enum_type(name: str, members: list[str]) -> None:
+    key = name.lower()
+    if key in TYPE_ALIASES:
+        raise ValueError(f'Type with name "{name}" already exists!')
+    if not members:
+        raise ValueError("an ENUM type needs at least one member")
+    if len(set(members)) != len(members):
+        raise ValueError(f"enum {name} has duplicate members")
+    ENUM_TYPES[key] = list(members)
+    TYPE_ALIASES[key] = enum_struct_type(key)
+
+
+def _esc_lit(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _enum_arr_sql(tn: str) -> str:
+    return "array(" + ", ".join(_esc_lit(m) for m in ENUM_TYPES[tn]) + ")"
+
+
+def _enum_struct_sql(x: str, tn: str, strict: bool = True) -> str:
+    """Enum-cast constructor: ``x::tn`` → the ordered struct. strict
+    raises like DuckDB's conversion error; non-strict (TRY_CAST)
+    yields a NULL struct for a non-member."""
+    arr = _enum_arr_sql(tn)
+    s = f"CAST({x} AS STRING)"
+    pos = f"array_position({arr}, {s})"
+    if strict:
+        code = (
+            f"CAST(CASE WHEN {pos} = 0 THEN raise_error(concat("
+            f"'Could not convert string \\'', {s}, '\\' to enum {tn}'))"
+            f" ELSE {pos} END AS INT)"
+        )
+        return (
+            f"CASE WHEN {s} IS NULL THEN NULL ELSE named_struct("
+            f"'__ecode', {code}, '__elabel_{tn}', {s}) END"
+        )
+    return (
+        f"CASE WHEN {s} IS NULL OR {pos} = 0 THEN NULL"
+        f" ELSE named_struct('__ecode', CAST({pos} AS INT),"
+        f" '__elabel_{tn}', {s}) END"
+    )
+
+
+def _enum_vstr_sql(x: str, tn: str) -> str:
+    """Enum cast in a varchar-comparison context: the VALIDATED label
+    string (DuckDB compares enum-vs-varchar as VARCHAR, but still
+    refuses a non-member cast)."""
+    arr = _enum_arr_sql(tn)
+    s = f"CAST({x} AS STRING)"
+    return (
+        f"CASE WHEN array_position({arr}, {s}) = 0 THEN raise_error("
+        f"concat('Could not convert string \\'', {s},"
+        f" '\\' to enum {tn}')) ELSE {s} END"
+    )
+
+
+def _match_paren(sql: str, mask: list[bool], open_i: int) -> int | None:
+    """Index of the ')' closing the '(' at open_i (mask-aware)."""
+    depth, i = 0, open_i
+    while i < len(sql):
+        if mask[i]:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+        i += 1
+    return None
+
+
+def _operand_start(sql: str, mask: list[bool], pos: int) -> int | None:
+    """Start index of the cast operand ending just before ``pos``
+    (the ``::`` of a cast): a string literal, a parenthesized group
+    (with an optional call head), or an identifier/number chain."""
+    j = pos - 1
+    while j >= 0 and sql[j].isspace():
+        j -= 1
+    if j < 0:
+        return None
+    if not mask[j]:  # string literal (mask covers the quotes)
+        while j >= 0 and not mask[j]:
+            j -= 1
+        return j + 1
+    if sql[j] == ")":
+        depth, i = 0, j
+        while i >= 0:
+            if mask[i]:
+                if sql[i] == ")":
+                    depth += 1
+                elif sql[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            i -= 1
+        if i < 0:
+            return None
+        k = i - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        if k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+            h = k
+            while h >= 0 and (sql[h].isalnum() or sql[h] in "_."):
+                h -= 1
+            head = sql[h + 1 : k + 1]
+            if head and head[0] not in ".0123456789" and head.upper() not in (
+                "AND", "OR", "NOT", "THEN", "ELSE", "WHEN", "IN", "SELECT",
+                "WHERE", "FROM", "ON", "BY", "AS", "OVER", "VALUES", "CASE",
+                "END", "JOIN", "USING", "HAVING", "BETWEEN", "LIKE", "SET",
+            ):
+                return h + 1
+        return i
+    if sql[j].isalnum() or sql[j] in "_.$":
+        while j >= 0 and (sql[j].isalnum() or sql[j] in "_.$"):
+            j -= 1
+        return j + 1
+    return None
+
+
+def _enum_varchar_context(
+    sql: str, mask: list[bool], start: int, end: int
+) -> bool:
+    """True when the enum cast at [start, end) is directly compared
+    against a textually-certain NON-enum operand (a string/number
+    literal, or IN/BETWEEN lists) — DuckDB gives those comparisons
+    VARCHAR semantics. An adjacent literal that is ITSELF enum-cast
+    (``'a'::t < 'b'::t``) keeps struct (declaration-order) semantics."""
+    names = "|".join(ENUM_TYPES)
+
+    def _is_literal_then_not_enum(k: int) -> bool:
+        # k at a candidate RHS operand: literal / number, NOT ::enum-cast
+        if k >= len(sql):
+            return False
+        if not mask[k]:  # string literal: find its end
+            while k < len(sql) and not mask[k]:
+                k += 1
+        elif sql[k].isdigit():
+            while k < len(sql) and (sql[k].isalnum() or sql[k] == "."):
+                k += 1
+        else:
+            return False
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        return not re.match(rf"::\s*(?:{names})\b", sql[k:], re.IGNORECASE)
+
+    # comparison op AFTER the cast
+    k = end
+    while k < len(sql) and sql[k].isspace():
+        k += 1
+    if re.match(r"(?:<=|>=|<>|!=|=|<|>)", sql[k:]):
+        k += len(re.match(r"(?:<=|>=|<>|!=|=|<|>)", sql[k:]).group(0))
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        if _is_literal_then_not_enum(k):
+            return True
+    elif re.match(r"(?:IN|BETWEEN|NOT\s+IN|NOT\s+BETWEEN)\b", sql[k:], re.IGNORECASE):
+        return True
+    # comparison op BEFORE the operand, with a literal on its far side
+    j = start - 1
+    while j >= 0 and sql[j].isspace():
+        j -= 1
+    if j >= 0 and sql[j] in "<>=!":
+        while j >= 0 and sql[j] in "<>=!":
+            j -= 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j >= 0 and (not mask[j] or sql[j].isdigit()):
+            # far side is a literal — but an enum-cast literal keeps
+            # struct semantics, and it would have been REWRITTEN
+            # already (left-to-right), leaving ')' here, not a literal
+            return True
+    return False
+
+
+def _rewrite_enum_casts(sql: str) -> str:
+    """``x::enumtype`` / ``[TRY_]CAST(x AS enumtype)`` → the ordered
+    enum struct (or the validated label string in varchar-comparison
+    contexts — see _enum_varchar_context)."""
+    if not ENUM_TYPES:
+        return sql
+    low = sql.lower()
+    if not any(n in low for n in ENUM_TYPES):
+        return sql
+    changed = True
+    while changed:  # [TRY_]CAST(expr AS type)
+        changed = False
+        mask = _code_mask(sql)
+        for m in re.finditer(r"\b(TRY_)?CAST\s*\(", sql, re.IGNORECASE):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            close_i = _match_paren(sql, mask, m.end() - 1)
+            if close_i is None:
+                continue
+            inner = sql[m.end() : close_i]
+            mm = re.search(r"\bAS\s+(\w+)\s*$", inner, re.IGNORECASE)
+            if mm is None or mm.group(1).lower() not in ENUM_TYPES:
+                continue
+            x = inner[: mm.start()].strip()
+            body = _enum_struct_sql(x, mm.group(1).lower(), strict=not m.group(1))
+            sql = sql[: m.start()] + "(" + body + ")" + sql[close_i + 1 :]
+            changed = True
+            break
+    names = "|".join(ENUM_TYPES)
+    changed = True
+    while changed:  # operand::type
+        changed = False
+        mask = _code_mask(sql)
+        for m in re.finditer(rf"::\s*({names})\b", sql, re.IGNORECASE):
+            if not all(mask[m.start() + 2 : m.end()]):
+                continue
+            tn = m.group(1).lower()
+            start = _operand_start(sql, mask, m.start())
+            if start is None:
+                continue
+            x = sql[start : m.start()].strip()
+            if not x:
+                continue
+            if _enum_varchar_context(sql, mask, start, m.end()):
+                body = _enum_vstr_sql(x, tn)
+            else:
+                body = _enum_struct_sql(x, tn, strict=True)
+            sql = sql[:start] + "(" + body + ")" + sql[m.end() :]
+            changed = True
+            break
+    return sql
+
+
+def _enum_type_of(argtext: str) -> str | None:
+    m = re.search(r"::\s*(\w+)", argtext) or re.search(
+        r"\bAS\s+(\w+)\s*\)?\s*$", argtext, re.IGNORECASE
+    )
+    if m and m.group(1).lower() in ENUM_TYPES:
+        return m.group(1).lower()
+    return None
+
+
+def _rewrite_enum_fns(sql: str) -> str:
+    """DuckDB enum introspection functions → literals / field access.
+    Runs BEFORE the cast pass (the type name must still be visible in
+    the argument text)."""
+    if not ENUM_TYPES or "enum_" not in sql.lower():
+        return sql
+    changed = True
+    while changed:
+        changed = False
+        mask = _code_mask(sql)
+        for m in re.finditer(
+            r"\b(enum_range_boundary|enum_range|enum_first|enum_last|"
+            r"enum_code)\s*\(",
+            sql,
+            re.IGNORECASE,
+        ):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            close_i = _match_paren(sql, mask, m.end() - 1)
+            if close_i is None:
+                continue
+            argtext = sql[m.end() : close_i]
+            fn = m.group(1).lower()
+            if fn == "enum_code":
+                repl = f"(({argtext.strip()}).__ecode - 1)"
+            elif fn == "enum_range_boundary":
+                parts = split_top_level(argtext)
+                if len(parts) != 2:
+                    continue
+                a, b = parts[0].strip(), parts[1].strip()
+                tn = _enum_type_of(a) or _enum_type_of(b)
+                if tn is None:
+                    continue
+                arr, n = _enum_arr_sql(tn), len(ENUM_TYPES[tn])
+                lo = f"coalesce(({a}).__ecode, 1)"
+                hi = f"coalesce(({b}).__ecode, {n})"
+                repl = f"slice({arr}, {lo}, {hi} - {lo} + 1)"
+            else:
+                tn = _enum_type_of(argtext)
+                if tn is None:
+                    continue
+                members = ENUM_TYPES[tn]
+                repl = {
+                    "enum_range": _enum_arr_sql(tn),
+                    "enum_first": _esc_lit(members[0]),
+                    "enum_last": _esc_lit(members[-1]),
+                }[fn]
+            sql = sql[: m.start()] + repl + sql[close_i + 1 :]
+            changed = True
+            break
+    return sql
 
 
 def resolve_type_text(t: str) -> str:
@@ -2293,8 +2599,17 @@ _NARY_REWRITES: dict = {
     ),
     # ---- r8 sweep gaps
     "sha256": (1, "sha2({0}, 256)"),
-    # probed: DuckDB signbit is a plain x < 0 (signbit(-0.0) = false)
-    "signbit": (1, "({0} < 0)"),
+    # DuckDB signbit reads the IEEE sign bit: signbit(-0.0::DOUBLE) is
+    # true even though -0.0 = 0 (the earlier probe used the decimal
+    # literal -0.0 which is +0 — ADVICE r8 item 2). x < 0 covers every
+    # nonzero case; the zero case recovers the sign from the string
+    # render (Java Double.toString(-0.0) = '-0.0'; 1/x would be IEEE
+    # -Infinity but ANSI-mode Spark refuses division by zero).
+    "signbit": (
+        1,
+        "({0} < 0 OR ({0} = CAST(0 AS DOUBLE)"
+        " AND CAST({0} AS STRING) LIKE '-%'))",
+    ),
     "row_to_json": (1, "to_json({0})"),
     # LIKE-with-escape function spellings → the operator form
     "like_escape": (3, "({0} LIKE {1} ESCAPE {2})"),
@@ -4061,6 +4376,8 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_date_literal_diff(sql)  # before '-' reaches Spark
     sql = _rewrite_interval_epoch(sql)  # before the epoch() nary claims it
     sql = _rewrite_operators(sql)  # before nary: xor() legitimately emits ^
+    sql = _rewrite_enum_fns(sql)  # while enum type names are visible
+    sql = _rewrite_enum_casts(sql)  # before alias/type passes claim ::name
     sql = _rewrite_read_files(sql)  # before literal split: needs the path string
     sql = _rewrite_strftime(sql)  # before literal split: needs the fmt string
     sql = _rewrite_list_aggregate(sql)  # ditto: needs the quoted agg name

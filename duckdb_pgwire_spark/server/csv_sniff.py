@@ -99,6 +99,16 @@ def sniff_text(
         raise ValueError("empty CSV sample")
     sample = "\n".join(lines) + "\n"
     if sep is not None:
+        # An override longer than 1 char would reach csv.reader and
+        # raise TypeError — which escapes the ValueError→58030 IO-error
+        # mapping and surfaces as an internal error (ADVICE r8 item 4).
+        # Translate the common escaped spellings first, then refuse
+        # multi-char separators loudly with the mappable exception type.
+        sep = {"\\t": "\t", "\\n": "\n"}.get(sep, sep)
+        if len(sep) != 1:
+            raise ValueError(
+                f"CSV delimiter must be a single character, got {sep!r}"
+            )
         best = sep
     else:
         best, best_cols = ",", 1

@@ -20,6 +20,7 @@ import datetime as _dt
 import decimal
 import json
 import math
+from collections.abc import Callable
 from typing import Any
 
 from pyspark.sql import types as T
@@ -222,6 +223,17 @@ def encode_text(v: Any) -> str:
         return json.dumps(v, default=str, separators=(",", ":"))
     if hasattr(v, "asDict"):  # Row (struct)
         d = v.asDict(recursive=True)
+        keys = list(d)
+        if (
+            len(keys) == 2
+            and keys[0] == "__ecode"
+            and keys[1].startswith("__elabel_")
+        ):
+            # ENUM emulation (compat.ENUM_TYPES): the ordered struct
+            # renders as its label, exactly like DuckDB renders an
+            # enum value as the member string
+            lbl = d[keys[1]]
+            return "NULL" if lbl is None else str(lbl)
         tag = d.get("__utag")
         if (
             isinstance(tag, str)
@@ -244,6 +256,53 @@ def encode_text(v: Any) -> str:
 
 def encode_cell(v: Any) -> bytes | None:
     return None if v is None else encode_text(v).encode()
+
+
+def _check_rectangular(v: list, dt: "T.ArrayType") -> None:
+    """PG multidimensional arrays are RECTANGULAR; a ragged or
+    NULL-sub-array Spark nested list has no valid literal under the
+    advertised array OID. The binary codec already refuses loudly
+    (see encode_binary below); this mirrors that check for the text
+    path so OID-aware clients (psycopg, JDBC) never receive a
+    malformed literal like {{1},{2,3}} (ADVICE r8 item 1)."""
+    elem_dt = dt.elementType
+    probe = v
+    while isinstance(elem_dt, T.ArrayType):
+        if any(e is None for e in probe):
+            raise ValueError(
+                "text array format: NULL sub-array is not representable "
+                "in a PG multidimensional array — cast to VARCHAR for a "
+                "text rendering"
+            )
+        sizes = {len(e) for e in probe}
+        if len(sizes) > 1:
+            raise ValueError(
+                "text array format: ragged nested array is not "
+                "representable (PG arrays are rectangular) — cast to "
+                "VARCHAR for a text rendering"
+            )
+        probe = [x for e in probe for x in e]
+        elem_dt = elem_dt.elementType
+
+
+def text_cell_encoder(dt: T.DataType) -> Callable[[Any], bytes | None]:
+    """Per-column text encoder. Nested arrays advertised under a real
+    PG array OID validate rectangularity before rendering; everything
+    else is the plain ``encode_cell``."""
+    if (
+        isinstance(dt, T.ArrayType)
+        and isinstance(dt.elementType, T.ArrayType)
+        and pg_oid(dt) in _ELEM_OIDS
+    ):
+
+        def enc(v: Any) -> bytes | None:
+            if v is None:
+                return None
+            _check_rectangular(v, dt)
+            return encode_text(v).encode()
+
+        return enc
+    return encode_cell
 
 
 # ------------------------------------------------------ binary format

@@ -471,6 +471,8 @@ BATTERY: dict[str, list[str]] = {
         "SELECT even(-2.5) AS e1, even(3.0) AS e2, even(-3.0) AS e3,"
         " even(2.0) AS e4",
         "SELECT signbit(-0.0) AS s0, signbit(0.0) AS s1, signbit(-5) AS s2",
+        # IEEE negative zero carries a real sign bit (ADVICE r8 item 2)
+        "SELECT signbit(-0.0::DOUBLE) AS z0, signbit((-1.0::DOUBLE) * 0.0) AS z1",
         # dot-call method chaining (paren / call receivers; DuckDB v1.0
         # itself rejects string-literal receivers)
         "SELECT ('ab' || 'c').len() AS chain",
@@ -492,6 +494,39 @@ BATTERY: dict[str, list[str]] = {
         "SELECT cardinality(map([1,2],['a','b'])) AS cd",
         "SELECT COLUMNS(* EXCLUDE (r_name)) FROM region ORDER BY 1 LIMIT 1",
         "SELECT min(COLUMNS(* EXCLUDE (r_name))) FROM region",
+    ],
+    "r9_enum": [
+        # r9 (r8 verdict item 3): CREATE TYPE ... AS ENUM — stateful
+        # on both engines; declaration-order vs varchar semantics are
+        # DuckDB-probed (compat.py ENUM_TYPES docstring)
+        "CREATE TYPE probe_mood AS ENUM ('sad', 'ok', 'happy')",
+        "SELECT 'ok'::probe_mood AS m",
+        "SELECT TRY_CAST('nope' AS probe_mood) AS m",
+        "SELECT 'ok'::probe_mood < 'happy'::probe_mood AS c1,"
+        " 'ok'::probe_mood < 'sad' AS c2, 'ok'::probe_mood = 'ok' AS e1",
+        "SELECT 'sad'::probe_mood BETWEEN 'sad' AND 'happy' AS b",
+        "SELECT m FROM (SELECT 'happy'::probe_mood AS m UNION ALL"
+        " SELECT 'sad'::probe_mood UNION ALL SELECT 'ok'::probe_mood) t"
+        " ORDER BY m",
+        "SELECT min(m) AS lo, max(m) AS hi FROM"
+        " (SELECT 'happy'::probe_mood AS m UNION ALL"
+        " SELECT 'sad'::probe_mood) t",
+        "SELECT enum_range(NULL::probe_mood) AS r,"
+        " enum_first(NULL::probe_mood) AS f,"
+        " enum_last(NULL::probe_mood) AS l",
+        "SELECT enum_code('ok'::probe_mood) AS c",
+        "SELECT enum_range_boundary(NULL::probe_mood, 'ok'::probe_mood) AS rb",
+        # (unnest(...)::enum stays unprobed: a generator cannot sit
+        # inside the cast's CASE wrapper — the UNION form is equivalent)
+        "CREATE OR REPLACE TABLE probe_emood AS SELECT m FROM"
+        " (SELECT 'happy'::probe_mood AS m UNION ALL"
+        " SELECT 'sad'::probe_mood UNION ALL"
+        " SELECT 'ok'::probe_mood) t",
+        "SELECT m FROM probe_emood ORDER BY m",
+        "INSERT INTO probe_emood VALUES ('sad')",
+        "SELECT m, count(*) AS n FROM probe_emood GROUP BY m ORDER BY m",
+        "DROP TABLE probe_emood",
+        "DROP TYPE probe_mood",
     ],
 }
 

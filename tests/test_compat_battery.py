@@ -135,6 +135,10 @@ BATTERY = [
     " even(-3.0) AS e3, even(2.0) AS e4, even(0.0) AS e5",
     "SELECT signbit(-0.0) AS s0, signbit(0.0) AS s1, signbit(-5) AS s2,"
     " signbit(3) AS s3",
+    # r9: IEEE negative zero (the decimal literal -0.0 above is +0;
+    # -0.0::DOUBLE carries a real sign bit — ADVICE r8 item 2)
+    "SELECT signbit(-0.0::DOUBLE) AS z0, signbit(0.0::DOUBLE) AS z1,"
+    " signbit((-1.0::DOUBLE) * 0.0) AS z2, signbit('nan'::DOUBLE) AS z3",
     "SELECT nextafter(1.0, 2.0) AS na, nextafter(1.0, 0.0) AS nb",
     # dot-call method chaining (paren / call receivers)
     "SELECT ('ab' || 'c').len() AS chain",

@@ -2972,6 +2972,17 @@ def test_wire_attach_file_readonly_and_refusals(client, tmp_path):
     # ... but COPY ... FROM loads INTO the table — still refused
     (r,) = client.query(f"COPY attro.ft FROM '{out_csv}' (HEADER)")
     assert "error" in r and "READ_ONLY" in r["error"], r
+    # CREATE MACRO reading the RO attach is a pure READ — legal
+    # (ADVICE r8 item 5: the conservative qualifier-scan fallback used
+    # to reject it because the 'attro.' qualifier appears in the text)
+    (r,) = client.query(
+        "CREATE MACRO ro_total() AS (SELECT sum(c) FROM attro.ft)"
+    )
+    assert "error" not in r, r
+    (r,) = client.query("SELECT ro_total() AS t")
+    assert r["rows"] == [["19"]], r
+    (r,) = client.query("DROP MACRO ro_total")
+    assert "error" not in r, r
     # write verbs the target regex can't bind still refuse when an RO
     # alias is the qualifier (ADVICE r7 item 4)
     (r,) = client.query("ALTER VIEW attro.ft RENAME TO ft2")
@@ -3175,6 +3186,21 @@ def test_extended_binary_nested_arrays(client):
         raw_rows=True,
     )
     assert "error" in out and "ragged" in out["error"], out
+    # ... and the TEXT path refuses identically: the advertised OID is
+    # the rectangular PG array type, so {{1},{2,3}} would be a
+    # malformed literal for OID-aware clients (ADVICE r8 item 1)
+    (r,) = client.query("SELECT array(array(1, 2), array(3)) AS m")
+    assert "error" in r and "ragged" in r["error"], r
+    (r,) = client.query(
+        "SELECT array(array(1, 2), CAST(NULL AS ARRAY<INT>)) AS m"
+    )
+    assert "error" in r and "NULL sub-array" in r["error"], r
+    # struct-element nested arrays advertise TEXT — raggedness is legal
+    (r,) = client.query(
+        "SELECT array(array(named_struct('a', 1)),"
+        " array(named_struct('a', 2), named_struct('a', 3))) AS m"
+    )
+    assert "error" not in r, r
 
 
 def test_wire_union_type_emulation(client):
@@ -3289,6 +3315,18 @@ def test_wire_csv_bare_path_sniffing(client, tmp_path):
     # unsupported read_csv option: loud refusal naming the option
     (r,) = client.query(f"SELECT * FROM read_csv('{p}', quote='x')")
     assert "error" in r and "quote" in r["error"], r
+    # the two-char SQL spelling '\t' means a TAB separator (ADVICE r8
+    # item 4: it used to reach csv.reader and crash with TypeError)
+    pt = str(tmp_path / "tabs.tsv")
+    (r,) = client.query(
+        f"SELECT a FROM read_csv('{pt}', delim='\\t') ORDER BY a"
+    )
+    assert "error" not in r, r
+    assert r["rows"] == [["1"], ["2"]], r
+    # a genuinely multi-char separator refuses loudly as a mapped
+    # error, not an internal server crash
+    (r,) = client.query(f"SELECT * FROM read_csv('{p}', delim='||')")
+    assert "error" in r and "delimiter" in r["error"], r
     # missing file: loud, DuckDB-style IO error
     (r,) = client.query("SELECT * FROM '/nonexistent/nope.csv'")
     assert "error" in r and "nope.csv" in r["error"], r
@@ -3337,11 +3375,83 @@ def test_wire_csv_bare_path_sniffing(client, tmp_path):
     client.query("DROP TABLE csv_load")
 
 
+def test_wire_create_type_enum(client, spark):
+    """CREATE TYPE ... AS ENUM (r8 verdict item 3): declaration-order
+    comparisons / ORDER BY / min-max via the ordered-struct emulation
+    (compat.ENUM_TYPES), DuckDB varchar semantics for comparisons
+    against literals, loud conversion errors, enum_* introspection
+    functions, and bare-string INSERT coercion. Value expectations are
+    DuckDB-probed (see compat.py docstring)."""
+    (r,) = client.query("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    assert r["tag"] == "CREATE TYPE", r
+    # renders as the label; declaration-order enum-enum comparison;
+    # varchar (lexical) comparison against a plain literal — probed:
+    # DuckDB 'ok'::mood < 'sad' IS true (lexical), < 'happy'::mood is
+    # declaration order
+    (r,) = client.query("SELECT 'ok'::mood AS m")
+    assert r["rows"] == [["ok"]], r
+    (r,) = client.query(
+        "SELECT 'ok'::mood < 'happy'::mood AS c1, 'ok'::mood < 'sad' AS c2,"
+        " 'ok'::mood = 'ok' AS e1,"
+        " 'sad'::mood BETWEEN 'sad' AND 'happy' AS b"
+    )
+    assert r["rows"] == [["t", "t", "t", "f"]], r
+    # invalid member: loud conversion error; TRY_CAST → NULL
+    (r,) = client.query("SELECT 'nope'::mood AS m")
+    assert "error" in r and "Could not convert" in r["error"], r
+    (r,) = client.query("SELECT TRY_CAST('nope' AS mood) AS m")
+    assert r["rows"] == [[None]], r
+    # ORDER BY / min / max follow DECLARATION order, not lexical
+    (r,) = client.query(
+        "SELECT m FROM (SELECT 'happy'::mood AS m UNION ALL"
+        " SELECT 'sad'::mood UNION ALL SELECT 'ok'::mood) t ORDER BY m"
+    )
+    assert r["rows"] == [["sad"], ["ok"], ["happy"]], r
+    (r,) = client.query(
+        "SELECT min(m) AS lo, max(m) AS hi FROM (SELECT 'happy'::mood AS m"
+        " UNION ALL SELECT 'sad'::mood) t"
+    )
+    assert r["rows"] == [["sad", "happy"]], r
+    # introspection functions (DuckDB-probed values)
+    (r,) = client.query(
+        "SELECT enum_range(NULL::mood) AS r, enum_first(NULL::mood) AS f,"
+        " enum_last(NULL::mood) AS l, enum_code('ok'::mood) AS c,"
+        " enum_range_boundary(NULL::mood, 'ok'::mood) AS rb"
+    )
+    assert r["rows"] == [["{sad,ok,happy}", "sad", "happy", "1", "{sad,ok}"]], r
+    # enum-typed table column: DDL, bare-string INSERT (implicit cast
+    # like DuckDB), declaration-order scan, GROUP BY, invalid refusal
+    _fresh_wire_table(spark, "tmood")
+    (r,) = client.query("CREATE TABLE tmood(m mood, v INT)")
+    assert "error" not in r, r
+    (r,) = client.query(
+        "INSERT INTO tmood VALUES ('happy', 1), ('sad', 2), ('ok', 3)"
+    )
+    assert "error" not in r, r
+    (r,) = client.query("SELECT m, v FROM tmood ORDER BY m")
+    assert r["rows"] == [["sad", "2"], ["ok", "3"], ["happy", "1"]], r
+    (r,) = client.query(
+        "SELECT m, count(*) AS n FROM tmood GROUP BY m ORDER BY m"
+    )
+    assert r["rows"] == [["sad", "1"], ["ok", "1"], ["happy", "1"]], r
+    (r,) = client.query("INSERT INTO tmood VALUES ('angry', 9)")
+    assert "error" in r and "Could not convert" in r["error"], r
+    (r,) = client.query("SELECT m FROM tmood WHERE m = 'sad'::mood")
+    assert r["rows"] == [["sad"]], r
+    client.query("DROP TABLE tmood")
+    # duplicate / drop semantics shared with aliases
+    (r,) = client.query("CREATE TYPE mood AS ENUM ('a')")
+    assert "error" in r and "already exists" in r["error"], r
+    (r,) = client.query("DROP TYPE mood")
+    assert r["tag"] == "DROP TYPE", r
+    (r,) = client.query("SELECT 'ok'::mood AS gone")
+    assert "error" in r, r
+
+
 def test_wire_create_type_aliases(client, spark):
     """CREATE TYPE name AS <type> (STRUCT/scalar aliases): usable in
-    casts and CREATE TABLE column lists; ENUM refuses loudly (its
-    definition-order comparisons can't be emulated as strings without
-    silently mis-sorting); DROP TYPE matches DuckDB's error shape."""
+    casts and CREATE TABLE column lists; DROP TYPE matches DuckDB's
+    error shape."""
     (r,) = client.query("CREATE TYPE pt AS STRUCT(x INT, y INT)")
     assert r["tag"] == "CREATE TYPE", r
     (r,) = client.query("CREATE TYPE uid AS UBIGINT")
@@ -3370,9 +3480,6 @@ def test_wire_create_type_aliases(client, spark):
     client.query("DROP TYPE wrap")
     (r,) = client.query("CREATE TYPE pt AS UBIGINT")
     assert "error" in r and "already exists" in r["error"], r
-    # ENUM: loud refusal naming the remediation
-    (r,) = client.query("CREATE TYPE mood AS ENUM ('sad', 'happy')")
-    assert "error" in r and "definition-order" in r["error"], r
     # drop semantics
     (r,) = client.query("DROP TYPE pt")
     assert r["tag"] == "DROP TYPE", r
