@@ -1,13 +1,16 @@
-"""[EXT] Pure-Python image codec for UNCOMPRESSED raster formats.
+"""[EXT] Pure-Python image codec for LOSSLESS raster formats.
 
 Real pixel decoding with no external library: Windows BMP (8/24/32-bit
-uncompressed BI_RGB, bottom-up and top-down, row padding, palette) and
-binary PPM (P6). These two formats have fully public, fixed layouts
-(the BMP file format and Netpbm specs), so "no codecs in the container"
-stops being a reason to stub — the mm_* operators decode actual pixels
-through this module. Compressed formats (PNG/JPEG/RLE-BMP) still refuse
-loudly with NotImplementedError: inflate/DCT genuinely need a library,
-and a silent fake would poison downstream features.
+uncompressed BI_RGB, bottom-up and top-down, row padding, palette),
+binary PPM (P6) / PGM (P5), and — r9 — PNG (8-bit depth, color types
+0/2/3/4/6, all five scanline filters; inflate is stdlib ``zlib``).
+These formats have fully public layouts (the BMP file format, Netpbm,
+and the PNG specification), so "no codecs in the container" stops
+being a reason to stub — the mm_* operators decode actual pixels
+through this module. Lossy/entropy-coded formats (JPEG, RLE-BMP,
+Adam7-interlaced PNG) still refuse loudly with NotImplementedError:
+DCT genuinely needs a library, and a silent fake would poison
+downstream features.
 
 The grayscale conversion is the integer ITU-R BT.601 luma
 ``(299*R + 587*G + 114*B) // 1000`` — exact for achromatic pixels
@@ -18,13 +21,16 @@ engines of the correctness gate can reproduce the math bit-for-bit.
 from __future__ import annotations
 
 import struct
+import zlib
 
 __all__ = [
     "DecodedImage",
     "decode_bmp",
     "decode_image",
+    "decode_png",
     "decode_ppm",
     "encode_bmp_gray",
+    "encode_png_gray",
     "encode_ppm_gray",
 ]
 
@@ -176,6 +182,140 @@ def decode_ppm(payload: bytes) -> DecodedImage:
     return DecodedImage(width, height, "ppm" if chans == 3 else "pgm", gray)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def encode_png_gray(width: int, height: int, pixels: list[int]) -> bytes:
+    """8-bit grayscale PNG (color type 0, filter 0 rows) from top-down
+    samples. IDAT uses STORED deflate blocks (zlib level 0), so the
+    payload size is deterministic: for raster bytes n = h*(w+1) ≤ one
+    stored block, total = 8 (sig) + 25 (IHDR) + 12 + (n+11) (IDAT) +
+    12 (IEND) = 68 + n — the mm_decode oracle recomputes it in SQL."""
+    if width <= 0 or height <= 0 or len(pixels) != width * height:
+        raise ValueError("pixels must be width*height gray samples")
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None
+        raw += bytes(v & 0xFF for v in pixels[y * width : (y + 1) * width])
+    if len(raw) > 60000:
+        # larger rasters split into multiple stored blocks and the
+        # size formula above stops holding — refuse rather than emit
+        # a payload the oracle can't predict
+        raise ValueError("encode_png_gray: raster exceeds one stored block")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> DecodedImage:
+    """Decode PNG (8-bit depth; gray / RGB / palette / gray+alpha /
+    RGBA; scanline filters 0-4) to gray samples via stdlib zlib.
+    16-bit depths, sub-byte palette depths and Adam7 interlace refuse
+    loudly."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr: tuple | None = None
+    plte: list[int] | None = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = [
+                _luma(data[i], data[i + 1], data[i + 2])
+                for i in range(0, len(data) - 2, 3)
+            ]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG is not supported")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG is not supported")
+    chans = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if chans is None:
+        raise ValueError(f"invalid PNG color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * chans
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("truncated PNG raster")
+    gray = [0] * (width * height)
+    prev = bytes(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(chans, stride):
+                line[i] = (line[i] + line[i - chans]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - chans] if i >= chans else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - chans] if i >= chans else 0
+                ul = prev[i - chans] if i >= chans else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        prev = bytes(line)
+        for x in range(width):
+            p = x * chans
+            if ctype == 0 or ctype == 4:
+                gray[y * width + x] = line[p]
+            elif ctype == 3:
+                idx = line[p]
+                if idx >= len(plte):  # type: ignore[arg-type]
+                    raise ValueError("PNG palette index out of range")
+                gray[y * width + x] = plte[idx]  # type: ignore[index]
+            else:  # 2 (RGB) / 6 (RGBA)
+                gray[y * width + x] = _luma(line[p], line[p + 1], line[p + 2])
+    return DecodedImage(width, height, "png", gray)
+
+
 def decode_image(payload: bytes) -> DecodedImage | None:
     """Sniff + decode the formats this module understands, None when
     the magic is unrecognized (caller falls back to PIL or the fake)."""
@@ -183,4 +323,6 @@ def decode_image(payload: bytes) -> DecodedImage | None:
         return decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     return None

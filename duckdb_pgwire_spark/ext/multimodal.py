@@ -1,15 +1,15 @@
 """[EXT] Multimodal column plumbing: opaque binary payloads + typed
 metadata, decoded via Arrow-batched ``mapInPandas``.
 
-The decode plane is REAL for uncompressed rasters: ``ext.imagecodec``
-(pure Python, public BMP/PPM layouts) decodes actual pixels on the
-executors — mm_decode / mm_resize / mm_phash_near_dup all consume
-decoded grids, value-gated against oracles that recompute the expected
-pixels independently. Only compressed codecs (PNG/JPEG/video) remain
-gated: PIL is used where importable, else the clearly-marked
-deterministic ``FakeDecoder`` stands in (the container ships no codec
-libraries); a production build swaps in PIL/ffmpeg and nothing else
-changes.
+The decode plane is REAL for every lossless raster: ``ext.imagecodec``
+(pure Python, public BMP/PPM/PNG layouts — PNG inflate via stdlib
+zlib, r9) decodes actual pixels on the executors — mm_decode /
+mm_resize / mm_phash_near_dup all consume decoded grids, value-gated
+against oracles that recompute the expected pixels independently. Only
+entropy-coded codecs (JPEG/video) remain gated: PIL is used where
+importable, else the clearly-marked deterministic ``FakeDecoder``
+stands in (the container ships no codec libraries); a production
+build swaps in PIL/ffmpeg and nothing else changes.
 """
 
 from __future__ import annotations
@@ -60,8 +60,8 @@ def _try_import_pil():
 
 class Decoder:
     """Layered decode: (1) the pure-Python ``imagecodec`` module for
-    uncompressed BMP/PPM — REAL pixels, no external library; (2) PIL
-    where importable for compressed formats; (3) deterministic
+    BMP/PPM/PNG — REAL pixels, no external library; (2) PIL where
+    importable for entropy-coded formats (JPEG); (3) deterministic
     FakeDecoder fallback for non-image payloads (keeps text-byte
     fixtures oracle-green on any machine)."""
 
@@ -129,22 +129,26 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Deterministic image fixture (the parquet fixture set has no binary
 # table): per doc, an ACTUAL encoded image — w×h gray raster with
-# pixel(i) = (doc_id*31 + i) % 256, written as 24-bit BMP (or binary
-# PPM for doc_id % 3 = 0). The PRODUCT step then decodes REAL pixels
-# from those bytes via ext.imagecodec — no stub in the decode path; the
-# oracle reproduces the generator arithmetic (not the codec) in SQL, so
-# a decode bug (padding, bottom-up rows, channel order) breaks the
+# pixel(i) = (doc_id*31 + i) % 256, written as binary PPM (doc_id%3=0),
+# zlib-deflated PNG (doc_id%3=1, r9 — stored blocks, so the size stays
+# SQL-predictable: 68 + h*(w+1)) or 24-bit BMP (doc_id%3=2). The
+# PRODUCT step then decodes REAL pixels from those bytes via
+# ext.imagecodec — no stub in the decode path; the oracle reproduces
+# the generator arithmetic (not the codec) in SQL, so a decode bug
+# (padding, bottom-up rows, channel order, PNG unfiltering) breaks the
 # value hash.
 MM_W_SQL = "(8 + doc_id % 9)"
 MM_H_SQL = "(8 + doc_id % 7)"
 
 
 def _mm_fixture_image(doc_id: int) -> tuple[bytes, int, int, list[int]]:
-    from .imagecodec import encode_bmp_gray, encode_ppm_gray
+    from .imagecodec import encode_bmp_gray, encode_png_gray, encode_ppm_gray
 
     w, h = 8 + doc_id % 9, 8 + doc_id % 7
     px = [(doc_id * 31 + i) % 256 for i in range(w * h)]
-    enc = encode_ppm_gray if doc_id % 3 == 0 else encode_bmp_gray
+    enc = {0: encode_ppm_gray, 1: encode_png_gray, 2: encode_bmp_gray}[
+        doc_id % 3
+    ]
     return enc(w, h, px), w, h, px
 
 
@@ -157,12 +161,16 @@ def _mm_fixture_image(doc_id: int) -> tuple[bytes, int, int, list[int]]:
              THEN 9 + length(CAST({MM_W_SQL} AS VARCHAR))
                     + length(CAST({MM_H_SQL} AS VARCHAR))
                     + 3 * {MM_W_SQL} * {MM_H_SQL}
+             WHEN doc_id % 3 = 1
+             THEN 68 + {MM_H_SQL} * ({MM_W_SQL} + 1)
              ELSE 54 + ((3 * {MM_W_SQL} + 3) // 4 * 4) * {MM_H_SQL}
         END AS BIGINT)                          AS n_bytes,
         CAST({MM_W_SQL} AS INT)                 AS width,
         CAST({MM_H_SQL} AS INT)                 AS height,
         1                                       AS n_frames,
-        CASE WHEN doc_id % 3 = 0 THEN 'ppm' ELSE 'bmp' END AS codec,
+        CASE WHEN doc_id % 3 = 0 THEN 'ppm'
+             WHEN doc_id % 3 = 1 THEN 'png'
+             ELSE 'bmp' END                     AS codec,
         CAST(list_aggregate(
             [(doc_id * 31 + i) % 256
              for i in range(0, {MM_W_SQL} * {MM_H_SQL})],
