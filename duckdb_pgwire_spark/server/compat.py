@@ -3424,6 +3424,92 @@ def drop_sequence(name: str, if_exists: bool) -> None:
         raise ValueError(f"sequence {name!r} does not exist")
 
 
+def _reserve_seq_blocks(occs: list, n: int) -> list[tuple[int, int]]:
+    """One disjoint block of n values PER OCCURRENCE (verdict r7 item
+    8): DuckDB's vectorized executor evaluates each nextval expression
+    over the whole chunk in turn, so within a chunk occurrence j of
+    sequence s yields s.base + (j*n + row)*inc — per-occurrence blocks
+    reproduce that value layout exactly for a single chunk; across
+    chunk boundaries neither engine guarantees row assignment. Returns
+    (base, inc) per occurrence; the first occurrence of each sequence
+    reserves ALL its blocks at once so interleaved sequences stay
+    dense."""
+    seq_occ_ord: dict[str, int] = {}
+    blk_base: dict[str, int] = {}
+    out: list[tuple[int, int]] = []
+    for m in occs:
+        name = m.group(2).lower()
+        j = seq_occ_ord.get(name, 0)
+        seq_occ_ord[name] = j + 1
+        seq = SEQUENCES[name]
+        with _SEQ_LOCK:
+            if j == 0:
+                total = sum(
+                    1 for o in occs if o.group(2).lower() == name
+                ) * n
+                blk_base[name] = seq["next"]
+                if total > 0:
+                    seq["next"] = blk_base[name] + total * seq["inc"]
+                    seq["cur"] = seq["next"] - seq["inc"]
+            out.append((blk_base[name] + j * n * seq["inc"], seq["inc"]))
+    return out
+
+
+def _substitute_update_nextval(sql: str, occs: list, count_rows) -> str:
+    """nextval in a single-table ``UPDATE t SET ... [WHERE p]`` (r8
+    verdict item 6): reserve one block sized by the qualifying-row
+    count, then number qualifying rows in scan order with a
+    conditional running count (the SET expression is evaluated inside
+    ``CASE WHEN p`` over the full table, so a plain row_number would
+    number non-qualifying rows too). UPDATE ... FROM and occurrences
+    outside the SET clause keep the loud refusal."""
+    if _find_keyword(sql, "FROM") != -1:
+        raise ValueError(
+            "nextval in UPDATE ... FROM is not supported — the "
+            "block-reservation rewrite needs the single-table shape"
+        )
+    um = re.match(r"^\s*UPDATE\s+(?:ONLY\s+)?([\w.\"]+)\s+", sql, re.IGNORECASE)
+    if um is None:
+        raise ValueError("nextval: unparseable UPDATE statement")
+    table = um.group(1)
+    wstart, wend = _find_keyword_span(sql, "WHERE")
+    rstart = _find_keyword(sql, "RETURNING")
+    set_end = min(x for x in (wstart, rstart, len(sql)) if x != -1)
+    if any(m.start() >= set_end for m in occs):
+        raise ValueError(
+            "nextval is only supported in the SET clause of UPDATE "
+            "(a WHERE/RETURNING occurrence is row-dependent in a way "
+            "the block-reservation rewrite can't reproduce)"
+        )
+    pred = None
+    if wstart != -1:
+        pred_end = rstart if rstart != -1 else len(sql)
+        pred = sql[wend:pred_end].rstrip().rstrip(";").strip()
+    probe = f"SELECT count(*) FROM {table}" + (
+        f" WHERE {pred}" if pred else ""
+    )
+    n = int(count_rows(probe))
+    if pred:
+        idx = (
+            f"(sum(CASE WHEN ({pred}) THEN 1 ELSE 0 END) OVER (ORDER BY"
+            f" monotonically_increasing_id() ROWS BETWEEN UNBOUNDED"
+            f" PRECEDING AND CURRENT ROW) - 1)"
+        )
+    else:
+        idx = "(row_number() OVER (ORDER BY monotonically_increasing_id()) - 1)"
+    repls = [
+        f"({idx} * {inc} + {base})"
+        for base, inc in _reserve_seq_blocks(occs, n)
+    ]
+    out_parts, opos = [], 0
+    for m, repl in zip(occs, repls):
+        out_parts.append(sql[opos : m.start()])
+        out_parts.append(repl)
+        opos = m.end()
+    out_parts.append(sql[opos:])
+    return "".join(out_parts)
+
+
 def substitute_sequence_fns(sql: str, count_rows=None) -> str:
     """Replace each code-level nextval('s')/currval('s') occurrence with
     its allocated integer literal.
@@ -3464,16 +3550,23 @@ def substitute_sequence_fns(sql: str, count_rows=None) -> str:
     n_next = sum(1 for m in occs if m.group(1).lower() == "nextval")
     if per_row and n_next:
         if (
+            first == "UPDATE"
+            and count_rows is not None
+            and n_next == len(occs)
+        ):
+            return _substitute_update_nextval(sql, occs, count_rows)
+        if (
             count_rows is None
             or first not in ("SELECT", "WITH", "INSERT")
             or n_next != len(occs)
         ):
             raise ValueError(
                 "nextval in a per-row context is only supported in "
-                "SELECT / INSERT ... SELECT without interleaved currval "
-                "(DuckDB advances the sequence per row; the "
-                "block-reservation rewrite can't track a row-dependent "
-                "currval or UPDATE/DELETE/MERGE row contexts)"
+                "SELECT / INSERT ... SELECT / single-table UPDATE "
+                "without interleaved currval (DuckDB advances the "
+                "sequence per row; the block-reservation rewrite can't "
+                "track a row-dependent currval or DELETE/MERGE row "
+                "contexts)"
             )
         src = sql
         if first == "INSERT":
@@ -3536,31 +3629,11 @@ def substitute_sequence_fns(sql: str, count_rows=None) -> str:
         # a single chunk; across chunk boundaries neither engine
         # guarantees row assignment (same caveat as the 1-occurrence
         # shape above).
-        seq_occ_ord: dict[str, int] = {}
-        blk_base: dict[str, int] = {}
-        repls: list[str] = []
-        for m in occs:
-            name = m.group(2).lower()
-            j = seq_occ_ord.get(name, 0)
-            seq_occ_ord[name] = j + 1
-            seq = SEQUENCES[name]
-            with _SEQ_LOCK:
-                if j == 0:
-                    # first occurrence of this sequence: reserve ALL its
-                    # blocks at once so interleaved sequences stay dense
-                    total = sum(
-                        1 for o in occs if o.group(2).lower() == name
-                    ) * n
-                    blk_base[name] = seq["next"]
-                    if total > 0:
-                        seq["next"] = blk_base[name] + total * seq["inc"]
-                        seq["cur"] = seq["next"] - seq["inc"]
-                base = blk_base[name] + j * n * seq["inc"]
-                inc = seq["inc"]
-            repls.append(
-                f"((row_number() OVER (ORDER BY"
-                f" monotonically_increasing_id()) - 1) * {inc} + {base})"
-            )
+        repls = [
+            f"((row_number() OVER (ORDER BY"
+            f" monotonically_increasing_id()) - 1) * {inc} + {base})"
+            for base, inc in _reserve_seq_blocks(occs, n)
+        ]
         out_parts, opos = [], 0
         for m, repl in zip(occs, repls):
             out_parts.append(sql[opos : m.start()])

@@ -308,8 +308,9 @@ def text_cell_encoder(dt: T.DataType) -> Callable[[Any], bytes | None]:
 # ------------------------------------------------------ binary format
 # PG binary wire encodings for the fixed-layout types JDBC/psycopg
 # request with binaryTransfer. The reference is text-only (cpp:136-164);
-# this is an over-reference improvement. Types without a fixed public
-# layout here (numeric, arrays, ...) refuse loudly → clients fall back
+# this is an over-reference improvement. Text-advertised types emit
+# their utf-8 text bytes (PG's binary send for the text OID); only a
+# genuinely unservable shape refuses loudly → clients fall back
 # or error per their own policy.
 
 import struct as _struct  # noqa: E402
@@ -318,19 +319,14 @@ _PG_EPOCH_DATE = _dt.date(2000, 1, 1)
 _PG_EPOCH_TS = _dt.datetime(2000, 1, 1)
 
 
-def binary_support(dt: T.DataType) -> bool:
-    if isinstance(dt, T.ArrayType):
-        # arrays of base types (any depth ≤ 6) use the public PG array
-        # layout (ndim/flags/elemoid header + dims + length-prefixed
-        # cells, row-major); ragged rows refuse at encode time
-        return pg_oid(dt) in _ELEM_OIDS
-    return isinstance(
-        dt,
-        T.BooleanType | T.ByteType | T.ShortType | T.IntegerType | T.LongType
-        | T.FloatType | T.DoubleType | T.StringType | T.VarcharType
-        | T.CharType | T.BinaryType | T.DateType | T.TimestampType
-        | T.TimestampNTZType | T.DecimalType,
-    )
+# Every servable type now has a binary result encoding: fixed public
+# layouts for the scalar/array families below, and — for everything
+# the server ADVERTISES as text (structs, maps, intervals, composite-
+# element or over-deep arrays; pg_oid falls back to 25) — the utf-8
+# text bytes, which IS PG's binary send format for the text type
+# (r8 verdict item 7: JDBC binaryTransfer no longer errors on a
+# struct[] column; it receives the text rendering under the
+# advertised text OID).
 
 
 def _encode_pg_numeric(d) -> bytes:
@@ -480,6 +476,9 @@ def encode_binary(v: Any, dt: T.DataType) -> bytes | None:
                 cell = encode_binary(e, elem_dt)
                 out.append(_struct.pack("!i", len(cell)) + cell)
         return b"".join(out)
+    if pg_oid(dt) == OID_TEXT:
+        # advertised as text → binary format IS the utf-8 text bytes
+        return encode_text(v).encode()
     raise ValueError(f"binary result format not supported for {dt.simpleString()}")
 
 

@@ -528,6 +528,22 @@ BATTERY: dict[str, list[str]] = {
         "DROP TABLE probe_emood",
         "DROP TYPE probe_mood",
     ],
+    "r9_seq_update": [
+        # nextval in single-table UPDATE (r8 verdict item 6) — the
+        # allocated value set is exact; ORDER BY a makes the compare
+        # order-stable (row↔value pairing is scan order on both
+        # engines, guaranteed by neither, so only `a` is selected)
+        "CREATE SEQUENCE probe_useq START 50 INCREMENT 3",
+        "CREATE OR REPLACE TABLE probe_ut AS"
+        " SELECT range AS k, 0 AS a FROM range(4)",
+        "UPDATE probe_ut SET a = nextval('probe_useq') WHERE k >= 2",
+        "SELECT a FROM probe_ut ORDER BY a",
+        "UPDATE probe_ut SET a = nextval('probe_useq')",
+        "SELECT a FROM probe_ut ORDER BY a",
+        "SELECT currval('probe_useq') AS c",
+        "DROP TABLE probe_ut",
+        "DROP SEQUENCE probe_useq",
+    ],
 }
 
 

@@ -2319,14 +2319,53 @@ def test_wire_sequences_golden(client, spark):
     assert "error" not in res, res
     assert [tuple(int(x) for x in r) for r in res["rows"]] == want_two, res
     client.query("DROP SEQUENCE sq2")
-    # currval interleaved with per-row nextval and UPDATE row contexts
-    # still refuse loudly
+    # currval interleaved with per-row nextval still refuses loudly
     (res,) = client.query(
         "SELECT nextval('sq') AS a, currval('sq') AS b FROM range(2)"
     )
     assert "error" in res and "per-row" in res["error"], res
-    (res,) = client.query("UPDATE sq_t SET a = nextval('sq')")
-    assert "error" in res and "per-row" in res["error"], res
+    # nextval in a single-table UPDATE (r9, r8 verdict item 6): the
+    # post-image VALUE SET matches DuckDB — each qualifying row gets a
+    # value from one reserved block (row↔value assignment follows scan
+    # order in both engines, guaranteed by neither)
+    # WHERE form: non-qualifying rows keep their exact values;
+    # qualifying rows carry exactly DuckDB's allocated block (which
+    # qualifying row carries which block value follows scan order —
+    # guaranteed by neither engine, same caveat as the row-set SELECT)
+    (res,) = client.query("SELECT a, b FROM sq_t WHERE b <> 'z' ORDER BY a")
+    pre_keep = [(int(a), b) for a, b in res["rows"]]
+    upd = "UPDATE sq_t SET a = nextval('sq') WHERE b = 'z'"
+    con.execute(upd)
+    (res,) = client.query(upd)
+    assert "error" not in res, res
+    want_z = sorted(
+        a for (a,) in con.execute("SELECT a FROM sq_t WHERE b = 'z'").fetchall()
+    )
+    (res,) = client.query("SELECT a FROM sq_t WHERE b = 'z'")
+    assert sorted(int(r[0]) for r in res["rows"]) == want_z, res
+    (res,) = client.query("SELECT a, b FROM sq_t WHERE b <> 'z' ORDER BY a")
+    assert [(int(a), b) for a, b in res["rows"]] == pre_keep, res
+    # no-WHERE form: every row renumbered from one reserved block
+    upd = "UPDATE sq_t SET a = nextval('sq')"
+    con.execute(upd)
+    (res,) = client.query(upd)
+    assert "error" not in res, res
+    want_all = sorted(
+        a for (a,) in con.execute("SELECT a FROM sq_t").fetchall()
+    )
+    (res,) = client.query("SELECT a FROM sq_t")
+    assert sorted(int(r[0]) for r in res["rows"]) == want_all, res
+    # currval agrees after the UPDATE blocks
+    want_cur = con.execute("SELECT currval('sq')").fetchall()[0][0]
+    (res,) = client.query("SELECT currval('sq') AS c")
+    assert res["rows"] == [[str(want_cur)]], res
+    # UPDATE ... FROM and WHERE-clause occurrences keep the refusal
+    (res,) = client.query(
+        "UPDATE sq_t SET a = nextval('sq') FROM sq_t s2 WHERE sq_t.a = s2.a"
+    )
+    assert "error" in res and "nextval" in res["error"], res
+    (res,) = client.query("UPDATE sq_t SET a = 0 WHERE a = nextval('sq')")
+    assert "error" in res and "SET clause" in res["error"], res
     # QUALIFY applies after the SELECT list numbers rows — refuses
     # (ADVICE r7 item 1: silent block escape otherwise)
     (res,) = client.query(
@@ -3142,6 +3181,34 @@ def test_extended_binary_arrays(client):
     )
     assert "error" not in out, out
     assert out["rows"] == [["{7,9}"]]
+
+
+def test_extended_binary_text_advertised_types(client):
+    """Binary result format for TEXT-ADVERTISED columns (r8 verdict
+    item 7): structs, maps, struct-element arrays and intervals are
+    served under OID 25, whose PG binary send format IS the utf-8 text
+    bytes — so a binaryTransfer client gets the exact text rendering
+    instead of an error."""
+    out = client.extended_query(
+        "SELECT named_struct('a', 1, 'b', 'x') AS st,"
+        " array(named_struct('a', 1), named_struct('a', 2)) AS sa,"
+        " map(['k'], [7]) AS mp",
+        result_binary=True,
+        raw_rows=True,
+    )
+    assert "error" not in out, out
+    assert out["oids"] == [25, 25, 25], out
+    (row,) = out["rows"]
+    assert row[0] == b'{"a":1,"b":"x"}'
+    assert row[1] == b'{"{\\"a\\":1}","{\\"a\\":2}"}'
+    assert row[2] == b'{"k":7}'
+    # text-format rendering of the same cells is byte-identical
+    (r,) = client.query(
+        "SELECT named_struct('a', 1, 'b', 'x') AS st,"
+        " array(named_struct('a', 1), named_struct('a', 2)) AS sa,"
+        " map(['k'], [7]) AS mp"
+    )
+    assert r["rows"] == [[row[0].decode(), row[1].decode(), row[2].decode()]]
 
 
 def test_extended_binary_nested_arrays(client):
