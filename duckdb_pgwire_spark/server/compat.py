@@ -1175,7 +1175,12 @@ def define_enum_type(name: str, members: list[str]) -> None:
 
 
 def _esc_lit(s: str) -> str:
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    """String literal in the PIPELINE's post-escape convention
+    (_pg_escape_literals output): backslashes doubled for Spark,
+    quotes PG-doubled — a backslash-quote spelling would desync
+    _code_mask, whose literal lexing is PG-style (found by the r9
+    enum fuzzer on a quote-only member)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _enum_arr_sql(tn: str) -> str:
@@ -1192,7 +1197,7 @@ def _enum_struct_sql(x: str, tn: str, strict: bool = True) -> str:
     if strict:
         code = (
             f"CAST(CASE WHEN {pos} = 0 THEN raise_error(concat("
-            f"'Could not convert string \\'', {s}, '\\' to enum {tn}'))"
+            f"'Could not convert string ''', {s}, ''' to enum {tn}'))"
             f" ELSE {pos} END AS INT)"
         )
         return (
@@ -1214,8 +1219,8 @@ def _enum_vstr_sql(x: str, tn: str) -> str:
     s = f"CAST({x} AS STRING)"
     return (
         f"CASE WHEN array_position({arr}, {s}) = 0 THEN raise_error("
-        f"concat('Could not convert string \\'', {s},"
-        f" '\\' to enum {tn}')) ELSE {s} END"
+        f"concat('Could not convert string ''', {s},"
+        f" ''' to enum {tn}')) ELSE {s} END"
     )
 
 

@@ -623,3 +623,95 @@ def test_interval_text_fuzz_matches_duckdb(micros):
     finally:
         con.close()
     assert encode_text(td) == want, (micros, encode_text(td), want)
+
+
+# ------------------------------------------------------ ENUM fuzz
+
+# member alphabet: letters plus space/quote/punctuation — members are
+# VALUES (any string is legal); the quote exercises _esc_lit and the
+# DuckDB '' doubling in the member-list parser
+_ENUM_MEMBER = st.text(
+    alphabet="abcdxyz AB'_-.\\", min_size=1, max_size=6
+).filter(lambda s: s.strip() == s)
+
+
+@given(data=st.data())
+@settings(max_examples=25, deadline=None)
+def test_enum_fuzz_matches_duckdb(spark, data):
+    """Random ENUM types (member lists incl. quotes/spaces) through the
+    ordered-struct emulation: casts (strict + TRY), declaration-order
+    enum-enum comparisons, varchar-semantics literal comparisons, and
+    ORDER BY/min/max — value-matched against DuckDB running the SAME
+    statements with a real enum type (r9 systematic net over the
+    probed cases in census r9_enum)."""
+    import duckdb
+
+    from duckdb_pgwire_spark.server import compat
+    from duckdb_pgwire_spark.server.compat import rewrite
+
+    members = data.draw(
+        st.lists(_ENUM_MEMBER, min_size=1, max_size=5, unique=True)
+    )
+
+    def dq(s: str) -> str:  # DuckDB literal ('' doubling)
+        return "'" + s.replace("'", "''") + "'"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TYPE fz_enum AS ENUM ("
+        + ", ".join(dq(m) for m in members)
+        + ")"
+    )
+    compat.ENUM_TYPES.pop("fz_enum", None)
+    compat.TYPE_ALIASES.pop("fz_enum", None)
+    compat.define_enum_type("fz_enum", members)
+    try:
+        a = data.draw(st.sampled_from(members))
+        b = data.draw(st.sampled_from(members))
+        outsider = data.draw(_ENUM_MEMBER.filter(lambda s: s not in members))
+        stmts = [
+            f"SELECT {dq(a)}::fz_enum AS m",
+            f"SELECT TRY_CAST({dq(outsider)} AS fz_enum) AS m",
+            f"SELECT {dq(a)}::fz_enum < {dq(b)}::fz_enum AS lt,"
+            f" {dq(a)}::fz_enum = {dq(b)}::fz_enum AS eq",
+            f"SELECT {dq(a)}::fz_enum < {dq(b)} AS vlt,"
+            f" {dq(a)}::fz_enum >= {dq(b)} AS vge",
+            "SELECT m FROM ("
+            + " UNION ALL ".join(
+                f"SELECT {dq(m)}::fz_enum AS m" for m in members
+            )
+            + ") t ORDER BY m",
+            "SELECT min(m) AS lo, max(m) AS hi FROM ("
+            + " UNION ALL ".join(
+                f"SELECT {dq(m)}::fz_enum AS m" for m in members
+            )
+            + ") t",
+            "SELECT enum_range(NULL::fz_enum) AS r",
+        ]
+        from duckdb_pgwire_spark.server.typemap import encode_text
+
+        for sql in stmts:
+            want = [
+                tuple(None if v is None else encode_text(v) for v in row)
+                for row in con.execute(sql).fetchall()
+            ]
+            got_rows = spark.sql(rewrite(sql)).collect()
+            got = [
+                tuple(
+                    None if v is None else encode_text(v) for v in row
+                )
+                for row in got_rows
+            ]
+            assert got == want, (sql, got, want)
+        # invalid strict cast errors on BOTH engines
+        bad = f"SELECT {dq(outsider)}::fz_enum AS m"
+        import pytest as _pt
+
+        with _pt.raises(Exception):
+            con.execute(bad).fetchall()
+        with _pt.raises(Exception):
+            spark.sql(rewrite(bad)).collect()
+    finally:
+        compat.ENUM_TYPES.pop("fz_enum", None)
+        compat.TYPE_ALIASES.pop("fz_enum", None)
+        con.close()

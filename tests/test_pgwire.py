@@ -1365,17 +1365,26 @@ def test_extended_binary_numeric(client):
     assert out["rows"] == [["13.50"]]
 
 
-def test_extended_binary_unsupported_type_fails_loudly(client):
-    """A binary request for a type without a fixed public layout
-    (structs; nested base-type arrays gained the ndim>1 layout in r8)
-    refuses instead of sending corrupt bytes."""
+def test_extended_binary_total_coverage(client):
+    """Every servable column type now satisfies a binary result
+    request (r9: text-advertised types emit the text bytes of the
+    advertised OID 25 — see test_extended_binary_text_advertised_types
+    for the struct/map/interval cases); only a RECTANGULAR-OID array
+    with ragged data still refuses, loudly, mid-stream — and the
+    connection recovers for the next cycle."""
     out = client.extended_query(
         "SELECT named_struct('a', 1, 'b', 'x') AS s",
         result_binary=True,
         raw_rows=True,
     )
-    assert "error" in out
-    assert "binary result format" in out["error"]
+    assert "error" not in out, out
+    assert out["rows"] == [[b'{"a":1,"b":"x"}']]
+    out = client.extended_query(
+        "SELECT array(array(1), array(2, 3)) AS ragged",
+        result_binary=True,
+        raw_rows=True,
+    )
+    assert "error" in out and "ragged" in out["error"], out
     # connection recovers for the next cycle
     out = client.extended_query("SELECT 7 AS v")
     assert out["rows"] == [["7"]]
