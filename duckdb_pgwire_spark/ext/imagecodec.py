@@ -248,6 +248,8 @@ def decode_png(payload: bytes) -> DecodedImage:
             raise ValueError("truncated PNG chunk")
         pos += 12 + length  # length + type + data + crc
         if typ == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("malformed PNG IHDR chunk")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"PLTE":
             plte = [
@@ -274,7 +276,12 @@ def decode_png(payload: bytes) -> DecodedImage:
         raise ValueError(f"invalid PNG color type {ctype}")
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG without PLTE")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # zlib.error would escape the (NotImplementedError, ValueError)
+        # contract Decoder.decode's PIL/Fake fallback relies on
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = width * chans
     if len(raw) < (stride + 1) * height:
         raise ValueError("truncated PNG raster")

@@ -34,9 +34,16 @@ from ..registry import query
 from ..session import load_table
 
 _UPDATE = re.compile(
-    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*)$", re.IGNORECASE | re.DOTALL
+    r"^\s*UPDATE\s+([\w.]+)(?:\s+(?:AS\s+)?(?!SET\b)([A-Za-z_]\w*))?"
+    r"\s+SET\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
 )
-_DELETE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s*(.*)$", re.IGNORECASE | re.DOTALL)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!WHERE\b|USING\b|RETURNING\b)([A-Za-z_]\w*))?"
+    r"\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _MERGE = re.compile(r"^\s*MERGE\s+INTO\s+(.*)$", re.IGNORECASE | re.DOTALL)
 
 
@@ -48,6 +55,25 @@ def _split_where(tail: str) -> tuple[str, str | None]:
     if w == -1:
         return tail, None
     return tail[:w], tail[w + len("WHERE") :].strip()
+
+
+def _dealias(text: str, alias: str, table: str) -> str:
+    """Replace ``alias.`` qualifiers with ``table.`` outside string
+    literals (the target alias does not exist in the rewrite-on-write
+    ``FROM table`` context)."""
+    from ..server.compat import _code_mask
+
+    mask = _code_mask(text)
+    pat = re.compile(rf"(?<![\w.]){re.escape(alias)}\s*\.", re.IGNORECASE)
+    out, pos = [], 0
+    for m in pat.finditer(text):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        out.append(text[pos : m.start()])
+        out.append(table + ".")
+        pos = m.end()
+    out.append(text[pos:])
+    return "".join(out)
 
 
 def parse_update(
@@ -62,7 +88,12 @@ def parse_update(
     m = _UPDATE.match(stmt)
     if m is None:
         return None
-    table, tail = m.group(1), m.group(2)
+    table, alias, tail = m.group(1), m.group(2), m.group(3)
+    if alias:
+        # PG/DuckDB target alias (UPDATE t AS x ... WHERE x.k = ...):
+        # the rewrite-on-write machinery runs over `FROM t`, so
+        # alias-qualified references dealias to the table name
+        tail = _dealias(tail, alias, table)
     set_part, pred = _split_where(tail)
     from_rel = None
     f = _find_keyword(set_part, "FROM")
@@ -90,7 +121,9 @@ def parse_delete(
     m = _DELETE.match(stmt)
     if m is None:
         return None
-    table, tail = m.group(1), m.group(2)
+    table, alias, tail = m.group(1), m.group(2), m.group(3)
+    if alias:
+        tail = _dealias(tail, alias, table)
     head, pred = _split_where(" " + tail)
     using_rel = None
     u = _find_keyword(head, "USING")

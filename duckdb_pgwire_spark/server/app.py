@@ -1552,11 +1552,10 @@ class PgWireServer:
                     session, state.job_tag, stage_insert_rows, session,
                     spec.table, spec.cols, spec.source_sql,
                 )
-                await self._exec(
+                n = await self._exec(
                     session, state.job_tag, insert_rows, session, staged,
                     spec.table,
                 )
-                n = await self._exec(session, state.job_tag, staged.count)
                 writer.write(P.command_complete(f"INSERT 0 {n}"))
                 await writer.drain()
                 return
@@ -2177,6 +2176,11 @@ def _sqlstate(exc: Exception) -> str:
     if "cancelled" in msg or "canceled" in msg:
         return "57014"  # query_canceled — CancelRequest killed the jobs
     if "USER_RAISED_EXCEPTION" in msg:
+        if "Could not convert string" in msg:
+            # the enum conversion check rides raise_error(); clients
+            # branching on the SQLSTATE class should see PG/DuckDB's
+            # invalid-text-representation, not a user RAISE
+            return "22P02"
         return "P0001"  # raise_error() — PG's RAISE exception code
     name = type(exc).__name__
     if "Parse" in name:

@@ -1280,10 +1280,52 @@ def _operand_start(sql: str, mask: list[bool], pos: int) -> int | None:
             ):
                 return h + 1
         return i
+    if sql[j] == "]":
+        # subscript/slice or bare list literal: balanced bracket walk,
+        # then include the base expression before '[' if any
+        depth, i = 0, j
+        while i >= 0:
+            if mask[i]:
+                if sql[i] == "]":
+                    depth += 1
+                elif sql[i] == "[":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            i -= 1
+        if i < 0:
+            return None
+        base = _operand_start(sql, mask, i)
+        return base if base is not None else i
     if sql[j].isalnum() or sql[j] in "_.$":
-        while j >= 0 and (sql[j].isalnum() or sql[j] in "_.$"):
-            j -= 1
-        return j + 1
+        h = j
+        while h >= 0 and (sql[h].isalnum() or sql[h] in "_.$"):
+            h -= 1
+        word = sql[h + 1 : j + 1].upper()
+        if word == "END":
+            # CASE ... END expression: walk back to the matching CASE,
+            # nesting- and mask-aware (code review r9: the bare-chain
+            # walk used to take the keyword END as the operand)
+            depth = 1
+            for m in reversed(
+                list(re.finditer(r"\b(CASE|END)\b", sql[: h + 1], re.IGNORECASE))
+            ):
+                if not all(mask[m.start() : m.end()]):
+                    continue
+                if m.group(1).upper() == "END":
+                    depth += 1
+                else:
+                    depth -= 1
+                    if depth == 0:
+                        return m.start()
+            return None
+        if word in (
+            "THEN", "ELSE", "WHEN", "AND", "OR", "NOT", "IN", "LIKE",
+            "BETWEEN", "SELECT", "WHERE", "FROM", "BY", "ON", "AS",
+            "VALUES", "SET", "RETURNING", "UNION", "ALL", "DISTINCT",
+        ):
+            return None  # not an operand — leave for the alias pass
+        return h + 1
     return None
 
 
@@ -1313,18 +1355,37 @@ def _enum_varchar_context(
             k += 1
         return not re.match(rf"::\s*(?:{names})\b", sql[k:], re.IGNORECASE)
 
-    # comparison op AFTER the cast
+    # a FOLLOWING cast back to a text type: DuckDB renders the label
+    # ('ok'::mood::VARCHAR = 'ok'); the validated string satisfies the
+    # outer cast verbatim
     k = end
     while k < len(sql) and sql[k].isspace():
         k += 1
+    if re.match(
+        r"::\s*(?:VARCHAR|TEXT|STRING|BPCHAR|CHAR)\b"
+        r"|AS\s+(?:VARCHAR|TEXT|STRING|BPCHAR|CHAR)\s*\)",
+        sql[k:],
+        re.IGNORECASE,
+    ):
+        # (the AS form is anchored on the CAST's closing paren so a
+        # column alias merely NAMED varchar/text doesn't match)
+        return True
     if re.match(r"(?:<=|>=|<>|!=|=|<|>)", sql[k:]):
         k += len(re.match(r"(?:<=|>=|<>|!=|=|<|>)", sql[k:]).group(0))
         while k < len(sql) and sql[k].isspace():
             k += 1
         if _is_literal_then_not_enum(k):
             return True
-    elif re.match(r"(?:IN|BETWEEN|NOT\s+IN|NOT\s+BETWEEN)\b", sql[k:], re.IGNORECASE):
-        return True
+    elif m_kw := re.match(
+        r"(?:NOT\s+)?(?:IN|BETWEEN)\b", sql[k:], re.IGNORECASE
+    ):
+        # varchar semantics only when the list/bounds are themselves
+        # plain literals; 'x'::t BETWEEN 'a'::t AND 'b'::t keeps
+        # declaration-order struct semantics (code review r9)
+        k2 = k + m_kw.end()
+        while k2 < len(sql) and (sql[k2].isspace() or sql[k2] == "("):
+            k2 += 1
+        return _is_literal_then_not_enum(k2)
     # comparison op BEFORE the operand, with a literal on its far side
     j = start - 1
     while j >= 0 and sql[j].isspace():
@@ -1385,11 +1446,22 @@ def _rewrite_enum_casts(sql: str) -> str:
             x = sql[start : m.start()].strip()
             if not x:
                 continue
-            if _enum_varchar_context(sql, mask, start, m.end()):
+            end = m.end()
+            sufm = re.match(r"\s*\[\s*\]", sql[end:])
+            if sufm:
+                # expr::enum[] — element-wise constructor (code review
+                # r9: the scalar rewrite orphaned the [] suffix)
+                body = (
+                    f"transform({x}, __ee -> "
+                    + _enum_struct_sql("__ee", tn, strict=True)
+                    + ")"
+                )
+                end += sufm.end()
+            elif _enum_varchar_context(sql, mask, start, end):
                 body = _enum_vstr_sql(x, tn)
             else:
                 body = _enum_struct_sql(x, tn, strict=True)
-            sql = sql[:start] + "(" + body + ")" + sql[m.end() :]
+            sql = sql[:start] + "(" + body + ")" + sql[end:]
             changed = True
             break
     return sql
@@ -3473,10 +3545,17 @@ def _substitute_update_nextval(sql: str, occs: list, count_rows) -> str:
             "nextval in UPDATE ... FROM is not supported — the "
             "block-reservation rewrite needs the single-table shape"
         )
-    um = re.match(r"^\s*UPDATE\s+(?:ONLY\s+)?([\w.\"]+)\s+", sql, re.IGNORECASE)
+    um = re.match(
+        r"^\s*UPDATE\s+(?:ONLY\s+)?([\w.\"]+)"
+        r"(\s+(?:AS\s+)?(?!SET\b)[A-Za-z_]\w*)?\s+SET\b",
+        sql,
+        re.IGNORECASE,
+    )
     if um is None:
         raise ValueError("nextval: unparseable UPDATE statement")
-    table = um.group(1)
+    # keep the alias in the probe so an aliased predicate resolves
+    # (UPDATE t AS x SET ... WHERE x.b = ... — code review r9)
+    table = um.group(1) + (um.group(2) or "")
     wstart, wend = _find_keyword_span(sql, "WHERE")
     rstart = _find_keyword(sql, "RETURNING")
     set_end = min(x for x in (wstart, rstart, len(sql)) if x != -1)

@@ -516,6 +516,16 @@ BATTERY: dict[str, list[str]] = {
         " enum_last(NULL::probe_mood) AS l",
         "SELECT enum_code('ok'::probe_mood) AS c",
         "SELECT enum_range_boundary(NULL::probe_mood, 'ok'::probe_mood) AS rb",
+        "SELECT 'ok'::probe_mood::VARCHAR AS v,"
+        " CAST('sad'::probe_mood AS VARCHAR) AS v2",
+        # code review r9 shapes: CASE operand, enum-cast BETWEEN/IN
+        # bounds (declaration order), array casts, subscript operands
+        "SELECT CASE WHEN 1 = 1 THEN 'sad' ELSE 'ok' END::probe_mood AS m",
+        "SELECT 'ok'::probe_mood BETWEEN 'sad'::probe_mood"
+        " AND 'happy'::probe_mood AS b,"
+        " 'ok'::probe_mood IN ('sad'::probe_mood, 'ok'::probe_mood) AS i",
+        "SELECT ['sad', 'ok']::probe_mood[] AS arr",
+        "SELECT (['sad', 'ok', 'happy'][2])::probe_mood AS sub",
         # (unnest(...)::enum stays unprobed: a generator cannot sit
         # inside the cast's CASE wrapper — the UNION form is equivalent)
         "CREATE OR REPLACE TABLE probe_emood AS SELECT m FROM"
@@ -539,6 +549,9 @@ BATTERY: dict[str, list[str]] = {
         "UPDATE probe_ut SET a = nextval('probe_useq') WHERE k >= 2",
         "SELECT a FROM probe_ut ORDER BY a",
         "UPDATE probe_ut SET a = nextval('probe_useq')",
+        "SELECT a FROM probe_ut ORDER BY a",
+        # aliased target with alias-qualified predicate (review r9)
+        "UPDATE probe_ut AS x SET a = nextval('probe_useq') WHERE x.k = 1",
         "SELECT a FROM probe_ut ORDER BY a",
         "SELECT currval('probe_useq') AS c",
         "DROP TABLE probe_ut",

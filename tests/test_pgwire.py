@@ -3472,6 +3472,14 @@ def test_wire_create_type_enum(client, spark):
         " 'sad'::mood BETWEEN 'sad' AND 'happy' AS b"
     )
     assert r["rows"] == [["t", "t", "t", "f"]], r
+    # a visible cast back to VARCHAR renders the LABEL, like DuckDB
+    # (not the struct emulation's text)
+    (r,) = client.query(
+        "SELECT 'ok'::mood::VARCHAR AS v,"
+        " CAST('sad'::mood AS VARCHAR) AS v2,"
+        " upper('ok'::mood::VARCHAR) AS u"
+    )
+    assert r["rows"] == [["ok", "sad", "OK"]], r
     # invalid member: loud conversion error; TRY_CAST → NULL
     (r,) = client.query("SELECT 'nope'::mood AS m")
     assert "error" in r and "Could not convert" in r["error"], r
