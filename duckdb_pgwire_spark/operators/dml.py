@@ -134,10 +134,32 @@ def parse_delete(
     return table, pred, using_rel
 
 
+def _assert_writable(session: SparkSession, table: str) -> None:
+    """Refuse DML against views (temp or permanent).
+
+    Spark happily writes THROUGH a file-backed temp view — INSERT
+    OVERWRITE on a view over ``spark.read.parquet(path)`` rewrites the
+    source files in place. The fixture tables the server registers are
+    read-only parquet, so a write-through would destroy shared input
+    data (r10: a stale test pin did exactly that to
+    ``region.parquet``). DuckDB refuses the same way: "Can only update
+    base table!" on a view target."""
+    try:
+        kind = session.catalog.getTable(table).tableType
+    except Exception:  # noqa: BLE001 — missing table: normal path reports it
+        return
+    if kind in ("TEMPORARY", "VIEW"):
+        raise ValueError(
+            f'Can only modify base tables — "{table}" is a view over '
+            "read-only data"
+        )
+
+
 def _rewrite_table(session: SparkSession, table: str, post_image_sql: str) -> None:
     """Materialize the post-image and swap it in (stage CTAS +
     INSERT OVERWRITE — Spark refuses to overwrite a table from a plan
     that reads the same table, so the stage hop is mandatory)."""
+    _assert_writable(session, table)
     stage = f"__dml_stage_{table.replace('.', '_')}"
     session.sql(f"DROP TABLE IF EXISTS {stage}")
     # fresh external location per statement: the default in-memory
@@ -885,6 +907,7 @@ def stage_insert_rows(
 def insert_rows(session: SparkSession, staged: DataFrame, table: str) -> int:
     """Append the staged rows (already schema-aligned) to the target.
     Returns the inserted-row count."""
+    _assert_writable(session, table)
     staged.drop("__ins_ord").write.insertInto(table, overwrite=False)
     return staged.count()
 

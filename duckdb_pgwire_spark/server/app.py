@@ -1206,12 +1206,28 @@ class PgWireServer:
                 # r9 (r8 verdict item 3): enum values travel as ordered
                 # structs — declaration-order comparisons are native
                 # (see compat.ENUM_TYPES)
-                from .compat import define_enum_type
+                from .compat import define_enum_type, split_top_level
 
-                members = [
-                    mm.group(1).replace("''", "'")
-                    for mm in re.finditer(r"'((?:[^']|'')*)'", em.group(1))
-                ]
+                # each comma-separated element must be exactly one quoted
+                # literal — ENUM ('a' 'b', tok) is a parser error in
+                # DuckDB, not two silently-salvaged members (advice r9)
+                members = []
+                parts = (
+                    split_top_level(em.group(1))
+                    if em.group(1).strip()
+                    else []  # ENUM () — DuckDB allows the empty enum
+                )
+                for part in parts:
+                    pm = re.fullmatch(
+                        r"\s*'((?:[^']|'')*)'\s*", part, re.DOTALL
+                    )
+                    if pm is None:
+                        raise _WireError(
+                            "CREATE TYPE ... AS ENUM members must be "
+                            f"single quoted literals, got: {part.strip()!r}",
+                            "42601",
+                        )
+                    members.append(pm.group(1).replace("''", "'"))
                 try:
                     define_enum_type(name, members)
                 except ValueError as exc:
@@ -1537,12 +1553,45 @@ class PgWireServer:
 
             sql, returning = split_returning(rewrite(stmt))
             spec = parse_insert(sql)
-            if (
-                returning is None
-                and spec is not None
-                and not spec.conflict
-                and _insert_needs_enum_coercion(session, spec.table)
-            ):
+            # never write THROUGH a view: the plain-INSERT fall-through
+            # runs spark.sql directly, and Spark appends into the files
+            # behind a parquet-backed temp view (the read-only fixture
+            # tables) — refuse up front like DuckDB does (r10)
+            tgt = (
+                spec.table
+                if spec is not None
+                else (
+                    m.group(1)
+                    if (m := re.match(
+                        r"\s*INSERT\s+(?:OR\s+\w+\s+)?INTO\s+([\w.\"]+)",
+                        sql, re.IGNORECASE,
+                    ))
+                    else None
+                )
+            )
+            if tgt is not None:
+                from ..operators.dml import _assert_writable
+
+                try:
+                    await self._exec(
+                        session, state.job_tag, _assert_writable, session,
+                        tgt.strip('"'),
+                    )
+                except ValueError as exc:
+                    raise _WireError(str(exc), "42809") from exc
+            needs_enum = False
+            if returning is None and spec is not None and not spec.conflict:
+                from .compat import ENUM_TYPES
+
+                if ENUM_TYPES:
+                    # the schema probe is a blocking catalog round-trip;
+                    # dispatch via _exec so the shared event loop never
+                    # stalls on it (advice r9)
+                    needs_enum = await self._exec(
+                        session, state.job_tag,
+                        _insert_needs_enum_coercion, session, spec.table,
+                    )
+            if needs_enum:
                 # bare-string VALUES into an enum-emulation column:
                 # Spark's own INSERT can't implicit-cast STRING →
                 # STRUCT, so route through the staged path where
@@ -2173,7 +2222,14 @@ def _sqlstate(exc: Exception) -> str:
         if state:
             return state
     msg = str(exc)
-    if "cancelled" in msg or "canceled" in msg:
+    # USER_RAISED before the cancel heuristic: a failed enum cast of the
+    # literal value 'cancelled' must map to 22P02, not 57014 (advice r9)
+    if "USER_RAISED_EXCEPTION" not in msg and (
+        "pgwire-conn-" in msg  # our cancelJobsWithTag tag
+        or re.search(r"\bJob \d+ (?:was )?cancell?ed", msg)
+        or "cancelled" in msg
+        or "canceled" in msg
+    ):
         return "57014"  # query_canceled — CancelRequest killed the jobs
     if "USER_RAISED_EXCEPTION" in msg:
         if "Could not convert string" in msg:

@@ -1211,12 +1211,17 @@ def _enum_struct_sql(x: str, tn: str, strict: bool = True) -> str:
     )
 
 
-def _enum_vstr_sql(x: str, tn: str) -> str:
+def _enum_vstr_sql(x: str, tn: str, strict: bool = True) -> str:
     """Enum cast in a varchar-comparison context: the VALIDATED label
     string (DuckDB compares enum-vs-varchar as VARCHAR, but still
-    refuses a non-member cast)."""
+    refuses a non-member cast; TRY_CAST yields NULL instead)."""
     arr = _enum_arr_sql(tn)
     s = f"CAST({x} AS STRING)"
+    if not strict:
+        return (
+            f"CASE WHEN array_position({arr}, {s}) = 0 THEN NULL"
+            f" ELSE {s} END"
+        )
     return (
         f"CASE WHEN array_position({arr}, {s}) = 0 THEN raise_error("
         f"concat('Could not convert string ''', {s},"
@@ -1427,7 +1432,12 @@ def _rewrite_enum_casts(sql: str) -> str:
             if mm is None or mm.group(1).lower() not in ENUM_TYPES:
                 continue
             x = inner[: mm.start()].strip()
-            body = _enum_struct_sql(x, mm.group(1).lower(), strict=not m.group(1))
+            # varchar-comparison / re-cast-to-text contexts get the
+            # validated label, same as the :: pass (advice r9)
+            if _enum_varchar_context(sql, mask, m.start(), close_i + 1):
+                body = _enum_vstr_sql(x, mm.group(1).lower(), strict=not m.group(1))
+            else:
+                body = _enum_struct_sql(x, mm.group(1).lower(), strict=not m.group(1))
             sql = sql[: m.start()] + "(" + body + ")" + sql[close_i + 1 :]
             changed = True
             break

@@ -233,7 +233,16 @@ def encode_text(v: Any) -> str:
             # renders as its label, exactly like DuckDB renders an
             # enum value as the member string
             lbl = d[keys[1]]
-            return "NULL" if lbl is None else str(lbl)
+            if lbl is None:
+                # a NULL enum cell is a NULL struct (handled upstream);
+                # a non-null struct with a null label is user-built
+                # named_struct data in an impossible enum state — refuse
+                # rather than emit the string 'NULL', which would be
+                # indistinguishable from a member named NULL (advice r9)
+                raise ValueError(
+                    "enum struct with non-null code but NULL label"
+                )
+            return str(lbl)
         tag = d.get("__utag")
         if (
             isinstance(tag, str)

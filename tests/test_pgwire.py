@@ -2503,12 +2503,28 @@ def test_wire_code_review_r6_regressions(client, spark):
     """Regression pins for the r6 code-review findings."""
     import duckdb
 
-    # 1. nextval in a per-row UPDATE refuses loudly (one substituted
-    #    literal for all rows would be silently wrong)
+    # 1. (r9 superseded the original pin: nextval in a single-table
+    #    UPDATE is now SUPPORTED — see test_wire_sequences_golden.)
+    #    r10 pin: DML against a fixture-backed view refuses loudly
+    #    instead of writing THROUGH the view into the read-only source
+    #    parquet (a stale version of this very pin overwrote
+    #    testdata/region.parquet in r9)
     client.query("CREATE SEQUENCE IF NOT EXISTS crseq")
     (res,) = client.query("UPDATE region SET r_regionkey = nextval('crseq')")
-    assert "error" in res and "per row" in res["error"], res
+    assert "error" in res and "view" in res["error"], res
     client.query("DROP SEQUENCE crseq")
+    (res,) = client.query("INSERT INTO region VALUES (9, 'ATLANTIS')")
+    assert "error" in res and res.get("sqlstate") == "42809", res
+    (res,) = client.query("DELETE FROM region WHERE r_regionkey = 0")
+    assert "error" in res and "view" in res["error"], res
+    # the fixture file itself must be untouched
+    import duckdb as _dk
+
+    rows = _dk.sql(
+        "SELECT min(r_regionkey), max(r_regionkey), count(*) FROM "
+        "read_parquet('/root/testdata/sf0.01/region.parquet')"
+    ).fetchall()
+    assert rows == [(0, 4, 5)], rows
     # 2. INSERT with an unknown column errors like PG, never drops data
     _fresh_wire_table(spark, "crt")
     client.query("CREATE TABLE crt(a int, b int)")
@@ -3485,6 +3501,20 @@ def test_wire_create_type_enum(client, spark):
     assert "error" in r and "Could not convert" in r["error"], r
     (r,) = client.query("SELECT TRY_CAST('nope' AS mood) AS m")
     assert r["rows"] == [[None]], r
+    # advice r9: the CAST(...) spelling gets the same varchar-context
+    # semantics as :: — label out of a re-cast to VARCHAR, literal
+    # comparison as validated label, TRY_CAST in varchar context
+    (r,) = client.query(
+        "SELECT CAST(CAST('ok' AS mood) AS VARCHAR) AS v,"
+        " CAST('ok' AS mood) = 'ok' AS e,"
+        " CAST('ok' AS mood) < 'happy' AS lx,"
+        " TRY_CAST('nope' AS mood) = 'nope' AS t"
+    )
+    assert r["rows"] == [["ok", "t", "f", None]], r
+    # advice r9: a failed enum cast of the literal 'cancelled' is an
+    # invalid-text-representation (22P02), NOT query_canceled (57014)
+    (r,) = client.query("SELECT 'cancelled'::mood AS m")
+    assert "error" in r and r.get("sqlstate") == "22P02", r
     # ORDER BY / min / max follow DECLARATION order, not lexical
     (r,) = client.query(
         "SELECT m FROM (SELECT 'happy'::mood AS m UNION ALL"
@@ -3523,6 +3553,13 @@ def test_wire_create_type_enum(client, spark):
     (r,) = client.query("SELECT m FROM tmood WHERE m = 'sad'::mood")
     assert r["rows"] == [["sad"]], r
     client.query("DROP TABLE tmood")
+    # advice r9: a member list with list-punctuation errors (adjacent
+    # literals, unquoted tokens) is a 42601 parser error like DuckDB,
+    # not a silently-salvaged member set
+    (r,) = client.query("CREATE TYPE badmood AS ENUM ('a' 'b', c)")
+    assert "error" in r and r.get("sqlstate") == "42601", r
+    (r,) = client.query("CREATE TYPE badmood2 AS ENUM (not_a_literal)")
+    assert "error" in r and r.get("sqlstate") == "42601", r
     # duplicate / drop semantics shared with aliases
     (r,) = client.query("CREATE TYPE mood AS ENUM ('a')")
     assert "error" in r and "already exists" in r["error"], r
