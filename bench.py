@@ -117,6 +117,10 @@ HEADLINE = [
     "mm_phash_near_dup",
     "dedup_containment",
     "sample_dsir_gumbel_topk",
+    # round-10 additions (DuckDB baselines in BASELINE.md r10 sub-table)
+    "mm_audio_decode",
+    "mm_audio_frame_energy",
+    "mm_audio_resample",
 ]
 
 

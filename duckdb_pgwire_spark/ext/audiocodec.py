@@ -1,0 +1,132 @@
+"""[EXT] Pure-Python audio codec for uncompressed WAV (RIFF PCM).
+
+Real sample decoding with no external library: the RIFF/WAVE container
+with PCM integer payloads — 16-bit signed and 8-bit unsigned, mono and
+interleaved stereo, chunk-walking that skips unknown chunks (LIST,
+fact, cue) the way real files carry them. The layout is fully public
+(the RIFF spec and the Microsoft WAVE format), so the mm_audio_*
+operators decode actual samples through this module, mirroring how
+``ext.imagecodec`` keeps the image plane stub-free. Compressed formats
+(MP3, AAC, IEEE-float WAV, ADPCM) refuse loudly with
+NotImplementedError: entropy/float decoding genuinely needs a library,
+and a silent fake would poison downstream features.
+
+All decoded samples are exact integers (16-bit PCM values as stored,
+8-bit values recentred to signed by subtracting 128), so both engines
+of the correctness gate can reproduce every derived statistic
+bit-for-bit — no float path anywhere in the codec.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = [
+    "DecodedAudio",
+    "decode_wav",
+    "encode_wav_pcm16",
+]
+
+
+class DecodedAudio:
+    """Decoded clip: ``sample_rate``, ``n_channels``, ``bits``, and
+    ``samples`` — per-channel-interleaved exact integer samples
+    (16-bit: as stored; 8-bit: value - 128)."""
+
+    __slots__ = ("sample_rate", "n_channels", "bits", "samples")
+
+    def __init__(
+        self, sample_rate: int, n_channels: int, bits: int, samples: list[int]
+    ):
+        self.sample_rate = sample_rate
+        self.n_channels = n_channels
+        self.bits = bits
+        self.samples = samples
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.samples) // self.n_channels
+
+
+def encode_wav_pcm16(
+    sample_rate: int, samples: list[int], n_channels: int = 1
+) -> bytes:
+    """Canonical 44-byte-header WAV from interleaved signed 16-bit
+    samples. Total size is exactly ``44 + 2*len(samples)`` — the
+    SQL-predictable property the mm_audio oracles lean on."""
+    if sample_rate <= 0 or n_channels <= 0:
+        raise ValueError("sample_rate and n_channels must be positive")
+    if len(samples) % n_channels != 0:
+        raise ValueError("samples must interleave complete frames")
+    for s in samples:
+        if not -32768 <= s <= 32767:
+            raise ValueError(f"sample {s} outside int16 range")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> DecodedAudio:
+    """Chunk-walking RIFF/WAVE decoder for integer PCM.
+
+    Accepts any chunk order, skips unknown chunks (word-aligned, the
+    RIFF rule), requires one ``fmt `` before ``data``. 16-bit samples
+    decode as stored; 8-bit (stored unsigned) recentre to signed.
+    Float/ADPCM/extensible-non-PCM refuse with NotImplementedError."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt_tag = n_channels = sample_rate = bits = None
+    samples: list[int] | None = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated chunk " + repr(cid))
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk too short")
+            fmt_tag, n_channels, sample_rate, _brate, _balign, bits = (
+                struct.unpack_from("<HHIIHH", body, 0)
+            )
+            if fmt_tag == 0xFFFE and clen >= 26:
+                # WAVE_FORMAT_EXTENSIBLE: the real format is the first
+                # two bytes of the subformat GUID
+                (fmt_tag,) = struct.unpack_from("<H", body, 24)
+        elif cid == b"data":
+            if fmt_tag is None:
+                raise ValueError("data chunk before fmt")
+            if fmt_tag != 1:
+                raise NotImplementedError(
+                    f"WAV format tag {fmt_tag} (non-PCM) not supported"
+                )
+            if bits == 16:
+                n = clen // 2
+                samples = list(struct.unpack_from(f"<{n}h", body, 0))
+            elif bits == 8:
+                samples = [b - 128 for b in body]
+            else:
+                raise NotImplementedError(f"{bits}-bit PCM not supported")
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if samples is None:
+        raise ValueError("no data chunk")
+    if n_channels in (None, 0) or sample_rate in (None, 0):
+        raise ValueError("invalid fmt chunk")
+    if len(samples) % n_channels != 0:
+        # trailing partial frame: drop it, like every practical reader
+        samples = samples[: len(samples) - len(samples) % n_channels]
+    return DecodedAudio(sample_rate, n_channels, bits, samples)

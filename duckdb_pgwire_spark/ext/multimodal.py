@@ -514,3 +514,221 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.alias("ham"))
         .filter(F.col("ham") <= PHASH_MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio plane (r10): WAV/PCM through the same REAL-decode recipe as the
+# image plane. Deterministic clip per doc — n = 64 + doc_id % 129 mono
+# frames at sr = 8000 * (1 + doc_id % 3) Hz, sample(i) =
+# ((doc_id*37 + i*1103) % 4097) - 2048 — encoded as a canonical 44-byte-
+# header PCM16 WAV (total bytes = 44 + 2n, SQL-predictable). The kernels
+# decode ACTUAL samples via ext.audiocodec; the oracles recompute the
+# generator arithmetic in SQL, so a decoder defect (chunk walk, LE int16
+# unpack, channel handling) shifts the exact-integer stats and trips the
+# value hash. All stats are integer-exact — no float crosses engines.
+
+MM_A_N_SQL = "(64 + doc_id % 129)"
+MM_A_SR_SQL = "(8000 * (1 + doc_id % 3))"
+MM_A_SAMPLES_SQL = (
+    f"[((doc_id * 37 + i * 1103) % 4097) - 2048 "
+    f"for i in range(0, {MM_A_N_SQL})]"
+)
+AUDIO_FRAME = 32  # non-overlapping analysis window, trailing partial dropped
+
+
+def _mm_fixture_audio(doc_id: int) -> bytes:
+    from .audiocodec import encode_wav_pcm16
+
+    n = 64 + doc_id % 129
+    sr = 8000 * (1 + doc_id % 3)
+    samples = [((doc_id * 37 + i * 1103) % 4097) - 2048 for i in range(n)]
+    return encode_wav_pcm16(sr, samples)
+
+
+@query(
+    "mm_audio_decode",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id, {MM_A_N_SQL} AS n, {MM_A_SAMPLES_SQL} AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(44 + 2 * n AS BIGINT)                  AS n_bytes,
+           CAST({MM_A_SR_SQL} AS INT)                  AS sample_rate,
+           1                                           AS n_channels,
+           CAST(n AS BIGINT)                           AS n_samples,
+           CAST(n * 1000 // {MM_A_SR_SQL} AS BIGINT)   AS duration_ms,
+           CAST(list_aggregate(s, 'sum') AS BIGINT)    AS sample_sum,
+           CAST(list_aggregate(list_transform(s, x -> abs(x)), 'max')
+                AS BIGINT)                             AS peak_abs,
+           CAST(length(list_filter(range(2, n + 1),
+                i -> (s[i-1] < 0) != (s[i] < 0))) AS BIGINT)
+                                                       AS n_zero_cross
+    FROM a
+    """,
+    tags=("ext", "multimodal", "audio", "mapInPandas"),
+)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode through mapInPandas: header + every PCM sample.
+
+    The per-clip stats (exact-integer sum, peak, zero-crossing count)
+    are the "stat the corpus" pass an audio pipeline runs before any
+    model-side feature extraction; at 100 TB the shape is identical —
+    payload bytes arrive in Arrow batches, the executor-side pure-Python
+    decoder emits typed metadata, partitioning is preserved and no byte
+    ever reaches the driver. Parity note: DuckDB has no audio functions,
+    so the oracle recomputes the generator arithmetic (not the codec) —
+    the encode→decode round trip is still value-gated because any
+    decode defect shifts sample_sum/peak/zero-cross.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .audiocodec import decode_wav
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_bytes": [], "sample_rate": [],
+                "n_channels": [], "n_samples": [], "duration_ms": [],
+                "sample_sum": [], "peak_abs": [], "n_zero_cross": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                payload = _mm_fixture_audio(int(doc_id))
+                au = decode_wav(payload)  # REAL decode of the bytes
+                s = au.samples
+                zc = sum(
+                    1 for i in range(1, len(s)) if (s[i - 1] < 0) != (s[i] < 0)
+                )
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes"].append(len(payload))
+                rows["sample_rate"].append(au.sample_rate)
+                rows["n_channels"].append(au.n_channels)
+                rows["n_samples"].append(len(s))
+                rows["duration_ms"].append(len(s) * 1000 // au.sample_rate)
+                rows["sample_sum"].append(sum(s))
+                rows["peak_abs"].append(max(abs(x) for x in s))
+                rows["n_zero_cross"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        decode_batches,
+        schema=(
+            "doc_id LONG, n_bytes LONG, sample_rate INT, n_channels INT, "
+            "n_samples LONG, duration_ms LONG, sample_sum LONG, "
+            "peak_abs LONG, n_zero_cross LONG"
+        ),
+    )
+
+
+@query(
+    "mm_audio_frame_energy",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id, {MM_A_N_SQL} AS n, {MM_A_SAMPLES_SQL} AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(f - 1 AS INT) AS frame_idx,
+           CAST(list_aggregate(list_transform(
+                    list_slice(s, (f-1)*{AUDIO_FRAME} + 1, f*{AUDIO_FRAME}),
+                    x -> x*x), 'sum') AS BIGINT) AS energy,
+           CAST(list_aggregate(list_transform(
+                    list_slice(s, (f-1)*{AUDIO_FRAME} + 1, f*{AUDIO_FRAME}),
+                    x -> abs(x)), 'max') AS BIGINT) AS peak
+    FROM a, UNNEST(range(1, n // {AUDIO_FRAME} + 1)) AS t(f)
+    """,
+    tags=("ext", "multimodal", "audio", "mapInPandas"),
+)
+def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features: non-overlapping 32-sample frames, per-
+    frame energy (sum of squares) and peak — the framing step under any
+    spectral/VAD feature extractor, emitted as one row per frame.
+
+    The kernel EXPLODES inside mapInPandas (one input row → n//32
+    output rows), which is the batch-shape detail that matters at
+    scale: Arrow output batches need not align 1:1 with input rows, so
+    a decode-and-frame stage never buffers whole clips per input batch.
+    Energy fits comfortably in int64 (32 * 2048² ≈ 2^27 per frame).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .audiocodec import decode_wav
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "energy": [], "peak": []}
+            for doc_id in pdf["doc_id"]:
+                s = decode_wav(_mm_fixture_audio(int(doc_id))).samples
+                for f in range(len(s) // AUDIO_FRAME):
+                    w = s[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["energy"].append(sum(x * x for x in w))
+                    rows["peak"].append(max(abs(x) for x in w))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        frame_batches,
+        schema="doc_id LONG, frame_idx INT, energy LONG, peak LONG",
+    )
+
+
+@query(
+    "mm_audio_resample",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id, {MM_A_N_SQL} AS n, {MM_A_SAMPLES_SQL} AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((n + 1) // 2 AS BIGINT)                    AS n_samples_out,
+           CAST({MM_A_SR_SQL} // 2 AS INT)                 AS sample_rate_out,
+           CAST(44 + 2 * ((n + 1) // 2) AS BIGINT)         AS n_bytes_out,
+           CAST(list_aggregate(
+                [s[2*i + 1] for i in range(0, (n + 1) // 2)],
+                'sum') AS BIGINT)                          AS sample_sum_out
+    FROM a
+    """,
+    tags=("ext", "multimodal", "audio", "mapInPandas"),
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform-and-re-encode: decimate by 2 (keep even-index samples)
+    and write the result back through the encoder, verifying the stats
+    on a SECOND decode of the re-encoded bytes.
+
+    This is the image plane's mm_resize analogue for audio: the full
+    decode → transform → encode → decode loop runs on executors, so the
+    round trip (not just the first parse) is value-gated. Integer
+    decimation keeps every emitted sample exactly representable — a
+    production resampler swaps in a windowed-sinc kernel behind the
+    same batch shape.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def resample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .audiocodec import decode_wav, encode_wav_pcm16
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_samples_out": [], "sample_rate_out": [],
+                "n_bytes_out": [], "sample_sum_out": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                au = decode_wav(_mm_fixture_audio(int(doc_id)))
+                dec = au.samples[::2]
+                out = encode_wav_pcm16(au.sample_rate // 2, dec)
+                back = decode_wav(out)  # second decode gates the encoder
+                rows["doc_id"].append(doc_id)
+                rows["n_samples_out"].append(len(back.samples))
+                rows["sample_rate_out"].append(back.sample_rate)
+                rows["n_bytes_out"].append(len(out))
+                rows["sample_sum_out"].append(sum(back.samples))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        resample_batches,
+        schema=(
+            "doc_id LONG, n_samples_out LONG, sample_rate_out INT, "
+            "n_bytes_out LONG, sample_sum_out LONG"
+        ),
+    )

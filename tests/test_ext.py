@@ -630,3 +630,66 @@ def test_ivf_probe_hier_path(spark, monkeypatch):
             1 for vid, c in cells.items() if c in probes and vid != qid
         )
     assert got == want
+
+
+def test_audiocodec_round_trips_and_refusals():
+    """WAV codec: PCM16 round trip, 8-bit recentring, stereo
+    interleave, unknown-chunk walking with word alignment, and loud
+    refusals for non-PCM / truncated payloads."""
+    import struct
+
+    import pytest
+
+    from duckdb_pgwire_spark.ext.audiocodec import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    # mono 16-bit round trip, exact samples and header arithmetic
+    s = [0, 100, -100, 32767, -32768, 7]
+    raw = encode_wav_pcm16(8000, s)
+    assert len(raw) == 44 + 2 * len(s)
+    au = decode_wav(raw)
+    assert (au.sample_rate, au.n_channels, au.bits) == (8000, 1, 16)
+    assert au.samples == s and au.n_frames == len(s)
+
+    # stereo: interleaved samples, n_frames halves
+    st = encode_wav_pcm16(44100, [1, -1, 2, -2], n_channels=2)
+    au2 = decode_wav(st)
+    assert (au2.n_channels, au2.n_frames, au2.samples) == (2, 2, [1, -1, 2, -2])
+
+    # unknown chunk BEFORE fmt/data is skipped, odd length word-aligned
+    body = raw[12:]
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3 → pad to 4
+    riffed = b"RIFF" + struct.pack("<I", 4 + len(junk) + len(body)) + b"WAVE" + junk + body
+    assert decode_wav(riffed).samples == s
+
+    # 8-bit unsigned PCM recentres to signed
+    data8 = bytes([128, 255, 0, 130])
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVEfmt "
+        + struct.pack("<I", 16) + fmt8 + b"data" + struct.pack("<I", 4) + data8
+    )
+    assert decode_wav(wav8).samples == [0, 127, -128, 2]
+
+    # IEEE-float WAV refuses loudly (format tag 3)
+    fmtf = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wavf = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVEfmt "
+        + struct.pack("<I", 16) + fmtf + b"data" + struct.pack("<I", 4)
+        + b"\x00\x00\x80\x3f"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(wavf)
+
+    # truncated data chunk / non-RIFF refuse
+    with pytest.raises(ValueError):
+        decode_wav(raw[: len(raw) - 3])
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + raw[4:])
+    # encoder input validation
+    with pytest.raises(ValueError):
+        encode_wav_pcm16(8000, [40000])
+    with pytest.raises(ValueError):
+        encode_wav_pcm16(8000, [1, 2, 3], n_channels=2)
