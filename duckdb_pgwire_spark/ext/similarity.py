@@ -260,8 +260,10 @@ def _ivf_lloyd_cte(i: int) -> str:
     )"""
 
 
-_IVF_ORACLE = f"""
-    WITH v AS (
+# Shared CTE chain of the IVF oracle (k-means build + assignment +
+# probe lists) — reused verbatim by the recall-evaluation oracle so
+# both gates describe the IDENTICAL index.
+_IVF_CTES = f"""v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
     ), cent0 AS (
@@ -277,7 +279,10 @@ _IVF_ORACLE = f"""
         SELECT vec_id AS query_id, cid FROM affin
         WHERE vec_id IN {QUERY_IDS}
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) <= {N_PROBE}
-    )
+    )"""
+
+_IVF_ORACLE = f"""
+    WITH {_IVF_CTES}
     SELECT p.query_id, COUNT(*) AS n_candidates
     FROM probes p
     JOIN assigned a ON a.cid = p.cid
@@ -759,6 +764,76 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_candidate_pairs(spark, sf_dir)
         .groupBy("query_id")
         .agg(F.count("*").alias("n_candidates"))
+    )
+
+
+_RECALL_ORACLE = f"""
+    WITH {_IVF_CTES},
+    qv AS (
+        SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN {QUERY_IDS}
+    ), scored AS (
+        SELECT qv.query_id, v.vec_id,
+               {_ivf_sim_sql("qv.qe", "v.e")} AS cos_raw
+        FROM qv CROSS JOIN v
+        WHERE v.vec_id <> qv.query_id
+    ), truth AS (
+        SELECT query_id, vec_id FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, vec_id) <= {TOP_K}
+    ), cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id
+        FROM probes p JOIN assigned a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT t.query_id,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(COUNT(c.vec_id) AS BIGINT) AS hits,
+           ROUND(COUNT(c.vec_id) / {TOP_K}.0, 4) AS recall
+    FROM truth t
+    LEFT JOIN cand c ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+    GROUP BY t.query_id
+"""
+
+
+@query(
+    "sim_recall_at_k",
+    oracle=_RECALL_ORACLE,
+    tags=("ext", "similarity", "eval"),
+)
+def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute-force ground truth
+    — the evaluation loop every ANN deployment runs before trusting an
+    approximate index, expressed as a join of the two existing planes.
+
+    Per query: ground truth = the exact cosine top-{TOP_K}
+    (sim_topk_bruteforce's plan), candidates = the IVF probe set
+    (ivf_candidate_pairs' plan); hits = |truth ∩ candidates| as an
+    exact integer, recall = hits/k. At 100 TB the truth side runs on a
+    SAMPLED query set (queries are metadata-scale here already) — the
+    intersection is a broadcast-size join because both sides are
+    O(|queries|·k) rows regardless of corpus size, so the eval costs
+    two corpus passes and no large shuffle. Cross-engine exactness:
+    hits is an integer and recall a ratio of small integers (n/{TOP_K})
+    — no float accumulation crosses engines.
+    """
+    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    cand = (
+        ivf_candidate_pairs(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    return (
+        truth.join(
+            F.broadcast(cand.withColumn("hit", F.lit(1))),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.count("hit").alias("hits"),
+            F.round(F.count("hit") / F.lit(float(TOP_K)), 4).alias("recall"),
+        )
     )
 
 

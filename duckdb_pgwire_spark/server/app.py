@@ -1206,7 +1206,7 @@ class PgWireServer:
                 # r9 (r8 verdict item 3): enum values travel as ordered
                 # structs — declaration-order comparisons are native
                 # (see compat.ENUM_TYPES)
-                from .compat import define_enum_type, split_top_level
+                from .compat import define_enum_type
 
                 # each comma-separated element must be exactly one quoted
                 # literal — ENUM ('a' 'b', tok) is a parser error in

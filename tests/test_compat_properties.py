@@ -687,6 +687,14 @@ def test_enum_fuzz_matches_duckdb(spark, data):
             )
             + ") t",
             "SELECT enum_range(NULL::fz_enum) AS r",
+            # CAST(...) spellings must hit the same varchar-context /
+            # struct decision as :: (advice r9, fixed r10)
+            f"SELECT CAST({dq(a)} AS fz_enum) AS m",
+            f"SELECT CAST(CAST({dq(a)} AS fz_enum) AS VARCHAR) AS v,"
+            f" upper({dq(a)}::fz_enum::VARCHAR) AS u",
+            f"SELECT CAST({dq(a)} AS fz_enum) = {dq(b)} AS ve,"
+            f" CAST({dq(a)} AS fz_enum) < {dq(b)} AS vl",
+            f"SELECT TRY_CAST({dq(outsider)} AS fz_enum) = {dq(b)} AS tn",
         ]
         from duckdb_pgwire_spark.server.typemap import encode_text
 
