@@ -3784,3 +3784,81 @@ def test_wire_pipeline_composes_with_copy_and_extended(client, tmp_path):
     (r,) = client.query("SELECT count(*) AS n FROM cp_bare")
     assert int(r["rows"][0][0]) == 500
     client.query("DROP TABLE cp_bare")
+
+
+def test_wire_nextval_update_randomized_vs_duckdb(client, spark):
+    """Randomized net over the r9 nextval-in-UPDATE feature (the census
+    probed 9 fixed shapes; this sweeps seeded random tables, sequence
+    START/INCREMENT, and predicates — including the zero-qualifying-row
+    edge). Contract per trial, matching the golden test's semantics:
+    non-qualifying rows keep EXACT values, qualifying rows carry exactly
+    DuckDB's allocated value multiset (row↔value order guaranteed by
+    neither engine), and currval agrees afterwards."""
+    import random
+
+    import duckdb
+
+    for trial in range(6):
+        rng = random.Random(7100 + trial)
+        n = rng.randint(4, 24)
+        vals = [rng.randint(-50, 50) for _ in range(n)]
+        start = rng.choice([1, 1, 5, 100])
+        inc = rng.choice([1, 1, 2, 7])
+        pred = rng.choice(
+            [None, "v % 2 = 0", "v > 0", "k < 5", "v > 999"]  # last: 0 rows
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE nvfz(k INT, v INT)")
+        _fresh_wire_table(spark, "nvfz")
+        rows_sql = ", ".join(f"({k}, {v})" for k, v in enumerate(vals))
+        seq_sql = f"CREATE SEQUENCE nvfzs START {start} INCREMENT {inc}"
+        upd = "UPDATE nvfz SET v = nextval('nvfzs')" + (
+            f" WHERE {pred}" if pred else ""
+        )
+        try:
+            con.execute(f"INSERT INTO nvfz VALUES {rows_sql}")
+            con.execute(seq_sql)
+            con.execute(upd)
+            (r,) = client.query("CREATE TABLE nvfz(k INT, v INT)")
+            assert "error" not in r, (trial, r)
+            (r,) = client.query(f"INSERT INTO nvfz VALUES {rows_sql}")
+            assert "error" not in r, (trial, r)
+            (r,) = client.query(seq_sql)
+            assert "error" not in r, (trial, r)
+            (r,) = client.query(upd)
+            assert "error" not in r, (trial, upd, r)
+            want = con.execute("SELECT k, v FROM nvfz ORDER BY k").fetchall()
+            (r,) = client.query("SELECT k, v FROM nvfz ORDER BY k")
+            got = [(int(a), int(b)) for a, b in r["rows"]]
+            if pred is None:
+                qualify = set(range(n))
+            else:
+                qualify = {
+                    k for k, (_, v0) in enumerate(zip(range(n), vals))
+                    if eval(  # noqa: S307 — test-local predicate mirror
+                        pred.replace("k", str(k)).replace("v", str(vals[k]))
+                        .replace("=", "==").replace(">==", ">=")
+                    )
+                }
+            for k in range(n):
+                if k not in qualify:
+                    assert got[k] == want[k], (trial, k, got[k], want[k])
+            assert sorted(v for k, v in got if k in qualify) == sorted(
+                v for k, v in want if k in qualify
+            ), (trial, upd, got, want)
+            # currval agrees (errors on both when the block was empty)
+            try:
+                want_cur = [[str(con.execute(
+                    "SELECT currval('nvfzs')").fetchall()[0][0])]]
+            except Exception:
+                want_cur = None
+            (r,) = client.query("SELECT currval('nvfzs') AS c")
+            if want_cur is None:
+                assert "error" in r, (trial, r)
+            else:
+                assert r.get("rows") == want_cur, (trial, r, want_cur)
+        finally:
+            con.close()
+            client.query("DROP SEQUENCE nvfzs")
+            client.query("DROP TABLE nvfz")
+            _fresh_wire_table(spark, "nvfz")
