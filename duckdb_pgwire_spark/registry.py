@@ -174,14 +174,24 @@ _ROUND_CACHE: list[int] = []
 
 
 def _current_round() -> int:
-    """1 + the number of driver CORRECTNESS files on disk at FIRST
-    call — the round whose window ordered_names() is computed for.
-    Memoized so the parity cannot flip mid-process if the driver lands
-    this round's file while the process is still running (code review
-    r8)."""
+    """1 + the number of driver CORRECTNESS files whose check actually
+    RAN (non-empty JSON), at FIRST call — the round whose window
+    ordered_names() is computed for. Empty files don't advance the
+    count: CORRECTNESS_r09 was `{}` (the r9 gate never executed — see
+    NOTES.md r10 incident), and counting it would skip that round's
+    flagship parity half forever. Memoized so the parity cannot flip
+    mid-process if the driver lands this round's file while the
+    process is still running (code review r8)."""
     if not _ROUND_CACHE:
         root = Path(__file__).resolve().parent.parent
-        _ROUND_CACHE.append(len(list(root.glob("CORRECTNESS_r*.json"))) + 1)
+        n = 0
+        for f in root.glob("CORRECTNESS_r*.json"):
+            try:
+                ran = bool(json.loads(f.read_text()))
+            except Exception:  # noqa: BLE001 — unreadable: assume it ran
+                ran = True
+            n += ran
+        _ROUND_CACHE.append(n + 1)
     return _ROUND_CACHE[0]
 
 
