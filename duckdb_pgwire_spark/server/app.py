@@ -1292,6 +1292,26 @@ class PgWireServer:
             # plain integer literals (or, for the per-row SELECT shape,
             # a pre-reserved row_number block). The count probe runs on
             # the pool thread like every Spark call.
+            # UPDATE-on-view: refuse BEFORE any block is reserved — a
+            # reservation followed by the write-guard refusal would
+            # leave currval advanced by a statement that never ran
+            # (code review r10).
+            if first == "UPDATE" and (
+                um := re.match(
+                    r"^\s*UPDATE\s+(?:ONLY\s+)?([\w.\"]+)", stmt,
+                    re.IGNORECASE,
+                )
+            ):
+                from ..operators.dml import _assert_writable
+
+                try:
+                    await self._exec(
+                        session, state.job_tag, _assert_writable, session,
+                        _unquote_ident(um.group(1)),
+                    )
+                except ValueError as exc:
+                    raise _WireError(str(exc), "42809") from exc
+
             def _count(q: str) -> int:
                 return session.sql(rewrite(q)).first()[0]
 
@@ -1562,10 +1582,7 @@ class PgWireServer:
                 if spec is not None
                 else (
                     m.group(1)
-                    if (m := re.match(
-                        r"\s*INSERT\s+(?:OR\s+\w+\s+)?INTO\s+([\w.\"]+)",
-                        sql, re.IGNORECASE,
-                    ))
+                    if (m := _INSERT_TARGET_RE.match(sql))
                     else None
                 )
             )
@@ -1575,7 +1592,7 @@ class PgWireServer:
                 try:
                     await self._exec(
                         session, state.job_tag, _assert_writable, session,
-                        tgt.strip('"'),
+                        _unquote_ident(tgt),
                     )
                 except ValueError as exc:
                     raise _WireError(str(exc), "42809") from exc
@@ -2095,6 +2112,14 @@ class PgWireServer:
 
         from pyspark.sql import types as T
 
+        from ..operators.dml import _assert_writable
+
+        # refuse BEFORE CopyInResponse — never accept data bound for a
+        # view's source files (r10 write-through guard)
+        try:
+            await self._exec(session, tag, _assert_writable, session, table)
+        except ValueError as exc:
+            raise _WireError(str(exc), "42809") from exc
         tgt = session.table(table)
         target_cols = cols or tgt.columns
         writer.write(P.copy_in_response(len(target_cols)))
@@ -2167,7 +2192,10 @@ class PgWireServer:
         appended via insertInto. Reading is as parallel as the source
         file layout; no driver-side row handling. CSV is headerless
         unless the statement's HEADER option says otherwise (PG default)."""
+        from ..operators.dml import _assert_writable
+
         s = session or self.spark
+        _assert_writable(s, table)  # COPY FROM appends THROUGH views (r10)
         tgt = s.table(table)
         if fmt == "csv":
             df = s.read.schema(tgt.schema).option("header", str(header).lower()).csv(path)
@@ -2222,13 +2250,19 @@ def _sqlstate(exc: Exception) -> str:
         if state:
             return state
     msg = str(exc)
-    # USER_RAISED before the cancel heuristic: a failed enum cast of the
-    # literal value 'cancelled' must map to 22P02, not 57014 (advice r9)
+    # Cancel detection anchored on what our CancelRequest path actually
+    # produces — the cancelJobsWithTag tag and Spark's job-cancelled
+    # phrasing — NOT a bare 'cancelled' substring, which user data (a
+    # failed cast of the value 'cancelled', a column named canceled_at)
+    # can contain (advice r9 + code review r10). USER_RAISED still
+    # wins: raise_error payloads embed user strings verbatim.
     if "USER_RAISED_EXCEPTION" not in msg and (
         "pgwire-conn-" in msg  # our cancelJobsWithTag tag
-        or re.search(r"\bJob \d+ (?:was )?cancell?ed", msg)
-        or "cancelled" in msg
-        or "canceled" in msg
+        or re.search(
+            r"\bJob \d+ (?:in group [\w.-]+ )?(?:was )?cancell?ed", msg
+        )
+        or "SPARK_JOB_CANCELLED" in msg
+        or "cancelled as part of" in msg
     ):
         return "57014"  # query_canceled — CancelRequest killed the jobs
     if "USER_RAISED_EXCEPTION" in msg:
@@ -2447,6 +2481,25 @@ _ATTACH_BATCH_ROWS = 1 << 20
 # instance). Spark's default database answers to DuckDB's names for it.
 CURRENT_DB = ["default"]
 _DEFAULT_DB_ALIASES = {"default", "main", "memory"}
+
+# INSERT target for the view-write guard. Covers the DuckDB/PG
+# spellings AND Spark's own (INSERT OVERWRITE [TABLE], INSERT INTO
+# TABLE) — the plain-INSERT fall-through runs spark.sql directly, so a
+# Spark-savvy client could reach the grammar parse_insert doesn't
+# model (code review r10: INSERT OVERWRITE slipped past the guard).
+_INSERT_TARGET_RE = re.compile(
+    r"^\s*INSERT\s+(?:OR\s+\w+\s+)?(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+    r"([\w.\"]+)",
+    re.IGNORECASE,
+)
+
+
+def _unquote_ident(name: str) -> str:
+    """``"a"."b"`` → ``a.b`` — per-part quote strip so quoted qualified
+    targets still resolve in the catalog (code review r10: a bare
+    str.strip('\"') mangled them and silently skipped the guard)."""
+    return ".".join(p.strip('"') for p in name.split("."))
+
 
 _WRITE_TARGET_RE = re.compile(
     r"^\s*(?:"

@@ -1166,8 +1166,6 @@ def define_enum_type(name: str, members: list[str]) -> None:
     key = name.lower()
     if key in TYPE_ALIASES:
         raise ValueError(f'Type with name "{name}" already exists!')
-    if not members:
-        raise ValueError("an ENUM type needs at least one member")
     if len(set(members)) != len(members):
         raise ValueError(f"enum {name} has duplicate members")
     ENUM_TYPES[key] = list(members)
@@ -1184,6 +1182,10 @@ def _esc_lit(s: str) -> str:
 
 
 def _enum_arr_sql(tn: str) -> str:
+    if not ENUM_TYPES[tn]:
+        # empty enum (DuckDB accepts CREATE TYPE e AS ENUM (); any use
+        # then errors there too) — typed so array_position still binds
+        return "CAST(array() AS ARRAY<STRING>)"
     return "array(" + ", ".join(_esc_lit(m) for m in ENUM_TYPES[tn]) + ")"
 
 

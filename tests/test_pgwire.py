@@ -3862,3 +3862,43 @@ def test_wire_nextval_update_randomized_vs_duckdb(client, spark):
             client.query("DROP SEQUENCE nvfzs")
             client.query("DROP TABLE nvfz")
             _fresh_wire_table(spark, "nvfz")
+
+
+def test_wire_view_write_guard_r10_review(client, spark, tmp_path):
+    """Code-review r10 pins: every route that can physically write
+    through a fixture-backed view refuses — INSERT OVERWRITE (Spark
+    grammar the fall-through would accept), COPY FROM (file load),
+    quoted-qualified INSERT targets — and a refused UPDATE-with-nextval
+    reserves NO sequence block (currval stays an error)."""
+    (r,) = client.query("INSERT OVERWRITE region SELECT * FROM region")
+    assert "error" in r and r.get("sqlstate") == "42809", r
+    (r,) = client.query("INSERT OVERWRITE TABLE region SELECT * FROM region")
+    assert "error" in r and r.get("sqlstate") == "42809", r
+    (r,) = client.query('INSERT INTO "region" VALUES (9, \'X\')')
+    assert "error" in r and r.get("sqlstate") == "42809", r
+    p = tmp_path / "r.csv"
+    p.write_text("9,X\n")
+    (r,) = client.query(f"COPY region FROM '{p}'")
+    assert "error" in r and "view" in r["error"], r
+    # refused-before-reservation: currval must still error afterwards
+    client.query("CREATE SEQUENCE r10gs")
+    (r,) = client.query("UPDATE region SET r_regionkey = nextval('r10gs')")
+    assert "error" in r and r.get("sqlstate") == "42809", r
+    (r,) = client.query("SELECT currval('r10gs') AS c")
+    assert "error" in r, r  # nextval never ran — no block reserved
+    client.query("DROP SEQUENCE r10gs")
+    # empty enum: CREATE succeeds like DuckDB; any cast then errors
+    (r,) = client.query("CREATE TYPE r10empty AS ENUM ()")
+    assert r.get("tag") == "CREATE TYPE", r
+    (r,) = client.query("SELECT 'x'::r10empty AS m")
+    assert "error" in r, r
+    (r,) = client.query("DROP TYPE r10empty")
+    assert r.get("tag") == "DROP TYPE", r
+    # fixture untouched by all of the above
+    import duckdb as _dk
+
+    rows = _dk.sql(
+        "SELECT min(r_regionkey), max(r_regionkey), count(*) FROM "
+        "read_parquet('/root/testdata/sf0.01/region.parquet')"
+    ).fetchall()
+    assert rows == [(0, 4, 5)], rows
