@@ -121,6 +121,7 @@ HEADLINE = [
     "mm_audio_decode",
     "mm_audio_frame_energy",
     "mm_audio_resample",
+    "sim_knn_label_agreement",
 ]
 
 

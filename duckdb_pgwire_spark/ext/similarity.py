@@ -837,6 +837,162 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 5  # neighbors per anchor for the label vote
+ANCHOR_MOD = 20  # anchor set = vec_id % 20 == 0 (5% sample)
+
+_KNN_LABEL_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), anchors AS (
+        SELECT vec_id AS query_id, label AS own_label, e AS qe
+        FROM v WHERE vec_id % {ANCHOR_MOD} = 0
+    ), scored AS (
+        SELECT a.query_id, a.own_label, v.vec_id, v.label,
+               {_ivf_sim_sql("a.qe", "v.e")} AS cos_raw
+        FROM anchors a CROSS JOIN v
+        WHERE v.vec_id <> a.query_id
+    ), neigh AS (
+        SELECT query_id, own_label, label FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, vec_id) <= {KNN_K}
+    ), votes AS (
+        SELECT query_id, own_label, label, COUNT(*) AS c
+        FROM neigh GROUP BY query_id, own_label, label
+    ), maj AS (
+        SELECT query_id, own_label, label AS majority_label FROM votes
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, label) = 1
+    )
+    SELECT m.query_id AS vec_id,
+           CAST(m.own_label AS INT) AS own_label,
+           CAST(m.majority_label AS INT) AS majority_label,
+           CAST(COALESCE(
+               (SELECT c FROM votes w
+                WHERE w.query_id = m.query_id AND w.label = m.own_label),
+               0) AS BIGINT) AS n_agree,
+           m.majority_label = m.own_label AS is_clean
+    FROM maj m
+"""
+
+
+@query(
+    "sim_knn_label_agreement",
+    oracle=_KNN_LABEL_ORACLE,
+    tags=("ext", "similarity", "eval", "labels"),
+)
+def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement over the labeled embedding set — the
+    label-noise screen a training pipeline runs before trusting
+    annotations (a row whose {KNN_K}-nearest neighbors vote a
+    different class is a mislabel candidate; cleanlab-style).
+
+    Anchors are a deterministic 1/{ANCHOR_MOD} sample (at 100 TB the
+    screen runs on exactly this kind of fixed-rate sample, or in
+    shards); each anchor broadcasts against the corpus scan, scores
+    with the bit-exact sequential-fold cosine, takes its top-{KNN_K}
+    by (cos, vec_id), and majority-votes the neighbor labels (ties →
+    smallest label). Outputs are all exact integers/booleans — nothing
+    float-accumulated crosses engines. One corpus pass, one
+    O(anchors·k)-row shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # Anchor set: metadata-scale (1/ANCHOR_MOD of the corpus) — one
+    # pushed-down scan, shipped to every task inside the kernel closure
+    # like the IVF centroid matrix.
+    anchor_rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % ANCHOR_MOD == 0)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    qids = np.array([r.vec_id for r in anchor_rows], dtype=np.int64)
+    Q = np.array([list(r.embedding) for r in anchor_rows], dtype=np.float64)
+    own_map = F.create_map(
+        *[
+            e
+            for r in anchor_rows
+            for e in (F.lit(int(r.vec_id)), F.lit(int(r.label)))
+        ]
+    )
+    v = load_table_parallel(spark, sf_dir, "embeddings", parts=4).select(
+        "vec_id", "label", "embedding"
+    )
+
+    def topk_batches(it):
+        # Matrix scoring + PER-BATCH partial top-k: each Arrow batch
+        # emits at most |anchors|·KNN_K candidate rows instead of
+        # |anchors|·|batch| scored pairs (the r10 review of the first
+        # cut: per-pair UDF shipped the full cross product). The global
+        # window below reduces the per-batch supersets exactly — this
+        # local-then-global top-k is the shape that scales: shuffle
+        # volume is O(anchors·k·partitions), independent of corpus
+        # size. Cosine uses the same sequential fold as the oracle
+        # (_cos_to_centroids), so doubles are bit-identical.
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            S = _cos_to_centroids(E, Q)  # (batch, anchors)
+            vids = pdf["vec_id"].to_numpy()
+            labs = pdf["label"].to_numpy()
+            out = {"query_id": [], "vec_id": [], "label": [], "cos_raw": []}
+            for qi, qid in enumerate(qids):
+                col = S[:, qi]
+                idx = np.nonzero(vids != qid)[0]
+                order = np.lexsort((vids[idx], -col[idx]))[:KNN_K]
+                for j in idx[order]:
+                    out["query_id"].append(int(qid))
+                    out["vec_id"].append(int(vids[j]))
+                    out["label"].append(int(labs[j]))
+                    out["cos_raw"].append(float(col[j]))
+            yield pd.DataFrame(out)
+
+    cand = v.mapInPandas(
+        topk_batches,
+        schema="query_id LONG, vec_id LONG, label INT, cos_raw DOUBLE",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    neigh = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            "query_id",
+            own_map[F.col("query_id")].cast("int").alias("own_label"),
+            "label",
+        )
+    )
+    votes = neigh.groupBy("query_id", "own_label", "label").agg(
+        F.count("*").alias("c")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("label")
+    )
+    maj = (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select("query_id", "own_label", F.col("label").alias("majority_label"))
+    )
+    agree = votes.filter(F.col("label") == F.col("own_label")).select(
+        "query_id", F.col("c").alias("n_agree")
+    )
+    return (
+        maj.join(agree, "query_id", "left")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("own_label").cast("int").alias("own_label"),
+            F.col("majority_label").cast("int").alias("majority_label"),
+            F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree"),
+            (F.col("majority_label") == F.col("own_label")).alias("is_clean"),
+        )
+    )
+
+
 # ------------------------------------------- LSH-wired embedding dedup
 
 # Bucket cap for ALL-PAIRS dedup (vs per-query retrieval above): with
