@@ -723,3 +723,54 @@ def test_enum_fuzz_matches_duckdb(spark, data):
         compat.ENUM_TYPES.pop("fz_enum", None)
         compat.TYPE_ALIASES.pop("fz_enum", None)
         con.close()
+
+
+# ------------------------------------------------------ WAV codec fuzz
+
+@given(
+    data=st.data(),
+    sr=st.integers(min_value=1, max_value=192_000),
+    nch=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_roundtrip_fuzz(data, sr, nch):
+    """Random PCM16 clips round-trip bit-exactly through the WAV codec,
+    with random unknown chunks (odd lengths included — word alignment)
+    injected before and after fmt/data surviving the chunk walk."""
+    import struct
+
+    from duckdb_pgwire_spark.ext.audiocodec import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    frames = data.draw(st.integers(min_value=0, max_value=64))
+    samples = data.draw(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=frames * nch,
+            max_size=frames * nch,
+        )
+    )
+    raw = encode_wav_pcm16(sr, samples, n_channels=nch)
+    assert len(raw) == 44 + 2 * len(samples)
+    au = decode_wav(raw)
+    assert (au.sample_rate, au.n_channels, au.samples) == (sr, nch, samples)
+    assert au.n_frames == frames
+
+    # inject 0-2 junk chunks between the RIFF header and fmt/data
+    body = raw[12:]
+    junk = b""
+    for _ in range(data.draw(st.integers(min_value=0, max_value=2))):
+        payload = data.draw(st.binary(max_size=9))
+        junk += (
+            data.draw(st.sampled_from([b"LIST", b"fact", b"cue ", b"junk"]))
+            + struct.pack("<I", len(payload))
+            + payload
+            + (b"\x00" if len(payload) % 2 else b"")
+        )
+    riffed = (
+        b"RIFF" + struct.pack("<I", 4 + len(junk) + len(body)) + b"WAVE"
+        + junk + body
+    )
+    assert decode_wav(riffed).samples == samples
