@@ -18,6 +18,24 @@ rows = df.collect()
 print("entry() rows:", len(rows), "schema:", [f.name for f in df.schema])
 print("first row:", rows[0])
 
+# fixture-integrity preflight: the r9 gate died SILENTLY when a test
+# overwrote region.parquet (empty CORRECTNESS_r09 — NOTES.md r10
+# incident). Fail loudly with a clear message instead.
+for sf in ("0.001", "0.01", "0.1"):
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"/root/testdata/sf{sf}/{t}.parquet"
+        import os as _os
+        if not _os.path.isfile(p):
+            sys.exit(f"FIXTURE DAMAGED: {p} is not a regular file "
+                     "(overwritten by a write-through? see NOTES.md r10)")
+try:
+    n = duckdb.sql("SELECT count(*), min(r_regionkey), max(r_regionkey) "
+                   "FROM read_parquet('/root/testdata/sf0.01/region.parquet')").fetchone()
+    assert n == (5, 0, 4), n
+except Exception as exc:  # noqa: BLE001
+    sys.exit(f"FIXTURE DAMAGED: sf0.01 region.parquet unreadable/wrong: {exc}")
+
 # t2: every queries() entry at sf0.01 vs oracle
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
