@@ -369,3 +369,36 @@ def test_dsir_gumbel_topk_is_take_ordered(spark):
     plan = I.simple_plan(df)
     assert "TakeOrdered" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_audio_decode_scans_doc_id_only(spark):
+    """Guards: reading the documents text/payload columns for an op
+    that derives clips from doc_id alone — scan width is the I/O term
+    at 100 TB, and a mapInPandas stage silently pulling every column
+    through Arrow is the classic way to lose it."""
+    df = _q("mm_audio_decode").fn(spark, SF_DIR)
+    (cols,) = I.scan_read_columns(df)
+    assert cols == {"doc_id"}, cols
+    df2 = _q("mm_audio_frame_energy").fn(spark, SF_DIR)
+    (cols2,) = I.scan_read_columns(df2)
+    assert cols2 == {"doc_id"}, cols2
+
+
+def test_audio_ops_no_shuffle(spark):
+    """Guards: any exchange in a per-clip map pipeline — decode/frame/
+    re-encode are embarrassingly parallel; a shuffle would serialize
+    payload bytes across the cluster for nothing."""
+    for name in ("mm_audio_decode", "mm_audio_resample"):
+        df = _q(name).fn(spark, SF_DIR)
+        assert I.exchange_count(df) == 0, (name, I.simple_plan(df))
+
+
+def test_knn_label_agreement_no_cartesian(spark):
+    """Guards: the anchors×corpus cross product materializing as a
+    plan-level join — the matrix kernel must absorb it (one
+    mapInPandas over the corpus scan), leaving only the
+    O(anchors·k·partitions) candidate shuffle for the global top-k."""
+    df = _q("sim_knn_label_agreement").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert I.has_node(df, "MapInPandas") or "MapInPandas" in plan, plan
