@@ -885,17 +885,18 @@ _KNN_LABEL_ORACLE = f"""
 def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label-agreement over the labeled embedding set — the
     label-noise screen a training pipeline runs before trusting
-    annotations (a row whose {KNN_K}-nearest neighbors vote a
-    different class is a mislabel candidate; cleanlab-style).
+    annotations (a row whose 5-nearest neighbors vote a different
+    class is a mislabel candidate; cleanlab-style).
 
-    Anchors are a deterministic 1/{ANCHOR_MOD} sample (at 100 TB the
-    screen runs on exactly this kind of fixed-rate sample, or in
-    shards); each anchor broadcasts against the corpus scan, scores
-    with the bit-exact sequential-fold cosine, takes its top-{KNN_K}
-    by (cos, vec_id), and majority-votes the neighbor labels (ties →
-    smallest label). Outputs are all exact integers/booleans — nothing
-    float-accumulated crosses engines. One corpus pass, one
-    O(anchors·k)-row shuffle.
+    Anchors are a deterministic 1-in-20 sample (at 100 TB the screen
+    runs on a FIXED-SIZE anchor sample or in shards — the rate form
+    here keeps the oracle one predicate); the anchor matrix ships in
+    the kernel closure, each corpus partition scores its batches
+    against it with the bit-exact sequential-fold cosine and emits one
+    per-partition partial top-k, and the global window reduces those.
+    Majority vote ties break to the smallest label. Outputs are all
+    exact integers/booleans — nothing float-accumulated crosses
+    engines. One corpus pass, one O(anchors·k·partitions)-row shuffle.
     """
     import numpy as np
     import pandas as pd
@@ -923,15 +924,18 @@ def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def topk_batches(it):
-        # Matrix scoring + PER-BATCH partial top-k: each Arrow batch
-        # emits at most |anchors|·KNN_K candidate rows instead of
-        # |anchors|·|batch| scored pairs (the r10 review of the first
-        # cut: per-pair UDF shipped the full cross product). The global
-        # window below reduces the per-batch supersets exactly — this
-        # local-then-global top-k is the shape that scales: shuffle
-        # volume is O(anchors·k·partitions), independent of corpus
-        # size. Cosine uses the same sequential fold as the oracle
+        # Matrix scoring + PER-PARTITION partial top-k: batches fold
+        # into one running per-anchor candidate list and the partition
+        # yields ONCE, so shuffle volume is O(anchors·k·partitions) —
+        # independent of corpus size (code review r10 second pass: the
+        # first cut yielded per BATCH, which grows linearly with the
+        # corpus). Per-batch selection is argpartition by cosine with
+        # the K-th-value tie threshold (a SUPERSET of the true top-k
+        # under the (cos desc, vec_id) order — ties can't be dropped),
+        # not a full per-anchor lexsort (the r4 IVF hot spot). Cosine
+        # uses the same sequential fold as the oracle
         # (_cos_to_centroids), so doubles are bit-identical.
+        acc: dict[int, list] = {int(q): [] for q in qids}
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -939,17 +943,31 @@ def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             S = _cos_to_centroids(E, Q)  # (batch, anchors)
             vids = pdf["vec_id"].to_numpy()
             labs = pdf["label"].to_numpy()
-            out = {"query_id": [], "vec_id": [], "label": [], "cos_raw": []}
+            n = len(vids)
+            kk = min(KNN_K + 1, n)  # +1 absorbs the anchor's self row
             for qi, qid in enumerate(qids):
                 col = S[:, qi]
-                idx = np.nonzero(vids != qid)[0]
-                order = np.lexsort((vids[idx], -col[idx]))[:KNN_K]
-                for j in idx[order]:
-                    out["query_id"].append(int(qid))
-                    out["vec_id"].append(int(vids[j]))
-                    out["label"].append(int(labs[j]))
-                    out["cos_raw"].append(float(col[j]))
-            yield pd.DataFrame(out)
+                if n > kk:
+                    part = np.argpartition(-col, kk - 1)[:kk]
+                    cand = np.nonzero(col >= col[part].min())[0]
+                else:
+                    cand = np.arange(n)
+                a = acc[int(qid)]
+                for j in cand:
+                    if vids[j] != qid:
+                        a.append((float(col[j]), int(vids[j]), int(labs[j])))
+                if len(a) > 4 * (KNN_K + 1):
+                    a.sort(key=lambda t: (-t[0], t[1]))
+                    del a[KNN_K:]
+        out = {"query_id": [], "vec_id": [], "label": [], "cos_raw": []}
+        for qid, a in acc.items():
+            a.sort(key=lambda t: (-t[0], t[1]))
+            for cos, vid, lab in a[:KNN_K]:
+                out["query_id"].append(qid)
+                out["vec_id"].append(vid)
+                out["label"].append(lab)
+                out["cos_raw"].append(cos)
+        yield pd.DataFrame(out)
 
     cand = v.mapInPandas(
         topk_batches,

@@ -1292,16 +1292,19 @@ class PgWireServer:
             # plain integer literals (or, for the per-row SELECT shape,
             # a pre-reserved row_number block). The count probe runs on
             # the pool thread like every Spark call.
-            # UPDATE-on-view: refuse BEFORE any block is reserved — a
+            # DML-on-view: refuse BEFORE any block is reserved — a
             # reservation followed by the write-guard refusal would
             # leave currval advanced by a statement that never ran
-            # (code review r10).
-            if first == "UPDATE" and (
-                um := re.match(
+            # (code review r10; second pass caught INSERT too).
+            um = None
+            if first == "UPDATE":
+                um = re.match(
                     r"^\s*UPDATE\s+(?:ONLY\s+)?([\w.\"]+)", stmt,
                     re.IGNORECASE,
                 )
-            ):
+            elif first == "INSERT":
+                um = _INSERT_TARGET_RE.match(stmt)
+            if um is not None:
                 from ..operators.dml import _assert_writable
 
                 try:
@@ -2262,7 +2265,7 @@ def _sqlstate(exc: Exception) -> str:
             r"\bJob \d+ (?:in group [\w.-]+ )?(?:was )?cancell?ed", msg
         )
         or "SPARK_JOB_CANCELLED" in msg
-        or "cancelled as part of" in msg
+        or re.search(r"cancell?ed (?:as )?part of cancell?ed job", msg)
     ):
         return "57014"  # query_canceled — CancelRequest killed the jobs
     if "USER_RAISED_EXCEPTION" in msg:

@@ -1530,10 +1530,12 @@ def _rewrite_enum_fns(sql: str) -> str:
                 if tn is None:
                     continue
                 members = ENUM_TYPES[tn]
+                # empty enum: DuckDB's enum_first/enum_last return ''
+                # (probed, code review r10) — don't IndexError
                 repl = {
                     "enum_range": _enum_arr_sql(tn),
-                    "enum_first": _esc_lit(members[0]),
-                    "enum_last": _esc_lit(members[-1]),
+                    "enum_first": _esc_lit(members[0]) if members else "''",
+                    "enum_last": _esc_lit(members[-1]) if members else "''",
                 }[fn]
             sql = sql[: m.start()] + repl + sql[close_i + 1 :]
             changed = True

@@ -12,15 +12,10 @@ spark = (SparkSession.builder.master("local[8]")
          .appName("driver-sim").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
-# t1 smoke: entry() at sf0.001
-df = e.entry(spark)
-rows = df.collect()
-print("entry() rows:", len(rows), "schema:", [f.name for f in df.schema])
-print("first row:", rows[0])
-
-# fixture-integrity preflight: the r9 gate died SILENTLY when a test
-# overwrote region.parquet (empty CORRECTNESS_r09 — NOTES.md r10
-# incident). Fail loudly with a clear message instead.
+# fixture-integrity preflight FIRST — before any fixture read: the r9
+# gate died SILENTLY when a test overwrote region.parquet (empty
+# CORRECTNESS_r09 — NOTES.md r10 incident). Fail loudly with a clear
+# message instead of an opaque Spark/parquet stack from the smoke test.
 for sf in ("0.001", "0.01", "0.1"):
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -35,6 +30,12 @@ try:
     assert n == (5, 0, 4), n
 except Exception as exc:  # noqa: BLE001
     sys.exit(f"FIXTURE DAMAGED: sf0.01 region.parquet unreadable/wrong: {exc}")
+
+# t1 smoke: entry() at sf0.001
+df = e.entry(spark)
+rows = df.collect()
+print("entry() rows:", len(rows), "schema:", [f.name for f in df.schema])
+print("first row:", rows[0])
 
 # t2: every queries() entry at sf0.01 vs oracle
 con = duckdb.connect()

@@ -3881,17 +3881,25 @@ def test_wire_view_write_guard_r10_review(client, spark, tmp_path):
     (r,) = client.query(f"COPY region FROM '{p}'")
     assert "error" in r and "view" in r["error"], r
     # refused-before-reservation: currval must still error afterwards
+    # (both DML spellings — the second review pass caught INSERT)
     client.query("CREATE SEQUENCE r10gs")
     (r,) = client.query("UPDATE region SET r_regionkey = nextval('r10gs')")
+    assert "error" in r and r.get("sqlstate") == "42809", r
+    (r,) = client.query("INSERT INTO region VALUES (nextval('r10gs'), 'Y')")
     assert "error" in r and r.get("sqlstate") == "42809", r
     (r,) = client.query("SELECT currval('r10gs') AS c")
     assert "error" in r, r  # nextval never ran — no block reserved
     client.query("DROP SEQUENCE r10gs")
-    # empty enum: CREATE succeeds like DuckDB; any cast then errors
+    # empty enum: CREATE succeeds like DuckDB; casts error; DuckDB's
+    # probed enum_first/enum_last answer for the empty enum is ''
     (r,) = client.query("CREATE TYPE r10empty AS ENUM ()")
     assert r.get("tag") == "CREATE TYPE", r
     (r,) = client.query("SELECT 'x'::r10empty AS m")
     assert "error" in r, r
+    (r,) = client.query(
+        "SELECT enum_first(NULL::r10empty) AS f, enum_last(NULL::r10empty) AS l"
+    )
+    assert r.get("rows") == [["", ""]], r
     (r,) = client.query("DROP TYPE r10empty")
     assert r.get("tag") == "DROP TYPE", r
     # fixture untouched by all of the above
