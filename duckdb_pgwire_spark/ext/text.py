@@ -1146,7 +1146,14 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lr = _dsir_ratios(spark, sf_dir, bk)
-    lr_arr = F.array(*[F.lit(v).cast("long") for v in lr])
+    # ONE parsed expression, not 256 F.lit Py4J round-trips: building
+    # the literal array column-by-column cost ~0.7 s of plan
+    # CONSTRUCTION per call — more than the query's execution (profiled
+    # r10; the driver re-calls the query fn every bench run, so plan
+    # build is on the measured path)
+    lr_arr = F.expr(
+        "array(" + ",".join(f"{v}L" for v in lr) + ")"
+    )
     return (
         bk.filter(F.col("doc_id") % 97 != 0)
         .select("doc_id", F.element_at(lr_arr, F.col("b") + 1).alias("lr"))

@@ -157,7 +157,9 @@ def stream_dsir_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # epoch distribution build (batch, cached) — the exact bk pipeline
     # the batch op uses, so stream scores and oracle agree bit-exact
     lr = _dsir_ratios(spark, sf_dir, bk)
-    lr_arr = F.array(*[F.lit(v).cast("long") for v in lr])
+    # one parsed expression, not 256 F.lit round-trips (see
+    # ext/text.py _dsir_doc_weights — plan-build cost, profiled r10)
+    lr_arr = F.expr("array(" + ",".join(f"{v}L" for v in lr) + ")")
 
     stream = _read_documents_stream(spark, sf_dir)
     sbk = (
