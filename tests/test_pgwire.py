@@ -3910,3 +3910,104 @@ def test_wire_view_write_guard_r10_review(client, spark, tmp_path):
         "read_parquet('/root/testdata/sf0.01/region.parquet')"
     ).fetchall()
     assert rows == [(0, 4, 5)], rows
+
+
+def test_wire_random_select_fuzz_vs_duckdb(client, oracle):
+    """Seeded random-SELECT net: generated queries over the fixture
+    tables (projections of int/string expressions, predicates, GROUP
+    BY aggregates, total-order ORDER BY + LIMIT) run through the full
+    wire path and must value-match DuckDB running the identical SQL.
+    The idiom probes (probe_compat) sweep known syntax; this sweeps
+    COMPOSITIONS of them the probes never wrote down. Grammar is
+    restricted to engine-exact expressions: integer arithmetic (no
+    '/'), string slicing/case, count/sum/min/max — nothing
+    float-accumulated, and every ORDER BY totals-orders the output."""
+    import random
+
+    from duckdb_pgwire_spark.server.typemap import encode_text
+
+    TBL = {
+        "nation": (["n_nationkey", "n_regionkey"], ["n_name"]),
+        "region": (["r_regionkey"], ["r_name"]),
+        "customer": (["c_custkey", "c_nationkey"], ["c_name", "c_mktsegment"]),
+    }
+
+    def gen_int_expr(rng, ints):
+        c = rng.choice(ints)
+        return rng.choice([
+            c,
+            f"{c} + {rng.randint(1, 9)}",
+            f"{c} * {rng.randint(2, 5)}",
+            f"{c} % {rng.randint(2, 7)}",
+            f"-{c}",
+            f"abs({c} - {rng.randint(0, 20)})",
+            f"greatest({c}, {rng.randint(0, 10)})",
+        ])
+
+    def gen_str_expr(rng, strs):
+        c = rng.choice(strs)
+        return rng.choice([
+            c,
+            f"upper({c})",
+            f"lower({c})",
+            f"substr({c}, 1, {rng.randint(1, 5)})",
+            f"length({c})",
+            f"concat({c}, '_x')",
+            f"reverse({c})",
+        ])
+
+    def gen_pred(rng, ints, strs):
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            return f"{gen_int_expr(rng, ints)} {rng.choice(['<', '<=', '>', '>=', '=', '<>'])} {rng.randint(0, 24)}"
+        if kind == 1:
+            c = rng.choice(strs)
+            return f"{c} LIKE '{rng.choice('ABCDEFIMR')}%'"
+        if kind == 2:
+            return f"{rng.choice(ints)} IN ({', '.join(str(rng.randint(0, 24)) for _ in range(3))})"
+        if kind == 3:
+            return f"({gen_pred(rng, ints, strs)}) {rng.choice(['AND', 'OR'])} ({gen_pred(rng, ints, strs)})"
+        return f"{rng.choice(strs)} IS NOT NULL"
+
+    n_checked = 0
+    for trial in range(40):
+        rng = random.Random(42_000 + trial)
+        tbl = rng.choice(list(TBL))
+        ints, strs = TBL[tbl]
+        if rng.random() < 0.45:
+            # aggregate shape
+            gcol = rng.choice(ints + strs)
+            aggs = [
+                "COUNT(*) AS cnt",
+                f"SUM({gen_int_expr(rng, ints)}) AS s1",
+                f"MIN({gen_str_expr(rng, strs)}) AS m1",
+                f"MAX({gen_int_expr(rng, ints)}) AS m2",
+            ][: rng.randint(2, 4)]
+            sql = (
+                f"SELECT {gcol}, {', '.join(aggs)} FROM {tbl}"
+                + (f" WHERE {gen_pred(rng, ints, strs)}" if rng.random() < 0.6 else "")
+                + f" GROUP BY {gcol} ORDER BY {gcol}"
+            )
+        else:
+            cols = [
+                f"{gen_int_expr(rng, ints)} AS e{i}" if rng.random() < 0.5
+                else f"{gen_str_expr(rng, strs)} AS e{i}"
+                for i in range(rng.randint(1, 4))
+            ]
+            names = ", ".join(f"e{i}" for i in range(len(cols)))
+            sql = (
+                f"SELECT {', '.join(cols)} FROM {tbl}"
+                + (f" WHERE {gen_pred(rng, ints, strs)}" if rng.random() < 0.7 else "")
+                + f" ORDER BY {names}"
+                + (f" LIMIT {rng.randint(1, 40)}" if rng.random() < 0.5 else "")
+            )
+        want = [
+            tuple(None if v is None else encode_text(v) for v in row)
+            for row in oracle.execute(sql).fetchall()
+        ]
+        (res,) = client.query(sql)
+        assert "error" not in res, (trial, sql, res)
+        got = [tuple(r) for r in res["rows"]]
+        assert got == [tuple(w) for w in want], (trial, sql, got[:5], want[:5])
+        n_checked += 1
+    assert n_checked == 40
