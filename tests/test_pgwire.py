@@ -3970,11 +3970,34 @@ def test_wire_random_select_fuzz_vs_duckdb(client, oracle):
         return f"{rng.choice(strs)} IS NOT NULL"
 
     n_checked = 0
-    for trial in range(40):
+    for trial in range(52):
         rng = random.Random(42_000 + trial)
         tbl = rng.choice(list(TBL))
         ints, strs = TBL[tbl]
-        if rng.random() < 0.45:
+        if trial >= 40:
+            # join shape: nation⋈region (FK), grouped or projected
+            on = "n.n_regionkey = r.r_regionkey"
+            if rng.random() < 0.5:
+                sql = (
+                    "SELECT r.r_name, COUNT(*) AS cnt,"
+                    f" SUM({gen_int_expr(rng, ['n.n_nationkey'])}) AS s1"
+                    f" FROM nation n JOIN region r ON {on}"
+                    + (
+                        f" WHERE {gen_pred(rng, ['n.n_nationkey'], ['n.n_name'])}"
+                        if rng.random() < 0.6
+                        else ""
+                    )
+                    + " GROUP BY r.r_name ORDER BY r.r_name"
+                )
+            else:
+                jk = rng.choice(["JOIN", "LEFT JOIN"])
+                sql = (
+                    "SELECT n.n_name AS e0, upper(r.r_name) AS e1"
+                    f" FROM nation n {jk} region r ON {on}"
+                    f" AND r.r_regionkey {rng.choice(['<', '<>', '>='])} {rng.randint(0, 4)}"
+                    " ORDER BY e0, e1"
+                )
+        elif rng.random() < 0.45:
             # aggregate shape
             gcol = rng.choice(ints + strs)
             aggs = [
@@ -4010,4 +4033,4 @@ def test_wire_random_select_fuzz_vs_duckdb(client, oracle):
         got = [tuple(r) for r in res["rows"]]
         assert got == [tuple(w) for w in want], (trial, sql, got[:5], want[:5])
         n_checked += 1
-    assert n_checked == 40
+    assert n_checked == 52
