@@ -905,8 +905,11 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b, n in counts:
         offsets[b] = acc
         acc += n
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # one parsed expression, not 512 F.lit Py4J round-trips (bucket ids
+    # are md5 hex pairs — no quoting hazards); same plan-build hotspot
+    # as the DSIR literal array (profiled r10)
+    off_map = F.expr(
+        "map(" + ",".join(f"'{b}',{off}L" for b, off in offsets.items()) + ")"
     )
     w = Window.partitionBy("__b").orderBy("__k", "doc_id")
     return keyed.select(
