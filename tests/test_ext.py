@@ -693,3 +693,32 @@ def test_audiocodec_round_trips_and_refusals():
         encode_wav_pcm16(8000, [40000])
     with pytest.raises(ValueError):
         encode_wav_pcm16(8000, [1, 2, 3], n_channels=2)
+
+
+def test_knn_label_agreement_multibatch_accumulation(spark):
+    """The per-partition top-k accumulator must be exact when a
+    partition spans MANY Arrow batches (the fixture corpus fits one
+    batch, so the fold-across-batches path — including the mid-loop
+    truncation to K — would otherwise go untested). Shrinking
+    maxRecordsPerBatch to 7 forces ~18 batches per partition; the
+    result must be bit-identical to the single-batch run."""
+    from duckdb_pgwire_spark.ext.similarity import sim_knn_label_agreement
+
+    sf = "/root/testdata/sf0.01"
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    base = sorted(
+        tuple(r) for r in sim_knn_label_agreement(spark, sf).collect()
+    )
+    try:
+        spark.conf.set(key, "7")
+        tiny = sorted(
+            tuple(r) for r in sim_knn_label_agreement(spark, sf).collect()
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert tiny == base
+    assert len(base) == 25  # 500 vectors / ANCHOR_MOD anchors
