@@ -1657,6 +1657,84 @@ def _rewrite_duck_types(sql: str) -> str:
     return sql
 
 
+# DuckDB treats the whole VARCHAR alias family as ONE length-less text
+# type: TEXT / STRING / [N]VARCHAR / [BP]CHAR / CHARACTER [VARYING],
+# with or without a length modifier, all mean plain VARCHAR and any
+# ``(n)`` is parsed then IGNORED (probed: ``'abcd'::VARCHAR(2)`` =
+# 'abcd'). Spark rejects TEXT/NVARCHAR/bare-CHAR outright and ENFORCES
+# VARCHAR(n)/CHAR(n) — truncation/padding, a silent value divergence.
+# Rewrite every family spelling in TYPE positions to STRING. Positions
+# only: ``text`` is also a COLUMN of the documents fixture and a
+# plausible alias name, so no bare-word sweep — after ``::``, as the
+# AS-type tail of a MATCHED [TRY_]CAST span (span-anchored, unlike the
+# duck-only scalar tail sub, because ``AS text)`` is a realistic
+# column-alias spelling), and in a CREATE TABLE column-list paren.
+_VF_TYPE = r"(?:CHARACTER\s+VARYING|CHARACTER|TEXT|NVARCHAR|VARCHAR|BPCHAR|CHAR|STRING)"
+_VF_LEN = r"(?:\s*\(\s*\d+\s*\))?"
+_VF_HINT_RE = re.compile(
+    r"::|\b(?:TRY_)?CAST\s*\(|^\s*CREATE\b.*?\bTABLE\b",
+    re.IGNORECASE | re.DOTALL,
+)
+_VF_COLON_RE = re.compile(rf"(::\s*){_VF_TYPE}\b{_VF_LEN}", re.IGNORECASE)
+_VF_TAIL_RE = re.compile(rf"\bAS\s+{_VF_TYPE}\b{_VF_LEN}\s*$", re.IGNORECASE)
+_VF_DDL_RE = re.compile(rf"(\w+\s+){_VF_TYPE}\b{_VF_LEN}", re.IGNORECASE)
+_VF_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?[\w.\"]+\s*(\()",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_varchar_family(sql: str) -> str:
+    if _VF_HINT_RE.search(sql) is None:
+        return sql
+    mask = _code_mask(sql)
+
+    def colon_sub(m: re.Match) -> str:
+        if not all(mask[m.start() : m.end()]):
+            return m.group(0)
+        return m.group(1) + "STRING"
+
+    sql = _VF_COLON_RE.sub(colon_sub, sql)
+    changed = True
+    while changed:  # innermost-last: the $-anchored tail resolves one
+        changed = False  # CAST per scan, nested CASTs over iterations
+        mask = _code_mask(sql)
+        for m in re.finditer(r"\b(?:TRY_)?CAST\s*\(", sql, re.IGNORECASE):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            close_i = _match_paren(sql, mask, m.end() - 1)
+            if close_i is None:
+                continue
+            inner = sql[m.end() : close_i]
+            tm = _VF_TAIL_RE.search(inner)
+            if tm is None or tm.group(0).upper().endswith("STRING"):
+                continue
+            sql = (
+                sql[: m.end()]
+                + inner[: tm.start()]
+                + "AS STRING"
+                + sql[close_i:]
+            )
+            changed = True
+            break
+    cm = _VF_CREATE_RE.match(sql)
+    if cm is not None:
+        mask = _code_mask(sql)
+        open_i = cm.end(1) - 1
+        close_i = _match_paren(sql, mask, open_i)
+        if close_i is not None:
+
+            def ddl_sub(m: re.Match) -> str:
+                if not all(mask[open_i + 1 + m.start() : open_i + 1 + m.end()]):
+                    return m.group(0)
+                return m.group(1) + "STRING"
+
+            body = _VF_DDL_RE.sub(ddl_sub, sql[open_i + 1 : close_i])
+            sql = sql[: open_i + 1] + body + sql[close_i:]
+    return sql
+
+
 def _substitute_type_aliases(sql: str) -> str:
     """CREATE TYPE aliases in TYPE positions: after ``::``, as a
     paren-anchored CAST tail, and — in CREATE TABLE column lists —
@@ -4557,6 +4635,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_array_constructor(sql)
     sql = _rewrite_array_type_suffix(sql)  # INT[] types BEFORE brackets
     sql = _rewrite_duck_types(sql)  # STRUCT(...)/MAP(...)/unsigned casts
+    sql = _rewrite_varchar_family(sql)  # TEXT/CHAR(n)/... → STRING in type pos
     sql = _rewrite_brackets(sql)  # after ARRAY[..]: bare [..] / l[i] / slices
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_struct_pack(sql)

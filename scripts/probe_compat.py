@@ -557,6 +557,27 @@ BATTERY: dict[str, list[str]] = {
         "DROP TABLE probe_ut",
         "DROP SEQUENCE probe_useq",
     ],
+    "r10_varchar_family": [
+        # DuckDB: TEXT/STRING/[N]VARCHAR/[BP]CHAR/CHARACTER [VARYING]
+        # are ONE length-less type; any (n) is parsed then IGNORED
+        # (Spark would truncate/pad — silent value divergence)
+        "SELECT 'a'::TEXT AS v",
+        "SELECT CAST(1 AS TEXT) AS v",
+        "SELECT TRY_CAST(123 AS TEXT) AS v",
+        "SELECT 'a'::CHARACTER VARYING AS v",
+        "SELECT 'abcd'::VARCHAR(2) AS v",
+        "SELECT CAST('abcd' AS CHAR(2)) AS v",
+        "SELECT 'a'::NVARCHAR AS v",
+        "SELECT 'ab'::BPCHAR AS v",
+        "SELECT 'ab'::CHARACTER AS v",
+        "CREATE OR REPLACE TABLE probe_vf (c TEXT, d VARCHAR(3))",
+        "INSERT INTO probe_vf VALUES ('xyz', 'abcdef')",
+        "SELECT c, d FROM probe_vf",
+        "DROP TABLE probe_vf",
+        # `text` stays reachable as a column name / alias
+        "SELECT text FROM documents ORDER BY doc_id LIMIT 1",
+        "SELECT 7 AS text",
+    ],
 }
 
 

@@ -25,6 +25,16 @@ from .conftest import SF_DIR
 # canonicalization (floats to 9 significant digits, dates/timestamps to
 # ISO text, rows sorted).
 BATTERY = [
+    # ---- VARCHAR alias family (r10): DuckDB parses TEXT/[N]VARCHAR/
+    # [BP]CHAR/CHARACTER [VARYING] as ONE length-less type, IGNORING
+    # any (n); Spark enforces VARCHAR(n)/CHAR(n) and rejects the rest
+    "SELECT 'a'::TEXT AS v1, CAST(1 AS TEXT) AS v2,"
+    " TRY_CAST(123 AS TEXT) AS v3",
+    "SELECT 'a'::CHARACTER VARYING AS v1, 'ab'::CHARACTER AS v2,"
+    " 'a'::NVARCHAR AS v3, 'ab'::BPCHAR AS v4",
+    "SELECT 'abcd'::VARCHAR(2) AS v1, CAST('abcd' AS CHAR(2)) AS v2",
+    # `text` survives as a column alias (no bare-word sweep)
+    "SELECT 7 AS text",
     # ---- operators
     "SELECT 1_000_000 AS n",
     "SELECT 3 // 2 AS a, -7 // 2 AS b, 7.5 // 2 AS c",
