@@ -2405,11 +2405,16 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
       len/length; Spark's length rejects arrays);
     - COLUMNS(*) / COLUMNS('regex') star expressions → explicit
       schema-resolved column lists."""
+    from .compat import ENUM_TYPES, rewrite_enum_table_columns
+
     has_sum = _HAS_SUM_RE.search(sql) is not None
     has_len = _HAS_LEN_RE.search(sql) is not None
     has_columns = _HAS_COLUMNS_RE.search(sql) is not None
     has_replace = _HAS_STAR_REPLACE_RE.search(sql) is not None
-    if not (has_sum or has_len or has_columns or has_replace):
+    # the enum-column pass needs the same schema resolution; zero cost
+    # until a CREATE TYPE ... AS ENUM has happened in this process
+    has_enum = bool(ENUM_TYPES)
+    if not (has_sum or has_len or has_columns or has_replace or has_enum):
         return sql
     from pyspark.sql import types as T
 
@@ -2417,6 +2422,9 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     int_cols: set[str] = set()
     array_cols: set[str] = set()
     ordered_cols: list[str] = []
+    enum_cols: dict[str, str] = {}
+    non_enum_cols: set[str] = set()
+    varchar_cols: set[str] = set()
     for name in statement_tables(sql):
         try:
             fields = session.table(name).schema.fields
@@ -2431,6 +2439,23 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         for f in fields:
             if f.name not in ordered_cols:
                 ordered_cols.append(f.name)
+            if has_enum:
+                low = f.name.lower()
+                tn = _enum_emulation_type(f.dataType)
+                if tn is None:
+                    non_enum_cols.add(low)
+                    if isinstance(f.dataType, T.StringType):
+                        varchar_cols.add(low)
+                elif enum_cols.get(low, tn) != tn:
+                    non_enum_cols.add(low)  # two different enum types
+                else:
+                    enum_cols[low] = tn
+    if has_enum and enum_cols:
+        # a name that is enum in one statement table and plain in
+        # another is ambiguous — leave it to the loud analyzer error
+        for low in non_enum_cols:
+            enum_cols.pop(low, None)
+        sql = rewrite_enum_table_columns(sql, enum_cols, varchar_cols)
     if has_columns and ordered_cols:
         sql = rewrite_columns_star(sql, ordered_cols)
     if has_replace and ordered_cols:
@@ -3209,12 +3234,25 @@ def _next_batch(it: Iterator, n: int, cells: list) -> list[list[bytes | None]]:
     return out
 
 
+def _enum_emulation_type(dt) -> str | None:
+    """Enum type name when dt is the self-describing enum-emulation
+    struct (``__ecode`` + ``__elabel_<type>``), else None."""
+    from pyspark.sql import types as T
+
+    if (
+        isinstance(dt, T.StructType)
+        and len(dt.fields) == 2
+        and dt.fields[0].name == "__ecode"
+        and dt.fields[1].name.startswith("__elabel_")
+    ):
+        return dt.fields[1].name[len("__elabel_") :]
+    return None
+
+
 def _insert_needs_enum_coercion(session: SparkSession, table: str) -> bool:
     """True when the INSERT target has an enum-emulation column (so the
     staged path's string→struct coercion must run). Zero cost until a
     CREATE TYPE ... AS ENUM has happened in this server process."""
-    from pyspark.sql import types as T
-
     from .compat import ENUM_TYPES
 
     if not ENUM_TYPES:
@@ -3223,13 +3261,7 @@ def _insert_needs_enum_coercion(session: SparkSession, table: str) -> bool:
         fields = session.table(table).schema.fields
     except Exception:  # noqa: BLE001 — let the normal path report it
         return False
-    return any(
-        isinstance(f.dataType, T.StructType)
-        and len(f.dataType.fields) == 2
-        and f.dataType.fields[0].name == "__ecode"
-        and f.dataType.fields[1].name.startswith("__elabel_")
-        for f in fields
-    )
+    return any(_enum_emulation_type(f.dataType) is not None for f in fields)
 
 
 def _exc_message(exc: Exception) -> str:

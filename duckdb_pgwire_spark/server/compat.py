@@ -1410,6 +1410,38 @@ def _enum_varchar_context(
     return False
 
 
+def _enum_unnest_hoist(x: str, tn: str, strict: bool, vstr: bool) -> str | None:
+    """``unnest(arr)::enum`` — a generator cannot sit inside the enum
+    constructor's CASE wrapper (Spark refuses generators in CASE), so
+    hoist the cast INSIDE the array: unnest(transform(arr, e -> ...)).
+    Only the exact single-argument ``unnest(...)`` operand qualifies."""
+    m = re.match(r"^unnest\s*\(", x, re.IGNORECASE)
+    if m is None:
+        return None
+    mask = _code_mask(x)
+    close_i = _match_paren(x, mask, m.end() - 1)
+    if close_i is None or x[close_i + 1 :].strip():
+        return None
+    inner = x[m.end() : close_i]
+    depth = 0  # top-level comma check; [..] list literals add depth
+    imask = _code_mask(inner)  # (split_top_level is ()-only)
+    for i, c in enumerate(inner):
+        if not imask[i]:
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            return None  # unnest(a, recursive := ...) forms: leave
+    elem = (
+        _enum_vstr_sql("__ee", tn, strict=strict)
+        if vstr
+        else _enum_struct_sql("__ee", tn, strict=strict)
+    )
+    return f"unnest(transform({inner}, __ee -> {elem}))"
+
+
 def _rewrite_enum_casts(sql: str) -> str:
     """``x::enumtype`` / ``[TRY_]CAST(x AS enumtype)`` → the ordered
     enum struct (or the validated label string in varchar-comparison
@@ -1436,7 +1468,13 @@ def _rewrite_enum_casts(sql: str) -> str:
             x = inner[: mm.start()].strip()
             # varchar-comparison / re-cast-to-text contexts get the
             # validated label, same as the :: pass (advice r9)
-            if _enum_varchar_context(sql, mask, m.start(), close_i + 1):
+            vstr = _enum_varchar_context(sql, mask, m.start(), close_i + 1)
+            hoisted = _enum_unnest_hoist(
+                x, mm.group(1).lower(), not m.group(1), vstr
+            )
+            if hoisted is not None:
+                body = hoisted
+            elif vstr:
                 body = _enum_vstr_sql(x, mm.group(1).lower(), strict=not m.group(1))
             else:
                 body = _enum_struct_sql(x, mm.group(1).lower(), strict=not m.group(1))
@@ -1469,6 +1507,12 @@ def _rewrite_enum_casts(sql: str) -> str:
                     + ")"
                 )
                 end += sufm.end()
+            elif (
+                hoisted := _enum_unnest_hoist(
+                    x, tn, True, _enum_varchar_context(sql, mask, start, end)
+                )
+            ) is not None:
+                body = hoisted
             elif _enum_varchar_context(sql, mask, start, end):
                 body = _enum_vstr_sql(x, tn)
             else:
@@ -1540,6 +1584,155 @@ def _rewrite_enum_fns(sql: str) -> str:
             sql = sql[: m.start()] + repl + sql[close_i + 1 :]
             changed = True
             break
+    return sql
+
+
+# ---- enum TABLE-COLUMN contexts (r10). Column enum-ness is not
+# textually knowable, but the emulation struct is self-describing in
+# the catalog schema (__ecode + __elabel_<type>), so the app layer
+# resolves the statement's tables and hands a name→type map to this
+# schema-aware pass (the rewrite_integer_sums precedent). Covered:
+# CAST(col AS VARCHAR/TEXT/...) renders the label (DuckDB probed), and
+# col-vs-varchar comparisons (=/<>/</<=/>/>=/IN/LIKE against a string
+# literal, a string-ending expression, or a known varchar column)
+# compare the LABEL as varchar — DuckDB's probed enum-vs-varchar
+# semantics. Enum-vs-enum stays the native ordered-struct compare.
+# Unqualified names that are ambiguous across the statement's tables
+# (two enum types, or enum in one table and plain in another) are
+# left alone — the loud analyzer error beats a silent wrong guess.
+
+_ENUM_QIDENT_RE = re.compile(
+    r"(?<![\w.'\"])((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))(?![\w.(])"
+)
+_ENUM_CMP_RE = re.compile(r"^\s*(<=|>=|!=|<>|=|<|>)\s*")
+_ENUM_IN_RE = re.compile(r"^\s+(?:NOT\s+)?IN\s*\(", re.IGNORECASE)
+_ENUM_LIKE_RE = re.compile(
+    r"^\s+(?:NOT\s+)?(?:I?LIKE|RLIKE)\s+", re.IGNORECASE
+)
+_ENUM_LEFT_CMP_RE = re.compile(r"(<=|>=|!=|<>|=|<|>)\s*$")
+
+
+def _enum_operand_kind(
+    sql: str,
+    mask: list[bool],
+    pos: int,
+    enum_cols: dict[str, str],
+    varchar_cols: set[str],
+) -> str:
+    """Classify the operand STARTING at pos: 'lit' (string literal —
+    any comparison operand that starts with one is varchar-typed),
+    'varchar' (known string column), 'enum' (enum column — leave the
+    native struct compare), or 'other'."""
+    if pos < len(sql) and not mask[pos]:
+        return "lit"
+    m = _ENUM_QIDENT_RE.match(sql, pos)
+    if m is not None:
+        base = m.group(2).lower()
+        if base in enum_cols:
+            return "enum"
+        if base in varchar_cols:
+            return "varchar"
+    return "other"
+
+
+def _enum_left_kind(
+    sql: str,
+    mask: list[bool],
+    end: int,
+    enum_cols: dict[str, str],
+    varchar_cols: set[str],
+) -> str:
+    """Classify the operand ENDING just before end (mirror of
+    _enum_operand_kind): an expression that ends with a string
+    literal is varchar-typed; a bare known column classifies by its
+    type."""
+    j = end - 1
+    while j >= 0 and sql[j].isspace():
+        j -= 1
+    if j < 0:
+        return "other"
+    if not mask[j]:
+        return "lit"
+    k = j
+    while k >= 0 and (sql[k].isalnum() or sql[k] in "_."):
+        k -= 1
+    word = sql[k + 1 : j + 1]
+    base = word.split(".")[-1].lower()
+    if base and re.match(r"^[A-Za-z_]", base):
+        if base in enum_cols:
+            return "enum"
+        if base in varchar_cols:
+            return "varchar"
+    return "other"
+
+
+def rewrite_enum_table_columns(
+    sql: str, enum_cols: dict[str, str], varchar_cols: set[str]
+) -> str:
+    if not enum_cols:
+        return sql
+    mask = _code_mask(sql)
+    edits: list[tuple[int, int, str]] = []
+    # CAST(col AS STRING): every VARCHAR-family spelling is already
+    # normalized to STRING by the time this schema-aware pass runs
+    for m in re.finditer(
+        r"\b(?:TRY_)?CAST\s*\(\s*((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))"
+        r"\s+AS\s+STRING\s*\)",
+        sql,
+        re.IGNORECASE,
+    ):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        tn = enum_cols.get(m.group(2).lower())
+        if tn is not None:
+            edits.append(
+                (m.start(), m.end(), f"({m.group(1)}.__elabel_{tn})")
+            )
+    taken = [False] * len(sql)
+    for s, e, _ in edits:
+        for i in range(s, e):
+            taken[i] = True
+    for m in _ENUM_QIDENT_RE.finditer(sql):
+        if not all(mask[m.start() : m.end()]) or taken[m.start()]:
+            continue
+        tn = enum_cols.get(m.group(2).lower())
+        if tn is None:
+            continue
+        label = f"{m.group(1)}.__elabel_{tn}"
+        rest = sql[m.end() :]
+        rm = _ENUM_CMP_RE.match(rest)
+        hit = False
+        if rm is not None:
+            kind = _enum_operand_kind(
+                sql, mask, m.end() + rm.end(), enum_cols, varchar_cols
+            )
+            hit = kind in ("lit", "varchar")
+        elif _ENUM_LIKE_RE.match(rest) is not None:
+            hit = True  # pattern operand is varchar by construction
+        elif (im := _ENUM_IN_RE.match(rest)) is not None:
+            open_i = m.end() + im.end() - 1
+            close_i = _match_paren(sql, mask, open_i)
+            if close_i is not None:
+                elems = split_top_level(sql[open_i + 1 : close_i])
+                hit = bool(elems) and all(
+                    re.fullmatch(r"'(?:[^']|'')*'", e.strip())
+                    for e in elems
+                )
+        if not hit:
+            lm = _ENUM_LEFT_CMP_RE.search(sql[: m.start()])
+            if (
+                lm is not None
+                and all(mask[lm.start() : lm.end()])
+                and (lm.start() == 0 or sql[lm.start() - 1] not in "<>=!-:")
+            ):
+                kind = _enum_left_kind(
+                    sql, mask, lm.start(), enum_cols, varchar_cols
+                )
+                hit = kind in ("lit", "varchar")
+        if hit:
+            edits.append((m.start(), m.end(), label))
+    for s, e, rep in sorted(edits, reverse=True):
+        sql = sql[:s] + rep + sql[e:]
     return sql
 
 

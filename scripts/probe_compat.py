@@ -526,8 +526,9 @@ BATTERY: dict[str, list[str]] = {
         " 'ok'::probe_mood IN ('sad'::probe_mood, 'ok'::probe_mood) AS i",
         "SELECT ['sad', 'ok']::probe_mood[] AS arr",
         "SELECT (['sad', 'ok', 'happy'][2])::probe_mood AS sub",
-        # (unnest(...)::enum stays unprobed: a generator cannot sit
-        # inside the cast's CASE wrapper — the UNION form is equivalent)
+        # r10: unnest(...)::enum hoists the cast inside the array
+        # (transform), dodging the generator-in-CASE refusal
+        "SELECT unnest(['sad', 'ok'])::probe_mood AS m",
         "CREATE OR REPLACE TABLE probe_emood AS SELECT m FROM"
         " (SELECT 'happy'::probe_mood AS m UNION ALL"
         " SELECT 'sad'::probe_mood UNION ALL"
@@ -535,6 +536,16 @@ BATTERY: dict[str, list[str]] = {
         "SELECT m FROM probe_emood ORDER BY m",
         "INSERT INTO probe_emood VALUES ('sad')",
         "SELECT m, count(*) AS n FROM probe_emood GROUP BY m ORDER BY m",
+        # r10: enum TABLE COLUMN contexts (schema-aware pass) — the
+        # cast renders the LABEL, comparisons against varchar operands
+        # compare as varchar (probed DuckDB semantics)
+        "SELECT CAST(m AS VARCHAR) AS v FROM probe_emood ORDER BY v",
+        "SELECT m::VARCHAR AS v FROM probe_emood ORDER BY v",
+        "SELECT m FROM probe_emood WHERE m = 'sad' ORDER BY m",
+        "SELECT m FROM probe_emood WHERE 'happy' <= m ORDER BY m",
+        "SELECT m FROM probe_emood WHERE m IN ('sad', 'ok') ORDER BY m",
+        "SELECT m FROM probe_emood WHERE m LIKE '%a%' ORDER BY m",
+        "SELECT count(*) AS n FROM probe_emood WHERE m <> 'ok'",
         "DROP TABLE probe_emood",
         "DROP TYPE probe_mood",
     ],

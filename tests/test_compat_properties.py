@@ -719,6 +719,42 @@ def test_enum_fuzz_matches_duckdb(spark, data):
             con.execute(bad).fetchall()
         with _pt.raises(Exception):
             spark.sql(rewrite(bad)).collect()
+        # r10: enum TABLE-COLUMN contexts — the schema-aware pass
+        # (rewrite_enum_table_columns, driven by app._hugeint_sums on
+        # the wire) renders the label for casts and compares the label
+        # as varchar; exercised here with the resolved column map the
+        # app layer would hand it
+        union_sql = " UNION ALL ".join(
+            f"SELECT {dq(m)}::fz_enum AS m" for m in members
+        )
+        con.execute(f"CREATE OR REPLACE TABLE fz_t AS {union_sql}")
+        spark.sql(rewrite(union_sql)).createOrReplaceTempView("fz_t")
+        col_map = {"m": "fz_enum"}
+        col_stmts = [
+            "SELECT CAST(m AS VARCHAR) AS v FROM fz_t ORDER BY v",
+            f"SELECT count(*) AS n FROM fz_t WHERE m = {dq(a)}",
+            f"SELECT count(*) AS n FROM fz_t WHERE m <= {dq(b)}",
+            f"SELECT count(*) AS n FROM fz_t WHERE {dq(a)} < m",
+            f"SELECT count(*) AS n FROM fz_t WHERE m IN ({dq(a)}, {dq(b)})",
+            "SELECT m FROM fz_t ORDER BY m",  # decl order, untouched
+        ]
+        from duckdb_pgwire_spark.server.compat import (
+            rewrite_enum_table_columns,
+        )
+
+        for sql in col_stmts:
+            want = [
+                tuple(None if v is None else encode_text(v) for v in row)
+                for row in con.execute(sql).fetchall()
+            ]
+            rewritten = rewrite_enum_table_columns(
+                rewrite(sql), col_map, set()
+            )
+            got = [
+                tuple(None if v is None else encode_text(v) for v in row)
+                for row in spark.sql(rewritten).collect()
+            ]
+            assert got == want, (sql, rewritten, got, want)
     finally:
         compat.ENUM_TYPES.pop("fz_enum", None)
         compat.TYPE_ALIASES.pop("fz_enum", None)

@@ -3552,7 +3552,34 @@ def test_wire_create_type_enum(client, spark):
     assert "error" in r and "Could not convert" in r["error"], r
     (r,) = client.query("SELECT m FROM tmood WHERE m = 'sad'::mood")
     assert r["rows"] == [["sad"]], r
+    # r10: enum TABLE-COLUMN contexts (schema-aware pass): a cast of
+    # the bare column renders the LABEL, and comparisons against plain
+    # varchar operands compare the label AS VARCHAR (DuckDB-probed) —
+    # both previously hit the struct emulation (NOTES r9 gap list)
+    (r,) = client.query("SELECT CAST(m AS VARCHAR) AS v FROM tmood ORDER BY v")
+    assert r["rows"] == [["happy"], ["ok"], ["sad"]], r
+    (r,) = client.query("SELECT m::VARCHAR AS v FROM tmood WHERE m = 'ok'")
+    assert r["rows"] == [["ok"]], r
+    (r,) = client.query("SELECT m, v FROM tmood WHERE m = 'sad'")
+    assert r["rows"] == [["sad", "2"]], r
+    (r,) = client.query(
+        "SELECT m FROM tmood WHERE m IN ('sad', 'ok') ORDER BY m"
+    )
+    assert r["rows"] == [["sad"], ["ok"]], r
+    # lexical varchar inequality ('happy' <= 'ok' and 'happy' <= 'sad')
+    (r,) = client.query("SELECT count(*) AS n FROM tmood WHERE 'happy' <= m")
+    assert r["rows"] == [["3"]], r
+    (r,) = client.query("SELECT m FROM tmood WHERE m LIKE '%a%' ORDER BY m")
+    assert r["rows"] == [["sad"], ["happy"]], r
+    # enum-vs-enum stays DECLARATION order (not label order)
+    (r,) = client.query("SELECT m FROM tmood WHERE m > 'ok'::mood")
+    assert r["rows"] == [["happy"]], r
     client.query("DROP TABLE tmood")
+    # r10: unnest(...)::enum hoists the cast inside the array
+    (r,) = client.query(
+        "SELECT unnest(['happy', 'sad'])::mood AS m ORDER BY m"
+    )
+    assert r["rows"] == [["sad"], ["happy"]], r
     # advice r9: a member list with list-punctuation errors (adjacent
     # literals, unquoted tokens) is a 42601 parser error like DuckDB,
     # not a silently-salvaged member set
