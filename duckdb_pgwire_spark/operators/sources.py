@@ -141,6 +141,40 @@ def sink_parquet_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE n_chars > 50
+    GROUP BY source, lang
+    """,
+    tags=("scan", "sink"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar sink + scan — Spark's second native columnar format
+    (a lake migration path the reference lacks entirely; DuckDB has no
+    ORC reader, so the oracle aggregates the same rows from the parquet
+    source). Same DataSource V2 properties as the parquet scan:
+    splittable stripes, predicate pushdown, column pruning — the
+    filter below reaches the ORC reader as a pushed filter, asserted
+    in tests/test_plans.py.
+    """
+    out = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "docs")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", "n_chars")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return (
+        spark.read.orc(out)
+        .filter(F.col("n_chars") > 50)
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+    )
+
+
+@query(
     "view_create_query",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n

@@ -402,3 +402,16 @@ def test_knn_label_agreement_no_cartesian(spark):
     plan = I.simple_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert I.has_node(df, "MapInPandas") or "MapInPandas" in plan, plan
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark):
+    """Guards: the ORC scan regressing to a full-width, full-table
+    read — ORC is the second columnar lake format; its DataSource V2
+    path must push the n_chars filter into the reader and prune to
+    the three referenced columns, same as parquet."""
+    df = _q("scan_orc_roundtrip").fn(spark, SF_DIR)
+    pushed = " ".join(I.pushed_filters(df))
+    assert "n_chars" in pushed, f"n_chars filter not pushed: {pushed}"
+    (cols,) = I.scan_read_columns(df)
+    assert cols == {"source", "lang", "n_chars"}, cols
+    assert I.partial_agg_before_shuffle(df), "no map-side combine"
