@@ -2,15 +2,16 @@
 
 Real pixel decoding with no external library: Windows BMP (8/24/32-bit
 uncompressed BI_RGB, bottom-up and top-down, row padding, palette),
-binary PPM (P6) / PGM (P5), and — r9 — PNG (8-bit depth, color types
-0/2/3/4/6, all five scanline filters; inflate is stdlib ``zlib``).
-These formats have fully public layouts (the BMP file format, Netpbm,
-and the PNG specification), so "no codecs in the container" stops
-being a reason to stub — the mm_* operators decode actual pixels
-through this module. Lossy/entropy-coded formats (JPEG, RLE-BMP,
-Adam7-interlaced PNG) still refuse loudly with NotImplementedError:
-DCT genuinely needs a library, and a silent fake would poison
-downstream features.
+binary PPM (P6) / PGM (P5), and PNG — r9 the 8-bit plane, r10 the
+FULL matrix: every legal depth/color-type combination (1/2/4/8/16-bit,
+color types 0/2/3/4/6), all five scanline filters, and both interlace
+methods including Adam7 7-pass (inflate is stdlib ``zlib``). These
+formats have fully public layouts (the BMP file format, Netpbm, and
+the PNG specification), so "no codecs in the container" stops being a
+reason to stub — the mm_* operators decode actual pixels through this
+module. Lossy/entropy-coded formats (JPEG, RLE-BMP) still refuse
+loudly with NotImplementedError: DCT genuinely needs a library, and a
+silent fake would poison downstream features.
 
 The grayscale conversion is the integer ITU-R BT.601 luma
 ``(299*R + 587*G + 114*B) // 1000`` — exact for achromatic pixels
@@ -165,20 +166,29 @@ def decode_ppm(payload: bytes) -> DecodedImage:
             i = j
     i += 1  # single whitespace after maxval, then raster
     width, height, maxval = (int(t) for t in tokens)
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM is not supported")
+    if not 0 < maxval <= 65535:
+        raise ValueError(f"invalid PPM maxval {maxval}")
     if width <= 0 or height <= 0:
         raise ValueError("degenerate PPM dimensions")
     chans = 3 if payload[:2] == b"P6" else 1
-    if len(payload) < i + width * height * chans:
+    # maxval > 255 → 2-byte big-endian samples (r10); normalize any
+    # maxval to 8-bit via v*255//maxval (exact for 255 and 65535)
+    wide = maxval > 255
+    bpc = 2 if wide else 1
+    if len(payload) < i + width * height * chans * bpc:
         raise ValueError("truncated PPM raster")
     gray = [0] * (width * height)
     for k in range(width * height):
-        p = i + k * chans
-        if chans == 3:
-            gray[k] = _luma(payload[p], payload[p + 1], payload[p + 2])
+        p = i + k * chans * bpc
+        if wide:
+            ch = [
+                (payload[p + 2 * c] << 8) | payload[p + 2 * c + 1]
+                for c in range(chans)
+            ]
         else:
-            gray[k] = payload[p]
+            ch = [payload[p + c] for c in range(chans)]
+        v = _luma(*ch) if chans == 3 else ch[0]
+        gray[k] = v * 255 // maxval if maxval != 255 else v
     return DecodedImage(width, height, "ppm" if chans == 3 else "pgm", gray)
 
 
@@ -229,11 +239,101 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# PNG depths legal per color type (spec §11.2.2)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 pass grids: (x_start, y_start, x_step, y_step), spec order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, pos: int, stride: int, height: int, bpp: int
+) -> tuple[list[bytes], int]:
+    """Unfilter ``height`` scanlines of ``stride`` bytes starting at
+    ``raw[pos]``; ``bpp`` is the FILTER byte offset — ceil bytes per
+    pixel, min 1 (spec: sub-byte depths filter with bpp=1). Returns
+    (rows, position after the last scanline)."""
+    rows: list[bytes] = []
+    prev = bytes(stride)
+    for _y in range(height):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("truncated PNG raster")
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        prev = bytes(line)
+        rows.append(prev)
+    return rows, pos
+
+
+def _png_line_gray(
+    line: bytes, n_pix: int, ctype: int, depth: int, plte: list[int] | None
+) -> list[int]:
+    """One unfiltered scanline → n_pix 8-bit gray samples. 16-bit
+    samples reduce via the high byte (the standard 16→8 map, exact for
+    v*257-scaled values); sub-byte gray scales by 255/(2^depth-1)."""
+    out = [0] * n_pix
+    if depth < 8:  # ctype 0 (gray) or 3 (palette), MSB-first packing
+        per_byte = 8 // depth
+        vmax = (1 << depth) - 1
+        scale = 255 // vmax
+        for x in range(n_pix):
+            byte = line[x // per_byte]
+            v = (byte >> (8 - depth * (x % per_byte + 1))) & vmax
+            if ctype == 0:
+                out[x] = v * scale
+            else:
+                if v >= len(plte):  # type: ignore[arg-type]
+                    raise ValueError("PNG palette index out of range")
+                out[x] = plte[v]  # type: ignore[index]
+        return out
+    step = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype] * (depth // 8)
+    hi = depth // 8  # byte stride between channels; sample high byte
+    for x in range(n_pix):
+        p = x * step
+        if ctype == 0 or ctype == 4:
+            out[x] = line[p]
+        elif ctype == 3:
+            idx = line[p]
+            if idx >= len(plte):  # type: ignore[arg-type]
+                raise ValueError("PNG palette index out of range")
+            out[x] = plte[idx]  # type: ignore[index]
+        else:  # 2 (RGB) / 6 (RGBA)
+            out[x] = _luma(line[p], line[p + hi], line[p + 2 * hi])
+    return out
+
+
 def decode_png(payload: bytes) -> DecodedImage:
-    """Decode PNG (8-bit depth; gray / RGB / palette / gray+alpha /
-    RGBA; scanline filters 0-4) to gray samples via stdlib zlib.
-    16-bit depths, sub-byte palette depths and Adam7 interlace refuse
-    loudly."""
+    """Decode PNG to gray samples via stdlib zlib: every legal
+    depth/color-type combination (1/2/4/8/16-bit; gray / RGB /
+    palette / gray+alpha / RGBA), scanline filters 0-4, and both
+    interlace methods (none + Adam7 7-pass, r10). 16-bit samples
+    reduce to 8-bit via the high byte."""
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
@@ -267,13 +367,15 @@ def decode_png(payload: bytes) -> DecodedImage:
         raise ValueError("degenerate PNG dimensions")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG is not supported")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG is not supported")
-    chans = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if chans is None:
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if ctype not in _PNG_DEPTHS:
         raise ValueError(f"invalid PNG color type {ctype}")
+    if depth not in _PNG_DEPTHS[ctype]:
+        raise ValueError(
+            f"invalid PNG depth {depth} for color type {ctype}"
+        )
+    chans = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG without PLTE")
     try:
@@ -282,44 +384,24 @@ def decode_png(payload: bytes) -> DecodedImage:
         # zlib.error would escape the (NotImplementedError, ValueError)
         # contract Decoder.decode's PIL/Fake fallback relies on
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    stride = width * chans
-    if len(raw) < (stride + 1) * height:
-        raise ValueError("truncated PNG raster")
+    bpp = max(1, chans * depth // 8)
     gray = [0] * (width * height)
-    prev = bytes(stride)
-    for y in range(height):
-        base = y * (stride + 1)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(chans, stride):
-                line[i] = (line[i] + line[i - chans]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - chans] if i >= chans else 0
-                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - chans] if i >= chans else 0
-                ul = prev[i - chans] if i >= chans else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"invalid PNG filter type {ftype}")
-        prev = bytes(line)
-        for x in range(width):
-            p = x * chans
-            if ctype == 0 or ctype == 4:
-                gray[y * width + x] = line[p]
-            elif ctype == 3:
-                idx = line[p]
-                if idx >= len(plte):  # type: ignore[arg-type]
-                    raise ValueError("PNG palette index out of range")
-                gray[y * width + x] = plte[idx]  # type: ignore[index]
-            else:  # 2 (RGB) / 6 (RGBA)
-                gray[y * width + x] = _luma(line[p], line[p + 1], line[p + 2])
+    passes = (
+        [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7)
+    )
+    rpos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # pass empty for this image size
+        stride = (pw * chans * depth + 7) // 8
+        rows, rpos = _png_unfilter(raw, rpos, stride, ph, bpp)
+        for ry, line in enumerate(rows):
+            vals = _png_line_gray(line, pw, ctype, depth, plte)
+            base = (y0 + ry * dy) * width + x0
+            for rx, v in enumerate(vals):
+                gray[base + rx * dx] = v
     return DecodedImage(width, height, "png", gray)
 
 

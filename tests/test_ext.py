@@ -349,8 +349,24 @@ def test_imagecodec_round_trips_and_refusals():
     struct.pack_into("<I", c, 30, 1)  # BI_RLE8
     with pytest.raises(NotImplementedError):
         decode_bmp(bytes(c))
-    with pytest.raises(NotImplementedError):
-        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)  # 16-bit maxval
+    # r10: 16-bit (2-byte big-endian) samples + maxval normalization
+    wide = b"P5\n2 1\n65535\n" + struct.pack(">HH", 0xABCD, 0x1234)
+    assert decode_ppm(wide).gray == [
+        0xABCD * 255 // 65535, 0x1234 * 255 // 65535
+    ]
+    wide_rgb = b"P6\n1 1\n65535\n" + struct.pack(">HHH", 65535, 0, 32768)
+    from duckdb_pgwire_spark.ext.imagecodec import _luma
+
+    assert decode_ppm(wide_rgb).gray == [
+        _luma(65535, 0, 32768) * 255 // 65535
+    ]
+    # sub-255 maxval scales per the Netpbm spec (samples are relative
+    # to maxval, not raw bytes)
+    assert decode_ppm(b"P5\n3 1\n15\n" + bytes([15, 0, 5])).gray == [
+        255, 0, 5 * 255 // 15
+    ]
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n70000\n" + b"\x00" * 4)  # maxval > 16-bit
 
 
 def test_imagecodec_png():
@@ -441,23 +457,163 @@ def test_imagecodec_png():
     d = decode_png(make_png(4, 2, 3, raw, plte=pal))
     lut = [_luma(pal[i * 3], pal[i * 3 + 1], pal[i * 3 + 2]) for i in range(4)]
     assert d.gray == [lut[i] for i in idx]
-    # loud refusals
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7
-    bad = (
-        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00ab\x00cd"))
-        + _png_chunk(b"IEND", b"")
+    # invalid depth/color-type combinations stay loud (spec matrix)
+    for depth, ctype in ((16, 3), (4, 2), (2, 6), (3, 0)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, 0)
+        bad = (
+            _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(bad)
+
+
+def test_imagecodec_png_depths():
+    """r10: the non-8-bit depth plane — 16-bit gray/RGB (high-byte
+    reduction), sub-byte gray (1/2/4-bit MSB-first packing with
+    255/(2^d-1) scaling), and sub-byte palette indices — all crafted
+    byte-by-byte from the spec, no encoder shared with the decoder."""
+    import struct
+    import zlib
+
+    from duckdb_pgwire_spark.ext.imagecodec import (
+        _luma,
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
     )
-    with pytest.raises(NotImplementedError):
-        decode_png(bad)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)  # 16-bit
-    bad = (
-        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
-        + _png_chunk(b"IEND", b"")
+
+    def make_png(w, h, depth, ctype, raw, plte=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        if plte:
+            chunks += _png_chunk(b"PLTE", plte)
+        return (
+            chunks
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 16-bit gray, 2x2: big-endian samples; decode takes the high byte
+    samples = [0x12EF, 0x3400, 0xABCD, 0xFF01]
+    raw = (
+        b"\x00" + struct.pack(">HH", *samples[:2])
+        + b"\x00" + struct.pack(">HH", *samples[2:])
     )
-    with pytest.raises(NotImplementedError):
-        decode_png(bad)
+    d = decode_png(make_png(2, 2, 16, 0, raw))
+    assert d.gray == [s >> 8 for s in samples]
+    # 16-bit RGB, 2x1, with a Sub filter (bpp must be 6, not 3 — a
+    # byte-offset bug would corrupt the second pixel)
+    p0 = (0x11AA, 0x22BB, 0x33CC)
+    p1 = (0x4401, 0x5502, 0x6603)
+    plain = struct.pack(">HHHHHH", *p0, *p1)
+    sub = bytearray(plain)
+    for i in range(11, 5, -1):  # encode Sub: subtract byte 6 positions left
+        sub[i] = (sub[i] - plain[i - 6]) & 0xFF
+    d = decode_png(make_png(2, 1, 16, 2, b"\x01" + bytes(sub)))
+    assert d.gray == [
+        _luma(p0[0] >> 8, p0[1] >> 8, p0[2] >> 8),
+        _luma(p1[0] >> 8, p1[1] >> 8, p1[2] >> 8),
+    ]
+    # 1-bit gray 10x2 (stride 2 bytes, MSB first): 1 → 255, 0 → 0
+    bits_r0 = 0b1011001110_000000
+    bits_r1 = 0b0100110001_000000
+    raw = (
+        b"\x00" + struct.pack(">H", bits_r0)
+        + b"\x00" + struct.pack(">H", bits_r1)
+    )
+    d = decode_png(make_png(10, 2, 1, 0, raw))
+    want = [255 * ((bits_r0 >> (15 - i)) & 1) for i in range(10)] + [
+        255 * ((bits_r1 >> (15 - i)) & 1) for i in range(10)
+    ]
+    assert d.gray == want
+    # 2-bit gray 5x1: values 0..3 scale by 85
+    vals = [3, 0, 2, 1, 3]
+    packed = bytes(
+        [
+            (vals[0] << 6) | (vals[1] << 4) | (vals[2] << 2) | vals[3],
+            vals[4] << 6,
+        ]
+    )
+    d = decode_png(make_png(5, 1, 2, 0, b"\x00" + packed))
+    assert d.gray == [v * 85 for v in vals]
+    # 4-bit palette 3x1: indices into a 16-entry PLTE
+    pal = bytes(range(48))  # 16 RGB triples 0..47
+    idx = [15, 0, 7]
+    packed = bytes([(idx[0] << 4) | idx[1], idx[2] << 4])
+    d = decode_png(make_png(3, 1, 4, 3, b"\x00" + packed, plte=pal))
+    lut = [_luma(pal[i * 3], pal[i * 3 + 1], pal[i * 3 + 2]) for i in range(16)]
+    assert d.gray == [lut[i] for i in idx]
+    # out-of-range sub-byte palette index is loud
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(make_png(1, 1, 4, 3, b"\x00\xf0", plte=bytes(9)))
+
+
+def test_imagecodec_png_adam7():
+    """r10: Adam7 interlace — the spec's 8x8 pass-number grid decoded
+    from a hand-laid stream (each pixel's value IS its pass number, so
+    any pass-geometry error misplaces a value), plus round trips of
+    awkward sizes through an in-test interlaced encoder and equality
+    with the non-interlaced decode of the same image."""
+    import random
+    import struct
+    import zlib
+
+    from duckdb_pgwire_spark.ext.imagecodec import (
+        _ADAM7,
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png_gray,
+    )
+
+    def encode_adam7_gray(w, h, px):
+        # independent ENCODER: emits the 7 passes in spec order with
+        # filter-0 scanlines (sub-images built by the pass grids)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for ry in range(ph):
+                raw.append(0)
+                raw += bytes(
+                    px[(y0 + ry * dy) * w + (x0 + rx * dx)]
+                    for rx in range(pw)
+                )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # the spec's 8x8 grid: pixel (x, y) belongs to exactly one pass
+    grid = [
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+    ]
+    px = [v for row in grid for v in row]
+    d = decode_png(encode_adam7_gray(8, 8, px))
+    assert d.gray == px
+    # awkward sizes (passes go empty; partial pass rows): interlaced
+    # decode must equal the pixels AND the non-interlaced decode
+    rng = random.Random(11)
+    for w, h in ((1, 1), (2, 3), (5, 5), (7, 4), (3, 9), (16, 2)):
+        px = [rng.randrange(256) for _ in range(w * h)]
+        di = decode_png(encode_adam7_gray(w, h, px))
+        assert (di.width, di.height, di.gray) == (w, h, px), (w, h)
+        dp = decode_png(encode_png_gray(w, h, px))
+        assert di.gray == dp.gray, (w, h)
 
 
 def test_mm_decoder_layers():
