@@ -164,13 +164,16 @@ class PgClient:
         param_oids: list[int] | None = None,
         param_binary: bool = False,
         result_binary: bool = False,
+        result_formats: list[int] | None = None,
         raw_rows: bool = False,
     ) -> dict:
         """One Parse/Bind/Describe/Execute/Sync cycle — the psycopg/JDBC
         default mode the simple-query path can't test. param_binary sends
         parameters in binary format (param_oids declared in Parse);
         result_binary requests binary result cells (raw_rows keeps them
-        as bytes instead of utf-8 decoding)."""
+        as bytes instead of utf-8 decoding); result_formats sends an
+        EXPLICIT per-column format-code list instead of the broadcast
+        single code (PG Bind allows one code per output column)."""
         params = params or []
         oids = param_oids or []
         parse = b"\x00" + sql.encode() + b"\x00" + struct.pack("!H", len(oids))
@@ -186,7 +189,14 @@ class PgClient:
             else:
                 b = p if isinstance(p, bytes) else p.encode()
                 bind += struct.pack("!i", len(b)) + b
-        bind += struct.pack("!HH", 1, 1) if result_binary else struct.pack("!H", 0)
+        if result_formats is not None:
+            bind += struct.pack("!H", len(result_formats))
+            for f in result_formats:
+                bind += struct.pack("!H", f)
+        elif result_binary:
+            bind += struct.pack("!HH", 1, 1)
+        else:
+            bind += struct.pack("!H", 0)
         self._send_msg(b"B", bind)
         self._send_msg(b"D", b"P\x00")
         self._send_msg(b"E", b"\x00" + struct.pack("!i", 0))

@@ -3236,6 +3236,29 @@ def test_extended_binary_text_advertised_types(client):
     assert r["rows"] == [[row[0].decode(), row[1].decode(), row[2].decode()]]
 
 
+def test_extended_mixed_result_formats(client):
+    """Explicit PER-COLUMN result format codes in Bind (r8 verdict
+    item 7's negotiation route): a client can keep fixed-layout
+    columns binary while taking composite columns as text in the SAME
+    row — [1, 1, 0] yields a PG-binary int8, the struct[] column's
+    utf-8 text bytes (its OID-25 binary send), and a text double."""
+    import struct as _s
+
+    out = client.extended_query(
+        "SELECT 7::BIGINT AS a,"
+        " array(named_struct('x', 1)) AS sa,"
+        " 2.5::DOUBLE AS f",
+        result_formats=[1, 1, 0],
+        raw_rows=True,
+    )
+    assert "error" not in out, out
+    assert out["fmts"] == [1, 1, 0], out
+    (row,) = out["rows"]
+    assert row[0] == _s.pack("!q", 7)
+    assert row[1] == b'{"{\\"x\\":1}"}'
+    assert row[2] == b"2.5"
+
+
 def test_extended_binary_nested_arrays(client):
     """ndim=2 binary arrays (r7 verdict item 5): nested base-type
     arrays ship in the public multidimensional layout (dims row-major),
