@@ -382,7 +382,9 @@ def _csv_view_create(
             "'_'/'.'-prefixed files — rename them or list them "
             "individually"
         )
-    needs_proj = any("CASE" in e for e in sn["select_exprs"])
+    needs_proj = any(
+        "CASE" in e or "CAST" in e for e in sn["select_exprs"]
+    )
     raw = f"default.`{name}__raw`" if needs_proj else qual
     for drop in (
         f"DROP VIEW IF EXISTS {qual}",

@@ -2632,7 +2632,7 @@ _JT_TYPE_DDL = {
     "CHAR": "STRING", "BPCHAR": "STRING",
     "BOOLEAN": "BOOLEAN", "BOOL": "BOOLEAN", "LOGICAL": "BOOLEAN",
     "DATE": "DATE", "TIMESTAMP": "TIMESTAMP", "DATETIME": "TIMESTAMP",
-    "TIME": "STRING",  # Spark has no TIME type; text is DuckDB's wire form
+    "TIME": "STRING",  # from_json has no TimeType path; text matches on the wire
     "TIMESTAMPTZ": "TIMESTAMP",
     "JSON": "STRING", "NULL": "STRING",
 }

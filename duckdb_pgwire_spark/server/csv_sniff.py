@@ -185,7 +185,10 @@ _SPARK_TYPES = {
     "BIGINT": "long",
     "DOUBLE": "double",
     "DATE": "date",
-    "TIME": "string",  # Spark has no TIME type; text matches on the wire
+    # TIME scans as string + a CAST projection: Spark's CSV datasource
+    # rejects TIME columns even with the r10 timeType flag on, but a
+    # CAST over the string scan yields a real TIME column (OID 1083)
+    "TIME": "string",
     "TIMESTAMP": "timestamp",
     "VARCHAR": "string",
 }
@@ -210,13 +213,17 @@ def sniff_file(
         f"`{n}` {_SPARK_TYPES[t]}"
         for n, t in zip(res["names"], res["types"])
     )
+    def _proj(n: str, t: str) -> str:
+        if t == "BOOLEAN":
+            return (
+                f"CASE WHEN lower(`{n}`) IN ('true', 't') THEN true "
+                f"WHEN lower(`{n}`) IN ('false', 'f') THEN false END AS `{n}`"
+            )
+        if t == "TIME":
+            return f"CAST(`{n}` AS TIME) AS `{n}`"
+        return f"`{n}`"
+
     res["select_exprs"] = [
-        (
-            f"CASE WHEN lower(`{n}`) IN ('true', 't') THEN true "
-            f"WHEN lower(`{n}`) IN ('false', 'f') THEN false END AS `{n}`"
-            if t == "BOOLEAN"
-            else f"`{n}`"
-        )
-        for n, t in zip(res["names"], res["types"])
+        _proj(n, t) for n, t in zip(res["names"], res["types"])
     ]
     return res

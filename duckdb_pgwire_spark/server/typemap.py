@@ -87,6 +87,11 @@ def pg_oid(dt: T.DataType) -> int:
     # `timestamp` column means.
     if isinstance(dt, T.TimestampType | T.TimestampNTZType):
         return OID_TIMESTAMP
+    # ANSI TIME (Spark 4.1 TimeType, r10): the real PG time OID — the
+    # reference's g_typemap has no Time entry (cpp:36), so this is an
+    # over-reference closure of the documented csv_sniff OID gap
+    if isinstance(dt, T.TimeType):
+        return OID_TIME
     if isinstance(dt, T.ArrayType):
         # arrays of base types advertise the real PG array OID. PG has
         # ONE array type per element type regardless of dimensionality
@@ -121,6 +126,7 @@ _ARRAY_OIDS = {
     701: 1022,  # float8
     1700: 1231,  # numeric
     1082: 1182,  # date
+    1083: 1183,  # time
     1114: 1115,  # timestamp
 }
 _ELEM_OIDS = {v: k for k, v in _ARRAY_OIDS.items()}
@@ -216,7 +222,11 @@ def encode_text(v: Any) -> str:
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, _dt.time):
-        return v.isoformat()
+        # DuckDB trims trailing fractional zeros ('01:02:03.4', probed)
+        s = v.strftime("%H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+        return s
     if isinstance(v, list):
         return _enc_array(v)
     if isinstance(v, dict):
@@ -443,6 +453,13 @@ def encode_binary(v: Any, dt: T.DataType) -> bytes | None:
         return _struct.pack("!q", micros)
     if isinstance(dt, T.DecimalType):
         return _encode_pg_numeric(v)
+    if isinstance(dt, T.TimeType):
+        # PG binary time: int64 microseconds since midnight
+        micros = (
+            ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000
+            + v.microsecond
+        )
+        return _struct.pack("!q", micros)
     if isinstance(dt, T.ArrayType) and pg_oid(dt) in _ELEM_OIDS:
         # public PG array layout: int32 ndim, int32 hasnull flag,
         # uint32 element oid, then per dim (int32 size, int32 lower
@@ -514,6 +531,10 @@ def decode_binary_param(raw: bytes, oid: int) -> bytes:
     if oid == OID_DATE:
         days = _struct.unpack("!i", raw)[0]
         return (_PG_EPOCH_DATE + _dt.timedelta(days=days)).isoformat().encode()
+    if oid == OID_TIME:
+        micros = _struct.unpack("!q", raw)[0]
+        t = (_dt.datetime.min + _dt.timedelta(microseconds=micros)).time()
+        return encode_text(t).encode()
     if oid == OID_TIMESTAMP:
         micros = _struct.unpack("!q", raw)[0]
         return _enc_timestamp(

@@ -63,6 +63,10 @@ def build_session(
         # DuckDB timestamps are UTC-naive; pin the session TZ so oracle
         # comparisons are stable (SURVEY.md §1.2).
         .config("spark.sql.session.timeZone", "UTC")
+        # ANSI TIME type (Spark 4.1, flag-gated): real TIME columns for
+        # DuckDB's TIME — CAST('..' AS TIME), TIME literals already
+        # parse unflagged but the type NAME is gated (r10)
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

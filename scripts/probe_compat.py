@@ -164,6 +164,15 @@ BATTERY: dict[str, list[str]] = {
         "SELECT strptime('05-03-2024', '%d-%m-%Y') AS sp",
         "SELECT EXTRACT(epoch FROM INTERVAL 90 MINUTE) AS exi",
         "SELECT TIME '11:30:00' AS t3",
+        # r10: real TIME type (Spark 4.1 TimeType) — cast spelling,
+        # fractional trim render, comparisons, ORDER BY
+        "SELECT '09:15:30.25'::TIME AS t4",
+        "SELECT CAST('23:59:59' AS TIME) AS t5",
+        "SELECT TIME '01:02:03.400' AS t6",
+        "SELECT TIME '12:00:00' < TIME '13:00:00' AS tlt,"
+        " TIME '12:00:00' = '12:00:00'::TIME AS teq",
+        "SELECT t FROM (SELECT TIME '23:00:00' AS t UNION ALL"
+        " SELECT TIME '01:30:00') x ORDER BY t",
         "SELECT TIMESTAMP '2024-03-05 01:02:03'::DATE AS cast1",
         "SELECT '2024-03-05'::DATE AS cast2",
     ],

@@ -3366,6 +3366,44 @@ def test_wire_union_type_emulation(client):
     assert r["rows"] == [['{"__utag":7,"x":1}']], r
 
 
+def test_wire_time_type(client, tmp_path):
+    """r10 (r8 verdict stretch item 9): DuckDB's TIME maps to Spark
+    4.1's flag-gated ANSI TimeType — real OID 1083 on the wire (the
+    documented csv_sniff OID gap), DuckDB's trimmed fractional render,
+    CAST/literal/comparison support, and the PG binary time encoding
+    (int64 microseconds since midnight)."""
+    import struct as _s
+
+    # literal + cast (the cast spelling needs the r10 timeType flag)
+    (r,) = client.query(
+        "SELECT TIME '01:02:03.400' AS t, '11:30:00'::TIME AS c,"
+        " TIME '12:00:00' < TIME '13:00:00' AS lt"
+    )
+    assert r["rows"] == [["01:02:03.4", "11:30:00", "t"]], r
+    # OID 1083 advertised, not VARCHAR
+    out = client.extended_query("SELECT TIME '09:30:00' AS t")
+    assert out["oids"] == [1083], out
+    # PG binary format: int64 micros since midnight
+    out = client.extended_query(
+        "SELECT TIME '01:00:00.000001' AS t",
+        result_binary=True,
+        raw_rows=True,
+    )
+    assert out["rows"] == [[_s.pack("!q", 3_600_000_001)]], out
+    # a sniffed CSV TIME column arrives as the real type: OID 1083,
+    # comparisons work, ORDER BY is temporal
+    p = str(tmp_path / "tt.csv")
+    with open(p, "w") as f:
+        f.write("t,v\n23:00:00,1\n09:15:30.25,2\n12:00:00,3\n")
+    out = client.extended_query(f"SELECT t, v FROM '{p}' ORDER BY t")
+    assert out["oids"][0] == 1083, out
+    assert out["rows"] == [
+        ["09:15:30.25", "2"], ["12:00:00", "3"], ["23:00:00", "1"]
+    ], out
+    (r,) = client.query(f"SELECT v FROM '{p}' WHERE t < TIME '12:30:00' ORDER BY v")
+    assert r["rows"] == [["2"], ["3"]], r
+
+
 def test_wire_csv_bare_path_sniffing(client, tmp_path):
     """Bare-path CSV relations (r7 verdict item 4): FROM 'x.csv' sniffs
     delimiter/header/types with DuckDB's probed rules (csv_sniff.py) —
@@ -3393,6 +3431,10 @@ def test_wire_csv_bare_path_sniffing(client, tmp_path):
         "exp.csv": "x\n1e3\n2E-2\n.5\n",
         # tab separator survives the external-table OPTIONS literal
         "tabs.tsv": "a\tb\n1\tq\n2\tr\n",
+        # r10: TIME columns scan through the CAST projection as a real
+        # Spark TIME (whole seconds here; fraction render + OID are
+        # pinned in test_wire_time_type)
+        "times.csv": "t,v\n09:30:00,1\n23:59:59,2\n",
     }
     con = duckdb.connect()
     for fn, content in cases.items():
