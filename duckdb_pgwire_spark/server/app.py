@@ -2982,6 +2982,19 @@ _DUCK_TYPE_MAP = {
 
 
 def _duck_type(dt) -> str:
+    # enum-emulation struct → DuckDB's DESCRIBE rendering of an enum
+    # column: ENUM('m1', 'm2', ...) (probed r10); unknown member lists
+    # (type created in an earlier process) fall back to the struct text
+    tn = _enum_emulation_type(dt)
+    if tn is not None:
+        from .compat import ENUM_TYPES
+
+        members = ENUM_TYPES.get(tn)
+        if members is not None:
+            # display text, not pipeline SQL: plain '' quote doubling
+            return "ENUM(" + ", ".join(
+                "'" + m.replace("'", "''") + "'" for m in members
+            ) + ")"
     s = dt.simpleString()
     return _DUCK_TYPE_MAP.get(s, s.upper())
 

@@ -555,6 +555,8 @@ BATTERY: dict[str, list[str]] = {
         "SELECT m FROM probe_emood WHERE m IN ('sad', 'ok') ORDER BY m",
         "SELECT m FROM probe_emood WHERE m LIKE '%a%' ORDER BY m",
         "SELECT count(*) AS n FROM probe_emood WHERE m <> 'ok'",
+        # r10: DESCRIBE renders the enum type, not the emulation struct
+        "DESCRIBE probe_emood",
         "DROP TABLE probe_emood",
         "DROP TYPE probe_mood",
     ],

@@ -3639,6 +3639,10 @@ def test_wire_create_type_enum(client, spark):
     # enum-vs-enum stays DECLARATION order (not label order)
     (r,) = client.query("SELECT m FROM tmood WHERE m > 'ok'::mood")
     assert r["rows"] == [["happy"]], r
+    # r10: DESCRIBE renders the enum type like DuckDB, not the
+    # emulation struct
+    (r,) = client.query("DESCRIBE tmood")
+    assert r["rows"][0][:2] == ["m", "ENUM('sad', 'ok', 'happy')"], r
     client.query("DROP TABLE tmood")
     # r10: unnest(...)::enum hoists the cast inside the array
     (r,) = client.query(
