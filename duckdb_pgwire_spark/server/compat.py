@@ -1862,7 +1862,10 @@ def _rewrite_duck_types(sql: str) -> str:
 # AS-type tail of a MATCHED [TRY_]CAST span (span-anchored, unlike the
 # duck-only scalar tail sub, because ``AS text)`` is a realistic
 # column-alias spelling), and in a CREATE TABLE column-list paren.
-_VF_TYPE = r"(?:CHARACTER\s+VARYING|CHARACTER|TEXT|NVARCHAR|VARCHAR|BPCHAR|CHAR|STRING)"
+_VF_TYPE = (
+    r"(?:CHARACTER\s+VARYING|CHARACTER|TEXT|NVARCHAR|NCHAR|VARCHAR"
+    r"|BPCHAR|CHAR|STRING)"
+)
 _VF_LEN = r"(?:\s*\(\s*\d+\s*\))?"
 _VF_HINT_RE = re.compile(
     r"::|\b(?:TRY_)?CAST\s*\(|^\s*CREATE\b.*?\bTABLE\b",

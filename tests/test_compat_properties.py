@@ -810,3 +810,80 @@ def test_wav_roundtrip_fuzz(data, sr, nch):
         + junk + body
     )
     assert decode_wav(riffed).samples == samples
+
+
+# ------------------------------------------- VARCHAR-family + TIME fuzz
+
+_VF_SPELLINGS = [
+    "TEXT", "VARCHAR", "CHAR", "BPCHAR", "NVARCHAR", "NCHAR", "STRING",
+    "CHARACTER", "CHARACTER VARYING", "CHARACTER  VARYING",
+]
+_VF_VALUES = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.text(
+        alphabet="abcXYZ019 _-%", min_size=0, max_size=12
+    ).map(lambda s: "'" + s + "'"),
+    st.sampled_from(["1.5", "DATE '2024-03-05'", "true", "NULL"]),
+)
+
+
+@given(
+    val=_VF_VALUES,
+    spelling=st.sampled_from(_VF_SPELLINGS),
+    length=st.one_of(st.none(), st.integers(min_value=1, max_value=9)),
+    use_colon=st.booleans(),
+    lower=st.booleans(),
+)
+@settings(max_examples=120, deadline=None)
+def test_varchar_family_fuzz_matches_duckdb(spark, val, spelling, length, use_colon, lower):
+    """Every VARCHAR-alias spelling x optional (n) x ::/CAST x case,
+    over random values: DuckDB parses them all as ONE length-less text
+    type (any (n) ignored) — the r10 type-position rewrite must agree
+    on the VALUE for every combination (a missed spelling either
+    errors loudly or, worse, truncates silently)."""
+    from duckdb_pgwire_spark.server.compat import rewrite
+    from duckdb_pgwire_spark.server.typemap import encode_text
+
+    t = spelling + (f"({length})" if length is not None else "")
+    if lower:
+        t = t.lower()
+    sql = (
+        f"SELECT ({val})::{t} AS v"
+        if use_colon
+        else f"SELECT CAST({val} AS {t}) AS v"
+    )
+    con = _duckdb.connect()
+    try:
+        (want,) = con.execute(sql).fetchall()[0]
+    finally:
+        con.close()
+    (got,) = spark.sql(rewrite(sql)).collect()[0]
+    wt = None if want is None else encode_text(want)
+    gt = None if got is None else encode_text(got)
+    assert gt == wt, (sql, rewrite(sql), gt, wt)
+
+
+@given(
+    h=st.integers(min_value=0, max_value=23),
+    m=st.integers(min_value=0, max_value=59),
+    s=st.integers(min_value=0, max_value=59),
+    us=st.integers(min_value=0, max_value=999_999),
+)
+@settings(max_examples=150, deadline=None)
+def test_time_text_render_matches_duckdb(h, m, s, us):
+    """encode_text(datetime.time) must render exactly what DuckDB's
+    TIME::VARCHAR prints — fractional microseconds with trailing zeros
+    trimmed, no fraction dot for whole seconds (r10 TimeType plane)."""
+    import datetime as dt
+
+    from duckdb_pgwire_spark.server.typemap import encode_text
+
+    lit = f"{h:02d}:{m:02d}:{s:02d}.{us:06d}"
+    con = _duckdb.connect()
+    try:
+        (want,) = con.execute(
+            f"SELECT (TIME '{lit}')::VARCHAR"
+        ).fetchall()[0]
+    finally:
+        con.close()
+    assert encode_text(dt.time(h, m, s, us)) == want, (lit, want)
