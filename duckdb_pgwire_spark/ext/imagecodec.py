@@ -187,6 +187,11 @@ def decode_ppm(payload: bytes) -> DecodedImage:
             ]
         else:
             ch = [payload[p + c] for c in range(chans)]
+        if any(c > maxval for c in ch):
+            # a sample above maxval would scale past 255 and poison
+            # the 8-bit gray contract (code review r10) — malformed
+            # input refuses loudly like every other codec error
+            raise ValueError("PPM sample exceeds declared maxval")
         v = _luma(*ch) if chans == 3 else ch[0]
         gray[k] = v * 255 // maxval if maxval != 255 else v
     return DecodedImage(width, height, "ppm" if chans == 3 else "pgm", gray)

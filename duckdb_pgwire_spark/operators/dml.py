@@ -173,6 +173,47 @@ def _rewrite_table(session: SparkSession, table: str, post_image_sql: str) -> No
         session.sql(f"DROP TABLE IF EXISTS {stage}")
 
 
+def _enum_fix_exprs(
+    session: SparkSession,
+    table: str,
+    assignments: list[tuple[str, str]] | None,
+    pred: str | None,
+) -> tuple[list[tuple[str, str]] | None, str | None]:
+    """Enum table-column semantics for DML expressions (code review
+    r10: the SELECT path got the schema-aware pass, UPDATE/DELETE
+    didn't). Only the PREDICATE and assignment RHS expressions are
+    rewritten — never the statement text, so SET targets can't be
+    corrupted. A bare string literal assigned to an enum column gets
+    the validating constructor (DuckDB's implicit VARCHAR→enum cast)."""
+    from ..server.compat import (
+        ENUM_TYPES,
+        _enum_struct_sql,
+        enum_columns_of,
+        rewrite_enum_table_columns,
+    )
+
+    if not ENUM_TYPES:
+        return assignments, pred
+    enum_cols, varchar_cols = enum_columns_of(session.table(table).schema.fields)
+    if not enum_cols:
+        return assignments, pred
+    if pred is not None:
+        pred = rewrite_enum_table_columns(pred, enum_cols, varchar_cols)
+    if assignments is not None:
+        fixed = []
+        for c, e in assignments:
+            tn = enum_cols.get(c.lower())
+            if tn is not None and re.fullmatch(
+                r"\s*'(?:[^']|'')*'\s*", e
+            ):
+                e = _enum_struct_sql(e.strip(), tn, strict=True)
+            else:
+                e = rewrite_enum_table_columns(e, enum_cols, varchar_cols)
+            fixed.append((c, e))
+        assignments = fixed
+    return assignments, pred
+
+
 def update_table(
     session: SparkSession,
     table: str,
@@ -181,6 +222,7 @@ def update_table(
 ) -> int:
     """Rewrite-on-write UPDATE; returns the matched-row count."""
     cols = session.table(table).columns
+    assignments, pred = _enum_fix_exprs(session, table, assignments, pred)
     set_map = {c.lower(): e for c, e in assignments}
     if pred is None:
         select = ", ".join(set_map.get(c.lower(), c) + f" AS {c}" for c in cols)
@@ -199,6 +241,7 @@ def update_table(
 
 def delete_from(session: SparkSession, table: str, pred: str | None) -> int:
     """Rewrite-on-write DELETE; returns the removed-row count."""
+    _, pred = _enum_fix_exprs(session, table, None, pred)
     if pred is None:
         n = session.table(table).count()
         _rewrite_table(

@@ -382,9 +382,7 @@ def _csv_view_create(
             "'_'/'.'-prefixed files — rename them or list them "
             "individually"
         )
-    needs_proj = any(
-        "CASE" in e or "CAST" in e for e in sn["select_exprs"]
-    )
+    needs_proj = sn["needs_projection"]
     raw = f"default.`{name}__raw`" if needs_proj else qual
     for drop in (
         f"DROP VIEW IF EXISTS {qual}",
@@ -3249,19 +3247,7 @@ def _next_batch(it: Iterator, n: int, cells: list) -> list[list[bytes | None]]:
     return out
 
 
-def _enum_emulation_type(dt) -> str | None:
-    """Enum type name when dt is the self-describing enum-emulation
-    struct (``__ecode`` + ``__elabel_<type>``), else None."""
-    from pyspark.sql import types as T
-
-    if (
-        isinstance(dt, T.StructType)
-        and len(dt.fields) == 2
-        and dt.fields[0].name == "__ecode"
-        and dt.fields[1].name.startswith("__elabel_")
-    ):
-        return dt.fields[1].name[len("__elabel_") :]
-    return None
+from .compat import enum_emulation_type as _enum_emulation_type  # noqa: E402
 
 
 def _insert_needs_enum_coercion(session: SparkSession, table: str) -> bool:

@@ -1121,6 +1121,15 @@ def _rewrite_dot_calls(sql: str) -> str:
 _ARRAY_TYPE_SUFFIX = re.compile(
     r"(?<![\w.'\"])(\w+(?:\s*\([^()]*\))?)((?:\s*\[\s*\])+)"
 )
+# ONE spelling list for DuckDB's VARCHAR alias family (code review
+# r10: five independent copies drifted — the enum varchar-context
+# regex missed NVARCHAR/NCHAR and silently rendered struct text).
+# Every site that needs "is this a text type?" derives from this.
+_TEXT_FAMILY_RE_SRC = (
+    "CHARACTER\\s+VARYING|CHARACTER|TEXT|NVARCHAR|NCHAR|VARCHAR"
+    "|BPCHAR|CHAR|STRING"
+)
+
 _ARRAY_ELEM_TYPES = {
     "int": "INT", "integer": "INT", "int4": "INT", "signed": "INT",
     "bigint": "BIGINT", "int8": "BIGINT", "long": "BIGINT",
@@ -1131,6 +1140,7 @@ _ARRAY_ELEM_TYPES = {
     "real": "FLOAT", "float4": "FLOAT", "float": "FLOAT",
     "varchar": "STRING", "text": "STRING", "bpchar": "STRING",
     "string": "STRING", "char": "STRING",
+    "nvarchar": "STRING", "nchar": "STRING", "character": "STRING",
     "boolean": "BOOLEAN", "bool": "BOOLEAN",
     "date": "DATE", "timestamp": "TIMESTAMP", "datetime": "TIMESTAMP",
     "blob": "BINARY", "bytea": "BINARY",
@@ -1369,8 +1379,8 @@ def _enum_varchar_context(
     while k < len(sql) and sql[k].isspace():
         k += 1
     if re.match(
-        r"::\s*(?:VARCHAR|TEXT|STRING|BPCHAR|CHAR)\b"
-        r"|AS\s+(?:VARCHAR|TEXT|STRING|BPCHAR|CHAR)\s*\)",
+        rf"::\s*(?:{_TEXT_FAMILY_RE_SRC})\b"
+        rf"|AS\s+(?:{_TEXT_FAMILY_RE_SRC})\s*(?:\(\s*\d+\s*\))?\s*\)",
         sql[k:],
         re.IGNORECASE,
     ):
@@ -1666,6 +1676,39 @@ def _enum_left_kind(
     return "other"
 
 
+def enum_emulation_type(dt) -> str | None:
+    """Enum type name when dt is the self-describing enum-emulation
+    struct (``__ecode`` + ``__elabel_<type>``), else None. Lives here
+    (lazy pyspark import) so both the server and the DML layer can
+    resolve column enum-ness without a circular import."""
+    from pyspark.sql import types as T
+
+    if (
+        isinstance(dt, T.StructType)
+        and len(dt.fields) == 2
+        and dt.fields[0].name == "__ecode"
+        and dt.fields[1].name.startswith("__elabel_")
+    ):
+        return dt.fields[1].name[len("__elabel_") :]
+    return None
+
+
+def enum_columns_of(fields) -> tuple[dict[str, str], set[str]]:
+    """(enum columns, varchar columns) of one table's schema fields —
+    the resolution rewrite_enum_table_columns needs."""
+    from pyspark.sql import types as T
+
+    enum_cols: dict[str, str] = {}
+    varchar_cols: set[str] = set()
+    for f in fields:
+        tn = enum_emulation_type(f.dataType)
+        if tn is not None:
+            enum_cols[f.name.lower()] = tn
+        elif isinstance(f.dataType, T.StringType):
+            varchar_cols.add(f.name.lower())
+    return enum_cols, varchar_cols
+
+
 def rewrite_enum_table_columns(
     sql: str, enum_cols: dict[str, str], varchar_cols: set[str]
 ) -> str:
@@ -1862,10 +1905,7 @@ def _rewrite_duck_types(sql: str) -> str:
 # AS-type tail of a MATCHED [TRY_]CAST span (span-anchored, unlike the
 # duck-only scalar tail sub, because ``AS text)`` is a realistic
 # column-alias spelling), and in a CREATE TABLE column-list paren.
-_VF_TYPE = (
-    r"(?:CHARACTER\s+VARYING|CHARACTER|TEXT|NVARCHAR|NCHAR|VARCHAR"
-    r"|BPCHAR|CHAR|STRING)"
-)
+_VF_TYPE = rf"(?:{_TEXT_FAMILY_RE_SRC})"
 _VF_LEN = r"(?:\s*\(\s*\d+\s*\))?"
 _VF_HINT_RE = re.compile(
     r"::|\b(?:TRY_)?CAST\s*\(|^\s*CREATE\b.*?\bTABLE\b",

@@ -226,4 +226,10 @@ def sniff_file(
     res["select_exprs"] = [
         _proj(n, t) for n, t in zip(res["names"], res["types"])
     ]
+    # explicit flag — the caller must not re-derive this by substring
+    # matching expr text (a column NAMED "forecast" contains "CAST";
+    # code review r10)
+    res["needs_projection"] = any(
+        t in ("BOOLEAN", "TIME") for t in res["types"]
+    )
     return res

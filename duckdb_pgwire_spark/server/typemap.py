@@ -533,6 +533,16 @@ def decode_binary_param(raw: bytes, oid: int) -> bytes:
         return (_PG_EPOCH_DATE + _dt.timedelta(days=days)).isoformat().encode()
     if oid == OID_TIME:
         micros = _struct.unpack("!q", raw)[0]
+        # range-check instead of day-wrapping: 24:00:00 is PG-legal and
+        # must not silently become midnight (code review r10); Spark
+        # has no 24:00:00 value, so it renders as its text and the
+        # downstream cast refuses loudly
+        if not 0 <= micros <= 86_400_000_000:
+            raise ValueError(
+                f"binary time parameter out of range: {micros} µs"
+            )
+        if micros == 86_400_000_000:
+            return b"24:00:00"
         t = (_dt.datetime.min + _dt.timedelta(microseconds=micros)).time()
         return encode_text(t).encode()
     if oid == OID_TIMESTAMP:

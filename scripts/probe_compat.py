@@ -557,6 +557,12 @@ BATTERY: dict[str, list[str]] = {
         "SELECT count(*) AS n FROM probe_emood WHERE m <> 'ok'",
         # r10: DESCRIBE renders the enum type, not the emulation struct
         "DESCRIBE probe_emood",
+        # r10 code review: enum predicates + bare-string assignment in
+        # UPDATE/DELETE (the SELECT path's schema-aware semantics)
+        "UPDATE probe_emood SET m = 'sad' WHERE m = 'ok'",
+        "SELECT m, count(*) AS n FROM probe_emood GROUP BY m ORDER BY m",
+        "DELETE FROM probe_emood WHERE m <> 'happy'",
+        "SELECT m FROM probe_emood ORDER BY m",
         "DROP TABLE probe_emood",
         "DROP TYPE probe_mood",
     ],

@@ -367,6 +367,10 @@ def test_imagecodec_round_trips_and_refusals():
     ]
     with pytest.raises(ValueError):
         decode_ppm(b"P5\n1 1\n70000\n" + b"\x00" * 4)  # maxval > 16-bit
+    # a sample above maxval would scale past the 8-bit gray contract —
+    # refuse loudly (code review r10)
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_ppm(b"P5\n1 1\n15\n" + bytes([255]))
 
 
 def test_imagecodec_png():

@@ -3402,6 +3402,20 @@ def test_wire_time_type(client, tmp_path):
     ], out
     (r,) = client.query(f"SELECT v FROM '{p}' WHERE t < TIME '12:30:00' ORDER BY v")
     assert r["rows"] == [["2"], ["3"]], r
+    # binary TIME params: PG-legal 24:00:00 must not wrap to midnight,
+    # out-of-range must refuse (code review r10)
+    import pytest as _pt
+
+    from duckdb_pgwire_spark.server.typemap import decode_binary_param
+
+    assert decode_binary_param(_s.pack("!q", 86_400_000_000), 1083) == b"24:00:00"
+    assert decode_binary_param(_s.pack("!q", 3_600_000_001), 1083) == (
+        b"01:00:00.000001"
+    )
+    with _pt.raises(ValueError, match="out of range"):
+        decode_binary_param(_s.pack("!q", -1), 1083)
+    with _pt.raises(ValueError, match="out of range"):
+        decode_binary_param(_s.pack("!q", 86_400_000_001), 1083)
 
 
 def test_wire_csv_bare_path_sniffing(client, tmp_path):
@@ -3649,6 +3663,14 @@ def test_wire_create_type_enum(client, spark):
         "SELECT unnest(['happy', 'sad'])::mood AS m ORDER BY m"
     )
     assert r["rows"] == [["sad"], ["happy"]], r
+    # r10 code review: the whole VARCHAR alias family is a label
+    # context for enum casts (NVARCHAR/NCHAR previously drifted from
+    # the family list and rendered struct text)
+    (r,) = client.query(
+        "SELECT 'ok'::mood::NVARCHAR AS a, CAST('sad'::mood AS NCHAR) AS b,"
+        " 'happy'::mood::CHARACTER VARYING AS c"
+    )
+    assert r["rows"] == [["ok", "sad", "happy"]], r
     # advice r9: a member list with list-punctuation errors (adjacent
     # literals, unquoted tokens) is a 42601 parser error like DuckDB,
     # not a silently-salvaged member set
