@@ -1621,6 +1621,23 @@ _ENUM_LIKE_RE = re.compile(
 )
 _ENUM_LEFT_CMP_RE = re.compile(r"(<=|>=|!=|<>|=|<|>)\s*$")
 
+# varchar-taking function heads: DuckDB implicitly treats an enum
+# argument as its VARCHAR label in ALL of these (probed lower/upper/
+# length; the rest share the varchar overload path). Curated — a
+# function NOT listed keeps the loud struct analyzer error.
+_ENUM_TEXT_FNS = frozenset(
+    """lower upper length len strlen char_length character_length trim
+    ltrim rtrim btrim substr substring concat concat_ws replace reverse
+    left right lpad rpad repeat contains starts_with ends_with prefix
+    suffix strpos instr position split_part string_split str_split
+    string_to_array regexp_matches regexp_replace regexp_extract
+    regexp_extract_all regexp_split_to_array like_escape ilike_escape
+    md5 sha256 hash ascii ord initcap strip_accents nfc_normalize
+    translate levenshtein editdist3 hamming mismatches jaccard
+    jaro_similarity jaro_winkler_similarity damerau_levenshtein
+    string_agg listagg group_concat format printf""".split()
+)
+
 
 def _enum_operand_kind(
     sql: str,
@@ -1709,6 +1726,32 @@ def enum_columns_of(fields) -> tuple[dict[str, str], set[str]]:
     return enum_cols, varchar_cols
 
 
+def _enum_call_head(sql: str, mask: list[bool], pos: int) -> str:
+    """Lowercased name of the function call whose argument list
+    directly encloses position pos ('' when not inside a call):
+    scan back for the nearest unmatched '(' and read the word
+    before it."""
+    depth = 0
+    i = pos - 1
+    while i >= 0:
+        if mask[i]:
+            c = sql[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    j = i - 1
+                    while j >= 0 and sql[j].isspace():
+                        j -= 1
+                    k = j
+                    while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                        k -= 1
+                    return sql[k + 1 : j + 1].lower()
+                depth -= 1
+        i -= 1
+    return ""
+
+
 def rewrite_enum_table_columns(
     sql: str, enum_cols: dict[str, str], varchar_cols: set[str]
 ) -> str:
@@ -1772,6 +1815,10 @@ def rewrite_enum_table_columns(
                     sql, mask, lm.start(), enum_cols, varchar_cols
                 )
                 hit = kind in ("lit", "varchar")
+        if not hit:
+            # direct argument of a varchar-taking function: DuckDB
+            # treats the enum as its label there (lower(m) = 'ok')
+            hit = _enum_call_head(sql, mask, m.start()) in _ENUM_TEXT_FNS
         if hit:
             edits.append((m.start(), m.end(), label))
     for s, e, rep in sorted(edits, reverse=True):

@@ -557,6 +557,13 @@ BATTERY: dict[str, list[str]] = {
         "SELECT count(*) AS n FROM probe_emood WHERE m <> 'ok'",
         # r10: DESCRIBE renders the enum type, not the emulation struct
         "DESCRIBE probe_emood",
+        # r10: enum column as a varchar-taking FUNCTION argument —
+        # DuckDB implicitly uses the label
+        "SELECT lower(m) AS v FROM probe_emood ORDER BY v",
+        "SELECT length(m) AS n FROM probe_emood ORDER BY n",
+        "SELECT concat(m, '!') AS v FROM probe_emood ORDER BY v",
+        "SELECT string_agg(m, ',' ORDER BY m) AS sa FROM probe_emood",
+        "SELECT count(*) AS n FROM probe_emood WHERE upper(m) = 'OK'",
         # r10 code review: enum predicates + bare-string assignment in
         # UPDATE/DELETE (the SELECT path's schema-aware semantics)
         "UPDATE probe_emood SET m = 'sad' WHERE m = 'ok'",
