@@ -397,6 +397,112 @@ def parse_merge(stmt: str) -> MergeSpec | None:
     return MergeSpec(tgt_rel, t_alias, src_sql, s_alias, cond, clauses)
 
 
+def _merge_substitute_nextval(
+    session: SparkSession,
+    clauses: list,
+    arm_fms: list[str],
+    arm_counts: list,
+) -> None:
+    """nextval inside MERGE arm expressions (the last refusing DML row
+    context, r10): DuckDB advances the sequence once per row processed
+    by the arm, so the UPDATE-statement block-reservation recipe
+    (compat._substitute_update_nextval) applies PER ARM — reserve one
+    block sized by the arm's affected-row count, number the arm's rows
+    with the arm-appropriate index expression, and substitute. Scope
+    that keeps the value set exact: all of a sequence's occurrences
+    must live in ONE arm (interleaved arms allocate row-dependently),
+    and occurrences in arm PREDICATES refuse (row-dependent in a way
+    no rewrite reproduces). Which row gets which value follows scan
+    order on both engines — guaranteed by neither (the UPDATE
+    precedent, BASELINE r9)."""
+    from ..server.compat import (
+        _SEQ_FN_RE,
+        _code_mask,
+        _reserve_seq_blocks,
+        SEQUENCES,
+    )
+
+    def occs_of(text: str) -> list:
+        if text is None or "val(" not in text.lower():
+            return []
+        mask = _code_mask(text)
+        return [
+            m
+            for m in _SEQ_FN_RE.finditer(text)
+            if all(mask[m.start(1) : m.end(1)])
+        ]
+
+    seq_arm: dict[str, int] = {}
+    arm_occs: list[list[tuple[int, object]]] = []
+    any_occ = False
+    for ai, cl in enumerate(clauses):
+        if occs_of(cl.pred):
+            raise ValueError(
+                "nextval in a MERGE arm predicate is row-dependent in "
+                "a way the block-reservation rewrite can't reproduce"
+            )
+        exprs = (
+            [v for _, v in cl.assignments]
+            if cl.action == "update"
+            else (cl.insert_exprs or [])
+        )
+        found: list[tuple[int, object]] = []
+        for ei, e in enumerate(exprs):
+            for m in occs_of(e):
+                name = m.group(2).lower()
+                if SEQUENCES.get(name) is None:
+                    raise ValueError(f"sequence {m.group(2)!r} does not exist")
+                if seq_arm.setdefault(name, ai) != ai:
+                    raise ValueError(
+                        f"nextval('{name}') in more than one MERGE arm "
+                        "allocates row-dependently across arms — not "
+                        "supported (use one arm per sequence)"
+                    )
+                found.append((ei, m))
+                any_occ = True
+        arm_occs.append(found)
+    if not any_occ:
+        return
+    for ai, (cl, found) in enumerate(zip(clauses, arm_occs)):
+        if not found:
+            continue
+        n = int(arm_counts[ai]())
+        fm = arm_fms[ai]
+        if cl.action == "update":
+            idx = (
+                f"(sum(CASE WHEN {fm} THEN 1 ELSE 0 END) OVER (ORDER BY"
+                f" monotonically_increasing_id() ROWS BETWEEN UNBOUNDED"
+                f" PRECEDING AND CURRENT ROW) - 1)"
+            )
+        else:  # the insert-arm query contains ONLY the arm's rows
+            idx = (
+                "(row_number() OVER (ORDER BY"
+                " monotonically_increasing_id()) - 1)"
+            )
+        repls = [
+            f"({idx} * {inc} + {base})"
+            for base, inc in _reserve_seq_blocks([m for _, m in found], n)
+        ]
+        exprs = (
+            [v for _, v in cl.assignments]
+            if cl.action == "update"
+            else list(cl.insert_exprs)
+        )
+        # substitute right-to-left per expression so spans stay valid
+        for (ei, m), repl in sorted(
+            zip(found, repls), key=lambda t: (t[0][0], t[0][1].start()),
+            reverse=True,
+        ):
+            e = exprs[ei]
+            exprs[ei] = e[: m.start()] + repl + e[m.end() :]
+        if cl.action == "update":
+            cl.assignments = [
+                (c, exprs[i]) for i, (c, _) in enumerate(cl.assignments)
+            ]
+        else:
+            cl.insert_exprs = exprs
+
+
 def merge_into(session: SparkSession, spec: MergeSpec) -> int:
     """Rewrite-on-write MERGE; returns updated+deleted+inserted count.
 
@@ -424,6 +530,30 @@ def merge_into(session: SparkSession, spec: MergeSpec) -> int:
 
     matched = [c for c in spec.clauses if c.matched]
     fms = first_match(matched, implicit_guard=False)
+    not_matched = [c for c in spec.clauses if not c.matched]
+    nm_fms = first_match(not_matched, implicit_guard=True)
+    joined = f"FROM {spec.target} {t} LEFT JOIN {src} ON ({spec.cond})"
+    anti = f"FROM ({spec.source_sql}) {s} LEFT ANTI JOIN {spec.target} {t} ON ({spec.cond})"
+
+    def _upd_count(fm):
+        return lambda: (
+            session.sql(
+                f"SELECT sum(CASE WHEN {fm} THEN 1 ELSE 0 END) AS n {joined}"
+            ).first()["n"]
+            or 0
+        )
+
+    def _ins_count(fm):
+        return lambda: session.sql(
+            f"SELECT count(*) AS n {anti} WHERE {fm}"
+        ).first()["n"]
+
+    _merge_substitute_nextval(
+        session,
+        matched + not_matched,
+        fms + nm_fms,
+        [_upd_count(fm) for fm in fms] + [_ins_count(fm) for fm in nm_fms],
+    )
 
     sel_parts = []
     for c in cols:
@@ -440,13 +570,9 @@ def merge_into(session: SparkSession, spec: MergeSpec) -> int:
     del_fms = [fm for cl, fm in zip(matched, fms) if cl.action == "delete"]
     upd_fms = [fm for cl, fm in zip(matched, fms) if cl.action == "update"]
     where = f" WHERE NOT ({' OR '.join(del_fms)})" if del_fms else ""
-    joined = f"FROM {spec.target} {t} LEFT JOIN {src} ON ({spec.cond})"
     target_part = f"SELECT {', '.join(sel_parts)} {joined}{where}"
 
-    not_matched = [c for c in spec.clauses if not c.matched]
-    nm_fms = first_match(not_matched, implicit_guard=True)
     insert_parts = []
-    anti = f"FROM ({spec.source_sql}) {s} LEFT ANTI JOIN {spec.target} {t} ON ({spec.cond})"
     for cl, fm in zip(not_matched, nm_fms):
         ins_cols = cl.insert_cols if cl.insert_cols is not None else cols
         if len(ins_cols) != len(cl.insert_exprs):

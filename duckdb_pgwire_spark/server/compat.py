@@ -4008,6 +4008,11 @@ def substitute_sequence_fns(sql: str, count_rows=None) -> str:
             raise ValueError(f"sequence {m.group(2)!r} does not exist")
     n_next = sum(1 for m in occs if m.group(1).lower() == "nextval")
     if per_row and n_next:
+        if first == "MERGE" and n_next == len(occs):
+            # r10: deferred to merge_into, which owns the arm
+            # predicates and per-arm row counts the block reservation
+            # needs (one sequence per arm; predicates refuse there)
+            return sql
         if (
             first == "UPDATE"
             and count_rows is not None

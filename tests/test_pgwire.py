@@ -3753,6 +3753,71 @@ def test_wire_groups_identifier_not_refused(client):
     assert "error" in r and "GROUPS mode" in r["error"]
 
 
+def test_wire_merge_nextval(client, spark):
+    """nextval inside MERGE arm expressions (r10 — the last refusing
+    DML row context): per-arm block reservation, so the allocated
+    VALUE SET is exact while row↔value pairing follows scan order on
+    both engines (the UPDATE precedent, BASELINE r9). One sequence per
+    arm; arm-predicate occurrences and cross-arm sequences refuse."""
+    _fresh_wire_table(spark, "mnx")
+    (r,) = client.query("CREATE SEQUENCE mnx_seq START 100 INCREMENT 3")
+    assert "error" not in r, r
+    (r,) = client.query("CREATE TABLE mnx(k INT, v BIGINT)")
+    assert "error" not in r, r
+    (r,) = client.query("INSERT INTO mnx VALUES (1, 0), (2, 0), (3, 0)")
+    assert "error" not in r, r
+    # INSERT arm: exactly the two unmatched keys draw from block
+    # [100, 106) step 3
+    out = client.query(
+        "MERGE INTO mnx t USING (SELECT * FROM VALUES (3), (4), (5) "
+        "AS src(k)) s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, nextval('mnx_seq'))"
+    )
+    assert out[-1]["tag"] == "MERGE 2", out
+    (r,) = client.query("SELECT v FROM mnx WHERE k >= 4 ORDER BY v")
+    assert r["rows"] == [["100"], ["103"]], r
+    # UPDATE arm with a predicate: only qualifying matched rows draw
+    # from the next block [106, 112)
+    out = client.query(
+        "MERGE INTO mnx t USING (SELECT * FROM VALUES (1), (2), (4) "
+        "AS src(k)) s ON t.k = s.k "
+        "WHEN MATCHED AND t.k < 3 THEN UPDATE SET v = nextval('mnx_seq')"
+    )
+    assert out[-1]["tag"] == "MERGE 2", out
+    (r,) = client.query("SELECT v FROM mnx WHERE k IN (1, 2) ORDER BY v")
+    assert r["rows"] == [["106"], ["109"]], r
+    # refusals: one sequence across two arms; nextval in a predicate;
+    # interleaved currval — and none of them advance the sequence
+    for bad, frag in (
+        (
+            "MERGE INTO mnx t USING (SELECT * FROM VALUES (1), (8) "
+            "AS src(k)) s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = nextval('mnx_seq') "
+            "WHEN NOT MATCHED THEN INSERT VALUES (s.k, nextval('mnx_seq'))",
+            "more than one MERGE arm",
+        ),
+        (
+            "MERGE INTO mnx t USING (SELECT * FROM VALUES (1) AS src(k)) s"
+            " ON t.k = s.k "
+            "WHEN MATCHED AND nextval('mnx_seq') > 0 THEN UPDATE SET v = 1",
+            "arm predicate",
+        ),
+        (
+            "MERGE INTO mnx t USING (SELECT * FROM VALUES (1) AS src(k)) s"
+            " ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = nextval('mnx_seq') "
+            "+ currval('mnx_seq')",
+            "per-row context",
+        ),
+    ):
+        (r,) = client.query(bad)
+        assert "error" in r and frag in r["error"], (bad, r)
+    (r,) = client.query("SELECT nextval('mnx_seq') AS v")
+    assert r["rows"] == [["112"]], r
+    client.query("DROP TABLE mnx")
+    client.query("DROP SEQUENCE mnx_seq")
+
+
 def test_wire_nextval_rowset_refusals(client):
     """Block reservation numbers rows before LIMIT/DISTINCT/set-ops
     apply, so those shapes refuse instead of emitting values outside
