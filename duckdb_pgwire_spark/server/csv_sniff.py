@@ -155,21 +155,41 @@ def sniff_text(
         # claims an all-text row as a header-only table ('a,b' → empty)
         row0_types = [_infer_column([grid[0][c]]) for c in range(ncol)]
         if header is None:
-            header = all(t == "VARCHAR" for t in row0_types)
+            # an EMPTY cell (after unquoting) keeps the row as DATA
+            # even when everything else is text (probed: ',:' → one
+            # NULL/text row; ' ,b' → header — whitespace counts as
+            # text; r10 fuzzer)
+            header = all(t == "VARCHAR" for t in row0_types) and all(
+                c != "" for c in grid[0]
+            )
         types_rest = ["VARCHAR"] * ncol
     if header:
+        # DuckDB's header naming, probed r10: a truly-EMPTY cell is
+        # named positionally (column1 for index 1) up front; other
+        # cells are space-trimmed (tabs survive: 'a,\t' → '\t');
+        # duplicates left-to-right get _1, _2 (a space-only cell
+        # trims to '' and dedups AS the empty string: ' , , ' →
+        # '', '_1', '_2'); names still empty AFTER dedup become
+        # C<index> with NO re-dedup — a clash with a literal C0 is
+        # DuckDB's binder error, kept loud here.
         names: list[str] = []
         used: set[str] = set()
         for ci, raw in enumerate(grid[0]):
-            # DuckDB names an EMPTY header cell positionally (column1
-            # for index 1 — fuzzer-probed), and dedups a,a → a, a_1
-            base = raw if raw != "" else f"column{ci}"
+            base = raw.strip(" ") if raw != "" else f"column{ci}"
             name, k = base, 0
             while name in used:
                 k += 1
                 name = f"{base}_{k}"
             used.add(name)
             names.append(name)
+        names = [
+            n if n != "" else f"C{ci}" for ci, n in enumerate(names)
+        ]
+        if len(set(names)) != len(names):
+            raise ValueError(
+                "CSV header has duplicate column name after "
+                "normalization (DuckDB binder error parity)"
+            )
         types = types_rest
     else:
         names = [f"column{i}" for i in range(ncol)]

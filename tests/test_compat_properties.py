@@ -594,6 +594,51 @@ def test_csv_sniff_fuzz_matches_duckdb(spark, tmp_path_factory, data):
     )
 
 
+def test_csv_sniff_header_naming_probe_table(tmp_path):
+    """Pinned DuckDB probes for header-claim and header-NAMING edges
+    (r10 fuzzer found the single-line empty-cell case): truly-empty
+    header cells name positionally (column1), space-only cells trim
+    to '' and dedup as the empty string then become C<index>, tabs
+    survive untrimmed, a post-normalization clash is a loud error —
+    each expectation produced by DuckDB v1.x on the same text."""
+    import duckdb
+
+    from duckdb_pgwire_spark.server.csv_sniff import sniff_text
+
+    cases = [
+        ",:", "a,", "a,b", ",b", ":,:", " ,b", "a, ", '"",b',
+        ",:\nx,y", "a,\nx,y", " ,b\nx,y", ",:\n1,y", " , \nx,y",
+        "\t,b", "a, , \nx,y,z", " , , \nx,y,z", "C0, \nx,y",
+        "a,,\nx,y,z", ", ,\nx,y,z", "a,\t\nx,y", ",,:\nx,y,z",
+        " a ,b\nx,y", "column0,\nx,y",
+    ]
+    con = duckdb.connect()
+    try:
+        for i, c in enumerate(cases):
+            p = str(tmp_path / f"probe{i}.csv")
+            with open(p, "w") as f:
+                f.write(c + "\n")
+            want = [
+                col[0]
+                for col in con.execute(f"SELECT * FROM '{p}'").description
+            ]
+            sn = sniff_text(c + "\n")
+            got = (
+                sn["names"]
+                if sn["header"]
+                else [f"column{j}" for j in range(len(sn["names"]))]
+            )
+            assert got == want, (c, got, want)
+    finally:
+        con.close()
+    # ' ,C0' normalizes the space cell to C0 → duplicate → loud error
+    # on BOTH engines (DuckDB: binder error)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="duplicate column name"):
+        sniff_text(" ,C0\nx,y\n")
+
+
 @given(
     micros=st.integers(
         min_value=-(10**15), max_value=10**15
