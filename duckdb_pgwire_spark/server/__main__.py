@@ -34,6 +34,14 @@ def main() -> None:
         help="spark.newSession() per client: isolated temp views/confs "
         "over the shared catalog (the reference's connection model)",
     )
+    ap.add_argument(
+        "--catalog-dir",
+        default=None,
+        help="directory for the persistent wire-layer catalog sidecar "
+        "(enum types, aliases, macros, sequence counters — DuckDB's "
+        "file-backed-database semantics). Default: the Spark warehouse "
+        "directory. Pass 'none' for process-scope-only (DuckDB :memory:)",
+    )
     args = ap.parse_args()
 
     # Pin the PROCESS timezone, not just the Spark session one: the
@@ -64,6 +72,15 @@ def main() -> None:
         register_udfs(sess)
 
     setup(spark)
+    if args.catalog_dir and args.catalog_dir.lower() == "none":
+        catalog_dir = None
+    elif args.catalog_dir:
+        catalog_dir = args.catalog_dir
+    else:
+        # warehouse dir is a URI (file:/...); the sidecar wants a path
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        catalog_dir = wh.removeprefix("file:")
+
     server = PgWireServer(
         spark,
         host=args.host,
@@ -71,6 +88,7 @@ def main() -> None:
         reference_compat=args.reference_compat,
         isolate_sessions=args.isolate_sessions,
         session_setup=setup,
+        catalog_dir=catalog_dir,
     )
     print(f"READY port={args.port}", flush=True)  # sentinel for test harnesses
     asyncio.run(server.serve_forever())

@@ -630,6 +630,7 @@ class PgWireServer:
         max_workers: int = 8,
         isolate_sessions: bool = False,
         session_setup=None,
+        catalog_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.host = host
@@ -645,6 +646,11 @@ class PgWireServer:
         # per-session state (fixture views, UDFs) for each client.
         self.isolate_sessions = isolate_sessions
         self.session_setup = session_setup
+        # catalog_dir: persist wire-layer DDL (enum types, aliases,
+        # macros, sequence counters) to a JSON sidecar there — DuckDB's
+        # file-backed-database semantics. None = process-scope only
+        # (DuckDB :memory:).
+        self.catalog_dir = catalog_dir
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=max_workers)
         self._server: asyncio.AbstractServer | None = None
         self._writers: set[asyncio.StreamWriter] = set()
@@ -678,6 +684,10 @@ class PgWireServer:
     # ------------------------------------------------------------ lifecycle
 
     async def start(self) -> None:
+        if self.catalog_dir is not None:
+            from . import catalog_persist
+
+            catalog_persist.enable(self.catalog_dir)
         self._server = await asyncio.start_server(self._handle, self.host, self.port)
         log.info("pgwire listening on %s:%d", self.host, self.port)
 
@@ -689,6 +699,10 @@ class PgWireServer:
             await self._server.serve_forever()
 
     async def stop(self) -> None:
+        if self.catalog_dir is not None:
+            from . import catalog_persist
+
+            catalog_persist.disable()
         if self._server is not None:
             self._server.close()
             await self._server.wait_closed()
@@ -1244,11 +1258,14 @@ class PgWireServer:
             TYPE_ALIASES[name.lower()] = await self._exec(
                 session, state.job_tag, resolve_type_text, body
             )
+            from .compat import catalog_changed
+
+            catalog_changed()
             writer.write(P.command_complete("CREATE TYPE"))
             await writer.drain()
             return
         if first == "DROP" and (m := _DROP_TYPE_RE.match(stmt)):
-            from .compat import ENUM_TYPES, TYPE_ALIASES
+            from .compat import ENUM_TYPES, TYPE_ALIASES, catalog_changed
 
             ENUM_TYPES.pop(m.group(2).lower(), None)
             if (
@@ -1259,6 +1276,7 @@ class PgWireServer:
                     f'Type with name "{m.group(2)}" does not exist!',
                     "42704",
                 )
+            catalog_changed()
             writer.write(P.command_complete("DROP TYPE"))
             await writer.drain()
             return

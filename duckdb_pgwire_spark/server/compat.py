@@ -1167,6 +1167,17 @@ TYPE_ALIASES: dict[str, str] = {}
 # render as the label; enum_code() is the 0-based declaration index.
 ENUM_TYPES: dict[str, list[str]] = {}
 
+# Called after any mutation of the persistent-catalog dicts
+# (ENUM_TYPES / TYPE_ALIASES / MACROS / SEQUENCES — incl. a sequence
+# counter advancing). server.catalog_persist registers its save()
+# here when the server runs with a catalog directory.
+CATALOG_LISTENERS: list = []
+
+
+def catalog_changed() -> None:
+    for fn in list(CATALOG_LISTENERS):
+        fn()
+
 
 def enum_struct_type(name: str) -> str:
     return f"STRUCT<__ecode: INT, __elabel_{name.lower()}: STRING>"
@@ -1180,6 +1191,7 @@ def define_enum_type(name: str, members: list[str]) -> None:
         raise ValueError(f"enum {name} has duplicate members")
     ENUM_TYPES[key] = list(members)
     TYPE_ALIASES[key] = enum_struct_type(key)
+    catalog_changed()
 
 
 def _esc_lit(s: str) -> str:
@@ -3869,11 +3881,13 @@ def define_sequence(name: str, options: str, if_not_exists: bool) -> None:
             "inc": int(im.group(1)) if im else 1,
             "cur": None,
         }
+    catalog_changed()
 
 
 def drop_sequence(name: str, if_exists: bool) -> None:
     if SEQUENCES.pop(name.lower(), None) is None and not if_exists:
         raise ValueError(f"sequence {name!r} does not exist")
+    catalog_changed()
 
 
 def _reserve_seq_blocks(occs: list, n: int) -> list[tuple[int, int]]:
@@ -3904,6 +3918,8 @@ def _reserve_seq_blocks(occs: list, n: int) -> list[tuple[int, int]]:
                     seq["next"] = blk_base[name] + total * seq["inc"]
                     seq["cur"] = seq["next"] - seq["inc"]
             out.append((blk_base[name] + j * n * seq["inc"], seq["inc"]))
+    if occs and n > 0:
+        catalog_changed()
     return out
 
 
@@ -4125,6 +4141,8 @@ def substitute_sequence_fns(sql: str, count_rows=None) -> str:
         out.append(str(v))
         pos = m.end()
     out.append(sql[pos:])
+    if any(m.group(1).lower() == "nextval" for m in occs):
+        catalog_changed()  # sequence counters advanced — persist
     return "".join(out)
 
 
@@ -4202,11 +4220,13 @@ def define_macro(name: str, params_src: str, body: str, replace: bool) -> None:
             else:
                 params.append((raw.strip().lower(), None))
     MACROS[key] = (params, body.strip())
+    catalog_changed()
 
 
 def drop_macro(name: str, if_exists: bool) -> None:
     if MACROS.pop(name.lower(), None) is None and not if_exists:
         raise ValueError(f"macro {name!r} does not exist")
+    catalog_changed()
 
 
 def _substitute_macro_params(body: str, binding: dict[str, str]) -> str:

@@ -134,7 +134,11 @@ def test_interval_text_rendering_matches_duckdb():
 
 def test_rewrite_bare_varchar():
     assert rewrite("CREATE TABLE users(name varchar)") == "CREATE TABLE users(name STRING)"
-    assert "varchar(10)" in rewrite("CREATE TABLE t(a varchar(10))")
+    # r10 varchar-family rewrite: DuckDB IGNORES the (n) (probed:
+    # 'abcd'::VARCHAR(2) = 'abcd'), Spark would silently truncate —
+    # so VARCHAR(10) maps to length-less STRING too (this assertion
+    # pinned the pre-r10 leave-it-alone behavior)
+    assert rewrite("CREATE TABLE t(a varchar(10))") == "CREATE TABLE t(a STRING)"
 
 
 def test_rewrite_distinct_on():
@@ -185,15 +189,22 @@ def test_split_statements():
 
 
 @pytest.fixture(scope="module")
-def wire_server(spark):
-    """Run PgWireServer on an ephemeral port in a daemon thread."""
+def wire_server(spark, tmp_path_factory):
+    """Run PgWireServer on an ephemeral port in a daemon thread (with a
+    throwaway persistent-catalog dir, so every wire test also exercises
+    the sidecar save path)."""
     from duckdb_pgwire_spark.functions.udfs import register_udfs
     from duckdb_pgwire_spark.server.app import PgWireServer
     from duckdb_pgwire_spark.session import register_views
 
     register_views(spark, SF_DIR)
     register_udfs(spark)
-    server = PgWireServer(spark, host="127.0.0.1", port=0)
+    server = PgWireServer(
+        spark,
+        host="127.0.0.1",
+        port=0,
+        catalog_dir=str(tmp_path_factory.mktemp("pgwire_catalog")),
+    )
     loop = asyncio.new_event_loop()
     started = threading.Event()
     port_holder: dict[str, int] = {}
@@ -881,6 +892,116 @@ def test_isolated_sessions_temp_views(spark):
         a.close()
         b.close()
         loop.call_soon_threadsafe(loop.stop)
+
+
+def test_catalog_persists_across_server_restart(spark, tmp_path):
+    """Wire-layer DDL (enum types, scalar type aliases, macros,
+    sequences INCLUDING the counter) survives a server restart when the
+    server runs with a catalog dir — DuckDB's file-backed-database
+    semantics (NOTES.md r10 gap: enum member lists lived in process
+    memory, so a type created in an earlier process lost DESCRIBE and
+    cast support). The restart is simulated by clearing the process
+    dicts between two servers sharing one catalog directory."""
+    import copy
+    import importlib.util
+    from pathlib import Path
+
+    from duckdb_pgwire_spark.server import compat
+    from duckdb_pgwire_spark.server.app import PgWireServer
+
+    spec = importlib.util.spec_from_file_location(
+        "pgwire_client3",
+        Path(__file__).parent.parent / "scripts" / "pgwire_client.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def run_server():
+        server = PgWireServer(
+            spark, host="127.0.0.1", port=0, catalog_dir=str(tmp_path)
+        )
+        loop = asyncio.new_event_loop()
+        started = threading.Event()
+        holder: dict[str, int] = {}
+
+        async def run():
+            await server.start()
+            holder["port"] = server._server.sockets[0].getsockname()[1]
+            started.set()
+
+        def tmain():
+            asyncio.set_event_loop(loop)
+            loop.run_until_complete(run())
+            loop.run_forever()
+
+        threading.Thread(target=tmain, daemon=True).start()
+        assert started.wait(30)
+
+        def stop():
+            asyncio.run_coroutine_threadsafe(server.stop(), loop).result(10)
+            loop.call_soon_threadsafe(loop.stop)
+
+        return holder["port"], stop
+
+    dicts = (compat.ENUM_TYPES, compat.TYPE_ALIASES, compat.MACROS, compat.SEQUENCES)
+    snapshot = [copy.deepcopy(d) for d in dicts]
+    for d in dicts:
+        d.clear()
+    try:
+        port, stop = run_server()
+        c = mod.PgClient(port=port)
+        try:
+            for ddl in (
+                "CREATE TYPE persist_mood AS ENUM ('sad', 'ok', 'happy')",
+                "CREATE TYPE persist_short AS SMALLINT",
+                "CREATE SEQUENCE persist_sq START 5 INCREMENT 2",
+                "CREATE MACRO persist_addm(a, b := 10) AS a + b",
+            ):
+                (r,) = c.query(ddl)
+                assert "error" not in r, (ddl, r)
+            (r,) = c.query("SELECT nextval('persist_sq') AS v")
+            assert r["rows"] == [["5"]], r
+        finally:
+            c.close()
+            stop()
+
+        # "process restart": the in-memory catalog is gone
+        for d in dicts:
+            d.clear()
+
+        port, stop = run_server()
+        c = mod.PgClient(port=port)
+        try:
+            (r,) = c.query(
+                "SELECT ('sad'::persist_mood < 'ok'::persist_mood) AS lt, "
+                "'happy'::persist_mood AS label"
+            )
+            assert r["rows"] == [["t", "happy"]], r
+            # counter continues past the pre-restart reservation
+            (r,) = c.query("SELECT nextval('persist_sq') AS v")
+            assert r["rows"] == [["7"]], r
+            (r,) = c.query("SELECT persist_addm(1) AS s")
+            assert r["rows"] == [["11"]], r
+            (r,) = c.query("SELECT CAST('7' AS persist_short) AS x")
+            assert r["rows"] == [["7"]], r
+            (r,) = c.query("DROP TYPE persist_mood")
+            assert "error" not in r, r
+        finally:
+            c.close()
+            stop()
+
+        # the DROP persisted too: a third load must not resurrect it
+        for d in dicts:
+            d.clear()
+        from duckdb_pgwire_spark.server import catalog_persist
+
+        catalog_persist.load_into_memory(catalog_persist.catalog_file(str(tmp_path)))
+        assert "persist_mood" not in compat.ENUM_TYPES
+        assert compat.SEQUENCES["persist_sq"]["next"] == 9
+    finally:
+        for d, snap in zip(dicts, snapshot):
+            d.clear()
+            d.update(snap)
 
 
 def test_wire_complex_types_render_as_text(client):
