@@ -2473,6 +2473,11 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         # another is ambiguous — leave it to the loud analyzer error
         for low in non_enum_cols:
             enum_cols.pop(low, None)
+        from .compat import propagate_enum_aliases
+
+        enum_cols = propagate_enum_aliases(
+            sql, enum_cols, non_enum_cols | varchar_cols
+        )
         sql = rewrite_enum_table_columns(sql, enum_cols, varchar_cols)
     if has_columns and ordered_cols:
         sql = rewrite_columns_star(sql, ordered_cols)

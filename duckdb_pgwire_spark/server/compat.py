@@ -1764,6 +1764,65 @@ def _enum_call_head(sql: str, mask: list[bool], pos: int) -> str:
     return ""
 
 
+_AS_ALIAS_RE = re.compile(
+    r"\b((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))\s+AS\s+([A-Za-z_]\w*)",
+    re.IGNORECASE,
+)
+
+
+def propagate_enum_aliases(
+    sql: str, enum_cols: dict[str, str], blocked: set[str]
+) -> dict[str, str]:
+    """Extend ``enum_cols`` with SELECT-list aliases of enum columns so
+    the table-column pass also resolves subquery output names
+    (``SELECT m AS x FROM t ... WHERE x = 'ok'`` — NOTES r10 gap: the
+    pass previously read statement TABLE schemas only). Conservative:
+    an alias qualifies only when it is bound exactly ONCE in the whole
+    statement (a name rebound in another scope could be anything), the
+    bound expression is itself a bare/qualified enum column (or an
+    earlier-resolved alias — chains close at fixpoint), and the name
+    doesn't collide with a real non-enum column. Everything else keeps
+    the loud analyzer error."""
+    mask = _code_mask(sql)
+    bindings: dict[str, list[str | None]] = {}
+    for m in _AS_ALIAS_RE.finditer(sql):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        alias = m.group(3).lower()
+        if alias in _KEYWORDS_NOT_ALIASES:
+            continue
+        # user type names can follow AS too (CAST forms are normally
+        # rewritten away before this pass runs, but stay defensive)
+        if alias in ENUM_TYPES or alias in TYPE_ALIASES:
+            continue
+        bindings.setdefault(alias, []).append(m.group(2).lower())
+    out = dict(enum_cols)
+    changed = True
+    while changed:
+        changed = False
+        for alias, exprs in bindings.items():
+            if alias in out or alias in blocked or len(exprs) != 1:
+                continue
+            tn = out.get(exprs[0])
+            if tn is not None:
+                out[alias] = tn
+                changed = True
+    return out
+
+
+# words that follow "AS" without being column aliases (type names in
+# CASTs are caught by position too, but cheap to exclude outright)
+_KEYWORDS_NOT_ALIASES = frozenset(
+    w.lower()
+    for w in (
+        "SELECT", "STRING", "INT", "INTEGER", "BIGINT", "SMALLINT",
+        "TINYINT", "DOUBLE", "FLOAT", "REAL", "BOOLEAN", "DATE",
+        "TIMESTAMP", "TIME", "DECIMAL", "NUMERIC", "VARCHAR", "TEXT",
+        "BINARY", "ENUM", "STRUCT", "MAP", "ARRAY",
+    )
+)
+
+
 def rewrite_enum_table_columns(
     sql: str, enum_cols: dict[str, str], varchar_cols: set[str]
 ) -> str:

@@ -3774,6 +3774,29 @@ def test_wire_create_type_enum(client, spark):
     # enum-vs-enum stays DECLARATION order (not label order)
     (r,) = client.query("SELECT m FROM tmood WHERE m > 'ok'::mood")
     assert r["rows"] == [["happy"]], r
+    # r10: SELECT-list ALIASES of enum columns resolve through
+    # subqueries/CTEs (alias propagation — the pass previously read
+    # statement-table schemas only, NOTES r10 gap)
+    (r,) = client.query(
+        "SELECT x FROM (SELECT m AS x FROM tmood) sub WHERE x = 'sad'"
+    )
+    assert r["rows"] == [["sad"]], r
+    (r,) = client.query(
+        "SELECT x FROM (SELECT m AS x, v AS n FROM tmood) sub "
+        "WHERE x IN ('sad', 'ok') ORDER BY x"
+    )
+    assert r["rows"] == [["sad"], ["ok"]], r
+    (r,) = client.query(
+        "WITH s AS (SELECT m AS x FROM tmood) "
+        "SELECT x FROM s WHERE x LIKE '%a%' ORDER BY x"
+    )
+    assert r["rows"] == [["sad"], ["happy"]], r
+    # alias-of-alias chains close at fixpoint
+    (r,) = client.query(
+        "SELECT y FROM (SELECT x AS y FROM (SELECT m AS x FROM tmood) a) b "
+        "WHERE y = 'ok'"
+    )
+    assert r["rows"] == [["ok"]], r
     # r10: DESCRIBE renders the enum type like DuckDB, not the
     # emulation struct
     (r,) = client.query("DESCRIBE tmood")
