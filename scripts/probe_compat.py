@@ -564,6 +564,12 @@ BATTERY: dict[str, list[str]] = {
         "SELECT concat(m, '!') AS v FROM probe_emood ORDER BY v",
         "SELECT string_agg(m, ',' ORDER BY m) AS sa FROM probe_emood",
         "SELECT count(*) AS n FROM probe_emood WHERE upper(m) = 'OK'",
+        # late-r10: SELECT-list aliases of enum columns resolve through
+        # subqueries/CTEs (fixpoint propagation in the schema pass)
+        "SELECT x FROM (SELECT m AS x FROM probe_emood) t"
+        " WHERE x = 'sad' ORDER BY x",
+        "WITH s AS (SELECT m AS x FROM probe_emood)"
+        " SELECT lower(x) AS v FROM s WHERE x <> 'ok' ORDER BY v",
         # r10 code review: enum predicates + bare-string assignment in
         # UPDATE/DELETE (the SELECT path's schema-aware semantics)
         "UPDATE probe_emood SET m = 'sad' WHERE m = 'ok'",
