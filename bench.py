@@ -122,6 +122,7 @@ HEADLINE = [
     "mm_audio_frame_energy",
     "mm_audio_resample",
     "sim_knn_label_agreement",
+    "text_strip_dup_spans",
 ]
 
 

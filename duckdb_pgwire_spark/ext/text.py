@@ -1063,6 +1063,88 @@ def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_strip_dup_spans",
+    oracle="""
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w
+               FROM documents),
+    sp AS (
+      SELECT doc_id,
+             unnest(range(0, len(w)//10)) AS i,
+             unnest(list_transform(range(0, len(w)//10),
+                 i -> md5(array_to_string(w[i*10+1:i*10+10], ' ')))) AS h
+      FROM w WHERE len(w) >= 10
+    ),
+    freq AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM sp GROUP BY h),
+    drops AS (
+      SELECT sp.doc_id, list(sp.i) AS drop_idx
+      FROM sp JOIN freq f USING (h) WHERE f.ndocs >= 2
+      GROUP BY sp.doc_id
+    )
+    SELECT w.doc_id,
+           CASE WHEN d.drop_idx IS NULL THEN w.text
+                ELSE COALESCE(array_to_string(list_filter(w.w,
+                    (x, i) -> NOT list_contains(d.drop_idx, (i-1)//10)), ' '),
+                    '')  -- duckdb 1.0: empty-list array_to_string is NULL
+           END AS clean_text,
+           CAST(COALESCE(len(d.drop_idx), 0) AS BIGINT) AS dropped_spans
+    FROM w LEFT JOIN drops d USING (doc_id)
+    """,
+    tags=("ext", "text", "dedup", "transform"),
+)
+def text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span REMOVAL (the RefinedWeb/Gopher line-dedup
+    transform, not just the score): every 10-word span that also occurs
+    in at least one OTHER document is stripped from the text, and the
+    cleaned document is re-emitted. Complements text_dup_span_fraction,
+    which only measures the duplicate share — this is the step a
+    curation pipeline actually applies before training.
+
+    Scale design: the exchange never carries span TEXT. Spans are
+    md5-hashed in the scan projection; the frequency pass shuffles
+    32-byte keys, the duplicated-span set flows back as (doc_id,
+    span_index) pairs, and the rebuild is a doc_id-keyed join against
+    the original scan followed by a JVM-side indexed array filter —
+    words whose span index is in the per-doc drop list are removed,
+    the <10-word tail (span index == n_spans) survives by
+    construction. Cost is O(total spans) with two hash shuffles, the
+    same shape as exact dedup; no all-pairs stage, no driver state.
+    """
+    d = load_table_parallel(spark, sf_dir, "documents")
+    w = d.select("doc_id", "text", F.split("text", " ").alias("w"))
+    n_spans = (F.floor(F.size("w") / 10) - 1).cast("int")
+    span_hashes = F.transform(
+        F.sequence(F.lit(0), n_spans),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i * 10 + 1, 10))),
+    )
+    sp = (
+        w.filter(F.size("w") >= 10)
+        .select("doc_id", F.posexplode(span_hashes).alias("i", "h"))
+    )
+    freq = sp.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
+    drops = (
+        sp.join(freq.filter(F.col("ndocs") >= 2), "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("drop_idx"))
+    )
+    kept = F.filter(
+        F.col("w"),
+        lambda x, i: ~F.array_contains(
+            F.col("drop_idx"), F.floor(i / 10).cast("int")
+        ),
+    )
+    return w.join(drops, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("drop_idx").isNull(), F.col("text"))
+        .otherwise(F.array_join(kept, " "))
+        .alias("clean_text"),
+        F.when(F.col("drop_idx").isNull(), F.lit(0))
+        .otherwise(F.size("drop_idx"))
+        .cast("long")
+        .alias("dropped_spans"),
+    )
+
+
 # DSIR feature-space size: hashed-bigram buckets. 256 keeps the two
 # distribution vectors driver-held metadata (like text_mix_temperature's
 # ~20 source totals) while still separating domains on this corpus; a

@@ -415,3 +415,16 @@ def test_orc_roundtrip_pushdown_and_pruning(spark):
     (cols,) = I.scan_read_columns(df)
     assert cols == {"source", "lang", "n_chars"}, cols
     assert I.partial_agg_before_shuffle(df), "no map-side combine"
+
+
+def test_strip_dup_spans_shuffles_hashes_not_text(spark):
+    """Guards: the removal transform shuffling span TEXT — the
+    frequency pass must exchange on the 32-byte md5 column and the
+    rebuild side must come back as (doc_id, index) pairs joined to
+    the base scan, never a re-exploded text column; no all-pairs."""
+    df = _q("text_strip_dup_spans").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(h" in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan
