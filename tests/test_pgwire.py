@@ -4297,11 +4297,85 @@ def test_wire_random_select_fuzz_vs_duckdb(client, oracle):
         return f"{rng.choice(strs)} IS NOT NULL"
 
     n_checked = 0
-    for trial in range(52):
+    for trial in range(76):
         rng = random.Random(42_000 + trial)
         tbl = rng.choice(list(TBL))
         ints, strs = TBL[tbl]
-        if trial >= 40:
+        if 52 <= trial < 64:
+            # window shape: every OVER ordering is made total by a
+            # unique key (n_name/c_name) so both engines agree rowwise
+            tw = rng.choice(["nation", "customer"])
+            pk, part, ik = (
+                ("n_name", "n_regionkey", "n_nationkey")
+                if tw == "nation"
+                else ("c_name", "c_nationkey", "c_custkey")
+            )
+            wfn = rng.choice([
+                f"row_number() OVER (PARTITION BY {part} ORDER BY {pk})",
+                f"rank() OVER (ORDER BY {part}, {pk})",
+                f"dense_rank() OVER (ORDER BY {part})",
+                f"lag({ik}, 1) OVER (ORDER BY {pk})",
+                f"lead({ik}, {rng.randint(1, 2)}, -1) OVER (ORDER BY {pk})",
+                f"sum({ik}) OVER (PARTITION BY {part} ORDER BY {pk}"
+                " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+                f"count(*) OVER (PARTITION BY {part})",
+                f"first_value({pk}) OVER (PARTITION BY {part} ORDER BY {pk})",
+            ])
+            hi = 900 if tw == "customer" else 12
+            sql = (
+                f"SELECT {pk} AS k, {wfn} AS w FROM {tw}"
+                + (
+                    f" WHERE {ik} {rng.choice(['<', '>='])} {rng.randint(3, hi)}"
+                    if rng.random() < 0.5
+                    else ""
+                )
+                + " ORDER BY k"
+            )
+        elif 64 <= trial < 76:
+            # composition shapes: CTE over an aggregate, scalar/IN/
+            # EXISTS subqueries, UNION ALL, HAVING, DISTINCT
+            shape = trial % 6
+            if shape == 0:
+                sql = (
+                    "WITH t AS (SELECT n_regionkey AS g, COUNT(*) AS c,"
+                    f" MIN(n_name) AS m FROM nation GROUP BY n_regionkey)"
+                    f" SELECT g, c, upper(m) AS m FROM t WHERE c >"
+                    f" {rng.randint(0, 5)} ORDER BY g"
+                )
+            elif shape == 1:
+                sql = (
+                    "SELECT n_name FROM nation WHERE n_regionkey ="
+                    f" (SELECT MIN(r_regionkey) + {rng.randint(0, 4)}"
+                    " FROM region) ORDER BY n_name"
+                )
+            elif shape == 2:
+                sql = (
+                    "SELECT n_name FROM nation WHERE n_regionkey IN"
+                    " (SELECT r_regionkey FROM region WHERE r_name LIKE"
+                    f" '{rng.choice('AEAM')}%') ORDER BY n_name"
+                )
+            elif shape == 3:
+                sql = (
+                    "SELECT upper(n_name) AS v FROM nation WHERE"
+                    f" n_nationkey % {rng.randint(2, 5)} = 0"
+                    " UNION ALL SELECT r_name FROM region ORDER BY v"
+                )
+            elif shape == 4:
+                sql = (
+                    "SELECT c_nationkey, COUNT(*) AS c FROM customer"
+                    f" GROUP BY c_nationkey HAVING COUNT(*) >"
+                    f" {rng.randint(1, 8)} ORDER BY c_nationkey"
+                )
+            else:
+                sql = (
+                    "SELECT DISTINCT"
+                    f" substr(c_mktsegment, 1, {rng.randint(1, 4)}) AS s,"
+                    " c_nationkey % 3 AS b FROM customer WHERE EXISTS"
+                    " (SELECT 1 FROM nation WHERE n_nationkey ="
+                    " c_nationkey AND n_regionkey <"
+                    f" {rng.randint(1, 5)}) ORDER BY s, b"
+                )
+        elif trial >= 40:
             # join shape: nation⋈region (FK), grouped or projected
             on = "n.n_regionkey = r.r_regionkey"
             if rng.random() < 0.5:
@@ -4360,4 +4434,4 @@ def test_wire_random_select_fuzz_vs_duckdb(client, oracle):
         got = [tuple(r) for r in res["rows"]]
         assert got == [tuple(w) for w in want], (trial, sql, got[:5], want[:5])
         n_checked += 1
-    assert n_checked == 52
+    assert n_checked == 76
