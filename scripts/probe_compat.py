@@ -598,6 +598,27 @@ BATTERY: dict[str, list[str]] = {
         "DROP TABLE probe_ut",
         "DROP SEQUENCE probe_useq",
     ],
+    "r10_late_dml": [
+        # late-r10 sweep: PG-style join DML (UPDATE ... FROM,
+        # DELETE ... USING), map_entries, PRAGMA/CHECKPOINT statements
+        "CREATE OR REPLACE TABLE probe_uf_a AS"
+        " SELECT * FROM (VALUES (1, 10), (2, 20), (3, 30)) t(k, v)",
+        "CREATE OR REPLACE TABLE probe_uf_b AS"
+        " SELECT * FROM (VALUES (1, 100), (3, 300)) t(k, nv)",
+        "UPDATE probe_uf_a SET v = b.nv FROM probe_uf_b b"
+        " WHERE probe_uf_a.k = b.k",
+        "SELECT * FROM probe_uf_a ORDER BY k",
+        "DELETE FROM probe_uf_a USING probe_uf_b b WHERE probe_uf_a.k = b.k",
+        "SELECT * FROM probe_uf_a ORDER BY k",
+        # aliased target + expression assignment through the joined row
+        "UPDATE probe_uf_b AS x SET nv = x.nv + probe_uf_a.v FROM probe_uf_a"
+        " WHERE x.k = probe_uf_a.k + 1",
+        "SELECT * FROM probe_uf_b ORDER BY k",
+        "DROP TABLE probe_uf_a",
+        "DROP TABLE probe_uf_b",
+        "SELECT map_entries(map([1, 2], ['a', 'b'])) AS e",
+        "CHECKPOINT",
+    ],
     "r10_varchar_family": [
         # DuckDB: TEXT/STRING/[N]VARCHAR/[BP]CHAR/CHARACTER [VARYING]
         # are ONE length-less type; any (n) is parsed then IGNORED
