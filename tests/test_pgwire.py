@@ -4435,3 +4435,89 @@ def test_wire_random_select_fuzz_vs_duckdb(client, oracle):
         assert got == [tuple(w) for w in want], (trial, sql, got[:5], want[:5])
         n_checked += 1
     assert n_checked == 76
+
+
+def test_wire_random_dml_sequence_fuzz_vs_duckdb(client, spark):
+    """Seeded random DML-SEQUENCE net: each trial creates a scratch
+    table on both engines, then applies the same random run of
+    INSERT VALUES / self-referencing INSERT..SELECT / expression
+    UPDATE / DELETE statements, comparing the FULL table state after
+    every statement. The census probes fixed DML shapes; this sweeps
+    state-dependent compositions (an UPDATE over rows a prior
+    INSERT..SELECT minted, a DELETE emptying what an UPDATE touched).
+    Grammar is engine-exact: integer arithmetic, string concat/case —
+    nothing float, nothing order-dependent."""
+    import random
+
+    import duckdb
+
+    def gen_pred(rng):
+        return rng.choice([
+            f"v % {rng.randint(2, 5)} = 0",
+            f"v {rng.choice(['<', '>', '<=', '>='])} {rng.randint(-20, 40)}",
+            f"k % {rng.randint(2, 4)} = {rng.randint(0, 1)}",
+            f"s LIKE '{rng.choice('abc')}%'",
+            "v > 9999",  # zero-row edge
+        ])
+
+    def gen_stmt(rng, next_k):
+        kind = rng.randint(0, 3)
+        if kind == 0:
+            rows = ", ".join(
+                f"({next_k + i}, {rng.randint(-30, 30)},"
+                f" '{rng.choice('abc')}{rng.randint(0, 9)}')"
+                for i in range(rng.randint(1, 4))
+            )
+            return f"INSERT INTO dmlfz VALUES {rows}", next_k + 4
+        if kind == 1:
+            return (
+                f"INSERT INTO dmlfz SELECT k + {rng.randint(100, 400)},"
+                f" v {rng.choice(['+ 7', '* 2', '- v - 1'])},"
+                f" concat(s, '_i') FROM dmlfz WHERE {gen_pred(rng)}",
+                next_k,
+            )
+        if kind == 2:
+            sets = rng.choice([
+                f"v = v {rng.choice(['+ 3', '* -1', '% 5'])}",
+                f"v = abs(v) + {rng.randint(0, 9)}, s = upper(s)",
+                "s = concat(s, '_u')",
+                f"s = substr(s, 1, {rng.randint(1, 2)})",
+            ])
+            return f"UPDATE dmlfz SET {sets} WHERE {gen_pred(rng)}", next_k
+        return f"DELETE FROM dmlfz WHERE {gen_pred(rng)}", next_k
+
+    for trial in range(5):
+        rng = random.Random(9300 + trial)
+        con = duckdb.connect()
+        _fresh_wire_table(spark, "dmlfz")
+        ddl = "CREATE TABLE dmlfz(k INT, v INT, s VARCHAR)"
+        con.execute(ddl)
+        (r,) = client.query(ddl)
+        assert "error" not in r, (trial, r)
+        seed = ", ".join(
+            f"({i}, {rng.randint(-30, 30)}, '{rng.choice('abc')}{i}')"
+            for i in range(rng.randint(3, 8))
+        )
+        stmts, next_k = [f"INSERT INTO dmlfz VALUES {seed}"], 50
+        for _ in range(rng.randint(5, 8)):
+            s, next_k = gen_stmt(rng, next_k)
+            stmts.append(s)
+        try:
+            for si, s in enumerate(stmts):
+                con.execute(s)
+                (r,) = client.query(s)
+                assert "error" not in r, (trial, si, s, r)
+                want = con.execute(
+                    "SELECT k, v, s FROM dmlfz ORDER BY k, v, s"
+                ).fetchall()
+                (r,) = client.query(
+                    "SELECT k, v, s FROM dmlfz ORDER BY k, v, s"
+                )
+                got = [
+                    (int(a), int(b), c) for a, b, c in r.get("rows", [])
+                ]
+                assert got == want, (trial, si, s, got[:8], want[:8])
+        finally:
+            con.close()
+            client.query("DROP TABLE dmlfz")
+            _fresh_wire_table(spark, "dmlfz")
