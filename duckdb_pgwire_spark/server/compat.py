@@ -1764,6 +1764,140 @@ def _enum_call_head(sql: str, mask: list[bool], pos: int) -> str:
     return ""
 
 
+_QUOTED_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+_ENUM_NARY_FNS = frozenset(
+    "coalesce nullif greatest least ifnull nvl nvl2 if".split()
+)
+
+
+def _enclosing_open_paren(sql: str, mask: list[bool], pos: int) -> int:
+    """Index of the nearest unmatched '(' before pos (-1 when none) —
+    the argument-list scan _enum_call_head performs, exposed so
+    callers can read the sibling arguments too."""
+    depth = 0
+    i = pos - 1
+    while i >= 0:
+        if mask[i]:
+            c = sql[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    return i
+                depth -= 1
+        i -= 1
+    return -1
+
+
+def _enum_mixed_nary(
+    sql: str,
+    mask: list[bool],
+    pos: int,
+    varchar_cols: set[str],
+) -> bool:
+    """True when the enum column at pos is a direct argument of an
+    N-ary value function (COALESCE/NULLIF/GREATEST/...) that also
+    takes a string literal or a known varchar column — DuckDB resolves
+    the mix to VARCHAR, so the enum participates as its label
+    (probed: typeof(coalesce(m,'x')) = VARCHAR; greatest(m,'sad')
+    compares lexically)."""
+    if _enum_call_head(sql, mask, pos) not in _ENUM_NARY_FNS:
+        return False
+    op = _enclosing_open_paren(sql, mask, pos)
+    close = _match_paren(sql, mask, op) if op >= 0 else None
+    if close is None:
+        return False
+    for a in split_top_level(sql[op + 1 : close]):
+        a = a.strip()
+        if _QUOTED_LIT_RE.fullmatch(a):
+            return True
+        if (
+            re.fullmatch(r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*", a)
+            and a.split(".")[-1].lower() in varchar_cols
+        ):
+            return True
+    return False
+
+
+def _case_blocks(sql: str, mask: list[bool]) -> list[tuple[int, int]]:
+    """(start, end) spans of every CASE..END block (code text only)."""
+    stack: list[int] = []
+    out: list[tuple[int, int]] = []
+    for km in re.finditer(r"\b(CASE|END)\b", sql, re.IGNORECASE):
+        if not all(mask[km.start() : km.end()]):
+            continue
+        if km.group(1).upper() == "CASE":
+            stack.append(km.start())
+        elif stack:
+            out.append((stack.pop(), km.end()))
+    return out
+
+
+def _innermost_case(blocks, pos: int) -> tuple[int, int] | None:
+    inner = None
+    for s, e in blocks:
+        if s <= pos < e and (inner is None or e - s < inner[1] - inner[0]):
+            inner = (s, e)
+    return inner
+
+
+def _enum_simple_case_operand(sql, mask, start: int, end: int) -> bool:
+    """True for ``CASE <enum col> WHEN 'lit' ... END`` where EVERY
+    WHEN operand of that CASE is a quoted string literal — DuckDB
+    compares the label (probed: a non-member literal is false, not an
+    error). Anything else keeps the loud analyzer error."""
+    head = re.search(r"\bCASE\s*\Z", sql[:start], re.IGNORECASE)
+    if head is None or not all(mask[head.start() : start]):
+        return False
+    blocks = _case_blocks(sql, mask)
+    blk = _innermost_case(blocks, start)
+    if blk is None or blk[0] != head.start():
+        return False
+    for wm in re.finditer(r"\bWHEN\b", sql[blk[0] : blk[1]], re.IGNORECASE):
+        wpos = blk[0] + wm.start()
+        if not all(mask[wpos : wpos + 4]):
+            continue
+        if _innermost_case(blocks, wpos) != blk:
+            continue  # a nested CASE's WHEN
+        tm = re.compile(r"\bTHEN\b", re.IGNORECASE).search(sql, wpos, blk[1])
+        while tm is not None and (
+            not all(mask[tm.start() : tm.end()])
+            or _innermost_case(blocks, tm.start()) != blk
+        ):
+            tm = re.compile(r"\bTHEN\b", re.IGNORECASE).search(
+                sql, tm.end(), blk[1]
+            )
+        if tm is None:
+            return False
+        if not _QUOTED_LIT_RE.fullmatch(sql[wpos + 4 : tm.start()].strip()):
+            return False
+    return True
+
+
+def _enum_case_branch_mixed(sql, mask, start: int) -> bool:
+    """True when the enum column at start is itself a THEN/ELSE result
+    branch and a SIBLING branch of the same CASE is a string literal —
+    DuckDB resolves the branch mix to VARCHAR (probed:
+    CASE WHEN p THEN m ELSE 'X' END renders labels)."""
+    pre = re.search(r"\b(THEN|ELSE)\s*\Z", sql[:start], re.IGNORECASE)
+    if pre is None or not all(mask[pre.start() : start]):
+        return False
+    blocks = _case_blocks(sql, mask)
+    blk = _innermost_case(blocks, start)
+    if blk is None:
+        return False
+    for bm in re.finditer(
+        r"\b(?:THEN|ELSE)\s*('(?:[^']|'')*')", sql[blk[0] : blk[1]],
+        re.IGNORECASE,
+    ):
+        kpos = blk[0] + bm.start()
+        if all(mask[kpos : kpos + 4]) and _innermost_case(
+            blocks, kpos
+        ) == blk:
+            return True
+    return False
+
+
 _AS_ALIAS_RE = re.compile(
     r"\b((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))\s+AS\s+([A-Za-z_]\w*)",
     re.IGNORECASE,
@@ -1890,6 +2024,15 @@ def rewrite_enum_table_columns(
             # direct argument of a varchar-taking function: DuckDB
             # treats the enum as its label there (lower(m) = 'ok')
             hit = _enum_call_head(sql, mask, m.start()) in _ENUM_TEXT_FNS
+        if not hit:
+            # varchar-mixing contexts DuckDB resolves to the label
+            # (late r10): CASE <m> WHEN 'lit', COALESCE(m, 'lit') and
+            # friends, and THEN m ELSE 'lit' branch mixes
+            hit = (
+                _enum_simple_case_operand(sql, mask, m.start(), m.end())
+                or _enum_mixed_nary(sql, mask, m.start(), varchar_cols)
+                or _enum_case_branch_mixed(sql, mask, m.start())
+            )
         if hit:
             edits.append((m.start(), m.end(), label))
     for s, e, rep in sorted(edits, reverse=True):
@@ -4982,6 +5125,76 @@ def _rewrite_attached_main(sql: str) -> str:
     return re.sub(r"\b(\w+)\.main\.(\w+)", sub, sql)
 
 
+# clause words that terminate an ORDER BY sort-spec list at depth 0
+_OB_STOP_WORDS = frozenset(
+    """limit offset fetch rows range groups window union intersect
+    except for settings""".split()
+)
+
+
+def _rewrite_order_by_nulls(sql: str) -> str:
+    """DuckDB's default null sort order is NULLS LAST in BOTH
+    directions (default_null_order = nulls_last; probed: ASC puts the
+    NULL row last, DESC puts it last too); Spark's ASC default is
+    NULLS FIRST. Append NULLS LAST to every ascending sort key without
+    an explicit NULLS — top-level, subquery, window OVER, and WITHIN
+    GROUP specs alike. DESC keys are left alone (both engines default
+    nulls-last there). Runs late so emulation-generated ORDER BYs
+    (DISTINCT ON / QUALIFY windows) pick DuckDB's row too."""
+    if re.search(r"\bORDER\s+BY\b", sql, re.IGNORECASE) is None:
+        return sql
+    mask = _code_mask(sql)
+    edits: list[int] = []
+    for m in re.finditer(r"\bORDER\s+BY\b", sql, re.IGNORECASE):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        depth, j, end = 0, m.end(), len(sql)
+        commas: list[int] = []
+        while j < len(sql):
+            if mask[j]:
+                c = sql[j]
+                if c in "([":
+                    depth += 1
+                elif c in ")]":
+                    if depth == 0:
+                        end = j
+                        break
+                    depth -= 1
+                elif c == ";" and depth == 0:
+                    end = j
+                    break
+                elif c == "," and depth == 0:
+                    commas.append(j)
+                elif (
+                    depth == 0
+                    and (c.isalpha() or c == "_")
+                    and not (
+                        j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_")
+                    )
+                ):
+                    wm = re.match(r"[A-Za-z_]\w*", sql[j:])
+                    if wm.group(0).lower() in _OB_STOP_WORDS:
+                        end = j
+                        break
+                    j += len(wm.group(0)) - 1
+            j += 1
+        starts = [m.end()] + [c + 1 for c in commas]
+        stops = commas + [end]
+        for s0, s1 in zip(starts, stops):
+            item = sql[s0:s1]
+            st = item.strip()
+            if not st or st.upper() == "ALL":
+                continue
+            if re.search(
+                r"\bNULLS\s+(FIRST|LAST)\s*$", st, re.IGNORECASE
+            ) or re.search(r"\bDESC\s*$", st, re.IGNORECASE):
+                continue
+            edits.append(s0 + len(item.rstrip()))
+    for pos in sorted(edits, reverse=True):
+        sql = sql[:pos] + " NULLS LAST" + sql[pos:]
+    return sql
+
+
 def rewrite(sql: str) -> str:
     """Apply the full dialect pre-pass to one statement."""
     sql = expand_macros(sql)  # first: macro bodies go through every rewrite below
@@ -5024,6 +5237,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_window_exclude(sql)  # frame EXCLUDE / GROUPS refusal
     sql = _rewrite_asof_join(sql)  # before QUALIFY: it wraps FROM in a subquery
     sql = _rewrite_qualify(sql)
+    sql = _rewrite_order_by_nulls(sql)  # after every ORDER-BY-emitting pass
     parts = _split_quoted(sql)
     out: list[str] = []
     for i, (is_lit, seg) in enumerate(parts):

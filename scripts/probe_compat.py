@@ -74,6 +74,15 @@ BATTERY: dict[str, list[str]] = {
         "SELECT DISTINCT ON (r_regionkey % 2) r_regionkey FROM region ORDER BY r_regionkey % 2, r_regionkey",
     ],
     "order_group": [
+        # late-r10: DuckDB's DEFAULT null order is nulls_last in both
+        # directions; Spark's ASC default was NULLS FIRST (the census
+        # had never ordered by a nullable key)
+        "SELECT c FROM (VALUES (1), (NULL), (2)) t(c) ORDER BY c",
+        "SELECT c FROM (VALUES (1), (NULL), (2)) t(c) ORDER BY c DESC",
+        "SELECT nullif(n_regionkey, 2) AS g, count(*) AS c FROM nation"
+        " GROUP BY g ORDER BY g",
+        "SELECT n_name, rank() OVER (ORDER BY nullif(n_regionkey, 2))"
+        " AS rn FROM nation ORDER BY n_name LIMIT 5",
         "SELECT r_regionkey % 2 AS par, count(*) AS c FROM region GROUP BY ALL ORDER BY ALL",
         "SELECT n_regionkey, count(*) AS c FROM nation GROUP BY 1 ORDER BY 1",
         "SELECT n_regionkey FROM nation ORDER BY ALL LIMIT 3",

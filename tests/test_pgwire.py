@@ -145,8 +145,8 @@ def test_rewrite_distinct_on():
     out = rewrite(
         "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC"
     )
-    assert "row_number() OVER (PARTITION BY k ORDER BY  k, v DESC)" in out.replace(
-        "ORDER BY k,", "ORDER BY  k,"
+    assert (
+        "row_number() OVER (PARTITION BY k ORDER BY k NULLS LAST, v DESC)" in out
     )
     assert out.startswith("SELECT k, v FROM (")
 
@@ -165,9 +165,10 @@ def test_rewrite_len_and_list_reverse_sort():
 
 def test_rewrite_asof_join():
     out = rewrite("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts")
-    assert "JOIN LATERAL" in out and "ORDER BY b.ts DESC LIMIT 1" in out
+    assert "JOIN LATERAL" in out and "ORDER BY b.ts DESC LIMIT 1" in out  # DESC: no NULLS append
     out = rewrite("SELECT * FROM a ASOF LEFT JOIN b x ON a.k = x.k AND a.ts < x.ts")
-    assert "LEFT JOIN LATERAL" in out and "ORDER BY x.ts ASC LIMIT 1" in out
+    assert "LEFT JOIN LATERAL" in out
+    assert "ORDER BY x.ts ASC NULLS LAST LIMIT 1" in out
     # build side on the LEFT of the inequality: direction flips
     out = rewrite("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND b.ts <= a.ts")
     assert "ORDER BY b.ts DESC LIMIT 1" in out
@@ -804,8 +805,8 @@ def test_rewrite_qualify_alias():
         "SELECT k, row_number() OVER (ORDER BY k) AS rn FROM t QUALIFY rn <= 3"
     )
     assert out == (
-        "SELECT * FROM (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM t) "
-        "WHERE rn <= 3"
+        "SELECT * FROM (SELECT k, row_number() OVER (ORDER BY k NULLS LAST) "
+        "AS rn FROM t) WHERE rn <= 3"
     )
 
 
@@ -1141,7 +1142,7 @@ def test_rewrite_distinct_on_subquery_order_by():
     out = rewrite(
         "SELECT DISTINCT ON (k) k, v FROM (SELECT k, v FROM t ORDER BY v LIMIT 5) s"
     )
-    assert out.count("ORDER BY v LIMIT 5) s") == 1
+    assert out.count("ORDER BY v NULLS LAST LIMIT 5) s") == 1
     assert "__don_rn = 1" in out
     assert not out.rstrip().endswith("LIMIT 5) s)")  # subquery stays intact
 
@@ -1151,7 +1152,7 @@ def test_rewrite_distinct_on_preserves_output_order():
     # PG guarantees DISTINCT ON output ordering — ORDER BY re-appears on
     # the outer query, LIMIT stays outermost
     assert out.rstrip().endswith("LIMIT 7")
-    assert "__don_rn = 1 ORDER BY k, v DESC" in out
+    assert "__don_rn = 1 ORDER BY k NULLS LAST, v DESC" in out
 
 
 def test_rewrite_list_aggregate_forms():
@@ -4521,3 +4522,101 @@ def test_wire_random_dml_sequence_fuzz_vs_duckdb(client, spark):
             con.close()
             client.query("DROP TABLE dmlfz")
             _fresh_wire_table(spark, "dmlfz")
+
+
+def test_wire_enum_varchar_mixing_contexts(client, spark):
+    """Late-r10 enum contexts, all DuckDB-probed: t.*-expanded subquery
+    columns, simple-CASE operands vs string literals (non-member
+    literal is FALSE, not an error), COALESCE/NULLIF/GREATEST mixing
+    enum with varchar (result is VARCHAR carrying the label), and
+    THEN/ELSE branch mixes. The all-enum simple CASE keeps the native
+    struct compare (declaration-order) — the rewrite must NOT fire."""
+    client.query("DROP TABLE IF EXISTS zmood")
+    (r,) = client.query("CREATE TYPE zmoodt AS ENUM ('sad', 'ok', 'happy')")
+    assert "error" not in r, r
+    (r,) = client.query(
+        "CREATE TABLE zmood AS SELECT m FROM (SELECT 'happy'::zmoodt AS m"
+        " UNION ALL SELECT 'sad'::zmoodt UNION ALL SELECT 'ok'::zmoodt) t")
+    assert "error" not in r, r
+    try:
+        for sql, want in [
+            ("SELECT m FROM (SELECT t.* FROM zmood t) s WHERE m = 'ok'",
+             [["ok"]]),
+            ("SELECT upper(m) AS u FROM (SELECT t.* FROM zmood t) s"
+             " WHERE m <> 'ok' ORDER BY u", [["HAPPY"], ["SAD"]]),
+            ("SELECT CASE m WHEN 'ok' THEN 1 ELSE 0 END AS c FROM zmood"
+             " ORDER BY c", [["0"], ["0"], ["1"]]),
+            # non-member literal: false branch, NOT an error (probed)
+            ("SELECT CASE m WHEN 'zz' THEN 1 ELSE 0 END AS c FROM zmood"
+             " ORDER BY c", [["0"], ["0"], ["0"]]),
+            ("SELECT CASE m WHEN 'ok' THEN 1 WHEN 'sad' THEN 2 ELSE 0 END"
+             " AS c FROM zmood ORDER BY c", [["0"], ["1"], ["2"]]),
+            ("SELECT coalesce(m, 'none') AS c FROM zmood ORDER BY c",
+             [["happy"], ["ok"], ["sad"]]),
+            ("SELECT nullif(m, 'ok') AS c FROM zmood ORDER BY c",
+             [["happy"], ["sad"], [None]]),
+            ("SELECT greatest(m, 'sad') AS c FROM zmood ORDER BY c",
+             [["sad"], ["sad"], ["sad"]]),
+            ("SELECT least(m, 'pp') AS c FROM zmood ORDER BY c",
+             [["happy"], ["ok"], ["pp"]]),
+            ("SELECT CASE WHEN m = 'ok' THEN m ELSE 'X' END AS c"
+             " FROM zmood ORDER BY c", [["X"], ["X"], ["ok"]]),
+            # all-enum simple CASE: native declaration-order compare
+            ("SELECT CASE m WHEN 'ok'::zmoodt THEN 1 ELSE 0 END AS c"
+             " FROM zmood ORDER BY c", [["0"], ["0"], ["1"]]),
+            # nested CASE: inner literal branches must not leak into
+            # the outer all-enum operand scope
+            ("SELECT CASE WHEN m = 'ok' THEN upper(m)"
+             " ELSE CASE m WHEN 'sad' THEN 'S' ELSE 'H' END END AS c"
+             " FROM zmood ORDER BY c", [["H"], ["OK"], ["S"]]),
+        ]:
+            (r,) = client.query(sql)
+            assert "error" not in r, (sql, r)
+            assert r["rows"] == want, (sql, r["rows"], want)
+    finally:
+        client.query("DROP TABLE zmood")
+        client.query("DROP TYPE zmoodt")
+
+def test_wire_default_null_sort_order(client, oracle):
+    """DuckDB's default_null_order is nulls_last in BOTH directions;
+    Spark's ASC default is NULLS FIRST (late-r10 find: the census
+    never ordered by a nullable key). The rewrite appends NULLS LAST
+    to ascending keys — top-level, subquery, window OVER, WITHIN
+    GROUP — and must leave explicit NULLS FIRST/LAST and DESC alone.
+    Every expectation is value-compared against DuckDB live."""
+    for sql in [
+        "SELECT c FROM (VALUES (1), (NULL), (2)) t(c) ORDER BY c",
+        "SELECT c FROM (VALUES (1), (NULL), (2)) t(c) ORDER BY c DESC",
+        "SELECT c FROM (VALUES (1), (NULL), (2)) t(c) ORDER BY c ASC",
+        "SELECT c FROM (VALUES (1), (NULL), (2)) t(c)"
+        " ORDER BY c NULLS FIRST",
+        "SELECT c FROM (VALUES (1), (NULL), (2)) t(c)"
+        " ORDER BY c DESC NULLS FIRST",
+        "SELECT nullif(v, 1) AS c FROM (VALUES (1), (3)) t(v) ORDER BY c",
+        # two keys, mixed directions, first key nullable
+        "SELECT a, b FROM (VALUES (NULL, 1), (1, 2), (NULL, 3), (2, 4))"
+        " t(a, b) ORDER BY a, b DESC",
+        # window ORDER BY over a nullable key: rank assignment moves
+        "SELECT b, row_number() OVER (ORDER BY a) AS rn FROM"
+        " (VALUES (NULL, 1), (5, 2), (NULL, 3), (2, 4)) t(a, b)"
+        " ORDER BY b",
+        "SELECT b, rank() OVER (ORDER BY a DESC) AS rn FROM"
+        " (VALUES (NULL, 1), (5, 2), (2, 4)) t(a, b) ORDER BY b",
+        # ORDER BY inside an aggregate (WITHIN GROUP path)
+        "SELECT string_agg(b, ',' ORDER BY a) AS s FROM"
+        " (VALUES (NULL, 'x'), (2, 'y'), (1, 'z')) t(a, b)",
+        # LIMIT after the sort spec still parses
+        "SELECT c FROM (VALUES (1), (NULL), (2)) t(c) ORDER BY c LIMIT 2",
+        # frame after a window sort spec still parses
+        "SELECT b, sum(b) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND"
+        " CURRENT ROW) AS s FROM (VALUES (NULL, 1), (2, 4), (1, 2))"
+        " t(a, b) ORDER BY b",
+    ]:
+        want = [
+            tuple(None if v is None else str(v) for v in row)
+            for row in oracle.execute(sql).fetchall()
+        ]
+        (r,) = client.query(sql)
+        assert "error" not in r, (sql, r)
+        got = [tuple(x) for x in r["rows"]]
+        assert got == want, (sql, got, want)
