@@ -1764,6 +1764,50 @@ def _enum_call_head(sql: str, mask: list[bool], pos: int) -> str:
     return ""
 
 
+_CONCAT_CALL = re.compile(r"(?<![\w.])concat\s*\(", re.IGNORECASE)
+
+
+def _rewrite_concat_null_skip(sql: str) -> str:
+    """DuckDB ``concat()`` skips NULL arguments and stringifies every
+    argument (probed: concat('a', NULL, 'b') = 'ab', concat([1], [2])
+    = '[1][2]'); Spark's concat is NULL-propagating and type-preserving.
+    Rewrite user concat calls to ``concat_ws('', CAST(a AS STRING), …)``
+    — concat_ws skips NULLs and the casts reproduce DuckDB's implicit
+    VARCHAR coercion. Runs EARLY in the chain, before any pass emits a
+    Spark-native concat of its own (the ~ operator's RLIKE anchor, the
+    split templates) — those rely on NULL propagation and must keep it."""
+    guard = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _CONCAT_CALL.finditer(sql)
+                if all(mask[c.start() : c.end()])
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql
+        args = [a.strip() for a in split_top_level(sql[m.end() : i - 1])]
+        if not args or not all(args):
+            return sql
+        casted = ", ".join(f"CAST({a} AS STRING)" for a in args)
+        sql = sql[: m.start()] + f"concat_ws('', {casted})" + sql[i:]
+    return sql
+
+
 _QUOTED_LIT_RE = re.compile(r"'(?:[^']|'')*'")
 _ENUM_NARY_FNS = frozenset(
     "coalesce nullif greatest least ifnull nvl nvl2 if".split()
@@ -3199,6 +3243,34 @@ _NARY_REWRITES: dict = {
         "(CASE WHEN ({0}) < 0 THEN -1 ELSE 1 END) AS DOUBLE)",
     ),
     "setseed": (1, "CAST(NULL AS DOUBLE)"),  # no statement-scoped RNG seed
+    # ---- late-r10 default-semantics closures (all DuckDB-probed).
+    # substr start 0 consumes length (PG clamp: substr('abcdef',0,3) =
+    # 'ab'); Spark treats 0 as 1. Negative starts count from the end on
+    # BOTH engines — only the 0 case diverges. Emitted FROM/FOR form
+    # dodges the nary rescan (single-arg split → arity mismatch).
+    "substr": (
+        3,
+        "substring({0} FROM CASE WHEN ({1}) = 0 THEN 1 ELSE ({1}) END"
+        " FOR CASE WHEN ({1}) = 0 THEN ({2}) - 1 ELSE ({2}) END)",
+    ),
+    "substring": (
+        3,
+        "substring({0} FROM CASE WHEN ({1}) = 0 THEN 1 ELSE ({1}) END"
+        " FOR CASE WHEN ({1}) = 0 THEN ({2}) - 1 ELSE ({2}) END)",
+    ),
+    # left/right with NEGATIVE n drop |n| chars from the other end in
+    # DuckDB (left('abc',-1)='ab'); Spark returns ''. substring form
+    # covers both signs and dodges the rescan.
+    "left": (
+        2,
+        "substring({0} FROM 1 FOR CASE WHEN ({1}) < 0"
+        " THEN GREATEST(length({0}) + ({1}), 0) ELSE ({1}) END)",
+    ),
+    "right": (
+        2,
+        "substring({0} FROM CASE WHEN ({1}) < 0 THEN 1 - ({1})"
+        " ELSE GREATEST(length({0}) - ({1}) + 1, 1) END)",
+    ),
     # bar() default width 80 (the emitted 4-arg call re-matches with
     # the wrong arity and is skipped — no rescan loop)
     "bar": (3, "bar({0}, {1}, {2}, 80)"),
@@ -5125,6 +5197,71 @@ def _rewrite_attached_main(sql: str) -> str:
     return re.sub(r"\b(\w+)\.main\.(\w+)", sub, sql)
 
 
+# a denominator that is one of these bare words is not an operand at
+# all (LIMIT 10% OFFSET 3 — the % is DuckDB's percent-limit, and the
+# right-operand scanner would otherwise swallow the clause keyword)
+_DIV_STOP_WORDS = frozenset(
+    """offset order limit fetch from where group having window union
+    intersect except qualify for settings as on using join inner left
+    right full cross when then else end and or not between in is
+    asc desc nulls""".split()
+)
+
+_NONZERO_NUM_RE = re.compile(r"^[+-]?\d+(?:\.\d+)?$")
+_DIV_OP_RE = re.compile(r"/(?!/)|%|\bDIV\b", re.IGNORECASE)
+
+
+def _rewrite_div_zero(sql: str) -> str:
+    """DuckDB returns NULL for division/modulo by zero (probed: 1/0,
+    1.0/0, 1%0, 1//0, fdiv/fmod(x,0) are all NULL); Spark's ANSI mode
+    raises DIVIDE_BY_ZERO. Guard every /, % and emitted DIV by wrapping
+    the DENOMINATOR in nullif(d, 0) — value-preserving for non-zero
+    denominators, NULL like DuckDB at zero. Non-zero numeric-literal
+    denominators are left untouched (no churn, nothing to guard), and
+    an already-nullif'd denominator is not wrapped again (fixpoint)."""
+    guard = 0
+    while guard < 400:
+        guard += 1
+        segs = _abs_segments(sql)
+        mask = list(_code_mask(sql))
+        # backtick-quoted identifiers (file-path relations emitted by
+        # the read_files pass) are NOT literals in _code_mask's eyes,
+        # but their '/' characters are path separators, not division
+        inb = False
+        for bi, ch in enumerate(sql):
+            if ch == "`":
+                inb = not inb
+                mask[bi] = False
+            elif inb:
+                mask[bi] = False
+        new_sql = None
+        for m in _DIV_OP_RE.finditer(sql):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            if m.group(0) == "/" and m.start() > 0 and sql[m.start() - 1] == "/":
+                continue  # second char of a // the operators pass skipped
+            re_ = _scan_right_operand(sql, segs, m.end())
+            if re_ == m.end():
+                continue
+            right = sql[m.end() : re_].strip()
+            if _NONZERO_NUM_RE.fullmatch(right) and float(right) != 0:
+                continue
+            if right.lower() in _DIV_STOP_WORDS:
+                continue
+            if re.match(r"nullif\s*\(", right, re.IGNORECASE) and re.search(
+                r",\s*0\s*\)\s*$", right
+            ):
+                continue  # already guarded (ours or the user's own)
+            new_sql = (
+                sql[: m.end()] + " nullif(" + right + ", 0)" + sql[re_:]
+            )
+            break
+        if new_sql is None:
+            return sql
+        sql = new_sql
+    return sql
+
+
 # clause words that terminate an ORDER BY sort-spec list at depth 0
 _OB_STOP_WORDS = frozenset(
     """limit offset fetch rows range groups window union intersect
@@ -5202,6 +5339,8 @@ def rewrite(sql: str) -> str:
     sql = _pg_escape_literals(sql)  # PG literal semantics before anything
     # else EMITS Spark-escaped literals of its own
     sql = _strip_numeric_underscores(sql)
+    sql = _rewrite_concat_null_skip(sql)  # user concat only — BEFORE any
+    # pass emits Spark-native concat (RLIKE anchors, split templates)
     sql = _rewrite_date_literal_diff(sql)  # before '-' reaches Spark
     sql = _rewrite_interval_epoch(sql)  # before the epoch() nary claims it
     sql = _rewrite_operators(sql)  # before nary: xor() legitimately emits ^
@@ -5237,6 +5376,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_window_exclude(sql)  # frame EXCLUDE / GROUPS refusal
     sql = _rewrite_asof_join(sql)  # before QUALIFY: it wraps FROM in a subquery
     sql = _rewrite_qualify(sql)
+    sql = _rewrite_div_zero(sql)  # after every '/'-emitting pass
     sql = _rewrite_order_by_nulls(sql)  # after every ORDER-BY-emitting pass
     parts = _split_quoted(sql)
     out: list[str] = []

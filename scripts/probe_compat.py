@@ -607,6 +607,17 @@ BATTERY: dict[str, list[str]] = {
         "DROP TABLE probe_ut",
         "DROP SEQUENCE probe_useq",
     ],
+    "r10_edge_defaults": [
+        # late-r10 default-semantics sweep: shapes where raw Spark
+        # diverges from DuckDB — the wire layer must close each
+        "SELECT concat('a', NULL) AS c1, concat('a', NULL, 'b') AS c2",
+        "SELECT concat(1, NULL, 'b') AS c3",
+        "SELECT 1/0 AS d1, 1.0/0 AS d2, 1%0 AS m1, 1//0 AS f1",
+        "SELECT 10 / n AS d FROM (VALUES (0), (2)) t(n) ORDER BY d",
+        "SELECT substr('abcdef', 0, 3) AS s0",
+        "SELECT left('abc', -1) AS l, right('abc', -1) AS r",
+        "SELECT strpos('abc', '') AS sp",
+    ],
     "r10_late_dml": [
         # late-r10 sweep: PG-style join DML (UPDATE ... FROM,
         # DELETE ... USING), map_entries, PRAGMA/CHECKPOINT statements
