@@ -117,7 +117,6 @@ _FN_RENAMES = {
     # separator is literal text; Spark's split takes a regex)
     "list_contains": "array_contains",
     "list_has": "array_contains",
-    "list_distinct": "array_distinct",
     "list_sort": "array_sort",
     "list_transform": "transform",
     "list_filter": "filter",
@@ -3165,6 +3164,26 @@ _GRADE_UP = (
 # loud downstream). Templates must not re-produce a matching call of
 # the same name+arity (the TRIM keyword forms below parse as ONE
 # argument on rescan, so the scanner skips them).
+def _tpl_list_sort(args):
+    """list_sort(x, 'ASC'|'DESC'[, 'NULLS FIRST'|'NULLS LAST']) — the
+    DuckDB-probed matrix. Non-literal direction args skip (loud)."""
+    if len(args) not in (2, 3):
+        return None
+    d = args[1].strip().strip("'").upper()
+    no = args[2].strip().strip("'").upper() if len(args) == 3 else "NULLS LAST"
+    if d not in ("ASC", "DESC") or no not in ("NULLS FIRST", "NULLS LAST"):
+        return None
+    if d == "ASC":
+        return (
+            f"sort_array({args[0]}, true)"
+            if no == "NULLS FIRST"
+            else f"array_sort({args[0]})"
+        )
+    if no == "NULLS LAST":
+        return f"sort_array({args[0]}, false)"
+    return f"reverse(array_sort({args[0]}))"
+
+
 _NARY_REWRITES: dict = {
     # DuckDB [lr]trim(string, chars) vs Spark [lr]trim(chars, string):
     # SWAPPED argument order — passthrough returns silently wrong
@@ -3243,6 +3262,10 @@ _NARY_REWRITES: dict = {
         "(CASE WHEN ({0}) < 0 THEN -1 ELSE 1 END) AS DOUBLE)",
     ),
     "setseed": (1, "CAST(NULL AS DOUBLE)"),  # no statement-scoped RNG seed
+    # list_sort with literal direction / null-order args (probed:
+    # default null order is NULLS LAST both directions; 1-arg form is
+    # handled by the array_sort rename). Emitted heads are not keys.
+    "list_sort": (None, _tpl_list_sort),
     # ---- late-r10 default-semantics closures (all DuckDB-probed).
     # substr start 0 consumes length (PG clamp: substr('abcdef',0,3) =
     # 'ab'); Spark treats 0 as 1. Negative starts count from the end on
@@ -3489,6 +3512,12 @@ _UNARY_REWRITES = {
     # list_reverse_sort(x) → sort_array(x, false): descending sort, the
     # only extra being Spark's explicit direction argument.
     "list_reverse_sort": "sort_array({e}, false)",
+    # duck list_distinct/array_distinct REMOVE NULLs as well as dups
+    # (probed; order is unspecified on both engines). array_union
+    # dedups, array_compact drops NULLs; slice({e},1,0) is an empty
+    # array of the right type. Emitted heads are not unary keys.
+    "list_distinct": "array_compact(array_union({e}, slice({e}, 1, 0)))",
+    "array_distinct": "array_compact(array_union({e}, slice({e}, 1, 0)))",
     # DuckDB list aggregates as unary spellings (same DOUBLE-widening
     # forms as list_aggregate(x, 'fn') above, so both spellings agree)
     "list_sum": "aggregate({e}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))",

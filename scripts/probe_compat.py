@@ -617,6 +617,15 @@ BATTERY: dict[str, list[str]] = {
         "SELECT substr('abcdef', 0, 3) AS s0",
         "SELECT left('abc', -1) AS l, right('abc', -1) AS r",
         "SELECT strpos('abc', '') AS sp",
+        "SELECT sign(-3.2) AS s1, sign(0) AS s2, sign(2.5) AS s3",
+        "SELECT list_sort([3, NULL, 1]) AS v",
+        "SELECT list_sort([3, NULL, 1], 'DESC') AS v",
+        "SELECT list_sort([3, 1], 'DESC', 'NULLS FIRST') AS v",
+        "SELECT list_reverse_sort([1, NULL, 3]) AS v",
+        "SELECT list_sort(list_distinct([1, 1, NULL, 2, NULL])) AS v",
+        "SELECT list_unique([1, 1, NULL, 2]) AS v",
+        "SELECT map([1, 2], ['a', 'b'])[1] AS hit,"
+        " map([1, 2], ['a', 'b'])[3] AS miss",
     ],
     "r10_late_dml": [
         # late-r10 sweep: PG-style join DML (UPDATE ... FROM,

@@ -156,9 +156,13 @@ def test_rewrite_len_and_list_reverse_sort():
     assert rewrite("SELECT list_reverse_sort([3,1,2]) AS s") == (
         "SELECT sort_array(array(3,1,2), false) AS s"  # bare [..] → array(..)
     )
-    # nested call inside the argument
+    # nested call inside the argument; list_distinct drops NULLs like
+    # DuckDB (late-r10 default-semantics closure)
     out = rewrite("SELECT list_reverse_sort(list_distinct(xs)) AS s FROM t")
-    assert out == "SELECT sort_array(array_distinct(xs), false) AS s FROM t"
+    assert out == (
+        "SELECT sort_array(array_compact(array_union(xs, slice(xs, 1, 0))),"
+        " false) AS s FROM t"
+    )
     # never inside string literals
     assert rewrite("SELECT 'len(x)'") == "SELECT 'len(x)'"
 
