@@ -149,8 +149,6 @@ _FN_RENAMES = {
     "json_extract_string": "get_json_object",
     # DuckDB arg_min/arg_max(val, key) ≡ Spark min_by/max_by (same
     # argument order: value expression first, ordering key second)
-    "arg_min": "min_by",
-    "arg_max": "max_by",
     "argmin": "min_by",
     "argmax": "max_by",
     # datetime spellings (DuckDB → Spark twins, same arg order)
@@ -3164,6 +3162,17 @@ _GRADE_UP = (
 # loud downstream). Templates must not re-produce a matching call of
 # the same name+arity (the TRIM keyword forms below parse as ONE
 # argument on rescan, so the scanner skips them).
+def _tpl_string_agg(args):
+    if len(args) not in (1, 2):
+        return None
+    v = args[0].strip()
+    sep = args[1] if len(args) == 2 else "','"
+    dk = ""
+    if re.match(r"DISTINCT\s", v, re.IGNORECASE):
+        dk, v = "DISTINCT ", v[8:].strip()
+    return f"listagg({dk}CAST({v} AS STRING), {sep})"
+
+
 def _tpl_list_sort(args):
     """list_sort(x, 'ASC'|'DESC'[, 'NULLS FIRST'|'NULLS LAST']) — the
     DuckDB-probed matrix. Non-literal direction args skip (loud)."""
@@ -3266,6 +3275,23 @@ _NARY_REWRITES: dict = {
     # default null order is NULLS LAST both directions; 1-arg form is
     # handled by the array_sort rename). Emitted heads are not keys.
     "list_sort": (None, _tpl_list_sort),
+    # arg_min/arg_max skip rows whose VALUE argument is NULL in DuckDB
+    # (probed: arg_max(s, x) with s NULL at the max x returns the next
+    # row); a NULL key makes min_by/max_by skip the row the same way.
+    "arg_min": (
+        2,
+        "min_by({0}, CASE WHEN ({0}) IS NULL THEN NULL ELSE ({1}) END)",
+    ),
+    "arg_max": (
+        2,
+        "max_by({0}, CASE WHEN ({0}) IS NULL THEN NULL ELSE ({1}) END)",
+    ),
+    # string_agg/group_concat: DuckDB's default separator is ','
+    # (probed) and arguments coerce to VARCHAR implicitly; listagg
+    # spelling dodges the rescan. DISTINCT prefixes hoist out of the
+    # cast.
+    "string_agg": (None, _tpl_string_agg),
+    "group_concat": (None, _tpl_string_agg),
     # ---- late-r10 default-semantics closures (all DuckDB-probed).
     # substr start 0 consumes length (PG clamp: substr('abcdef',0,3) =
     # 'ab'); Spark treats 0 as 1. Negative starts count from the end on
@@ -4799,7 +4825,7 @@ _AGG_OB_CALL = re.compile(
     re.IGNORECASE,
 )
 
-_ORDER_INSENSITIVE = {"min", "max", "sum", "avg", "count", "arbitrary", "any_value"}
+_ORDER_INSENSITIVE = {"min", "max", "sum", "avg", "count"}
 
 _ARRAY_AGG_SORTED = (
     "transform(array_sort(collect_list(struct({k} AS __k, {v} AS __v)), "
@@ -4872,7 +4898,10 @@ def _rewrite_agg_order_by(sql: str) -> str:
             repl = (
                 f"listagg({args[0]}, {sep}) WITHIN GROUP (ORDER BY {spec})"
             )
-        elif name in ("array_agg", "collect_list", "list", "first", "last"):
+        elif name in (
+            "array_agg", "collect_list", "list", "first", "last",
+            "any_value", "arbitrary",
+        ):
             sm = re.match(
                 r"^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$",
                 spec,
@@ -4893,11 +4922,16 @@ def _rewrite_agg_order_by(sql: str) -> str:
             sorted_arr = _ARRAY_AGG_SORTED.format(
                 k=key, v=args[0], lt=lt, gt=gt, nl=nl, nr=nr
             )
-            if name in ("first", "last"):
+            if name in ("first", "last", "arbitrary", "any_value"):
                 # element of the DuckDB-sorted array — min_by/max_by
-                # would SKIP null sort keys, which DuckDB includes
-                idx = "1" if name == "first" else "-1"
-                repl = f"element_at({sorted_arr}, {idx})"
+                # would SKIP null sort keys, which DuckDB includes.
+                # arbitrary = first row; any_value = first NON-NULL
+                # value in that order (both probed)
+                idx = "-1" if name == "last" else "1"
+                arr = sorted_arr
+                if name == "any_value":
+                    arr = f"filter({sorted_arr}, __anv -> __anv IS NOT NULL)"
+                repl = f"element_at({arr}, {idx})"
             else:
                 repl = sorted_arr
         if repl is None:

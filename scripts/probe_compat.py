@@ -627,6 +627,39 @@ BATTERY: dict[str, list[str]] = {
         "SELECT map([1, 2], ['a', 'b'])[1] AS hit,"
         " map([1, 2], ['a', 'b'])[3] AS miss",
     ],
+    "r10_agg_defaults": [
+        # late-r10: aggregate default-semantics (separator defaults,
+        # duck-only aggregates, FILTER/ORDER BY modifier combos)
+        "CREATE OR REPLACE TABLE probe_agt AS SELECT * FROM (VALUES"
+        " (1, 2.0, 'a'), (2, 3.0, 'b'), (3, NULL, 'a'), (4, 7.0, NULL))"
+        " v(k, x, s)",
+        "SELECT string_agg(s) AS sa FROM probe_agt",
+        "SELECT string_agg(DISTINCT s, '|' ORDER BY s) AS sa FROM probe_agt",
+        # no ORDER BY → row order is unspecified on BOTH engines (duck
+        # happens to preserve insertion order; a distributed engine
+        # cannot) — probes pin the ordered forms
+        "SELECT group_concat(s ORDER BY k) AS g1,"
+        " group_concat(k, '-' ORDER BY k) AS g2 FROM probe_agt",
+        "SELECT string_agg(k ORDER BY k) AS ik FROM probe_agt",
+        "SELECT arbitrary(s ORDER BY k DESC) AS ar,"
+        " any_value(s ORDER BY k DESC) AS av FROM probe_agt",
+        "SELECT product(x) AS p FROM probe_agt",
+        "SELECT fsum(x) AS fs, favg(x) AS fa FROM probe_agt",
+        "SELECT entropy(s) AS e FROM probe_agt",
+        "SELECT bit_and(k) AS ba, bit_or(k) AS bo, bit_xor(k) AS bx"
+        " FROM probe_agt",
+        "SELECT quantile_cont(x, [0.25, 0.5, 0.75]) AS q FROM probe_agt",
+        "SELECT count(DISTINCT (k, s)) AS c FROM probe_agt",
+        "SELECT kurtosis(x) AS kt, skewness(x) AS sk FROM probe_agt",
+        "SELECT arg_min(s, x) AS lo, arg_max(s, x) AS hi FROM probe_agt",
+        "SELECT sum(k) FILTER (s IS NOT NULL) AS f FROM probe_agt",
+        "SELECT list(s) FILTER (s IS NOT NULL) AS l FROM probe_agt",
+        "SELECT any_value(k ORDER BY k DESC) AS a FROM probe_agt",
+        "SELECT regr_slope(x, k) AS rs, regr_r2(x, k) AS r2"
+        " FROM probe_agt",
+        "SELECT var_samp(x) AS vs, var_pop(x) AS vp FROM probe_agt",
+        "DROP TABLE probe_agt",
+    ],
     "r10_late_dml": [
         # late-r10 sweep: PG-style join DML (UPDATE ... FROM,
         # DELETE ... USING), map_entries, PRAGMA/CHECKPOINT statements
