@@ -2410,6 +2410,10 @@ def _dynamic_pivot_sql(session: SparkSession, stmt: str) -> str | None:
 
 _HAS_SUM_RE = re.compile(r"(?<![\w.])SUM\s*\(", re.IGNORECASE)
 _HAS_LEN_RE = re.compile(r"(?<![\w.])length\s*\(", re.IGNORECASE)
+_HAS_DATE_IVL_RE = re.compile(
+    r"[+-]\s*(?:INTERVAL\b|make_interval\s*\(|make_dt_interval\s*\()",
+    re.IGNORECASE,
+)
 _HAS_COLUMNS_RE = re.compile(r"(?<![\w.])COLUMNS\s*\(", re.IGNORECASE)
 _HAS_STAR_REPLACE_RE = re.compile(r"(?<![\w.])\*\s+REPLACE\s*\(", re.IGNORECASE)
 
@@ -2423,7 +2427,11 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
       len/length; Spark's length rejects arrays);
     - COLUMNS(*) / COLUMNS('regex') star expressions → explicit
       schema-resolved column lists."""
-    from .compat import ENUM_TYPES, rewrite_enum_table_columns
+    from .compat import (
+        ENUM_TYPES,
+        rewrite_date_interval_cols,
+        rewrite_enum_table_columns,
+    )
 
     has_sum = _HAS_SUM_RE.search(sql) is not None
     has_len = _HAS_LEN_RE.search(sql) is not None
@@ -2432,13 +2440,20 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     # the enum-column pass needs the same schema resolution; zero cost
     # until a CREATE TYPE ... AS ENUM has happened in this process
     has_enum = bool(ENUM_TYPES)
-    if not (has_sum or has_len or has_columns or has_replace or has_enum):
+    # date COLUMN ± INTERVAL promotes to TIMESTAMP in DuckDB (the
+    # literal form is handled inside compat.rewrite)
+    has_date_ivl = _HAS_DATE_IVL_RE.search(sql) is not None
+    if not (
+        has_sum or has_len or has_columns or has_replace or has_enum
+        or has_date_ivl
+    ):
         return sql
     from pyspark.sql import types as T
 
     int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     int_cols: set[str] = set()
     array_cols: set[str] = set()
+    date_cols: set[str] = set()
     ordered_cols: list[str] = []
     enum_cols: dict[str, str] = {}
     non_enum_cols: set[str] = set()
@@ -2453,6 +2468,9 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         )
         array_cols.update(
             f.name.lower() for f in fields if isinstance(f.dataType, T.ArrayType)
+        )
+        date_cols.update(
+            f.name.lower() for f in fields if isinstance(f.dataType, T.DateType)
         )
         for f in fields:
             if f.name not in ordered_cols:
@@ -2479,6 +2497,8 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             sql, enum_cols, non_enum_cols | varchar_cols
         )
         sql = rewrite_enum_table_columns(sql, enum_cols, varchar_cols)
+    if has_date_ivl and date_cols:
+        sql = rewrite_date_interval_cols(sql, date_cols)
     if has_columns and ordered_cols:
         sql = rewrite_columns_star(sql, ordered_cols)
     if has_replace and ordered_cols:

@@ -196,7 +196,6 @@ _FN_RENAMES = {
     "get_current_timestamp": "current_timestamp",
     "transaction_timestamp": "current_timestamp",
     "row": "struct",
-    "epoch_ms": "unix_millis",  # TIMESTAMP form; BIGINT→TS overload stays loud
     "from_hex": "unhex",
     "approx_quantile": "approx_percentile",
     "quantile_cont": "percentile",  # same linear interpolation, list or scalar
@@ -758,6 +757,59 @@ def _glob_to_regex(pat: str) -> str:
 _DATE_LIT_DIFF = re.compile(
     r"(DATE\s*'[^']+')\s*-\s*(DATE\s*'[^']+')", re.IGNORECASE
 )
+
+
+_DATE_PLUS_IVL_RE = re.compile(
+    r"\b(DATE\s*'[^']*')(?=\s*[+-]\s*INTERVAL\b)", re.IGNORECASE
+)
+
+
+def _rewrite_date_plus_interval(sql: str) -> str:
+    """DuckDB promotes DATE ± INTERVAL to TIMESTAMP for EVERY interval
+    unit (probed: + INTERVAL 1 DAY renders '2024-03-06 00:00:00');
+    Spark keeps DATE for year-month intervals. Cast the literal side —
+    date COLUMNS are handled by the schema-aware pass, which knows
+    column types."""
+    if _DATE_PLUS_IVL_RE.search(sql) is None:
+        return sql
+    mask = _code_mask(sql)
+    out = []
+    pos = 0
+    for m in _DATE_PLUS_IVL_RE.finditer(sql):
+        if not mask[m.start()]:
+            continue
+        out.append(sql[pos : m.start()])
+        out.append(f"CAST({m.group(1)} AS TIMESTAMP)")
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def rewrite_date_interval_cols(sql: str, date_cols: set) -> str:
+    """Schema-aware half of the DATE ± INTERVAL promotion: a known
+    date COLUMN followed by ± INTERVAL (or the already-rewritten
+    make_interval/make_dt_interval forms — this runs post-rewrite)
+    casts to TIMESTAMP like DuckDB."""
+    if not date_cols:
+        return sql
+    pat = re.compile(
+        r"(?<![\w.'])((?:[A-Za-z_]\w*\.)?("
+        + "|".join(re.escape(c) for c in sorted(date_cols))
+        + r"))(?=\s*[+-]\s*(?:INTERVAL\b|make_interval\s*\(|"
+        r"make_dt_interval\s*\())",
+        re.IGNORECASE,
+    )
+    mask = _code_mask(sql)
+    out = []
+    pos = 0
+    for m in pat.finditer(sql):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        out.append(sql[pos : m.start()])
+        out.append(f"CAST({m.group(1)} AS TIMESTAMP)")
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _rewrite_date_literal_diff(sql: str) -> str:
@@ -2911,6 +2963,10 @@ def _tpl_range_list(args: list[str], *, inclusive: bool) -> str | None:
     if re.search(r"\bINTERVAL\b", s, re.IGNORECASE) or re.search(
         r"\bTIMESTAMP\b|\bDATE\b", a, re.IGNORECASE
     ):
+        if re.search(r"\bDATE\b", f"{a} {b}", re.IGNORECASE):
+            # duck date-bounded series yield TIMESTAMPs (probed)
+            a = f"CAST({a} AS TIMESTAMP)"
+            b = f"CAST({b} AS TIMESTAMP)"
         end = b if inclusive else f"({b}) - INTERVAL 1 MICROSECOND"
         return f"sequence({a}, {end}, {s})"
     cmp = "<=" if not inclusive else "<"
@@ -3292,6 +3348,19 @@ _NARY_REWRITES: dict = {
     # cast.
     "string_agg": (None, _tpl_string_agg),
     "group_concat": (None, _tpl_string_agg),
+    # epoch_ms is OVERLOADED in DuckDB: ts→ms AND ms→ts. An integer
+    # literal argument is unambiguously the ms→TIMESTAMP direction;
+    # everything else keeps the ts→ms reading.
+    "epoch_ms": (
+        None,
+        lambda a: None
+        if len(a) != 1
+        else (
+            f"timestamp_millis({a[0]})"
+            if re.fullmatch(r"[+-]?\d+", a[0].strip())
+            else f"unix_millis({a[0]})"
+        ),
+    ),
     # ---- late-r10 default-semantics closures (all DuckDB-probed).
     # substr start 0 consumes length (PG clamp: substr('abcdef',0,3) =
     # 'ab'); Spark treats 0 as 1. Negative starts count from the end on
@@ -5405,6 +5474,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_concat_null_skip(sql)  # user concat only — BEFORE any
     # pass emits Spark-native concat (RLIKE anchors, split templates)
     sql = _rewrite_date_literal_diff(sql)  # before '-' reaches Spark
+    sql = _rewrite_date_plus_interval(sql)  # before INTERVAL rewrites
     sql = _rewrite_interval_epoch(sql)  # before the epoch() nary claims it
     sql = _rewrite_operators(sql)  # before nary: xor() legitimately emits ^
     sql = _rewrite_enum_fns(sql)  # while enum type names are visible

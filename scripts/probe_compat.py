@@ -660,6 +660,49 @@ BATTERY: dict[str, list[str]] = {
         "SELECT var_samp(x) AS vs, var_pop(x) AS vp FROM probe_agt",
         "DROP TABLE probe_agt",
     ],
+    "r10_dt_win_defaults": [
+        # late-r10 sweep: datetime part numbering, boundary arithmetic,
+        # and window-function defaults over ties/nulls
+        "SELECT date_part('dow', DATE '2024-03-17') AS dow,"
+        " date_part('isodow', DATE '2024-03-17') AS isodow,"
+        " date_part('week', DATE '2024-01-01') AS wk,"
+        " date_part('doy', DATE '2024-03-01') AS doy",
+        "SELECT date_part('quarter', DATE '2024-08-15') AS q,"
+        " date_part('epoch', TIMESTAMP '2024-01-01 00:00:01') AS ep",
+        "SELECT last_day(DATE '2024-02-05') AS ld",
+        "SELECT DATE '2024-01-31' + INTERVAL 1 MONTH AS clamp",
+        "SELECT TIMESTAMP '2024-03-02 03:04:05' -"
+        " TIMESTAMP '2024-03-01 01:02:03' AS tdiff",
+        "SELECT to_timestamp(1700000000) AS ts",
+        "SELECT epoch_ms(1700000000500) AS ts2",
+        "SELECT make_date(2024, 2, 29) AS md,"
+        " make_timestamp(2024, 2, 29, 1, 2, 3.5) AS mt",
+        "SELECT time_bucket(INTERVAL 15 MINUTE,"
+        " TIMESTAMP '2024-03-01 01:23:45') AS tb",
+        "SELECT generate_series AS g FROM generate_series(DATE"
+        " '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY) ORDER BY g",
+        "SELECT k, ntile(3) OVER (ORDER BY k) AS nt FROM"
+        " (VALUES (1), (2), (3), (4), (5)) t(k) ORDER BY k",
+        "SELECT k, percent_rank() OVER (ORDER BY v) AS pr,"
+        " cume_dist() OVER (ORDER BY v) AS cd FROM"
+        " (VALUES (1, 10), (2, 10), (3, 20)) t(k, v) ORDER BY k",
+        # default frame: RANGE UNBOUNDED..CURRENT ROW groups TIES
+        "SELECT k, sum(v) OVER (ORDER BY g) AS s FROM"
+        " (VALUES (1, 1, 5), (2, 1, 6), (3, 2, 7)) t(k, g, v)"
+        " ORDER BY k",
+        "SELECT k, first_value(v) OVER (ORDER BY k) AS fv,"
+        " last_value(v) OVER (ORDER BY k) AS lv FROM"
+        " (VALUES (1, NULL), (2, 7), (3, 8)) t(k, v) ORDER BY k",
+        "SELECT k, nth_value(v, 2) OVER (ORDER BY k) AS nv FROM"
+        " (VALUES (1, 5), (2, 6), (3, 7)) t(k, v) ORDER BY k",
+        # date COLUMN ± INTERVAL promotes to TIMESTAMP (schema pass)
+        "SELECT o_orderdate + INTERVAL 1 DAY AS d1 FROM orders"
+        " ORDER BY o_orderkey LIMIT 2",
+        "SELECT o_orderdate - INTERVAL 2 MONTH AS d2 FROM orders"
+        " ORDER BY o_orderkey LIMIT 2",
+        "SELECT range(DATE '2024-01-01', DATE '2024-01-03',"
+        " INTERVAL 1 DAY) AS r",
+    ],
     "r10_late_dml": [
         # late-r10 sweep: PG-style join DML (UPDATE ... FROM,
         # DELETE ... USING), map_entries, PRAGMA/CHECKPOINT statements
