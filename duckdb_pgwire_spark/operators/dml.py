@@ -214,6 +214,31 @@ def _enum_fix_exprs(
     return assignments, pred
 
 
+def _resolve_default_exprs(
+    session: SparkSession, table: str, assignments: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """``SET col = DEFAULT`` in the rewrite-on-write UPDATE paths:
+    Spark's native default-column support covers CREATE/INSERT, but
+    UPDATE is re-expressed as a table rewrite here, so the keyword must
+    resolve to the declared default (StructField metadata
+    CURRENT_DEFAULT) — or NULL when the column has none, like DuckDB."""
+    if not any(e.strip().upper() == "DEFAULT" for _, e in assignments):
+        return assignments
+    defaults = {
+        f.name.lower(): f.metadata.get("CURRENT_DEFAULT")
+        for f in session.table(table).schema.fields
+    }
+    return [
+        (
+            c,
+            (defaults.get(c.split(".")[-1].lower()) or "NULL")
+            if e.strip().upper() == "DEFAULT"
+            else e,
+        )
+        for c, e in assignments
+    ]
+
+
 def update_table(
     session: SparkSession,
     table: str,
@@ -222,6 +247,7 @@ def update_table(
 ) -> int:
     """Rewrite-on-write UPDATE; returns the matched-row count."""
     cols = session.table(table).columns
+    assignments = _resolve_default_exprs(session, table, assignments)
     assignments, pred = _enum_fix_exprs(session, table, assignments, pred)
     set_map = {c.lower(): e for c, e in assignments}
     if pred is None:
@@ -782,6 +808,7 @@ def update_from(
     import uuid
 
     cols = session.table(table).columns
+    assignments = _resolve_default_exprs(session, table, assignments)
     leaf = table.split(".")[-1]
     src_rel, src_alias = from_rel
     src_sql = src_rel if " " in src_rel else f"SELECT * FROM {src_rel}"

@@ -812,6 +812,42 @@ def rewrite_date_interval_cols(sql: str, date_cols: set) -> str:
     return "".join(out)
 
 
+# DuckDB collation names → Spark 4 collation names (all probed:
+# NOCASE is case-insensitive binary-accent, NOACCENT accent-insensitive
+# case-SENSITIVE, the dotted combination is both). Unknown names pass
+# through to Spark's loud COLLATION_INVALID_NAME. Caveat (probed):
+# DuckDB IGNORES collations on LIKE patterns while Spark honors them —
+# LIKE + COLLATE stays a documented divergence.
+_COLLATE_MAP = {
+    "nocase.noaccent": "UNICODE_CI_AI",
+    "noaccent.nocase": "UNICODE_CI_AI",
+    "nocase": "UTF8_LCASE",
+    "noaccent": "UNICODE_AI",
+}
+_COLLATE_RE = re.compile(
+    r"\bCOLLATE\s+([A-Za-z_]+(?:\.[A-Za-z_]+)?)", re.IGNORECASE
+)
+
+
+def _rewrite_collate_names(sql: str) -> str:
+    if re.search(r"\bCOLLATE\b", sql, re.IGNORECASE) is None:
+        return sql
+    mask = _code_mask(sql)
+    out = []
+    pos = 0
+    for m in _COLLATE_RE.finditer(sql):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        mapped = _COLLATE_MAP.get(m.group(1).lower())
+        if mapped is None:
+            continue
+        out.append(sql[pos : m.start()])
+        out.append(f"COLLATE {mapped}")
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_date_literal_diff(sql: str) -> str:
     """``DATE 'a' - DATE 'b'`` → day count (DuckDB: BIGINT days; Spark:
     an INTERVAL). Literal form only — column-typed differences need the
@@ -5488,6 +5524,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_array_type_suffix(sql)  # INT[] types BEFORE brackets
     sql = _rewrite_duck_types(sql)  # STRUCT(...)/MAP(...)/unsigned casts
     sql = _rewrite_varchar_family(sql)  # TEXT/CHAR(n)/... → STRING in type pos
+    sql = _rewrite_collate_names(sql)  # NOCASE/NOACCENT → Spark collations
     sql = _rewrite_brackets(sql)  # after ARRAY[..]: bare [..] / l[i] / slices
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_struct_pack(sql)

@@ -703,6 +703,22 @@ BATTERY: dict[str, list[str]] = {
         "SELECT range(DATE '2024-01-01', DATE '2024-01-03',"
         " INTERVAL 1 DAY) AS r",
     ],
+    "r10_ddl_defaults": [
+        # late-r10: column DEFAULT values and COLLATE NOCASE
+        "CREATE OR REPLACE TABLE probe_dflt(k INT, v INT DEFAULT 7,"
+        " s VARCHAR DEFAULT 'x')",
+        "INSERT INTO probe_dflt(k) VALUES (1)",
+        "INSERT INTO probe_dflt VALUES (2, 8, 'y')",
+        "INSERT INTO probe_dflt(k, v) VALUES (3, DEFAULT)",
+        "SELECT * FROM probe_dflt ORDER BY k",
+        "UPDATE probe_dflt SET v = DEFAULT WHERE k = 2",
+        "SELECT * FROM probe_dflt ORDER BY k",
+        "DROP TABLE probe_dflt",
+        "SELECT 'A' = 'a' COLLATE NOCASE AS c1,"
+        " 'B' < 'a' COLLATE NOCASE AS c2",
+        "SELECT n_name FROM nation WHERE n_name = 'nation_3' COLLATE"
+        " NOCASE ORDER BY n_name",
+    ],
     "r10_late_dml": [
         # late-r10 sweep: PG-style join DML (UPDATE ... FROM,
         # DELETE ... USING), map_entries, PRAGMA/CHECKPOINT statements
