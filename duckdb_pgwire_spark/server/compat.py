@@ -764,6 +764,50 @@ _DATE_PLUS_IVL_RE = re.compile(
 )
 
 
+_BLOB_CAST_RE = re.compile(
+    r"'((?:[^']|'')*)'\s*::\s*(?:BLOB|BYTEA|VARBINARY|BINARY)\b"
+    r"|\bCAST\s*\(\s*'((?:[^']|'')*)'\s+AS\s+"
+    r"(?:BLOB|BYTEA|VARBINARY|BINARY)\s*\)",
+    re.IGNORECASE,
+)
+_HEXPAIR = frozenset("0123456789abcdefABCDEF")
+
+
+def _rewrite_blob_literals(sql: str) -> str:
+    r"""DuckDB blob literals spell raw bytes with \xHH escapes
+    ('\x41B'::BLOB is the two bytes 0x41 0x42, probed); Spark's
+    CAST(str AS BINARY) takes the characters literally. Decode the
+    escape form to unhex('...') — runs before literal processing so
+    the backslashes are still DuckDB-raw. Literals without \x keep
+    the plain utf-8 cast (already byte-identical)."""
+    if "\\x" not in sql and "\\X" not in sql:
+        return sql
+
+    def conv(m: re.Match) -> str:
+        body = m.group(1) if m.group(1) is not None else m.group(2)
+        if "\\x" not in body and "\\X" not in body:
+            return m.group(0)
+        raw = body.replace("''", "'")
+        out = bytearray()
+        i = 0
+        while i < len(raw):
+            if (
+                raw[i] == "\\"
+                and i + 3 < len(raw)
+                and raw[i + 1] in "xX"
+                and raw[i + 2] in _HEXPAIR
+                and raw[i + 3] in _HEXPAIR
+            ):
+                out.append(int(raw[i + 2 : i + 4], 16))
+                i += 4
+            else:
+                out.extend(raw[i].encode("utf-8"))
+                i += 1
+        return f"unhex('{out.hex().upper()}')"
+
+    return _BLOB_CAST_RE.sub(conv, sql)
+
+
 def _rewrite_date_plus_interval(sql: str) -> str:
     """DuckDB promotes DATE ± INTERVAL to TIMESTAMP for EVERY interval
     unit (probed: + INTERVAL 1 DAY renders '2024-03-06 00:00:00');
@@ -5504,6 +5548,8 @@ def rewrite(sql: str) -> str:
     """Apply the full dialect pre-pass to one statement."""
     sql = expand_macros(sql)  # first: macro bodies go through every rewrite below
     sql = _rewrite_attached_main(sql)  # db.main.t → db.t for attached dbs
+    sql = _rewrite_blob_literals(sql)  # \xHH blob escapes BEFORE literal
+    # processing rewrites the backslashes
     sql = _pg_escape_literals(sql)  # PG literal semantics before anything
     # else EMITS Spark-escaped literals of its own
     sql = _strip_numeric_underscores(sql)

@@ -719,6 +719,31 @@ BATTERY: dict[str, list[str]] = {
         "SELECT n_name FROM nation WHERE n_name = 'nation_3' COLLATE"
         " NOCASE ORDER BY n_name",
     ],
+    "r10_json_struct_defaults": [
+        # late-r10 sweep: JSON path/merge corners, struct compare,
+        # blob round-trips
+        "SELECT json_array_length('[1,2,3]') AS n",
+        "SELECT json_merge_patch('{\"a\":1}', '{\"b\":2}') AS m",
+        "SELECT json_extract('{\"a\":[1,2]}', '$.a[1]') AS e",
+        "SELECT json_extract_string('{\"a\":\"x\"}', '$.a') AS es",
+        "SELECT '{\"a\": {\"b\": 7}}'::JSON -> 'a' -> 'b' AS j",
+        "SELECT '{\"a\": [10, 20]}'::JSON -> 'a' ->> 1 AS j2",
+        "SELECT json_keys('{\"b\":1,\"a\":2}') AS jk",
+        "SELECT json_valid('{\"a\":}') AS jv1, json_valid('{}') AS jv2",
+        "SELECT json_type('[1]') AS jt, json_type('\"x\"') AS jt2",
+        "SELECT to_json({'a': 1, 'b': [1, 2]}) AS tj",
+        "SELECT json_quote('a\"b') AS jq",
+        "SELECT {'a': 1, 'b': 'x'} = {'a': 1, 'b': 'x'} AS seq",
+        "SELECT {'a': 2} > {'a': 1} AS sgt",
+        "SELECT [1, 2] < [1, 3] AS alt, [1] < [1, 0] AS alt2",
+        "SELECT ('ab'::BLOB)::VARCHAR AS bv",
+        "SELECT octet_length('abc'::BLOB) AS ol",
+        "SELECT '\\x41B'::BLOB AS bl",
+        "SELECT row(1, 'x') AS r",
+        "SELECT struct_extract({'a': 7}, 'a') AS se",
+        "SELECT map_extract(map([1], ['v']), 1) AS me",
+        "SELECT map_from_entries([(1, 'a'), (2, 'b')]) AS mfe",
+    ],
     "r10_late_dml": [
         # late-r10 sweep: PG-style join DML (UPDATE ... FROM,
         # DELETE ... USING), map_entries, PRAGMA/CHECKPOINT statements
