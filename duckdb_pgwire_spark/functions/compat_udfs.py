@@ -166,6 +166,62 @@ def _nfc_normalize(s: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.StringType())
+def _duck_double_text(v: pd.Series) -> pd.Series:
+    """DuckDB's DOUBLE→VARCHAR rendering = Python's shortest-round-trip
+    repr ('1e+20', '1e-06', '1.0', '123456789.123', 'inf', 'nan' —
+    probed r10). The pgwire text encoder uses the same rule."""
+
+    # NOTE: a DoubleType pandas UDF receives SQL NULL as NaN — the
+    # call site guards NULL with a CASE, so NaN here is a true NaN
+    def f(x):
+        x = float(x)
+        return "nan" if x != x else repr(x)
+
+    return v.map(f, na_action=None)
+
+
+@F.pandas_udf(T.StringType())
+def _duck_chr(cp: pd.Series) -> pd.Series:
+    """Full-Unicode chr() — DuckDB chr(128512) = '😀'; Spark's char()
+    wraps at 256 (r10 sweep)."""
+    return cp.map(lambda x: chr(int(x)) if pd.notna(x) else None)
+
+
+def _fmt_size(n: int | None, base: int, units: tuple[str, ...]) -> str | None:
+    """DuckDB format_bytes/formatReadableDecimalSize: '<int> bytes'
+    below one unit, else one TRUNCATED decimal place (probed:
+    format_bytes(1000000) = '976.5 KiB', not the rounded 976.6)."""
+    if n is None:
+        return None
+    sign, a = ("-", -n) if n < 0 else ("", n)
+    if a < base:
+        return f"{n} bytes"
+    p = base
+    for u in units:
+        if a < p * base or u == units[-1]:
+            v = a * 10 // p
+            return f"{sign}{v // 10}.{v % 10} {u}"
+        p *= base
+    return None  # unreachable
+
+
+@F.pandas_udf(T.StringType())
+def _format_bytes(n: pd.Series) -> pd.Series:
+    units = ("KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
+    return n.map(
+        lambda x: _fmt_size(int(x), 1024, units) if pd.notna(x) else None
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _format_decimal_size(n: pd.Series) -> pd.Series:
+    units = ("kB", "MB", "GB", "TB", "PB", "EB")
+    return n.map(
+        lambda x: _fmt_size(int(x), 1000, units) if pd.notna(x) else None
+    )
+
+
+@F.pandas_udf(T.StringType())
 def _strip_accents(s: pd.Series) -> pd.Series:
     def f(x):
         if x is None:
@@ -331,6 +387,116 @@ def _age_text(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------- JSON
+
+
+def _duck_json_path_steps(path) -> list | None:
+    """Parse a DuckDB json path argument into access steps. Supports
+    the forms the compat layer routes here (scripts/sweep_defaults r10):
+    integer index, bare single key (dots and all — ONE key in DuckDB),
+    JSON pointer /a/0, and JSONPath $.a."b c"[n] with negative and
+    #-relative indexes. None = unsupported shape."""
+    if path is None:
+        return None
+    if isinstance(path, (int, float)):
+        return [int(path)]
+    p = str(path)
+    if p.startswith("$"):
+        steps: list = []
+        i = 1
+        while i < len(p):
+            c = p[i]
+            if c == ".":
+                i += 1
+                if i < len(p) and p[i] == '"':
+                    j = p.find('"', i + 1)
+                    if j < 0:
+                        return None
+                    steps.append(p[i + 1 : j])
+                    i = j + 1
+                else:
+                    j = i
+                    while j < len(p) and (p[j].isalnum() or p[j] == "_"):
+                        j += 1
+                    if j == i:
+                        return None
+                    steps.append(p[i:j])
+                    i = j
+            elif c == "[":
+                j = p.find("]", i)
+                if j < 0:
+                    return None
+                tok = p[i + 1 : j].strip()
+                if tok.startswith("#-"):
+                    tok = "-" + tok[2:]
+                elif tok == "#":
+                    tok = "-1"
+                try:
+                    steps.append(int(tok))
+                except ValueError:
+                    return None
+                i = j + 1
+            else:
+                return None
+        return steps
+    if p.startswith("/"):
+        return [
+            int(s) if s.lstrip("-").isdigit() else s for s in p.split("/")[1:]
+        ]
+    return [p]  # bare key: the WHOLE text is one key
+
+
+def _duck_json_render(v, text: bool) -> str | None:
+    """DuckDB rendering of an extracted JSON value: objects/arrays as
+    compact JSON, strings quoted (json mode) or raw (text mode),
+    numbers via Python repr (matches DuckDB's shortest-round-trip
+    doubles: 1.50 → '1.5'), JSON null → SQL NULL."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v if text else json.dumps(v, ensure_ascii=False)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+def _duck_json_extract_impl(doc, path, text: bool):
+    if doc is None or path is None:
+        return None
+    steps = _duck_json_path_steps(path)
+    if steps is None:
+        return None
+    try:
+        v = json.loads(doc)
+    except (ValueError, TypeError):
+        return None
+    for s in steps:
+        if isinstance(s, int):
+            if not isinstance(v, list) or not -len(v) <= s < len(v):
+                return None
+            v = v[s]
+        else:
+            if not isinstance(v, dict) or s not in v:
+                return None
+            v = v[s]
+    return _duck_json_render(v, text)
+
+
+@F.pandas_udf(T.StringType())
+def _duck_json_extract(doc: pd.Series, path: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_duck_json_extract_impl(d, p, False) for d, p in zip(doc, path)]
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _duck_json_extract_text(doc: pd.Series, path: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_duck_json_extract_impl(d, p, True) for d, p in zip(doc, path)]
+    )
 
 
 @F.pandas_udf(T.BooleanType())
@@ -801,6 +967,10 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("damerau_levenshtein", _damerau_levenshtein)
     spark.udf.register("nfc_normalize", _nfc_normalize)
     spark.udf.register("strip_accents", _strip_accents)
+    spark.udf.register("duck_chr", _duck_chr)
+    spark.udf.register("duck_double_text", _duck_double_text)
+    spark.udf.register("duck_format_bytes", _format_bytes)
+    spark.udf.register("duck_format_decimal_size", _format_decimal_size)
     spark.udf.register("__regexp_replace_one", _regexp_replace_one)
     spark.udf.register("__regexp_replace_g", _regexp_replace_g)
     spark.udf.register("bar", _bar)
@@ -813,6 +983,8 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("least_common_multiple", _lcm)
     spark.udf.register("age", _age_text)
     spark.udf.register("json_valid", _json_valid)
+    spark.udf.register("duck_json_extract", _duck_json_extract)
+    spark.udf.register("duck_json_extract_text", _duck_json_extract_text)
     spark.udf.register("json_keys", _json_keys)
     spark.udf.register("json_merge_patch", _json_merge_patch)
     spark.udf.register("json_type", _json_type)

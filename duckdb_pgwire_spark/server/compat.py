@@ -34,6 +34,7 @@ through untouched.
 from __future__ import annotations
 
 import re
+from decimal import Decimal, ROUND_HALF_UP
 
 
 _DOLLAR_TAG = re.compile(r"\$([A-Za-z_]\w*)?\$")
@@ -190,6 +191,8 @@ _FN_RENAMES = {
     "regexp_split_to_array": "split",
     "list_value": "array",
     "list_pack": "array",
+    "array_value": "array",
+    "list_indexof": "array_position",
     "apply": "transform",
     "list_apply": "transform",
     "today": "current_date",
@@ -259,10 +262,22 @@ def _rewrite_code(seg: str) -> str:
         r"(\)\s*)FILTER\s*\(\s*(?!WHERE\b)", r"\1FILTER (WHERE ", seg,
         flags=re.IGNORECASE,
     )
-    # expr::type → CAST(expr AS type) — simple identifier/number/paren-free exprs
+    # expr::type → CAST(expr AS type) — simple identifier/number/paren-free
+    # exprs. Guards (sweep r10): a match whose "operand" is itself the type
+    # of a preceding :: (x::DOUBLE::INTEGER) is left alone — Spark parses
+    # chained :: natively, and mangling the middle word into CAST(DOUBLE AS
+    # INTEGER) broke every chained cast; an operand that is the mantissa of
+    # an exponent literal (1e-7::DOUBLE) is left whole; a type followed by
+    # '<' (ARRAY<INT> from the T[] suffix pass) keeps its generic args.
+    def _colon_cast_sub(m: re.Match) -> str:
+        if m.group(1):
+            return m.group(0)
+        return f"CAST({m.group(2)} AS {m.group(3)})"
+
     seg = re.sub(
-        r"(\w+(?:\.\w+)*)\s*::\s*(\w+(?:\(\d+(?:,\s*\d+)?\))?)",
-        r"CAST(\1 AS \2)",
+        r"(::\s*)?(?<![eE][-+])(\w+(?:\.\w+)*)\s*::\s*"
+        r"(\w+(?:\(\d+(?:,\s*\d+)?\))?)(?!\w)(?!\s*<)",
+        _colon_cast_sub,
         seg,
     )
     # bare varchar/bpchar (no length) in DDL → STRING
@@ -302,6 +317,15 @@ def _rewrite_code(seg: str) -> str:
     )
     seg = re.sub(
         r"\b__date_trunc__\s*\(", "date_trunc(", seg, flags=re.IGNORECASE
+    )
+    seg = re.sub(r"\b__flatten__\s*\(", "flatten(", seg, flags=re.IGNORECASE)
+    seg = re.sub(r"\b__map__\s*\(", "map(", seg, flags=re.IGNORECASE)
+    seg = re.sub(
+        r"\b__json_array_length__\s*\(", "json_array_length(", seg,
+        flags=re.IGNORECASE,
+    )
+    seg = re.sub(
+        r"\b__split_part__\s*\(", "split_part(", seg, flags=re.IGNORECASE
     )
     # txid_current(): monotone-enough constant (no MVCC underneath)
     seg = re.sub(
@@ -371,21 +395,31 @@ def _rewrite_code(seg: str) -> str:
 
 # DuckDB list_aggregate(list, 'name') → Spark equivalent. sum/avg fold in
 # DOUBLE (DuckDB widens integer sums to HUGEINT — value-equal for doubles
-# and for any integer sum below 2^53; documented shim delta).
+# and for any integer sum below 2^53; documented shim delta). Like the
+# engine aggregates, NULL elements are SKIPPED and an empty/all-NULL
+# list sums to NULL (r10 sweep: list_sum([1,NULL,2])=3, list_sum([])
+# IS NULL — the old unfiltered fold returned NULL and 0 respectively).
+_LSUM_FORM = (
+    "(CASE WHEN size(filter({e}, __x -> __x IS NOT NULL)) = 0"
+    " THEN CAST(NULL AS DOUBLE)"
+    " ELSE aggregate(filter({e}, __x -> __x IS NOT NULL),"
+    " CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE)) END)"
+)
+_LAVG_FORM = (
+    "(CASE WHEN size(filter({e}, __x -> __x IS NOT NULL)) = 0"
+    " THEN CAST(NULL AS DOUBLE)"
+    " ELSE aggregate(filter({e}, __x -> __x IS NOT NULL),"
+    " CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))"
+    " / size(filter({e}, __x -> __x IS NOT NULL)) END)"
+)
 _LIST_AGG_FORMS = {
-    "sum": "aggregate({e}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))",
-    "avg": (
-        "(aggregate({e}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))"
-        " / size({e}))"
-    ),
-    "mean": (
-        "(aggregate({e}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))"
-        " / size({e}))"
-    ),
+    "sum": _LSUM_FORM,
+    "avg": _LAVG_FORM,
+    "mean": _LAVG_FORM,
     "min": "array_min({e})",
     "max": "array_max({e})",
     "count": "size(filter({e}, __x -> __x IS NOT NULL))",
-    "string_agg": "array_join(transform({e}, __x -> CAST(__x AS STRING)), ',')",
+    "string_agg": "array_join(transform({e}, __x -> CAST(__x AS STRING)), {sep})",
 }
 
 _LIST_AGG_CALL = re.compile(
@@ -426,13 +460,15 @@ def _rewrite_list_aggregate(sql: str) -> str:
             i += 1
         if depth != 0:
             return sql  # unbalanced: leave for Spark to report
-        fn = args[1].strip().strip("'").lower() if len(args) == 2 else None
+        fn = args[1].strip().strip("'").lower() if len(args) >= 2 else None
         form = _LIST_AGG_FORMS.get(fn) if fn else None
-        if form is None:
+        # only string_agg takes a 3rd argument (its separator)
+        if form is None or (len(args) == 3 and fn != "string_agg") or len(args) > 3:
             pos = m.end()  # unknown/malformed: skip, keep scanning
             continue
         e = args[0].strip()
-        sql = sql[: m.start()] + form.format(e=e) + sql[i + 1 :]
+        sep = args[2].strip() if len(args) == 3 else "','"
+        sql = sql[: m.start()] + form.format(e=e, sep=sep) + sql[i + 1 :]
         pos = m.start()  # re-scan from here: e may itself contain calls
 
 
@@ -1024,6 +1060,91 @@ def _rewrite_operators(sql: str) -> str:
         if new_sql is None:
             return sql
         sql = new_sql
+    return sql
+
+
+_LIKE_LIT_RE = re.compile(
+    r"(\bI?LIKE\b\s*)('(?:[^']|'')*')(\s*ESCAPE\b)?", re.IGNORECASE
+)
+
+
+def _rewrite_like_backslash(sql: str) -> str:
+    """DuckDB LIKE has NO default escape character — a backslash in the
+    pattern is a literal char ('a_c' LIKE 'a\\_c' is FALSE, probed);
+    Spark treats backslash as the escape. For literal patterns without
+    an explicit ESCAPE clause, double the backslashes so they stay
+    literal (r10 sweep). Runs after the operator pass so ~~/~~* forms
+    are covered too."""
+
+    def sub(m: re.Match) -> str:
+        if m.group(3):  # explicit ESCAPE: user controls semantics
+            return m.group(0)
+        lit = m.group(2)
+        if "\\" not in lit:
+            return m.group(0)
+        return m.group(1) + lit.replace("\\", "\\\\") + (m.group(3) or "")
+
+    # operate on full text: the pattern literal is its own segment, so
+    # rebuild via regex over the whole statement with a code-mask check
+    mask = _code_mask(sql)
+    pieces, last = [], 0
+    for m in _LIKE_LIT_RE.finditer(sql):
+        if not mask[m.start()]:
+            continue
+        pieces.append(sql[last : m.start()])
+        pieces.append(sub(m))
+        last = m.end()
+    pieces.append(sql[last:])
+    return "".join(pieces)
+
+
+_CONCAT_NULL_OP = re.compile(r"\|\|")
+
+
+def _rewrite_concat_op_null(sql: str) -> str:
+    """DuckDB ``x || NULL`` / ``NULL || x`` is NULL (of x's type); Spark
+    analysis rejects ``concat(array, untyped NULL)`` outright (string
+    operands happen to work). Replace the occurrence with a typed NULL
+    via ``if(false, x, NULL)`` — correct for strings, lists and blobs
+    alike (r10 sweep: ``[1,2] || NULL``)."""
+    guard = 0
+    while guard < 100:
+        guard += 1
+        segs = _abs_segments(sql)
+        mask = _code_mask(sql)
+        done = True
+        for m in _CONCAT_NULL_OP.finditer(sql):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            right_null = re.match(
+                r"\s*NULL\b", sql[m.end() :], re.IGNORECASE
+            )
+            ls = _scan_left_operand(sql, segs, m.start())
+            left = sql[ls : m.start()].strip()
+            if right_null:
+                if ls == m.start() or not left:
+                    continue
+                rend = m.end() + right_null.end()
+                sql = sql[:ls] + f"if(false, {left}, NULL)" + sql[rend:]
+                done = False
+                break
+            # NULL is a keyword to the operand scanner — match it as raw
+            # text before the operator instead
+            left_null = re.search(r"\bNULL\s*$", sql[: m.start()], re.IGNORECASE)
+            if left_null:
+                re_ = _scan_right_operand(sql, segs, m.end())
+                if re_ == m.end():
+                    continue
+                right = sql[m.end() : re_].strip()
+                sql = (
+                    sql[: left_null.start()]
+                    + f"if(false, {right}, NULL)"
+                    + sql[re_:]
+                )
+                done = False
+                break
+        if done:
+            return sql
     return sql
 
 
@@ -2463,23 +2584,377 @@ def _rewrite_array_type_suffix(sql: str) -> str:
     return _ARRAY_TYPE_SUFFIX.sub(sub, sql)
 
 
+def _duck_str_slice(s: str, lo: int, hi: int) -> str:
+    """DuckDB VARCHAR slice semantics: 1-based inclusive bounds, negatives
+    count from the end, out-of-range clamps, inverted range → ''."""
+    n = len(s)
+    lo = n + lo + 1 if lo < 0 else max(lo, 1)
+    hi = n + hi + 1 if hi < 0 else min(hi, n)
+    return s[lo - 1 : hi] if hi >= lo else ""
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_INT_LIT_RE = re.compile(r"-?\d+")
+
+
+def _subscript_repl(base: str, str_lit: str | None, idx: str) -> str:
+    """``base[i]`` → Spark, DuckDB semantics: 1-based, negative from end,
+    out-of-range → NULL (list) / '' (varchar), index 0 → NULL / ''."""
+    ilit = _INT_LIT_RE.fullmatch(idx)
+    if str_lit is not None:
+        if ilit:
+            return _sql_str(_duck_str_slice(str_lit, int(idx), int(idx)))
+        expr = (
+            f"substring({base}, CASE WHEN ({idx}) < 0 THEN"
+            f" length({base}) + ({idx}) + 1 ELSE ({idx}) END, 1)"
+        )
+        return f"CASE WHEN ({idx}) = 0 THEN '' ELSE {expr} END"
+    bl = base.lstrip("(").lstrip().lower()
+    if bl.startswith("map(") or bl.startswith("map_from_arrays("):
+        # map-constructor base: keep the element_at spelling so the
+        # nary _tpl_element_at applies DuckDB's map[k] → LIST wrapping
+        return f"element_at({base}, {idx})"
+    if ilit and int(idx) == 0:
+        # duck ([..])[0] → NULL; Spark's element_at(_, 0) raises. An
+        # always-NULL index keeps the element type without evaluating.
+        return f"try_element_at({base}, CAST(NULL AS INT))"
+    # try_element_at: out-of-range → NULL like DuckDB (ANSI element_at
+    # raises). A non-literal index evaluating to 0 still raises — typed
+    # guard would break string map keys, so that edge stays loud.
+    return f"try_element_at({base}, {idx})"
+
+
+def _slice_repl(
+    base: str, str_lit: str | None, a: str, b: str, step: str | None, uid: int
+) -> str | None:
+    """``base[a:b(:step)]`` → Spark with DuckDB bound normalization:
+    missing bounds default to the ends, negatives count from the end,
+    0 acts as 1, out-of-range clamps, inverted range → empty."""
+    alit = a == "" or _INT_LIT_RE.fullmatch(a)
+    blit = b == "" or _INT_LIT_RE.fullmatch(b)
+    if str_lit is not None:
+        if step is not None:
+            return None
+        if alit and blit:
+            lo = int(a) if a else 1
+            hi = int(b) if b else len(str_lit)
+            return _sql_str(_duck_str_slice(str_lit, lo, hi))
+        lo = (
+            f"CASE WHEN ({a}) < 0 THEN length({base}) + ({a}) + 1"
+            f" WHEN ({a}) < 1 THEN 1 ELSE ({a}) END"
+            if a
+            else "1"
+        )
+        hi = (
+            f"CASE WHEN ({b}) < 0 THEN length({base}) + ({b}) + 1"
+            f" ELSE least(({b}), length({base})) END"
+            if b
+            else f"length({base})"
+        )
+        return f"substring({base}, {lo}, greatest(0, ({hi}) - ({lo}) + 1))"
+    if alit and blit and a and b and int(a) > 0 and int(b) > 0:
+        # positive-literal fast path: no size() needed, base evaluated
+        # once (Spark clamps an over-long slice length itself)
+        core = f"slice({base}, {int(a)}, {max(0, int(b) - int(a) + 1)})"
+    else:
+        # bounds needing size(): evaluate base ONCE via a singleton
+        # transform (repeated-subexpression re-eval is the r10 perf
+        # gotcha), normalize inside the lambda
+        lam = f"__b{uid}"
+        if not a:
+            lo = "1"
+        elif alit:
+            ia = int(a)
+            lo = (
+                str(ia)
+                if ia > 0
+                else ("1" if ia == 0 else f"greatest(1, size({lam}) + {ia} + 1)")
+            )
+        else:
+            lo = (
+                f"CASE WHEN ({a}) < 0 THEN greatest(1, size({lam}) + ({a}) + 1)"
+                f" WHEN ({a}) < 1 THEN 1 ELSE ({a}) END"
+            )
+        if not b:
+            hi = f"size({lam})"
+        elif blit:
+            ib = int(b)
+            hi = f"least({ib}, size({lam}))" if ib >= 0 else f"size({lam}) + {ib} + 1"
+        else:
+            hi = (
+                f"CASE WHEN ({b}) < 0 THEN size({lam}) + ({b}) + 1"
+                f" ELSE least(({b}), size({lam})) END"
+            )
+        core = (
+            f"element_at(transform(array({base}), {lam} ->"
+            f" slice({lam}, {lo}, greatest(0, ({hi}) - ({lo}) + 1))), 1)"
+        )
+    if step is not None:
+        core = f"filter({core}, (__x{uid}, __i{uid}) -> __i{uid} % {step} = 0)"
+    return core
+
+
+_INT_TYPE_NAMES = (
+    r"(?:INTEGER|INT1|INT2|INT4|INT8|INT|BIGINT|SMALLINT|TINYINT|HUGEINT|"
+    r"SIGNED|UBIGINT|UINTEGER|USMALLINT|UTINYINT|UHUGEINT)"
+)
+_FLOAT_TAIL_RE = re.compile(
+    r"(?:::\s*(?:DOUBLE|FLOAT8|FLOAT4|FLOAT|REAL)"
+    r"|AS\s+(?:DOUBLE|FLOAT8|FLOAT4|FLOAT|REAL)\s*\))\s*$",
+    re.IGNORECASE,
+)
+_DEC_TAIL_RE = re.compile(
+    r"(?:::\s*(?:DECIMAL|NUMERIC)(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+    r"|AS\s+(?:DECIMAL|NUMERIC)(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*\))\s*$",
+    re.IGNORECASE,
+)
+_COLON_INT_CAST_RE = re.compile(rf"::\s*{_INT_TYPE_NAMES}(?![\w(])", re.IGNORECASE)
+_VARCHAR_TYPE_NAMES = r"(?:VARCHAR|TEXT|STRING|NVARCHAR|BPCHAR)"
+_COLON_VC_CAST_RE = re.compile(
+    rf"::\s*{_VARCHAR_TYPE_NAMES}(?![\w(])", re.IGNORECASE
+)
+_EXP_LIT_RE = re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)[eE][+-]?\d+")
+_CAST_LIT_INT_RE = re.compile(
+    rf"\b(TRY_CAST|CAST)\s*\(\s*('(?:[^']|'')*'|[+-]?\d+\.\d+(?:[eE][+-]?\d+)?"
+    rf"|[+-]?\d+[eE][+-]?\d+)\s+AS\s+({_INT_TYPE_NAMES})\s*\)",
+    re.IGNORECASE,
+)
+_STR_LIT_TAIL_RE = re.compile(r"'(?:[^']|'')*'\s*$")
+_NUM_LIT_TAIL_RE = re.compile(
+    r"(?<![\w.])[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)\s*$"
+)
+
+
+def _duck_round_to_int(text: str) -> int | None:
+    """DuckDB VARCHAR/DECIMAL → integer cast semantics: trims spaces,
+    accepts 0x hex and exponents, ROUNDS half away from zero (probed:
+    '2.5'::INT = 3, 1.5::DECIMAL(4,1)::INT = 2). None = not parseable
+    here (leave for the engine to accept or reject loudly)."""
+    t = text.strip()
+    try:
+        if re.fullmatch(r"[+-]?0[xX][0-9a-fA-F]+", t):
+            return int(t.replace("0x", "").replace("0X", ""), 16) * (
+                -1 if t.startswith("-") else 1
+            )
+        if re.fullmatch(r"[+-]?\d+", t):
+            return int(t)
+        d = Decimal(t)
+    except Exception:  # noqa: BLE001
+        return None
+    if not d.is_finite():
+        return None
+    return int(d.quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _rewrite_int_cast_rounding(sql: str) -> str:
+    """DuckDB ROUNDS casts to integer types where Spark TRUNCATES (r10
+    sweep; NOTES.md continuity rule). Handled shapes, by operand:
+
+    - string literal → value computed here with DuckDB parse rules
+      (half away from zero, 0x hex, exponents); unparseable literals are
+      left for the engine so CAST still errors and TRY_CAST still NULLs
+    - decimal/exponent literal → computed here (half away from zero)
+    - expression ending in a ::DOUBLE/::FLOAT cast → bround() (DuckDB
+      rounds DOUBLE→int half to EVEN, probed: 2.5→2, 3.5→4)
+
+    A bare double/decimal COLUMN cast is left truncating — no type
+    information at rewrite time (documented delta; the schema-aware app
+    passes cover typed columns where it matters)."""
+    # CAST('lit' AS INT) / TRY_CAST('lit' AS INT) and numeric literals
+    def cast_sub(m: re.Match) -> str:
+        fn, lit, ty = m.group(1).upper(), m.group(2), m.group(3)
+        if lit.startswith("'"):
+            v = _duck_round_to_int(lit[1:-1].replace("''", "'"))
+        else:
+            v = _duck_round_to_int(lit)
+        if v is None:
+            return m.group(0)
+        return f"{fn}({v} AS {ty})"
+
+    # run over the FULL text (the literal operand spans a quoted
+    # segment), mask-checking the CAST keyword itself
+    mask0 = _code_mask(sql)
+    pieces: list[str] = []
+    last = 0
+    for m in _CAST_LIT_INT_RE.finditer(sql):
+        if not mask0[m.start()]:
+            continue
+        pieces.append(sql[last : m.start()])
+        pieces.append(cast_sub(m))
+        last = m.end()
+    pieces.append(sql[last:])
+    sql = "".join(pieces)
+    # CAST(expr AS INT) where expr itself ends in a ::DOUBLE/::DECIMAL
+    # cast (the nested-CAST spelling of the chains below)
+    guard = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        hit = None
+        for m in re.finditer(r"\b(?:TRY_CAST|CAST)\s*\(", sql, re.IGNORECASE):
+            if not mask[m.start()]:
+                continue
+            close = _match_paren(sql, mask, m.end() - 1)
+            if close is None:
+                continue
+            inner = sql[m.end() : close]
+            as_span = None
+            for am in re.finditer(r"\bAS\b", inner, re.IGNORECASE):
+                p = m.end() + am.start()
+                if not mask[p]:
+                    continue
+                depth = 0
+                for k in range(m.end(), p):
+                    if mask[k]:
+                        if sql[k] in "([":
+                            depth += 1
+                        elif sql[k] in ")]":
+                            depth -= 1
+                if depth == 0:
+                    as_span = am.span()
+            if as_span is None:
+                continue
+            ty = inner[as_span[1] :].strip()
+            op = inner[: as_span[0]].strip()
+            if not re.fullmatch(_INT_TYPE_NAMES, ty, re.IGNORECASE):
+                continue
+            if _FLOAT_TAIL_RE.search(op):
+                fn = "bround"
+            elif _DEC_TAIL_RE.search(op):
+                fn = "round"
+            else:
+                continue
+            hit = (m.end(), close, f"{fn}({op}) AS {ty}")
+            break
+        if hit is None:
+            break
+        s, e, repl = hit
+        sql = sql[:s] + repl + sql[e:]
+    # x::INT forms
+    guard = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        hit = None
+        for m in _COLON_INT_CAST_RE.finditer(sql):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            ty = m.group(0)[2:].strip()
+            start = _cast_chain_operand_start(sql, mask, m.start())
+            if start is None:
+                continue
+            op = sql[start : m.start()].strip()
+            if _STR_LIT_TAIL_RE.fullmatch(op):
+                v = _duck_round_to_int(op[1:-1].replace("''", "'"))
+                if v is None:
+                    continue
+                hit = (start, m.end(), f"CAST({v} AS {ty})")
+                break
+            if _NUM_LIT_TAIL_RE.fullmatch(op):
+                v = _duck_round_to_int(op)
+                if v is None:
+                    continue
+                hit = (start, m.end(), f"CAST({v} AS {ty})")
+                break
+            if _FLOAT_TAIL_RE.search(op):
+                hit = (start, m.end(), f"CAST(bround({op}) AS {ty})")
+                break
+            if _DEC_TAIL_RE.search(op):
+                # DECIMAL→int rounds half AWAY from zero (Spark round's
+                # HALF_UP), unlike DOUBLE's half-even
+                hit = (start, m.end(), f"CAST(round({op}) AS {ty})")
+                break
+        if hit is None:
+            break
+        s, e, repl = hit
+        sql = sql[:s] + repl + sql[e:]
+    # x::VARCHAR where x is detectably DOUBLE: DuckDB's float text is
+    # shortest-round-trip ('1e+20', '1.0', 'inf' — r10 sweep); Spark's
+    # is Java's ('1.0E20'). Exponent literals compute here; ::DOUBLE
+    # chains go through the duck_double_text twin of the wire encoder.
+    guard = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        hit = None
+        for m in _COLON_VC_CAST_RE.finditer(sql):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            start = _cast_chain_operand_start(sql, mask, m.start())
+            if start is None:
+                continue
+            op = sql[start : m.start()].strip()
+            if _EXP_LIT_RE.fullmatch(op):
+                try:
+                    text = repr(float(op))
+                except ValueError:
+                    continue
+                hit = (start, m.end(), "'" + text + "'")
+                break
+            if _FLOAT_TAIL_RE.search(op):
+                hit = (
+                    start,
+                    m.end(),
+                    f"(CASE WHEN ({op}) IS NULL THEN CAST(NULL AS STRING)"
+                    f" ELSE duck_double_text({op}) END)",
+                )
+                break
+        if hit is None:
+            return sql
+        s, e, repl = hit
+        sql = sql[:s] + repl + sql[e:]
+    return sql
+
+
+def _cast_chain_operand_start(sql: str, mask: list[bool], pos: int) -> int | None:
+    """Start of the operand of a ``::`` at ``pos``, extending LEFT
+    through earlier ``::type`` links so ``1.9::DOUBLE::INT`` scans the
+    whole chain, not just the ``DOUBLE`` word — and over exponent-
+    literal mantissas (``1e-7``: the generic scanner stops at the
+    ``7``)."""
+    start = _operand_start(sql, mask, pos)
+    if start is None:
+        return None
+    guard = 0
+    while guard < 20:
+        guard += 1
+        if start > 0 and re.match(r"\d", sql[start:]):
+            m = re.search(r"(?:\d+\.?\d*|\.\d+)[eE][+-]?$", sql[:start])
+            if m:
+                start = m.start()
+                continue
+        head = sql[:start].rstrip()
+        if not head.endswith("::"):
+            return start
+        prev = _operand_start(sql, mask, len(head) - 2)
+        if prev is None or prev >= start:
+            return start
+        start = prev
+    return start
+
+
 def _rewrite_brackets(sql: str) -> str:
     """DuckDB bracket idioms → Spark (v1.1.1 dialect, reachable through
     the reference's ``cpp:52`` delegation):
 
     - bare list literal   ``[a, b]``              → ``array(a, b)``
     - list comprehension  ``[e FOR x IN l IF c]`` → ``transform(filter(l, x -> c), x -> e)``
-    - subscript           ``base[i]``             → ``element_at(base, i)``
-    - slice               ``base[a:b]``           → ``slice(base, a, b - a + 1)``
+    - subscript           ``base[i]``             → ``try_element_at(base, i)``
+    - slice               ``base[a:b(:step)]``    → ``slice`` with DuckDB
+      bound normalization (missing/negative/zero bounds, literal step)
+    - varchar base        ``'lit'[a:b]``          → substring semantics
 
     The subscript rewrite is a CORRECTNESS shim, not sugar: Spark parses
     ``base[i]`` natively but 0-BASED — passing a DuckDB client's 1-based
     subscript through would return the silently-wrong neighbor element.
-    ``element_at`` is 1-based (negatives count from the end), matching
-    DuckDB exactly. A ``[`` preceded by an identifier char, ``)`` or
-    ``]`` is a subscript; anything else starts a literal. Innermost
-    brackets rewrite first; empty subscripts (``int[]`` casts) and
-    open-ended slices pass through to fail loudly."""
+    ``try_element_at`` is 1-based (negatives count from the end) and
+    NULL out-of-range, matching DuckDB exactly. A ``[`` preceded by an
+    identifier char, ``)``, ``]`` or a string literal is a subscript;
+    anything else starts a literal. Innermost brackets rewrite first;
+    empty subscripts (``int[]`` casts) pass through to fail loudly."""
     # each pass consumes one bracket pair, so the guard only trips on a
     # pathological/adversarial statement — and then it must FAIL, not
     # fall through: an unrewritten 1-based subscript would parse 0-based
@@ -2525,6 +3000,7 @@ def _rewrite_brackets(sql: str) -> str:
         while k >= 0 and sql[k].isspace():
             k -= 1
         is_subscript = k >= 0 and mask[k] and (sql[k].isalnum() or sql[k] in "_)]")
+        is_str_base = k >= 0 and not mask[k] and sql[k] == "'"
         if is_subscript and sql[k] not in ")]":
             # a KEYWORD before '[' means a literal in expression position
             # (SELECT [1,2], THEN [..], IN [..]...), not a subscript base
@@ -2534,41 +3010,61 @@ def _rewrite_brackets(sql: str) -> str:
                 w_start -= 1
             if sql[w_start + 1 : w_end].upper() in _BRACKET_KEYWORDS:
                 is_subscript = False
-        if is_subscript:
+        if is_subscript or is_str_base:
             if not content.strip():
                 return sql  # type spelling like int[] — not ours to touch
-            # base: balanced group (call/subscript result) + identifier chain
-            end = k
-            start = k
-            if sql[k] in ")]":
-                close, open_ = sql[k], "(" if sql[k] == ")" else "["
-                depth = 0
-                while start >= 0:
-                    if mask[start]:
-                        if sql[start] == close:
-                            depth += 1
-                        elif sql[start] == open_:
-                            depth -= 1
-                            if depth == 0:
-                                break
+            str_lit = None
+            if is_str_base:
+                # quoted-literal base: walk back over the masked literal
+                # run ('' doubling included) to its opening quote
+                start = k
+                while start >= 0 and not mask[start]:
                     start -= 1
-                start -= 1
-            while start >= 0 and (sql[start].isalnum() or sql[start] in "._"):
-                start -= 1
-            start += 1
-            base = sql[start : end + 1]
-            if not base.strip():
-                return sql
-            colons = _split_code_level(content, lb + 1, mask, ":")
-            if len(colons) == 1:
-                a, b = content[: colons[0]].strip(), content[colons[0] + 1 :].strip()
-                if not a or not b:
-                    return sql  # open-ended slice: fail loudly downstream
-                repl = f"slice({base}, {a}, ({b}) - ({a}) + 1)"
-            elif colons:
-                return sql
+                start += 1
+                if sql[start] != "'":
+                    return sql  # adjacent comment — leave for the parser
+                base = sql[start : k + 1]
+                str_lit = base[1:-1].replace("''", "'")
             else:
-                repl = f"element_at({base}, {content.strip()})"
+                # base: balanced group (call/subscript result) + identifier chain
+                end = k
+                start = k
+                if sql[k] in ")]":
+                    close, open_ = sql[k], "(" if sql[k] == ")" else "["
+                    depth = 0
+                    while start >= 0:
+                        if mask[start]:
+                            if sql[start] == close:
+                                depth += 1
+                            elif sql[start] == open_:
+                                depth -= 1
+                                if depth == 0:
+                                    break
+                        start -= 1
+                    start -= 1
+                while start >= 0 and (sql[start].isalnum() or sql[start] in "._"):
+                    start -= 1
+                start += 1
+                base = sql[start : end + 1]
+                if not base.strip():
+                    return sql
+            colons = _split_code_level(content, lb + 1, mask, ":")
+            if len(colons) > 2:
+                return sql
+            if colons:
+                parts, prev = [], 0
+                for ci in colons:
+                    parts.append(content[prev:ci].strip())
+                    prev = ci + 1
+                parts.append(content[prev:].strip())
+                step = parts[2] if len(parts) == 3 else None
+                if step is not None and not re.fullmatch(r"\d+", step):
+                    return sql  # non-literal/zero/negative step: fail loudly
+                repl = _slice_repl(base, str_lit, parts[0], parts[1], step, guard)
+                if repl is None:
+                    return sql
+            else:
+                repl = _subscript_repl(base, str_lit, content.strip())
             sql = sql[:start] + repl + sql[rb + 1 :]
             continue
         # literal or comprehension
@@ -2873,6 +3369,43 @@ def _json_value_expr(operand: str, path: str) -> str:
     )
 
 
+def _norm_json_path(path_text: str) -> tuple[str, bool] | None:
+    """Normalize DuckDB's json path argument forms (r10 sweep) to one
+    JSONPath literal: bare key 'a' → '$.a', JSON pointer '/a/0' →
+    '$.a[0]', integer n → '$[n]'. Returns (normalized_literal,
+    needs_udf); needs_udf=True for shapes JSONPath-in-Spark can't do
+    (negative / #- indexes, non-identifier bare keys) — those route to
+    the Python duck_json_extract twin. None = not a literal path (leave
+    the argument untouched for the variant form)."""
+    t = path_text.strip()
+    if re.fullmatch(r"-?\d+", t):
+        p = f"$[{t}]"
+    elif _QUOTED_LIT_RE.fullmatch(t):
+        p = t[1:-1].replace("''", "'")
+        if p.startswith("$"):
+            pass
+        elif p.startswith("/"):
+            out = "$"
+            for s in p.split("/")[1:]:
+                if re.fullmatch(r"\d+", s):
+                    out += f"[{s}]"
+                elif re.fullmatch(r"[A-Za-z_]\w*", s):
+                    out += f".{s}"
+                else:
+                    return ("", True)
+            p = out
+        elif re.fullmatch(r"[A-Za-z_]\w*", p):
+            p = "$." + p
+        else:
+            return ("", True)  # bare key with dots/specials: ONE key in
+            # DuckDB, a nested path to JSONPath — only the UDF is safe
+    else:
+        return None
+    if "[-" in p or "[#" in p:
+        return ("", True)  # end-relative indexes wrap at runtime
+    return ("'" + p.replace("'", "''") + "'", False)
+
+
 _JSON_EXTRACT_CALL = re.compile(r"(?<![\w.])json_extract\s*\(", re.IGNORECASE)
 
 
@@ -2913,7 +3446,14 @@ def _rewrite_json_extract(sql: str) -> str:
             skipped.add(m.start())  # wrong arity: leave, loud downstream
             continue
         j, path = args[0].strip(), args[1].strip()
-        sql = sql[: m.start()] + _json_value_expr(j, path) + sql[i:]
+        norm = _norm_json_path(path)
+        if norm is None:
+            repl = _json_value_expr(j, path)
+        elif norm[1]:
+            repl = f"duck_json_extract({j}, {path})"
+        else:
+            repl = _json_value_expr(j, norm[0])
+        sql = sql[: m.start()] + repl + sql[i:]
         skipped = {s for s in skipped if s < m.start()}
     return sql
 
@@ -3167,6 +3707,34 @@ def _tpl_json_transform(args: list[str]) -> str | None:
     )
 
 
+def _tpl_substr3(args: list[str]) -> str:
+    """3-arg substr with DuckDB's 0-start and negative-length rules
+    (verified against probes: (3,-2)='ab', (-2,-3)='bcd', (2,-9)='a',
+    (9,-3)='f', (0,-1)='', (0,3)='ab'). For a non-negative literal
+    length the simple 0-start form is emitted unchanged."""
+    s, st, ln = args
+    simple = (
+        f"substring({s} FROM CASE WHEN ({st}) = 0 THEN 1 ELSE ({st}) END"
+        f" FOR CASE WHEN ({st}) = 0 THEN ({ln}) - 1 ELSE ({ln}) END)"
+    )
+    if re.fullmatch(r"\+?\d+", ln.strip()):
+        return simple
+    nstart = (
+        f"CASE WHEN ({st}) < 0 THEN length({s}) + ({st}) + 1"
+        f" WHEN ({st}) = 0 THEN 1 ELSE ({st}) END"
+    )
+    begin = f"greatest(1, ({nstart}) + ({ln}))"
+    neg = f"substring({s} FROM {begin} FOR ({nstart}) - ({begin}))"
+    return f"(CASE WHEN ({ln}) < 0 THEN {neg} ELSE {simple} END)"
+
+
+def _tpl_from_json(args: list[str]) -> str | None:
+    try:
+        return _tpl_json_transform(args)
+    except ValueError:
+        return None  # not a DuckDB JSON structure: native from_json
+
+
 def _tpl_quantile_disc(args: list[str]) -> str | None:
     """``quantile_disc(x, p)`` → ``percentile_disc(p) WITHIN GROUP``.
     A LIST second argument (valid DuckDB, returns a list) expands to an
@@ -3329,6 +3897,104 @@ def _tpl_list_sort(args):
     return f"reverse(array_sort({args[0]}))"
 
 
+def _is_null_lit(a: str) -> bool:
+    return a.strip().upper() == "NULL"
+
+
+def _tpl_list_concat(args: list[str]) -> str | None:
+    """DuckDB list_concat/array_cat treat a NULL argument as ABSENT
+    (list_concat([1], NULL) = [1]); Spark's concat propagates NULL and
+    its analyzer rejects an untyped NULL literal outright (r10 sweep).
+    Literal NULLs drop at rewrite time; a nullable 2-arg form coalesces
+    each side with an empty slice of the other."""
+    if len(args) < 2:
+        return None
+    live = [a for a in args if not _is_null_lit(a)]
+    if not live:
+        return "NULL"
+    if len(live) == 1:
+        return f"({live[0]})"
+    if len(live) == 2:
+        x, y = live
+        return (
+            f"concat(coalesce({x}, slice({y}, 1, 0)),"
+            f" coalesce({y}, slice({x}, 1, 0)))"
+        )
+    return "concat(" + ", ".join(live) + ")"
+
+
+def _tpl_list_contains(args: list[str]) -> str | None:
+    """DuckDB list_contains: NULL needle → NULL, otherwise strictly
+    true/false even when the list holds NULLs (probed: list_contains(
+    [1,NULL], 9) = false where Spark's array_contains returns NULL)."""
+    if len(args) != 2:
+        return None
+    lst, x = args
+    if _is_null_lit(x):
+        return "CAST(NULL AS BOOLEAN)"
+    return (
+        f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+        f" ELSE coalesce(array_contains({lst}, {x}), false) END)"
+    )
+
+
+def _tpl_list_position(args: list[str]) -> str | None:
+    """Only the literal-NULL needle needs help (Spark's analyzer rejects
+    it; DuckDB returns NULL) — other shapes fall through to the
+    array_position rename (not-found → 0 on both engines, probed)."""
+    if len(args) == 2 and _is_null_lit(args[1]):
+        return "CAST(NULL AS BIGINT)"
+    return None
+
+
+def _tpl_string_split(args: list[str]) -> str | None:
+    """DuckDB string_split with an EMPTY separator splits per character
+    WITHOUT Spark's trailing '' element, and splits '' to [''] (r10
+    sweep probes)."""
+    if len(args) != 2:
+        return None
+    s, d = args
+    empty = (
+        f"CASE WHEN length({s}) = 0 THEN array('')"
+        f" ELSE slice(split({s}, ''), 1, length({s})) END"
+    )
+    norm = f"split({s}, concat('\\\\Q', {d}, '\\\\E'))"
+    dl = d.strip()
+    if dl == "''":
+        return f"({empty})"
+    if _QUOTED_LIT_RE.fullmatch(dl):
+        return norm
+    return f"(CASE WHEN ({d}) = '' THEN {empty} ELSE {norm} END)"
+
+
+def _tpl_split_part(args: list[str]) -> str | None:
+    """DuckDB split_part('abc', '', n) indexes CHARACTERS (split_part(
+    'a,b,c', '', 2) = ','); Spark returns the whole string for an empty
+    delimiter. The marker head dodges the nary rescan loop."""
+    if len(args) != 3:
+        return None
+    s, d, n = args
+    char = f"substring({s}, {n}, 1)"
+    dl = d.strip()
+    if dl == "''":
+        return f"({char})"
+    norm = f"__split_part__({s}, {d}, {n})"
+    if _QUOTED_LIT_RE.fullmatch(dl):
+        return None  # plain literal separator: native split_part matches
+    return f"(CASE WHEN ({d}) = '' THEN {char} ELSE {norm} END)"
+
+
+def _md5_half_sql(x: str, offsets: tuple[int, ...]) -> str:
+    """Little-endian UBIGINT of one half of md5(x): the hex pairs
+    reversed, conv'd base 16 → 10 (fits DECIMAL(20,0) = uint64 range).
+    md5 is computed ONCE via a singleton transform."""
+    pieces = ", ".join(f"substring(__m FROM {o} FOR 2)" for o in offsets)
+    return (
+        f"element_at(transform(array(md5(CAST({x} AS STRING))), __m ->"
+        f" CAST(conv(concat({pieces}), 16, 10) AS DECIMAL(20,0))), 1)"
+    )
+
+
 _NARY_REWRITES: dict = {
     # DuckDB [lr]trim(string, chars) vs Spark [lr]trim(chars, string):
     # SWAPPED argument order — passthrough returns silently wrong
@@ -3344,10 +4010,11 @@ _NARY_REWRITES: dict = {
     "list_slice": (3, "slice({0}, {1}, ({2}) - ({1}) + 1)"),
     "array_slice": (3, "slice({0}, {1}, ({2}) - ({1}) + 1)"),
     # ---- literal-separator splits (Spark split takes a REGEX — the
-    # \Q..\E quoting makes the separator literal, matching DuckDB)
-    "string_split": (2, "split({0}, concat('\\\\Q', {1}, '\\\\E'))"),
-    "str_split": (2, "split({0}, concat('\\\\Q', {1}, '\\\\E'))"),
-    "string_to_array": (2, "split({0}, concat('\\\\Q', {1}, '\\\\E'))"),
+    # \Q..\E quoting makes the separator literal, matching DuckDB; the
+    # lambda adds DuckDB's empty-separator per-character semantics)
+    "string_split": (None, _tpl_string_split),
+    "str_split": (None, _tpl_string_split),
+    "string_to_array": (None, _tpl_string_split),
     # ---- list functions
     "list_prepend": (2, "array_prepend({1}, {0})"),  # DuckDB: (elem, list)
     "list_reduce": (
@@ -3364,6 +4031,72 @@ _NARY_REWRITES: dict = {
     "generate_subscripts": (2, "explode(sequence(1, size({0})))"),
     "range": (None, lambda a: _tpl_range_list(a, inclusive=False)),
     "generate_series": (None, lambda a: _tpl_range_list(a, inclusive=True)),
+    # ---- r10 default-semantics sweep batch
+    "list_concat": (None, _tpl_list_concat),
+    "array_concat": (None, _tpl_list_concat),
+    "array_cat": (None, _tpl_list_concat),
+    "list_contains": (None, _tpl_list_contains),
+    "list_has": (None, _tpl_list_contains),
+    "list_position": (None, _tpl_list_position),
+    "list_indexof": (None, _tpl_list_position),
+    "list_intersect": (2, "array_compact(array_intersect({0}, {1}))"),
+    "array_intersect": (2, "array_compact(array_intersect({0}, {1}))"),
+    "split_part": (None, _tpl_split_part),
+    # floored division/modulo, DOUBLE on both engines (probed:
+    # fdiv(-7,2)=-4.0, fmod(-7,3)=2.0 — Spark's mod/% truncate)
+    "fdiv": (
+        2,
+        "CAST(floor(CAST({0} AS DOUBLE) / CAST({1} AS DOUBLE)) AS DOUBLE)",
+    ),
+    "fmod": (
+        2,
+        "(CAST({0} AS DOUBLE) - CAST({1} AS DOUBLE)"
+        " * floor(CAST({0} AS DOUBLE) / CAST({1} AS DOUBLE)))",
+    ),
+    # RE2-style QuoteMeta: every char outside [A-Za-z0-9_] gets a
+    # backslash (probed — DuckDB escapes '-', '#', space too). The
+    # marker head keeps this a NATIVE global regexp_replace — the plain
+    # name would be claimed by the first-occurrence-only duck shim.
+    "regexp_escape": (
+        1,
+        "__regexp_replace_all__({0}, '([^a-zA-Z0-9_])', '\\\\\\\\$1')",
+    ),
+    # little-endian uint64 halves of the md5 digest (probed against
+    # DuckDB: lower = bytes 8..15 reversed, upper = bytes 0..7 reversed)
+    "md5_number_lower": (
+        1, lambda a: _md5_half_sql(a[0], (31, 29, 27, 25, 23, 21, 19, 17))
+    ),
+    "md5_number_upper": (
+        1, lambda a: _md5_half_sql(a[0], (15, 13, 11, 9, 7, 5, 3, 1))
+    ),
+    # DuckDB chr() takes any Unicode codepoint; Spark's char() is
+    # mod-256 (vectorized UDF — not a hot-path function)
+    "chr": (1, "duck_chr(CAST({0} AS INT))"),
+    "format_bytes": (1, "duck_format_bytes(CAST({0} AS BIGINT))"),
+    "formatreadablesize": (1, "duck_format_bytes(CAST({0} AS BIGINT))"),
+    "formatreadabledecimalsize": (
+        1, "duck_format_decimal_size(CAST({0} AS BIGINT))"
+    ),
+    # len is polymorphic in DuckDB (VARCHAR/BLOB *and* LIST). No type
+    # info at rewrite time: a detectably list-producing argument head →
+    # size(); everything else falls through to the length() rename
+    # (array COLUMNS are covered by the schema-aware
+    # rewrite_array_length pass at the app layer).
+    "len": (
+        1,
+        lambda a: (
+            f"size({a[0]})"
+            if re.match(
+                r"(?:array|array_\w+|list_\w+|map|map_\w+|sequence|split|"
+                r"collect_list|collect_set|slice|transform|filter|flatten|"
+                r"sort_array|arrays_zip|string_split|str_split|"
+                r"string_to_array|regexp_split_to_array)\s*\(",
+                a[0].strip(),
+                re.IGNORECASE,
+            )
+            else None
+        ),
+    ),
     # ---- maps / structs
     "map": (2, "map_from_arrays({0}, {1})"),  # DuckDB map takes two LISTs
     "map_extract": (
@@ -3444,18 +4177,12 @@ _NARY_REWRITES: dict = {
     # ---- late-r10 default-semantics closures (all DuckDB-probed).
     # substr start 0 consumes length (PG clamp: substr('abcdef',0,3) =
     # 'ab'); Spark treats 0 as 1. Negative starts count from the end on
-    # BOTH engines — only the 0 case diverges. Emitted FROM/FOR form
+    # BOTH engines. A NEGATIVE length takes |len| chars ENDING just
+    # before start (substr('abcdef',3,-2)='ab', clipped at the string
+    # start; r10 sweep) where Spark returns ''. Emitted FROM/FOR form
     # dodges the nary rescan (single-arg split → arity mismatch).
-    "substr": (
-        3,
-        "substring({0} FROM CASE WHEN ({1}) = 0 THEN 1 ELSE ({1}) END"
-        " FOR CASE WHEN ({1}) = 0 THEN ({2}) - 1 ELSE ({2}) END)",
-    ),
-    "substring": (
-        3,
-        "substring({0} FROM CASE WHEN ({1}) = 0 THEN 1 ELSE ({1}) END"
-        " FOR CASE WHEN ({1}) = 0 THEN ({2}) - 1 ELSE ({2}) END)",
-    ),
+    "substr": (3, lambda a: _tpl_substr3(a)),
+    "substring": (3, lambda a: _tpl_substr3(a)),
     # left/right with NEGATIVE n drop |n| chars from the other end in
     # DuckDB (left('abc',-1)='ab'); Spark returns ''. substring form
     # covers both signs and dodges the rescan.
@@ -3613,27 +4340,70 @@ _NARY_REWRITES: dict = {
         "struct({0} AS key, {1} AS value))))",
     ),
     # ---- JSON constructors (named_struct keeps per-value types, which
-    # array() would unify away; mixed-type json_array is a documented
-    # delta — Spark's array() coerces to a common type)
+    # array() would unify away). ignoreNullFields=false keeps NULL
+    # values as JSON null like DuckDB (r10 sweep: json_object('a', 1,
+    # 'b', NULL) = '{"a":1,"b":null}'); json_array serializes each
+    # element separately so mixed types survive (Spark's array() would
+    # coerce or reject them).
     "json_object": (
         None,
         lambda a: (
             "'{}'"
             if not a or a == [""]
             else (
-                f"to_json(named_struct({', '.join(a)}))"
+                f"to_json(named_struct({', '.join(a)}),"
+                " __map__('ignoreNullFields', 'false'))"
                 if len(a) % 2 == 0
                 else None
             )
         ),
     ),
-    "json_array": (
-        None,
+    "json_array": (None, lambda a: _tpl_json_array(a)),
+    # duck json_array_length: 0 for non-arrays (Spark: NULL), NULL in →
+    # NULL out; marker head dodges the nary rescan loop
+    "json_array_length": (
+        1,
+        "(CASE WHEN ({0}) IS NULL THEN NULL"
+        " ELSE coalesce(__json_array_length__({0}), 0) END)",
+    ),
+    # duck from_json(j, spec) ≡ json_transform (same JSON type-spec).
+    # A spec that is not a JSON structure literal (notably the Spark
+    # DDL string this very template emits on its inner from_json) falls
+    # through untouched — that also keeps the rescan loop terminating.
+    "from_json": (2, lambda a: _tpl_from_json(a)),
+    # text-result extraction with the same path normalization as
+    # json_extract (bare keys, pointers, integer and negative indexes);
+    # non-literal paths fall through to the get_json_object rename
+    "json_extract_string": (
+        2,
         lambda a: (
-            "'[]'" if not a or a == [""] else f"to_json(array({', '.join(a)}))"
+            None
+            if (_n := _norm_json_path(a[1])) is None
+            else (
+                f"duck_json_extract_text({a[0]}, {a[1]})"
+                if _n[1]
+                else f"get_json_object({a[0]}, {_n[0]})"
+            )
         ),
     ),
 }
+
+
+def _tpl_json_array(args: list[str]) -> str:
+    if not args or args == [""]:
+        return "'[]'"
+    parts = []
+    for x in args:
+        if _is_null_lit(x):
+            parts.append("'null'")
+        else:
+            j = (
+                f"to_json(named_struct('v', {x}),"
+                " __map__('ignoreNullFields', 'false'))"
+            )
+            # strip the {"v": ... } wrapper: 5 chars front, 1 back
+            parts.append(f"substring({j}, 6, length({j}) - 6)")
+    return "concat('[', concat_ws(',', " + ", ".join(parts) + "), ']')"
 
 _NARY_CALL = re.compile(
     rf"(?<![\w.])({'|'.join(_NARY_REWRITES)})\s*\(", re.IGNORECASE
@@ -3693,17 +4463,17 @@ _UNARY_REWRITES = {
     # array of the right type. Emitted heads are not unary keys.
     "list_distinct": "array_compact(array_union({e}, slice({e}, 1, 0)))",
     "array_distinct": "array_compact(array_union({e}, slice({e}, 1, 0)))",
-    # DuckDB list aggregates as unary spellings (same DOUBLE-widening
-    # forms as list_aggregate(x, 'fn') above, so both spellings agree)
-    "list_sum": "aggregate({e}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))",
-    "list_avg": (
-        "(aggregate({e}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))"
-        " / size({e}))"
-    ),
+    # DuckDB list aggregates as unary spellings (same NULL-skipping
+    # DOUBLE-widening forms as list_aggregate(x, 'fn'), so both agree)
+    "list_sum": _LSUM_FORM,
+    "list_avg": _LAVG_FORM,
     # list_unique: COUNT of distinct non-NULL elements (DuckDB semantics)
     "list_unique": "size(array_distinct(filter({e}, __x -> __x IS NOT NULL)))",
     "array_unique": "size(array_distinct(filter({e}, __x -> __x IS NOT NULL)))",
     "list_count": "size(filter({e}, __x -> __x IS NOT NULL))",
+    # DuckDB flatten SKIPS NULL sublists (flatten([[1],NULL,[2]]) =
+    # [1,2]); Spark's returns NULL. Marker head dodges the rescan loop.
+    "flatten": "__flatten__(filter({e}, __fl -> __fl IS NOT NULL))",
     # DuckDB datetime spellings without a direct Spark twin
     "isodow": "(weekday({e}) + 1)",  # ISO Monday=1..Sunday=7
     "dayname": "date_format({e}, 'EEEE')",  # DuckDB returns FULL names
@@ -5158,6 +5928,68 @@ def _rewrite_format(sql: str) -> str:
     return sql
 
 
+_PRINTF_CALL = re.compile(r"(?<![\w.])printf\s*\(\s*'", re.IGNORECASE)
+_PRINTF_SPEC_RE = re.compile(r"%[-+ #0]*\d*(?:\.\d+)?([diufFeEgGxXos%])")
+
+
+def _rewrite_printf(sql: str) -> str:
+    """DuckDB ``printf('%5.2f', x)`` with numeric-literal args: Java's
+    formatter (Spark format_string/printf) rejects a DECIMAL for %f and
+    an INT for %d, where DuckDB coerces (r10 sweep). Cast each argument
+    per its conversion, in spec order; %i/%u map to %d. Literal format
+    strings only — runs BEFORE literal splitting."""
+    guard = 0
+    while guard < 50:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _PRINTF_CALL.finditer(sql)
+                if mask[c.start()]
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, i = 1, m.end()  # m.end() is just past the opening quote
+        # back up: scan args from the '(' for the balanced close
+        open_i = sql.index("(", m.start())
+        depth, i = 1, open_i + 1
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql
+        args = [a.strip() for a in split_top_level(sql[open_i + 1 : i - 1])]
+        fm = re.match(r"^'((?:[^']|'')*)'$", args[0])
+        if not fm:
+            return sql
+        fmt = fm.group(1)
+        convs = [c for c in _PRINTF_SPEC_RE.findall(fmt) if c != "%"]
+        fmt = re.sub(
+            r"(%[-+ #0]*\d*(?:\.\d+)?)[iu]", r"\1d", fmt
+        )
+        rest = []
+        for n, a in enumerate(args[1:]):
+            conv = convs[n] if n < len(convs) else "s"
+            if conv in "fFeEgG":
+                rest.append(f"CAST({a} AS DOUBLE)")
+            elif conv in "diuxXo":
+                rest.append(f"CAST({a} AS BIGINT)")
+            else:
+                rest.append(a)
+        repl = f"format_string('{fmt}'" + (
+            ", " + ", ".join(rest) + ")" if rest else ")"
+        )
+        sql = sql[: m.start()] + repl + sql[i:]
+    return sql
+
+
 _QUANTIFIED_RE = re.compile(
     r"(=|!=|<>|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\(", re.IGNORECASE
 )
@@ -5559,24 +6391,46 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_date_plus_interval(sql)  # before INTERVAL rewrites
     sql = _rewrite_interval_epoch(sql)  # before the epoch() nary claims it
     sql = _rewrite_operators(sql)  # before nary: xor() legitimately emits ^
+    sql = _rewrite_like_backslash(sql)  # no-ESCAPE LIKE: \ stays literal
     sql = _rewrite_enum_fns(sql)  # while enum type names are visible
     sql = _rewrite_enum_casts(sql)  # before alias/type passes claim ::name
+    sql = _rewrite_int_cast_rounding(sql)  # literal/::DOUBLE-chain int
+    # casts round like DuckDB (before type passes rename INT spellings)
     sql = _rewrite_read_files(sql)  # before literal split: needs the path string
     sql = _rewrite_strftime(sql)  # before literal split: needs the fmt string
     sql = _rewrite_list_aggregate(sql)  # ditto: needs the quoted agg name
     sql = _rewrite_pg_client_fns(sql)  # ditto: current_setting / CAST-INTERVAL
     sql = _rewrite_format(sql)  # ditto: needs the quoted fmtlib string
+    sql = _rewrite_printf(sql)  # ditto: casts args per printf spec
     sql = _rewrite_array_constructor(sql)
     sql = _rewrite_array_type_suffix(sql)  # INT[] types BEFORE brackets
     sql = _rewrite_duck_types(sql)  # STRUCT(...)/MAP(...)/unsigned casts
     sql = _rewrite_varchar_family(sql)  # TEXT/CHAR(n)/... → STRING in type pos
     sql = _rewrite_collate_names(sql)  # NOCASE/NOACCENT → Spark collations
     sql = _rewrite_brackets(sql)  # after ARRAY[..]: bare [..] / l[i] / slices
+    sql = _rewrite_concat_op_null(sql)  # x || NULL → typed NULL (after
+    # brackets: list operands are array(..) calls both scanners handle)
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_struct_pack(sql)
     sql = _rewrite_union_fns(sql)
     sql = _rewrite_json_arrows(sql)
     sql = _rewrite_json_extract(sql)
+    # DuckDB's JSON type is VARCHAR-with-validation; Spark has no JSON
+    # type. AFTER the arrow/extract passes (they key on ::JSON to bind
+    # operands), a remaining JSON cast is an identity to STRING —
+    # equality, len(), concat on JSON values then behave like DuckDB's
+    # text semantics (r10 sweep).
+    sql = "".join(
+        seg
+        if is_lit
+        else re.sub(
+            r"(\bAS\s+)JSON(\s*\))",
+            r"\1STRING\2",
+            re.sub(r"::\s*JSON\b", "::STRING", seg, flags=re.IGNORECASE),
+            flags=re.IGNORECASE,
+        )
+        for is_lit, seg in _split_quoted(sql)
+    )
     sql = _rewrite_datetime_diffs(sql)
     sql = _rewrite_regexp_default_group(sql)
     sql = _rewrite_agg_order_by(sql)  # before renames: needs DuckDB names

@@ -67,6 +67,10 @@ def build_session(
         # DuckDB's TIME — CAST('..' AS TIME), TIME literals already
         # parse unflagged but the type NAME is gated (r10)
         .config("spark.sql.timeType.enabled", "true")
+        # DuckDB map_concat / MAP construction keeps the LAST value for a
+        # duplicated key; Spark's default EXCEPTION policy errors (r10
+        # default-semantics sweep)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
@@ -103,6 +107,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # require the UTC session TZ (SURVEY.md §1.2); it is runtime-settable.
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # DuckDB keeps the LAST value for duplicated map keys (runtime-settable)
+    if spark.conf.get("spark.sql.mapKeyDedupPolicy", None) != "LAST_WIN":
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     key = (id(spark), sf_dir, name)
     if key in _SCAN_CACHE:
         return _SCAN_CACHE[key]

@@ -786,6 +786,51 @@ BATTERY: dict[str, list[str]] = {
         "SELECT text FROM documents ORDER BY doc_id LIMIT 1",
         "SELECT 7 AS text",
     ],
+    # r10 default-semantics sweep closures (scripts/sweep_defaults.py):
+    # chained casts, bracket slices, list NULL semantics, json paths,
+    # printf/LIKE defaults — each had a fix in compat.py this round
+    "r10_sweep": [
+        "SELECT 1.999::DOUBLE::INTEGER AS a, (-1.999)::DOUBLE::INTEGER AS b",
+        "SELECT 2.5::DOUBLE::INT AS a, 3.5::DOUBLE::INT AS b",
+        "SELECT '1.5'::INTEGER AS a, '1e3'::INTEGER AS b, '0x1A'::INTEGER AS c",
+        "SELECT TRY_CAST('1.5' AS INTEGER) AS a, TRY_CAST('abc' AS INTEGER) AS b",
+        "SELECT 1.5::DECIMAL(4,1)::INTEGER AS a, 2.5::DECIMAL(4,1)::INTEGER AS b",
+        "SELECT ''::VARCHAR::BLOB AS eb, 'ab'::BLOB::VARCHAR AS bs",
+        "SELECT (DATE '2024-01-02')::TIMESTAMP::VARCHAR AS d2ts",
+        "SELECT ([1, 2, 3])[-1] AS n, ([1, 2, 3])[0] AS z, ([1, 2, 3])[9] AS o",
+        "SELECT ([1, 2, 3, 4])[2:3] AS a, ([1, 2, 3, 4])[:2] AS b, ([1, 2, 3, 4])[3:] AS c",
+        "SELECT ([1, 2, 3, 4])[-2:] AS d, ([1, 2, 3, 4])[:-2] AS e, ([1, 2, 3, 4])[3:2] AS f",
+        "SELECT ([1, 2, 3, 4, 5])[1:5:2] AS st",
+        "SELECT 'abcdef'[2:4] AS a, 'abcdef'[:3] AS b, 'abcdef'[-3:] AS c, 'abc'[2] AS d",
+        "SELECT unnest(NULL::INTEGER[]) AS u",
+        "SELECT list_concat([1], NULL) AS a, array_cat(NULL, [2]) AS b",
+        "SELECT [1, 2] || NULL AS a, NULL || [3] AS b",
+        "SELECT list_contains([1, NULL], 9) AS a, list_contains([1, 2], NULL) AS b",
+        "SELECT list_position([1, 2], NULL) AS a, list_indexof([5, 6], 6) AS b",
+        "SELECT list_intersect([1, 2, NULL], [2, NULL, 3]) AS li",
+        "SELECT flatten([[1, 2], NULL, [3]]) AS fl",
+        "SELECT list_sum([1, NULL, 2]) AS a, list_avg([1, 2, NULL]) AS b, list_sum([]) AS c",
+        "SELECT list_aggr([1, 2], 'string_agg', '-') AS la",
+        "SELECT len([1, 2, 3]) AS a, array_length([1, 2]) AS b, cardinality(MAP([1], ['a'])) AS c",
+        "SELECT array_value(1, 2) AS av",
+        "SELECT map_values(map_concat(MAP([1], ['a']), MAP([1], ['z']))) AS m",
+        "SELECT split_part('a,b,c', '', 2) AS a, string_split('abc', '') AS b",
+        "SELECT substr('abcdef', 3, -2) AS a, substr('abcdef', -2, -1) AS b",
+        "SELECT fdiv(7.5, 2) AS a, fmod(-7, 3) AS b",
+        "SELECT regexp_escape('a.b c') AS re",
+        "SELECT md5_number_lower('abc') AS l, md5_number_upper('abc') AS u",
+        "SELECT chr(960) AS a, chr(128512) AS b",
+        "SELECT format_bytes(1000000) AS a, formatReadableDecimalSize(1500) AS b",
+        "SELECT json_extract('{\"a\": {\"b\": 7}}', 'a') AS a, json_extract('{\"a\": {\"b\": 7}}', '/a/b') AS b",
+        "SELECT json_extract('[1, 2, 3]', '$[-1]') AS a, json_extract('[1, 2]', 1) AS b",
+        "SELECT json_extract_string('[1.50, \"x\"]', '$[-2]') AS es",
+        "SELECT json_array_length('{}') AS a, json_array_length('\"x\"') AS b",
+        "SELECT json_array(1, 'a', NULL) AS ja, json_object('a', 1, 'b', NULL) AS jo",
+        "SELECT '{\"a\":1}'::JSON = '{\"a\": 1}'::JSON AS eq, len('[1, 2]'::JSON) AS l",
+        "SELECT from_json('[1,2]', '[\"INTEGER\"]') AS fj",
+        "SELECT printf('%5.2f|%d|%s', 3.14159, 42, 'x') AS pf",
+        "SELECT 'a_c' LIKE 'a\\_c' AS esc, 'a\\c' LIKE 'a\\c' AS bs",
+    ],
 }
 
 
@@ -798,6 +843,8 @@ def norm_cell(v: object) -> str | None:
         return None
     from duckdb_pgwire_spark.server.typemap import encode_text
 
+    if isinstance(v, tuple):  # duckdb renders ARRAY[n] values as tuples
+        v = list(v)
     return encode_text(v)
 
 

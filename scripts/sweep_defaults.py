@@ -1,0 +1,490 @@
+#!/usr/bin/env python
+"""Default-semantics sweep: expressions BOTH engines parse, where the
+DEFAULTS may differ (the census probes spellings; this probes values).
+
+Method of record (NOTES.md r10): raw duckdb vs rewrite()+spark.sql over
+a candidate list per function family; real divergences get a compat fix
+plus a census probe plus a battery entry.
+
+Usage: python scripts/sweep_defaults.py [family ...]
+
+Advisory tool — findings feed shims/tests; not part of the suite.
+Output classes:
+  MISMATCH  both engines return values, values differ  <- the target
+  GAP       duckdb ok, spark errors
+  DUCK-ERR  duckdb errors, spark returns a value (overflow semantics!)
+  ok        values match
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import sys
+from decimal import Decimal
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+
+FAMILIES: dict[str, list[str]] = {
+    "strings": [
+        "SELECT repeat('ab', -1) AS r, repeat('ab', 0) AS r0",
+        "SELECT lpad('abc', 2, 'x') AS l1, rpad('abc', 2, 'x') AS r1",
+        "SELECT lpad('abc', -1, 'x') AS l2, rpad('abc', -1, 'x') AS r2",
+        "SELECT lpad('a', 5, 'xy') AS l3, rpad('a', 5, 'xy') AS r3",
+        "SELECT lpad('abc', 5, '') AS l4",
+        "SELECT trim('xxabcxx', 'x') AS t1, ltrim('xab', 'x') AS t2,"
+        " rtrim('abx', 'x') AS t3",
+        "SELECT trim('  a  ') AS t4",
+        "SELECT split_part('a,b,c', ',', 2) AS s1,"
+        " split_part('a,b,c', ',', 9) AS s2",
+        "SELECT split_part('a,b,c', ',', -1) AS s3",
+        "SELECT split_part('a,b,c', '', 1) AS s4",
+        "SELECT string_split('a,b,,c', ',') AS ss",
+        "SELECT string_split('abc', '') AS ss2",
+        "SELECT string_to_array('a b', ' ') AS sa",
+        "SELECT instr('abcb', 'b') AS i1, instr('abc', 'z') AS i2,"
+        " instr('abc', '') AS i3",
+        "SELECT position('b' IN 'abc') AS p1",
+        "SELECT replace('aaa', '', 'x') AS rp1,"
+        " replace('aaa', 'a', '') AS rp2",
+        "SELECT translate('abcb', 'bc', 'x') AS tr1,"
+        " translate('abc', '', 'x') AS tr2",
+        "SELECT reverse('abc') AS rv1",
+        "SELECT ascii('abc') AS a1, ascii('') AS a2",
+        "SELECT chr(97) AS c1, chr(960) AS c2",
+        "SELECT ord('a') AS o1, unicode('') AS u1",
+        "SELECT length('héllo') AS l1, strlen('héllo') AS l2,"
+        " bit_length('ab') AS bl, octet_length('héllo') AS ol",
+        "SELECT upper('straße') AS up, lower('ÀBC') AS lo",
+        "SELECT levenshtein('kitten', 'sitting') AS lv,"
+        " editdist3('kitten', 'sitting') AS e3",
+        "SELECT damerau_levenshtein('ab', 'ba') AS dl",
+        "SELECT jaccard('duck', 'luck') AS jc",
+        "SELECT jaro_similarity('duck', 'luck') AS js,"
+        " jaro_winkler_similarity('duck', 'luck') AS jw",
+        "SELECT mismatches('abc', 'abd') AS mm",
+        "SELECT hamming('abc', 'abd') AS hm",
+        "SELECT ngrams('abcd', 2) AS ng",
+        "SELECT strip_accents('âéïõü') AS sa",
+        "SELECT to_base(255, 16) AS tb1, to_base(255, 2) AS tb2",
+        "SELECT bin(10) AS b1, hex(255) AS h1, unhex('ff') AS uh",
+        "SELECT to_base64('ab'::BLOB) AS b64,"
+        " from_base64('YWI=') AS fb64",
+        "SELECT md5('abc') AS m5, sha1('abc') AS s1a, sha256('abc') AS s2",
+        "SELECT md5_number_lower('abc') AS mnl,"
+        " md5_number_upper('abc') AS mnu",
+        "SELECT hash('abc') AS h",
+        "SELECT starts_with('abc', 'ab') AS sw, ends_with('abc', 'bc')"
+        " AS ew, suffix('abc', 'bc') AS sf, prefix('abc', 'ab') AS pf,"
+        " contains('abc', 'b') AS ct",
+        "SELECT format_bytes(1000000) AS fb,"
+        " formatReadableDecimalSize(1000000) AS fd",
+        "SELECT bar(3, 0, 10, 10) AS br",
+        "SELECT printf('%5.2f|%d|%s', 3.14159, 42, 'x') AS pf",
+        "SELECT printf('%x|%o', 255, 8) AS pf2",
+        "SELECT format('{:.2f}|{}', 3.14159, 42) AS f1",
+        "SELECT format('{0} {0}', 'a') AS f2",
+        "SELECT concat_ws(',', 'a', NULL, 'b') AS cw,"
+        " concat_ws(NULL, 'a', 'b') AS cw2",
+        "SELECT 'a' || NULL AS o1, NULL || 'b' AS o2",
+        "SELECT substring('abcdef', 2) AS s1,"
+        " substring('abcdef', -2) AS s2",
+        "SELECT substring('abcdef', 2, 100) AS s3,"
+        " substring('abcdef', -99, 100) AS s4",
+        "SELECT substr('abcdef', 3, -1) AS sneg",
+        "SELECT 'abcdef'[2:4] AS sl1, 'abcdef'[:3] AS sl2,"
+        " 'abcdef'[4:] AS sl3, 'abcdef'[-3:] AS sl4",
+        "SELECT char_length(NULL) AS cl",
+        "SELECT nfc_normalize('é') AS nn",
+        "SELECT like_escape('a%c', 'a$%c', '$') AS le",
+        "SELECT regexp_escape('a.b') AS re",
+    ],
+    "math": [
+        "SELECT round(2.5) AS r1, round(3.5) AS r2, round(-2.5) AS r3",
+        "SELECT round(2.5::DOUBLE) AS r1, round(3.5::DOUBLE) AS r2,"
+        " round(-2.5::DOUBLE) AS r3",
+        "SELECT round(1234.5678, -2) AS rn, round(1234.5678, 2) AS rp",
+        "SELECT round(1234.5678::DOUBLE, -2) AS rn2",
+        "SELECT round_even(2.5) AS re1, round_even(3.5) AS re2",
+        "SELECT ceil(2.1) AS c1, floor(-2.1) AS f1, ceiling(2.0) AS c2",
+        "SELECT trunc(2.7) AS t1, trunc(-2.7) AS t2",
+        "SELECT ln(0.0) AS l0",
+        "SELECT ln(-1.0) AS ln1",
+        "SELECT log(0.0) AS lg0",
+        "SELECT log10(100.0) AS lg10, log2(8.0) AS lg2",
+        "SELECT log(2, 8.0) AS lgb",
+        "SELECT sqrt(-1.0) AS sq",
+        "SELECT pow(0, 0) AS p1, power(2, -1) AS p2",
+        "SELECT cbrt(27.0) AS cb",
+        "SELECT exp(1.0) AS ex",
+        "SELECT mod(7, 3) AS m1, mod(-7, 3) AS m2, mod(7, -3) AS m3",
+        "SELECT mod(7.5, 2) AS mf",
+        "SELECT fmod(7.5, 2) AS fm1, fmod(-7.5, 2) AS fm2",
+        "SELECT fdiv(7.5, 2) AS fd1, fdiv(-7.5, 2) AS fd2",
+        "SELECT 7.5 % 2 AS pm, -7 % 3 AS pm2",
+        "SELECT gamma(5) AS g1, lgamma(5) AS lg",
+        "SELECT factorial(0) AS f0, factorial(10) AS f10",
+        "SELECT gcd(12, 18) AS gc, lcm(4, 6) AS lc",
+        "SELECT gcd(-12, 18) AS gcn, gcd(0, 0) AS gc0",
+        "SELECT isnan('nan'::DOUBLE) AS n1, isinf('inf'::DOUBLE) AS i1,"
+        " isfinite(1.0) AS f1",
+        "SELECT isfinite('nan'::DOUBLE) AS f2",
+        "SELECT atan2(1.0, 2.0) AS a2",
+        "SELECT degrees(pi()) AS dg, radians(180.0) AS rd",
+        "SELECT bit_count(255) AS bc, bit_count(-1::TINYINT) AS bcn",
+        "SELECT even(2.5) AS e1, even(-2.5) AS e2",
+        "SELECT signbit(-0.0) AS sb1, signbit(0.0) AS sb2",
+        "SELECT nextafter(1.0, 2.0) AS na",
+        "SELECT cot(1.0) AS ct",
+        "SELECT acos(2.0) AS ac",
+        "SELECT asin(-2.0) AS asn",
+        "SELECT sin(pi()) AS sp, cos(0) AS cz, tan(0) AS tz",
+        "SELECT sinh(1.0) AS sh, cosh(1.0) AS ch, tanh(1.0) AS th",
+        "SELECT asinh(1.0) AS ash, acosh(1.0) AS ach, atanh(0.5) AS ath",
+        "SELECT greatest(1, NULL, 3) AS g, least(1, NULL, 3) AS l",
+        "SELECT greatest('a', 'b') AS gs, least(1.5, 2) AS lm",
+        "SELECT abs(-2147483648::INTEGER) AS ab",
+        "SELECT @(-4.5) AS aop",
+    ],
+    "overflow": [
+        "SELECT 127::TINYINT + 1::TINYINT AS t",
+        "SELECT 120::TINYINT + 120::TINYINT AS t2",
+        "SELECT 32767::SMALLINT + 1::SMALLINT AS s",
+        "SELECT 2147483647 + 1 AS i",
+        "SELECT 2147483647::INTEGER + 1::INTEGER AS i2",
+        "SELECT 9223372036854775807 + 1 AS b",
+        "SELECT 127::TINYINT * 2::TINYINT AS m",
+        "SELECT -128::TINYINT AS neg",
+        "SELECT (-128)::TINYINT - 1::TINYINT AS u",
+        "SELECT 255::UTINYINT + 1::UTINYINT AS ut",
+        "SELECT 100000::INTEGER * 100000::INTEGER AS sq",
+        "SELECT 3000000000::BIGINT * 3000000000::BIGINT AS bsq",
+        "SELECT sum(x) AS s FROM (VALUES (9223372036854775807),"
+        " (1)) t(x)",
+        "SELECT 1::TINYINT + 1 AS promote",
+        "SELECT typeof(1::TINYINT + 1::TINYINT) AS ty",
+        "SELECT typeof(1::INTEGER + 1::INTEGER) AS ty2",
+    ],
+    "casts": [
+        "SELECT ' 42 '::INTEGER AS i1",
+        "SELECT '42'::INTEGER AS i2, '+42'::INTEGER AS i3",
+        "SELECT '1.5'::INTEGER AS f2i",
+        "SELECT TRY_CAST('1.5' AS INTEGER) AS tf2i",
+        "SELECT '1e3'::INTEGER AS e2i",
+        "SELECT '0x1A'::INTEGER AS h2i",
+        "SELECT 'true'::BOOLEAN AS b1, 't'::BOOLEAN AS b2,"
+        " '1'::BOOLEAN AS b3, 'yes'::BOOLEAN AS b4",
+        "SELECT 'T'::BOOLEAN AS b5, 'FALSE'::BOOLEAN AS b6,"
+        " 'f'::BOOLEAN AS b7, '0'::BOOLEAN AS b8",
+        "SELECT 1::BOOLEAN AS ib, 0::BOOLEAN AS ib0, 5::BOOLEAN AS ib5",
+        "SELECT true::INTEGER AS bi, false::INTEGER AS bi0",
+        "SELECT 1.999::DOUBLE::INTEGER AS d2i,"
+        " (-1.999)::DOUBLE::INTEGER AS d2in",
+        "SELECT 1.5::DECIMAL(4,1)::INTEGER AS dec2i,"
+        " 2.5::DECIMAL(4,1)::INTEGER AS dec2i2",
+        "SELECT (0.1 + 0.2)::VARCHAR AS f2s",
+        "SELECT 1e20::VARCHAR AS big, 1e-7::DOUBLE::VARCHAR AS small",
+        "SELECT 0.000001::DOUBLE::VARCHAR AS sm2,"
+        " 123456789.123::DOUBLE::VARCHAR AS md",
+        "SELECT 1.0::DOUBLE::VARCHAR AS one,"
+        " (-0.0)::DOUBLE::VARCHAR AS nz",
+        "SELECT 'inf'::DOUBLE::VARCHAR AS inf,"
+        " 'nan'::DOUBLE::VARCHAR AS nan",
+        "SELECT 1.5::FLOAT::VARCHAR AS f32",
+        "SELECT 100::DOUBLE::VARCHAR AS hundred",
+        "SELECT 1.5::DECIMAL(10,4)::VARCHAR AS dec4",
+        "SELECT 10/4 AS div1, 10.0/4 AS div2, 10/4.0 AS div3",
+        "SELECT typeof(10/4) AS tdiv",
+        "SELECT 1.5::DECIMAL(4,1) + 2.25::DECIMAL(4,2) AS decadd",
+        "SELECT typeof(1.5::DECIMAL(4,1) * 2.25::DECIMAL(4,2)) AS tmul",
+        "SELECT '2024-1-2'::DATE AS d1",
+        "SELECT '2024/01/02'::DATE AS d2",
+        "SELECT TRY_CAST('2024-13-01' AS DATE) AS badm",
+        "SELECT '2024-01-02 03:04:05'::TIMESTAMP AS ts1,"
+        " '2024-01-02T03:04:05'::TIMESTAMP AS ts2",
+        "SELECT '2024-01-02'::TIMESTAMP AS ts3",
+        "SELECT '03:04:05'::TIME AS tm1, '3:4:5'::TIME AS tm2",
+        "SELECT '1 day'::INTERVAL AS iv1, '2 hours 3 minutes'::INTERVAL"
+        " AS iv2",
+        "SELECT '1:02:03'::INTERVAL AS iv3",
+        "SELECT INTERVAL '90' SECOND AS iv4",
+        "SELECT DATE '2024-02-29'::VARCHAR AS dv",
+        "SELECT TIMESTAMP '2024-01-02 03:04:05.123'::VARCHAR AS tsv",
+        "SELECT TIMESTAMP '2024-01-02 03:04:05.000'::VARCHAR AS tsv0",
+        "SELECT (DATE '2024-01-02')::TIMESTAMP::VARCHAR AS d2ts",
+        "SELECT 65::VARCHAR AS i2s, (-3.5)::VARCHAR AS n2s",
+        "SELECT ''::VARCHAR::BLOB AS eb, 'ab'::BLOB::VARCHAR AS bs",
+        "SELECT TRY_CAST('' AS INTEGER) AS empty",
+        "SELECT TRY_CAST('  ' AS DOUBLE) AS blank",
+        "SELECT [1, 2]::VARCHAR AS lv",
+        "SELECT {'a': 1}::VARCHAR AS sv",
+        "SELECT MAP([1], ['x'])::VARCHAR AS mv",
+        "SELECT '[1, 2]'::INTEGER[] AS s2l",
+        "SELECT TRY_CAST('[1, x]' AS INTEGER[]) AS badl",
+    ],
+    "lists": [
+        "SELECT ([1, 2, 3])[-1] AS neg, ([1, 2, 3])[0] AS zero",
+        "SELECT ([1, 2, 3])[9] AS oob",
+        "SELECT ([1, 2, 3])[1.9] AS frac",
+        "SELECT ([1, 2, 3, 4])[2:3] AS sl1, ([1, 2, 3, 4])[:2] AS sl2,"
+        " ([1, 2, 3, 4])[3:] AS sl3",
+        "SELECT ([1, 2, 3, 4])[-2:] AS sl4, ([1, 2, 3, 4])[:-2] AS sl5",
+        "SELECT ([1, 2, 3, 4])[5:9] AS sl6, ([1, 2, 3, 4])[3:2] AS sl7",
+        "SELECT ([1, 2, 3, 4, 5])[1:5:2] AS step",
+        "SELECT list_slice([1, 2, 3, 4], 2, 3) AS ls",
+        "SELECT array_slice('abcdef', 2, 4) AS stsl",
+        "SELECT list_concat([1], NULL) AS lc1,"
+        " list_concat(NULL, [2]) AS lc2",
+        "SELECT list_concat([1], [NULL, 2]) AS lc3",
+        "SELECT array_cat([1], [2]) AS ac",
+        "SELECT [1] || [2, 3] AS lop",
+        "SELECT [1, 2] || NULL AS lopn",
+        "SELECT list_contains([1, NULL, 2], NULL) AS lcn,"
+        " list_contains([1, 2], 9) AS lcf,"
+        " list_contains([1, NULL], 9) AS lcm",
+        "SELECT list_has_any([1, 2], [2, 3]) AS ha,"
+        " list_has_any([1], []) AS ha2,"
+        " list_has_all([1, 2, 3], [1, 3]) AS hl,"
+        " list_has_all([1], []) AS hl2",
+        "SELECT list_position([1, NULL, 2], NULL) AS lp1,"
+        " list_position([1, 2], 9) AS lp2, list_indexof([5, 6], 6) AS li",
+        "SELECT len([1, 2, 3]) AS ln1, array_length([1, 2]) AS ln2,"
+        " cardinality(MAP([1], ['a'])) AS cd",
+        "SELECT flatten([[1, 2], NULL, [3]]) AS fl",
+        "SELECT flatten([[[1]], [[2]]]) AS fl2",
+        "SELECT list_zip([1, 2, 3], ['a']) AS lz",
+        "SELECT list_zip([1], [2], [3]) AS lz3",
+        "SELECT list_transform([1, 2, 3], x -> x * 2) AS lt",
+        "SELECT list_transform([1, NULL], x -> x + 1) AS ltn",
+        "SELECT list_filter([1, 2, 3, NULL], x -> x > 1) AS lf",
+        "SELECT list_reduce([1, 2, 3], (a, b) -> a + b) AS lr",
+        "SELECT list_reduce([1, 2, 3], (a, b) -> a + b, 10) AS lri",
+        "SELECT list_aggregate([1, 2, NULL], 'sum') AS la1,"
+        " list_aggregate([1, 2], 'max') AS la2,"
+        " list_aggr([1, 2], 'string_agg', '-') AS la3",
+        "SELECT list_sum([1, NULL, 2]) AS lsum,"
+        " list_avg([1, 2, NULL]) AS lavg,"
+        " list_min([3, 1]) AS lmin, list_max([3, 1]) AS lmax,"
+        " list_count([1, NULL]) AS lcnt",
+        "SELECT list_append([1], 2) AS lap, list_prepend(0, [1]) AS lpp,"
+        " array_append([1], NULL) AS lan",
+        "SELECT array_push_back([1], 2) AS pb,"
+        " array_push_front([1], 0) AS pfr",
+        "SELECT list_resize([1, 2], 4) AS lrs1,"
+        " list_resize([1, 2], 4, 9) AS lrs2, list_resize([1, 2], 1) AS lrs3",
+        "SELECT range(5) AS r1, range(2, 5) AS r2, range(5, 2, -1) AS r3",
+        "SELECT range(2, 2) AS re, range(5, 2) AS rneg",
+        "SELECT generate_series(5) AS g0, generate_series(2, 5) AS g1,"
+        " generate_series(5, 2, -2) AS g2",
+        "SELECT list_value(1, NULL, 2) AS lv, list_pack(3, 4) AS lp",
+        "SELECT array_value(1, 2) AS av",
+        "SELECT list_reverse([1, 2, 3]) AS lrv",
+        "SELECT list_rotate([1, 2, 3], 1) AS lro",
+        "SELECT list_grade_up([30, 10, 20]) AS lgu",
+        "SELECT list_select([10, 20, 30], [3, 1]) AS lsel",
+        "SELECT list_where([10, 20, 30], [true, false, true]) AS lwh",
+        "SELECT repeat([1, 2], 2) AS lrep",
+        "SELECT list_dot_product([1.0, 2.0], [3.0, 4.0]) AS ldp,"
+        " list_cosine_similarity([1.0, 0.0], [0.0, 1.0]) AS lcs,"
+        " list_distance([0.0, 0.0], [3.0, 4.0]) AS ld",
+        "SELECT list_unique([1, 1, NULL, NULL, 2]) AS lu",
+        "SELECT array_distinct([2, 2, NULL, 1]) AS ad",
+        "SELECT list_intersect([1, 2, NULL], [2, NULL, 3]) AS li",
+        "SELECT unnest([1, NULL, 2]) AS u ORDER BY 1",
+        "SELECT unnest([]) AS u",
+        "SELECT unnest(NULL::INTEGER[]) AS u",
+        "SELECT [x FOR x IN [1, 2, 3] IF x > 1] AS comp",
+    ],
+    "maps_structs": [
+        "SELECT map_extract(MAP([1, 2], ['a', 'b']), 1) AS me",
+        "SELECT element_at(MAP([1], ['a']), 1) AS ea",
+        "SELECT element_at(MAP([1], ['a']), 9) AS miss",
+        "SELECT map_contains(MAP([1], ['a']), 1) AS mc1,"
+        " map_contains(MAP([1], ['a']), 9) AS mc2",
+        "SELECT map_keys(MAP([2, 1], ['a', 'b'])) AS mk,"
+        " map_values(MAP([2, 1], ['a', 'b'])) AS mv",
+        "SELECT map_entries(MAP([1], ['a'])) AS men",
+        "SELECT map_from_entries([{'k': 1, 'v': 'a'}]) AS mfe",
+        "SELECT map_concat(MAP([1], ['a']), MAP([2], ['b'])) AS mcc",
+        "SELECT map_concat(MAP([1], ['a']), MAP([1], ['z'])) AS mdup",
+        "SELECT MAP() AS empty",
+        "SELECT MAP([1, 1], ['a', 'b']) AS dupkey",
+        "SELECT MAP([NULL], ['a']) AS nullkey",
+        "SELECT MAP([1], [NULL]) AS nullval",
+        "SELECT {'a': 1, 'b': 'x'} AS s",
+        "SELECT struct_extract({'a': 1}, 'a') AS se",
+        "SELECT ({'a': 1}).a AS dot",
+        "SELECT ({'A': 1}).a AS caseins",
+        "SELECT struct_extract({'a': 1, 'b': 2}, 'A') AS seci",
+        "SELECT struct_pack(x := 1, y := 'a') AS sp",
+        "SELECT row(1, 'a') AS r",
+        "SELECT {'a': 1} = {'a': 1} AS eq1,"
+        " {'a': 1} < {'a': 2} AS lt1",
+        "SELECT [{'a': 1}, {'a': 2}] AS los",
+        "SELECT struct_insert({'a': 1}, b := 2) AS si",
+        "SELECT remap_struct({'a': 1, 'b': 2}, NULL) IS NOT NULL AS rs",
+    ],
+    "json": [
+        "SELECT '{\"a\": 1}'::JSON AS j",
+        "SELECT json_extract('{\"a\": {\"b\": 7}}', '$.a.b') AS je,"
+        " json_extract('{\"a\": 1}', '$.missing') AS jm",
+        "SELECT json_extract('[1, 2, 3]', '$[1]') AS ja,"
+        " json_extract('[1, 2, 3]', '$[-1]') AS jneg",
+        "SELECT json_extract('{\"a\": 1}', 'a') AS jbare",
+        "SELECT json_extract_string('{\"a\": \"x\"}', '$.a') AS js,"
+        " json_extract('{\"a\": \"x\"}', '$.a') AS jq",
+        "SELECT '{\"a\": null}'::JSON ->> 'a' AS jn",
+        "SELECT '{\"a\": [1, 2]}' -> 'a' ->> 1 AS chain",
+        "SELECT json_array_length('[1, 2, 3]') AS jal,"
+        " json_array_length('{}') AS jal2",
+        "SELECT json_type('123') AS t1, json_type('\"x\"') AS t2,"
+        " json_type('[1]') AS t3, json_type('{}') AS t4,"
+        " json_type('null') AS t5, json_type('1.5') AS t6,"
+        " json_type('true') AS t7",
+        "SELECT json_valid('{\"a\": 1}') AS v1, json_valid('{a: 1}') AS v2",
+        "SELECT json_keys('{\"b\": 1, \"a\": 2}') AS jk",
+        "SELECT json_merge_patch('{\"a\": 1, \"b\": 2}',"
+        " '{\"b\": null, \"c\": 3}') AS jmp",
+        "SELECT json_array(1, 'a', NULL) AS jar",
+        "SELECT json_object('a', 1, 'b', NULL) AS job",
+        "SELECT json_quote('x') AS jq2",
+        "SELECT to_json([1, 2]) AS tj1, to_json({'a': 1}) AS tj2,"
+        " to_json(MAP(['k'], [1])) AS tj3",
+        "SELECT from_json('[1,2]', '[\"INTEGER\"]') AS fj",
+        "SELECT json_structure('{\"a\": [1, 2]}') AS jst",
+        "SELECT json_contains('{\"a\": 1}', '1') AS jc",
+        "SELECT '{\"a\":1}'::JSON = '{\"a\": 1}'::JSON AS jeq",
+        "SELECT json_group_array(x) AS g FROM (VALUES (1), (2)) t(x)",
+        "SELECT json_group_object(k, v) AS g FROM (VALUES ('a', 1),"
+        " ('b', 2)) t(k, v)",
+        "SELECT len('[1, 2]'::JSON) AS jl",
+    ],
+    "comparison": [
+        "SELECT 'nan'::DOUBLE = 'nan'::DOUBLE AS ne,"
+        " 'nan'::DOUBLE > 1e308 AS ng",
+        "SELECT 'nan'::DOUBLE IN ('nan'::DOUBLE) AS nin",
+        "SELECT x FROM (VALUES (1.0), ('nan'::DOUBLE), ('inf'::DOUBLE),"
+        " (NULL)) t(x) ORDER BY x",
+        "SELECT DISTINCT x FROM (VALUES ('nan'::DOUBLE),"
+        " ('nan'::DOUBLE)) t(x)",
+        "SELECT -0.0::DOUBLE = 0.0::DOUBLE AS zeq",
+        "SELECT count(DISTINCT x) AS c FROM (VALUES (0.0::DOUBLE),"
+        " (-0.0::DOUBLE)) t(x)",
+        "SELECT 1 IN (2, NULL) AS innull, 2 IN (2, NULL) AS inhit,"
+        " NULL IN (1) AS nullin",
+        "SELECT 1 NOT IN (2, NULL) AS notin",
+        "SELECT (1, 2) < (1, 3) AS rc1, (1, 2) = (1, 2) AS rc2",
+        "SELECT (1, NULL) = (1, NULL) AS rcn",
+        "SELECT [1, 2] < [1, 3] AS lc1, [1] < [1, 0] AS lc2,"
+        " [2] > [1, 9] AS lc3",
+        "SELECT [1, NULL] = [1, NULL] AS lceq",
+        "SELECT NULL = NULL AS e1, NULL IS NOT DISTINCT FROM NULL AS e2",
+        "SELECT false AND NULL AS an, true OR NULL AS orn",
+        "SELECT NOT NULL AS nn",
+        "SELECT 1 BETWEEN NULL AND 2 AS bn",
+        "SELECT 'b' BETWEEN 'a' AND 'c' AS sb",
+        "SELECT DATE '2024-01-02' = TIMESTAMP '2024-01-02 00:00:00' AS dteq",
+        "SELECT '5'::VARCHAR = 5 AS coerce",
+        "SELECT true = 1 AS booleq",
+        "SELECT 'abc' LIKE 'ABC' AS lk1, 'abc' ILIKE 'ABC' AS lk2",
+        "SELECT 'a_c' LIKE 'a\\_c' AS esc",
+        "SELECT 'a%c' LIKE 'a$%c' ESCAPE '$' AS esc2",
+        "SELECT 'abc' BETWEEN SYMMETRIC 'c' AND 'a' AS bsym",
+        "SELECT 5 BETWEEN SYMMETRIC 10 AND 1 AS bsym2",
+    ],
+}
+
+
+def canon(v, depth=0):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        if v == int(v) and abs(v) < 2**52:
+            return int(v)
+        return float(f"{v:.9g}")
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, dt.time):
+        return v.isoformat()
+    if isinstance(v, dt.timedelta):
+        return f"td:{v.total_seconds()}"
+    if hasattr(v, "asDict") and depth > 0:
+        return tuple(
+            sorted((k, canon(x, depth + 1)) for k, x in v.asDict().items())
+        )
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x, depth + 1) for x in v)
+    if isinstance(v, dict):
+        if set(v.keys()) == {"key", "value"} and isinstance(
+            v.get("key"), list
+        ):
+            return tuple(
+                sorted(
+                    (str(k), canon(x, depth + 1))
+                    for k, x in zip(v["key"], v["value"])
+                )
+            )
+        return tuple(
+            sorted((str(k), canon(x, depth + 1)) for k, x in v.items())
+        )
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def main() -> None:
+    from duckdb_pgwire_spark.functions.udfs import register_udfs
+    from duckdb_pgwire_spark.server.compat import rewrite
+    from duckdb_pgwire_spark.session import build_session, register_views
+
+    wanted = sys.argv[1:] or list(FAMILIES)
+    spark = build_session(app_name="sweep-defaults")
+    register_views(spark, "/root/testdata/sf0.01")
+    register_udfs(spark)
+    duck = duckdb.connect()
+
+    counts = {"ok": 0, "MISMATCH": 0, "GAP": 0, "DUCK-ERR": 0, "BOTH-ERR": 0}
+    for fam in wanted:
+        print(f"== {fam} ==", flush=True)
+        for sql in FAMILIES[fam]:
+            try:
+                want = sorted(canon(tuple(r)) for r in duck.execute(sql).fetchall())
+                derr = None
+            except Exception as exc:  # noqa: BLE001
+                want, derr = None, str(exc).split("\n")[0][:160]
+            try:
+                rows = spark.sql(rewrite(sql)).collect()
+                have = sorted(canon(tuple(r)) for r in rows)
+                serr = None
+            except Exception as exc:  # noqa: BLE001
+                have, serr = None, str(exc).replace("\n", " ")[:160]
+            if derr and serr:
+                counts["BOTH-ERR"] += 1
+            elif derr:
+                counts["DUCK-ERR"] += 1
+                print(f"DUCK-ERR {sql}\n  duck: {derr}\n  spark: {have!r}")
+            elif serr:
+                counts["GAP"] += 1
+                print(f"GAP      {sql}\n  duck: {want!r}\n  spark: {serr}")
+            elif want != have:
+                counts["MISMATCH"] += 1
+                print(f"MISMATCH {sql}\n  duck:  {want!r}\n  spark: {have!r}")
+            else:
+                counts["ok"] += 1
+    print("totals:", counts)
+
+
+if __name__ == "__main__":
+    main()

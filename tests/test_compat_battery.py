@@ -287,6 +287,65 @@ BATTERY = [
     "SELECT alias(r_name) FROM region LIMIT 1",
     "SELECT alias(r_name) AS al FROM region LIMIT 1",
     "SELECT txid_current() >= 0 AS t",
+    # ---- r10 default-semantics sweep: chained ::, bracket slices
+    "SELECT 1.999::DOUBLE::BIGINT AS a, (-1.999)::DOUBLE::BIGINT AS b",
+    "SELECT ''::VARCHAR::BLOB AS eb, 'ab'::BLOB::VARCHAR AS bs",
+    "SELECT (DATE '2024-01-02')::TIMESTAMP::VARCHAR AS d2ts",
+    "SELECT 1.5::DECIMAL(10,4)::VARCHAR AS dec4",
+    "SELECT 1e-7::DOUBLE AS tiny",
+    "SELECT ([1, 2, 3])[-1] AS neg, ([1, 2, 3])[0] AS zero, ([1, 2, 3])[9] AS oob",
+    "SELECT ([1, 2, 3, 4])[2:3] AS s1, ([1, 2, 3, 4])[:2] AS s2, ([1, 2, 3, 4])[3:] AS s3",
+    "SELECT ([1, 2, 3, 4])[-2:] AS s4, ([1, 2, 3, 4])[:-2] AS s5, ([1, 2, 3, 4])[5:9] AS s6, ([1, 2, 3, 4])[3:2] AS s7",
+    "SELECT ([1, 2, 3, 4, 5])[1:5:2] AS st1, ([1, 2, 3, 4, 5])[2:5:2] AS st2",
+    "SELECT 'abcdef'[2:4] AS a, 'abcdef'[:3] AS b, 'abcdef'[4:] AS c, 'abcdef'[-3:] AS d, 'abc'[2] AS e, 'abc'[0] AS f, 'abc'[9] AS g",
+    "SELECT unnest(NULL::INTEGER[]) AS u",
+    # ---- r10 sweep: list NULL semantics
+    "SELECT list_concat([1], NULL) AS a, list_concat(NULL, [2]) AS b, list_concat([1], [NULL, 2]) AS c",
+    "SELECT array_cat([1], NULL) AS a, array_cat([1], [2]) AS b",
+    "SELECT [1, 2] || NULL AS a, NULL || [3] AS b, 'a' || NULL AS c",
+    "SELECT list_contains([1, NULL, 2], NULL) AS a, list_contains([1, 2], 9) AS b, list_contains([1, NULL], 9) AS c, list_contains([1, NULL], 1) AS d",
+    "SELECT list_position([1, NULL, 2], NULL) AS a, list_position([1, 2], 9) AS b, list_indexof([5, 6], 6) AS c",
+    "SELECT list_intersect([1, 2, NULL], [2, NULL, 3]) AS li",
+    "SELECT flatten([[1, 2], NULL, [3]]) AS a, flatten([[1], [NULL]]) AS b",
+    "SELECT list_sum([1, NULL, 2]) AS a, list_avg([1, 2, NULL]) AS b, list_sum([]) AS c, list_avg([]) AS d",
+    "SELECT list_aggregate([1, 2, NULL], 'sum') AS a, list_aggr([1, 2], 'string_agg', '-') AS c",
+    "SELECT len([1, 2, 3]) AS a, len('abc') AS b, array_length([1, 2]) AS c, cardinality(MAP([1], ['a'])) AS d",
+    "SELECT array_value(1, 2) AS av",
+    "SELECT map_concat(MAP([1], ['a']), MAP([1], ['z'])) AS m",
+    # ---- r10 sweep: strings / math extras
+    "SELECT split_part('a,b,c', '', 2) AS a, split_part('xy', '', 9) AS b, split_part('a|b', '|', 2) AS c",
+    "SELECT string_split('abc', '') AS a, string_split('', '') AS b, string_split('a,,b', ',') AS c, string_split('', ',') AS d",
+    "SELECT fdiv(7.5, 2) AS a, fdiv(-7.5, 2) AS b, fdiv(-7, 2) AS c, fmod(7.5, 2) AS d, fmod(-7.5, 2) AS e, fmod(-7, 3) AS f",
+    "SELECT regexp_escape('a.b[c]{d}(e)*+?|^$-g#h ') AS re",
+    "SELECT md5_number_lower('abc') AS l, md5_number_upper('abc') AS u, md5_number_lower('') AS l2, md5_number_upper('') AS u2",
+    "SELECT chr(97) AS a, chr(960) AS b, chr(128512) AS c",
+    "SELECT format_bytes(999) AS a, format_bytes(1024) AS b, format_bytes(1000000) AS c, format_bytes(-2048) AS d, format_bytes(1234567890123) AS e",
+    "SELECT formatReadableDecimalSize(999) AS a, formatReadableDecimalSize(1500) AS b, formatReadableDecimalSize(1000000000) AS c",
+    "SELECT formatReadableSize(1000000) AS frs",
+    # ---- r10 sweep: casts round like DuckDB; double→varchar text
+    "SELECT '1.5'::INTEGER AS a, '1e3'::INTEGER AS b, '0x1A'::INTEGER AS c, ' 42 '::INTEGER AS d, '2.5'::INT AS e, '3.5'::INT AS f",
+    "SELECT 2.5::DOUBLE::INT AS a, 3.5::DOUBLE::INT AS b, (-2.5)::DOUBLE::INT AS c, 1.999::DOUBLE::INTEGER AS d",
+    "SELECT TRY_CAST('1.5' AS INTEGER) AS a, TRY_CAST('abc' AS INTEGER) AS b, TRY_CAST('' AS INTEGER) AS c",
+    "SELECT CAST('2.5' AS BIGINT) AS a, CAST(2.5 AS INT) AS b, CAST(-2.5 AS INT) AS c",
+    "SELECT 1.5::DECIMAL(4,1)::INTEGER AS a, 2.5::DECIMAL(4,1)::INTEGER AS b, CAST(CAST(2.5 AS DECIMAL(4,1)) AS INT) AS n",
+    "SELECT 1e20::VARCHAR AS big, 1e-7::DOUBLE::VARCHAR AS small, 1.0::DOUBLE::VARCHAR AS one",
+    "SELECT 'inf'::DOUBLE::VARCHAR AS i, 'nan'::DOUBLE::VARCHAR AS n, 0.000001::DOUBLE::VARCHAR AS sm, 123456789.123::DOUBLE::VARCHAR AS md",
+    "SELECT 1.5::FLOAT::VARCHAR AS f32, (NULL::DOUBLE)::VARCHAR AS nv",
+    # ---- r10 sweep: substr negative length, printf casts, LIKE escape
+    "SELECT substr('abcdef', 3, -1) AS a, substr('abcdef', 3, -2) AS b, substr('abcdef', 1, -1) AS c, substr('abcdef', -2, -1) AS d",
+    "SELECT substr('abcdef', 0, -1) AS e, substr('abcdef', -2, -3) AS f, substr('abcdef', 2, -9) AS g, substr('abcdef', 9, -3) AS h",
+    "SELECT printf('%5.2f|%d|%s', 3.14159, 42, 'x') AS pf, printf('%x|%o', 255, 8) AS pf2",
+    "SELECT 'a_c' LIKE 'a\\_c' AS esc, 'a\\c' LIKE 'a\\c' AS bs2, 'abc' LIKE 'a%' AS w",
+    # ---- r10 sweep: json paths and constructors
+    "SELECT json_extract('{\"a\": {\"b\": 7}}', 'a') AS bare, json_extract('{\"a\": {\"b\": 7}}', '/a/b') AS ptr, json_extract('{\"a.b\": 1}', 'a.b') AS dotkey",
+    "SELECT json_extract('[1, 2, 3]', '$[1]') AS ja, json_extract('[1, 2, 3]', '$[-1]') AS jneg, json_extract('[1,2]', 1) AS ip, json_extract('[1]', '$[#-1]') AS hs",
+    "SELECT json_extract('[1.50, \"x\"]', '$[-1]') AS s, json_extract('[1.50, \"x\"]', '$[-2]') AS n, json_extract('{\"a\": [1, {\"b\": 2}]}', '$.a[-1].b') AS deep",
+    "SELECT json_extract('{\"a\": 1}', '$.missing') AS miss, json_extract('{\"a\": null}', 'a') AS jn",
+    "SELECT json_extract_string('{\"a\": \"x\"}', 'a') AS es, json_extract_string('[1.50, \"x\"]', '$[-2]') AS es2",
+    "SELECT json_array_length('[1, 2, 3]') AS a, json_array_length('{}') AS b, json_array_length('\"x\"') AS d",
+    "SELECT json_array(1, 'a', NULL) AS ja, json_object('a', 1, 'b', NULL) AS jo",
+    "SELECT '{\"a\": 1}'::JSON AS j, '{\"a\":1}'::JSON = '{\"a\": 1}'::JSON AS eq, len('[1, 2]'::JSON) AS l",
+    "SELECT from_json('[1,2]', '[\"INTEGER\"]') AS fj",
 ]
 
 # fixture-table statements need the views registered on both engines
@@ -299,6 +358,9 @@ def _canon(v, depth=0):
     if isinstance(v, bool):
         return v
     if isinstance(v, Decimal):
+        if v == v.to_integral_value():
+            return int(v)  # uint64-range values (md5_number_*) are
+            # exact as DECIMAL(20,0) but lose precision as float
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
