@@ -2292,6 +2292,12 @@ def _sqlstate(exc: Exception) -> str:
             # branching on the SQLSTATE class should see PG/DuckDB's
             # invalid-text-representation, not a user RAISE
             return "22P02"
+        if "Out of Range Error:" in msg:
+            # DuckDB-parity guards (ln(0), sqrt(-1), …) ride
+            # raise_error() — class 22 like PG's out-of-range
+            return "22003"
+        if "Invalid Input Error:" in msg:
+            return "22023"  # invalid_parameter_value (ACOS range, LPAD)
         return "P0001"  # raise_error() — PG's RAISE exception code
     name = type(exc).__name__
     if "Parse" in name:

@@ -320,6 +320,9 @@ def _rewrite_code(seg: str) -> str:
     )
     seg = re.sub(r"\b__flatten__\s*\(", "flatten(", seg, flags=re.IGNORECASE)
     seg = re.sub(r"\b__map__\s*\(", "map(", seg, flags=re.IGNORECASE)
+    # generic passthrough marker: __native_fn__( → fn( — lets any shim
+    # emit a call that its own (or another) scanner must not re-claim
+    seg = re.sub(r"\b__native_(\w+?)__\s*\(", r"\1(", seg)
     seg = re.sub(
         r"\b__json_array_length__\s*\(", "json_array_length(", seg,
         flags=re.IGNORECASE,
@@ -3707,6 +3710,37 @@ def _tpl_json_transform(args: list[str]) -> str | None:
     )
 
 
+def _log_guard(x: str, fn: str | None) -> str:
+    """DuckDB raises Out of Range on log of zero/negative (Spark:
+    NULL). fn=None returns just the guarded argument (for the 2-arg
+    log(base, x) form, where Spark's own log applies)."""
+    body = f"__native_{fn}__({x})" if fn else f"({x})"
+    return (
+        f"(CASE WHEN ({x}) = 0 THEN raise_error('Out of Range Error:"
+        f" cannot take logarithm of zero')"
+        f" WHEN ({x}) < 0 THEN raise_error('Out of Range Error:"
+        f" cannot take logarithm of a negative number')"
+        f" ELSE {body} END)"
+    )
+
+
+def _trig_guard(x: str, fn: str) -> str:
+    return (
+        f"(CASE WHEN ({x}) < -1 OR ({x}) > 1 THEN raise_error("
+        f"'Invalid Input Error: {fn.upper()} is undefined outside"
+        f" [-1,1]') ELSE __native_{fn}__({x}) END)"
+    )
+
+
+def _pad_guard(args: list[str], fn: str) -> str:
+    s, n, p = args
+    return (
+        f"(CASE WHEN ({p}) = '' AND ({n}) > length({s}) THEN"
+        f" raise_error('Invalid Input Error: Insufficient padding"
+        f" in {fn.upper()}.') ELSE __native_{fn}__({s}, {n}, {p}) END)"
+    )
+
+
 def _tpl_substr3(args: list[str]) -> str:
     """3-arg substr with DuckDB's 0-start and negative-length rules
     (verified against probes: (3,-2)='ab', (-2,-3)='bcd', (2,-9)='a',
@@ -4126,7 +4160,38 @@ _NARY_REWRITES: dict = {
     "time_bucket": (None, _tpl_time_bucket),
     "date_add": (None, _tpl_date_add),
     # ---- numerics
-    "log": (1, "log10({0})"),  # DuckDB 1-arg log is BASE-10 (Spark: ln)
+    # DuckDB 1-arg log is BASE-10 (Spark: ln), and DuckDB RAISES on a
+    # non-positive argument where Spark returns NULL (error-parity
+    # family, r10 sweep). Same guard for ln/log2/log10/sqrt/acos/asin.
+    "log": (
+        None,
+        lambda a: (
+            _log_guard(a[0], "log10")
+            if len(a) == 1
+            else (
+                f"__native_log__({a[0]}, {_log_guard(a[1], None)})"
+                if len(a) == 2
+                else None
+            )
+        ),
+    ),
+    "ln": (1, lambda a: _log_guard(a[0], "ln")),
+    "log2": (1, lambda a: _log_guard(a[0], "log2")),
+    "log10": (1, lambda a: _log_guard(a[0], "log10")),
+    "sqrt": (
+        1,
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) < 0 THEN raise_error('Out of Range"
+            f" Error: cannot take square root of a negative number')"
+            f" ELSE __native_sqrt__({a[0]}) END)"
+        ),
+    ),
+    "acos": (1, lambda a: _trig_guard(a[0], "acos")),
+    "asin": (1, lambda a: _trig_guard(a[0], "asin")),
+    # lpad/rpad with an EMPTY pad string raise when padding is actually
+    # needed (probed: lpad('abc',2,'')='ab' but lpad('abc',5,'') errors)
+    "lpad": (3, lambda a: _pad_guard(a, "lpad")),
+    "rpad": (3, lambda a: _pad_guard(a, "rpad")),
     # quantile_disc/quantile: SQL-standard discrete percentile (smallest
     # value whose cume_dist ≥ p) — matches DuckDB's lower-rank pick;
     # list arguments expand per-percentile (Spark's percentile_disc is
@@ -4222,12 +4287,12 @@ _NARY_REWRITES: dict = {
         2,
         "(aggregate(zip_with({0}, {1}, (__x, __y) -> CAST(__x AS DOUBLE) * __y),"
         " CAST(0 AS DOUBLE), (__s, __v) -> __s + __v)"
-        " / (sqrt(aggregate({0}, CAST(0 AS DOUBLE), (__s, __v) -> __s + CAST(__v AS DOUBLE) * __v))"
-        " * sqrt(aggregate({1}, CAST(0 AS DOUBLE), (__s, __v) -> __s + CAST(__v AS DOUBLE) * __v))))",
+        " / (__native_sqrt__(aggregate({0}, CAST(0 AS DOUBLE), (__s, __v) -> __s + CAST(__v AS DOUBLE) * __v))"
+        " * __native_sqrt__(aggregate({1}, CAST(0 AS DOUBLE), (__s, __v) -> __s + CAST(__v AS DOUBLE) * __v))))",
     ),
     "list_distance": (
         2,
-        "sqrt(aggregate(zip_with({0}, {1}, (__x, __y) -> "
+        "__native_sqrt__(aggregate(zip_with({0}, {1}, (__x, __y) -> "
         "(CAST(__x AS DOUBLE) - __y) * (CAST(__x AS DOUBLE) - __y)), "
         "CAST(0 AS DOUBLE), (__s, __v) -> __s + __v))",
     ),

@@ -830,6 +830,14 @@ BATTERY: dict[str, list[str]] = {
         "SELECT from_json('[1,2]', '[\"INTEGER\"]') AS fj",
         "SELECT printf('%5.2f|%d|%s', 3.14159, 42, 'x') AS pf",
         "SELECT 'a_c' LIKE 'a\\_c' AS esc, 'a\\c' LIKE 'a\\c' AS bs",
+        # error-parity guards: both engines must ERROR (both_err class)
+        "SELECT ln(0.0) AS e",
+        "SELECT ln(-1.0) AS e",
+        "SELECT sqrt(-1.0) AS e",
+        "SELECT acos(2.0) AS e",
+        "SELECT lpad('abc', 5, '') AS e",
+        # and their value paths stay exact
+        "SELECT ln(1.0) AS a, log(100.0) AS b, log(2, 8.0) AS c, sqrt(4.0) AS d, acos(1.0) AS e2, asin(0.5) AS f",
     ],
 }
 

@@ -346,6 +346,10 @@ BATTERY = [
     "SELECT json_array(1, 'a', NULL) AS ja, json_object('a', 1, 'b', NULL) AS jo",
     "SELECT '{\"a\": 1}'::JSON AS j, '{\"a\":1}'::JSON = '{\"a\": 1}'::JSON AS eq, len('[1, 2]'::JSON) AS l",
     "SELECT from_json('[1,2]', '[\"INTEGER\"]') AS fj",
+    # ---- r10 error-parity guards: the VALUE paths must stay exact
+    # (the raise paths are census both_err probes — both engines error)
+    "SELECT ln(1.0) AS a, log(100.0) AS b, log(2, 8.0) AS c, log2(8.0) AS d, log10(100.0) AS e, sqrt(4.0) AS f, acos(1.0) AS g, asin(0.5) AS h",
+    "SELECT ln(NULL) AS n1, sqrt(NULL) AS n2, lpad('abc', 2, '') AS t1, lpad('a', 5, 'xy') AS t2, rpad('abc', 5, '.') AS t3",
 ]
 
 # fixture-table statements need the views registered on both engines
