@@ -505,9 +505,26 @@ def _rewrite_pg_client_fns(sql: str) -> str:
     sql = re.sub(
         r"\bcurrent_setting\s*\(\s*'([^']*)'\s*\)", setting, sql, flags=re.IGNORECASE
     )
+    def iv(m: re.Match) -> str:
+        spec = m.group(1)
+        if re.fullmatch(r"\s*-?\d+:\d+:\d+(?:\.\d+)?\s*", spec):
+            # DuckDB 'H:MM:SS' shorthand needs Spark's unit qualifier
+            return f"INTERVAL '{spec}' HOUR TO SECOND"
+        return f"INTERVAL '{spec}'"
+
     sql = re.sub(
         r"\bCAST\s*\(\s*'([^']*)'\s*AS\s+INTERVAL\s*\)",
-        r"INTERVAL '\1'",
+        iv,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # the :: spelling of the same cast (r10 sweep)
+    sql = re.sub(r"'([^']*)'\s*::\s*INTERVAL\b", iv, sql, flags=re.IGNORECASE)
+    # DuckDB accepts '/'-separated date literals ('2024/01/02'::DATE)
+    sql = re.sub(
+        r"'(\d{4})/(\d{1,2})/(\d{1,2})'(\s*::\s*(?:DATE|TIMESTAMP)\b"
+        r"|\s+AS\s+(?:DATE|TIMESTAMP)\s*\))",
+        r"'\1-\2-\3'\4",
         sql,
         flags=re.IGNORECASE,
     )
@@ -2939,6 +2956,30 @@ def _cast_chain_operand_start(sql: str, mask: list[bool], pos: int) -> int | Non
     return start
 
 
+_STR_LIST_CAST_RE = re.compile(
+    r"('(?:[^']|'')*')\s*::\s*(ARRAY<[\w<>,()]*>)", re.IGNORECASE
+)
+_STR_LIST_CAST_FN_RE = re.compile(
+    r"\b(?:TRY_)?CAST\s*\(\s*('(?:[^']|'')*')\s+AS\s+(ARRAY<[\w<>,()]*>)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_str_to_list_cast(sql: str) -> str:
+    """DuckDB casts a VARCHAR literal to a LIST by parsing its text
+    ('[1, 2]'::INTEGER[] = [1, 2]); Spark has no string→array cast.
+    from_json covers the literal form (runs after the T[] suffix pass,
+    so the type is already ARRAY<...> DDL). Malformed text NULLs
+    (matching TRY_CAST; plain CAST loses DuckDB's conversion error —
+    documented delta)."""
+
+    def sub(m: re.Match) -> str:
+        return f"from_json({m.group(1)}, '{m.group(2)}')"
+
+    sql = _STR_LIST_CAST_RE.sub(sub, sql)
+    return _STR_LIST_CAST_FN_RE.sub(sub, sql)
+
+
 def _rewrite_brackets(sql: str) -> str:
     """DuckDB bracket idioms → Spark (v1.1.1 dialect, reachable through
     the reference's ``cpp:52`` delegation):
@@ -3935,6 +3976,19 @@ def _is_null_lit(a: str) -> bool:
     return a.strip().upper() == "NULL"
 
 
+def _tpl_list_slice(args: list[str]) -> str:
+    s, lo, hi = args
+    sl = s.strip()
+    if _QUOTED_LIT_RE.fullmatch(sl):
+        lit = sl[1:-1].replace("''", "'")
+        if re.fullmatch(r"-?\d+", lo.strip()) and re.fullmatch(
+            r"-?\d+", hi.strip()
+        ):
+            return _sql_str(_duck_str_slice(lit, int(lo), int(hi)))
+        return _slice_repl(sl, lit, lo.strip(), hi.strip(), None, 0)
+    return f"slice({s}, {lo}, ({hi}) - ({lo}) + 1)"
+
+
 def _tpl_list_concat(args: list[str]) -> str | None:
     """DuckDB list_concat/array_cat treat a NULL argument as ABSENT
     (list_concat([1], NULL) = [1]); Spark's concat propagates NULL and
@@ -4040,9 +4094,11 @@ _NARY_REWRITES: dict = {
     # scalar xor (DuckDB function; Spark only has the ^ operator)
     "xor": (2, "(({0}) ^ ({1}))"),
     # DuckDB list_slice/array_slice(l, begin, end) is 1-based END-
-    # INCLUSIVE; Spark slice takes (start, LENGTH)
-    "list_slice": (3, "slice({0}, {1}, ({2}) - ({1}) + 1)"),
-    "array_slice": (3, "slice({0}, {1}, ({2}) - ({1}) + 1)"),
+    # INCLUSIVE; Spark slice takes (start, LENGTH). A string-literal
+    # first argument slices VARCHAR (r10 sweep: array_slice('abcdef',
+    # 2, 4) = 'bcd') with the bracket pass's substring semantics.
+    "list_slice": (3, lambda a: _tpl_list_slice(a)),
+    "array_slice": (3, lambda a: _tpl_list_slice(a)),
     # ---- literal-separator splits (Spark split takes a REGEX — the
     # \Q..\E quoting makes the separator literal, matching DuckDB; the
     # lambda adds DuckDB's empty-separator per-character semantics)
@@ -6469,6 +6525,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_printf(sql)  # ditto: casts args per printf spec
     sql = _rewrite_array_constructor(sql)
     sql = _rewrite_array_type_suffix(sql)  # INT[] types BEFORE brackets
+    sql = _rewrite_str_to_list_cast(sql)  # '[1,2]'::INT[] parses the text
     sql = _rewrite_duck_types(sql)  # STRUCT(...)/MAP(...)/unsigned casts
     sql = _rewrite_varchar_family(sql)  # TEXT/CHAR(n)/... → STRING in type pos
     sql = _rewrite_collate_names(sql)  # NOCASE/NOACCENT → Spark collations

@@ -838,6 +838,11 @@ BATTERY: dict[str, list[str]] = {
         "SELECT lpad('abc', 5, '') AS e",
         # and their value paths stay exact
         "SELECT ln(1.0) AS a, log(100.0) AS b, log(2, 8.0) AS c, sqrt(4.0) AS d, acos(1.0) AS e2, asin(0.5) AS f",
+        # lenient literal casts + string slices through the fn spelling
+        "SELECT '2024/01/02'::DATE AS d2",
+        "SELECT '[1, 2]'::INTEGER[] AS l",
+        "SELECT array_slice('abcdef', 2, 4) AS s1, list_slice('abcdef', -3, -1) AS s2",
+        "SELECT '1 day'::INTERVAL AS iv, '1:02:03'::INTERVAL AS iv3",
     ],
 }
 

@@ -350,6 +350,11 @@ BATTERY = [
     # (the raise paths are census both_err probes — both engines error)
     "SELECT ln(1.0) AS a, log(100.0) AS b, log(2, 8.0) AS c, log2(8.0) AS d, log10(100.0) AS e, sqrt(4.0) AS f, acos(1.0) AS g, asin(0.5) AS h",
     "SELECT ln(NULL) AS n1, sqrt(NULL) AS n2, lpad('abc', 2, '') AS t1, lpad('a', 5, 'xy') AS t2, rpad('abc', 5, '.') AS t3",
+    # ---- r10 sweep: lenient literal casts, string slices via fn form
+    "SELECT '2024/01/02'::DATE AS d2, CAST('2024/1/2' AS DATE) AS d3",
+    "SELECT '[1, 2]'::INTEGER[] AS l, '[1.5, 2.5]'::DOUBLE[] AS dl",
+    "SELECT array_slice('abcdef', 2, 4) AS s1, list_slice('abcdef', -3, -1) AS s2, array_slice([1, 2, 3, 4], 2, 3) AS l1, list_slice([1, 2, 3, 4], -2, -1) AS l2",
+    "SELECT '1 day'::INTERVAL AS a, '1:02:03'::INTERVAL AS b, '2 hours 3 minutes'::INTERVAL AS c",
 ]
 
 # fixture-table statements need the views registered on both engines
