@@ -217,12 +217,25 @@ _STRF = {
 }
 
 
-def _translate_strf(fmt: str) -> str:
+# parse direction: single pattern letters accept 1-2 digits like
+# DuckDB's %-directives ('3:04 PM' parses with h:m, not hh:mm — Java's
+# doubled letters are strict-width on input, r10 sweep)
+_STRF_PARSE = {
+    "%H": "H", "%I": "h", "%M": "m", "%S": "s", "%m": "M", "%d": "d",
+    "%j": "D",
+}
+
+
+def _translate_strf(fmt: str, parse: bool = False) -> str:
     out = []
     i = 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
-            out.append(_STRF.get(fmt[i : i + 2], fmt[i : i + 2]))
+            tok = fmt[i : i + 2]
+            if parse and tok in _STRF_PARSE:
+                out.append(_STRF_PARSE[tok])
+            else:
+                out.append(_STRF.get(tok, tok))
             i += 2
         else:
             out.append(fmt[i])
@@ -232,16 +245,22 @@ def _translate_strf(fmt: str) -> str:
 
 def _rewrite_strftime(sql: str) -> str:
     """DuckDB ``strftime(ts, '%Y-%m-%d')`` → ``date_format(ts, 'yyyy-MM-dd')``
-    and ``strptime(s, fmt)`` → ``to_timestamp(s, fmt)``, translating the
-    %-directives. Works on whole statements (needs the quoted format
-    argument, so it runs BEFORE literal splitting)."""
+    and ``[try_]strptime(s, fmt)`` → ``[try_]to_timestamp(s, fmt)``,
+    translating the %-directives. Works on whole statements (needs the
+    quoted format argument, so it runs BEFORE literal splitting)."""
 
     def fix(m: re.Match) -> str:
-        fn = "date_format" if m.group(1).lower() == "strftime" else "to_timestamp"
-        return f"{fn}({m.group(2)}, '{_translate_strf(m.group(3))}')"
+        name = m.group(1).lower()
+        fn = {
+            "strftime": "date_format",
+            "strptime": "to_timestamp",
+            "try_strptime": "try_to_timestamp",
+        }[name]
+        parse = name != "strftime"
+        return f"{fn}({m.group(2)}, '{_translate_strf(m.group(3), parse)}')"
 
     return re.sub(
-        r"\b(strftime|strptime)\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*'([^']*)'\s*\)",
+        r"\b(strftime|strptime|try_strptime)\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*'([^']*)'\s*\)",
         fix,
         sql,
         flags=re.IGNORECASE,
@@ -317,6 +336,9 @@ def _rewrite_code(seg: str) -> str:
     )
     seg = re.sub(
         r"\b__date_trunc__\s*\(", "date_trunc(", seg, flags=re.IGNORECASE
+    )
+    seg = re.sub(
+        r"\b__date_part__\s*\(", "date_part(", seg, flags=re.IGNORECASE
     )
     seg = re.sub(r"\b__flatten__\s*\(", "flatten(", seg, flags=re.IGNORECASE)
     seg = re.sub(r"\b__map__\s*\(", "map(", seg, flags=re.IGNORECASE)
@@ -1019,6 +1041,46 @@ def _rewrite_interval_epoch(sql: str) -> str:
         return repr(secs)
 
     return _INTERVAL_EPOCH_RE.sub(sub, sql)
+
+
+_EXTRACT_RE = re.compile(r"\bEXTRACT\s*\(\s*(\w+)\s+FROM\b", re.IGNORECASE)
+# EXTRACT fields where Spark disagrees with (or lacks) DuckDB's field —
+# routed through the date_part templates; everything else stays native
+_EXTRACT_DUCK_FIELDS = frozenset(
+    """dow dayofweek weekday isodow epoch microseconds microsecond
+    milliseconds millisecond second seconds isoyear yearweek decade
+    century millennium era julian timezone timezone_hour
+    timezone_minute""".split()
+)
+
+
+def _rewrite_extract(sql: str) -> str:
+    """``EXTRACT(field FROM x)`` → ``date_part('field', x)`` for the
+    fields whose semantics differ from Spark's EXTRACT (isodow, epoch,
+    sub-second carriers, truncating 'second', isoyear, decade …, r10
+    sweep) so the date_part shims decide once for both spellings."""
+    guard = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        hit = None
+        for m in _EXTRACT_RE.finditer(sql):
+            if not mask[m.start()]:
+                continue
+            if m.group(1).lower() not in _EXTRACT_DUCK_FIELDS:
+                continue
+            open_i = sql.index("(", m.start())
+            close = _match_paren(sql, mask, open_i)
+            if close is None:
+                continue
+            inner = sql[m.end() : close].strip()
+            hit = (m.start(), close + 1, f"date_part('{m.group(1)}', {inner})")
+            break
+        if hit is None:
+            return sql
+        s, e, repl = hit
+        sql = sql[:s] + repl + sql[e:]
+    return sql
 
 
 def _rewrite_operators(sql: str) -> str:
@@ -3600,11 +3662,49 @@ def _rewrite_regexp_default_group(sql: str) -> str:
         if depth:
             return sql
         args = split_top_level(sql[m.end() : i - 1])
-        if len(args) != 2:
+        if len(args) == 2:
+            sql = sql[: i - 1] + ", 0" + sql[i - 1 :]
+            skipped = {s for s in skipped if s < m.start()}
+            continue
+        if len(args) == 3:
+            # r10 sweep: a literal group index BEYOND the pattern's
+            # groups returns '' in DuckDB (Spark raises); a NAME LIST
+            # returns a struct of the groups in order
+            pat = args[1].strip()
+            third = args[2].strip()
+            pm = re.fullmatch(r"'((?:[^']|'')*)'", pat)
+            im = re.fullmatch(r"\d+", third)
+            nm = re.fullmatch(
+                r"array\(\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)",
+                third,
+                re.IGNORECASE,
+            )
+            if pm and (im or nm):
+                ngroups = len(re.findall(r"(?<!\\)\((?!\?)", pm.group(1)))
+                if im and int(third) > ngroups:
+                    sql = sql[: m.start()] + "''" + sql[i:]
+                    skipped = {s for s in skipped if s < m.start()}
+                    continue
+                if nm:
+                    names = [
+                        n.strip()[1:-1]
+                        for n in split_top_level(nm.group(1))
+                    ]
+                    parts = ", ".join(
+                        f"'{n}', regexp_extract({args[0].strip()},"
+                        f" {pat}, {k + 1})"
+                        for k, n in enumerate(names)
+                    )
+                    sql = (
+                        sql[: m.start()]
+                        + f"named_struct({parts})"
+                        + sql[i:]
+                    )
+                    skipped = {s for s in skipped if s < m.start()}
+                    continue
             skipped.add(m.start())
             continue
-        sql = sql[: i - 1] + ", 0" + sql[i - 1 :]
-        skipped = {s for s in skipped if s < m.start()}
+        skipped.add(m.start())
     return sql
 
 
@@ -3653,9 +3753,12 @@ def _tpl_regexp_replace(args: list[str]) -> str | None:
     if not m:
         return None  # non-literal flags: loud passthrough
     flags = set(m.group(1))
-    if not flags <= {"g", "i"}:
-        return None
-    pat = f"concat('(?i)', {args[1]})" if "i" in flags else args[1]
+    if not flags <= {"g", "i", "s", "m", "c", "n", "x"}:
+        return None  # unknown flag: loud passthrough
+    # i/s/m/x have Java inline twins; 'c' (case-sensitive) and 'n'
+    # (RE2 newline-sensitive ≈ default) are the defaults already
+    inline = "".join(c for c in "ismx" if c in flags)
+    pat = f"concat('(?{inline})', {args[1]})" if inline else args[1]
     if "g" in flags:
         # Spark's builtin replacement syntax is Java's $N, not RE2's
         # \N — only a literal replacement WITHOUT backrefs/dollars can
@@ -3669,21 +3772,90 @@ def _tpl_regexp_replace(args: list[str]) -> str | None:
     return f"__regexp_replace_one({args[0]}, {pat}, {args[2]})"
 
 
-def _tpl_date_part(args: list[str]) -> str | None:
-    """DuckDB date_part fields whose Spark twin disagrees: 'dow' is
-    Sunday=0 (Spark's DAYOFWEEK is Sunday=1), 'epoch' has no Spark
-    field. Everything else passes through to Spark's native date_part."""
-    if len(args) != 2:
+def _tpl_regexp_matches(args: list[str]) -> str | None:
+    """3-arg regexp_matches(s, p, flags) → RLIKE with Java inline
+    flags; the 2-arg form stays the rlike rename (partial match on
+    both engines)."""
+    if len(args) != 3:
         return None
-    field = args[0].strip().strip("'").lower()
-    src = args[1]
+    s, p, fl = args
+    flm = re.fullmatch(r"'([a-z]*)'", fl.strip())
+    if not flm:
+        return None
+    flags = set(flm.group(1))
+    if not flags <= {"g", "i", "s", "m", "c", "n", "x"}:
+        return None
+    inline = "".join(c for c in "ismx" if c in flags)
+    if not inline:
+        return f"({s} RLIKE {p})"
+    return f"({s} RLIKE concat('(?{inline})', {p}))"
+
+
+def _date_part_expr(field: str, src: str) -> str | None:
+    """One DuckDB date_part field → Spark expression, or None for
+    fields Spark's native date_part already agrees on."""
     if field in ("dow", "dayofweek", "weekday"):
-        return f"((weekday({src}) + 1) % 7)"
+        return f"((__native_weekday__({src}) + 1) % 7)"
     if field == "isodow":
-        return f"(weekday({src}) + 1)"
+        return f"(__native_weekday__({src}) + 1)"
     if field == "epoch":
         return f"(unix_micros(CAST({src} AS TIMESTAMP)) / 1e6)"
+    # sub-minute fields carry the fractional second in DuckDB
+    # (microseconds(…00:00:01.5) = 1500000); 'second' TRUNCATES to
+    # BIGINT where Spark keeps the fraction (r10 sweep)
+    if field in ("microseconds", "microsecond"):
+        return f"CAST(__date_part__('SECOND', {src}) * 1000000 AS BIGINT)"
+    if field in ("milliseconds", "millisecond"):
+        return f"CAST(__date_part__('SECOND', {src}) * 1000 AS BIGINT)"
+    if field in ("second", "seconds"):
+        return f"CAST(floor(__date_part__('SECOND', {src})) AS BIGINT)"
+    if field in ("isoyear",):
+        return f"CAST(__date_part__('YEAROFWEEK', {src}) AS BIGINT)"
+    if field == "yearweek":
+        return (
+            f"(CAST(__date_part__('YEAROFWEEK', {src}) AS BIGINT) * 100"
+            f" + weekofyear({src}))"
+        )
+    if field == "decade":
+        return f"CAST(floor(year({src}) / 10) AS BIGINT)"
+    if field == "century":
+        return f"CAST(floor((year({src}) - 1) / 100) + 1 AS BIGINT)"
+    if field == "millennium":
+        return f"CAST(floor((year({src}) - 1) / 1000) + 1 AS BIGINT)"
+    if field == "era":
+        return f"(CASE WHEN year({src}) > 0 THEN 1 ELSE 0 END)"
+    if field in ("timezone", "timezone_hour", "timezone_minute"):
+        return "CAST(0 AS BIGINT)"  # session pinned UTC
+    if field == "julian":
+        return (
+            f"(CAST(datediff(CAST({src} AS DATE), DATE '-4713-11-24')"
+            f" AS DOUBLE) + (unix_micros(CAST({src} AS TIMESTAMP))"
+            f" % 86400000000) / 86400000000.0)"
+        )
     return None
+
+
+def _tpl_date_part(args: list[str]) -> str | None:
+    """DuckDB date_part fields whose Spark twin disagrees: 'dow' is
+    Sunday=0 (Spark's DAYOFWEEK is Sunday=1), 'epoch'/'julian'/
+    'yearweek'/sub-second fields have no Spark twin, 'second'
+    truncates. A LIST first argument returns a struct of parts
+    (date_part(['year','month'], d), r10 sweep). Everything else
+    passes through to Spark's native date_part."""
+    if len(args) != 2:
+        return None
+    src = args[1]
+    head = args[0].strip()
+    lm = re.fullmatch(r"array\(\s*((?:'[a-z_]+'\s*,\s*)*'[a-z_]+')\s*\)", head, re.IGNORECASE)
+    if lm:
+        fields = [f.strip().strip("'") for f in lm.group(1).split(",")]
+        parts = []
+        for f in fields:
+            e = _date_part_expr(f.lower(), src) or f"__date_part__('{f}', {src})"
+            parts.append(f"'{f}', {e}")
+        return f"named_struct({', '.join(parts)})"
+    field = head.strip("'").lower()
+    return _date_part_expr(field, src)
 
 
 _JT_TYPE_DDL = {
@@ -4206,8 +4378,54 @@ _NARY_REWRITES: dict = {
     "decode": (1, "decode({0}, 'UTF-8')"),
     # ---- datetime
     "epoch": (1, "(unix_micros(CAST({0} AS TIMESTAMP)) / 1e6)"),
-    "dayofweek": (1, "((weekday({0}) + 1) % 7)"),  # DuckDB: Sunday=0
+    "dayofweek": (1, "((__native_weekday__({0}) + 1) % 7)"),  # DuckDB: Sunday=0
     "date_part": (None, _tpl_date_part),
+    "datepart": (None, _tpl_date_part),
+    # ---- r10 datetime sweep batch (all probed)
+    "yearweek": (
+        1,
+        "(CAST(__date_part__('YEAROFWEEK', {0}) AS BIGINT) * 100"
+        " + weekofyear({0}))",
+    ),
+    "isoyear": (1, "CAST(__date_part__('YEAROFWEEK', {0}) AS BIGINT)"),
+    # duck weekday is Sunday=0 (= its dayofweek); Spark's is Monday=0
+    "weekday": (1, "((__native_weekday__({0}) + 1) % 7)"),
+    "julian": (
+        1,
+        "(CAST(datediff(CAST({0} AS DATE), DATE '-4713-11-24') AS DOUBLE)"
+        " + (unix_micros(CAST({0} AS TIMESTAMP)) % 86400000000)"
+        " / 86400000000.0)",
+    ),
+    "epoch_us": (1, "unix_micros(CAST({0} AS TIMESTAMP))"),
+    "epoch_ns": (1, "(unix_micros(CAST({0} AS TIMESTAMP)) * 1000)"),
+    # timezone(tz, naive-ts): interpret in tz, return the instant
+    # (session is pinned UTC, so to_utc_timestamp renders identically);
+    # 1-arg timezone(ts) is the UTC-session offset, 0
+    "timezone": (
+        None,
+        lambda a: (
+            "CAST(0 AS BIGINT)"
+            if len(a) == 1
+            else (f"to_utc_timestamp({a[1]}, {a[0]})" if len(a) == 2 else None)
+        ),
+    ),
+    # ---- r10 regex sweep batch
+    "regexp_full_match": (
+        2, "({0} RLIKE concat('^(?:', {1}, ')$'))"
+    ),
+    "regexp_matches": (None, lambda a: _tpl_regexp_matches(a)),
+    # ---- r10 aggregate-edge sweep: DuckDB any_value skips NULLs
+    # (arbitrary keeps them — Spark's any_value default); array_agg/
+    # list KEEP NULL elements where collect_list drops them (struct
+    # ride, the json_group_array recipe). Ordered forms are handled by
+    # _rewrite_agg_order_by before this table sees them.
+    "any_value": (1, "__native_any_value__({0}, true)"),
+    "array_agg": (
+        1, "transform(collect_list(struct({0} AS v)), __ag -> __ag.v)"
+    ),
+    "list": (
+        1, "transform(collect_list(struct({0} AS v)), __ag -> __ag.v)"
+    ),
     "datepart": (None, _tpl_date_part),
     # DuckDB date_trunc returns DATE for day-or-coarser units (probed —
     # even for TIMESTAMP inputs); Spark always returns TIMESTAMP
@@ -4443,7 +4661,7 @@ _NARY_REWRITES: dict = {
         ),
     ),
     # session is pinned UTC: timezone offsets of any timestamp are 0
-    "timezone": (1, "CAST(0 AS BIGINT)"),
+    # (2-arg timezone(tz, ts) lives in the r10 datetime batch above)
     "timezone_hour": (1, "CAST(0 AS BIGINT)"),
     "timezone_minute": (1, "CAST(0 AS BIGINT)"),
     # JSON aggregate constructors. collect_list drops NULLs, so values
@@ -4596,7 +4814,7 @@ _UNARY_REWRITES = {
     # [1,2]); Spark's returns NULL. Marker head dodges the rescan loop.
     "flatten": "__flatten__(filter({e}, __fl -> __fl IS NOT NULL))",
     # DuckDB datetime spellings without a direct Spark twin
-    "isodow": "(weekday({e}) + 1)",  # ISO Monday=1..Sunday=7
+    "isodow": "(__native_weekday__({e}) + 1)",  # ISO Monday=1..Sunday=7
     "dayname": "date_format({e}, 'EEEE')",  # DuckDB returns FULL names
     "monthname": "date_format({e}, 'MMMM')",
     # float classification (no Spark builtins)
@@ -6511,6 +6729,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_date_literal_diff(sql)  # before '-' reaches Spark
     sql = _rewrite_date_plus_interval(sql)  # before INTERVAL rewrites
     sql = _rewrite_interval_epoch(sql)  # before the epoch() nary claims it
+    sql = _rewrite_extract(sql)  # duck-divergent EXTRACT fields → date_part
     sql = _rewrite_operators(sql)  # before nary: xor() legitimately emits ^
     sql = _rewrite_like_backslash(sql)  # no-ESCAPE LIKE: \ stays literal
     sql = _rewrite_enum_fns(sql)  # while enum type names are visible

@@ -843,6 +843,22 @@ BATTERY: dict[str, list[str]] = {
         "SELECT '[1, 2]'::INTEGER[] AS l",
         "SELECT array_slice('abcdef', 2, 4) AS s1, list_slice('abcdef', -3, -1) AS s2",
         "SELECT '1 day'::INTERVAL AS iv, '1:02:03'::INTERVAL AS iv3",
+        # datetime sweep closures
+        "SELECT extract(isodow FROM DATE '2024-01-15') AS a, extract(epoch FROM TIMESTAMP '2024-01-01 00:00:01.5') AS b",
+        "SELECT extract(microseconds FROM TIMESTAMP '2024-01-01 00:00:01.5') AS us, extract(second FROM TIMESTAMP '2024-01-01 00:00:01.75') AS s",
+        "SELECT yearweek(DATE '2024-12-30') AS yw, isoyear(DATE '2024-12-30') AS iy, weekday(DATE '2024-01-14') AS wd",
+        "SELECT julian(DATE '2024-01-01') AS j, epoch_us(TIMESTAMP '2024-01-01 00:00:00.5') AS us2",
+        "SELECT timezone('America/New_York', TIMESTAMP '2024-06-01 00:00:00') AS tz",
+        "SELECT strptime('02/01/2024 3:04 PM', '%d/%m/%Y %I:%M %p') AS sp, try_strptime('bogus', '%Y-%m-%d') AS ts",
+        "SELECT date_part(['year', 'month'], DATE '2024-05-02') AS multi",
+        # regex sweep closures
+        "SELECT regexp_full_match('abc', 'a.c') AS fm, regexp_matches('AB', 'ab', 'i') AS ci",
+        "SELECT regexp_extract('abc123', '([a-z]+)([0-9]+)', 9) AS e9",
+        "SELECT regexp_replace('a.a', '.', 'x', 's') AS dotall",
+        "SELECT regexp_extract('2024-01-02', '(\\d+)-(\\d+)-(\\d+)', ['y', 'm', 'd']) AS grp",
+        # aggregate-edge closures
+        "SELECT any_value(x) AS av FROM (VALUES (NULL), (2)) t(x)",
+        "SELECT array_agg(x) AS aa, list(x) AS l FROM (VALUES (1), (NULL), (2)) t(x)",
     ],
 }
 

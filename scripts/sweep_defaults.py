@@ -363,6 +363,121 @@ FAMILIES: dict[str, list[str]] = {
         " ('b', 2)) t(k, v)",
         "SELECT len('[1, 2]'::JSON) AS jl",
     ],
+    "datetime": [
+        "SELECT date_trunc('week', DATE '2024-01-01') AS w1,"
+        " date_trunc('week', DATE '2024-01-07') AS w2",
+        "SELECT last_day(DATE '2024-02-05') AS ld,"
+        " last_day(DATE '2023-02-05') AS ld2",
+        "SELECT date_add(DATE '2024-01-31', INTERVAL 1 MONTH) AS da",
+        "SELECT DATE '2024-01-31' + INTERVAL 1 MONTH AS m1,"
+        " DATE '2024-03-31' - INTERVAL 1 MONTH AS m2",
+        "SELECT age(DATE '2024-03-01', DATE '2024-01-31') AS ag",
+        "SELECT datediff('day', DATE '2024-01-01', DATE '2024-02-01') AS dd",
+        "SELECT date_diff('month', DATE '2024-01-31', DATE '2024-02-01') AS dm",
+        "SELECT monthname(DATE '2024-01-15') AS mn, dayname(DATE '2024-01-15') AS dn",
+        "SELECT dayofweek(DATE '2024-01-15') AS dw, isodow(DATE '2024-01-15') AS iso,"
+        " weekofyear(DATE '2024-01-01') AS wy, yearweek(DATE '2024-01-01') AS yw",
+        "SELECT week(DATE '2024-01-01') AS w, weekday(DATE '2024-01-15') AS wd",
+        "SELECT dayofyear(DATE '2024-03-01') AS dy, quarter(DATE '2024-05-05') AS q",
+        "SELECT extract(dow FROM DATE '2024-01-15') AS dow,"
+        " extract(isodow FROM DATE '2024-01-15') AS idow,"
+        " extract(doy FROM DATE '2024-03-01') AS doy",
+        "SELECT extract(epoch FROM TIMESTAMP '2024-01-01 00:00:01.5') AS ep",
+        "SELECT extract(microseconds FROM TIMESTAMP '2024-01-01 00:00:01.5') AS us,"
+        " extract(milliseconds FROM TIMESTAMP '2024-01-01 00:00:01.5') AS ms",
+        "SELECT extract(second FROM TIMESTAMP '2024-01-01 00:00:01.5') AS s",
+        "SELECT strftime(TIMESTAMP '2024-01-02 03:04:05', '%Y-%m-%d %H:%M:%S') AS sf",
+        "SELECT strftime(DATE '2024-01-02', '%a %A %b %B') AS names",
+        "SELECT strftime(TIMESTAMP '2024-01-02 03:04:05.123', '%g') AS g",
+        "SELECT strptime('2024-01-02', '%Y-%m-%d') AS sp",
+        "SELECT strptime('02/01/2024 3:04 PM', '%d/%m/%Y %I:%M %p') AS sp2",
+        "SELECT try_strptime('bogus', '%Y-%m-%d') AS ts",
+        "SELECT make_date(2024, 2, 29) AS md, make_timestamp(2024, 1, 2, 3, 4, 5.5) AS mt",
+        "SELECT make_time(13, 30, 59.5) AS mk",
+        "SELECT time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-01-01 00:22:00') AS tb",
+        "SELECT to_timestamp(1700000000) AS tt",
+        "SELECT epoch_ms(1700000000000) AS em",
+        "SELECT date_part('hour', TIME '13:45:30') AS hp,"
+        " extract(minute FROM TIME '13:45:30') AS mp",
+        "SELECT TIMESTAMP '2024-01-01 12:00:00' - TIMESTAMP '2024-01-01 10:30:00' AS td",
+        "SELECT DATE '2024-02-01' - DATE '2024-01-01' AS dd2",
+        "SELECT DATE '2024-01-01' + 5 AS dplus",
+        "SELECT TIME '23:00:00' + INTERVAL 2 HOUR AS tw",
+        "SELECT greatest(DATE '2024-01-01', DATE '2023-01-01') AS g",
+        "SELECT timezone('UTC', TIMESTAMP '2024-01-01 00:00:00') AS tz",
+        "SELECT century(DATE '2001-01-01') AS c1, century(DATE '2000-12-31') AS c0",
+        "SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:00.000001') AS eu,"
+        " epoch_ns(TIMESTAMP '2024-01-01 00:00:00.000001') AS en",
+        "SELECT julian(DATE '2024-01-01') AS j",
+        "SELECT isoyear(DATE '2024-12-30') AS iy",
+        "SELECT era(DATE '2024-01-01') AS e",
+        "SELECT current_date = today() AS t",
+        "SELECT date_trunc('quarter', DATE '2024-05-05') AS q2,"
+        " date_trunc('decade', DATE '2024-05-05') AS de",
+        "SELECT generate_series(DATE '2024-01-01', DATE '2024-01-03', INTERVAL 1 DAY) AS gs",
+    ],
+    "regex": [
+        "SELECT regexp_matches('abc', 'a') AS m1, regexp_matches('abc', '^a$') AS m2",
+        "SELECT regexp_full_match('abc', 'a.c') AS fm, regexp_full_match('abc', 'a') AS fm2",
+        "SELECT regexp_extract('abc123def', '[0-9]+') AS e0",
+        "SELECT regexp_extract('abc123', '([a-z]+)([0-9]+)', 1) AS e1,"
+        " regexp_extract('abc123', '([a-z]+)([0-9]+)', 2) AS e2",
+        "SELECT regexp_extract('abc123', '([a-z]+)([0-9]+)', 9) AS e9",
+        "SELECT regexp_extract('abc', 'x') AS emiss",
+        "SELECT regexp_extract_all('a1b22c333', '[0-9]+') AS ea",
+        "SELECT regexp_extract_all('a1b22', '([a-z])([0-9]+)', 2) AS eg",
+        "SELECT regexp_replace('aaa', 'a', 'b') AS r1",
+        "SELECT regexp_replace('abc', '(b)', '[\\1]') AS bref",
+        "SELECT regexp_replace('aAa', 'a', 'x', 'gi') AS gi",
+        "SELECT regexp_replace('a.a', '.', 'x', 's') AS dotall",
+        "SELECT regexp_matches('AB', 'ab', 'i') AS ci",
+        "SELECT regexp_extract('a\nb', 'a.b', 's') AS sflag",
+        "SELECT regexp_split_to_array('a1b22c', '[0-9]+') AS sp",
+        "SELECT 'abc' SIMILAR TO '(a|z)bc' AS st",
+        "SELECT regexp_extract('name=Tom age=30', 'name=(\\w+)', 1) AS named",
+        "SELECT regexp_extract('2024-01-02', '(\\d+)-(\\d+)-(\\d+)', ['y', 'm', 'd']) AS grp",
+    ],
+    "bits_blobs": [
+        "SELECT 5 & 3 AS a, 5 | 3 AS o, xor(5, 3) AS x, ~5 AS n",
+        "SELECT 1 << 10 AS shl, 1024 >> 3 AS shr",
+        "SELECT 5.0::INT & 3 AS mixed",
+        "SELECT get_bit('0101'::BIT, 1) AS gb",
+        "SELECT '0101'::BIT::VARCHAR AS bits",
+        "SELECT bit_count('0101'::BIT) AS bc",
+        "SELECT encode('héllo') AS enc",
+        "SELECT decode('abc'::BLOB) AS dec",
+        "SELECT octet_length('abc'::BLOB) AS ol, length('abc'::BLOB) AS bl",
+        "SELECT 'ab' || 'cd'::BLOB AS cat",
+        "SELECT 'abc'::BLOB = 'abc'::BLOB AS beq",
+        "SELECT substring('abcdef'::BLOB, 2, 3) AS bsub",
+        "SELECT hex('abc'::BLOB) AS bh, base64('abc'::BLOB) AS b64",
+        "SELECT unhex('616263')::VARCHAR AS uh",
+        "SELECT repeat('ab'::BLOB, 2) AS brep",
+    ],
+    "agg_edges": [
+        "SELECT count(*) AS a, count(x) AS b, sum(x) AS s, avg(x) AS av FROM (VALUES (1),(NULL),(3)) t(x)",
+        "SELECT sum(x) AS s, avg(x) AS a FROM (VALUES (NULL::INT)) t(x)",
+        "SELECT any_value(x) AS av FROM (VALUES (NULL),(2)) t(x)",
+        "SELECT arbitrary(x) AS ar FROM (VALUES (NULL),(2)) t(x)",
+        "SELECT array_agg(x) AS aa, list(x) AS l FROM (VALUES (1),(NULL),(2)) t(x)",
+        "SELECT median(x) AS m FROM (VALUES (1),(2)) t(x)",
+        "SELECT mode(x) AS m FROM (VALUES (1),(2),(2)) t(x)",
+        "SELECT var_samp(x) AS vs FROM (VALUES (1.0)) t(x)",
+        "SELECT regr_slope(y, x) AS s, regr_intercept(y, x) AS i,"
+        " regr_r2(y, x) AS r FROM (VALUES (1.0, 2.0),(2.0, 4.0),(3.0, 5.0)) t(x, y)",
+        "SELECT bit_and(x) AS ba, bit_or(x) AS bo, bit_xor(x) AS bx"
+        " FROM (VALUES (5),(3)) t(x)",
+        "SELECT string_agg(x) AS sa FROM (VALUES ('a'),(NULL),('b')) t(x)",
+        "SELECT quantile_disc(x, 0.5) AS q FROM (VALUES (1),(2),(3),(4)) t(x)",
+        "SELECT count(*) FILTER (x > 1) AS cf FROM (VALUES (1),(2),(3)) t(x)",
+        "SELECT x, lag(x) OVER (ORDER BY x) AS lg, lead(x, 2, -1)"
+        " OVER (ORDER BY x) AS ld FROM (VALUES (1),(2),(3)) t(x) ORDER BY x",
+        "SELECT x, nth_value(x, 2) OVER (ORDER BY x) AS nv"
+        " FROM (VALUES (1),(2),(3)) t(x) ORDER BY x",
+        "SELECT product(x) AS p FROM (VALUES (2.0),(3.0)) t(x)",
+        "SELECT skewness(x) AS sk, kurtosis(x) AS k"
+        " FROM (VALUES (1.0),(2.0),(4.0),(9.0)) t(x)",
+    ],
     "comparison": [
         "SELECT 'nan'::DOUBLE = 'nan'::DOUBLE AS ne,"
         " 'nan'::DOUBLE > 1e308 AS ng",

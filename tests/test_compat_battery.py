@@ -355,6 +355,32 @@ BATTERY = [
     "SELECT '[1, 2]'::INTEGER[] AS l, '[1.5, 2.5]'::DOUBLE[] AS dl",
     "SELECT array_slice('abcdef', 2, 4) AS s1, list_slice('abcdef', -3, -1) AS s2, array_slice([1, 2, 3, 4], 2, 3) AS l1, list_slice([1, 2, 3, 4], -2, -1) AS l2",
     "SELECT '1 day'::INTERVAL AS a, '1:02:03'::INTERVAL AS b, '2 hours 3 minutes'::INTERVAL AS c",
+    # ---- r10 datetime sweep: extract fields, yearweek family, julian
+    "SELECT extract(dow FROM DATE '2024-01-15') AS dow, extract(isodow FROM DATE '2024-01-15') AS idow, extract(doy FROM DATE '2024-03-01') AS doy, extract(dow FROM DATE '2024-01-14') AS dsun",
+    "SELECT extract(epoch FROM TIMESTAMP '2024-01-01 00:00:01.5') AS ep, extract(second FROM TIMESTAMP '2024-01-01 00:00:01.75') AS s",
+    "SELECT extract(microseconds FROM TIMESTAMP '2024-01-01 00:00:01.5') AS us, extract(milliseconds FROM TIMESTAMP '2024-01-01 00:00:01.5') AS ms",
+    "SELECT date_part('second', TIMESTAMP '2024-01-01 00:00:01.75') AS dps, date_part('microseconds', TIME '00:00:01.5') AS tu",
+    "SELECT yearweek(DATE '2024-12-30') AS yw, yearweek(DATE '2021-01-01') AS yw2, isoyear(DATE '2024-12-30') AS iy",
+    "SELECT weekday(DATE '2024-01-14') AS sun, weekday(DATE '2024-01-15') AS mon, dayofweek(DATE '2024-01-15') AS dw",
+    "SELECT julian(DATE '2024-01-01') AS j, julian(TIMESTAMP '2024-01-01 12:00:00') AS jt",
+    "SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:00.5') AS us, epoch_ns(TIMESTAMP '2024-01-01 00:00:00.000001') AS ns",
+    "SELECT timezone('UTC', TIMESTAMP '2024-01-01 00:00:00') AS tz, timezone('America/New_York', TIMESTAMP '2024-06-01 00:00:00') AS tz2",
+    "SELECT extract(decade FROM DATE '2024-05-05') AS de, extract(century FROM DATE '2000-12-31') AS ce, extract(millennium FROM DATE '2024-01-01') AS mi",
+    "SELECT date_part(['year', 'month'], DATE '2024-05-02') AS multi",
+    "SELECT strptime('02/01/2024 3:04 PM', '%d/%m/%Y %I:%M %p') AS sp2, try_strptime('bogus', '%Y-%m-%d') AS ts, strptime('2024-01-02', '%Y-%m-%d') AS sp",
+    # ---- r10 regex sweep
+    "SELECT regexp_full_match('abc', 'a.c') AS fm, regexp_full_match('abc', 'a') AS fm2",
+    "SELECT regexp_extract('abc123', '([a-z]+)([0-9]+)', 9) AS e9, regexp_extract('abc123', '([a-z]+)([0-9]+)', 2) AS e2",
+    "SELECT regexp_matches('AB', 'ab', 'i') AS ci, regexp_matches('AB', 'ab', 'c') AS cs",
+    "SELECT regexp_replace('a.a', '.', 'x', 's') AS dotall, regexp_replace('aAa', 'A', 'x', 'is') AS multi",
+    "SELECT regexp_extract('2024-01-02', '(\\d+)-(\\d+)-(\\d+)', ['y', 'm', 'd']) AS grp",
+    # ---- r10 aggregate-edge sweep: NULL-skipping any_value,
+    # NULL-keeping array_agg/list (plain AND ordered forms)
+    "SELECT any_value(x) AS av FROM (VALUES (NULL), (2)) t(x)",
+    "SELECT arbitrary(x) AS ar FROM (VALUES (NULL), (2)) t(x)",
+    "SELECT array_agg(x) AS aa, list(x) AS l FROM (VALUES (1), (NULL), (2)) t(x)",
+    "SELECT k, array_agg(v) AS aa FROM (VALUES (1, 'a'), (1, NULL)) t(k, v) GROUP BY k",
+    "SELECT any_value(v ORDER BY k) AS av FROM (VALUES (NULL, 1), (2, 2)) t(v, k)",
 ]
 
 # fixture-table statements need the views registered on both engines

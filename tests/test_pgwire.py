@@ -1068,7 +1068,10 @@ def test_rewrite_function_renames():
     # keeps Spark's regex-based split from treating '.' as a wildcard
     out = rewrite("SELECT string_split(a, ' ') FROM t")
     assert "split(a, concat(" in out and "\\\\Q" in out
-    assert rewrite("SELECT list_contains(l, 1) FROM t") == "SELECT array_contains(l, 1) FROM t"
+    # r10: list_contains carries DuckDB's strict true/false semantics
+    # (NULL elements don't poison a not-found probe) around the rename
+    out = rewrite("SELECT list_contains(l, 1) FROM t")
+    assert "coalesce(array_contains(l, 1), false)" in out
     # inside literals untouched
     assert rewrite("SELECT 'string_split(x)'") == "SELECT 'string_split(x)'"
 
@@ -1078,9 +1081,11 @@ def test_rewrite_strftime_strptime():
         rewrite("SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') FROM t")
         == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM t"
     )
+    # parse direction uses 1-digit-tolerant single letters (r10:
+    # '3:04 PM' must parse like DuckDB's %-directives do)
     assert (
         rewrite("SELECT strptime(s, '%d/%m/%Y') FROM t")
-        == "SELECT to_timestamp(s, 'dd/MM/yyyy') FROM t"
+        == "SELECT to_timestamp(s, 'd/M/yyyy') FROM t"
     )
 
 
@@ -1160,12 +1165,20 @@ def test_rewrite_distinct_on_preserves_output_order():
 
 
 def test_rewrite_list_aggregate_forms():
-    assert "aggregate(l, CAST(0 AS DOUBLE)" in rewrite("SELECT list_aggregate(l, 'sum')")
+    # r10: NULL elements are skipped and an empty/all-NULL list sums
+    # to NULL, like the engine aggregate
+    assert (
+        "aggregate(filter(l, __x -> __x IS NOT NULL), CAST(0 AS DOUBLE)"
+        in rewrite("SELECT list_aggregate(l, 'sum')")
+    )
     assert rewrite("SELECT list_aggregate(l, 'min') FROM t") == "SELECT array_min(l) FROM t"
     assert rewrite("SELECT list_aggregate(l, 'max') FROM t") == "SELECT array_max(l) FROM t"
     # nested call in the list argument survives the balanced-paren scan
     out = rewrite("SELECT list_aggregate(transform(l, x -> x + 1), 'sum')")
-    assert out.startswith("SELECT aggregate(transform(l, x -> x + 1), CAST(0 AS DOUBLE)")
+    assert (
+        "aggregate(filter(transform(l, x -> x + 1), __x -> __x IS NOT NULL),"
+        " CAST(0 AS DOUBLE)" in out
+    )
     # unknown aggregate names pass through (fail loudly downstream)
     assert "list_aggregate(l, 'median')" in rewrite("SELECT list_aggregate(l, 'median')")
 
