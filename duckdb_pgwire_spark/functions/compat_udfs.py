@@ -195,7 +195,7 @@ def _fmt_size(n: int | None, base: int, units: tuple[str, ...]) -> str | None:
         return None
     sign, a = ("-", -n) if n < 0 else ("", n)
     if a < base:
-        return f"{n} bytes"
+        return f"{n} byte" if a == 1 else f"{n} bytes"
     p = base
     for u in units:
         if a < p * base or u == units[-1]:

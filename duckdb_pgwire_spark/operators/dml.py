@@ -449,7 +449,9 @@ def _merge_substitute_nextval(
     )
 
     def occs_of(text: str) -> list:
-        if text is None or "val(" not in text.lower():
+        # gate must match _SEQ_FN_RE's tolerance: 'nextval (' with
+        # whitespace before the paren is a valid call
+        if text is None or "val" not in text.lower():
             return []
         mask = _code_mask(text)
         return [

@@ -111,7 +111,10 @@ def load_into_memory(path: str) -> None:
 def save() -> None:
     if _PATH is None:
         return
-    with _LOCK:
+    # snapshot under the compat-side catalog lock: statements run on a
+    # thread pool, and iterating these dicts during a concurrent CREATE
+    # TYPE/MACRO/SEQUENCE raises 'dictionary changed size' mid-query
+    with compat.CATALOG_LOCK:
         data = {
             "enums": dict(compat.ENUM_TYPES),
             "type_aliases": dict(compat.TYPE_ALIASES),
@@ -121,6 +124,7 @@ def save() -> None:
             },
             "sequences": {k: dict(v) for k, v in compat.SEQUENCES.items()},
         }
+    with _LOCK:  # serialize the tmp+rename, file I/O outside CATALOG_LOCK
         tmp = _PATH + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(data, f, separators=(",", ":"))

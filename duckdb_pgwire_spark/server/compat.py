@@ -34,7 +34,7 @@ through untouched.
 from __future__ import annotations
 
 import re
-from decimal import Decimal, ROUND_HALF_UP
+from decimal import Decimal, ROUND_HALF_EVEN, ROUND_HALF_UP
 
 
 _DOLLAR_TAG = re.compile(r"\$([A-Za-z_]\w*)?\$")
@@ -1505,6 +1505,15 @@ ENUM_TYPES: dict[str, list[str]] = {}
 # here when the server runs with a catalog directory.
 CATALOG_LISTENERS: list = []
 
+# One re-entrant lock serializes STRUCTURAL mutation of those dicts
+# against catalog_persist.save()'s snapshot — statements run on a
+# thread pool, and dict iteration during a concurrent insert raises
+# RuntimeError mid-query. Counter advances reuse it too (RLock: the
+# sequence paths already hold it when they fire catalog_changed).
+import threading as _threading  # noqa: E402
+
+CATALOG_LOCK = _threading.RLock()
+
 
 def catalog_changed() -> None:
     for fn in list(CATALOG_LISTENERS):
@@ -1517,12 +1526,13 @@ def enum_struct_type(name: str) -> str:
 
 def define_enum_type(name: str, members: list[str]) -> None:
     key = name.lower()
-    if key in TYPE_ALIASES:
-        raise ValueError(f'Type with name "{name}" already exists!')
-    if len(set(members)) != len(members):
-        raise ValueError(f"enum {name} has duplicate members")
-    ENUM_TYPES[key] = list(members)
-    TYPE_ALIASES[key] = enum_struct_type(key)
+    with CATALOG_LOCK:
+        if key in TYPE_ALIASES:
+            raise ValueError(f'Type with name "{name}" already exists!')
+        if len(set(members)) != len(members):
+            raise ValueError(f"enum {name} has duplicate members")
+        ENUM_TYPES[key] = list(members)
+        TYPE_ALIASES[key] = enum_struct_type(key)
     catalog_changed()
 
 
@@ -2810,17 +2820,21 @@ _NUM_LIT_TAIL_RE = re.compile(
 )
 
 
-def _duck_round_to_int(text: str) -> int | None:
+def _duck_round_to_int(text: str, *, half_even: bool = False) -> int | None:
     """DuckDB VARCHAR/DECIMAL → integer cast semantics: trims spaces,
-    accepts 0x hex and exponents, ROUNDS half away from zero (probed:
-    '2.5'::INT = 3, 1.5::DECIMAL(4,1)::INT = 2). None = not parseable
-    here (leave for the engine to accept or reject loudly)."""
+    accepts UNSIGNED 0x hex and exponents, ROUNDS half away from zero
+    (probed: '2.5'::INT = 3, '2.5e0'::INT = 3, 1.5::DECIMAL(4,1)::INT
+    = 2). Signed hex ('-0x10') is a DuckDB Conversion Error — return
+    None so CAST errors / TRY_CAST NULLs in the engine. half_even=True
+    for bare DOUBLE-typed exponent literals (probed: 2.5e0::INT = 2,
+    3.5e0::INT = 4). None = not parseable here (leave for the engine
+    to accept or reject loudly)."""
     t = text.strip()
     try:
-        if re.fullmatch(r"[+-]?0[xX][0-9a-fA-F]+", t):
-            return int(t.replace("0x", "").replace("0X", ""), 16) * (
-                -1 if t.startswith("-") else 1
-            )
+        if re.fullmatch(r"0[xX][0-9a-fA-F]+", t):
+            return int(t, 16)
+        if re.fullmatch(r"[+-]0[xX][0-9a-fA-F]+", t):
+            return None  # DuckDB rejects signed hex
         if re.fullmatch(r"[+-]?\d+", t):
             return int(t)
         d = Decimal(t)
@@ -2828,7 +2842,8 @@ def _duck_round_to_int(text: str) -> int | None:
         return None
     if not d.is_finite():
         return None
-    return int(d.quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    rounding = ROUND_HALF_EVEN if half_even else ROUND_HALF_UP
+    return int(d.quantize(Decimal(1), rounding=rounding))
 
 
 def _rewrite_int_cast_rounding(sql: str) -> str:
@@ -2851,7 +2866,9 @@ def _rewrite_int_cast_rounding(sql: str) -> str:
         if lit.startswith("'"):
             v = _duck_round_to_int(lit[1:-1].replace("''", "'"))
         else:
-            v = _duck_round_to_int(lit)
+            # bare eE-literals are DOUBLE in DuckDB → half-to-even;
+            # plain decimals are DECIMAL → half-away (both probed)
+            v = _duck_round_to_int(lit, half_even="e" in lit.lower())
         if v is None:
             return m.group(0)
         return f"{fn}({v} AS {ty})"
@@ -2936,7 +2953,7 @@ def _rewrite_int_cast_rounding(sql: str) -> str:
                 hit = (start, m.end(), f"CAST({v} AS {ty})")
                 break
             if _NUM_LIT_TAIL_RE.fullmatch(op):
-                v = _duck_round_to_int(op)
+                v = _duck_round_to_int(op, half_even="e" in op.lower())
                 if v is None:
                     continue
                 hit = (start, m.end(), f"CAST({v} AS {ty})")
@@ -3165,7 +3182,12 @@ def _rewrite_brackets(sql: str) -> str:
                 parts.append(content[prev:].strip())
                 step = parts[2] if len(parts) == 3 else None
                 if step is not None and not re.fullmatch(r"\d+", step):
-                    return sql  # non-literal/zero/negative step: fail loudly
+                    return sql  # non-literal/negative step: fail loudly
+                if step is not None and int(step) == 0:
+                    # DuckDB: Invalid Input Error (probed); without this
+                    # the % 0 predicate gets div-zero-guarded into NULL
+                    # and silently returns []
+                    raise ValueError("Slice step cannot be zero")
                 repl = _slice_repl(base, str_lit, parts[0], parts[1], step, guard)
                 if repl is None:
                     return sql
@@ -4192,8 +4214,11 @@ def _tpl_list_contains(args: list[str]) -> str | None:
     lst, x = args
     if _is_null_lit(x):
         return "CAST(NULL AS BOOLEAN)"
+    # NULL list or NULL needle → NULL (probed); list-contains-NULL with
+    # needle absent → false where Spark's array_contains gives NULL
     return (
-        f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+        f"(CASE WHEN ({x}) IS NULL OR ({lst}) IS NULL"
+        f" THEN CAST(NULL AS BOOLEAN)"
         f" ELSE coalesce(array_contains({lst}, {x}), false) END)"
     )
 
@@ -4426,7 +4451,6 @@ _NARY_REWRITES: dict = {
     "list": (
         1, "transform(collect_list(struct({0} AS v)), __ag -> __ag.v)"
     ),
-    "datepart": (None, _tpl_date_part),
     # DuckDB date_trunc returns DATE for day-or-coarser units (probed —
     # even for TIMESTAMP inputs); Spark always returns TIMESTAMP
     "date_trunc": (None, lambda a: _tpl_date_trunc(a)),
@@ -5435,10 +5459,8 @@ def _rewrite_read_files(sql: str) -> str:
 # (textual substitution can't allocate per executor row), the literal
 # forms — every ORM idiom — are exact.
 
-import threading as _threading
-
 SEQUENCES: dict[str, dict] = {}  # name -> {"next": int, "inc": int, "cur": int|None}
-_SEQ_LOCK = _threading.Lock()
+_SEQ_LOCK = CATALOG_LOCK  # shared with catalog_persist's snapshot
 
 SEQ_DDL_RE = re.compile(
     r"^\s*CREATE\s+SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)(.*)$",
@@ -5472,8 +5494,9 @@ def define_sequence(name: str, options: str, if_not_exists: bool) -> None:
 
 
 def drop_sequence(name: str, if_exists: bool) -> None:
-    if SEQUENCES.pop(name.lower(), None) is None and not if_exists:
-        raise ValueError(f"sequence {name!r} does not exist")
+    with CATALOG_LOCK:
+        if SEQUENCES.pop(name.lower(), None) is None and not if_exists:
+            raise ValueError(f"sequence {name!r} does not exist")
     catalog_changed()
 
 
@@ -5806,13 +5829,15 @@ def define_macro(name: str, params_src: str, body: str, replace: bool) -> None:
                 params.append((pname.strip().lower(), default.strip()))
             else:
                 params.append((raw.strip().lower(), None))
-    MACROS[key] = (params, body.strip())
+    with CATALOG_LOCK:
+        MACROS[key] = (params, body.strip())
     catalog_changed()
 
 
 def drop_macro(name: str, if_exists: bool) -> None:
-    if MACROS.pop(name.lower(), None) is None and not if_exists:
-        raise ValueError(f"macro {name!r} does not exist")
+    with CATALOG_LOCK:
+        if MACROS.pop(name.lower(), None) is None and not if_exists:
+            raise ValueError(f"macro {name!r} does not exist")
     catalog_changed()
 
 
@@ -6188,8 +6213,10 @@ def _rewrite_agg_order_by(sql: str) -> str:
                 idx = "-1" if name == "last" else "1"
                 arr = sorted_arr
                 if name == "any_value":
+                    # all-NULL group → empty filtered array: try_ keeps
+                    # the NULL DuckDB returns instead of an ANSI error
                     arr = f"filter({sorted_arr}, __anv -> __anv IS NOT NULL)"
-                repl = f"element_at({arr}, {idx})"
+                repl = f"try_element_at({arr}, {idx})"
             else:
                 repl = sorted_arr
         if repl is None:
@@ -6291,8 +6318,7 @@ def _rewrite_printf(sql: str) -> str:
         )
         if m is None:
             return sql
-        depth, i = 1, m.end()  # m.end() is just past the opening quote
-        # back up: scan args from the '(' for the balanced close
+        # scan args from the '(' for the balanced close
         open_i = sql.index("(", m.start())
         depth, i = 1, open_i + 1
         while i < len(sql) and depth:
@@ -6664,6 +6690,12 @@ def _rewrite_order_by_nulls(sql: str) -> str:
     if re.search(r"\bORDER\s+BY\b", sql, re.IGNORECASE) is None:
         return sql
     mask = _code_mask(sql)
+    # per-position comment flag: a sort item may END with a trailing
+    # '-- ...' / '/* */' comment; inserting after it would bury the
+    # NULLS LAST inside the comment text
+    cmask: list[bool] = []
+    for kind, seg in _lex(sql):
+        cmask.extend([kind == "comment"] * len(seg))
     edits: list[int] = []
     for m in re.finditer(r"\bORDER\s+BY\b", sql, re.IGNORECASE):
         if not all(mask[m.start() : m.end()]):
@@ -6701,15 +6733,19 @@ def _rewrite_order_by_nulls(sql: str) -> str:
         starts = [m.end()] + [c + 1 for c in commas]
         stops = commas + [end]
         for s0, s1 in zip(starts, stops):
-            item = sql[s0:s1]
-            st = item.strip()
+            # trim trailing whitespace AND comments so the suffix
+            # checks and the insertion point see only code
+            ce = s1
+            while ce > s0 and (sql[ce - 1].isspace() or cmask[ce - 1]):
+                ce -= 1
+            st = sql[s0:ce].strip()
             if not st or st.upper() == "ALL":
                 continue
             if re.search(
                 r"\bNULLS\s+(FIRST|LAST)\s*$", st, re.IGNORECASE
             ) or re.search(r"\bDESC\s*$", st, re.IGNORECASE):
                 continue
-            edits.append(s0 + len(item.rstrip()))
+            edits.append(ce)
     for pos in sorted(edits, reverse=True):
         sql = sql[:pos] + " NULLS LAST" + sql[pos:]
     return sql

@@ -381,6 +381,27 @@ BATTERY = [
     "SELECT array_agg(x) AS aa, list(x) AS l FROM (VALUES (1), (NULL), (2)) t(x)",
     "SELECT k, array_agg(v) AS aa FROM (VALUES (1, 'a'), (1, NULL)) t(k, v) GROUP BY k",
     "SELECT any_value(v ORDER BY k) AS av FROM (VALUES (NULL, 1), (2, 2)) t(v, k)",
+    # ---- r10 code-review closures
+    # bare eE literals are DOUBLE (half-to-even); string/decimal forms
+    # round half away from zero
+    "SELECT CAST(2.5e0 AS INT) AS he1, CAST(3.5e0 AS INT) AS he2,"
+    " 2.5e0::INT AS he3, CAST('2.5e0' AS INT) AS ha1, CAST('2.5' AS INT) AS ha2",
+    # signed hex is a DuckDB conversion error → TRY_CAST NULLs on both
+    "SELECT TRY_CAST('-0x10' AS INT) AS sh1, TRY_CAST('+0x10' AS INT) AS sh2,"
+    " '0x10'::INT AS uh",
+    # ordered any_value over an all-NULL group returns NULL (not an
+    # ANSI array-index error)
+    "SELECT any_value(v ORDER BY k) AS av"
+    " FROM (VALUES (CAST(NULL AS INT), 1), (CAST(NULL AS INT), 2)) t(v, k)",
+    # list_contains: NULL list / NULL needle → NULL; contains-NULL with
+    # needle absent → false
+    "SELECT list_contains([1, NULL], 3) AS lc1, list_contains([1, NULL], 1) AS lc2,"
+    " list_contains([1, 2], NULL) AS lc3",
+    "SELECT list_contains(CAST(NULL AS INT[]), 1) AS lcn",
+    "SELECT format_bytes(1) AS fb1, format_bytes(-1) AS fb2, format_bytes(0) AS fb3",
+    # a trailing line comment on the sort key must not swallow the
+    # NULLS LAST default-order fix
+    "SELECT v FROM (VALUES (2), (NULL), (1)) t(v) ORDER BY v -- trailing\nLIMIT 2",
 ]
 
 # fixture-table statements need the views registered on both engines
@@ -455,6 +476,13 @@ def test_hamming_unequal_lengths_errors(spark):
     register_udfs(spark)
     with pytest.raises(Exception, match="equal length"):
         spark.sql(rewrite("SELECT hamming('abc', 'abcd') AS h")).collect()
+
+
+def test_zero_slice_step_errors():
+    """DuckDB: 'Slice step cannot be zero' (Invalid Input Error); the
+    div-zero guard must not turn the % 0 predicate into a silent []."""
+    with pytest.raises(ValueError, match="step cannot be zero"):
+        rewrite("SELECT ([1,2,3])[1:3:0] AS s")
 
 
 DATETIME_EXTRAS = [

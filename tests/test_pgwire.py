@@ -3976,6 +3976,16 @@ def test_wire_merge_nextval(client, spark):
         assert "error" in r and frag in r["error"], (bad, r)
     (r,) = client.query("SELECT nextval('mnx_seq') AS v")
     assert r["rows"] == [["112"]], r
+    # 'nextval (' with whitespace before the paren substitutes too (the
+    # occurrence gate must match _SEQ_FN_RE's tolerance)
+    out = client.query(
+        "MERGE INTO mnx t USING (SELECT * FROM VALUES (7) AS src(k)) s "
+        "ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, nextval ('mnx_seq'))"
+    )
+    assert out[-1]["tag"] == "MERGE 1", out
+    (r,) = client.query("SELECT v FROM mnx WHERE k = 7")
+    assert r["rows"] == [["115"]], r
     client.query("DROP TABLE mnx")
     client.query("DROP SEQUENCE mnx_seq")
 
