@@ -837,8 +837,21 @@ _DATE_LIT_DIFF = re.compile(
 )
 
 
+# interval-producing constructors whose year-month results keep a
+# Spark DATE un-promoted (they become make_interval); sub-day to_*
+# forms emit make_dt_interval, which already promotes
+_IVL_YM_FNS = (
+    r"(?:to_years|to_months|to_quarters|to_decades|to_centuries|"
+    r"to_millennia)"
+)
 _DATE_PLUS_IVL_RE = re.compile(
-    r"\b(DATE\s*'[^']*')(?=\s*[+-]\s*INTERVAL\b)", re.IGNORECASE
+    rf"\b(DATE\s*'[^']*')(?=\s*[+-]\s*(?:INTERVAL\b|{_IVL_YM_FNS}\s*\())",
+    re.IGNORECASE,
+)
+# reversed operand order: to_months(2) + DATE '…'
+_IVL_PLUS_DATE_RE = re.compile(
+    rf"\b{_IVL_YM_FNS}\s*\([^()]*\)\s*\+\s*(DATE\s*'[^']*')",
+    re.IGNORECASE,
 )
 
 
@@ -886,13 +899,121 @@ def _rewrite_blob_literals(sql: str) -> str:
     return _BLOB_CAST_RE.sub(conv, sql)
 
 
+_CONCAT_CALL_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
+_EXP_OPERAND_RE = re.compile(
+    r"(?<![\w.])[+-]?(?:\d+\.?\d*|\.\d+)[eE][+-]?\d+"
+)
+# operators binding TIGHTER than || (PG precedence): a literal touching
+# one is a sub-expression operand, not the || operand itself
+_TIGHTER_THAN_CONCAT = set("+-*/%^&@~!.:[")
+
+
+def _exp_lit_text(lit: str) -> str | None:
+    """DuckDB text render of a bare eE DOUBLE literal — shortest
+    round-trip, which Python's repr also produces ('1e-07',
+    '1000000000000000.0', '1.5')."""
+    try:
+        return repr(float(lit))
+    except ValueError:
+        return None
+
+
+def _rewrite_concat_double_lits(sql: str) -> str:
+    """Bare eE numeric literals are DOUBLE in DuckDB, and concat / ||
+    stringify them shortest-round-trip ('x' || 1e-7 = 'x1e-07');
+    Spark's implicit cast renders Java style ('x1.0E-7'). Replace a
+    literal that is an ENTIRE concat()/|| operand with its DuckDB
+    text. Typed sub-expressions ((x + 1e0) || 'y') are left alone —
+    the literal is not the operand there (r10 sweep)."""
+    if "||" not in sql and _CONCAT_CALL_RE.search(sql) is None:
+        return sql
+    # concat(...) top-level args that are exactly an eE literal
+    guard = 0
+    while guard < 50:
+        guard += 1
+        mask = _code_mask(sql)
+        hit = None
+        for m in _CONCAT_CALL_RE.finditer(sql):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            depth, i = 1, m.end()
+            while i < len(sql) and depth:
+                if mask[i]:
+                    if sql[i] == "(":
+                        depth += 1
+                    elif sql[i] == ")":
+                        depth -= 1
+                i += 1
+            if depth:
+                break
+            args = [a.strip() for a in split_top_level(sql[m.end() : i - 1])]
+            new_args = []
+            changed = False
+            for a in args:
+                t = (
+                    _exp_lit_text(a)
+                    if _EXP_OPERAND_RE.fullmatch(a)
+                    else None
+                )
+                if t is not None:
+                    new_args.append(f"'{t}'")
+                    changed = True
+                else:
+                    new_args.append(a)
+            if changed:
+                hit = (m.end(), i - 1, ", ".join(new_args))
+                break
+        if hit is None:
+            break
+        s, e, repl = hit
+        sql = sql[:s] + repl + sql[e:]
+    # || operands that are exactly an eE literal
+    if "||" in sql:
+        mask = _code_mask(sql)
+        out, pos = [], 0
+        for m in _EXP_OPERAND_RE.finditer(sql):
+            if m.start() < pos or not all(mask[m.start() : m.end()]):
+                continue
+            before = sql[: m.start()].rstrip()
+            after = sql[m.end() :].lstrip()
+            if sql[m.start()] in "+-":
+                # the sign is only the literal's when nothing binds it
+                # (before excludes the sign — the match starts on it)
+                if before and (
+                    before[-1].isalnum() or before[-1] in "._)'\""
+                ):
+                    continue  # binary +/-: typed sub-expression
+            clean_before = not before or before.endswith("||") or (
+                before[-1] not in _TIGHTER_THAN_CONCAT
+            )
+            clean_after = not after or after.startswith("||") or (
+                after[0] not in _TIGHTER_THAN_CONCAT
+            )
+            is_left = after.startswith("||") and clean_before
+            is_right = before.endswith("||") and clean_after
+            if not (is_left or is_right):
+                continue
+            t = _exp_lit_text(m.group(0))
+            if t is None:
+                continue
+            out.append(sql[pos : m.start()])
+            out.append(f"'{t}'")
+            pos = m.end()
+        out.append(sql[pos:])
+        sql = "".join(out)
+    return sql
+
+
 def _rewrite_date_plus_interval(sql: str) -> str:
     """DuckDB promotes DATE ± INTERVAL to TIMESTAMP for EVERY interval
     unit (probed: + INTERVAL 1 DAY renders '2024-03-06 00:00:00');
     Spark keeps DATE for year-month intervals. Cast the literal side —
     date COLUMNS are handled by the schema-aware pass, which knows
     column types."""
-    if _DATE_PLUS_IVL_RE.search(sql) is None:
+    if (
+        _DATE_PLUS_IVL_RE.search(sql) is None
+        and _IVL_PLUS_DATE_RE.search(sql) is None
+    ):
         return sql
     mask = _code_mask(sql)
     out = []
@@ -903,6 +1024,17 @@ def _rewrite_date_plus_interval(sql: str) -> str:
         out.append(sql[pos : m.start()])
         out.append(f"CAST({m.group(1)} AS TIMESTAMP)")
         pos = m.end()
+    out.append(sql[pos:])
+    sql = "".join(out)
+    # to_months(2) + DATE '…': cast the DATE operand on the right
+    mask = _code_mask(sql)
+    out, pos = [], 0
+    for m in _IVL_PLUS_DATE_RE.finditer(sql):
+        if not mask[m.start()]:
+            continue
+        out.append(sql[pos : m.start(1)])
+        out.append(f"CAST({m.group(1)} AS TIMESTAMP)")
+        pos = m.end(1)
     out.append(sql[pos:])
     return "".join(out)
 
@@ -2448,6 +2580,8 @@ _DUCK_ONLY_TYPES = {
     "hugeint": "DECIMAL(38,0)", "uhugeint": "DECIMAL(38,0)",
     "utinyint": "SMALLINT", "usmallint": "INT",
     "uinteger": "BIGINT", "ubigint": "DECIMAL(20,0)",
+    # float32/float64 spellings Spark's parser rejects (r10 sweep)
+    "float4": "FLOAT", "float8": "DOUBLE", "real": "FLOAT",
 }
 
 _STRUCT_TYPE_RE = re.compile(
@@ -2844,6 +2978,49 @@ def _duck_round_to_int(text: str, *, half_even: bool = False) -> int | None:
         return None
     rounding = ROUND_HALF_EVEN if half_even else ROUND_HALF_UP
     return int(d.quantize(Decimal(1), rounding=rounding))
+
+
+_BOOL_CAST_LIT_RE = re.compile(
+    r"\b(TRY_CAST|CAST)\s*\(\s*'((?:[^']|'')*)'\s+AS\s+"
+    r"(?:BOOLEAN|BOOL|LOGICAL)\s*\)"
+    r"|'((?:[^']|'')*)'\s*::\s*(?:BOOLEAN|BOOL|LOGICAL)(?![\w(])",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_bool_cast_lits(sql: str) -> str:
+    """DuckDB VARCHAR→BOOLEAN accepts EXACTLY true/false/t/f/1/0
+    (case-insensitive, NO whitespace trim — ' true ' is a Conversion
+    Error); Spark also takes y/n/yes/no and trims. Literal forms:
+    accepted values fold to TRUE/FALSE; rejected ones raise (CAST) or
+    NULL (TRY_CAST) like DuckDB (probed r10)."""
+    if _BOOL_CAST_LIT_RE.search(sql) is None:
+        return sql
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    for m in _BOOL_CAST_LIT_RE.finditer(sql):
+        if m.start() < pos or not mask[m.end() - 1]:
+            continue  # e.g. the whole match sits inside a literal
+        is_cast_form = m.group(2) is not None
+        if is_cast_form and not mask[m.start()]:
+            continue
+        lit = m.group(2) if is_cast_form else m.group(3)
+        val = lit.replace("''", "'")
+        lv = val.lower()
+        if lv in ("true", "t", "1"):
+            repl = "TRUE"
+        elif lv in ("false", "f", "0"):
+            repl = "FALSE"
+        elif is_cast_form and (m.group(1) or "").upper() == "TRY_CAST":
+            repl = "CAST(NULL AS BOOLEAN)"
+        else:
+            raise ValueError(f"Could not convert string '{val}' to BOOL")
+        out.append(sql[pos : m.start()])
+        out.append(repl)
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _rewrite_int_cast_rounding(sql: str) -> str:
@@ -4445,12 +4622,8 @@ _NARY_REWRITES: dict = {
     # ride, the json_group_array recipe). Ordered forms are handled by
     # _rewrite_agg_order_by before this table sees them.
     "any_value": (1, "__native_any_value__({0}, true)"),
-    "array_agg": (
-        1, "transform(collect_list(struct({0} AS v)), __ag -> __ag.v)"
-    ),
-    "list": (
-        1, "transform(collect_list(struct({0} AS v)), __ag -> __ag.v)"
-    ),
+    # array_agg / list live in _rewrite_array_agg_plain (DISTINCT,
+    # FILTER tail, and NULL-over-empty need call-site context)
     # DuckDB date_trunc returns DATE for day-or-coarser units (probed —
     # even for TIMESTAMP inputs); Spark always returns TIMESTAMP
     "date_trunc": (None, lambda a: _tpl_date_trunc(a)),
@@ -4497,6 +4670,14 @@ _NARY_REWRITES: dict = {
     "quantile_disc": (2, lambda a: _tpl_quantile_disc(a)),
     "quantile": (2, lambda a: _tpl_quantile_disc(a)),
     "trunc": (1, "(CASE WHEN ({0}) < 0 THEN ceil({0}) ELSE floor({0}) END)"),
+    # DuckDB sign returns TINYINT and maps NaN → 0 (probed r10; Spark's
+    # is typed like the input and propagates NaN). Marker head: the
+    # template must not re-feed the rescan loop.
+    "sign": (
+        1,
+        "CAST(CASE WHEN isnan(CAST({0} AS DOUBLE)) THEN 0"
+        " ELSE __native_sign__({0}) END AS TINYINT)",
+    ),
     "even": (
         1,
         "CAST(2 * ceil(abs(CAST({0} AS DOUBLE)) / 2) * "
@@ -4610,6 +4791,10 @@ _NARY_REWRITES: dict = {
     # interval constructors (make_interval: y, m, w, d, h, min, s)
     "to_years": (1, "make_interval({0})"),
     "to_months": (1, "make_interval(0, {0})"),
+    "to_quarters": (1, "make_interval(0, 3 * ({0}))"),
+    "to_decades": (1, "make_interval(10 * ({0}))"),
+    "to_centuries": (1, "make_interval(100 * ({0}))"),
+    "to_millennia": (1, "make_interval(1000 * ({0}))"),
     "to_weeks": (1, "make_dt_interval(7 * ({0}))"),
     "to_days": (1, "make_dt_interval({0})"),
     # sub-day units use make_dt_interval: DayTimeIntervalType composes
@@ -6111,12 +6296,105 @@ _AGG_OB_CALL = re.compile(
 _ORDER_INSENSITIVE = {"min", "max", "sum", "avg", "count"}
 
 _ARRAY_AGG_SORTED = (
-    "transform(array_sort(collect_list(struct({k} AS __k, {v} AS __v)), "
+    "transform(array_sort(collect_list({s}), "
     "(__l, __r) -> CASE WHEN __l.__k IS NULL AND __r.__k IS NULL THEN 0 "
     "WHEN __l.__k IS NULL THEN {nl} WHEN __r.__k IS NULL THEN {nr} "
     "WHEN __l.__k < __r.__k THEN {lt} WHEN __l.__k > __r.__k THEN {gt} "
     "ELSE 0 END), __s -> __s.__v)"
 )
+
+_FILTER_TAIL_RE = re.compile(r"\s*FILTER\s*(\()\s*WHERE\b", re.IGNORECASE)
+
+
+def _peek_filter_tail(
+    sql: str, mask: list[bool], pos: int
+) -> tuple[str, int] | None:
+    """If a ``FILTER (WHERE cond)`` clause starts at code position
+    ``pos``, return (cond_text, end_past_closing_paren). Spark's
+    parser only attaches FILTER to a direct aggregate call, so passes
+    that wrap an aggregate in transform()/CASE must fold the clause
+    into the aggregate argument instead of leaving the tail behind."""
+    m = _FILTER_TAIL_RE.match(sql, pos)
+    if m is None or not mask[m.start(1)]:
+        return None
+    depth, j = 1, m.start(1) + 1
+    while j < len(sql) and depth:
+        if mask[j]:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+        j += 1
+    if depth:
+        return None
+    cond = sql[m.start(1) + 1 : j - 1]
+    cond = re.sub(r"^\s*WHERE\b", "", cond, count=1, flags=re.IGNORECASE)
+    return cond.strip(), j
+
+
+def _agg_null_on_empty(arr_expr: str) -> str:
+    """DuckDB array_agg/list over zero qualifying rows is NULL where
+    collect_list gives []. size() works on any element type (array
+    equality wouldn't — maps); Spark's physical aggregation
+    deduplicates the repeated aggregate expression."""
+    return f"(CASE WHEN size({arr_expr}) > 0 THEN {arr_expr} END)"
+
+
+_ARRAY_AGG_PLAIN_CALL = re.compile(r"\b(array_agg|list)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_array_agg_plain(sql: str) -> str:
+    """Plain (no ORDER BY) ``array_agg(x)`` / ``list(x)``: DuckDB
+    KEEPS NULL elements (collect_list drops them — struct ride), is
+    NULL over zero rows, supports DISTINCT, and takes a FILTER tail
+    that cannot attach to the transform(...) wrapper — fold it into
+    the collected struct (a NULL struct is dropped, removing the
+    row). Runs after _rewrite_agg_order_by, so ordered forms are
+    already rewritten (probed r10)."""
+    guard = 0
+    skipped: set[int] = set()
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _ARRAY_AGG_PLAIN_CALL.finditer(sql)
+                if all(mask[c.start() : c.end()]) and c.start() not in skipped
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql
+        args = [a.strip() for a in split_top_level(sql[m.end() : i - 1])]
+        if len(args) != 1 or not args[0]:
+            skipped.add(m.start())
+            continue
+        arg = args[0]
+        dk = ""
+        dm = re.match(r"^DISTINCT\b\s*", arg, re.IGNORECASE)
+        if dm:
+            dk, arg = "DISTINCT ", arg[dm.end() :]
+        end = i
+        struct_expr = f"struct({arg} AS v)"
+        tail = _peek_filter_tail(sql, mask, i)
+        if tail is not None:
+            cond, end = tail
+            struct_expr = f"(CASE WHEN ({cond}) THEN {struct_expr} END)"
+        arr = f"transform(collect_list({dk}{struct_expr}), __ag -> __ag.v)"
+        sql = sql[: m.start()] + _agg_null_on_empty(arr) + sql[end:]
+        skipped = {s for s in skipped if s < m.start()}
+    return sql
 
 
 def _rewrite_agg_order_by(sql: str) -> str:
@@ -6170,6 +6448,7 @@ def _rewrite_agg_order_by(sql: str) -> str:
         if depth or ob_pos == -1:
             skipped.add(m.start())
             continue
+        end = i  # replacement span end; the array branch may extend it
         head = sql[m.end() : ob_pos].strip()
         spec = sql[ob_pos : i - 1].strip()[len("ORDER BY") :].strip()
         args = [a.strip() for a in split_top_level(head)]
@@ -6202,8 +6481,16 @@ def _rewrite_agg_order_by(sql: str) -> str:
             nl, nr = (1, -1)
             if sm.group(3) and sm.group(3).upper() == "FIRST":
                 nl, nr = (-1, 1)
+            # a FILTER tail cannot attach to the transform(...) wrapper
+            # — fold the condition into the collected struct (NULL
+            # struct = row dropped) and consume the clause
+            struct_expr = f"struct({key} AS __k, {args[0]} AS __v)"
+            tail = _peek_filter_tail(sql, mask, i)
+            if tail is not None:
+                cond, end = tail
+                struct_expr = f"(CASE WHEN ({cond}) THEN {struct_expr} END)"
             sorted_arr = _ARRAY_AGG_SORTED.format(
-                k=key, v=args[0], lt=lt, gt=gt, nl=nl, nr=nr
+                s=struct_expr, lt=lt, gt=gt, nl=nl, nr=nr
             )
             if name in ("first", "last", "arbitrary", "any_value"):
                 # element of the DuckDB-sorted array — min_by/max_by
@@ -6218,11 +6505,12 @@ def _rewrite_agg_order_by(sql: str) -> str:
                     arr = f"filter({sorted_arr}, __anv -> __anv IS NOT NULL)"
                 repl = f"try_element_at({arr}, {idx})"
             else:
-                repl = sorted_arr
+                # DuckDB: NULL over zero qualifying rows
+                repl = _agg_null_on_empty(sorted_arr)
         if repl is None:
             skipped.add(m.start())
             continue
-        sql = sql[: m.start()] + repl + sql[i:]
+        sql = sql[: m.start()] + repl + sql[end:]
         skipped = {s for s in skipped if s < m.start()}
     return sql
 
@@ -6760,6 +7048,8 @@ def rewrite(sql: str) -> str:
     sql = _pg_escape_literals(sql)  # PG literal semantics before anything
     # else EMITS Spark-escaped literals of its own
     sql = _strip_numeric_underscores(sql)
+    sql = _rewrite_concat_double_lits(sql)  # eE literals in concat/||
+    # take DuckDB's shortest-round-trip text BEFORE concat rewrites
     sql = _rewrite_concat_null_skip(sql)  # user concat only — BEFORE any
     # pass emits Spark-native concat (RLIKE anchors, split templates)
     sql = _rewrite_date_literal_diff(sql)  # before '-' reaches Spark
@@ -6772,6 +7062,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_enum_casts(sql)  # before alias/type passes claim ::name
     sql = _rewrite_int_cast_rounding(sql)  # literal/::DOUBLE-chain int
     # casts round like DuckDB (before type passes rename INT spellings)
+    sql = _rewrite_bool_cast_lits(sql)  # strict BOOLEAN literal casts
     sql = _rewrite_read_files(sql)  # before literal split: needs the path string
     sql = _rewrite_strftime(sql)  # before literal split: needs the fmt string
     sql = _rewrite_list_aggregate(sql)  # ditto: needs the quoted agg name
@@ -6811,6 +7102,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_datetime_diffs(sql)
     sql = _rewrite_regexp_default_group(sql)
     sql = _rewrite_agg_order_by(sql)  # before renames: needs DuckDB names
+    sql = _rewrite_array_agg_plain(sql)  # after: plain forms only
     sql = _rewrite_quantified_subq(sql)
     sql = _rewrite_positional_join(sql)
     sql = _rewrite_dot_calls(sql)  # (expr).fn() before nary sees fn

@@ -511,6 +511,147 @@ FAMILIES: dict[str, list[str]] = {
         "SELECT 'abc' BETWEEN SYMMETRIC 'c' AND 'a' AS bsym",
         "SELECT 5 BETWEEN SYMMETRIC 10 AND 1 AS bsym2",
     ],
+    "windows": [
+        "SELECT v, row_number() OVER (ORDER BY k) AS rn"
+        " FROM (VALUES (1, 1), (2, NULL), (3, 2)) t(v, k) ORDER BY v",
+        "SELECT v, sum(v) OVER (ORDER BY k) AS s"
+        " FROM (VALUES (1, 1), (2, NULL), (3, 2)) t(v, k) ORDER BY v",
+        "SELECT v, lead(v) OVER (ORDER BY v) AS ld,"
+        " lag(v) OVER (ORDER BY v) AS lg"
+        " FROM (VALUES (1), (2), (3)) t(v) ORDER BY v",
+        "SELECT v, lead(v, 2, -1) OVER (ORDER BY v) AS ld2,"
+        " lag(v, -1) OVER (ORDER BY v) AS lgneg"
+        " FROM (VALUES (1), (2), (3)) t(v) ORDER BY v",
+        "SELECT v, ntile(3) OVER (ORDER BY v) AS nt"
+        " FROM (VALUES (1), (2)) t(v) ORDER BY v",
+        "SELECT v, percent_rank() OVER (ORDER BY v) AS pr,"
+        " cume_dist() OVER (ORDER BY v) AS cd"
+        " FROM (VALUES (1)) t(v)",
+        "SELECT v, nth_value(v, 2) OVER (ORDER BY v) AS nv"
+        " FROM (VALUES (1), (2), (3)) t(v) ORDER BY v",
+        "SELECT v, first_value(v) OVER (ORDER BY k) AS fv,"
+        " last_value(v) OVER (ORDER BY k) AS lv"
+        " FROM (VALUES (1, 2), (2, 1), (3, NULL)) t(v, k) ORDER BY v",
+        "SELECT v, count(*) OVER (ORDER BY v RANGE BETWEEN 1 PRECEDING"
+        " AND 1 FOLLOWING) AS c"
+        " FROM (VALUES (1), (2), (4)) t(v) ORDER BY v",
+        "SELECT v, rank() OVER (ORDER BY k) AS r, dense_rank() OVER"
+        " (ORDER BY k) AS dr"
+        " FROM (VALUES (1, 1), (2, 1), (3, 2)) t(v, k) ORDER BY v",
+        "SELECT v, avg(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING"
+        " AND CURRENT ROW) AS a"
+        " FROM (VALUES (1), (2), (5)) t(v) ORDER BY v",
+    ],
+    "series": [
+        "SELECT generate_series(1, 5) AS g",
+        "SELECT generate_series(1, 5, 2) AS g2",
+        "SELECT generate_series(1, 0) AS ge",
+        "SELECT generate_series(5, 1, -2) AS gd",
+        "SELECT range(1, 5) AS r",
+        "SELECT range(1, 5, 2) AS r2",
+        "SELECT range(5, 1, -2) AS rd",
+        "SELECT range(3) AS r1",
+        "SELECT * FROM range(4) ORDER BY 1",
+        "SELECT * FROM range(5, 1, -2) ORDER BY 1",
+        "SELECT * FROM generate_series(1, 4) ORDER BY 1",
+        "SELECT * FROM generate_series(4, 1, -1) ORDER BY 1",
+        "SELECT * FROM generate_series(DATE '2024-01-01',"
+        " DATE '2024-01-05', INTERVAL 2 DAY) ORDER BY 1",
+        "SELECT * FROM range(TIMESTAMP '2024-01-01 00:00:00',"
+        " TIMESTAMP '2024-01-01 03:00:00', INTERVAL 1 HOUR) ORDER BY 1",
+        "SELECT * FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',"
+        " TIMESTAMP '2024-01-01 02:00:00', INTERVAL 1 HOUR) ORDER BY 1",
+    ],
+    "intervals": [
+        "SELECT DATE '2023-01-31' + INTERVAL 1 MONTH AS eom",
+        "SELECT DATE '2024-02-29' + INTERVAL 1 YEAR AS leap",
+        "SELECT TIMESTAMP '2024-03-31 12:00:00' - INTERVAL 1 MONTH AS back",
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '90' SECOND AS s90",
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1:02:03' HOUR"
+        " TO SECOND AS hms",
+        "SELECT DATE '2024-01-01' + INTERVAL '1-2' YEAR TO MONTH AS ym",
+        "SELECT date_diff('month', DATE '2024-01-31', DATE '2024-02-01') AS b1",
+        "SELECT date_diff('year', DATE '2024-12-31', DATE '2025-01-01') AS b2",
+        "SELECT date_diff('day', DATE '2024-01-05', DATE '2024-01-01') AS neg",
+        "SELECT date_sub('month', DATE '2024-01-31', DATE '2024-02-01') AS c1",
+        "SELECT date_sub('year', DATE '2024-12-31', DATE '2025-01-01') AS c2",
+        "SELECT date_diff('hour', TIMESTAMP '2024-01-01 23:59:00',"
+        " TIMESTAMP '2024-01-02 00:01:00') AS hb",
+        "SELECT datediff('day', DATE '2024-01-01', DATE '2024-01-05') AS dd",
+        "SELECT age(TIMESTAMP '2024-03-15 00:00:00',"
+        " TIMESTAMP '2024-01-10 00:00:00') AS ag",
+        "SELECT (TIMESTAMP '2024-01-02 03:00:00' - TIMESTAMP"
+        " '2024-01-01 00:00:00') AS tsdiff",
+        "SELECT to_days(5) + DATE '2024-01-01' AS td,"
+        " to_months(2) + DATE '2024-01-01' AS tm",
+    ],
+    "numeric_text": [
+        "SELECT (1.50)::VARCHAR AS d1, (0.5)::VARCHAR AS d2,"
+        " (-0.05)::VARCHAR AS d3",
+        "SELECT CAST(1.5 AS DECIMAL(10, 4))::VARCHAR AS d4",
+        "SELECT (1/3)::VARCHAR AS div1, (7//2)::VARCHAR AS div2",
+        "SELECT concat('v=', 2.50) AS c1, 'v=' || 1.0 AS c2",
+        "SELECT concat('x', 1e-7) AS tiny, concat('x', 1e15) AS big",
+        "SELECT round(2.5) AS r1, round(-2.5) AS r2, round(1.45, 1) AS r3",
+        "SELECT round(2.5e0) AS rd1, round(3.5e0) AS rd2",
+        "SELECT ceil(-0.5)::VARCHAR AS cz, floor(0.5) AS fz",
+        "SELECT 'nan'::DOUBLE = 'nan'::DOUBLE AS nane,"
+        " 'nan'::DOUBLE > 1e308 AS nangt",
+        "SELECT isnan('nan'::DOUBLE) AS n1, isinf('inf'::DOUBLE) AS i1",
+        "SELECT greatest(1e0, 'nan'::DOUBLE) AS gn,"
+        " least(1e0, 'nan'::DOUBLE) AS ln2",
+        "SELECT greatest(NULL, 1) AS g1, least(NULL, 1) AS l1,"
+        " greatest(NULL, NULL) AS g2",
+        "SELECT (0.1::FLOAT4)::VARCHAR AS f1, (2.5::FLOAT4 * 2)::VARCHAR AS f2",
+        "SELECT 10 % 3 AS m1, -10 % 3 AS m2, 10 % -3 AS m3",
+        "SELECT mod(-10, 3) AS md1, fmod(-10.5, 3) AS fd1",
+        "SELECT sign(-2.5) AS s1, sign(0) AS s2, sign('nan'::DOUBLE) AS s3",
+        "SELECT trunc(2.7) AS t1, trunc(-2.7) AS t2",
+        "SELECT 3.14::VARCHAR AS pi1, (-3.14)::VARCHAR AS pi2",
+    ],
+    "complex_compare": [
+        "SELECT [1, 2] < [1, 3] AS c1, [1] < [1, 2] AS c2,"
+        " [2] > [1, 9] AS c3",
+        "SELECT (1, 2) < (1, 3) AS s1, (2, 0) > (1, 9) AS s2",
+        "SELECT max(x) AS mx FROM (VALUES ([1, 2]), ([1, 3])) t(x)",
+        "SELECT min(x) AS mn FROM (VALUES ([2]), ([1, 9])) t(x)",
+        "SELECT x FROM (VALUES ([2]), ([1, 3]), ([1])) t(x) ORDER BY x",
+        "SELECT DISTINCT x FROM (VALUES ([1, 2]), ([1, 2])) t(x)",
+        "SELECT count(DISTINCT x) AS c FROM (VALUES ([1, NULL]),"
+        " ([1, NULL]), ([2])) t(x)",
+        "SELECT list_sort([[2], [1, 9], [1]]) AS ls",
+        "SELECT array_position([1, NULL, 2], NULL) AS ap",
+        "SELECT list_position([1, NULL, 2], 2) AS lp",
+        "SELECT [1, 2] = [1, 2] AS eq1, [1, 2] = [1] AS eq2",
+        "SELECT {'a': 1, 'b': 2} = {'a': 1, 'b': 2} AS se",
+        "SELECT x FROM (VALUES ({'a': 2, 'b': 1}), ({'a': 1, 'b': 9}))"
+        " t(x) ORDER BY x",
+    ],
+    "grouping_marks": [
+        "SELECT k, grouping(k) AS g, count(*) AS c FROM (VALUES (1),"
+        " (NULL)) t(k) GROUP BY ROLLUP(k) ORDER BY g, k",
+        "SELECT a, b, grouping(a) AS ga, grouping(b) AS gb, count(*) AS c"
+        " FROM (VALUES (1, 'x'), (1, 'y')) t(a, b)"
+        " GROUP BY CUBE(a, b) ORDER BY ga, gb, a, b",
+        "SELECT sum(v) AS s, count(v) AS c, avg(v) AS a, min(v) AS mn,"
+        " max(v) AS mx FROM (VALUES (1)) t(v) WHERE false",
+        "SELECT array_agg(v) AS aa FROM (VALUES (1)) t(v) WHERE false",
+        "SELECT list(v) AS l FROM (VALUES (1)) t(v) WHERE false",
+        "SELECT string_agg(v, ',') AS sa FROM (VALUES ('a')) t(v) WHERE false",
+        "SELECT bool_and(v) AS ba, bool_or(v) AS bo FROM (VALUES (true))"
+        " t(v) WHERE false",
+        "SELECT count(*) AS c FROM (VALUES (1)) t(v) WHERE false",
+        "SELECT sum(v) FILTER (WHERE false) AS s, count(*) AS c"
+        " FROM (VALUES (1), (2)) t(v)",
+        "SELECT avg(DISTINCT v) AS ad, sum(DISTINCT v) AS sd"
+        " FROM (VALUES (1), (1), (2), (NULL)) t(v)",
+        "SELECT count(DISTINCT (a, b)) AS cd FROM (VALUES (1, 2), (1, 2),"
+        " (1, 3)) t(a, b)",
+        "SELECT k, count(*) AS c FROM (VALUES (NULL), (NULL), (1)) t(k)"
+        " GROUP BY k ORDER BY k",
+        "SELECT first(v ORDER BY k) AS f, last(v ORDER BY k) AS l"
+        " FROM (VALUES (10, 2), (20, 1), (30, NULL)) t(v, k)",
+    ],
 }
 
 

@@ -402,6 +402,38 @@ BATTERY = [
     # a trailing line comment on the sort key must not swallow the
     # NULLS LAST default-order fix
     "SELECT v FROM (VALUES (2), (NULL), (1)) t(v) ORDER BY v -- trailing\nLIMIT 2",
+    # ---- r10 sweep: windows/series/intervals/numeric-text/grouping
+    # year-month interval constructors promote DATE to TIMESTAMP in
+    # either operand order, like INTERVAL literals
+    "SELECT to_quarters(2) + DATE '2024-01-01' AS q,"
+    " to_months(2) + DATE '2024-01-01' AS tm,"
+    " DATE '2024-01-01' + to_years(1) AS ty,"
+    " to_decades(1) + DATE '2024-01-01' AS td",
+    # concat/|| stringify eE DOUBLE literals shortest-round-trip
+    "SELECT concat('x', 1e-7) AS tiny, 'x' || 1e15 AS big,"
+    " 'x' || -1.5e0 AS neg, 1e0 || 2e0 AS both",
+    "SELECT 0.1::FLOAT4 AS f1, CAST(1 AS REAL) AS f2, 2.5::FLOAT8 AS f3,"
+    " (0.1::FLOAT4)::VARCHAR AS ft",
+    # sign: TINYINT result, NaN → 0
+    "SELECT sign(-2.5) AS s1, sign(0) AS s2, sign('nan'::DOUBLE) AS s3,"
+    " sign(5) AS s4",
+    # array_agg/list over zero qualifying rows are NULL; FILTER folds
+    # into the collected struct (plain and ordered); DISTINCT rides
+    "SELECT array_agg(v) AS aa, list(v) AS l FROM (VALUES (1)) t(v)"
+    " WHERE false",
+    "SELECT array_agg(v) FILTER (WHERE v > 1) AS af,"
+    " array_agg(v ORDER BY v DESC) FILTER (WHERE v < 3) AS aof,"
+    " array_agg(v) FILTER (WHERE v > 9) AS aempty"
+    " FROM (VALUES (1), (2), (3)) t(v)",
+    "SELECT list_sort(array_agg(DISTINCT v)) AS ad"
+    " FROM (VALUES (1), (NULL), (1), (2)) t(v)",
+    "SELECT k, array_agg(v ORDER BY v) FILTER (WHERE v <> 0) AS aof"
+    " FROM (VALUES (1, 2), (1, 0), (1, 1), (2, 0)) t(k, v)"
+    " GROUP BY k ORDER BY k",
+    # strict boolean literal casts: accepted set folds, TRY of a
+    # rejected value is NULL
+    "SELECT 'true'::BOOLEAN AS b1, 'T'::BOOLEAN AS b2, '0'::BOOLEAN AS b3,"
+    " TRY_CAST('yes' AS BOOLEAN) AS b4, TRY_CAST(' true ' AS BOOLEAN) AS b5",
 ]
 
 # fixture-table statements need the views registered on both engines
@@ -476,6 +508,15 @@ def test_hamming_unequal_lengths_errors(spark):
     register_udfs(spark)
     with pytest.raises(Exception, match="equal length"):
         spark.sql(rewrite("SELECT hamming('abc', 'abcd') AS h")).collect()
+
+
+def test_bool_cast_rejected_literal_errors():
+    """DuckDB: Conversion Error for 'yes'::BOOLEAN (no y/n/yes/no,
+    no whitespace trim); Spark would silently accept both."""
+    with pytest.raises(ValueError, match="to BOOL"):
+        rewrite("SELECT 'yes'::BOOLEAN AS b")
+    with pytest.raises(ValueError, match="to BOOL"):
+        rewrite("SELECT CAST(' true ' AS BOOLEAN) AS b")
 
 
 def test_zero_slice_step_errors():
