@@ -6340,6 +6340,57 @@ def _agg_null_on_empty(arr_expr: str) -> str:
     return f"(CASE WHEN size({arr_expr}) > 0 THEN {arr_expr} END)"
 
 
+_CORR_CALL_RE = re.compile(r"\bcorr\s*\(", re.IGNORECASE)
+_AGG_TAIL_RE = re.compile(r"\s*(OVER|FILTER|WITHIN)\b", re.IGNORECASE)
+
+
+def _rewrite_corr(sql: str) -> str:
+    """DuckDB corr over a zero-variance group is NULL; Spark's native
+    corr raises DIVIDE_BY_ZERO under ANSI (r10 sweep). Same estimator
+    via the sample identity with try_divide. Calls with an OVER/FILTER
+    tail stay native — the wrapper expression cannot carry those
+    clauses (zero-variance frames keep the loud ANSI error there)."""
+    if _CORR_CALL_RE.search(sql) is None:
+        return sql
+    guard = 0
+    skipped: set[int] = set()
+    while guard < 50:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _CORR_CALL_RE.finditer(sql)
+                if all(mask[c.start() : c.end()]) and c.start() not in skipped
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql
+        args = [a.strip() for a in split_top_level(sql[m.end() : i - 1])]
+        if len(args) != 2 or _AGG_TAIL_RE.match(sql, i):
+            skipped.add(m.start())
+            continue
+        x, y = args
+        repl = (
+            f"try_divide(covar_samp({x}, {y}),"
+            f" stddev_samp({x}) * stddev_samp({y}))"
+        )
+        sql = sql[: m.start()] + repl + sql[i:]
+        skipped = {s for s in skipped if s < m.start()}
+    return sql
+
+
 _ARRAY_AGG_PLAIN_CALL = re.compile(r"\b(array_agg|list)\s*\(", re.IGNORECASE)
 
 
@@ -7103,6 +7154,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_regexp_default_group(sql)
     sql = _rewrite_agg_order_by(sql)  # before renames: needs DuckDB names
     sql = _rewrite_array_agg_plain(sql)  # after: plain forms only
+    sql = _rewrite_corr(sql)  # NULL on zero variance, not ANSI div-zero
     sql = _rewrite_quantified_subq(sql)
     sql = _rewrite_positional_join(sql)
     sql = _rewrite_dot_calls(sql)  # (expr).fn() before nary sees fn

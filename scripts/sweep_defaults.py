@@ -627,6 +627,40 @@ FAMILIES: dict[str, list[str]] = {
         "SELECT x FROM (VALUES ({'a': 2, 'b': 1}), ({'a': 1, 'b': 9}))"
         " t(x) ORDER BY x",
     ],
+    "stats_aggs": [
+        "SELECT corr(x, y) AS c FROM (VALUES (1.0, 2.0)) t(x, y)",
+        "SELECT covar_samp(x, y) AS cs FROM (VALUES (1.0, 2.0)) t(x, y)",
+        "SELECT covar_pop(x, y) AS cp FROM (VALUES (1.0, 2.0)) t(x, y)",
+        "SELECT stddev(x) AS sd, var_samp(x) AS vs FROM (VALUES (1.0)) t(x)",
+        "SELECT stddev_pop(x) AS sp, var_pop(x) AS vp FROM (VALUES (1.0)) t(x)",
+        "SELECT corr(x, y) AS czero FROM (VALUES (1.0, 2.0), (1.0, 3.0)) t(x, y)",
+        "SELECT corr(x, y) AS cnull FROM (VALUES (1.0, NULL),"
+        " (2.0, 3.0)) t(x, y)",
+        "SELECT round(corr(x, y), 9) AS cr FROM (VALUES (1.0, 2.0),"
+        " (2.0, 3.0), (3.0, 5.0)) t(x, y)",
+        "SELECT regr_slope(y, x) AS rs, regr_intercept(y, x) AS ri"
+        " FROM (VALUES (1.0, 2.0), (2.0, 4.0)) t(x, y)",
+        "SELECT regr_slope(y, x) AS rsv FROM (VALUES (1.0, 2.0),"
+        " (1.0, 4.0)) t(x, y)",
+        "SELECT round(regr_r2(y, x), 9) AS r2, regr_count(y, x) AS rc"
+        " FROM (VALUES (1.0, 2.0), (2.0, 3.0), (3.0, 5.0)) t(x, y)",
+        "SELECT regr_avgx(y, x) AS ax, regr_avgy(y, x) AS ay,"
+        " regr_sxx(y, x) AS sxx, regr_syy(y, x) AS syy,"
+        " regr_sxy(y, x) AS sxy FROM (VALUES (1.0, 2.0), (2.0, 5.0)) t(x, y)",
+        "SELECT skewness(x) AS sk FROM (VALUES (1.0), (2.0)) t(x)",
+        "SELECT kurtosis(x) AS ku FROM (VALUES (1.0), (2.0), (3.0)) t(x)",
+        "SELECT round(kurtosis_pop(x), 6) AS kp FROM (VALUES (1.0),"
+        " (2.0), (3.0)) t(x)",
+        "SELECT round(entropy(x), 9) AS e FROM (VALUES (1), (1), (2)) t(x)",
+        "SELECT mad(x) AS m FROM (VALUES (1.0), (2.0), (4.0)) t(x)",
+        "SELECT bit_and(x) AS ba, bit_or(x) AS bo, bit_xor(x) AS bx"
+        " FROM (VALUES (6), (3)) t(x)",
+        "SELECT product(x) AS p FROM (VALUES (2.0), (3.0)) t(x)",
+        "SELECT round(skewness(x), 9) AS sk3 FROM (VALUES (1.0), (2.0),"
+        " (4.0)) t(x)",
+        "SELECT round(kurtosis(x), 9) AS ku4 FROM (VALUES (1.0), (2.0),"
+        " (4.0), (9.0)) t(x)",
+    ],
     "grouping_marks": [
         "SELECT k, grouping(k) AS g, count(*) AS c FROM (VALUES (1),"
         " (NULL)) t(k) GROUP BY ROLLUP(k) ORDER BY g, k",

@@ -434,6 +434,15 @@ BATTERY = [
     # rejected value is NULL
     "SELECT 'true'::BOOLEAN AS b1, 'T'::BOOLEAN AS b2, '0'::BOOLEAN AS b3,"
     " TRY_CAST('yes' AS BOOLEAN) AS b4, TRY_CAST(' true ' AS BOOLEAN) AS b5",
+    # corr over a zero-variance or sub-2-row group is NULL (ANSI
+    # Spark's native corr raises DIVIDE_BY_ZERO on zero variance)
+    "SELECT corr(x, y) AS czero FROM (VALUES (1.0, 2.0), (1.0, 3.0)) t(x, y)",
+    "SELECT corr(x, y) AS c1 FROM (VALUES (1.0, 2.0)) t(x, y),"
+    " (VALUES (1)) u(z)",
+    "SELECT round(corr(x, y), 9) AS cr FROM (VALUES (1.0, 2.0),"
+    " (2.0, 3.0), (3.0, 5.0)) t(x, y)",
+    "SELECT skewness(x) AS sk, kurtosis(x) AS ku"
+    " FROM (VALUES (1.0), (2.0)) t(x)",
 ]
 
 # fixture-table statements need the views registered on both engines
