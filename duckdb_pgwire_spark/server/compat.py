@@ -6303,17 +6303,21 @@ _ARRAY_AGG_SORTED = (
     "ELSE 0 END), __s -> __s.__v)"
 )
 
-_FILTER_TAIL_RE = re.compile(r"\s*FILTER\s*(\()\s*WHERE\b", re.IGNORECASE)
+_FILTER_TAIL_RE = re.compile(r"\s*FILTER\s*(\()", re.IGNORECASE)
 
 
 def _peek_filter_tail(
     sql: str, mask: list[bool], pos: int
 ) -> tuple[str, int] | None:
-    """If a ``FILTER (WHERE cond)`` clause starts at code position
-    ``pos``, return (cond_text, end_past_closing_paren). Spark's
-    parser only attaches FILTER to a direct aggregate call, so passes
-    that wrap an aggregate in transform()/CASE must fold the clause
-    into the aggregate argument instead of leaving the tail behind."""
+    """If a ``FILTER (WHERE cond)`` clause — or DuckDB's WHERE-less
+    ``FILTER (cond)`` shorthand (the WHERE normalizer runs later) —
+    starts at code position ``pos``, return (cond_text,
+    end_past_closing_paren). ``pos`` is always immediately after an
+    aggregate call's close paren, so the HOF filter(l, x -> …) can
+    never match here. Spark's parser only attaches FILTER to a direct
+    aggregate call, so passes that wrap an aggregate in
+    transform()/CASE must fold the clause into the aggregate argument
+    instead of leaving the tail behind."""
     m = _FILTER_TAIL_RE.match(sql, pos)
     if m is None or not mask[m.start(1)]:
         return None

@@ -17,8 +17,10 @@ matching file) on the driver; the actual scan is a distributed
 ``inferSchema``, which would run a full extra pass over every byte of
 a 100 TB input just to guess types.
 
-DuckDB's TIME type has no Spark analogue; TIME columns scan as STRING
-(same rendered text on the wire, different OID — documented gap).
+TIME columns scan as STRING plus a CAST projection to Spark 4.1's
+TIME type (spark.sql.timeType.enabled, session.py) — the relation
+advertises the real PG OID 1083 with DuckDB's rendered text (the
+r8-verdict gap here is closed; see _SPARK_TYPES).
 """
 
 from __future__ import annotations

@@ -633,7 +633,10 @@ BATTERY: dict[str, list[str]] = {
         "CREATE OR REPLACE TABLE probe_agt AS SELECT * FROM (VALUES"
         " (1, 2.0, 'a'), (2, 3.0, 'b'), (3, NULL, 'a'), (4, 7.0, NULL))"
         " v(k, x, s)",
-        "SELECT string_agg(s) AS sa FROM probe_agt",
+        # length() pins the default ',' separator while staying
+        # order-invariant (1-arg string_agg row order is unspecified
+        # on both engines; Spark's listagg really does vary)
+        "SELECT length(string_agg(s)) AS sa FROM probe_agt",
         "SELECT string_agg(DISTINCT s, '|' ORDER BY s) AS sa FROM probe_agt",
         # no ORDER BY → row order is unspecified on BOTH engines (duck
         # happens to preserve insertion order; a distributed engine

@@ -430,6 +430,10 @@ BATTERY = [
     "SELECT k, array_agg(v ORDER BY v) FILTER (WHERE v <> 0) AS aof"
     " FROM (VALUES (1, 2), (1, 0), (1, 1), (2, 0)) t(k, v)"
     " GROUP BY k ORDER BY k",
+    # DuckDB's WHERE-less FILTER shorthand folds the same way
+    "SELECT list(v) FILTER (v IS NOT NULL) AS lf,"
+    " array_agg(v ORDER BY v) FILTER (v > 1) AS af"
+    " FROM (VALUES (1), (NULL), (2)) t(v)",
     # strict boolean literal casts: accepted set folds, TRY of a
     # rejected value is NULL
     "SELECT 'true'::BOOLEAN AS b1, 'T'::BOOLEAN AS b2, '0'::BOOLEAN AS b3,"
