@@ -627,6 +627,29 @@ FAMILIES: dict[str, list[str]] = {
         "SELECT x FROM (VALUES ({'a': 2, 'b': 1}), ({'a': 1, 'b': 9}))"
         " t(x) ORDER BY x",
     ],
+    "null_logic": [
+        "SELECT 1 IN (2, NULL) AS i1, 1 IN (1, NULL) AS i2,"
+        " NULL IN (1) AS i3",
+        "SELECT 1 NOT IN (2, NULL) AS n1, 1 NOT IN (1, NULL) AS n2",
+        "SELECT 1 = ANY(SELECT * FROM (VALUES (2), (NULL)) t(x)) AS a1",
+        "SELECT 1 = ANY(SELECT * FROM (VALUES (1), (NULL)) t(x)) AS a2",
+        "SELECT 1 = ALL(SELECT * FROM (VALUES (1), (NULL)) t(x)) AS l1",
+        "SELECT 1 = ALL(SELECT x FROM (VALUES (1)) t(x) WHERE false) AS l2",
+        "SELECT 1 <> ALL(SELECT * FROM (VALUES (2), (3)) t(x)) AS l3",
+        "SELECT 5 > ANY(SELECT * FROM (VALUES (3), (NULL)) t(x)) AS g1",
+        "SELECT 1 IN (SELECT x FROM (VALUES (NULL)) t(x)) AS s1",
+        "SELECT 1 NOT IN (SELECT x FROM (VALUES (NULL)) t(x)) AS s2",
+        "SELECT EXISTS(SELECT NULL) AS e1,"
+        " NOT EXISTS(SELECT 1 WHERE false) AS e2",
+        "SELECT NULL AND false AS af, NULL AND true AS at,"
+        " NULL OR true AS ot, NULL OR false AS onf",
+        "SELECT NOT NULL AS nn",
+        "SELECT CASE NULL WHEN NULL THEN 1 ELSE 2 END AS cw",
+        "SELECT 1 BETWEEN NULL AND 2 AS b1, 3 BETWEEN NULL AND 2 AS b2",
+        "SELECT NULL IS DISTINCT FROM NULL AS d1,"
+        " 1 IS NOT DISTINCT FROM NULL AS d2",
+        "SELECT NULLIF(NULL, 1) AS nf, COALESCE(NULL, NULL) AS co",
+    ],
     "stats_aggs": [
         "SELECT corr(x, y) AS c FROM (VALUES (1.0, 2.0)) t(x, y)",
         "SELECT covar_samp(x, y) AS cs FROM (VALUES (1.0, 2.0)) t(x, y)",
