@@ -259,7 +259,8 @@ _CSV_REL_RE = re.compile(
     r"(\b(?:FROM|JOIN)\s+)'([^']+\.(?:csv|tsv))'", re.IGNORECASE
 )
 _READ_CSV_RE = re.compile(
-    r"\bread_csv(?:_auto)?\s*\(\s*'([^']+)'\s*((?:,[^()]*)?)\)",
+    r"\bread_csv(?:_auto)?\s*\(\s*'([^']+)'\s*"
+    r"((?:,(?:[^()]|\([^()]*\))*)?)\)",  # one paren level: DECIMAL(4,1)
     re.IGNORECASE,
 )
 # (path, overrides) → mtime of the file(s) the catalog objects were
@@ -270,47 +271,128 @@ _CSV_VIEWS: dict[tuple, float] = {}
 _CSV_VIEWS_LOCK = threading.Lock()
 
 
+_QUOTED_RE = re.compile(r"'((?:[^']|'')*)'")
+_COL_PAIR_RE = re.compile(
+    r"'((?:[^']|'')*)'\s*:\s*'((?:[^']|'')*)'"
+)
+
+
 def _parse_read_csv_args(argtext: str) -> dict:
-    """Named-arg tail of read_csv: header/delim/sep overrides map
-    through; anything else refuses loudly (the sniffer otherwise
-    silently contradicts an explicit user option)."""
+    """Named-arg tail of read_csv. Supported (all probed vs DuckDB):
+    header, delim/sep, quote, escape, nullstr (single value), names
+    (first-N rename), columns ({'name': 'TYPE'} — replaces the sniffed
+    schema), all_varchar, ignore_errors (→ DROPMALFORMED),
+    dateformat/timestampformat (%-directives → Java pattern), and
+    auto_detect=true. Anything else refuses loudly (a silently-ignored
+    explicit option would contradict the user)."""
     overrides: dict = {}
     argtext = (argtext or "").strip().lstrip(",").strip()
     if not argtext:
         return overrides
-    # split on commas OUTSIDE quotes (delim=',' carries one inside)
-    parts, buf, inq = [], [], False
+    # split on commas OUTSIDE quotes and outside [] {} () nesting
+    # (delim=',' carries one inside quotes; names/columns nest commas)
+    parts, buf, inq, depth = [], [], False, 0
     for ch in argtext:
         if ch == "'":
             inq = not inq
             buf.append(ch)
-        elif ch == "," and not inq:
+        elif not inq and ch in "[{(":
+            depth += 1
+            buf.append(ch)
+        elif not inq and ch in "]})":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and not inq and depth == 0:
             parts.append("".join(buf))
             buf = []
         else:
             buf.append(ch)
     parts.append("".join(buf))
+
+    def _bool(v: str) -> bool:
+        return v.strip().strip("'").lower() in ("true", "1")
+
     for part in parts:
         part = part.strip()
         if not part:
             continue
-        m = re.match(r"(\w+)\s*(?::=|=)\s*(.+)$", part)
+        m = re.match(r"(\w+)\s*(?::=|=)\s*(.+)$", part, re.DOTALL)
         if not m:
             raise ValueError(
                 f"read_csv: unsupported argument {part!r} — positional "
-                "options are not supported; use header=/delim= or a "
+                "options are not supported; use named options or a "
                 "CREATE VIEW over the sniffed relation"
             )
-        k, v = m.group(1).lower(), m.group(2).strip().strip("'")
+        k, raw = m.group(1).lower(), m.group(2).strip()
+        qm = _QUOTED_RE.fullmatch(raw)
+        # SQL-literal unquote ('' → '); bare words pass through
+        v = qm.group(1).replace("''", "'") if qm else raw
         if k in ("delim", "sep"):
             overrides["sep"] = v
         elif k == "header":
-            overrides["header"] = v.lower() in ("true", "1")
+            overrides["header"] = _bool(raw)
+        elif k == "quote":
+            if v == "":
+                raise ValueError(
+                    "read_csv: quote='' (disabled quoting) is not "
+                    "supported — pick an unused quote character"
+                )
+            overrides["quote"] = v
+        elif k == "escape":
+            overrides["escape"] = v
+        elif k == "nullstr":
+            if raw.startswith("["):
+                vals = [
+                    s.replace("''", "'") for s in _QUOTED_RE.findall(raw)
+                ]
+                if len(set(vals)) > 1:
+                    raise ValueError(
+                        "read_csv: multiple nullstr values are not "
+                        "supported (Spark's scan takes one nullValue)"
+                    )
+                overrides["nullstr"] = vals[0] if vals else ""
+            else:
+                overrides["nullstr"] = v
+        elif k == "names" or k == "column_names":
+            if not raw.startswith("["):
+                raise ValueError("read_csv: names= takes a list literal")
+            overrides["names"] = tuple(
+                s.replace("''", "'") for s in _QUOTED_RE.findall(raw)
+            )
+        elif k in ("columns", "types"):
+            if not raw.startswith("{"):
+                raise ValueError(
+                    f"read_csv: {k}= takes a struct literal "
+                    "{'name': 'TYPE', ...} (positional type lists are "
+                    "not supported)"
+                )
+            pairs = tuple(
+                (n.replace("''", "'"), t.replace("''", "'"))
+                for n, t in _COL_PAIR_RE.findall(raw)
+            )
+            if not pairs:
+                raise ValueError("read_csv: columns= has no column pairs")
+            overrides["columns"] = pairs
+        elif k == "all_varchar":
+            overrides["all_varchar"] = _bool(raw)
+        elif k == "ignore_errors":
+            overrides["ignore_errors"] = _bool(raw)
+        elif k in ("dateformat", "date_format"):
+            overrides["dateformat"] = v
+        elif k in ("timestampformat", "timestamp_format"):
+            overrides["timestampformat"] = v
+        elif k == "auto_detect":
+            if not _bool(raw) and "columns" not in overrides:
+                raise ValueError(
+                    "read_csv: auto_detect=false requires columns="
+                )
         else:
             raise ValueError(
                 f"read_csv: option {k!r} is not supported — supported "
-                "named options: header, delim/sep (the sniffer "
-                "auto-detects the rest)"
+                "named options: header, delim/sep, quote, escape, "
+                "nullstr, names, columns, all_varchar, ignore_errors, "
+                "dateformat, timestampformat (the sniffer auto-detects "
+                "the rest)"
             )
     return overrides
 
@@ -354,7 +436,16 @@ def _csv_view_create(
     from .csv_sniff import sniff_file
 
     sn = sniff_file(
-        path, sep=overrides.get("sep"), header=overrides.get("header")
+        path,
+        sep=overrides.get("sep"),
+        header=overrides.get("header"),
+        quote=overrides.get("quote"),
+        nullstr=overrides.get("nullstr"),
+        names=overrides.get("names"),
+        columns=overrides.get("columns"),
+        all_varchar=overrides.get("all_varchar", False),
+        datefmt=overrides.get("dateformat"),
+        tsfmt=overrides.get("timestampformat"),
     )
     # Spark's file index treats '_'/'.'-prefixed basenames as hidden
     # metadata (the parquet _SUCCESS convention) and SILENTLY skips
@@ -393,11 +484,41 @@ def _csv_view_create(
             session.sql(drop)
         except Exception:  # noqa: BLE001 — name bound to the other kind
             pass
-    sep_sql = sn["sep"].replace("\\", "\\\\").replace("'", "\\'")
+    def _opt(v: str) -> str:
+        return v.replace("\\", "\\\\").replace("'", "\\'")
+
+    opts = [
+        f"path '{path}'",
+        f"sep '{_opt(sn['sep'])}'",
+        f"header '{str(sn['header']).lower()}'",
+    ]
+    if overrides.get("quote"):
+        opts.append(f"quote '{_opt(overrides['quote'])}'")
+    if overrides.get("escape"):
+        opts.append(f"escape '{_opt(overrides['escape'])}'")
+    if overrides.get("nullstr"):
+        opts.append(f"nullValue '{_opt(overrides['nullstr'])}'")
+    if overrides.get("ignore_errors"):
+        opts.append("mode 'DROPMALFORMED'")
+    # DuckDB %-directive formats → Java patterns (the parse direction:
+    # single letters accept 1-2 digits like DuckDB)
+    if overrides.get("dateformat"):
+        from .compat import _translate_strf
+
+        opts.append(
+            f"dateFormat '{_opt(_translate_strf(overrides['dateformat'], parse=True))}'"
+        )
+    if overrides.get("timestampformat"):
+        from .compat import _translate_strf
+
+        opts.append(
+            "timestampFormat "
+            f"'{_opt(_translate_strf(overrides['timestampformat'], parse=True))}'"
+        )
     session.sql(
         f"CREATE TABLE {raw} ({sn['schema_ddl']}) USING csv OPTIONS ("
-        f"path '{path}', sep '{sep_sql}', "
-        f"header '{str(sn['header']).lower()}')"
+        + ", ".join(opts)
+        + ")"
     )
     if needs_proj:
         session.sql(

@@ -56,8 +56,24 @@ _INT_RE = re.compile(r"^-?\d+$")
 _FLOAT_RE = re.compile(r"^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 
 
-def _parses_as(v: str, t: str) -> bool:
-    if v == "":
+def _strptime_ok(v: str, fmt: str) -> bool:
+    import datetime as _dt
+
+    try:
+        _dt.datetime.strptime(v, fmt)
+        return True
+    except ValueError:
+        return False
+
+
+def _parses_as(
+    v: str,
+    t: str,
+    nulls: tuple = ("",),
+    datefmt: str | None = None,
+    tsfmt: str | None = None,
+) -> bool:
+    if v in nulls:
         return True  # NULL fits every type
     if t == "BOOLEAN":
         return v.lower() in _BOOL
@@ -66,33 +82,57 @@ def _parses_as(v: str, t: str) -> bool:
     if t == "DOUBLE":
         return bool(_FLOAT_RE.match(v))
     if t == "DATE":
+        # a user dateformat= drives the sniff too (DuckDB does the
+        # same); Python's strptime shares DuckDB's %-directives
+        if datefmt is not None:
+            return _strptime_ok(v, datefmt)
         return bool(_DATE_RE.match(v))
     if t == "TIME":
         return bool(_TIME_RE.match(v))
     if t == "TIMESTAMP":
+        if tsfmt is not None:
+            return _strptime_ok(v, tsfmt)
         return bool(_TS_RE.match(v))
     return True  # VARCHAR
 
 
-def _infer_column(values: list[str]) -> str:
+def _infer_column(
+    values: list[str],
+    nulls: tuple = ("",),
+    datefmt: str | None = None,
+    tsfmt: str | None = None,
+) -> str:
     for t in _TYPES:
-        if any(v != "" for v in values) and all(
-            _parses_as(v, t) for v in values
+        if any(v not in nulls for v in values) and all(
+            _parses_as(v, t, nulls, datefmt, tsfmt) for v in values
         ):
             return t
     return "VARCHAR"
 
 
-def _split_sample(text: str, delim: str) -> list[list[str]]:
-    return list(_csv.reader(io.StringIO(text), delimiter=delim))
+def _split_sample(
+    text: str, delim: str, quote: str = '"'
+) -> list[list[str]]:
+    return list(
+        _csv.reader(io.StringIO(text), delimiter=delim, quotechar=quote)
+    )
 
 
 def sniff_text(
-    text: str, sep: str | None = None, header: bool | None = None
+    text: str,
+    sep: str | None = None,
+    header: bool | None = None,
+    quote: str | None = None,
+    nullstr: str | None = None,
+    datefmt: str | None = None,
+    tsfmt: str | None = None,
 ) -> dict:
     """Sniff a decoded sample. Returns ``{"sep", "header", "names",
     "types"}`` (types in DuckDB names). ``sep``/``header`` force an
     explicit user option instead of detecting it."""
+    q = quote or '"'
+    nulls = ("",) if nullstr is None else ("", nullstr)
+    fmts = (datefmt, tsfmt)
     # drop a trailing partial line (the sample may cut mid-record)
     if "\n" in text:
         text = text[: text.rfind("\n") + 1]
@@ -115,13 +155,13 @@ def sniff_text(
     else:
         best, best_cols = ",", 1
         for d in _DELIMS:
-            rows = _split_sample(sample, d)
+            rows = _split_sample(sample, d, q)
             counts = {len(r) for r in rows if r}
             if len(counts) == 1:
                 (n,) = counts
                 if n > best_cols:
                     best, best_cols = d, n
-    rows = [r for r in _split_sample(sample, best) if r]
+    rows = [r for r in _split_sample(sample, best, q) if r]
     ncol = max(len(r) for r in rows)
     grid = [[*(r), *[""] * (ncol - len(r))] for r in rows]
     rest = grid[1:]
@@ -131,7 +171,8 @@ def sniff_text(
         header = False
     if rest:
         types_rest = [
-            _infer_column([row[c] for row in rest]) for c in range(ncol)
+            _infer_column([row[c] for row in rest], nulls, *fmts)
+            for c in range(ncol)
         ]
         if header is None:
             # a column whose DATA rows are all empty types as SQL NULL
@@ -139,15 +180,15 @@ def sniff_text(
             # the type check and claims the header (found by the r8
             # CSV fuzzer on degenerate mostly-empty grids)
             null_col_hdr = any(
-                grid[0][c] != ""
-                and all(row[c] == "" for row in rest)
+                grid[0][c] not in nulls
+                and all(row[c] in nulls for row in rest)
                 for c in range(ncol)
             )
             header = (
                 null_col_hdr
                 or all(t == "VARCHAR" for t in types_rest)
                 or any(
-                    not _parses_as(grid[0][c], types_rest[c])
+                    not _parses_as(grid[0][c], types_rest[c], nulls, *fmts)
                     for c in range(ncol)
                 )
             )
@@ -155,14 +196,16 @@ def sniff_text(
         # single-line file (probed): DuckDB keeps a numeric/mixed row
         # as DATA ('1,2,3' → column0.. with one row; 'a,1' too) and
         # claims an all-text row as a header-only table ('a,b' → empty)
-        row0_types = [_infer_column([grid[0][c]]) for c in range(ncol)]
+        row0_types = [
+            _infer_column([grid[0][c]], nulls, *fmts) for c in range(ncol)
+        ]
         if header is None:
             # an EMPTY cell (after unquoting) keeps the row as DATA
             # even when everything else is text (probed: ',:' → one
             # NULL/text row; ' ,b' → header — whitespace counts as
             # text; r10 fuzzer)
             header = all(t == "VARCHAR" for t in row0_types) and all(
-                c != "" for c in grid[0]
+                c not in nulls for c in grid[0]
             )
         types_rest = ["VARCHAR"] * ncol
     if header:
@@ -195,7 +238,10 @@ def sniff_text(
         types = types_rest
     else:
         names = [f"column{i}" for i in range(ncol)]
-        types = [_infer_column([row[c] for row in grid]) for c in range(ncol)]
+        types = [
+            _infer_column([row[c] for row in grid], nulls, *fmts)
+            for c in range(ncol)
+        ]
     return {"sep": best, "header": header, "names": names, "types": types}
 
 
@@ -216,11 +262,71 @@ _SPARK_TYPES = {
 }
 
 
+# DuckDB type spellings accepted in read_csv columns= → (Spark scan
+# type, projection kind). BOOLEAN/TIME scan as string: DuckDB's bool
+# parse also takes t/f, and Spark's CSV datasource rejects TIME — the
+# same projections the sniffed path uses.
+_DUCK_COL_TYPES = {
+    "BOOLEAN": ("string", "BOOLEAN"), "BOOL": ("string", "BOOLEAN"),
+    "LOGICAL": ("string", "BOOLEAN"),
+    "TINYINT": ("tinyint", None), "INT1": ("tinyint", None),
+    "SMALLINT": ("smallint", None), "INT2": ("smallint", None),
+    "INTEGER": ("int", None), "INT": ("int", None), "INT4": ("int", None),
+    "BIGINT": ("long", None), "INT8": ("long", None), "LONG": ("long", None),
+    "HUGEINT": ("decimal(38,0)", None),
+    "FLOAT": ("float", None), "FLOAT4": ("float", None),
+    "REAL": ("float", None),
+    "DOUBLE": ("double", None), "FLOAT8": ("double", None),
+    "VARCHAR": ("string", None), "TEXT": ("string", None),
+    "STRING": ("string", None), "BPCHAR": ("string", None),
+    "CHAR": ("string", None),
+    "DATE": ("date", None), "TIME": ("string", "TIME"),
+    "TIMESTAMP": ("timestamp", None), "DATETIME": ("timestamp", None),
+}
+
+
+def _duck_col_type(t: str) -> tuple[str, str | None]:
+    up = t.strip().upper()
+    m = re.fullmatch(r"(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", up)
+    if m:
+        return (f"decimal({m.group(1)},{m.group(2)})", None)
+    if up in _DUCK_COL_TYPES:
+        return _DUCK_COL_TYPES[up]
+    raise ValueError(f"read_csv columns=: unsupported column type {t!r}")
+
+
+def _proj(n: str, kind: str | None) -> str:
+    if kind == "BOOLEAN":
+        return (
+            f"CASE WHEN lower(`{n}`) IN ('true', 't') THEN true "
+            f"WHEN lower(`{n}`) IN ('false', 'f') THEN false END AS `{n}`"
+        )
+    if kind == "TIME":
+        return f"CAST(`{n}` AS TIME) AS `{n}`"
+    return f"`{n}`"
+
+
 def sniff_file(
-    path: str, sep: str | None = None, header: bool | None = None
+    path: str,
+    sep: str | None = None,
+    header: bool | None = None,
+    quote: str | None = None,
+    nullstr: str | None = None,
+    names: tuple | None = None,
+    columns: tuple | None = None,
+    all_varchar: bool = False,
+    datefmt: str | None = None,
+    tsfmt: str | None = None,
 ) -> dict:
     """Sniff the first matching file of ``path`` (globs allowed). Adds
-    ``schema_ddl`` — the explicit Spark schema for the scan."""
+    ``schema_ddl`` — the explicit Spark schema for the scan.
+
+    read_csv named-option semantics (probed r10): ``names`` renames
+    the FIRST len(names) columns only; ``columns`` (name, ducktype)
+    pairs must cover every column and REPLACE sniffed names/types
+    (header detection still decides whether row 1 is data);
+    ``all_varchar`` keeps every sniffed column as VARCHAR;
+    ``nullstr`` cells count as NULL during type inference."""
     import glob as _glob
     import os
 
@@ -230,28 +336,46 @@ def sniff_file(
         raise ValueError(f'could not open CSV file "{path}"')
     with open(first, "rb") as f:
         raw = f.read(SAMPLE_BYTES)
-    res = sniff_text(raw.decode("utf-8", errors="replace"), sep, header)
-    res["schema_ddl"] = ", ".join(
-        f"`{n}` {_SPARK_TYPES[t]}"
-        for n, t in zip(res["names"], res["types"])
+    res = sniff_text(
+        raw.decode("utf-8", errors="replace"),
+        sep,
+        header,
+        quote,
+        nullstr,
+        datefmt,
+        tsfmt,
     )
-    def _proj(n: str, t: str) -> str:
-        if t == "BOOLEAN":
-            return (
-                f"CASE WHEN lower(`{n}`) IN ('true', 't') THEN true "
-                f"WHEN lower(`{n}`) IN ('false', 'f') THEN false END AS `{n}`"
+    if columns is not None:
+        if len(columns) != len(res["names"]):
+            raise ValueError(
+                f"read_csv columns=: {len(columns)} columns specified "
+                f"but the file has {len(res['names'])} (DuckDB errors "
+                "on the mismatch too)"
             )
-        if t == "TIME":
-            return f"CAST(`{n}` AS TIME) AS `{n}`"
-        return f"`{n}`"
-
-    res["select_exprs"] = [
-        _proj(n, t) for n, t in zip(res["names"], res["types"])
-    ]
+        cols = [(n, *_duck_col_type(t)) for n, t in columns]
+    else:
+        kinds = {"BOOLEAN": "BOOLEAN", "TIME": "TIME"}
+        if all_varchar:
+            res["types"] = ["VARCHAR"] * len(res["types"])
+        col_names = list(res["names"])
+        if names is not None:
+            if len(names) > len(col_names):
+                raise ValueError(
+                    f"read_csv names=: {len(names)} names for "
+                    f"{len(col_names)} columns"
+                )
+            col_names[: len(names)] = list(names)  # first-N rename (probed)
+        cols = [
+            (n, _SPARK_TYPES[t], kinds.get(t))
+            for n, t in zip(col_names, res["types"])
+        ]
+        if len({n for n, _, _ in cols}) != len(cols):
+            raise ValueError("read_csv: duplicate column name after names=")
+    res["names"] = [n for n, _, _ in cols]
+    res["schema_ddl"] = ", ".join(f"`{n}` {st}" for n, st, _ in cols)
+    res["select_exprs"] = [_proj(n, k) for n, _, k in cols]
     # explicit flag — the caller must not re-derive this by substring
     # matching expr text (a column NAMED "forecast" contains "CAST";
     # code review r10)
-    res["needs_projection"] = any(
-        t in ("BOOLEAN", "TIME") for t in res["types"]
-    )
+    res["needs_projection"] = any(k is not None for _, _, k in cols)
     return res

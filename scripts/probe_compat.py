@@ -48,6 +48,15 @@ BATTERY: dict[str, list[str]] = {
         f"SELECT sum(b) AS s FROM read_csv_auto('{_CSV_FIXTURE}')",
         f"SELECT c FROM read_csv('{_CSV_FIXTURE}', header=true, "
         "delim=',') ORDER BY c",
+        # r10: widened read_csv named-option surface
+        f"SELECT * FROM read_csv('{_CSV_FIXTURE}', all_varchar=true)"
+        " ORDER BY a",
+        f"SELECT * FROM read_csv('{_CSV_FIXTURE}',"
+        " names=['p', 'q']) ORDER BY p",
+        f"SELECT * FROM read_csv('{_CSV_FIXTURE}', columns="
+        "{'p': 'BIGINT', 'q': 'DOUBLE', 'r': 'VARCHAR'}) ORDER BY p",
+        f"SELECT * FROM read_csv('{_CSV_FIXTURE}', nullstr='x')"
+        " ORDER BY a",
         "SELECT union_tag(union_value(num := 2)) AS t,"
         " union_extract(union_value(num := 2), 'num') AS v",
         "SELECT 1_000_000 AS n",

@@ -3505,6 +3505,75 @@ def test_wire_union_type_emulation(client):
     assert r["rows"] == [['{"__utag":7,"x":1}']], r
 
 
+def test_wire_read_csv_options(client, tmp_path):
+    """read_csv named options beyond header/delim (r10): quote,
+    escape, nullstr, names (first-N rename), columns (schema
+    replacement incl. DECIMAL), all_varchar, ignore_errors
+    (DROPMALFORMED), dateformat (drives the sniff AND the scan) —
+    each value-compared against DuckDB reading the SAME file."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def both(fn: str, content: str, opts: str):
+        p = str(tmp_path / fn)
+        with open(p, "w") as f:
+            f.write(content)
+        q = f"SELECT * FROM read_csv('{p}', {opts})"
+        res = con.execute(q)
+        want_cols = [c[0] for c in res.description]
+        want = sorted(
+            [
+                "NULL" if v is None else str(v)
+                for v in row
+            ]
+            for row in res.fetchall()
+        )
+        (r,) = client.query(q)
+        assert "error" not in r, (fn, opts, r)
+        assert r["columns"] == want_cols, (fn, opts, r["columns"], want_cols)
+        got = sorted(
+            ["NULL" if v is None else v for v in row] for row in r["rows"]
+        )
+        assert got == want, (fn, opts, got, want)
+
+    both("ns.csv", "a,b,c\n1,NA,x\n2,3,y\n", "nullstr='NA'")
+    both("nm.csv", "a,b,c\n1,2,x\n", "names=['p', 'q']")
+    both(
+        "cols.csv",
+        "a,b,c\n1,2.50,x\n2,3.25,y\n",
+        "columns={'p': 'INT', 'q': 'DECIMAL(4,2)', 'r': 'VARCHAR'}",
+    )
+    both("qt.csv", "h1;h2\n'a;b';2\n'c';3\n", "quote='''', delim=';'")
+    both("av.csv", "a,b\n1,2\n3,4\n", "all_varchar=true")
+    both("ie.csv", "a,b\n1,2\nbad\n3,4\n", "ignore_errors=true")
+    both(
+        "df.csv",
+        "d,v\n02/01/2024,1\n15/03/2024,2\n",
+        "dateformat='%d/%m/%Y'",
+    )
+    # escape: DuckDB's escape char inside quoted fields
+    both(
+        "esc.csv",
+        'a,b\n"x\\"y",1\n',
+        "escape='\\'",
+    )
+    # refusals stay loud: multiple distinct nullstr values, columns
+    # count mismatch, quote=''
+    p = str(tmp_path / "ns.csv")
+    (r,) = client.query(
+        f"SELECT * FROM read_csv('{p}', nullstr=['NA', 'x'])"
+    )
+    assert "error" in r and "nullstr" in r["error"], r
+    (r,) = client.query(
+        f"SELECT * FROM read_csv('{p}', columns={{'p': 'INT'}})"
+    )
+    assert "error" in r and "columns" in r["error"], r
+    (r,) = client.query(f"SELECT * FROM read_csv('{p}', quote='')")
+    assert "error" in r and "quote" in r["error"], r
+    con.close()
+
+
 def test_wire_time_type(client, tmp_path):
     """r10 (r8 verdict stretch item 9): DuckDB's TIME maps to Spark
     4.1's flag-gated ANSI TimeType — real OID 1083 on the wire (the
@@ -3623,8 +3692,8 @@ def test_wire_csv_bare_path_sniffing(client, tmp_path):
     )
     assert r["rows"] == [["1"], ["3"]], r
     # unsupported read_csv option: loud refusal naming the option
-    (r,) = client.query(f"SELECT * FROM read_csv('{p}', quote='x')")
-    assert "error" in r and "quote" in r["error"], r
+    (r,) = client.query(f"SELECT * FROM read_csv('{p}', sample_size=10)")
+    assert "error" in r and "sample_size" in r["error"], r
     # the two-char SQL spelling '\t' means a TAB separator (ADVICE r8
     # item 4: it used to reach csv.reader and crash with TypeError)
     pt = str(tmp_path / "tabs.tsv")
