@@ -2062,20 +2062,20 @@ class PgWireServer:
             return
         copy = parse_copy(stmt)
         if copy is not None:
-            inner, path, fmt, header, compression, partition_by = copy
+            inner, path, fmt, header, compression, partition_by, extra = copy
             nrows = await self._exec(
                 session, state.job_tag, self._run_copy, rewrite(inner), path,
-                fmt, header, session, compression, partition_by,
+                fmt, header, session, compression, partition_by, extra,
             )
             writer.write(P.command_complete(f"COPY {nrows}"))
             await writer.drain()
             return
         copy_from = parse_copy_from(stmt)
         if copy_from is not None:
-            table, path, fmt, header = copy_from
+            table, path, fmt, header, extra = copy_from
             nrows = await self._exec(
                 session, state.job_tag, self._run_copy_from, table, path,
-                fmt, header, session,
+                fmt, header, session, extra,
             )
             writer.write(P.command_complete(f"COPY {nrows}"))
             await writer.drain()
@@ -2328,19 +2328,25 @@ class PgWireServer:
         fmt: str,
         header: bool = False,
         session: SparkSession | None = None,
+        extra: dict | None = None,
     ) -> int:
         """COPY <table> FROM: distributed read with the target table's
         declared schema (no inference — PG loads into a known table),
         appended via insertInto. Reading is as parallel as the source
         file layout; no driver-side row handling. CSV is headerless
-        unless the statement's HEADER option says otherwise (PG default)."""
+        unless the statement's HEADER option says otherwise (PG default);
+        DELIMITER/QUOTE/ESCAPE/NULL/*FORMAT options (r10) arrive as
+        Spark reader options in ``extra``."""
         from ..operators.dml import _assert_writable
 
         s = session or self.spark
         _assert_writable(s, table)  # COPY FROM appends THROUGH views (r10)
         tgt = s.table(table)
         if fmt == "csv":
-            df = s.read.schema(tgt.schema).option("header", str(header).lower()).csv(path)
+            rd = s.read.schema(tgt.schema).option("header", str(header).lower())
+            for k, v in (extra or {}).items():
+                rd = rd.option(k, v)
+            df = rd.csv(path)
         elif fmt == "json":
             df = s.read.schema(tgt.schema).json(path)
         else:
@@ -2359,13 +2365,16 @@ class PgWireServer:
         session: SparkSession | None = None,
         compression: str | None = None,
         partition_by: list[str] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """COPY ... TO: DataFrameWriter is the Spark-native file sink
         (distributed write — the path gets a directory of part files,
         which is the scale-correct shape; single-file output would force
         all data through one task). COMPRESSION maps to the writer's
         codec option; PARTITION_BY to partitionBy (hive-style layout,
-        the same directory scheme DuckDB emits)."""
+        the same directory scheme DuckDB emits); DELIMITER/QUOTE/
+        ESCAPE/NULL/*FORMAT/FORCE_QUOTE * (r10) arrive as Spark writer
+        options in ``extra``."""
         df = (session or self.spark).sql(inner_sql)
         n = df.count()
         writer = df.write.mode("overwrite")
@@ -2373,6 +2382,8 @@ class PgWireServer:
             writer = writer.option("compression", compression)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        for k, v in (extra or {}).items():
+            writer = writer.option(k, v)
         if fmt == "csv":
             writer.option("header", str(header).lower()).csv(path)
         elif fmt == "json":

@@ -7646,42 +7646,93 @@ _COPY_FROM = re.compile(
 
 _COPY_FORMAT_OPT = re.compile(r"\bFORMAT\s+(\w+)", re.IGNORECASE)
 _COPY_HEADER_OPT = re.compile(r"\bHEADER(?:\s+(\w+))?", re.IGNORECASE)
-_COPY_COMPRESSION_OPT = re.compile(r"\bCOMPRESSION\s+'?(\w+)'?", re.IGNORECASE)
-_COPY_PARTITION_OPT = re.compile(
-    r"\bPARTITION_BY\s+(?:\(([^)]*)\)|(\w+))", re.IGNORECASE
-)
+
+# COPY option keys → handling. 'csvopt:<name>' maps the (unquoted)
+# value onto the Spark reader/writer CSV option of that name;
+# 'csvfmt:<name>' additionally translates %-directives to Java
+# patterns. Everything else is structural.
+_COPY_OPT_KEYS = {
+    "format": "format",
+    "header": "header",
+    "compression": "compression",
+    "partition_by": "partition_by",
+    "delimiter": "csvopt:sep", "delim": "csvopt:sep", "sep": "csvopt:sep",
+    "quote": "csvopt:quote",
+    "escape": "csvopt:escape",
+    "null": "csvopt:nullValue", "nullstr": "csvopt:nullValue",
+    "dateformat": "csvfmt:dateFormat", "date_format": "csvfmt:dateFormat",
+    "timestampformat": "csvfmt:timestampFormat",
+    "timestamp_format": "csvfmt:timestampFormat",
+    "force_quote": "force_quote",
+}
 
 
 def _copy_options(
-    opts: str | None, path: str
-) -> tuple[str, bool, str | None, list[str]]:
-    """(format, header, compression, partition_by) from a COPY option
-    list. Format defaults from the file extension; HEADER defaults
-    FALSE (PG/DuckDB semantics — COPY csv is headerless unless HEADER
-    [true] is given); COMPRESSION and PARTITION_BY (DuckDB COPY
-    options) map onto DataFrameWriter's codec option / partitionBy."""
+    opts: str | None, path: str, reading: bool = False
+) -> tuple[str, bool, str | None, list[str], dict]:
+    """(format, header, compression, partition_by, extra) from a COPY
+    option list. Format defaults from the file extension; HEADER
+    defaults FALSE (PG/DuckDB semantics — COPY csv is headerless
+    unless HEADER [true] is given); COMPRESSION / PARTITION_BY map
+    onto DataFrameWriter's codec option / partitionBy; DELIMITER,
+    QUOTE, ESCAPE, NULL, DATEFORMAT, TIMESTAMPFORMAT (r10) become
+    Spark CSV reader/writer options in ``extra``. Unknown options
+    refuse LOUDLY — a silently-ignored DELIMITER writes wrong data."""
     fmt = None
     header = False
     compression = None
     partition_by: list[str] = []
-    if opts:
-        fm = _COPY_FORMAT_OPT.search(opts)
-        if fm:
-            fmt = fm.group(1)
-        hm = _COPY_HEADER_OPT.search(opts)
-        if hm:
-            header = (hm.group(1) or "true").lower() in ("true", "on", "1")
-        cm = _COPY_COMPRESSION_OPT.search(opts)
-        if cm:
-            compression = cm.group(1).lower()
-        pm = _COPY_PARTITION_OPT.search(opts)
-        if pm:
-            cols = pm.group(1) if pm.group(1) is not None else pm.group(2)
+    extra: dict[str, str] = {}
+    for part in split_top_level(opts) if opts else []:
+        part = part.strip()
+        if not part:
+            continue
+        km = re.match(r"(\w+)\s*(.*)$", part, re.DOTALL)
+        if km is None:
+            raise ValueError(f"COPY: cannot parse option {part!r}")
+        key = km.group(1).lower()
+        raw = km.group(2).strip()
+        qm = re.fullmatch(r"'((?:[^']|'')*)'", raw)
+        val = qm.group(1).replace("''", "'") if qm else raw
+        kind = _COPY_OPT_KEYS.get(key)
+        if kind is None:
+            raise ValueError(
+                f"COPY: option {key!r} is not supported — supported: "
+                + ", ".join(sorted(_COPY_OPT_KEYS))
+            )
+        if kind == "format":
+            fmt = val
+        elif kind == "header":
+            header = (val or "true").lower() in ("true", "on", "1")
+        elif kind == "compression":
+            compression = val.lower()
+        elif kind == "partition_by":
+            cols = val[1:-1] if val.startswith("(") else val
             partition_by = [c.strip() for c in cols.split(",") if c.strip()]
+        elif kind == "force_quote":
+            if val.strip() != "*":
+                raise ValueError(
+                    "COPY: FORCE_QUOTE supports only * (Spark's "
+                    "quoteAll is all-or-nothing)"
+                )
+            extra["quoteAll"] = "true"
+        elif kind.startswith("csvfmt:"):
+            # write direction formats (zero-padded doubled letters);
+            # read direction parses 1-2 digit fields like DuckDB
+            extra[kind.split(":", 1)[1]] = _translate_strf(
+                val, parse=reading
+            )
+        else:  # csvopt:<sparkname>
+            extra[kind.split(":", 1)[1]] = val
     if not fmt:
         ext = path.rsplit(".", 1)[-1].lower()
         fmt = ext if ext in ("parquet", "csv", "json") else "parquet"
-    return fmt.lower(), header, compression, partition_by
+    if extra and fmt.lower() != "csv":
+        raise ValueError(
+            "COPY: CSV options (" + ", ".join(sorted(extra)) + ") with "
+            f"FORMAT {fmt} — DuckDB rejects this too"
+        )
+    return fmt.lower(), header, compression, partition_by, extra
 
 
 _COPY_STDIN = re.compile(
@@ -7739,7 +7790,7 @@ def parse_copy_stdout(stmt: str) -> tuple[str, str, bool] | None:
     return inner, fmt, header
 
 
-def parse_copy_from(stmt: str) -> tuple[str, str, str, bool] | None:
+def parse_copy_from(stmt: str) -> tuple[str, str, str, bool, dict] | None:
     """DuckDB/PG ``COPY <table> FROM 'path' (FORMAT fmt, HEADER)`` →
     (table, path, format, header). Bulk load into an existing table; the
     server reads with the TARGET table's schema (PG semantics: COPY FROM
@@ -7750,11 +7801,13 @@ def parse_copy_from(stmt: str) -> tuple[str, str, str, bool] | None:
     if not m:
         return None
     table, path, opts = m.group(1), m.group(2), m.group(3)
-    fmt, header, _compression, _partition = _copy_options(opts, path)
-    return table, path, fmt, header
+    fmt, header, _compression, _partition, extra = _copy_options(
+        opts, path, reading=True
+    )
+    return table, path, fmt, header, extra
 
 
-def parse_copy(stmt: str) -> tuple[str, str, str, bool, str | None, list[str]] | None:
+def parse_copy(stmt: str) -> tuple | None:
     """DuckDB/PG ``COPY <table|(query)> TO 'path' (FORMAT fmt, HEADER,
     COMPRESSION codec, PARTITION_BY (cols))`` → (inner select SQL, path,
     format, header, compression, partition_by). Spark has no COPY
@@ -7767,5 +7820,5 @@ def parse_copy(stmt: str) -> tuple[str, str, str, bool, str | None, list[str]] |
         return None
     src, path, opts = m.group(1), m.group(2), m.group(3)
     inner = src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
-    fmt, header, compression, partition_by = _copy_options(opts, path)
-    return inner, path, fmt, header, compression, partition_by
+    fmt, header, compression, partition_by, extra = _copy_options(opts, path)
+    return inner, path, fmt, header, compression, partition_by, extra

@@ -387,16 +387,32 @@ def test_wire_copy_csv_header_option(client, spark, tmp_path):
     from duckdb_pgwire_spark.server.compat import parse_copy, parse_copy_from
 
     assert parse_copy_from("COPY t FROM '/x.csv' (FORMAT CSV)") == (
-        "t", "/x.csv", "csv", False)
+        "t", "/x.csv", "csv", False, {})
     assert parse_copy_from("COPY t FROM '/x.csv' (FORMAT CSV, HEADER)") == (
-        "t", "/x.csv", "csv", True)
+        "t", "/x.csv", "csv", True, {})
     assert parse_copy_from("COPY t FROM '/x.csv' (FORMAT CSV, HEADER false)") == (
-        "t", "/x.csv", "csv", False)
+        "t", "/x.csv", "csv", False, {})
     assert parse_copy("COPY t TO '/x.csv' (HEADER true, FORMAT CSV)") == (
-        "SELECT * FROM t", "/x.csv", "csv", True, None, [])
+        "SELECT * FROM t", "/x.csv", "csv", True, None, [], {})
     assert parse_copy(
         "COPY t TO '/y' (FORMAT PARQUET, COMPRESSION zstd, PARTITION_BY (a, b))"
-    ) == ("SELECT * FROM t", "/y", "parquet", False, "zstd", ["a", "b"])
+    ) == ("SELECT * FROM t", "/y", "parquet", False, "zstd", ["a", "b"], {})
+    # r10: CSV reader/writer options parse into the extra dict; the
+    # %-formats translate to Java patterns; unknown options refuse
+    assert parse_copy(
+        "COPY t TO '/x.csv' (FORMAT CSV, DELIMITER '|', NULL 'NA', "
+        "QUOTE '`', DATEFORMAT '%d/%m/%Y')"
+    ) == (
+        "SELECT * FROM t", "/x.csv", "csv", False, None, [],
+        {"sep": "|", "nullValue": "NA", "quote": "`",
+         "dateFormat": "dd/MM/yyyy"},  # write-direction: zero-padded
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not supported"):
+        parse_copy("COPY t TO '/x.csv' (FORMAT CSV, PER_THREAD_OUTPUT)")
+    with _pytest.raises(ValueError, match="FORMAT parquet"):
+        parse_copy("COPY t TO '/y.parquet' (FORMAT parquet, DELIMITER '|')")
 
     # headerless file loaded with default options keeps every row
     out = tmp_path / "hdr_cycle"
@@ -413,6 +429,36 @@ def test_wire_copy_csv_header_option(client, spark, tmp_path):
     (back,) = client.query("SELECT COUNT(*) AS n FROM copy_hdr_tgt")
     assert back["rows"] == [["5"]]
     spark.sql("DROP TABLE IF EXISTS copy_hdr_tgt")
+    # r10: DELIMITER/NULL round-trip — written content uses them, and
+    # COPY FROM with the same options reads the NULL back as NULL
+    import glob as _glob
+
+    out2 = tmp_path / "opt_cycle"
+    (res,) = client.query(
+        "COPY (SELECT r_regionkey, CASE WHEN r_regionkey = 2 THEN NULL "
+        f"ELSE r_name END AS r_name FROM region) TO '{out2}' "
+        "(FORMAT CSV, DELIMITER '|', HEADER, NULL 'NA')"
+    )
+    assert res.get("tag") == "COPY 5", res
+    content = "".join(
+        open(p).read() for p in sorted(_glob.glob(f"{out2}/*.csv"))
+    )
+    assert "2|NA" in content, content
+    spark.sql("DROP TABLE IF EXISTS copy_opt_tgt")
+    (res,) = client.query(
+        "CREATE TABLE copy_opt_tgt(r_regionkey bigint, r_name string)"
+    )
+    assert "error" not in res, res
+    (res,) = client.query(
+        f"COPY copy_opt_tgt FROM '{out2}' "
+        "(FORMAT CSV, DELIMITER '|', HEADER, NULL 'NA')"
+    )
+    assert res.get("tag") == "COPY 5", res
+    (back,) = client.query(
+        "SELECT count(*) AS n, count(r_name) AS nn FROM copy_opt_tgt"
+    )
+    assert back["rows"] == [["5", "4"]], back
+    spark.sql("DROP TABLE IF EXISTS copy_opt_tgt")
 
 
 def test_rewrite_integer_sums_unit():
