@@ -339,6 +339,11 @@ def _parse_read_csv_args(argtext: str) -> dict:
                 )
             overrides["quote"] = v
         elif k == "escape":
+            if v == "":
+                raise ValueError(
+                    "read_csv: escape='' (disabled escaping) is not "
+                    "supported — pick an unused escape character"
+                )
             overrides["escape"] = v
         elif k == "nullstr":
             if raw.startswith("["):
@@ -382,10 +387,9 @@ def _parse_read_csv_args(argtext: str) -> dict:
         elif k in ("timestampformat", "timestamp_format"):
             overrides["timestampformat"] = v
         elif k == "auto_detect":
-            if not _bool(raw) and "columns" not in overrides:
-                raise ValueError(
-                    "read_csv: auto_detect=false requires columns="
-                )
+            # validated AFTER the loop — DuckDB accepts auto_detect
+            # before or after columns= (code review r10)
+            overrides["_auto_detect"] = _bool(raw)
         else:
             raise ValueError(
                 f"read_csv: option {k!r} is not supported — supported "
@@ -394,6 +398,10 @@ def _parse_read_csv_args(argtext: str) -> dict:
                 "dateformat, timestampformat (the sniffer auto-detects "
                 "the rest)"
             )
+    if overrides.pop("_auto_detect", True) is False and (
+        "columns" not in overrides
+    ):
+        raise ValueError("read_csv: auto_detect=false requires columns=")
     return overrides
 
 
@@ -446,6 +454,7 @@ def _csv_view_create(
         all_varchar=overrides.get("all_varchar", False),
         datefmt=overrides.get("dateformat"),
         tsfmt=overrides.get("timestampformat"),
+        escape=overrides.get("escape"),
     )
     # Spark's file index treats '_'/'.'-prefixed basenames as hidden
     # metadata (the parquet _SUCCESS convention) and SILENTLY skips

@@ -848,9 +848,10 @@ _DATE_PLUS_IVL_RE = re.compile(
     rf"\b(DATE\s*'[^']*')(?=\s*[+-]\s*(?:INTERVAL\b|{_IVL_YM_FNS}\s*\())",
     re.IGNORECASE,
 )
-# reversed operand order: to_months(2) + DATE '…'
+# reversed operand order: to_months(2) + DATE '…' (one nested paren
+# level for to_months(abs(-2)) forms)
 _IVL_PLUS_DATE_RE = re.compile(
-    rf"\b{_IVL_YM_FNS}\s*\([^()]*\)\s*\+\s*(DATE\s*'[^']*')",
+    rf"\b{_IVL_YM_FNS}\s*\((?:[^()]|\([^()]*\))*\)\s*\+\s*(DATE\s*'[^']*')",
     re.IGNORECASE,
 )
 
@@ -978,9 +979,11 @@ def _rewrite_concat_double_lits(sql: str) -> str:
             after = sql[m.end() :].lstrip()
             if sql[m.start()] in "+-":
                 # the sign is only the literal's when nothing binds it
-                # (before excludes the sign — the match starts on it)
+                # (before excludes the sign — the match starts on it);
+                # ']' (subscript) and '`' (quoted identifier) end
+                # operands too (code review r10)
                 if before and (
-                    before[-1].isalnum() or before[-1] in "._)'\""
+                    before[-1].isalnum() or before[-1] in "._)]`'\""
                 ):
                     continue  # binary +/-: typed sub-expression
             clean_before = not before or before.endswith("||") or (
@@ -6382,13 +6385,24 @@ def _rewrite_corr(sql: str) -> str:
         if depth:
             return sql
         args = [a.strip() for a in split_top_level(sql[m.end() : i - 1])]
-        if len(args) != 2 or _AGG_TAIL_RE.match(sql, i):
+        if (
+            len(args) != 2
+            or _AGG_TAIL_RE.match(sql, i)
+            or re.match(r"DISTINCT\b", args[0], re.IGNORECASE)
+        ):
+            # DISTINCT dedups (x, y) PAIRS for the whole estimator —
+            # the identity below can't express that; leave native
             skipped.add(m.start())
             continue
         x, y = args
+        # pairwise-complete rows: each stddev factor must exclude rows
+        # where the OTHER operand is NULL, like covar_samp does
+        # (probed: corr over (1,NULL),(2,3),(3,5) is 1.0, not the
+        # all-rows-stddev value)
         repl = (
             f"try_divide(covar_samp({x}, {y}),"
-            f" stddev_samp({x}) * stddev_samp({y}))"
+            f" stddev_samp(CASE WHEN ({y}) IS NOT NULL THEN ({x}) END)"
+            f" * stddev_samp(CASE WHEN ({x}) IS NOT NULL THEN ({y}) END))"
         )
         sql = sql[: m.start()] + repl + sql[i:]
         skipped = {s for s in skipped if s < m.start()}
@@ -6406,6 +6420,8 @@ def _rewrite_array_agg_plain(sql: str) -> str:
     the collected struct (a NULL struct is dropped, removing the
     row). Runs after _rewrite_agg_order_by, so ordered forms are
     already rewritten (probed r10)."""
+    if _ARRAY_AGG_PLAIN_CALL.search(sql) is None:
+        return sql
     guard = 0
     skipped: set[int] = set()
     while guard < 100:

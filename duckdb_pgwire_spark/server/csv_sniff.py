@@ -111,10 +111,18 @@ def _infer_column(
 
 
 def _split_sample(
-    text: str, delim: str, quote: str = '"'
+    text: str,
+    delim: str,
+    quote: str = '"',
+    escape: str | None = None,
 ) -> list[list[str]]:
     return list(
-        _csv.reader(io.StringIO(text), delimiter=delim, quotechar=quote)
+        _csv.reader(
+            io.StringIO(text),
+            delimiter=delim,
+            quotechar=quote,
+            escapechar=escape,
+        )
     )
 
 
@@ -126,11 +134,23 @@ def sniff_text(
     nullstr: str | None = None,
     datefmt: str | None = None,
     tsfmt: str | None = None,
+    escape: str | None = None,
 ) -> dict:
     """Sniff a decoded sample. Returns ``{"sep", "header", "names",
     "types"}`` (types in DuckDB names). ``sep``/``header`` force an
     explicit user option instead of detecting it."""
     q = quote or '"'
+    # csv.reader raises TypeError (unmapped: escapes the ValueError →
+    # 58030 path) on multi-char quote/escape chars — the r8 sep bug
+    # shape, guarded the same way (code review r10)
+    if len(q) != 1:
+        raise ValueError(
+            f"CSV quote must be a single character, got {q!r}"
+        )
+    if escape is not None and len(escape) != 1:
+        raise ValueError(
+            f"CSV escape must be a single character, got {escape!r}"
+        )
     nulls = ("",) if nullstr is None else ("", nullstr)
     fmts = (datefmt, tsfmt)
     # drop a trailing partial line (the sample may cut mid-record)
@@ -155,13 +175,13 @@ def sniff_text(
     else:
         best, best_cols = ",", 1
         for d in _DELIMS:
-            rows = _split_sample(sample, d, q)
+            rows = _split_sample(sample, d, q, escape)
             counts = {len(r) for r in rows if r}
             if len(counts) == 1:
                 (n,) = counts
                 if n > best_cols:
                     best, best_cols = d, n
-    rows = [r for r in _split_sample(sample, best, q) if r]
+    rows = [r for r in _split_sample(sample, best, q, escape) if r]
     ncol = max(len(r) for r in rows)
     grid = [[*(r), *[""] * (ncol - len(r))] for r in rows]
     rest = grid[1:]
@@ -317,6 +337,7 @@ def sniff_file(
     all_varchar: bool = False,
     datefmt: str | None = None,
     tsfmt: str | None = None,
+    escape: str | None = None,
 ) -> dict:
     """Sniff the first matching file of ``path`` (globs allowed). Adds
     ``schema_ddl`` — the explicit Spark schema for the scan.
@@ -344,6 +365,7 @@ def sniff_file(
         nullstr,
         datefmt,
         tsfmt,
+        escape,
     )
     if columns is not None:
         if len(columns) != len(res["names"]):

@@ -445,6 +445,15 @@ BATTERY = [
     " (VALUES (1)) u(z)",
     "SELECT round(corr(x, y), 9) AS cr FROM (VALUES (1.0, 2.0),"
     " (2.0, 3.0), (3.0, 5.0)) t(x, y)",
+    # pairwise-complete rows: the identity's stddev factors must
+    # exclude rows where the OTHER operand is NULL (review r10);
+    # round(6): the decomposed estimator differs from the fused one
+    # in the last ulp on exactly-collinear data
+    "SELECT round(corr(x, y), 6) AS cn FROM (VALUES (1.0, NULL),"
+    " (2.0, 3.0), (3.0, 5.0)) t(x, y)",
+    # a binary minus after a subscript must not be swallowed into the
+    # eE-literal concat rewrite
+    "SELECT ([5, 6])[1] -1e2 || 'x' AS bm",
     "SELECT skewness(x) AS sk, kurtosis(x) AS ku"
     " FROM (VALUES (1.0), (2.0)) t(x)",
 ]
