@@ -575,6 +575,189 @@ def _substitute_csv_relations(session: SparkSession, stmt: str) -> str:
     return _CSV_REL_RE.sub(sub_bare, stmt)
 
 
+_WITH_RECURSIVE_RE = re.compile(r"^\s*WITH\s+RECURSIVE\s+", re.IGNORECASE)
+_REC_MAX_ITER = 10_000
+
+
+def _split_top_union(body: str) -> list[str]:
+    """Split a query body at top-level UNION keywords NOT followed by
+    ALL (code regions only). Returns the parts; len 1 = no such UNION."""
+    from .compat import _code_mask
+
+    mask = _code_mask(body)
+    parts: list[str] = []
+    depth, last = 0, 0
+    for m in re.finditer(r"\bUNION\b(?!\s+ALL\b)", body, re.IGNORECASE):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        d = 0
+        for k in range(m.start()):
+            if mask[k]:
+                if body[k] in "([":
+                    d += 1
+                elif body[k] in ")]":
+                    d -= 1
+        if d == 0:
+            parts.append(body[last : m.start()])
+            last = m.end()
+    parts.append(body[last:])
+    return parts
+
+
+def _sub_ident(text: str, name: str, repl: str) -> str:
+    """Replace bare references to identifier ``name`` (code regions,
+    word boundaries, not qualified like db.name or name.col — the CTE
+    reference is always the bare table name, optionally aliased)."""
+    from .compat import _code_mask
+
+    mask = _code_mask(text)
+    out, pos = [], 0
+    for m in re.finditer(
+        rf"(?<![\w.`\"]){re.escape(name)}(?![\w.(])", text, re.IGNORECASE
+    ):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        out.append(text[pos : m.start()])
+        out.append(repl)
+        pos = m.end()
+    out.append(text[pos:])
+    return "".join(out)
+
+
+def _recursive_union_df(session: SparkSession, stmt: str):
+    """DuckDB ``WITH RECURSIVE t AS (base UNION step)`` — the
+    deduplicating fixpoint form Spark 4.1 rejects loudly (UNION ALL
+    recursion is native and passes through). Semi-naive evaluation:
+    the recursive reference sees only the PREVIOUS iteration's NEW
+    rows (the SQL-standard working table, same as DuckDB/PG), new
+    rows are deduped against everything seen, and iteration stops at
+    an empty frontier — so cyclic step queries terminate, which a
+    textual UNION ALL + DISTINCT rewrite would not. One distributed
+    job per iteration with a localCheckpoint lineage cut — rounds
+    grow with recursion DEPTH, not data size (the
+    dedup_cluster_components precedent). Returns None when the
+    statement is not this shape."""
+    from .compat import _code_mask, rewrite, split_top_level
+
+    m = _WITH_RECURSIVE_RE.match(stmt)
+    if m is None:
+        return None
+    # parse the CTE list: name[(cols)] AS ( body ) [, ...] final
+    mask = _code_mask(stmt)
+    pos = m.end()
+    ctes: list[dict] = []
+    while True:
+        hm = re.compile(
+            r"\s*([A-Za-z_]\w*)\s*(\(([^)]*)\))?\s+AS\s*\(", re.IGNORECASE
+        ).match(stmt, pos)
+        if hm is None:
+            return None  # unparseable head: let Spark error natively
+        depth, j = 1, hm.end()
+        while j < len(stmt) and depth:
+            if mask[j]:
+                if stmt[j] == "(":
+                    depth += 1
+                elif stmt[j] == ")":
+                    depth -= 1
+            j += 1
+        if depth:
+            return None
+        ctes.append(
+            {
+                "name": hm.group(1),
+                "cols": [
+                    c.strip() for c in split_top_level(hm.group(3))
+                ]
+                if hm.group(3)
+                else None,
+                "body": stmt[hm.end() : j - 1],
+            }
+        )
+        cm = re.compile(r"\s*,").match(stmt, j)
+        if cm is None:
+            final = stmt[j:]
+            break
+        pos = cm.end()
+    # the recursive-UNION CTE: self-referencing body with a top-level
+    # UNION (not ALL). UNION ALL recursion stays native.
+    def refs(text: str, name: str) -> bool:
+        return _sub_ident(text, name, "\0") != text
+
+    rec = [
+        c
+        for c in ctes
+        if refs(c["body"], c["name"])
+        and len(_split_top_union(c["body"])) > 1
+    ]
+    if len(rec) != 1:
+        return None  # none → native; several → Spark's loud error
+    cte = rec[0]
+    name = cte["name"]
+    parts = _split_top_union(cte["body"])
+    base_parts = [p for p in parts if not refs(p, name)]
+    step_parts = [p for p in parts if refs(p, name)]
+    if not base_parts or len(step_parts) != 1:
+        return None
+    others = [c for c in ctes if c is not cte]
+    if any(refs(c["body"], name) for c in others):
+        return None  # cross-CTE recursion: keep Spark's loud error
+
+    def with_prefix(q: str) -> str:
+        if not others:
+            return q
+        heads = ", ".join(
+            f"{c['name']}{'(' + ', '.join(c['cols']) + ')' if c['cols'] else ''}"
+            f" AS ({c['body']})"
+            for c in others
+        )
+        return f"WITH {heads} {q}"
+
+    # the CTE name itself becomes a temp view: Spark inlines temp-view
+    # plans at ANALYSIS time (session.sql is eager about resolution),
+    # so aliased (FROM reach r) and qualified (t.n) references resolve
+    # naturally, and dropping the view afterwards cannot unbind the
+    # already-analyzed DataFrames. A pre-existing SAME-NAMED user temp
+    # view would be clobbered — the CTE shadows it during the query in
+    # DuckDB too; losing it afterwards is the documented trade.
+    base_sql = " UNION ".join(f"SELECT * FROM ({p}) __rb" for p in base_parts)
+    acc = session.sql(_hugeint_sums(session, rewrite(with_prefix(base_sql))))
+    if cte["cols"]:
+        acc = acc.toDF(*cte["cols"])
+    # cache(), not localCheckpoint(): checkpointing plans containing
+    # EXCEPT/UNION-of-checkpoints trips a Spark ExpressionSet 'key not
+    # found' constraint bug (r10). Cached nodes stop recomputation the
+    # same way; the plan tree grows with recursion DEPTH only.
+    acc = acc.distinct().cache()
+    frontier = acc
+    step_sql = _hugeint_sums(session, rewrite(with_prefix(step_parts[0])))
+    superseded: list = []
+    try:
+        for _ in range(_REC_MAX_ITER):
+            frontier.createOrReplaceTempView(name)
+            new = session.sql(step_sql)
+            new = new.toDF(*acc.columns)
+            new = new.distinct().subtract(acc).cache()
+            if new.isEmpty():
+                break
+            superseded.append(acc)  # the union supersedes this cache
+            acc = acc.union(new).cache()
+            frontier = new
+        else:
+            raise ValueError(
+                f"recursive CTE {name!r} exceeded {_REC_MAX_ITER} "
+                "iterations"
+            )
+        acc.createOrReplaceTempView(name)
+        return session.sql(_hugeint_sums(session, rewrite(with_prefix(final))))
+    finally:
+        try:
+            session.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — nothing to drop on parse errors
+            pass
+        for d in superseded:  # the final plan's leaves stay cached
+            d.unpersist(blocking=False)
+
+
 def _select_df(session: SparkSession, stmt: str) -> DataFrame:
     """DataFrame for a SELECT-shaped statement, handling the spellings
     Spark's parser can't take whole (UNION BY NAME, LIMIT n%) on EVERY
@@ -593,6 +776,10 @@ def _select_df(session: SparkSession, stmt: str) -> DataFrame:
         raise _WireError(str(exc), "58030") from exc
     if _UNION_BY_NAME_RE.search(stmt):
         df = _union_by_name_df(session, stmt)
+        if df is not None:
+            return df
+    if _WITH_RECURSIVE_RE.match(stmt):
+        df = _recursive_union_df(session, stmt)
         if df is not None:
             return df
     mp = _LIMIT_PCT_RE.search(stmt)
@@ -2026,6 +2213,16 @@ class PgWireServer:
         ):
             df = await self._exec(
                 session, state.job_tag, _union_by_name_df, session, stmt
+            )
+            if df is not None:
+                await self._stream_df(
+                    df, "SELECT", writer, send_row_desc=send_row_desc,
+                    session=session, tag=state.job_tag,
+                )
+                return
+        if first == "WITH" and _WITH_RECURSIVE_RE.match(stmt):
+            df = await self._exec(
+                session, state.job_tag, _recursive_union_df, session, stmt
             )
             if df is not None:
                 await self._stream_df(

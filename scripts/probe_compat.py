@@ -57,6 +57,12 @@ BATTERY: dict[str, list[str]] = {
         "{'p': 'BIGINT', 'q': 'DOUBLE', 'r': 'VARCHAR'}) ORDER BY p",
         f"SELECT * FROM read_csv('{_CSV_FIXTURE}', nullstr='x')"
         " ORDER BY a",
+        # r10: recursive UNION (dedup fixpoint) — server-side
+        # semi-naive evaluation; UNION ALL recursion is Spark-native
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT (n % 3) + 1"
+        " FROM t) SELECT * FROM t ORDER BY n",
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1"
+        " FROM t WHERE n < 5) SELECT sum(n) AS s FROM t",
         "SELECT union_tag(union_value(num := 2)) AS t,"
         " union_extract(union_value(num := 2), 'num') AS v",
         "SELECT 1_000_000 AS n",

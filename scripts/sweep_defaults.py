@@ -627,6 +627,26 @@ FAMILIES: dict[str, list[str]] = {
         "SELECT x FROM (VALUES ({'a': 2, 'b': 1}), ({'a': 1, 'b': 9}))"
         " t(x) ORDER BY x",
     ],
+    "recursive_cte": [
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t"
+        " WHERE n < 5) SELECT * FROM t ORDER BY n",
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT (n % 3) + 1"
+        " FROM t) SELECT * FROM t ORDER BY n",
+        "WITH RECURSIVE f(i, x) AS (SELECT 1, 1 UNION ALL"
+        " SELECT i + 1, x * (i + 1) FROM f WHERE i < 8)"
+        " SELECT max(x) AS fact FROM f",
+        "WITH RECURSIVE p(s) AS (SELECT 'a' UNION ALL"
+        " SELECT s || 'b' FROM p WHERE length(s) < 4)"
+        " SELECT * FROM p ORDER BY s",
+        "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM r"
+        " WHERE n < 10), e AS (SELECT n FROM r WHERE n % 2 = 0)"
+        " SELECT sum(n) AS s FROM e",
+        "WITH RECURSIVE reach(src, dst) AS ("
+        " SELECT * FROM (VALUES (1, 2), (2, 3), (3, 4)) e(s, d)"
+        " UNION SELECT r.src, e.d FROM reach r"
+        " JOIN (VALUES (1, 2), (2, 3), (3, 4)) e(s, d) ON r.dst = e.s)"
+        " SELECT * FROM reach ORDER BY src, dst",
+    ],
     "null_logic": [
         "SELECT 1 IN (2, NULL) AS i1, 1 IN (1, NULL) AS i2,"
         " NULL IN (1) AS i3",

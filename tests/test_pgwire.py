@@ -3551,6 +3551,48 @@ def test_wire_union_type_emulation(client):
     assert r["rows"] == [['{"__utag":7,"x":1}']], r
 
 
+def test_wire_recursive_union_cte(client):
+    """WITH RECURSIVE ... UNION (the deduplicating fixpoint form Spark
+    4.1 rejects — UNION ALL recursion is native): server-side
+    semi-naive evaluation, value-compared against DuckDB. The cyclic
+    case terminates BECAUSE of dedup; transitive closure composes
+    with joins and extra CTEs."""
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        # cyclic step: only the dedup fixpoint terminates
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT (n % 3) + 1"
+        " FROM t) SELECT * FROM t ORDER BY n",
+        # transitive closure over a join, aliased recursive reference
+        "WITH RECURSIVE reach(src, dst) AS ("
+        " SELECT * FROM (VALUES (1, 2), (2, 3), (3, 4)) e(s, d)"
+        " UNION SELECT r.src, e.d FROM reach r"
+        " JOIN (VALUES (1, 2), (2, 3), (3, 4)) e(s, d) ON r.dst = e.s)"
+        " SELECT * FROM reach ORDER BY src, dst",
+        # a non-recursive sibling CTE feeding the step
+        "WITH RECURSIVE edges(s, d) AS ("
+        " SELECT * FROM (VALUES (1, 2), (2, 4)) v(a, b)),"
+        " walk(n) AS (SELECT 1 UNION SELECT e.d FROM walk w"
+        " JOIN edges e ON e.s = w.n)"
+        " SELECT * FROM walk ORDER BY n",
+        # UNION ALL recursion stays on Spark's native path
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t"
+        " WHERE n < 4) SELECT sum(n) AS s FROM t",
+    ]
+    for q in cases:
+        want = [
+            ["NULL" if v is None else str(v) for v in row]
+            for row in con.execute(q).fetchall()
+        ]
+        (r,) = client.query(q)
+        assert "error" not in r, (q, r)
+        got = r["rows"] if "ORDER BY" in q else sorted(r["rows"])
+        want = want if "ORDER BY" in q else sorted(want)
+        assert got == want, (q, got, want)
+    con.close()
+
+
 def test_wire_read_csv_options(client, tmp_path):
     """read_csv named options beyond header/delim (r10): quote,
     escape, nullstr, names (first-N rename), columns (schema
