@@ -95,3 +95,71 @@ def cte_recursive_fibonacci(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure / BOM explosion on real graph data."""
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+# ancestor edges over the supplier→nation→region forest (keys offset
+# into disjoint ranges so one edge table holds both levels), plus a
+# synthetic root above the regions — 3 recursion rounds to fixpoint
+_CLOSURE_EDGES_SQL = """
+    SELECT s_suppkey AS child, n_nationkey + 100000 AS parent
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    UNION ALL
+    SELECT n_nationkey + 100000 AS child, n_regionkey + 200000 AS parent
+    FROM nation
+    UNION ALL
+    SELECT r_regionkey + 200000 AS child, 900000 AS parent FROM region
+"""
+
+_CLOSURE_ORACLE = f"""
+    WITH RECURSIVE e(child, parent) AS ({_CLOSURE_EDGES_SQL}),
+    anc(node, anc) AS (
+        SELECT child, parent FROM e
+        UNION
+        SELECT a.node, e.parent FROM anc a JOIN e ON a.anc = e.child
+    )
+    SELECT anc, count(*) AS descendants FROM anc
+    GROUP BY anc ORDER BY anc
+"""
+
+
+@query("cte_recursive_closure", oracle=_CLOSURE_ORACLE, tags=("cte", "recursive"))
+def cte_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive ancestor closure — the DEDUPLICATING ``UNION``
+    recursion (DuckDB's fixpoint form; Spark 4.1 only runs UNION ALL
+    natively, and the pg-wire server evaluates this same shape
+    semi-naively in ``_recursive_union_df``). DataFrame-side
+    semi-naive loop: the frontier joins the broadcast edge table, new
+    pairs dedup against everything seen, empty frontier stops — one
+    distributed job per LEVEL of the hierarchy (3 here), never
+    per-row. At 100 TB the edge table is the small dimension
+    (broadcast); the accumulated closure only ever shuffles on its
+    own keys."""
+    register_views(spark, sf_dir)
+    edges = spark.sql(_CLOSURE_EDGES_SQL).cache()
+    acc = edges.select(
+        F.col("child").alias("node"), F.col("parent").alias("anc")
+    ).distinct().cache()
+    frontier = acc
+    for _ in range(100):
+        fr, e = frontier.alias("fr"), edges.alias("e")
+        new = (
+            fr.join(F.broadcast(e), F.col("fr.anc") == F.col("e.child"))
+            .select(
+                F.col("fr.node").alias("node"),
+                F.col("e.parent").alias("anc"),
+            )
+            .distinct()
+            .subtract(acc)
+            .cache()
+        )
+        if new.isEmpty():
+            break
+        acc = acc.union(new).cache()
+        frontier = new
+    else:
+        raise RuntimeError("closure did not converge in 100 rounds")
+    return (
+        acc.groupBy("anc")
+        .agg(F.count(F.lit(1)).alias("descendants"))
+        .orderBy("anc")
+    )
