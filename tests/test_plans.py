@@ -428,3 +428,15 @@ def test_strip_dup_spans_shuffles_hashes_not_text(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(h" in plan, plan
     assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_recursive_closure_broadcasts_edges(spark):
+    """Guards: the closure's per-level step degrading to a shuffle or
+    cartesian join — the edge table is the small dimension and must
+    stay broadcast; the result aggregation shuffles only on its own
+    group key."""
+    df = _q("cte_recursive_closure").fn(spark, SF_DIR)
+    plan = I.simple_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert I.partial_agg_before_shuffle(df), "no map-side combine"
