@@ -627,6 +627,24 @@ FAMILIES: dict[str, list[str]] = {
         "SELECT x FROM (VALUES ({'a': 2, 'b': 1}), ({'a': 1, 'b': 9}))"
         " t(x) ORDER BY x",
     ],
+    "coercions": [
+        "SELECT '2' = 2 AS a, 2 = '2' AS b, '2.5' = 2.5 AS c,"
+        " '02' = 2 AS d",
+        "SELECT '2' < 10 AS lt, '10' < '9' AS ls",
+        "SELECT 2 IN ('2', '3') AS i",
+        "SELECT DATE '2024-01-01' = '2024-01-01' AS de,"
+        " '2024-01-02' > DATE '2024-01-01' AS dg",
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' = '2024-01-01 00:00:00'"
+        " AS te",
+        "SELECT 1.0 = 1 AS ne, 1.5e0 = 1.5 AS fe",
+        "SELECT DATE '2024-01-01' < TIMESTAMP '2024-01-01 00:00:01' AS dt",
+        "SELECT 127::TINYINT = 127::BIGINT AS we",
+        "SELECT 1 BETWEEN '0' AND '2' AS bw",
+        "SELECT greatest('5', 10) AS g, least(5, '10') AS l",
+        "SELECT CASE WHEN 1 THEN 'a' ELSE 'b' END AS ci",
+        "SELECT NOT 1 AS n1, NOT 0 AS n0",
+        "SELECT 1 AND true AS ab",
+    ],
     "recursive_cte": [
         "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t"
         " WHERE n < 5) SELECT * FROM t ORDER BY n",
