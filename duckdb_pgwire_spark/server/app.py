@@ -580,48 +580,101 @@ _REC_MAX_ITER = 10_000
 
 
 def _split_top_union(body: str) -> list[str]:
-    """Split a query body at top-level UNION keywords NOT followed by
-    ALL (code regions only). Returns the parts; len 1 = no such UNION."""
+    """Split a query body at top-level deduplicating UNION boundaries
+    (code regions only, single depth-tracking pass). ``UNION ALL`` —
+    even with comments between the words — is NOT a boundary; an
+    explicit ``UNION DISTINCT`` is (the keyword is consumed). Returns
+    the parts; len 1 = no dedup UNION."""
     from .compat import _code_mask
 
     mask = _code_mask(body)
     parts: list[str] = []
-    depth, last = 0, 0
-    for m in re.finditer(r"\bUNION\b(?!\s+ALL\b)", body, re.IGNORECASE):
-        if not all(mask[m.start() : m.end()]):
+    depth, last, i, n = 0, 0, 0, len(body)
+    while i < n:
+        if not mask[i]:
+            i += 1
             continue
-        d = 0
-        for k in range(m.start()):
-            if mask[k]:
-                if body[k] in "([":
-                    d += 1
-                elif body[k] in ")]":
-                    d -= 1
-        if d == 0:
-            parts.append(body[last : m.start()])
-            last = m.end()
+        c = body[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and c in "Uu"
+            and re.match(r"UNION\b", body[i:], re.IGNORECASE)
+            and not (i > 0 and (body[i - 1].isalnum() or body[i - 1] == "_"))
+        ):
+            j = i + 5
+            # skip whitespace and comment spans to the next code token
+            while j < n and (body[j].isspace() or not mask[j]):
+                j += 1
+            wm = re.match(r"(ALL|DISTINCT)\b", body[j:], re.IGNORECASE)
+            if wm and wm.group(1).upper() == "ALL":
+                i = j + 3
+                continue
+            parts.append(body[last:i])
+            last = j + (len(wm.group(1)) if wm else 0)
+            i = last
+            continue
+        i += 1
     parts.append(body[last:])
     return parts
 
 
-def _sub_ident(text: str, name: str, repl: str) -> str:
-    """Replace bare references to identifier ``name`` (code regions,
-    word boundaries, not qualified like db.name or name.col — the CTE
-    reference is always the bare table name, optionally aliased)."""
+# words that can follow a table reference WITHOUT being its alias
+_TABLE_TAIL_KEYWORDS = frozenset(
+    """on where group order having limit union intersect except join
+    inner left right full cross natural using values select offset
+    fetch window qualify anti semi asof lateral positional when then
+    else end and or not set returning""".split()
+)
+
+
+def _table_refs(text: str, name: str) -> list[re.Match]:
+    """Matches of ``name`` as a TABLE reference: FROM/JOIN position,
+    code regions only. Columns or aliases merely SPELLED like the CTE
+    name don't count (review r10) — a recursive reference must appear
+    in table position. (Comma-separated table lists after the first
+    entry are not matched; those statements fall through to Spark's
+    loud unsupported-recursion error.)"""
     from .compat import _code_mask
 
     mask = _code_mask(text)
+    pat = re.compile(
+        rf"\b(FROM|JOIN)\s+({re.escape(name)})(?![\w.(`])", re.IGNORECASE
+    )
+    return [
+        m for m in pat.finditer(text) if all(mask[m.start() : m.end()])
+    ]
+
+
+def _sub_table_refs(text: str, name: str, view: str) -> str:
+    """Rewrite table references to CTE ``name`` to read ``view``
+    instead. Unaliased references keep the name reachable as a
+    qualifier (``FROM t`` → ``FROM view AS t`` so ``t.col`` still
+    resolves); aliased ones (``FROM t r``) take the view bare — the
+    alias replaces the name as the only legal qualifier."""
     out, pos = [], 0
-    for m in re.finditer(
-        rf"(?<![\w.`\"]){re.escape(name)}(?![\w.(])", text, re.IGNORECASE
-    ):
-        if not all(mask[m.start() : m.end()]):
-            continue
-        out.append(text[pos : m.start()])
-        out.append(repl)
-        pos = m.end()
+    for m in _table_refs(text, name):
+        out.append(text[pos : m.start(2)])
+        am = re.match(
+            r"\s+(AS\s+)?([A-Za-z_]\w*)", text[m.end(2) :], re.IGNORECASE
+        )
+        aliased = am is not None and (
+            am.group(1) is not None
+            or am.group(2).lower() not in _TABLE_TAIL_KEYWORDS
+        )
+        out.append(view if aliased else f"{view} AS {name}")
+        pos = m.end(2)
     out.append(text[pos:])
     return "".join(out)
+
+
+_CTE_HEAD_RE = re.compile(
+    r"\s*([A-Za-z_]\w*)\s*(\(([^)]*)\))?\s+AS\s*\(", re.IGNORECASE
+)
+_REC_SEQ = itertools.count()
 
 
 def _recursive_union_df(session: SparkSession, stmt: str):
@@ -633,10 +686,20 @@ def _recursive_union_df(session: SparkSession, stmt: str):
     rows are deduped against everything seen, and iteration stops at
     an empty frontier — so cyclic step queries terminate, which a
     textual UNION ALL + DISTINCT rewrite would not. One distributed
-    job per iteration with a localCheckpoint lineage cut — rounds
-    grow with recursion DEPTH, not data size (the
-    dedup_cluster_components precedent). Returns None when the
-    statement is not this shape."""
+    job per iteration (the dedup_cluster_components precedent).
+
+    Lineage discipline (all review/r10-probed): every per-iteration
+    frame is localCheckpoint'ed so the logical plan NEVER nests —
+    nested EXCEPT/UNION plans send Catalyst's constraint analysis
+    super-linear (a 10-deep chain hangs); the dedup itself is a
+    NULL-safe left-anti join, not subtract, because checkpointing an
+    EXCEPT plan trips Spark's ExpressionSet 'key not found' bug.
+    Checkpoint RDD blocks free on GC via the ContextCleaner — no
+    cache bookkeeping. The recursive reference binds to a UNIQUE temp
+    view (concurrency-safe on the shared session, user temp views
+    untouched); Spark inlines temp-view plans at ANALYSIS time, so
+    dropping the views afterwards cannot unbind the analyzed result.
+    Returns None when the statement is not this shape."""
     from .compat import _code_mask, rewrite, split_top_level
 
     m = _WITH_RECURSIVE_RE.match(stmt)
@@ -647,9 +710,7 @@ def _recursive_union_df(session: SparkSession, stmt: str):
     pos = m.end()
     ctes: list[dict] = []
     while True:
-        hm = re.compile(
-            r"\s*([A-Za-z_]\w*)\s*(\(([^)]*)\))?\s+AS\s*\(", re.IGNORECASE
-        ).match(stmt, pos)
+        hm = _CTE_HEAD_RE.match(stmt, pos)
         if hm is None:
             return None  # unparseable head: let Spark error natively
         depth, j = 1, hm.end()
@@ -662,6 +723,7 @@ def _recursive_union_df(session: SparkSession, stmt: str):
             j += 1
         if depth:
             return None
+        body = stmt[hm.end() : j - 1]
         ctes.append(
             {
                 "name": hm.group(1),
@@ -670,7 +732,8 @@ def _recursive_union_df(session: SparkSession, stmt: str):
                 ]
                 if hm.group(3)
                 else None,
-                "body": stmt[hm.end() : j - 1],
+                "body": body,
+                "parts": _split_top_union(body),
             }
         )
         cm = re.compile(r"\s*,").match(stmt, j)
@@ -678,24 +741,24 @@ def _recursive_union_df(session: SparkSession, stmt: str):
             final = stmt[j:]
             break
         pos = cm.end()
-    # the recursive-UNION CTE: self-referencing body with a top-level
-    # UNION (not ALL). UNION ALL recursion stays native.
-    def refs(text: str, name: str) -> bool:
-        return _sub_ident(text, name, "\0") != text
 
+    def refs(text: str, name: str) -> bool:
+        return bool(_table_refs(text, name))
+
+    # the recursive-UNION CTE: self-referencing body with a top-level
+    # dedup UNION. UNION ALL recursion (incl. sibling CTEs) stays
+    # native under the re-emitted WITH RECURSIVE prefix.
     rec = [
         c
         for c in ctes
-        if refs(c["body"], c["name"])
-        and len(_split_top_union(c["body"])) > 1
+        if refs(c["body"], c["name"]) and len(c["parts"]) > 1
     ]
     if len(rec) != 1:
         return None  # none → native; several → Spark's loud error
     cte = rec[0]
     name = cte["name"]
-    parts = _split_top_union(cte["body"])
-    base_parts = [p for p in parts if not refs(p, name)]
-    step_parts = [p for p in parts if refs(p, name)]
+    base_parts = [p for p in cte["parts"] if not refs(p, name)]
+    step_parts = [p for p in cte["parts"] if refs(p, name)]
     if not base_parts or len(step_parts) != 1:
         return None
     others = [c for c in ctes if c is not cte]
@@ -710,52 +773,64 @@ def _recursive_union_df(session: SparkSession, stmt: str):
             f" AS ({c['body']})"
             for c in others
         )
-        return f"WITH {heads} {q}"
+        # RECURSIVE: a sibling may itself be a (native) UNION ALL
+        # recursive CTE (review r10)
+        return f"WITH RECURSIVE {heads} {q}"
 
-    # the CTE name itself becomes a temp view: Spark inlines temp-view
-    # plans at ANALYSIS time (session.sql is eager about resolution),
-    # so aliased (FROM reach r) and qualified (t.n) references resolve
-    # naturally, and dropping the view afterwards cannot unbind the
-    # already-analyzed DataFrames. A pre-existing SAME-NAMED user temp
-    # view would be clobbered — the CTE shadows it during the query in
-    # DuckDB too; losing it afterwards is the documented trade.
+    uid = next(_REC_SEQ)
+    fv = f"__rec_frontier_{uid}"
+    av = f"__rec_acc_{uid}"
     base_sql = " UNION ".join(f"SELECT * FROM ({p}) __rb" for p in base_parts)
     acc = session.sql(_hugeint_sums(session, rewrite(with_prefix(base_sql))))
     if cte["cols"]:
         acc = acc.toDF(*cte["cols"])
-    # cache(), not localCheckpoint(): checkpointing plans containing
-    # EXCEPT/UNION-of-checkpoints trips a Spark ExpressionSet 'key not
-    # found' constraint bug (r10). Cached nodes stop recomputation the
-    # same way; the plan tree grows with recursion DEPTH only.
-    acc = acc.distinct().cache()
+    acc = acc.distinct().localCheckpoint()
+    cols = acc.columns
     frontier = acc
-    step_sql = _hugeint_sums(session, rewrite(with_prefix(step_parts[0])))
-    superseded: list = []
+    step_sql = _hugeint_sums(
+        session, rewrite(_sub_table_refs(with_prefix(step_parts[0]), name, fv))
+    )
     try:
         for _ in range(_REC_MAX_ITER):
-            frontier.createOrReplaceTempView(name)
-            new = session.sql(step_sql)
-            new = new.toDF(*acc.columns)
-            new = new.distinct().subtract(acc).cache()
+            frontier.createOrReplaceTempView(fv)
+            cand = (
+                session.sql(step_sql).toDF(*cols).distinct().localCheckpoint()
+            )
+            cond = None
+            for c in cols:
+                e = F.col(f"__rc.`{c}`").eqNullSafe(F.col(f"__rp.`{c}`"))
+                cond = e if cond is None else cond & e
+            new = (
+                cand.alias("__rc")
+                .join(acc.alias("__rp"), cond, "left_anti")
+                .localCheckpoint()
+            )
             if new.isEmpty():
                 break
-            superseded.append(acc)  # the union supersedes this cache
-            acc = acc.union(new).cache()
+            acc = acc.union(new)  # flat union of checkpointed leaves
             frontier = new
         else:
             raise ValueError(
                 f"recursive CTE {name!r} exceeded {_REC_MAX_ITER} "
                 "iterations"
             )
-        acc.createOrReplaceTempView(name)
-        return session.sql(_hugeint_sums(session, rewrite(with_prefix(final))))
+        acc.createOrReplaceTempView(av)
+        final_sql = _sub_table_refs(with_prefix(final), name, av)
+        # DuckDB's percentage LIMIT in the final query (the generic
+        # paths translate it; this handler claims the statement first)
+        mp = _LIMIT_PCT_RE.search(final_sql)
+        if mp:
+            d0 = session.sql(
+                _hugeint_sums(session, rewrite(final_sql[: mp.start()]))
+            )
+            return d0.limit(int(d0.count() * float(mp.group(1)) / 100.0))
+        return session.sql(_hugeint_sums(session, rewrite(final_sql)))
     finally:
-        try:
-            session.catalog.dropTempView(name)
-        except Exception:  # noqa: BLE001 — nothing to drop on parse errors
-            pass
-        for d in superseded:  # the final plan's leaves stay cached
-            d.unpersist(blocking=False)
+        for v in (fv, av):
+            try:
+                session.catalog.dropTempView(v)
+            except Exception:  # noqa: BLE001 — not created on early exit
+                pass
 
 
 def _select_df(session: SparkSession, stmt: str) -> DataFrame:

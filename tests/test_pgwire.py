@@ -3579,6 +3579,26 @@ def test_wire_recursive_union_cte(client):
         # UNION ALL recursion stays on Spark's native path
         "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t"
         " WHERE n < 4) SELECT sum(n) AS s FROM t",
+        # review r10: a native UNION ALL recursive SIBLING must keep
+        # its RECURSIVE prefix when re-emitted onto base/step/final
+        "WITH RECURSIVE a(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM a"
+        " WHERE n < 3), t(m) AS (SELECT 1 UNION SELECT m + 1 FROM t"
+        " WHERE m < 3) SELECT * FROM t, a ORDER BY m, n",
+        # review r10: explicit UNION DISTINCT is the dedup boundary
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION DISTINCT SELECT n + 1"
+        " FROM t WHERE n < 3) SELECT * FROM t ORDER BY n",
+        # review r10: UNION ALL with a comment between the words stays
+        # on the native path
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION /*c*/ ALL SELECT n + 1"
+        " FROM t WHERE n < 3) SELECT * FROM t ORDER BY n",
+        # review r10: a base-part column SPELLED like the CTE name is
+        # not a recursive reference (table-position detection)
+        "WITH RECURSIVE t(n) AS (SELECT t FROM (VALUES (1)) s(t)"
+        " UNION SELECT n + 1 FROM t WHERE n < 3)"
+        " SELECT * FROM t ORDER BY n",
+        # review r10: percentage LIMIT in the final query
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT n + 1 FROM t"
+        " WHERE n < 10) SELECT * FROM t ORDER BY n LIMIT 50%",
     ]
     for q in cases:
         want = [
@@ -3591,6 +3611,17 @@ def test_wire_recursive_union_cte(client):
         want = want if "ORDER BY" in q else sorted(want)
         assert got == want, (q, got, want)
     con.close()
+    # review r10: a pre-existing same-named temp view survives the
+    # recursive statement (the CTE shadows during the query only)
+    (r,) = client.query("CREATE TEMP TABLE rcshadow AS SELECT 42 AS x")
+    assert "error" not in r, r
+    (r,) = client.query(
+        "WITH RECURSIVE rcshadow(n) AS (SELECT 1 UNION SELECT n + 1"
+        " FROM rcshadow WHERE n < 3) SELECT max(n) AS m FROM rcshadow"
+    )
+    assert "error" not in r and r["rows"] == [["3"]], r
+    (r,) = client.query("SELECT x FROM rcshadow")
+    assert "error" not in r and r["rows"] == [["42"]], r
 
 
 def test_wire_read_csv_options(client, tmp_path):
