@@ -932,3 +932,58 @@ def test_time_text_render_matches_duckdb(h, m, s, us):
     finally:
         con.close()
     assert encode_text(dt.time(h, m, s, us)) == want, (lit, want)
+
+
+@st.composite
+def _recursive_numeric_case(draw):
+    # bounded domain (mod m) → the dedup fixpoint ALWAYS terminates,
+    # even when the step cycles
+    mod = draw(st.integers(min_value=2, max_value=12))
+    mult = draw(st.integers(min_value=1, max_value=5))
+    add = draw(st.integers(min_value=0, max_value=7))
+    start = draw(st.integers(min_value=0, max_value=3))
+    pred = draw(st.sampled_from(["", " WHERE n % 2 = 0", " WHERE n < 8"]))
+    return (
+        f"WITH RECURSIVE t(n) AS (SELECT {start} UNION "
+        f"SELECT (n * {mult} + {add}) % {mod} FROM t{pred}) "
+        "SELECT * FROM t ORDER BY n"
+    )
+
+
+@st.composite
+def _recursive_reach_case(draw):
+    # random small digraph (cycles allowed): transitive closure over
+    # ≤ 6 nodes is ≤ 36 pairs, so the fixpoint terminates
+    n_edges = draw(st.integers(min_value=1, max_value=8))
+    edges = [
+        (
+            draw(st.integers(min_value=0, max_value=5)),
+            draw(st.integers(min_value=0, max_value=5)),
+        )
+        for _ in range(n_edges)
+    ]
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    return (
+        f"WITH RECURSIVE r(s, d) AS (SELECT * FROM (VALUES {vals}) e(a, b)"
+        f" UNION SELECT r.s, e.b FROM r"
+        f" JOIN (VALUES {vals}) e(a, b) ON r.d = e.a)"
+        " SELECT * FROM r ORDER BY s, d"
+    )
+
+
+@given(q=st.one_of(_recursive_numeric_case(), _recursive_reach_case()))
+@settings(max_examples=15, deadline=None)
+def test_recursive_union_fixpoint_matches_duckdb(spark, q):
+    """The server-side semi-naive UNION fixpoint must produce DuckDB's
+    exact row set on randomized cyclic numeric recursions and random
+    digraph transitive closures (the working-table semantics, global
+    dedup, and termination rule all have to agree)."""
+    import duckdb
+
+    from duckdb_pgwire_spark.server.app import _recursive_union_df
+
+    want = sorted(tuple(r) for r in duckdb.connect().execute(q).fetchall())
+    df = _recursive_union_df(spark, q)
+    assert df is not None, q
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want, (q, got, want)
