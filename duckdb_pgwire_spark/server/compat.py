@@ -227,27 +227,74 @@ _STRF_PARSE = {
 
 
 def _translate_strf(fmt: str, parse: bool = False) -> str:
+    """%-directives → Java pattern letters. Literal ASCII letters in
+    the format ('T', 'Week ') must be JAVA-QUOTED ('...') — strftime
+    treats them as text while Java treats every letter as a pattern
+    char (r10 sweep: '%G-W%V' broke on the literal W). The returned
+    pattern may therefore contain single quotes: callers embedding it
+    in a SQL literal must escape them."""
     out = []
+    lit: list[str] = []
     i = 0
+
+    def flush_lit() -> None:
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
+            flush_lit()
             tok = fmt[i : i + 2]
             if parse and tok in _STRF_PARSE:
                 out.append(_STRF_PARSE[tok])
             else:
                 out.append(_STRF.get(tok, tok))
             i += 2
+        elif fmt[i].isalpha() and fmt[i].isascii():
+            lit.append(fmt[i])
+            i += 1
+        elif fmt[i] == "'":
+            lit.append(fmt[i])
+            i += 1
         else:
+            flush_lit()
             out.append(fmt[i])
             i += 1
+    flush_lit()
     return "".join(out)
+
+
+# week/weekday directives Spark 3+'s formatter REMOVED as pattern
+# letters — rendered through functions instead (format direction
+# only; all zero-padding and week-numbering rules probed vs DuckDB:
+# %U/%W are the C start-of-week counts where days before the first
+# Sunday/Monday are week 00, %V/%G the ISO week/year, %w Sunday=0,
+# %u ISO 1-7)
+_STRF_SPECIAL = {
+    "%V": "lpad(CAST(weekofyear({x}) AS STRING), 2, '0')",
+    "%G": "lpad(CAST(__date_part__('YEAROFWEEK', {x}) AS STRING), 4, '0')",
+    "%u": "CAST(__native_weekday__({x}) + 1 AS STRING)",
+    "%w": "CAST((__native_weekday__({x}) + 1) % 7 AS STRING)",
+    "%U": (
+        "lpad(CAST(((dayofyear({x}) - 1) + 7 -"
+        " ((__native_weekday__({x}) + 1) % 7)) div 7 AS STRING), 2, '0')"
+    ),
+    "%W": (
+        "lpad(CAST(((dayofyear({x}) - 1) + 7 -"
+        " __native_weekday__({x})) div 7 AS STRING), 2, '0')"
+    ),
+}
+_STRF_SPECIAL_RE = re.compile("(" + "|".join(_STRF_SPECIAL) + ")")
 
 
 def _rewrite_strftime(sql: str) -> str:
     """DuckDB ``strftime(ts, '%Y-%m-%d')`` → ``date_format(ts, 'yyyy-MM-dd')``
     and ``[try_]strptime(s, fmt)`` → ``[try_]to_timestamp(s, fmt)``,
-    translating the %-directives. Works on whole statements (needs the
-    quoted format argument, so it runs BEFORE literal splitting)."""
+    translating the %-directives. Week/weekday directives render as a
+    concat of function segments (Spark has no pattern letters for
+    them). Works on whole statements (needs the quoted format
+    argument, so it runs BEFORE literal splitting)."""
 
     def fix(m: re.Match) -> str:
         name = m.group(1).lower()
@@ -257,7 +304,20 @@ def _rewrite_strftime(sql: str) -> str:
             "try_strptime": "try_to_timestamp",
         }[name]
         parse = name != "strftime"
-        return f"{fn}({m.group(2)}, '{_translate_strf(m.group(3), parse)}')"
+        arg, fmt = m.group(2), m.group(3)
+        if not parse and _STRF_SPECIAL_RE.search(fmt):
+            exprs = []
+            for i, p in enumerate(_STRF_SPECIAL_RE.split(fmt)):
+                if i % 2:  # captured directive
+                    exprs.append(_STRF_SPECIAL[p].format(x=arg))
+                elif p:
+                    jp = _translate_strf(p, False).replace("'", "''")
+                    exprs.append(f"date_format({arg}, '{jp}')")
+            if len(exprs) == 1:
+                return exprs[0]
+            return "concat(" + ", ".join(exprs) + ")"
+        jp = _translate_strf(fmt, parse).replace("'", "''")
+        return f"{fn}({m.group(2)}, '{jp}')"
 
     return re.sub(
         r"\b(strftime|strptime|try_strptime)\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*'([^']*)'\s*\)",

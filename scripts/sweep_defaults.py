@@ -627,6 +627,37 @@ FAMILIES: dict[str, list[str]] = {
         "SELECT x FROM (VALUES ({'a': 2, 'b': 1}), ({'a': 1, 'b': 9}))"
         " t(x) ORDER BY x",
     ],
+    "datetime_edges": [
+        "SELECT week(DATE '2024-01-01') AS w1, week(DATE '2023-01-01') AS w2,"
+        " week(DATE '2021-01-03') AS w3",
+        "SELECT weekofyear(DATE '2016-01-03') AS wy",
+        "SELECT date_part('week', DATE '2024-12-30') AS wb1,"
+        " date_part('week', DATE '2025-01-01') AS wb2",
+        "SELECT strftime(DATE '2024-01-07', '%V') AS v,"
+        " strftime(DATE '2024-01-07', '%U') AS u,"
+        " strftime(DATE '2024-01-07', '%w') AS lw,"
+        " strftime(DATE '2024-01-07', '%u') AS lu",
+        "SELECT strftime(DATE '2024-01-01', '%U') AS u0,"
+        " strftime(DATE '2024-12-31', '%U') AS u52,"
+        " strftime(DATE '2016-01-03', '%W') AS w00,"
+        " strftime(DATE '2024-12-31', '%W') AS w53",
+        "SELECT strftime(DATE '2024-12-31', '%G-W%V-%u') AS iso,"
+        " strftime(DATE '2016-01-03', '%G') AS gy",
+        "SELECT last_day(DATE '2024-02-05') AS ld,"
+        " last_day(TIMESTAMP '2023-02-05 10:00:00') AS lt",
+        "SELECT make_date(2024, 2, 29) AS md,"
+        " make_timestamp(2024, 2, 29, 23, 59, 59.5) AS mt",
+        "SELECT date_part('dow', DATE '2024-01-07') AS dw,"
+        " date_part('isodow', DATE '2024-01-07') AS iw",
+        "SELECT time_bucket(INTERVAL '15 minutes',"
+        " TIMESTAMP '2024-01-01 10:22:00') AS tb",
+        "SELECT timezone_hour(TIMESTAMP '2024-01-01 00:00:00') AS th,"
+        " timezone_minute(TIMESTAMP '2024-01-01 00:00:00') AS tm",
+        "SELECT greatest(DATE '2024-01-01', DATE '2023-06-01') AS g,"
+        " least(TIMESTAMP '2024-01-01 00:00:00',"
+        " TIMESTAMP '2023-01-01 00:00:00') AS l",
+        "SELECT nextafter(1.0, 2.0) AS na, nextafter(1.0, 0.0) AS nb",
+    ],
     "coercions": [
         "SELECT '2' = 2 AS a, 2 = '2' AS b, '2.5' = 2.5 AS c,"
         " '02' = 2 AS d",

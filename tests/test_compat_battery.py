@@ -549,6 +549,17 @@ def test_zero_slice_step_errors():
 
 
 DATETIME_EXTRAS = [
+    # r10: week/weekday directives render via functions (Spark 3+
+    # removed the pattern letters); literal ASCII letters in formats
+    # are Java-quoted (strftime text vs Java pattern chars)
+    "SELECT strftime(DATE '2024-01-07', '%V') AS v,"
+    " strftime(DATE '2024-01-07', '%U') AS u,"
+    " strftime(DATE '2024-01-07', '%w') AS w,"
+    " strftime(DATE '2024-01-07', '%u') AS iu",
+    "SELECT strftime(DATE '2024-12-31', '%G-W%V-%u') AS iso,"
+    " strftime(DATE '2016-01-03', '%W') AS w00",
+    "SELECT strftime(DATE '2024-01-01', '%U') AS u0,"
+    " strftime(TIMESTAMP '2024-03-05 09:00:00', 'Week %V of %G') AS txt",
     "SELECT date_trunc('month', DATE '2024-03-15') AS dt",
     "SELECT date_trunc('month', TIMESTAMP '2024-03-15 10:00:00') AS dt2",
     "SELECT date_trunc('hour', TIMESTAMP '2024-03-15 10:42:00') AS dt3",
