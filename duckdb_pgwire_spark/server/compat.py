@@ -203,6 +203,9 @@ _FN_RENAMES = {
     "approx_quantile": "approx_percentile",
     "quantile_cont": "percentile",  # same linear interpolation, list or scalar
     "mean": "avg",
+    # list reversal spellings → Spark's reverse (arrays AND strings)
+    "array_reverse": "reverse",
+    "list_reverse": "reverse",
     # unnest in expression position ≡ explode (FROM-position unnest is
     # handled structurally by _rewrite_table_fns before this runs)
     "unnest": "explode",
@@ -3049,6 +3052,93 @@ _BOOL_CAST_LIT_RE = re.compile(
     r"|'((?:[^']|'')*)'\s*::\s*(?:BOOLEAN|BOOL|LOGICAL)(?![\w(])",
     re.IGNORECASE,
 )
+
+
+_IDX_LAMBDA_CALL = re.compile(
+    r"\b(?:list_transform|array_transform|list_apply|apply|"
+    r"list_filter|array_filter|filter)\s*\(",
+    re.IGNORECASE,
+)
+_LAMBDA2_RE = re.compile(
+    r"\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)\s*->"
+)
+
+
+def _rewrite_lambda_index_base(sql: str) -> str:
+    """DuckDB's two-parameter list lambdas pass a 1-BASED element
+    index; Spark's higher-order functions pass 0-based (probed:
+    list_transform([10,20], (x, i) -> i) = [1, 2] in DuckDB, [0, 1]
+    in Spark — silent wrong values). Substitute the index parameter's
+    body occurrences with (i + 1). Runs EARLY, before any pass emits
+    Spark-semantics filter/transform lambdas of its own."""
+    if _IDX_LAMBDA_CALL.search(sql) is None:
+        return sql
+    guard = 0
+    cursor = 0  # forward-only: edits land after it, so no position
+    # in the already-scanned prefix can go stale (a done-SET of match
+    # starts breaks — an earlier call's edit shifts later heads)
+    while guard < 200:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _IDX_LAMBDA_CALL.finditer(sql, cursor)
+                if all(mask[c.start() : c.end()])
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        cursor = m.end()  # past the head only: nested calls still seen
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            return sql
+        seg = sql[m.end() : i - 1]
+        lm = _LAMBDA2_RE.search(seg)
+        if lm is None or not all(
+            mask[m.end() + lm.start() : m.end() + lm.end()]
+        ):
+            continue
+        # lambda argument extent: to the next top-level ',' or the end
+        d2, j = 0, lm.end()
+        while j < len(seg):
+            if mask[m.end() + j]:
+                ch = seg[j]
+                if ch in "([":
+                    d2 += 1
+                elif ch in ")]":
+                    d2 -= 1
+                elif ch == "," and d2 == 0:
+                    break
+            j += 1
+        body = seg[lm.end() : j]
+        idx = lm.group(2)
+        # word-bounded occurrences of the index param in the body
+        bmask = _code_mask(body)
+        out, pos = [], 0
+        for om in re.finditer(rf"(?<![\w.`]){re.escape(idx)}(?![\w.(])", body):
+            if not all(bmask[om.start() : om.end()]):
+                continue
+            out.append(body[pos : om.start()])
+            out.append(f"({idx} + 1)")
+            pos = om.end()
+        out.append(body[pos:])
+        new_body = "".join(out)
+        if new_body != body:
+            sql = (
+                sql[: m.end() + lm.end()]
+                + new_body
+                + sql[m.end() + j :]
+            )
+    return sql
 
 
 def _rewrite_bool_cast_lits(sql: str) -> str:
@@ -7179,6 +7269,8 @@ def rewrite(sql: str) -> str:
     sql = _pg_escape_literals(sql)  # PG literal semantics before anything
     # else EMITS Spark-escaped literals of its own
     sql = _strip_numeric_underscores(sql)
+    sql = _rewrite_lambda_index_base(sql)  # 1-based duck index lambdas
+    # BEFORE any pass emits Spark-semantics filter/transform lambdas
     sql = _rewrite_concat_double_lits(sql)  # eE literals in concat/||
     # take DuckDB's shortest-round-trip text BEFORE concat rewrites
     sql = _rewrite_concat_null_skip(sql)  # user concat only — BEFORE any

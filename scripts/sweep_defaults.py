@@ -627,6 +627,23 @@ FAMILIES: dict[str, list[str]] = {
         "SELECT x FROM (VALUES ({'a': 2, 'b': 1}), ({'a': 1, 'b': 9}))"
         " t(x) ORDER BY x",
     ],
+    "hof_lambdas": [
+        "SELECT list_transform([10, 20], (x, i) -> i) AS ti",
+        "SELECT list_filter([10, 20, 30], (x, i) -> i % 2 = 1) AS fi",
+        "SELECT filter([10, 20, 30], (x, i) -> i = 3) AS f3",
+        "SELECT apply([10, 20], (x, i) -> x + i) AS ap",
+        "SELECT list_transform([1, 2, 3], x -> x * 2) AS t2",
+        "SELECT list_reduce([1, 2, 3], (a, b) -> a + b) AS lr",
+        "SELECT list_reduce([5], (a, b) -> a + b) AS lr1",
+        "SELECT list_where([10, 20, 30], [true, false, true]) AS lw",
+        "SELECT list_grade_up([3, 1, 2]) AS gu",
+        "SELECT list_select([10, 20, 30], [3, 1]) AS ls",
+        "SELECT list_cosine_similarity([1.0, 0.0], [0.0, 1.0]) AS cs,"
+        " list_dot_product([1.0, 2.0], [3.0, 4.0]) AS dp",
+        "SELECT list_zip([1, 2], [3, 4]) AS lz2",
+        "SELECT array_reverse([1, 2, 3]) AS ar,"
+        " list_reverse([4, 5]) AS lrv",
+    ],
     "datetime_edges": [
         "SELECT week(DATE '2024-01-01') AS w1, week(DATE '2023-01-01') AS w2,"
         " week(DATE '2021-01-03') AS w3",

@@ -438,6 +438,14 @@ BATTERY = [
     # rejected value is NULL
     "SELECT 'true'::BOOLEAN AS b1, 'T'::BOOLEAN AS b2, '0'::BOOLEAN AS b3,"
     " TRY_CAST('yes' AS BOOLEAN) AS b4, TRY_CAST(' true ' AS BOOLEAN) AS b5",
+    # DuckDB's 2-param list lambdas pass a 1-BASED index (Spark's HOFs
+    # are 0-based — silent wrong values without the shift)
+    "SELECT list_transform([10, 20], (x, i) -> i) AS ti,"
+    " list_filter([10, 20, 30], (x, i) -> i % 2 = 1) AS fi,"
+    " filter([10, 20, 30], (x, i) -> i = 3) AS f3,"
+    " apply([10, 20], (x, i) -> x + i) AS ap",
+    "SELECT array_reverse([1, 2, 3]) AS ar, list_reverse([4, 5]) AS lrv,"
+    " reverse('abc') AS rs",
     # corr over a zero-variance or sub-2-row group is NULL (ANSI
     # Spark's native corr raises DIVIDE_BY_ZERO on zero variance)
     "SELECT corr(x, y) AS czero FROM (VALUES (1.0, 2.0), (1.0, 3.0)) t(x, y)",
