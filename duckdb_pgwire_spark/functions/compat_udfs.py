@@ -187,6 +187,57 @@ def _duck_chr(cp: pd.Series) -> pd.Series:
     return cp.map(lambda x: chr(int(x)) if pd.notna(x) else None)
 
 
+def _moments(lst):
+    """(n, mean, sample stddev, central sums) over non-NULL elements,
+    or None when too few."""
+    import numpy as np
+
+    if lst is None:
+        return None
+    a = np.asarray([x for x in lst if x is not None], dtype="float64")
+    return a
+
+
+@F.pandas_udf(T.DoubleType())
+def _duck_list_skewness(v: pd.Series) -> pd.Series:
+    """DuckDB list_skewness: n/((n-1)(n-2)) · Σ(x-m)³ / s³ with the
+    SAMPLE stddev (numerically fitted and probed r10); n < 3 or zero
+    variance → NULL."""
+    def f(lst):
+        a = _moments(lst)
+        if a is None or a.size < 3:
+            return None
+        n, m = a.size, a.mean()
+        s = a.std(ddof=1)
+        if s == 0.0:
+            return None
+        return float(n / ((n - 1) * (n - 2)) * ((a - m) ** 3).sum() / s**3)
+
+    return v.map(f)
+
+
+@F.pandas_udf(T.DoubleType())
+def _duck_list_kurtosis(v: pd.Series) -> pd.Series:
+    """DuckDB list_kurtosis: the sample-corrected excess kurtosis
+    n(n+1)/((n-1)(n-2)(n-3)) · Σ(x-m)⁴/s⁴ − 3(n-1)²/((n-2)(n-3))
+    (probed r10); n < 4 or zero variance → NULL."""
+    def f(lst):
+        a = _moments(lst)
+        if a is None or a.size < 4:
+            return None
+        n, m = a.size, a.mean()
+        s2 = a.var(ddof=1)
+        if s2 == 0.0:
+            return None
+        g = ((a - m) ** 4).sum() / (s2 * s2)
+        return float(
+            n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) * g
+            - 3 * (n - 1) ** 2 / ((n - 2) * (n - 3))
+        )
+
+    return v.map(f)
+
+
 def _fmt_size(n: int | None, base: int, units: tuple[str, ...]) -> str | None:
     """DuckDB format_bytes/formatReadableDecimalSize: '<int> bytes'
     below one unit, else one TRUNCATED decimal place (probed:
@@ -968,6 +1019,8 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("nfc_normalize", _nfc_normalize)
     spark.udf.register("strip_accents", _strip_accents)
     spark.udf.register("duck_chr", _duck_chr)
+    spark.udf.register("duck_list_skewness", _duck_list_skewness)
+    spark.udf.register("duck_list_kurtosis", _duck_list_kurtosis)
     spark.udf.register("duck_double_text", _duck_double_text)
     spark.udf.register("duck_format_bytes", _format_bytes)
     spark.udf.register("duck_format_decimal_size", _format_decimal_size)

@@ -500,6 +500,31 @@ _LAVG_FORM = (
     " CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE))"
     " / size(filter({e}, __x -> __x IS NOT NULL)) END)"
 )
+# FNN = the NULL-skipping view of the list (duck list aggregates skip
+# NULL elements like their row-aggregate twins; all probed r10)
+_LFNN = "filter({e}, __x -> __x IS NOT NULL)"
+_LMEAN = (
+    "(aggregate(FNN, CAST(0 AS DOUBLE),"
+    " (__a, __b) -> __a + CAST(__b AS DOUBLE)) / size(FNN))"
+)
+_LVAR_SAMP = (
+    "(CASE WHEN size(FNN) < 2 THEN NULL ELSE"
+    " aggregate(FNN, CAST(0 AS DOUBLE), (__s, __v) ->"
+    " __s + pow(CAST(__v AS DOUBLE) - " + _LMEAN + ", 2))"
+    " / (size(FNN) - 1) END)"
+)
+_LVAR_POP = (
+    "(CASE WHEN size(FNN) = 0 THEN NULL ELSE"
+    " aggregate(FNN, CAST(0 AS DOUBLE), (__s, __v) ->"
+    " __s + pow(CAST(__v AS DOUBLE) - " + _LMEAN + ", 2))"
+    " / size(FNN) END)"
+)
+
+
+def _lform(body: str) -> str:
+    return body.replace("FNN", _LFNN)
+
+
 _LIST_AGG_FORMS = {
     "sum": _LSUM_FORM,
     "avg": _LAVG_FORM,
@@ -508,6 +533,65 @@ _LIST_AGG_FORMS = {
     "max": "array_max({e})",
     "count": "size(filter({e}, __x -> __x IS NOT NULL))",
     "string_agg": "array_join(transform({e}, __x -> CAST(__x AS STRING)), {sep})",
+    # r10 unary-spelling batch (semantics probed: NULLs skipped,
+    # empty/all-NULL → NULL except entropy's 0.0 on empty-but-non-NULL,
+    # median interpolates, mode ties to the FIRST OCCURRENCE,
+    # histogram keys sorted)
+    "median": _lform(
+        "(CASE WHEN size(FNN) = 0 THEN NULL ELSE"
+        " (CAST(try_element_at(array_sort(FNN),"
+        " CAST((size(FNN) + 1) div 2 AS INT)) AS DOUBLE)"
+        " + CAST(try_element_at(array_sort(FNN),"
+        " CAST(size(FNN) div 2 + 1 AS INT)) AS DOUBLE)) / 2.0 END)"
+    ),
+    "mode": _lform(
+        "(CASE WHEN size(FNN) = 0 THEN NULL ELSE"
+        " array_min(transform(array_distinct(FNN), __v -> struct("
+        " -size(filter(FNN, __y -> __y = __v)) AS __negc,"
+        " array_position(FNN, __v) AS __fi, __v AS __v))).__v END)"
+    ),
+    "entropy": _lform(
+        "(CASE WHEN ({e}) IS NULL THEN CAST(NULL AS DOUBLE)"
+        " WHEN size(FNN) = 0 THEN CAST(0 AS DOUBLE) ELSE"
+        " aggregate(transform(array_distinct(FNN), __v ->"
+        " CAST(size(filter(FNN, __y -> __y = __v)) AS DOUBLE)"
+        " / size(FNN)), CAST(0 AS DOUBLE),"
+        " (__s, __p) -> __s - __p * log2(__p)) END)"
+    ),
+    "product": _lform(
+        "(CASE WHEN size(FNN) = 0 THEN NULL ELSE"
+        " aggregate(FNN, CAST(1 AS DOUBLE),"
+        " (__s, __v) -> __s * CAST(__v AS DOUBLE)) END)"
+    ),
+    "bool_and": _lform(
+        "(CASE WHEN size(FNN) = 0 THEN NULL"
+        " ELSE forall(FNN, __x -> __x) END)"
+    ),
+    "bool_or": _lform(
+        "(CASE WHEN size(FNN) = 0 THEN NULL"
+        " ELSE exists(FNN, __x -> __x) END)"
+    ),
+    "first": "try_element_at({e}, 1)",
+    "last": "try_element_at({e}, -1)",
+    "any_value": _lform("try_element_at(FNN, 1)"),
+    "var_samp": _lform(_LVAR_SAMP),
+    "var": _lform(_LVAR_SAMP),
+    "variance": _lform(_LVAR_SAMP),
+    "var_pop": _lform(_LVAR_POP),
+    "stddev": _lform(f"sqrt({_LVAR_SAMP})"),
+    "stddev_samp": _lform(f"sqrt({_LVAR_SAMP})"),
+    "stddev_pop": _lform(f"sqrt({_LVAR_POP})"),
+    "histogram": _lform(
+        "(CASE WHEN size(FNN) = 0 THEN NULL ELSE"
+        " map_from_entries(transform(array_sort(array_distinct(FNN)),"
+        " __v -> struct(__v, size(filter(FNN, __y -> __y = __v)))))"
+        " END)"
+    ),
+    # moment statistics with DuckDB's sample corrections ride an
+    # Arrow UDF (functions/compat_udfs.py) — the two-pass central
+    # moments would repeat the list expression ~8 times as SQL text
+    "skewness": "duck_list_skewness({e})",
+    "kurtosis": "duck_list_kurtosis({e})",
 }
 
 _LIST_AGG_CALL = re.compile(
@@ -4500,17 +4584,49 @@ def _is_null_lit(a: str) -> bool:
     return a.strip().upper() == "NULL"
 
 
-def _tpl_list_slice(args: list[str]) -> str:
-    s, lo, hi = args
+_SLICE_UID = [500]  # unique lambda-var suffixes for stepped slices
+
+
+def _tpl_list_slice(args: list[str]) -> str | None:
+    if len(args) not in (3, 4):
+        return None
+    s, lo, hi = args[0], args[1], args[2]
+    step = args[3].strip() if len(args) == 4 else None
+    if step is not None:
+        if not re.fullmatch(r"\d+", step):
+            return None  # non-literal/negative step: fail loudly
+        if int(step) == 0:
+            raise ValueError("Slice step cannot be zero")
     sl = s.strip()
     if _QUOTED_LIT_RE.fullmatch(sl):
         lit = sl[1:-1].replace("''", "'")
-        if re.fullmatch(r"-?\d+", lo.strip()) and re.fullmatch(
-            r"-?\d+", hi.strip()
+        if (
+            step is None
+            and re.fullmatch(r"-?\d+", lo.strip())
+            and re.fullmatch(r"-?\d+", hi.strip())
         ):
             return _sql_str(_duck_str_slice(lit, int(lo), int(hi)))
-        return _slice_repl(sl, lit, lo.strip(), hi.strip(), None, 0)
+        return _slice_repl(sl, lit, lo.strip(), hi.strip(), step, 0)
+    if step is not None:
+        _SLICE_UID[0] += 1
+        return _slice_repl(
+            f"({s})", None, lo.strip(), hi.strip(), step, _SLICE_UID[0]
+        )
     return f"slice({s}, {lo}, ({hi}) - ({lo}) + 1)"
+
+
+def _tpl_list_extract(args: list[str]) -> str | None:
+    """list_element/list_extract/array_extract — the FUNCTION spelling
+    of the bracket subscript (1-based, negative from end, OOB → NULL /
+    '' for strings; probed r10)."""
+    if len(args) != 2:
+        return None
+    base, idx = args[0].strip(), args[1].strip()
+    if _QUOTED_LIT_RE.fullmatch(base):
+        return _subscript_repl(
+            base, base[1:-1].replace("''", "'"), idx
+        )
+    return _subscript_repl(f"({base})", None, idx)
 
 
 def _tpl_list_concat(args: list[str]) -> str | None:
@@ -4624,8 +4740,11 @@ _NARY_REWRITES: dict = {
     # INCLUSIVE; Spark slice takes (start, LENGTH). A string-literal
     # first argument slices VARCHAR (r10 sweep: array_slice('abcdef',
     # 2, 4) = 'bcd') with the bracket pass's substring semantics.
-    "list_slice": (3, lambda a: _tpl_list_slice(a)),
-    "array_slice": (3, lambda a: _tpl_list_slice(a)),
+    "list_slice": (None, lambda a: _tpl_list_slice(a)),
+    "array_slice": (None, lambda a: _tpl_list_slice(a)),
+    "list_element": (2, lambda a: _tpl_list_extract(a)),
+    "list_extract": (2, lambda a: _tpl_list_extract(a)),
+    "array_extract": (2, lambda a: _tpl_list_extract(a)),
     # ---- literal-separator splits (Spark split takes a REGEX — the
     # \Q..\E quoting makes the separator literal, matching DuckDB; the
     # lambda adds DuckDB's empty-separator per-character semantics)
@@ -5168,6 +5287,38 @@ _UNARY_REWRITES = {
     # DOUBLE-widening forms as list_aggregate(x, 'fn'), so both agree)
     "list_sum": _LSUM_FORM,
     "list_avg": _LAVG_FORM,
+    # r10: the full unary list-aggregate spelling family (each probed
+    # to exist in DuckDB; semantics in _LIST_AGG_FORMS)
+    "list_min": "array_min({e})",
+    "list_max": "array_max({e})",
+    "list_median": _LIST_AGG_FORMS["median"],
+    "list_mode": _LIST_AGG_FORMS["mode"],
+    "list_entropy": _LIST_AGG_FORMS["entropy"],
+    "list_product": _LIST_AGG_FORMS["product"],
+    "list_bool_and": _LIST_AGG_FORMS["bool_and"],
+    "list_bool_or": _LIST_AGG_FORMS["bool_or"],
+    "list_first": _LIST_AGG_FORMS["first"],
+    "list_last": _LIST_AGG_FORMS["last"],
+    "list_any_value": _LIST_AGG_FORMS["any_value"],
+    "list_var_pop": _LIST_AGG_FORMS["var_pop"],
+    "list_var_samp": _LIST_AGG_FORMS["var_samp"],
+    "list_histogram": _LIST_AGG_FORMS["histogram"],
+    "list_skewness": _LIST_AGG_FORMS["skewness"],
+    "list_kurtosis": _LIST_AGG_FORMS["kurtosis"],
+    "list_string_agg": (
+        "array_join(transform(" + _LFNN + ", __x -> CAST(__x AS STRING)), ',')"
+    ),
+    # pops: empty/1-element lists give [] (probed); slice lengths clamp
+    "array_pop_back": "slice({e}, 1, greatest(size({e}) - 1, 0))",
+    "list_pop_back": "slice({e}, 1, greatest(size({e}) - 1, 0))",
+    "array_pop_front": (
+        "(CASE WHEN size({e}) <= 1 THEN slice({e}, 1, 0)"
+        " ELSE slice({e}, 2, size({e}) - 1) END)"
+    ),
+    "list_pop_front": (
+        "(CASE WHEN size({e}) <= 1 THEN slice({e}, 1, 0)"
+        " ELSE slice({e}, 2, size({e}) - 1) END)"
+    ),
     # list_unique: COUNT of distinct non-NULL elements (DuckDB semantics)
     "list_unique": "size(array_distinct(filter({e}, __x -> __x IS NOT NULL)))",
     "array_unique": "size(array_distinct(filter({e}, __x -> __x IS NOT NULL)))",

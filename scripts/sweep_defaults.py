@@ -627,6 +627,49 @@ FAMILIES: dict[str, list[str]] = {
         "SELECT x FROM (VALUES ({'a': 2, 'b': 1}), ({'a': 1, 'b': 9}))"
         " t(x) ORDER BY x",
     ],
+    "list_spellings": [
+        "SELECT list_has_any([1, 2], [2, 3]) AS ha,"
+        " list_has_all([1, 2, 3], [1, 3]) AS hl",
+        "SELECT list_sort(list_intersect([1, 2, 3], [2, 3, 4])) AS li,"
+        " list_concat([1], [2]) AS lc",
+        "SELECT list_append([1, 2], 3) AS la, list_prepend(0, [1, 2]) AS lp",
+        "SELECT len([1, 2, 3]) AS ln2, array_length([1, 2]) AS al,"
+        " list_pack(1, 2, 3) AS pk",
+        "SELECT list_position([1, 2], 2) AS po, list_indexof([1, 2], 2) AS io",
+        "SELECT list_aggregate([1, 2, 3], 'min') AS ag,"
+        " list_aggr([1, 2, 3], 'max') AS ag2",
+        "SELECT list_sort([2, 1, NULL], 'DESC', 'NULLS FIRST') AS ls",
+        "SELECT list_slice([1, 2, 3, 4], 2, 3) AS sl,"
+        " list_element([1, 2], 2) AS el, list_extract([1, 2], 2) AS ex",
+        "SELECT array_pop_back([1, 2, 3]) AS pb,"
+        " array_pop_front([1, 2, 3]) AS pf",
+        "SELECT list_value(1, 2) AS lv",
+        "SELECT list_min([3, 1, 2]) AS mn, list_max([3, 1, 2]) AS mx,"
+        " list_median([1, 2, 3, 4]) AS md",
+        "SELECT round(list_entropy([1, 1, 2]), 9) AS en,"
+        " list_mode([1, 2, 2]) AS mo",
+        "SELECT round(list_kurtosis([1.0, 2.0, 3.0, 9.0]), 9) AS ku,"
+        " round(list_skewness([1.0, 2.0, 4.0]), 9) AS sk",
+        "SELECT list_bool_or([false, true]) AS bo,"
+        " list_bool_and([true, true]) AS ba,"
+        " list_first([1, 2]) AS lf, list_last([1, 2]) AS ll",
+        "SELECT list_product([2.0, 3.0]) AS pr,"
+        " list_string_agg(['a', 'b']) AS sa",
+        "SELECT list_count([1, NULL, 2]) AS lc2",
+        "SELECT array_pop_back([1]) AS p1, array_pop_front([]) AS p0,"
+        " list_pop_back([1, 2, 3]) AS p3",
+        "SELECT list_element([1, 2], -1) AS en, list_extract([1, 2], 9) AS eo,"
+        " list_extract('abc', 2) AS es",
+        "SELECT list_slice([1, 2, 3, 4, 5], 2, 4, 2) AS ss,"
+        " list_slice('abcde', 2, 4) AS st",
+        "SELECT list_histogram([2, 1, 1]) AS lh",
+        "SELECT round(list_var_pop([1.0, 2.0, 3.0]), 9) AS vp,"
+        " round(list_aggregate([1.0, 2.0, 3.0], 'stddev'), 9) AS sd",
+        "SELECT list_any_value([NULL, 7]) AS av,"
+        " list_aggregate([1, 2], 'product') AS pr2",
+        "SELECT list_skewness([1.0, 1.0, 1.0]) AS sz,"
+        " list_kurtosis([NULL, 1.0, 2.0, 3.0, 9.0]) AS kn",
+    ],
     "hof_lambdas": [
         "SELECT list_transform([10, 20], (x, i) -> i) AS ti",
         "SELECT list_filter([10, 20, 30], (x, i) -> i % 2 = 1) AS fi",

@@ -446,6 +446,21 @@ BATTERY = [
     " apply([10, 20], (x, i) -> x + i) AS ap",
     "SELECT array_reverse([1, 2, 3]) AS ar, list_reverse([4, 5]) AS lrv,"
     " reverse('abc') AS rs",
+    # unary list-aggregate spellings (NULLs skipped, empty → NULL,
+    # median interpolates, mode ties to first occurrence, histogram
+    # keys sorted; moment stats ride the probed-formula UDFs)
+    "SELECT list_median([1, NULL, 3]) AS md, list_mode([2, 1]) AS mo,"
+    " list_product([NULL, 2.0]) AS pr, list_first([NULL, 2]) AS lf,"
+    " list_any_value([NULL, 7]) AS av",
+    "SELECT round(list_entropy([NULL, 1, 1, 2]), 9) AS en,"
+    " list_bool_and([true, NULL]) AS ba, list_bool_or([NULL]) AS bo,"
+    " list_histogram([2, 1, 1]) AS lh",
+    "SELECT round(list_kurtosis([NULL, 1.0, 2.0, 3.0, 9.0]), 9) AS ku,"
+    " round(list_skewness([1.0, 2.0, 4.0]), 9) AS sk,"
+    " round(list_var_pop([1.0, 2.0, 3.0]), 9) AS vp",
+    "SELECT array_pop_back([1]) AS pb, array_pop_front([1, 2, 3]) AS pf,"
+    " list_element([1, 2], -1) AS le, list_extract([1, 2], 9) AS lx,"
+    " list_slice([1, 2, 3, 4, 5], 2, 4, 2) AS ls",
     # corr over a zero-variance or sub-2-row group is NULL (ANSI
     # Spark's native corr raises DIVIDE_BY_ZERO on zero variance)
     "SELECT corr(x, y) AS czero FROM (VALUES (1.0, 2.0), (1.0, 3.0)) t(x, y)",
