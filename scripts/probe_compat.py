@@ -57,6 +57,15 @@ BATTERY: dict[str, list[str]] = {
         "{'p': 'BIGINT', 'q': 'DOUBLE', 'r': 'VARCHAR'}) ORDER BY p",
         f"SELECT * FROM read_csv('{_CSV_FIXTURE}', nullstr='x')"
         " ORDER BY a",
+        # r10: unary list-aggregate spellings + index lambdas
+        "SELECT list_median([1, NULL, 3]) AS md, list_mode([2, 1]) AS mo,"
+        " list_histogram([2, 1, 1]) AS lh",
+        "SELECT list_transform([10, 20], (x, i) -> i) AS ti,"
+        " list_filter([10, 20, 30], (x, i) -> i % 2 = 1) AS fi",
+        "SELECT array_pop_back([1, 2, 3]) AS pb,"
+        " list_element([1, 2], -1) AS le,"
+        " list_slice([1, 2, 3, 4, 5], 2, 4, 2) AS ls",
+        "SELECT strftime(DATE '2024-12-31', '%G-W%V-%u') AS iso",
         # r10: recursive UNION (dedup fixpoint) — server-side
         # semi-naive evaluation; UNION ALL recursion is Spark-native
         "WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT (n % 3) + 1"
@@ -671,7 +680,10 @@ BATTERY: dict[str, list[str]] = {
         "SELECT kurtosis(x) AS kt, skewness(x) AS sk FROM probe_agt",
         "SELECT arg_min(s, x) AS lo, arg_max(s, x) AS hi FROM probe_agt",
         "SELECT sum(k) FILTER (s IS NOT NULL) AS f FROM probe_agt",
-        "SELECT list(s) FILTER (s IS NOT NULL) AS l FROM probe_agt",
+        # list_sort: unordered list() row order is unspecified on both
+        # engines (flaked once against collect_list's partition order)
+        "SELECT list_sort(list(s) FILTER (s IS NOT NULL)) AS l"
+        " FROM probe_agt",
         "SELECT any_value(k ORDER BY k DESC) AS a FROM probe_agt",
         "SELECT regr_slope(x, k) AS rs, regr_r2(x, k) AS r2"
         " FROM probe_agt",
@@ -892,6 +904,15 @@ def norm_cell(v: object) -> str | None:
 
     if isinstance(v, tuple):  # duckdb renders ARRAY[n] values as tuples
         v = list(v)
+    if (
+        isinstance(v, dict)
+        and set(v.keys()) == {"key", "value"}
+        and isinstance(v.get("key"), list)
+    ):
+        # duckdb's python client returns MAP cells as the columnar
+        # {'key': [...], 'value': [...]} shape — fold to a real dict
+        # so it encodes like the wire's map render
+        v = dict(zip(v["key"], v["value"]))
     return encode_text(v)
 
 
