@@ -67,6 +67,12 @@ def build_session(
         # DuckDB's TIME — CAST('..' AS TIME), TIME literals already
         # parse unflagged but the type NAME is gated (r10)
         .config("spark.sql.timeType.enabled", "true")
+        # DuckDB/PG: "x" is ALWAYS an identifier, never a string.
+        # Spark's default parses double quotes as STRING literals, so
+        # SELECT "r_name" FROM region silently returned the literal
+        # text 'r_name' per row — every PG client that quotes
+        # identifiers (psql, ORMs) got wrong data (r10 find)
+        .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
         # DuckDB map_concat / MAP construction keeps the LAST value for a
         # duplicated key; Spark's default EXCEPTION policy errors (r10
         # default-semantics sweep)

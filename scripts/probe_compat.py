@@ -929,17 +929,11 @@ KNOWN_DIFFS: dict[str, str] = {
         "unordered result (DuckDB hash order vs Spark first-occurrence)",
     "SELECT age(TIMESTAMP '2024-03-05', TIMESTAMP '2023-01-04') AS ag":
         "python API yields timedelta; wire matches DuckDB's interval text",
-    "SELECT histogram(n_regionkey) AS h FROM nation":
-        "python API yields dict-of-lists; wire renders the map as json",
     "SELECT row(1, 'x') AS r": "python API yields tuple; wire renders json",
-    "SELECT map([1, 2], ['a', 'b']) AS m":
-        "python API yields dict-of-lists; wire renders the map as json",
-    "SELECT map_from_entries([(1, 'a'), (2, 'b')]) AS mfe":
-        "python API yields dict-of-lists; wire renders the map as json",
     "SELECT list_zip([1, 2], [3, 4]) AS lz":
         "python API yields tuples; wire renders struct json",
-    "SELECT map_concat(map([1],['x']), map([2],['y'])) AS mc":
-        "python API yields dict-of-lists; wire renders the map as json",
+    # (the map/histogram dict-of-lists entries retired r10: norm_cell
+    # folds duckdb's columnar map repr, so they value-match now)
 }
 
 _DML_WORDS = ("CREATE", "INSERT", "UPDATE", "DELETE", "DROP", "ALTER")

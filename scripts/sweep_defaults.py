@@ -627,6 +627,14 @@ FAMILIES: dict[str, list[str]] = {
         "SELECT x FROM (VALUES ({'a': 2, 'b': 1}), ({'a': 1, 'b': 9}))"
         " t(x) ORDER BY x",
     ],
+    "struct_fns": [
+        "SELECT struct_extract({'a': 1, 'b': 2}, 'b') AS se",
+        "SELECT struct_pack(a := 1, b := 'x') AS sp",
+        "SELECT ({'a': 1, 'b': 2}).b AS fb, ({'a': {'c': 3}}).a.c AS fc",
+        "SELECT ({'A b': 5}).\"A b\" AS qf",
+        "SELECT union_value(k := 5) AS uv,"
+        " union_tag(union_value(k := 5)) AS ut",
+    ],
     "list_spellings": [
         "SELECT list_has_any([1, 2], [2, 3]) AS ha,"
         " list_has_all([1, 2, 3], [1, 3]) AS hl",

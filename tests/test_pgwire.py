@@ -1225,8 +1225,14 @@ def test_rewrite_list_aggregate_forms():
         "aggregate(filter(transform(l, x -> x + 1), __x -> __x IS NOT NULL),"
         " CAST(0 AS DOUBLE)" in out
     )
+    # r10: median joined the known forms (interpolated, NULL-skipping)
+    assert "array_sort(filter(l," in rewrite(
+        "SELECT list_aggregate(l, 'median')"
+    )
     # unknown aggregate names pass through (fail loudly downstream)
-    assert "list_aggregate(l, 'median')" in rewrite("SELECT list_aggregate(l, 'median')")
+    assert "list_aggregate(l, 'bitstring_agg')" in rewrite(
+        "SELECT list_aggregate(l, 'bitstring_agg')"
+    )
 
 
 def test_rewrite_epoch_ms_maps_to_unix_millis():
@@ -3549,6 +3555,26 @@ def test_wire_union_type_emulation(client):
     )
     assert "error" not in r, r
     assert r["rows"] == [['{"__utag":7,"x":1}']], r
+
+
+def test_wire_double_quoted_identifiers(client):
+    """DuckDB/PG: double quotes are IDENTIFIERS, never strings. Spark's
+    default parsed them as string literals, so SELECT \"r_name\" FROM
+    region returned the literal text per row — silent wrong data for
+    every quoting client (r10 find; spark.sql.ansi.
+    doubleQuotedIdentifiers flips the parser to PG semantics)."""
+    (r,) = client.query(
+        'SELECT "r_name" FROM region ORDER BY "r_regionkey" LIMIT 2'
+    )
+    assert "error" not in r, r
+    assert r["columns"] == ["r_name"], r
+    assert r["rows"] == [["AFRICA"], ["AMERICA"]], r
+    (r,) = client.query('SELECT 1 AS "Weird Col", 2 AS "with""quote"')
+    assert "error" not in r, r
+    assert r["columns"] == ["Weird Col", 'with"quote'], r
+    # unknown quoted identifier errors like DuckDB's binder (42703)
+    (r,) = client.query('SELECT "no_such_col" FROM region')
+    assert "error" in r and r.get("sqlstate") in ("42703", "42000"), r
 
 
 def test_wire_recursive_union_cte(client):
