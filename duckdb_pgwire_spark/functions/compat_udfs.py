@@ -188,14 +188,17 @@ def _duck_chr(cp: pd.Series) -> pd.Series:
 
 
 def _moments(lst):
-    """(n, mean, sample stddev, central sums) over non-NULL elements,
-    or None when too few."""
+    """The list's non-NULL elements as a float64 array (or None for a
+    NULL list). Arrow hands NULL elements to pandas as NaN, so NaN is
+    dropped too — a GENUINE NaN element therefore skips instead of
+    reproducing DuckDB's 'out of range' error (documented
+    over-acceptance; review r10). Size guards live in the callers."""
     import numpy as np
 
     if lst is None:
         return None
     a = np.asarray([x for x in lst if x is not None], dtype="float64")
-    return a
+    return a[~np.isnan(a)]
 
 
 @F.pandas_udf(T.DoubleType())

@@ -308,14 +308,43 @@ def _rewrite_strftime(sql: str) -> str:
         }[name]
         parse = name != "strftime"
         arg, fmt = m.group(2), m.group(3)
-        if not parse and _STRF_SPECIAL_RE.search(fmt):
-            exprs = []
-            for i, p in enumerate(_STRF_SPECIAL_RE.split(fmt)):
-                if i % 2:  # captured directive
-                    exprs.append(_STRF_SPECIAL[p].format(x=arg))
-                elif p:
-                    jp = _translate_strf(p, False).replace("'", "''")
-                    exprs.append(f"date_format({arg}, '{jp}')")
+        if _STRF_SPECIAL_RE.search(fmt):
+            if parse:
+                # Java's formatter has no parse fields for these; the
+                # unguarded pattern threw an opaque runtime error
+                # (review r10) — refuse loudly instead
+                raise ValueError(
+                    "strptime: week/weekday directives (%V %G %U %W "
+                    f"%w %u) are not supported for parsing ({fmt!r})"
+                )
+            # tokenize %-directives in ONE pass so '%%V' is an escaped
+            # percent followed by a literal V, not a week directive
+            # (review r10)
+            exprs: list[str] = []
+            run: list[str] = []
+
+            def flush_run() -> None:
+                if run:
+                    jp = _translate_strf("".join(run), False)
+                    exprs.append(
+                        f"date_format({arg}, '" + jp.replace("'", "''") + "')"
+                    )
+                    run.clear()
+
+            k = 0
+            while k < len(fmt):
+                if fmt[k] == "%" and k + 1 < len(fmt):
+                    tok = fmt[k : k + 2]
+                    if tok in _STRF_SPECIAL:
+                        flush_run()
+                        exprs.append(_STRF_SPECIAL[tok].format(x=arg))
+                    else:
+                        run.append(tok)
+                    k += 2
+                else:
+                    run.append(fmt[k])
+                    k += 1
+            flush_run()
             if len(exprs) == 1:
                 return exprs[0]
             return "concat(" + ", ".join(exprs) + ")"
@@ -501,23 +530,41 @@ _LAVG_FORM = (
     " / size(filter({e}, __x -> __x IS NOT NULL)) END)"
 )
 # FNN = the NULL-skipping view of the list (duck list aggregates skip
-# NULL elements like their row-aggregate twins; all probed r10)
+# NULL elements like their row-aggregate twins; all probed r10).
+# Forms that use the filtered list MORE THAN ONCE bind it to a lambda
+# variable via the singleton-transform trick (element_at(transform(
+# array(x), __l -> body), 1)) — inlining FNN into a fold's lambda
+# re-evaluates the filter (and for variance the whole MEAN fold) PER
+# ELEMENT, turning the form O(n²) (review r10).
 _LFNN = "filter({e}, __x -> __x IS NOT NULL)"
-_LMEAN = (
-    "(aggregate(FNN, CAST(0 AS DOUBLE),"
-    " (__a, __b) -> __a + CAST(__b AS DOUBLE)) / size(FNN))"
+
+
+def _lbind(body: str, bind: str = "FNN") -> str:
+    """Bind `bind` (an expression template) once as __l inside body."""
+    return (
+        "element_at(transform(array(" + bind + "), __l -> "
+        + body
+        + "), 1)"
+    )
+
+
+_LMEAN_B = (
+    "try_divide(aggregate(__l, CAST(0 AS DOUBLE),"
+    " (__a, __b) -> __a + CAST(__b AS DOUBLE)), size(__l))"
 )
-_LVAR_SAMP = (
-    "(CASE WHEN size(FNN) < 2 THEN NULL ELSE"
-    " aggregate(FNN, CAST(0 AS DOUBLE), (__s, __v) ->"
-    " __s + pow(CAST(__v AS DOUBLE) - " + _LMEAN + ", 2))"
-    " / (size(FNN) - 1) END)"
+_LVAR_SAMP = _lbind(
+    "element_at(transform(array(" + _LMEAN_B + "), __m ->"
+    " CASE WHEN size(__l) < 2 THEN NULL ELSE"
+    " aggregate(__l, CAST(0 AS DOUBLE), (__s, __v) ->"
+    " __s + pow(CAST(__v AS DOUBLE) - __m, 2))"
+    " / (size(__l) - 1) END), 1)"
 )
-_LVAR_POP = (
-    "(CASE WHEN size(FNN) = 0 THEN NULL ELSE"
-    " aggregate(FNN, CAST(0 AS DOUBLE), (__s, __v) ->"
-    " __s + pow(CAST(__v AS DOUBLE) - " + _LMEAN + ", 2))"
-    " / size(FNN) END)"
+_LVAR_POP = _lbind(
+    "element_at(transform(array(" + _LMEAN_B + "), __m ->"
+    " CASE WHEN size(__l) = 0 THEN NULL ELSE"
+    " aggregate(__l, CAST(0 AS DOUBLE), (__s, __v) ->"
+    " __s + pow(CAST(__v AS DOUBLE) - __m, 2))"
+    " / size(__l) END), 1)"
 )
 
 
@@ -538,30 +585,40 @@ _LIST_AGG_FORMS = {
     # median interpolates, mode ties to the FIRST OCCURRENCE,
     # histogram keys sorted)
     "median": _lform(
-        "(CASE WHEN size(FNN) = 0 THEN NULL ELSE"
-        " (CAST(try_element_at(array_sort(FNN),"
-        " CAST((size(FNN) + 1) div 2 AS INT)) AS DOUBLE)"
-        " + CAST(try_element_at(array_sort(FNN),"
-        " CAST(size(FNN) div 2 + 1 AS INT)) AS DOUBLE)) / 2.0 END)"
+        _lbind(
+            "(CASE WHEN size(__l) = 0 THEN NULL ELSE"
+            " (CAST(try_element_at(__l,"
+            " CAST((size(__l) + 1) div 2 AS INT)) AS DOUBLE)"
+            " + CAST(try_element_at(__l,"
+            " CAST(size(__l) div 2 + 1 AS INT)) AS DOUBLE)) / 2.0 END)",
+            bind="array_sort(FNN)",  # ONE sort, bound once
+        )
     ),
     "mode": _lform(
-        "(CASE WHEN size(FNN) = 0 THEN NULL ELSE"
-        " array_min(transform(array_distinct(FNN), __v -> struct("
-        " -size(filter(FNN, __y -> __y = __v)) AS __negc,"
-        " array_position(FNN, __v) AS __fi, __v AS __v))).__v END)"
+        _lbind(
+            "(CASE WHEN size(__l) = 0 THEN NULL ELSE"
+            " array_min(transform(array_distinct(__l), __v -> struct("
+            " -size(filter(__l, __y -> __y = __v)) AS __negc,"
+            " array_position(__l, __v) AS __fi, __v AS __v))).__v END)"
+        )
     ),
     "entropy": _lform(
-        "(CASE WHEN ({e}) IS NULL THEN CAST(NULL AS DOUBLE)"
-        " WHEN size(FNN) = 0 THEN CAST(0 AS DOUBLE) ELSE"
-        " aggregate(transform(array_distinct(FNN), __v ->"
-        " CAST(size(filter(FNN, __y -> __y = __v)) AS DOUBLE)"
-        " / size(FNN)), CAST(0 AS DOUBLE),"
-        " (__s, __p) -> __s - __p * log2(__p)) END)"
+        "(CASE WHEN ({e}) IS NULL THEN CAST(NULL AS DOUBLE) ELSE "
+        + _lbind(
+            "(CASE WHEN size(__l) = 0 THEN CAST(0 AS DOUBLE) ELSE"
+            " aggregate(transform(array_distinct(__l), __v ->"
+            " CAST(size(filter(__l, __y -> __y = __v)) AS DOUBLE)"
+            " / size(__l)), CAST(0 AS DOUBLE),"
+            " (__s, __p) -> __s - __p * log2(__p)) END)"
+        )
+        + " END)"
     ),
     "product": _lform(
-        "(CASE WHEN size(FNN) = 0 THEN NULL ELSE"
-        " aggregate(FNN, CAST(1 AS DOUBLE),"
-        " (__s, __v) -> __s * CAST(__v AS DOUBLE)) END)"
+        _lbind(
+            "(CASE WHEN size(__l) = 0 THEN NULL ELSE"
+            " aggregate(__l, CAST(1 AS DOUBLE),"
+            " (__s, __v) -> __s * CAST(__v AS DOUBLE)) END)"
+        )
     ),
     "bool_and": _lform(
         "(CASE WHEN size(FNN) = 0 THEN NULL"
@@ -582,10 +639,12 @@ _LIST_AGG_FORMS = {
     "stddev_samp": _lform(f"sqrt({_LVAR_SAMP})"),
     "stddev_pop": _lform(f"sqrt({_LVAR_POP})"),
     "histogram": _lform(
-        "(CASE WHEN size(FNN) = 0 THEN NULL ELSE"
-        " map_from_entries(transform(array_sort(array_distinct(FNN)),"
-        " __v -> struct(__v, size(filter(FNN, __y -> __y = __v)))))"
-        " END)"
+        _lbind(
+            "(CASE WHEN size(__l) = 0 THEN NULL ELSE"
+            " map_from_entries(transform(array_sort(array_distinct(__l)),"
+            " __v -> struct(__v, size(filter(__l, __y -> __y = __v)))))"
+            " END)"
+        )
     ),
     # moment statistics with DuckDB's sample corrections ride an
     # Arrow UDF (functions/compat_udfs.py) — the two-pass central
@@ -3186,42 +3245,55 @@ def _rewrite_lambda_index_base(sql: str) -> str:
         if depth:
             return sql
         seg = sql[m.end() : i - 1]
-        lm = _LAMBDA2_RE.search(seg)
-        if lm is None or not all(
-            mask[m.end() + lm.start() : m.end() + lm.end()]
-        ):
-            continue
-        # lambda argument extent: to the next top-level ',' or the end
-        d2, j = 0, lm.end()
-        while j < len(seg):
-            if mask[m.end() + j]:
-                ch = seg[j]
-                if ch in "([":
-                    d2 += 1
-                elif ch in ")]":
-                    d2 -= 1
-                elif ch == "," and d2 == 0:
-                    break
-            j += 1
-        body = seg[lm.end() : j]
-        idx = lm.group(2)
-        # word-bounded occurrences of the index param in the body
-        bmask = _code_mask(body)
-        out, pos = [], 0
-        for om in re.finditer(rf"(?<![\w.`]){re.escape(idx)}(?![\w.(])", body):
-            if not all(bmask[om.start() : om.end()]):
+        # the call's OWN lambda is a TOP-LEVEL argument that STARTS
+        # with the 2-param header — a lambda nested inside another
+        # argument belongs to the inner call, which the cursor scan
+        # reaches on its own (review r10: matching the first lambda
+        # anywhere shifted inner reduce accumulators and missed the
+        # outer lambda entirely)
+        smask = mask[m.end() : i - 1]
+        d2 = 0
+        starts = [0]
+        for k, ch in enumerate(seg):
+            if not smask[k]:
                 continue
-            out.append(body[pos : om.start()])
-            out.append(f"({idx} + 1)")
-            pos = om.end()
-        out.append(body[pos:])
-        new_body = "".join(out)
-        if new_body != body:
-            sql = (
-                sql[: m.end() + lm.end()]
-                + new_body
-                + sql[m.end() + j :]
-            )
+            if ch in "([":
+                d2 += 1
+            elif ch in ")]":
+                d2 -= 1
+            elif ch == "," and d2 == 0:
+                starts.append(k + 1)
+        starts.append(len(seg) + 1)
+        pieces: list[str] = []
+        prev = 0
+        changed = False
+        for a0, a1 in zip(starts, starts[1:]):
+            arg = seg[a0 : a1 - 1]
+            lm = _LAMBDA2_RE.match(arg, len(arg) - len(arg.lstrip()))
+            if lm is None:
+                continue
+            body = arg[lm.end() :]
+            idx = lm.group(2)
+            bmask = _code_mask(body)
+            out, pos = [], 0
+            for om in re.finditer(
+                rf"(?<![\w.`]){re.escape(idx)}(?![\w.(])", body
+            ):
+                if not all(bmask[om.start() : om.end()]):
+                    continue
+                out.append(body[pos : om.start()])
+                out.append(f"({idx} + 1)")
+                pos = om.end()
+            out.append(body[pos:])
+            new_body = "".join(out)
+            if new_body != body:
+                changed = True
+                pieces.append(seg[prev : a0 + lm.end()])
+                pieces.append(new_body)
+                prev = a1 - 1
+        if changed:
+            pieces.append(seg[prev:])
+            sql = sql[: m.end()] + "".join(pieces) + sql[i - 1 :]
     return sql
 
 

@@ -116,6 +116,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB keeps the LAST value for duplicated map keys (runtime-settable)
     if spark.conf.get("spark.sql.mapKeyDedupPolicy", None) != "LAST_WIN":
         spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # "x" is an IDENTIFIER in DuckDB/PG, a string in default Spark —
+    # without this a quoted column silently returns its own name as
+    # text (runtime-settable; review r10)
+    if (
+        spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", None)
+        != "true"
+    ):
+        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     key = (id(spark), sf_dir, name)
     if key in _SCAN_CACHE:
         return _SCAN_CACHE[key]

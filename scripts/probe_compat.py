@@ -908,11 +908,18 @@ def norm_cell(v: object) -> str | None:
         isinstance(v, dict)
         and set(v.keys()) == {"key", "value"}
         and isinstance(v.get("key"), list)
+        and isinstance(v.get("value"), list)
+        and len(v["key"]) == len(v["value"])
     ):
         # duckdb's python client returns MAP cells as the columnar
         # {'key': [...], 'value': [...]} shape — fold to a real dict
-        # so it encodes like the wire's map render
-        v = dict(zip(v["key"], v["value"]))
+        # so it encodes like the wire's map render. A genuine STRUCT
+        # spelled {'key': .., 'value': ..} or a map with unhashable
+        # (list) keys stays as-is (review r10)
+        try:
+            v = dict(zip(v["key"], v["value"]))
+        except TypeError:
+            pass
     return encode_text(v)
 
 
