@@ -212,15 +212,27 @@ def ordered_names() -> list[str]:
     defs = load_all()
     green = _driver_green_rounds()
     unseen = [n for n in defs if n not in green]
-    par = _current_round() % 2
+    cur = _current_round()
+    par = cur % 2
     half = [n for i, n in enumerate(FLAGSHIP) if i % 2 == par]
     pinned = [n for n in half if n in defs and n in green]
     order = {n: i for i, n in enumerate(defs)}
-    rest = sorted(
-        (n for n in defs if n in green and n not in pinned),
+    # Overdue tier (r10 verdict item 1): an entry whose latest driver
+    # green is ≥5 rounds old jumps AHEAD of the flagship pin — the r9
+    # empty-window incident left a 51-entry r4/r5 tail that the normal
+    # staleness sort could not drain past the 17-entry pin within the
+    # driver's ~50-slot window. Self-correcting: once the tail retires,
+    # the tier is empty and the order reduces to the r7 scheme.
+    overdue = sorted(
+        (n for n in defs if n in green and green[n] <= cur - 5),
         key=lambda n: (green[n], order[n]),
     )
-    return unseen + pinned + rest
+    pinned = [n for n in pinned if n not in overdue]
+    rest = sorted(
+        (n for n in defs if n in green and n not in pinned and n not in overdue),
+        key=lambda n: (green[n], order[n]),
+    )
+    return unseen + overdue + pinned + rest
 
 
 def spark_queries() -> dict[str, QueryFn]:
