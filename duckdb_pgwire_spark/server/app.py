@@ -162,6 +162,25 @@ _LIMIT_PCT_RE = re.compile(
 )
 
 
+def _limit_pct_match(stmt: str):
+    """End-anchored ``LIMIT n%`` match, but only when the matched span
+    is CODE. The bare regex also fired on a percent-limit spelling
+    inside a trailing line comment or string literal (`SELECT * FROM r
+    -- LIMIT 5%`), silently truncating real SQL at mp.start() and
+    applying a bogus row-count limit (ADVICE r10 hardening)."""
+    m = _LIMIT_PCT_RE.search(stmt)
+    if m is None:
+        return None
+    from .compat import _code_mask
+
+    mask = _code_mask(stmt)
+    span = mask[m.start() : m.end()]
+    # the optional trailing `;` / whitespace after a comment-closing
+    # newline is code even when the LIMIT itself is commented out —
+    # require the LIMIT keyword head to be code
+    return m if span and span[0] else None
+
+
 # pipeline('<registry op>') table function: exposes every queries()
 # operator (dedup/similarity/text/multimodal pipelines) to PG clients
 # as a relation — `SELECT * FROM pipeline('dedup_exact') WHERE ...`
@@ -277,6 +296,38 @@ _COL_PAIR_RE = re.compile(
 )
 
 
+def _consume_list_literal(raw: str, pat: re.Pattern, opt: str) -> list:
+    """findall-with-residue-check for a bracketed/braced option literal.
+
+    The plain ``findall`` silently returned an EMPTY (or partial) result
+    when an element was unquoted — ``names=[a, b]`` parsed to zero names
+    and the explicit option was dropped, contradicting the module's
+    refuse-loudly policy (ADVICE r10). Matches must tile the interior
+    with only commas/whitespace between them, and at least one element
+    must parse."""
+    interior = raw.strip()[1:-1]
+    groups: list = []
+    pos = 0
+    for m in pat.finditer(interior):
+        if interior[pos : m.start()].strip(" \t\r\n,"):
+            raise ValueError(
+                f"read_csv: {opt}= could not parse element near "
+                f"{interior[pos:m.start()].strip()!r} — elements must be "
+                "single-quoted SQL string literals"
+            )
+        groups.append(m.group(1) if pat.groups == 1 else m.groups())
+        pos = m.end()
+    if interior[pos:].strip(" \t\r\n,"):
+        raise ValueError(
+            f"read_csv: {opt}= could not parse element near "
+            f"{interior[pos:].strip()!r} — elements must be "
+            "single-quoted SQL string literals"
+        )
+    if not groups:
+        raise ValueError(f"read_csv: {opt}= list literal has no elements")
+    return groups
+
+
 def _parse_read_csv_args(argtext: str) -> dict:
     """Named-arg tail of read_csv. Supported (all probed vs DuckDB):
     header, delim/sep, quote, escape, nullstr (single value), names
@@ -348,7 +399,8 @@ def _parse_read_csv_args(argtext: str) -> dict:
         elif k == "nullstr":
             if raw.startswith("["):
                 vals = [
-                    s.replace("''", "'") for s in _QUOTED_RE.findall(raw)
+                    s.replace("''", "'")
+                    for s in _consume_list_literal(raw, _QUOTED_RE, "nullstr")
                 ]
                 if len(set(vals)) > 1:
                     raise ValueError(
@@ -362,7 +414,8 @@ def _parse_read_csv_args(argtext: str) -> dict:
             if not raw.startswith("["):
                 raise ValueError("read_csv: names= takes a list literal")
             overrides["names"] = tuple(
-                s.replace("''", "'") for s in _QUOTED_RE.findall(raw)
+                s.replace("''", "'")
+                for s in _consume_list_literal(raw, _QUOTED_RE, k)
             )
         elif k in ("columns", "types"):
             if not raw.startswith("{"):
@@ -373,10 +426,8 @@ def _parse_read_csv_args(argtext: str) -> dict:
                 )
             pairs = tuple(
                 (n.replace("''", "'"), t.replace("''", "'"))
-                for n, t in _COL_PAIR_RE.findall(raw)
+                for n, t in _consume_list_literal(raw, _COL_PAIR_RE, k)
             )
-            if not pairs:
-                raise ValueError("read_csv: columns= has no column pairs")
             overrides["columns"] = pairs
         elif k == "all_varchar":
             overrides["all_varchar"] = _bool(raw)
@@ -818,7 +869,7 @@ def _recursive_union_df(session: SparkSession, stmt: str):
         final_sql = _sub_table_refs(with_prefix(final), name, av)
         # DuckDB's percentage LIMIT in the final query (the generic
         # paths translate it; this handler claims the statement first)
-        mp = _LIMIT_PCT_RE.search(final_sql)
+        mp = _limit_pct_match(final_sql)
         if mp:
             d0 = session.sql(
                 _hugeint_sums(session, rewrite(final_sql[: mp.start()]))
@@ -857,7 +908,7 @@ def _select_df(session: SparkSession, stmt: str) -> DataFrame:
         df = _recursive_union_df(session, stmt)
         if df is not None:
             return df
-    mp = _LIMIT_PCT_RE.search(stmt)
+    mp = _limit_pct_match(stmt)
     if mp:
         base = rewrite(stmt[: mp.start()])
         d0 = session.sql(_hugeint_sums(session, base))
@@ -2306,7 +2357,7 @@ class PgWireServer:
                 )
                 return
         if first in ("SELECT", "WITH", "VALUES", "TABLE", "FROM") and (
-            mp := _LIMIT_PCT_RE.search(stmt)
+            mp := _limit_pct_match(stmt)
         ):
             base = rewrite(stmt[: mp.start()])
             pct = float(mp.group(1))

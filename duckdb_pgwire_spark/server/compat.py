@@ -3275,11 +3275,44 @@ def _rewrite_lambda_index_base(sql: str) -> str:
             body = arg[lm.end() :]
             idx = lm.group(2)
             bmask = _code_mask(body)
+            # A NESTED lambda header that re-declares the same name —
+            # (y, i) ->, (i, z) ->, or i -> — shadows the outer index
+            # for its whole body: substituting there corrupts the
+            # header ((i + 1) in a parameter list is a parse error) and
+            # would double-shift the inner call's own occurrences when
+            # the cursor scan reaches it (review r11 / ADVICE). Exclude
+            # those spans: header start → the comma/close-paren ending
+            # the nested lambda's argument slot.
+            shadow: list[tuple[int, int]] = []
+            rebind_re = re.compile(
+                rf"\(\s*(?:[A-Za-z_]\w*\s*,\s*)?{re.escape(idx)}"
+                rf"\s*(?:,\s*[A-Za-z_]\w*\s*)?\)\s*->"
+                rf"|(?<![\w.`]){re.escape(idx)}\s*->"
+            )
+            for hm in rebind_re.finditer(body):
+                if not all(bmask[hm.start() : hm.end()]):
+                    continue
+                d2n, j = 0, hm.end()
+                while j < len(body):
+                    if bmask[j]:
+                        ch2 = body[j]
+                        if ch2 in "([":
+                            d2n += 1
+                        elif ch2 in ")]":
+                            if d2n == 0:
+                                break
+                            d2n -= 1
+                        elif ch2 == "," and d2n == 0:
+                            break
+                    j += 1
+                shadow.append((hm.start(), j))
             out, pos = [], 0
             for om in re.finditer(
                 rf"(?<![\w.`]){re.escape(idx)}(?![\w.(])", body
             ):
                 if not all(bmask[om.start() : om.end()]):
+                    continue
+                if any(a <= om.start() < b for a, b in shadow):
                     continue
                 out.append(body[pos : om.start()])
                 out.append(f"({idx} + 1)")
@@ -4706,21 +4739,27 @@ def _tpl_list_concat(args: list[str]) -> str | None:
     (list_concat([1], NULL) = [1]); Spark's concat propagates NULL and
     its analyzer rejects an untyped NULL literal outright (r10 sweep).
     Literal NULLs drop at rewrite time; a nullable 2-arg form coalesces
-    each side with an empty slice of the other."""
-    if len(args) < 2:
-        return None
+    each side with an empty slice of the other. Arity is EXACTLY 2:
+    DuckDB 1.x's list_concat/array_cat/array_concat are binary (probed:
+    3+ args is a Binder Error; variadic arrived post-1.1) — falling
+    through to Spark's variadic concat() would silently accept SQL the
+    oracle rejects AND NULL-propagate (ADVICE r10)."""
+    if len(args) != 2:
+        raise ValueError(
+            "No function matches the given name and argument types "
+            f"'list_concat({', '.join('...' for _ in args)})'. "
+            "list_concat takes exactly two list arguments"
+        )
     live = [a for a in args if not _is_null_lit(a)]
     if not live:
         return "NULL"
     if len(live) == 1:
         return f"({live[0]})"
-    if len(live) == 2:
-        x, y = live
-        return (
-            f"concat(coalesce({x}, slice({y}, 1, 0)),"
-            f" coalesce({y}, slice({x}, 1, 0)))"
-        )
-    return "concat(" + ", ".join(live) + ")"
+    x, y = live
+    return (
+        f"concat(coalesce({x}, slice({y}, 1, 0)),"
+        f" coalesce({y}, slice({x}, 1, 0)))"
+    )
 
 
 def _tpl_list_contains(args: list[str]) -> str | None:
