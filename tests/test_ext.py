@@ -881,4 +881,6 @@ def test_knn_label_agreement_multibatch_accumulation(spark):
         else:
             spark.conf.set(key, old)
     assert tiny == base
-    assert len(base) == 25  # 500 vectors / ANCHOR_MOD anchors
+    # 500 vectors, modulus = max(1, 500 // TARGET_ANCHORS) = 5 →
+    # vec_ids 0,5,...,495 = 100 anchors (fixed-size mode, r11)
+    assert len(base) == 100
