@@ -37,6 +37,11 @@ EXTRA_RUNS = {
     "sim_topk_bruteforce": 5,
     "sim_lsh_bucketed": 5,
     "q17_small_qty_revenue": 5,
+    # r10 verdict item 3: the round's two >1.3x driver movers (plans
+    # unchanged, builder quiet runs flat) — median-of-5 to settle
+    # noise vs real, the q17 precedent.
+    "text_dup_span_fraction": 5,
+    "text_mix_temperature": 5,
 }
 
 # Queries whose first (warm-up) execution builds a persisted index that

@@ -7522,6 +7522,434 @@ def _rewrite_order_by_nulls(sql: str) -> str:
     return sql
 
 
+# --------------------------------------------------------------------
+# Composite (struct/list/map) equality is THREE-VALUED in DuckDB
+# (probed, r10 sweep residue → closed r11): a NULL element at a
+# position where the other side is non-NULL makes that element
+# comparison NULL; the fold is a 3VL AND, so any definite element
+# mismatch still wins as FALSE ((1,NULL)=(2,NULL) IS FALSE while
+# (1,NULL)=(1,NULL) IS NULL). Lists compare FALSE on length mismatch
+# first; maps compare their ENTRY LISTS positionally (probed:
+# MAP([1,2],..)=MAP([2,1],..) IS FALSE); structs match fields by NAME
+# ({'a':1,'b':2}={'b':2,'a':1} IS TRUE). Spark's =, by contrast, is
+# structural 2VL (NULL elements compare equal) and rejects map =
+# outright. These passes decompose composite =/<>/IN into the
+# element-wise 3VL form.
+
+_CMP_OP_RE = re.compile(r"<>|!=|==|(?<![<>!=:])=(?![=>])")
+_COMPOSITE_HEAD_RE = re.compile(
+    r"(named_struct|struct|row|array|list_value|list_pack|array_value|"
+    r"map_from_arrays|map)\s*\(",
+    re.IGNORECASE,
+)
+_COMP_STMT_HEAD_RE = re.compile(
+    r"^\s*(?:SELECT|WITH|VALUES|TABLE|FROM|\()", re.IGNORECASE
+)
+
+
+def _paren_spans_balanced(s: str) -> bool:
+    mask = _code_mask(s)
+    d = 0
+    for i, c in enumerate(s):
+        if not mask[i]:
+            continue
+        if c in "([":
+            d += 1
+        elif c in ")]":
+            d -= 1
+            if d < 0:
+                return False
+    return d == 0
+
+
+def _parse_composite(expr: str):
+    """Structure tree of a composite CONSTRUCTOR expression, or None.
+
+    Trees: ('struct', [(name|None, elem_sql, elem_tree), ...])
+           ('array',  [(elem_sql, elem_tree), ...])
+           ('map',    [(key_sql, key_tree, val_sql, val_tree), ...])
+    Element trees are parsed recursively; an element that is not
+    itself a constructor gets tree None (compared with plain =)."""
+    e = expr.strip()
+    m = _COMPOSITE_HEAD_RE.match(e)
+    if m is not None and e.endswith(")"):
+        inner = e[m.end() : -1]
+        if not _paren_spans_balanced(inner):
+            return None
+        head = m.group(1).lower()
+        args = [a.strip() for a in split_top_level(inner)]
+        if args == [""]:
+            args = []
+        if head == "named_struct":
+            if len(args) % 2 != 0 or not args:
+                return None
+            fields = []
+            for k, v in zip(args[::2], args[1::2]):
+                qm = re.fullmatch(r"'((?:[^']|'')*)'", k)
+                if qm is None:
+                    return None
+                fields.append(
+                    (qm.group(1).replace("''", "'"), v, _parse_composite(v))
+                )
+            return ("struct", fields)
+        if head in ("struct", "row"):
+            if not args:
+                return None
+            return ("struct", [(None, a, _parse_composite(a)) for a in args])
+        if head in ("array", "list_value", "list_pack", "array_value"):
+            return ("array", [(a, _parse_composite(a)) for a in args])
+        if head == "map_from_arrays":
+            if len(args) != 2:
+                return None
+            kt, vt = _parse_composite(args[0]), _parse_composite(args[1])
+            if (
+                kt is None or vt is None
+                or kt[0] != "array" or vt[0] != "array"
+                or len(kt[1]) != len(vt[1])
+            ):
+                return None
+            return (
+                "map",
+                [
+                    (ke, ktree, ve, vtree)
+                    for (ke, ktree), (ve, vtree) in zip(kt[1], vt[1])
+                ],
+            )
+        if head == "map":
+            if len(args) % 2 != 0:
+                return None
+            return (
+                "map",
+                [
+                    (k, _parse_composite(k), v, _parse_composite(v))
+                    for k, v in zip(args[::2], args[1::2])
+                ],
+            )
+        return None
+    # duck ROW literal: a paren group with a top-level comma that is
+    # not a subquery — Spark parses it natively as an (unnamed) struct
+    if e.startswith("(") and e.endswith(")"):
+        inner = e[1:-1]
+        if not _paren_spans_balanced(inner):
+            return None
+        if re.match(r"\s*(SELECT|VALUES|WITH|TABLE|FROM)\b", inner, re.IGNORECASE):
+            return None
+        parts = [p.strip() for p in split_top_level(inner)]
+        if len(parts) < 2 or any(p == "" for p in parts):
+            return None
+        return ("struct", [(None, p, _parse_composite(p)) for p in parts])
+    return None
+
+
+def _eq3_pairs(at, bt, d: int = 0) -> str | None:
+    """3VL equality of two parsed constructor trees (both literal
+    shapes known — no outer NULL guard: constructors are never NULL).
+    Returns None when the pair is not decomposable (mismatched shapes
+    that DuckDB would reject anyway — left for the loud analyzer)."""
+    if at[0] != bt[0]:
+        return None
+    if at[0] == "struct":
+        af, bf = at[1], bt[1]
+        if len(af) != len(bf):
+            return None
+        if all(n is not None for n, _, _ in af) and all(
+            n is not None for n, _, _ in bf
+        ):
+            bmap = {n.lower(): (e, t) for n, e, t in bf}
+            if sorted(bmap) != sorted(n.lower() for n, _, _ in af):
+                return None
+            pairs = [(ae, atr, *bmap[n.lower()]) for n, ae, atr in af]
+        else:
+            pairs = [
+                (ae, atr, be, btr)
+                for (_, ae, atr), (_, be, btr) in zip(af, bf)
+            ]
+        subs = [_eq3_any(pa, pat, pb, pbt, d + 1) for pa, pat, pb, pbt in pairs]
+        if any(s is None for s in subs):
+            return None
+        return "(" + " AND ".join(subs) + ")"
+    if at[0] == "array":
+        ae, be = at[1], bt[1]
+        if len(ae) != len(be):
+            return "FALSE"
+        if not ae:
+            return "TRUE"
+        subs = [
+            _eq3_any(x, xt, y, yt, d + 1) for (x, xt), (y, yt) in zip(ae, be)
+        ]
+        if any(s is None for s in subs):
+            return None
+        return "(" + " AND ".join(subs) + ")"
+    if at[0] == "map":
+        ae, be = at[1], bt[1]
+        if len(ae) != len(be):
+            return "FALSE"
+        if not ae:
+            return "TRUE"
+        subs = []
+        for (ak, aktr, av, avtr), (bk, bktr, bv, bvtr) in zip(ae, be):
+            ks = _eq3_any(ak, aktr, bk, bktr, d + 1)
+            vs = _eq3_any(av, avtr, bv, bvtr, d + 1)
+            if ks is None or vs is None:
+                return None
+            subs.append(f"({ks} AND {vs})")
+        return "(" + " AND ".join(subs) + ")"
+    return None
+
+
+def _eq3_mixed(t, b: str, d: int = 0) -> str | None:
+    """3VL equality of a parsed constructor tree vs an OPAQUE
+    expression of the same (unresolved) type. Structs need field
+    names; lists/maps go positional through element_at."""
+    if t[0] == "struct":
+        if any(n is None for n, _, _ in t[1]):
+            return None
+        subs = [
+            _eq3_any(ae, atr, f"({b}).`{n}`", None, d + 1)
+            for n, ae, atr in t[1]
+        ]
+        if any(s is None for s in subs):
+            return None
+        return (
+            f"(CASE WHEN ({b}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE ({' AND '.join(subs)}) END)"
+        )
+    if t[0] == "array":
+        n = len(t[1])
+        subs = [
+            _eq3_any(ee, et, f"element_at({b}, {i + 1})", None, d + 1)
+            for i, (ee, et) in enumerate(t[1])
+        ]
+        if any(s is None for s in subs):
+            return None
+        fold = " AND ".join(subs) if subs else "TRUE"
+        return (
+            f"(CASE WHEN ({b}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN size({b}) <> {n} THEN FALSE ELSE ({fold}) END)"
+        )
+    if t[0] == "map":
+        n = len(t[1])
+        subs = []
+        for i, (ke, ktr, ve, vtr) in enumerate(t[1]):
+            ks = _eq3_any(ke, ktr, f"element_at(map_keys({b}), {i + 1})", None, d + 1)
+            vs = _eq3_any(ve, vtr, f"element_at(map_values({b}), {i + 1})", None, d + 1)
+            if ks is None or vs is None:
+                return None
+            subs.append(f"({ks} AND {vs})")
+        fold = " AND ".join(subs) if subs else "TRUE"
+        return (
+            f"(CASE WHEN ({b}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN size({b}) <> {n} THEN FALSE ELSE ({fold}) END)"
+        )
+    return None
+
+
+def _eq3_any(a: str, at, b: str, bt, d: int = 0) -> str | None:
+    if at is None and bt is None:
+        return f"(({a}) = ({b}))"
+    if at is not None and bt is not None:
+        return _eq3_pairs(at, bt, d)
+    if at is not None:
+        return _eq3_mixed(at, b, d)
+    return _eq3_mixed(bt, a, d)
+
+
+_IN_SUBQ_HEAD_RE = re.compile(r"\b(NOT\s+)?IN\s*\(", re.IGNORECASE)
+_CLAUSE_KW_RE = re.compile(
+    r"\b(SELECT|WHERE|HAVING|QUALIFY|JOIN|ON|WHEN|THEN|ELSE|GROUP|ORDER|"
+    r"RETURNING|SET|FROM|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|VALUES|BY)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_projection_in_subq(sql: str) -> str:
+    """IN-SUBQUERY membership in PROJECTION position is 3-valued in
+    DuckDB but Spark folds UNKNOWN to FALSE there (`SELECT 1 IN
+    (SELECT NULL)` → false vs DuckDB NULL; WHERE-position forms use
+    null-aware joins on both engines and already match — probed r10).
+    Rewrite a SELECT-list `x [NOT] IN (SELECT …)` into the explicit
+    3VL CASE: definite match → TRUE; empty subquery → FALSE; NULL
+    needle or NULL-containing subquery with no match → NULL; else
+    FALSE. Scalar needles only; the nearest same-depth clause keyword
+    decides position (SELECT = projection)."""
+    if re.search(r"\bIN\s*\(\s*(SELECT|WITH)\b", sql, re.IGNORECASE) is None:
+        return sql
+    if _COMP_STMT_HEAD_RE.match(sql) is None:
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    depth: list[int] = []
+    d = 0
+    for i, c in enumerate(sql):
+        if mask[i] and c == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and c == "(":
+            d += 1
+    clause_kws = [
+        k
+        for k in _CLAUSE_KW_RE.finditer(sql)
+        if all(mask[k.start() : k.end()])
+    ]
+    out: list[str] = []
+    pos = 0
+    n_sub = 0
+    for m in _IN_SUBQ_HEAD_RE.finditer(sql):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        if (
+            re.match(r"\s*(SELECT|WITH)\b", sql[m.end() :], re.IGNORECASE)
+            is None
+        ):
+            continue
+        # projection position: nearest preceding clause keyword at the
+        # SAME paren depth is SELECT (WHEN/WHERE/ON/... positions keep
+        # Spark's native — and already matching — handling)
+        td = depth[m.start()]
+        last_kw = None
+        for k in clause_kws:
+            if k.start() >= m.start():
+                break
+            if depth[k.start()] == td:
+                last_kw = k.group(1).upper()
+        if last_kw != "SELECT":
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        if ls >= m.start():
+            continue
+        needle = sql[ls : m.start()].strip()
+        if _parse_composite(needle) is not None:
+            continue  # multi-column needle: alias plumbing differs
+        dpt, i = 1, m.end()
+        while i < len(sql) and dpt:
+            if mask[i]:
+                if sql[i] == "(":
+                    dpt += 1
+                elif sql[i] == ")":
+                    dpt -= 1
+            i += 1
+        if dpt:
+            continue
+        sub = sql[m.end() : i - 1]
+        n_sub += 1
+        a = f"__in3vl_{n_sub}"
+        in3 = (
+            f"(CASE WHEN ({needle}) IN ({sub}) THEN TRUE"
+            f" WHEN NOT EXISTS (SELECT 1 FROM ({sub}) {a}) THEN FALSE"
+            f" WHEN ({needle}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+            f" WHEN EXISTS (SELECT 1 FROM ({sub}) {a}(__v)"
+            f" WHERE __v IS NULL) THEN CAST(NULL AS BOOLEAN)"
+            f" ELSE FALSE END)"
+        )
+        repl = f"(NOT {in3})" if m.group(1) else in3
+        out.append(sql[pos:ls])
+        out.append(repl)
+        pos = i
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_composite_eq(sql: str) -> str:
+    """Decompose ``=`` / ``<>`` / ``!=`` / ``==`` where either operand
+    is a composite constructor (post-translation heads: named_struct /
+    struct / array / map_from_arrays / paren row literal) into the
+    element-wise 3VL form. SELECT-shaped statements only: in UPDATE /
+    MERGE / OPTIONS contexts ``=`` is assignment."""
+    if _CMP_OP_RE.search(sql) is None:
+        return sql
+    if _COMP_STMT_HEAD_RE.match(sql) is None:
+        return sql
+    if (
+        _COMPOSITE_HEAD_RE.search(sql) is None
+        and re.search(r"\)\s*(?:<>|!=|==|=)", sql) is None
+        and re.search(r"(?:<>|!=|==|=)\s*\(", sql) is None
+    ):
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    for m in _CMP_OP_RE.finditer(sql):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        rend = _scan_right_operand(sql, segs, m.end())
+        if ls >= m.start() or rend <= m.end():
+            continue
+        lhs, rhs = sql[ls : m.start()], sql[m.end() : rend]
+        lt, rt = _parse_composite(lhs), _parse_composite(rhs)
+        if lt is None and rt is None:
+            continue
+        eq = _eq3_any(lhs.strip(), lt, rhs.strip(), rt)
+        if eq is None:
+            continue
+        repl = f"(NOT {eq})" if m.group(0) in ("<>", "!=") else eq
+        out.append(sql[pos:ls])
+        out.append(repl)
+        pos = rend
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_composite_in(sql: str) -> str:
+    """``x IN (a, b, …)`` / ``x NOT IN (…)`` with a composite needle →
+    3VL OR-fold of element-wise equalities (probed: (1,2) IN
+    ((1,NULL),(2,3)) IS NULL in DuckDB; Spark's native tuple IN is
+    2VL). Literal IN-lists only — subquery forms keep their own
+    passes."""
+    if re.search(r"\bIN\s*\(", sql, re.IGNORECASE) is None:
+        return sql
+    if _COMP_STMT_HEAD_RE.match(sql) is None:
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    for m in re.finditer(r"\b(NOT\s+)?IN\s*\(", sql, re.IGNORECASE):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        if ls >= m.start():
+            continue
+        needle = sql[ls : m.start()]
+        nt = _parse_composite(needle)
+        if nt is None:
+            continue
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            continue
+        items = [a.strip() for a in split_top_level(sql[m.end() : i - 1])]
+        if not items or any(not a for a in items):
+            continue
+        if re.match(r"\s*(SELECT|WITH|VALUES|TABLE|FROM)\b",
+                    items[0], re.IGNORECASE):
+            continue
+        eqs = []
+        for it in items:
+            e = _eq3_any(needle.strip(), nt, it, _parse_composite(it))
+            if e is None:
+                eqs = None
+                break
+            eqs.append(e)
+        if eqs is None:
+            continue
+        fold = "(" + " OR ".join(eqs) + ")"
+        if m.group(1):
+            fold = f"(NOT {fold})"
+        out.append(sql[pos:ls])
+        out.append(fold)
+        pos = i
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def rewrite(sql: str) -> str:
     """Apply the full dialect pre-pass to one statement."""
     sql = expand_macros(sql)  # first: macro bodies go through every rewrite below
@@ -7590,6 +8018,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_array_agg_plain(sql)  # after: plain forms only
     sql = _rewrite_corr(sql)  # NULL on zero variance, not ANSI div-zero
     sql = _rewrite_quantified_subq(sql)
+    sql = _rewrite_projection_in_subq(sql)  # after: ANY/ALL → IN first
     sql = _rewrite_positional_join(sql)
     sql = _rewrite_dot_calls(sql)  # (expr).fn() before nary sees fn
     sql = _rewrite_table_fns(sql)  # FROM-position fns BEFORE the nary
@@ -7602,6 +8031,8 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_asof_join(sql)  # before QUALIFY: it wraps FROM in a subquery
     sql = _rewrite_qualify(sql)
     sql = _rewrite_div_zero(sql)  # after every '/'-emitting pass
+    sql = _rewrite_composite_eq(sql)  # after every literal-translating
+    sql = _rewrite_composite_in(sql)  # pass (array/named_struct heads)
     sql = _rewrite_order_by_nulls(sql)  # after every ORDER-BY-emitting pass
     parts = _split_quoted(sql)
     out: list[str] = []

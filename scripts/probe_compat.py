@@ -890,6 +890,41 @@ BATTERY: dict[str, list[str]] = {
         "SELECT any_value(x) AS av FROM (VALUES (NULL), (2)) t(x)",
         "SELECT array_agg(x) AS aa, list(x) AS l FROM (VALUES (1), (NULL), (2)) t(x)",
     ],
+    "r11_composite_3vl": [
+        # struct/list/map = with NULL elements is THREE-valued in
+        # DuckDB (r10 sweep residue, closed r11 by
+        # compat._rewrite_composite_eq/_in)
+        "SELECT (1,NULL)=(1,NULL) AS a, (1,NULL)=(1,2) AS b,"
+        " (1,NULL)=(2,NULL) AS c, (1,2)=(1,2) AS d",
+        "SELECT (1,NULL)<>(1,NULL) AS a, (1,NULL)<>(2,NULL) AS b",
+        "SELECT [1,NULL]=[1,NULL] AS a, [1,NULL]=[1,2] AS b,"
+        " [1,NULL]=[2,NULL] AS c, [1]=[1,2] AS d, [1,NULL]=[1] AS e",
+        "SELECT [[1,NULL]]=[[1,NULL]] AS a, (1,[2,NULL])=(1,[2,NULL]) AS b",
+        "SELECT {'a':1,'b':NULL}={'a':1,'b':NULL} AS a,"
+        " {'a':1,'b':2}={'b':2,'a':1} AS b",
+        "SELECT MAP([1],[NULL])=MAP([1],[NULL]) AS a,"
+        " MAP([1,2],[10,20])=MAP([2,1],[20,10]) AS b,"
+        " MAP([1],[10])=MAP([1,2],[10,20]) AS c,"
+        " MAP([1],[NULL])=MAP([1],[10]) AS d",
+        "SELECT (1,NULL) IN ((1,NULL),(2,3)) AS a,"
+        " (1,2) IN ((1,NULL),(2,3)) AS b, (1,2) IN ((1,2),(2,3)) AS c,"
+        " (1,NULL) IN ((2,3),(4,5)) AS d",
+        "SELECT (1,2) NOT IN ((1,NULL),(2,3)) AS a,"
+        " [1,NULL] IN ([1,NULL]) AS b",
+        "SELECT n_name FROM nation WHERE (n_regionkey, NULL) ="
+        " (n_regionkey, NULL) ORDER BY n_name",
+        # projection-position IN-subquery is 3VL in DuckDB; Spark
+        # folds UNKNOWN→FALSE there (closed r11 by
+        # compat._rewrite_projection_in_subq; WHERE-position was
+        # already green)
+        "SELECT 1 IN (SELECT NULL) AS a, 1 IN (SELECT 1) AS b,"
+        " 1 IN (SELECT 2 WHERE FALSE) AS c, NULL IN (SELECT 1) AS d,"
+        " NULL IN (SELECT 2 WHERE FALSE) AS e",
+        "SELECT 1 NOT IN (SELECT NULL) AS a, 1 NOT IN (SELECT 1) AS b,"
+        " 5 NOT IN (SELECT 2 WHERE FALSE) AS c",
+        "SELECT n_name, n_regionkey IN (SELECT r_regionkey FROM region"
+        " WHERE r_name LIKE 'A%') AS m FROM nation ORDER BY n_name",
+    ],
 }
 
 
