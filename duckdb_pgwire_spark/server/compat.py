@@ -349,7 +349,35 @@ def _rewrite_strftime(sql: str) -> str:
                 return exprs[0]
             return "concat(" + ", ".join(exprs) + ")"
         jp = _translate_strf(fmt, parse).replace("'", "''")
-        return f"{fn}({m.group(2)}, '{jp}')"
+        if not parse:
+            return f"{fn}({m.group(2)}, '{jp}')"
+        # year defaults/pivot (r10 sweep residue, closed r11; both
+        # probed): a format with NO year directive defaults the year
+        # to 1900 in DuckDB (C strptime) but 1970 in Spark — pin it
+        # by prepending a literal year to value and pattern. A
+        # two-digit %y year uses the C pivot (69-99 → 19xx) where
+        # Java's 'yy' is base-2000 — shift parses landing ≥ 2069
+        # back a century. %% is an escaped percent, not a directive.
+        has_year_full = has_year_2 = False
+        k = 0
+        while k < len(fmt):
+            if fmt[k] == "%" and k + 1 < len(fmt):
+                if fmt[k + 1] == "Y":
+                    has_year_full = True
+                elif fmt[k + 1] == "y":
+                    has_year_2 = True
+                k += 2
+            else:
+                k += 1
+        if not has_year_full and not has_year_2:
+            return f"{fn}(concat('1900 ', {arg}), 'yyyy {jp}')"
+        expr = f"{fn}({arg}, '{jp}')"
+        if has_year_2 and not has_year_full:
+            return (
+                f"(CASE WHEN year({expr}) >= 2069"
+                f" THEN {expr} - make_interval(100) ELSE {expr} END)"
+            )
+        return expr
 
     return re.sub(
         r"\b(strftime|strptime|try_strptime)\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*'([^']*)'\s*\)",

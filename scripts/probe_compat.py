@@ -924,6 +924,17 @@ BATTERY: dict[str, list[str]] = {
         " 5 NOT IN (SELECT 2 WHERE FALSE) AS c",
         "SELECT n_name, n_regionkey IN (SELECT r_regionkey FROM region"
         " WHERE r_name LIKE 'A%') AS m FROM nation ORDER BY n_name",
+        # strptime year defaults/pivot (r10 sweep residue, closed r11):
+        # no year directive → 1900 (C strptime), %y uses the 69-99 →
+        # 19xx C pivot (Java 'yy' is base-2000)
+        "SELECT strptime('03-15', '%m-%d') AS a, strptime('15', '%d') AS b,"
+        " strptime('12:30', '%H:%M') AS c",
+        "SELECT strptime('99 03-15', '%y %m-%d') AS a,"
+        " strptime('69 03-15', '%y %m-%d') AS b,"
+        " strptime('68 03-15', '%y %m-%d') AS c,"
+        " strptime('00 03-15', '%y %m-%d') AS d",
+        "SELECT try_strptime('03-15', '%m-%d') AS a,"
+        " try_strptime('bogus', '%m-%d') AS b",
     ],
 }
 
