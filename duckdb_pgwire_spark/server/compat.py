@@ -7669,11 +7669,26 @@ def _parse_composite(expr: str):
     return None
 
 
+def _seq3(conds: list[str], base: str) -> str:
+    """Sequential short-circuit 3VL fold (probed: DuckDB composite
+    equality scans elements IN ORDER and the FIRST non-TRUE
+    comparison decides — (NULL,2)=(1,3) IS NULL even though position
+    2 definitely mismatches; [2,NULL]=[3,NULL] IS FALSE). A plain
+    3VL AND would let a later FALSE override an earlier NULL."""
+    expr = base
+    for c in reversed(conds):
+        expr = f"(CASE WHEN {c} THEN {expr} ELSE ({c}) END)"
+    return expr
+
+
 def _eq3_pairs(at, bt, d: int = 0) -> str | None:
     """3VL equality of two parsed constructor trees (both literal
     shapes known — no outer NULL guard: constructors are never NULL).
-    Returns None when the pair is not decomposable (mismatched shapes
-    that DuckDB would reject anyway — left for the loud analyzer)."""
+    Returns None when the pair is not decomposable (mismatched struct
+    shapes that DuckDB would reject anyway — left for the loud
+    analyzer). Lists/maps compare their common prefix sequentially;
+    only a fully-TRUE prefix falls through to the length verdict
+    (probed: [NULL,1]=[2] IS NULL, [1,NULL]=[1] IS FALSE)."""
     if at[0] != bt[0]:
         return None
     if at[0] == "struct":
@@ -7695,40 +7710,38 @@ def _eq3_pairs(at, bt, d: int = 0) -> str | None:
         subs = [_eq3_any(pa, pat, pb, pbt, d + 1) for pa, pat, pb, pbt in pairs]
         if any(s is None for s in subs):
             return None
-        return "(" + " AND ".join(subs) + ")"
+        return _seq3(subs, "TRUE")
     if at[0] == "array":
         ae, be = at[1], bt[1]
-        if len(ae) != len(be):
-            return "FALSE"
-        if not ae:
-            return "TRUE"
+        k = min(len(ae), len(be))
         subs = [
-            _eq3_any(x, xt, y, yt, d + 1) for (x, xt), (y, yt) in zip(ae, be)
+            _eq3_any(x, xt, y, yt, d + 1)
+            for (x, xt), (y, yt) in zip(ae[:k], be[:k])
         ]
         if any(s is None for s in subs):
             return None
-        return "(" + " AND ".join(subs) + ")"
+        return _seq3(subs, "TRUE" if len(ae) == len(be) else "FALSE")
     if at[0] == "map":
         ae, be = at[1], bt[1]
-        if len(ae) != len(be):
-            return "FALSE"
-        if not ae:
-            return "TRUE"
+        k = min(len(ae), len(be))
         subs = []
-        for (ak, aktr, av, avtr), (bk, bktr, bv, bvtr) in zip(ae, be):
+        for (ak, aktr, av, avtr), (bk, bktr, bv, bvtr) in zip(ae[:k], be[:k]):
             ks = _eq3_any(ak, aktr, bk, bktr, d + 1)
             vs = _eq3_any(av, avtr, bv, bvtr, d + 1)
             if ks is None or vs is None:
                 return None
-            subs.append(f"({ks} AND {vs})")
-        return "(" + " AND ".join(subs) + ")"
+            subs.extend([ks, vs])
+        return _seq3(subs, "TRUE" if len(ae) == len(be) else "FALSE")
     return None
 
 
 def _eq3_mixed(t, b: str, d: int = 0) -> str | None:
     """3VL equality of a parsed constructor tree vs an OPAQUE
     expression of the same (unresolved) type. Structs need field
-    names; lists/maps go positional through element_at."""
+    names; lists/maps go positional through element_at, with the
+    bound check woven INTO the sequential scan (the length verdict
+    only applies after a fully-TRUE prefix; element_at stays guarded
+    so ANSI mode can't raise on the short side)."""
     if t[0] == "struct":
         if any(n is None for n, _, _ in t[1]):
             return None
@@ -7740,34 +7753,36 @@ def _eq3_mixed(t, b: str, d: int = 0) -> str | None:
             return None
         return (
             f"(CASE WHEN ({b}) IS NULL THEN CAST(NULL AS BOOLEAN) "
-            f"ELSE ({' AND '.join(subs)}) END)"
+            f"ELSE {_seq3(subs, 'TRUE')} END)"
         )
-    if t[0] == "array":
+    if t[0] in ("array", "map"):
         n = len(t[1])
-        subs = [
-            _eq3_any(ee, et, f"element_at({b}, {i + 1})", None, d + 1)
-            for i, (ee, et) in enumerate(t[1])
-        ]
-        if any(s is None for s in subs):
-            return None
-        fold = " AND ".join(subs) if subs else "TRUE"
+        if t[0] == "array":
+            steps = [
+                [(ee, et, f"element_at({b}, {i + 1})")]
+                for i, (ee, et) in enumerate(t[1])
+            ]
+        else:
+            steps = [
+                [
+                    (ke, ktr, f"element_at(map_keys({b}), {i + 1})"),
+                    (ve, vtr, f"element_at(map_values({b}), {i + 1})"),
+                ]
+                for i, (ke, ktr, ve, vtr) in enumerate(t[1])
+            ]
+        expr = f"(size({b}) = {n})"
+        for i in range(n - 1, -1, -1):
+            conds = []
+            for le, lt, acc in steps[i]:
+                c = _eq3_any(le, lt, acc, None, d + 1)
+                if c is None:
+                    return None
+                conds.append(c)
+            inner = _seq3(conds, expr)
+            expr = f"(CASE WHEN size({b}) < {i + 1} THEN FALSE ELSE {inner} END)"
         return (
             f"(CASE WHEN ({b}) IS NULL THEN CAST(NULL AS BOOLEAN) "
-            f"WHEN size({b}) <> {n} THEN FALSE ELSE ({fold}) END)"
-        )
-    if t[0] == "map":
-        n = len(t[1])
-        subs = []
-        for i, (ke, ktr, ve, vtr) in enumerate(t[1]):
-            ks = _eq3_any(ke, ktr, f"element_at(map_keys({b}), {i + 1})", None, d + 1)
-            vs = _eq3_any(ve, vtr, f"element_at(map_values({b}), {i + 1})", None, d + 1)
-            if ks is None or vs is None:
-                return None
-            subs.append(f"({ks} AND {vs})")
-        fold = " AND ".join(subs) if subs else "TRUE"
-        return (
-            f"(CASE WHEN ({b}) IS NULL THEN CAST(NULL AS BOOLEAN) "
-            f"WHEN size({b}) <> {n} THEN FALSE ELSE ({fold}) END)"
+            f"ELSE {expr} END)"
         )
     return None
 
@@ -7777,8 +7792,15 @@ def _eq3_any(a: str, at, b: str, bt, d: int = 0) -> str | None:
         return f"(({a}) = ({b}))"
     if at is not None and bt is not None:
         return _eq3_pairs(at, bt, d)
+    # composite vs a bare NULL literal: the comparison is NULL, and
+    # the mixed form would feed an untyped VOID into size/element_at
+    # (analyzer error — fuzz-net find, r11)
     if at is not None:
+        if _is_null_lit(b):
+            return "CAST(NULL AS BOOLEAN)"
         return _eq3_mixed(at, b, d)
+    if _is_null_lit(a):
+        return "CAST(NULL AS BOOLEAN)"
     return _eq3_mixed(bt, a, d)
 
 

@@ -906,6 +906,14 @@ BATTERY: dict[str, list[str]] = {
         " MAP([1,2],[10,20])=MAP([2,1],[20,10]) AS b,"
         " MAP([1],[10])=MAP([1,2],[10,20]) AS c,"
         " MAP([1],[NULL])=MAP([1],[10]) AS d",
+        # sequential short-circuit: the FIRST non-TRUE element decides
+        # (an early NULL is NOT overridden by a later definite
+        # mismatch), and list length only decides after a TRUE prefix
+        "SELECT (NULL,2)=(1,3) AS a, (1,NULL)=(2,3) AS b,"
+        " [NULL,2]=[1,3] AS c, [2,NULL]=[3,NULL] AS d,"
+        " [NULL,2]=[1] AS e, [1,NULL]=[1] AS f, [NULL]=[NULL,NULL] AS g",
+        "SELECT MAP([1,2],[NULL,5])=MAP([1,9],[3,5]) AS a,"
+        " MAP([1],[NULL])=MAP([1,2],[10,20]) AS b",
         "SELECT (1,NULL) IN ((1,NULL),(2,3)) AS a,"
         " (1,2) IN ((1,NULL),(2,3)) AS b, (1,2) IN ((1,2),(2,3)) AS c,"
         " (1,NULL) IN ((2,3),(4,5)) AS d",

@@ -987,3 +987,94 @@ def test_recursive_union_fixpoint_matches_duckdb(spark, q):
     assert df is not None, q
     got = sorted(tuple(r) for r in df.collect())
     assert got == want, (q, got, want)
+
+
+# ---------------------------------------------------------- r11 nets
+
+
+@st.composite
+def _strptime_case(draw):
+    # random %-format + a matching input string rendered by Python's
+    # strftime (C semantics, same as DuckDB's). Year directive present,
+    # two-digit, or absent — exercising the 1900 default and the
+    # 69-99 → 19xx pivot the r11 rewrite pins.
+    import datetime as dtm
+
+    year_kind = draw(st.sampled_from(["%Y", "%y", None]))
+    # %j is excluded: DuckDB 1.0 IGNORES day-of-year when a year
+    # directive is also present (returns Jan 1) — a duck quirk we
+    # don't emulate (NOTES.md r11 knowns)
+    date_part = draw(st.sampled_from(["%m-%d", "%d/%m", "%m"]))
+    time_part = draw(st.sampled_from([None, "%H:%M", "%H:%M:%S", "%I %p"]))
+    parts = [p for p in (year_kind, date_part, time_part) if p]
+    fmt = " ".join(parts)
+    dt = dtm.datetime(
+        draw(st.integers(min_value=1969, max_value=2068)),
+        draw(st.integers(min_value=1, max_value=12)),
+        draw(st.integers(min_value=1, max_value=28)),
+        draw(st.integers(min_value=1, max_value=11)),  # %I needs 1-12
+        draw(st.integers(min_value=0, max_value=59)),
+        draw(st.integers(min_value=0, max_value=59)),
+    )
+    return fmt, dt.strftime(fmt)
+
+
+@given(case=_strptime_case())
+@settings(max_examples=40, deadline=None)
+def test_strptime_year_defaults_match_duckdb(spark, case):
+    """strptime over random partial formats must land on DuckDB's
+    exact timestamp — the 1900 no-year default and the C two-digit
+    pivot are silent 70/100-year shifts if missed."""
+    import duckdb
+
+    fmt, val = case
+    sql = f"SELECT strptime('{val}', '{fmt}') AS v"
+    want = duckdb.connect().execute(sql).fetchall()[0][0]
+    got = spark.sql(rewrite(sql)).collect()[0][0]
+    assert got == want, (fmt, val, rewrite(sql), got, want)
+
+
+@st.composite
+def _composite_value(draw, depth=0):
+    # duck-spelled composite literal with NULL-able leaves
+    leaf = st.sampled_from(["NULL", "1", "2"])
+    if depth >= 2:
+        return draw(leaf)
+    kind = draw(st.sampled_from(["leaf", "row", "list"]))
+    if kind == "leaf":
+        return draw(leaf)
+    n = draw(st.integers(min_value=1, max_value=3))
+    elems = [draw(_composite_value(depth + 1)) for _ in range(n)]
+    if kind == "row" and n >= 2:
+        return "(" + ", ".join(elems) + ")"
+    return "[" + ", ".join(elems) + "]"
+
+
+@st.composite
+def _composite_eq_case(draw):
+    a = draw(_composite_value())
+    # bias toward same-shape pairs (mutate a leaf) so TRUE/NULL/FALSE
+    # all occur; occasionally draw an independent b
+    if draw(st.booleans()):
+        b = a.replace("1", draw(st.sampled_from(["1", "2", "NULL"])), 1)
+    else:
+        b = draw(_composite_value())
+    op = draw(st.sampled_from(["=", "<>"]))
+    return f"{a} {op} {b}"
+
+
+@given(expr=_composite_eq_case())
+@settings(max_examples=60, deadline=None)
+def test_composite_eq_3vl_matches_duckdb(spark, expr):
+    """Random nested row/list literals with NULL leaves: =/<> must
+    reproduce DuckDB's three-valued result (or error on both engines
+    when the shapes don't unify)."""
+    import duckdb
+
+    sql = f"SELECT {expr} AS v"
+    try:
+        want = duckdb.connect().execute(sql).fetchall()[0][0]
+    except Exception:
+        return  # duck rejects the shape pair; Spark may too — no oracle
+    got = spark.sql(rewrite(sql)).collect()[0][0]
+    assert got == want, (expr, rewrite(sql), got, want)
