@@ -14,6 +14,8 @@ and test session sees them.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import math
 import unicodedata
@@ -178,6 +180,146 @@ def _duck_double_text(v: pd.Series) -> pd.Series:
         return "nan" if x != x else repr(x)
 
     return v.map(f, na_action=None)
+
+
+def _duck_varchar(v):
+    """DuckDB's composite ``::VARCHAR`` rendering (probed, r11):
+    lists ``[1, x y, NULL]`` (elements BARE, never quoted), named
+    structs ``{'a': 1}`` (keys single-quoted), unnamed rows
+    ``(1, x)``, maps ``{1=x, 2=y}``, bools ``true/false``, doubles
+    shortest-round-trip, timestamps/intervals in the same text the
+    wire encoder was probed to. Row-at-a-time by design — this backs
+    an explicit cast in a dialect path, not a pipeline hot path.
+
+    Auto-generated field names (col1..colN from a parenthesized row,
+    0..N-1 from arrays_zip/list_zip) render as an unnamed TUPLE —
+    the heuristic that also closes the list_zip named-struct render
+    residue (NOTES r10). A user struct genuinely named col1, col2
+    renders as a tuple too: documented residue."""
+    from ..server.typemap import _enc_interval, _enc_timestamp
+
+    def render(x):
+        if x is None:
+            return "NULL"
+        if isinstance(x, bool):
+            return "true" if x else "false"
+        if isinstance(x, float):
+            if x != x:
+                return "nan"
+            if x == float("inf"):
+                return "inf"
+            if x == float("-inf"):
+                return "-inf"
+            return repr(x)
+        if isinstance(x, int | decimal.Decimal):
+            return str(x)
+        if isinstance(x, str):
+            return x
+        if isinstance(x, bytes | bytearray):
+            try:
+                return bytes(x).decode("utf-8")
+            except UnicodeDecodeError:
+                return bytes(x).decode("latin-1")
+        if isinstance(x, datetime.datetime):
+            return _enc_timestamp(x)
+        if isinstance(x, datetime.timedelta):
+            return _enc_interval(x)
+        if isinstance(x, datetime.date):
+            return x.isoformat()
+        if isinstance(x, datetime.time):
+            s = x.strftime("%H:%M:%S")
+            if x.microsecond:
+                s += f".{x.microsecond:06d}".rstrip("0")
+            return s
+        if isinstance(x, list):
+            return "[" + ", ".join(render(e) for e in x) + "]"
+        if isinstance(x, dict):  # MapType (insertion = entry order)
+            return (
+                "{"
+                + ", ".join(f"{render(k)}={render(w)}" for k, w in x.items())
+                + "}"
+            )
+        if hasattr(x, "asDict"):  # Row (struct)
+            d = x.asDict()  # non-recursive: nested Rows keep names
+            keys = list(d)
+            if (
+                len(keys) == 2
+                and keys[0] == "__ecode"
+                and keys[1].startswith("__elabel_")
+            ):
+                return str(d[keys[1]])  # enum emulation → member label
+            tag = d.get("__utag")
+            if isinstance(tag, str) and len(d) == 2 and tag in d:
+                return render(d[tag])  # union emulation → active member
+            if keys == [f"col{i + 1}" for i in range(len(keys))] or keys == [
+                str(i) for i in range(len(keys))
+            ]:
+                return "(" + ", ".join(render(d[k]) for k in keys) + ")"
+            return (
+                "{"
+                + ", ".join(
+                    "'" + k.replace("'", "''") + "': " + render(d[k])
+                    for k in keys
+                )
+                + "}"
+            )
+        return str(x)
+
+    return None if v is None else render(v)
+
+
+def _duck_varchar_f32(v):
+    """duck_varchar for composites whose LEAF floats are FLOAT32
+    columns: DuckDB renders single-precision shortest-round-trip text
+    ('-0.15469436'), while the Python value arrives widened to float64
+    whose repr shows the full 17 digits. numpy's float32 str is the
+    same shortest-round-trip algorithm at 32 bits; the schema-aware
+    app pass picks this variant when the column type contains
+    FloatType."""
+    import numpy as np
+
+    if v is None:
+        return None
+
+    def narrow(x):
+        if isinstance(x, float):
+            if x != x:
+                return "nan"
+            if x in (float("inf"), float("-inf")):
+                return "inf" if x > 0 else "-inf"
+            return str(np.float32(x))
+        if isinstance(x, list):
+            return "[" + ", ".join("NULL" if e is None else narrow(e) for e in x) + "]"
+        if isinstance(x, dict):
+            return (
+                "{"
+                + ", ".join(
+                    f"{narrow(k)}={'NULL' if w is None else narrow(w)}"
+                    for k, w in x.items()
+                )
+                + "}"
+            )
+        if hasattr(x, "asDict"):
+            d = x.asDict()
+            keys = list(d)
+            if keys == [f"col{i + 1}" for i in range(len(keys))] or keys == [
+                str(i) for i in range(len(keys))
+            ]:
+                return "(" + ", ".join(
+                    "NULL" if d[k] is None else narrow(d[k]) for k in keys
+                ) + ")"
+            return (
+                "{"
+                + ", ".join(
+                    "'" + k.replace("'", "''") + "': "
+                    + ("NULL" if d[k] is None else narrow(d[k]))
+                    for k in keys
+                )
+                + "}"
+            )
+        return _duck_varchar(x)
+
+    return narrow(v)
 
 
 @F.pandas_udf(T.StringType())
@@ -1022,6 +1164,8 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("nfc_normalize", _nfc_normalize)
     spark.udf.register("strip_accents", _strip_accents)
     spark.udf.register("duck_chr", _duck_chr)
+    spark.udf.register("duck_varchar", _duck_varchar)
+    spark.udf.register("duck_varchar_f32", _duck_varchar_f32)
     spark.udf.register("duck_list_skewness", _duck_list_skewness)
     spark.udf.register("duck_list_kurtosis", _duck_list_kurtosis)
     spark.udf.register("duck_double_text", _duck_double_text)

@@ -2885,6 +2885,11 @@ _HAS_DATE_IVL_RE = re.compile(
     re.IGNORECASE,
 )
 _HAS_COLUMNS_RE = re.compile(r"(?<![\w.])COLUMNS\s*\(", re.IGNORECASE)
+_HAS_VARCHAR_CAST_RE = re.compile(
+    r"::\s*(?:VARCHAR|STRING|TEXT|BPCHAR|CHAR)\b"
+    r"|\bAS\s+(?:VARCHAR|STRING|TEXT|BPCHAR|CHAR)\s*(?:\(\s*\d+\s*\))?\s*\)",
+    re.IGNORECASE,
+)
 _HAS_STAR_REPLACE_RE = re.compile(r"(?<![\w.])\*\s+REPLACE\s*\(", re.IGNORECASE)
 
 
@@ -2913,9 +2918,10 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     # date COLUMN ± INTERVAL promotes to TIMESTAMP in DuckDB (the
     # literal form is handled inside compat.rewrite)
     has_date_ivl = _HAS_DATE_IVL_RE.search(sql) is not None
+    has_vc_cast = _HAS_VARCHAR_CAST_RE.search(sql) is not None
     if not (
         has_sum or has_len or has_columns or has_replace or has_enum
-        or has_date_ivl
+        or has_date_ivl or has_vc_cast
     ):
         return sql
     from pyspark.sql import types as T
@@ -2923,6 +2929,8 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     int_cols: set[str] = set()
     array_cols: set[str] = set()
+    complex_cols: set[str] = set()
+    f32_cols: set[str] = set()
     date_cols: set[str] = set()
     ordered_cols: list[str] = []
     enum_cols: dict[str, str] = {}
@@ -2939,6 +2947,25 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         array_cols.update(
             f.name.lower() for f in fields if isinstance(f.dataType, T.ArrayType)
         )
+        def _has_f32(dt) -> bool:
+            if isinstance(dt, T.FloatType):
+                return True
+            if isinstance(dt, T.ArrayType):
+                return _has_f32(dt.elementType)
+            if isinstance(dt, T.MapType):
+                return _has_f32(dt.keyType) or _has_f32(dt.valueType)
+            if isinstance(dt, T.StructType):
+                return any(_has_f32(sf.dataType) for sf in dt.fields)
+            return False
+
+        for f in fields:
+            if not isinstance(
+                f.dataType, T.ArrayType | T.MapType | T.StructType
+            ) or _enum_emulation_type(f.dataType) is not None:
+                continue
+            complex_cols.add(f.name.lower())
+            if _has_f32(f.dataType):
+                f32_cols.add(f.name.lower())
         date_cols.update(
             f.name.lower() for f in fields if isinstance(f.dataType, T.DateType)
         )
@@ -2973,6 +3000,13 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         sql = rewrite_columns_star(sql, ordered_cols)
     if has_replace and ordered_cols:
         sql = rewrite_star_replace(sql, ordered_cols)
+    if has_vc_cast and complex_cols:
+        # composite column ::VARCHAR → DuckDB's text rendering (the
+        # type-blind rewrite() pass covers constructor literals; this
+        # schema-aware leg covers plain column operands)
+        from .compat import rewrite_composite_varchar
+
+        sql = rewrite_composite_varchar(sql, complex_cols, f32_cols)
     if has_len:  # array_cols may be empty — the always-array function
         sql = rewrite_array_length(sql, array_cols)  # heads still rewrite
     if has_sum:

@@ -7804,6 +7804,150 @@ def _eq3_any(a: str, at, b: str, bt, d: int = 0) -> str | None:
     return _eq3_mixed(bt, a, d)
 
 
+_VARCHAR_COLON_CAST_RE = re.compile(
+    r"::\s*(?:VARCHAR|STRING|TEXT|BPCHAR|CHAR)(?:\s*\(\s*\d+\s*\))?(?![\w(])",
+    re.IGNORECASE,
+)
+_CAST_HEAD_RE = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.IGNORECASE)
+_VARCHAR_TYPE_TAIL_RE = re.compile(
+    r"^(?:VARCHAR|STRING|TEXT|BPCHAR|CHAR)(?:\s*\(\s*\d+\s*\))?$",
+    re.IGNORECASE,
+)
+
+
+# Function heads that always return a composite (array/map/struct) —
+# a cast of such a call to VARCHAR routes through the duck renderer
+# even though the call is not a literal constructor.
+_COMPOSITE_FN_HEAD_RE = re.compile(
+    r"^(?:arrays_zip|zip_with|sequence|slice|flatten|split|sort_array|"
+    r"transform|filter|collect_list|collect_set|array_agg|"
+    r"array_append|array_prepend|array_compact|array_distinct|"
+    r"array_except|array_insert|array_intersect|array_remove|"
+    r"array_repeat|array_union|str_to_map|map_concat|map_entries|"
+    r"map_filter|map_zip_with|transform_keys|transform_values|"
+    r"map_keys|map_values|from_json|explode"
+    # duck spellings still unrenamed at this point in the chain (the
+    # _FN_RENAMES loop runs last)
+    r"|list_zip|list_sort|list_reverse_sort|list_transform|list_filter|"
+    r"list_append|list_prepend|list_concat|array_concat|array_cat|"
+    r"list_distinct|list_slice|list_resize|map_from_entries|range|"
+    r"generate_series|string_to_array|string_split|str_split|"
+    r"regexp_split_to_array|list_reverse|array_reverse"
+    r")\s*\(",
+    re.IGNORECASE,
+)
+
+
+def rewrite_composite_varchar(
+    sql: str, complex_cols=frozenset(), f32_cols=frozenset()
+) -> str:
+    """``expr::VARCHAR`` / ``CAST(expr AS VARCHAR)`` where expr is a
+    composite → ``duck_varchar(expr)``, DuckDB's text rendering
+    (probed: lists ``[1, x y, NULL]`` with BARE elements, structs
+    ``{'a': 1}``, rows ``(1, x)``, maps ``{1=x}`` — Spark's CAST
+    renders ``{1, x y}`` without keys and quotes nothing). Composite
+    operands are detected syntactically (constructor heads, paren
+    rows); ``complex_cols`` adds schema-resolved array/struct/map
+    COLUMN names when the app layer calls this from its catalog-aware
+    pass (empty on the type-blind rewrite() invocation)."""
+    if (
+        _VARCHAR_COLON_CAST_RE.search(sql) is None
+        and _CAST_HEAD_RE.search(sql) is None
+    ):
+        return sql
+
+    def render_fn(op: str) -> str | None:
+        """duck_varchar spelling for a composite operand, or None."""
+        op = op.strip()
+        if _parse_composite(op) is not None or _COMPOSITE_FN_HEAD_RE.match(
+            op
+        ):
+            return "duck_varchar"
+        if re.fullmatch(r"[A-Za-z_][\w.]*", op):
+            low = op.split(".")[-1].lower()
+            if low in f32_cols:
+                # float32 leaves render with single-precision
+                # shortest-round-trip text (duck: [-0.15469436], not
+                # the widened float64 digits)
+                return "duck_varchar_f32"
+            if low in complex_cols:
+                return "duck_varchar"
+        return None
+
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    edits: list[tuple[int, int, str]] = []
+    for m in _VARCHAR_COLON_CAST_RE.finditer(sql):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        if ls >= m.start():
+            continue
+        op = sql[ls : m.start()].strip()
+        fn = render_fn(op)
+        if fn is None:
+            continue
+        edits.append((ls, m.end(), f"{fn}({op})"))
+    for m in _CAST_HEAD_RE.finditer(sql):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            continue
+        inner = sql[m.end() : i - 1]
+        imask = mask[m.end() : i - 1]
+        d = 0
+        last_as = None
+        for am in re.finditer(r"\bAS\b", inner, re.IGNORECASE):
+            if not all(imask[am.start() : am.end()]):
+                continue
+            seg = inner[: am.start()]
+            d = 0
+            for k, ch in enumerate(seg):
+                if imask[k]:
+                    if ch in "([":
+                        d += 1
+                    elif ch in ")]":
+                        d -= 1
+            if d == 0:
+                last_as = am
+        if last_as is None:
+            continue
+        if _VARCHAR_TYPE_TAIL_RE.match(inner[last_as.end() :].strip()) is None:
+            continue
+        op = inner[: last_as.start()].strip()
+        fn = render_fn(op)
+        if fn is None:
+            continue
+        edits.append((m.start(), i, f"{fn}({op})"))
+    if not edits:
+        return sql
+    edits.sort()
+    # drop edits nested inside an earlier edit's span (a constructor
+    # argument that itself contains a cast is rebuilt by the outer
+    # replacement text, which keeps the inner cast verbatim)
+    flat: list[tuple[int, int, str]] = []
+    for a, b, r in edits:
+        if flat and a < flat[-1][1]:
+            continue
+        flat.append((a, b, r))
+    for a, b, r in flat:
+        out.append(sql[pos:a])
+        out.append(r)
+        pos = b
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 _IN_SUBQ_HEAD_RE = re.compile(r"\b(NOT\s+)?IN\s*\(", re.IGNORECASE)
 _CLAUSE_KW_RE = re.compile(
     r"\b(SELECT|WHERE|HAVING|QUALIFY|JOIN|ON|WHEN|THEN|ELSE|GROUP|ORDER|"
@@ -8083,6 +8227,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_div_zero(sql)  # after every '/'-emitting pass
     sql = _rewrite_composite_eq(sql)  # after every literal-translating
     sql = _rewrite_composite_in(sql)  # pass (array/named_struct heads)
+    sql = rewrite_composite_varchar(sql)  # composite ::VARCHAR render
     sql = _rewrite_order_by_nulls(sql)  # after every ORDER-BY-emitting pass
     parts = _split_quoted(sql)
     out: list[str] = []

@@ -943,6 +943,17 @@ BATTERY: dict[str, list[str]] = {
         " strptime('00 03-15', '%y %m-%d') AS d",
         "SELECT try_strptime('03-15', '%m-%d') AS a,"
         " try_strptime('bogus', '%m-%d') AS b",
+        # composite ::VARCHAR renders duck-style inside a query
+        # (closed r11 by compat.rewrite_composite_varchar →
+        # duck_varchar UDF; previously Spark's {1} render)
+        "SELECT {'a': 1, 'b': [1,2]}::VARCHAR AS a, [1,2]::VARCHAR AS b,"
+        " (1, 'x')::VARCHAR AS c",
+        "SELECT MAP([1,2],['x','y'])::VARCHAR AS a,"
+        " ['a b', NULL, '']::VARCHAR AS b, {'a': NULL}::VARCHAR AS c",
+        "SELECT list_zip([1,2],[3,4])::VARCHAR AS a,"
+        " [DATE '2024-01-01']::VARCHAR AS b, [true, false]::VARCHAR AS c",
+        "SELECT CAST([1.5, NULL] AS VARCHAR) AS a,"
+        " CAST({'k': 'v'} AS VARCHAR) AS b, length([1,2]::VARCHAR) AS c",
     ],
 }
 
