@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 __all__ = [
     "DecodedAudio",
     "decode_wav",
@@ -31,25 +33,35 @@ __all__ = [
 class DecodedAudio:
     """Decoded clip: ``sample_rate``, ``n_channels``, ``bits``, and
     ``samples`` — per-channel-interleaved exact integer samples
-    (16-bit: as stored; 8-bit: value - 128)."""
+    (16-bit: as stored; 8-bit: value - 128).
 
-    __slots__ = ("sample_rate", "n_channels", "bits", "samples")
+    ``samples_np`` is the decode's native representation (int32
+    ndarray straight off ``np.frombuffer`` — the r10 verdict's
+    vectorization item: the pure-Python unpack loop was a ~10-50x
+    constant factor on the same bytes). ``samples`` materializes the
+    plain-list view for small-clip callers and tests."""
+
+    __slots__ = ("sample_rate", "n_channels", "bits", "samples_np")
 
     def __init__(
-        self, sample_rate: int, n_channels: int, bits: int, samples: list[int]
+        self, sample_rate: int, n_channels: int, bits: int, samples
     ):
         self.sample_rate = sample_rate
         self.n_channels = n_channels
         self.bits = bits
-        self.samples = samples
+        self.samples_np = np.asarray(samples, dtype=np.int32)
+
+    @property
+    def samples(self) -> list[int]:
+        return self.samples_np.tolist()
 
     @property
     def n_frames(self) -> int:
-        return len(self.samples) // self.n_channels
+        return len(self.samples_np) // self.n_channels
 
 
 def encode_wav_pcm16(
-    sample_rate: int, samples: list[int], n_channels: int = 1
+    sample_rate: int, samples, n_channels: int = 1
 ) -> bytes:
     """Canonical 44-byte-header WAV from interleaved signed 16-bit
     samples. Total size is exactly ``44 + 2*len(samples)`` — the
@@ -58,10 +70,15 @@ def encode_wav_pcm16(
         raise ValueError("sample_rate and n_channels must be positive")
     if len(samples) % n_channels != 0:
         raise ValueError("samples must interleave complete frames")
-    for s in samples:
-        if not -32768 <= s <= 32767:
-            raise ValueError(f"sample {s} outside int16 range")
-    data = struct.pack(f"<{len(samples)}h", *samples)
+    arr = np.asarray(samples)
+    if arr.size and not np.issubdtype(arr.dtype, np.integer):
+        raise ValueError("samples must be integers")
+    arr = arr.astype(np.int64, copy=False)
+    if arr.size:
+        bad = arr[(arr < -32768) | (arr > 32767)]
+        if bad.size:
+            raise ValueError(f"sample {int(bad[0])} outside int16 range")
+    data = arr.astype("<i2").tobytes()
     block_align = 2 * n_channels
     fmt = struct.pack(
         "<HHIIHH", 1, n_channels, sample_rate,
@@ -90,7 +107,7 @@ def decode_wav(payload: bytes) -> DecodedAudio:
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt_tag = n_channels = sample_rate = bits = None
-    samples: list[int] | None = None
+    samples = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
@@ -116,9 +133,13 @@ def decode_wav(payload: bytes) -> DecodedAudio:
                 )
             if bits == 16:
                 n = clen // 2
-                samples = list(struct.unpack_from(f"<{n}h", body, 0))
+                samples = np.frombuffer(
+                    body, dtype="<i2", count=n
+                ).astype(np.int32)
             elif bits == 8:
-                samples = [b - 128 for b in body]
+                samples = np.frombuffer(body, dtype=np.uint8).astype(
+                    np.int32
+                ) - 128
             else:
                 raise NotImplementedError(f"{bits}-bit PCM not supported")
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
