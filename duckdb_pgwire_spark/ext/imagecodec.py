@@ -9,9 +9,11 @@ methods including Adam7 7-pass (inflate is stdlib ``zlib``). These
 formats have fully public layouts (the BMP file format, Netpbm, and
 the PNG specification), so "no codecs in the container" stops being a
 reason to stub — the mm_* operators decode actual pixels through this
-module. Lossy/entropy-coded formats (JPEG, RLE-BMP) still refuse
-loudly with NotImplementedError: DCT genuinely needs a library, and a
-silent fake would poison downstream features.
+module — and, since r11, baseline JPEG through the sibling
+``jpegcodec`` (huffman + IDCT, stdlib+numpy, public ITU-T T.81 spec).
+Remaining entropy-coded refusals (progressive JPEG, RLE-BMP) stay
+loud NotImplementedError: a silent fake would poison downstream
+features.
 
 The grayscale conversion is the integer ITU-R BT.601 luma
 ``(299*R + 587*G + 114*B) // 1000`` — exact for achromatic pixels
@@ -412,11 +414,18 @@ def decode_png(payload: bytes) -> DecodedImage:
 
 def decode_image(payload: bytes) -> DecodedImage | None:
     """Sniff + decode the formats this module understands, None when
-    the magic is unrecognized (caller falls back to PIL or the fake)."""
+    the magic is unrecognized (caller falls back to PIL or the fake).
+    Baseline JPEG decodes through ``ext.jpegcodec`` (r11); progressive
+    / arithmetic / 12-bit JPEG still raise NotImplementedError, which
+    the caller routes to the PIL hook for exotic variants."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     return None

@@ -884,3 +884,54 @@ def test_knn_label_agreement_multibatch_accumulation(spark):
     # 500 vectors, modulus = max(1, 500 // TARGET_ANCHORS) = 5 →
     # vec_ids 0,5,...,495 = 100 anchors (fixed-size mode, r11)
     assert len(base) == 100
+
+
+def test_jpegcodec_round_trips_and_refusals():
+    """Baseline JPEG (ext/jpegcodec, r11): flat images round-trip
+    EXACTLY at flat_q=1 (constant block → DC-only DCT, no quantization
+    loss); arbitrary content is bounded by DCT rounding (≤1 at q=1,
+    small at Annex K tables); restart markers and 3-component
+    interleave decode; non-baseline variants refuse loudly."""
+    import numpy as np
+
+    from duckdb_pgwire_spark.ext.imagecodec import decode_image
+    from duckdb_pgwire_spark.ext.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    # flat: bit-exact, every block size parity
+    for v, (w, h) in [(0, (8, 8)), (128, (16, 8)), (255, (13, 9))]:
+        img = decode_jpeg(encode_jpeg_gray(w, h, [v] * (w * h), flat_q=1))
+        assert (img.width, img.height, img.codec) == (w, h, "jpeg")
+        assert set(img.gray) == {v}
+
+    # noise at q=1: DCT-rounding bound only
+    rng = np.random.RandomState(11)
+    w, h = 31, 13
+    px = rng.randint(0, 256, size=w * h).tolist()
+    for kwargs in (
+        {},
+        {"restart_interval": 2},
+        {"color": True},
+        {"color": True, "restart_interval": 3},
+    ):
+        got = decode_jpeg(encode_jpeg_gray(w, h, px, flat_q=1, **kwargs)).gray
+        assert max(abs(a - b) for a, b in zip(px, got)) <= 1, kwargs
+
+    # Annex K tables: lossy but bounded on a smooth gradient
+    grad = [(x * 3 + y * 5) % 256 for y in range(h) for x in range(w)]
+    got = decode_jpeg(encode_jpeg_gray(w, h, grad)).gray
+    assert max(abs(a - b) for a, b in zip(grad, got)) <= 8
+
+    # decode_image sniffs the SOI magic
+    img = decode_image(encode_jpeg_gray(8, 8, [9] * 64, flat_q=1))
+    assert img is not None and img.codec == "jpeg"
+
+    # refusals: progressive SOF2, bad magic
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05aaa\xff\xd9")
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"GIF89a not a jpeg")
