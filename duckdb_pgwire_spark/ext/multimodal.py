@@ -222,6 +222,102 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# JPEG fixture (r11, ext/jpegcodec): block-aligned w×h (multiples of
+# 8) so every 8x8 block is FLAT — a constant block is DC-only under
+# the DCT and survives flat_q=1 quantization exactly, making the
+# decoded pixels SQL-predictable (the one place a lossy codec yields
+# a bit-exact oracle). Top-left block carries v2, the rest v; doc_id
+# parity/mod rotate the bitstream shape (3-component color, restart
+# markers) without changing a single decoded value.
+MM_J_W_SQL = "(8 * (1 + doc_id % 3))"
+MM_J_H_SQL = "(8 * (1 + doc_id % 2))"
+MM_J_V_SQL = "((doc_id * 37) % 256)"
+MM_J_V2_SQL = "((doc_id * 11) % 256)"
+
+
+def _mm_fixture_jpeg(doc_id: int) -> bytes:
+    from .jpegcodec import encode_jpeg_gray
+
+    w, h = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+    v, v2 = (doc_id * 37) % 256, (doc_id * 11) % 256
+    px = [
+        v2 if (y < 8 and x < 8) else v
+        for y in range(h)
+        for x in range(w)
+    ]
+    return encode_jpeg_gray(
+        w, h, px,
+        flat_q=1,
+        color=doc_id % 2 == 1,
+        restart_interval=2 if doc_id % 3 == 0 else 0,
+    )
+
+
+@query(
+    "mm_jpeg_decode",
+    oracle=f"""
+    SELECT
+        doc_id,
+        CAST({MM_J_W_SQL} AS INT)  AS width,
+        CAST({MM_J_H_SQL} AS INT)  AS height,
+        'jpeg'                     AS codec,
+        CAST(64 * {MM_J_V2_SQL}
+             + ({MM_J_W_SQL} * {MM_J_H_SQL} - 64) * {MM_J_V_SQL}
+             AS BIGINT)            AS pix_sum,
+        CAST(CASE WHEN {MM_J_W_SQL} * {MM_J_H_SQL} = 64
+             THEN {MM_J_V2_SQL}
+             ELSE LEAST({MM_J_V_SQL}, {MM_J_V2_SQL}) END AS INT)
+                                   AS pix_min,
+        CAST(CASE WHEN {MM_J_W_SQL} * {MM_J_H_SQL} = 64
+             THEN {MM_J_V2_SQL}
+             ELSE GREATEST({MM_J_V_SQL}, {MM_J_V2_SQL}) END AS INT)
+                                   AS pix_max
+    FROM documents
+    """,
+    tags=("ext", "multimodal", "mapInPandas", "jpeg"),
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode through mapInPandas (r11: closes the
+    last image-plane refusal). Each doc carries an actual JFIF stream
+    — Annex-K Huffman tables, zig-zag, byte stuffing, and per doc_id
+    either grayscale or 3-component YCbCr and optional restart
+    markers — decoded by the pure-Python ``ext.jpegcodec`` (public
+    ITU-T T.81 layout). The fixture is built from flat 8x8 blocks at
+    unit quantization, the one configuration where a lossy DCT codec
+    is bit-exact, so the oracle reproduces the generator arithmetic
+    and ANY decode defect (huffman, DC prediction, restart resync,
+    MCU interleave, IDCT) shifts pix_sum/pix_min/pix_max. Same
+    100 TB shape as mm_decode: payload bytes stay executor-local."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imagecodec import decode_image
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "codec": [],
+                "pix_sum": [], "pix_min": [], "pix_max": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                img = decode_image(_mm_fixture_jpeg(int(doc_id)))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(img.width)
+                rows["height"].append(img.height)
+                rows["codec"].append(img.codec)
+                rows["pix_sum"].append(sum(img.gray))
+                rows["pix_min"].append(min(img.gray))
+                rows["pix_max"].append(max(img.gray))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        decode_batches,
+        schema=(
+            "doc_id LONG, width INT, height INT, codec STRING, "
+            "pix_sum LONG, pix_min INT, pix_max INT"
+        ),
+    )
+
+
 N_FRAMES_SAMPLED = 3
 FRAME_LEN = 16
 
