@@ -2885,6 +2885,7 @@ _HAS_DATE_IVL_RE = re.compile(
     re.IGNORECASE,
 )
 _HAS_COLUMNS_RE = re.compile(r"(?<![\w.])COLUMNS\s*\(", re.IGNORECASE)
+_HAS_CMP_RE = re.compile(r"<>|!=|==|(?<![<>!=:])=(?![=>])|\bIN\s*\(", re.IGNORECASE)
 _HAS_VARCHAR_CAST_RE = re.compile(
     r"::\s*(?:VARCHAR|STRING|TEXT|BPCHAR|CHAR)\b"
     r"|\bAS\s+(?:VARCHAR|STRING|TEXT|BPCHAR|CHAR)\s*(?:\(\s*\d+\s*\))?\s*\)",
@@ -2919,9 +2920,12 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     # literal form is handled inside compat.rewrite)
     has_date_ivl = _HAS_DATE_IVL_RE.search(sql) is not None
     has_vc_cast = _HAS_VARCHAR_CAST_RE.search(sql) is not None
+    # comparison ops gate the schema-typed composite-equality leg; the
+    # complex-column scan below decides whether anything rewrites
+    has_cmp = _HAS_CMP_RE.search(sql) is not None
     if not (
         has_sum or has_len or has_columns or has_replace or has_enum
-        or has_date_ivl or has_vc_cast
+        or has_date_ivl or has_vc_cast or has_cmp
     ):
         return sql
     from pyspark.sql import types as T
@@ -3000,6 +3004,42 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         sql = rewrite_columns_star(sql, ordered_cols)
     if has_replace and ordered_cols:
         sql = rewrite_star_replace(sql, ordered_cols)
+    if has_cmp and complex_cols:
+        # composite COLUMN =/<> comparisons: schema-typed 3VL
+        # (constructor-literal sides were handled in rewrite())
+        from .compat import rewrite_composite_col_eq
+
+        def _tree(dt):
+            if isinstance(dt, T.ArrayType):
+                return ("array", _tree(dt.elementType))
+            if isinstance(dt, T.StructType):
+                return (
+                    "struct",
+                    [(sf.name, _tree(sf.dataType)) for sf in dt.fields],
+                )
+            if isinstance(dt, T.MapType):
+                return ("map", _tree(dt.keyType), _tree(dt.valueType))
+            return "atom"
+
+        ctypes: dict[str, object] = {}
+        ambiguous: set[str] = set()
+        for name in statement_tables(sql):
+            try:
+                fields2 = session.table(name).schema.fields
+            except Exception:  # noqa: BLE001
+                continue
+            for f in fields2:
+                lowname = f.name.lower()
+                if lowname not in complex_cols:
+                    continue
+                tr = _tree(f.dataType)
+                if ctypes.get(lowname, tr) != tr:
+                    ambiguous.add(lowname)
+                ctypes[lowname] = tr
+        for lowname in ambiguous:
+            ctypes.pop(lowname, None)
+        if ctypes:
+            sql = rewrite_composite_col_eq(sql, ctypes)
     if has_vc_cast and complex_cols:
         # composite column ::VARCHAR → DuckDB's text rendering (the
         # type-blind rewrite() pass covers constructor literals; this

@@ -8043,12 +8043,244 @@ def _rewrite_projection_in_subq(sql: str) -> str:
     return "".join(out)
 
 
+def _typed_eq3(a: str, b: str, tree, d: int = 0) -> str:
+    """Sequential-short-circuit 3VL equality of two OPAQUE expressions
+    whose TYPE tree is known (schema-resolved complex columns). Trees:
+    'atom' | ('array', elem) | ('struct', [(name, sub), ...]) |
+    ('map', ktree, vtree). Runtime-length arrays use the filter trick:
+    per-prefix-element verdicts in order, the first non-TRUE one (kept
+    by ``NOT (p <=> TRUE)``) decides; an all-TRUE prefix falls through
+    to the length verdict — exactly the probed DuckDB scan order."""
+    if tree == "atom":
+        return f"(({a}) = ({b}))"
+    if tree[0] == "struct":
+        conds = [
+            _typed_eq3(f"({a}).`{n}`", f"({b}).`{n}`", sub, d + 1)
+            for n, sub in tree[1]
+        ]
+        return (
+            f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL"
+            f" THEN CAST(NULL AS BOOLEAN) ELSE {_seq3(conds, 'TRUE')} END)"
+        )
+    if tree[0] == "array":
+        x, y, p = f"__cx{d}", f"__cy{d}", f"__cp{d}"
+        m = f"least(size({a}), size({b}))"
+        inner = _typed_eq3(x, y, tree[1], d + 1)
+        fails = (
+            f"filter(zip_with(slice({a}, 1, {m}), slice({b}, 1, {m}),"
+            f" ({x}, {y}) -> {inner}), {p} -> NOT ({p} <=> TRUE))"
+        )
+        return (
+            f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL"
+            f" THEN CAST(NULL AS BOOLEAN)"
+            f" WHEN size({fails}) = 0 THEN size({a}) = size({b})"
+            f" ELSE element_at({fails}, 1) END)"
+        )
+    if tree[0] == "map":
+        # DuckDB compares the ENTRY LISTS positionally (probed), key
+        # before value within each entry
+        x, y, p = f"__cx{d}", f"__cy{d}", f"__cp{d}"
+        ea, eb = f"map_entries({a})", f"map_entries({b})"
+        m = f"least(size({a}), size({b}))"
+        keq = _typed_eq3(f"{x}.key", f"{y}.key", tree[1], d + 1)
+        veq = _typed_eq3(f"{x}.value", f"{y}.value", tree[2], d + 1)
+        inner = f"(CASE WHEN {keq} THEN {veq} ELSE {keq} END)"
+        fails = (
+            f"filter(zip_with(slice({ea}, 1, {m}), slice({eb}, 1, {m}),"
+            f" ({x}, {y}) -> {inner}), {p} -> NOT ({p} <=> TRUE))"
+        )
+        return (
+            f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL"
+            f" THEN CAST(NULL AS BOOLEAN)"
+            f" WHEN size({fails}) = 0 THEN size({a}) = size({b})"
+            f" ELSE element_at({fails}, 1) END)"
+        )
+    return f"(({a}) = ({b}))"
+
+
+def rewrite_composite_col_eq(sql: str, complex_types: dict) -> str:
+    """Schema-aware leg of the composite-3VL closure: ``col = expr`` /
+    ``col <> expr`` where ``col`` is a complex-typed COLUMN (the
+    type-blind pass in rewrite() already covers constructor-literal
+    operands before this runs). PROJECTION position ONLY — DuckDB's
+    filter path evaluates composite equality with the 2VL total-order
+    comparison that Spark's native ``=`` already reproduces (probed
+    context split, r11), and leaving WHERE/ON native also keeps
+    complex-keyed equi-joins hash-joinable at scale."""
+    if not complex_types:
+        return sql
+    has_eq = _CMP_OP_RE.search(sql) is not None
+    has_in = re.search(r"\bIN\s*\(", sql, re.IGNORECASE) is not None
+    if not has_eq and not has_in:
+        return sql
+    if _COMP_STMT_HEAD_RE.match(sql) is None:
+        return sql
+    low = sql.lower()
+    if not any(c in low for c in complex_types):
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    depth: list[int] = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    clause_kws = [
+        k for k in _CLAUSE_KW_RE.finditer(sql) if all(mask[k.start() : k.end()])
+    ]
+
+    def tree_for(op: str):
+        op = op.strip()
+        if re.fullmatch(r"[A-Za-z_][\w.`]*", op.replace("`", "")):
+            return complex_types.get(op.split(".")[-1].strip("`").lower())
+        return None
+
+    out: list[str] = []
+    pos = 0
+    for m in _CMP_OP_RE.finditer(sql):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        if _clause_position(sql, mask, clause_kws, depth, m.start()) != "SELECT":
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        rend = _scan_right_operand(sql, segs, m.end())
+        if ls >= m.start() or rend <= m.end():
+            continue
+        lhs, rhs = sql[ls : m.start()].strip(), sql[m.end() : rend].strip()
+        tree = tree_for(lhs) or tree_for(rhs)
+        if tree is None:
+            continue
+        if _is_null_lit(lhs) or _is_null_lit(rhs):
+            continue  # native NULL comparison is already NULL
+        if _parse_composite(lhs) is not None or _parse_composite(rhs) is not None:
+            continue  # the literal pass already owns constructor sides
+        eq = _typed_eq3(lhs, rhs, tree)
+        repl = f"(NOT {eq})" if m.group(0) in ("<>", "!=") else eq
+        out.append(sql[pos:ls])
+        out.append(repl)
+        pos = rend
+    out.append(sql[pos:])
+    sql = "".join(out)
+    # projection-position `col IN (items)` with a complex-typed column
+    # needle: same 3VL OR-fold (the literal pass only sees constructor
+    # needles)
+    if re.search(r"\bIN\s*\(", sql, re.IGNORECASE) is None:
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    depth = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    clause_kws = [
+        k for k in _CLAUSE_KW_RE.finditer(sql) if all(mask[k.start() : k.end()])
+    ]
+    out = []
+    pos = 0
+    for m in re.finditer(r"\b(NOT\s+)?IN\s*\(", sql, re.IGNORECASE):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        if ls >= m.start():
+            continue
+        needle = sql[ls : m.start()].strip()
+        tree = tree_for(needle)
+        if tree is None:
+            continue
+        if _clause_position(sql, mask, clause_kws, depth, ls) != "SELECT":
+            continue
+        dpt, i = 1, m.end()
+        while i < len(sql) and dpt:
+            if mask[i]:
+                if sql[i] == "(":
+                    dpt += 1
+                elif sql[i] == ")":
+                    dpt -= 1
+            i += 1
+        if dpt:
+            continue
+        items = [a.strip() for a in split_top_level(sql[m.end() : i - 1])]
+        if not items or any(not a for a in items):
+            continue
+        if re.match(
+            r"\s*(SELECT|WITH|VALUES|TABLE|FROM)\b", items[0], re.IGNORECASE
+        ):
+            continue
+        fold = "(" + " OR ".join(
+            _typed_eq3(needle, it, tree) for it in items
+        ) + ")"
+        if m.group(1):
+            fold = f"(NOT {fold})"
+        out.append(sql[pos:ls])
+        out.append(fold)
+        pos = i
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+_CONST_ATOM_RE = re.compile(
+    r"^(?:NULL|TRUE|FALSE|[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+    r"|'(?:[^']|'')*'(?:\s*::\s*\w+)?)$",
+    re.IGNORECASE,
+)
+
+
+def _tree_is_const(t) -> bool:
+    """Every leaf of a parsed constructor tree is a plain literal —
+    the shapes DuckDB constant-folds BEFORE planning, which keeps the
+    3VL expression semantics even in filter position (probed:
+    ``WHERE [1,NULL]=[1,NULL]`` filters the row, while the same
+    comparison over COLUMNS keeps it)."""
+    if t is None:
+        return False
+
+    def leaf(e, sub):
+        if sub is not None:
+            return _tree_is_const(sub)
+        return bool(_CONST_ATOM_RE.match(e.strip()))
+
+    if t[0] == "struct":
+        return all(leaf(e, sub) for _, e, sub in t[1])
+    if t[0] == "array":
+        return all(leaf(e, sub) for e, sub in t[1])
+    if t[0] == "map":
+        return all(
+            leaf(k, kt) and leaf(v, vt) for k, kt, v, vt in t[1]
+        )
+    return False
+
+
+def _clause_position(sql, mask, clause_kws, depth, at: int) -> str | None:
+    """Uppercase nearest preceding clause keyword at the SAME paren
+    depth, or None (e.g. inside a function-call argument list)."""
+    td = depth[at]
+    last = None
+    for k in clause_kws:
+        if k.start() >= at:
+            break
+        if depth[k.start()] == td:
+            last = k.group(1).upper()
+    return last
+
+
 def _rewrite_composite_eq(sql: str) -> str:
-    """Decompose ``=`` / ``<>`` / ``!=`` / ``==`` where either operand
-    is a composite constructor (post-translation heads: named_struct /
-    struct / array / map_from_arrays / paren row literal) into the
-    element-wise 3VL form. SELECT-shaped statements only: in UPDATE /
-    MERGE / OPTIONS contexts ``=`` is assignment."""
+    """Decompose ``=`` / ``<>`` / ``!=`` / ``==`` over composite
+    constructors into the element-wise sequential 3VL form — but ONLY
+    where DuckDB itself evaluates 3VL (probed, context-split in 1.x):
+    VALUE positions (the SELECT list) and PURE-CONSTANT comparisons
+    anywhere (constant-folded before planning). In boolean-consumption
+    positions (WHERE / HAVING / CASE-WHEN / ON) DuckDB's filter path
+    uses the total-order 2VL comparison with NULL elements comparing
+    equal — which is exactly Spark's native composite ``=``, so those
+    stay untouched. SELECT-shaped statements only: in UPDATE / MERGE /
+    OPTIONS contexts ``=`` is assignment."""
     if _CMP_OP_RE.search(sql) is None:
         return sql
     if _COMP_STMT_HEAD_RE.match(sql) is None:
@@ -8061,6 +8293,17 @@ def _rewrite_composite_eq(sql: str) -> str:
         return sql
     segs = _abs_segments(sql)
     mask = _code_mask(sql)
+    depth: list[int] = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    clause_kws = [
+        k for k in _CLAUSE_KW_RE.finditer(sql) if all(mask[k.start() : k.end()])
+    ]
     out: list[str] = []
     pos = 0
     for m in _CMP_OP_RE.finditer(sql):
@@ -8074,6 +8317,11 @@ def _rewrite_composite_eq(sql: str) -> str:
         lt, rt = _parse_composite(lhs), _parse_composite(rhs)
         if lt is None and rt is None:
             continue
+        if _clause_position(sql, mask, clause_kws, depth, m.start()) != "SELECT":
+            lc = _tree_is_const(lt) or _is_null_lit(lhs.strip())
+            rc = _tree_is_const(rt) or _is_null_lit(rhs.strip())
+            if not (lc and rc):
+                continue  # filter path: Spark native already matches
         eq = _eq3_any(lhs.strip(), lt, rhs.strip(), rt)
         if eq is None:
             continue
@@ -8090,13 +8338,26 @@ def _rewrite_composite_in(sql: str) -> str:
     3VL OR-fold of element-wise equalities (probed: (1,2) IN
     ((1,NULL),(2,3)) IS NULL in DuckDB; Spark's native tuple IN is
     2VL). Literal IN-lists only — subquery forms keep their own
-    passes."""
+    passes. Context-split like ``=`` (probed): only VALUE positions
+    and pure-constant needles+items rewrite; filter positions keep
+    Spark's native 2VL, which matches DuckDB's filter path."""
     if re.search(r"\bIN\s*\(", sql, re.IGNORECASE) is None:
         return sql
     if _COMP_STMT_HEAD_RE.match(sql) is None:
         return sql
     segs = _abs_segments(sql)
     mask = _code_mask(sql)
+    depth: list[int] = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    clause_kws = [
+        k for k in _CLAUSE_KW_RE.finditer(sql) if all(mask[k.start() : k.end()])
+    ]
     out: list[str] = []
     pos = 0
     for m in re.finditer(r"\b(NOT\s+)?IN\s*\(", sql, re.IGNORECASE):
@@ -8108,6 +8369,11 @@ def _rewrite_composite_in(sql: str) -> str:
         needle = sql[ls : m.start()]
         nt = _parse_composite(needle)
         if nt is None:
+            continue
+        in_proj = (
+            _clause_position(sql, mask, clause_kws, depth, ls) == "SELECT"
+        )
+        if not in_proj and not _tree_is_const(nt):
             continue
         depth, i = 1, m.end()
         while i < len(sql) and depth:
@@ -8127,7 +8393,11 @@ def _rewrite_composite_in(sql: str) -> str:
             continue
         eqs = []
         for it in items:
-            e = _eq3_any(needle.strip(), nt, it, _parse_composite(it))
+            it_tree = _parse_composite(it)
+            if not in_proj and not _tree_is_const(it_tree):
+                eqs = None  # filter path with non-constant item: native
+                break
+            e = _eq3_any(needle.strip(), nt, it, it_tree)
             if e is None:
                 eqs = None
                 break

@@ -914,6 +914,24 @@ BATTERY: dict[str, list[str]] = {
         " [NULL,2]=[1] AS e, [1,NULL]=[1] AS f, [NULL]=[NULL,NULL] AS g",
         "SELECT MAP([1,2],[NULL,5])=MAP([1,9],[3,5]) AS a,"
         " MAP([1],[NULL])=MAP([1,2],[10,20]) AS b",
+        # context split (probed, duck 1.x): COLUMN comparisons are 3VL
+        # in PROJECTION position but 2VL total-order in FILTER
+        # position (Spark-native there); pure literals constant-fold
+        # to 3VL everywhere
+        "CREATE OR REPLACE TABLE probe_comp AS SELECT * FROM (VALUES"
+        " (1, [1,2], [1,2]), (2, [1,NULL], [1,NULL]),"
+        " (3, [1,NULL], [1,2]), (4, [2,NULL], [1])) t(k, a, b)",
+        "SELECT k, a = b AS e, a <> b AS ne FROM probe_comp ORDER BY k",
+        "SELECT k FROM probe_comp WHERE a = b ORDER BY k",
+        "SELECT k FROM probe_comp WHERE a = [1,NULL] ORDER BY k",
+        "SELECT k, CASE WHEN a = b THEN 1 ELSE 0 END AS c"
+        " FROM probe_comp ORDER BY k",
+        "SELECT k, a IN ([1,NULL]) AS e, a NOT IN ([1,2]) AS ne"
+        " FROM probe_comp ORDER BY k",
+        "SELECT k FROM probe_comp WHERE a IN ([1,NULL]) ORDER BY k",
+        "SELECT k, a = [1,NULL] AS e FROM probe_comp ORDER BY k",
+        "DROP TABLE probe_comp",
+        "SELECT 1 AS one WHERE [1,NULL] = [1,NULL]",
         "SELECT (1,NULL) IN ((1,NULL),(2,3)) AS a,"
         " (1,2) IN ((1,NULL),(2,3)) AS b, (1,2) IN ((1,2),(2,3)) AS c,"
         " (1,NULL) IN ((2,3),(4,5)) AS d",
