@@ -8375,15 +8375,18 @@ def _rewrite_composite_in(sql: str) -> str:
         )
         if not in_proj and not _tree_is_const(nt):
             continue
-        depth, i = 1, m.end()
-        while i < len(sql) and depth:
+        # NB: `depth` above is the statement-wide depth ARRAY — use a
+        # separate counter for the paren walk (shadowing it broke the
+        # second IN of a statement: 'int' is not subscriptable)
+        dpt, i = 1, m.end()
+        while i < len(sql) and dpt:
             if mask[i]:
                 if sql[i] == "(":
-                    depth += 1
+                    dpt += 1
                 elif sql[i] == ")":
-                    depth -= 1
+                    dpt -= 1
             i += 1
-        if depth:
+        if dpt:
             continue
         items = [a.strip() for a in split_top_level(sql[m.end() : i - 1])]
         if not items or any(not a for a in items):
