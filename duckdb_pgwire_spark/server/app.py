@@ -2885,6 +2885,7 @@ _HAS_DATE_IVL_RE = re.compile(
     re.IGNORECASE,
 )
 _HAS_COLUMNS_RE = re.compile(r"(?<![\w.])COLUMNS\s*\(", re.IGNORECASE)
+_HAS_FLOORCEIL_RE = re.compile(r"\b(?:floor|ceil|ceiling)\s*\(", re.IGNORECASE)
 _HAS_CMP_RE = re.compile(r"<>|!=|==|(?<![<>!=:])=(?![=>])|\bIN\s*\(", re.IGNORECASE)
 _HAS_VARCHAR_CAST_RE = re.compile(
     r"::\s*(?:VARCHAR|STRING|TEXT|BPCHAR|CHAR)\b"
@@ -2923,9 +2924,10 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     # comparison ops gate the schema-typed composite-equality leg; the
     # complex-column scan below decides whether anything rewrites
     has_cmp = _HAS_CMP_RE.search(sql) is not None
+    has_floorceil = _HAS_FLOORCEIL_RE.search(sql) is not None
     if not (
         has_sum or has_len or has_columns or has_replace or has_enum
-        or has_date_ivl or has_vc_cast or has_cmp
+        or has_date_ivl or has_vc_cast or has_cmp or has_floorceil
     ):
         return sql
     from pyspark.sql import types as T
@@ -2935,6 +2937,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     array_cols: set[str] = set()
     complex_cols: set[str] = set()
     f32_cols: set[str] = set()
+    double_cols: set[str] = set()
     date_cols: set[str] = set()
     ordered_cols: list[str] = []
     enum_cols: dict[str, str] = {}
@@ -2973,6 +2976,11 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         date_cols.update(
             f.name.lower() for f in fields if isinstance(f.dataType, T.DateType)
         )
+        double_cols.update(
+            f.name.lower()
+            for f in fields
+            if isinstance(f.dataType, T.DoubleType | T.FloatType)
+        )
         for f in fields:
             if f.name not in ordered_cols:
                 ordered_cols.append(f.name)
@@ -3004,6 +3012,10 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         sql = rewrite_columns_star(sql, ordered_cols)
     if has_replace and ordered_cols:
         sql = rewrite_star_replace(sql, ordered_cols)
+    if has_floorceil and double_cols:
+        from .compat import rewrite_double_floor_ceil
+
+        sql = rewrite_double_floor_ceil(sql, double_cols)
     if has_cmp and complex_cols:
         # composite COLUMN =/<> comparisons: schema-typed 3VL
         # (constructor-literal sides were handled in rewrite())

@@ -8098,6 +8098,40 @@ def _typed_eq3(a: str, b: str, tree, d: int = 0) -> str:
     return f"(({a}) = ({b}))"
 
 
+_FLOOR_CEIL_RE = re.compile(
+    r"\b(floor|ceil|ceiling)\s*\(\s*([A-Za-z_][\w.]*)\s*\)", re.IGNORECASE
+)
+
+
+def rewrite_double_floor_ceil(sql: str, double_cols: set) -> str:
+    """DuckDB's floor/ceil on DOUBLE/FLOAT return the SAME floating
+    type — floor(2.7::DOUBLE) = 2.0, floor('NaN') = NaN, floor(inf) =
+    inf — while Spark's return BIGINT (NaN→0, inf overflows). For a
+    bare floating-COLUMN argument (schema-resolved), wrap: non-finite
+    and ≥2^63 magnitudes pass through (doubles ≥2^53 are already
+    integers), the rest round through Spark's floor/ceil and cast
+    back to DOUBLE. (float-edge sweep, r11)"""
+    if not double_cols or _FLOOR_CEIL_RE.search(sql) is None:
+        return sql
+    mask = _code_mask(sql)
+
+    def sub(m: re.Match) -> str:
+        if not all(mask[m.start() : m.end()]):
+            return m.group(0)
+        fn, col = m.group(1).lower(), m.group(2)
+        if col.split(".")[-1].lower() not in double_cols:
+            return m.group(0)
+        if fn == "ceiling":
+            fn = "ceil"
+        return (
+            f"(CASE WHEN isnan({col}) OR abs({col}) >= 9.2e18 THEN"
+            f" CAST({col} AS DOUBLE)"
+            f" ELSE CAST({fn}({col}) AS DOUBLE) END)"
+        )
+
+    return _FLOOR_CEIL_RE.sub(sub, sql)
+
+
 def rewrite_composite_col_eq(sql: str, complex_types: dict) -> str:
     """Schema-aware leg of the composite-3VL closure: ``col = expr`` /
     ``col <> expr`` where ``col`` is a complex-typed COLUMN (the

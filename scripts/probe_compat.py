@@ -973,6 +973,33 @@ BATTERY: dict[str, list[str]] = {
         "SELECT CAST([1.5, NULL] AS VARCHAR) AS a,"
         " CAST({'k': 'v'} AS VARCHAR) AS b, length([1,2]::VARCHAR) AS c",
     ],
+    "r11_float_edges": [
+        # float-edge sweep (r11): NaN/-0.0/inf across comparisons,
+        # grouping, ordering, aggregation — 20/21 matched natively;
+        # the floor/ceil-on-DOUBLE divergence is closed by
+        # compat.rewrite_double_floor_ceil
+        "SELECT 'NaN'::DOUBLE = 'NaN'::DOUBLE AS a,"
+        " 'NaN'::DOUBLE > 1e308 AS b, 'NaN'::DOUBLE < 'inf'::DOUBLE AS c",
+        "SELECT count(DISTINCT x) AS c FROM (VALUES ('NaN'::DOUBLE),"
+        " ('NaN'::DOUBLE), (CAST(1.0 AS DOUBLE))) t(x)",
+        "SELECT x FROM (VALUES (CAST(1.0 AS DOUBLE)), ('NaN'::DOUBLE),"
+        " ('inf'::DOUBLE), ('-inf'::DOUBLE), (CAST(NULL AS DOUBLE))) t(x)"
+        " ORDER BY x",
+        "SELECT max(x) AS m, min(x) AS n, sum(x) AS s FROM (VALUES"
+        " (CAST(1.0 AS DOUBLE)), ('NaN'::DOUBLE)) t(x)",
+        "SELECT 'inf'::DOUBLE + 1 AS a, 'inf'::DOUBLE - 'inf'::DOUBLE AS b,"
+        " 0.0 * 'inf'::DOUBLE AS c, nullif('NaN'::DOUBLE, 'NaN'::DOUBLE) AS d",
+        "SELECT greatest(CAST(1.0 AS DOUBLE), 'NaN'::DOUBLE) AS g,"
+        " least(CAST(1.0 AS DOUBLE), 'NaN'::DOUBLE) AS l",
+        "CREATE OR REPLACE TABLE probe_fe AS SELECT * FROM (VALUES"
+        " (1, 2.7::DOUBLE), (2, -2.7::DOUBLE), (3, 'NaN'::DOUBLE),"
+        " (4, 'inf'::DOUBLE), (5, NULL::DOUBLE), (6, 1e300::DOUBLE))"
+        " t(k, x)",
+        "SELECT k, floor(x) AS f, ceil(x) AS c FROM probe_fe ORDER BY k",
+        "SELECT k, trunc(x) AS t FROM probe_fe ORDER BY k",
+        "DROP TABLE probe_fe",
+        "SELECT floor(2.7) AS f, ceil(2.2) AS c, round(2.5) AS r",
+    ],
 }
 
 

@@ -602,3 +602,60 @@ def test_datetime_extras_match_duckdb(spark, oracle):
         if want != have:
             failures.append((sql, f"want {want!r} got {have!r}"))
     assert not failures, "\n".join(f"{s}\n    {m}" for s, m in failures)
+
+
+COMPOSITE_CONTEXT_SPLIT = [
+    # setup: complex-typed columns on both engines
+    (
+        "CREATE OR REPLACE TABLE probe_ctx AS SELECT * FROM (VALUES"
+        " (1, [1,2], [1,2]), (2, [1,NULL], [1,NULL]),"
+        " (3, [1,NULL], [1,2]), (4, [2,NULL], [1])) t(k, a, b)",
+        "CREATE OR REPLACE TEMP VIEW probe_ctx AS SELECT * FROM VALUES"
+        " (1, array(1,2), array(1,2)),"
+        " (2, array(1,CAST(NULL AS INT)), array(1,CAST(NULL AS INT))),"
+        " (3, array(1,CAST(NULL AS INT)), array(1,2)),"
+        " (4, array(2,CAST(NULL AS INT)), array(1)) t(k, a, b)",
+    ),
+]
+
+COMPOSITE_CONTEXT_QUERIES = [
+    # projection: sequential short-circuit 3VL
+    "SELECT k, a = b AS e, a <> b AS ne FROM probe_ctx ORDER BY k",
+    "SELECT k, a = [1,NULL] AS e FROM probe_ctx ORDER BY k",
+    "SELECT k, a IN ([1,NULL]) AS e, a NOT IN ([1,2]) AS ne"
+    " FROM probe_ctx ORDER BY k",
+    # filter: DuckDB's 2VL total-order path = Spark native
+    "SELECT k FROM probe_ctx WHERE a = b ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE a = [1,NULL] ORDER BY k",
+    "SELECT k, CASE WHEN a = b THEN 1 ELSE 0 END AS c"
+    " FROM probe_ctx ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE a IN ([1,NULL]) ORDER BY k",
+    # pure literals constant-fold to 3VL even in WHERE
+    "SELECT 1 AS one WHERE [1,NULL] = [1,NULL]",
+    "SELECT 1 AS one WHERE (1,NULL) = (1,NULL)",
+    "SELECT 1 AS one WHERE [1,2] = [1,2]",
+]
+
+
+def test_composite_context_split_matches_duckdb(spark, oracle):
+    """DuckDB 1.x evaluates composite =/<>/IN as sequential 3VL in
+    VALUE positions but 2VL total-order on the FILTER path (probed
+    r11); the compat passes must reproduce BOTH, including the
+    schema-typed column leg that runs in the app's catalog-aware
+    pass."""
+    from duckdb_pgwire_spark.server.app import _hugeint_sums
+
+    register_udfs(spark)
+    for duck_setup, spark_setup in COMPOSITE_CONTEXT_SPLIT:
+        oracle.execute(duck_setup)
+        spark.sql(spark_setup)
+    failures = []
+    for sql in COMPOSITE_CONTEXT_QUERIES:
+        duck = oracle.execute(sql).fetchall()
+        rw = _hugeint_sums(spark, rewrite(sql))
+        got = [tuple(r) for r in spark.sql(rw).collect()]
+        want = sorted(_canon(r) for r in duck)
+        have = sorted(_canon(tuple(r)) for r in got)
+        if want != have:
+            failures.append((sql, f"want {want!r} got {have!r}"))
+    assert not failures, "\n".join(f"{s}\n    {m}" for s, m in failures)
