@@ -8259,6 +8259,29 @@ def rewrite_composite_col_eq(sql: str, complex_types: dict) -> str:
     return "".join(out)
 
 
+_OFFSET_LIMIT_RE = re.compile(
+    r"\bOFFSET\s+(\d+)(\s*(?:ROWS?)?)\s+LIMIT\s+(\d+)", re.IGNORECASE
+)
+
+
+def _rewrite_offset_limit(sql: str) -> str:
+    """DuckDB accepts ``OFFSET n LIMIT m`` in either order; Spark's
+    parser requires LIMIT first (r11 alias/limit sweep). Swap the
+    token pair — the sequence OFFSET <int> LIMIT <int> is unambiguous
+    wherever it appears (top level or subquery tail)."""
+    if _OFFSET_LIMIT_RE.search(sql) is None:
+        return sql
+    mask = _code_mask(sql)
+    return _OFFSET_LIMIT_RE.sub(
+        lambda m: (
+            f"LIMIT {m.group(3)} OFFSET {m.group(1)}"
+            if all(mask[m.start() : m.end()])
+            else m.group(0)
+        ),
+        sql,
+    )
+
+
 _CONST_ATOM_RE = re.compile(
     r"^(?:NULL|TRUE|FALSE|[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
     r"|'(?:[^']|'')*'(?:\s*::\s*\w+)?)$",
@@ -8527,6 +8550,7 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_nary_fns(sql)
     sql = _rewrite_from_first(sql)
     sql = _rewrite_unary_fns(sql)
+    sql = _rewrite_offset_limit(sql)  # duck allows either order
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_window_exclude(sql)  # frame EXCLUDE / GROUPS refusal
     sql = _rewrite_asof_join(sql)  # before QUALIFY: it wraps FROM in a subquery

@@ -999,6 +999,11 @@ BATTERY: dict[str, list[str]] = {
         "SELECT k, trunc(x) AS t FROM probe_fe ORDER BY k",
         "DROP TABLE probe_fe",
         "SELECT floor(2.7) AS f, ceil(2.2) AS c, round(2.5) AS r",
+        # alias/limit sweep closures (r11): LIMIT ALL, OFFSET-first
+        # spelling, ORDER/GROUP BY ALL were already green; the
+        # OFFSET n LIMIT m order is swapped by _rewrite_offset_limit
+        "SELECT n_name FROM nation ORDER BY n_name OFFSET 2 LIMIT 3",
+        "SELECT n_name FROM nation ORDER BY n_name LIMIT ALL OFFSET 22",
     ],
 }
 
