@@ -213,7 +213,20 @@ def _idct_block(coeff: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline JPEG → ``imagecodec.DecodedImage`` (gray = Y plane)."""
+    """Baseline JPEG → ``imagecodec.DecodedImage`` (gray = Y plane).
+
+    Truncated/corrupt payloads raise ValueError (never IndexError /
+    struct.error): the multimodal Decoder catches
+    (NotImplementedError, ValueError) to fall back to PIL/fake, and a
+    leaked IndexError would kill the whole mapInPandas task (review
+    r11)."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, StopIteration, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt JPEG: {exc}") from exc
+
+
+def _decode_jpeg(payload: bytes):
     from .imagecodec import DecodedImage
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":

@@ -302,6 +302,17 @@ def _duck_varchar_f32(v):
         if hasattr(x, "asDict"):
             d = x.asDict()
             keys = list(d)
+            if (
+                len(keys) == 2
+                and keys[0] == "__ecode"
+                and keys[1].startswith("__elabel_")
+            ):
+                return str(d[keys[1]])  # enum emulation → member label
+            tag = d.get("__utag")
+            if isinstance(tag, str) and len(d) == 2 and tag in d:
+                return (
+                    "NULL" if d[tag] is None else narrow(d[tag])
+                )  # union emulation → active member
             if keys == [f"col{i + 1}" for i in range(len(keys))] or keys == [
                 str(i) for i in range(len(keys))
             ]:

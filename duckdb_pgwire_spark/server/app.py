@@ -1394,6 +1394,7 @@ class PgWireServer:
                 if p is None:
                     raise _WireError(f"portal {name!r} does not exist", "34000")
                 first = p.sql.lstrip().split(None, 1)[0].upper() if p.sql.strip() else ""
+                _note_statement_head(first)
                 wants_binary = any(f == 1 for f in p.result_fmts)
                 if not p.sql:
                     writer.write(P.empty_query_response())
@@ -1567,6 +1568,7 @@ class PgWireServer:
         loop = asyncio.get_running_loop()
         state = state or _ConnState()
         first = stmt.lstrip().split(None, 1)[0].upper() if stmt.strip() else ""
+        _note_statement_head(first)
         if first in self._TXN_TAGS:
             # PG clients autosend BEGIN/COMMIT (implicit transactions).
             # Spark has no transactions — every statement is autocommit —
@@ -2895,6 +2897,26 @@ _HAS_VARCHAR_CAST_RE = re.compile(
 _HAS_STAR_REPLACE_RE = re.compile(r"(?<![\w.])\*\s+REPLACE\s*\(", re.IGNORECASE)
 
 
+# Resolved-schema memo for _hugeint_sums' gate loop: the has_cmp gate
+# (r11) made nearly every table statement pay a session.table() Py4J
+# round trip (~7 ms measured); table schemas only change on non-read
+# statements, which clear the memo at the dispatch chokepoints.
+_SCHEMA_FIELDS_CACHE: dict[str, list] = {}
+_SCHEMA_READ_HEADS = {
+    "SELECT", "WITH", "VALUES", "TABLE", "FROM", "SHOW", "DESCRIBE",
+    "DESC", "EXPLAIN", "PREPARE", "BEGIN", "COMMIT", "ROLLBACK",
+    "SET", "RESET", "CLOSE", "FETCH", "DECLARE", "ABORT", "START",
+}
+
+
+def _note_statement_head(first: str) -> None:
+    """Clear the schema memo when a statement can change table shapes
+    (DDL/DML/ATTACH/EXECUTE-of-anything — everything outside the
+    read-only head set)."""
+    if first and first not in _SCHEMA_READ_HEADS:
+        _SCHEMA_FIELDS_CACHE.clear()
+
+
 def _hugeint_sums(session: SparkSession, sql: str) -> str:
     """Schema-aware rewrites that need the statement's resolved column
     types (catalog lookups — runs in the worker pool):
@@ -2943,27 +2965,36 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     enum_cols: dict[str, str] = {}
     non_enum_cols: set[str] = set()
     varchar_cols: set[str] = set()
+    tbl_fields: dict[str, list] = {}
     for name in statement_tables(sql):
-        try:
-            fields = session.table(name).schema.fields
-        except Exception:  # noqa: BLE001 — file relations, typos: skip
-            continue
+        fields = _SCHEMA_FIELDS_CACHE.get(name)
+        if fields is None:
+            try:
+                fields = session.table(name).schema.fields
+            except Exception:  # noqa: BLE001 — file relations, typos: skip
+                continue
+            _SCHEMA_FIELDS_CACHE[name] = fields
+        tbl_fields[name] = fields
         int_cols.update(
             f.name.lower() for f in fields if isinstance(f.dataType, int_types)
         )
         array_cols.update(
             f.name.lower() for f in fields if isinstance(f.dataType, T.ArrayType)
         )
-        def _has_f32(dt) -> bool:
+        def _float_kinds(dt, acc: set) -> set:
             if isinstance(dt, T.FloatType):
-                return True
-            if isinstance(dt, T.ArrayType):
-                return _has_f32(dt.elementType)
-            if isinstance(dt, T.MapType):
-                return _has_f32(dt.keyType) or _has_f32(dt.valueType)
-            if isinstance(dt, T.StructType):
-                return any(_has_f32(sf.dataType) for sf in dt.fields)
-            return False
+                acc.add("f32")
+            elif isinstance(dt, T.DoubleType):
+                acc.add("f64")
+            elif isinstance(dt, T.ArrayType):
+                _float_kinds(dt.elementType, acc)
+            elif isinstance(dt, T.MapType):
+                _float_kinds(dt.keyType, acc)
+                _float_kinds(dt.valueType, acc)
+            elif isinstance(dt, T.StructType):
+                for sf in dt.fields:
+                    _float_kinds(sf.dataType, acc)
+            return acc
 
         for f in fields:
             if not isinstance(
@@ -2971,7 +3002,12 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             ) or _enum_emulation_type(f.dataType) is not None:
                 continue
             complex_cols.add(f.name.lower())
-            if _has_f32(f.dataType):
+            # f32 render ONLY when every float leaf is FLOAT32 — a
+            # mixed float/double composite would otherwise narrow
+            # its genuine doubles (review r11); mixed columns keep
+            # the plain renderer (float32 leaves show widened
+            # digits — documented residue)
+            if _float_kinds(f.dataType, set()) == {"f32"}:
                 f32_cols.add(f.name.lower())
         date_cols.update(
             f.name.lower() for f in fields if isinstance(f.dataType, T.DateType)
@@ -3035,11 +3071,10 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
 
         ctypes: dict[str, object] = {}
         ambiguous: set[str] = set()
-        for name in statement_tables(sql):
-            try:
-                fields2 = session.table(name).schema.fields
-            except Exception:  # noqa: BLE001
-                continue
+        # reuse the schemas the gate loop above already fetched —
+        # a second session.table() round per table doubled the
+        # catalog cost on the wire path (review r11)
+        for name, fields2 in tbl_fields.items():
             for f in fields2:
                 lowname = f.name.lower()
                 if lowname not in complex_cols:

@@ -7788,6 +7788,12 @@ def _eq3_mixed(t, b: str, d: int = 0) -> str | None:
 
 
 def _eq3_any(a: str, at, b: str, bt, d: int = 0) -> str | None:
+    if d > 4:
+        # each _seq3 level embeds its conditions twice, so generated
+        # SQL grows ~2^depth — past this cap the comparison falls back
+        # to Spark-native rather than risk a megabyte plan (review
+        # r11; DuckDB users do not nest row literals 5 deep)
+        return None
     if at is None and bt is None:
         return f"(({a}) = ({b}))"
     if at is not None and bt is not None:
@@ -7950,8 +7956,9 @@ def rewrite_composite_varchar(
 
 _IN_SUBQ_HEAD_RE = re.compile(r"\b(NOT\s+)?IN\s*\(", re.IGNORECASE)
 _CLAUSE_KW_RE = re.compile(
-    r"\b(SELECT|WHERE|HAVING|QUALIFY|JOIN|ON|WHEN|THEN|ELSE|GROUP|ORDER|"
-    r"RETURNING|SET|FROM|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|VALUES|BY)\b",
+    r"\b(SELECT|WHERE|HAVING|QUALIFY|JOIN|ON|CASE|WHEN|THEN|ELSE|END|"
+    r"GROUP|ORDER|RETURNING|SET|FROM|LIMIT|OFFSET|UNION|INTERSECT|"
+    r"EXCEPT|VALUES|BY)\b",
     re.IGNORECASE,
 )
 
@@ -7996,17 +8003,11 @@ def _rewrite_projection_in_subq(sql: str) -> str:
             is None
         ):
             continue
-        # projection position: nearest preceding clause keyword at the
-        # SAME paren depth is SELECT (WHEN/WHERE/ON/... positions keep
-        # Spark's native — and already matching — handling)
-        td = depth[m.start()]
-        last_kw = None
-        for k in clause_kws:
-            if k.start() >= m.start():
-                break
-            if depth[k.start()] == td:
-                last_kw = k.group(1).upper()
-        if last_kw != "SELECT":
+        # projection position: enclosing clause keyword at the SAME
+        # paren depth is SELECT (WHEN/WHERE/ON/... positions keep
+        # Spark's native — and already matching — handling; completed
+        # CASE…END blocks restore the outer context via the stack)
+        if _clause_position(sql, mask, clause_kws, depth, m.start()) != "SELECT":
             continue
         ls = _scan_left_operand(sql, segs, m.start())
         if ls >= m.start():
@@ -8166,10 +8167,27 @@ def rewrite_composite_col_eq(sql: str, complex_types: dict) -> str:
         k for k in _CLAUSE_KW_RE.finditer(sql) if all(mask[k.start() : k.end()])
     ]
 
+    def _tree_depth(t) -> int:
+        if t == "atom" or t is None:
+            return 0
+        if t[0] == "array":
+            return 1 + _tree_depth(t[1])
+        if t[0] == "struct":
+            return 1 + max((_tree_depth(s) for _, s in t[1]), default=0)
+        if t[0] == "map":
+            return 1 + max(_tree_depth(t[1]), _tree_depth(t[2]))
+        return 0
+
     def tree_for(op: str):
         op = op.strip()
         if re.fullmatch(r"[A-Za-z_][\w.`]*", op.replace("`", "")):
-            return complex_types.get(op.split(".")[-1].strip("`").lower())
+            t = complex_types.get(op.split(".")[-1].strip("`").lower())
+            # _typed_eq3/_seq3 duplicate subexpressions per level —
+            # skip pathologically deep types (native fallback) rather
+            # than emit ~2^depth SQL (review r11)
+            if t is not None and _tree_depth(t) > 4:
+                return None
+            return t
         return None
 
     out: list[str] = []
@@ -8315,15 +8333,30 @@ def _tree_is_const(t) -> bool:
 
 
 def _clause_position(sql, mask, clause_kws, depth, at: int) -> str | None:
-    """Uppercase nearest preceding clause keyword at the SAME paren
-    depth, or None (e.g. inside a function-call argument list)."""
+    """Uppercase ENCLOSING clause keyword at the SAME paren depth, or
+    None (e.g. inside a function-call argument list). CASE…END blocks
+    are tracked as a stack: a COMPLETED ``CASE … END`` earlier in the
+    select list restores the outer context (review r11 — the plain
+    nearest-keyword walk left the position stuck on THEN/ELSE, so any
+    select-list item after a CASE expression silently skipped the
+    projection-position rewrites); a position INSIDE a CASE reports
+    WHEN/THEN/ELSE as before."""
     td = depth[at]
-    last = None
+    last: str | None = None
+    stack: list[str | None] = []
     for k in clause_kws:
         if k.start() >= at:
             break
-        if depth[k.start()] == td:
-            last = k.group(1).upper()
+        if depth[k.start()] != td:
+            continue
+        kw = k.group(1).upper()
+        if kw == "CASE":
+            stack.append(last)
+            last = "CASE"
+        elif kw == "END":
+            last = stack.pop() if stack else last
+        else:
+            last = kw
     return last
 
 
