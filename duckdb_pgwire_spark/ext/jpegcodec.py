@@ -222,7 +222,9 @@ def decode_jpeg(payload: bytes):
     r11)."""
     try:
         return _decode_jpeg(payload)
-    except (IndexError, StopIteration, struct.error) as exc:
+    except (IndexError, KeyError, StopIteration, struct.error) as exc:
+        # KeyError: scan references an undeclared quant/huffman table id
+        # (e.g. DQT segment stripped) — same corrupt-payload class.
         raise ValueError(f"truncated or corrupt JPEG: {exc}") from exc
 
 

@@ -249,7 +249,11 @@ def _mm_fixture_jpeg(doc_id: int) -> bytes:
         w, h, px,
         flat_q=1,
         color=doc_id % 2 == 1,
-        restart_interval=2 if doc_id % 3 == 0 else 0,
+        # restart on the WIDE shapes (doc_id%3==2 → w=24 → ≥3 MCUs):
+        # the encoder only emits RSTn before MCU index ≥ restart
+        # interval, so gating on %3==0 (w=8, ≤2 MCUs) never wrote a
+        # marker and the resync path went untested (review r11)
+        restart_interval=2 if doc_id % 3 == 2 else 0,
     )
 
 

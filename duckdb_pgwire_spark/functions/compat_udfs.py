@@ -182,7 +182,7 @@ def _duck_double_text(v: pd.Series) -> pd.Series:
     return v.map(f, na_action=None)
 
 
-def _duck_varchar(v):
+def _duck_varchar(v, _float_text=repr):
     """DuckDB's composite ``::VARCHAR`` rendering (probed, r11):
     lists ``[1, x y, NULL]`` (elements BARE, never quoted), named
     structs ``{'a': 1}`` (keys single-quoted), unnamed rows
@@ -190,6 +190,11 @@ def _duck_varchar(v):
     shortest-round-trip, timestamps/intervals in the same text the
     wire encoder was probed to. Row-at-a-time by design — this backs
     an explicit cast in a dialect path, not a pipeline hot path.
+
+    ``_float_text`` renders the FINITE float leaves (the f32 variant
+    swaps in single-precision shortest-round-trip text; one walk
+    serves both so the enum/union/tuple heuristics can't drift —
+    review r11 second pass).
 
     Auto-generated field names (col1..colN from a parenthesized row,
     0..N-1 from arrays_zip/list_zip) render as an unnamed TUPLE —
@@ -210,7 +215,7 @@ def _duck_varchar(v):
                 return "inf"
             if x == float("-inf"):
                 return "-inf"
-            return repr(x)
+            return _float_text(x)
         if isinstance(x, int | decimal.Decimal):
             return str(x)
         if isinstance(x, str):
@@ -275,62 +280,11 @@ def _duck_varchar_f32(v):
     whose repr shows the full 17 digits. numpy's float32 str is the
     same shortest-round-trip algorithm at 32 bits; the schema-aware
     app pass picks this variant when the column type contains
-    FloatType."""
+    FloatType. Same walk as ``_duck_varchar`` — only the finite float
+    leaf formatter differs."""
     import numpy as np
 
-    if v is None:
-        return None
-
-    def narrow(x):
-        if isinstance(x, float):
-            if x != x:
-                return "nan"
-            if x in (float("inf"), float("-inf")):
-                return "inf" if x > 0 else "-inf"
-            return str(np.float32(x))
-        if isinstance(x, list):
-            return "[" + ", ".join("NULL" if e is None else narrow(e) for e in x) + "]"
-        if isinstance(x, dict):
-            return (
-                "{"
-                + ", ".join(
-                    f"{narrow(k)}={'NULL' if w is None else narrow(w)}"
-                    for k, w in x.items()
-                )
-                + "}"
-            )
-        if hasattr(x, "asDict"):
-            d = x.asDict()
-            keys = list(d)
-            if (
-                len(keys) == 2
-                and keys[0] == "__ecode"
-                and keys[1].startswith("__elabel_")
-            ):
-                return str(d[keys[1]])  # enum emulation → member label
-            tag = d.get("__utag")
-            if isinstance(tag, str) and len(d) == 2 and tag in d:
-                return (
-                    "NULL" if d[tag] is None else narrow(d[tag])
-                )  # union emulation → active member
-            if keys == [f"col{i + 1}" for i in range(len(keys))] or keys == [
-                str(i) for i in range(len(keys))
-            ]:
-                return "(" + ", ".join(
-                    "NULL" if d[k] is None else narrow(d[k]) for k in keys
-                ) + ")"
-            return (
-                "{"
-                + ", ".join(
-                    "'" + k.replace("'", "''") + "': "
-                    + ("NULL" if d[k] is None else narrow(d[k]))
-                    for k in keys
-                )
-                + "}"
-            )
-        return _duck_varchar(x)
-
-    return narrow(v)
+    return _duck_varchar(v, _float_text=lambda x: str(np.float32(x)))
 
 
 @F.pandas_udf(T.StringType())

@@ -2895,6 +2895,8 @@ _HAS_VARCHAR_CAST_RE = re.compile(
     re.IGNORECASE,
 )
 _HAS_STAR_REPLACE_RE = re.compile(r"(?<![\w.])\*\s+REPLACE\s*\(", re.IGNORECASE)
+_HAS_DIV_RE = re.compile(r"(?<!/)/(?!/)")
+_HAS_AVG_RE = re.compile(r"\b(?:avg|mean)\s*\(", re.IGNORECASE)
 
 
 # Resolved-schema memo for _hugeint_sums' gate loop: the has_cmp gate
@@ -2947,9 +2949,12 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     # complex-column scan below decides whether anything rewrites
     has_cmp = _HAS_CMP_RE.search(sql) is not None
     has_floorceil = _HAS_FLOORCEIL_RE.search(sql) is not None
+    has_div = _HAS_DIV_RE.search(sql) is not None
+    has_avg = _HAS_AVG_RE.search(sql) is not None
     if not (
         has_sum or has_len or has_columns or has_replace or has_enum
         or has_date_ivl or has_vc_cast or has_cmp or has_floorceil
+        or has_div or has_avg
     ):
         return sql
     from pyspark.sql import types as T
@@ -2960,6 +2965,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     complex_cols: set[str] = set()
     f32_cols: set[str] = set()
     double_cols: set[str] = set()
+    dec_cols: set[str] = set()
     date_cols: set[str] = set()
     ordered_cols: list[str] = []
     enum_cols: dict[str, str] = {}
@@ -3017,6 +3023,11 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             for f in fields
             if isinstance(f.dataType, T.DoubleType | T.FloatType)
         )
+        dec_cols.update(
+            f.name.lower()
+            for f in fields
+            if isinstance(f.dataType, T.DecimalType)
+        )
         for f in fields:
             if f.name not in ordered_cols:
                 ordered_cols.append(f.name)
@@ -3031,6 +3042,49 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                     non_enum_cols.add(low)  # two different enum types
                 else:
                     enum_cols[low] = tn
+    # Cross-table type-conflict guard: the sets above are unions of
+    # unqualified lowercase names, so a joined table's same-named
+    # column of a DIFFERENT kind would inherit the other table's
+    # rewrite (e.g. t1.v ARRAY<FLOAT> + t2.v DOUBLE → duck_varchar_f32
+    # narrowing t2's doubles — review r11 second pass). A clashing
+    # name drops out of every kind-gated set; within-kind width
+    # differences (INT vs BIGINT, FLOAT vs DOUBLE) stay eligible.
+    if tbl_fields:
+        def _kind(dt) -> str:
+            if isinstance(dt, int_types):
+                return "int"
+            if isinstance(dt, T.DoubleType | T.FloatType):
+                return "float"
+            if isinstance(dt, T.DecimalType):
+                return "decimal"
+            if isinstance(dt, T.DateType):
+                return "date"
+            if isinstance(dt, T.ArrayType | T.MapType | T.StructType):
+                return "complex"
+            return "other"
+
+        kinds: dict[str, set] = {}
+        f32_marks: dict[str, set] = {}
+        for fields2 in tbl_fields.values():
+            for f in fields2:
+                lowname = f.name.lower()
+                k = _kind(f.dataType)
+                kinds.setdefault(lowname, set()).add(k)
+                if k == "complex" and _enum_emulation_type(f.dataType) is None:
+                    f32_marks.setdefault(lowname, set()).add(
+                        _float_kinds(f.dataType, set()) == {"f32"}
+                    )
+        for lowname, ks in kinds.items():
+            if len(ks) > 1:
+                for colset in (
+                    complex_cols, f32_cols, double_cols,
+                    int_cols, array_cols, date_cols, dec_cols,
+                ):
+                    colset.discard(lowname)
+            elif len(f32_marks.get(lowname, ())) > 1:
+                # all-complex but only SOME tables' version is all-f32:
+                # keep the generic render, drop the f32 narrowing
+                f32_cols.discard(lowname)
     if has_enum and enum_cols:
         # a name that is enum in one statement table and plain in
         # another is ambiguous — leave it to the loud analyzer error
@@ -3052,6 +3106,14 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         from .compat import rewrite_double_floor_ceil
 
         sql = rewrite_double_floor_ceil(sql, double_cols)
+    if has_div and dec_cols:
+        from .compat import rewrite_decimal_col_div
+
+        sql = rewrite_decimal_col_div(sql, dec_cols)
+    if has_avg and dec_cols:
+        from .compat import rewrite_decimal_avg
+
+        sql = rewrite_decimal_avg(sql, dec_cols)
     if has_cmp and complex_cols:
         # composite COLUMN =/<> comparisons: schema-typed 3VL
         # (constructor-literal sides were handled in rewrite())

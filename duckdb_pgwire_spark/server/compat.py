@@ -920,6 +920,57 @@ def _seg_at(segs: list[tuple[str, int, int]], i: int) -> tuple[str, int, int]:
 _TYPED_LITERAL_KEYWORDS = {"INTERVAL", "DATE", "TIMESTAMP", "TIME"}
 
 
+def _walk_brackets_back(sql: str, segs, i: int, close: str, open_: str) -> int:
+    """Index of the ``open_`` matching the ``close`` at ``i-1``, skipping
+    literal/comment segments (a ``)`` inside a string must not count).
+    Returns -1 when unbalanced."""
+    si = len(segs) - 1
+    while si >= 0 and segs[si][1] > i - 1:
+        si -= 1
+    depth = 0
+    j = i
+    while si >= 0:
+        kind, a, b = segs[si]
+        if kind == "code":
+            for k in range(min(b, j) - 1, a - 1, -1):
+                ch = sql[k]
+                if ch == close:
+                    depth += 1
+                elif ch == open_:
+                    depth -= 1
+                    if depth == 0:
+                        return k
+        si -= 1
+        j = a
+    return -1
+
+
+def _walk_brackets_fwd(sql: str, segs, i: int) -> int:
+    """End index (exclusive) just past the ``)`` matching the ``(`` at or
+    after ``i``, skipping literal/comment segments. Returns -1 when
+    unbalanced."""
+    si = 0
+    n = len(segs)
+    while si < n and segs[si][2] <= i:
+        si += 1
+    depth = 0
+    j = i
+    while si < n:
+        kind, a, b = segs[si]
+        if kind == "code":
+            for k in range(max(a, j), b):
+                ch = sql[k]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        return k + 1
+        si += 1
+        j = b
+    return -1
+
+
 def _scan_left_operand(sql: str, segs, end: int) -> int:
     """Start index of the tightest value expression ending at ``end``
     (exclusive): literal (incl. typed literals ``DATE '…'``) / paren
@@ -942,16 +993,9 @@ def _scan_left_operand(sql: str, segs, end: int) -> int:
     c = sql[i - 1]
     if c == ")" or c == "]":
         close, open_ = (")", "(") if c == ")" else ("]", "[")
-        depth = 0
-        j = i
-        while j > 0:
-            j -= 1
-            if sql[j] == close:
-                depth += 1
-            elif sql[j] == open_:
-                depth -= 1
-                if depth == 0:
-                    break
+        j = _walk_brackets_back(sql, segs, i, close, open_)
+        if j < 0:
+            return end
         m = re.search(r"[A-Za-z_][\w.]*\s*$", sql[:j])
         if m and m.group(0).strip().upper() not in _BRACKET_KEYWORDS:
             return m.start()
@@ -997,17 +1041,8 @@ def _scan_right_operand(sql: str, segs, start: int) -> int:
     if kind == "lit":
         return b
     if sql[i] == "(":
-        depth = 0
-        j = i
-        while j < n:
-            if sql[j] == "(":
-                depth += 1
-            elif sql[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    return j + 1
-            j += 1
-        return start
+        j = _walk_brackets_fwd(sql, segs, i)
+        return j if j > 0 else start
     m = re.match(r"[\w.$]+", sql[i:])
     if not m:
         return start
@@ -1039,15 +1074,9 @@ def _scan_right_operand(sql: str, segs, start: int) -> int:
     while k < n and sql[k].isspace():
         k += 1
     if k < n and sql[k] == "(":  # call form
-        depth = 0
-        while k < n:
-            if sql[k] == "(":
-                depth += 1
-            elif sql[k] == ")":
-                depth -= 1
-                if depth == 0:
-                    return k + 1
-            k += 1
+        e = _walk_brackets_fwd(sql, segs, k)
+        if e > 0:
+            return e
     return j
 
 
@@ -7419,6 +7448,210 @@ _NONZERO_NUM_RE = re.compile(r"^[+-]?\d+(?:\.\d+)?$")
 _DIV_OP_RE = re.compile(r"/(?!/)|%|\bDIV\b", re.IGNORECASE)
 
 
+_SINGLE_SLASH_RE = re.compile(r"(?<!/)/(?!/)")
+
+# decimal-typed operand TEXT: a plain decimal literal (no exponent —
+# eE forms are DOUBLE in DuckDB), a ::DECIMAL/::NUMERIC cast tail, or
+# a CAST(… AS DECIMAL/NUMERIC…) head
+_DECIMALISH_LIT_RE = re.compile(r"[+-]?(?:\d+\.\d*|\.\d+)")
+_DECIMALISH_TAIL_RE = re.compile(
+    r"::\s*(?:DECIMAL|NUMERIC)\s*(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?\s*$",
+    re.IGNORECASE,
+)
+_DECIMALISH_CAST_RE = re.compile(
+    r"^(?:TRY_)?CAST\s*\(.*\bAS\s+(?:DECIMAL|NUMERIC)\b",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _decimalish(s: str) -> bool:
+    s = s.strip()
+    # strip balanced outer parens: the operand scan hands back
+    # "(7.5)" for paren groups
+    while len(s) >= 2 and s[0] == "(" and s[-1] == ")":
+        d = 0
+        for i, c in enumerate(s):
+            if c == "(":
+                d += 1
+            elif c == ")":
+                d -= 1
+                if d == 0 and i < len(s) - 1:
+                    break
+        else:
+            s = s[1:-1].strip()
+            continue
+        break
+    if (
+        _DECIMALISH_LIT_RE.fullmatch(s)
+        or _DECIMALISH_TAIL_RE.search(s)
+        or _DECIMALISH_CAST_RE.match(s)
+    ):
+        return True
+    # compound expressions: a bare decimal literal anywhere in CODE
+    # (not inside a string) makes the tree decimal-typed in duck —
+    # "(1.5 + 2.5)", "array(1.5)[1]" — EXCEPT interval arithmetic,
+    # where a CAST(AS DOUBLE) would break a valid statement
+    if "." in s and re.search(r"\bINTERVAL\b", s, re.IGNORECASE) is None:
+        m2 = _code_mask(s)
+        for lm in _DECIMALISH_LIT_RE.finditer(s):
+            a, b = lm.start(), lm.end()
+            if not all(m2[a:b]):
+                continue
+            if a > 0 and (s[a - 1].isalnum() or s[a - 1] in "_.$"):
+                continue  # identifier tail / qualified name
+            if b < len(s) and (s[b].isalnum() or s[b] in "_."):
+                continue
+            return True
+    return False
+
+
+def _rewrite_decimal_div(sql: str) -> str:
+    """DuckDB's ``/`` ALWAYS divides as DOUBLE — ``1.0/3.0`` is
+    0.3333333333333333 and DECIMAL(10,2)/DECIMAL(10,2) is a double —
+    while Spark keeps DECIMAL division with its own scale rules
+    ('0.333333'), a silent text divergence on the wire (decimal sweep,
+    r11). Wrap the LEFT operand in CAST(… AS DOUBLE) when either side
+    is decimal-typed TEXT (decimal literal without exponent, ::DECIMAL
+    cast, CAST(… AS DECIMAL)); INT/INT needs nothing (Spark's ``/`` is
+    already true division to DOUBLE). USER-ONLY pass: runs before any
+    pass that emits verified ``/`` text of its own (`//`-fractional,
+    epoch identities). DECIMAL COLUMNS are the schema-aware leg in the
+    app pass (`rewrite_decimal_col_div`)."""
+    if "/" not in sql:
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    for m in _SINGLE_SLASH_RE.finditer(sql):
+        if m.start() < pos or not mask[m.start()]:
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        re_ = _scan_right_operand(sql, segs, m.end())
+        if ls >= m.start() or re_ <= m.end():
+            continue
+        # extend over :: cast chains: the tight scan stops at the
+        # TYPE head of "1.5::DECIMAL(20,10)", losing the value part
+        while True:
+            k = ls
+            while k > 0 and sql[k - 1].isspace():
+                k -= 1
+            if k >= 2 and sql[k - 2 : k] == "::":
+                ls2 = _scan_left_operand(sql, segs, k - 2)
+                if ls2 < k - 2:
+                    ls = ls2
+                    continue
+            break
+        lhs = sql[ls : m.start()].strip()
+        rhs = sql[m.end() : re_].strip()
+        if not (_decimalish(lhs) or _decimalish(rhs)):
+            continue
+        out.append(sql[pos:ls])
+        out.append(f"CAST({lhs} AS DOUBLE) / ")
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _mentions_col(s: str, cols: set) -> bool:
+    """Operand TEXT references one of the (lowercase) column names at
+    word level, outside string literals."""
+    low = s.lower()
+    if not any(c in low for c in cols):
+        return False
+    m2 = _code_mask(s)
+    for w in re.finditer(r"[A-Za-z_]\w*", s):
+        if not all(m2[w.start() : w.end()]):
+            continue
+        if w.end() < len(s) and s[w.end()] == ".":
+            continue  # qualifier (alias/table), not the column itself
+        if w.group(0).lower() in cols:
+            return True
+    return False
+
+
+def rewrite_decimal_col_div(sql: str, dec_cols: set) -> str:
+    """Schema-aware leg of the duck-division rule: ``/`` over DECIMAL
+    COLUMNS divides as DOUBLE in DuckDB while Spark keeps DECIMAL
+    scale rules (decimal sweep, r11). Wraps the LEFT operand when
+    either operand mentions a decimal column at word level (covers
+    ``sum(dec)/n`` and ``(a*b)/c`` shapes); INTERVAL-bearing operands
+    are left alone (a CAST would break them)."""
+    if not dec_cols or "/" not in sql:
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    for m in _SINGLE_SLASH_RE.finditer(sql):
+        if m.start() < pos or not mask[m.start()]:
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        re_ = _scan_right_operand(sql, segs, m.end())
+        if ls >= m.start() or re_ <= m.end():
+            continue
+        lhs = sql[ls : m.start()].strip()
+        rhs = sql[m.end() : re_].strip()
+        if re.search(r"\bINTERVAL\b", lhs, re.IGNORECASE):
+            continue
+        if lhs.lower().startswith("cast(") and lhs.rstrip().lower().endswith(
+            "as double)"
+        ):
+            continue  # already wrapped (literal pass / earlier match)
+        if not (_mentions_col(lhs, dec_cols) or _mentions_col(rhs, dec_cols)):
+            continue
+        out.append(sql[pos:ls])
+        out.append(f"CAST({lhs} AS DOUBLE) / ")
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+_AVG_HEAD_RE = re.compile(r"\b(?:avg|mean)\s*\(", re.IGNORECASE)
+
+
+def rewrite_decimal_avg(sql: str, dec_cols: set) -> str:
+    """DuckDB's avg/mean over DECIMAL is a DOUBLE ('1.875'); Spark's
+    is DECIMAL(p+4, s+4) whose wire text carries trailing zeros
+    ('1.875000') — silent text divergence (decimal sweep, r11). Wrap
+    the aggregate ARGUMENT in CAST(… AS DOUBLE) when it mentions a
+    decimal column (DISTINCT prefix preserved)."""
+    if not dec_cols or _AVG_HEAD_RE.search(sql) is None:
+        return sql
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    for m in _AVG_HEAD_RE.finditer(sql):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        dpt, i = 1, m.end()
+        while i < len(sql) and dpt:
+            if mask[i]:
+                if sql[i] == "(":
+                    dpt += 1
+                elif sql[i] == ")":
+                    dpt -= 1
+            i += 1
+        if dpt:
+            continue
+        arg = sql[m.end() : i - 1].strip()
+        mdist = re.match(r"(?i)(DISTINCT|ALL)\s+(.*)$", arg, re.DOTALL)
+        prefix, core = (
+            (mdist.group(1) + " ", mdist.group(2)) if mdist else ("", arg)
+        )
+        if core == "*" or not _mentions_col(core, dec_cols):
+            continue
+        if core.lower().startswith("cast(") and core.rstrip().lower().endswith(
+            "as double)"
+        ):
+            continue
+        out.append(sql[pos : m.end()])
+        out.append(f"{prefix}CAST({core} AS DOUBLE)")
+        pos = i - 1
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_div_zero(sql: str) -> str:
     """DuckDB returns NULL for division/modulo by zero (probed: 1/0,
     1.0/0, 1%0, 1//0, fdiv/fmod(x,0) are all NULL); Spark's ANSI mode
@@ -8007,7 +8240,7 @@ def _rewrite_projection_in_subq(sql: str) -> str:
         # paren depth is SELECT (WHEN/WHERE/ON/... positions keep
         # Spark's native — and already matching — handling; completed
         # CASE…END blocks restore the outer context via the stack)
-        if _clause_position(sql, mask, clause_kws, depth, m.start()) != "SELECT":
+        if not _value_position(sql, mask, clause_kws, depth, m.start()):
             continue
         ls = _scan_left_operand(sql, segs, m.start())
         if ls >= m.start():
@@ -8028,13 +8261,25 @@ def _rewrite_projection_in_subq(sql: str) -> str:
         sub = sql[m.end() : i - 1]
         n_sub += 1
         a = f"__in3vl_{n_sub}"
+        # Two embeds of the subquery, not three (review r11 second
+        # pass): the native IN keeps Spark's null-aware join, and ONE
+        # uncorrelated scalar aggregate folds the emptiness + null-
+        # scan verdicts into a single extra scan (0 = empty, 1 = has
+        # NULL, 2 = non-empty without NULLs). The needle stays in the
+        # OUTER scope — moving it into the aggregate would break
+        # outer-aggregate needles and hit Spark's correlated-scalar
+        # restrictions.
+        verdict = (
+            f"(SELECT CASE WHEN count(*) = 0 THEN 0"
+            f" WHEN sum(CASE WHEN __v IS NULL THEN 1 ELSE 0 END) > 0"
+            f" THEN 1 ELSE 2 END FROM ({sub}) {a}(__v))"
+        )
         in3 = (
             f"(CASE WHEN ({needle}) IN ({sub}) THEN TRUE"
-            f" WHEN NOT EXISTS (SELECT 1 FROM ({sub}) {a}) THEN FALSE"
-            f" WHEN ({needle}) IS NULL THEN CAST(NULL AS BOOLEAN)"
-            f" WHEN EXISTS (SELECT 1 FROM ({sub}) {a}(__v)"
-            f" WHERE __v IS NULL) THEN CAST(NULL AS BOOLEAN)"
-            f" ELSE FALSE END)"
+            f" ELSE CASE {verdict} WHEN 0 THEN FALSE"
+            f" WHEN 1 THEN CAST(NULL AS BOOLEAN)"
+            f" ELSE CASE WHEN ({needle}) IS NULL"
+            f" THEN CAST(NULL AS BOOLEAN) ELSE FALSE END END END)"
         )
         repl = f"(NOT {in3})" if m.group(1) else in3
         out.append(sql[pos:ls])
@@ -8111,7 +8356,12 @@ def rewrite_double_floor_ceil(sql: str, double_cols: set) -> str:
     bare floating-COLUMN argument (schema-resolved), wrap: non-finite
     and ≥2^63 magnitudes pass through (doubles ≥2^53 are already
     integers), the rest round through Spark's floor/ceil and cast
-    back to DOUBLE. (float-edge sweep, r11)"""
+    back to DOUBLE. Zero results with a NEGATIVE input sign keep
+    duck's ``-0.0`` (ceil of (-1,0] and floor/ceil of -0.0; the
+    BIGINT round-trip would bleach the sign — second review r11); the
+    string-cast prefix detects -0.0 itself ('-0.0') where an ANSI-mode
+    division probe would raise DIVIDE_BY_ZERO. (float-edge sweep,
+    r11)"""
     if not double_cols or _FLOOR_CEIL_RE.search(sql) is None:
         return sql
     mask = _code_mask(sql)
@@ -8127,6 +8377,9 @@ def rewrite_double_floor_ceil(sql: str, double_cols: set) -> str:
         return (
             f"(CASE WHEN isnan({col}) OR abs({col}) >= 9.2e18 THEN"
             f" CAST({col} AS DOUBLE)"
+            f" WHEN {fn}({col}) = 0"
+            f" AND startswith(CAST({col} AS STRING), '-')"
+            f" THEN CAST('-0.0' AS DOUBLE)"
             f" ELSE CAST({fn}({col}) AS DOUBLE) END)"
         )
 
@@ -8195,7 +8448,7 @@ def rewrite_composite_col_eq(sql: str, complex_types: dict) -> str:
     for m in _CMP_OP_RE.finditer(sql):
         if m.start() < pos or not all(mask[m.start() : m.end()]):
             continue
-        if _clause_position(sql, mask, clause_kws, depth, m.start()) != "SELECT":
+        if not _value_position(sql, mask, clause_kws, depth, m.start()):
             continue
         ls = _scan_left_operand(sql, segs, m.start())
         rend = _scan_right_operand(sql, segs, m.end())
@@ -8246,7 +8499,7 @@ def rewrite_composite_col_eq(sql: str, complex_types: dict) -> str:
         tree = tree_for(needle)
         if tree is None:
             continue
-        if _clause_position(sql, mask, clause_kws, depth, ls) != "SELECT":
+        if not _value_position(sql, mask, clause_kws, depth, ls):
             continue
         dpt, i = 1, m.end()
         while i < len(sql) and dpt:
@@ -8332,45 +8585,125 @@ def _tree_is_const(t) -> bool:
     return False
 
 
-def _clause_position(sql, mask, clause_kws, depth, at: int) -> str | None:
-    """Uppercase ENCLOSING clause keyword at the SAME paren depth, or
-    None (e.g. inside a function-call argument list). CASE…END blocks
-    are tracked as a stack: a COMPLETED ``CASE … END`` earlier in the
-    select list restores the outer context (review r11 — the plain
-    nearest-keyword walk left the position stuck on THEN/ELSE, so any
-    select-list item after a CASE expression silently skipped the
-    projection-position rewrites); a position INSIDE a CASE reports
-    WHEN/THEN/ELSE as before."""
-    td = depth[at]
-    last: str | None = None
-    stack: list[str | None] = []
-    for k in clause_kws:
-        if k.start() >= at:
-            break
-        if depth[k.start()] != td:
+# Clause keywords whose expressions DuckDB evaluates as VALUES (3VL
+# composite comparisons). WHERE/HAVING/QUALIFY/JOIN/ON/FROM and the
+# CASE/IF condition slots are the 2VL boolean-condition path.
+_VALUE_CLAUSE_KWS = frozenset(
+    {"SELECT", "GROUP", "ORDER", "BY", "VALUES", "RETURNING"}
+)
+
+# Heads that make a preceding-identifier + '(' NOT a function call
+# (keyword-guarded paren groups are transparent to position walks).
+# Deliberately excludes COALESCE/IF — real calls here.
+_NONCALL_HEADS = frozenset(
+    {
+        "AND", "OR", "NOT", "IN", "ANY", "ALL", "SOME", "EXISTS",
+        "BETWEEN", "IS", "LIKE", "ILIKE", "WHERE", "HAVING", "QUALIFY",
+        "ON", "JOIN", "USING", "AS", "SELECT", "FROM", "BY", "GROUP",
+        "ORDER", "THEN", "ELSE", "WHEN", "CASE", "END", "DISTINCT",
+        "UNION", "INTERSECT", "EXCEPT", "LIMIT", "OFFSET", "SET",
+        "VALUES", "RETURNING", "OVER", "FILTER", "LATERAL", "WITH",
+        "RECURSIVE",
+    }
+)
+
+
+def _value_position(sql, mask, clause_kws, depth, at: int) -> bool:
+    """True when DuckDB 1.x evaluates a composite comparison / IN at
+    ``at`` with 3VL VALUE semantics (rewrite); False on the 2VL
+    boolean-condition path (skip — Spark native matches there).
+
+    Probed matrix (r11 second review): condition-ness flows from
+    WHERE / HAVING / ON / QUALIFY and the CASE-WHEN / IF(cond,…)
+    condition slots, through NOT / AND / OR / plain parens, and
+    through CASE/IF branch RESULTS (``WHERE CASE WHEN TRUE THEN a=b
+    END`` is 2VL). Any ordinary function-call argument, subquery
+    select list, GROUP BY / ORDER BY / constructor element is a value
+    position even under WHERE (``WHERE coalesce(a=b, FALSE)`` is 3VL).
+    Simple-CASE subjects / WHEN operands stay unrewritten
+    (conservative: Spark-native)."""
+    pos = at
+    for _hop in range(64):  # defensive cap on pathological nesting
+        td = depth[pos]
+        # Enclosing '(' of this paren group (-1 at statement top level).
+        # Found FIRST so the clause scan below can exclude keywords from
+        # sibling groups at the same depth (e.g. a derived table
+        # ``FROM (SELECT 1 x) t`` must not make an IF-arg at depth 1
+        # read as SELECT-list position — caught by the r11 battery).
+        j = pos
+        open_idx = -1
+        while j > 0:
+            j -= 1
+            if depth[j] < td - 1:
+                break
+            if mask[j] and sql[j] == "(" and depth[j] == td - 1:
+                open_idx = j
+                break
+        last: str | None = None
+        stack: list[tuple[str | None, int]] = []
+        for k in clause_kws:
+            if k.start() >= pos:
+                break
+            if k.start() <= open_idx or depth[k.start()] != td:
+                continue
+            kw = k.group(1).upper()
+            if kw == "CASE":
+                stack.append((last, k.start()))
+                last = "CASE"
+            elif kw == "END":
+                last = stack.pop()[0] if stack else last
+            else:
+                last = kw
+        if last in ("THEN", "ELSE"):
+            if not stack:
+                return False
+            pos = stack[-1][1]  # branch result: inherit the CASE's slot
             continue
-        kw = k.group(1).upper()
-        if kw == "CASE":
-            stack.append(last)
-            last = "CASE"
-        elif kw == "END":
-            last = stack.pop() if stack else last
-        else:
-            last = kw
-    return last
+        if last in ("WHEN", "CASE"):
+            return False  # condition slot / simple-CASE subject
+        if last is not None:
+            return last in _VALUE_CLAUSE_KWS
+        # No clause keyword in this paren group before pos.
+        if open_idx <= 0:
+            return False  # statement head / malformed: conservative
+        m = re.search(r"[A-Za-z_][\w.]*\s*$", sql[:open_idx])
+        head = m.group(0).strip().upper() if m else ""
+        if head == "IF":
+            # IF mirrors CASE: arg 0 is the condition (always 2VL);
+            # branch args inherit the IF call's own position.
+            commas = sum(
+                1
+                for i in range(open_idx + 1, pos)
+                if mask[i] and sql[i] == "," and depth[i] == td
+            )
+            if commas == 0:
+                return False
+            pos = m.start()
+            continue
+        if head and head not in _NONCALL_HEADS:
+            return True  # ordinary function argument: value position
+        pos = open_idx  # plain / keyword-guarded parens: look outward
+    return False
 
 
 def _rewrite_composite_eq(sql: str) -> str:
     """Decompose ``=`` / ``<>`` / ``!=`` / ``==`` over composite
     constructors into the element-wise sequential 3VL form — but ONLY
     where DuckDB itself evaluates 3VL (probed, context-split in 1.x):
-    VALUE positions (the SELECT list) and PURE-CONSTANT comparisons
-    anywhere (constant-folded before planning). In boolean-consumption
-    positions (WHERE / HAVING / CASE-WHEN / ON) DuckDB's filter path
-    uses the total-order 2VL comparison with NULL elements comparing
-    equal — which is exactly Spark's native composite ``=``, so those
-    stay untouched. SELECT-shaped statements only: in UPDATE / MERGE /
-    OPTIONS contexts ``=`` is assignment."""
+    VALUE positions per ``_value_position`` (SELECT list, CASE/IF
+    branch results whose CASE sits in a value slot, any ordinary
+    function argument even under WHERE, GROUP/ORDER BY) and
+    PURE-CONSTANT comparisons anywhere (constant-folded before
+    planning). On the boolean-condition spine (WHERE / HAVING / ON /
+    QUALIFY bare or through NOT/AND/OR, CASE-WHEN / IF cond slots)
+    DuckDB's filter path uses the total-order 2VL comparison with
+    NULL elements comparing equal — exactly Spark's native composite
+    ``=``, so those stay untouched. Known residue: DuckDB folds
+    derived-table literal columns (``FROM (SELECT 1 x)``) into
+    constants and goes 3VL even on the filter spine — optimizer-
+    dependent, not reproducible statically (NOTES r11). SELECT-shaped
+    statements only: in UPDATE / MERGE / OPTIONS ``=`` is
+    assignment."""
     if _CMP_OP_RE.search(sql) is None:
         return sql
     if _COMP_STMT_HEAD_RE.match(sql) is None:
@@ -8407,7 +8740,7 @@ def _rewrite_composite_eq(sql: str) -> str:
         lt, rt = _parse_composite(lhs), _parse_composite(rhs)
         if lt is None and rt is None:
             continue
-        if _clause_position(sql, mask, clause_kws, depth, m.start()) != "SELECT":
+        if not _value_position(sql, mask, clause_kws, depth, m.start()):
             lc = _tree_is_const(lt) or _is_null_lit(lhs.strip())
             rc = _tree_is_const(rt) or _is_null_lit(rhs.strip())
             if not (lc and rc):
@@ -8461,7 +8794,7 @@ def _rewrite_composite_in(sql: str) -> str:
         if nt is None:
             continue
         in_proj = (
-            _clause_position(sql, mask, clause_kws, depth, ls) == "SELECT"
+            _value_position(sql, mask, clause_kws, depth, ls)
         )
         if not in_proj and not _tree_is_const(nt):
             continue
@@ -8588,6 +8921,9 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_window_exclude(sql)  # frame EXCLUDE / GROUPS refusal
     sql = _rewrite_asof_join(sql)  # before QUALIFY: it wraps FROM in a subquery
     sql = _rewrite_qualify(sql)
+    sql = _rewrite_decimal_div(sql)  # duck '/' is ALWAYS double —
+    # after '/'-emitting passes (// fractional), BEFORE div_zero hides
+    # decimal denominators inside nullif()
     sql = _rewrite_div_zero(sql)  # after every '/'-emitting pass
     sql = _rewrite_composite_eq(sql)  # after every literal-translating
     sql = _rewrite_composite_in(sql)  # pass (array/named_struct heads)

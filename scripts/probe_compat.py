@@ -795,6 +795,31 @@ BATTERY: dict[str, list[str]] = {
         "SELECT map_entries(map([1, 2], ['a', 'b'])) AS e",
         "CHECKPOINT",
     ],
+    "r11_decimal": [
+        # DuckDB '/' is ALWAYS double; avg(DECIMAL) is double (Spark:
+        # DECIMAL with its own scale rules — trailing-zero text).
+        # decimal sweep, r11 second session.
+        "CREATE OR REPLACE TABLE probe_dec AS SELECT"
+        " CAST(k AS INT) AS k, CAST(p AS DECIMAL(12,2)) AS p,"
+        " CAST(q AS DECIMAL(10,4)) AS q FROM (VALUES"
+        " (1, 10.25, 0.1234), (2, 3.50, 2.0000), (3, 7.33, NULL))"
+        " v(k, p, q)",
+        "SELECT 1.0/3.0 AS a, 1/3 AS b, 7/2 AS c, -7/2 AS d",
+        "SELECT CAST(1.23 AS DECIMAL(10,2)) / CAST(0.7 AS DECIMAL(10,2)) AS v",
+        "SELECT 1.5::DECIMAL(20,10) / 7 AS v",
+        "SELECT (1.5 + 2.5) / 2 AS v, 7.5 // 2 AS w, -7.55 // 2 AS x",
+        "SELECT k, p / 7 AS a, p / q AS b FROM probe_dec ORDER BY k",
+        "SELECT sum(p) / count(*) AS v FROM probe_dec",
+        "SELECT avg(p) AS a, avg(DISTINCT p) AS ad, mean(q) AS m"
+        " FROM probe_dec",
+        "SELECT sum(p) AS sp, min(p) AS mn, max(p) AS mx FROM probe_dec",
+        "SELECT p % 2 AS v FROM probe_dec ORDER BY k",
+        "SELECT 123.456 % 2.5 AS a, 10.0 % 3 AS b",
+        "SELECT k, p * q AS v FROM probe_dec ORDER BY k",
+        "SELECT p + q AS v FROM probe_dec ORDER BY k",
+        "SELECT round(p, 1) AS v FROM probe_dec ORDER BY k",
+        "SELECT 0.1 + 0.2 AS v",
+    ],
     "r10_varchar_family": [
         # DuckDB: TEXT/STRING/[N]VARCHAR/[BP]CHAR/CHARACTER [VARYING]
         # are ONE length-less type; any (n) is parsed then IGNORED

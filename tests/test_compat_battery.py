@@ -84,6 +84,13 @@ BATTERY = [
     "SELECT bar(3, 0, 10, 10) AS b1, bar(3.3, 0, 10, 10) AS b2, bar(0, 0, 10, 10) AS b3, bar(5, 0, 10) AS b4",
     "SELECT translate('abc', 'ab', 'xy') AS tr",
     "SELECT position('b' IN 'abc') AS p, instr('hello', 'll') AS i2, strpos('hello', 'll') AS sp2",
+    # ---- decimal arithmetic (r11 sweep): duck '/' is ALWAYS double,
+    # Spark keeps DECIMAL scale rules; '//' on fractionals is plain
+    # division; decimal +/-/*/% keep duck's scale text
+    "SELECT 1.0/3.0 AS a, 1/3 AS b, 7/2 AS c",
+    "SELECT CAST(1.23 AS DECIMAL(10,2)) / CAST(0.7 AS DECIMAL(10,2)) AS v",
+    "SELECT 1.5::DECIMAL(20,10) / 7 AS v1, (1.5 + 2.5) / 2 AS v2",
+    "SELECT 123.456 % 2.5 AS a, 10.0 % 3 AS b, 1.23 * 4.56789 AS c",
     # ---- numerics
     "SELECT log(100) AS l1, log(2, 8) AS l2, ln(100) AS l3, log2(8) AS l4, log10(1000) AS l5",
     "SELECT trunc(1.9) AS t1, trunc(-1.9) AS t2",
@@ -634,6 +641,35 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT 1 AS one WHERE [1,NULL] = [1,NULL]",
     "SELECT 1 AS one WHERE (1,NULL) = (1,NULL)",
     "SELECT 1 AS one WHERE [1,2] = [1,2]",
+    # --- r11 second-review positional matrix (probed): condition-ness
+    # flows through NOT/AND/OR/parens and CASE/IF BRANCH RESULTS;
+    # ordinary function args are value positions even under WHERE ---
+    "SELECT k, CASE WHEN TRUE THEN a = b END AS v FROM probe_ctx ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE CASE WHEN TRUE THEN a = b END ORDER BY k",
+    "SELECT k, coalesce(a = b, FALSE) AS v FROM probe_ctx ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE coalesce(a = b, FALSE) ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE IF(a = b, 1, 0) = 1 ORDER BY k",
+    "SELECT k, IF(a = b, 'y', 'n') AS v FROM probe_ctx ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE IF(TRUE, a = b, NULL) ORDER BY k",
+    "SELECT k, NOT (a = b) AS v FROM probe_ctx ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE NOT (a = b) ORDER BY k",
+    "SELECT k, (a = b) AND TRUE AS v FROM probe_ctx ORDER BY k",
+    "SELECT k, [a = b] AS v FROM probe_ctx ORDER BY k",
+    "SELECT coalesce((a = b)::VARCHAR, 'null') AS v, count(*) AS c"
+    " FROM probe_ctx GROUP BY 1",
+    "SELECT k, coalesce(CASE WHEN TRUE THEN a = b END, FALSE) AS v"
+    " FROM probe_ctx ORDER BY k",
+    # sibling derived-table SELECT at the same paren depth must not
+    # leak into the position walk (the IF-cond stays 2VL)
+    "SELECT count(*) AS c FROM (SELECT a, b FROM probe_ctx) s"
+    " WHERE IF(a = b, 1, 0) = 1",
+    # unbalanced paren inside a string literal near the comparison
+    "SELECT k, 'a)' AS s, a = b AS v FROM probe_ctx ORDER BY k",
+    # IN-subquery positional forms
+    "SELECT k, CASE WHEN TRUE THEN k IN (SELECT NULL::INT) END AS v"
+    " FROM probe_ctx ORDER BY k",
+    "SELECT count(*) AS c FROM probe_ctx"
+    " WHERE coalesce(k IN (SELECT NULL::INT), TRUE)",
 ]
 
 
@@ -659,3 +695,34 @@ def test_composite_context_split_matches_duckdb(spark, oracle):
         if want != have:
             failures.append((sql, f"want {want!r} got {have!r}"))
     assert not failures, "\n".join(f"{s}\n    {m}" for s, m in failures)
+
+
+def test_schema_rewrites_cross_table_clash_guard(spark):
+    """A joined table's same-named column of a DIFFERENT type kind
+    must not inherit another table's schema-gated rewrite (t1.v
+    ARRAY<FLOAT> + t2.v DOUBLE: v drops out of f32/complex/double
+    sets — review r11 second pass), while single-table statements
+    keep rewriting."""
+    from duckdb_pgwire_spark.server.app import _hugeint_sums
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW clash_t1 AS"
+        " SELECT 1 AS k, array(CAST(1.5 AS FLOAT)) AS v"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW clash_t2 AS"
+        " SELECT 1 AS k, CAST(2.7 AS DOUBLE) AS v"
+    )
+    joined = _hugeint_sums(
+        spark,
+        rewrite(
+            "SELECT CAST(clash_t2.v AS VARCHAR) AS s,"
+            " floor(clash_t2.v) AS f FROM clash_t1"
+            " JOIN clash_t2 ON clash_t1.k = clash_t2.k"
+        ),
+    )
+    assert "duck_varchar_f32" not in joined, joined
+    single = _hugeint_sums(
+        spark, rewrite("SELECT CAST(v AS VARCHAR) AS s FROM clash_t1")
+    )
+    assert "duck_varchar_f32" in single, single

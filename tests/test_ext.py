@@ -935,3 +935,29 @@ def test_jpegcodec_round_trips_and_refusals():
         decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05aaa\xff\xd9")
     with _pytest.raises(ValueError):
         decode_jpeg(b"GIF89a not a jpeg")
+
+    # undeclared quant table (DQT stripped) is the corrupt-payload
+    # class, not a KeyError leak that would kill a mapInPandas task
+    full = encode_jpeg_gray(8, 8, [9] * 64, flat_q=1)
+    i = full.find(b"\xff\xdb")
+    seg_len = int.from_bytes(full[i + 2 : i + 4], "big")
+    with _pytest.raises(ValueError):
+        decode_jpeg(full[:i] + full[i + 2 + seg_len :])
+
+    # the mm_jpeg_decode FIXTURES must actually carry restart markers
+    # on the wide shapes (review r11: the old %3==0 gate forced w=8,
+    # too few MCUs for the encoder to ever emit RSTn — the resync
+    # path went untested)
+    from duckdb_pgwire_spark.ext.multimodal import _mm_fixture_jpeg
+
+    rst = [bytes([0xFF, 0xD0 + k]) for k in range(8)]
+    assert any(
+        m in _mm_fixture_jpeg(doc_id)
+        for doc_id in (2, 5, 8, 11)
+        for m in rst
+    )
+    for doc_id in (2, 5):
+        img2 = decode_jpeg(_mm_fixture_jpeg(doc_id))
+        w2, h2 = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+        v, v2 = (doc_id * 37) % 256, (doc_id * 11) % 256
+        assert sum(img2.gray) == 64 * v2 + (w2 * h2 - 64) * v
