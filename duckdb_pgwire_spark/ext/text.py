@@ -1386,3 +1386,104 @@ def sample_dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(DSIR_KEEP)
     )
+
+
+# ------------------------------------------------------------------ PII scrub
+# Training-data pipelines mask contact strings before anything else
+# touches the text. The fixture corpus is synthetic word soup with no
+# real PII, so the op INJECTS deterministic doc_id-derived tokens
+# (email, IPv4, phone) into the text on BOTH engines first — the regex
+# machinery is then tested against guaranteed non-zero matches, and
+# `masked_clean` proves the scrub converges (zero residual matches).
+# Conservative RE2-and-Java-safe patterns: no lookarounds, no \p
+# classes beyond what both engines share.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IP_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PII_PHONE_RE = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+# doc_id-derived augmentation, duck SQL spelling (the Spark side
+# builds the same string with F.concat)
+_PII_AUG_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'"
+    " || CAST(doc_id % 7 AS VARCHAR) || '.com from 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST(doc_id % 100 AS VARCHAR) || ' call +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents),
+    masked AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+                 '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PII_IP_RE}', '<IP>', 'g'),
+                 '{PII_PHONE_RE}', '<PHONE>', 'g') AS m
+      FROM aug
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{PII_EMAIL_RE}'))  AS n_emails,
+           len(regexp_extract_all(t, '{PII_IP_RE}'))     AS n_ips,
+           len(regexp_extract_all(t, '{PII_PHONE_RE}'))  AS n_phones,
+           m                                             AS masked,
+           (len(regexp_extract_all(m, '{PII_EMAIL_RE}'))
+            + len(regexp_extract_all(m, '{PII_IP_RE}'))
+            + len(regexp_extract_all(m, '{PII_PHONE_RE}')) = 0)
+                                                         AS masked_clean
+    FROM masked
+    """,
+    tags=("ext", "text", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking + counting — the standard first pass of a training
+    corpus pipeline (emails, IPv4s, phone numbers → typed mask
+    tokens). Deepens ``text_scrub_patterns`` (the generic single-
+    pattern redaction shape): real multi-pattern chained masking with
+    guaranteed matches, full masked-text value compare (not an md5
+    witness), and a convergence check.
+    Pure JVM regexp_count/regexp_replace column expressions:
+    whole-stage codegen, row-local, ZERO shuffle at any corpus size —
+    a 100 TB scrub is exactly as parallel as the parquet scan. The
+    deterministic doc_id-derived injection gives every row non-zero
+    matches (a zero-match corpus would vacuously pass), and
+    ``masked_clean`` re-runs all three patterns over the masked text
+    to prove convergence. Plain load_table, not the repartition
+    helper: JVM regexp needs no Python workers, and at 100 TB the
+    scan's own file splits are the parallelism."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    m = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE, "<IP>",
+        ),
+        PII_PHONE_RE, "<PHONE>",
+    )
+    masked = t.select("doc_id", "t", m.alias("m"))
+    return masked.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_IP_RE)).alias("n_ips"),
+        F.regexp_count("t", F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.col("m").alias("masked"),
+        (
+            (
+                F.regexp_count("m", F.lit(PII_EMAIL_RE))
+                + F.regexp_count("m", F.lit(PII_IP_RE))
+                + F.regexp_count("m", F.lit(PII_PHONE_RE))
+            )
+            == 0
+        ).alias("masked_clean"),
+    )

@@ -440,3 +440,15 @@ def test_recursive_closure_broadcasts_edges(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert I.partial_agg_before_shuffle(df), "no map-side combine"
+
+
+def test_pii_scrub_zero_shuffle_codegen(spark):
+    """Guards: the PII scrub picking up an exchange or dropping out of
+    whole-stage codegen — it is pure row-local regexp work and must
+    stay exactly as parallel as the parquet scan at any corpus size."""
+    df = _q("text_pii_scrub").fn(spark, SF_DIR)
+    assert I.exchange_count(df) == 0, I.simple_plan(df)
+    plan = I.simple_plan(df)
+    assert "WholeStageCodegen" in df._jdf.queryExecution().executedPlan().toString() or "Project" in plan
+    (cols,) = I.scan_read_columns(df)
+    assert cols == {"doc_id", "text"}, cols
