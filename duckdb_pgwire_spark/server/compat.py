@@ -7055,6 +7055,51 @@ def _rewrite_agg_order_by(sql: str) -> str:
     return sql
 
 
+_CASE_FN_RE = re.compile(
+    r"(?<![\w.])(upper|ucase|lower|lcase)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_case_fns(sql: str) -> str:
+    """DuckDB's upper()/lower() are the Unicode SIMPLE 1:1 mapping;
+    Spark's compile to Java's FULL mapping with expansions (ß→SS,
+    ﬁ→FI, Greek iota subscripts) and context-sensitive final sigma
+    (probed r11, string-edges family). Sandwich the call between
+    translate()s over the generated divergence tables
+    (server/casefold.py) — stays JVM-side, no UDF. USER-ONLY pass
+    (runs early): later passes that emit upper/lower were validated
+    with Java semantics."""
+    if _CASE_FN_RE.search(sql) is None:
+        return sql
+    from .casefold import wrap_case_call
+
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    for m in _CASE_FN_RE.finditer(sql):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        dpt, i = 1, m.end()
+        while i < len(sql) and dpt:
+            if mask[i]:
+                if sql[i] == "(":
+                    dpt += 1
+                elif sql[i] == ")":
+                    dpt -= 1
+            i += 1
+        if dpt:
+            continue
+        arg = sql[m.end() : i - 1].strip()
+        if not arg or len(split_top_level(arg)) != 1:
+            continue  # not the unary form — leave for the analyzer
+        fn = "upper" if m.group(1).lower() in ("upper", "ucase") else "lower"
+        out.append(sql[pos : m.start()])
+        out.append(wrap_case_call(fn, arg))
+        pos = i
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_format(sql: str) -> str:
     """DuckDB ``format('fmtlib...', args)`` → ``format_string('printf',
     args)`` for literal format strings covering the fmtlib subset
@@ -7112,6 +7157,13 @@ def _rewrite_format(sql: str) -> str:
             repl = (
                 f"format_string('{printf.replace(chr(39), chr(39) * 2)}', "
                 f"{', '.join(rest)})"
+            )
+            # duck format() is NULL on ANY NULL argument (probed r11);
+            # Java's formatter renders the text 'null'
+            nullc = " OR ".join(f"({a}) IS NULL" for a in args[1:])
+            repl = (
+                f"(CASE WHEN {nullc} THEN CAST(NULL AS STRING)"
+                f" ELSE {repl} END)"
             )
         else:
             # no arguments: emit the formatted text directly — undo the
@@ -7179,6 +7231,13 @@ def _rewrite_printf(sql: str) -> str:
         repl = f"format_string('{fmt}'" + (
             ", " + ", ".join(rest) + ")" if rest else ")"
         )
+        if args[1:]:
+            # duck printf() is NULL on ANY NULL argument (probed r11)
+            nullc = " OR ".join(f"({a}) IS NULL" for a in args[1:])
+            repl = (
+                f"(CASE WHEN {nullc} THEN CAST(NULL AS STRING)"
+                f" ELSE {repl} END)"
+            )
         sql = sql[: m.start()] + repl + sql[i:]
     return sql
 
@@ -7648,6 +7707,54 @@ def rewrite_decimal_avg(sql: str, dec_cols: set) -> str:
         out.append(sql[pos : m.end()])
         out.append(f"{prefix}CAST({core} AS DOUBLE)")
         pos = i - 1
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+_ILIKE_OP_RE = re.compile(r"\b(NOT\s+)?ILIKE\b", re.IGNORECASE)
+
+
+def _rewrite_ilike_fold(sql: str) -> str:
+    """DuckDB's ILIKE folds with the Unicode SIMPLE mapping
+    ('İ' ILIKE 'i' is true); Spark's ILIKE lowercases with Java's
+    FULL mapping ('İ' → 'i̇', no match) — probed r11 string-edges.
+    Rewrite ``a [NOT] ILIKE b [ESCAPE e]`` into duck-simple-lowered
+    LIKE via the casefold translate sandwich on BOTH sides. LATE,
+    all-inclusive pass: the operator pass (~~*) and ilike_escape
+    template emit ILIKE of their own."""
+    if re.search(r"\bILIKE\b", sql, re.IGNORECASE) is None:
+        return sql
+    from .casefold import wrap_case_call
+
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    for m in _ILIKE_OP_RE.finditer(sql):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        re_ = _scan_right_operand(sql, segs, m.end())
+        if ls >= m.start() or re_ <= m.end():
+            continue
+        lhs = sql[ls : m.start()].strip()
+        rhs = sql[m.end() : re_].strip()
+        tail = ""
+        em = re.match(r"\s+ESCAPE\b", sql[re_:], re.IGNORECASE)
+        end = re_
+        if em:
+            ee = _scan_right_operand(sql, segs, re_ + em.end())
+            if ee > re_ + em.end():
+                tail = " " + sql[re_ + em.end() : ee].strip()
+                tail = f" ESCAPE{tail}"
+                end = ee
+        neg = "NOT " if m.group(1) else ""
+        out.append(sql[pos:ls])
+        out.append(
+            f"({wrap_case_call('lower', lhs)} {neg}LIKE"
+            f" {wrap_case_call('lower', rhs)}{tail})"
+        )
+        pos = end
     out.append(sql[pos:])
     return "".join(out)
 
@@ -8853,6 +8960,8 @@ def rewrite(sql: str) -> str:
     # BEFORE any pass emits Spark-semantics filter/transform lambdas
     sql = _rewrite_concat_double_lits(sql)  # eE literals in concat/||
     # take DuckDB's shortest-round-trip text BEFORE concat rewrites
+    sql = _rewrite_case_fns(sql)  # user upper/lower only — duck simple
+    # case mapping; BEFORE any pass emits Java-semantics upper/lower
     sql = _rewrite_concat_null_skip(sql)  # user concat only — BEFORE any
     # pass emits Spark-native concat (RLIKE anchors, split templates)
     sql = _rewrite_date_literal_diff(sql)  # before '-' reaches Spark
@@ -8921,6 +9030,8 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_window_exclude(sql)  # frame EXCLUDE / GROUPS refusal
     sql = _rewrite_asof_join(sql)  # before QUALIFY: it wraps FROM in a subquery
     sql = _rewrite_qualify(sql)
+    sql = _rewrite_ilike_fold(sql)  # duck ILIKE = simple-fold LIKE —
+    # after the ~~*/ilike_escape emitters
     sql = _rewrite_decimal_div(sql)  # duck '/' is ALWAYS double —
     # after '/'-emitting passes (// fractional), BEFORE div_zero hides
     # decimal denominators inside nullif()

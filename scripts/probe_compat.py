@@ -795,6 +795,45 @@ BATTERY: dict[str, list[str]] = {
         "SELECT map_entries(map([1, 2], ['a', 'b'])) AS e",
         "CHECKPOINT",
     ],
+    "r11_string_edges": [
+        # argument-edge defaults: negative lengths/counts, empty
+        # separators/pads, special-casing, reversed-order trim args
+        "SELECT substring('hello', 3, -1) AS a, substr('hello', 2, -5) AS b",
+        "SELECT substring('hello', -3, 2) AS a, substring('hello', 0, 2) AS b",
+        "SELECT repeat('ab', -1) AS a, repeat('ab', 0) AS b",
+        "SELECT lpad('abc', 2, 'x') AS a, lpad('abc', -1, 'x') AS b,"
+        " rpad('ab', 5, 'xy') AS c",
+        "SELECT trim('xxhixx', 'x') AS a, ltrim('xxhix', 'x') AS b,"
+        " rtrim('xhixx', 'x') AS c",
+        "SELECT upper('stra\u00dfe') AS a, lower('STRA\u1e9eE') AS b",
+        # simple-vs-full case mapping: ligatures, iota subscripts,
+        # final sigma context, dotted capital I, aliases, nesting
+        "SELECT upper('\ufb01le \ufb00 \u1e9a') AS a,"
+        " upper('\u1f80\u1fb3\u1fc3') AS b",
+        "SELECT lower('\u039f\u03a3 \u03a3\u039f\u03a3') AS a,"
+        " lower('\u0130stanbul') AS b",
+        "SELECT ucase('gro\u00df') AS a, lcase('GRO\u1e9e') AS b",
+        "SELECT upper(concat('stra', '\u00dfe')) AS a,"
+        " length(upper('stra\u00dfe')) AS n",
+        "SELECT k FROM (VALUES (1)) t(k) WHERE upper('\u00df') = '\u1e9e'",
+        "SELECT '\u00df' ILIKE '\u1e9e' AS a, 'SS' ILIKE '\u00df' AS b,"
+        " 'STRA\u1e9eE' ILIKE 'stra\u00dfe' AS c,"
+        " 'STRASSE' ILIKE 'stra\u00dfe' AS d",
+        "SELECT '\u0130' ILIKE 'i' AS a, '\u00e9' ILIKE '\u00c9' AS b,"
+        " 'abc' ILIKE 'A%' AS c",
+        "SELECT split_part('a,b', ',', -1) AS a, split_part('a,b', ',', 5) AS b,"
+        " split_part('', ',', 1) AS c",
+        "SELECT string_split('', ',') AS a, string_split('a', '') AS b,"
+        " string_split('a,,b', ',') AS c",
+        "SELECT concat_ws(',', 'a', NULL, 'b') AS a, concat_ws(NULL, 'a', 'b') AS b",
+        "SELECT left('abc', 5) AS a, right('abc', 5) AS b,"
+        " left('abc', -1) AS c, right('abc', -1) AS d",
+        "SELECT replace('aaa', '', 'b') AS a, contains('abc', '') AS b,"
+        " strpos('abc', '') AS c",
+        "SELECT reverse('h\u00e9llo') AS a, ascii('\u20ac') AS b",
+        "SELECT regexp_extract('abc', '') AS a, regexp_matches('abc', '') AS b",
+        "SELECT md5('') AS a, format('{}', NULL) AS b",
+    ],
     "r11_decimal": [
         # DuckDB '/' is ALWAYS double; avg(DECIMAL) is double (Spark:
         # DECIMAL with its own scale rules — trailing-zero text).

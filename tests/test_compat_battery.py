@@ -84,6 +84,20 @@ BATTERY = [
     "SELECT bar(3, 0, 10, 10) AS b1, bar(3.3, 0, 10, 10) AS b2, bar(0, 0, 10, 10) AS b3, bar(5, 0, 10) AS b4",
     "SELECT translate('abc', 'ab', 'xy') AS tr",
     "SELECT position('b' IN 'abc') AS p, instr('hello', 'll') AS i2, strpos('hello', 'll') AS sp2",
+    # ---- case mapping (r11 string-edges): duck upper/lower are the
+    # Unicode SIMPLE 1:1 mapping; Java's full mapping expands ß→SS,
+    # ligatures→FI, iota subscripts, and final sigma — the translate
+    # sandwich (server/casefold.py) must reproduce duck exactly
+    "SELECT upper('straße') AS a, lower('STRAẞE') AS b",
+    "SELECT upper('ﬁle ﬀ ẚ') AS a,"
+    " upper('ᾀᾳῃ') AS b",
+    "SELECT lower('ΟΣ ΣΟΣ') AS a,"
+    " lower('İstanbul') AS b",
+    "SELECT ucase('groß') AS a, lcase('GROẞ') AS b,"
+    " upper(concat('stra', 'ße')) AS c",
+    # format/printf are NULL on ANY NULL argument (not the text 'null')
+    "SELECT format('{} {}', 1, NULL) AS a, printf('%d-%s', NULL, 'x') AS b,"
+    " format('{}', 'x') AS c",
     # ---- decimal arithmetic (r11 sweep): duck '/' is ALWAYS double,
     # Spark keeps DECIMAL scale rules; '//' on fractionals is plain
     # division; decimal +/-/*/% keep duck's scale text

@@ -1078,3 +1078,68 @@ def test_composite_eq_3vl_matches_duckdb(spark, expr):
         return  # duck rejects the shape pair; Spark may too — no oracle
     got = spark.sql(rewrite(sql)).collect()[0][0]
     assert got == want, (expr, rewrite(sql), got, want)
+
+
+_CASE_ALPHABET = (
+    "abcXYZ ß ẞ İ ı Σ σ ς é É ﬁ ﬂ ﬀ ŉ ǰ ẚ և ᾀ ᾈ ᾳ ῼ ΐ ΰ straße ΟΣ"
+).replace(" ", "")
+
+
+@given(
+    s=st.text(alphabet=_CASE_ALPHABET, min_size=0, max_size=12),
+    fn=st.sampled_from(["upper", "lower"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_case_mapping_fuzz_matches_duckdb(spark, s, fn):
+    """Random strings over the special-casing alphabet: upper/lower
+    through the translate sandwich must equal DuckDB's simple-mapping
+    answer exactly (ß/ligatures/iota-subscripts/final-sigma/İ are the
+    chars where Java's full mapping silently diverges)."""
+    import duckdb
+
+    lit = s.replace("'", "''")
+    sql = f"SELECT {fn}('{lit}') AS v"
+    want = duckdb.connect().execute(sql).fetchone()[0]
+    got = spark.sql(rewrite(sql)).collect()[0][0]
+    assert got == want, (s, fn, rewrite(sql), got, want)
+
+
+@st.composite
+def _decimal_div_case(draw):
+    def dec_lit():
+        whole = draw(st.integers(min_value=-999, max_value=999))
+        frac = draw(st.integers(min_value=0, max_value=9999))
+        return f"{whole}.{frac}"
+
+    lhs = dec_lit()
+    rhs = draw(st.sampled_from([dec_lit(), str(draw(st.integers(1, 9)))]))
+    op = draw(st.sampled_from(["/", "//", "%"]))
+    return f"{lhs} {op} {rhs}"
+
+
+@given(expr=_decimal_div_case())
+@settings(max_examples=60, deadline=None)
+def test_decimal_div_fuzz_matches_duckdb(spark, expr):
+    """Random decimal-literal /, //, % expressions: the duck-double
+    division rule must hold to float-repr precision (duck divides as
+    DOUBLE; Spark's native DECIMAL scale rules print different
+    digits)."""
+    import duckdb
+    import math
+
+    sql = f"SELECT {expr} AS v"
+    try:
+        want = duckdb.connect().execute(sql).fetchone()[0]
+    except Exception:
+        return  # duck rejects (e.g. % by zero handled as NULL, fine)
+    got = spark.sql(rewrite(sql)).collect()[0][0]
+    if want is None or got is None:
+        assert got == want, (expr, got, want)
+        return
+    wf, gf = float(want), float(got)
+    if math.isnan(wf) or math.isnan(gf):
+        assert math.isnan(wf) and math.isnan(gf), (expr, got, want)
+        return
+    assert repr(gf) == repr(wf) or abs(gf - wf) <= 1e-12 * max(
+        1.0, abs(wf)
+    ), (expr, rewrite(sql), got, want)
