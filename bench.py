@@ -128,6 +128,8 @@ HEADLINE = [
     "mm_audio_resample",
     "sim_knn_label_agreement",
     "text_strip_dup_spans",
+    # round-11 additions (DuckDB baselines in BASELINE.md r11 sub-table)
+    "text_pii_scrub",
 ]
 
 
