@@ -5123,6 +5123,20 @@ _NARY_REWRITES: dict = {
         "CAST(2 * ceil(abs(CAST({0} AS DOUBLE)) / 2) * "
         "(CASE WHEN ({0}) < 0 THEN -1 ELSE 1 END) AS DOUBLE)",
     ),
+    # DuckDB factorial returns HUGEINT for any n (n<=0 -> 1, n>33
+    # errors); Spark's factorial is NULL outside 0..20. A 34-entry
+    # DECIMAL(38,0) lookup (one SQL parse, no factorial() re-emission
+    # for the rescan loop to self-match) reproduces duck exactly
+    # (probed r11: factorial(-1)=1, factorial(33) fits HUGEINT,
+    # factorial(34) is Out of Range).
+    "factorial": (
+        1,
+        "(CASE WHEN ({0}) IS NULL THEN CAST(NULL AS DECIMAL(38,0))"
+        " WHEN ({0}) > 33 THEN CAST(raise_error('Out of Range Error:"
+        " Value out of range') AS DECIMAL(38,0))"
+        " ELSE element_at(array(CAST(\'1\' AS DECIMAL(38,0)), CAST(\'1\' AS DECIMAL(38,0)), CAST(\'2\' AS DECIMAL(38,0)), CAST(\'6\' AS DECIMAL(38,0)), CAST(\'24\' AS DECIMAL(38,0)), CAST(\'120\' AS DECIMAL(38,0)), CAST(\'720\' AS DECIMAL(38,0)), CAST(\'5040\' AS DECIMAL(38,0)), CAST(\'40320\' AS DECIMAL(38,0)), CAST(\'362880\' AS DECIMAL(38,0)), CAST(\'3628800\' AS DECIMAL(38,0)), CAST(\'39916800\' AS DECIMAL(38,0)), CAST(\'479001600\' AS DECIMAL(38,0)), CAST(\'6227020800\' AS DECIMAL(38,0)), CAST(\'87178291200\' AS DECIMAL(38,0)), CAST(\'1307674368000\' AS DECIMAL(38,0)), CAST(\'20922789888000\' AS DECIMAL(38,0)), CAST(\'355687428096000\' AS DECIMAL(38,0)), CAST(\'6402373705728000\' AS DECIMAL(38,0)), CAST(\'121645100408832000\' AS DECIMAL(38,0)), CAST(\'2432902008176640000\' AS DECIMAL(38,0)), CAST(\'51090942171709440000\' AS DECIMAL(38,0)), CAST(\'1124000727777607680000\' AS DECIMAL(38,0)), CAST(\'25852016738884976640000\' AS DECIMAL(38,0)), CAST(\'620448401733239439360000\' AS DECIMAL(38,0)), CAST(\'15511210043330985984000000\' AS DECIMAL(38,0)), CAST(\'403291461126605635584000000\' AS DECIMAL(38,0)), CAST(\'10888869450418352160768000000\' AS DECIMAL(38,0)), CAST(\'304888344611713860501504000000\' AS DECIMAL(38,0)), CAST(\'8841761993739701954543616000000\' AS DECIMAL(38,0)), CAST(\'265252859812191058636308480000000\' AS DECIMAL(38,0)), CAST(\'8222838654177922817725562880000000\' AS DECIMAL(38,0)), CAST(\'263130836933693530167218012160000000\' AS DECIMAL(38,0)), CAST(\'8683317618811886495518194401280000000\' AS DECIMAL(38,0))),"
+        " GREATEST(CAST({0} AS INT), 0) + 1) END)",
+    ),
     "setseed": (1, "CAST(NULL AS DOUBLE)"),  # no statement-scoped RNG seed
     # list_sort with literal direction / null-order args (probed:
     # default null order is NULLS LAST both directions; 1-arg form is

@@ -795,6 +795,35 @@ BATTERY: dict[str, list[str]] = {
         "SELECT map_entries(map([1, 2], ['a', 'b'])) AS e",
         "CHECKPOINT",
     ],
+    "r11_window_edges": [
+        "CREATE OR REPLACE TABLE probe_w AS SELECT * FROM (VALUES"
+        " (1, 10), (2, NULL), (3, 30), (4, NULL), (5, 50)) t(k, x)",
+        "SELECT k, first_value(x IGNORE NULLS) OVER (ORDER BY k) a,"
+        " last_value(x IGNORE NULLS) OVER (ORDER BY k) b"
+        " FROM probe_w ORDER BY k",
+        "SELECT k, lag(x IGNORE NULLS) OVER (ORDER BY k) a,"
+        " lead(x, -1) OVER (ORDER BY k) b FROM probe_w ORDER BY k",
+        "SELECT k, nth_value(x, 2) OVER (ORDER BY k) a"
+        " FROM probe_w ORDER BY k",
+        "SELECT k, rank() OVER (ORDER BY x NULLS FIRST) a,"
+        " percent_rank() OVER (ORDER BY x) b FROM probe_w ORDER BY k",
+    ],
+    "r11_overflow": [
+        # integer overflow is LOUD on both engines (duck Out of Range,
+        # Spark ANSI ARITHMETIC_OVERFLOW) — both_err is the parity
+        "SELECT 2147483647 + 1 AS v",
+        "SELECT 9223372036854775807 + 1 AS v",
+        "SELECT CAST(127 AS TINYINT) + CAST(1 AS TINYINT) AS v",
+        "SELECT 9223372036854775807 * 2 AS v",
+        "SELECT abs(CAST(-2147483648 AS INT)) AS v",
+        # factorial: HUGEINT everywhere, n<=0 -> 1, >33 errors
+        "SELECT factorial(21) AS a, factorial(0) AS b, factorial(-1) AS c",
+        "SELECT factorial(33) AS v",
+        "SELECT factorial(34) AS v",
+        "SELECT 21! AS v",
+        "SELECT factorial(NULL::INT) AS v",
+        "SELECT factorial(20) AS v",
+    ],
     "r11_string_edges": [
         # argument-edge defaults: negative lengths/counts, empty
         # separators/pads, special-casing, reversed-order trim args

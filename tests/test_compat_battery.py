@@ -112,6 +112,10 @@ BATTERY = [
     "SELECT gamma(5) AS g, lgamma(5) AS lg",
     "SELECT gcd(12, 18) AS g2, lcm(4, 6) AS l6",
     "SELECT factorial(5) AS fa",
+    # factorial is HUGEINT in duck: 21..33 exceed BIGINT (Spark's
+    # native factorial NULLs there), n<=0 is 1 (r11 overflow family)
+    "SELECT factorial(21) AS a, factorial(33) AS b,"
+    " factorial(0) AS c, factorial(-1) AS d, 22! AS e",
     "SELECT isnan('nan'::DOUBLE) AS n1, isinf('inf'::DOUBLE) AS n2, isfinite(1.0) AS n3",
     "SELECT bit_count(7) AS bc",
     "SELECT 10 & 6 AS ba, 10 | 6 AS bo, xor(10, 6) AS bx, 1 << 4 AS sl, 256 >> 4 AS sr2, ~5 AS bn",
