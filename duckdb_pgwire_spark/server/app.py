@@ -2979,7 +2979,14 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                 fields = session.table(name).schema.fields
             except Exception:  # noqa: BLE001 — file relations, typos: skip
                 continue
-            _SCHEMA_FIELDS_CACHE[name] = fields
+            # '__'-prefixed names are one-shot generated temp views
+            # (recursive-CTE frames) dropped right after use — caching
+            # them grows the memo unboundedly (ADVICE r11); the size
+            # bound is a backstop against out-of-band catalog churn
+            if not name.split(".")[-1].strip("`").startswith("__"):
+                if len(_SCHEMA_FIELDS_CACHE) >= 1024:
+                    _SCHEMA_FIELDS_CACHE.clear()
+                _SCHEMA_FIELDS_CACHE[name] = fields
         tbl_fields[name] = fields
         int_cols.update(
             f.name.lower() for f in fields if isinstance(f.dataType, int_types)

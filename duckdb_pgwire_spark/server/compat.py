@@ -7108,7 +7108,10 @@ def _rewrite_case_fns(sql: str) -> str:
             continue  # not the unary form — leave for the analyzer
         fn = "upper" if m.group(1).lower() in ("upper", "ucase") else "lower"
         out.append(sql[pos : m.start()])
-        out.append(wrap_case_call(fn, arg))
+        # recurse into the argument so NESTED upper/lower calls also get
+        # the simple-mapping sandwich (ADVICE r11: pos jumped past the
+        # whole span, leaving inner calls on Java full-mapping)
+        out.append(wrap_case_call(fn, _rewrite_case_fns(arg)))
         pos = i
     out.append(sql[pos:])
     return "".join(out)
@@ -7759,8 +7762,16 @@ def _rewrite_ilike_fold(sql: str) -> str:
         if em:
             ee = _scan_right_operand(sql, segs, re_ + em.end())
             if ee > re_ + em.end():
-                tail = " " + sql[re_ + em.end() : ee].strip()
-                tail = f" ESCAPE{tail}"
+                esc = sql[re_ + em.end() : ee].strip()
+                # the fold lowercases the whole pattern but must copy
+                # the ESCAPE literal verbatim — an alphabetic (or
+                # non-literal) escape char would no longer pair with
+                # its now-lowercased occurrences in the pattern body
+                # (ADVICE r11). Leave native ILIKE in that case.
+                lit = re.fullmatch(r"'((?:[^']|'')*)'", esc)
+                if lit is None or any(c.isalpha() for c in lit.group(1)):
+                    continue
+                tail = f" ESCAPE {esc}"
                 end = ee
         neg = "NOT " if m.group(1) else ""
         out.append(sql[pos:ls])
@@ -7927,6 +7938,64 @@ _COMPOSITE_HEAD_RE = re.compile(
 _COMP_STMT_HEAD_RE = re.compile(
     r"^\s*(?:SELECT|WITH|VALUES|TABLE|FROM|\()", re.IGNORECASE
 )
+# INSERT INTO … SELECT / CREATE TABLE|VIEW … AS SELECT carry a query
+# body whose projection persists rows — without the composite 3VL
+# passes, diverged values were written silently (ADVICE r11). UPDATE/
+# MERGE stay excluded: their '=' spellings are assignments, not
+# comparisons, and the SET/WHEN clause grammar would confuse the
+# operand scanners.
+_COMP_DML_HEAD_RE = re.compile(
+    r"^\s*(?:INSERT\s+(?:OR\s+(?:REPLACE|IGNORE)\s+)?INTO"
+    r"|CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+|LOCAL\s+)?"
+    r"(?:TEMP(?:ORARY)?\s+)?(?:TABLE|VIEW)\b)",
+    re.IGNORECASE,
+)
+_COMP_BODY_KW_RE = re.compile(r"\b(?:SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE)
+
+
+def _comp_body_offset(sql: str) -> int | None:
+    """Offset of the query body the composite/projection 3VL passes may
+    rewrite, or None when the statement carries none they should touch.
+    0 for plain queries; for INSERT INTO … SELECT and CREATE … AS
+    SELECT, the first depth-0 SELECT/WITH/VALUES/TABLE keyword after
+    the head (the INSERT column list and any CTAS parens sit inside
+    parens, so a depth-0 scan lands on the body)."""
+    if _COMP_STMT_HEAD_RE.match(sql) is not None:
+        return 0
+    hm = _COMP_DML_HEAD_RE.match(sql)
+    if hm is None:
+        return None
+    mask = _code_mask(sql)
+    depth = []
+    d = 0
+    for i, c in enumerate(sql):
+        depth.append(d)
+        if mask[i]:
+            if c == "(":
+                d += 1
+            elif c == ")":
+                d -= 1
+    start = hm.end()
+    if sql.lstrip()[:6].upper() == "CREATE":
+        # CTAS/view body begins after the depth-0 AS (column lists and
+        # OPTIONS sit inside parens)
+        as_m = next(
+            (
+                a
+                for a in re.finditer(r"\bAS\b", sql, re.IGNORECASE)
+                if a.start() >= start
+                and all(mask[a.start() : a.end()])
+                and depth[a.start()] == 0
+            ),
+            None,
+        )
+        if as_m is None:
+            return None
+        start = as_m.end()
+    for m in _COMP_BODY_KW_RE.finditer(sql, start):
+        if all(mask[m.start() : m.end()]) and depth[m.start()] == 0:
+            return m.start()
+    return None
 
 
 def _paren_spans_balanced(s: str) -> bool:
@@ -8329,8 +8398,11 @@ def _rewrite_projection_in_subq(sql: str) -> str:
     decides position (SELECT = projection)."""
     if re.search(r"\bIN\s*\(\s*(SELECT|WITH)\b", sql, re.IGNORECASE) is None:
         return sql
-    if _COMP_STMT_HEAD_RE.match(sql) is None:
+    off = _comp_body_offset(sql)
+    if off is None:
         return sql
+    if off:
+        return sql[:off] + _rewrite_projection_in_subq(sql[off:])
     segs = _abs_segments(sql)
     mask = _code_mask(sql)
     depth: list[int] = []
@@ -8522,8 +8594,11 @@ def rewrite_composite_col_eq(sql: str, complex_types: dict) -> str:
     has_in = re.search(r"\bIN\s*\(", sql, re.IGNORECASE) is not None
     if not has_eq and not has_in:
         return sql
-    if _COMP_STMT_HEAD_RE.match(sql) is None:
+    off = _comp_body_offset(sql)
+    if off is None:
         return sql
+    if off:
+        return sql[:off] + rewrite_composite_col_eq(sql[off:], complex_types)
     low = sql.lower()
     if not any(c in low for c in complex_types):
         return sql
@@ -8827,8 +8902,11 @@ def _rewrite_composite_eq(sql: str) -> str:
     assignment."""
     if _CMP_OP_RE.search(sql) is None:
         return sql
-    if _COMP_STMT_HEAD_RE.match(sql) is None:
+    off = _comp_body_offset(sql)
+    if off is None:
         return sql
+    if off:
+        return sql[:off] + _rewrite_composite_eq(sql[off:])
     if (
         _COMPOSITE_HEAD_RE.search(sql) is None
         and re.search(r"\)\s*(?:<>|!=|==|=)", sql) is None
@@ -8887,8 +8965,11 @@ def _rewrite_composite_in(sql: str) -> str:
     Spark's native 2VL, which matches DuckDB's filter path."""
     if re.search(r"\bIN\s*\(", sql, re.IGNORECASE) is None:
         return sql
-    if _COMP_STMT_HEAD_RE.match(sql) is None:
+    off = _comp_body_offset(sql)
+    if off is None:
         return sql
+    if off:
+        return sql[:off] + _rewrite_composite_in(sql[off:])
     segs = _abs_segments(sql)
     mask = _code_mask(sql)
     depth: list[int] = []

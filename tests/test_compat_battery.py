@@ -744,3 +744,73 @@ def test_schema_rewrites_cross_table_clash_guard(spark):
         spark, rewrite("SELECT CAST(v AS VARCHAR) AS s FROM clash_t1")
     )
     assert "duck_varchar_f32" in single, single
+
+
+# ---- ADVICE r11 regressions: nested case-fn rewrite, alphabetic
+# ILIKE ESCAPE guard (both value-compared vs DuckDB) ----
+ADVICE_R11_QUERIES = [
+    # nested upper/lower must BOTH get the simple-mapping sandwich
+    "SELECT upper(lower('İ')) AS a, lower(upper('ß')) AS b,"
+    " upper(lower(upper('ﬁ'))) AS c",
+    "SELECT upper(concat(lower('İ'), 'x')) AS a",
+    # alphabetic ESCAPE char: the lowercase fold must NOT run (the
+    # pattern body's escape pairs would shift case away from the
+    # verbatim ESCAPE literal) — native ILIKE matches duck on ASCII
+    "SELECT 'A%B' ILIKE 'aX%Xb' ESCAPE 'X' AS a,"
+    " 'aXb' ILIKE 'aX%' ESCAPE 'X' AS b",
+    # non-alphabetic escape keeps the unicode-correct fold
+    "SELECT 'a_b' ILIKE 'A!_%' ESCAPE '!' AS a,"
+    " 'İx' ILIKE 'i%' AS b",
+]
+
+
+def test_advice_r11_fixes_match_duckdb(spark, oracle):
+    register_udfs(spark)
+    failures = []
+    for sql in ADVICE_R11_QUERIES:
+        duck = oracle.execute(sql).fetchall()
+        got = [tuple(r) for r in spark.sql(rewrite(sql)).collect()]
+        want = sorted(_canon(r) for r in duck)
+        have = sorted(_canon(tuple(r)) for r in got)
+        if want != have:
+            failures.append((sql, f"want {want!r} got {have!r}"))
+    assert not failures, "\n".join(f"{s}\n    {m}" for s, m in failures)
+
+
+def test_composite_3vl_reaches_insert_and_ctas(spark, oracle):
+    """INSERT INTO … SELECT and CREATE TABLE AS SELECT bodies must get
+    the composite-equality / projection-IN 3VL passes (ADVICE r11: the
+    statement-head gate skipped them, persisting Spark-2VL values)."""
+    register_udfs(spark)
+    for s in ("comp_ins", "comp_ctas"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+        oracle.execute(f"DROP TABLE IF EXISTS {s}")
+    body = (
+        "SELECT [1,NULL] = [1,2] AS e, (1,NULL) = (1,NULL) AS s,"
+        " 1 IN (SELECT NULL) AS i"
+    )
+    oracle.execute(
+        "CREATE TABLE comp_ins(e BOOLEAN, s BOOLEAN, i BOOLEAN)"
+    )
+    oracle.execute(f"INSERT INTO comp_ins {body}")
+    oracle.execute(f"CREATE TABLE comp_ctas AS {body}")
+    spark.sql(
+        "CREATE TABLE comp_ins(e BOOLEAN, s BOOLEAN, i BOOLEAN)"
+        " USING parquet"
+    )
+    spark.sql(rewrite(f"INSERT INTO comp_ins {body}"))
+    spark.sql(rewrite(f"CREATE TABLE comp_ctas USING parquet AS {body}"))
+    try:
+        for t in ("comp_ins", "comp_ctas"):
+            want = sorted(
+                _canon(tuple(r))
+                for r in oracle.execute(f"SELECT * FROM {t}").fetchall()
+            )
+            have = sorted(
+                _canon(tuple(r))
+                for r in spark.sql(f"SELECT * FROM {t}").collect()
+            )
+            assert want == have, (t, want, have)
+    finally:
+        for s in ("comp_ins", "comp_ctas"):
+            spark.sql(f"DROP TABLE IF EXISTS {s}")
