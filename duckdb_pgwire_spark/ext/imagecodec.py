@@ -26,6 +26,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 __all__ = [
     "DecodedImage",
     "decode_bmp",
@@ -40,15 +42,18 @@ __all__ = [
 
 class DecodedImage:
     """Decoded raster: ``width``, ``height``, ``codec``, and ``gray`` —
-    top-down row-major 8-bit luma samples (list of ints, len w*h)."""
+    top-down row-major 8-bit luma samples as an int64 numpy array of
+    len w*h (r12: was list[int] — the numpy plane removes the ~10-50×
+    per-pixel Python constant the audio path shed in r11; values are
+    identical integers)."""
 
     __slots__ = ("width", "height", "codec", "gray")
 
-    def __init__(self, width: int, height: int, codec: str, gray: list[int]):
+    def __init__(self, width: int, height: int, codec: str, gray):
         self.width = width
         self.height = height
         self.codec = codec
-        self.gray = gray
+        self.gray = np.asarray(gray, dtype=np.int64).reshape(-1)
 
 
 def _luma(r: int, g: int, b: int) -> int:
@@ -131,18 +136,20 @@ def decode_bmp(payload: bytes) -> DecodedImage:
     need = data_off + row_size * height
     if len(payload) < need:
         raise ValueError("truncated BMP pixel array")
-    gray = [0] * (width * height)
-    for file_row in range(height):
-        y = file_row if top_down else height - 1 - file_row
-        base = data_off + file_row * row_size
-        for x in range(width):
-            p = base + x * bytes_pp
-            if bpp == 8:
-                gray[y * width + x] = palette[payload[p]]  # type: ignore[index]
-            else:  # 24/32-bit little-endian BGR(A)
-                b, g, r = payload[p], payload[p + 1], payload[p + 2]
-                gray[y * width + x] = _luma(r, g, b)
-    return DecodedImage(width, height, "bmp", gray)
+    rows = np.frombuffer(
+        payload, np.uint8, count=row_size * height, offset=data_off
+    ).reshape(height, row_size)
+    if bpp == 8:
+        pal = np.asarray(palette, dtype=np.int64)
+        idx = rows[:, :width].astype(np.int64)
+        g2 = pal[idx]
+    else:  # 24/32-bit little-endian BGR(A)
+        px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+        px = px.astype(np.int64)
+        g2 = (299 * px[:, :, 2] + 587 * px[:, :, 1] + 114 * px[:, :, 0]) // 1000
+    if not top_down:
+        g2 = g2[::-1]
+    return DecodedImage(width, height, "bmp", g2.reshape(-1))
 
 
 def decode_ppm(payload: bytes) -> DecodedImage:
@@ -179,23 +186,22 @@ def decode_ppm(payload: bytes) -> DecodedImage:
     bpc = 2 if wide else 1
     if len(payload) < i + width * height * chans * bpc:
         raise ValueError("truncated PPM raster")
-    gray = [0] * (width * height)
-    for k in range(width * height):
-        p = i + k * chans * bpc
-        if wide:
-            ch = [
-                (payload[p + 2 * c] << 8) | payload[p + 2 * c + 1]
-                for c in range(chans)
-            ]
-        else:
-            ch = [payload[p + c] for c in range(chans)]
-        if any(c > maxval for c in ch):
-            # a sample above maxval would scale past 255 and poison
-            # the 8-bit gray contract (code review r10) — malformed
-            # input refuses loudly like every other codec error
-            raise ValueError("PPM sample exceeds declared maxval")
-        v = _luma(*ch) if chans == 3 else ch[0]
-        gray[k] = v * 255 // maxval if maxval != 255 else v
+    n = width * height * chans
+    if wide:
+        ch = np.frombuffer(payload, ">u2", count=n, offset=i).astype(np.int64)
+    else:
+        ch = np.frombuffer(payload, np.uint8, count=n, offset=i).astype(np.int64)
+    ch = ch.reshape(-1, chans)
+    if (ch > maxval).any():
+        # a sample above maxval would scale past 255 and poison
+        # the 8-bit gray contract (code review r10) — malformed
+        # input refuses loudly like every other codec error
+        raise ValueError("PPM sample exceeds declared maxval")
+    if chans == 3:
+        v = (299 * ch[:, 0] + 587 * ch[:, 1] + 114 * ch[:, 2]) // 1000
+    else:
+        v = ch[:, 0]
+    gray = v * 255 // maxval if maxval != 255 else v
     return DecodedImage(width, height, "ppm" if chans == 3 else "pgm", gray)
 
 

@@ -2888,7 +2888,13 @@ _HAS_DATE_IVL_RE = re.compile(
 )
 _HAS_COLUMNS_RE = re.compile(r"(?<![\w.])COLUMNS\s*\(", re.IGNORECASE)
 _HAS_FLOORCEIL_RE = re.compile(r"\b(?:floor|ceil|ceiling)\s*\(", re.IGNORECASE)
-_HAS_CMP_RE = re.compile(r"<>|!=|==|(?<![<>!=:])=(?![=>])|\bIN\s*\(", re.IGNORECASE)
+_HAS_CMP_RE = re.compile(
+    # equality + IN, plus bare ordering ops (composite ordering leg,
+    # r12) — excludes <> <= => <=> :: lambda-> and shifts
+    r"<>|!=|==|(?<![<>!=:])=(?![=>])|\bIN\s*\("
+    r"|(?<![<>=!:\-|^&])(?:<=|>=|<|>)(?![<>=])",
+    re.IGNORECASE,
+)
 _HAS_VARCHAR_CAST_RE = re.compile(
     r"::\s*(?:VARCHAR|STRING|TEXT|BPCHAR|CHAR)\b"
     r"|\bAS\s+(?:VARCHAR|STRING|TEXT|BPCHAR|CHAR)\s*(?:\(\s*\d+\s*\))?\s*\)",
@@ -3155,7 +3161,10 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         for lowname in ambiguous:
             ctypes.pop(lowname, None)
         if ctypes:
+            from .compat import rewrite_composite_col_ord
+
             sql = rewrite_composite_col_eq(sql, ctypes)
+            sql = rewrite_composite_col_ord(sql, ctypes)
     if has_vc_cast and complex_cols:
         # composite column ::VARCHAR → DuckDB's text rendering (the
         # type-blind rewrite() pass covers constructor literals; this

@@ -1022,6 +1022,64 @@ def _scan_left_operand(sql: str, segs, end: int) -> int:
     return m.start() if m else end
 
 
+def _extend_postfix_cast(sql: str, segs, e: int) -> int:
+    """Extend an operand end index over any ``::type`` postfix casts
+    (``::`` binds tighter than every binary operator): dotted type
+    name, optional ``(args)``, repeated duck array suffix ``[]`` —
+    themselves repeatable (``x::INT::VARCHAR``). Without this the
+    right-operand scan stopped at ``NULL`` in ``a = NULL::INT[]`` and
+    rewrites spliced mid-cast (r12 find, hit by the ordering pass)."""
+    n = len(sql)
+    while True:
+        k = e
+        while k < n and sql[k].isspace():
+            k += 1
+        if not sql.startswith("::", k) or _seg_at(segs, k)[0] != "code":
+            return e
+        k += 2
+        while k < n and sql[k].isspace():
+            k += 1
+        m = re.match(r"[\w.]+", sql[k:])
+        if not m:
+            return e
+        generic = m.group(0).upper() in ("ARRAY", "MAP", "STRUCT")
+        k += m.end()
+        while True:
+            j = k
+            while j < n and sql[j].isspace():
+                j += 1
+            if j < n and sql[j] == "(":
+                w = _walk_brackets_fwd(sql, segs, j)
+                if w <= 0:
+                    break
+                k = w
+                continue
+            if sql.startswith("[]", j):
+                k = j + 2
+                continue
+            if generic and j == k and j < n and sql[j] == "<":
+                # Spark-style generic suffix (ARRAY<INT>, emitted by the
+                # earlier duck-[]-type translation): only ARRAY/MAP/
+                # STRUCT, and only when the '<' touches the word — a
+                # spaced '<' after a scalar cast is a comparison
+                dpt, w = 0, j
+                while w < n:
+                    if _seg_at(segs, w)[0] == "code":
+                        if sql[w] == "<":
+                            dpt += 1
+                        elif sql[w] == ">":
+                            dpt -= 1
+                            if dpt == 0:
+                                break
+                    w += 1
+                if w >= n or dpt:
+                    break
+                k = w + 1
+                continue
+            break
+        e = k
+
+
 def _scan_right_operand(sql: str, segs, start: int) -> int:
     """End index (exclusive) of the tightest value expression starting
     at/after ``start``: optional sign, then literal / paren group /
@@ -1039,10 +1097,10 @@ def _scan_right_operand(sql: str, segs, start: int) -> int:
         return start
     kind, _a, b = _seg_at(segs, i)
     if kind == "lit":
-        return b
+        return _extend_postfix_cast(sql, segs, b)
     if sql[i] == "(":
         j = _walk_brackets_fwd(sql, segs, i)
-        return j if j > 0 else start
+        return _extend_postfix_cast(sql, segs, j) if j > 0 else start
     m = re.match(r"[\w.$]+", sql[i:])
     if not m:
         return start
@@ -1058,7 +1116,7 @@ def _scan_right_operand(sql: str, segs, start: int) -> int:
             else:
                 depth -= 1
                 if depth == 0:
-                    return i + w.end()
+                    return _extend_postfix_cast(sql, segs, i + w.end())
         return start
     j = i + m.end()
     if word in _TYPED_LITERAL_KEYWORDS:
@@ -1068,7 +1126,7 @@ def _scan_right_operand(sql: str, segs, start: int) -> int:
             k += 1
         kind, _a, b = _seg_at(segs, k)
         if k < n and kind == "lit":
-            return b
+            return _extend_postfix_cast(sql, segs, b)
         return start if word == "INTERVAL" else j
     k = j
     while k < n and sql[k].isspace():
@@ -1076,8 +1134,8 @@ def _scan_right_operand(sql: str, segs, start: int) -> int:
     if k < n and sql[k] == "(":  # call form
         e = _walk_brackets_fwd(sql, segs, k)
         if e > 0:
-            return e
-    return j
+            return _extend_postfix_cast(sql, segs, e)
+    return _extend_postfix_cast(sql, segs, j)
 
 
 def _glob_to_regex(pat: str) -> str:
@@ -8731,6 +8789,149 @@ _OFFSET_LIMIT_RE = re.compile(
 )
 
 
+def _typed_cmp(a: str, b: str, tree, two: bool, d: int = 0) -> str:
+    """Three-way compare (-1/0/1) of two OPAQUE expressions whose TYPE
+    tree is known (schema-resolved complex columns) — the ordering
+    analog of ``_typed_eq3``. ``two=False``: the probed 3VL value form
+    (a NULL element pair or whole-NULL side yields NULL; an all-equal
+    common prefix falls to the length verdict). ``two=True``: the
+    probed filter-spine 2VL TOTAL ORDER with NULLs GREATEST (Spark's
+    native order is NULLs-smallest, so the filter path rewrites too —
+    unlike equality). Runtime-length arrays use the same filter trick:
+    per-element three-way verdicts in order, the first non-zero one
+    (NULL kept by ``NOT (p <=> 0)``) decides; an all-zero prefix falls
+    through to the length verdict."""
+    if tree == "atom":
+        return _atom_cmp(a, b, two)
+    if two and d > 0:
+        # NESTED whole-NULL sides are GREATEST in the filter order;
+        # only a top-level NULL operand is UNKNOWN (probed r12:
+        # WHERE a > b excludes a IS NULL rows, but [[1],NULL] > [[1],[2]]
+        # keeps its row)
+        guard = (
+            f"(CASE WHEN ({a}) IS NULL AND ({b}) IS NULL THEN 0"
+            f" WHEN ({a}) IS NULL THEN 1 WHEN ({b}) IS NULL THEN -1"
+            f" ELSE {{body}} END)"
+        )
+    else:
+        guard = (
+            f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL"
+            f" THEN CAST(NULL AS INT) ELSE {{body}} END)"
+        )
+    if tree[0] == "struct":
+        conds = [
+            _typed_cmp(f"({a}).`{n}`", f"({b}).`{n}`", sub, two, d + 1)
+            for n, sub in tree[1]
+        ]
+        return guard.format(body=_cmp_fold(conds, "0"))
+    x, y, p = f"__ox{d}", f"__oy{d}", f"__op{d}"
+    if tree[0] == "array":
+        ea, eb = a, b
+        inner = _typed_cmp(x, y, tree[1], two, d + 1)
+    elif tree[0] == "map":
+        # DuckDB compares the ENTRY LISTS positionally (same probed
+        # shape as equality), key before value within each entry
+        ea, eb = f"map_entries({a})", f"map_entries({b})"
+        kc = _typed_cmp(f"{x}.key", f"{y}.key", tree[1], two, d + 1)
+        vc = _typed_cmp(f"{x}.value", f"{y}.value", tree[2], two, d + 1)
+        inner = f"(CASE WHEN {kc} <=> 0 THEN {vc} ELSE {kc} END)"
+    else:
+        return _atom_cmp(a, b, two)
+    m = f"least(size({ea}), size({eb}))"
+    nz = (
+        f"filter(zip_with(slice({ea}, 1, {m}), slice({eb}, 1, {m}),"
+        f" ({x}, {y}) -> {inner}), {p} -> NOT ({p} <=> 0))"
+    )
+    body = (
+        f"(CASE WHEN size({nz}) = 0 THEN"
+        f" (CASE WHEN size({ea}) < size({eb}) THEN -1"
+        f" WHEN size({ea}) > size({eb}) THEN 1 ELSE 0 END)"
+        f" ELSE element_at({nz}, 1) END)"
+    )
+    return guard.format(body=body)
+
+
+def rewrite_composite_col_ord(sql: str, complex_types: dict) -> str:
+    """Schema-aware leg of the composite ORDERING closure: ``col <
+    expr`` (and <= > >=) where an operand is a complex-typed COLUMN.
+    Unlike the equality leg, BOTH position classes rewrite — value
+    positions to the 3VL lexicographic form, the filter spine AND
+    cond slots to the NULLs-GREATEST 2VL total order (Spark's native
+    composite order is NULLs-smallest, probed r12). Same operand
+    scanning and type-tree resolution as ``rewrite_composite_col_eq``;
+    constructor-literal sides were handled by the type-blind pass in
+    rewrite()."""
+    if not complex_types or _ORD_OP_RE.search(sql) is None:
+        return sql
+    off = _comp_body_offset(sql)
+    if off is None:
+        return sql
+    if off:
+        return sql[:off] + rewrite_composite_col_ord(sql[off:], complex_types)
+    low = sql.lower()
+    if not any(c in low for c in complex_types):
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    depth: list[int] = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    clause_kws = [
+        k for k in _CLAUSE_KW_RE.finditer(sql) if all(mask[k.start() : k.end()])
+    ]
+
+    def _tree_depth(t) -> int:
+        if t == "atom" or t is None:
+            return 0
+        if t[0] == "array":
+            return 1 + _tree_depth(t[1])
+        if t[0] == "struct":
+            return 1 + max((_tree_depth(s) for _, s in t[1]), default=0)
+        if t[0] == "map":
+            return 1 + max(_tree_depth(t[1]), _tree_depth(t[2]))
+        return 0
+
+    def tree_for(op: str):
+        op = op.strip()
+        if re.fullmatch(r"[A-Za-z_][\w.`]*", op.replace("`", "")):
+            t = complex_types.get(op.split(".")[-1].strip("`").lower())
+            if t is not None and _tree_depth(t) > 4:
+                return None
+            return t
+        return None
+
+    out: list[str] = []
+    pos = 0
+    for m in _ORD_OP_RE.finditer(sql):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        rend = _scan_right_operand(sql, segs, m.end())
+        if ls >= m.start() or rend <= m.end():
+            continue
+        lhs, rhs = sql[ls : m.start()].strip(), sql[m.end() : rend].strip()
+        tree = tree_for(lhs) or tree_for(rhs)
+        if tree is None:
+            continue
+        if _is_null_lit(lhs) or _is_null_lit(rhs):
+            continue  # literal pass owns whole-NULL sides
+        if _parse_composite(lhs) is not None or _parse_composite(rhs) is not None:
+            continue  # the literal pass already owns constructor sides
+        kind = _position_kind(sql, mask, clause_kws, depth, m.start())
+        cmp_ = _typed_cmp(lhs, rhs, tree, two=(kind != "value"))
+        out.append(sql[pos:ls])
+        out.append(f"(({cmp_}) {m.group(1)} 0)")
+        pos = rend
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+
 def _rewrite_offset_limit(sql: str) -> str:
     """DuckDB accepts ``OFFSET n LIMIT m`` in either order; Spark's
     parser requires LIMIT first (r11 alias/limit sweep). Swap the
@@ -8804,10 +9005,16 @@ _NONCALL_HEADS = frozenset(
 )
 
 
-def _value_position(sql, mask, clause_kws, depth, at: int) -> bool:
-    """True when DuckDB 1.x evaluates a composite comparison / IN at
-    ``at`` with 3VL VALUE semantics (rewrite); False on the 2VL
-    boolean-condition path (skip — Spark native matches there).
+def _position_kind(sql, mask, clause_kws, depth, at: int) -> str:
+    """Position class of a composite comparison / IN at ``at``:
+    'value' — DuckDB evaluates 3VL VALUE semantics (rewrite);
+    'cond'  — a CASE-WHEN / IF condition slot or simple-CASE subject:
+              the 2VL total order applies EVEN FOR PURE CONSTANTS
+              (probed r12: CASE WHEN [1,NULL]=[1,NULL] THEN.. is TRUE
+              while WHERE [1,NULL]=[1,NULL] keeps nothing);
+    'spine' — the WHERE/HAVING/ON/QUALIFY boolean spine: 2VL total
+              order for non-constant operands, but PURE-CONSTANT
+              comparisons constant-fold to the 3VL value form.
 
     Probed matrix (r11 second review): condition-ness flows from
     WHERE / HAVING / ON / QUALIFY and the CASE-WHEN / IF(cond,…)
@@ -8852,16 +9059,16 @@ def _value_position(sql, mask, clause_kws, depth, at: int) -> bool:
                 last = kw
         if last in ("THEN", "ELSE"):
             if not stack:
-                return False
+                return "spine"  # malformed: conservative, pre-r12 behavior
             pos = stack[-1][1]  # branch result: inherit the CASE's slot
             continue
         if last in ("WHEN", "CASE"):
-            return False  # condition slot / simple-CASE subject
+            return "cond"  # condition slot / simple-CASE subject
         if last is not None:
-            return last in _VALUE_CLAUSE_KWS
+            return "value" if last in _VALUE_CLAUSE_KWS else "spine"
         # No clause keyword in this paren group before pos.
         if open_idx <= 0:
-            return False  # statement head / malformed: conservative
+            return "spine"  # statement head / malformed: conservative
         m = re.search(r"[A-Za-z_][\w.]*\s*$", sql[:open_idx])
         head = m.group(0).strip().upper() if m else ""
         if head == "IF":
@@ -8873,13 +9080,19 @@ def _value_position(sql, mask, clause_kws, depth, at: int) -> bool:
                 if mask[i] and sql[i] == "," and depth[i] == td
             )
             if commas == 0:
-                return False
+                return "cond"
             pos = m.start()
             continue
         if head and head not in _NONCALL_HEADS:
-            return True  # ordinary function argument: value position
+            return "value"  # ordinary function argument
         pos = open_idx  # plain / keyword-guarded parens: look outward
-    return False
+    return "spine"
+
+
+
+def _value_position(sql, mask, clause_kws, depth, at: int) -> bool:
+    """Back-compat boolean view of ``_position_kind``."""
+    return _position_kind(sql, mask, clause_kws, depth, at) == "value"
 
 
 def _rewrite_composite_eq(sql: str) -> str:
@@ -8939,7 +9152,10 @@ def _rewrite_composite_eq(sql: str) -> str:
         lt, rt = _parse_composite(lhs), _parse_composite(rhs)
         if lt is None and rt is None:
             continue
-        if not _value_position(sql, mask, clause_kws, depth, m.start()):
+        kind = _position_kind(sql, mask, clause_kws, depth, m.start())
+        if kind != "value":
+            if kind == "cond":
+                continue  # WHEN/IF cond slot: 2VL even for constants
             lc = _tree_is_const(lt) or _is_null_lit(lhs.strip())
             rc = _tree_is_const(rt) or _is_null_lit(rhs.strip())
             if not (lc and rc):
@@ -8953,6 +9169,257 @@ def _rewrite_composite_eq(sql: str) -> str:
         pos = rend
     out.append(sql[pos:])
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Composite ORDERING comparisons (< <= > >=) — r12 closure.
+#
+# Probed (DuckDB 1.x, same context split as equality but with a twist):
+#   VALUE positions: lexicographic 3VL — walk elements in order, the
+#   first non-EQUAL pair decides; a NULL-involving pair decides NULL
+#   (even when a later length difference exists: [1,NULL] < [1,2,3]
+#   IS NULL); an all-equal common prefix falls through to the length
+#   verdict ([1] < [1,NULL] IS TRUE — exhaustion wins BEFORE the NULL
+#   tail is looked at); a whole-NULL side is NULL.
+#   FILTER spine (WHERE/HAVING/ON/QUALIFY, CASE-WHEN/IF cond slots):
+#   2VL TOTAL ORDER with NULLs GREATEST — NULL elements compare above
+#   every value, a whole-NULL side above every list ([NULL] >= [1]
+#   keeps the row; a IS NULL side satisfies a > b). Spark's native
+#   total order puts NULLs SMALLEST, so — unlike equality — the
+#   filter path must ALSO be rewritten.
+#   Pure-constant comparisons constant-fold to the 3VL value form
+#   even on the filter spine (WHERE [1,2] < [1,NULL] keeps nothing).
+#
+# Both forms are generated as a three-way compare expression (-1/0/1,
+# NULL-able in the 3VL form) and applied as ``(cmp OP 0)``.
+# ---------------------------------------------------------------------------
+
+_ORD_OP_RE = re.compile(r"(?<![<>=!:\-|^&])(<=|>=|<|>)(?![<>=])")
+
+
+def _cmp_fold(conds: list, base: str) -> str:
+    """Sequential three-way fold: the first condition that is not
+    null-safe-equal to 0 decides (a NULL cmp3 verdict routes to ELSE
+    and propagates)."""
+    expr = base
+    for c in reversed(conds):
+        expr = f"(CASE WHEN {c} <=> 0 THEN {expr} ELSE {c} END)"
+    return expr
+
+
+def _atom_cmp(x: str, y: str, two: bool) -> str:
+    if two:
+        return (
+            f"(CASE WHEN ({x}) IS NULL AND ({y}) IS NULL THEN 0"
+            f" WHEN ({x}) IS NULL THEN 1 WHEN ({y}) IS NULL THEN -1"
+            f" WHEN ({x}) < ({y}) THEN -1 WHEN ({x}) > ({y}) THEN 1"
+            f" ELSE 0 END)"
+        )
+    return (
+        f"(CASE WHEN ({x}) IS NULL OR ({y}) IS NULL THEN CAST(NULL AS INT)"
+        f" WHEN ({x}) < ({y}) THEN -1 WHEN ({x}) > ({y}) THEN 1"
+        f" ELSE 0 END)"
+    )
+
+
+def _len_cmp(la: int, lb: int) -> str:
+    return str((la > lb) - (la < lb))
+
+
+def _cmp_pairs(at, bt, two: bool, d: int = 0):
+    """Three-way compare of two parsed constructor trees (shapes
+    known; constructors are never NULL so no outer guard)."""
+    if at[0] != bt[0]:
+        return None
+    if at[0] == "struct":
+        af, bf = at[1], bt[1]
+        if len(af) != len(bf):
+            return None
+        if all(n is not None for n, _, _ in af) and all(
+            n is not None for n, _, _ in bf
+        ):
+            bmap = {n.lower(): (e, t) for n, e, t in bf}
+            if sorted(bmap) != sorted(n.lower() for n, _, _ in af):
+                return None
+            pairs = [(ae, atr, *bmap[n.lower()]) for n, ae, atr in af]
+        else:
+            pairs = [
+                (ae, atr, be, btr)
+                for (_, ae, atr), (_, be, btr) in zip(af, bf)
+            ]
+        subs = [_cmp_any(pa, pat, pb, pbt, two, d + 1) for pa, pat, pb, pbt in pairs]
+        if any(s is None for s in subs):
+            return None
+        return _cmp_fold(subs, "0")
+    if at[0] == "array":
+        ae, be = at[1], bt[1]
+        k = min(len(ae), len(be))
+        subs = [
+            _cmp_any(x, xt, y, yt, two, d + 1)
+            for (x, xt), (y, yt) in zip(ae[:k], be[:k])
+        ]
+        if any(s is None for s in subs):
+            return None
+        return _cmp_fold(subs, _len_cmp(len(ae), len(be)))
+    if at[0] == "map":
+        ae, be = at[1], bt[1]
+        k = min(len(ae), len(be))
+        subs = []
+        for (ak, aktr, av, avtr), (bk, bktr, bv, bvtr) in zip(ae[:k], be[:k]):
+            ks = _cmp_any(ak, aktr, bk, bktr, two, d + 1)
+            vs = _cmp_any(av, avtr, bv, bvtr, two, d + 1)
+            if ks is None or vs is None:
+                return None
+            subs.extend([ks, vs])
+        return _cmp_fold(subs, _len_cmp(len(ae), len(be)))
+    return None
+
+
+def _cmp_mixed(t, b: str, two: bool, d: int = 0):
+    """Three-way compare of a parsed constructor tree (LEFT) vs an
+    OPAQUE expression of the same unresolved type — positional
+    element_at with the bound checks woven into the scan (the side
+    that exhausts first is smaller, checked BEFORE the element pair,
+    matching the probed exhaustion-beats-NULL-tail order)."""
+    if t[0] == "struct":
+        if any(n is None for n, _, _ in t[1]):
+            return None
+        subs = [
+            _cmp_any(ae, atr, f"({b}).`{n}`", None, two, d + 1)
+            for n, ae, atr in t[1]
+        ]
+        if any(s is None for s in subs):
+            return None
+        body = _cmp_fold(subs, "0")
+        if two and d > 0:
+            return f"(CASE WHEN ({b}) IS NULL THEN -1 ELSE {body} END)"
+        return (
+            f"(CASE WHEN ({b}) IS NULL THEN CAST(NULL AS INT)"
+            f" ELSE {body} END)"
+        )
+    if t[0] in ("array", "map"):
+        n = len(t[1])
+        if t[0] == "array":
+            steps = [
+                [(ee, et, f"element_at({b}, {i + 1})")]
+                for i, (ee, et) in enumerate(t[1])
+            ]
+        else:
+            steps = [
+                [
+                    (ke, ktr, f"element_at(map_keys({b}), {i + 1})"),
+                    (ve, vtr, f"element_at(map_values({b}), {i + 1})"),
+                ]
+                for i, (ke, ktr, ve, vtr) in enumerate(t[1])
+            ]
+        # all n literal elements matched: longer opaque side wins
+        expr = f"(CASE WHEN size({b}) > {n} THEN -1 ELSE 0 END)"
+        for i in range(n - 1, -1, -1):
+            conds = []
+            for le, lt_, acc in steps[i]:
+                c = _cmp_any(le, lt_, acc, None, two, d + 1)
+                if c is None:
+                    return None
+                conds.append(c)
+            inner = _cmp_fold(conds, expr)
+            expr = f"(CASE WHEN size({b}) < {i + 1} THEN 1 ELSE {inner} END)"
+        if two and d > 0:
+            return f"(CASE WHEN ({b}) IS NULL THEN -1 ELSE {expr} END)"
+        return (
+            f"(CASE WHEN ({b}) IS NULL THEN CAST(NULL AS INT)"
+            f" ELSE {expr} END)"
+        )
+    return None
+
+
+def _cmp_any(a: str, at, b: str, bt, two: bool, d: int = 0):
+    if d > 4:
+        return None  # same 2^depth growth cap as the equality closure
+    if at is None and bt is None:
+        return _atom_cmp(a, b, two)
+    if at is not None and bt is not None:
+        return _cmp_pairs(at, bt, two, d)
+    if at is not None:
+        if _is_null_lit(b):
+            # constructor vs whole-NULL side: NULL in the 3VL value
+            # form AND at the top level of the filter order (probed:
+            # a top-level NULL operand is excluded); only NESTED
+            # NULL sides are GREATEST
+            return "-1" if two and d > 0 else "CAST(NULL AS INT)"
+        return _cmp_mixed(at, b, two, d)
+    sub = _cmp_any(b, bt, a, at, two, d)
+    if sub is None:
+        return None
+    return f"(-({sub}))"  # cmp is antisymmetric; -NULL stays NULL
+
+
+def _rewrite_composite_ord(sql: str) -> str:
+    """Decompose ``<`` / ``<=`` / ``>`` / ``>=`` over composite
+    CONSTRUCTOR operands into the probed DuckDB forms (see block
+    comment above): lexicographic 3VL in value positions and for
+    pure-constant comparisons anywhere; NULLs-GREATEST 2VL total
+    order on the filter spine (Spark's native order is NULLs-smallest
+    there, so both positions rewrite — unlike equality). Same operand
+    scanning, statement-head and value-position machinery as
+    ``_rewrite_composite_eq``."""
+    if _ORD_OP_RE.search(sql) is None:
+        return sql
+    if (
+        _COMPOSITE_HEAD_RE.search(sql) is None
+        # bare tuple literals: (1,2) < (1,3) has no constructor head
+        and re.search(r"\)\s*(?:<=|>=|<|>)(?![<>=])", sql) is None
+        and re.search(r"(?:<=|>=|<|>)\s*[+-]?\s*\(", sql) is None
+    ):
+        return sql
+    off = _comp_body_offset(sql)
+    if off is None:
+        return sql
+    if off:
+        return sql[:off] + _rewrite_composite_ord(sql[off:])
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    depth: list[int] = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    clause_kws = [
+        k for k in _CLAUSE_KW_RE.finditer(sql) if all(mask[k.start() : k.end()])
+    ]
+    out: list[str] = []
+    pos = 0
+    for m in _ORD_OP_RE.finditer(sql):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        rend = _scan_right_operand(sql, segs, m.end())
+        if ls >= m.start() or rend <= m.end():
+            continue
+        lhs, rhs = sql[ls : m.start()], sql[m.end() : rend]
+        lt, rt = _parse_composite(lhs), _parse_composite(rhs)
+        if lt is None and rt is None:
+            continue
+        kind = _position_kind(sql, mask, clause_kws, depth, m.start())
+        if kind == "value":
+            two = False
+        elif kind == "cond":
+            two = True  # WHEN/IF cond slot: 2VL even for constants
+        else:
+            lc = _tree_is_const(lt) or _is_null_lit(lhs.strip())
+            rc = _tree_is_const(rt) or _is_null_lit(rhs.strip())
+            two = not (lc and rc)  # pure constants fold to 3VL on the spine
+        cmp_ = _cmp_any(lhs.strip(), lt, rhs.strip(), rt, two)
+        if cmp_ is None:
+            continue
+        out.append(sql[pos:ls])
+        out.append(f"(({cmp_}) {m.group(1)} 0)")
+        pos = rend
+    out.append(sql[pos:])
+    return "".join(out)
+
 
 
 def _rewrite_composite_in(sql: str) -> str:
@@ -9131,7 +9598,8 @@ def rewrite(sql: str) -> str:
     # after '/'-emitting passes (// fractional), BEFORE div_zero hides
     # decimal denominators inside nullif()
     sql = _rewrite_div_zero(sql)  # after every '/'-emitting pass
-    sql = _rewrite_composite_eq(sql)  # after every literal-translating
+    sql = _rewrite_composite_ord(sql)  # before eq: its scan must not
+    sql = _rewrite_composite_eq(sql)  # see eq-emitted < on size();
     sql = _rewrite_composite_in(sql)  # pass (array/named_struct heads)
     sql = rewrite_composite_varchar(sql)  # composite ::VARCHAR render
     sql = _rewrite_order_by_nulls(sql)  # after every ORDER-BY-emitting pass

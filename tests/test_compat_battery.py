@@ -688,6 +688,35 @@ COMPOSITE_CONTEXT_QUERIES = [
     " FROM probe_ctx ORDER BY k",
     "SELECT count(*) AS c FROM probe_ctx"
     " WHERE coalesce(k IN (SELECT NULL::INT), TRUE)",
+    # --- r12 ordering closure: value position = lexicographic 3VL,
+    # filter spine AND CASE-WHEN slots = NULLs-GREATEST 2VL total
+    # order (Spark native is NULLs-smallest, so both rewrite) ---
+    "SELECT k, a < b AS lt, a <= b AS le, a > b AS gt, a >= b AS ge"
+    " FROM probe_ctx ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE a < b ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE a <= b ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE a > b ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE a >= b ORDER BY k",
+    "SELECT k, CASE WHEN a < b THEN 1 ELSE 0 END AS c"
+    " FROM probe_ctx ORDER BY k",
+    "SELECT k, a < [1,NULL] AS v FROM probe_ctx ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE a < [1,NULL] ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE a > [1,NULL] ORDER BY k",
+    # literal forms: value 3VL / WHERE const-fold 3VL / WHEN 2VL
+    "SELECT [1,NULL] < [1,2] AS a, [1,NULL] <= [1,NULL] AS b,"
+    " [1] < [1,NULL] AS c, [1,NULL] < [1] AS d, [1,NULL] < [1,2,3] AS e",
+    "SELECT (1,NULL) < (1,2) AS a, (NULL,1) < (1,1) AS b",
+    "SELECT 1 AS one WHERE [1,2] < [1,NULL]",
+    "SELECT CASE WHEN [1,2] < [1,NULL] THEN 1 ELSE 0 END AS c",
+    "SELECT CASE WHEN [1,NULL] <= [1,NULL] THEN 1 ELSE 0 END AS c",
+    "SELECT IF([1,2] < [1,NULL], 1, 0) AS c",
+    # equality in the WHEN slot is 2VL even for pure constants
+    # (r12 probe — the spine const-fold does NOT apply there)
+    "SELECT CASE WHEN [1,NULL] = [1,NULL] THEN 1 ELSE 0 END AS c",
+    "SELECT IF([1,NULL] = [1,NULL], 1, 0) AS c",
+    "SELECT MAP([1],[2]) < MAP([1],[3]) AS a",
+    "SELECT NULL::INT[] < [1] AS a, [1] <= NULL::INT[] AS b",
+    "SELECT [1] = NULL::INT[] AS b",
 ]
 
 

@@ -1063,6 +1063,39 @@ def _composite_eq_case(draw):
     return f"{a} {op} {b}"
 
 
+@st.composite
+def _composite_ord_case(draw):
+    a = draw(_composite_value())
+    if draw(st.booleans()):
+        b = a.replace("1", draw(st.sampled_from(["1", "2", "NULL"])), 1)
+    else:
+        b = draw(_composite_value())
+    op = draw(st.sampled_from(["<", "<=", ">", ">="]))
+    return a, op, b
+
+
+@given(case=_composite_ord_case())
+@settings(max_examples=60, deadline=None)
+def test_composite_ord_matches_duckdb(spark, case):
+    """Random nested row/list literals with NULL leaves through the
+    ordering ops, in BOTH position classes: the value position must
+    reproduce DuckDB's lexicographic 3VL, the CASE-WHEN slot its
+    NULLs-greatest 2VL total order (r12 ordering closure)."""
+    import duckdb
+
+    a, op, b = case
+    for sql in (
+        f"SELECT {a} {op} {b} AS v",
+        f"SELECT CASE WHEN {a} {op} {b} THEN 1 ELSE 0 END AS v",
+    ):
+        try:
+            want = duckdb.connect().execute(sql).fetchall()[0][0]
+        except Exception:
+            continue  # duck rejects the shape pair — no oracle
+        got = spark.sql(rewrite(sql)).collect()[0][0]
+        assert got == want, (sql, rewrite(sql), got, want)
+
+
 @given(expr=_composite_eq_case())
 @settings(max_examples=60, deadline=None)
 def test_composite_eq_3vl_matches_duckdb(spark, expr):
