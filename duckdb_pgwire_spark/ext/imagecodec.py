@@ -285,9 +285,13 @@ def _png_unfilter(
         if ftype == 1:  # Sub
             for i in range(bpp, stride):
                 line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 2:  # Up — no left-dependency, vectorizable
+            line = bytearray(
+                (
+                    np.frombuffer(bytes(line), np.uint8)
+                    + np.frombuffer(prev, np.uint8)
+                ).tobytes()
+            )
         elif ftype == 3:  # Average
             for i in range(stride):
                 left = line[i - bpp] if i >= bpp else 0
@@ -306,39 +310,37 @@ def _png_unfilter(
 
 def _png_line_gray(
     line: bytes, n_pix: int, ctype: int, depth: int, plte: list[int] | None
-) -> list[int]:
-    """One unfiltered scanline → n_pix 8-bit gray samples. 16-bit
-    samples reduce via the high byte (the standard 16→8 map, exact for
+) -> np.ndarray:
+    """One unfiltered scanline → n_pix 8-bit gray samples (int64
+    array; numpy-vectorized r12, identical integers). 16-bit samples
+    reduce via the high byte (the standard 16→8 map, exact for
     v*257-scaled values); sub-byte gray scales by 255/(2^depth-1)."""
-    out = [0] * n_pix
+    la = np.frombuffer(line, np.uint8)
     if depth < 8:  # ctype 0 (gray) or 3 (palette), MSB-first packing
-        per_byte = 8 // depth
         vmax = (1 << depth) - 1
         scale = 255 // vmax
-        for x in range(n_pix):
-            byte = line[x // per_byte]
-            v = (byte >> (8 - depth * (x % per_byte + 1))) & vmax
-            if ctype == 0:
-                out[x] = v * scale
-            else:
-                if v >= len(plte):  # type: ignore[arg-type]
-                    raise ValueError("PNG palette index out of range")
-                out[x] = plte[v]  # type: ignore[index]
-        return out
+        # pixels never straddle bytes (8//depth per byte), so the
+        # MSB-first bit stream is the pixel stream
+        bits = np.unpackbits(la)[: n_pix * depth].reshape(n_pix, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.int64)
+        v = (bits.astype(np.int64) * weights).sum(axis=1)
+        if ctype == 0:
+            return v * scale
+        if (v >= len(plte)).any():  # type: ignore[arg-type]
+            raise ValueError("PNG palette index out of range")
+        return np.asarray(plte, dtype=np.int64)[v]
     step = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype] * (depth // 8)
     hi = depth // 8  # byte stride between channels; sample high byte
-    for x in range(n_pix):
-        p = x * step
-        if ctype == 0 or ctype == 4:
-            out[x] = line[p]
-        elif ctype == 3:
-            idx = line[p]
-            if idx >= len(plte):  # type: ignore[arg-type]
-                raise ValueError("PNG palette index out of range")
-            out[x] = plte[idx]  # type: ignore[index]
-        else:  # 2 (RGB) / 6 (RGBA)
-            out[x] = _luma(line[p], line[p + hi], line[p + 2 * hi])
-    return out
+    px = la[: n_pix * step].reshape(n_pix, step).astype(np.int64)
+    if ctype == 0 or ctype == 4:
+        return px[:, 0]
+    if ctype == 3:
+        idx = px[:, 0]
+        if (idx >= len(plte)).any():  # type: ignore[arg-type]
+            raise ValueError("PNG palette index out of range")
+        return np.asarray(plte, dtype=np.int64)[idx]
+    # 2 (RGB) / 6 (RGBA)
+    return (299 * px[:, 0] + 587 * px[:, hi] + 114 * px[:, 2 * hi]) // 1000
 
 
 def decode_png(payload: bytes) -> DecodedImage:
@@ -398,7 +400,7 @@ def decode_png(payload: bytes) -> DecodedImage:
         # contract Decoder.decode's PIL/Fake fallback relies on
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     bpp = max(1, chans * depth // 8)
-    gray = [0] * (width * height)
+    g2 = np.zeros((height, width), dtype=np.int64)
     passes = (
         [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7)
     )
@@ -411,11 +413,10 @@ def decode_png(payload: bytes) -> DecodedImage:
         stride = (pw * chans * depth + 7) // 8
         rows, rpos = _png_unfilter(raw, rpos, stride, ph, bpp)
         for ry, line in enumerate(rows):
-            vals = _png_line_gray(line, pw, ctype, depth, plte)
-            base = (y0 + ry * dy) * width + x0
-            for rx, v in enumerate(vals):
-                gray[base + rx * dx] = v
-    return DecodedImage(width, height, "png", gray)
+            g2[y0 + ry * dy, x0::dx] = _png_line_gray(
+                line, pw, ctype, depth, plte
+            )
+    return DecodedImage(width, height, "png", g2.reshape(-1))
 
 
 def decode_image(payload: bytes) -> DecodedImage | None:

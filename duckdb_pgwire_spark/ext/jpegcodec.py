@@ -392,7 +392,7 @@ def _decode_scan(
         iy = (np.arange(h) * ys_h // h).clip(0, ys_h - 1)
         ix = (np.arange(w) * ys_w // w).clip(0, ys_w - 1)
         crop = crop[np.ix_(iy, ix)]
-    return DecodedImage(w, h, "jpeg", crop.reshape(-1).tolist())
+    return DecodedImage(w, h, "jpeg", crop.reshape(-1))
 
 
 class _BitWriter:

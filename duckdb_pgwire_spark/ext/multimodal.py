@@ -214,7 +214,7 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["height"].append(img.height)
                 rows["n_frames"].append(1)
                 rows["codec"].append(img.codec)
-                rows["pix_sum"].append(sum(img.gray))
+                rows["pix_sum"].append(int(img.gray.sum()))
             yield pd.DataFrame(rows)
 
     return d.mapInPandas(
@@ -308,9 +308,12 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["width"].append(img.width)
                 rows["height"].append(img.height)
                 rows["codec"].append(img.codec)
-                rows["pix_sum"].append(sum(img.gray))
-                rows["pix_min"].append(min(img.gray))
-                rows["pix_max"].append(max(img.gray))
+                # numpy reductions (r12): the gray plane is an
+                # int64 ndarray end-to-end now — same integers, no
+                # per-pixel Python loop
+                rows["pix_sum"].append(int(img.gray.sum()))
+                rows["pix_min"].append(int(img.gray.min()))
+                rows["pix_max"].append(int(img.gray.max()))
             yield pd.DataFrame(rows)
 
     return d.mapInPandas(

@@ -9462,11 +9462,6 @@ def _rewrite_composite_in(sql: str) -> str:
         nt = _parse_composite(needle)
         if nt is None:
             continue
-        in_proj = (
-            _value_position(sql, mask, clause_kws, depth, ls)
-        )
-        if not in_proj and not _tree_is_const(nt):
-            continue
         # NB: `depth` above is the statement-wide depth ARRAY — use a
         # separate counter for the paren walk (shadowing it broke the
         # second IN of a statement: 'int' is not subscriptable)
@@ -9479,6 +9474,30 @@ def _rewrite_composite_in(sql: str) -> str:
                     dpt -= 1
             i += 1
         if dpt:
+            continue
+        body = sql[m.end() : i - 1]
+        if re.match(r"\s*(SELECT|WITH)\b", body, re.IGNORECASE):
+            # composite-constructor needle vs SUBQUERY: DuckDB compares
+            # the constructor against the subquery's single (composite)
+            # column with the 2VL total order in EVERY position (probed
+            # r12 — never NULL, FALSE on empty, (1,NULL) IN (SELECT
+            # (1,NULL)) is TRUE). Spark instead DESTRUCTURES a
+            # constructor needle into its multi-column IN form and
+            # raises IN_SUBQUERY_LENGTH_MISMATCH — express duck's
+            # semantics as EXISTS + null-safe equality, which Spark
+            # also plans as a hash semi-join.
+            neg = "NOT " if m.group(1) else ""
+            out.append(sql[pos:ls])
+            out.append(
+                f"({neg}EXISTS (SELECT 1 FROM ({body}) __cins(__c)"
+                f" WHERE ({needle.strip()}) <=> __c))"
+            )
+            pos = i
+            continue
+        in_proj = (
+            _value_position(sql, mask, clause_kws, depth, ls)
+        )
+        if not in_proj and not _tree_is_const(nt):
             continue
         items = [a.strip() for a in split_top_level(sql[m.end() : i - 1])]
         if not items or any(not a for a in items):

@@ -715,6 +715,20 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT CASE WHEN [1,NULL] = [1,NULL] THEN 1 ELSE 0 END AS c",
     "SELECT IF([1,NULL] = [1,NULL], 1, 0) AS c",
     "SELECT MAP([1],[2]) < MAP([1],[3]) AS a",
+    # composite-constructor needle IN (SELECT …): duck 2VL total order
+    # in every position (Spark destructures to multi-col IN — r12
+    # EXISTS + null-safe-eq rewrite)
+    "SELECT (1, NULL) IN (SELECT (1, 2)) AS a,"
+    " (1, NULL) IN (SELECT (1, NULL)) AS c",
+    "SELECT (1, NULL) NOT IN (SELECT (1, NULL)) AS a",
+    "SELECT 1 AS one WHERE (1, NULL) IN (SELECT (1, NULL))",
+    "SELECT [1, NULL] IN (SELECT [1, NULL]) AS l,"
+    " [1, NULL] IN (SELECT [1, 2]) AS m",
+    "SELECT (1, NULL) IN (SELECT (1, 2) WHERE FALSE) AS e",
+    "SELECT CASE WHEN (1,NULL) IN (SELECT (1,NULL)) THEN 1 ELSE 0 END AS c",
+    # CASE-branch-result projection IN-subquery (r11 residue probe)
+    "SELECT CASE WHEN TRUE THEN 1 IN (SELECT NULL::INT) END AS v",
+    "SELECT IF(TRUE, 1 IN (SELECT NULL::INT), FALSE) AS v",
     "SELECT NULL::INT[] < [1] AS a, [1] <= NULL::INT[] AS b",
     "SELECT [1] = NULL::INT[] AS b",
 ]
@@ -843,3 +857,26 @@ def test_composite_3vl_reaches_insert_and_ctas(spark, oracle):
     finally:
         for s in ("comp_ins", "comp_ctas"):
             spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_casefold_pua_sentinel_guard(spark, oracle):
+    """User text containing the casefold sandwich's private-use
+    sentinel codepoints must survive upper/lower/ILIKE unchanged
+    (r11 documented residue; r12 guard routes such rows to the exact
+    per-codepoint Python fallback)."""
+    register_udfs(spark)
+    pua_u, pua_l = chr(0xE005), chr(0xE105)
+    failures = []
+    for sql in [
+        f"SELECT upper('a{pua_u}z') AS u, lower('B{pua_l}Y') AS l",
+        f"SELECT upper('{pua_u}ß{pua_u}') AS v",
+        f"SELECT lower('{pua_l}İ') AS v",
+        f"SELECT 'x{pua_u}' ILIKE 'X{pua_u}' AS i",
+    ]:
+        duck = oracle.execute(sql).fetchall()
+        got = [tuple(r) for r in spark.sql(rewrite(sql)).collect()]
+        want = sorted(_canon(r) for r in duck)
+        have = sorted(_canon(tuple(r)) for r in got)
+        if want != have:
+            failures.append((ascii(sql), f"want {want!r} got {have!r}"))
+    assert not failures, "\n".join(f"{s}\n    {m}" for s, m in failures)

@@ -315,7 +315,7 @@ def test_imagecodec_round_trips_and_refusals():
     px = [(11 * i + 3) % 256 for i in range(5 * 7)]
     for enc, dec in ((encode_bmp_gray, decode_bmp), (encode_ppm_gray, decode_ppm)):
         img = dec(enc(5, 7, px))  # width 5 → BMP rows padded to 16 bytes
-        assert (img.width, img.height, img.gray) == (5, 7, px)
+        assert (img.width, img.height, img.gray.tolist()) == (5, 7, px)
     # sniffing dispatch
     assert decode_image(encode_bmp_gray(2, 2, [1, 2, 3, 4])).codec == "bmp"
     assert decode_image(encode_ppm_gray(2, 2, [1, 2, 3, 4])).codec == "ppm"
@@ -326,7 +326,7 @@ def test_imagecodec_round_trips_and_refusals():
     row = (3 * 3 + 3) & ~3
     r0, r1 = bytes(b[54 : 54 + row]), bytes(b[54 + row : 54 + 2 * row])
     b[54 : 54 + row], b[54 + row : 54 + 2 * row] = r1, r0
-    assert decode_bmp(bytes(b)).gray == [1, 2, 3, 4, 5, 6]
+    assert decode_bmp(bytes(b)).gray.tolist() == [1, 2, 3, 4, 5, 6]
     # 8-bpp palette BMP
     pal = b"".join(bytes((i, i, i, 0)) for i in range(256))
     w, h, rs = 4, 2, (4 + 3) & ~3
@@ -340,10 +340,10 @@ def test_imagecodec_round_trips_and_refusals():
         b"BM" + struct.pack("<IHHI", off + rs * h, 0, 0, off)
         + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, rs * h, 0, 0, 256, 0)
     )
-    assert decode_bmp(hdr + pal + body).gray == p8
+    assert decode_bmp(hdr + pal + body).gray.tolist() == p8
     # PGM (P5) + comment line in the header
     pgm = b"P5\n# a comment\n3 1\n255\n" + bytes([9, 8, 7])
-    assert decode_ppm(pgm).gray == [9, 8, 7]
+    assert decode_ppm(pgm).gray.tolist() == [9, 8, 7]
     # compressed BMP refuses loudly, not fake values
     c = bytearray(encode_bmp_gray(3, 2, [0] * 6))
     struct.pack_into("<I", c, 30, 1)  # BI_RLE8
@@ -351,18 +351,18 @@ def test_imagecodec_round_trips_and_refusals():
         decode_bmp(bytes(c))
     # r10: 16-bit (2-byte big-endian) samples + maxval normalization
     wide = b"P5\n2 1\n65535\n" + struct.pack(">HH", 0xABCD, 0x1234)
-    assert decode_ppm(wide).gray == [
+    assert decode_ppm(wide).gray.tolist() == [
         0xABCD * 255 // 65535, 0x1234 * 255 // 65535
     ]
     wide_rgb = b"P6\n1 1\n65535\n" + struct.pack(">HHH", 65535, 0, 32768)
     from duckdb_pgwire_spark.ext.imagecodec import _luma
 
-    assert decode_ppm(wide_rgb).gray == [
+    assert decode_ppm(wide_rgb).gray.tolist() == [
         _luma(65535, 0, 32768) * 255 // 65535
     ]
     # sub-255 maxval scales per the Netpbm spec (samples are relative
     # to maxval, not raw bytes)
-    assert decode_ppm(b"P5\n3 1\n15\n" + bytes([15, 0, 5])).gray == [
+    assert decode_ppm(b"P5\n3 1\n15\n" + bytes([15, 0, 5])).gray.tolist() == [
         255, 0, 5 * 255 // 15
     ]
     with pytest.raises(ValueError):
@@ -399,8 +399,8 @@ def test_imagecodec_png():
     p = encode_png_gray(w, h, px)
     assert len(p) == 68 + h * (w + 1)  # the mm_decode oracle's formula
     d = decode_png(p)
-    assert (d.width, d.height, d.codec, d.gray) == (w, h, "png", px)
-    assert decode_image(p).gray == px
+    assert (d.width, d.height, d.codec, d.gray.tolist()) == (w, h, "png", px)
+    assert decode_image(p).gray.tolist() == px
 
     def filt_rows(rows, chans, ftypes):
         # ENCODE-side filtering, written here (not in the codec) so
@@ -438,7 +438,7 @@ def test_imagecodec_png():
     w, h, chans = 7, 5, 3
     rows = [bytes(rng.randrange(256) for _ in range(w * chans)) for _ in range(h)]
     d = decode_png(make_png(w, h, 2, filt_rows(rows, chans, [0, 1, 2, 3, 4])))
-    assert d.gray == [
+    assert d.gray.tolist() == [
         _luma(r[x * 3], r[x * 3 + 1], r[x * 3 + 2]) for r in rows for x in range(w)
     ]
     # RGBA / gray+alpha (alpha ignored for luma)
@@ -453,14 +453,14 @@ def test_imagecodec_png():
             if ctype == 6
             else [r[x * 2] for r in rows for x in range(w)]
         )
-        assert d.gray == want, ctype
+        assert d.gray.tolist() == want, ctype
     # palette
     pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
     idx = [0, 1, 2, 3, 3, 2, 1, 0]
     raw = b"\x00" + bytes(idx[:4]) + b"\x00" + bytes(idx[4:])
     d = decode_png(make_png(4, 2, 3, raw, plte=pal))
     lut = [_luma(pal[i * 3], pal[i * 3 + 1], pal[i * 3 + 2]) for i in range(4)]
-    assert d.gray == [lut[i] for i in idx]
+    assert d.gray.tolist() == [lut[i] for i in idx]
     # invalid depth/color-type combinations stay loud (spec matrix)
     for depth, ctype in ((16, 3), (4, 2), (2, 6), (3, 0)):
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, 0)
@@ -506,7 +506,7 @@ def test_imagecodec_png_depths():
         + b"\x00" + struct.pack(">HH", *samples[2:])
     )
     d = decode_png(make_png(2, 2, 16, 0, raw))
-    assert d.gray == [s >> 8 for s in samples]
+    assert d.gray.tolist() == [s >> 8 for s in samples]
     # 16-bit RGB, 2x1, with a Sub filter (bpp must be 6, not 3 — a
     # byte-offset bug would corrupt the second pixel)
     p0 = (0x11AA, 0x22BB, 0x33CC)
@@ -516,7 +516,7 @@ def test_imagecodec_png_depths():
     for i in range(11, 5, -1):  # encode Sub: subtract byte 6 positions left
         sub[i] = (sub[i] - plain[i - 6]) & 0xFF
     d = decode_png(make_png(2, 1, 16, 2, b"\x01" + bytes(sub)))
-    assert d.gray == [
+    assert d.gray.tolist() == [
         _luma(p0[0] >> 8, p0[1] >> 8, p0[2] >> 8),
         _luma(p1[0] >> 8, p1[1] >> 8, p1[2] >> 8),
     ]
@@ -531,7 +531,7 @@ def test_imagecodec_png_depths():
     want = [255 * ((bits_r0 >> (15 - i)) & 1) for i in range(10)] + [
         255 * ((bits_r1 >> (15 - i)) & 1) for i in range(10)
     ]
-    assert d.gray == want
+    assert d.gray.tolist() == want
     # 2-bit gray 5x1: values 0..3 scale by 85
     vals = [3, 0, 2, 1, 3]
     packed = bytes(
@@ -541,14 +541,14 @@ def test_imagecodec_png_depths():
         ]
     )
     d = decode_png(make_png(5, 1, 2, 0, b"\x00" + packed))
-    assert d.gray == [v * 85 for v in vals]
+    assert d.gray.tolist() == [v * 85 for v in vals]
     # 4-bit palette 3x1: indices into a 16-entry PLTE
     pal = bytes(range(48))  # 16 RGB triples 0..47
     idx = [15, 0, 7]
     packed = bytes([(idx[0] << 4) | idx[1], idx[2] << 4])
     d = decode_png(make_png(3, 1, 4, 3, b"\x00" + packed, plte=pal))
     lut = [_luma(pal[i * 3], pal[i * 3 + 1], pal[i * 3 + 2]) for i in range(16)]
-    assert d.gray == [lut[i] for i in idx]
+    assert d.gray.tolist() == [lut[i] for i in idx]
     # out-of-range sub-byte palette index is loud
     with pytest.raises(ValueError, match="palette index"):
         decode_png(make_png(1, 1, 4, 3, b"\x00\xf0", plte=bytes(9)))
@@ -608,16 +608,16 @@ def test_imagecodec_png_adam7():
     ]
     px = [v for row in grid for v in row]
     d = decode_png(encode_adam7_gray(8, 8, px))
-    assert d.gray == px
+    assert d.gray.tolist() == px
     # awkward sizes (passes go empty; partial pass rows): interlaced
     # decode must equal the pixels AND the non-interlaced decode
     rng = random.Random(11)
     for w, h in ((1, 1), (2, 3), (5, 5), (7, 4), (3, 9), (16, 2)):
         px = [rng.randrange(256) for _ in range(w * h)]
         di = decode_png(encode_adam7_gray(w, h, px))
-        assert (di.width, di.height, di.gray) == (w, h, px), (w, h)
+        assert (di.width, di.height, di.gray.tolist()) == (w, h, px), (w, h)
         dp = decode_png(encode_png_gray(w, h, px))
-        assert di.gray == dp.gray, (w, h)
+        assert di.gray.tolist() == dp.gray.tolist(), (w, h)
 
 
 def test_mm_decoder_layers():
