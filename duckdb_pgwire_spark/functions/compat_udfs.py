@@ -160,6 +160,21 @@ def _damerau_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([f(x, y) for x, y in zip(a, b)], dtype="object")
 
 
+@F.pandas_udf(T.StringType())
+def _duck_fmt1(spec: pd.Series, val: pd.Series) -> pd.Series:
+    """One C-style float directive applied to one DOUBLE — Python's
+    %-formatting shares fmt/C semantics that Java's Formatter does not
+    (r12 printf sweep): rounding of the true BINARY value (%.2f of
+    1.005 → '1.00'), %g trailing-zero stripping ('1.2345e-05'), and
+    'inf'/'nan' spellings. NULL args never reach here (the printf
+    rewrite's NULL guard fires first), so every NaN in the column is a
+    REAL NaN and formats as 'nan' like duck."""
+    out = []
+    for s, v in zip(spec, val):
+        out.append(None if s is None or v is None else s % v)
+    return pd.Series(out, dtype=object)
+
+
 def _duck_simple_case(fn: str):
     """Per-codepoint duck SIMPLE case mapping for the casefold PUA
     fallback (r12): divergence tables from server.casefold give duck's
@@ -1164,6 +1179,7 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("jaro_winkler_similarity", _jaro_winkler)
     spark.udf.register("damerau_levenshtein", _damerau_levenshtein)
     spark.udf.register("nfc_normalize", _nfc_normalize)
+    spark.udf.register("__duck_fmt1", _duck_fmt1)
     spark.udf.register("__duck_simple_upper", _duck_simple_upper)
     spark.udf.register("__duck_simple_lower", _duck_simple_lower)
     spark.udf.register("strip_accents", _strip_accents)

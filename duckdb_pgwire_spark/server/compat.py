@@ -7228,6 +7228,20 @@ def _rewrite_format(sql: str) -> str:
             f"CAST({a} AS {casts[n + 1]})" if (n + 1) in casts else a
             for n, a in enumerate(args[1:])
         ]
+        if rest and re.search(
+            r"%\d+\$[-+ #0]*\d*(?:\.\d+)?[fFeEgG]", printf
+        ):
+            # float directives diverge in Java (binary-value rounding,
+            # %g stripping, inf/nan) — same decomposition as printf()
+            cc = _printf_concat(printf, args[1:])
+            if cc is not None:
+                nullc = " OR ".join(f"({a}) IS NULL" for a in args[1:])
+                repl = (
+                    f"(CASE WHEN {nullc} THEN CAST(NULL AS STRING)"
+                    f" ELSE {cc} END)"
+                )
+                sql = sql[: m.start()] + repl + sql[i:]
+                continue
         if rest:
             repl = (
                 f"format_string('{printf.replace(chr(39), chr(39) * 2)}', "
@@ -7247,6 +7261,69 @@ def _rewrite_format(sql: str) -> str:
             repl = f"'{plain}'"
         sql = sql[: m.start()] + repl + sql[i:]
     return sql
+
+
+_PRINTF_DIR_RE = re.compile(
+    r"%(?:(\d+)\$)?([-+ #0]*)(\d*)(?:\.(\d+))?([diufFeEgGxXos%])"
+)
+
+
+def _printf_concat(fmt: str, args: list[str]) -> str | None:
+    """Decompose a LITERAL printf format whose conversions include a
+    float directive into a concat() of literal segments and per-
+    directive pieces: float conversions route through the exact
+    ``__duck_fmt1`` Python kernel (fmt/C binary-value rounding, %g
+    zero-stripping, inf/nan spellings — r12 printf sweep; Java's
+    Formatter differs on all three), everything else stays in JVM
+    format_string. Accepts both plain and %N$ positional forms (the
+    fmtlib translation emits positional). None = unsupported shape
+    (star widths, missing args) — caller keeps the native path."""
+    parts: list[str] = []
+    pos = 0
+    auto_idx = 0
+
+    def lit(text: str) -> str:
+        # text comes from INSIDE a SQL string literal, so quote escapes
+        # are already doubled — only the printf %% escape is undone
+        return "'" + text.replace("%%", "%") + "'"
+
+    for m in _PRINTF_DIR_RE.finditer(fmt):
+        conv = m.group(5)
+        if m.start() > pos:
+            parts.append(lit(fmt[pos : m.start()]))
+        pos = m.end()
+        if conv == "%":
+            parts.append("'%'")
+            continue
+        if m.group(1) is not None:
+            idx = int(m.group(1)) - 1
+        else:
+            idx = auto_idx
+            auto_idx += 1
+        if idx >= len(args):
+            return None
+        a = args[idx]
+        spec = f"%{m.group(2)}{m.group(3)}" + (
+            f".{m.group(4)}" if m.group(4) is not None else ""
+        )
+        if conv in "fFeEgG":
+            parts.append(
+                f"__duck_fmt1('{spec}{conv}', CAST({a} AS DOUBLE))"
+            )
+        elif conv in "diuxXo":
+            c = "d" if conv in "diu" else conv
+            parts.append(
+                f"format_string('{spec}{c}', CAST({a} AS BIGINT))"
+            )
+        else:  # s
+            parts.append(f"format_string('{spec}s', {a})")
+    if pos < len(fmt):
+        parts.append(lit(fmt[pos:]))
+    if not parts:
+        return "''"
+    if len(parts) == 1:
+        return parts[0]
+    return "concat(" + ", ".join(parts) + ")"
 
 
 _PRINTF_CALL = re.compile(r"(?<![\w.])printf\s*\(\s*'", re.IGNORECASE)
@@ -7294,18 +7371,26 @@ def _rewrite_printf(sql: str) -> str:
         fmt = re.sub(
             r"(%[-+ #0]*\d*(?:\.\d+)?)[iu]", r"\1d", fmt
         )
-        rest = []
-        for n, a in enumerate(args[1:]):
-            conv = convs[n] if n < len(convs) else "s"
-            if conv in "fFeEgG":
-                rest.append(f"CAST({a} AS DOUBLE)")
-            elif conv in "diuxXo":
-                rest.append(f"CAST({a} AS BIGINT)")
-            else:
-                rest.append(a)
-        repl = f"format_string('{fmt}'" + (
-            ", " + ", ".join(rest) + ")" if rest else ")"
-        )
+        repl = None
+        if any(c in "fFeEgG" for c in convs):
+            # float directives: Java's Formatter diverges from duck's
+            # fmt/C on binary-value rounding, %g zero-stripping and
+            # inf/nan — decompose into concat() with the exact Python
+            # kernel per float directive (r12 printf sweep)
+            repl = _printf_concat(fmt, args[1:])
+        if repl is None:
+            rest = []
+            for n, a in enumerate(args[1:]):
+                conv = convs[n] if n < len(convs) else "s"
+                if conv in "fFeEgG":
+                    rest.append(f"CAST({a} AS DOUBLE)")
+                elif conv in "diuxXo":
+                    rest.append(f"CAST({a} AS BIGINT)")
+                else:
+                    rest.append(a)
+            repl = f"format_string('{fmt}'" + (
+                ", " + ", ".join(rest) + ")" if rest else ")"
+            )
         if args[1:]:
             # duck printf() is NULL on ANY NULL argument (probed r11)
             nullc = " OR ".join(f"({a}) IS NULL" for a in args[1:])

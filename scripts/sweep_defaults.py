@@ -511,6 +511,64 @@ FAMILIES: dict[str, list[str]] = {
         "SELECT 'abc' BETWEEN SYMMETRIC 'c' AND 'a' AS bsym",
         "SELECT 5 BETWEEN SYMMETRIC 10 AND 1 AS bsym2",
     ],
+    "collation": [
+        # string comparison order: duck default = binary UTF-8 memcmp;
+        # mixed case, accents, astral plane, NUL-adjacent, length ties
+        "SELECT x FROM (VALUES ('a'), ('B'), ('b'), ('A'), ('Z'), ('z'))"
+        " t(x) ORDER BY x",
+        "SELECT x FROM (VALUES ('e'), ('\u00e9'), ('E'), ('\u00c9'),"
+        " ('f')) t(x) ORDER BY x",
+        "SELECT x FROM (VALUES ('abc'), ('ab'), ('abcd'), ('abd'), (''))"
+        " t(x) ORDER BY x",
+        "SELECT x FROM (VALUES ('\U0001F600'), ('z'), ('\uFFFD'),"
+        " ('\u4E2D')) t(x) ORDER BY x",
+        "SELECT 'a' < 'B' AS c1, 'A' < 'a' AS c2, '\u00e9' > 'z' AS c3",
+        "SELECT min(x) AS mn, max(x) AS mx FROM (VALUES ('a'), ('B'),"
+        " ('\u00e9')) t(x)",
+        "SELECT greatest('a', 'B', '\u00e9') AS g,"
+        " least('a', 'B', '\u00e9') AS l",
+        "SELECT x FROM (VALUES ('a'), ('a ')) t(x) ORDER BY x",
+        "SELECT 'a ' = 'a' AS pad, 'a' < 'a ' AS padlt",
+        "SELECT x FROM (VALUES ('10'), ('9'), ('100')) t(x) ORDER BY x",
+        "SELECT rank() OVER (ORDER BY x) AS r, x FROM (VALUES ('B'),"
+        " ('a')) t(x) ORDER BY x",
+        "SELECT string_agg(x, ',' ORDER BY x) AS s FROM (VALUES ('b'),"
+        " ('A'), ('\u00e9'), ('Z')) t(x)",
+        "SELECT array_agg(x ORDER BY x) AS s FROM (VALUES ('\u00df'),"
+        " ('ss'), ('s')) t(x)",
+        "SELECT x FROM (VALUES ('a\u0301'), ('\u00e1'), ('b')) t(x)"
+        " ORDER BY x",  # NFC vs NFD forms: binary order, no normalize
+        "SELECT 'a\u0301' = '\u00e1' AS nfdeq",
+        "SELECT x, count(*) AS c FROM (VALUES ('a\u0301'), ('\u00e1'))"
+        " t(x) GROUP BY x ORDER BY x",
+        "SELECT contains('ss', '\u00df') AS ct, strpos('xy\u00e9z',"
+        " '\u00e9') AS sp",
+        "SELECT upper('i') AS ui, lower('I') AS li",  # no locale (tr)
+    ],
+    "printf_edges": [
+        "SELECT printf('%d', 42) AS a, printf('%5d', 42) AS b,"
+        " printf('%-5d|', 42) AS c, printf('%05d', 42) AS d",
+        "SELECT printf('%x', 255) AS a, printf('%X', 255) AS b,"
+        " printf('%o', 8) AS c, printf('%#x', 255) AS d",
+        "SELECT printf('%f', 1.5) AS a, printf('%.2f', 1.005) AS b,"
+        " printf('%.0f', 0.5) AS c, printf('%.0f', 1.5) AS d",
+        "SELECT printf('%e', 12345.678) AS a, printf('%g', 12345.678)"
+        " AS b, printf('%g', 0.000012345) AS c",
+        "SELECT printf('%s', 1.5) AS a, printf('%s', DATE '2024-01-02')"
+        " AS b",
+        "SELECT printf('%+d', 5) AS a, printf('% d', 5) AS b",
+        "SELECT printf('%.3s', 'abcdef') AS trunc",
+        "SELECT printf('%10.3f', 3.14159) AS a,"
+        " printf('%-10.3f|', 3.14159) AS b",
+        "SELECT printf('%%') AS pct, printf('%s %s', 'a', 'b') AS two",
+        "SELECT printf('%f', 'inf'::DOUBLE) AS a,"
+        " printf('%f', 'nan'::DOUBLE) AS b,"
+        " printf('%f', '-inf'::DOUBLE) AS c",
+        "SELECT printf('%d', -2147483648) AS a,"
+        " printf('%d', 9223372036854775807) AS b",
+        "SELECT format('{:.2f}', 1.005) AS a, format('{:>6}', 'ab') AS b",
+        "SELECT printf('%f', 0.1) AS a, printf('%.17g', 0.1) AS b",
+    ],
     "windows": [
         "SELECT v, row_number() OVER (ORDER BY k) AS rn"
         " FROM (VALUES (1, 1), (2, NULL), (3, 2)) t(v, k) ORDER BY v",

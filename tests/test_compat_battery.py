@@ -731,6 +731,29 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT IF(TRUE, 1 IN (SELECT NULL::INT), FALSE) AS v",
     "SELECT NULL::INT[] < [1] AS a, [1] <= NULL::INT[] AS b",
     "SELECT [1] = NULL::INT[] AS b",
+    # --- r12 printf sweep: fmt/C float semantics (binary-value
+    # rounding, %g zero-stripping, inf/nan spellings) via the
+    # __duck_fmt1 kernel; int/string directives stay JVM ---
+    "SELECT printf('%.2f', 1.005) AS a, printf('%.0f', 0.5) AS b,"
+    " printf('%.0f', 1.5) AS c, printf('%f', 1.5) AS d",
+    "SELECT printf('%e', 12345.678) AS a, printf('%g', 12345.678) AS b,"
+    " printf('%g', 0.000012345) AS c",
+    "SELECT printf('%f', 'inf'::DOUBLE) AS a,"
+    " printf('%f', 'nan'::DOUBLE) AS b, printf('%f', '-inf'::DOUBLE) AS c",
+    "SELECT printf('%f', 0.1) AS a, printf('%.17g', 0.1) AS b",
+    "SELECT printf('%10.3f|%-10.3f|%05d|%x', 3.14159, 3.14159, 42, 255)"
+    " AS mixed",
+    "SELECT printf('%s=%g%%', 'r', 2.5) AS pct",
+    "SELECT printf('%g', NULL::DOUBLE) AS n",
+    "SELECT format('{:.2f}', 1.005) AS a, format('{:>6}', 'ab') AS b",
+    "SELECT format('{} {:.1f}', 'x', 2.25) AS f2",
+    # --- r12 collation sweep: duck default binary UTF-8 order matched
+    # Spark natively (18/18 ok) — pin a few as the regression net ---
+    "SELECT x FROM (VALUES ('a'), ('B'), ('b'), ('A'), ('Z'), ('z'))"
+    " t(x) ORDER BY x",
+    "SELECT string_agg(x, ',' ORDER BY x) AS s FROM (VALUES ('b'),"
+    " ('A'), ('é'), ('Z')) t(x)",
+    "SELECT 'a\u0301' = 'á' AS nfdeq, 'a' < 'B' AS c1",
 ]
 
 
