@@ -434,13 +434,15 @@ def _merge_substitute_nextval(
     by the arm, so the UPDATE-statement block-reservation recipe
     (compat._substitute_update_nextval) applies PER ARM — reserve one
     block sized by the arm's affected-row count, number the arm's rows
-    with the arm-appropriate index expression, and substitute. Scope
-    that keeps the value set exact: all of a sequence's occurrences
-    must live in ONE arm (interleaved arms allocate row-dependently),
-    and occurrences in arm PREDICATES refuse (row-dependent in a way
-    no rewrite reproduces). Which row gets which value follows scan
-    order on both engines — guaranteed by neither (the UPDATE
-    precedent, BASELINE r9)."""
+    with the arm-appropriate index expression, and substitute. A
+    sequence SHARED by several arms (the classic two-arm upsert, r12 —
+    was a refusal) reserves its blocks in arm order from the live
+    counter, so the allocated VALUE SET stays exactly DuckDB's
+    contiguous range; which arm's rows get which sub-block is arm-major
+    here where duck interleaves by scan order — row↔value pairing is
+    guaranteed by neither engine (the UPDATE precedent, BASELINE r9).
+    Occurrences in arm PREDICATES still refuse (row-dependent in a way
+    no rewrite reproduces)."""
     from ..server.compat import (
         _SEQ_FN_RE,
         _code_mask,
@@ -460,7 +462,6 @@ def _merge_substitute_nextval(
             if all(mask[m.start(1) : m.end(1)])
         ]
 
-    seq_arm: dict[str, int] = {}
     arm_occs: list[list[tuple[int, object]]] = []
     any_occ = False
     for ai, cl in enumerate(clauses):
@@ -480,12 +481,6 @@ def _merge_substitute_nextval(
                 name = m.group(2).lower()
                 if SEQUENCES.get(name) is None:
                     raise ValueError(f"sequence {m.group(2)!r} does not exist")
-                if seq_arm.setdefault(name, ai) != ai:
-                    raise ValueError(
-                        f"nextval('{name}') in more than one MERGE arm "
-                        "allocates row-dependently across arms — not "
-                        "supported (use one arm per sequence)"
-                    )
                 found.append((ei, m))
                 any_occ = True
         arm_occs.append(found)

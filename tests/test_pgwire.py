@@ -4162,16 +4162,9 @@ def test_wire_merge_nextval(client, spark):
     assert out[-1]["tag"] == "MERGE 2", out
     (r,) = client.query("SELECT v FROM mnx WHERE k IN (1, 2) ORDER BY v")
     assert r["rows"] == [["106"], ["109"]], r
-    # refusals: one sequence across two arms; nextval in a predicate;
+    # refusals: nextval in a predicate;
     # interleaved currval — and none of them advance the sequence
     for bad, frag in (
-        (
-            "MERGE INTO mnx t USING (SELECT * FROM VALUES (1), (8) "
-            "AS src(k)) s ON t.k = s.k "
-            "WHEN MATCHED THEN UPDATE SET v = nextval('mnx_seq') "
-            "WHEN NOT MATCHED THEN INSERT VALUES (s.k, nextval('mnx_seq'))",
-            "more than one MERGE arm",
-        ),
         (
             "MERGE INTO mnx t USING (SELECT * FROM VALUES (1) AS src(k)) s"
             " ON t.k = s.k "
@@ -4198,6 +4191,23 @@ def test_wire_merge_nextval(client, spark):
         "WHEN NOT MATCHED THEN INSERT VALUES (s.k, nextval ('mnx_seq'))"
     )
     assert out[-1]["tag"] == "MERGE 1", out
+    # ONE sequence across BOTH arms (the classic upsert — r12, was a
+    # refusal): blocks reserve in arm order from the live counter, so
+    # the value set is the same contiguous range DuckDB allocates.
+    # Counter stands at 118 (112 consumed by the SELECT above, 115 by
+    # the whitespace-tolerance insert): update arm (k=1, 1 row) draws
+    # [118,121), insert arm (k=8, 1 row) draws [121,124).
+    out = client.query(
+        "MERGE INTO mnx t USING (SELECT * FROM VALUES (1), (8) "
+        "AS src(k)) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = nextval('mnx_seq') "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, nextval('mnx_seq'))"
+    )
+    assert out[-1]["tag"] == "MERGE 2", out
+    (r,) = client.query("SELECT v FROM mnx WHERE k IN (1, 8) ORDER BY k")
+    assert r["rows"] == [["118"], ["121"]], r
+    (r,) = client.query("SELECT nextval('mnx_seq') AS v")
+    assert r["rows"] == [["124"]], r
     (r,) = client.query("SELECT v FROM mnx WHERE k = 7")
     assert r["rows"] == [["115"]], r
     client.query("DROP TABLE mnx")
