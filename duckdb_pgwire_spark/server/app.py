@@ -3161,8 +3161,20 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         for lowname in ambiguous:
             ctypes.pop(lowname, None)
         if ctypes:
-            from .compat import rewrite_composite_col_ord
+            from .compat import (
+                propagate_complex_aliases,
+                rewrite_composite_col_ord,
+            )
 
+            # reach derived-table/CTE output names: `SELECT a AS x …`
+            # gives x the same type tree (r12, enum-alias precedent)
+            blocked = {
+                f.name.lower()
+                for fields3 in tbl_fields.values()
+                for f in fields3
+                if f.name.lower() not in ctypes
+            }
+            ctypes = propagate_complex_aliases(sql, ctypes, blocked)
             sql = rewrite_composite_col_eq(sql, ctypes)
             sql = rewrite_composite_col_ord(sql, ctypes)
     if has_vc_cast and complex_cols:

@@ -2786,6 +2786,42 @@ def propagate_enum_aliases(
     return out
 
 
+def propagate_complex_aliases(
+    sql: str, ctypes: dict, blocked: set[str]
+) -> dict:
+    """Extend the composite closure's column→type-tree map with
+    SELECT-list aliases of complex columns, so the schema-typed legs
+    also reach derived-table / CTE output names (``SELECT a AS x FROM
+    oc ... x < [1,NULL]`` — r12, the enum-alias precedent). Same
+    conservative rules as ``propagate_enum_aliases``: the alias must be
+    bound exactly once in the statement, to a bare/qualified complex
+    column (chains close at fixpoint), and must not collide with a real
+    non-complex column."""
+    if not ctypes:
+        return ctypes
+    mask = _code_mask(sql)
+    bindings: dict[str, list[str]] = {}
+    for m in _AS_ALIAS_RE.finditer(sql):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        alias = m.group(3).lower()
+        if alias in _KEYWORDS_NOT_ALIASES:
+            continue
+        bindings.setdefault(alias, []).append(m.group(2).lower())
+    out = dict(ctypes)
+    changed = True
+    while changed:
+        changed = False
+        for alias, exprs in bindings.items():
+            if alias in out or alias in blocked or len(exprs) != 1:
+                continue
+            t = out.get(exprs[0].split(".")[-1])
+            if t is not None:
+                out[alias] = t
+                changed = True
+    return out
+
+
 # words that follow "AS" without being column aliases (type names in
 # CASTs are caught by position too, but cheap to exclude outright)
 _KEYWORDS_NOT_ALIASES = frozenset(

@@ -702,6 +702,15 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT k, a < [1,NULL] AS v FROM probe_ctx ORDER BY k",
     "SELECT k FROM probe_ctx WHERE a < [1,NULL] ORDER BY k",
     "SELECT k FROM probe_ctx WHERE a > [1,NULL] ORDER BY k",
+    # schema reach through derived-table / CTE aliases (r12,
+    # propagate_complex_aliases)
+    "SELECT k, x = y AS e, x < y AS lt FROM"
+    " (SELECT k, a AS x, b AS y FROM probe_ctx) t ORDER BY k",
+    "WITH c AS (SELECT k, a AS x, b AS y FROM probe_ctx)"
+    " SELECT k FROM c WHERE x >= y ORDER BY k",
+    "WITH c AS (SELECT k, a AS x FROM probe_ctx)"
+    " SELECT k, x <= [1,NULL] AS v FROM c ORDER BY k",
+    "SELECT k, a < b AS lt FROM (SELECT * FROM probe_ctx) t ORDER BY k",
     # literal forms: value 3VL / WHERE const-fold 3VL / WHEN 2VL
     "SELECT [1,NULL] < [1,2] AS a, [1,NULL] <= [1,NULL] AS b,"
     " [1] < [1,NULL] AS c, [1,NULL] < [1] AS d, [1,NULL] < [1,2,3] AS e",
