@@ -274,16 +274,20 @@ def test_incremental_dedup_probes_persisted_index(spark):
     df = _q("dedup_incremental_vs_index").fn(spark, SF_DIR)
     full = df._jdf.queryExecution().executedPlan().toString()
     assert "bkt_band_index" in full
-    # exactly ONE raw-text scan: the probe batch
-    assert full.count("documents.parquet") == 1
+    # exactly ONE raw-text scan: the probe batch (served from the
+    # exchange-free multi-file fixture copy since r12, falling back to
+    # the original single parquet)
+    n_scans = full.count("documents.parquet") + full.count(
+        ".parallel_cache"
+    )
+    assert n_scans == 1, full[:2000]
     # the index-side scan is bucket-aligned (metadata layout, no shuffle)
     assert "Bucketed: true" in full
     # the batch filter is pushed into the documents scan, so the probe
     # side never signs the already-indexed corpus
     import re
 
-    doc_scan_region = full[: full.index("documents.parquet")]
-    assert re.search(r"\(doc_id#\d+L? % 5\) = 0", doc_scan_region), full[:2000]
+    assert re.search(r"\(doc_id#\d+L? % 5\) = 0", full), full[:2000]
 
 
 def test_mix_token_budget_single_source_shuffle(spark):
@@ -442,16 +446,17 @@ def test_recursive_closure_broadcasts_edges(spark):
     assert I.partial_agg_before_shuffle(df), "no map-side combine"
 
 
-def test_pii_scrub_single_widening_exchange(spark):
-    """Guards: the PII scrub growing a data-dependent shuffle — it is
-    pure row-local regexp work. The ONE allowed exchange is
-    load_table_parallel's round-robin scan widening (fixture parquet
-    is a single row group; at cluster scale the scan splits replace
-    it). No hash/range partitioning may appear, and the scan must
+def test_pii_scrub_zero_exchange(spark):
+    """Guards: the PII scrub growing ANY shuffle — it is pure row-local
+    regexp work. Since r12 the wide scan comes from the multi-file
+    fixture copy (session._parallel_copy), so the plan is EXCHANGE-FREE
+    — the layout a 100 TB table actually presents; the round-robin
+    widening crutch remains only as the fallback when the copy can't
+    build. No hash/range partitioning may appear, and the scan must
     prune to doc_id+text."""
     df = _q("text_pii_scrub").fn(spark, SF_DIR)
     plan = I.simple_plan(df)
-    assert I.exchange_count(df) == 1, plan
+    assert I.exchange_count(df) == 0, plan
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
     (cols,) = I.scan_read_columns(df)
     assert cols == {"doc_id", "text"}, cols
