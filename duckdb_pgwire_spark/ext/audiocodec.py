@@ -97,12 +97,15 @@ def encode_wav_pcm16(
 
 
 def decode_wav(payload: bytes) -> DecodedAudio:
-    """Chunk-walking RIFF/WAVE decoder for integer PCM.
+    """Chunk-walking RIFF/WAVE decoder for PCM.
 
     Accepts any chunk order, skips unknown chunks (word-aligned, the
-    RIFF rule), requires one ``fmt `` before ``data``. 16-bit samples
-    decode as stored; 8-bit (stored unsigned) recentre to signed.
-    Float/ADPCM/extensible-non-PCM refuse with NotImplementedError."""
+    RIFF rule), requires one ``fmt `` before ``data``. Integer PCM:
+    16/32-bit decode as stored, 24-bit sign-extends the 3-byte frames,
+    8-bit (stored unsigned) recentres to signed. IEEE-float PCM
+    (format tag 3, 32/64-bit — r12) scales the normalized [-1,1]
+    samples to the 16-bit grid, clipping out-of-range. ADPCM and other
+    compressed tags refuse with NotImplementedError."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -127,11 +130,34 @@ def decode_wav(payload: bytes) -> DecodedAudio:
         elif cid == b"data":
             if fmt_tag is None:
                 raise ValueError("data chunk before fmt")
-            if fmt_tag != 1:
+            if fmt_tag == 3:
+                # IEEE-float PCM (r12 stretch; public WAVE spec):
+                # normalized [-1, 1] floats scale to the 16-bit
+                # integer grid (round-half-away like every practical
+                # converter), out-of-range clips
+                if bits == 32:
+                    f = np.frombuffer(body, dtype="<f4", count=clen // 4)
+                elif bits == 64:
+                    f = np.frombuffer(body, dtype="<f8", count=clen // 8)
+                else:
+                    raise NotImplementedError(
+                        f"{bits}-bit float PCM not supported"
+                    )
+                # NaN samples (malformed encoders) clamp to 0 rather
+                # than poison the int cast
+                f64 = np.nan_to_num(f.astype(np.float64))
+                scaled = np.clip(
+                    np.sign(f64) * np.floor(np.abs(f64) * 32767.0 + 0.5),
+                    -32768,
+                    32767,
+                )
+                samples = scaled.astype(np.int32)
+                bits = 16  # downstream stats see the integer grid
+            elif fmt_tag != 1:
                 raise NotImplementedError(
                     f"WAV format tag {fmt_tag} (non-PCM) not supported"
                 )
-            if bits == 16:
+            elif bits == 16:
                 n = clen // 2
                 samples = np.frombuffer(
                     body, dtype="<i2", count=n
@@ -140,6 +166,19 @@ def decode_wav(payload: bytes) -> DecodedAudio:
                 samples = np.frombuffer(body, dtype=np.uint8).astype(
                     np.int32
                 ) - 128
+            elif bits == 24:
+                # 3-byte little-endian signed (r12): widen via uint8
+                # triplets — (b2<<16 | b1<<8 | b0) sign-extended
+                n = clen // 3
+                b3 = np.frombuffer(body, np.uint8, count=n * 3).reshape(
+                    n, 3
+                ).astype(np.int32)
+                v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+                samples = np.where(v >= 1 << 23, v - (1 << 24), v)
+            elif bits == 32:
+                samples = np.frombuffer(
+                    body, dtype="<i4", count=clen // 4
+                ).astype(np.int32)
             else:
                 raise NotImplementedError(f"{bits}-bit PCM not supported")
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned

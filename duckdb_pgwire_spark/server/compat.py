@@ -2445,7 +2445,8 @@ _ENUM_TEXT_FNS = frozenset(
     md5 sha256 hash ascii ord initcap strip_accents nfc_normalize
     translate levenshtein editdist3 hamming mismatches jaccard
     jaro_similarity jaro_winkler_similarity damerau_levenshtein
-    string_agg listagg group_concat format printf""".split()
+    string_agg listagg group_concat format printf
+    rlike __duck_simple_upper __duck_simple_lower""".split()
 )
 
 

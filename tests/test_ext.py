@@ -833,15 +833,55 @@ def test_audiocodec_round_trips_and_refusals():
     )
     assert decode_wav(wav8).samples == [0, 127, -128, 2]
 
-    # IEEE-float WAV refuses loudly (format tag 3)
-    fmtf = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
-    wavf = (
+    # IEEE-float WAV (format tag 3, r12): normalized floats scale to
+    # the 16-bit grid, clipping out-of-range; 64-bit doubles too
+    import numpy as np
+
+    def _wavf(bits, payload):
+        fmtf = struct.pack(
+            "<HHIIHH", 3, 1, 8000, 8000 * bits // 8, bits // 8, bits
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVEfmt "
+            + struct.pack("<I", 16) + fmtf + b"data"
+            + struct.pack("<I", len(payload)) + payload
+        )
+
+    f32 = np.array([1.0, -1.0, 0.5, 0.0, 2.0, -3.0], dtype="<f4").tobytes()
+    auf = decode_wav(_wavf(32, f32))
+    assert auf.bits == 16 and auf.samples == [
+        32767, -32767, 16384, 0, 32767, -32768,
+    ]
+    f64 = np.array([0.25, -0.5], dtype="<f8").tobytes()
+    assert decode_wav(_wavf(64, f64)).samples == [8192, -16384]
+
+    # 24-bit signed PCM sign-extends; 32-bit decodes as stored
+    d24 = b"\x01\x00\x00" + b"\xff\xff\xff" + b"\x00\x00\x80"
+    fmt24 = struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+    wav24 = (
+        b"RIFF" + struct.pack("<I", 36 + 9) + b"WAVEfmt "
+        + struct.pack("<I", 16) + fmt24 + b"data" + struct.pack("<I", 9)
+        + d24
+    )
+    assert decode_wav(wav24).samples == [1, -1, -(1 << 23)]
+    d32 = struct.pack("<ii", 70000, -70000)
+    fmt32 = struct.pack("<HHIIHH", 1, 1, 8000, 32000, 4, 32)
+    wav32 = (
+        b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVEfmt "
+        + struct.pack("<I", 16) + fmt32 + b"data" + struct.pack("<I", 8)
+        + d32
+    )
+    assert decode_wav(wav32).samples == [70000, -70000]
+
+    # ADPCM (format tag 2) still refuses loudly
+    fmta = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
+    wava = (
         b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVEfmt "
-        + struct.pack("<I", 16) + fmtf + b"data" + struct.pack("<I", 4)
-        + b"\x00\x00\x80\x3f"
+        + struct.pack("<I", 16) + fmta + b"data" + struct.pack("<I", 4)
+        + b"\x00\x00\x00\x00"
     )
     with pytest.raises(NotImplementedError):
-        decode_wav(wavf)
+        decode_wav(wava)
 
     # truncated data chunk / non-RIFF refuse
     with pytest.raises(ValueError):
