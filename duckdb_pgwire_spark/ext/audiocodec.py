@@ -1,20 +1,22 @@
 """[EXT] Pure-Python audio codec for uncompressed WAV (RIFF PCM).
 
 Real sample decoding with no external library: the RIFF/WAVE container
-with PCM integer payloads — 16-bit signed and 8-bit unsigned, mono and
-interleaved stereo, chunk-walking that skips unknown chunks (LIST,
-fact, cue) the way real files carry them. The layout is fully public
-(the RIFF spec and the Microsoft WAVE format), so the mm_audio_*
-operators decode actual samples through this module, mirroring how
-``ext.imagecodec`` keeps the image plane stub-free. Compressed formats
-(MP3, AAC, IEEE-float WAV, ADPCM) refuse loudly with
-NotImplementedError: entropy/float decoding genuinely needs a library,
-and a silent fake would poison downstream features.
+with PCM payloads — integer 8/16/24/32-bit, mono and interleaved
+stereo, chunk-walking that skips unknown chunks (LIST, fact, cue) the
+way real files carry them, and (r12) IEEE-float PCM (format tag 3,
+32/64-bit) scaled onto the 16-bit integer grid. The layout is fully
+public (the RIFF spec and the Microsoft WAVE format), so the
+mm_audio_* operators decode actual samples through this module,
+mirroring how ``ext.imagecodec`` keeps the image plane stub-free.
+Compressed formats (MP3, AAC, ADPCM) refuse loudly with
+NotImplementedError: entropy decoding genuinely needs a library, and a
+silent fake would poison downstream features.
 
-All decoded samples are exact integers (16-bit PCM values as stored,
-8-bit values recentred to signed by subtracting 128), so both engines
-of the correctness gate can reproduce every derived statistic
-bit-for-bit — no float path anywhere in the codec.
+All DECODED samples are exact integers (integer PCM as stored —
+8-bit recentred, 24-bit sign-extended; float PCM deterministically
+quantized half-away-from-zero to the 16-bit grid at decode), so both
+engines of the correctness gate can reproduce every derived statistic
+bit-for-bit downstream of the decode.
 """
 
 from __future__ import annotations

@@ -971,17 +971,78 @@ def _walk_brackets_fwd(sql: str, segs, i: int) -> int:
     return -1
 
 
+def _strip_left_casts(sql: str, segs, i: int) -> int:
+    """Mirror of ``_extend_postfix_cast`` for the LEFT operand scan:
+    given an end position ``i`` (exclusive), consume any trailing
+    ``::type`` suffix chain backwards — generic ``<…>`` (only when it
+    touches an ARRAY/MAP/STRUCT word), ``[]``, ``(args)``, the dotted
+    type word, then ``::`` — and return the position where the BASE
+    operand ends. Returns ``i`` unchanged when no cast suffix ends
+    there. (review r12: ``[1,NULL]::INT[] < [1,2]`` silently escaped
+    the composite passes because only the right scan knew ``::``.)"""
+    while True:
+        j = i
+        while j > 0 and sql[j - 1].isspace():
+            j -= 1
+        # optional type-argument / array / generic suffixes
+        for _hop in range(8):
+            if j > 0 and sql[j - 1] == ">" and _seg_at(segs, j - 1)[0] == "code":
+                dpt, w = 0, j - 1
+                while w >= 0:
+                    if _seg_at(segs, w)[0] == "code":
+                        if sql[w] == ">":
+                            dpt += 1
+                        elif sql[w] == "<":
+                            dpt -= 1
+                            if dpt == 0:
+                                break
+                    w -= 1
+                if w < 0 or dpt:
+                    return i
+                m = re.search(r"[\w.]+$", sql[:w])
+                if m is None or m.group(0).upper() not in (
+                    "ARRAY", "MAP", "STRUCT"
+                ):
+                    return i
+                j = w
+                continue
+            if j >= 2 and sql[j - 2 : j] == "[]":
+                j -= 2
+                continue
+            if j > 0 and sql[j - 1] == ")" and _seg_at(segs, j - 1)[0] == "code":
+                w = _walk_brackets_back(sql, segs, j, ")", "(")
+                if w < 0:
+                    return i
+                j = w
+                continue
+            break
+        m = re.search(r"[\w.]+$", sql[:j])
+        if m is None:
+            return i
+        j = m.start()
+        while j > 0 and sql[j - 1].isspace():
+            j -= 1
+        if j < 2 or sql[j - 2 : j] != "::" or _seg_at(segs, j - 1)[0] != "code":
+            return i
+        i = j - 2  # consume this cast; loop for chained ::casts
+
+
 def _scan_left_operand(sql: str, segs, end: int) -> int:
     """Start index of the tightest value expression ending at ``end``
     (exclusive): literal (incl. typed literals ``DATE '…'``) / paren
     group (with optional call head) / ``CASE…END`` block / qualified
-    identifier or number. Returns ``end`` when nothing operand-like
-    precedes (caller decides skip-vs-refuse)."""
+    identifier or number — any of them followed by ``::type`` postfix
+    casts. Returns ``end`` when nothing operand-like precedes (caller
+    decides skip-vs-refuse)."""
     i = end
     while i > 0 and sql[i - 1].isspace():
         i -= 1
     if i == 0:
         return end
+    base = _strip_left_casts(sql, segs, i)
+    if base < i:
+        j = _scan_left_operand(sql, segs, base)
+        return j if j < base else end
     kind, a, _b = _seg_at(segs, i - 1)
     if kind == "lit":
         # typed literal: the keyword is part of the operand — without
@@ -8133,15 +8194,19 @@ _COMP_DML_HEAD_RE = re.compile(
 _COMP_BODY_KW_RE = re.compile(r"\b(?:SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE)
 
 
-def _comp_body_offset(sql: str) -> int | None:
-    """Offset of the query body the composite/projection 3VL passes may
-    rewrite, or None when the statement carries none they should touch.
-    0 for plain queries; for INSERT INTO … SELECT and CREATE … AS
-    SELECT, the first depth-0 SELECT/WITH/VALUES/TABLE keyword after
-    the head (the INSERT column list and any CTAS parens sit inside
-    parens, so a depth-0 scan lands on the body)."""
+def _comp_body_span(sql: str) -> tuple[int, int] | None:
+    """(start, end) of the query body the composite/projection 3VL
+    passes may rewrite, or None when the statement carries none they
+    should touch. (0, len) for plain queries; for INSERT INTO … SELECT
+    and CREATE … AS SELECT, the first depth-0 SELECT/WITH/VALUES/TABLE
+    keyword after the head (the INSERT column list and any CTAS parens
+    sit inside parens, so a depth-0 scan lands on the body). A body
+    WRAPPED in parens — ``CREATE TABLE t AS (SELECT …)`` / ``INSERT
+    INTO t (SELECT …)``, both duck-legal — unwraps to the inner span
+    (review r12: the depth-0 scan alone skipped these, persisting
+    Spark-2VL values one paren away from the fixed spelling)."""
     if _COMP_STMT_HEAD_RE.match(sql) is not None:
-        return 0
+        return 0, len(sql)
     hm = _COMP_DML_HEAD_RE.match(sql)
     if hm is None:
         return None
@@ -8174,7 +8239,52 @@ def _comp_body_offset(sql: str) -> int | None:
         start = as_m.end()
     for m in _COMP_BODY_KW_RE.finditer(sql, start):
         if all(mask[m.start() : m.end()]) and depth[m.start()] == 0:
-            return m.start()
+            return m.start(), len(sql)
+    # no bare depth-0 body keyword: look for a paren-WRAPPED body —
+    # skip balanced groups (e.g. the INSERT column list); a group that
+    # closes at the effective end of the statement is the wrapper
+    n = len(sql)
+    end = n
+    while end > 0 and (sql[end - 1].isspace() or sql[end - 1] == ";"):
+        end -= 1
+    i = start
+    # INSERT's head match ends before the target table name (CREATE's
+    # start is already past AS) — step over the qualified name and an
+    # optional BY NAME so the wrapper scan starts at the parens
+    nm = re.match(
+        r'\s*[\w.`"]+(\s+BY\s+NAME)?', sql[i:], re.IGNORECASE
+    )
+    if nm is not None and sql.lstrip()[:6].upper() != "CREATE":
+        i += nm.end()
+    for _hop in range(8):  # nested wrappers: ((SELECT …))
+        while i < end and sql[i].isspace():
+            i += 1
+        if i >= end or sql[i] != "(" or not mask[i]:
+            return None
+        # matching close of this group
+        j, dd = i, 0
+        while j < end:
+            if mask[j]:
+                if sql[j] == "(":
+                    dd += 1
+                elif sql[j] == ")":
+                    dd -= 1
+                    if dd == 0:
+                        break
+            j += 1
+        if j >= end:
+            return None
+        if j == end - 1:
+            # wrapper: body keyword must open the inner span
+            inner = sql[i + 1 : j]
+            km = _COMP_BODY_KW_RE.match(inner.lstrip())
+            if km is not None:
+                off = i + 1 + (len(inner) - len(inner.lstrip()))
+                return off, j
+            i += 1  # nested parens: descend
+            end = j
+            continue
+        i = j + 1  # a mid-statement group (column list): skip it
     return None
 
 
@@ -8578,11 +8688,12 @@ def _rewrite_projection_in_subq(sql: str) -> str:
     decides position (SELECT = projection)."""
     if re.search(r"\bIN\s*\(\s*(SELECT|WITH)\b", sql, re.IGNORECASE) is None:
         return sql
-    off = _comp_body_offset(sql)
-    if off is None:
+    span = _comp_body_span(sql)
+    if span is None:
         return sql
-    if off:
-        return sql[:off] + _rewrite_projection_in_subq(sql[off:])
+    bs, be = span
+    if bs or be < len(sql):
+        return sql[:bs] + _rewrite_projection_in_subq(sql[bs:be]) + sql[be:]
     segs = _abs_segments(sql)
     mask = _code_mask(sql)
     depth: list[int] = []
@@ -8774,11 +8885,12 @@ def rewrite_composite_col_eq(sql: str, complex_types: dict) -> str:
     has_in = re.search(r"\bIN\s*\(", sql, re.IGNORECASE) is not None
     if not has_eq and not has_in:
         return sql
-    off = _comp_body_offset(sql)
-    if off is None:
+    span = _comp_body_span(sql)
+    if span is None:
         return sql
-    if off:
-        return sql[:off] + rewrite_composite_col_eq(sql[off:], complex_types)
+    bs, be = span
+    if bs or be < len(sql):
+        return sql[:bs] + rewrite_composite_col_eq(sql[bs:be], complex_types) + sql[be:]
     low = sql.lower()
     if not any(c in low for c in complex_types):
         return sql
@@ -8983,13 +9095,116 @@ def rewrite_composite_col_ord(sql: str, complex_types: dict) -> str:
     scanning and type-tree resolution as ``rewrite_composite_col_eq``;
     constructor-literal sides were handled by the type-blind pass in
     rewrite()."""
-    if not complex_types or _ORD_OP_RE.search(sql) is None:
+    if not complex_types or (
+        _ORD_OP_RE.search(sql) is None
+        and _COMP_BETWEEN_RE.search(sql) is None
+    ):
         return sql
-    off = _comp_body_offset(sql)
-    if off is None:
+    span = _ord_body_span(sql)
+    if span is None:
         return sql
-    if off:
-        return sql[:off] + rewrite_composite_col_ord(sql[off:], complex_types)
+    bs, be = span
+    if bs or be < len(sql):
+        # ungated worker — a bare WHERE-tail fragment has no head
+        return (
+            sql[:bs]
+            + _rewrite_composite_col_ord_body(sql[bs:be], complex_types)
+            + sql[be:]
+        )
+    return _rewrite_composite_col_ord_body(sql, complex_types)
+
+
+def _col_tree_for(op: str, complex_types: dict):
+    """Resolve a bare/qualified identifier to its complex type tree
+    (depth-capped like the eq leg)."""
+    def _tree_depth(t) -> int:
+        if t == "atom" or t is None:
+            return 0
+        if t[0] == "array":
+            return 1 + _tree_depth(t[1])
+        if t[0] == "struct":
+            return 1 + max((_tree_depth(s) for _, s in t[1]), default=0)
+        if t[0] == "map":
+            return 1 + max(_tree_depth(t[1]), _tree_depth(t[2]))
+        return 0
+
+    op = op.strip()
+    if re.fullmatch(r"[A-Za-z_][\w.`]*", op.replace("`", "")):
+        t = complex_types.get(op.split(".")[-1].strip("`").lower())
+        if t is not None and _tree_depth(t) > 4:
+            return None
+        return t
+    return None
+
+
+def _rewrite_composite_col_between(sql: str, complex_types: dict) -> str:
+    """Column-operand composite BETWEEN (r12 review): duck evaluates
+    the 3VL conjunction in VALUE positions and the 2VL total order in
+    CASE-WHEN/IF cond slots; the FILTER-spine column form is an
+    'Invalid Type for BETWEEN' error in duck itself and stays native
+    (documented leniency inversion)."""
+    if _COMP_BETWEEN_RE.search(sql) is None:
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    depth: list[int] = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    clause_kws = [
+        k for k in _CLAUSE_KW_RE.finditer(sql) if all(mask[k.start() : k.end()])
+    ]
+    out: list[str] = []
+    pos = 0
+    for m in _COMP_BETWEEN_RE.finditer(sql):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        if re.match(r"\s*SYMMETRIC\b", sql[m.end() :], re.IGNORECASE):
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        if ls >= m.start():
+            continue
+        lo_end = _scan_right_operand(sql, segs, m.end())
+        if lo_end <= m.end():
+            continue
+        am = re.match(r"\s+AND\s+", sql[lo_end:], re.IGNORECASE)
+        if am is None:
+            continue
+        hi_start = lo_end + am.end()
+        hi_end = _scan_right_operand(sql, segs, hi_start)
+        if hi_end <= hi_start:
+            continue
+        needle = sql[ls : m.start()].strip()
+        lo = sql[m.end() : lo_end].strip()
+        hi = sql[hi_start:hi_end].strip()
+        tree = (
+            _col_tree_for(needle, complex_types)
+            or _col_tree_for(lo, complex_types)
+            or _col_tree_for(hi, complex_types)
+        )
+        if tree is None:
+            continue
+        kind = _position_kind(sql, mask, clause_kws, depth, m.start())
+        if kind == "spine":
+            continue  # duck errors here; native keeps the loud class
+        two = kind == "cond"
+        c_lo = _typed_cmp(needle, lo, tree, two)
+        c_hi = _typed_cmp(needle, hi, tree, two)
+        body = f"((({c_lo}) >= 0) AND (({c_hi}) <= 0))"
+        repl = f"(NOT {body})" if m.group(1) else body
+        out.append(sql[pos:ls])
+        out.append(repl)
+        pos = hi_end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_composite_col_ord_body(sql: str, complex_types: dict) -> str:
+    sql = _rewrite_composite_col_between(sql, complex_types)
     low = sql.lower()
     if not any(c in low for c in complex_types):
         return sql
@@ -9237,11 +9452,12 @@ def _rewrite_composite_eq(sql: str) -> str:
     assignment."""
     if _CMP_OP_RE.search(sql) is None:
         return sql
-    off = _comp_body_offset(sql)
-    if off is None:
+    span = _comp_body_span(sql)
+    if span is None:
         return sql
-    if off:
-        return sql[:off] + _rewrite_composite_eq(sql[off:])
+    bs, be = span
+    if bs or be < len(sql):
+        return sql[:bs] + _rewrite_composite_eq(sql[bs:be]) + sql[be:]
     if (
         _COMPOSITE_HEAD_RE.search(sql) is None
         and re.search(r"\)\s*(?:<>|!=|==|=)", sql) is None
@@ -9475,6 +9691,108 @@ def _cmp_any(a: str, at, b: str, bt, two: bool, d: int = 0):
     return f"(-({sub}))"  # cmp is antisymmetric; -NULL stays NULL
 
 
+_COMP_BETWEEN_RE = re.compile(r"\b(NOT\s+)?BETWEEN\b", re.IGNORECASE)
+
+
+def _rewrite_composite_between(sql: str) -> str:
+    """``x [NOT] BETWEEN lo AND hi`` over composite CONSTRUCTOR
+    operands — BETWEEN desugars to the same ordering comparisons and
+    diverges identically (review r12). Probed: value positions 3VL
+    (conjunction of the two lexicographic compares — [1,NULL] BETWEEN
+    [1,1] AND [1,3] IS NULL), CASE-WHEN/IF cond slots 2VL even for
+    constants, the WHERE spine 3VL for pure constants. Column-operand
+    BETWEEN on the FILTER spine is an 'Invalid Type for BETWEEN' error
+    in duck itself — non-const spine forms stay native (residue).
+    SYMMETRIC is skipped."""
+    if _COMP_BETWEEN_RE.search(sql) is None:
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    depth: list[int] = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    clause_kws = [
+        k for k in _CLAUSE_KW_RE.finditer(sql) if all(mask[k.start() : k.end()])
+    ]
+    out: list[str] = []
+    pos = 0
+    for m in _COMP_BETWEEN_RE.finditer(sql):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        if re.match(r"\s*SYMMETRIC\b", sql[m.end() :], re.IGNORECASE):
+            continue
+        ls = _scan_left_operand(sql, segs, m.start())
+        if ls >= m.start():
+            continue
+        lo_end = _scan_right_operand(sql, segs, m.end())
+        if lo_end <= m.end():
+            continue
+        am = re.match(r"\s+AND\s+", sql[lo_end:], re.IGNORECASE)
+        if am is None:
+            continue
+        hi_start = lo_end + am.end()
+        hi_end = _scan_right_operand(sql, segs, hi_start)
+        if hi_end <= hi_start:
+            continue
+        needle = sql[ls : m.start()].strip()
+        lo = sql[m.end() : lo_end].strip()
+        hi = sql[hi_start:hi_end].strip()
+        nt, lt, ht = (
+            _parse_composite(needle),
+            _parse_composite(lo),
+            _parse_composite(hi),
+        )
+        if nt is None and lt is None and ht is None:
+            continue
+        kind = _position_kind(sql, mask, clause_kws, depth, m.start())
+        if kind == "value":
+            two = False
+        elif kind == "cond":
+            two = True
+        else:
+            consts = [
+                _tree_is_const(t) or _is_null_lit(e)
+                for t, e in ((nt, needle), (lt, lo), (ht, hi))
+            ]
+            if not all(consts):
+                continue  # duck errors on non-const spine BETWEEN
+            two = False
+        c_lo = _cmp_any(needle, nt, lo, lt, two)
+        c_hi = _cmp_any(needle, nt, hi, ht, two)
+        if c_lo is None or c_hi is None:
+            continue
+        body = f"((({c_lo}) >= 0) AND (({c_hi}) <= 0))"
+        repl = f"(NOT {body})" if m.group(1) else body
+        out.append(sql[pos:ls])
+        out.append(repl)
+        pos = hi_end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _ord_body_span(sql: str) -> tuple[int, int] | None:
+    """Rewritable span for the composite ORDERING passes: the query
+    body per ``_comp_body_span``, plus — unlike equality, whose filter
+    path is Spark-native — the WHERE tail of UPDATE / DELETE (review
+    r12: duck's NULLs-greatest filter order applies there too, and a
+    skipped rewrite MUTATES the wrong rows). SET-expression and MERGE
+    arm ordering comparisons remain documented residue."""
+    span = _comp_body_span(sql)
+    if span is not None:
+        return span
+    first = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
+    if first in ("UPDATE", "DELETE"):
+        ws, we = _find_keyword_span(sql, "WHERE")
+        if ws != -1:
+            return we, len(sql)
+    return None
+
+
 def _rewrite_composite_ord(sql: str) -> str:
     """Decompose ``<`` / ``<=`` / ``>`` / ``>=`` over composite
     CONSTRUCTOR operands into the probed DuckDB forms (see block
@@ -9484,20 +9802,34 @@ def _rewrite_composite_ord(sql: str) -> str:
     there, so both positions rewrite — unlike equality). Same operand
     scanning, statement-head and value-position machinery as
     ``_rewrite_composite_eq``."""
-    if _ORD_OP_RE.search(sql) is None:
+    if (
+        _ORD_OP_RE.search(sql) is None
+        and _COMP_BETWEEN_RE.search(sql) is None
+    ):
         return sql
     if (
         _COMPOSITE_HEAD_RE.search(sql) is None
         # bare tuple literals: (1,2) < (1,3) has no constructor head
-        and re.search(r"\)\s*(?:<=|>=|<|>)(?![<>=])", sql) is None
+        and re.search(r"\)\s*(?:<=|>=|<|>|BETWEEN)", sql, re.IGNORECASE)
+        is None
         and re.search(r"(?:<=|>=|<|>)\s*[+-]?\s*\(", sql) is None
+        and re.search(r"\bBETWEEN\s*[+-]?\s*\(", sql, re.IGNORECASE) is None
     ):
         return sql
-    off = _comp_body_offset(sql)
-    if off is None:
+    span = _ord_body_span(sql)
+    if span is None:
         return sql
-    if off:
-        return sql[:off] + _rewrite_composite_ord(sql[off:])
+    bs, be = span
+    if bs or be < len(sql):
+        # the extracted fragment (paren-wrapped body, UPDATE/DELETE
+        # WHERE tail) runs through the UNGATED worker: a bare
+        # predicate has no statement head to pass the gate with
+        return sql[:bs] + _rewrite_composite_ord_body(sql[bs:be]) + sql[be:]
+    return _rewrite_composite_ord_body(sql)
+
+
+def _rewrite_composite_ord_body(sql: str) -> str:
+    sql = _rewrite_composite_between(sql)
     segs = _abs_segments(sql)
     mask = _code_mask(sql)
     depth: list[int] = []
@@ -9554,11 +9886,12 @@ def _rewrite_composite_in(sql: str) -> str:
     Spark's native 2VL, which matches DuckDB's filter path."""
     if re.search(r"\bIN\s*\(", sql, re.IGNORECASE) is None:
         return sql
-    off = _comp_body_offset(sql)
-    if off is None:
+    span = _comp_body_span(sql)
+    if span is None:
         return sql
-    if off:
-        return sql[:off] + _rewrite_composite_in(sql[off:])
+    bs, be = span
+    if bs or be < len(sql):
+        return sql[:bs] + _rewrite_composite_in(sql[bs:be]) + sql[be:]
     segs = _abs_segments(sql)
     mask = _code_mask(sql)
     depth: list[int] = []

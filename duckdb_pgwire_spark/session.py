@@ -196,13 +196,17 @@ def _parallel_copy(
             os.path.basename(os.path.normpath(sf_dir)),
         )
         dst = os.path.join(base, f"{name}_{stamp}")
+        # the high open cost stays set for the SESSION (deliberate —
+        # FilePartition planning happens at each action, so restoring
+        # it would re-coalesce the copy's files back into one split;
+        # the only effect elsewhere is MORE parallelism for small-file
+        # scans, which is the behavior we want everywhere)
+        spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 20))
         if not os.path.isdir(dst):
-            # small files must not re-coalesce into one partition on
-            # read-back: a high open cost makes each file its own split
-            # (runtime-settable; harmless generally — it only widens
-            # small-file scans, real cluster files dwarf it)
-            spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 20))
-            tmp = dst + ".build"
+            # per-process tmp dir: two builders racing on one shared
+            # tmp could interleave overwrite-delete with job commit
+            # and rename a partial build into dst (review r12)
+            tmp = f"{dst}.build.{os.getpid()}"
             (
                 load_table(spark, sf_dir, name)
                 .repartition(parts)
@@ -215,7 +219,6 @@ def _parallel_copy(
                 import shutil
 
                 shutil.rmtree(tmp, ignore_errors=True)
-        spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 20))
         out = spark.read.parquet(dst)
         _PARALLEL_CACHE[key] = out
         return out

@@ -740,6 +740,20 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT IF(TRUE, 1 IN (SELECT NULL::INT), FALSE) AS v",
     "SELECT NULL::INT[] < [1] AS a, [1] <= NULL::INT[] AS b",
     "SELECT [1] = NULL::INT[] AS b",
+    # r12 review fixes: cast-suffixed LEFT operands, composite BETWEEN
+    # (value 3VL / cond 2VL / const-spine 3VL), column BETWEEN
+    "SELECT [1,NULL]::INT[] < [1,2] AS v, [1,NULL]::INT[] = [1,2] AS e",
+    "SELECT [1,NULL] BETWEEN [1,1] AND [1,3] AS a,"
+    " [2,NULL] BETWEEN [1] AND [3] AS b,"
+    " [0] BETWEEN [1,NULL] AND [2] AS c",
+    "SELECT 1 AS one WHERE [1,2] BETWEEN [1,1] AND [1,NULL]",
+    "SELECT CASE WHEN [1,2] BETWEEN [1,1] AND [1,NULL] THEN 1 ELSE 0"
+    " END AS c",
+    "SELECT (1,NULL) BETWEEN (1,1) AND (1,3) AS s",
+    "SELECT [1,2] NOT BETWEEN [1,1] AND [1,NULL] AS n",
+    "SELECT k, a BETWEEN [1,1] AND [1,3] AS v FROM probe_ctx ORDER BY k",
+    "SELECT k, CASE WHEN a BETWEEN [1,1] AND [1,3] THEN 1 ELSE 0 END"
+    " AS c FROM probe_ctx ORDER BY k",
     # --- r12 printf sweep: fmt/C float semantics (binary-value
     # rounding, %g zero-stripping, inf/nan spellings) via the
     # __duck_fmt1 kernel; int/string directives stay JVM ---
@@ -912,3 +926,63 @@ def test_casefold_pua_sentinel_guard(spark, oracle):
         if want != have:
             failures.append((ascii(sql), f"want {want!r} got {have!r}"))
     assert not failures, "\n".join(f"{s}\n    {m}" for s, m in failures)
+
+
+def test_composite_ord_reaches_update_delete_where(spark, oracle):
+    """UPDATE/DELETE WHERE with composite ordering predicates must use
+    duck's NULLs-greatest filter order (review r12: the head gate
+    skipped them and Spark's NULLs-smallest order MUTATED the wrong
+    rows); paren-wrapped CTAS/INSERT bodies must get the 3VL passes."""
+    register_udfs(spark)
+    for s in ("ordw", "ordd", "comp_pw"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+        oracle.execute(f"DROP TABLE IF EXISTS {s}")
+    for ddl in (
+        "CREATE TABLE ordw(k INT, a ARRAY<INT>) USING parquet",
+        "CREATE TABLE ordd(k INT, a ARRAY<INT>) USING parquet",
+    ):
+        spark.sql(ddl)
+    oracle.execute("CREATE TABLE ordw(k INT, a INT[])")
+    oracle.execute("CREATE TABLE ordd(k INT, a INT[])")
+    ins = "INSERT INTO {t} VALUES (1, [1,NULL]), (2, [1,1]), (3, [9])"
+    for t in ("ordw", "ordd"):
+        oracle.execute(ins.format(t=t))
+        spark.sql(rewrite(ins.format(t=t)))
+    try:
+        oracle.execute("UPDATE ordw SET k = 100 WHERE a < [1,2]")
+        from duckdb_pgwire_spark.operators.dml import parse_update, update_table
+
+        upd = rewrite("UPDATE ordw SET k = 100 WHERE a < [1,2]")
+        table, assignments, pred, _ = parse_update(upd)
+        update_table(spark, table, assignments, pred)
+        want = sorted(_canon(tuple(r)) for r in oracle.execute(
+            "SELECT k FROM ordw").fetchall())
+        have = sorted(_canon(tuple(r)) for r in spark.sql(
+            "SELECT k FROM ordw").collect())
+        assert want == have, (want, have)
+
+        oracle.execute("DELETE FROM ordd WHERE a >= [1,2]")
+        from duckdb_pgwire_spark.operators.dml import delete_from, parse_delete
+
+        dl = rewrite("DELETE FROM ordd WHERE a >= [1,2]")
+        tbl, pred2, _using = parse_delete(dl)
+        delete_from(spark, tbl, pred2)
+        want = sorted(_canon(tuple(r)) for r in oracle.execute(
+            "SELECT k FROM ordd").fetchall())
+        have = sorted(_canon(tuple(r)) for r in spark.sql(
+            "SELECT k FROM ordd").collect())
+        assert want == have, (want, have)
+
+        # paren-wrapped CTAS body gets the composite 3VL passes
+        oracle.execute(
+            "CREATE TABLE comp_pw AS (SELECT [1,NULL] = [1,2] AS e)"
+        )
+        spark.sql(rewrite(
+            "CREATE TABLE comp_pw USING parquet AS (SELECT [1,NULL] = [1,2] AS e)"
+        ))
+        want = [tuple(r) for r in oracle.execute("SELECT * FROM comp_pw").fetchall()]
+        have = [tuple(r) for r in spark.sql("SELECT * FROM comp_pw").collect()]
+        assert want == have, (want, have)
+    finally:
+        for s in ("ordw", "ordd", "comp_pw"):
+            spark.sql(f"DROP TABLE IF EXISTS {s}")
