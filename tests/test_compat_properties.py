@@ -691,8 +691,11 @@ def test_enum_fuzz_matches_duckdb(spark, data):
     probed cases in census r9_enum)."""
     import duckdb
 
+    from duckdb_pgwire_spark.functions.udfs import register_udfs
     from duckdb_pgwire_spark.server import compat
     from duckdb_pgwire_spark.server.compat import rewrite
+
+    register_udfs(spark)  # r12: the PUA guard can route to a UDF
 
     members = data.draw(
         st.lists(_ENUM_MEMBER, min_size=1, max_size=5, unique=True)
@@ -1130,6 +1133,9 @@ def test_case_mapping_fuzz_matches_duckdb(spark, s, fn):
     chars where Java's full mapping silently diverges)."""
     import duckdb
 
+    from duckdb_pgwire_spark.functions.udfs import register_udfs
+
+    register_udfs(spark)  # r12: the PUA guard can route to a UDF
     lit = s.replace("'", "''")
     sql = f"SELECT {fn}('{lit}') AS v"
     want = duckdb.connect().execute(sql).fetchone()[0]
