@@ -34,15 +34,23 @@ def duckdb_pgwire_udf(name: pd.Series) -> pd.Series:
     return "DuckdbPgwire " + name + " 🐥"
 
 
+_REGISTERED_SESSIONS: set[int] = set()
+
+
 def register_udfs(spark: SparkSession) -> None:
     """Register the reference's function surface into the Spark catalog
     (the analogue of ExtensionUtil::RegisterFunction, cpp:206-212),
-    plus the DuckDB scalar-parity UDF batch (compat_udfs)."""
+    plus the DuckDB scalar-parity UDF batch (compat_udfs). Memoized per
+    session (second review r12: fuzz tests re-registering ~50 UDFs per
+    hypothesis example paid thousands of redundant Py4J round trips)."""
+    if id(spark) in _REGISTERED_SESSIONS:
+        return
     from .compat_udfs import register_compat_udfs
 
     spark.udf.register("duckdb_pgwire", duckdb_pgwire_udf)
     spark.udf.register("pg_is_in_recovery", lambda: False, T.BooleanType())
     register_compat_udfs(spark)
+    _REGISTERED_SESSIONS.add(id(spark))
 
 
 @query(

@@ -2889,9 +2889,9 @@ _HAS_DATE_IVL_RE = re.compile(
 _HAS_COLUMNS_RE = re.compile(r"(?<![\w.])COLUMNS\s*\(", re.IGNORECASE)
 _HAS_FLOORCEIL_RE = re.compile(r"\b(?:floor|ceil|ceiling)\s*\(", re.IGNORECASE)
 _HAS_CMP_RE = re.compile(
-    # equality + IN, plus bare ordering ops (composite ordering leg,
-    # r12) — excludes <> <= => <=> :: lambda-> and shifts
-    r"<>|!=|==|(?<![<>!=:])=(?![=>])|\bIN\s*\("
+    # equality + IN, plus bare ordering ops and BETWEEN (composite
+    # ordering leg, r12) — excludes <> <= => <=> :: lambda-> and shifts
+    r"<>|!=|==|(?<![<>!=:])=(?![=>])|\bIN\s*\(|\bBETWEEN\b"
     r"|(?<![<>=!:\-|^&])(?:<=|>=|<|>)(?![<>=])",
     re.IGNORECASE,
 )

@@ -8252,11 +8252,17 @@ def _comp_body_span(sql: str) -> tuple[int, int] | None:
     # start is already past AS) — step over the qualified name and an
     # optional BY NAME so the wrapper scan starts at the parens
     nm = re.match(
-        r'\s*[\w.`"]+(\s+BY\s+NAME)?', sql[i:], re.IGNORECASE
+        r'\s*(?:"[^"]*"|`[^`]*`|[\w$]+)'
+        r'(?:\.(?:"[^"]*"|`[^`]*`|[\w$]+))*'
+        r"(\s+BY\s+NAME)?",
+        sql[i:],
+        re.IGNORECASE,
     )
     if nm is not None and sql.lstrip()[:6].upper() != "CREATE":
         i += nm.end()
     for _hop in range(8):  # nested wrappers: ((SELECT …))
+        while end > i and (sql[end - 1].isspace() or sql[end - 1] == ";"):
+            end -= 1  # inner spans may end in whitespace: '( (X) )'
         while i < end and sql[i].isspace():
             i += 1
         if i >= end or sql[i] != "(" or not mask[i]:
@@ -9222,25 +9228,8 @@ def _rewrite_composite_col_ord_body(sql: str, complex_types: dict) -> str:
         k for k in _CLAUSE_KW_RE.finditer(sql) if all(mask[k.start() : k.end()])
     ]
 
-    def _tree_depth(t) -> int:
-        if t == "atom" or t is None:
-            return 0
-        if t[0] == "array":
-            return 1 + _tree_depth(t[1])
-        if t[0] == "struct":
-            return 1 + max((_tree_depth(s) for _, s in t[1]), default=0)
-        if t[0] == "map":
-            return 1 + max(_tree_depth(t[1]), _tree_depth(t[2]))
-        return 0
-
     def tree_for(op: str):
-        op = op.strip()
-        if re.fullmatch(r"[A-Za-z_][\w.`]*", op.replace("`", "")):
-            t = complex_types.get(op.split(".")[-1].strip("`").lower())
-            if t is not None and _tree_depth(t) > 4:
-                return None
-            return t
-        return None
+        return _col_tree_for(op, complex_types)
 
     out: list[str] = []
     pos = 0
@@ -9749,6 +9738,12 @@ def _rewrite_composite_between(sql: str) -> str:
         )
         if nt is None and lt is None and ht is None:
             continue
+        # EVERY leg needs a constructor side, else the non-constructor
+        # pair would fall into _atom_cmp's Spark-native compare AND
+        # consume the BETWEEN away from the schema-typed pass (second
+        # review r12: col BETWEEN col AND [..] must reach _typed_cmp)
+        if nt is None and (lt is None or ht is None):
+            continue
         kind = _position_kind(sql, mask, clause_kws, depth, m.start())
         if kind == "value":
             two = False
@@ -9810,7 +9805,9 @@ def _rewrite_composite_ord(sql: str) -> str:
     if (
         _COMPOSITE_HEAD_RE.search(sql) is None
         # bare tuple literals: (1,2) < (1,3) has no constructor head
-        and re.search(r"\)\s*(?:<=|>=|<|>|BETWEEN)", sql, re.IGNORECASE)
+        and re.search(
+            r"\)\s*(?:(?:<=|>=|<|>)(?![<>=])|BETWEEN\b)", sql, re.IGNORECASE
+        )
         is None
         and re.search(r"(?:<=|>=|<|>)\s*[+-]?\s*\(", sql) is None
         and re.search(r"\bBETWEEN\s*[+-]?\s*\(", sql, re.IGNORECASE) is None

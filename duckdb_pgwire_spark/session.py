@@ -169,6 +169,10 @@ def load_table_parallel(
 # (session, sf_dir, table, parts) — see _parallel_copy
 _PARALLEL_CACHE: dict[tuple, DataFrame] = {}
 
+import threading as _threading  # noqa: E402 — lock for _parallel_copy
+
+_PARALLEL_BUILD_LOCK = _threading.Lock()
+
 
 def _parallel_copy(
     spark: SparkSession, sf_dir: str, name: str, parts: int
@@ -203,22 +207,27 @@ def _parallel_copy(
         # scans, which is the behavior we want everywhere)
         spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 20))
         if not os.path.isdir(dst):
-            # per-process tmp dir: two builders racing on one shared
-            # tmp could interleave overwrite-delete with job commit
-            # and rename a partial build into dst (review r12)
-            tmp = f"{dst}.build.{os.getpid()}"
-            (
-                load_table(spark, sf_dir, name)
-                .repartition(parts)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            try:
-                os.replace(tmp, dst)
-            except OSError:  # a concurrent builder won the rename
-                import shutil
+            # unique tmp dir per BUILD, not just per process: two
+            # threads of one driver racing on a cold cache must not
+            # share a tmp either (second review r12) — uuid suffix
+            # plus an in-process lock serializing the whole build
+            import uuid
 
-                shutil.rmtree(tmp, ignore_errors=True)
+            with _PARALLEL_BUILD_LOCK:
+                if not os.path.isdir(dst):  # re-check under the lock
+                    tmp = f"{dst}.build.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+                    (
+                        load_table(spark, sf_dir, name)
+                        .repartition(parts)
+                        .write.mode("overwrite")
+                        .parquet(tmp)
+                    )
+                    try:
+                        os.replace(tmp, dst)
+                    except OSError:  # a concurrent PROCESS won the rename
+                        import shutil
+
+                        shutil.rmtree(tmp, ignore_errors=True)
         out = spark.read.parquet(dst)
         _PARALLEL_CACHE[key] = out
         return out
