@@ -7511,10 +7511,15 @@ def _rewrite_quantified_subq(sql: str) -> str:
 
     - ``x = ANY (sub)``   → ``x IN (sub)``
     - ``x <> ALL (sub)``  → ``x NOT IN (sub)``
-    - other ops: correlated EXISTS / NOT EXISTS over the subquery. The
-      NOT-EXISTS ALL form treats a NULL element as a failed comparison
-      where the engines produce NULL — identical under WHERE (NULL ≡
-      FALSE there), the position these operators appear in.
+    - other ops: correlated EXISTS / NOT EXISTS over the subquery —
+      on the boolean spine and in cond slots, where the engines'
+      UNKNOWN folds to FALSE identically. In VALUE positions (r12
+      sweep: duck returns the standard 3VL verdict — ``1 = ALL(SELECT
+      1 UNION ALL SELECT NULL)`` IS NULL) the rewrite emits the
+      explicit three-way CASE: a definite violation/satisfaction
+      decides, else an unknown-comparison row (or NULL needle against
+      a non-empty subquery) yields NULL, else the empty/default
+      verdict.
     """
     guard = 0
     skipped: set[int] = set()
@@ -7548,8 +7553,16 @@ def _rewrite_quantified_subq(sql: str) -> str:
             continue
         ls = _scan_left_operand(sql, segs, m.start())
         if ls == m.start():
-            skipped.add(m.start())
-            continue
+            # bare NULL/TRUE/FALSE needles: the generic left scan
+            # refuses keyword operands, but they are legal here
+            # (NULL = ALL(sub) IS NULL for non-empty sub — r12)
+            km = re.search(
+                r"(?i)\b(NULL|TRUE|FALSE)\s*$", sql[: m.start()]
+            )
+            if km is None:
+                skipped.add(m.start())
+                continue
+            ls = km.start(1)
         lhs = sql[ls : m.start()].strip()
         op = m.group(1)
         quant = m.group(2).upper()
@@ -7557,16 +7570,55 @@ def _rewrite_quantified_subq(sql: str) -> str:
             repl = f"{lhs} IN ({sub})"
         elif op in ("<>", "!=") and quant == "ALL":
             repl = f"{lhs} NOT IN ({sub})"
-        elif quant in ("ANY", "SOME"):
-            repl = (
-                f"EXISTS (SELECT 1 FROM ({sub}) AS __q(__v) "
-                f"WHERE ({lhs}) {op} __v)"
-            )
         else:
-            repl = (
-                f"NOT EXISTS (SELECT 1 FROM ({sub}) AS __q(__v) "
-                f"WHERE NOT (({lhs}) {op} __v) OR __v IS NULL)"
+            # value positions get the full 3VL verdict (r12); the
+            # spine/cond forms keep the cheap single EXISTS (UNKNOWN
+            # folds to FALSE there on both engines)
+            kdepth: list[int] = []
+            kd = 0
+            for ki, kc in enumerate(sql):
+                if mask[ki] and kc == ")":
+                    kd -= 1
+                kdepth.append(kd)
+                if mask[ki] and kc == "(":
+                    kd += 1
+            kws = [
+                k
+                for k in _CLAUSE_KW_RE.finditer(sql)
+                if all(mask[k.start() : k.end()])
+            ]
+            in_value = (
+                _position_kind(sql, mask, kws, kdepth, ls) == "value"
             )
+            unk = (
+                f"EXISTS (SELECT 1 FROM ({sub}) AS __qu(__v) "
+                f"WHERE (({lhs}) {op} __v) IS NULL)"
+            )
+            if quant in ("ANY", "SOME"):
+                hit = (
+                    f"EXISTS (SELECT 1 FROM ({sub}) AS __q(__v) "
+                    f"WHERE ({lhs}) {op} __v)"
+                )
+                repl = (
+                    f"(CASE WHEN {hit} THEN TRUE WHEN {unk}"
+                    f" THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)"
+                    if in_value
+                    else hit
+                )
+            else:
+                miss = (
+                    f"EXISTS (SELECT 1 FROM ({sub}) AS __q(__v) "
+                    f"WHERE NOT (({lhs}) {op} __v))"
+                )
+                repl = (
+                    f"(CASE WHEN {miss} THEN FALSE WHEN {unk}"
+                    f" THEN CAST(NULL AS BOOLEAN) ELSE TRUE END)"
+                    if in_value
+                    else (
+                        f"NOT EXISTS (SELECT 1 FROM ({sub}) AS __q(__v) "
+                        f"WHERE NOT (({lhs}) {op} __v) OR __v IS NULL)"
+                    )
+                )
         sql = sql[:ls] + repl + sql[i:]
         skipped = {s for s in skipped if s < ls}
     return sql

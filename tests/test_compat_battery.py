@@ -751,6 +751,18 @@ COMPOSITE_CONTEXT_QUERIES = [
     " END AS c",
     "SELECT (1,NULL) BETWEEN (1,1) AND (1,3) AS s",
     "SELECT [1,2] NOT BETWEEN [1,1] AND [1,NULL] AS n",
+    # r12: quantified subqueries in VALUE positions get the standard
+    # 3VL verdict (spine/cond forms keep the UNKNOWN→FALSE EXISTS)
+    "SELECT 1 = ALL(SELECT * FROM (VALUES (1),(NULL)) t(x)) AS a,"
+    " 1 = ALL(SELECT * FROM (VALUES (2),(NULL)) t(x)) AS c,"
+    " 1 = ALL(SELECT 1 WHERE FALSE) AS d",
+    "SELECT NULL = ALL(SELECT 1) AS e, NULL = ALL(SELECT 1 WHERE FALSE) AS f",
+    "SELECT 1 < ALL(SELECT * FROM (VALUES (2),(NULL)) t(x)) AS g,"
+    " 1 < ANY(SELECT * FROM (VALUES (0),(NULL)) t(x)) AS i,"
+    " 1 <> ANY(SELECT * FROM (VALUES (1),(NULL)) t(x)) AS k",
+    "SELECT 1 AS one WHERE 2 > ANY(SELECT * FROM (VALUES (1),(NULL)) t(x))",
+    "SELECT CASE WHEN 1 = ALL(SELECT * FROM (VALUES (1),(NULL)) t(x))"
+    " THEN 1 ELSE 0 END AS m",
     "SELECT k, a BETWEEN [1,1] AND [1,3] AS v FROM probe_ctx ORDER BY k",
     "SELECT k, CASE WHEN a BETWEEN [1,1] AND [1,3] THEN 1 ELSE 0 END"
     " AS c FROM probe_ctx ORDER BY k",
