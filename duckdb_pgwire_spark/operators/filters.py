@@ -214,3 +214,81 @@ def distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
     )
+
+
+_COMPOSITE_ORD_SQL = """
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        [l_linenumber % 3, CASE WHEN l_quantity > 25 THEN 1 END] < [1, 2]
+            AS lt,
+        [l_linenumber % 3, CASE WHEN l_quantity > 25 THEN 1 END] <= [1, 1]
+            AS le,
+        (l_linenumber % 3, CASE WHEN l_quantity > 25 THEN 1 END) >= (1, 1)
+            AS ge,
+        [l_linenumber % 3]
+            BETWEEN [0] AND [1, CASE WHEN l_quantity > 25 THEN 1 END]
+            AS btw,
+        CASE WHEN [l_linenumber % 3, CASE WHEN l_quantity > 25 THEN 1 END]
+                  > [1, 1] THEN 1 ELSE 0 END AS cond2vl
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query(
+    "pred_composite_ordering",
+    oracle=_COMPOSITE_ORD_SQL,
+    tags=("filter",),
+)
+def pred_composite_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite ORDERING comparisons (r12 closure): lexicographic 3VL
+    in value positions (a NULL element pair decides NULL even before a
+    length difference), the NULLs-GREATEST 2VL total order in CASE-WHEN
+    cond slots, and BETWEEN desugaring to the same machinery. Runs the
+    statement through the WIRE rewrite path — this dialect surface IS
+    the product here (compat._rewrite_composite_ord/_between; probed
+    DuckDB 1.x semantics, NOTES r12)."""
+    from ..server.compat import rewrite
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite(_COMPOSITE_ORD_SQL))
+
+
+_QUANTIFIED_3VL_SQL = """
+    SELECT
+        c_custkey,
+        c_acctbal > ALL(
+            SELECT nullif(s_acctbal, min(ab.mn))
+            FROM supplier, (SELECT min(s_acctbal) AS mn FROM supplier) ab
+            WHERE s_suppkey <= 5 GROUP BY s_acctbal
+        ) AS gt_all,
+        c_acctbal < ANY(
+            SELECT nullif(s_acctbal, min(ab.mn))
+            FROM supplier, (SELECT min(s_acctbal) AS mn FROM supplier) ab
+            WHERE s_suppkey <= 5 GROUP BY s_acctbal
+        ) AS lt_any
+    FROM customer
+    WHERE c_custkey <= 300
+    ORDER BY c_custkey
+"""
+
+
+@query(
+    "pred_quantified_3vl",
+    oracle=_QUANTIFIED_3VL_SQL,
+    tags=("filter",),
+)
+def pred_quantified_3vl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified ANY/ALL subqueries in VALUE position carry the
+    standard 3VL verdict (r12 sweep find: `x > ALL(sub)` with a NULL
+    row is NULL unless a definite violation exists) — exercised
+    through the wire rewrite path against a subquery with one injected
+    NULL (the minimum supplier balance nullifies itself)."""
+    from ..server.compat import rewrite
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite(_QUANTIFIED_3VL_SQL))
