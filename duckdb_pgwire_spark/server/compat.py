@@ -1528,7 +1528,7 @@ _INTERVAL_EPOCH_SECS = {
 
 _INTERVAL_EPOCH_RE = re.compile(
     r"(?:EXTRACT\s*\(\s*epoch\s+FROM\s+|epoch\s*\(\s*)"
-    r"INTERVAL\s+(?:'([^']+)'|(\d+)\s+(\w+))\s*\)",
+    r"INTERVAL\s+(?:'(\d+)'\s+(\w+)|'([^']+)'|(\d+)\s+(\w+))\s*\)",
     re.IGNORECASE,
 )
 
@@ -1546,12 +1546,58 @@ def _interval_literal_seconds(spec: str) -> float | None:
     return total
 
 
+_AT_TIME_ZONE_RE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
+
+
+def _rewrite_at_time_zone(sql: str) -> str:
+    """PG/duck ``x AT TIME ZONE 'z'`` — Spark has no such syntax. For a
+    naive TIMESTAMP input (our storage type; the session runs UTC) duck
+    produces the TIMESTAMPTZ of that local time in zone z, which the
+    UTC session renders as ``to_utc_timestamp(x, z)`` (probed r12: UTC
+    zone is the identity; America/New_York shifts +4/+5). DATE operands
+    promote through the timestamp cast like duck."""
+    if _AT_TIME_ZONE_RE.search(sql) is None:
+        return sql
+    guard = 0
+    while guard < 50:
+        guard += 1
+        mask = _code_mask(sql)
+        segs = _abs_segments(sql)
+        m = next(
+            (
+                c
+                for c in _AT_TIME_ZONE_RE.finditer(sql)
+                if all(mask[c.start() : c.end()])
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        ls = _scan_left_operand(sql, segs, m.start())
+        re_ = _scan_right_operand(sql, segs, m.end())
+        if ls >= m.start() or re_ <= m.end():
+            return sql  # malformed: leave for the loud analyzer
+        lhs = sql[ls : m.start()].strip()
+        tz = sql[m.end() : re_].strip()
+        sql = (
+            sql[:ls]
+            + f"to_utc_timestamp(CAST({lhs} AS TIMESTAMP), {tz})"
+            + sql[re_:]
+        )
+    return sql
+
+
 def _rewrite_interval_epoch(sql: str) -> str:
     """``EXTRACT(epoch FROM INTERVAL '…')`` / ``epoch(INTERVAL …)`` for
     LITERAL intervals — evaluated at rewrite time (Spark can't extract
     epoch from an interval). Non-literal interval operands stay loud."""
     def sub(m: re.Match) -> str:
-        spec = m.group(1) if m.group(1) else f"{m.group(2)} {m.group(3)}"
+        if m.group(1):  # SQL-standard INTERVAL 'N' UNIT (r12 sweep)
+            spec = f"{m.group(1)} {m.group(2)}"
+        elif m.group(3):
+            spec = m.group(3)
+        else:
+            spec = f"{m.group(4)} {m.group(5)}"
         secs = _interval_literal_seconds(spec)
         if secs is None:
             return m.group(0)
@@ -4372,7 +4418,18 @@ def _rewrite_datetime_diffs(sql: str) -> str:
         a, b = args[1].strip(), args[2].strip()
         u = unit.upper()
         if fn in ("date_sub", "datesub"):
-            repl = f"timestampdiff({u}, {a}, {b})"
+            if unit in ("month", "quarter", "year"):
+                # duck counts COMPLETE months with END-OF-MONTH
+                # clamping (Jan 31 → Feb 29 is 1 complete month);
+                # Spark's timestampdiff does not clamp (r12 sweep) —
+                # months_between's both-last-day rule does
+                per = {"month": 1, "quarter": 3, "year": 12}[unit]
+                repl = (
+                    f"CAST(months_between(CAST({b} AS TIMESTAMP),"
+                    f" CAST({a} AS TIMESTAMP)) / {per} AS BIGINT)"
+                )
+            else:
+                repl = f"timestampdiff({u}, {a}, {b})"
         else:
             repl = (
                 f"timestampdiff({u}, date_trunc('{u}', {a}), "
@@ -4809,28 +4866,59 @@ def _tpl_time_bucket(args: list[str]) -> str | None:
     if len(args) != 2:
         return None
     m = re.match(
-        r"(?i)^\s*INTERVAL\s+(?:'(\d+)\s+(\w+)'|(\d+)\s+(\w+))\s*$", args[0]
+        r"(?i)^\s*INTERVAL\s+(?:'(\d+)\s+(\w+)'|(\d+)\s+(\w+)"
+        r"|'(\d+)'\s+(\w+))\s*$",
+        args[0],
     )
     if not m:
         return None
-    n = int(m.group(1) or m.group(3))
-    unit = (m.group(2) or m.group(4)).lower()
+    n = int(m.group(1) or m.group(3) or m.group(5))
+    unit = (m.group(2) or m.group(4) or m.group(6)).lower()
     ts = args[1]
-    if unit in ("month", "months") and n == 1:
-        return f"CAST(date_trunc('month', {ts}) AS DATE)"
-    if unit in ("year", "years") and n == 1:
-        return f"CAST(date_trunc('year', {ts}) AS DATE)"
+    if unit in ("month", "months", "year", "years"):
+        months = n * (12 if unit.startswith("year") else 1)
+        if months == 1:
+            return f"CAST(date_trunc('month', {ts}) AS DATE)"
+        if months == 12:
+            return f"CAST(date_trunc('year', {ts}) AS DATE)"
+        # n-month buckets anchor on duck's month origin 2000-01-01
+        # (probed); months_between fractions floor to complete months
+        return (
+            f"add_months(DATE '2000-01-01', CAST(floor(months_between("
+            f"{ts}, DATE '2000-01-01') / {months}) AS INT) * {months})"
+        )
     if unit not in _TIME_BUCKET_SECS:
         return None
     secs = _TIME_BUCKET_SECS[unit] * n
-    if secs != int(secs) or int(secs) == 0 or 86400 % int(secs) not in (0,):
-        # non-integer or non-day-dividing widths change the origin story
+    if secs != int(secs) or int(secs) == 0:
         return None
     secs = int(secs)
-    return (
-        f"timestamp_seconds(CAST(floor(unix_micros(CAST({ts} AS TIMESTAMP))"
-        f" / 1e6 / {secs}) AS BIGINT) * {secs})"
+    # a DATE literal operand keeps duck's DATE return type for whole-
+    # day widths (r12 sweep); schema-blind column operands keep the
+    # timestamp form
+    as_date = (
+        secs % 86400 == 0
+        and re.match(r"(?i)^\s*DATE\s*'", ts) is not None
     )
+    def _wrap(expr: str) -> str:
+        return f"CAST({expr} AS DATE)" if as_date else expr
+    if 86400 % secs == 0:
+        # day-dividing widths: epoch alignment equals duck's
+        # 2000-01-03 origin (it lies on every such grid)
+        return _wrap(
+            f"timestamp_seconds(CAST(floor(unix_micros(CAST({ts} AS"
+            f" TIMESTAMP)) / 1e6 / {secs}) AS BIGINT) * {secs})"
+        )
+    if secs % 86400 == 0:
+        # whole-day multiples (e.g. 7 DAY → Monday weeks): anchor on
+        # duck's 2000-01-03 00:00 UTC origin (probed, r12)
+        org = 946857600
+        return _wrap(
+            f"timestamp_seconds({org} + CAST(floor((unix_micros("
+            f"CAST({ts} AS TIMESTAMP)) / 1e6 - {org}) / {secs})"
+            f" AS BIGINT) * {secs})"
+        )
+    return None
 
 
 def _tpl_date_add(args: list[str]) -> str | None:
@@ -5225,6 +5313,13 @@ _NARY_REWRITES: dict = {
     "date_trunc": (None, lambda a: _tpl_date_trunc(a)),
     "datetrunc": (None, lambda a: _tpl_date_trunc(a)),
     "time_bucket": (None, _tpl_time_bucket),
+    # duck's 1-arg make_timestamp(BIGINT) = microseconds since epoch
+    # (r12 sweep); the 6-arg calendar form stays native
+    "make_timestamp": (
+        None,
+        lambda a: f"timestamp_micros({a[0]})" if len(a) == 1 else None,
+    ),
+
     "date_add": (None, _tpl_date_add),
     # ---- numerics
     # DuckDB 1-arg log is BASE-10 (Spark: ln), and DuckDB RAISES on a
@@ -10051,6 +10146,7 @@ def rewrite(sql: str) -> str:
     # pass emits Spark-native concat (RLIKE anchors, split templates)
     sql = _rewrite_date_literal_diff(sql)  # before '-' reaches Spark
     sql = _rewrite_date_plus_interval(sql)  # before INTERVAL rewrites
+    sql = _rewrite_at_time_zone(sql)  # PG syntax Spark lacks
     sql = _rewrite_interval_epoch(sql)  # before the epoch() nary claims it
     sql = _rewrite_extract(sql)  # duck-divergent EXTRACT fields → date_part
     sql = _rewrite_operators(sql)  # before nary: xor() legitimately emits ^

@@ -545,6 +545,36 @@ FAMILIES: dict[str, list[str]] = {
         " '\u00e9') AS sp",
         "SELECT upper('i') AS ui, lower('I') AS li",  # no locale (tr)
     ],
+    "tz_epoch": [
+        "SELECT epoch(TIMESTAMP '2024-03-15 12:30:45') AS e",
+        "SELECT epoch_ms(TIMESTAMP '2024-03-15 12:30:45.123') AS em",
+        "SELECT epoch_us(TIMESTAMP '2024-03-15 12:30:45.123456') AS eu",
+        "SELECT to_timestamp(1710505845) AS t1",
+        "SELECT make_timestamp(2024, 3, 15, 12, 30, 45.5) AS mt",
+        "SELECT make_timestamp(1710505845123456) AS mtu",
+        "SELECT epoch(DATE '2024-03-15') AS ed",
+        "SELECT TIMESTAMP '2024-03-15 12:30:45' AT TIME ZONE 'UTC' AS atz",
+        "SELECT date_part('epoch', TIMESTAMP '2024-03-15 12:30:45') AS dpe",
+        "SELECT extract(epoch FROM INTERVAL '90' SECOND) AS ie",
+        "SELECT epoch(TIMESTAMP '1969-12-31 23:59:59') AS neg",
+        "SELECT to_timestamp(-1.5) AS tneg",
+        "SELECT age(TIMESTAMP '2024-03-15', TIMESTAMP '2024-03-14 23:00:00') AS ag",
+        "SELECT date_diff('second', TIMESTAMP '2024-01-01 00:00:00',"
+        " TIMESTAMP '2024-01-01 00:01:30') AS dd",
+        "SELECT date_diff('month', DATE '2024-01-31', DATE '2024-02-29') AS dm",
+        "SELECT date_sub('month', DATE '2024-01-31', DATE '2024-02-29') AS ds",
+        "SELECT timezone('UTC', TIMESTAMP '2024-03-15 12:00:00') AS tz1",
+        "SELECT century(DATE '2000-01-01') AS c1, century(DATE '2001-01-01') AS c2",
+        "SELECT epoch_ns(TIMESTAMP '2024-03-15 12:30:45.123456') AS en",
+        "SELECT time_bucket(INTERVAL '15' MINUTE,"
+        " TIMESTAMP '2024-03-15 12:37:45') AS tb",
+        "SELECT time_bucket(INTERVAL '1' DAY, DATE '2024-03-15') AS tbd",
+        "SELECT last_day(DATE '2024-02-15') AS ld, last_day(DATE '2023-02-15') AS ld2",
+        "SELECT monthname(DATE '2024-03-15') AS mn, dayname(DATE '2024-03-15') AS dn",
+        "SELECT week(DATE '2024-01-01') AS w1, weekofyear(DATE '2024-01-01') AS w2,"
+        " isodow(DATE '2024-01-01') AS iso",
+        "SELECT julian(DATE '2024-03-15') AS jd",
+    ],
     "printf_edges": [
         "SELECT printf('%d', 42) AS a, printf('%5d', 42) AS b,"
         " printf('%-5d|', 42) AS c, printf('%05d', 42) AS d",

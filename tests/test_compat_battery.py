@@ -763,6 +763,20 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT 1 AS one WHERE 2 > ANY(SELECT * FROM (VALUES (1),(NULL)) t(x))",
     "SELECT CASE WHEN 1 = ALL(SELECT * FROM (VALUES (1),(NULL)) t(x))"
     " THEN 1 ELSE 0 END AS m",
+    # --- r12 tz/epoch sweep fixes ---
+    "SELECT make_timestamp(1710505845123456) AS mtu",
+    "SELECT TIMESTAMP '2024-03-15 12:30:45' AT TIME ZONE 'UTC' AS atz",
+    "SELECT extract(epoch FROM INTERVAL '90' SECOND) AS ie,"
+    " epoch(INTERVAL '2' HOUR) AS eh",
+    "SELECT time_bucket(INTERVAL '15' MINUTE,"
+    " TIMESTAMP '2024-03-15 12:37:45') AS tb,"
+    " time_bucket(INTERVAL '7' DAY, TIMESTAMP '2024-03-15 12:37:45') AS tw",
+    "SELECT time_bucket(INTERVAL '1' DAY, DATE '2024-03-15') AS tbd,"
+    " time_bucket(INTERVAL '3' MONTH, DATE '2024-05-15') AS tbq",
+    "SELECT date_sub('month', DATE '2024-01-31', DATE '2024-02-29') AS ds,"
+    " date_sub('month', DATE '2024-01-15', DATE '2024-02-14') AS d0,"
+    " date_sub('month', DATE '2024-02-29', DATE '2024-01-31') AS dn,"
+    " date_sub('year', DATE '2020-02-29', DATE '2024-02-29') AS dy",
     "SELECT k, a BETWEEN [1,1] AND [1,3] AS v FROM probe_ctx ORDER BY k",
     "SELECT k, CASE WHEN a BETWEEN [1,1] AND [1,3] THEN 1 ELSE 0 END"
     " AS c FROM probe_ctx ORDER BY k",
