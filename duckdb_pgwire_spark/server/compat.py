@@ -1579,11 +1579,20 @@ def _rewrite_at_time_zone(sql: str) -> str:
             return sql  # malformed: leave for the loud analyzer
         lhs = sql[ls : m.start()].strip()
         tz = sql[m.end() : re_].strip()
-        sql = (
-            sql[:ls]
-            + f"to_utc_timestamp(CAST({lhs} AS TIMESTAMP), {tz})"
-            + sql[re_:]
-        )
+        # a TIMESTAMPTZ-typed side needs the INVERSE direction (duck:
+        # tstz AT TIME ZONE z = the instant rendered as z-local naive;
+        # third review r12): to_timestamp() returns tstz, as does a
+        # chained AT TIME ZONE (our own emitted to_utc_timestamp) and
+        # a TIMESTAMPTZ literal
+        if re.match(
+            r"(?i)^[\s(]*(?:to_timestamp\s*\(|to_utc_timestamp\s*\("
+            r"|TIMESTAMPTZ\s*')",
+            lhs,
+        ):
+            repl = f"from_utc_timestamp(CAST({lhs} AS TIMESTAMP), {tz})"
+        else:
+            repl = f"to_utc_timestamp(CAST({lhs} AS TIMESTAMP), {tz})"
+        sql = sql[:ls] + repl + sql[re_:]
     return sql
 
 
@@ -4422,12 +4431,26 @@ def _rewrite_datetime_diffs(sql: str) -> str:
                 # duck counts COMPLETE months with END-OF-MONTH
                 # clamping (Jan 31 → Feb 29 is 1 complete month);
                 # Spark's timestampdiff does not clamp (r12 sweep) —
-                # months_between's both-last-day rule does
+                # months_between's both-last-day rule does. But
+                # months_between IGNORES time-of-day when the days
+                # align (third review r12), overcounting by one for
+                # TIMESTAMP operands — correct by stepping back when
+                # a + m0 months overshoots b (month-interval addition
+                # clamps like add_months and keeps the time)
+                # negatives mirror the FORWARD clamped walk from b
+                # (duck: date_sub(a,b) = -date_sub(b,a); Feb 29 → Jan
+                # 31 is -1 because Jan 31 + 1mo clamps to Feb 29)
                 per = {"month": 1, "quarter": 3, "year": 12}[unit]
-                repl = (
-                    f"CAST(months_between(CAST({b} AS TIMESTAMP),"
-                    f" CAST({a} AS TIMESTAMP)) / {per} AS BIGINT)"
+                ta, tb = f"CAST({a} AS TIMESTAMP)", f"CAST({b} AS TIMESTAMP)"
+                m0 = f"CAST(months_between({tb}, {ta}) AS BIGINT)"
+                cm = (
+                    f"({m0} - (CASE WHEN {m0} > 0 AND {ta} +"
+                    f" make_interval(0, {m0}) > {tb} THEN 1"
+                    f" WHEN {m0} < 0 AND {tb} +"
+                    f" make_interval(0, -({m0})) > {ta} THEN -1"
+                    f" ELSE 0 END))"
                 )
+                repl = f"CAST({cm} / {per} AS BIGINT)"
             else:
                 repl = f"timestampdiff({u}, {a}, {b})"
         else:
@@ -4857,12 +4880,14 @@ _TIME_BUCKET_SECS = {
 
 
 def _tpl_time_bucket(args: list[str]) -> str | None:
-    """time_bucket(INTERVAL, ts) for literal intervals: second-based
-    widths bucket on the epoch-aligned grid (DuckDB's origin for
-    sub-week widths is 2000-01-03 00:00, which lies ON every
-    whole-second grid that divides a day, so epoch alignment agrees for
-    the practical widths); 1 month / 1 year map to date_trunc. Other
-    widths (weeks, n-month) pass through loudly."""
+    """time_bucket(INTERVAL, ts) for literal intervals: day-dividing
+    second widths bucket on the epoch-aligned grid (duck's 2000-01-03
+    origin lies ON every such grid); whole-day multiples (7 DAY =
+    Monday weeks) anchor explicitly on the 2000-01-03 origin; 1 month
+    / 1 year map to date_trunc and n-month/quarter buckets anchor on
+    the 2000-01-01 month origin (all probed r12). Fractional-second
+    and zero widths pass through loudly; DATE-literal operands keep
+    duck's DATE return type where the width is day-or-coarser."""
     if len(args) != 2:
         return None
     m = re.match(
@@ -4877,16 +4902,23 @@ def _tpl_time_bucket(args: list[str]) -> str | None:
     ts = args[1]
     if unit in ("month", "months", "year", "years"):
         months = n * (12 if unit.startswith("year") else 1)
+        if months == 0:
+            return None  # zero width: leave for the loud analyzer
         if months == 1:
             return f"CAST(date_trunc('month', {ts}) AS DATE)"
         if months == 12:
             return f"CAST(date_trunc('year', {ts}) AS DATE)"
         # n-month buckets anchor on duck's month origin 2000-01-01
-        # (probed); months_between fractions floor to complete months
-        return (
+        # (probed); months_between fractions floor to complete months.
+        # DATE-literal operands keep duck's DATE return type; other
+        # operands (timestamp columns) widen back to TIMESTAMP
+        bucket = (
             f"add_months(DATE '2000-01-01', CAST(floor(months_between("
             f"{ts}, DATE '2000-01-01') / {months}) AS INT) * {months})"
         )
+        if re.match(r"(?i)^\s*DATE\s*'", ts):
+            return bucket
+        return f"CAST({bucket} AS TIMESTAMP)"
     if unit not in _TIME_BUCKET_SECS:
         return None
     secs = _TIME_BUCKET_SECS[unit] * n
@@ -7606,15 +7638,19 @@ def _rewrite_quantified_subq(sql: str) -> str:
 
     - ``x = ANY (sub)``   → ``x IN (sub)``
     - ``x <> ALL (sub)``  → ``x NOT IN (sub)``
-    - other ops: correlated EXISTS / NOT EXISTS over the subquery —
-      on the boolean spine and in cond slots, where the engines'
-      UNKNOWN folds to FALSE identically. In VALUE positions (r12
-      sweep: duck returns the standard 3VL verdict — ``1 = ALL(SELECT
-      1 UNION ALL SELECT NULL)`` IS NULL) the rewrite emits the
-      explicit three-way CASE: a definite violation/satisfaction
-      decides, else an unknown-comparison row (or NULL needle against
-      a non-empty subquery) yields NULL, else the empty/default
-      verdict.
+    - other ops: the explicit three-way CASE over two correlated
+      EXISTS probes (r12 sweep: duck returns the standard 3VL verdict
+      — ``1 = ALL(SELECT 1 UNION ALL SELECT NULL)`` IS NULL): a
+      definite violation/satisfaction decides, else an unknown-
+      comparison row (or NULL needle against a non-empty subquery)
+      yields NULL, else the empty/default verdict. The CASE is used in
+      EVERY position — a cheaper single-EXISTS spine form is only
+      sound at the TOP of the spine, and a NOT / IS NULL wrapper
+      inverts its UNKNOWN→FALSE fold (third review r12); the extra
+      probe scans the subquery twice, the price of exactness.
+    - a bare NULL needle skips the IN shortcut too — Spark's
+      projection-position IN folds its UNKNOWN to FALSE and the
+      3VL-IN pass cannot scan keyword needles.
     """
     guard = 0
     skipped: set[int] = set()
@@ -7654,37 +7690,21 @@ def _rewrite_quantified_subq(sql: str) -> str:
             km = re.search(
                 r"(?i)\b(NULL|TRUE|FALSE)\s*$", sql[: m.start()]
             )
-            if km is None:
+            if km is None or not all(
+                mask[km.start(1) : km.end(1)]
+            ):  # masked: a comment ending in NULL must not splice
                 skipped.add(m.start())
                 continue
             ls = km.start(1)
         lhs = sql[ls : m.start()].strip()
         op = m.group(1)
         quant = m.group(2).upper()
-        if op == "=" and quant in ("ANY", "SOME"):
+        null_needle = _is_null_lit(lhs)
+        if op == "=" and quant in ("ANY", "SOME") and not null_needle:
             repl = f"{lhs} IN ({sub})"
-        elif op in ("<>", "!=") and quant == "ALL":
+        elif op in ("<>", "!=") and quant == "ALL" and not null_needle:
             repl = f"{lhs} NOT IN ({sub})"
         else:
-            # value positions get the full 3VL verdict (r12); the
-            # spine/cond forms keep the cheap single EXISTS (UNKNOWN
-            # folds to FALSE there on both engines)
-            kdepth: list[int] = []
-            kd = 0
-            for ki, kc in enumerate(sql):
-                if mask[ki] and kc == ")":
-                    kd -= 1
-                kdepth.append(kd)
-                if mask[ki] and kc == "(":
-                    kd += 1
-            kws = [
-                k
-                for k in _CLAUSE_KW_RE.finditer(sql)
-                if all(mask[k.start() : k.end()])
-            ]
-            in_value = (
-                _position_kind(sql, mask, kws, kdepth, ls) == "value"
-            )
             unk = (
                 f"EXISTS (SELECT 1 FROM ({sub}) AS __qu(__v) "
                 f"WHERE (({lhs}) {op} __v) IS NULL)"
@@ -7697,8 +7717,6 @@ def _rewrite_quantified_subq(sql: str) -> str:
                 repl = (
                     f"(CASE WHEN {hit} THEN TRUE WHEN {unk}"
                     f" THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)"
-                    if in_value
-                    else hit
                 )
             else:
                 miss = (
@@ -7708,11 +7726,6 @@ def _rewrite_quantified_subq(sql: str) -> str:
                 repl = (
                     f"(CASE WHEN {miss} THEN FALSE WHEN {unk}"
                     f" THEN CAST(NULL AS BOOLEAN) ELSE TRUE END)"
-                    if in_value
-                    else (
-                        f"NOT EXISTS (SELECT 1 FROM ({sub}) AS __q(__v) "
-                        f"WHERE NOT (({lhs}) {op} __v) OR __v IS NULL)"
-                    )
                 )
         sql = sql[:ls] + repl + sql[i:]
         skipped = {s for s in skipped if s < ls}

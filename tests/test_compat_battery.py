@@ -761,6 +761,23 @@ COMPOSITE_CONTEXT_QUERIES = [
     " 1 < ANY(SELECT * FROM (VALUES (0),(NULL)) t(x)) AS i,"
     " 1 <> ANY(SELECT * FROM (VALUES (1),(NULL)) t(x)) AS k",
     "SELECT 1 AS one WHERE 2 > ANY(SELECT * FROM (VALUES (1),(NULL)) t(x))",
+    # third-review r12: NULL needles, NOT/IS NULL wrappers on the
+    # spine (the single-EXISTS fold was unsound there), tstz sides
+    "SELECT 1 AS r WHERE NULL = ALL(SELECT 1)",
+    "SELECT NULL = ANY(SELECT 1) AS x, NULL <> ALL(SELECT 1) AS y",
+    "SELECT 1 AS r WHERE NOT (1 = ALL(SELECT * FROM (VALUES (1),(NULL))"
+    " t(x)))",
+    "SELECT 1 AS r WHERE (1 = ALL(SELECT * FROM (VALUES (1),(NULL))"
+    " t(x))) IS NULL",
+    "SELECT to_timestamp(0) AT TIME ZONE 'America/New_York' AS nyt",
+    "SELECT (TIMESTAMP '2024-03-15 12:00:00' AT TIME ZONE"
+    " 'America/New_York') AT TIME ZONE 'Asia/Tokyo' AS chain",
+    "SELECT date_sub('month', TIMESTAMP '2024-01-15 12:00:00',"
+    " TIMESTAMP '2024-02-15 11:00:00') AS t0,"
+    " date_sub('month', TIMESTAMP '2024-02-15 11:00:00',"
+    " TIMESTAMP '2024-01-15 12:00:00') AS tn",
+    "SELECT time_bucket(INTERVAL '3' MONTH,"
+    " TIMESTAMP '2024-05-15 07:08:09') AS tbq",
     "SELECT CASE WHEN 1 = ALL(SELECT * FROM (VALUES (1),(NULL)) t(x))"
     " THEN 1 ELSE 0 END AS m",
     # --- r12 tz/epoch sweep fixes ---
