@@ -224,7 +224,12 @@ def ordered_names() -> list[str]:
     # driver's ~50-slot window. Self-correcting: once the tail retires,
     # the tier is empty and the order reduces to the r7 scheme.
     overdue = sorted(
-        (n for n in defs if n in green and green[n] <= cur - 5),
+        # ≥4 rounds stale (was 5 — r12: two NEW unseen entries pushed
+        # the r7 tail's worst slot to 51, past the driver's ~50-entry
+        # window; at ≥4 the whole tail outranks the flagship pin and
+        # drains this round, honoring the r11 verdict's "nothing older
+        # than r8" target)
+        (n for n in defs if n in green and green[n] <= cur - 4),
         key=lambda n: (green[n], order[n]),
     )
     pinned = [n for n in pinned if n not in overdue]
