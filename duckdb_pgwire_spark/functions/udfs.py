@@ -34,7 +34,13 @@ def duckdb_pgwire_udf(name: pd.Series) -> pd.Series:
     return "DuckdbPgwire " + name + " 🐥"
 
 
-_REGISTERED_SESSIONS: set[int] = set()
+import weakref
+
+# WeakSet, not id()-keyed set: a stopped+collected session's CPython
+# address can be RECYCLED by a new session, which would silently skip
+# registration and leave every compat UDF missing (r13 ADVICE). Weak
+# membership dies with the session, so a recycled address cannot alias.
+_REGISTERED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def register_udfs(spark: SparkSession) -> None:
@@ -43,14 +49,14 @@ def register_udfs(spark: SparkSession) -> None:
     plus the DuckDB scalar-parity UDF batch (compat_udfs). Memoized per
     session (second review r12: fuzz tests re-registering ~50 UDFs per
     hypothesis example paid thousands of redundant Py4J round trips)."""
-    if id(spark) in _REGISTERED_SESSIONS:
+    if spark in _REGISTERED_SESSIONS:
         return
     from .compat_udfs import register_compat_udfs
 
     spark.udf.register("duckdb_pgwire", duckdb_pgwire_udf)
     spark.udf.register("pg_is_in_recovery", lambda: False, T.BooleanType())
     register_compat_udfs(spark)
-    _REGISTERED_SESSIONS.add(id(spark))
+    _REGISTERED_SESSIONS.add(spark)
 
 
 @query(

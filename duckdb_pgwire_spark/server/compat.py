@@ -1548,6 +1548,17 @@ def _interval_literal_seconds(spec: str) -> float | None:
 
 _AT_TIME_ZONE_RE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
 
+# function heads known (duck-probed) to return NAIVE timestamp/date —
+# safe for the forward AT TIME ZONE direction; any OTHER function-call
+# head is refused loudly rather than converted the wrong way
+_ATZ_NAIVE_FNS = frozenset(
+    """cast try_cast make_timestamp make_date date_trunc datetrunc
+    strptime try_strptime to_date from_utc_timestamp date_add dateadd
+    date_sub datesub today current_date greatest least coalesce if
+    ifnull nullif nvl last_day time_bucket current_localtimestamp
+    localtimestamp""".split()
+)
+
 
 def _rewrite_at_time_zone(sql: str) -> str:
     """PG/duck ``x AT TIME ZONE 'z'`` — Spark has no such syntax. For a
@@ -1559,6 +1570,7 @@ def _rewrite_at_time_zone(sql: str) -> str:
     if _AT_TIME_ZONE_RE.search(sql) is None:
         return sql
     guard = 0
+    skipped: set[int] = set()
     while guard < 50:
         guard += 1
         mask = _code_mask(sql)
@@ -1568,6 +1580,7 @@ def _rewrite_at_time_zone(sql: str) -> str:
                 c
                 for c in _AT_TIME_ZONE_RE.finditer(sql)
                 if all(mask[c.start() : c.end()])
+                and c.start() not in skipped
             ),
             None,
         )
@@ -1582,17 +1595,36 @@ def _rewrite_at_time_zone(sql: str) -> str:
         # a TIMESTAMPTZ-typed side needs the INVERSE direction (duck:
         # tstz AT TIME ZONE z = the instant rendered as z-local naive;
         # third review r12): to_timestamp() returns tstz, as does a
-        # chained AT TIME ZONE (our own emitted to_utc_timestamp) and
-        # a TIMESTAMPTZ literal
+        # chained AT TIME ZONE (our own emitted to_utc_timestamp), a
+        # TIMESTAMPTZ literal, and (r13 ADVICE) every current-instant
+        # head — now()/current_timestamp/transaction_timestamp/
+        # get_current_timestamp — plus 2-arg timezone(z, naive) which
+        # duck types TIMESTAMPTZ (this pass runs BEFORE the rename map
+        # turns these into Spark spellings)
         if re.match(
             r"(?i)^[\s(]*(?:to_timestamp\s*\(|to_utc_timestamp\s*\("
-            r"|TIMESTAMPTZ\s*')",
+            r"|TIMESTAMPTZ\s*'|now\s*\(|current_timestamp\b"
+            r"|transaction_timestamp\s*\(|get_current_timestamp\s*\("
+            r"|statement_timestamp\s*\(|timezone\s*\()",
             lhs,
         ):
             repl = f"from_utc_timestamp(CAST({lhs} AS TIMESTAMP), {tz})"
         else:
+            fn_head = re.match(r"(?i)^[\s(]*([A-Za-z_]\w*)\s*\(", lhs)
+            if fn_head and fn_head.group(1).lower() not in _ATZ_NAIVE_FNS:
+                # unknown function-call head: its duck return type
+                # (naive vs tstz) decides the conversion DIRECTION —
+                # converting blind risks a silent wrong-way offset
+                # (r13 ADVICE: now() was 8h off). Leave the AT TIME
+                # ZONE text for the loud analyzer instead.
+                skipped.add(m.start())
+                continue
+            # literals (TIMESTAMP '…'/DATE '…'/strings), bare column
+            # references, ::-casts, and known-naive builtins take the
+            # forward direction (our storage type is naive TIMESTAMP)
             repl = f"to_utc_timestamp(CAST({lhs} AS TIMESTAMP), {tz})"
         sql = sql[:ls] + repl + sql[re_:]
+        skipped = {s for s in skipped if s < ls}
     return sql
 
 
@@ -4442,12 +4474,23 @@ def _rewrite_datetime_diffs(sql: str) -> str:
                 # 31 is -1 because Jan 31 + 1mo clamps to Feb 29)
                 per = {"month": 1, "quarter": 3, "year": 12}[unit]
                 ta, tb = f"CAST({a} AS TIMESTAMP)", f"CAST({b} AS TIMESTAMP)"
+                # UNDERSHOOT arm (r13, ADVICE): when the later operand
+                # is end-of-month-clamped (Jan 30 → Feb 29),
+                # months_between ≈ 0.968 truncates to 0 but the
+                # clamped walk completes the month (ta + (m0+1) months
+                # clamps to <= tb) — step FORWARD one. Mirrored for
+                # the negative walk from b. Overshoot/undershoot are
+                # mutually exclusive (ta+m0 > tb vs ta+m0+1 <= tb).
                 m0 = f"CAST(months_between({tb}, {ta}) AS BIGINT)"
                 cm = (
                     f"({m0} - (CASE WHEN {m0} > 0 AND {ta} +"
                     f" make_interval(0, {m0}) > {tb} THEN 1"
+                    f" WHEN {m0} >= 0 AND {ta} +"
+                    f" make_interval(0, {m0} + 1) <= {tb} THEN -1"
                     f" WHEN {m0} < 0 AND {tb} +"
                     f" make_interval(0, -({m0})) > {ta} THEN -1"
+                    f" WHEN {m0} <= 0 AND {tb} +"
+                    f" make_interval(0, -({m0}) + 1) <= {ta} THEN 1"
                     f" ELSE 0 END))"
                 )
                 repl = f"CAST({cm} / {per} AS BIGINT)"

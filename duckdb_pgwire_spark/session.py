@@ -91,7 +91,15 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# WeakKeyDictionary keyed by the session OBJECT, not id(spark): a
+# collected session's address can be recycled by a new one, handing
+# back DataFrames bound to a dead session (r13 ADVICE). The weak key
+# dies with the session, clearing its cache entries with it.
+import weakref as _weakref
+
+_SCAN_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -124,9 +132,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         != "true"
     ):
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
-    key = (id(spark), sf_dir, name)
-    if key in _SCAN_CACHE:
-        return _SCAN_CACHE[key]
+    cache = _SCAN_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
@@ -134,7 +143,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
-    _SCAN_CACHE[key] = df
+    cache[key] = df
     return df
 
 
@@ -166,8 +175,10 @@ def load_table_parallel(
 
 
 # materialized multi-file copies of fixture tables, keyed per
-# (session, sf_dir, table, parts) — see _parallel_copy
-_PARALLEL_CACHE: dict[tuple, DataFrame] = {}
+# session (weak — see _SCAN_CACHE note) then (sf_dir, table, parts)
+_PARALLEL_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 import threading as _threading  # noqa: E402 — lock for _parallel_copy
 
@@ -187,9 +198,10 @@ def _parallel_copy(
     exchanges, the layout a 100 TB table actually presents. Falls back
     to the repartition crutch on any build error (read-only repo,
     concurrent builders)."""
-    key = (id(spark), sf_dir, name, parts)
-    if key in _PARALLEL_CACHE:
-        return _PARALLEL_CACHE[key]
+    cache = _PARALLEL_CACHE.setdefault(spark, {})
+    key = (sf_dir, name, parts)
+    if key in cache:
+        return cache[key]
     try:
         src = table_path(sf_dir, name)
         st = os.stat(src)
@@ -200,12 +212,6 @@ def _parallel_copy(
             os.path.basename(os.path.normpath(sf_dir)),
         )
         dst = os.path.join(base, f"{name}_{stamp}")
-        # the high open cost stays set for the SESSION (deliberate —
-        # FilePartition planning happens at each action, so restoring
-        # it would re-coalesce the copy's files back into one split;
-        # the only effect elsewhere is MORE parallelism for small-file
-        # scans, which is the behavior we want everywhere)
-        spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 20))
         if not os.path.isdir(dst):
             # unique tmp dir per BUILD, not just per process: two
             # threads of one driver racing on a cold cache must not
@@ -229,7 +235,36 @@ def _parallel_copy(
 
                         shutil.rmtree(tmp, ignore_errors=True)
         out = spark.read.parquet(dst)
-        _PARALLEL_CACHE[key] = out
+        # only once the copy is known readable (r13 ADVICE): the high
+        # open cost stays set for the SESSION (deliberate —
+        # FilePartition planning happens at each action, so restoring
+        # it would re-coalesce the copy's files back into one split;
+        # the only effect elsewhere is MORE parallelism for small-file
+        # scans, which is the behavior we want everywhere)
+        spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 20))
+        # prune SUPERSEDED copies: a regenerated fixture changes the
+        # mtime/size stamp forever, so old `{name}_*` siblings would
+        # otherwise accumulate unboundedly (r13 ADVICE). Only siblings
+        # whose SOURCE stamp (mtime_size) differs are dead — different
+        # `parts` copies of the LIVE source stay. A concurrent reader
+        # of a pruned dir falls back to the repartition crutch.
+        try:
+            import re as _re
+            import shutil
+
+            live_src = f"{int(st.st_mtime)}_{st.st_size}"
+            with _PARALLEL_BUILD_LOCK:
+                for sib in os.listdir(base):
+                    sm = _re.fullmatch(
+                        rf"{_re.escape(name)}_(\d+_\d+)_\d+", sib
+                    )
+                    if sm and sm.group(1) != live_src:
+                        shutil.rmtree(
+                            os.path.join(base, sib), ignore_errors=True
+                        )
+        except OSError:
+            pass
+        cache[key] = out
         return out
     except Exception:  # noqa: BLE001 — any build/read failure: crutch
         return None

@@ -770,6 +770,15 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT 1 AS r WHERE (1 = ALL(SELECT * FROM (VALUES (1),(NULL))"
     " t(x))) IS NULL",
     "SELECT to_timestamp(0) AT TIME ZONE 'America/New_York' AS nyt",
+    # r13 ADVICE: current-instant heads return TIMESTAMPTZ in duck —
+    # AT TIME ZONE must take the INVERSE direction (now() was 8h off).
+    # Deterministic forms: zone-pair difference + 2-arg timezone() head
+    "SELECT date_diff('hour', now() AT TIME ZONE 'UTC',"
+    " now() AT TIME ZONE 'Asia/Tokyo') AS tokyo_off,"
+    " date_diff('hour', current_timestamp AT TIME ZONE 'UTC',"
+    " current_timestamp AT TIME ZONE 'America/Los_Angeles') AS la_off",
+    "SELECT timezone('America/New_York', TIMESTAMP '2024-03-15 12:00:00')"
+    " AT TIME ZONE 'Asia/Tokyo' AS chain2",
     "SELECT (TIMESTAMP '2024-03-15 12:00:00' AT TIME ZONE"
     " 'America/New_York') AT TIME ZONE 'Asia/Tokyo' AS chain",
     "SELECT date_sub('month', TIMESTAMP '2024-01-15 12:00:00',"
@@ -794,6 +803,19 @@ COMPOSITE_CONTEXT_QUERIES = [
     " date_sub('month', DATE '2024-01-15', DATE '2024-02-14') AS d0,"
     " date_sub('month', DATE '2024-02-29', DATE '2024-01-31') AS dn,"
     " date_sub('year', DATE '2020-02-29', DATE '2024-02-29') AS dy",
+    # r13 ADVICE: UNDERSHOOT class — later operand end-of-month
+    # clamped but NOT the same day-of-month (Jan 30 + 1mo clamps to
+    # Feb 29 = 1 complete month; months_between ~0.968 truncates to 0)
+    "SELECT date_sub('month', DATE '2024-01-30', DATE '2024-02-29') AS u1,"
+    " date_sub('month', DATE '2024-02-29', DATE '2024-01-30') AS u2,"
+    " date_sub('month', DATE '2023-03-31', DATE '2023-04-30') AS u3,"
+    " date_sub('month', DATE '2023-04-30', DATE '2023-03-31') AS u4,"
+    " date_sub('quarter', DATE '2023-11-30', DATE '2024-02-29') AS uq,"
+    " date_sub('year', DATE '2023-02-28', DATE '2024-02-29') AS uy",
+    "SELECT date_sub('month', TIMESTAMP '2024-01-30 23:00:00',"
+    " TIMESTAMP '2024-02-29 01:00:00') AS ut1,"
+    " date_sub('month', TIMESTAMP '2024-02-29 01:00:00',"
+    " TIMESTAMP '2024-01-30 23:00:00') AS ut2",
     "SELECT k, a BETWEEN [1,1] AND [1,3] AS v FROM probe_ctx ORDER BY k",
     "SELECT k, CASE WHEN a BETWEEN [1,1] AND [1,3] THEN 1 ELSE 0 END"
     " AS c FROM probe_ctx ORDER BY k",
