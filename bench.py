@@ -133,6 +133,36 @@ HEADLINE = [
 ]
 
 
+def _cpu_anchor_once() -> float:
+    """ONE fixed single-thread CPU workload (~0.2 s on the reference
+    machine): 6000 sha256 passes over a 64 KiB buffer. Pure compute,
+    zero I/O, zero JVM — its wall time moves ONLY with machine speed /
+    contention, so the ratio of this anchor across BENCH_r*.json rounds
+    separates environment drift from real plan regressions (r12: the
+    driver record moved 1.25x on identical code with no way to prove
+    drift from the record alone)."""
+    import hashlib
+
+    buf = bytes(range(256)) * 256  # 64 KiB, deterministic
+    t0 = time.perf_counter()
+    d = b""
+    for _ in range(6000):
+        d = hashlib.sha256(buf + d).digest()
+    return time.perf_counter() - t0
+
+
+def _jvm_anchor_once(spark) -> float:
+    """ONE fixed Spark-local job: sum over a 50M-row range in 32 splits
+    — whole-stage-codegen arithmetic with no scan. Captures the JVM +
+    scheduler + parallel-CPU side of machine drift (the part the Python
+    anchor can't see)."""
+    t0 = time.perf_counter()
+    spark.range(0, 50_000_000, 1, 32).selectExpr(
+        "sum(id * 3 + 7) AS s"
+    ).collect()
+    return time.perf_counter() - t0
+
+
 def _time_once(fn, spark, sf_dir: str) -> float:
     """ONE un-warmed execution — captures first-touch I/O (page-cache
     cold after a replica build), where lost-pushdown regressions that
@@ -167,6 +197,12 @@ def main() -> None:
     if missing:
         print(f"bench: skipping unknown queries: {missing}", file=sys.stderr)
 
+    # calibration anchors, sampled BEFORE and AFTER the query loop so
+    # the reported median reflects machine speed through the whole run
+    _jvm_anchor_once(spark)  # warm codegen/scheduler once
+    cpu_samples = [_cpu_anchor_once() for _ in range(3)]
+    jvm_samples = [_jvm_anchor_once(spark) for _ in range(3)]
+
     per_query: dict[str, float] = {}
     warmups: dict[str, float] = {}
     for name in names:
@@ -180,6 +216,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             per_query[name] = -1.0
+
+    cpu_samples += [_cpu_anchor_once() for _ in range(3)]
+    jvm_samples += [_jvm_anchor_once(spark) for _ in range(3)]
+    calib = {
+        "cpu": round(statistics.median(cpu_samples), 3),
+        "jvm": round(statistics.median(jvm_samples), 3),
+    }
 
     ok = {k: v for k, v in per_query.items() if v >= 0}
 
@@ -211,16 +254,28 @@ def main() -> None:
     # Fix (r8 verdict item 1): the stdout line carries ONLY the fields
     # the driver contract names, 3-decimal walls, no separators padding;
     # subtotals/warmups/scale-check move to stderr and bench_full.json.
+    # r13: `calib` is the machine-speed normalizer (see _cpu_anchor_once)
+    # — it must ride the stdout line so every driver BENCH_r*.json
+    # carries it. Adaptive per-query precision (2 decimals at >=0.1 s,
+    # 3 below) buys the ~36 chars back; full 4-decimal walls stay in
+    # bench_full.json.
     out = {
         "metric": "headline_query_total_median_wall",
         "value": round(sum(ok.values()), 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in per_query.items()},
+        "queries": {
+            k: round(v, 2 if v >= 0.1 else 3) for k, v in per_query.items()
+        },
         "sf": sf,
+        "calib": calib,
     }
     full = {
         **out,
         "queries": per_query,
+        "calib_samples": {
+            "cpu": [round(s, 4) for s in cpu_samples],
+            "jvm": [round(s, 4) for s in jvm_samples],
+        },
         "class_subtotals_sec": dict(sorted(subtotals.items())),
         "index_warmup_sec": warmups,
     }
