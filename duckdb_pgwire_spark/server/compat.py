@@ -9515,7 +9515,11 @@ def _tree_is_const(t) -> bool:
 # composite comparisons). WHERE/HAVING/QUALIFY/JOIN/ON/FROM and the
 # CASE/IF condition slots are the 2VL boolean-condition path.
 _VALUE_CLAUSE_KWS = frozenset(
-    {"SELECT", "GROUP", "ORDER", "BY", "VALUES", "RETURNING"}
+    # SET: UPDATE / MERGE-arm / ON CONFLICT DO UPDATE assignment
+    # expressions are duck VALUE positions (probed r13: UPDATE t SET
+    # flag = (a < b) assigns 3VL NULL); SET never opens a clause in a
+    # SELECT body, so the classification only fires in DML fragments
+    {"SELECT", "GROUP", "ORDER", "BY", "VALUES", "RETURNING", "SET"}
 )
 
 # Heads that make a preceding-identifier + '(' NOT a function call
@@ -9976,18 +9980,34 @@ def _rewrite_composite_between(sql: str) -> str:
 def _ord_body_span(sql: str) -> tuple[int, int] | None:
     """Rewritable span for the composite ORDERING passes: the query
     body per ``_comp_body_span``, plus — unlike equality, whose filter
-    path is Spark-native — the WHERE tail of UPDATE / DELETE (review
-    r12: duck's NULLs-greatest filter order applies there too, and a
-    skipped rewrite MUTATES the wrong rows). SET-expression and MERGE
-    arm ordering comparisons remain documented residue."""
+    path is Spark-native — the DML expression surface (review r12 +
+    r13): for UPDATE, everything after the depth-0 SET keyword (the
+    SET expressions are duck VALUE positions — probed r13: ``SET flag
+    = (a < b)`` assigns 3VL NULL — and the WHERE tail is the 2VL
+    NULLs-greatest spine; a skipped rewrite MUTATES the wrong rows);
+    for DELETE, the WHERE tail; for MERGE, everything after the
+    depth-0 USING (source subquery per SELECT rules, ON + arm
+    predicates condition-class, THEN UPDATE SET / INSERT VALUES
+    expressions value-class via the clause walk)."""
     span = _comp_body_span(sql)
     if span is not None:
         return span
     first = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
-    if first in ("UPDATE", "DELETE"):
+    if first == "UPDATE":
+        # span INCLUDES the SET keyword: the fragment's clause walk
+        # needs to see it (last="SET" → value class); a fragment
+        # starting inside the first assignment would read as spine
+        ss, se = _find_keyword_span(sql, "SET")
+        if ss != -1:
+            return ss, len(sql)
+    if first == "DELETE":
         ws, we = _find_keyword_span(sql, "WHERE")
         if ws != -1:
             return we, len(sql)
+    if first == "MERGE":
+        us, ue = _find_keyword_span(sql, "USING")
+        if us != -1:
+            return ue, len(sql)
     return None
 
 

@@ -4775,6 +4775,120 @@ def test_wire_random_dml_sequence_fuzz_vs_duckdb(client, spark):
             _fresh_wire_table(spark, "dmlfz")
 
 
+def test_wire_composite_ordering_dml_vs_duckdb(client, spark):
+    """r13 (r12 VERDICT missing-item 1): composite ORDERING in DML —
+    SET expressions are duck VALUE positions (3VL: ``SET flag =
+    (a < b)`` assigns NULL on a NULL element pair), UPDATE/DELETE
+    WHERE col-vs-col ordering is the 2VL NULLs-greatest filter order
+    (the schema-typed leg now reaches the DML dispatch path via
+    app._dml_composite_ord), CASE-WHEN cond slots inside SET stay
+    2VL. Mirrors the duck probe statement-for-statement on arrays
+    AND structs."""
+    import duckdb
+
+    for ddl, seed in [
+        (
+            "CREATE TABLE codml(k INT, a INT[], b INT[], flag BOOLEAN)",
+            "INSERT INTO codml VALUES (1, [1,NULL], [1,2], NULL),"
+            " (2, [2], [1], NULL), (3, NULL, [1], NULL),"
+            " (4, [1], [1,5], NULL)",
+        ),
+        (
+            "CREATE TABLE codml(k INT, a STRUCT(x INT, y INT),"
+            " b STRUCT(x INT, y INT), flag BOOLEAN)",
+            "INSERT INTO codml VALUES (1, (1,NULL), (1,2), NULL),"
+            " (2, (2,1), (1,9), NULL), (3, NULL, (1,1), NULL),"
+            " (4, (1,1), (1,5), NULL)",
+        ),
+    ]:
+        con = duckdb.connect()
+        _fresh_wire_table(spark, "codml")
+        for setup in (ddl, seed):
+            con.execute(setup)
+            (r,) = client.query(setup)
+            assert "error" not in r, (setup, r)
+        try:
+            def state(tag):
+                want = con.execute(
+                    "SELECT k, flag FROM codml ORDER BY k"
+                ).fetchall()
+                (r,) = client.query("SELECT k, flag FROM codml ORDER BY k")
+                assert "error" not in r, (tag, r)
+                got = [
+                    (int(k), None if f is None else f == "t")
+                    for k, f in r["rows"]
+                ]
+                assert got == want, (tag, got, want)
+
+            for s in (
+                # value position: 3VL (row 1 NULL pair → NULL flag)
+                "UPDATE codml SET flag = (a < b)",
+                # cond slot inside SET: 2VL NULLs-greatest
+                "UPDATE codml SET flag ="
+                " CASE WHEN a <= b THEN true ELSE false END",
+                # filter spine col-vs-col: 2VL (the schema-typed leg)
+                "UPDATE codml SET flag = (a > b) WHERE a >= b",
+                "DELETE FROM codml WHERE a >= b",
+            ):
+                con.execute(s)
+                (r,) = client.query(s)
+                assert "error" not in r, (s, r)
+                state(s)
+        finally:
+            con.close()
+            client.query("DROP TABLE codml")
+            _fresh_wire_table(spark, "codml")
+
+
+def test_wire_composite_ordering_merge_arms(client, spark):
+    """r13: composite ordering inside MERGE arms (duck 1.1 has no
+    MERGE, so expected values derive from the probed UPDATE matrix:
+    arm predicates are condition-class 2VL NULLs-greatest, THEN UPDATE
+    SET expressions are value-class 3VL). Target rows: k1 a=[1,NULL],
+    k2 a=[2], k3 a=NULL, k4 a=[1]; source b: k1 [1,2], k2 [1],
+    k3 [2], k4 [1,5]."""
+    _fresh_wire_table(spark, "comrg")
+    for setup in (
+        "CREATE TABLE comrg(k INT, a INT[], flag BOOLEAN)",
+        "INSERT INTO comrg VALUES (1, [1,NULL], NULL), (2, [2], NULL),"
+        " (3, NULL, NULL), (4, [1], NULL)",
+    ):
+        (r,) = client.query(setup)
+        assert "error" not in r, (setup, r)
+    src = (
+        "(SELECT * FROM (VALUES (1, [1,2]), (2, [1]), (3, [2]),"
+        " (4, [1,5])) v(k, b)) s"
+    )
+    try:
+        # arm predicate 2VL: only k4 has a < b under NULLs-greatest
+        # (k1's NULL elem is GREATEST → a > b; k3 whole-NULL → unknown);
+        # SET expr 3VL: [1] <= [1,5] → exhaustion → true
+        (r,) = client.query(
+            f"MERGE INTO comrg t USING {src} ON t.k = s.k"
+            " WHEN MATCHED AND t.a < s.b THEN UPDATE SET"
+            " flag = (t.a <= s.b)"
+        )
+        assert "error" not in r, r
+        (r,) = client.query("SELECT k, flag FROM comrg ORDER BY k")
+        assert r["rows"] == [
+            ["1", None], ["2", None], ["3", None], ["4", "t"],
+        ], r["rows"]
+        # unconditioned arm, 3VL SET expr: k1 NULL pair → NULL,
+        # k2 false, k3 whole-NULL → NULL, k4 true
+        (r,) = client.query(
+            f"MERGE INTO comrg t USING {src} ON t.k = s.k"
+            " WHEN MATCHED THEN UPDATE SET flag = (t.a < s.b)"
+        )
+        assert "error" not in r, r
+        (r,) = client.query("SELECT k, flag FROM comrg ORDER BY k")
+        assert r["rows"] == [
+            ["1", None], ["2", "f"], ["3", None], ["4", "t"],
+        ], r["rows"]
+    finally:
+        client.query("DROP TABLE comrg")
+        _fresh_wire_table(spark, "comrg")
+
+
 def test_wire_enum_varchar_mixing_contexts(client, spark):
     """Late-r10 enum contexts, all DuckDB-probed: t.*-expanded subquery
     columns, simple-CASE operands vs string literals (non-member
