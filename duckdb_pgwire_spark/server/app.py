@@ -3054,10 +3054,13 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     has_floorceil = _HAS_FLOORCEIL_RE.search(sql) is not None
     has_div = _HAS_DIV_RE.search(sql) is not None
     has_avg = _HAS_AVG_RE.search(sql) is not None
+    # time_bucket column-operand marker (r13): the rewrite() template
+    # tags bare-identifier operands for the DATE-return-type leg
+    has_tb = "/*__duck_tb:" in sql
     if not (
         has_sum or has_len or has_columns or has_replace or has_enum
         or has_date_ivl or has_vc_cast or has_cmp or has_floorceil
-        or has_div or has_avg
+        or has_div or has_avg or has_tb
     ):
         return sql
     from pyspark.sql import types as T
@@ -3208,6 +3211,10 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         sql = rewrite_enum_table_columns(sql, enum_cols, varchar_cols)
     if has_date_ivl and date_cols:
         sql = rewrite_date_interval_cols(sql, date_cols)
+    if has_tb:
+        from .compat import rewrite_time_bucket_date_cols
+
+        sql = rewrite_time_bucket_date_cols(sql, date_cols)
     if has_columns and ordered_cols:
         sql = rewrite_columns_star(sql, ordered_cols)
     if has_replace and ordered_cols:

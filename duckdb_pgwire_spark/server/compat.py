@@ -4943,6 +4943,19 @@ def _tpl_time_bucket(args: list[str]) -> str | None:
     n = int(m.group(1) or m.group(3) or m.group(5))
     unit = (m.group(2) or m.group(4) or m.group(6)).lower()
     ts = args[1]
+    # bare-identifier operands are schema-blind here: tag them with a
+    # comment marker so the schema-aware leg
+    # (rewrite_time_bucket_date_cols, reached via app._hugeint_sums)
+    # can restore duck's DATE return type for DATE columns (probed
+    # r13: DATE operands return DATE at EVERY width). The marker is a
+    # plain SQL comment — harmless on paths without schema plumbing.
+    mark = ""
+    idm = re.fullmatch(
+        r"\s*((?:\w+|`[^`]+`)(?:\.(?:\w+|`[^`]+`))*)\s*", ts
+    )
+    if idm:
+        low = idm.group(1).split(".")[-1].strip("`").lower()
+        mark = f"/*__duck_tb:{low}*/"
     if unit in ("month", "months", "year", "years"):
         months = n * (12 if unit.startswith("year") else 1)
         if months == 0:
@@ -4961,7 +4974,7 @@ def _tpl_time_bucket(args: list[str]) -> str | None:
         )
         if re.match(r"(?i)^\s*DATE\s*'", ts):
             return bucket
-        return f"CAST({bucket} AS TIMESTAMP)"
+        return f"{mark}CAST({bucket} AS TIMESTAMP)"
     if unit not in _TIME_BUCKET_SECS:
         return None
     secs = _TIME_BUCKET_SECS[unit] * n
@@ -4976,7 +4989,7 @@ def _tpl_time_bucket(args: list[str]) -> str | None:
         and re.match(r"(?i)^\s*DATE\s*'", ts) is not None
     )
     def _wrap(expr: str) -> str:
-        return f"CAST({expr} AS DATE)" if as_date else expr
+        return f"CAST({expr} AS DATE)" if as_date else f"{mark}{expr}"
     if 86400 % secs == 0:
         # day-dividing widths: epoch alignment equals duck's
         # 2000-01-03 origin (it lies on every such grid)
@@ -4994,6 +5007,40 @@ def _tpl_time_bucket(args: list[str]) -> str | None:
             f" AS BIGINT) * {secs})"
         )
     return None
+
+
+_TB_MARK_RE = re.compile(r"/\*__duck_tb:(\w+)\*/")
+
+
+def rewrite_time_bucket_date_cols(sql: str, date_cols: set[str]) -> str:
+    """Schema-aware leg of the time_bucket return type (r13, VERDICT
+    item 4): duck returns DATE whenever the operand is DATE-typed —
+    at EVERY bucket width (probed; a midnight-aligned input always
+    buckets to a midnight-aligned instant, so the cast never changes
+    the value). ``_tpl_time_bucket`` tags bare-identifier operands
+    with ``/*__duck_tb:name*/``; this pass CASTs the tagged bucket
+    expression to DATE when the name resolves to a DATE column and
+    strips the marker either way."""
+    guard = 0
+    while guard < 100:
+        guard += 1
+        m = _TB_MARK_RE.search(sql)
+        if m is None:
+            return sql
+        mask = _code_mask(sql)
+        open_i = sql.find("(", m.end())
+        if open_i == -1:
+            return sql
+        close = _match_paren(sql, mask, open_i)
+        if close is None:
+            return sql
+        expr = sql[m.end() : close + 1]
+        if m.group(1) in date_cols:
+            repl = f"CAST({expr} AS DATE)"
+        else:
+            repl = expr
+        sql = sql[: m.start()] + repl + sql[close + 1 :]
+    return sql
 
 
 def _tpl_date_add(args: list[str]) -> str | None:

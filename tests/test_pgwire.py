@@ -4840,6 +4840,45 @@ def test_wire_composite_ordering_dml_vs_duckdb(client, spark):
             _fresh_wire_table(spark, "codml")
 
 
+def test_wire_time_bucket_date_column_type(client, spark):
+    """r13 (r12 VERDICT missing-item 3): time_bucket over a DATE
+    COLUMN returns DATE in duck at every width (probed) — the marker
+    handoff from _tpl_time_bucket to rewrite_time_bucket_date_cols
+    restores the wire type for schema-resolved columns; TIMESTAMP
+    columns keep TIMESTAMP (oid 1114 vs 1082)."""
+    import duckdb
+
+    _fresh_wire_table(spark, "tbdates")
+    for setup in (
+        "CREATE TABLE tbdates(d DATE, t TIMESTAMP)",
+        "INSERT INTO tbdates VALUES (DATE '2024-03-15',"
+        " TIMESTAMP '2024-03-15 12:37:45')",
+    ):
+        (r,) = client.query(setup)
+        assert "error" not in r, (setup, r)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tbdates(d DATE, t TIMESTAMP)")
+    con.execute(
+        "INSERT INTO tbdates VALUES (DATE '2024-03-15',"
+        " TIMESTAMP '2024-03-15 12:37:45')"
+    )
+    try:
+        for width in ("'15' MINUTE", "'1' DAY", "'7' DAY", "'3' MONTH"):
+            q = (
+                f"SELECT time_bucket(INTERVAL {width}, d) AS bd,"
+                f" time_bucket(INTERVAL {width}, t) AS bt FROM tbdates"
+            )
+            want = [str(v) for v in con.execute(q).fetchone()]
+            (r,) = client.query(q)
+            assert "error" not in r, (q, r)
+            assert r["oids"] == [1082, 1114], (q, r["oids"])
+            assert r["rows"] == [want], (q, r["rows"], want)
+    finally:
+        con.close()
+        client.query("DROP TABLE tbdates")
+        _fresh_wire_table(spark, "tbdates")
+
+
 def test_wire_composite_ordering_merge_arms(client, spark):
     """r13: composite ordering inside MERGE arms (duck 1.1 has no
     MERGE, so expected values derive from the probed UPDATE matrix:
