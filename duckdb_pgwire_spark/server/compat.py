@@ -2893,6 +2893,58 @@ _AS_ALIAS_RE = re.compile(
     r"\b((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))\s+AS\s+([A-Za-z_]\w*)",
     re.IGNORECASE,
 )
+# implicit (no-AS) select-list alias: `col x` directly before a list
+# separator / closing paren / FROM. Clause words on either side are
+# excluded below; a stray FROM-clause `tbl alias` binding is harmless
+# unless a column shares the TABLE's name (resolution requires the
+# source to be a known complex/enum column).
+_IMPLICIT_ALIAS_RE = re.compile(
+    r"\b((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))\s+([A-Za-z_]\w*)"
+    r"\s*(?=,|\)|\bFROM\b|$)",
+    re.IGNORECASE,
+)
+_IMPLICIT_ALIAS_STOP = frozenset(
+    """select from where group order by having qualify limit offset
+    union intersect except join on using as and or not asc desc nulls
+    first last when then else end case between in like ilike similar
+    glob is null true false distinct all any some exists values window
+    over partition row rows range groups current unbounded preceding
+    following filter lateral cross inner left right full natural anti
+    semi exclude replace interval set returning into update delete
+    insert merge with recursive sample tablesample""".split()
+)
+
+
+def _alias_bindings(sql: str, mask: list) -> dict[str, list[str]]:
+    """alias → [source column names] for both AS and implicit forms
+    (shared by the enum and complex propagators; r13 closes the no-AS
+    gap — ``SELECT a x, b y FROM t`` previously kept Spark semantics
+    on x/y). A name bound more than once stays unresolvable."""
+    bindings: dict[str, list[str]] = {}
+    spans: list[tuple[int, int]] = []
+    for m in _AS_ALIAS_RE.finditer(sql):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        alias = m.group(3).lower()
+        if alias in _KEYWORDS_NOT_ALIASES:
+            continue
+        bindings.setdefault(alias, []).append(m.group(2).lower())
+        spans.append((m.start(), m.end()))
+    for m in _IMPLICIT_ALIAS_RE.finditer(sql):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        if any(s < m.end() and m.start() < e for s, e in spans):
+            continue  # overlaps an explicit AS binding
+        src = m.group(2).lower()
+        alias = m.group(3).lower()
+        if (
+            src in _IMPLICIT_ALIAS_STOP
+            or alias in _IMPLICIT_ALIAS_STOP
+            or alias in _KEYWORDS_NOT_ALIASES
+        ):
+            continue
+        bindings.setdefault(alias, []).append(src)
+    return bindings
 
 
 def propagate_enum_aliases(
@@ -2909,18 +2961,13 @@ def propagate_enum_aliases(
     doesn't collide with a real non-enum column. Everything else keeps
     the loud analyzer error."""
     mask = _code_mask(sql)
-    bindings: dict[str, list[str | None]] = {}
-    for m in _AS_ALIAS_RE.finditer(sql):
-        if not all(mask[m.start() : m.end()]):
-            continue
-        alias = m.group(3).lower()
-        if alias in _KEYWORDS_NOT_ALIASES:
-            continue
+    bindings = {
+        alias: exprs
+        for alias, exprs in _alias_bindings(sql, mask).items()
         # user type names can follow AS too (CAST forms are normally
         # rewritten away before this pass runs, but stay defensive)
-        if alias in ENUM_TYPES or alias in TYPE_ALIASES:
-            continue
-        bindings.setdefault(alias, []).append(m.group(2).lower())
+        if alias not in ENUM_TYPES and alias not in TYPE_ALIASES
+    }
     out = dict(enum_cols)
     changed = True
     while changed:
@@ -2949,14 +2996,7 @@ def propagate_complex_aliases(
     if not ctypes:
         return ctypes
     mask = _code_mask(sql)
-    bindings: dict[str, list[str]] = {}
-    for m in _AS_ALIAS_RE.finditer(sql):
-        if not all(mask[m.start() : m.end()]):
-            continue
-        alias = m.group(3).lower()
-        if alias in _KEYWORDS_NOT_ALIASES:
-            continue
-        bindings.setdefault(alias, []).append(m.group(2).lower())
+    bindings = _alias_bindings(sql, mask)
     out = dict(ctypes)
     changed = True
     while changed:

