@@ -1247,6 +1247,145 @@ _BLOB_CAST_RE = re.compile(
 _HEXPAIR = frozenset("0123456789abcdefABCDEF")
 
 
+_HAS_BIT_RE = re.compile(
+    r"::\s*BIT\b|\bAS\s+BIT\s*\)|\bbitstring\s*\(", re.IGNORECASE
+)
+_BIT_FN_RE = re.compile(
+    r"(?<![\w.])(get_bit|set_bit|bit_count|octet_length|bit_length"
+    r"|bitstring)\s*\(",
+    re.IGNORECASE,
+)
+_BIT_LIT_RE = re.compile(
+    r"'([^']*)'\s*::\s*BIT\b|\bCAST\s*\(\s*'([^']*)'\s+AS\s+BIT\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_bit_strings(sql: str) -> str:
+    """DuckDB BIT strings (r13 sweep): Spark has no BIT type, but BIT
+    only enters expressions through literal ``'0101'::BIT`` casts (no
+    BIT storage exists in our surface), so a 0/1-character STRING
+    emulates it exactly — lexicographic compare, ``||`` concat,
+    ``length``/``::VARCHAR`` all coincide (probed). This pass rewrites
+    the BIT function heads whose argument involves a BIT form
+    (outermost-first, so nested calls keep their gate text), then
+    drops validated literal casts:
+
+    - ``get_bit(b, i)``  → guarded 0-based-from-left substring (duck
+      ERRORS out of range — raise_error keeps it loud)
+    - ``set_bit(b, i, v)`` → guarded splice
+    - ``bit_count(b)``   → count of '1' chars (declared width only)
+    - ``bit_length(b)``  → length(b);  ``octet_length(b)`` → ceil(/8)
+    - ``bitstring(s, n)`` → guarded lpad('0') (duck errors when n <
+      length)
+    - ``'0101'::BIT``    → the validated literal ('012'::BIT refuses
+      like duck's Conversion Error)
+
+    Bitwise ``& | ~ xor`` over BIT operands stay LOUD residue (Spark
+    rejects string operands)."""
+    if _HAS_BIT_RE.search(sql) is None:
+        return sql
+
+    def has_bit(frag: str) -> bool:
+        return (
+            _HAS_BIT_RE.search(frag) is not None
+            or _BIT_FN_RE.search(frag) is not None
+        )
+
+    guard = 0
+    skipped: set[int] = set()
+    while guard < 200:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _BIT_FN_RE.finditer(sql)
+                if all(mask[c.start() : c.end()])
+                and c.start() not in skipped
+            ),
+            None,
+        )
+        if m is None:
+            break
+        close = _match_paren(sql, mask, m.end() - 1)
+        if close is None:
+            break
+        args = split_top_level(sql[m.end() : close])
+        fn = m.group(1).lower()
+        inner = sql[m.end() : close]
+        if not has_bit(inner) and fn != "bitstring":
+            skipped.add(m.start())
+            continue
+        repl: str | None = None
+        if fn == "get_bit" and len(args) == 2:
+            b, i = args[0].strip(), args[1].strip()
+            repl = (
+                f"(CASE WHEN ({i}) >= 0 AND ({i}) < length({b})"
+                f" THEN CAST(substring({b}, ({i}) + 1, 1) AS INT)"
+                f" ELSE CAST(raise_error(concat('bit index ',"
+                f" CAST(({i}) AS STRING), ' out of valid range'))"
+                f" AS INT) END)"
+            )
+        elif fn == "set_bit" and len(args) == 3:
+            b, i, v = (a.strip() for a in args)
+            repl = (
+                f"(CASE WHEN ({i}) >= 0 AND ({i}) < length({b})"
+                f" THEN concat(substring({b}, 1, ({i})),"
+                f" CAST(({v}) AS STRING), substring({b}, ({i}) + 2))"
+                f" ELSE raise_error(concat('bit index ',"
+                f" CAST(({i}) AS STRING), ' out of valid range')) END)"
+            )
+        elif fn == "bit_count" and len(args) == 1:
+            b = args[0].strip()
+            repl = (
+                f"(length({b}) - length(replace({b}, '1', '')))"
+            )
+        elif fn == "bit_length" and len(args) == 1:
+            repl = f"length({args[0].strip()})"
+        elif fn == "octet_length" and len(args) == 1:
+            repl = (
+                f"CAST(ceil(length({args[0].strip()}) / 8.0) AS BIGINT)"
+            )
+        elif fn == "bitstring" and len(args) == 2:
+            s, n = args[0].strip(), args[1].strip()
+            repl = (
+                f"(CASE WHEN ({n}) >= length(CAST({s} AS STRING))"
+                f" THEN lpad(CAST({s} AS STRING), ({n}), '0')"
+                f" ELSE raise_error('Cannot truncate bit string') END)"
+            )
+        if repl is None:
+            skipped.add(m.start())
+            continue
+        sql = sql[: m.start()] + repl + sql[close + 1 :]
+        skipped = {s for s in skipped if s < m.start()}
+    # remaining literal BIT casts → the validated 0/1 string itself;
+    # non-literal ::BIT stays for Spark's loud UNSUPPORTED_DATATYPE
+    guard = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        hit = None
+        for m in _BIT_LIT_RE.finditer(sql):
+            # the cast tail (::BIT / AS BIT)) must be CODE — a match
+            # whose quoted body is really inside a larger literal has
+            # a literal-classified tail
+            if not mask[m.end() - 1]:
+                continue
+            hit = m
+            break
+        if hit is None:
+            return sql
+        body = hit.group(1) if hit.group(1) is not None else hit.group(2)
+        if body == "" or not re.fullmatch(r"[01]+", body):
+            raise ValueError(
+                "Invalid character encountered in string -> bit"
+                f" conversion: '{body}'"
+            )
+        sql = sql[: hit.start()] + f"'{body}'" + sql[hit.end() :]
+    return sql
+
+
 def _rewrite_blob_literals(sql: str) -> str:
     r"""DuckDB blob literals spell raw bytes with \xHH escapes
     ('\x41B'::BLOB is the two bytes 0x41 0x42, probed); Spark's
@@ -1956,8 +2095,13 @@ def _infix_context(sql: str, segs, i: int) -> bool:
 _BRACKET_KEYWORDS = {
     "SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "THEN", "ELSE", "WHEN",
     "CASE", "END", "IN", "ON", "AS", "BY", "GROUP", "ORDER", "HAVING",
+    # ROW deliberately absent (r13): ROW(...) is a real constructor
+    # (PG/duck row constructor, _COMPOSITE_HEAD_RE) — listing it here
+    # orphaned the head during operand scans, so `row(1,'a') =
+    # row(1,'a')` decomposed the bare tuple and left `row(` wrapping
+    # the emitted CASE (a silent wrong struct-typed result)
     "LIMIT", "OFFSET", "UNION", "ALL", "DISTINCT", "VALUES", "SET",
-    "RETURNING", "JOIN", "WITH", "RECURSIVE", "IF", "ROW", "INTERVAL",
+    "RETURNING", "JOIN", "WITH", "RECURSIVE", "IF", "INTERVAL",
     "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "TRUE", "FALSE", "EXCEPT",
     "INTERSECT", "LATERAL", "USING", "OVER", "PARTITION", "RETURN",
     "COALESCE", "ELSEIF",
@@ -4962,6 +5106,62 @@ _TIME_BUCKET_SECS = {
 }
 
 
+_BIT_COUNT_WIDTH = {
+    "tinyint": 255, "int1": 255, "utinyint": 255,
+    "smallint": 65535, "int2": 65535, "short": 65535, "usmallint": 65535,
+    "integer": 4294967295, "int4": 4294967295, "int": 4294967295,
+    "signed": 4294967295, "uinteger": 4294967295,
+}
+
+
+def _tpl_repeat_blob(args: list[str]) -> str | None:
+    """repeat over a BINARY-typed operand keeps BLOB in duck; Spark's
+    repeat coerces BINARY to STRING (mangling non-UTF-8 bytes). For a
+    LITERAL repeat count, unroll to concat of the operand — concat
+    over BINARY stays BINARY and byte-exact. Bounded at 64 copies
+    (beyond that, duck-parity on a blob repeat is not worth the SQL
+    text); non-literal counts and string operands stay native."""
+    if len(args) != 2:
+        return None
+    a, n = args[0].strip(), args[1].strip()
+    if not re.search(
+        r"(?i)(?:::\s*(?:BLOB|BINARY|BYTEA|VARBINARY)"
+        r"|\bAS\s+(?:BLOB|BINARY|BYTEA|VARBINARY)\s*\))\s*$"
+        r"|^unhex\s*\(",
+        a,
+    ):
+        return None
+    if not re.fullmatch(r"-?\d+", n) or int(n) > 64:
+        return None
+    k = int(n)
+    if k <= 0:
+        return "CAST('' AS BINARY)"
+    if k == 1:
+        return f"({a})"
+    return "concat(" + ", ".join([f"({a})"] * k) + ")"
+
+
+def _tpl_bit_count(args: list[str]) -> str | None:
+    """bit_count over sub-64-bit integers: mask to the declared width
+    so negatives count like duck's two's-complement at that width
+    (probed r13: duck bit_count(-1::TINYINT)=8, Spark=64). Unknown
+    operand forms (columns, arithmetic) stay native — our parquet
+    integer columns are BIGINT, where the engines already agree."""
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    m = re.search(r"(?i)(?:::\s*(\w+)|\bAS\s+(\w+)\s*\))\s*$", a)
+    if m:
+        width = _BIT_COUNT_WIDTH.get((m.group(1) or m.group(2)).lower())
+        if width is None:
+            return None  # BIGINT/HUGEINT/unknown: native
+        return f"bit_count(({a}) & {width})"
+    if re.fullmatch(r"[-+\s(]*\d+[\s)]*", a):
+        # bare integer literal: duck types it INTEGER (32-bit)
+        return f"bit_count(({a}) & 4294967295)"
+    return None
+
+
 def _tpl_time_bucket(args: list[str]) -> str | None:
     """time_bucket(INTERVAL, ts) for literal intervals: day-dividing
     second widths bucket on the epoch-aligned grid (duck's 2000-01-03
@@ -5424,6 +5624,17 @@ _NARY_REWRITES: dict = {
     "ord": (1, "(CASE WHEN length({0}) = 0 THEN -1 ELSE ascii({0}) END)"),
     "encode": (1, "encode({0}, 'UTF-8')"),  # DuckDB: VARCHAR → UTF-8 BLOB
     "decode": (1, "decode({0}, 'UTF-8')"),
+    # duck repeat(BLOB, n) returns BLOB; Spark coerces BINARY→STRING
+    # (r13 sweep). Literal repeat counts unroll to an exact-bytes
+    # concat; other forms stay native (strings agree already).
+    "repeat": (None, lambda a: _tpl_repeat_blob(a)),
+    # duck bit_count counts within the operand's DECLARED integer
+    # width (TINYINT 8 … BIGINT 64; bare literals are INTEGER 32);
+    # Spark always sign-extends to 64 bits, diverging on negatives
+    # (r13 sweep). Mask cast-suffixed and bare-literal operands; a
+    # BIGINT (our parquet int columns) matches natively. BIT-string
+    # operands were consumed by _rewrite_bit_strings earlier.
+    "bit_count": (None, lambda a: _tpl_bit_count(a)),
     # ---- datetime
     "epoch": (1, "(unix_micros(CAST({0} AS TIMESTAMP)) / 1e6)"),
     "dayofweek": (1, "((__native_weekday__({0}) + 1) % 7)"),  # DuckDB: Sunday=0
@@ -10307,6 +10518,8 @@ def rewrite(sql: str) -> str:
     # case mapping; BEFORE any pass emits Java-semantics upper/lower
     sql = _rewrite_concat_null_skip(sql)  # user concat only — BEFORE any
     # pass emits Spark-native concat (RLIKE anchors, split templates)
+    sql = _rewrite_bit_strings(sql)  # BIT emulation (after the concat
+    # pass so its emitted concat/substring stay internal-safe)
     sql = _rewrite_date_literal_diff(sql)  # before '-' reaches Spark
     sql = _rewrite_date_plus_interval(sql)  # before INTERVAL rewrites
     sql = _rewrite_at_time_zone(sql)  # PG syntax Spark lacks

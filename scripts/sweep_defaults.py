@@ -453,6 +453,15 @@ FAMILIES: dict[str, list[str]] = {
         "SELECT hex('abc'::BLOB) AS bh, base64('abc'::BLOB) AS b64",
         "SELECT unhex('616263')::VARCHAR AS uh",
         "SELECT repeat('ab'::BLOB, 2) AS brep",
+        # r13 additions: BIT emulation + declared-width bit_count
+        "SELECT set_bit('0101'::BIT, 2, 1)::VARCHAR AS sb",
+        "SELECT bit_length('0101'::BIT) AS bl2",
+        "SELECT bitstring('0101', 8)::VARCHAR AS bs8",
+        "SELECT ('01'::BIT || '10'::BIT)::VARCHAR AS bcat",
+        "SELECT '0101'::BIT < '011'::BIT AS blt",
+        "SELECT bit_count(-1::TINYINT) AS w8, bit_count(-1::SMALLINT)"
+        " AS w16, bit_count(-1::INT) AS w32, bit_count(-1) AS wd",
+        "SELECT bit_count(set_bit('0101'::BIT, 0, 1)) AS nested",
     ],
     "agg_edges": [
         "SELECT count(*) AS a, count(x) AS b, sum(x) AS s, avg(x) AS av FROM (VALUES (1),(NULL),(3)) t(x)",

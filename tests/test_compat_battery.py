@@ -835,6 +835,32 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT printf('%g', NULL::DOUBLE) AS n",
     "SELECT format('{:.2f}', 1.005) AS a, format('{:>6}', 'ab') AS b",
     "SELECT format('{} {:.1f}', 'x', 2.25) AS f2",
+    # --- r13 bit/blob sweep: BIT strings emulate as 0/1-char STRINGs
+    # (no BIT storage exists in our surface — literal ::BIT casts are
+    # the only entry); bit_count masks to the DECLARED integer width;
+    # repeat(BLOB, n) unrolls to byte-exact concat ---
+    "SELECT get_bit('0101'::BIT, 0) AS g0, get_bit('0101'::BIT, 1) AS g1,"
+    " get_bit('0101'::BIT, 3) AS g3",
+    "SELECT set_bit('0101'::BIT, 0, 1)::VARCHAR AS s1,"
+    " set_bit('0101'::BIT, 1, 0)::VARCHAR AS s2",
+    "SELECT bit_count('0101'::BIT) AS bc, bit_count('1111'::BIT) AS b4,"
+    " bit_length('0101'::BIT) AS bl, length('0101'::BIT) AS l,"
+    " octet_length('0101'::BIT) AS ol",
+    "SELECT '0101'::BIT::VARCHAR AS v, ('01'::BIT || '10'::BIT)::VARCHAR"
+    " AS cat, bitstring('0101', 8)::VARCHAR AS bs",
+    "SELECT '0101'::BIT = '0101'::BIT AS eq, '0101'::BIT < '011'::BIT"
+    " AS lt",
+    "SELECT bit_count(set_bit('0101'::BIT, 0, 1)) AS nested",
+    "SELECT bit_count(-1::TINYINT) AS w8, bit_count(-1::SMALLINT) AS w16,"
+    " bit_count(-1::INT) AS w32, bit_count(-1::BIGINT) AS w64,"
+    " bit_count(-1) AS wdef, bit_count(5) AS pos",
+    "SELECT repeat('ab'::BLOB, 2) AS brep, repeat('ab'::BLOB, 0) AS b0",
+    # row() constructor comparisons: ROW was wrongly a bracket keyword
+    # (r13) — the orphaned head wrapped the emitted CASE in struct()
+    "SELECT row(1,'a') = row(1,'a') AS eq, row(1,'a') = row(2,'a') AS ne,"
+    " row(1,NULL) = row(1,'a') AS n3vl",
+    "SELECT row(1,'a') < row(1,'b') AS lt, row(2,'a') < row(1,'b') AS ge",
+    "SELECT 1 AS k WHERE row(1,NULL) = row(1,NULL)",
     # --- r12 collation sweep: duck default binary UTF-8 order matched
     # Spark natively (18/18 ok) — pin a few as the regression net ---
     "SELECT x FROM (VALUES ('a'), ('B'), ('b'), ('A'), ('Z'), ('z'))"
