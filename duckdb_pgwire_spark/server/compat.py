@@ -7937,6 +7937,26 @@ def _rewrite_printf(sql: str) -> str:
         fmt = re.sub(
             r"(%[-+ #0]*\d*(?:\.\d+)?)[iu]", r"\1d", fmt
         )
+        # r13 (r12 NEW known, decided): duck ERRORS on a type-mismatched
+        # directive where Java coerces — %s with a numeric arg, and
+        # numeric directives with a string arg. Refuse the LITERAL-arg
+        # forms loudly with duck's message; non-literal args stay
+        # schema-blind coercion (documented known, NOTES).
+        for n, a in enumerate(args[1:]):
+            conv = convs[n] if n < len(convs) else None
+            if conv == "s" and re.fullmatch(
+                r"[-+(\s]*\d+(?:\.\d+)?(?:[eE][-+]?\d+)?[)\s]*", a
+            ):
+                kind = "float" if re.search(r"[.eE]", a) else "int"
+                raise ValueError(
+                    f'Invalid type specifier "s" for formatting a'
+                    f" value of type {kind}"
+                )
+            if conv in "diuxXo" and re.fullmatch(r"'(?:[^']|'')*'", a):
+                raise ValueError(
+                    f'Invalid type specifier "{conv}" for formatting'
+                    f" a value of type string"
+                )
         repl = None
         if any(c in "fFeEgG" for c in convs):
             # float directives: Java's Formatter diverges from duck's
@@ -7952,6 +7972,11 @@ def _rewrite_printf(sql: str) -> str:
                     rest.append(f"CAST({a} AS DOUBLE)")
                 elif conv in "diuxXo":
                     rest.append(f"CAST({a} AS BIGINT)")
+                elif conv == "s":
+                    # Java renders DATE/TIMESTAMP args as their raw
+                    # internal ints (a DATE prints as day-number —
+                    # r13 battery catch); duck prints the SQL text
+                    rest.append(f"CAST({a} AS STRING)")
                 else:
                     rest.append(a)
             repl = f"format_string('{fmt}'" + (

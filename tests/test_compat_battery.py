@@ -589,6 +589,24 @@ def test_bool_cast_rejected_literal_errors():
         rewrite("SELECT CAST(' true ' AS BOOLEAN) AS b")
 
 
+def test_printf_type_mismatch_literal_errors():
+    """DuckDB: Invalid Input Error for a type-mismatched printf
+    directive (%s with numeric, %d/%x with string) where Java's
+    formatter silently coerces — refused loudly for literal args
+    (r13, the r12 leniency-inversion decision). Bool/date %s args
+    stay accepted (duck formats them)."""
+    for bad, frag in [
+        ("SELECT printf('%s', 5) AS x", "type int"),
+        ("SELECT printf('%s', 5.5) AS x", "type float"),
+        ("SELECT printf('%d', '5') AS x", "type string"),
+        ("SELECT printf('%x', 'ff') AS x", "type string"),
+    ]:
+        with pytest.raises(ValueError, match=frag):
+            rewrite(bad)
+    rewrite("SELECT printf('%s', true) AS x")  # accepted forms
+    rewrite("SELECT printf('%s', DATE '2024-01-01') AS x")
+
+
 def test_zero_slice_step_errors():
     """DuckDB: 'Slice step cannot be zero' (Invalid Input Error); the
     div-zero guard must not turn the % 0 predicate into a silent []."""
@@ -833,6 +851,7 @@ COMPOSITE_CONTEXT_QUERIES = [
     " AS mixed",
     "SELECT printf('%s=%g%%', 'r', 2.5) AS pct",
     "SELECT printf('%g', NULL::DOUBLE) AS n",
+    "SELECT printf('%s', true) AS b, printf('%s', DATE '2024-01-01') AS d",
     "SELECT format('{:.2f}', 1.005) AS a, format('{:>6}', 'ab') AS b",
     "SELECT format('{} {:.1f}', 'x', 2.25) AS f2",
     # --- r13 bit/blob sweep: BIT strings emulate as 0/1-char STRINGs
