@@ -2927,6 +2927,89 @@ def _note_statement_head(first: str) -> None:
     read-only head set)."""
     if first and first not in _SCHEMA_READ_HEADS:
         _SCHEMA_FIELDS_CACHE.clear()
+        _TYPER_CACHE.clear()
+
+
+# (statement, operand expression) → type tree from the analysis probe
+_TYPER_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _inject_select_probe(sql: str, expr: str) -> str | None:
+    """The analysis-probe statement for one operand expression: the
+    ORIGINAL statement with ``(expr) AS __ty_probe,`` injected at the
+    head of the first top-level SELECT list — every FROM/CTE scope the
+    operand references stays visible, and analyzing the result types
+    it without executing anything. Returns None when no top-level
+    SELECT exists (the caller falls back)."""
+    from .compat import _code_mask
+
+    mask = _code_mask(sql)
+    depth = 0
+    for m in re.finditer(r"\bSELECT\b", sql, re.IGNORECASE):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        d = 0
+        for i in range(m.start()):
+            if mask[i]:
+                if sql[i] == "(":
+                    d += 1
+                elif sql[i] == ")":
+                    d -= 1
+        depth = d
+        if depth != 0:
+            continue
+        at = m.end()
+        dm = re.match(r"\s+(?:DISTINCT|ALL)\b", sql[at:], re.IGNORECASE)
+        if dm:
+            at += dm.end()
+        return f"{sql[:at]} ({expr}) AS __ty_probe, {sql[at:]}"
+    return None
+
+
+def _make_expr_typer(session: SparkSession, sql: str, from_table=None):
+    """Analysis-time operand typer (r13, VERDICT item 8): returns a
+    callable ``expr -> type-tree | None`` backed by Spark's ANALYSIS
+    phase only — ``session.sql(probe).schema`` resolves the full
+    statement scope without running a job. Probes, in order: the
+    statement with the operand hoisted into its top-level SELECT list;
+    the same wrapped in first() (grouped statements reject a bare
+    non-aggregate); for DML, a single-table SELECT over the target.
+    Any analysis failure (subquery-scoped operand, set-op arity…)
+    returns None and the regex legs' conservative skip stands."""
+
+    def typer(expr: str):
+        key = (sql, expr)
+        if key in _TYPER_CACHE:
+            return _TYPER_CACHE[key]
+        probes: list[str] = []
+        if from_table is not None:
+            probes.append(
+                f"SELECT ({expr}) AS __ty_probe FROM {from_table}"
+            )
+        p1 = _inject_select_probe(sql, expr)
+        if p1 is not None:
+            probes.append(p1)
+            p2 = _inject_select_probe(sql, f"first({expr})")
+            if p2 is not None:
+                probes.append(p2)
+        tree = None
+        for probe in probes:
+            try:
+                fields = session.sql(probe).schema.fields
+            except Exception:  # noqa: BLE001 — analysis failed: next
+                continue
+            for f in fields:
+                if f.name == "__ty_probe":
+                    tree = _type_tree(f.dataType)
+                    break
+            if tree is not None:
+                break
+        if len(_TYPER_CACHE) >= 512:
+            _TYPER_CACHE.clear()
+        _TYPER_CACHE[key] = tree
+        return tree
+
+    return typer
 
 
 def _type_tree(dt):
@@ -3015,11 +3098,18 @@ def _dml_composite_ord(session: SparkSession, sql: str) -> str:
             ctypes[low] = tr
     for low in ambiguous:
         ctypes.pop(low, None)
-    if not ctypes:
+    from .compat import _COMPLEX_EXPR_HINT_RE
+
+    if not ctypes and _COMPLEX_EXPR_HINT_RE.search(sql) is None:
         return sql
     blocked = {n for n in all_names if n not in ctypes}
     ctypes = propagate_complex_aliases(sql, ctypes, blocked)
-    return rewrite_composite_col_ord(sql, ctypes)
+    # single-table DML gets the analysis typer scoped to its target
+    # (the statement itself is not SELECT-headed, so the hoist probe
+    # can't apply); multi-relation forms fall back conservatively
+    target = tm.group(1) if tm is not None else None
+    typer = _make_expr_typer(session, sql, from_table=target)
+    return rewrite_composite_col_ord(sql, ctypes, typer)
 
 
 def _hugeint_sums(session: SparkSession, sql: str) -> str:
@@ -3231,9 +3321,15 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         from .compat import rewrite_decimal_avg
 
         sql = rewrite_decimal_avg(sql, dec_cols)
-    if has_cmp and complex_cols:
+    from .compat import _COMPLEX_EXPR_HINT_RE
+
+    if has_cmp and (
+        complex_cols or _COMPLEX_EXPR_HINT_RE.search(sql) is not None
+    ):
         # composite COLUMN =/<> comparisons: schema-typed 3VL
-        # (constructor-literal sides were handled in rewrite())
+        # (constructor-literal sides were handled in rewrite());
+        # complex-carrying EXPRESSIONS with no complex catalog column
+        # (split(s,',') < split(t,',')) reach via the typer (r13)
         from .compat import rewrite_composite_col_eq
 
         _tree = _type_tree
@@ -3253,7 +3349,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                 ctypes[lowname] = tr
         for lowname in ambiguous:
             ctypes.pop(lowname, None)
-        if ctypes:
+        if ctypes or _COMPLEX_EXPR_HINT_RE.search(sql):
             from .compat import (
                 propagate_complex_aliases,
                 rewrite_composite_col_ord,
@@ -3268,8 +3364,11 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                 if f.name.lower() not in ctypes
             }
             ctypes = propagate_complex_aliases(sql, ctypes, blocked)
-            sql = rewrite_composite_col_eq(sql, ctypes)
-            sql = rewrite_composite_col_ord(sql, ctypes)
+            # analysis-time fallback for opaque operands (r13): type
+            # by hoisting into the SELECT list, analysis only
+            typer = _make_expr_typer(session, sql)
+            sql = rewrite_composite_col_eq(sql, ctypes, typer)
+            sql = rewrite_composite_col_ord(sql, ctypes, typer)
     if has_vc_cast and complex_cols:
         # composite column ::VARCHAR → DuckDB's text rendering (the
         # type-blind rewrite() pass covers constructor literals; this

@@ -1058,7 +1058,15 @@ def _scan_left_operand(sql: str, segs, end: int) -> int:
         if j < 0:
             return end
         m = re.search(r"[A-Za-z_][\w.]*\s*$", sql[:j])
-        if m and m.group(0).strip().upper() not in _BRACKET_KEYWORDS:
+        head = m.group(0).strip().upper() if m else ""
+        if m and (
+            head not in _BRACKET_KEYWORDS
+            # IF/COALESCE are REAL calls when followed by '(' — the
+            # keyword listing serves the '['-subscript walks; leaving
+            # them here orphaned the head and fed '(a, b)' to the
+            # composite passes as a bare tuple (r13, the ROW lesson)
+            or (c == ")" and head in ("IF", "COALESCE"))
+        ):
             return m.start()
         return j
     m = re.search(r"[\w.$]+$", sql[:i])
@@ -9402,7 +9410,9 @@ def rewrite_double_floor_ceil(sql: str, double_cols: set) -> str:
     return _FLOOR_CEIL_RE.sub(sub, sql)
 
 
-def rewrite_composite_col_eq(sql: str, complex_types: dict) -> str:
+def rewrite_composite_col_eq(
+    sql: str, complex_types: dict, typer=None
+) -> str:
     """Schema-aware leg of the composite-3VL closure: ``col = expr`` /
     ``col <> expr`` where ``col`` is a complex-typed COLUMN (the
     type-blind pass in rewrite() already covers constructor-literal
@@ -9410,8 +9420,9 @@ def rewrite_composite_col_eq(sql: str, complex_types: dict) -> str:
     filter path evaluates composite equality with the 2VL total-order
     comparison that Spark's native ``=`` already reproduces (probed
     context split, r11), and leaving WHERE/ON native also keeps
-    complex-keyed equi-joins hash-joinable at scale."""
-    if not complex_types:
+    complex-keyed equi-joins hash-joinable at scale. ``typer`` (r13):
+    analysis-time fallback for opaque operands — see ``_typer_tree``."""
+    if not complex_types and typer is None:
         return sql
     has_eq = _CMP_OP_RE.search(sql) is not None
     has_in = re.search(r"\bIN\s*\(", sql, re.IGNORECASE) is not None
@@ -9422,9 +9433,15 @@ def rewrite_composite_col_eq(sql: str, complex_types: dict) -> str:
         return sql
     bs, be = span
     if bs or be < len(sql):
-        return sql[:bs] + rewrite_composite_col_eq(sql[bs:be], complex_types) + sql[be:]
+        return (
+            sql[:bs]
+            + rewrite_composite_col_eq(sql[bs:be], complex_types, typer)
+            + sql[be:]
+        )
     low = sql.lower()
-    if not any(c in low for c in complex_types):
+    if not any(c in low for c in complex_types) and not (
+        typer is not None and _COMPLEX_EXPR_HINT_RE.search(sql)
+    ):
         return sql
     segs = _abs_segments(sql)
     mask = _code_mask(sql)
@@ -9461,7 +9478,7 @@ def rewrite_composite_col_eq(sql: str, complex_types: dict) -> str:
             if t is not None and _tree_depth(t) > 4:
                 return None
             return t
-        return None
+        return _typer_tree(op, complex_types, typer)
 
     out: list[str] = []
     pos = 0
@@ -9617,7 +9634,9 @@ def _typed_cmp(a: str, b: str, tree, two: bool, d: int = 0) -> str:
     return guard.format(body=body)
 
 
-def rewrite_composite_col_ord(sql: str, complex_types: dict) -> str:
+def rewrite_composite_col_ord(
+    sql: str, complex_types: dict, typer=None
+) -> str:
     """Schema-aware leg of the composite ORDERING closure: ``col <
     expr`` (and <= > >=) where an operand is a complex-typed COLUMN.
     Unlike the equality leg, BOTH position classes rewrite — value
@@ -9626,8 +9645,9 @@ def rewrite_composite_col_ord(sql: str, complex_types: dict) -> str:
     composite order is NULLs-smallest, probed r12). Same operand
     scanning and type-tree resolution as ``rewrite_composite_col_eq``;
     constructor-literal sides were handled by the type-blind pass in
-    rewrite()."""
-    if not complex_types or (
+    rewrite(). ``typer`` (r13): analysis-time fallback for operands
+    the name lookup can't type — see ``_typer_tree``."""
+    if (not complex_types and typer is None) or (
         _ORD_OP_RE.search(sql) is None
         and _COMP_BETWEEN_RE.search(sql) is None
     ):
@@ -9640,10 +9660,61 @@ def rewrite_composite_col_ord(sql: str, complex_types: dict) -> str:
         # ungated worker — a bare WHERE-tail fragment has no head
         return (
             sql[:bs]
-            + _rewrite_composite_col_ord_body(sql[bs:be], complex_types)
+            + _rewrite_composite_col_ord_body(
+                sql[bs:be], complex_types, typer
+            )
             + sql[be:]
         )
-    return _rewrite_composite_col_ord_body(sql, complex_types)
+    return _rewrite_composite_col_ord_body(sql, complex_types, typer)
+
+
+# expression shapes that can CARRY a complex type without being a
+# schema column or constructor — the textual pre-filter deciding when
+# the analysis-time typer (r13) is worth a probe: type-preserving /
+# type-projecting fn heads, CASE results, and subscripts
+_COMPLEX_EXPR_HINT_RE = re.compile(
+    r"(?i)\b(?:slice|coalesce|if|ifnull|nvl|nvl2|nullif|greatest|least"
+    r"|split|split_part|element_at|try_element_at|flatten|reverse"
+    r"|sort_array|array_sort|arrays_zip|array_\w+|list_\w+|map_\w+"
+    r"|transform|filter|zip_with|aggregate|reduce|sequence|from_json"
+    r"|collect_list|collect_set|first|last|any_value|min|max"
+    r"|struct_extract)\s*\(|\bCASE\b|\[",
+)
+
+
+def _tree_depth_of(t) -> int:
+    if t == "atom" or t is None:
+        return 0
+    if t[0] == "array":
+        return 1 + _tree_depth_of(t[1])
+    if t[0] == "struct":
+        return 1 + max((_tree_depth_of(s) for _, s in t[1]), default=0)
+    if t[0] == "map":
+        return 1 + max(_tree_depth_of(t[1]), _tree_depth_of(t[2]))
+    return 0
+
+
+def _typer_tree(op: str, complex_types: dict, typer):
+    """Analysis-time fallback for operands the name lookup can't type
+    (r13, VERDICT item 8): when the wire path supplies a ``typer``
+    (app._make_expr_typer — hoists the expression into the statement's
+    SELECT list and reads the ANALYZED schema, no execution), opaque
+    complex-carrying expressions like ``coalesce(NULL, a)`` /
+    ``if(c, a, b)`` / ``slice(a, 1, 2)`` / CASE results resolve to
+    their true type tree. Textual pre-filter keeps the probe off
+    plainly-atomic operands; same depth cap as the name leg."""
+    if typer is None:
+        return None
+    low = op.lower()
+    if not (
+        _COMPLEX_EXPR_HINT_RE.search(op)
+        or any(c in low for c in complex_types)
+    ):
+        return None
+    t = typer(op)
+    if t is None or t == "atom" or _tree_depth_of(t) > 4:
+        return None
+    return t
 
 
 def _col_tree_for(op: str, complex_types: dict):
@@ -9669,7 +9740,9 @@ def _col_tree_for(op: str, complex_types: dict):
     return None
 
 
-def _rewrite_composite_col_between(sql: str, complex_types: dict) -> str:
+def _rewrite_composite_col_between(
+    sql: str, complex_types: dict, typer=None
+) -> str:
     """Column-operand composite BETWEEN (r12 review): duck evaluates
     the 3VL conjunction in VALUE positions and the 2VL total order in
     CASE-WHEN/IF cond slots; the FILTER-spine column form is an
@@ -9717,6 +9790,7 @@ def _rewrite_composite_col_between(sql: str, complex_types: dict) -> str:
             _col_tree_for(needle, complex_types)
             or _col_tree_for(lo, complex_types)
             or _col_tree_for(hi, complex_types)
+            or _typer_tree(needle, complex_types, typer)
         )
         if tree is None:
             continue
@@ -9735,10 +9809,14 @@ def _rewrite_composite_col_between(sql: str, complex_types: dict) -> str:
     return "".join(out)
 
 
-def _rewrite_composite_col_ord_body(sql: str, complex_types: dict) -> str:
-    sql = _rewrite_composite_col_between(sql, complex_types)
+def _rewrite_composite_col_ord_body(
+    sql: str, complex_types: dict, typer=None
+) -> str:
+    sql = _rewrite_composite_col_between(sql, complex_types, typer)
     low = sql.lower()
-    if not any(c in low for c in complex_types):
+    if not any(c in low for c in complex_types) and not (
+        typer is not None and _COMPLEX_EXPR_HINT_RE.search(sql)
+    ):
         return sql
     segs = _abs_segments(sql)
     mask = _code_mask(sql)
@@ -9755,7 +9833,9 @@ def _rewrite_composite_col_ord_body(sql: str, complex_types: dict) -> str:
     ]
 
     def tree_for(op: str):
-        return _col_tree_for(op, complex_types)
+        return _col_tree_for(op, complex_types) or _typer_tree(
+            op, complex_types, typer
+        )
 
     out: list[str] = []
     pos = 0

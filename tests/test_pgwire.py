@@ -4829,6 +4829,62 @@ def test_wire_composite_alias_reach_vs_duckdb(client, spark):
         _fresh_wire_table(spark, "coalias")
 
 
+def test_wire_opaque_composite_typer_vs_duckdb(client, spark):
+    """r13 (r12 VERDICT missing-item 2): opaque complex-carrying
+    operand EXPRESSIONS — coalesce/if heads, slices, CASE results,
+    and split() results with no complex catalog column at all — now
+    type through the analysis-time prober (app._make_expr_typer:
+    operand hoisted into the SELECT list, schema read, nothing
+    executed) and take the duck 3VL/2VL forms."""
+    import duckdb
+
+    _fresh_wire_table(spark, "cotyper")
+    ddl = "CREATE TABLE cotyper(k INT, a INT[], b INT[], s VARCHAR," \
+        " t VARCHAR)"
+    seed = (
+        "INSERT INTO cotyper VALUES (1, [1,NULL], [1,2], '1,2', '1,3'),"
+        " (2, [2], [1], 'b', 'a'), (3, NULL, [1], 'x', 'x'),"
+        " (4, [1], [1,5], '2', '10')"
+    )
+    con = duckdb.connect()
+    con.execute(ddl)
+    con.execute(seed)
+    for setup in (ddl, seed):
+        (r,) = client.query(setup)
+        assert "error" not in r, (setup, r)
+    try:
+        for q in (
+            "SELECT k, (coalesce(a, b) < b) AS v FROM cotyper ORDER BY k",
+            "SELECT k, (if(k > 2, a, b) < b) AS v FROM cotyper ORDER BY k",
+            "SELECT k, (a[1:1] < b) AS v FROM cotyper ORDER BY k",
+            "SELECT k, (string_split(s, ',') < string_split(t, ','))"
+            " AS v FROM cotyper ORDER BY k",
+            "SELECT k, ((CASE WHEN k > 2 THEN a ELSE b END) < b) AS v"
+            " FROM cotyper ORDER BY k",
+            "SELECT k FROM cotyper WHERE coalesce(a, b) < b ORDER BY k",
+            "SELECT k, (coalesce(a, b) = b) AS v FROM cotyper ORDER BY k",
+            "SELECT k, CASE WHEN coalesce(a, b) < b THEN 1 ELSE 0 END"
+            " AS c FROM cotyper ORDER BY k",
+        ):
+            want = [
+                tuple(str(c) if c is not None else None for c in row)
+                for row in con.execute(q).fetchall()
+            ]
+            (r,) = client.query(q)
+            assert "error" not in r, (q, r)
+            got = [
+                tuple(
+                    {"t": "True", "f": "False"}.get(c, c) for c in row
+                )
+                for row in r["rows"]
+            ]
+            assert got == want, (q, got, want)
+    finally:
+        con.close()
+        client.query("DROP TABLE cotyper")
+        _fresh_wire_table(spark, "cotyper")
+
+
 def test_wire_composite_ordering_dml_vs_duckdb(client, spark):
     """r13 (r12 VERDICT missing-item 1): composite ORDERING in DML —
     SET expressions are duck VALUE positions (3VL: ``SET flag =
