@@ -3044,9 +3044,6 @@ def _schema_fields(session: SparkSession, name: str):
     return fields
 
 
-_HAS_ORD_RE = re.compile(
-    r"(?<![<>=!:\-|^&])(?:<=|>=|<|>)(?![<>=])|\bBETWEEN\b", re.IGNORECASE
-)
 _DML_TARGET_RE = re.compile(
     r"^\s*(?:UPDATE|MERGE\s+INTO|DELETE\s+FROM|INSERT\s+INTO)\s+"
     r"((?:[\w$]+|\"[^\"]+\"|`[^`]+`)(?:\.(?:[\w$]+|\"[^\"]+\"|`[^`]+`))*)",
@@ -3055,15 +3052,16 @@ _DML_TARGET_RE = re.compile(
 
 
 def _dml_composite_ord(session: SparkSession, sql: str) -> str:
-    """Schema-typed composite ORDERING for DML statements (r13, closes
-    the r12 residue): UPDATE SET expressions / WHERE tails, DELETE
-    WHERE tails, and MERGE source/ON/arm expressions where an ordering
-    operand is a complex-typed COLUMN (constructor-literal sides were
-    already handled inside rewrite()). The SELECT path gets this via
-    _hugeint_sums; DML dispatch bypasses that, so the plumbing lives
-    here — silent wrong-row mutation on NULL-bearing composite keys is
-    the worst residue class (VERDICT r12 item 1)."""
-    if _HAS_ORD_RE.search(sql) is None:
+    """Schema-typed composite ORDERING + EQUALITY for DML statements
+    (r13, closes the r12 residue): UPDATE SET expressions / WHERE
+    tails, DELETE WHERE tails, and MERGE source/ON/arm expressions
+    where a comparison operand is a complex-typed COLUMN
+    (constructor-literal sides were already handled inside rewrite()).
+    The SELECT path gets this via _hugeint_sums; DML dispatch bypasses
+    that, so the plumbing lives here — silent wrong-row mutation on
+    NULL-bearing composite keys is the worst residue class (VERDICT
+    r12 item 1)."""
+    if _HAS_CMP_RE.search(sql) is None:
         return sql
     from pyspark.sql import types as T
 
@@ -3109,6 +3107,12 @@ def _dml_composite_ord(session: SparkSession, sql: str) -> str:
     # can't apply); multi-relation forms fall back conservatively
     target = tm.group(1) if tm is not None else None
     typer = _make_expr_typer(session, sql, from_table=target)
+    from .compat import rewrite_composite_col_eq
+
+    # eq first (r13: _comp_body_span spans UPDATE/MERGE, and duck SET
+    # expressions are 3VL value positions for equality too), then the
+    # ordering leg — same order as the SELECT path
+    sql = rewrite_composite_col_eq(sql, ctypes, typer)
     return rewrite_composite_col_ord(sql, ctypes, typer)
 
 

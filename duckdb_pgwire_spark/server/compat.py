@@ -8741,6 +8741,31 @@ def _comp_body_span(sql: str) -> tuple[int, int] | None:
     Spark-2VL values one paren away from the fixed spelling)."""
     if _COMP_STMT_HEAD_RE.match(sql) is not None:
         return 0, len(sql)
+    # UPDATE / MERGE expression surfaces (r13): duck SET expressions
+    # are VALUE positions for the whole composite family — probed:
+    # ``SET flag = (a = b)`` assigns 3VL NULL, ``SET flag = (1 IN
+    # (SELECT NULL))`` assigns NULL, constructor-eq and IN-lists
+    # likewise — and the WHERE tail inside the fragment classifies as
+    # spine via the clause walk (eq stays native there, correctly).
+    # The span INCLUDES the SET/USING keyword (the fragment's clause
+    # walk needs to see it — the _ord_body_span lesson).
+    first = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
+    if first == "UPDATE":
+        ss, _se = _find_keyword_span(sql, "SET")
+        if ss != -1:
+            return ss, len(sql)
+        return None
+    if first == "MERGE":
+        us, _ue = _find_keyword_span(sql, "USING")
+        if us != -1:
+            return us, len(sql)
+        return None
+    if first in ("SET", "USING"):
+        # a fragment this function itself carved from an UPDATE/MERGE
+        # (the eq leg RECURSES into the fragment and re-derives the
+        # span); a standalone `SET k = v` GUC statement is harmless
+        # here — no constructor/complex operands ever match in one
+        return 0, len(sql)
     hm = _COMP_DML_HEAD_RE.match(sql)
     if hm is None:
         return None
@@ -10394,23 +10419,18 @@ def _ord_body_span(sql: str) -> tuple[int, int] | None:
     expressions value-class via the clause walk)."""
     span = _comp_body_span(sql)
     if span is not None:
+        # UPDATE (from SET) and MERGE (from USING) spans now come from
+        # _comp_body_span itself (r13 — the whole composite family
+        # shares them; duck SET expressions are value positions for
+        # eq/IN/quantified too, probed)
         return span
     first = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
-    if first == "UPDATE":
-        # span INCLUDES the SET keyword: the fragment's clause walk
-        # needs to see it (last="SET" → value class); a fragment
-        # starting inside the first assignment would read as spine
-        ss, se = _find_keyword_span(sql, "SET")
-        if ss != -1:
-            return ss, len(sql)
     if first == "DELETE":
+        # ordering-only extra: the DELETE WHERE tail (equality stays
+        # native on the filter path, so the eq family has no span here)
         ws, we = _find_keyword_span(sql, "WHERE")
         if ws != -1:
             return we, len(sql)
-    if first == "MERGE":
-        us, ue = _find_keyword_span(sql, "USING")
-        if us != -1:
-            return ue, len(sql)
     return None
 
 

@@ -4936,6 +4936,12 @@ def test_wire_composite_ordering_dml_vs_duckdb(client, spark):
                 # cond slot inside SET: 2VL NULLs-greatest
                 "UPDATE codml SET flag ="
                 " CASE WHEN a <= b THEN true ELSE false END",
+                # eq family in SET value positions (r13: _comp_body_span
+                # now spans UPDATE from SET): composite eq, IN-subquery,
+                # quantified — all 3VL like the probe matrix
+                "UPDATE codml SET flag = (a = b)",
+                "UPDATE codml SET flag = (k IN (SELECT NULL::INT))",
+                "UPDATE codml SET flag = (k = ANY(SELECT NULL::INT))",
                 # filter spine col-vs-col: 2VL (the schema-typed leg)
                 "UPDATE codml SET flag = (a > b) WHERE a >= b",
                 "DELETE FROM codml WHERE a >= b",
