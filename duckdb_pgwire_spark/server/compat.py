@@ -1338,7 +1338,11 @@ def _rewrite_bit_strings(sql: str) -> str:
         elif fn == "set_bit" and len(args) == 3:
             b, i, v = (a.strip() for a in args)
             repl = (
-                f"(CASE WHEN ({i}) >= 0 AND ({i}) < length({b})"
+                f"(CASE WHEN ({v}) NOT IN (0, 1)"
+                # duck's message verbatim (review r13: splicing an
+                # unvalidated value produced silently corrupt strings)
+                f" THEN raise_error('The new bit must be 1 or 0')"
+                f" WHEN ({i}) >= 0 AND ({i}) < length({b})"
                 f" THEN concat(substring({b}, 1, ({i})),"
                 f" CAST(({v}) AS STRING), substring({b}, ({i}) + 2))"
                 f" ELSE raise_error(concat('bit index ',"
@@ -1753,6 +1757,15 @@ def _rewrite_at_time_zone(sql: str) -> str:
             r"|TIMESTAMPTZ\s*'|now\s*\(|current_timestamp\b"
             r"|transaction_timestamp\s*\(|get_current_timestamp\s*\("
             r"|statement_timestamp\s*\(|timezone\s*\()",
+            lhs,
+        ) or re.search(
+            # a TIMESTAMPTZ-targeted CAST TAIL types the whole operand
+            # tstz regardless of its head (review r13: '…'::TIMESTAMPTZ
+            # and CAST(x AS TIMESTAMPTZ) took the forward branch, 18h
+            # silently wrong)
+            r"(?i)(?:::\s*TIMESTAMPTZ|::\s*TIMESTAMP\s+WITH\s+TIME"
+            r"\s+ZONE|AS\s+TIMESTAMPTZ\s*\)|AS\s+TIMESTAMP\s+WITH"
+            r"\s+TIME\s+ZONE\s*\))[\s)]*$",
             lhs,
         ):
             repl = f"from_utc_timestamp(CAST({lhs} AS TIMESTAMP), {tz})"
@@ -3283,6 +3296,11 @@ _DUCK_ONLY_TYPES = {
     "uinteger": "BIGINT", "ubigint": "DECIMAL(20,0)",
     # float32/float64 spellings Spark's parser rejects (r10 sweep)
     "float4": "FLOAT", "float8": "DOUBLE", "real": "FLOAT",
+    # duck TIMESTAMPTZ → naive TIMESTAMP under the pinned-UTC session
+    # (offset-suffixed strings parse to the same instant both sides;
+    # the AT TIME ZONE direction check reads the ORIGINAL spelling,
+    # which runs before this pass — r13 review)
+    "timestamptz": "TIMESTAMP",
 }
 
 _STRUCT_TYPE_RE = re.compile(
@@ -7889,8 +7907,12 @@ def _printf_concat(fmt: str, args: list[str]) -> str | None:
             parts.append(
                 f"format_string('{spec}{c}', CAST({a} AS BIGINT))"
             )
-        else:  # s
-            parts.append(f"format_string('{spec}s', {a})")
+        else:  # s — CAST to STRING: Java renders DATE/TIMESTAMP args
+            # as raw internal ints (r13 review — the non-float branch
+            # got the cast, this leg had the same defect)
+            parts.append(
+                f"format_string('{spec}s', CAST({a} AS STRING))"
+            )
     if pos < len(fmt):
         parts.append(lit(fmt[pos:]))
     if not parts:
@@ -7952,6 +7974,9 @@ def _rewrite_printf(sql: str) -> str:
         # schema-blind coercion (documented known, NOTES).
         for n, a in enumerate(args[1:]):
             conv = convs[n] if n < len(convs) else None
+            if conv is None:
+                continue  # extra args beyond the directives: duck
+                # ignores them (probed — printf('hi', 5) is 'hi')
             if conv == "s" and re.fullmatch(
                 r"[-+(\s]*\d+(?:\.\d+)?(?:[eE][-+]?\d+)?[)\s]*", a
             ):
@@ -9482,17 +9507,6 @@ def rewrite_composite_col_eq(
         k for k in _CLAUSE_KW_RE.finditer(sql) if all(mask[k.start() : k.end()])
     ]
 
-    def _tree_depth(t) -> int:
-        if t == "atom" or t is None:
-            return 0
-        if t[0] == "array":
-            return 1 + _tree_depth(t[1])
-        if t[0] == "struct":
-            return 1 + max((_tree_depth(s) for _, s in t[1]), default=0)
-        if t[0] == "map":
-            return 1 + max(_tree_depth(t[1]), _tree_depth(t[2]))
-        return 0
-
     def tree_for(op: str):
         op = op.strip()
         if re.fullmatch(r"[A-Za-z_][\w.`]*", op.replace("`", "")):
@@ -9500,7 +9514,7 @@ def rewrite_composite_col_eq(
             # _typed_eq3/_seq3 duplicate subexpressions per level —
             # skip pathologically deep types (native fallback) rather
             # than emit ~2^depth SQL (review r11)
-            if t is not None and _tree_depth(t) > 4:
+            if t is not None and _tree_depth_of(t) > 4:
                 return None
             return t
         return _typer_tree(op, complex_types, typer)
@@ -9693,17 +9707,18 @@ def rewrite_composite_col_ord(
     return _rewrite_composite_col_ord_body(sql, complex_types, typer)
 
 
-# expression shapes that can CARRY a complex type without being a
-# schema column or constructor — the textual pre-filter deciding when
-# the analysis-time typer (r13) is worth a probe: type-preserving /
-# type-projecting fn heads, CASE results, and subscripts
+# fn heads that PRODUCE a complex type from atomic inputs — the
+# textual pre-filter deciding when the analysis-time typer (r13) is
+# worth a probe for expressions referencing NO complex column (review
+# r13 narrowed this from every type-preserving head: those cases all
+# reference a complex column by name and the token check below covers
+# them; min(sal)-style atomic aggregates must never pay an analysis
+# round trip)
 _COMPLEX_EXPR_HINT_RE = re.compile(
-    r"(?i)\b(?:slice|coalesce|if|ifnull|nvl|nvl2|nullif|greatest|least"
-    r"|split|split_part|element_at|try_element_at|flatten|reverse"
-    r"|sort_array|array_sort|arrays_zip|array_\w+|list_\w+|map_\w+"
-    r"|transform|filter|zip_with|aggregate|reduce|sequence|from_json"
-    r"|collect_list|collect_set|first|last|any_value|min|max"
-    r"|struct_extract)\s*\(|\bCASE\b|\[",
+    r"(?i)\b(?:split|string_split|string_to_array|str_split"
+    r"|regexp_split_to_array|sequence|from_json|collect_list"
+    r"|collect_set|array_agg|list|str_to_map|map_from_entries"
+    r"|map_from_arrays|histogram|arrays_zip)\s*\(",
 )
 
 
@@ -9730,10 +9745,16 @@ def _typer_tree(op: str, complex_types: dict, typer):
     plainly-atomic operands; same depth cap as the name leg."""
     if typer is None:
         return None
-    low = op.lower()
+    # TOKEN match on complex column names, not substring ('a' must
+    # not match inside 'max(sal)' — review r13): the operand either
+    # references a complex column or carries a complex-producing head
     if not (
         _COMPLEX_EXPR_HINT_RE.search(op)
-        or any(c in low for c in complex_types)
+        or (
+            complex_types
+            and set(re.findall(r"[a-z_]\w*", op.lower()))
+            & set(complex_types)
+        )
     ):
         return None
     t = typer(op)
@@ -9745,21 +9766,10 @@ def _typer_tree(op: str, complex_types: dict, typer):
 def _col_tree_for(op: str, complex_types: dict):
     """Resolve a bare/qualified identifier to its complex type tree
     (depth-capped like the eq leg)."""
-    def _tree_depth(t) -> int:
-        if t == "atom" or t is None:
-            return 0
-        if t[0] == "array":
-            return 1 + _tree_depth(t[1])
-        if t[0] == "struct":
-            return 1 + max((_tree_depth(s) for _, s in t[1]), default=0)
-        if t[0] == "map":
-            return 1 + max(_tree_depth(t[1]), _tree_depth(t[2]))
-        return 0
-
     op = op.strip()
     if re.fullmatch(r"[A-Za-z_][\w.`]*", op.replace("`", "")):
         t = complex_types.get(op.split(".")[-1].strip("`").lower())
-        if t is not None and _tree_depth(t) > 4:
+        if t is not None and _tree_depth_of(t) > 4:
             return None
         return t
     return None

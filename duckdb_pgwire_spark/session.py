@@ -199,13 +199,17 @@ def _parallel_copy(
     to the repartition crutch on any build error (read-only repo,
     concurrent builders)."""
     cache = _PARALLEL_CACHE.setdefault(spark, {})
-    key = (sf_dir, name, parts)
-    if key in cache:
-        return cache[key]
     try:
         src = table_path(sf_dir, name)
         st = os.stat(src)
         stamp = f"{int(st.st_mtime)}_{st.st_size}_{parts}"
+        # the SOURCE stamp is part of the cache key (r13 review): a
+        # regenerated fixture must trigger a rebuild here — a stale
+        # stamp-less hit would hand back a DataFrame bound to a copy
+        # dir the pruning below may have deleted
+        key = (sf_dir, name, parts, stamp)
+        if key in cache:
+            return cache[key]
         base = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".parallel_cache",

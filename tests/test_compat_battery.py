@@ -852,6 +852,16 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT printf('%s=%g%%', 'r', 2.5) AS pct",
     "SELECT printf('%g', NULL::DOUBLE) AS n",
     "SELECT printf('%s', true) AS b, printf('%s', DATE '2024-01-01') AS d",
+    # r13 review: extra args beyond directives (duck ignores), and the
+    # %s DATE cast in the FLOAT-directive concat path
+    "SELECT printf('hi', 5) AS a, printf('%d', 1, 2) AS b",
+    "SELECT printf('%.1f %s', 1.5, DATE '2024-01-01') AS m",
+    # r13 review: TIMESTAMPTZ cast TAILS take the inverse AT TIME ZONE
+    # direction; ::TIMESTAMPTZ maps to the pinned-UTC naive timestamp
+    "SELECT '2024-01-01 00:00:00+00'::TIMESTAMPTZ"
+    " AT TIME ZONE 'Asia/Tokyo' AS t1,"
+    " CAST('2024-01-01 00:00:00+00' AS TIMESTAMPTZ)"
+    " AT TIME ZONE 'Asia/Tokyo' AS t2",
     "SELECT format('{:.2f}', 1.005) AS a, format('{:>6}', 'ab') AS b",
     "SELECT format('{} {:.1f}', 'x', 2.25) AS f2",
     # --- r13 bit/blob sweep: BIT strings emulate as 0/1-char STRINGs
