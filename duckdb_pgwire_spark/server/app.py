@@ -2944,20 +2944,39 @@ def _inject_select_probe(sql: str, expr: str) -> str | None:
     from .compat import _code_mask
 
     mask = _code_mask(sql)
-    depth = 0
+    # one depth array for the whole statement (second review r13: the
+    # per-SELECT prefix rescan was O(n * #SELECTs))
+    depths = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depths.append(d)
+        if mask[i] and ch == "(":
+            d += 1
     for m in re.finditer(r"\bSELECT\b", sql, re.IGNORECASE):
-        if not all(mask[m.start() : m.end()]):
+        if not all(mask[m.start() : m.end()]) or depths[m.start()] != 0:
             continue
-        d = 0
-        for i in range(m.start()):
-            if mask[i]:
-                if sql[i] == "(":
-                    d += 1
-                elif sql[i] == ")":
-                    d -= 1
-        depth = d
-        if depth != 0:
-            continue
+        # APPEND the probe at the end of the select list (before the
+        # top-level FROM) so positional GROUP BY / ORDER BY ordinals
+        # keep their targets (second review r13: prepending shifted
+        # GROUP BY 1 onto the probe and both probes failed analysis);
+        # fall back to prepend for FROM-less selects
+        fm = next(
+            (
+                f
+                for f in re.finditer(r"\bFROM\b", sql, re.IGNORECASE)
+                if f.start() > m.end()
+                and all(mask[f.start() : f.end()])
+                and depths[f.start()] == 0
+            ),
+            None,
+        )
+        if fm is not None:
+            return (
+                f"{sql[:fm.start()]}, ({expr}) AS __ty_probe"
+                f" {sql[fm.start():]}"
+            )
         at = m.end()
         dm = re.match(r"\s+(?:DISTINCT|ALL)\b", sql[at:], re.IGNORECASE)
         if dm:
@@ -2977,6 +2996,13 @@ def _make_expr_typer(session: SparkSession, sql: str, from_table=None):
     Any analysis failure (subquery-scoped operand, set-op arity…)
     returns None and the regex legs' conservative skip stands."""
 
+    # hoist probes ONLY into read-only statement heads: session.sql()
+    # of a DML statement EXECUTES it eagerly — probing an INSERT whose
+    # injected arity happened to line up would write data (second
+    # review r13). DML callers use the from_table SELECT probe instead.
+    head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
+    hoistable = head in ("SELECT", "WITH", "VALUES", "TABLE", "FROM", "(")
+
     def typer(expr: str):
         key = (sql, expr)
         if key in _TYPER_CACHE:
@@ -2986,7 +3012,7 @@ def _make_expr_typer(session: SparkSession, sql: str, from_table=None):
             probes.append(
                 f"SELECT ({expr}) AS __ty_probe FROM {from_table}"
             )
-        p1 = _inject_select_probe(sql, expr)
+        p1 = _inject_select_probe(sql, expr) if hoistable else None
         if p1 is not None:
             probes.append(p1)
             p2 = _inject_select_probe(sql, f"first({expr})")
@@ -3102,10 +3128,20 @@ def _dml_composite_ord(session: SparkSession, sql: str) -> str:
         return sql
     blocked = {n for n in all_names if n not in ctypes}
     ctypes = propagate_complex_aliases(sql, ctypes, blocked)
-    # single-table DML gets the analysis typer scoped to its target
-    # (the statement itself is not SELECT-headed, so the hoist probe
-    # can't apply); multi-relation forms fall back conservatively
-    target = tm.group(1) if tm is not None else None
+    # SINGLE-relation UPDATE/DELETE get the analysis typer scoped to
+    # the target (the statement is not SELECT-headed, so the hoist
+    # probe can't apply). INSERT/MERGE and multi-relation forms get NO
+    # from_table: typing a source-scope operand against the TARGET's
+    # same-named column of a different type would rewrite WRONG
+    # (second review r13) — probe failure is safe, wrong success isn't.
+    head = sql.lstrip().split(None, 1)[0].upper()
+    target = (
+        tm.group(1)
+        if tm is not None
+        and head in ("UPDATE", "DELETE")
+        and len({t.lower() for t in tables}) <= 1
+        else None
+    )
     typer = _make_expr_typer(session, sql, from_table=target)
     from .compat import rewrite_composite_col_eq
 

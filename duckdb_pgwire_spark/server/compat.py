@@ -1699,6 +1699,26 @@ def _interval_literal_seconds(spec: str) -> float | None:
 
 _AT_TIME_ZONE_RE = re.compile(r"\bAT\s+TIME\s+ZONE\b", re.IGNORECASE)
 
+_TSTZ_MULTIWORD_RE = re.compile(
+    r"\bTIMESTAMP\s+WITH\s+TIME\s+ZONE\b", re.IGNORECASE
+)
+
+
+def _normalize_tstz_spelling(sql: str) -> str:
+    """``TIMESTAMP WITH TIME ZONE`` → ``TIMESTAMPTZ`` in code segments
+    (second review r13): the operand scanners only consume single-token
+    ``::`` cast types, so the multi-word spelling garbled mid-cast in
+    AT TIME ZONE rewrites; the one-token form flows through the cast
+    tail check and the _DUCK_ONLY_TYPES mapping."""
+    if _TSTZ_MULTIWORD_RE.search(sql) is None:
+        return sql
+    mask = _code_mask(sql)
+    return _TSTZ_MULTIWORD_RE.sub(
+        lambda m: "TIMESTAMPTZ" if all(mask[m.start() : m.end()])
+        else m.group(0),
+        sql,
+    )
+
 # function heads known (duck-probed) to return NAIVE timestamp/date —
 # safe for the forward AT TIME ZONE direction; any OTHER function-call
 # head is refused loudly rather than converted the wrong way
@@ -1762,10 +1782,9 @@ def _rewrite_at_time_zone(sql: str) -> str:
             # a TIMESTAMPTZ-targeted CAST TAIL types the whole operand
             # tstz regardless of its head (review r13: '…'::TIMESTAMPTZ
             # and CAST(x AS TIMESTAMPTZ) took the forward branch, 18h
-            # silently wrong)
-            r"(?i)(?:::\s*TIMESTAMPTZ|::\s*TIMESTAMP\s+WITH\s+TIME"
-            r"\s+ZONE|AS\s+TIMESTAMPTZ\s*\)|AS\s+TIMESTAMP\s+WITH"
-            r"\s+TIME\s+ZONE\s*\))[\s)]*$",
+            # silently wrong; the multi-word spelling was normalized
+            # to this one token just before this pass)
+            r"(?i)(?:::\s*TIMESTAMPTZ|AS\s+TIMESTAMPTZ\s*\))[\s)]*$",
             lhs,
         ):
             repl = f"from_utc_timestamp(CAST({lhs} AS TIMESTAMP), {tz})"
@@ -9524,6 +9543,10 @@ def rewrite_composite_col_eq(
     for m in _CMP_OP_RE.finditer(sql):
         if m.start() < pos or not all(mask[m.start() : m.end()]):
             continue
+        if m.group(0) == "=" and _is_set_assignment_eq(
+            sql, mask, clause_kws, depth, m.start()
+        ):
+            continue  # SET assignment operator, not a comparison
         if not _value_position(sql, mask, clause_kws, depth, m.start()):
             continue
         ls = _scan_left_operand(sql, segs, m.start())
@@ -9826,6 +9849,8 @@ def _rewrite_composite_col_between(
             or _col_tree_for(lo, complex_types)
             or _col_tree_for(hi, complex_types)
             or _typer_tree(needle, complex_types, typer)
+            or _typer_tree(lo, complex_types, typer)
+            or _typer_tree(hi, complex_types, typer)
         )
         if tree is None:
             continue
@@ -9976,6 +10001,38 @@ _NONCALL_HEADS = frozenset(
 )
 
 
+_ASSIGN_TARGET_RE = re.compile(
+    r"(?:[A-Za-z_]\w*|\"[^\"]+\"|`[^`]+`)"
+    r"(?:\.(?:[A-Za-z_]\w*|\"[^\"]+\"|`[^`]+`))*"
+)
+
+
+def _is_set_assignment_eq(sql, mask, clause_kws, depth, at: int) -> bool:
+    """True when the ``=`` at ``at`` is an UPDATE / MERGE-arm / DO
+    UPDATE SET **assignment** operator, not a comparison (second
+    review r13: extending the eq spans to DML let the passes rewrite
+    the assignment itself, garbling ``SET a = array(1,2)``): the
+    nearest same-depth clause keyword before it is SET, and everything
+    between the last assignment boundary (the SET itself or a
+    same-depth comma) and the ``=`` is one bare column reference."""
+    td = depth[at]
+    last_kw = None
+    for k in clause_kws:
+        if k.start() >= at:
+            break
+        if depth[k.start()] != td:
+            continue
+        last_kw = k
+    if last_kw is None or last_kw.group(1).upper() != "SET":
+        return False
+    start = last_kw.end()
+    for i in range(at - 1, start - 1, -1):
+        if mask[i] and sql[i] == "," and depth[i] == td:
+            start = i + 1
+            break
+    return _ASSIGN_TARGET_RE.fullmatch(sql[start:at].strip()) is not None
+
+
 def _position_kind(sql, mask, clause_kws, depth, at: int) -> str:
     """Position class of a composite comparison / IN at ``at``:
     'value' — DuckDB evaluates 3VL VALUE semantics (rewrite);
@@ -10116,6 +10173,10 @@ def _rewrite_composite_eq(sql: str) -> str:
     for m in _CMP_OP_RE.finditer(sql):
         if m.start() < pos or not all(mask[m.start() : m.end()]):
             continue
+        if m.group(0) == "=" and _is_set_assignment_eq(
+            sql, mask, clause_kws, depth, m.start()
+        ):
+            continue  # SET assignment operator, not a comparison
         ls = _scan_left_operand(sql, segs, m.start())
         rend = _scan_right_operand(sql, segs, m.end())
         if ls >= m.start() or rend <= m.end():
@@ -10657,6 +10718,7 @@ def rewrite(sql: str) -> str:
     # pass so its emitted concat/substring stay internal-safe)
     sql = _rewrite_date_literal_diff(sql)  # before '-' reaches Spark
     sql = _rewrite_date_plus_interval(sql)  # before INTERVAL rewrites
+    sql = _normalize_tstz_spelling(sql)  # multi-word tstz → one token
     sql = _rewrite_at_time_zone(sql)  # PG syntax Spark lacks
     sql = _rewrite_interval_epoch(sql)  # before the epoch() nary claims it
     sql = _rewrite_extract(sql)  # duck-divergent EXTRACT fields → date_part

@@ -203,13 +203,16 @@ def _parallel_copy(
         src = table_path(sf_dir, name)
         st = os.stat(src)
         stamp = f"{int(st.st_mtime)}_{st.st_size}_{parts}"
-        # the SOURCE stamp is part of the cache key (r13 review): a
-        # regenerated fixture must trigger a rebuild here — a stale
-        # stamp-less hit would hand back a DataFrame bound to a copy
-        # dir the pruning below may have deleted
-        key = (sf_dir, name, parts, stamp)
-        if key in cache:
-            return cache[key]
+        # the SOURCE stamp gates the cache hit (r13 review, both
+        # passes): a regenerated fixture must trigger a rebuild — a
+        # stale hit would hand back a DataFrame bound to a copy dir
+        # the pruning below may have deleted — and storing the stamp
+        # as the VALUE keeps ONE entry per table instead of letting
+        # superseded entries accumulate
+        key = (sf_dir, name, parts)
+        hit = cache.get(key)
+        if hit is not None and hit[0] == stamp:
+            return hit[1]
         base = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".parallel_cache",
@@ -268,7 +271,7 @@ def _parallel_copy(
                         )
         except OSError:
             pass
-        cache[key] = out
+        cache[key] = (stamp, out)
         return out
     except Exception:  # noqa: BLE001 — any build/read failure: crutch
         return None

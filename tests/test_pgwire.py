@@ -4940,6 +4940,11 @@ def test_wire_composite_ordering_dml_vs_duckdb(client, spark):
                 # now spans UPDATE from SET): composite eq, IN-subquery,
                 # quantified — all 3VL like the probe matrix
                 "UPDATE codml SET flag = (a = b)",
+                # the assignment '=' itself must NOT be treated as a
+                # comparison (second review r13: composite-value
+                # assignment was garbled into a CASE)
+                "UPDATE codml SET b = a WHERE k = 2",
+                "UPDATE codml SET a = b, flag = (a = b) WHERE k = 3",
                 "UPDATE codml SET flag = (k IN (SELECT NULL::INT))",
                 "UPDATE codml SET flag = (k = ANY(SELECT NULL::INT))",
                 # filter spine col-vs-col: 2VL (the schema-typed leg)
