@@ -2996,12 +2996,39 @@ def _make_expr_typer(session: SparkSession, sql: str, from_table=None):
     Any analysis failure (subquery-scoped operand, set-op arity…)
     returns None and the regex legs' conservative skip stands."""
 
-    # hoist probes ONLY into read-only statement heads: session.sql()
-    # of a DML statement EXECUTES it eagerly — probing an INSERT whose
+    # hoist probes ONLY into read-only statements: session.sql() of a
+    # DML statement EXECUTES it eagerly — probing an INSERT whose
     # injected arity happened to line up would write data (second
     # review r13). DML callers use the from_table SELECT probe instead.
-    head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
-    hoistable = head in ("SELECT", "WITH", "VALUES", "TABLE", "FROM", "(")
+    # WITH-headed statements need a body scan (third review r13:
+    # ``WITH c AS (…) INSERT INTO …`` is DML behind a read-only head);
+    # paren-headed set-op queries tokenize as "(SELECT", so test the
+    # first CHARACTER, not the first word.
+    stripped = sql.lstrip()
+    head = stripped.split(None, 1)[0].upper() if stripped else ""
+    hoistable = head in (
+        "SELECT", "VALUES", "TABLE", "FROM"
+    ) or stripped.startswith("(")
+    if head == "WITH":
+        from .compat import _code_mask
+
+        wmask = _code_mask(sql)
+        d = 0
+        hoistable = True
+        for i, ch in enumerate(sql):
+            if not wmask[i]:
+                continue
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif d == 0 and ch in "IUDMRiudmr":
+                if re.match(
+                    r"(?i)(?:INSERT|UPDATE|DELETE|MERGE|REPLACE)\b",
+                    sql[i:],
+                ) and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                    hoistable = False
+                    break
 
     def typer(expr: str):
         key = (sql, expr)
@@ -3140,6 +3167,10 @@ def _dml_composite_ord(session: SparkSession, sql: str) -> str:
         if tm is not None
         and head in ("UPDATE", "DELETE")
         and len({t.lower() for t in tables}) <= 1
+        # DELETE … USING's relation is invisible to statement_tables
+        # (FROM/JOIN only — third review r13); any USING keyword means
+        # a second scope the target-table probe would mistype
+        and re.search(r"(?i)\bUSING\b", sql) is None
         else None
     )
     typer = _make_expr_typer(session, sql, from_table=target)

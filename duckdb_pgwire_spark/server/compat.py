@@ -10016,16 +10016,28 @@ def _is_set_assignment_eq(sql, mask, clause_kws, depth, at: int) -> bool:
     between the last assignment boundary (the SET itself or a
     same-depth comma) and the ``=`` is one bare column reference."""
     td = depth[at]
-    last_kw = None
+    # same CASE..END stack walk as _position_kind (third review r13:
+    # without it, a CASE expression in an EARLIER assignment left END
+    # as the nearest keyword and the NEXT assignment's '=' classified
+    # as a comparison — the exact garbling this guard exists to stop)
+    last: tuple[str, int] | None = None
+    stack: list[tuple[str, int] | None] = []
     for k in clause_kws:
         if k.start() >= at:
             break
         if depth[k.start()] != td:
             continue
-        last_kw = k
-    if last_kw is None or last_kw.group(1).upper() != "SET":
+        kw = k.group(1).upper()
+        if kw == "CASE":
+            stack.append(last)
+            last = (kw, k.end())
+        elif kw == "END":
+            last = stack.pop() if stack else last
+        else:
+            last = (kw, k.end())
+    if last is None or last[0] != "SET":
         return False
-    start = last_kw.end()
+    start = last[1]
     for i in range(at - 1, start - 1, -1):
         if mask[i] and sql[i] == "," and depth[i] == td:
             start = i + 1

@@ -4945,6 +4945,11 @@ def test_wire_composite_ordering_dml_vs_duckdb(client, spark):
                 # assignment was garbled into a CASE)
                 "UPDATE codml SET b = a WHERE k = 2",
                 "UPDATE codml SET a = b, flag = (a = b) WHERE k = 3",
+                # a CASE in an earlier assignment must not make the
+                # NEXT assignment's '=' read as a comparison (third
+                # review r13: the detector needed the CASE/END stack)
+                "UPDATE codml SET flag = CASE WHEN k = 1 THEN true"
+                " ELSE false END, b = a WHERE k = 4",
                 "UPDATE codml SET flag = (k IN (SELECT NULL::INT))",
                 "UPDATE codml SET flag = (k = ANY(SELECT NULL::INT))",
                 # filter spine col-vs-col: 2VL (the schema-typed leg)
