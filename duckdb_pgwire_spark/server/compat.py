@@ -10082,6 +10082,20 @@ def _position_kind(sql, mask, clause_kws, depth, at: int) -> str:
             if mask[j] and sql[j] == "(" and depth[j] == td - 1:
                 open_idx = j
                 break
+        if open_idx >= 0:
+            # a paren group that is the OPERAND of IS [NOT] NULL is a
+            # VALUE position even on the filter spine / in cond slots
+            # (probed r13, found by the composite DML fuzz: duck gives
+            # WHERE (a < b) IS NULL the 3VL comparison — IS NULL
+            # inspects a VALUE; condition-ness flows through NOT but
+            # NOT through IS NULL)
+            close = _match_paren(sql, mask, open_idx)
+            if close is not None and re.match(
+                r"\s*IS\s+(?:NOT\s+)?NULL\b",
+                sql[close + 1 :],
+                re.IGNORECASE,
+            ):
+                return "value"
         last: str | None = None
         stack: list[tuple[str | None, int]] = []
         for k in clause_kws:

@@ -689,6 +689,17 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT k FROM probe_ctx WHERE IF(TRUE, a = b, NULL) ORDER BY k",
     "SELECT k, NOT (a = b) AS v FROM probe_ctx ORDER BY k",
     "SELECT k FROM probe_ctx WHERE NOT (a = b) ORDER BY k",
+    # r13 (composite DML fuzz find): IS [NOT] NULL inspects a VALUE —
+    # its comparison operand is 3VL in EVERY position (condition-ness
+    # flows through NOT but NOT through IS NULL, probed)
+    "SELECT k FROM probe_ctx WHERE (a = b) IS NULL ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE (a < b) IS NULL ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE (a < b) IS NOT NULL ORDER BY k",
+    "SELECT k, CASE WHEN (a < b) IS NULL THEN 1 ELSE 0 END AS c"
+    " FROM probe_ctx ORDER BY k",
+    "SELECT k, CASE WHEN (a = b) IS NULL THEN 1 ELSE 0 END AS c"
+    " FROM probe_ctx ORDER BY k",
+    "SELECT k, ((a < b) AND TRUE) IS NULL AS v FROM probe_ctx ORDER BY k",
     "SELECT k, (a = b) AND TRUE AS v FROM probe_ctx ORDER BY k",
     "SELECT k, [a = b] AS v FROM probe_ctx ORDER BY k",
     "SELECT coalesce((a = b)::VARCHAR, 'null') AS v, count(*) AS c"

@@ -5054,6 +5054,111 @@ def test_wire_composite_ordering_merge_arms(client, spark):
         _fresh_wire_table(spark, "comrg")
 
 
+def test_wire_random_composite_dml_fuzz_vs_duckdb(client, spark):
+    """Seeded random DML net over NULL-bearing COMPOSITE columns (r12
+    VERDICT item 3's 'randomized DML net'): scratch table with INT[]
+    keys (NULL elements and NULL lists seeded deliberately), the same
+    random run of composite-predicate UPDATE / DELETE / composite-
+    assignment statements applied to both engines, full state compared
+    after every statement. Exercises the r13 closures end-to-end:
+    SET-expression 3VL (ordering + eq), WHERE-spine 2VL NULLs-greatest
+    col-vs-col, assignment-'=' protection."""
+    import random
+
+    import duckdb
+
+    def lit(rng):
+        # weighted: NULL list, list with NULL element, plain lists
+        r = rng.random()
+        if r < 0.15:
+            return "NULL"
+        n = rng.randint(1, 3)
+        elems = [
+            "NULL" if rng.random() < 0.25 else str(rng.randint(1, 4))
+            for _ in range(n)
+        ]
+        return "[" + ", ".join(elems) + "]"
+
+    def pred(rng):
+        op = rng.choice(["<", "<=", ">", ">=", "="])
+        rhs = rng.choice(["b", lit(rng)])
+        base = f"a {op} {rhs}"
+        return rng.choice([base, f"NOT ({base})", f"({base}) IS NULL"])
+
+    def gen_stmt(rng):
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            return (
+                f"UPDATE cofz SET flag = (a"
+                f" {rng.choice(['<', '<=', '>', '>=', '='])}"
+                f" {rng.choice(['b', lit(rng)])})"
+            )
+        if kind == 1:
+            return f"UPDATE cofz SET flag = (a = b) WHERE {pred(rng)}"
+        if kind == 2:
+            # composite ASSIGNMENT under a composite predicate
+            return (
+                f"UPDATE cofz SET a = {rng.choice(['b', lit(rng)])}"
+                f" WHERE {pred(rng)}"
+            )
+        if kind == 3:
+            return f"DELETE FROM cofz WHERE {pred(rng)}"
+        return (
+            f"UPDATE cofz SET flag = CASE WHEN {pred(rng)}"
+            f" THEN true ELSE false END"
+        )
+
+    for trial in range(4):
+        rng = random.Random(13370 + trial)
+        con = duckdb.connect()
+        _fresh_wire_table(spark, "cofz")
+        ddl = "CREATE TABLE cofz(k INT, a INT[], b INT[], flag BOOLEAN)"
+        con.execute(ddl)
+        (r,) = client.query(ddl)
+        assert "error" not in r, (trial, r)
+        seed = ", ".join(
+            f"({i}, {lit(rng)}, {lit(rng)}, NULL)" for i in range(6)
+        )
+        stmts = [f"INSERT INTO cofz VALUES {seed}"]
+        stmts += [gen_stmt(rng) for _ in range(rng.randint(5, 8))]
+        try:
+            for si, s in enumerate(stmts):
+                con.execute(s)
+                (r,) = client.query(s)
+                assert "error" not in r, (trial, si, s, r)
+                want = [
+                    (k, None if a is None else tuple(a),
+                     None if b is None else tuple(b), f)
+                    for k, a, b, f in con.execute(
+                        "SELECT k, a, b, flag FROM cofz ORDER BY k"
+                    ).fetchall()
+                ]
+                (r,) = client.query(
+                    "SELECT k, a, b, flag FROM cofz ORDER BY k"
+                )
+                def parse_list(c):
+                    if c is None:
+                        return None
+                    inner = c.strip()[1:-1].strip()
+                    if not inner:
+                        return ()
+                    return tuple(
+                        None if e.strip() == "NULL" else int(e)
+                        for e in inner.split(",")
+                    )
+                got = [
+                    (int(k),
+                     parse_list(a), parse_list(b),
+                     None if f is None else f == "t")
+                    for k, a, b, f in r.get("rows", [])
+                ]
+                assert got == want, (trial, si, s, got[:6], want[:6])
+        finally:
+            con.close()
+            client.query("DROP TABLE cofz")
+            _fresh_wire_table(spark, "cofz")
+
+
 def test_wire_enum_varchar_mixing_contexts(client, spark):
     """Late-r10 enum contexts, all DuckDB-probed: t.*-expanded subquery
     columns, simple-CASE operands vs string literals (non-member
