@@ -10083,15 +10083,17 @@ def _position_kind(sql, mask, clause_kws, depth, at: int) -> str:
                 open_idx = j
                 break
         if open_idx >= 0:
-            # a paren group that is the OPERAND of IS [NOT] NULL is a
-            # VALUE position even on the filter spine / in cond slots
-            # (probed r13, found by the composite DML fuzz: duck gives
-            # WHERE (a < b) IS NULL the 3VL comparison — IS NULL
-            # inspects a VALUE; condition-ness flows through NOT but
-            # NOT through IS NULL)
+            # a paren group that is the OPERAND of the IS family — IS
+            # [NOT] NULL / TRUE / FALSE / UNKNOWN / DISTINCT FROM — is
+            # a VALUE position even on the filter spine / in cond
+            # slots (probed r13, found by the composite DML fuzz: duck
+            # gives WHERE (a < b) IS NULL the 3VL comparison, and the
+            # whole family behaves identically — IS inspects a VALUE;
+            # condition-ness flows through NOT but NOT through IS)
             close = _match_paren(sql, mask, open_idx)
             if close is not None and re.match(
-                r"\s*IS\s+(?:NOT\s+)?NULL\b",
+                r"\s*IS\s+(?:NOT\s+)?"
+                r"(?:NULL|TRUE|FALSE|UNKNOWN|DISTINCT\s+FROM)\b",
                 sql[close + 1 :],
                 re.IGNORECASE,
             ):

@@ -700,6 +700,14 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT k, CASE WHEN (a = b) IS NULL THEN 1 ELSE 0 END AS c"
     " FROM probe_ctx ORDER BY k",
     "SELECT k, ((a < b) AND TRUE) IS NULL AS v FROM probe_ctx ORDER BY k",
+    # whole IS family behaves like IS NULL (probed r13)
+    "SELECT k FROM probe_ctx WHERE (a < b) IS TRUE ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE (a < b) IS NOT TRUE ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE (a = b) IS NOT FALSE ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE (a < b) IS NOT DISTINCT FROM NULL"
+    " ORDER BY k",
+    "SELECT k, CASE WHEN (a < b) IS NOT TRUE THEN 1 ELSE 0 END AS c"
+    " FROM probe_ctx ORDER BY k",
     "SELECT k, (a = b) AND TRUE AS v FROM probe_ctx ORDER BY k",
     "SELECT k, [a = b] AS v FROM probe_ctx ORDER BY k",
     "SELECT coalesce((a = b)::VARCHAR, 'null') AS v, count(*) AS c"
