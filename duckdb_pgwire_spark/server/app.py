@@ -2934,13 +2934,20 @@ def _note_statement_head(first: str) -> None:
 _TYPER_CACHE: dict[tuple[str, str], object] = {}
 
 
-def _inject_select_probe(sql: str, expr: str) -> str | None:
-    """The analysis-probe statement for one operand expression: the
-    ORIGINAL statement with ``(expr) AS __ty_probe,`` injected at the
-    head of the first top-level SELECT list — every FROM/CTE scope the
-    operand references stays visible, and analyzing the result types
-    it without executing anything. Returns None when no top-level
-    SELECT exists (the caller falls back)."""
+def _select_probe_statements(sql: str, expr: str) -> list[str]:
+    """Analysis-probe statements for one operand expression: the
+    ORIGINAL statement with ``(expr) AS __ty_probe`` injected into
+    each SELECT list — the top-level one first, then SUBQUERY/CTE
+    selects (r13 follow-up: operands scoped inside a derived table
+    only resolve when the probe rides THEIR select list). Probes are
+    appended at the end of each list (before that scope's FROM) so
+    positional GROUP BY / ORDER BY ordinals keep their targets
+    (second review r13); FROM-less selects get a prepend after
+    DISTINCT/ALL. Capped at 8 injection points. The CALLER requires
+    every succeeding probe to agree on the resolved type — a probe
+    that succeeds in the wrong scope alone cannot silently win unless
+    no other scope resolves (same-name same-type is the common case;
+    disagreement returns None)."""
     from .compat import _code_mask
 
     mask = _code_mask(sql)
@@ -2954,47 +2961,55 @@ def _inject_select_probe(sql: str, expr: str) -> str | None:
         depths.append(d)
         if mask[i] and ch == "(":
             d += 1
-    for m in re.finditer(r"\bSELECT\b", sql, re.IGNORECASE):
-        if not all(mask[m.start() : m.end()]) or depths[m.start()] != 0:
-            continue
-        # APPEND the probe at the end of the select list (before the
-        # top-level FROM) so positional GROUP BY / ORDER BY ordinals
-        # keep their targets (second review r13: prepending shifted
-        # GROUP BY 1 onto the probe and both probes failed analysis);
-        # fall back to prepend for FROM-less selects
+    points = [
+        m
+        for m in re.finditer(r"\bSELECT\b", sql, re.IGNORECASE)
+        if all(mask[m.start() : m.end()])
+    ]
+    points.sort(key=lambda m: depths[m.start()])  # top level first
+    out: list[str] = []
+    for m in points[:8]:
+        sd = depths[m.start()]
         fm = next(
             (
                 f
                 for f in re.finditer(r"\bFROM\b", sql, re.IGNORECASE)
                 if f.start() > m.end()
                 and all(mask[f.start() : f.end()])
-                and depths[f.start()] == 0
+                and depths[f.start()] == sd
+                # the FROM must belong to THIS select, not a later
+                # sibling at the same depth: no depth drop between
+                and min(depths[m.end() : f.start()], default=sd) >= sd
             ),
             None,
         )
         if fm is not None:
-            return (
+            out.append(
                 f"{sql[:fm.start()]}, ({expr}) AS __ty_probe"
                 f" {sql[fm.start():]}"
             )
+            continue
         at = m.end()
         dm = re.match(r"\s+(?:DISTINCT|ALL)\b", sql[at:], re.IGNORECASE)
         if dm:
             at += dm.end()
-        return f"{sql[:at]} ({expr}) AS __ty_probe, {sql[at:]}"
-    return None
+        out.append(f"{sql[:at]} ({expr}) AS __ty_probe, {sql[at:]}")
+    return out
 
 
 def _make_expr_typer(session: SparkSession, sql: str, from_table=None):
     """Analysis-time operand typer (r13, VERDICT item 8): returns a
     callable ``expr -> type-tree | None`` backed by Spark's ANALYSIS
     phase only — ``session.sql(probe).schema`` resolves the full
-    statement scope without running a job. Probes, in order: the
-    statement with the operand hoisted into its top-level SELECT list;
-    the same wrapped in first() (grouped statements reject a bare
-    non-aggregate); for DML, a single-table SELECT over the target.
-    Any analysis failure (subquery-scoped operand, set-op arity…)
-    returns None and the regex legs' conservative skip stands."""
+    statement scope without running a job. Probes: the statement with
+    the operand hoisted into EACH select list (top level first, then
+    subquery/CTE scopes — capped at 8 points, and every succeeding
+    point must AGREE on the resolved type); each point retries wrapped
+    in first() (grouped statements reject a bare non-aggregate); for
+    DML, a single-table SELECT over the target. Any analysis failure
+    (set-op arity, out-of-scope columns…) just drops that point; zero
+    successes or disagreeing scopes return None and the regex legs'
+    conservative skip stands."""
 
     # hoist probes ONLY into read-only statements: session.sql() of a
     # DML statement EXECUTES it eagerly — probing an INSERT whose
@@ -3030,33 +3045,45 @@ def _make_expr_typer(session: SparkSession, sql: str, from_table=None):
                     hoistable = False
                     break
 
+    def _probe_one(probe: str):
+        try:
+            fields = session.sql(probe).schema.fields
+        except Exception:  # noqa: BLE001 — analysis failed
+            return None
+        for f in fields:
+            if f.name == "__ty_probe":
+                return _type_tree(f.dataType)
+        return None
+
     def typer(expr: str):
         key = (sql, expr)
         if key in _TYPER_CACHE:
             return _TYPER_CACHE[key]
-        probes: list[str] = []
+        trees: list = []
         if from_table is not None:
-            probes.append(
+            t = _probe_one(
                 f"SELECT ({expr}) AS __ty_probe FROM {from_table}"
             )
-        p1 = _inject_select_probe(sql, expr) if hoistable else None
-        if p1 is not None:
-            probes.append(p1)
-            p2 = _inject_select_probe(sql, f"first({expr})")
-            if p2 is not None:
-                probes.append(p2)
-        tree = None
-        for probe in probes:
-            try:
-                fields = session.sql(probe).schema.fields
-            except Exception:  # noqa: BLE001 — analysis failed: next
-                continue
-            for f in fields:
-                if f.name == "__ty_probe":
-                    tree = _type_tree(f.dataType)
-                    break
-            if tree is not None:
-                break
+            if t is not None:
+                trees.append(t)
+        if hoistable:
+            # one result per injection POINT (bare, then the first()
+            # retry for grouped scopes); every succeeding point must
+            # AGREE or the operand stays untyped — a same-named column
+            # of a different type in another scope must not win
+            pairs = zip(
+                _select_probe_statements(sql, expr),
+                _select_probe_statements(sql, f"first({expr})"),
+            )
+            for bare, wrapped in pairs:
+                t = _probe_one(bare)
+                if t is None:
+                    t = _probe_one(wrapped)
+                if t is not None:
+                    trees.append(t)
+        tree = trees[0] if trees else None
+        if any(t != tree for t in trees):
+            tree = None  # scopes disagree: conservative
         if len(_TYPER_CACHE) >= 512:
             _TYPER_CACHE.clear()
         _TYPER_CACHE[key] = tree
