@@ -3245,10 +3245,14 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     # time_bucket column-operand marker (r13): the rewrite() template
     # tags bare-identifier operands for the DATE-return-type leg
     has_tb = "/*__duck_tb:" in sql
+    # numeric COLUMN in a boolean context (duck coerces via <> 0, r13)
+    from .compat import _BOOL_CTX_L_RE
+
+    has_boolctx = _BOOL_CTX_L_RE.search(sql) is not None
     if not (
         has_sum or has_len or has_columns or has_replace or has_enum
         or has_date_ivl or has_vc_cast or has_cmp or has_floorceil
-        or has_div or has_avg or has_tb
+        or has_div or has_avg or has_tb or has_boolctx
     ):
         return sql
     from pyspark.sql import types as T
@@ -3478,6 +3482,12 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         sql = rewrite_array_length(sql, array_cols)  # heads still rewrite
     if has_sum:
         sql = rewrite_integer_sums(sql, int_cols)
+    if has_boolctx and (int_cols or double_cols or dec_cols):
+        from .compat import rewrite_int_bool_contexts
+
+        sql = rewrite_int_bool_contexts(
+            sql, int_cols | double_cols | dec_cols
+        )
     return sql
 
 

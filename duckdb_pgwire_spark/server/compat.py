@@ -4643,6 +4643,181 @@ _DT_UNITS = {
 }
 
 
+_BOOL_CTX_L_RE = re.compile(
+    r"\b(WHERE|WHEN|AND|OR|NOT|HAVING|ON)\b|\bIF\s*\(", re.IGNORECASE
+)
+_BOOL_CTX_R_KWS = frozenset(
+    """AND OR THEN ELSE END GROUP ORDER HAVING LIMIT OFFSET UNION
+    INTERSECT EXCEPT WINDOW QUALIFY RETURNING FROM WHERE AS JOIN
+    WHEN CASE""".split()
+)
+# keywords that END the scan but mean the atom is NOT the whole
+# operand (the expression CONTINUES: `k BETWEEN …`, `v IN (…)`,
+# `x IS NULL` — wrapping the needle would garble it)
+_BOOL_CTX_CONT_KWS = frozenset(
+    """BETWEEN IN LIKE ILIKE GLOB SIMILAR IS NOT COLLATE""".split()
+)
+# backward-slot boundaries for the LEFT operand of AND/OR
+_BOOL_CTX_BACK_RE = re.compile(
+    r"\b(WHERE|WHEN|AND|OR|NOT|HAVING|ON|THEN|ELSE|SELECT|BY)\s*$"
+    r"|[(,;]\s*$",
+    re.IGNORECASE,
+)
+_NUM_LIT_RE = re.compile(r"[-+]?\d+(?:\.\d+)?")
+
+
+def rewrite_int_bool_contexts(sql: str, num_cols: set[str]) -> str:
+    """DuckDB coerces NUMERICS to BOOLEAN in boolean contexts —
+    ``NOT 1`` is false, ``WHERE v`` keeps nonzero rows, ``CASE WHEN 1
+    THEN`` takes the branch, NULL stays NULL (probed r13; Spark
+    raises DATATYPE_MISMATCH). For each boolean-context slot (after
+    WHERE / HAVING / WHEN / AND / OR / NOT / ON, or IF's first
+    argument) whose ENTIRE content is one numeric literal or a known
+    numeric COLUMN (``num_cols``, lowercase unqualified — empty for
+    the schema-free literal leg inside rewrite()), wrap it in
+    ``(x <> 0)`` — duck's exact truth rule including NULL
+    passthrough. Anything composite in the slot is left alone (a
+    comparison already yields boolean; unknown shapes stay loud)."""
+    if _BOOL_CTX_L_RE.search(sql) is None:
+        return sql
+    mask = _code_mask(sql)
+    depth: list[int] = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    # a WHEN belonging to a SIMPLE case (``CASE x WHEN 0 THEN …``)
+    # introduces a comparand, not a boolean slot — wrapping its arm
+    # garbled the projection-IN pass's own emitted simple CASE
+    simple_whens: set[int] = set()
+    case_stack: list[bool] = []
+    for tok in re.finditer(r"\b(CASE|WHEN|END)\b", sql, re.IGNORECASE):
+        if not all(mask[tok.start() : tok.end()]):
+            continue
+        w = tok.group(1).upper()
+        if w == "CASE":
+            nxt = re.match(r"\s*WHEN\b", sql[tok.end() :], re.IGNORECASE)
+            case_stack.append(nxt is None)  # True = simple case
+        elif w == "WHEN":
+            if case_stack and case_stack[-1]:
+                simple_whens.add(tok.start())
+        elif w == "END" and case_stack:
+            case_stack.pop()
+    # an AND that closes a BETWEEN is a range separator, not a boolean
+    # context (``x BETWEEN 1 AND 2`` must keep its 2): mark the first
+    # same-depth AND after each BETWEEN as consumed
+    consumed_ands: set[int] = set()
+    for bm in re.finditer(r"\bBETWEEN\b", sql, re.IGNORECASE):
+        if not all(mask[bm.start() : bm.end()]):
+            continue
+        bd = depth[bm.start()]
+        for am in re.finditer(r"\bAND\b", sql[bm.end() :], re.IGNORECASE):
+            p = bm.end() + am.start()
+            if (
+                all(mask[p : p + 3])
+                and depth[p] == bd
+                and p not in consumed_ands
+            ):
+                consumed_ands.add(p)
+                break
+    edits: list[tuple[int, int, str]] = []
+    for m in _BOOL_CTX_L_RE.finditer(sql):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        if m.group(0).upper() == "AND" and m.start() in consumed_ands:
+            continue
+        if m.group(0).upper() == "WHEN" and m.start() in simple_whens:
+            continue
+        if m.group(0).upper() in ("AND", "OR"):
+            # LEFT operand leg: a bare numeric atom directly before
+            # the AND/OR, itself preceded by a boundary (`(1 AND
+            # true)`, `SELECT v AND b` — r13 probe)
+            bm = re.search(
+                r"([-+]?\d+(?:\.\d+)?|[A-Za-z_][\w.]*)\s*$",
+                sql[: m.start()],
+            )
+            if bm and all(mask[bm.start(1) : m.start()]):
+                atom = bm.group(1)
+                ok = _NUM_LIT_RE.fullmatch(atom) is not None or (
+                    bool(num_cols)
+                    and atom.split(".")[-1].lower() in num_cols
+                    and re.fullmatch(r"[A-Za-z_][\w.]*", atom)
+                )
+                if ok and (
+                    bm.start(1) == 0
+                    or _BOOL_CTX_BACK_RE.search(sql[: bm.start(1)])
+                ):
+                    edits.append(
+                        (bm.start(1), bm.end(1), f"({atom} <> 0)")
+                    )
+        start = m.end()
+        if m.group(0).upper().startswith("IF"):
+            # just past '(' — first argument slot, one level deeper
+            td = depth[m.end() - 1] + 1
+        else:
+            td = depth[m.start()]
+        j = start
+        end = len(sql)
+        continues = False  # ended at BETWEEN/IN/IS/…: atom incomplete
+        while j < len(sql):
+            if not mask[j]:
+                j += 1
+                continue
+            ch = sql[j]
+            if depth[j] < td:
+                end = j  # closing paren leaves the slot's scope
+                break
+            if depth[j] == td:
+                if ch in ";,":  # a comma ends any slot (IF's first
+                    end = j  # arg, or a fn-arg boolean context)
+                    break
+                if ch.isalpha() or ch == "_":
+                    wm = re.match(r"[A-Za-z_]\w*", sql[j:])
+                    kw = wm.group(0).upper() if wm else ""
+                    if kw in _BOOL_CTX_R_KWS:
+                        end = j
+                        break
+                    if kw in _BOOL_CTX_CONT_KWS:
+                        end = j
+                        continues = True
+                        break
+                    j += len(wm.group(0)) if wm else 1
+                    continue
+            j += 1
+        if continues:
+            continue
+        frag = sql[start:end].strip()
+        inner = frag
+        while inner.startswith("(") and inner.endswith(")"):
+            inner = inner[1:-1].strip()
+        is_num_lit = _NUM_LIT_RE.fullmatch(inner) is not None
+        is_num_col = (
+            bool(num_cols)
+            and re.fullmatch(r"[A-Za-z_][\w.]*", inner) is not None
+            and inner.split(".")[-1].lower() in num_cols
+        )
+        if not (is_num_lit or is_num_col):
+            continue
+        fs = start + (len(sql[start:end]) - len(sql[start:end].lstrip()))
+        fe = fs + len(frag)
+        edits.append((fs, fe, f"({frag} <> 0)"))
+    if not edits:
+        return sql
+    out: list[str] = []
+    pos = 0
+    for s, e, repl in sorted(edits):
+        if s < pos:
+            continue
+        out.append(sql[pos:s])
+        out.append(repl)
+        pos = e
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_datetime_diffs(sql: str) -> str:
     """DuckDB's quoted-unit datetime differences → Spark (probed):
 
@@ -10818,6 +10993,9 @@ def rewrite(sql: str) -> str:
     # after '/'-emitting passes (// fractional), BEFORE div_zero hides
     # decimal denominators inside nullif()
     sql = _rewrite_div_zero(sql)  # after every '/'-emitting pass
+    sql = rewrite_int_bool_contexts(sql, set())  # NOT 1 / WHERE 1 /
+    # CASE WHEN 1 — duck's numeric→boolean coercion, literal leg
+    # (column operands resolve in the schema pass)
     sql = _rewrite_composite_ord(sql)  # before eq: its scan must not
     sql = _rewrite_composite_eq(sql)  # see eq-emitted < on size();
     sql = _rewrite_composite_in(sql)  # pass (array/named_struct heads)

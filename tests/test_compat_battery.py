@@ -909,6 +909,19 @@ COMPOSITE_CONTEXT_QUERIES = [
     " row(1,NULL) = row(1,'a') AS n3vl",
     "SELECT row(1,'a') < row(1,'b') AS lt, row(2,'a') < row(1,'b') AS ge",
     "SELECT 1 AS k WHERE row(1,NULL) = row(1,NULL)",
+    # --- r13 numeric→boolean coercion (duck: nonzero true, 0 false,
+    # NULL passthrough; Spark raises DATATYPE_MISMATCH) — literal leg
+    # plus the column leg via the schema pass; BETWEEN's AND and
+    # simple-CASE WHEN arms must stay untouched ---
+    "SELECT NOT 1 AS a, NOT 0 AS b, NOT -3 AS c, NOT 1.5 AS d",
+    "SELECT (1 AND true) AS a, (0 OR false) AS b, (2 AND 3) AS c",
+    "SELECT CASE WHEN 1 THEN 'a' ELSE 'b' END AS x,"
+    " CASE WHEN 0 THEN 'a' ELSE 'b' END AS y",
+    "SELECT 1 AS x WHERE 1",
+    "SELECT if(2, 'a', 'b') AS x, if(0, 'a', 'b') AS y",
+    "SELECT k, (a IS NOT NULL AND 1) AS v FROM probe_ctx ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE k BETWEEN 1 AND 2 ORDER BY k",
+    "SELECT CASE 1 WHEN 0 THEN 'z' WHEN 1 THEN 'o' END AS sc",
     # --- r12 collation sweep: duck default binary UTF-8 order matched
     # Spark natively (18/18 ok) — pin a few as the regression net ---
     "SELECT x FROM (VALUES ('a'), ('B'), ('b'), ('A'), ('Z'), ('z'))"
