@@ -3245,7 +3245,12 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     # time_bucket column-operand marker (r13): the rewrite() template
     # tags bare-identifier operands for the DATE-return-type leg
     has_tb = "/*__duck_tb:" in sql
-    # numeric COLUMN in a boolean context (duck coerces via <> 0, r13)
+    # numeric COLUMN in a boolean context (duck coerces via <> 0, r13).
+    # This gate is BROAD (nearly every statement has a WHERE/AND) —
+    # a deliberate trade: `WHERE v` vs `WHERE flag` cannot be told
+    # apart without the schema, the schema fields are memoized, and
+    # most statements already pass has_cmp; the extra class is
+    # WHERE-only no-comparison statements paying ~the memo lookup.
     from .compat import _BOOL_CTX_L_RE
 
     has_boolctx = _BOOL_CTX_L_RE.search(sql) is not None

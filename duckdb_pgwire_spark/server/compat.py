@@ -4699,8 +4699,14 @@ def rewrite_int_bool_contexts(sql: str, num_cols: set[str]) -> str:
             continue
         w = tok.group(1).upper()
         if w == "CASE":
-            nxt = re.match(r"\s*WHEN\b", sql[tok.end() :], re.IGNORECASE)
-            case_stack.append(nxt is None)  # True = simple case
+            # find the next CODE token (comments between CASE and its
+            # first WHEN must not flip the classification — review r13)
+            j2 = tok.end()
+            while j2 < len(sql) and (not mask[j2] or sql[j2].isspace()):
+                j2 += 1
+            case_stack.append(
+                re.match(r"WHEN\b", sql[j2:], re.IGNORECASE) is None
+            )  # True = simple case
         elif w == "WHEN":
             if case_stack and case_stack[-1]:
                 simple_whens.add(tok.start())
@@ -4746,10 +4752,25 @@ def rewrite_int_bool_contexts(sql: str, num_cols: set[str]) -> str:
                     and atom.split(".")[-1].lower() in num_cols
                     and re.fullmatch(r"[A-Za-z_][\w.]*", atom)
                 )
-                if ok and (
-                    bm.start(1) == 0
-                    or _BOOL_CTX_BACK_RE.search(sql[: bm.start(1)])
+                boundary = (
+                    _BOOL_CTX_BACK_RE.search(sql[: bm.start(1)])
+                    if bm.start(1) > 0
+                    else None
+                )
+                if ok and bm.start(1) > 0 and boundary is None:
+                    ok = False
+                if (
+                    ok
+                    and boundary is not None
+                    and boundary.group(1) is not None
+                    and boundary.group(1).upper() == "AND"
+                    and boundary.start(1) in consumed_ands
                 ):
+                    # the atom is a BETWEEN upper bound (`price
+                    # BETWEEN 10 AND 20 AND qty > 0` — review r13):
+                    # its left boundary is the range separator
+                    ok = False
+                if ok:
                     edits.append(
                         (bm.start(1), bm.end(1), f"({atom} <> 0)")
                     )
@@ -4789,6 +4810,11 @@ def rewrite_int_bool_contexts(sql: str, num_cols: set[str]) -> str:
             j += 1
         if continues:
             continue
+        # trim trailing comments (mask-false spans) from the slot —
+        # `WHERE 1 -- note` must still coerce, and the wrap must not
+        # swallow a line comment into its parens (review r13)
+        while end > start and (not mask[end - 1] or sql[end - 1].isspace()):
+            end -= 1
         frag = sql[start:end].strip()
         inner = frag
         while inner.startswith("(") and inner.endswith(")"):

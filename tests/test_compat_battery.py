@@ -922,6 +922,15 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT k, (a IS NOT NULL AND 1) AS v FROM probe_ctx ORDER BY k",
     "SELECT k FROM probe_ctx WHERE k BETWEEN 1 AND 2 ORDER BY k",
     "SELECT CASE 1 WHEN 0 THEN 'z' WHEN 1 THEN 'o' END AS sc",
+    # review r13: a BETWEEN bound before a FOLLOWING conjunct must not
+    # wrap; comments inside slots neither block the coercion nor ride
+    # into the wrap; commented CASE..WHEN stays searched
+    "SELECT k FROM probe_ctx WHERE k BETWEEN 1 AND 2 AND k > 0"
+    " ORDER BY k",
+    "SELECT k FROM probe_ctx WHERE k NOT BETWEEN 2 AND 3 AND 1"
+    " ORDER BY k",
+    "SELECT 1 AS x WHERE 1 -- note",
+    "SELECT CASE /* c */ WHEN 1 THEN 2 ELSE 3 END AS x",
     # --- r12 collation sweep: duck default binary UTF-8 order matched
     # Spark natively (18/18 ok) — pin a few as the regression net ---
     "SELECT x FROM (VALUES ('a'), ('B'), ('b'), ('A'), ('Z'), ('z'))"
