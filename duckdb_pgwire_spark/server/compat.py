@@ -4739,12 +4739,53 @@ def rewrite_int_bool_contexts(sql: str, num_cols: set[str]) -> str:
             continue
         if m.group(0).upper() in ("AND", "OR"):
             # LEFT operand leg: a bare numeric atom directly before
-            # the AND/OR, itself preceded by a boundary (`(1 AND
-            # true)`, `SELECT v AND b` — r13 probe)
-            bm = re.search(
-                r"([-+]?\d+(?:\.\d+)?|[A-Za-z_][\w.]*)\s*$",
-                sql[: m.start()],
-            )
+            # the AND/OR — possibly paren-wrapped (`(v) OR x`, r13
+            # fuzz) — itself preceded by a boundary (`(1 AND true)`,
+            # `SELECT v AND b` — r13 probe)
+            left = sql[: m.start()]
+            stripped_left = left.rstrip()
+            paren_span = None
+            if stripped_left.endswith(")"):
+                ci = len(stripped_left) - 1
+                pd = 0
+                oi = -1
+                for j2 in range(ci, -1, -1):
+                    if not mask[j2]:
+                        continue
+                    if sql[j2] == ")":
+                        pd += 1
+                    elif sql[j2] == "(":
+                        pd -= 1
+                        if pd == 0:
+                            oi = j2
+                            break
+                if oi >= 0:
+                    inner2 = sql[oi + 1 : ci].strip()
+                    while inner2.startswith("(") and inner2.endswith(")"):
+                        inner2 = inner2[1:-1].strip()
+                    if re.fullmatch(
+                        r"[-+]?\d+(?:\.\d+)?|[A-Za-z_][\w.]*", inner2
+                    ):
+                        paren_span = (oi, ci + 1, inner2)
+            if paren_span is not None:
+                oi, ce, atom = paren_span
+                ok = _NUM_LIT_RE.fullmatch(atom) is not None or (
+                    bool(num_cols)
+                    and atom.split(".")[-1].lower() in num_cols
+                    and re.fullmatch(r"[A-Za-z_][\w.]*", atom)
+                )
+                if ok and (
+                    oi == 0
+                    or _BOOL_CTX_BACK_RE.search(sql[:oi])
+                    or sql[:oi].rstrip() == ""
+                ):
+                    edits.append((oi, ce, f"({atom} <> 0)"))
+                bm = None  # paren form handled; skip the bare leg
+            else:
+                bm = re.search(
+                    r"([-+]?\d+(?:\.\d+)?|[A-Za-z_][\w.]*)\s*$",
+                    left,
+                )
             if bm and all(mask[bm.start(1) : m.start()]):
                 atom = bm.group(1)
                 ok = _NUM_LIT_RE.fullmatch(atom) is not None or (
