@@ -220,6 +220,64 @@ def _nfc_normalize(s: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.StringType())
+def _duck_bit_binop(a: pd.Series, b: pd.Series, op: pd.Series) -> pd.Series:
+    """Bitwise AND/OR/XOR over the BIT emulation's 0/1 strings (r13
+    continuation; duck probe: equal widths required — 'Cannot AND bit
+    strings of different sizes' Invalid Input Error verbatim — NULL
+    operands are NULL). ``op`` is a constant literal per call site;
+    BIT is literal-cast-driven and never hot-path, so the Arrow kernel
+    is the right cost."""
+    import operator as _op
+
+    ops = {"AND": _op.and_, "OR": _op.or_, "XOR": _op.xor}
+    out = []
+    for x, y, o in zip(a, b, op):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        if len(x) != len(y):
+            raise ValueError(
+                f"Invalid Input Error: Cannot {o} bit strings of"
+                " different sizes"
+            )
+        out.append(format(ops[o](int(x, 2), int(y, 2)), f"0{len(x)}b"))
+    return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(T.StringType())
+def _duck_bit_shift(a: pd.Series, n: pd.Series, d: pd.Series) -> pd.Series:
+    """BIT shifts: zero-fill within the declared width (probed r13:
+    ``'0101'::BIT << 4`` = '0000', ``>>`` of any negative or
+    overshooting count = all-zeros, ``<<`` of a negative count is
+    duck's Out of Range Error verbatim, NULL count → NULL)."""
+    out = []
+    for x, k, dd in zip(a, n, d):
+        if x is None or k is None or (isinstance(k, float) and k != k):
+            out.append(None)
+            continue
+        k = int(k)
+        w = len(x)
+        if dd == "L":
+            if k < 0:
+                raise ValueError(
+                    "Out of Range Error: Cannot left-shift by negative"
+                    f" number {k}"
+                )
+            v = (int(x, 2) << k) & ((1 << w) - 1) if k < w else 0
+        else:
+            v = int(x, 2) >> k if 0 <= k < w else 0
+        out.append(format(v, f"0{w}b"))
+    return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(T.StringType())
+def _duck_bit_not(a: pd.Series) -> pd.Series:
+    """Prefix ``~`` over the BIT emulation: flip every 0/1 char."""
+    tbl = str.maketrans("01", "10")
+    return a.map(lambda x: x.translate(tbl) if x is not None else None)
+
+
+@F.pandas_udf(T.StringType())
 def _duck_double_text(v: pd.Series) -> pd.Series:
     """DuckDB's DOUBLE→VARCHAR rendering = Python's shortest-round-trip
     repr ('1e+20', '1e-06', '1.0', '123456789.123', 'inf', 'nan' —
@@ -1189,6 +1247,9 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("duck_list_skewness", _duck_list_skewness)
     spark.udf.register("duck_list_kurtosis", _duck_list_kurtosis)
     spark.udf.register("duck_double_text", _duck_double_text)
+    spark.udf.register("__duck_bit_binop", _duck_bit_binop)
+    spark.udf.register("__duck_bit_shift", _duck_bit_shift)
+    spark.udf.register("__duck_bit_not", _duck_bit_not)
     spark.udf.register("duck_format_bytes", _format_bytes)
     spark.udf.register("duck_format_decimal_size", _format_decimal_size)
     spark.udf.register("__regexp_replace_one", _regexp_replace_one)

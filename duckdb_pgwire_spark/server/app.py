@@ -2931,7 +2931,7 @@ def _note_statement_head(first: str) -> None:
 
 
 # (statement, operand expression) → type tree from the analysis probe
-_TYPER_CACHE: dict[tuple[str, str], object] = {}
+_TYPER_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def _select_probe_statements(sql: str, expr: str) -> list[str]:
@@ -2997,7 +2997,42 @@ def _select_probe_statements(sql: str, expr: str) -> list[str]:
     return out
 
 
-def _make_expr_typer(session: SparkSession, sql: str, from_table=None):
+def _read_only_head(sql: str) -> bool:
+    """True when ``session.sql(sql)`` can only ANALYZE, never execute a
+    side effect: SELECT/VALUES/TABLE/FROM heads, paren-headed set-op
+    queries (test the first CHARACTER — they tokenize as "(SELECT"),
+    and WITH-headed statements whose depth-0 body carries no DML verb
+    (third review r13: ``WITH c AS (…) INSERT INTO …`` is DML behind a
+    read-only head — a probe would have written data)."""
+    stripped = sql.lstrip()
+    head = stripped.split(None, 1)[0].upper() if stripped else ""
+    if head in ("SELECT", "VALUES", "TABLE", "FROM") or stripped.startswith(
+        "("
+    ):
+        return True
+    if head != "WITH":
+        return False
+    from .compat import _code_mask
+
+    wmask = _code_mask(sql)
+    d = 0
+    for i, ch in enumerate(sql):
+        if not wmask[i]:
+            continue
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        elif d == 0 and ch in "IUDMRiudmr":
+            if re.match(
+                r"(?i)(?:INSERT|UPDATE|DELETE|MERGE|REPLACE)\b",
+                sql[i:],
+            ) and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                return False
+    return True
+
+
+def _make_expr_typer(session: SparkSession, sql: str, from_table=None, leaf=None):
     """Analysis-time operand typer (r13, VERDICT item 8): returns a
     callable ``expr -> type-tree | None`` backed by Spark's ANALYSIS
     phase only — ``session.sql(probe).schema`` resolves the full
@@ -3015,35 +3050,9 @@ def _make_expr_typer(session: SparkSession, sql: str, from_table=None):
     # DML statement EXECUTES it eagerly — probing an INSERT whose
     # injected arity happened to line up would write data (second
     # review r13). DML callers use the from_table SELECT probe instead.
-    # WITH-headed statements need a body scan (third review r13:
-    # ``WITH c AS (…) INSERT INTO …`` is DML behind a read-only head);
-    # paren-headed set-op queries tokenize as "(SELECT", so test the
-    # first CHARACTER, not the first word.
-    stripped = sql.lstrip()
-    head = stripped.split(None, 1)[0].upper() if stripped else ""
-    hoistable = head in (
-        "SELECT", "VALUES", "TABLE", "FROM"
-    ) or stripped.startswith("(")
-    if head == "WITH":
-        from .compat import _code_mask
+    hoistable = _read_only_head(sql)
 
-        wmask = _code_mask(sql)
-        d = 0
-        hoistable = True
-        for i, ch in enumerate(sql):
-            if not wmask[i]:
-                continue
-            if ch == "(":
-                d += 1
-            elif ch == ")":
-                d -= 1
-            elif d == 0 and ch in "IUDMRiudmr":
-                if re.match(
-                    r"(?i)(?:INSERT|UPDATE|DELETE|MERGE|REPLACE)\b",
-                    sql[i:],
-                ) and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
-                    hoistable = False
-                    break
+    lf = leaf if leaf is not None else _type_tree
 
     def _probe_one(probe: str):
         try:
@@ -3052,11 +3061,11 @@ def _make_expr_typer(session: SparkSession, sql: str, from_table=None):
             return None
         for f in fields:
             if f.name == "__ty_probe":
-                return _type_tree(f.dataType)
+                return lf(f.dataType)
         return None
 
     def typer(expr: str):
-        key = (sql, expr)
+        key = (sql, expr, getattr(lf, "__name__", "leaf"))
         if key in _TYPER_CACHE:
             return _TYPER_CACHE[key]
         trees: list = []
@@ -3106,6 +3115,64 @@ def _type_tree(dt):
     if isinstance(dt, T.MapType):
         return ("map", _type_tree(dt.keyType), _type_tree(dt.valueType))
     return "atom"
+
+
+_SETOP_GATE_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE)
+
+
+def _setop_kind(dt) -> str:
+    """DataType → the set-op widening pass's kind label (r13)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.ByteType | T.ShortType | T.IntegerType | T.LongType):
+        return "int"
+    if isinstance(dt, T.FloatType | T.DoubleType):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType | T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.NullType):
+        return "null"
+    if isinstance(
+        dt, T.DayTimeIntervalType | T.YearMonthIntervalType
+    ):
+        return "interval"
+    return "other"
+
+
+def _date_leaf(dt):
+    """Typer leaf for the time_bucket expression-operand leg (r13):
+    'date' for DateType, 'other' for everything else."""
+    from pyspark.sql import types as T
+
+    return "date" if isinstance(dt, T.DateType) else "other"
+
+
+def _bool_leaf(dt):
+    """Typer leaf for the boolean-coercion expression leg (r13):
+    collapse a resolved DataType to the coercion kind duck applies in
+    boolean contexts — num (→ ``<> 0``), str (→ the VARCHAR→BOOLEAN
+    CASE), bool (leave native), other (leave loud)."""
+    from pyspark.sql import types as T
+
+    if isinstance(
+        dt,
+        T.ByteType | T.ShortType | T.IntegerType | T.LongType
+        | T.FloatType | T.DoubleType | T.DecimalType,
+    ):
+        return "num"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    return "other"
 
 
 def _schema_fields(session: SparkSession, name: str):
@@ -3244,7 +3311,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     has_avg = _HAS_AVG_RE.search(sql) is not None
     # time_bucket column-operand marker (r13): the rewrite() template
     # tags bare-identifier operands for the DATE-return-type leg
-    has_tb = "/*__duck_tb:" in sql
+    has_tb = "/*__duck_tb" in sql
     # numeric COLUMN in a boolean context (duck coerces via <> 0, r13).
     # This gate is BROAD (nearly every statement has a WHERE/AND) —
     # a deliberate trade: `WHERE v` vs `WHERE flag` cannot be told
@@ -3254,10 +3321,11 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     from .compat import _BOOL_CTX_L_RE
 
     has_boolctx = _BOOL_CTX_L_RE.search(sql) is not None
+    has_setop = _SETOP_GATE_RE.search(sql) is not None
     if not (
         has_sum or has_len or has_columns or has_replace or has_enum
         or has_date_ivl or has_vc_cast or has_cmp or has_floorceil
-        or has_div or has_avg or has_tb or has_boolctx
+        or has_div or has_avg or has_tb or has_boolctx or has_setop
     ):
         return sql
     from pyspark.sql import types as T
@@ -3270,6 +3338,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     double_cols: set[str] = set()
     dec_cols: set[str] = set()
     date_cols: set[str] = set()
+    str_cols: set[str] = set()
     ordered_cols: list[str] = []
     enum_cols: dict[str, str] = {}
     non_enum_cols: set[str] = set()
@@ -3338,6 +3407,11 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             for f in fields
             if isinstance(f.dataType, T.DecimalType)
         )
+        str_cols.update(
+            f.name.lower()
+            for f in fields
+            if isinstance(f.dataType, T.StringType)
+        )
         for f in fields:
             if f.name not in ordered_cols:
                 ordered_cols.append(f.name)
@@ -3371,6 +3445,8 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                 return "date"
             if isinstance(dt, T.ArrayType | T.MapType | T.StructType):
                 return "complex"
+            if isinstance(dt, T.StringType):
+                return "string"
             return "other"
 
         kinds: dict[str, set] = {}
@@ -3389,6 +3465,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                 for colset in (
                     complex_cols, f32_cols, double_cols,
                     int_cols, array_cols, date_cols, dec_cols,
+                    str_cols,
                 ):
                     colset.discard(lowname)
             elif len(f32_marks.get(lowname, ())) > 1:
@@ -3411,7 +3488,11 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     if has_tb:
         from .compat import rewrite_time_bucket_date_cols
 
-        sql = rewrite_time_bucket_date_cols(sql, date_cols)
+        sql = rewrite_time_bucket_date_cols(
+            sql,
+            date_cols,
+            _make_expr_typer(session, sql, leaf=_date_leaf),
+        )
     if has_columns and ordered_cols:
         sql = rewrite_columns_star(sql, ordered_cols)
     if has_replace and ordered_cols:
@@ -3487,12 +3568,35 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         sql = rewrite_array_length(sql, array_cols)  # heads still rewrite
     if has_sum:
         sql = rewrite_integer_sums(sql, int_cols)
-    if has_boolctx and (int_cols or double_cols or dec_cols):
+    if has_boolctx:
         from .compat import rewrite_int_bool_contexts
 
+        # the expression leg types non-atom slots (`WHERE v + 1`,
+        # `HAVING count(*)`) through the analysis prober; probes only
+        # fire for slots the cheap legs can't classify, against the
+        # pass's slot-neutralized statement text
         sql = rewrite_int_bool_contexts(
-            sql, int_cols | double_cols | dec_cols
+            sql,
+            int_cols | double_cols | dec_cols,
+            str_cols,
+            lambda neutral: _make_expr_typer(session, neutral, leaf=_bool_leaf),
         )
+    if has_setop and _read_only_head(sql):
+        # duck widens mixed-type set-op branches (string+numeric →
+        # VARCHAR, bool+numeric → numeric) where Spark coerces the
+        # other way or refuses; branch schemas via ANALYSIS only — the
+        # read-only gate keeps session.sql() from EXECUTING a DDL/DML
+        # head passed as a "branch" (the r13 third-review trap)
+        from .compat import rewrite_setop_mixed_types
+
+        def _branch_schema(branch_sql: str):
+            try:
+                fields = session.sql(branch_sql).schema.fields
+            except Exception:  # noqa: BLE001 — conservative skip
+                return None
+            return [(f.name, _setop_kind(f.dataType)) for f in fields]
+
+        sql = rewrite_setop_mixed_types(sql, _branch_schema)
     return sql
 
 

@@ -1267,6 +1267,49 @@ _BIT_LIT_RE = re.compile(
     r"'([^']*)'\s*::\s*BIT\b|\bCAST\s*\(\s*'([^']*)'\s+AS\s+BIT\s*\)",
     re.IGNORECASE,
 )
+# binary bitwise operators (|| concat and the ~~/!~ regex families
+# must not match); prefix ~ is scanned separately
+_BIT_BINOP_RE = re.compile(r"<<|>>|&|(?<![|])\|(?![|])")
+_BIT_XOR_RE = re.compile(r"(?<![\w.])xor\s*\(", re.IGNORECASE)
+_BIT_NOT_RE = re.compile(r"(?<![~!\w])~(?![~*])")
+_BIT_OPERAND_HEAD_RE = re.compile(
+    r"\(*\s*(bitstring|set_bit|__duck_bit_binop|__duck_bit_shift"
+    r"|__duck_bit_not)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _bit_operand(expr: str) -> bool:
+    """True when the scanned operand is BIT-typed by OUTERMOST shape:
+    a ``::BIT`` / ``CAST(… AS BIT)`` cast tail, or a bitstring /
+    set_bit / __duck_bit_* call head (possibly paren-wrapped). A BIT
+    cast buried INSIDE another call (``length('01'::BIT) & 3``) is an
+    INT operand and must not match."""
+    e = expr.strip()
+    while e.startswith("(") and e.endswith(")"):
+        # strip only BALANCED outer parens — `(a) & (b)` operands are
+        # scanned tight so a naive strip can only hit true wrappers,
+        # but guard anyway
+        d = 0
+        for i2, c2 in enumerate(e):
+            if c2 == "(":
+                d += 1
+            elif c2 == ")":
+                d -= 1
+                if d == 0 and i2 < len(e) - 1:
+                    d = -1
+                    break
+        if d != 0:
+            break
+        e = e[1:-1].strip()
+    if re.search(r"::\s*BIT\s*$", e, re.IGNORECASE) is not None:
+        return True
+    if re.fullmatch(
+        r"\(*\s*CAST\s*\(.*\bAS\s+BIT\s*\)\s*\)*", e,
+        re.IGNORECASE | re.DOTALL,
+    ):
+        return True
+    return _BIT_OPERAND_HEAD_RE.match(e) is not None
 
 
 def _rewrite_bit_strings(sql: str) -> str:
@@ -1289,8 +1332,12 @@ def _rewrite_bit_strings(sql: str) -> str:
     - ``'0101'::BIT``    → the validated literal ('012'::BIT refuses
       like duck's Conversion Error)
 
-    Bitwise ``& | ~ xor`` over BIT operands stay LOUD residue (Spark
-    rejects string operands)."""
+    Bitwise ``& | ~ xor << >>`` over BIT operands (r13 continuation)
+    route to the ``__duck_bit_*`` Arrow kernels — duck's equal-width
+    errors, zero-fill shifts, and NULL passthrough verbatim — detected
+    by the operand's OUTERMOST shape while the ``::BIT`` casts are
+    still visible (this pass runs before _rewrite_operators turns
+    ``xor()`` into ``^``)."""
     if _HAS_BIT_RE.search(sql) is None:
         return sql
 
@@ -1300,6 +1347,84 @@ def _rewrite_bit_strings(sql: str) -> str:
             or _BIT_FN_RE.search(frag) is not None
         )
 
+    # NULL::BIT is a typed NULL, not a literal cast — substitute BEFORE
+    # the operator scan (the left-operand walk treats the bare NULL
+    # keyword as a non-operand) so duck's NULL passthrough survives in
+    # `NULL::BIT & x` via the other side's bit gate
+    sql = re.sub(
+        r"(?<![\w'])NULL\s*::\s*BIT\b",
+        "CAST(NULL AS STRING)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # ---- phase 0: bitwise operators over BIT operands ----
+    guard = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        segs = _abs_segments(sql)
+        edit: tuple[int, int, str] | None = None
+        for m in _BIT_BINOP_RE.finditer(sql):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            op = m.group(0)
+            ls = _scan_left_operand(sql, segs, m.start())
+            rend = _scan_right_operand(sql, segs, m.end())
+            if ls >= m.start() or rend <= m.end():
+                continue
+            lo = sql[ls : m.start()].strip()
+            ro = sql[m.end() : rend].strip()
+            if op in ("<<", ">>"):
+                if not _bit_operand(lo):
+                    continue
+                d = "'L'" if op == "<<" else "'R'"
+                repl = f"__duck_bit_shift({lo}, {ro}, {d})"
+            else:
+                if not (_bit_operand(lo) or _bit_operand(ro)):
+                    continue
+                o = "'AND'" if op == "&" else "'OR'"
+                repl = f"__duck_bit_binop({lo}, {ro}, {o})"
+            edit = (ls, rend, repl)
+            break
+        if edit is None:
+            for m in _BIT_NOT_RE.finditer(sql):
+                if not mask[m.start()]:
+                    continue
+                # prefix-only: a value expression directly before the
+                # ~ means PG's binary regex-match operator — skip
+                if _scan_left_operand(sql, segs, m.start()) < m.start():
+                    continue
+                rend = _scan_right_operand(sql, segs, m.end())
+                if rend <= m.end():
+                    continue
+                ro = sql[m.end() : rend].strip()
+                if not _bit_operand(ro):
+                    continue
+                edit = (m.start(), rend, f"__duck_bit_not({ro})")
+                break
+        if edit is None:
+            for m in _BIT_XOR_RE.finditer(sql):
+                if not all(mask[m.start() : m.end()]):
+                    continue
+                close = _match_paren(sql, mask, m.end() - 1)
+                if close is None:
+                    continue
+                args = split_top_level(sql[m.end() : close])
+                if len(args) != 2:
+                    continue
+                a0, a1 = args[0].strip(), args[1].strip()
+                if not (_bit_operand(a0) or _bit_operand(a1)):
+                    continue
+                edit = (
+                    m.start(),
+                    close + 1,
+                    f"__duck_bit_binop({a0}, {a1}, 'XOR')",
+                )
+                break
+        if edit is None:
+            break
+        s0, e0, repl = edit
+        sql = sql[:s0] + repl + sql[e0:]
     guard = 0
     skipped: set[int] = set()
     while guard < 200:
@@ -4663,24 +4788,124 @@ _BOOL_CTX_BACK_RE = re.compile(
     r"|[(,;]\s*$",
     re.IGNORECASE,
 )
+# backward EXPRESSION leg (r13): keywords that end the scan with an
+# accepted boundary (span starts after them) vs words that abort it —
+# slot-opener keywords (the forward machinery owns that span), range/
+# membership tails, and CASE structure at the operand's own depth
+_BOOL_BACK_OK_KWS = frozenset("SELECT THEN ELSE BY".split())
+_BOOL_BACK_BAIL_KWS = frozenset(
+    """WHERE WHEN AND OR NOT HAVING ON CASE END IS IN LIKE ILIKE GLOB
+    SIMILAR BETWEEN EXISTS COLLATE JOIN FROM SET VALUES DISTINCT ALL
+    UNION INTERSECT EXCEPT LIMIT OFFSET AS ASC DESC RETURNING
+    QUALIFY""".split()
+)
 _NUM_LIT_RE = re.compile(r"[-+]?\d+(?:\.\d+)?")
+_BOOL_STR_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+# VARCHAR→BOOLEAN accepted spellings (probed r13: case-insensitive
+# exactly these six, no whitespace trimming, everything else is a
+# Conversion Error — 'yes'/'on'/' true'/'01' all refuse)
+_BOOL_STR_TRUE = frozenset(("true", "t", "1"))
+_BOOL_STR_FALSE = frozenset(("false", "f", "0"))
+# known-boolean function heads: skip the analysis probe (the typer
+# would only confirm "bool → leave native"); purely a probe-count
+# optimization, an unlisted boolean head still types correctly
+_BOOL_FN_HEADS = frozenset(
+    """exists starts_with startswith ends_with endswith contains prefix
+    suffix like ilike regexp_matches regexp_full_match list_contains
+    array_contains list_has list_has_any list_has_all map_contains
+    json_valid json_contains isnan isfinite isinf signbit
+    pg_is_in_recovery""".split()
+)
 
 
-def rewrite_int_bool_contexts(sql: str, num_cols: set[str]) -> str:
-    """DuckDB coerces NUMERICS to BOOLEAN in boolean contexts —
-    ``NOT 1`` is false, ``WHERE v`` keeps nonzero rows, ``CASE WHEN 1
-    THEN`` takes the branch, NULL stays NULL (probed r13; Spark
-    raises DATATYPE_MISMATCH). For each boolean-context slot (after
-    WHERE / HAVING / WHEN / AND / OR / NOT / ON, or IF's first
-    argument) whose ENTIRE content is one numeric literal or a known
-    numeric COLUMN (``num_cols``, lowercase unqualified — empty for
-    the schema-free literal leg inside rewrite()), wrap it in
-    ``(x <> 0)`` — duck's exact truth rule including NULL
-    passthrough. Anything composite in the slot is left alone (a
-    comparison already yields boolean; unknown shapes stay loud)."""
+def _bool_lit_fold(atom: str) -> str | None:
+    """Fold a string LITERAL in a boolean slot to TRUE/FALSE per duck's
+    VARCHAR→BOOLEAN cast, or None (not a string literal, or a spelling
+    duck refuses — Spark's DATATYPE_MISMATCH is the matching loud
+    refusal, so invalid spellings stay native)."""
+    if _BOOL_STR_LIT_RE.fullmatch(atom) is None:
+        return None
+    val = atom[1:-1].replace("''", "'").lower()
+    if val in _BOOL_STR_TRUE:
+        return "TRUE"
+    if val in _BOOL_STR_FALSE:
+        return "FALSE"
+    return None
+
+
+def _bool_str_wrap(expr: str) -> str:
+    """duck's VARCHAR→BOOLEAN coercion over a runtime string: the six
+    accepted spellings case-folded, NULL passthrough, duck's exact
+    Conversion Error otherwise (raise_error → wire SQLSTATE, the
+    lpad/rpad precedent). ``expr`` is embedded four times — fine for
+    columns, and expression operands only reach here via the typer leg
+    (documented duplication, the wrap_case_call precedent)."""
+    return (
+        f"(CASE WHEN {expr} IS NULL THEN CAST(NULL AS BOOLEAN)"
+        f" WHEN lower({expr}) IN ('true', 't', '1') THEN TRUE"
+        f" WHEN lower({expr}) IN ('false', 'f', '0') THEN FALSE"
+        f" ELSE CAST(raise_error(concat('Conversion Error: Could not"
+        f" convert string ''', {expr}, ''' to BOOL')) AS BOOLEAN) END)"
+    )
+
+
+def rewrite_int_bool_contexts(
+    sql: str,
+    num_cols: set[str],
+    str_cols: frozenset[str] | set[str] = frozenset(),
+    typer_factory=None,
+) -> str:
+    """DuckDB coerces NUMERICS and STRINGS to BOOLEAN in boolean
+    contexts — ``NOT 1`` is false, ``WHERE v`` keeps nonzero rows,
+    ``NOT 'true'`` is false, ``CASE WHEN 1 THEN`` takes the branch,
+    NULL stays NULL (probed r13; Spark raises DATATYPE_MISMATCH). For
+    each boolean-context slot (after WHERE / HAVING / WHEN / AND / OR
+    / NOT / ON, or IF's first argument):
+
+    - a numeric literal or known numeric COLUMN (``num_cols``,
+      lowercase unqualified — empty for the schema-free literal leg
+      inside rewrite()) wraps in ``(x <> 0)`` — duck's exact truth
+      rule including NULL passthrough;
+    - a string LITERAL folds to TRUE/FALSE at rewrite time when it is
+      one of duck's six accepted spellings (true/t/1/false/f/0,
+      case-insensitive, untrimmed); refused spellings stay native —
+      Spark's analyzer error is the matching loud refusal;
+    - a known string COLUMN (``str_cols``) wraps in the runtime
+      VARCHAR→BOOLEAN CASE (accepted spellings + NULL passthrough +
+      duck's Conversion Error via raise_error);
+    - any other single EXPRESSION in the slot (no top-level comparison
+      chars, not a known-boolean head) resolves through the
+      analysis-time typer (r13: kind ∈ num/str/bool/other) and takes
+      the matching wrap — ``WHERE v + 1``, ``HAVING count(*)``,
+      ``NOT (SELECT 1)``, ``IF(length(s), …)`` all coerce like duck.
+      ``typer_factory`` takes the NEUTRALIZED statement text (every
+      candidate slot replaced by TRUE — the original text cannot
+      analyze while the invalid slots are still in it) and returns the
+      ``expr -> kind`` callable.
+
+    Anything the legs can't classify is left alone (a comparison
+    already yields boolean; unknown shapes stay loud)."""
     if _BOOL_CTX_L_RE.search(sql) is None:
         return sql
-    mask = _code_mask(sql)
+    kinds: list[str] = []
+    for k_, seg_ in _lex(sql):
+        kinds.extend([k_] * len(seg_))
+    mask = [k_ == "code" for k_ in kinds]
+
+    def _atom_repl(atom: str) -> str | None:
+        """Replacement for a whole-slot atom, or None (leave native)."""
+        if _NUM_LIT_RE.fullmatch(atom) is not None:
+            return f"({atom} <> 0)"
+        lit = _bool_lit_fold(atom)
+        if lit is not None:
+            return lit
+        if re.fullmatch(r"[A-Za-z_][\w.]*", atom) is not None:
+            base = atom.split(".")[-1].lower()
+            if base in num_cols:
+                return f"({atom} <> 0)"
+            if base in str_cols:
+                return _bool_str_wrap(atom)
+        return None
     depth: list[int] = []
     d = 0
     for i, ch in enumerate(sql):
@@ -4730,6 +4955,7 @@ def rewrite_int_bool_contexts(sql: str, num_cols: set[str]) -> str:
                 consumed_ands.add(p)
                 break
     edits: list[tuple[int, int, str]] = []
+    pending: list[tuple[int, int, str]] = []  # deferred typer slots
     for m in _BOOL_CTX_L_RE.finditer(sql):
         if not all(mask[m.start() : m.end()]):
             continue
@@ -4742,6 +4968,7 @@ def rewrite_int_bool_contexts(sql: str, num_cols: set[str]) -> str:
             # the AND/OR — possibly paren-wrapped (`(v) OR x`, r13
             # fuzz) — itself preceded by a boundary (`(1 AND true)`,
             # `SELECT v AND b` — r13 probe)
+            n_edits_before = len(edits)
             left = sql[: m.start()]
             stripped_left = left.rstrip()
             paren_span = None
@@ -4764,44 +4991,60 @@ def rewrite_int_bool_contexts(sql: str, num_cols: set[str]) -> str:
                     while inner2.startswith("(") and inner2.endswith(")"):
                         inner2 = inner2[1:-1].strip()
                     if re.fullmatch(
-                        r"[-+]?\d+(?:\.\d+)?|[A-Za-z_][\w.]*", inner2
+                        r"[-+]?\d+(?:\.\d+)?|[A-Za-z_][\w.]*"
+                        r"|'(?:[^']|'')*'",
+                        inner2,
                     ):
                         paren_span = (oi, ci + 1, inner2)
             if paren_span is not None:
                 oi, ce, atom = paren_span
-                ok = _NUM_LIT_RE.fullmatch(atom) is not None or (
-                    bool(num_cols)
-                    and atom.split(".")[-1].lower() in num_cols
-                    and re.fullmatch(r"[A-Za-z_][\w.]*", atom)
-                )
-                if ok and (
+                repl0 = _atom_repl(atom)
+                if repl0 is not None and (
                     oi == 0
                     or _BOOL_CTX_BACK_RE.search(sql[:oi])
                     or sql[:oi].rstrip() == ""
                 ):
-                    edits.append((oi, ce, f"({atom} <> 0)"))
+                    edits.append((oi, ce, repl0))
                 bm = None  # paren form handled; skip the bare leg
             else:
                 bm = re.search(
-                    r"([-+]?\d+(?:\.\d+)?|[A-Za-z_][\w.]*)\s*$",
+                    r"([-+]?\d+(?:\.\d+)?|[A-Za-z_][\w.]*"
+                    r"|'(?:[^']|'')*')\s*$",
                     left,
                 )
-            if bm and all(mask[bm.start(1) : m.start()]):
+            if bm:
                 atom = bm.group(1)
-                ok = _NUM_LIT_RE.fullmatch(atom) is not None or (
-                    bool(num_cols)
-                    and atom.split(".")[-1].lower() in num_cols
-                    and re.fullmatch(r"[A-Za-z_][\w.]*", atom)
-                )
+                if atom.startswith("'"):
+                    # the matched span must be ONE whole lit segment
+                    # (not the tail of a longer literal) with only
+                    # code whitespace between it and the AND/OR
+                    span_ok = (
+                        all(
+                            kinds[i] == "lit"
+                            for i in range(bm.start(1), bm.end(1))
+                        )
+                        and (
+                            bm.start(1) == 0
+                            or kinds[bm.start(1) - 1] != "lit"
+                        )
+                        and all(mask[bm.end(1) : m.start()])
+                    )
+                else:
+                    span_ok = all(mask[bm.start(1) : m.start()])
+            else:
+                span_ok = False
+            if bm and span_ok:
+                atom = bm.group(1)
+                repl0 = _atom_repl(atom)
                 boundary = (
                     _BOOL_CTX_BACK_RE.search(sql[: bm.start(1)])
                     if bm.start(1) > 0
                     else None
                 )
-                if ok and bm.start(1) > 0 and boundary is None:
-                    ok = False
+                if repl0 is not None and bm.start(1) > 0 and boundary is None:
+                    repl0 = None
                 if (
-                    ok
+                    repl0 is not None
                     and boundary is not None
                     and boundary.group(1) is not None
                     and boundary.group(1).upper() == "AND"
@@ -4810,11 +5053,69 @@ def rewrite_int_bool_contexts(sql: str, num_cols: set[str]) -> str:
                     # the atom is a BETWEEN upper bound (`price
                     # BETWEEN 10 AND 20 AND qty > 0` — review r13):
                     # its left boundary is the range separator
-                    ok = False
-                if ok:
-                    edits.append(
-                        (bm.start(1), bm.end(1), f"({atom} <> 0)")
+                    repl0 = None
+                if repl0 is not None:
+                    edits.append((bm.start(1), bm.end(1), repl0))
+            if len(edits) == n_edits_before and typer_factory is not None:
+                # EXPRESSION left operand (r13 fuzz find: `SELECT
+                # (abs(n) AND sv)` — no forward slot opens before the
+                # first conjunct in SELECT-list/paren/THEN contexts).
+                # Walk back to a boundary at the AND's own depth;
+                # slot-opener keywords bail (the forward machinery
+                # owns that span), comparison chars and range/
+                # membership/CASE words bail (already boolean or
+                # incomplete).
+                td_m = depth[m.start()]
+                j2 = m.start() - 1
+                bail = False
+                bstart = 0
+                while j2 >= 0:
+                    if not mask[j2] or depth[j2] > td_m:
+                        j2 -= 1
+                        continue
+                    if depth[j2] < td_m:
+                        bstart = j2 + 1
+                        break
+                    ch2 = sql[j2]
+                    if ch2 in ",;":
+                        bstart = j2 + 1
+                        break
+                    if ch2 in "=<>!":
+                        bail = True
+                        break
+                    if ch2.isalpha() or ch2 == "_":
+                        ws = j2
+                        while (
+                            ws > 0
+                            and mask[ws - 1]
+                            and (sql[ws - 1].isalnum() or sql[ws - 1] == "_")
+                        ):
+                            ws -= 1
+                        w = sql[ws : j2 + 1].upper()
+                        if w in _BOOL_BACK_OK_KWS:
+                            bstart = j2 + 1
+                            break
+                        if w in _BOOL_BACK_BAIL_KWS:
+                            bail = True
+                            break
+                        j2 = ws - 1
+                        continue
+                    j2 -= 1
+                span = sql[bstart : m.start()]
+                frag2 = span.strip()
+                hm2 = re.match(r"[A-Za-z_]\w*", frag2)
+                if (
+                    not bail
+                    and frag2
+                    and _BOOL_STR_LIT_RE.fullmatch(frag2) is None
+                    and frag2.upper() not in ("TRUE", "FALSE", "NULL")
+                    and (
+                        hm2 is None
+                        or hm2.group(0).lower() not in _BOOL_FN_HEADS
                     )
+                ):
+                    f2s = bstart + (len(span) - len(span.lstrip()))
+                    pending.append((f2s, f2s + len(frag2), frag2))
         start = m.end()
         if m.group(0).upper().startswith("IF"):
             # just past '(' — first argument slot, one level deeper
@@ -4851,26 +5152,73 @@ def rewrite_int_bool_contexts(sql: str, num_cols: set[str]) -> str:
             j += 1
         if continues:
             continue
-        # trim trailing comments (mask-false spans) from the slot —
-        # `WHERE 1 -- note` must still coerce, and the wrap must not
-        # swallow a line comment into its parens (review r13)
-        while end > start and (not mask[end - 1] or sql[end - 1].isspace()):
+        # trim trailing comments and whitespace from the slot — but
+        # never string-literal chars (`WHERE 'true'` must keep its
+        # atom; `WHERE 1 -- note` must still coerce, and the wrap must
+        # not swallow a line comment into its parens — review r13)
+        while end > start and (
+            kinds[end - 1] == "comment" or sql[end - 1].isspace()
+        ):
             end -= 1
         frag = sql[start:end].strip()
         inner = frag
         while inner.startswith("(") and inner.endswith(")"):
             inner = inner[1:-1].strip()
-        is_num_lit = _NUM_LIT_RE.fullmatch(inner) is not None
-        is_num_col = (
-            bool(num_cols)
-            and re.fullmatch(r"[A-Za-z_][\w.]*", inner) is not None
-            and inner.split(".")[-1].lower() in num_cols
-        )
-        if not (is_num_lit or is_num_col):
-            continue
+        repl = _atom_repl(inner)
         fs = start + (len(sql[start:end]) - len(sql[start:end].lstrip()))
         fe = fs + len(frag)
-        edits.append((fs, fe, f"({frag} <> 0)"))
+        if repl is None and typer_factory is not None and frag:
+            # EXPRESSION leg (r13): a slot holding one non-atom
+            # expression — `v + 1`, `length(s)`, `count(*)`,
+            # `(SELECT 1)`, `a || 'x'` — resolves through the
+            # analysis-time typer, DEFERRED: the probe statement must
+            # first neutralize every candidate slot to TRUE or its own
+            # analysis dies on the very FILTER_NOT_BOOLEAN the rewrite
+            # exists to fix. Skip shapes that already yield boolean:
+            # top-level comparison chars (the slot scan only breaks on
+            # keywords), known-boolean fn heads, bare TRUE/FALSE/NULL;
+            # skip string literals duck would refuse (native analyzer
+            # error = matching loud refusal).
+            hm = re.match(r"[A-Za-z_]\w*", inner)
+            headu = hm.group(0).upper() if hm else ""
+            has_cmp_char = any(
+                mask[j2] and depth[j2] == td and sql[j2] in "=<>!"
+                for j2 in range(start, end)
+            )
+            if (
+                not has_cmp_char
+                and headu not in ("TRUE", "FALSE", "NULL", "EXISTS")
+                and headu.lower() not in _BOOL_FN_HEADS
+                and _BOOL_STR_LIT_RE.fullmatch(inner) is None
+            ):
+                pending.append((fs, fe, frag))
+            continue
+        if repl is None:
+            continue
+        edits.append((fs, fe, repl))
+    if pending and typer_factory is not None:
+        # neutralize every candidate slot (cheap-leg edits AND typer
+        # candidates) so the probe statement analyzes, then type each
+        # deferred fragment against that neutral text
+        neutral: list[str] = []
+        pos = 0
+        for s, e, _r in sorted(
+            [(s, e, "") for s, e, _ in edits]
+            + [(s, e, "") for s, e, _ in pending]
+        ):
+            if s < pos:
+                continue
+            neutral.append(sql[pos:s])
+            neutral.append("TRUE")
+            pos = e
+        neutral.append(sql[pos:])
+        typer = typer_factory("".join(neutral))
+        for fs, fe, frag in pending:
+            tk = typer(frag)
+            if tk == "num":
+                edits.append((fs, fe, f"(({frag}) <> 0)"))
+            elif tk == "str":
+                edits.append((fs, fe, _bool_str_wrap(f"({frag})")))
     if not edits:
         return sql
     out: list[str] = []
@@ -4882,6 +5230,181 @@ def rewrite_int_bool_contexts(sql: str, num_cols: set[str]) -> str:
         out.append(repl)
         pos = e
     out.append(sql[pos:])
+    return "".join(out)
+
+
+_SETOP_SPLIT_RE = re.compile(
+    r"\b(UNION|INTERSECT|EXCEPT)\b(\s+ALL|\s+DISTINCT)?(\s+BY\s+NAME)?",
+    re.IGNORECASE,
+)
+_SETOP_TAIL_RE = re.compile(
+    r"\b(ORDER\s+BY|LIMIT|OFFSET|FETCH)\b", re.IGNORECASE
+)
+
+
+def _with_body_start(sql: str, mask: list[bool]) -> int | None:
+    """Index where a WITH-headed statement's main body begins (after
+    the CTE list), or None when the head isn't WITH / parsing fails."""
+    m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", sql, re.IGNORECASE)
+    if m is None:
+        return None
+    i = m.end()
+    n = len(sql)
+    while True:
+        # name [ (cols) ] AS ( body )
+        im = re.compile(
+            r'\s*(?:"[^"]+"|[A-Za-z_]\w*)\s*(\([^)]*\))?\s*AS\s*\(',
+            re.IGNORECASE,
+        ).match(sql, i)
+        if im is None:
+            return None
+        close = _match_paren(sql, mask, im.end() - 1)
+        if close is None:
+            return None
+        i = close + 1
+        while i < n and (sql[i].isspace() or not mask[i]):
+            i += 1
+        if i < n and sql[i] == ",":
+            i += 1
+            continue
+        return i
+
+
+def rewrite_setop_mixed_types(sql: str, branch_schema) -> str:
+    """DuckDB widens mixed-type set-operation branches where Spark
+    coerces differently or refuses (probed r13):
+
+    - a STRING branch column + any atomic other (numeric / bool /
+      date / timestamp) → the whole column is VARCHAR carrying duck's
+      text rendering (``SELECT 1 UNION ALL SELECT 'a'`` → '1', 'a';
+      Spark casts the string side to INT and dies on 'a' at runtime);
+    - BOOLEAN + numeric → the numeric type (true → 1; Spark refuses
+      int∪bool at analysis).
+
+    Each affected branch wraps in a projection applying the casts —
+    DOUBLE/FLOAT render through duck_double_text (shortest-round-trip,
+    '1e+20'), everything else through CAST(... AS STRING), booleans
+    joining numerics through CAST(... AS INT). ``branch_schema`` maps
+    one branch's text (CTE prefix included) to [(name, kind)] via
+    Spark ANALYSIS only, or None — any analysis failure, column-count
+    mismatch, or BY NAME form leaves the statement untouched (both
+    engines are loud on the genuinely incompatible combos, e.g.
+    int∪date). Top-level set ops only; set ops nested in derived
+    tables keep native semantics (documented residue). INTERVAL
+    columns never widen (duck's interval text has no in-query twin —
+    loud residue)."""
+    mask = _code_mask(sql)
+    seps: list[tuple[int, int]] = []
+    by_name = False
+    depths: list[int] = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depths.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    for m in _SETOP_SPLIT_RE.finditer(sql):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        if depths[m.start()] != 0:
+            continue
+        if m.group(3):
+            by_name = True
+        seps.append((m.start(), m.end()))
+    if not seps or by_name:
+        return sql
+    body_start = _with_body_start(sql, mask)
+    prefix = ""
+    if body_start is None:
+        body_start = 0
+    else:
+        if any(s < body_start for s, _ in seps):
+            return sql  # set op inside the CTE list: out of scope
+        prefix = sql[:body_start]
+    # split the statement tail (ORDER BY/LIMIT after the LAST branch
+    # belongs to the whole set operation)
+    last_sep_end = seps[-1][1]
+    tail_start = len(sql)
+    for tm in _SETOP_TAIL_RE.finditer(sql, last_sep_end):
+        if all(mask[tm.start() : tm.end()]) and depths[tm.start()] == 0:
+            tail_start = tm.start()
+            break
+    bounds = [body_start] + [s for s, _ in seps] + [tail_start]
+    branches: list[str] = []
+    for bi in range(len(seps) + 1):
+        bs = bounds[bi] if bi == 0 else seps[bi - 1][1]
+        be = bounds[bi + 1]
+        branches.append(sql[bs:be])
+    schemas = []
+    for b in branches:
+        sc = branch_schema(prefix + b)
+        if sc is None:
+            return sql
+        schemas.append(sc)
+    ncols = len(schemas[0])
+    if any(len(sc) != ncols for sc in schemas):
+        return sql
+    # decide per-column target kinds
+    targets: list[str | None] = []
+    for ci in range(ncols):
+        kinds = {sc[ci][1] for sc in schemas} - {"null"}
+        if len(kinds) <= 1 or "other" in kinds or "interval" in kinds:
+            targets.append(None)
+        elif "string" in kinds and kinds <= {
+            "string", "int", "float", "decimal", "bool", "date",
+            "timestamp",
+        }:
+            targets.append("string")
+        elif "bool" in kinds and kinds <= {"bool", "int", "float", "decimal"}:
+            targets.append("num")
+        else:
+            targets.append(None)
+    if all(t is None for t in targets):
+        return sql
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    wrapped: list[str] = []
+    changed = False
+    for bi, b in enumerate(branches):
+        items: list[str] = []
+        needs = False
+        for ci in range(ncols):
+            name, kind = schemas[bi][ci]
+            t = targets[ci]
+            col = q(name)
+            if t == "string" and kind in (
+                "int", "decimal", "bool", "date", "timestamp",
+            ):
+                items.append(f"CAST({col} AS STRING) AS {col}")
+                needs = True
+            elif t == "string" and kind == "float":
+                items.append(
+                    f"(CASE WHEN {col} IS NULL THEN CAST(NULL AS STRING)"
+                    f" ELSE duck_double_text({col}) END) AS {col}"
+                )
+                needs = True
+            elif t == "num" and kind == "bool":
+                items.append(f"CAST({col} AS INT) AS {col}")
+                needs = True
+            else:
+                items.append(col)
+        if needs:
+            wrapped.append(
+                f"SELECT {', '.join(items)} FROM ({b.strip()}) __setw{bi} "
+            )
+            changed = True
+        else:
+            wrapped.append(b)
+    if not changed:
+        return sql
+    out = [sql[:body_start]]
+    out.append(wrapped[0])
+    for bi, (ss, se) in enumerate(seps):
+        out.append(sql[ss:se] + " ")
+        out.append(wrapped[bi + 1])
+    out.append(sql[tail_start:])
     return "".join(out)
 
 
@@ -5483,6 +6006,12 @@ def _tpl_time_bucket(args: list[str]) -> str | None:
     if idm:
         low = idm.group(1).split(".")[-1].strip("`").lower()
         mark = f"/*__duck_tb:{low}*/"
+    elif len(ts) <= 400:
+        # non-identifier operand EXPRESSIONS (r13 continuation):
+        # carry the original operand hex-encoded so the schema leg
+        # can resolve its type through the analysis typer (a plain
+        # comment embedding could contain '*/')
+        mark = f"/*__duck_tbx:{ts.strip().encode().hex()}*/"
     if unit in ("month", "months", "year", "years"):
         months = n * (12 if unit.startswith("year") else 1)
         if months == 0:
@@ -5536,18 +6065,23 @@ def _tpl_time_bucket(args: list[str]) -> str | None:
     return None
 
 
-_TB_MARK_RE = re.compile(r"/\*__duck_tb:(\w+)\*/")
+_TB_MARK_RE = re.compile(r"/\*__duck_tb(x?):(\w+)\*/")
 
 
-def rewrite_time_bucket_date_cols(sql: str, date_cols: set[str]) -> str:
+def rewrite_time_bucket_date_cols(
+    sql: str, date_cols: set[str], typer=None
+) -> str:
     """Schema-aware leg of the time_bucket return type (r13, VERDICT
     item 4): duck returns DATE whenever the operand is DATE-typed —
     at EVERY bucket width (probed; a midnight-aligned input always
     buckets to a midnight-aligned instant, so the cast never changes
     the value). ``_tpl_time_bucket`` tags bare-identifier operands
-    with ``/*__duck_tb:name*/``; this pass CASTs the tagged bucket
-    expression to DATE when the name resolves to a DATE column and
-    strips the marker either way."""
+    with ``/*__duck_tb:name*/`` and operand EXPRESSIONS with the
+    hex-payload ``/*__duck_tbx:...*/`` (r13 continuation); this pass
+    CASTs the tagged bucket expression to DATE when the name resolves
+    to a DATE column — or, for expression markers, when the analysis
+    ``typer`` resolves the original operand to DATE — and strips the
+    marker either way."""
     guard = 0
     while guard < 100:
         guard += 1
@@ -5562,10 +6096,17 @@ def rewrite_time_bucket_date_cols(sql: str, date_cols: set[str]) -> str:
         if close is None:
             return sql
         expr = sql[m.end() : close + 1]
-        if m.group(1) in date_cols:
-            repl = f"CAST({expr} AS DATE)"
+        is_date = False
+        if m.group(1):  # expression marker: hex payload → typer
+            if typer is not None:
+                try:
+                    operand = bytes.fromhex(m.group(2)).decode()
+                except ValueError:
+                    operand = None
+                is_date = operand is not None and typer(operand) == "date"
         else:
-            repl = expr
+            is_date = m.group(2) in date_cols
+        repl = f"CAST({expr} AS DATE)" if is_date else expr
         sql = sql[: m.start()] + repl + sql[close + 1 :]
     return sql
 

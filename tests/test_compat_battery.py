@@ -589,6 +589,50 @@ def test_bool_cast_rejected_literal_errors():
         rewrite("SELECT CAST(' true ' AS BOOLEAN) AS b")
 
 
+def test_bool_coercion_column_conversion_error(spark, oracle):
+    """A string COLUMN in a boolean context carrying a value outside
+    duck's accepted set raises duck's Conversion Error at runtime on
+    BOTH engines (the emitted CASE's raise_error arm)."""
+    from duckdb_pgwire_spark.server.app import _hugeint_sums
+
+    oracle.execute(
+        "CREATE OR REPLACE TABLE sbool_bad AS SELECT 'maybe' AS sv"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW sbool_bad AS SELECT 'maybe' AS sv"
+    )
+    stmt = "SELECT 1 AS x FROM sbool_bad WHERE sv"
+    with pytest.raises(Exception, match="onvert string"):
+        oracle.execute(stmt).fetchall()
+    with pytest.raises(Exception, match="onvert string 'maybe' to BOOL"):
+        spark.sql(_hugeint_sums(spark, rewrite(stmt))).collect()
+
+
+def test_between_symmetric_refusal_is_parity(spark, oracle):
+    """BETWEEN SYMMETRIC: DuckDB v1.x itself raises 'Not implemented
+    Error: Expression type T_List' (probed r13) — the GROUPS-mode
+    precedent: refusal IS parity, closing the last ordering residue."""
+    stmt = "SELECT 5 BETWEEN SYMMETRIC 10 AND 1 AS a"
+    with pytest.raises(Exception, match="Not implemented"):
+        oracle.execute(stmt).fetchall()
+    with pytest.raises(Exception):
+        spark.sql(rewrite(stmt)).collect()
+
+
+def test_bit_op_size_mismatch_errors(spark):
+    """duck refuses bitwise ops over unequal BIT widths with Invalid
+    Input Error, and a negative left-shift with Out of Range Error —
+    the kernels raise the same messages."""
+    register_udfs(spark)
+    for q, frag in [
+        ("SELECT '01'::BIT & '011'::BIT AS a", "Cannot AND bit strings"),
+        ("SELECT xor('01'::BIT, '011'::BIT) AS a", "Cannot XOR bit"),
+        ("SELECT '0101'::BIT << -1 AS a", "left-shift by negative"),
+    ]:
+        with pytest.raises(Exception, match=frag):
+            spark.sql(rewrite(q)).collect()
+
+
 def test_printf_type_mismatch_literal_errors():
     """DuckDB: Invalid Input Error for a type-mismatched printf
     directive (%s with numeric, %d/%x with string) where Java's
@@ -658,6 +702,24 @@ COMPOSITE_CONTEXT_SPLIT = [
         " (2, array(1,CAST(NULL AS INT)), array(1,CAST(NULL AS INT))),"
         " (3, array(1,CAST(NULL AS INT)), array(1,2)),"
         " (4, array(2,CAST(NULL AS INT)), array(1)) t(k, a, b)",
+    ),
+    # string/numeric columns for the r13 boolean-coercion legs (sv
+    # holds only duck-accepted spellings or NULL — invalid values are
+    # the separate error-parity test)
+    (
+        "CREATE OR REPLACE TABLE probe_sbool AS SELECT * FROM (VALUES"
+        " (1, 'true', -1, DATE '2024-03-11'),"
+        " (2, 'f', 0, DATE '2024-03-15'),"
+        " (3, '0', 1, DATE '2024-04-02'), (4, 'T', 2, DATE '2024-05-20'),"
+        " (5, NULL, NULL, NULL), (6, '1', 2, DATE '2024-06-30'))"
+        " t(k, sv, n, dd)",
+        "CREATE OR REPLACE TEMP VIEW probe_sbool AS SELECT * FROM VALUES"
+        " (1, 'true', -1, DATE '2024-03-11'),"
+        " (2, 'f', 0, DATE '2024-03-15'),"
+        " (3, '0', 1, DATE '2024-04-02'), (4, 'T', 2, DATE '2024-05-20'),"
+        " (5, CAST(NULL AS STRING), CAST(NULL AS INT),"
+        " CAST(NULL AS DATE)), (6, '1', 2, DATE '2024-06-30')"
+        " t(k, sv, n, dd)",
     ),
 ]
 
@@ -903,6 +965,20 @@ COMPOSITE_CONTEXT_QUERIES = [
     " bit_count(-1::INT) AS w32, bit_count(-1::BIGINT) AS w64,"
     " bit_count(-1) AS wdef, bit_count(5) AS pos",
     "SELECT repeat('ab'::BLOB, 2) AS brep, repeat('ab'::BLOB, 0) AS b0",
+    # r13 continuation: bitwise operators over BIT operands (the one
+    # residue of the bit/blob sweep) — __duck_bit_* kernels
+    "SELECT '0101'::BIT & '0011'::BIT AS a, '0101'::BIT | '0011'::BIT"
+    " AS o, xor('0101'::BIT, '0011'::BIT) AS x",
+    "SELECT ~('0101'::BIT) AS n, ~ '01'::BIT AS n2",
+    "SELECT '0101'::BIT << 2 >> 1 AS s1, '0101'::BIT << 4 AS s2,"
+    " '0101'::BIT >> -2 AS s3, '0101'::BIT << NULL AS s4",
+    "SELECT NULL::BIT & '01'::BIT AS a",
+    "SELECT set_bit('0101'::BIT, 1, 1) & '0011'::BIT AS a,"
+    " bitstring('0101', 8) | '00000001'::BIT AS o",
+    "SELECT bit_count('0110'::BIT & '0010'::BIT) AS c,"
+    " ('01'::BIT & '01'::BIT) = '01'::BIT AS e",
+    "SELECT 5 & 3 AS a, 5 | 2 AS b, 5 << 1 AS c, xor(5, 3) AS d,"
+    " ~5 AS e",
     # row() constructor comparisons: ROW was wrongly a bracket keyword
     # (r13) — the orphaned head wrapped the emitted CASE in struct()
     "SELECT row(1,'a') = row(1,'a') AS eq, row(1,'a') = row(2,'a') AS ne,"
@@ -931,6 +1007,63 @@ COMPOSITE_CONTEXT_QUERIES = [
     " ORDER BY k",
     "SELECT 1 AS x WHERE 1 -- note",
     "SELECT CASE /* c */ WHEN 1 THEN 2 ELSE 3 END AS x",
+    # --- r13 continuation: STRING→boolean coercion (duck accepts
+    # case-insensitive true/false/t/f/1/0 exactly — no trimming, no
+    # yes/no — NULL passthrough) and EXPRESSION operands via the
+    # analysis typer (`WHERE n + 1`, `HAVING count(*)`, scalar
+    # subqueries, string concat) ---
+    "SELECT NOT 'true' AS a, NOT 'F' AS b, NOT 'tRuE' AS c,"
+    " NOT '0' AS d",
+    "SELECT ('1' AND 't') AS a, ('f' OR 'false') AS b",
+    "SELECT 1 AS x WHERE 'true'",
+    "SELECT 1 AS x WHERE 'true' -- tail comment",
+    "SELECT if('0', 'a', 'b') AS x, if('T', 'a', 'b') AS y",
+    "SELECT CASE WHEN 'f' THEN 'a' ELSE 'b' END AS x",
+    "SELECT k, NOT sv AS nv FROM probe_sbool ORDER BY k",
+    "SELECT k FROM probe_sbool WHERE sv ORDER BY k",
+    "SELECT k FROM probe_sbool WHERE sv AND n >= 0 ORDER BY k",
+    "SELECT k FROM probe_sbool WHERE n + 1 ORDER BY k",
+    "SELECT k FROM probe_sbool WHERE abs(n) ORDER BY k",
+    "SELECT k FROM probe_sbool WHERE NOT (n + 1) ORDER BY k",
+    "SELECT n FROM probe_sbool GROUP BY n HAVING count(*) - 1"
+    " ORDER BY n",
+    "SELECT 1 AS one WHERE (SELECT 4)",
+    "SELECT 1 AS one WHERE 'tr' || 'ue'",
+    "SELECT k FROM probe_sbool WHERE substr(sv, 1, 1) ORDER BY k",
+    # backward EXPRESSION leg: the LEFT operand of AND/OR in SELECT-
+    # list/paren contexts where no forward slot opens (r13 fuzz find)
+    "SELECT k, (abs(n) AND sv) AS x FROM probe_sbool ORDER BY k",
+    "SELECT k, (n + 1 OR k > 5) AS x FROM probe_sbool ORDER BY k",
+    "SELECT k, (sv AND n) AS x FROM probe_sbool ORDER BY k",
+    # --- r13 continuation: mixed-type set-op widening (duck widens
+    # string+atomic to VARCHAR with its text rendering, bool+numeric
+    # to the numeric; Spark coerced string→numeric or refused) ---
+    "SELECT 1 AS x UNION ALL SELECT 'a'",
+    "SELECT 1 AS x UNION ALL SELECT '7'",
+    "SELECT 1 AS x UNION ALL SELECT true",
+    "SELECT true AS x UNION ALL SELECT 1.5",
+    "SELECT 'a' AS x UNION ALL SELECT true",
+    "SELECT DATE '2024-01-01' AS x UNION ALL SELECT 'a'",
+    "SELECT 1e20 AS x UNION ALL SELECT 'a'",
+    "SELECT 1 AS x UNION ALL SELECT 'a' UNION ALL SELECT 2.5",
+    "SELECT 1 AS x EXCEPT SELECT '1'",
+    "SELECT 1 AS x UNION SELECT 'a' ORDER BY 1",
+    "SELECT 'x' AS a, 1 AS b UNION ALL SELECT 2, 'y'",
+    "WITH cmx AS (SELECT 1 AS v) SELECT v FROM cmx UNION ALL"
+    " SELECT 'a'",
+    "SELECT 1 AS x UNION ALL SELECT 'a' ORDER BY 1 LIMIT 2",
+    "SELECT k FROM probe_sbool WHERE n > 0 UNION ALL SELECT 'end'"
+    " ORDER BY 1",
+    # same-typed controls must stay native
+    "SELECT 1 AS x UNION ALL SELECT 2.5",
+    "SELECT 'a' AS x UNION SELECT 'b' ORDER BY 1",
+    # time_bucket DATE-typed EXPRESSION operands keep duck's DATE
+    # return type through the hex-marker + analysis-typer leg (r13)
+    "SELECT k, time_bucket(INTERVAL '7 days',"
+    " greatest(dd, DATE '2024-03-16')) AS b FROM probe_sbool"
+    " ORDER BY k",
+    "SELECT k, time_bucket(INTERVAL '1 month', coalesce(dd, dd)) AS b"
+    " FROM probe_sbool ORDER BY k",
     # --- r12 collation sweep: duck default binary UTF-8 order matched
     # Spark natively (18/18 ok) — pin a few as the regression net ---
     "SELECT x FROM (VALUES ('a'), ('B'), ('b'), ('A'), ('Z'), ('z'))"
