@@ -220,6 +220,22 @@ def _nfc_normalize(s: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.StringType())
+def _duck_float32_text(v: pd.Series) -> pd.Series:
+    """DuckDB's REAL→VARCHAR rendering = single-precision shortest
+    round-trip (numpy float32 repr: '0.1', not the float64 upcast
+    '0.10000000149011612'). Scalar twin of the f32 leaf formatter in
+    _duck_varchar_f32 (review r13: the set-op widening pass rendered
+    REAL branches in double precision)."""
+    import numpy as np
+
+    def f(x):
+        x32 = np.float32(x)
+        return "nan" if x32 != x32 else str(x32)
+
+    return v.map(lambda x: None if x is None else f(x), na_action=None)
+
+
+@F.pandas_udf(T.StringType())
 def _duck_bit_binop(a: pd.Series, b: pd.Series, op: pd.Series) -> pd.Series:
     """Bitwise AND/OR/XOR over the BIT emulation's 0/1 strings (r13
     continuation; duck probe: equal widths required — 'Cannot AND bit
@@ -235,6 +251,14 @@ def _duck_bit_binop(a: pd.Series, b: pd.Series, op: pd.Series) -> pd.Series:
         if x is None or y is None:
             out.append(None)
             continue
+        for s in (x, y):
+            # duck coerces bare string literals into bitwise ops
+            # ('01' & '01'::BIT works) but refuses non-binary chars
+            if s.strip("01"):
+                raise ValueError(
+                    "Invalid character encountered in string -> bit"
+                    f" conversion: '{s}'"
+                )
         if len(x) != len(y):
             raise ValueError(
                 f"Invalid Input Error: Cannot {o} bit strings of"
@@ -1247,6 +1271,7 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("duck_list_skewness", _duck_list_skewness)
     spark.udf.register("duck_list_kurtosis", _duck_list_kurtosis)
     spark.udf.register("duck_double_text", _duck_double_text)
+    spark.udf.register("duck_float32_text", _duck_float32_text)
     spark.udf.register("__duck_bit_binop", _duck_bit_binop)
     spark.udf.register("__duck_bit_shift", _duck_bit_shift)
     spark.udf.register("__duck_bit_not", _duck_bit_not)

@@ -3128,8 +3128,10 @@ def _setop_kind(dt) -> str:
         return "string"
     if isinstance(dt, T.ByteType | T.ShortType | T.IntegerType | T.LongType):
         return "int"
-    if isinstance(dt, T.FloatType | T.DoubleType):
-        return "float"
+    if isinstance(dt, T.FloatType):
+        return "float32"  # REAL renders single-precision (review r13)
+    if isinstance(dt, T.DoubleType):
+        return "float64"
     if isinstance(dt, T.DecimalType):
         return "decimal"
     if isinstance(dt, T.BooleanType):
@@ -3339,6 +3341,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     dec_cols: set[str] = set()
     date_cols: set[str] = set()
     str_cols: set[str] = set()
+    bool_cols: set[str] = set()
     ordered_cols: list[str] = []
     enum_cols: dict[str, str] = {}
     non_enum_cols: set[str] = set()
@@ -3412,6 +3415,11 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             for f in fields
             if isinstance(f.dataType, T.StringType)
         )
+        bool_cols.update(
+            f.name.lower()
+            for f in fields
+            if isinstance(f.dataType, T.BooleanType)
+        )
         for f in fields:
             if f.name not in ordered_cols:
                 ordered_cols.append(f.name)
@@ -3447,6 +3455,8 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                 return "complex"
             if isinstance(dt, T.StringType):
                 return "string"
+            if isinstance(dt, T.BooleanType):
+                return "boolean"
             return "other"
 
         kinds: dict[str, set] = {}
@@ -3465,7 +3475,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                 for colset in (
                     complex_cols, f32_cols, double_cols,
                     int_cols, array_cols, date_cols, dec_cols,
-                    str_cols,
+                    str_cols, bool_cols,
                 ):
                     colset.discard(lowname)
             elif len(f32_marks.get(lowname, ())) > 1:
@@ -3485,14 +3495,6 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         sql = rewrite_enum_table_columns(sql, enum_cols, varchar_cols)
     if has_date_ivl and date_cols:
         sql = rewrite_date_interval_cols(sql, date_cols)
-    if has_tb:
-        from .compat import rewrite_time_bucket_date_cols
-
-        sql = rewrite_time_bucket_date_cols(
-            sql,
-            date_cols,
-            _make_expr_typer(session, sql, leaf=_date_leaf),
-        )
     if has_columns and ordered_cols:
         sql = rewrite_columns_star(sql, ordered_cols)
     if has_replace and ordered_cols:
@@ -3553,8 +3555,13 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             }
             ctypes = propagate_complex_aliases(sql, ctypes, blocked)
             # analysis-time fallback for opaque operands (r13): type
-            # by hoisting into the SELECT list, analysis only
-            typer = _make_expr_typer(session, sql)
+            # by hoisting into the SELECT list, analysis only — over
+            # the bool-slot-NEUTRALIZED text, or a statement that also
+            # carries duck-style coercion slots (`WHERE n + 1`) would
+            # fail analysis and starve the probe (review r13)
+            from .compat import neutralize_bool_slots
+
+            typer = _make_expr_typer(session, neutralize_bool_slots(sql))
             sql = rewrite_composite_col_eq(sql, ctypes, typer)
             sql = rewrite_composite_col_ord(sql, ctypes, typer)
     if has_vc_cast and complex_cols:
@@ -3568,35 +3575,59 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         sql = rewrite_array_length(sql, array_cols)  # heads still rewrite
     if has_sum:
         sql = rewrite_integer_sums(sql, int_cols)
+    if has_setop and _read_only_head(sql):
+        # duck widens mixed-type set-op branches (string+numeric →
+        # VARCHAR, bool+numeric → numeric) where Spark coerces the
+        # other way or refuses; branch schemas via ANALYSIS only — the
+        # read-only gate keeps session.sql() from EXECUTING a DDL/DML
+        # head passed as a "branch" (the r13 third-review trap). Runs
+        # BEFORE the bool-coercion pass so its probes see consistent
+        # branch types (review r13: the passes starved each other);
+        # a branch whose own bool slots break analysis retries with
+        # the slot-neutralized copy.
+        from .compat import neutralize_bool_slots, rewrite_setop_mixed_types
+
+        def _branch_schema(branch_sql: str):
+            for cand in (branch_sql, neutralize_bool_slots(branch_sql)):
+                try:
+                    fields = session.sql(cand).schema.fields
+                except Exception:  # noqa: BLE001 — try the neutral copy
+                    continue
+                return [
+                    (f.name, _setop_kind(f.dataType), f.dataType.simpleString())
+                    for f in fields
+                ]
+            return None
+
+        sql = rewrite_setop_mixed_types(sql, _branch_schema)
     if has_boolctx:
         from .compat import rewrite_int_bool_contexts
 
         # the expression leg types non-atom slots (`WHERE v + 1`,
         # `HAVING count(*)`) through the analysis prober; probes only
         # fire for slots the cheap legs can't classify, against the
-        # pass's slot-neutralized statement text
+        # pass's slot-neutralized statement text; known BOOLEAN
+        # columns skip entirely (no probe — review r13)
         sql = rewrite_int_bool_contexts(
             sql,
             int_cols | double_cols | dec_cols,
             str_cols,
             lambda neutral: _make_expr_typer(session, neutral, leaf=_bool_leaf),
+            bool_cols,
         )
-    if has_setop and _read_only_head(sql):
-        # duck widens mixed-type set-op branches (string+numeric →
-        # VARCHAR, bool+numeric → numeric) where Spark coerces the
-        # other way or refuses; branch schemas via ANALYSIS only — the
-        # read-only gate keeps session.sql() from EXECUTING a DDL/DML
-        # head passed as a "branch" (the r13 third-review trap)
-        from .compat import rewrite_setop_mixed_types
+    if has_tb:
+        # AFTER the bool pass: the operand typer analyzes the statement
+        # text, which only resolves once coercion slots are rewritten
+        # (review r13 — the tb typer was starved by bool slots)
+        from .compat import neutralize_bool_slots, rewrite_time_bucket_date_cols
 
-        def _branch_schema(branch_sql: str):
-            try:
-                fields = session.sql(branch_sql).schema.fields
-            except Exception:  # noqa: BLE001 — conservative skip
-                return None
-            return [(f.name, _setop_kind(f.dataType)) for f in fields]
-
-        sql = rewrite_setop_mixed_types(sql, _branch_schema)
+        sql = rewrite_time_bucket_date_cols(
+            sql,
+            date_cols,
+            _make_expr_typer(
+                session, neutralize_bool_slots(sql), leaf=_date_leaf
+            ),
+        )
     return sql
 
 

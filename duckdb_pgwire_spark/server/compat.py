@@ -1347,16 +1347,6 @@ def _rewrite_bit_strings(sql: str) -> str:
             or _BIT_FN_RE.search(frag) is not None
         )
 
-    # NULL::BIT is a typed NULL, not a literal cast — substitute BEFORE
-    # the operator scan (the left-operand walk treats the bare NULL
-    # keyword as a non-operand) so duck's NULL passthrough survives in
-    # `NULL::BIT & x` via the other side's bit gate
-    sql = re.sub(
-        r"(?<![\w'])NULL\s*::\s*BIT\b",
-        "CAST(NULL AS STRING)",
-        sql,
-        flags=re.IGNORECASE,
-    )
     # ---- phase 0: bitwise operators over BIT operands ----
     guard = 0
     while guard < 100:
@@ -1369,6 +1359,18 @@ def _rewrite_bit_strings(sql: str) -> str:
                 continue
             op = m.group(0)
             ls = _scan_left_operand(sql, segs, m.start())
+            if ls >= m.start():
+                # the operand walk treats a bare NULL keyword as a
+                # non-operand — but NULL::BIT is a valid BIT operand
+                # (duck: NULL passthrough, review r13)
+                nm = re.search(
+                    r"(NULL\s*::\s*BIT)\s*$", sql[: m.start()],
+                    re.IGNORECASE,
+                )
+                if nm is not None and all(
+                    mask[nm.start(1) : m.start()]
+                ):
+                    ls = nm.start(1)
             rend = _scan_right_operand(sql, segs, m.end())
             if ls >= m.start() or rend <= m.end():
                 continue
@@ -1425,6 +1427,29 @@ def _rewrite_bit_strings(sql: str) -> str:
             break
         s0, e0, repl = edit
         sql = sql[:s0] + repl + sql[e0:]
+    # NULL::BIT is a typed NULL, not a literal cast — AFTER the
+    # operator scan (which recognizes the spelled form), substitute
+    # the typed NULL string so duck's NULL passthrough survives.
+    # MASKED: a ' NULL::BIT ' inside a string literal or comment must
+    # stay text (review r13: the unmasked sub corrupted literal data)
+    guard = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        hit2 = None
+        for nm in re.finditer(
+            r"(?<![\w'])NULL\s*::\s*BIT\b", sql, re.IGNORECASE
+        ):
+            if all(mask[nm.start() : nm.end()]):
+                hit2 = nm
+                break
+        if hit2 is None:
+            break
+        sql = (
+            sql[: hit2.start()]
+            + "CAST(NULL AS STRING)"
+            + sql[hit2.end() :]
+        )
     guard = 0
     skipped: set[int] = set()
     while guard < 200:
@@ -4849,11 +4874,27 @@ def _bool_str_wrap(expr: str) -> str:
     )
 
 
+def neutralize_bool_slots(sql: str) -> str:
+    """Schema-safe copy of ``sql`` with every boolean-context slot
+    replaced by TRUE. Analysis probes (expression typers, set-op
+    branch schemas) need a statement that ANALYZES, but a raw
+    statement with duck-style coercion slots (``WHERE n + 1``) fails
+    FILTER_NOT_BOOLEAN until the coercion pass has run — and that
+    pass itself needs the probes (review r13: the passes starved each
+    other). Slot content never affects the statement's output schema,
+    so TRUE substitution is analysis-exact."""
+    return rewrite_int_bool_contexts(
+        sql, set(), frozenset(), None, neutralize=True
+    )
+
+
 def rewrite_int_bool_contexts(
     sql: str,
     num_cols: set[str],
     str_cols: frozenset[str] | set[str] = frozenset(),
     typer_factory=None,
+    skip_cols: frozenset[str] | set[str] = frozenset(),
+    neutralize: bool = False,
 ) -> str:
     """DuckDB coerces NUMERICS and STRINGS to BOOLEAN in boolean
     contexts — ``NOT 1`` is false, ``WHERE v`` keeps nonzero rows,
@@ -4894,6 +4935,8 @@ def rewrite_int_bool_contexts(
 
     def _atom_repl(atom: str) -> str | None:
         """Replacement for a whole-slot atom, or None (leave native)."""
+        if neutralize:
+            return "TRUE"
         if _NUM_LIT_RE.fullmatch(atom) is not None:
             return f"({atom} <> 0)"
         lit = _bool_lit_fold(atom)
@@ -5056,7 +5099,9 @@ def rewrite_int_bool_contexts(
                     repl0 = None
                 if repl0 is not None:
                     edits.append((bm.start(1), bm.end(1), repl0))
-            if len(edits) == n_edits_before and typer_factory is not None:
+            if len(edits) == n_edits_before and (
+                typer_factory is not None or neutralize
+            ):
                 # EXPRESSION left operand (r13 fuzz find: `SELECT
                 # (abs(n) AND sv)` — no forward slot opens before the
                 # first conjunct in SELECT-list/paren/THEN contexts).
@@ -5113,9 +5158,16 @@ def rewrite_int_bool_contexts(
                         hm2 is None
                         or hm2.group(0).lower() not in _BOOL_FN_HEADS
                     )
+                    and not (
+                        re.fullmatch(r"[A-Za-z_][\w.]*", frag2) is not None
+                        and frag2.split(".")[-1].lower() in skip_cols
+                    )
                 ):
                     f2s = bstart + (len(span) - len(span.lstrip()))
-                    pending.append((f2s, f2s + len(frag2), frag2))
+                    if neutralize:
+                        edits.append((f2s, f2s + len(frag2), "TRUE"))
+                    else:
+                        pending.append((f2s, f2s + len(frag2), frag2))
         start = m.end()
         if m.group(0).upper().startswith("IF"):
             # just past '(' — first argument slot, one level deeper
@@ -5161,9 +5213,18 @@ def rewrite_int_bool_contexts(
         ):
             end -= 1
         frag = sql[start:end].strip()
+        if not frag:
+            continue
         inner = frag
         while inner.startswith("(") and inner.endswith(")"):
             inner = inner[1:-1].strip()
+        if (
+            not neutralize
+            and re.fullmatch(r"[A-Za-z_][\w.]*", inner) is not None
+            and inner.split(".")[-1].lower() in skip_cols
+        ):
+            continue  # known BOOLEAN column: already a boolean slot —
+            # skip before _atom_repl so no analysis probe fires
         repl = _atom_repl(inner)
         fs = start + (len(sql[start:end]) - len(sql[start:end].lstrip()))
         fe = fs + len(frag)
@@ -5199,21 +5260,59 @@ def rewrite_int_bool_contexts(
     if pending and typer_factory is not None:
         # neutralize every candidate slot (cheap-leg edits AND typer
         # candidates) so the probe statement analyzes, then type each
-        # deferred fragment against that neutral text
-        neutral: list[str] = []
-        pos = 0
-        for s, e, _r in sorted(
-            [(s, e, "") for s, e, _ in edits]
-            + [(s, e, "") for s, e, _ in pending]
-        ):
-            if s < pos:
-                continue
-            neutral.append(sql[pos:s])
-            neutral.append("TRUE")
-            pos = e
-        neutral.append(sql[pos:])
-        typer = typer_factory("".join(neutral))
+        # deferred fragment against that neutral text. A slot inside a
+        # top-level SET-OP branch probes against its enclosing BRANCH
+        # slice only — injecting the probe column into one branch of
+        # the full statement breaks set-op arity and starves the typer
+        # (review r13)
+        all_spans = sorted(
+            {(s, e) for s, e, _ in edits} | {(s, e) for s, e, _ in pending}
+        )
+
+        def _neutral_slice(a: int, b: int) -> str:
+            out2: list[str] = []
+            pos2 = a
+            for s, e in all_spans:
+                if s < pos2 or s >= b:
+                    continue
+                out2.append(sql[pos2:s])
+                out2.append("TRUE")
+                pos2 = min(e, b)
+            out2.append(sql[pos2:b])
+            return "".join(out2)
+
+        # top-level set-op branch boundaries (the tail stays attached
+        # to the last branch — positional ORDER BY still analyzes)
+        cuts: list[tuple[int, int]] = []
+        body_start = _with_body_start(sql, mask) or 0
+        for sm in _SETOP_SPLIT_RE.finditer(sql):
+            if (
+                all(mask[sm.start() : sm.end()])
+                and depth[sm.start()] == 0
+                and sm.start() >= body_start
+            ):
+                cuts.append((sm.start(), sm.end()))
+        prefix = sql[:body_start]
+
+        def _probe_text(fs: int) -> str:
+            if not cuts or fs < body_start:
+                return _neutral_slice(0, len(sql))
+            bs, be = body_start, len(sql)
+            for cs, ce in cuts:
+                if cs <= fs:
+                    bs = ce
+                else:
+                    be = cs
+                    break
+            return prefix + _neutral_slice(bs, be)
+
+        typers: dict[str, object] = {}
         for fs, fe, frag in pending:
+            text = _probe_text(fs)
+            typer = typers.get(text)
+            if typer is None:
+                typer = typer_factory(text)
+                typers[text] = typer
             tk = typer(frag)
             if tk == "num":
                 edits.append((fs, fe, f"(({frag}) <> 0)"))
@@ -5285,8 +5384,9 @@ def rewrite_setop_mixed_types(sql: str, branch_schema) -> str:
     DOUBLE/FLOAT render through duck_double_text (shortest-round-trip,
     '1e+20'), everything else through CAST(... AS STRING), booleans
     joining numerics through CAST(... AS INT). ``branch_schema`` maps
-    one branch's text (CTE prefix included) to [(name, kind)] via
-    Spark ANALYSIS only, or None — any analysis failure, column-count
+    one branch's text (CTE prefix included) to [(name, kind,
+    typestring)] via Spark ANALYSIS only, or None — any analysis
+    failure, column-count
     mismatch, or BY NAME form leaves the statement untouched (both
     engines are loud on the genuinely incompatible combos, e.g.
     int∪date). Top-level set ops only; set ops nested in derived
@@ -5345,60 +5445,171 @@ def rewrite_setop_mixed_types(sql: str, branch_schema) -> str:
     ncols = len(schemas[0])
     if any(len(sc) != ncols for sc in schemas):
         return sql
-    # decide per-column target kinds
-    targets: list[str | None] = []
+    # duck folds set-op types PAIRWISE and LEFT-ASSOCIATIVELY with
+    # INTERSECT binding tighter (probed r13 review: 1 UNION ALL 1.0
+    # UNION ALL 'a' renders '1.0','1.0','a' — the 1 widened to DECIMAL
+    # before the string stage). Emulate the fold tree exactly: each
+    # leaf's rendering type is the accumulated type of its subtree at
+    # the node where it first meets a string (numeric folds are
+    # value-preserving, so only that string transition is lossy).
+    def _ktype(kind: str, typestr: str):
+        if kind == "decimal":
+            m2 = re.search(r"\(\s*\d+\s*,\s*(\d+)\s*\)", typestr)
+            return ("decimal", int(m2.group(1)) if m2 else 0)
+        return (kind, 0)
+
+    _NUM_LADDER = {"bool": 0, "int": 1, "decimal": 2, "float32": 3,
+                   "float64": 4}
+
+    def _fold(a, b):
+        """duck's pairwise set-op type combine (probed r13): string
+        absorbs atomics, date∪timestamp → timestamp, bool/int/decimal/
+        float32/float64 ladder with decimal scale = max of sides
+        (non-decimal numerics contribute scale 0), REAL∪DECIMAL → REAL
+        and REAL∪DOUBLE → DOUBLE. None = non-emulable (int∪date is a
+        loud error on both engines; interval/other renderings have no
+        in-query twin)."""
+        ka, kb = a[0], b[0]
+        if ka == "null":
+            return b
+        if kb == "null":
+            return a
+        atomics = {
+            "string", "int", "decimal", "float32", "float64", "bool",
+            "date", "timestamp",
+        }
+        if ka not in atomics or kb not in atomics:
+            return None
+        if "string" in (ka, kb):
+            return ("string", 0)
+        if ka in ("date", "timestamp") or kb in ("date", "timestamp"):
+            if {ka, kb} <= {"date", "timestamp"}:
+                return ("timestamp", 0) if ka != kb else (ka, 0)
+            return None
+        hi = a if _NUM_LADDER[ka] >= _NUM_LADDER[kb] else b
+        if hi[0] == "decimal":
+            return (
+                "decimal",
+                max(a[1] if ka == "decimal" else 0,
+                    b[1] if kb == "decimal" else 0),
+            )
+        return hi
+
+    # fold tree: left-assoc shunting, INTERSECT[ALL] precedence 2
+    op_prec = [
+        2 if sql[ss:se].upper().lstrip().startswith("INTERSECT") else 1
+        for ss, se in seps
+    ]
+    out_stack: list = [0]
+    op_stack: list[int] = []
+    for i, p in enumerate(op_prec, start=1):
+        while op_stack and op_stack[-1] >= p:
+            op_stack.pop()
+            r0 = out_stack.pop()
+            l0 = out_stack.pop()
+            out_stack.append((l0, r0))
+        op_stack.append(p)
+        out_stack.append(i)
+    while op_stack:
+        op_stack.pop()
+        r0 = out_stack.pop()
+        l0 = out_stack.pop()
+        out_stack.append((l0, r0))
+    tree = out_stack[0]
+
+    casts: list[dict[int, tuple]] = [dict() for _ in branches]
+    any_cast = False
     for ci in range(ncols):
-        kinds = {sc[ci][1] for sc in schemas} - {"null"}
-        if len(kinds) <= 1 or "other" in kinds or "interval" in kinds:
-            targets.append(None)
-        elif "string" in kinds and kinds <= {
-            "string", "int", "float", "decimal", "bool", "date",
-            "timestamp",
-        }:
-            targets.append("string")
-        elif "bool" in kinds and kinds <= {"bool", "int", "float", "decimal"}:
-            targets.append("num")
-        else:
-            targets.append(None)
-    if all(t is None for t in targets):
+        kts = [_ktype(sc[ci][1], sc[ci][2]) for sc in schemas]
+        if len({k for k, _s in kts} - {"null"}) <= 1:
+            continue
+        trans: dict[int, tuple] = {}
+
+        def _fold_node(node):
+            if isinstance(node, int):
+                return kts[node], [node]
+            lt, ll = _fold_node(node[0])
+            if lt is None:
+                return None, []
+            rt, lr = _fold_node(node[1])
+            if rt is None:
+                return None, []
+            t = _fold(lt, rt)
+            if t is None:
+                return None, []
+            if t[0] == "string":
+                if lt[0] not in ("string", "null"):
+                    for i2 in ll:
+                        trans.setdefault(i2, lt)
+                if rt[0] not in ("string", "null"):
+                    for i2 in lr:
+                        trans.setdefault(i2, rt)
+            return t, ll + lr
+
+        root, _ = _fold_node(tree)
+        if root is None:
+            continue  # non-emulable column: leave native
+        if root[0] == "string":
+            for bi in range(len(branches)):
+                if kts[bi][0] in ("string", "null"):
+                    continue
+                tt = trans.get(bi)
+                if tt is None:
+                    continue
+                casts[bi][ci] = ("string", tt, kts[bi][0])
+                any_cast = True
+        elif root[0] in ("int", "decimal", "float32", "float64"):
+            for bi in range(len(branches)):
+                if kts[bi][0] == "bool":
+                    casts[bi][ci] = ("num", None, "bool")
+                    any_cast = True
+    if not any_cast:
         return sql
+
     def q(name: str) -> str:
         return "`" + name.replace("`", "``") + "`"
 
-    wrapped: list[str] = []
-    changed = False
-    for bi, b in enumerate(branches):
-        items: list[str] = []
-        needs = False
-        for ci in range(ncols):
-            name, kind = schemas[bi][ci]
-            t = targets[ci]
-            col = q(name)
-            if t == "string" and kind in (
-                "int", "decimal", "bool", "date", "timestamp",
-            ):
-                items.append(f"CAST({col} AS STRING) AS {col}")
-                needs = True
-            elif t == "string" and kind == "float":
-                items.append(
-                    f"(CASE WHEN {col} IS NULL THEN CAST(NULL AS STRING)"
-                    f" ELSE duck_double_text({col}) END) AS {col}"
-                )
-                needs = True
-            elif t == "num" and kind == "bool":
-                items.append(f"CAST({col} AS INT) AS {col}")
-                needs = True
-            else:
-                items.append(col)
-        if needs:
-            wrapped.append(
-                f"SELECT {', '.join(items)} FROM ({b.strip()}) __setw{bi} "
+    def _string_cast(col: str, tt, leafk: str) -> str:
+        base = col
+        if leafk == "bool" and tt[0] in (
+            "int", "decimal", "float32", "float64",
+        ):
+            base = f"CAST({col} AS INT)"
+        if tt[0] == "float64":
+            return (
+                f"(CASE WHEN {col} IS NULL THEN CAST(NULL AS STRING)"
+                f" ELSE duck_double_text(CAST({base} AS DOUBLE)) END)"
             )
-            changed = True
-        else:
+        if tt[0] == "float32":
+            return (
+                f"(CASE WHEN {col} IS NULL THEN CAST(NULL AS STRING)"
+                f" ELSE duck_float32_text(CAST({base} AS FLOAT)) END)"
+            )
+        if tt[0] == "decimal":
+            return f"CAST(CAST({base} AS DECIMAL(38, {tt[1]})) AS STRING)"
+        if tt[0] == "timestamp":
+            return f"CAST(CAST({base} AS TIMESTAMP) AS STRING)"
+        return f"CAST({base} AS STRING)"
+
+    wrapped: list[str] = []
+    for bi, b in enumerate(branches):
+        if not casts[bi]:
             wrapped.append(b)
-    if not changed:
-        return sql
+            continue
+        items: list[str] = []
+        for ci in range(ncols):
+            name = schemas[bi][ci][0]
+            col = q(name)
+            spec = casts[bi].get(ci)
+            if spec is None:
+                items.append(col)
+            elif spec[0] == "string":
+                items.append(f"{_string_cast(col, spec[1], spec[2])} AS {col}")
+            else:
+                items.append(f"CAST({col} AS INT) AS {col}")
+        wrapped.append(
+            f"SELECT {', '.join(items)} FROM ({b.strip()}) __setw{bi} "
+        )
     out = [sql[:body_start]]
     out.append(wrapped[0])
     for bi, (ss, se) in enumerate(seps):

@@ -1054,6 +1054,24 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT 1 AS x UNION ALL SELECT 'a' ORDER BY 1 LIMIT 2",
     "SELECT k FROM probe_sbool WHERE n > 0 UNION ALL SELECT 'end'"
     " ORDER BY 1",
+    # pairwise-fold exactness (review r13): duck folds types LEFT-
+    # ASSOC with INTERSECT binding tighter, so values widen stage-wise
+    # before the string rendering — the tree-fold model must reproduce
+    # '1.0','1.0','a' / '1.50','1.25' / REAL single-precision / the
+    # bool→decimal scale
+    "SELECT 1 AS x UNION ALL SELECT 1.0 UNION ALL SELECT 'a'",
+    "SELECT 1.5 AS x UNION ALL SELECT 1.25 UNION ALL SELECT 'a'",
+    "SELECT 1 AS x UNION SELECT 1.0 UNION SELECT 'a'",
+    "SELECT 'a' AS x UNION ALL SELECT 1 INTERSECT SELECT 1.0",
+    "SELECT CAST(0.1 AS REAL) AS x UNION ALL SELECT 3 UNION ALL"
+    " SELECT 'a'",
+    "SELECT true AS x UNION ALL SELECT 1.25 UNION ALL SELECT 'a'",
+    "SELECT 100000 AS x UNION ALL SELECT 1.23456 UNION ALL SELECT 'a'",
+    "SELECT DATE '2024-01-02' AS x UNION ALL"
+    " SELECT TIMESTAMP '2024-01-01 10:00:00' UNION ALL SELECT 'a'",
+    "SELECT 1 AS x INTERSECT ALL SELECT 1.0 UNION ALL SELECT 'a'",
+    "SELECT k FROM probe_sbool WHERE n + 1 UNION ALL SELECT 99"
+    " ORDER BY 1",
     # same-typed controls must stay native
     "SELECT 1 AS x UNION ALL SELECT 2.5",
     "SELECT 'a' AS x UNION SELECT 'b' ORDER BY 1",
