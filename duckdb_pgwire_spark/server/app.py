@@ -3588,16 +3588,24 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         from .compat import neutralize_bool_slots, rewrite_setop_mixed_types
 
         def _branch_schema(branch_sql: str):
-            for cand in (branch_sql, neutralize_bool_slots(branch_sql)):
+            trusted = True
+            try:
+                fields = session.sql(branch_sql).schema.fields
+            except Exception:  # noqa: BLE001 — retry neutralized
+                trusted = False  # auto-generated names may differ
                 try:
-                    fields = session.sql(cand).schema.fields
-                except Exception:  # noqa: BLE001 — try the neutral copy
-                    continue
-                return [
+                    fields = session.sql(
+                        neutralize_bool_slots(branch_sql)
+                    ).schema.fields
+                except Exception:  # noqa: BLE001 — conservative skip
+                    return None
+            return (
+                [
                     (f.name, _setop_kind(f.dataType), f.dataType.simpleString())
                     for f in fields
-                ]
-            return None
+                ],
+                trusted,
+            )
 
         sql = rewrite_setop_mixed_types(sql, _branch_schema)
     if has_boolctx:

@@ -5281,10 +5281,16 @@ def rewrite_int_bool_contexts(
             out2.append(sql[pos2:b])
             return "".join(out2)
 
-        # top-level set-op branch boundaries (the tail stays attached
-        # to the last branch — positional ORDER BY still analyzes)
+        # top-level set-op branch boundaries; the statement TAIL
+        # (ORDER BY/LIMIT after the last branch) is dropped from probe
+        # slices — it may name a first-branch-only alias that no other
+        # branch resolves (second review r13). The CTE prefix is
+        # itself NEUTRALIZED (a coercion slot inside a CTE body would
+        # fail every branch probe otherwise).
         cuts: list[tuple[int, int]] = []
-        body_start = _with_body_start(sql, mask) or 0
+        wr = _with_cte_spans(sql, mask)
+        body_start = wr[0] if wr is not None else 0
+        cte_spans = wr[1] if wr is not None else []
         for sm in _SETOP_SPLIT_RE.finditer(sql):
             if (
                 all(mask[sm.start() : sm.end()])
@@ -5292,12 +5298,33 @@ def rewrite_int_bool_contexts(
                 and sm.start() >= body_start
             ):
                 cuts.append((sm.start(), sm.end()))
-        prefix = sql[:body_start]
+        tail_start = len(sql)
+        if cuts:
+            for tm in _SETOP_TAIL_RE.finditer(sql, cuts[-1][1]):
+                if all(mask[tm.start() : tm.end()]) and depth[tm.start()] == 0:
+                    tail_start = tm.start()
+                    break
+        prefix = _neutral_slice(0, body_start)
 
         def _probe_text(fs: int) -> str:
-            if not cuts or fs < body_start:
+            if fs < body_start:
+                # slot inside a CTE body: the probe column can never
+                # surface in the STATEMENT's output schema (the outer
+                # select hides it — second review r13), so probe the
+                # CTE body slice itself, prefixed by the PRECEDING
+                # CTEs' definitions
+                for k, (ds, po, pc) in enumerate(cte_spans):
+                    if po < fs < pc:
+                        body = _neutral_slice(po + 1, pc)
+                        if k == 0:
+                            return body
+                        head = _neutral_slice(0, ds).rstrip()
+                        head = head[:-1] if head.endswith(",") else head
+                        return head + " " + body
                 return _neutral_slice(0, len(sql))
-            bs, be = body_start, len(sql)
+            if not cuts:
+                return _neutral_slice(0, len(sql))
+            bs, be = body_start, tail_start
             for cs, ce in cuts:
                 if cs <= fs:
                     bs = ce
@@ -5341,14 +5368,18 @@ _SETOP_TAIL_RE = re.compile(
 )
 
 
-def _with_body_start(sql: str, mask: list[bool]) -> int | None:
-    """Index where a WITH-headed statement's main body begins (after
-    the CTE list), or None when the head isn't WITH / parsing fails."""
+def _with_cte_spans(
+    sql: str, mask: list[bool]
+) -> tuple[int, list[tuple[int, int, int]]] | None:
+    """For a WITH-headed statement: (main-body start index, CTE spans)
+    where each span is (definition start, body-paren open, body-paren
+    close). None when the head isn't WITH / parsing fails."""
     m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", sql, re.IGNORECASE)
     if m is None:
         return None
     i = m.end()
     n = len(sql)
+    spans: list[tuple[int, int, int]] = []
     while True:
         # name [ (cols) ] AS ( body )
         im = re.compile(
@@ -5360,13 +5391,21 @@ def _with_body_start(sql: str, mask: list[bool]) -> int | None:
         close = _match_paren(sql, mask, im.end() - 1)
         if close is None:
             return None
+        spans.append((i, im.end() - 1, close))
         i = close + 1
         while i < n and (sql[i].isspace() or not mask[i]):
             i += 1
         if i < n and sql[i] == ",":
             i += 1
             continue
-        return i
+        return i, spans
+
+
+def _with_body_start(sql: str, mask: list[bool]) -> int | None:
+    """Index where a WITH-headed statement's main body begins (after
+    the CTE list), or None when the head isn't WITH / parsing fails."""
+    r = _with_cte_spans(sql, mask)
+    return r[0] if r is not None else None
 
 
 def rewrite_setop_mixed_types(sql: str, branch_schema) -> str:
@@ -5437,11 +5476,14 @@ def rewrite_setop_mixed_types(sql: str, branch_schema) -> str:
         be = bounds[bi + 1]
         branches.append(sql[bs:be])
     schemas = []
+    trusted: list[bool] = []
     for b in branches:
         sc = branch_schema(prefix + b)
         if sc is None:
             return sql
-        schemas.append(sc)
+        cols, tr = sc
+        schemas.append(cols)
+        trusted.append(tr)
     ncols = len(schemas[0])
     if any(len(sc) != ncols for sc in schemas):
         return sql
@@ -5452,11 +5494,24 @@ def rewrite_setop_mixed_types(sql: str, branch_schema) -> str:
     # leaf's rendering type is the accumulated type of its subtree at
     # the node where it first meets a string (numeric folds are
     # value-preserving, so only that string transition is lossy).
+    _INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
+
     def _ktype(kind: str, typestr: str):
+        """(kind, scale, integer-digits) — digits feed duck's 38-wide
+        clamp: DECIMAL(38,10) ∪ DECIMAL(38,2) folds to scale 2 because
+        36 integer digits + 10 scale would overflow (probed, second
+        review r13)."""
         if kind == "decimal":
-            m2 = re.search(r"\(\s*\d+\s*,\s*(\d+)\s*\)", typestr)
-            return ("decimal", int(m2.group(1)) if m2 else 0)
-        return (kind, 0)
+            m2 = re.search(r"\(\s*(\d+)\s*,\s*(\d+)\s*\)", typestr)
+            p2, s2 = (
+                (int(m2.group(1)), int(m2.group(2))) if m2 else (38, 0)
+            )
+            return ("decimal", s2, p2 - s2)
+        if kind == "int":
+            return ("int", 0, _INT_DIGITS.get(typestr, 19))
+        if kind == "bool":
+            return ("bool", 0, 1)
+        return (kind, 0, 0)
 
     _NUM_LADDER = {"bool": 0, "int": 1, "decimal": 2, "float32": 3,
                    "float64": 4}
@@ -5465,10 +5520,10 @@ def rewrite_setop_mixed_types(sql: str, branch_schema) -> str:
         """duck's pairwise set-op type combine (probed r13): string
         absorbs atomics, date∪timestamp → timestamp, bool/int/decimal/
         float32/float64 ladder with decimal scale = max of sides
-        (non-decimal numerics contribute scale 0), REAL∪DECIMAL → REAL
-        and REAL∪DOUBLE → DOUBLE. None = non-emulable (int∪date is a
-        loud error on both engines; interval/other renderings have no
-        in-query twin)."""
+        clamped to 38 total digits (non-decimal numerics contribute
+        their integer width), REAL∪DECIMAL → REAL and REAL∪DOUBLE →
+        DOUBLE. None = non-emulable (int∪date is a loud error on both
+        engines; interval/other renderings have no in-query twin)."""
         ka, kb = a[0], b[0]
         if ka == "null":
             return b
@@ -5481,18 +5536,20 @@ def rewrite_setop_mixed_types(sql: str, branch_schema) -> str:
         if ka not in atomics or kb not in atomics:
             return None
         if "string" in (ka, kb):
-            return ("string", 0)
+            return ("string", 0, 0)
         if ka in ("date", "timestamp") or kb in ("date", "timestamp"):
             if {ka, kb} <= {"date", "timestamp"}:
-                return ("timestamp", 0) if ka != kb else (ka, 0)
+                return ("timestamp", 0, 0) if ka != kb else (ka, 0, 0)
             return None
         hi = a if _NUM_LADDER[ka] >= _NUM_LADDER[kb] else b
         if hi[0] == "decimal":
-            return (
-                "decimal",
-                max(a[1] if ka == "decimal" else 0,
-                    b[1] if kb == "decimal" else 0),
-            )
+            digits = max(a[2], b[2])
+            scale = max(a[1], b[1])
+            if digits + scale > 38:
+                scale = max(38 - digits, 0)
+            return ("decimal", scale, digits)
+        if hi[0] == "int":
+            return ("int", 0, max(a[2], b[2]))
         return hi
 
     # fold tree: left-assoc shunting, INTERSECT[ALL] precedence 2
@@ -5521,7 +5578,7 @@ def rewrite_setop_mixed_types(sql: str, branch_schema) -> str:
     any_cast = False
     for ci in range(ncols):
         kts = [_ktype(sc[ci][1], sc[ci][2]) for sc in schemas]
-        if len({k for k, _s in kts} - {"null"}) <= 1:
+        if len({kt[0] for kt in kts} - {"null"}) <= 1:
             continue
         trans: dict[int, tuple] = {}
 
@@ -5558,12 +5615,27 @@ def rewrite_setop_mixed_types(sql: str, branch_schema) -> str:
                     continue
                 casts[bi][ci] = ("string", tt, kts[bi][0])
                 any_cast = True
-        elif root[0] in ("int", "decimal", "float32", "float64"):
+        elif root[0] == "float32":
+            # duck folds REAL∪DECIMAL/INT/BOOL to REAL; Spark widens
+            # FLOAT+DECIMAL to DOUBLE — pin every branch to FLOAT so
+            # the wire renders single precision (second review r13)
+            for bi in range(len(branches)):
+                if kts[bi][0] in ("int", "decimal", "bool"):
+                    casts[bi][ci] = ("f32", None, kts[bi][0])
+                    any_cast = True
+        elif root[0] in ("int", "decimal", "float64"):
             for bi in range(len(branches)):
                 if kts[bi][0] == "bool":
                     casts[bi][ci] = ("num", None, "bool")
                     any_cast = True
     if not any_cast:
+        return sql
+    if casts[0] and not trusted[0]:
+        # branch 0's analyzed names came from the slot-neutralized
+        # retry — auto-generated names can differ from the raw text's
+        # (SELECT a AND b → "(true AND true)"), and branch 0's names
+        # ARE the statement's result names. Conservative skip (second
+        # review r13).
         return sql
 
     def q(name: str) -> str:
@@ -5596,19 +5668,31 @@ def rewrite_setop_mixed_types(sql: str, branch_schema) -> str:
         if not casts[bi]:
             wrapped.append(b)
             continue
+        # reference columns through a derived-table ALIAS LIST so the
+        # wrapper never depends on the branch's auto-generated names
+        # (a neutralized-retry analysis can report different names —
+        # second review r13); only branch 0's OUTPUT aliases matter
+        # (set-op result names come from the first branch) and those
+        # are trusted by the gate above
+        alias_list = ", ".join(f"__sc{ci}" for ci in range(ncols))
         items: list[str] = []
         for ci in range(ncols):
-            name = schemas[bi][ci][0]
-            col = q(name)
+            col = f"__sc{ci}"
+            out_name = q(schemas[bi][ci][0]) if bi == 0 else col
             spec = casts[bi].get(ci)
             if spec is None:
-                items.append(col)
+                items.append(f"{col} AS {out_name}")
             elif spec[0] == "string":
-                items.append(f"{_string_cast(col, spec[1], spec[2])} AS {col}")
+                items.append(
+                    f"{_string_cast(col, spec[1], spec[2])} AS {out_name}"
+                )
+            elif spec[0] == "f32":
+                items.append(f"CAST({col} AS FLOAT) AS {out_name}")
             else:
-                items.append(f"CAST({col} AS INT) AS {col}")
+                items.append(f"CAST({col} AS INT) AS {out_name}")
         wrapped.append(
-            f"SELECT {', '.join(items)} FROM ({b.strip()}) __setw{bi} "
+            f"SELECT {', '.join(items)} FROM ({b.strip()})"
+            f" __setw{bi}({alias_list}) "
         )
     out = [sql[:body_start]]
     out.append(wrapped[0])

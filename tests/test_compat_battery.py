@@ -1072,6 +1072,22 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT 1 AS x INTERSECT ALL SELECT 1.0 UNION ALL SELECT 'a'",
     "SELECT k FROM probe_sbool WHERE n + 1 UNION ALL SELECT 99"
     " ORDER BY 1",
+    # second-review pins: REAL notation classes, the 38-wide decimal
+    # scale clamp, REAL-root numeric folds (Spark would widen to
+    # DOUBLE), CTE-interior slots, tail aliases over later branches
+    "SELECT CAST(0.0001 AS REAL) AS x UNION ALL SELECT 'a'",
+    "SELECT CAST(1.1 AS DECIMAL(38,10)) AS x UNION ALL"
+    " SELECT CAST(2.5 AS DECIMAL(38,2)) UNION ALL SELECT 'a'",
+    "SELECT CAST(1.1 AS DECIMAL(38,37)) AS x UNION ALL"
+    " SELECT CAST(2 AS DECIMAL(38,0)) UNION ALL SELECT 'a'",
+    "SELECT CAST(0.1 AS REAL) AS x UNION ALL"
+    " SELECT CAST(1.5 AS DECIMAL(5,2))",
+    "SELECT CAST(0.1 AS REAL) AS x UNION ALL SELECT 3",
+    "WITH cbx AS (SELECT k, n FROM probe_sbool WHERE n + 1)"
+    " SELECT k FROM cbx WHERE n + 1 UNION ALL SELECT k FROM cbx"
+    " WHERE n + 2 ORDER BY 1",
+    "SELECT coalesce(n, -9) AS x FROM probe_sbool UNION ALL SELECT k"
+    " FROM probe_sbool WHERE n + 1 ORDER BY x",
     # same-typed controls must stay native
     "SELECT 1 AS x UNION ALL SELECT 2.5",
     "SELECT 'a' AS x UNION SELECT 'b' ORDER BY 1",
