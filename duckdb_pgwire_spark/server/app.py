@@ -3149,6 +3149,42 @@ def _setop_kind(dt) -> str:
     return "other"
 
 
+def _float_kinds(dt, acc: set) -> set:
+    """Collect the float LEAF widths ('f32'/'f64') of a possibly
+    nested DataType — shared by the _hugeint_sums gate loop and the
+    ::VARCHAR typer leaf (third review r13: two copies drifted)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.FloatType):
+        acc.add("f32")
+    elif isinstance(dt, T.DoubleType):
+        acc.add("f64")
+    elif isinstance(dt, T.ArrayType):
+        _float_kinds(dt.elementType, acc)
+    elif isinstance(dt, T.MapType):
+        _float_kinds(dt.keyType, acc)
+        _float_kinds(dt.valueType, acc)
+    elif isinstance(dt, T.StructType):
+        for sf in dt.fields:
+            _float_kinds(sf.dataType, acc)
+    return acc
+
+
+def _vc_leaf(dt):
+    """Typer leaf for the composite-::VARCHAR expression leg (r13):
+    'cf32' for a complex type whose every float leaf is FLOAT32 (the
+    f32 single-precision renderer), 'complex' for other array/struct/
+    map types, 'atomic' otherwise (and for enum emulations, which
+    render through their own pass)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType | T.MapType | T.StructType):
+        if _enum_emulation_type(dt) is not None:
+            return "atomic"
+        return "cf32" if _float_kinds(dt, set()) == {"f32"} else "complex"
+    return "atomic"
+
+
 def _date_leaf(dt):
     """Typer leaf for the time_bucket expression-operand leg (r13):
     'date' for DateType, 'other' for everything else."""
@@ -3200,6 +3236,54 @@ _DML_TARGET_RE = re.compile(
 )
 
 
+def _dml_bool_coercion(session: SparkSession, sql: str) -> str:
+    """duck's numeric/string→BOOLEAN coercion for DML statements (r13
+    continuation): ``UPDATE t SET … WHERE v`` / ``DELETE FROM t WHERE
+    n + 1`` coerce in duck exactly like the SELECT path, but DML
+    dispatch bypasses _hugeint_sums — so the column legs and the
+    single-relation from_table typer plumb in here (same target
+    discipline as the composite legs below: multi-relation forms get
+    no typer; probe failure is safe, wrong-scope success isn't)."""
+    from .compat import _BOOL_CTX_L_RE, statement_tables
+
+    if _BOOL_CTX_L_RE.search(sql) is None:
+        return sql
+    tables = list(statement_tables(sql))
+    tm = _DML_TARGET_RE.match(sql)
+    if tm is not None and tm.group(1) not in tables:
+        tables.append(tm.group(1))
+    kind_map: dict[str, set[str]] = {}
+    for name in tables:
+        fields = _schema_fields(session, name)
+        for f in fields or []:
+            kind_map.setdefault(f.name.lower(), set()).add(
+                _bool_leaf(f.dataType)
+            )
+    num_cols = {n for n, ks in kind_map.items() if ks == {"num"}}
+    str_cols = {n for n, ks in kind_map.items() if ks == {"str"}}
+    bool_cols = {n for n, ks in kind_map.items() if ks == {"bool"}}
+    head = sql.lstrip().split(None, 1)[0].upper()
+    target = (
+        tm.group(1)
+        if tm is not None
+        and head in ("UPDATE", "DELETE")
+        and len({t.lower() for t in tables}) <= 1
+        and re.search(r"(?i)\bUSING\b", sql) is None
+        else None
+    )
+    from .compat import rewrite_int_bool_contexts
+
+    return rewrite_int_bool_contexts(
+        sql,
+        num_cols,
+        str_cols,
+        lambda neutral: _make_expr_typer(
+            session, neutral, from_table=target, leaf=_bool_leaf
+        ),
+        bool_cols,
+    )
+
+
 def _dml_composite_ord(session: SparkSession, sql: str) -> str:
     """Schema-typed composite ORDERING + EQUALITY for DML statements
     (r13, closes the r12 residue): UPDATE SET expressions / WHERE
@@ -3210,6 +3294,7 @@ def _dml_composite_ord(session: SparkSession, sql: str) -> str:
     that, so the plumbing lives here — silent wrong-row mutation on
     NULL-bearing composite keys is the worst residue class (VERDICT
     r12 item 1)."""
+    sql = _dml_bool_coercion(session, sql)
     if _HAS_CMP_RE.search(sql) is None:
         return sql
     from pyspark.sql import types as T
@@ -3369,21 +3454,6 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         array_cols.update(
             f.name.lower() for f in fields if isinstance(f.dataType, T.ArrayType)
         )
-        def _float_kinds(dt, acc: set) -> set:
-            if isinstance(dt, T.FloatType):
-                acc.add("f32")
-            elif isinstance(dt, T.DoubleType):
-                acc.add("f64")
-            elif isinstance(dt, T.ArrayType):
-                _float_kinds(dt.elementType, acc)
-            elif isinstance(dt, T.MapType):
-                _float_kinds(dt.keyType, acc)
-                _float_kinds(dt.valueType, acc)
-            elif isinstance(dt, T.StructType):
-                for sf in dt.fields:
-                    _float_kinds(sf.dataType, acc)
-            return acc
-
         for f in fields:
             if not isinstance(
                 f.dataType, T.ArrayType | T.MapType | T.StructType
@@ -3564,13 +3634,44 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             typer = _make_expr_typer(session, neutralize_bool_slots(sql))
             sql = rewrite_composite_col_eq(sql, ctypes, typer)
             sql = rewrite_composite_col_ord(sql, ctypes, typer)
-    if has_vc_cast and complex_cols:
+    if has_vc_cast:
         # composite column ::VARCHAR → DuckDB's text rendering (the
         # type-blind rewrite() pass covers constructor literals; this
-        # schema-aware leg covers plain column operands)
-        from .compat import rewrite_composite_varchar
+        # schema-aware leg covers plain column operands, and the typer
+        # fallback covers opaque complex EXPRESSIONS — slices,
+        # coalesce heads, derived-table aliases — r13 continuation)
+        from .compat import neutralize_bool_slots, rewrite_composite_varchar
 
-        sql = rewrite_composite_varchar(sql, complex_cols, f32_cols)
+        catalog_lower = {
+            f.name.lower()
+            for fields4 in tbl_fields.values()
+            for f in fields4
+        }
+        vc_base = _make_expr_typer(
+            session, neutralize_bool_slots(sql), leaf=_vc_leaf
+        )
+
+        def vc_typer(expr: str):
+            # known-atomic catalog columns never pay a probe — UNLESS
+            # the statement rebinds the name with an explicit alias
+            # (`SELECT a AS k … k::VARCHAR` — the alias could shadow
+            # the atomic catalog column with a complex value; third
+            # review r13). Implicit (no-AS) alias shadowing of a
+            # same-named atomic column stays a documented corner.
+            if re.fullmatch(r"[A-Za-z_][\w.]*", expr) is not None:
+                b = expr.split(".")[-1].lower()
+                if (
+                    b in catalog_lower
+                    and b not in complex_cols
+                    and re.search(
+                        rf"(?i)\bAS\s+`?{re.escape(b)}`?\b", sql
+                    )
+                    is None
+                ):
+                    return "atomic"
+            return vc_base(expr)
+
+        sql = rewrite_composite_varchar(sql, complex_cols, f32_cols, vc_typer)
     if has_len:  # array_cols may be empty — the always-array function
         sql = rewrite_array_length(sql, array_cols)  # heads still rewrite
     if has_sum:

@@ -4935,6 +4935,13 @@ def rewrite_int_bool_contexts(
 
     def _atom_repl(atom: str) -> str | None:
         """Replacement for a whole-slot atom, or None (leave native)."""
+        if atom.upper() == "MATCHED":
+            # MERGE's WHEN [NOT] MATCHED arm keyword — a target column
+            # literally named 'matched' in num/str_cols must not turn
+            # the arm into `WHEN (MATCHED <> 0)` (third review r13);
+            # the narrow corner of a genuine bool-context column named
+            # matched stays native-loud
+            return None
         if neutralize:
             return "TRUE"
         if _NUM_LIT_RE.fullmatch(atom) is not None:
@@ -5153,7 +5160,9 @@ def rewrite_int_bool_contexts(
                     not bail
                     and frag2
                     and _BOOL_STR_LIT_RE.fullmatch(frag2) is None
-                    and frag2.upper() not in ("TRUE", "FALSE", "NULL")
+                    and frag2.upper() not in (
+                        "TRUE", "FALSE", "NULL", "MATCHED",
+                    )
                     and (
                         hm2 is None
                         or hm2.group(0).lower() not in _BOOL_FN_HEADS
@@ -5248,7 +5257,7 @@ def rewrite_int_bool_contexts(
             )
             if (
                 not has_cmp_char
-                and headu not in ("TRUE", "FALSE", "NULL", "EXISTS")
+                and headu not in ("TRUE", "FALSE", "NULL", "EXISTS", "MATCHED")
                 and headu.lower() not in _BOOL_FN_HEADS
                 and _BOOL_STR_LIT_RE.fullmatch(inner) is None
             ):
@@ -5408,7 +5417,114 @@ def _with_body_start(sql: str, mask: list[bool]) -> int | None:
     return r[0] if r is not None else None
 
 
-def rewrite_setop_mixed_types(sql: str, branch_schema) -> str:
+def _merge_with_prefix(ctx_prefix: str, t: str) -> str:
+    """ctx_prefix (a complete ``WITH … AS (…)`` clause or empty) +
+    statement t, MERGING a leading WITH in t into one clause —
+    ``WITH a AS (X) WITH c AS (Y) SELECT`` is a syntax error (third
+    review r13). A RECURSIVE inner WITH is left unmerged (the probe
+    fails and the caller skips conservatively)."""
+    if not ctx_prefix:
+        return t
+    m = re.match(r"\s*WITH\s+(?!RECURSIVE\b)", t, re.IGNORECASE)
+    if m is not None:
+        return ctx_prefix.rstrip() + ", " + t[m.end() :]
+    return ctx_prefix + t
+
+
+def rewrite_setop_mixed_types(
+    sql: str, branch_schema, ctx_prefix: str = "", _depth: int = 0
+) -> str:
+    """Entry point: RECURSE into SELECT/VALUES-headed paren groups —
+    derived tables, CTE bodies, scalar subqueries — POST-ORDER and
+    LEFT-TO-RIGHT (a chained CTE's widening changes the types its
+    consumers see, so inner/earlier scopes must rewrite before outer/
+    later probes analyze them — third review r13), then run the
+    top-level mixed-type set-op widening (_setop_rewrite_toplevel) on
+    the updated text. A set op nested deeper than three paren scopes
+    or inside a function argument list keeps native coercion
+    (documented residue). ``ctx_prefix`` carries the OUTER scopes' CTE
+    definitions so inner branch probes resolve their relations."""
+    out = sql
+    if _depth < 3:
+        cursor = 0
+        guard = 0
+        while guard < 50:
+            guard += 1
+            mask = _code_mask(out)
+            depths: list[int] = []
+            d = 0
+            for i, ch in enumerate(out):
+                if mask[i] and ch == ")":
+                    d -= 1
+                depths.append(d)
+                if mask[i] and ch == "(":
+                    d += 1
+            wr = _with_cte_spans(out, mask)
+            body_start = wr[0] if wr is not None else 0
+            cte_spans = wr[1] if wr is not None else []
+            hit = None
+            for i in range(cursor, len(out)):
+                if out[i] != "(" or not mask[i] or depths[i] != 0:
+                    continue
+                j = i + 1
+                while j < len(out) and (out[j].isspace() or not mask[j]):
+                    j += 1
+                if re.match(
+                    r"(SELECT|VALUES|WITH|TABLE|FROM)\b",
+                    out[j:],
+                    re.IGNORECASE,
+                ) is None:
+                    continue
+                close = _match_paren(out, mask, i)
+                if close is None:
+                    continue
+                if _SETOP_SPLIT_RE.search(out[i + 1 : close]) is None:
+                    cursor = i + 1  # no set op inside: skip the head,
+                    hit = "skip"  # still scan its interior groups
+                    break
+                hit = (i, close)
+                break
+            if hit is None:
+                break
+            if hit == "skip":
+                continue
+            gs, ge = hit
+            cte_k = next(
+                (
+                    k
+                    for k, (_ds, po, _pc) in enumerate(cte_spans)
+                    if po == gs
+                ),
+                None,
+            )
+            if cte_k is not None:
+                if cte_k == 0:
+                    ctx2 = ctx_prefix
+                else:
+                    head = out[: cte_spans[cte_k][0]].rstrip()
+                    head = head[:-1] if head.endswith(",") else head
+                    ctx2 = _merge_with_prefix(ctx_prefix, head + " ")
+            else:
+                ctx2 = (
+                    _merge_with_prefix(ctx_prefix, out[:body_start])
+                    if wr is not None
+                    else ctx_prefix
+                )
+            new_inner = rewrite_setop_mixed_types(
+                out[gs + 1 : ge], branch_schema, ctx2, _depth + 1
+            )
+            if new_inner != out[gs + 1 : ge]:
+                out = out[: gs + 1] + new_inner + out[ge:]
+            cursor = gs + 1 + len(new_inner) + 1
+    bs = (
+        branch_schema
+        if not ctx_prefix
+        else (lambda t: branch_schema(_merge_with_prefix(ctx_prefix, t)))
+    )
+    return _setop_rewrite_toplevel(out, bs)
+
+
+def _setop_rewrite_toplevel(sql: str, branch_schema) -> str:
     """DuckDB widens mixed-type set-operation branches where Spark
     coerces differently or refuses (probed r13):
 
@@ -10245,7 +10361,7 @@ _COMPOSITE_FN_HEAD_RE = re.compile(
 
 
 def rewrite_composite_varchar(
-    sql: str, complex_cols=frozenset(), f32_cols=frozenset()
+    sql: str, complex_cols=frozenset(), f32_cols=frozenset(), typer=None
 ) -> str:
     """``expr::VARCHAR`` / ``CAST(expr AS VARCHAR)`` where expr is a
     composite → ``duck_varchar(expr)``, DuckDB's text rendering
@@ -10277,6 +10393,33 @@ def rewrite_composite_varchar(
                 # the widened float64 digits)
                 return "duck_varchar_f32"
             if low in complex_cols:
+                return "duck_varchar"
+        if typer is not None:
+            # opaque complex-typed EXPRESSIONS (r13 continuation):
+            # slices, coalesce/if heads, split() products, derived-
+            # table aliases outside the catalog — the analysis typer
+            # resolves composite-ness (the app call site short-
+            # circuits known-atomic catalog columns so bare atomic
+            # casts never pay a probe). Pure literals / typed
+            # literals / params are atomic by shape — never probe
+            # (third review r13: `'x'::VARCHAR` paid an analysis
+            # round-trip per statement)
+            if (
+                _BOOL_STR_LIT_RE.fullmatch(op)
+                or re.fullmatch(r"[Ee]'(?:[^']|'')*'", op)
+                or _NUM_LIT_RE.fullmatch(op)
+                or re.fullmatch(r"[-+]?\d+(?:\.\d+)?[eE][-+]?\d+", op)
+                or op.upper() in ("NULL", "TRUE", "FALSE")
+                or re.fullmatch(r"\$\d+|\?", op)
+                or re.match(
+                    r"(?i)(DATE|TIME|TIMESTAMP|INTERVAL)\s*'", op
+                )
+            ):
+                return None
+            tk = typer(op)
+            if tk == "cf32":
+                return "duck_varchar_f32"
+            if tk == "complex":
                 return "duck_varchar"
         return None
 

@@ -1088,6 +1088,33 @@ COMPOSITE_CONTEXT_QUERIES = [
     " WHERE n + 2 ORDER BY 1",
     "SELECT coalesce(n, -9) AS x FROM probe_sbool UNION ALL SELECT k"
     " FROM probe_sbool WHERE n + 1 ORDER BY x",
+    # opaque composite EXPRESSIONS casting to VARCHAR render through
+    # duck_varchar via the analysis typer (r13 continuation): slices,
+    # coalesce heads, derived-table aliases outside the catalog
+    "SELECT k, a[1:2]::VARCHAR AS v FROM probe_ctx ORDER BY k",
+    "SELECT k, coalesce(a, b)::VARCHAR AS v FROM probe_ctx ORDER BY k",
+    "SELECT x::VARCHAR AS v FROM (SELECT a AS x FROM probe_ctx"
+    " WHERE k = 1) t2",
+    # set-op widening recurses into derived tables / CTE bodies /
+    # scalar subqueries (r13 continuation)
+    "SELECT * FROM (SELECT 1 AS x UNION ALL SELECT 'a') t ORDER BY 1",
+    "WITH cns AS (SELECT 1 AS v UNION ALL SELECT 'a') SELECT v"
+    " FROM cns ORDER BY 1",
+    "SELECT count(*) AS n FROM (SELECT 1 AS x UNION ALL SELECT 'a'"
+    " UNION ALL SELECT 2.5) t",
+    "WITH c1 AS (SELECT 1 AS v), d1 AS (SELECT v FROM c1 UNION ALL"
+    " SELECT 'a') SELECT * FROM d1 ORDER BY 1",
+    "SELECT (SELECT 1 UNION ALL SELECT 'a' LIMIT 1) AS v",
+    # third-review pins: post-order recursion (a chained CTE's
+    # widening changes its consumers' input types), WITH-merge probes
+    "WITH c2 AS (SELECT 1 AS v UNION ALL SELECT 'a'), d2 AS"
+    " (SELECT v FROM c2 UNION ALL SELECT 2) SELECT * FROM d2"
+    " ORDER BY 1",
+    "SELECT x FROM (SELECT 1 AS x UNION ALL SELECT 'a') t UNION ALL"
+    " SELECT 2 ORDER BY 1",
+    "WITH a2 AS (SELECT 1 AS y) SELECT * FROM (WITH cw AS"
+    " (SELECT 2 AS z) SELECT z FROM cw UNION ALL SELECT 'a') t"
+    " ORDER BY 1",
     # same-typed controls must stay native
     "SELECT 1 AS x UNION ALL SELECT 2.5",
     "SELECT 'a' AS x UNION SELECT 'b' ORDER BY 1",

@@ -5159,6 +5159,57 @@ def test_wire_random_composite_dml_fuzz_vs_duckdb(client, spark):
             _fresh_wire_table(spark, "cofz")
 
 
+def test_wire_dml_bool_coercion_vs_duckdb(client, spark):
+    """duck coerces numerics/strings to BOOLEAN in DML WHERE tails and
+    IF cond slots exactly like the SELECT path (r13 continuation —
+    DML dispatch bypasses _hugeint_sums, so _dml_bool_coercion plumbs
+    the column legs + the from_table typer). Same statement run on
+    both engines, full state compared after each."""
+    import duckdb
+
+    con = duckdb.connect()
+    _fresh_wire_table(spark, "bdml")
+    ddl = "CREATE TABLE bdml(k INT, sv VARCHAR, n INT)"
+    con.execute(ddl)
+    (r,) = client.query(ddl)
+    assert "error" not in r, r
+    seed = (
+        "INSERT INTO bdml VALUES (1,'true',-1),(2,'f',0),(3,'0',1),"
+        "(4,'T',2),(5,NULL,NULL)"
+    )
+    stmts = [
+        seed,
+        "UPDATE bdml SET k = k + 100 WHERE sv",
+        "UPDATE bdml SET k = k + 1000 WHERE n + 1",
+        "UPDATE bdml SET n = if(n, 7, 8) WHERE n IS NOT NULL",
+        "DELETE FROM bdml WHERE n - 7",
+    ]
+    try:
+        for si, s in enumerate(stmts):
+            con.execute(s)
+            (r,) = client.query(s)
+            assert "error" not in r, (si, s, r)
+            want = con.execute(
+                "SELECT k, sv, n FROM bdml ORDER BY k, sv, n"
+            ).fetchall()
+            (r,) = client.query(
+                "SELECT k, sv, n FROM bdml ORDER BY k, sv, n"
+            )
+            got = [
+                (
+                    None if k is None else int(k),
+                    sv,
+                    None if n is None else int(n),
+                )
+                for k, sv, n in r.get("rows", [])
+            ]
+            assert got == [tuple(w) for w in want], (si, s, got, want)
+    finally:
+        con.close()
+        client.query("DROP TABLE bdml")
+        _fresh_wire_table(spark, "bdml")
+
+
 def test_wire_enum_varchar_mixing_contexts(client, spark):
     """Late-r10 enum contexts, all DuckDB-probed: t.*-expanded subquery
     columns, simple-CASE operands vs string literals (non-member
