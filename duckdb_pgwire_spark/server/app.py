@@ -2928,10 +2928,16 @@ def _note_statement_head(first: str) -> None:
     if first and first not in _SCHEMA_READ_HEADS:
         _SCHEMA_FIELDS_CACHE.clear()
         _TYPER_CACHE.clear()
+        _BRANCH_SCHEMA_CACHE.clear()
 
 
 # (statement, operand expression) → type tree from the analysis probe
 _TYPER_CACHE: dict[tuple[str, str, str], object] = {}
+# branch text → ([(name, kind, typestr)], trusted) for the set-op
+# widening pass: the branch analyses ran on EVERY statement execution
+# otherwise (~23 ms each — r13 latency check); same invalidation
+# discipline as the schema memo
+_BRANCH_SCHEMA_CACHE: dict[str, object] = {}
 
 
 def _select_probe_statements(sql: str, expr: str) -> list[str]:
@@ -3689,6 +3695,8 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         from .compat import neutralize_bool_slots, rewrite_setop_mixed_types
 
         def _branch_schema(branch_sql: str):
+            if branch_sql in _BRANCH_SCHEMA_CACHE:
+                return _BRANCH_SCHEMA_CACHE[branch_sql]
             trusted = True
             try:
                 fields = session.sql(branch_sql).schema.fields
@@ -3699,14 +3707,26 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                         neutralize_bool_slots(branch_sql)
                     ).schema.fields
                 except Exception:  # noqa: BLE001 — conservative skip
-                    return None
-            return (
-                [
-                    (f.name, _setop_kind(f.dataType), f.dataType.simpleString())
-                    for f in fields
-                ],
-                trusted,
+                    fields = None
+            result = (
+                None
+                if fields is None
+                else (
+                    [
+                        (
+                            f.name,
+                            _setop_kind(f.dataType),
+                            f.dataType.simpleString(),
+                        )
+                        for f in fields
+                    ],
+                    trusted,
+                )
             )
+            if len(_BRANCH_SCHEMA_CACHE) >= 512:
+                _BRANCH_SCHEMA_CACHE.clear()
+            _BRANCH_SCHEMA_CACHE[branch_sql] = result
+            return result
 
         sql = rewrite_setop_mixed_types(sql, _branch_schema)
     if has_boolctx:

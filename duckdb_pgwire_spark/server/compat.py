@@ -4044,6 +4044,105 @@ def _rewrite_bool_cast_lits(sql: str) -> str:
     return "".join(out)
 
 
+_GRTLST_RE = re.compile(r"(?<![\w.])(greatest|least)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_greatest_least_mixed(sql: str) -> str:
+    """duck coerces STRING literals in greatest/least to the other
+    arguments' type (probed r13: greatest('5', 10) = 10; '5.5' in an
+    all-INT context parses half-away → 6; a decimal/double sibling
+    keeps the fraction; DATE-literal siblings pull strings to DATE;
+    unparseable strings are duck's per-value Conversion Error). Spark
+    refuses the mix at analysis (DATA_DIFF_TYPES) — convert the
+    string LITERALS at rewrite time when every other argument is a
+    numeric/DATE literal or NULL; column/expression arguments leave
+    the call native (loud parity residue; coalesce/CASE/if mixes
+    already coincide natively, probed)."""
+    if _GRTLST_RE.search(sql) is None:
+        return sql
+    guard = 0
+    skipped: set[int] = set()
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        m = next(
+            (
+                c
+                for c in _GRTLST_RE.finditer(sql)
+                if all(mask[c.start() : c.end()])
+                and c.start() not in skipped
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        close = _match_paren(sql, mask, m.end() - 1)
+        if close is None:
+            return sql
+        args = [a.strip() for a in split_top_level(sql[m.end() : close])]
+        str_idx = [
+            i for i, a in enumerate(args)
+            if _BOOL_STR_LIT_RE.fullmatch(a) is not None
+        ]
+
+        def num_kind(a: str) -> str | None:
+            if re.fullmatch(r"[-+]?\d+", a):
+                return "int"
+            if re.fullmatch(
+                r"[-+]?(?:\d+\.\d*|\.\d+)(?:[eE][-+]?\d+)?"
+                r"|[-+]?\d+[eE][-+]?\d+",
+                a,
+            ):
+                return "frac"
+            if re.match(r"(?i)DATE\s*'", a):
+                return "date"
+            if a.upper() == "NULL":
+                return "null"
+            return None
+
+        others = [a for i, a in enumerate(args) if i not in str_idx]
+        kinds = [num_kind(a) for a in others]
+        if not str_idx or not others or any(k is None for k in kinds):
+            skipped.add(m.start())
+            continue
+        ks = set(kinds) - {"null"}
+        new_args = list(args)
+        ok = bool(ks)
+        if ks == {"int"}:
+            for i in str_idx:
+                v = _duck_round_to_int(args[i][1:-1].replace("''", "'"))
+                if v is None:
+                    ok = False
+                    break
+                new_args[i] = str(v)
+        elif ks and ks <= {"int", "frac"}:
+            for i in str_idx:
+                body = args[i][1:-1].replace("''", "'").strip()
+                if re.fullmatch(
+                    r"[-+]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][-+]?\d+)?",
+                    body,
+                ):
+                    new_args[i] = body
+                else:
+                    ok = False
+                    break
+        elif ks == {"date"}:
+            for i in str_idx:
+                new_args[i] = f"DATE {args[i]}"
+        else:
+            ok = False
+        if not ok:
+            skipped.add(m.start())
+            continue
+        sql = (
+            sql[: m.start()]
+            + f"{m.group(1)}({', '.join(new_args)})"
+            + sql[close + 1 :]
+        )
+        skipped = {s for s in skipped if s < m.start()}
+    return sql
+
+
 def _rewrite_int_cast_rounding(sql: str) -> str:
     """DuckDB ROUNDS casts to integer types where Spark TRUNCATES (r10
     sweep; NOTES.md continuity rule). Handled shapes, by operand:
@@ -11975,6 +12074,8 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_like_backslash(sql)  # no-ESCAPE LIKE: \ stays literal
     sql = _rewrite_enum_fns(sql)  # while enum type names are visible
     sql = _rewrite_enum_casts(sql)  # before alias/type passes claim ::name
+    sql = _rewrite_greatest_least_mixed(sql)  # duck's mixed string/
+    # numeric literal coercion (Spark refuses at analysis)
     sql = _rewrite_int_cast_rounding(sql)  # literal/::DOUBLE-chain int
     # casts round like DuckDB (before type passes rename INT spellings)
     sql = _rewrite_bool_cast_lits(sql)  # strict BOOLEAN literal casts

@@ -1115,6 +1115,15 @@ COMPOSITE_CONTEXT_QUERIES = [
     "WITH a2 AS (SELECT 1 AS y) SELECT * FROM (WITH cw AS"
     " (SELECT 2 AS z) SELECT z FROM cw UNION ALL SELECT 'a') t"
     " ORDER BY 1",
+    # greatest/least mixed string/numeric LITERAL coercion (the r10
+    # coercion-sweep known, closed r13: duck converts the string with
+    # int-context half-away rounding; DATE siblings pull to DATE)
+    "SELECT greatest('5', 10) AS a, least('5', 10) AS b,"
+    " greatest('5.5', 2) AS c, least('1e2', 50) AS d",
+    "SELECT greatest('5', NULL, 10) AS a, greatest('0x10', 3) AS b",
+    "SELECT greatest('2024-01-05', DATE '2024-01-01') AS a",
+    "SELECT greatest('5', 10, 2.5) AS a",
+    "SELECT greatest('b', 'a') AS a, greatest(3, 7) AS b",
     # same-typed controls must stay native
     "SELECT 1 AS x UNION ALL SELECT 2.5",
     "SELECT 'a' AS x UNION SELECT 'b' ORDER BY 1",
