@@ -3723,9 +3723,14 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                     trusted,
                 )
             )
-            if len(_BRANCH_SCHEMA_CACHE) >= 512:
-                _BRANCH_SCHEMA_CACHE.clear()
-            _BRANCH_SCHEMA_CACHE[branch_sql] = result
+            if result is not None:
+                # never cache a FAILED analysis — a transient probe
+                # failure would otherwise disable widening for this
+                # branch text until the next non-read statement
+                # (review r13)
+                if len(_BRANCH_SCHEMA_CACHE) >= 512:
+                    _BRANCH_SCHEMA_CACHE.clear()
+                _BRANCH_SCHEMA_CACHE[branch_sql] = result
             return result
 
         sql = rewrite_setop_mixed_types(sql, _branch_schema)

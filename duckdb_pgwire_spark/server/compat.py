@@ -4111,18 +4111,29 @@ def _rewrite_greatest_least_mixed(sql: str) -> str:
         if ks == {"int"}:
             for i in str_idx:
                 v = _duck_round_to_int(args[i][1:-1].replace("''", "'"))
-                if v is None:
+                if v is None or not (-(2**63) <= v <= 2**63 - 1):
+                    # out-of-INT64 strings are duck's loud Conversion
+                    # Error — the unrewritten mix is Spark's loud
+                    # DATA_DIFF_TYPES (review r13: a silent wrong
+                    # value otherwise)
                     ok = False
                     break
                 new_args[i] = str(v)
         elif ks and ks <= {"int", "frac"}:
+            # a fractional sibling makes duck's context DOUBLE (typeof
+            # probed), so emit a string→DOUBLE cast: '5.50' renders
+            # 5.5 (not DECIMAL '5.50'), '1e400' overflows to Infinity
+            # like duck instead of a literal-range parse error, and
+            # nan/inf special strings pass through (review r13)
             for i in str_idx:
                 body = args[i][1:-1].replace("''", "'").strip()
                 if re.fullmatch(
-                    r"[-+]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][-+]?\d+)?",
+                    r"[-+]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][-+]?\d+)?"
+                    r"|(?i:[-+]?(?:nan|inf|infinity))",
                     body,
                 ):
-                    new_args[i] = body
+                    esc = body.replace("'", "''")
+                    new_args[i] = f"CAST('{esc}' AS DOUBLE)"
                 else:
                     ok = False
                     break

@@ -1124,6 +1124,10 @@ COMPOSITE_CONTEXT_QUERIES = [
     "SELECT greatest('2024-01-05', DATE '2024-01-01') AS a",
     "SELECT greatest('5', 10, 2.5) AS a",
     "SELECT greatest('b', 'a') AS a, greatest(3, 7) AS b",
+    # fourth-review pins: DOUBLE context rendering ('5.50' → 5.5, not
+    # DECIMAL '5.50'), overflow-to-Infinity, nan/inf specials
+    "SELECT greatest('5.50', 2.5) AS a, greatest('1e400', 2.5) AS b",
+    "SELECT greatest('nan', 2.5) AS a, greatest('inf', 2.5) AS b",
     # same-typed controls must stay native
     "SELECT 1 AS x UNION ALL SELECT 2.5",
     "SELECT 'a' AS x UNION SELECT 'b' ORDER BY 1",
