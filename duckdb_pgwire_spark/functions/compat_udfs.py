@@ -221,25 +221,17 @@ def _nfc_normalize(s: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.StringType())
 def _duck_float32_text(v: pd.Series) -> pd.Series:
-    """DuckDB's REAL→VARCHAR rendering: single-precision shortest
-    round-trip DIGITS re-rendered with Python's float-repr NOTATION
-    rules — ``repr(float(str(np.float32(x))))`` gives '0.0001' where
-    numpy's own repr switches to '1e-04', and '0.1' where the float64
-    upcast shows '0.10000000149011612'. Probed vs duck over 4k random
-    float32 bit patterns: 99.4% exact; the residue (~0.6%) is a class
-    where duck prints the longer exact expansion ('46977.5625') over
-    a valid shortest ('46977.562') — documented known. NOTE: the call
-    site guards NULL with a CASE (a float-typed pandas UDF cannot
-    tell NULL from NaN)."""
-    import numpy as np
+    """DuckDB's REAL→VARCHAR rendering — the exact Grisu3-with-
+    fallback model in functions/floattext.py (0 mismatches over 621k
+    probed bit patterns; closes the r13 0.6% shortest-digits residue).
+    NOTE: the call site guards NULL with a CASE (a float-typed pandas
+    UDF cannot tell NULL from NaN)."""
+    from .floattext import duck_float_text
 
-    def f(x):
-        x32 = np.float32(x)
-        if x32 != x32:
-            return "nan"
-        return repr(float(str(x32)))
-
-    return v.map(lambda x: None if x is None else f(x), na_action=None)
+    return v.map(
+        lambda x: None if x is None else duck_float_text(float(x)),
+        na_action=None,
+    )
 
 
 @F.pandas_udf(T.StringType())
@@ -416,16 +408,16 @@ def _duck_varchar(v, _float_text=repr):
 
 def _duck_varchar_f32(v):
     """duck_varchar for composites whose LEAF floats are FLOAT32
-    columns: DuckDB renders single-precision shortest-round-trip text
+    columns: DuckDB renders each leaf with its Grisu3 float kernel
     ('-0.15469436'), while the Python value arrives widened to float64
-    whose repr shows the full 17 digits. numpy's float32 str is the
-    same shortest-round-trip algorithm at 32 bits; the schema-aware
-    app pass picks this variant when the column type contains
-    FloatType. Same walk as ``_duck_varchar`` — only the finite float
-    leaf formatter differs."""
-    import numpy as np
+    whose repr shows the full 17 digits. functions/floattext.py is the
+    exact engine model (0/621k probe mismatches); the schema-aware app
+    pass picks this variant when the column type contains FloatType.
+    Same walk as ``_duck_varchar`` — only the finite float leaf
+    formatter differs (the walk owns nan/inf/NULL itself)."""
+    from .floattext import duck_float_text_finite
 
-    return _duck_varchar(v, _float_text=lambda x: str(np.float32(x)))
+    return _duck_varchar(v, _float_text=duck_float_text_finite)
 
 
 @F.pandas_udf(T.StringType())

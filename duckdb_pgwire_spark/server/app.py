@@ -1529,18 +1529,19 @@ class PgWireServer:
         if portal is not None and not _EXPLAIN_ANALYZE_RE.match(sql):
             portal.df = df
         fields = [
-            (f.name, f.dataType)
-            for f in df.schema.fields
+            (i, f.name, f.dataType)
+            for i, f in enumerate(df.schema.fields)
             if not self.reference_compat or reference_visible(f.dataType)
         ]
         fmts = P.expand_formats(
             portal.result_fmts if portal is not None else [], len(fields)
         )
+        bit_oids = _bit_oids_for(sql, len(df.schema.fields))
         writer.write(
             P.row_description(
                 [
-                    P.FieldDesc(n, pg_oid(dt), fmt=fmt)
-                    for (n, dt), fmt in zip(fields, fmts)
+                    P.FieldDesc(n, bit_oids.get(i, pg_oid(dt)), fmt=fmt)
+                    for (i, n, dt), fmt in zip(fields, fmts)
                 ]
             )
         )
@@ -2475,9 +2476,16 @@ class PgWireServer:
         # the advertised array OID (ADVICE r8 item 1)
         cells = [(i, text_cell_encoder(dt)) for i, _, dt in fields]
         if send_row_desc:
+            # BIT-emulated outputs advertise PG's bit OID 1560 (r14);
+            # positions come from the original statement's select list
+            # and are dropped on any count disagreement
+            bit_oids = _bit_oids_for(stmt, len(df.schema.fields))
             writer.write(
                 P.row_description(
-                    [P.FieldDesc(name, pg_oid(dt)) for _, name, dt in fields]
+                    [
+                        P.FieldDesc(name, bit_oids.get(i, pg_oid(dt)))
+                        for i, name, dt in fields
+                    ]
                 )
             )
         # "execute": stream partitions driver-side, write DataRows in
@@ -2768,6 +2776,10 @@ def _sqlstate(exc: Exception) -> str:
             return "22003"
         if "Invalid Input Error:" in msg:
             return "22023"  # invalid_parameter_value (ACOS range, LPAD)
+        if "Invalid type specifier" in msg:
+            # printf/format typed-mismatch guards (r14) ride
+            # raise_error(); duck raises Invalid Input Error for these
+            return "22023"
         return "P0001"  # raise_error() — PG's RAISE exception code
     name = type(exc).__name__
     if "Parse" in name:
@@ -3155,6 +3167,43 @@ def _setop_kind(dt) -> str:
     return "other"
 
 
+def _printf_kind(dt) -> str:
+    """DataType → duck's printf type-dispatch kind (probed matrix
+    r14): signed int family 'int'; bool its own kind (formats under
+    d-specs, refuses under f-specs as 'int'); FLOAT/DOUBLE/DECIMAL
+    'float' (duck's HUGEINT prints as 'string' kind, but the DECIMAL
+    emulation cannot tell them apart — documented residue); string,
+    date/time/timestamp, intervals, binary and composites all format
+    under %s and refuse under numerics as 'string'."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ByteType | T.ShortType | T.IntegerType | T.LongType):
+        return "int"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.FloatType | T.DoubleType | T.DecimalType):
+        return "float"
+    if isinstance(dt, T.NullType):
+        return "null"
+    if isinstance(
+        dt,
+        T.StringType
+        | T.VarcharType
+        | T.CharType
+        | T.DateType
+        | T.TimestampType
+        | T.TimestampNTZType
+        | T.DayTimeIntervalType
+        | T.YearMonthIntervalType
+        | T.BinaryType
+        | T.ArrayType
+        | T.MapType
+        | T.StructType,
+    ) or type(dt).__name__ == "TimeType":
+        return "string"
+    return "other"
+
+
 def _float_kinds(dt, acc: set) -> set:
     """Collect the float LEAF widths ('f32'/'f64') of a possibly
     nested DataType — shared by the _hugeint_sums gate loop and the
@@ -3405,6 +3454,8 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     # time_bucket column-operand marker (r13): the rewrite() template
     # tags bare-identifier operands for the DATE-return-type leg
     has_tb = "/*__duck_tb" in sql
+    # printf/format argument markers (r14): typed mismatch checking
+    has_pf = "/*__duck_pf:" in sql
     # numeric COLUMN in a boolean context (duck coerces via <> 0, r13).
     # This gate is BROAD (nearly every statement has a WHERE/AND) —
     # a deliberate trade: `WHERE v` vs `WHERE flag` cannot be told
@@ -3419,6 +3470,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         has_sum or has_len or has_columns or has_replace or has_enum
         or has_date_ivl or has_vc_cast or has_cmp or has_floorceil
         or has_div or has_avg or has_tb or has_boolctx or has_setop
+        or has_pf
     ):
         return sql
     from pyspark.sql import types as T
@@ -3678,6 +3730,28 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             return vc_base(expr)
 
         sql = rewrite_composite_varchar(sql, complex_cols, f32_cols, vc_typer)
+    if has_pf:
+        # printf/format typed-argument check (r14, VERDICT item 3):
+        # duck refuses a mismatched COLUMN argument per non-null row
+        # where Java coerces — the typer resolves each marked arg and
+        # a mismatch becomes a NULL-guarded raise_error. Read-only
+        # heads only (the typer's hoist gate); DML-embedded printf
+        # keeps the documented coercion fallback.
+        from .compat import (
+            neutralize_bool_slots,
+            neutralize_pf_casts,
+            rewrite_printf_typed,
+        )
+
+        # probes run on a copy with the marked casts NULLed out — the
+        # Java-coercion fallback itself may not analyze (CAST(date AS
+        # BIGINT)), which would starve every probe point
+        pf_typer = _make_expr_typer(
+            session,
+            neutralize_bool_slots(neutralize_pf_casts(sql)),
+            leaf=_printf_kind,
+        )
+        sql = rewrite_printf_typed(sql, pf_typer)
     if has_len:  # array_cols may be empty — the always-array function
         sql = rewrite_array_length(sql, array_cols)  # heads still rewrite
     if has_sum:
@@ -4519,6 +4593,22 @@ def _summarize_df(session: SparkSession, df: DataFrame) -> DataFrame:
         "q25 double, q50 double, q75 double, count bigint, "
         "null_percentage double",
     ).coalesce(1)
+
+
+def _bit_oids_for(stmt: str, ncols: int) -> dict[int, int]:
+    """Positions of BIT-emulated output columns → OID 1560 (r14).
+    Heuristic over the ORIGINAL statement text (compat.bit_select_oids);
+    overrides are dropped whenever the parsed select-item count differs
+    from the result schema (star expansion, set-ops, non-SELECT heads),
+    so a mismatch can only fall back to the TEXT OID, never mislabel."""
+    if "::" not in stmt and "bit" not in stmt.lower():
+        return {}
+    from .compat import bit_select_oids
+
+    oids, nitems = bit_select_oids(stmt)
+    if not oids or ncols != nitems:
+        return {}
+    return oids
 
 
 def _make_cells(kept: list, result_fmts: list[int]) -> list:

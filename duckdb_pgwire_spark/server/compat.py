@@ -413,8 +413,12 @@ def _rewrite_code(seg: str) -> str:
             return m.group(0)
         return f"CAST({m.group(2)} AS {m.group(3)})"
 
+    # the extra (?<!\d) keeps multi-digit exponent mantissas whole:
+    # in 1e-45::FLOAT the [eE][-+] guard rejects the match at '4', and
+    # without the digit guard the engine would retry (and win) at '5',
+    # mangling the literal into 1e-4CAST(5 AS FLOAT) (r14)
     seg = re.sub(
-        r"(::\s*)?(?<![eE][-+])(\w+(?:\.\w+)*)\s*::\s*"
+        r"(::\s*)?(?<![eE][-+])(?<!\d)(\w+(?:\.\w+)*)\s*::\s*"
         r"(\w+(?:\(\d+(?:,\s*\d+)?\))?)(?!\w)(?!\s*<)",
         _colon_cast_sub,
         seg,
@@ -3820,6 +3824,14 @@ _FLOAT_TAIL_RE = re.compile(
     r"|AS\s+(?:DOUBLE|FLOAT8|FLOAT4|FLOAT|REAL)\s*\))\s*$",
     re.IGNORECASE,
 )
+# single-precision subset of the float tails: duck's FLOAT/FLOAT4/REAL
+# are one 4-byte type whose ::VARCHAR goes through the Grisu3 float32
+# kernel, not the double renderer (r14; FLOAT8 must not match)
+_F32_TAIL_RE = re.compile(
+    r"(?:::\s*(?:FLOAT4|FLOAT|REAL)(?!\s*8)(?!\w)"
+    r"|AS\s+(?:FLOAT4|FLOAT|REAL)\s*\))\s*$",
+    re.IGNORECASE,
+)
 _DEC_TAIL_RE = re.compile(
     r"(?:::\s*(?:DECIMAL|NUMERIC)(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
     r"|AS\s+(?:DECIMAL|NUMERIC)(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*\))\s*$",
@@ -4301,6 +4313,46 @@ def _rewrite_int_cast_rounding(sql: str) -> str:
                     continue
                 hit = (start, m.end(), "'" + text + "'")
                 break
+            # a parenthesized cast keeps its inner type: test the tails
+            # on the stripped core so (0.1::FLOAT4)::VARCHAR reaches
+            # the float kernels too (r14); replacement keeps op intact
+            core = op
+            while (
+                core.startswith("(")
+                and core.endswith(")")
+                and _paren_balanced(core[1:-1])
+            ):
+                core = core[1:-1].strip()
+            if _F32_TAIL_RE.search(core) and not _F32_TAIL_RE.search(op):
+                hit = (
+                    start,
+                    m.end(),
+                    f"(CASE WHEN {op} IS NULL THEN CAST(NULL AS STRING)"
+                    f" ELSE duck_float32_text{op if op.startswith('(') else f'({op})'} END)",
+                )
+                break
+            if (
+                _FLOAT_TAIL_RE.search(core)
+                and not _FLOAT_TAIL_RE.search(op)
+                and not _F32_TAIL_RE.search(core)
+            ):
+                hit = (
+                    start,
+                    m.end(),
+                    f"(CASE WHEN {op} IS NULL THEN CAST(NULL AS STRING)"
+                    f" ELSE duck_double_text{op if op.startswith('(') else f'({op})'} END)",
+                )
+                break
+            if _F32_TAIL_RE.search(op):
+                # single-precision chain tail: the engine renders REAL
+                # through its Grisu3 float32 kernel (floattext.py, r14)
+                hit = (
+                    start,
+                    m.end(),
+                    f"(CASE WHEN ({op}) IS NULL THEN CAST(NULL AS STRING)"
+                    f" ELSE duck_float32_text({op}) END)",
+                )
+                break
             if _FLOAT_TAIL_RE.search(op):
                 hit = (
                     start,
@@ -4314,6 +4366,21 @@ def _rewrite_int_cast_rounding(sql: str) -> str:
         s, e, repl = hit
         sql = sql[:s] + repl + sql[e:]
     return sql
+
+
+def _paren_balanced(s: str) -> bool:
+    """True when parens in ``s`` balance without going negative — i.e.
+    stripping one outer pair of ``(s)`` leaves a self-contained
+    expression (quote-masked callers only pass code text)."""
+    depth = 0
+    for c in s:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
 
 
 def _cast_chain_operand_start(sql: str, mask: list[bool], pos: int) -> int | None:
@@ -9139,8 +9206,22 @@ def _rewrite_format(sql: str) -> str:
                 casts[idx] = "DOUBLE"
             elif typ in ("d", "x", "X", "o"):
                 casts[idx] = "BIGINT"
+        # typed-mismatch markers (r14) come from the ORIGINAL fmtlib
+        # text: only an EXPLICIT type char checks ({:d}/{:.2f}/{:s});
+        # generic {} / {N} / bare-width specs format any type in duck
+        fmt_convs: dict[int, str] = {}
+        fauto = 0
+        for bm in re.finditer(r"\{(\d*)(?::([^}]*))?\}", fm.group(1)):
+            fidx = int(bm.group(1)) + 1 if bm.group(1) else (fauto := fauto + 1)
+            spec2 = bm.group(2) or ""
+            if spec2 and spec2[-1] in "dfsxXoeEgG":
+                fmt_convs[fidx] = spec2[-1]
         rest = [
-            f"CAST({a} AS {casts[n + 1]})" if (n + 1) in casts else a
+            f"CAST({_pf_mark(a, fmt_convs.get(n + 1, ''))} AS {casts[n + 1]})"
+            if (n + 1) in casts
+            else (
+                _pf_mark(a, fmt_convs[n + 1]) if (n + 1) in fmt_convs else a
+            )
             for n, a in enumerate(args[1:])
         ]
         if rest and re.search(
@@ -9148,7 +9229,7 @@ def _rewrite_format(sql: str) -> str:
         ):
             # float directives diverge in Java (binary-value rounding,
             # %g stripping, inf/nan) — same decomposition as printf()
-            cc = _printf_concat(printf, args[1:])
+            cc = _printf_concat(printf, args[1:], checked=set(fmt_convs))
             if cc is not None:
                 nullc = " OR ".join(f"({a}) IS NULL" for a in args[1:])
                 repl = (
@@ -9183,7 +9264,27 @@ _PRINTF_DIR_RE = re.compile(
 )
 
 
-def _printf_concat(fmt: str, args: list[str]) -> str | None:
+_PF_NULL_LIT_RE = re.compile(r"(?i)^\s*NULL\s*$")
+
+
+def _pf_mark(a: str, conv: str) -> str:
+    """Tag a printf/format argument with its directive for the
+    schema-typed mismatch leg (rewrite_printf_typed, r14): duck's
+    printf dispatches on the ANALYZED type of each argument per
+    non-NULL row, refusing mismatches ('Invalid type specifier "f"
+    for formatting a value of type int' — probed matrix r14) where
+    Java's formatter would coerce. The marker survives into the
+    schema-aware app leg, which types the expression and swaps a
+    mismatch for a NULL-guarded raise_error. NULL literals skip (duck
+    returns NULL for any NULL argument before type dispatch)."""
+    if conv not in "sdiuxXofFeEgG" or _PF_NULL_LIT_RE.match(a):
+        return a
+    return f"/*__duck_pf:{conv}*/({a})"
+
+
+def _printf_concat(
+    fmt: str, args: list[str], checked: set[int] | None = None
+) -> str | None:
     """Decompose a LITERAL printf format whose conversions include a
     float directive into a concat() of literal segments and per-
     directive pieces: float conversions route through the exact
@@ -9218,24 +9319,26 @@ def _printf_concat(fmt: str, args: list[str]) -> str | None:
         if idx >= len(args):
             return None
         a = args[idx]
+        # format()'s generic {} placeholders translate to %N$s but
+        # accept any type in duck — only explicitly-typed directives
+        # carry a mismatch marker (r14)
+        mk = (
+            _pf_mark(a, conv)
+            if checked is None or (idx + 1) in checked
+            else a
+        )
         spec = f"%{m.group(2)}{m.group(3)}" + (
             f".{m.group(4)}" if m.group(4) is not None else ""
         )
         if conv in "fFeEgG":
-            parts.append(
-                f"__duck_fmt1('{spec}{conv}', CAST({a} AS DOUBLE))"
-            )
+            parts.append(f"__duck_fmt1('{spec}{conv}', CAST({mk} AS DOUBLE))")
         elif conv in "diuxXo":
             c = "d" if conv in "diu" else conv
-            parts.append(
-                f"format_string('{spec}{c}', CAST({a} AS BIGINT))"
-            )
+            parts.append(f"format_string('{spec}{c}', CAST({mk} AS BIGINT))")
         else:  # s — CAST to STRING: Java renders DATE/TIMESTAMP args
             # as raw internal ints (r13 review — the non-float branch
             # got the cast, this leg had the same defect)
-            parts.append(
-                f"format_string('{spec}s', CAST({a} AS STRING))"
-            )
+            parts.append(f"format_string('{spec}s', CAST({mk} AS STRING))")
     if pos < len(fmt):
         parts.append(lit(fmt[pos:]))
     if not parts:
@@ -9324,15 +9427,16 @@ def _rewrite_printf(sql: str) -> str:
             rest = []
             for n, a in enumerate(args[1:]):
                 conv = convs[n] if n < len(convs) else "s"
+                am = _pf_mark(a, conv) if n < len(convs) else a
                 if conv in "fFeEgG":
-                    rest.append(f"CAST({a} AS DOUBLE)")
+                    rest.append(f"CAST({am} AS DOUBLE)")
                 elif conv in "diuxXo":
-                    rest.append(f"CAST({a} AS BIGINT)")
+                    rest.append(f"CAST({am} AS BIGINT)")
                 elif conv == "s":
                     # Java renders DATE/TIMESTAMP args as their raw
                     # internal ints (a DATE prints as day-number —
                     # r13 battery catch); duck prints the SQL text
-                    rest.append(f"CAST({a} AS STRING)")
+                    rest.append(f"CAST({am} AS STRING)")
                 else:
                     rest.append(a)
             repl = f"format_string('{fmt}'" + (
@@ -9347,6 +9451,101 @@ def _rewrite_printf(sql: str) -> str:
             )
         sql = sql[: m.start()] + repl + sql[i:]
     return sql
+
+
+_PF_MARK_RE = re.compile(r"/\*__duck_pf:([sdiuxXofFeEgG])\*/")
+
+
+def _pf_mismatch(conv: str, kind: str | None) -> str | None:
+    """duck's printf type-dispatch matrix (probed r14): the error
+    label to refuse with, or None when the argument kind formats.
+    int-family and bool format under d-specs; bool refuses under
+    f-specs AS 'int'; date/timestamp/interval/blob/composites are all
+    'string' kind (format under %s, refuse under numerics)."""
+    if kind in (None, "null", "other"):
+        return None
+    if conv == "s":
+        return kind if kind in ("int", "float") else None
+    if conv in "diuxXo":
+        return kind if kind in ("float", "string") else None
+    # fFeEgG
+    if kind in ("int", "bool"):
+        return "int"
+    return "string" if kind == "string" else None
+
+
+def neutralize_pf_casts(sql: str) -> str:
+    """Analysis-neutral copy for the printf typer's probes (r14): every
+    marked argument — including its enclosing coercion CAST — becomes
+    NULL, so a statement whose Java-coercion fallback cannot ANALYZE
+    (``CAST(date_col AS BIGINT)`` for ``printf('%d', d)``) still lets
+    the typer hoist the bare operand and resolve its type."""
+    if "/*__duck_pf:" not in sql:
+        return sql
+    mask = _code_mask(sql)
+    out: list[str] = []
+    last = 0
+    for m in _PF_MARK_RE.finditer(sql):
+        j = m.end()
+        if j >= len(sql) or sql[j] != "(" or not mask[j]:
+            continue
+        k = _match_paren(sql, mask, j)
+        if k is None or m.start() < last:
+            continue
+        start = m.start()
+        end = k + 1
+        cm = re.search(r"(?i)CAST\s*\(\s*$", sql[:start])
+        if cm is not None and all(mask[cm.start() : start]):
+            cend = _match_paren(sql, mask, sql.rindex("(", cm.start(), start))
+            if cend is not None and cend >= k:
+                start, end = cm.start(), cend + 1
+        out.append(sql[last:start])
+        out.append("NULL")
+        last = end
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def rewrite_printf_typed(sql: str, typer) -> str:
+    """Schema-typed printf/format argument checking (r14, VERDICT
+    item 3): resolve each ``/*__duck_pf:X*/(arg)`` marker's type via
+    the analysis typer; a mismatch per duck's matrix becomes a
+    NULL-GUARDED raise_error with duck's exact message — duck
+    dispatches per NON-NULL value at runtime (probed: all-NULL and
+    zero-row inputs succeed where an analysis-time refusal would be
+    loud), so the error must fire per row, not at rewrite. Untypeable
+    arguments keep the documented Java-coercion fallback. Processed
+    markers are stripped either way."""
+    if "/*__duck_pf:" not in sql:
+        return sql
+    mask = _code_mask(sql)
+    out: list[str] = []
+    last = 0
+    for m in _PF_MARK_RE.finditer(sql):
+        j = m.end()
+        # the marker itself lexes as a comment (non-code); a REAL
+        # marker is followed by a code '(' — marker-shaped text inside
+        # a string literal has a masked-off '(' and is skipped
+        if j >= len(sql) or sql[j] != "(" or not mask[j]:
+            continue
+        k = _match_paren(sql, mask, j)
+        if k is None or m.start() < last:
+            continue
+        p = sql[j : k + 1]  # parenthesized argument expression
+        conv = m.group(1)
+        label = _pf_mismatch(conv, typer(p))
+        out.append(sql[last : m.start()])
+        if label is None:
+            out.append(p)  # typed OK or untypeable: drop the marker
+        else:
+            out.append(
+                f"(CASE WHEN {p} IS NULL THEN {p} ELSE raise_error("
+                f"'Invalid type specifier \"{conv}\" for formatting"
+                f" a value of type {label}') END)"
+            )
+        last = k + 1
+    out.append(sql[last:])
+    return "".join(out)
 
 
 _QUANTIFIED_RE = re.compile(
@@ -12173,6 +12372,67 @@ def rewrite(sql: str) -> str:
             seg = re.sub(r"(?<![\w.])[Ee]$", "", seg)
         out.append(seg)
     return "".join(out)
+
+
+_BIT_OID_GATE_RE = re.compile(
+    r"(?i)::\s*BIT(?:STRING)?\b|\b(?:bitstring|set_bit)\s*\(|~\s*'[01]"
+)
+_BIT_NONBIT_HEAD_RE = re.compile(
+    r"(?i)^\s*(?:get_bit|bit_count|bit_length|octet_length|bit_position"
+    r"|length|len)\s*\("
+)
+_BIT_SHAPE_RE = re.compile(r"(?i)::\s*BIT(?:STRING)?\b")
+_BIT_HEAD_RE = re.compile(r"(?i)^\s*(?:bitstring|set_bit)\s*\(")
+
+
+def bit_select_oids(sql: str) -> tuple[dict[int, int], int]:
+    """(positions → PG ``bit`` OID 1560, select-item count) for
+    BIT-valued output columns (r14, VERDICT item 4's wire half). BIT is
+    emulated as 0/1-char strings (no BIT storage exists in this
+    surface — it only enters through ``'0101'::BIT`` casts), so the
+    Spark schema says STRING; the original statement text is the only
+    place the BIT-ness is visible. Heuristic by design: an item whose
+    text involves ``::BIT`` / ``bitstring()`` / ``set_bit()`` but whose
+    OUTERMOST call is one of the scalar-returning bit functions
+    (get_bit/bit_count/…/length) stays TEXT. SELECT heads only; callers
+    drop the overrides when the item count disagrees with the result
+    schema (star expansion, set-ops)."""
+    if _BIT_OID_GATE_RE.search(sql) is None:
+        return {}, 0
+    m = re.match(
+        r"(?is)^\s*SELECT\s+(?:DISTINCT\s+|ALL\s+)?", sql
+    )
+    if m is None:
+        return {}, 0
+    body = sql[m.end() :]
+    mask = _code_mask(body)
+    # select list ends at the first top-level FROM/WHERE/GROUP/… or EOS
+    end = len(body)
+    depth = 0
+    for mm in re.finditer(
+        r"(?i)\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|QUALIFY|WINDOW"
+        r"|UNION|INTERSECT|EXCEPT)\b|[()]",
+        body,
+    ):
+        if not mask[mm.start()]:
+            continue
+        tok = mm.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            end = mm.start()
+            break
+    out: dict[int, int] = {}
+    items = split_top_level(body[:end])
+    for i, item in enumerate(items):
+        t = re.sub(r"(?is)\s+AS\s+(`[^`]*`|\w+)\s*$", "", item).strip()
+        if _BIT_NONBIT_HEAD_RE.match(t):
+            continue
+        if _BIT_SHAPE_RE.search(t) or _BIT_HEAD_RE.match(t):
+            out[i] = 1560
+    return out, len(items)
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:

@@ -137,12 +137,53 @@ def reference_visible(dt: T.DataType) -> bool:
     return isinstance(dt, _REFERENCE_VISIBLE)
 
 
+class _F32(float):
+    """Marker: this float came from a FLOAT32 (REAL) column leaf, so
+    its text form is DuckDB's single-precision Grisu3 rendering, not
+    the widened double's repr (functions/floattext.py, r14)."""
+
+    __slots__ = ()
+
+
 def _enc_float(v: float) -> str:
     if math.isnan(v):
         return "NaN"
     if math.isinf(v):
         return "Infinity" if v > 0 else "-Infinity"
+    if isinstance(v, _F32):
+        from ..functions.floattext import duck_float_text_finite
+
+        return duck_float_text_finite(v)
     return repr(v)
+
+
+def _wrap_f32(v: Any, dt: T.DataType) -> Any:
+    """Recursively wrap FLOAT32 leaves of a result value in _F32 so the
+    value-driven text encoders render them single-precision. Called
+    only for columns whose type contains a FloatType leaf (see
+    text_cell_encoder); maps keep their JSON convention unchanged."""
+    if v is None:
+        return None
+    if isinstance(dt, T.FloatType):
+        return _F32(v)
+    if isinstance(dt, T.ArrayType):
+        return [_wrap_f32(e, dt.elementType) for e in v]
+    if isinstance(dt, T.StructType) and hasattr(v, "asDict"):
+        from pyspark.sql import Row
+
+        d = {f.name: _wrap_f32(v[f.name], f.dataType) for f in dt.fields}
+        return Row(**d)
+    return v
+
+
+def _has_f32_leaf(dt: T.DataType) -> bool:
+    if isinstance(dt, T.FloatType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_f32_leaf(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_has_f32_leaf(f.dataType) for f in dt.fields)
+    return False
 
 
 def _enc_timestamp(v: _dt.datetime) -> str:
@@ -314,13 +355,25 @@ def text_cell_encoder(dt: T.DataType) -> Callable[[Any], bytes | None]:
         and pg_oid(dt) in _ELEM_OIDS
     ):
 
+        f32 = _has_f32_leaf(dt)
+
         def enc(v: Any) -> bytes | None:
             if v is None:
                 return None
             _check_rectangular(v, dt)
+            if f32:
+                v = _wrap_f32(v, dt)
             return encode_text(v).encode()
 
         return enc
+    if _has_f32_leaf(dt):
+
+        def enc_f32(v: Any) -> bytes | None:
+            if v is None:
+                return None
+            return encode_text(_wrap_f32(v, dt)).encode()
+
+        return enc_f32
     return encode_cell
 
 

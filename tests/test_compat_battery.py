@@ -356,6 +356,17 @@ BATTERY = [
     "SELECT 1e20::VARCHAR AS big, 1e-7::DOUBLE::VARCHAR AS small, 1.0::DOUBLE::VARCHAR AS one",
     "SELECT 'inf'::DOUBLE::VARCHAR AS i, 'nan'::DOUBLE::VARCHAR AS n, 0.000001::DOUBLE::VARCHAR AS sm, 123456789.123::DOUBLE::VARCHAR AS md",
     "SELECT 1.5::FLOAT::VARCHAR AS f32, (NULL::DOUBLE)::VARCHAR AS nv",
+    # r14: the Grisu3-certification-failure class — duck prints the
+    # longer exact expansion where plain shortest-float32 is shorter
+    # (the r13 0.6% residue, closed by functions/floattext.py)
+    "SELECT 46977.5625::FLOAT::VARCHAR AS a,"
+    " 3948464128.0::FLOAT::VARCHAR AS b,"
+    " 1.00390625::FLOAT::VARCHAR AS c,"
+    " (-183375408.0)::FLOAT::VARCHAR AS d",
+    # …and the classes where Grisu3 succeeds (shortest) / widens
+    "SELECT 0.1::FLOAT::VARCHAR AS a, 1073741824::FLOAT::VARCHAR AS b,"
+    " 1e-45::FLOAT::VARCHAR AS sub, 3.4028235e38::FLOAT::VARCHAR AS mx,"
+    " 1e15::FLOAT::VARCHAR AS deci, 1e16::FLOAT::VARCHAR AS sci",
     # ---- r10 sweep: substr negative length, printf casts, LIKE escape
     "SELECT substr('abcdef', 3, -1) AS a, substr('abcdef', 3, -2) AS b, substr('abcdef', 1, -1) AS c, substr('abcdef', -2, -1) AS d",
     "SELECT substr('abcdef', 0, -1) AS e, substr('abcdef', -2, -3) AS f, substr('abcdef', 2, -9) AS g, substr('abcdef', 9, -3) AS h",
@@ -580,6 +591,47 @@ def test_hamming_unequal_lengths_errors(spark):
         spark.sql(rewrite("SELECT hamming('abc', 'abcd') AS h")).collect()
 
 
+def test_float32_text_kernel_matches_duckdb(oracle):
+    """functions/floattext.py vs the engine over a seeded corpus:
+    3k random bit patterns + every exponent + the subnormal floor +
+    the known Grisu3-failure patterns from the r13/r14 probes. The
+    full 621k-pattern validation ran offline (module docstring); this
+    is the fast regression pin."""
+    import random
+    import struct as st
+
+    from duckdb_pgwire_spark.functions.floattext import duck_float_text
+
+    rng = random.Random(0xF32)
+    pats = [rng.getrandbits(32) for _ in range(3000)]
+    pats += [(e << 23) | f for e in range(0, 255, 7)
+             for f in (0, 1, 0x7FFFFF, 0x400000)]
+    pats += list(range(1, 64))  # subnormal floor
+    pats += [1194819984, 1332435144, 3360324392, 1288477634,
+             3433026356, 0x7F7FFFFF]  # pinned failure-class patterns
+    vals = []
+    for p in pats:
+        f = st.unpack("<f", st.pack("<I", p))[0]
+        if f != f or f in (float("inf"), float("-inf")) or f == 0:
+            continue
+        vals.extend((f, -f))
+    duck = oracle.execute(
+        "SELECT CAST(CAST(UNNEST(?::DOUBLE[]) AS FLOAT) AS VARCHAR)", [vals]
+    ).fetchall()
+    bad = [
+        (v, d, duck_float_text(v))
+        for v, (d,) in zip(vals, duck)
+        if duck_float_text(v) != d
+    ]
+    assert not bad, bad[:10]
+    # specials render like the engine's varchar cast
+    assert duck_float_text(float("nan")) == "nan"
+    assert duck_float_text(float("inf")) == "inf"
+    assert duck_float_text(float("-inf")) == "-inf"
+    assert duck_float_text(0.0) == "0.0"
+    assert duck_float_text(-0.0) == "-0.0"
+
+
 def test_bool_cast_rejected_literal_errors():
     """DuckDB: Conversion Error for 'yes'::BOOLEAN (no y/n/yes/no,
     no whitespace trim); Spark would silently accept both."""
@@ -649,6 +701,52 @@ def test_printf_type_mismatch_literal_errors():
             rewrite(bad)
     rewrite("SELECT printf('%s', true) AS x")  # accepted forms
     rewrite("SELECT printf('%s', DATE '2024-01-01') AS x")
+
+
+def test_printf_typed_column_mismatch(spark, oracle):
+    """r14 (VERDICT item 3): printf/format with a type-mismatched
+    COLUMN argument refuses with duck's message — per NON-NULL row
+    (duck dispatches at runtime: all-NULL and zero-row inputs succeed,
+    probed). The /*__duck_pf:*/ markers route through the analysis
+    typer in the _hugeint_sums leg."""
+    from duckdb_pgwire_spark.server.app import _hugeint_sums
+
+    register_views(spark, SF_DIR)
+    register_udfs(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pfty AS SELECT 42 AS i, 2.5D AS f,"
+        " 'abc' AS s, DATE'2024-01-02' AS d, true AS b,"
+        " CAST(NULL AS INT) AS ni"
+    )
+    for bad, frag in [
+        ("SELECT printf('%f', i) FROM pfty", '"f".*type int'),
+        ("SELECT printf('%d', s) FROM pfty", '"d".*type string'),
+        ("SELECT printf('%s', i) FROM pfty", '"s".*type int'),
+        ("SELECT printf('%s', f) FROM pfty", '"s".*type float'),
+        ("SELECT printf('%f', b) FROM pfty", '"f".*type int'),
+        ("SELECT printf('%d', d) FROM pfty", '"d".*type string'),
+        ("SELECT format('{:d}', f) FROM pfty", '"d".*type float'),
+    ]:
+        with pytest.raises(Exception, match=frag):
+            spark.sql(_hugeint_sums(spark, rewrite(bad))).collect()
+    ok = [
+        ("SELECT printf('%s', d) AS x FROM pfty", "2024-01-02"),
+        ("SELECT printf('%d', b) AS x FROM pfty", "1"),
+        ("SELECT printf('%f', ni) AS x FROM pfty", None),
+        ("SELECT format('{}', i) AS x FROM pfty", "42"),
+        ("SELECT printf('%d %s', i+1, s) AS x FROM pfty", "43 abc"),
+    ]
+    for sql, want in ok:
+        got = spark.sql(_hugeint_sums(spark, rewrite(sql))).collect()
+        assert [r.x for r in got] == [want], sql
+    # duck's runtime dispatch: a mismatched directive over ZERO rows
+    # or an all-NULL column is quiet — so is the raise_error guard
+    empty = spark.sql(
+        _hugeint_sums(
+            spark, rewrite("SELECT printf('%f', i) FROM pfty WHERE false")
+        )
+    ).collect()
+    assert empty == []
 
 
 def test_zero_slice_step_errors():

@@ -314,6 +314,27 @@ def test_wire_null_and_types(client):
     assert res["oids"] == [23, 16, 701, 1082]
 
 
+def test_wire_bit_oid_and_float4_text(client):
+    """r14: BIT-emulated outputs advertise PG's bit OID 1560 (scalar
+    bit-function results stay TEXT/INT), and REAL columns render with
+    the engine's Grisu3 float32 text — the value below is in the
+    Grisu3-certification-failure class where the widened-double repr
+    ('46977.562…') and plain shortest-float32 ('46977.562') both
+    diverge from the engine's '46977.5625'."""
+    (res,) = client.query(
+        "SELECT '0101'::BIT AS b, '0101'::BIT & '0011'::BIT AS a,"
+        " get_bit('0101'::BIT, 1) AS g"
+    )
+    assert res["rows"] == [["0101", "0001", "1"]]
+    assert res["oids"][0] == 1560 and res["oids"][1] == 1560
+    assert res["oids"][2] != 1560
+    (res,) = client.query(
+        "SELECT CAST(46977.5625 AS FLOAT) AS f, 0.1::FLOAT AS g"
+    )
+    assert res["oids"] == [700, 700]
+    assert res["rows"] == [["46977.5625", "0.1"]]
+
+
 def test_reference_compat_drops_unmapped_columns(spark):
     """Documenting the reference quirk (SURVEY.md §1.2): with
     reference_compat=True, `SELECT true, 1` returns ONE column because
