@@ -3291,6 +3291,76 @@ _DML_TARGET_RE = re.compile(
 )
 
 
+def _top_level_kw(sql: str, start: int, kws: tuple[str, ...]):
+    """(position, keyword) of the first paren-depth-0 code occurrence
+    of any keyword at/after ``start``, or (None, None)."""
+    from .compat import _code_mask
+
+    mask = _code_mask(sql)
+    depth = 0
+    pat = re.compile(r"(?i)\b(" + "|".join(kws) + r")\b|[()]")
+    for m in pat.finditer(sql, start):
+        if not mask[m.start()]:
+            continue
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return m.start(), m.group(1).upper()
+    return None, None
+
+
+def _dml_joint_scope(sql: str) -> str | None:
+    """FROM-clause text for a MULTI-relation DML typer probe (r14,
+    VERDICT item 6): UPDATE…FROM / DELETE…USING / MERGE statements get
+    ``target_rel, source_rels`` (verbatim clause text — aliases and
+    subquery sources ride along) spliced into the analysis probe's
+    FROM. An unqualified operand that is ambiguous across the joint
+    scope fails ANALYSIS → the typer returns None → conservative skip;
+    a qualified or single-scope name resolves exactly as the engine
+    resolves it. This erases the r13 gate that refused these forms a
+    typer wholesale. None = not a joint-scope form."""
+    head = re.match(r"(?is)^\s*(UPDATE|DELETE\s+FROM|MERGE\s+INTO)\s+", sql)
+    if head is None:
+        return None
+    kind = re.sub(r"\s+", " ", head.group(1).upper())
+    if kind == "UPDATE":
+        set_pos, _ = _top_level_kw(sql, head.end(), ("SET",))
+        if set_pos is None:
+            return None
+        target = sql[head.end() : set_pos].strip()
+        from_pos, _ = _top_level_kw(sql, set_pos + 3, ("FROM",))
+        if from_pos is None:
+            return None
+        end, _ = _top_level_kw(
+            sql, from_pos + 4, ("WHERE", "RETURNING")
+        )
+        src = sql[from_pos + 4 : end if end is not None else len(sql)]
+        return f"{target}, {src.strip().rstrip(';').strip()}"
+    if kind == "DELETE FROM":
+        using_pos, _ = _top_level_kw(sql, head.end(), ("USING", "WHERE"))
+        if using_pos is None or sql[using_pos : using_pos + 5].upper() != "USING":
+            return None
+        target = sql[head.end() : using_pos].strip()
+        end, _ = _top_level_kw(
+            sql, using_pos + 5, ("WHERE", "RETURNING")
+        )
+        src = sql[using_pos + 5 : end if end is not None else len(sql)]
+        return f"{target}, {src.strip().rstrip(';').strip()}"
+    # MERGE INTO target USING source ON …
+    using_pos, _ = _top_level_kw(sql, head.end(), ("USING",))
+    if using_pos is None:
+        return None
+    target = sql[head.end() : using_pos].strip()
+    on_pos, _ = _top_level_kw(sql, using_pos + 5, ("ON",))
+    if on_pos is None:
+        return None
+    src = sql[using_pos + 5 : on_pos].strip()
+    return f"{target}, {src}"
+
+
 def _dml_bool_coercion(session: SparkSession, sql: str) -> str:
     """duck's numeric/string→BOOLEAN coercion for DML statements (r13
     continuation): ``UPDATE t SET … WHERE v`` / ``DELETE FROM t WHERE
@@ -3324,7 +3394,7 @@ def _dml_bool_coercion(session: SparkSession, sql: str) -> str:
         and head in ("UPDATE", "DELETE")
         and len({t.lower() for t in tables}) <= 1
         and re.search(r"(?i)\bUSING\b", sql) is None
-        else None
+        else _dml_joint_scope(sql)  # multi-relation joint probe (r14)
     )
     from .compat import rewrite_int_bool_contexts
 
@@ -3393,10 +3463,12 @@ def _dml_composite_ord(session: SparkSession, sql: str) -> str:
     ctypes = propagate_complex_aliases(sql, ctypes, blocked)
     # SINGLE-relation UPDATE/DELETE get the analysis typer scoped to
     # the target (the statement is not SELECT-headed, so the hoist
-    # probe can't apply). INSERT/MERGE and multi-relation forms get NO
-    # from_table: typing a source-scope operand against the TARGET's
-    # same-named column of a different type would rewrite WRONG
-    # (second review r13) — probe failure is safe, wrong success isn't.
+    # probe can't apply). UPDATE…FROM / DELETE…USING / MERGE get the
+    # JOINT target+source scope (r14, VERDICT item 6): an unqualified
+    # name ambiguous across the joint relations fails analysis — safe
+    # skip — while a qualified/single-scope name types correctly, so
+    # the r13 wholesale refusal of these forms is no longer needed.
+    # INSERT stays unprobed (its source scope is the SELECT body).
     head = sql.lstrip().split(None, 1)[0].upper()
     target = (
         tm.group(1)
@@ -3404,10 +3476,9 @@ def _dml_composite_ord(session: SparkSession, sql: str) -> str:
         and head in ("UPDATE", "DELETE")
         and len({t.lower() for t in tables}) <= 1
         # DELETE … USING's relation is invisible to statement_tables
-        # (FROM/JOIN only — third review r13); any USING keyword means
-        # a second scope the target-table probe would mistype
+        # (FROM/JOIN only — third review r13)
         and re.search(r"(?i)\bUSING\b", sql) is None
-        else None
+        else _dml_joint_scope(sql)
     )
     typer = _make_expr_typer(session, sql, from_table=target)
     from .compat import rewrite_composite_col_eq
@@ -3483,6 +3554,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     double_cols: set[str] = set()
     dec_cols: set[str] = set()
     date_cols: set[str] = set()
+    time_cols: set[str] = set()
     str_cols: set[str] = set()
     bool_cols: set[str] = set()
     ordered_cols: list[str] = []
@@ -3527,6 +3599,11 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                 f32_cols.add(f.name.lower())
         date_cols.update(
             f.name.lower() for f in fields if isinstance(f.dataType, T.DateType)
+        )
+        time_cols.update(
+            f.name.lower()
+            for f in fields
+            if type(f.dataType).__name__ == "TimeType"
         )
         double_cols.update(
             f.name.lower()
@@ -3623,6 +3700,11 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         sql = rewrite_enum_table_columns(sql, enum_cols, varchar_cols)
     if has_date_ivl and date_cols:
         sql = rewrite_date_interval_cols(sql, date_cols)
+    if has_date_ivl and time_cols:
+        # TIME column ± INTERVAL wraps mod-24h like the engine (r14)
+        from .compat import rewrite_time_interval_cols
+
+        sql = rewrite_time_interval_cols(sql, time_cols)
     if has_columns and ordered_cols:
         sql = rewrite_columns_star(sql, ordered_cols)
     if has_replace and ordered_cols:

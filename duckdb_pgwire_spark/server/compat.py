@@ -1729,6 +1729,179 @@ def _rewrite_date_plus_interval(sql: str) -> str:
     return "".join(out)
 
 
+_TIME_IVL_GATE_RE = re.compile(
+    r"(?i)(?:\bTIME\s*'|::\s*TIME\b|AS\s+TIME\s*\))"
+)
+_TIMEISH_TAIL_RE = re.compile(
+    r"(?i)(?:\bTIME\s*'[^']*'|::\s*TIME|AS\s+TIME\s*\))\s*\)*\s*$"
+)
+_IVL_UNIT = (
+    r"(?:YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND|MILLISECOND"
+    r"|MICROSECOND|CENTURY|CENTURIES|DECADE|MILLENNIUM|MILLENNIA)S?"
+)
+_IVL_RIGHT_RE = re.compile(
+    r"(INTERVAL\s+(?:'[^']*'(?:\s+" + _IVL_UNIT + r"(?:\s+TO\s+"
+    + _IVL_UNIT + r")?)?"
+    r"|\d+(?:\.\d+)?\s+" + _IVL_UNIT + r"))"
+    r"|(to_(?:years|quarters|months|weeks|days|hours|minutes|seconds"
+    r"|milliseconds|microseconds|centuries|decades|millennia)"
+    r"|make_interval|make_dt_interval)\s*\(",
+    re.IGNORECASE,
+)
+
+
+_IVL_COLON_RE = re.compile(
+    r"(?i)(INTERVAL\s+)'(-?)(\d+):(\d{1,2}):(\d{1,2}(?:\.\d+)?)'"
+    r"(?!\s*" + _IVL_UNIT + r")"
+)  # h:m:s required — duck REFUSES the 2-field '1:30' form (probed)
+
+
+def _rewrite_interval_colon_literal(sql: str) -> str:
+    """DuckDB's bare colon interval shorthand — ``INTERVAL '2:45:00'``
+    is 2h45m (probed r14) — needs Spark's qualified day-time literal
+    spelling. Unqualified only: a trailing unit word means the literal
+    already parses (or another pass owns it)."""
+    if _IVL_COLON_RE.search(sql) is None:
+        return sql
+    mask = _code_mask(sql)
+    out, pos = [], 0
+    for m in _IVL_COLON_RE.finditer(sql):
+        if not mask[m.start()]:
+            continue
+        kw, sgn, h, mi, se = m.groups()
+        out.append(sql[pos : m.start()])
+        out.append(
+            f"{kw}'{sgn}{h}:{mi}:{se or '00'}' HOUR TO SECOND"
+        )
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _time_wrap_pass(sql: str, left_ok) -> str:
+    """One wrap loop of the TIME ± INTERVAL mod-24h rewrite: find a
+    ``[+-]`` whose LEFT operand satisfies ``left_ok`` and whose right
+    side is an interval form, wrap the whole span in the anchored
+    TIMESTAMP round-trip. Shared by the literal pass and the
+    schema-aware TIME-column leg (rewrite_time_interval_cols)."""
+    guard = 0
+    while guard < 50:
+        guard += 1
+        mask = _code_mask(sql)
+        segs = _abs_segments(sql)
+        hit = None
+        for m in re.finditer(r"[+-]", sql):
+            if not mask[m.start()]:
+                continue
+            ls = _scan_left_operand(sql, segs, m.start())
+            if ls >= m.start():
+                continue
+            left = sql[ls : m.start()].strip()
+            if not left_ok(left):
+                continue
+            im = _IVL_RIGHT_RE.match(sql, _skip_ws(sql, m.end()))
+            if im is None:
+                continue
+            if im.group(2) is not None:  # call form: balanced close
+                close = _match_paren(sql, mask, im.end() - 1)
+                if close is None:
+                    continue
+                rend = close + 1
+            else:
+                rend = im.end()
+            iv = sql[im.start() : rend]
+            repl = (
+                f"CAST(date_format(CAST(CONCAT("
+                f"'2000-06-15 ', CAST({left} AS STRING)) AS TIMESTAMP)"
+                f" {sql[m.start()]} {iv}, 'HH:mm:ss.SSSSSS') AS TIME)"
+            )
+            hit = (ls, rend, repl)
+            break
+        if hit is None:
+            break
+        s, e, repl = hit
+        sql = sql[:s] + repl + sql[e:]
+    return sql
+
+
+def rewrite_time_interval_cols(sql: str, time_cols: set) -> str:
+    """Schema-aware half of the TIME ± INTERVAL wrap: a known TIME
+    COLUMN followed by ± INTERVAL gets the same anchored mod-24h
+    round-trip (literal operands are handled inside rewrite()). The
+    commuted ``interval + time_col`` form stays unhandled (documented;
+    TIME columns only exist via user DDL in this surface)."""
+    if not time_cols:
+        return sql
+
+    def left_ok(left: str) -> bool:
+        if _TIMEISH_TAIL_RE.search(left) is not None:
+            return True  # chained wrap output
+        m = re.fullmatch(r"(?:[A-Za-z_]\w*\.)*([A-Za-z_]\w*)", left)
+        return m is not None and m.group(1).lower() in time_cols
+
+    return _time_wrap_pass(sql, left_ok)
+
+
+def _rewrite_time_plus_interval(sql: str) -> str:
+    """DuckDB TIME ± INTERVAL wraps modulo 24h using only the
+    interval's time-of-day component (probed r14: 23:30 + 1h → 00:30,
+    12:00 − 36h → 00:00, + INTERVAL '1 day 2 hours' adds 2h, ± MONTH
+    is a no-op); Spark raises DATETIME_OVERFLOW past midnight. Anchor
+    the TIME on a fixed date, do TIMESTAMP arithmetic, format back:
+    under mod-24h the engine's ignore-days/months and Spark's
+    24h-exact days coincide, so the full interval can be added as-is.
+    Closes the one documented deliberate skip with silent client
+    impact (NOTES; VERDICT r13 item 8)."""
+    if _TIME_IVL_GATE_RE.search(sql) is None:
+        return sql
+    sql = _time_wrap_pass(
+        sql, lambda left: _TIMEISH_TAIL_RE.search(left) is not None
+    )
+    # interval + TIME (duck allows the commuted +)
+    guard = 0
+    while guard < 50:
+        guard += 1
+        mask = _code_mask(sql)
+        hit = None
+        for im in _IVL_RIGHT_RE.finditer(sql):
+            if not mask[im.start()]:
+                continue
+            if im.group(2) is not None:
+                close = _match_paren(sql, mask, im.end() - 1)
+                if close is None:
+                    continue
+                iend = close + 1
+            else:
+                iend = im.end()
+            pm = re.match(r"\s*\+\s*", sql[iend:])
+            if pm is None:
+                continue
+            tstart = iend + pm.end()
+            tm2 = re.match(r"(?i)TIME\s*'[^']*'", sql[tstart:])
+            if tm2 is None:
+                continue
+            iv = sql[im.start() : iend]
+            t = sql[tstart : tstart + tm2.end()]
+            repl = (
+                f"CAST(date_format(CAST(CONCAT("
+                f"'2000-06-15 ', CAST({t} AS STRING)) AS TIMESTAMP)"
+                f" + {iv}, 'HH:mm:ss.SSSSSS') AS TIME)"
+            )
+            hit = (im.start(), tstart + tm2.end(), repl)
+            break
+        if hit is None:
+            break
+        s, e, repl = hit
+        sql = sql[:s] + repl + sql[e:]
+    return sql
+
+
+def _skip_ws(sql: str, i: int) -> int:
+    while i < len(sql) and sql[i].isspace():
+        i += 1
+    return i
+
+
 def rewrite_date_interval_cols(sql: str, date_cols: set) -> str:
     """Schema-aware half of the DATE ± INTERVAL promotion: a known
     date COLUMN followed by ± INTERVAL (or the already-rewritten
@@ -12275,7 +12448,9 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_bit_strings(sql)  # BIT emulation (after the concat
     # pass so its emitted concat/substring stay internal-safe)
     sql = _rewrite_date_literal_diff(sql)  # before '-' reaches Spark
+    sql = _rewrite_interval_colon_literal(sql)  # '2:45:00' → qualified
     sql = _rewrite_date_plus_interval(sql)  # before INTERVAL rewrites
+    sql = _rewrite_time_plus_interval(sql)  # TIME ± INTERVAL mod-24h wrap
     sql = _normalize_tstz_spelling(sql)  # multi-word tstz → one token
     sql = _rewrite_at_time_zone(sql)  # PG syntax Spark lacks
     sql = _rewrite_interval_epoch(sql)  # before the epoch() nary claims it

@@ -438,6 +438,23 @@ BATTERY = [
     # a trailing line comment on the sort key must not swallow the
     # NULLS LAST default-order fix
     "SELECT v FROM (VALUES (2), (NULL), (1)) t(v) ORDER BY v -- trailing\nLIMIT 2",
+    # ---- r14 sweep: TIME ± INTERVAL wraps modulo 24h (duck ignores
+    # the interval's day/month parts; under mod-24h Spark's 24h-exact
+    # days coincide) and the bare colon interval shorthand
+    "SELECT TIME '23:30:00' + INTERVAL 1 HOUR AS a,"
+    " TIME '00:30:00' - INTERVAL 1 HOUR AS b,"
+    " TIME '23:59:59.999999' + INTERVAL 1 MICROSECOND AS c",
+    "SELECT TIME '12:00:00' + INTERVAL 36 HOUR AS a,"
+    " TIME '12:00:00' - INTERVAL 36 HOUR AS b,"
+    " TIME '12:00:00' + INTERVAL '1 day 2 hours' AS c,"
+    " TIME '12:00:00' + INTERVAL 1 MONTH AS d",
+    "SELECT INTERVAL 1 HOUR + TIME '23:30:00' AS a,"
+    " TIME '10:00:00' + INTERVAL 1 HOUR - INTERVAL 2 HOUR AS b,"
+    " to_hours(30) + TIME '23:30:00' AS c,"
+    " TIME '23:30:00' + to_hours(30) AS d",
+    "SELECT CAST('23:30:00' AS TIME) + INTERVAL '2:45:00' AS a,"
+    " TIMESTAMP '2024-01-01 10:00:00' + INTERVAL '2:45:00' AS b,"
+    " INTERVAL '2:45:00' + INTERVAL '0:15:00' AS c",
     # ---- r10 sweep: windows/series/intervals/numeric-text/grouping
     # year-month interval constructors promote DATE to TIMESTAMP in
     # either operand order, like INTERVAL literals
@@ -1369,6 +1386,58 @@ def test_composite_3vl_reaches_insert_and_ctas(spark, oracle):
     finally:
         for s in ("comp_ins", "comp_ctas"):
             spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_dml_joint_scope_types_source_columns(spark, oracle):
+    """r14 (VERDICT item 6): UPDATE…FROM gets the JOINT target+source
+    typer scope. Target and source carry same-named columns of
+    DIFFERENT complex types (the ctypes name-map drops them as
+    ambiguous), so only the analysis typer can type the qualified
+    source operand — previously these forms were refused a typer
+    wholesale and Spark's native NULL-element comparison mutated the
+    wrong rows (duck orders NULL elements GREATEST: [1,NULL] >= [1,2]
+    is TRUE)."""
+    register_udfs(spark)
+    from duckdb_pgwire_spark.server.app import _dml_composite_ord
+    from duckdb_pgwire_spark.operators.dml import parse_update, update_from
+
+    for s in ("jt14", "js14"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+        oracle.execute(f"DROP TABLE IF EXISTS {s}")
+    spark.sql("CREATE TABLE jt14(id INT, k INT, a ARRAY<ARRAY<INT>>) USING parquet")
+    spark.sql("CREATE TABLE js14(id INT, a ARRAY<INT>) USING parquet")
+    oracle.execute("CREATE TABLE jt14(id INT, k INT, a INT[][])")
+    oracle.execute("CREATE TABLE js14(id INT, a INT[])")
+    ins_t = "INSERT INTO jt14 VALUES (1, 0, [[1]]), (2, 0, [[2]]), (3, 0, [[3]])"
+    ins_s = "INSERT INTO js14 VALUES (1, [1,NULL]), (2, [1,1]), (3, [9])"
+    for ins in (ins_t, ins_s):
+        oracle.execute(ins)
+        spark.sql(rewrite(ins))
+    try:
+        stmt = (
+            "UPDATE jt14 SET k = 100 FROM js14"
+            " WHERE jt14.id = js14.id AND js14.a >= [1,2]"
+        )
+        oracle.execute(stmt)
+        typed = _dml_composite_ord(spark, rewrite(stmt))
+        parsed = parse_update(typed)
+        assert parsed is not None
+        table, assignments, pred, from_rel = parsed
+        assert from_rel is not None
+        update_from(spark, table, assignments, pred, from_rel)
+        want = sorted(
+            _canon(tuple(r))
+            for r in oracle.execute("SELECT id, k FROM jt14").fetchall()
+        )
+        have = sorted(
+            _canon(tuple(r))
+            for r in spark.sql("SELECT id, k FROM jt14").collect()
+        )
+        assert want == have, (want, have)
+    finally:
+        for s in ("jt14", "js14"):
+            spark.sql(f"DROP TABLE IF EXISTS {s}")
+            oracle.execute(f"DROP TABLE IF EXISTS {s}")
 
 
 def test_casefold_pua_sentinel_guard(spark, oracle):
