@@ -18,6 +18,7 @@ import datetime
 import decimal
 import json
 import math
+import re
 import unicodedata
 
 import pandas as pd
@@ -418,6 +419,128 @@ def _duck_varchar_f32(v):
     from .floattext import duck_float_text_finite
 
     return _duck_varchar(v, _float_text=duck_float_text_finite)
+
+
+def _duck_ym_render(months: int) -> str:
+    """DuckDB's year-month interval text (probed r14): sign on every
+    component ('-1 year -2 months'), per-component pluralization,
+    zero → '00:00:00' (the all-zero interval renders day-time style)."""
+    if months == 0:
+        return "00:00:00"
+    y, m = divmod(abs(months), 12)
+    sgn = "-" if months < 0 else ""
+    parts = []
+    if y:
+        parts.append(f"{sgn}{y} year" + ("s" if y != 1 else ""))
+    if m:
+        parts.append(f"{sgn}{m} month" + ("s" if m != 1 else ""))
+    return " ".join(parts)
+
+
+_SPARK_YM_RE = re.compile(
+    r"INTERVAL '(-?)(\d+)(?:-(\d+))?' (YEAR TO MONTH|YEAR|MONTH)"
+)
+
+
+@F.pandas_udf(T.StringType())
+def _duck_ym_text(v: pd.Series) -> pd.Series:
+    """Spark's canonical YearMonthIntervalType string ("INTERVAL '1-2'
+    YEAR TO MONTH" / "INTERVAL '14' MONTH" / "INTERVAL '2' YEAR") →
+    DuckDB's render ('1 year 2 months'). Backs the wire-path ym
+    transform (_ym_safe — PySpark cannot collect ym values at all) and
+    the ::VARCHAR fold (r14). Unrecognized text passes through."""
+
+    def f(s):
+        if s is None:
+            return None
+        m = _SPARK_YM_RE.match(s)
+        if m is None:
+            return s
+        sgn, a, b, unit = m.groups()
+        if b is not None:
+            months = int(a) * 12 + int(b)
+        else:
+            months = int(a) * (12 if unit == "YEAR" else 1)
+        return _duck_ym_render(-months if sgn else months)
+
+    return v.map(f)
+
+
+_SPARK_DT_IVL_RE = re.compile(
+    r"INTERVAL '(-?)([\d :.]+)' "
+    r"(DAY|HOUR|MINUTE|SECOND)(?: TO (HOUR|MINUTE|SECOND))?$"
+)
+
+
+def _duck_dt_render(days: int, micros: int) -> str:
+    """DuckDB's day-time interval text from separate components
+    (probed r14): days component unnormalized from hours ('25:00:00'
+    stays 25), sign on each component ('-1 day -02:00:00'), days-only
+    drops the zero time part ('400 days'), zero → '00:00:00',
+    fractional seconds trimmed."""
+    parts: list[str] = []
+    if days:
+        parts.append(f"{days} day" + ("s" if abs(days) != 1 else ""))
+    if micros or not days:
+        sgn = "-" if micros < 0 else ""
+        a = abs(micros)
+        h, rem = divmod(a, 3_600_000_000)
+        mi, rem = divmod(rem, 60_000_000)
+        s2, us = divmod(rem, 1_000_000)
+        t = f"{sgn}{h:02d}:{mi:02d}:{s2:02d}"
+        if us:
+            t += f".{us:06d}".rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
+@F.pandas_udf(T.StringType())
+def _duck_dtivl_text(v: pd.Series) -> pd.Series:
+    """Spark's canonical DayTimeIntervalType string ("INTERVAL '3' DAY"
+    / "INTERVAL '1 02:03:04.5' DAY TO SECOND" / "INTERVAL '90' MINUTE")
+    → DuckDB's render ('3 days' / '1 day 02:03:04.5' / '01:30:00').
+    Backs the ::VARCHAR fold for day-time interval literals (r14):
+    Spark's in-SQL cast text is its own canonical form, and crucially
+    the DAY field maps to duck's days component while HOUR-and-below
+    fold into the time part with UNBOUNDED hours — exactly duck's
+    component semantics for these literal shapes. Unrecognized text
+    passes through."""
+
+    def f(s):
+        if s is None:
+            return None
+        m = _SPARK_DT_IVL_RE.match(s)
+        if m is None:
+            return s
+        neg, body, u1, u2 = m.groups()
+        days = h = mi = 0
+        sec = 0.0
+        if u1 == "DAY":
+            if " " in body:
+                dpart, tpart = body.split(" ", 1)
+            else:
+                dpart, tpart = body, ""
+            days = int(dpart)
+            fields = tpart.split(":") if tpart else []
+            start = 0
+        else:
+            fields = body.split(":")
+            start = ["HOUR", "MINUTE", "SECOND"].index(u1)
+        order = ["HOUR", "MINUTE", "SECOND"]
+        for k, fld in enumerate(fields):
+            unit = order[start + k]
+            if unit == "SECOND":
+                sec = float(fld)
+            elif unit == "MINUTE":
+                mi = int(fld)
+            else:
+                h = int(fld)
+        micros = (h * 60 + mi) * 60_000_000 + round(sec * 1_000_000)
+        if neg:
+            days, micros = -days, -micros
+        return _duck_dt_render(days, micros)
+
+    return v.map(f)
 
 
 @F.pandas_udf(T.StringType())
@@ -1271,6 +1394,8 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("duck_list_kurtosis", _duck_list_kurtosis)
     spark.udf.register("duck_double_text", _duck_double_text)
     spark.udf.register("duck_float32_text", _duck_float32_text)
+    spark.udf.register("duck_ym_text", _duck_ym_text)
+    spark.udf.register("duck_dtivl_text", _duck_dtivl_text)
     spark.udf.register("__duck_bit_binop", _duck_bit_binop)
     spark.udf.register("__duck_bit_shift", _duck_bit_shift)
     spark.udf.register("__duck_bit_not", _duck_bit_not)

@@ -1460,6 +1460,7 @@ class PgWireServer:
                 df = await self._exec(
                     session, tag, _select_df, session, p.sql
                 )
+            df = _ym_safe(df)
             kept = [
                 (i, f.dataType)
                 for i, f in enumerate(df.schema.fields)
@@ -2462,6 +2463,7 @@ class PgWireServer:
         """Stream a DataFrame as [RowDescription +] DataRows +
         CommandComplete (the extended protocol sends RowDescription only
         from Describe, never from Execute)."""
+        df = _ym_safe(df)
         # Cells are addressed by POSITION throughout: PySpark Row name
         # lookup returns the first matching field, so duplicate output
         # names (SELECT 1 AS a, 2 AS a) would silently repeat the first
@@ -3854,16 +3856,43 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             if branch_sql in _BRANCH_SCHEMA_CACHE:
                 return _BRANCH_SCHEMA_CACHE[branch_sql]
             trusted = True
+            fixed = None  # coerced branch text that ANALYZED, if any
             try:
                 fields = session.sql(branch_sql).schema.fields
-            except Exception:  # noqa: BLE001 — retry neutralized
-                trusted = False  # auto-generated names may differ
+            except Exception:  # noqa: BLE001
+                # retry with the REAL bool coercion first (cheap legs
+                # + the expression typer over the branch slice) — it
+                # preserves the branch's output names, so the result
+                # stays TRUSTED (`SELECT true AS c … WHERE b` and
+                # `… WHERE (a + 1)` widened bool∪numeric only once
+                # this retry existed — r14 combined-fuzz finds), and
+                # the coerced text is RETURNED so the widening wrapper
+                # embeds it (a derived-table wrapper would otherwise
+                # hide the branch's columns from the later bool pass's
+                # probes); the name-mangling neutralized retry is the
+                # last resort
+                from .compat import rewrite_int_bool_contexts
+
                 try:
-                    fields = session.sql(
-                        neutralize_bool_slots(branch_sql)
-                    ).schema.fields
-                except Exception:  # noqa: BLE001 — conservative skip
-                    fields = None
+                    coerced = rewrite_int_bool_contexts(
+                        branch_sql,
+                        int_cols | double_cols | dec_cols,
+                        str_cols,
+                        lambda neutral: _make_expr_typer(
+                            session, neutral, leaf=_bool_leaf
+                        ),
+                        bool_cols,
+                    )
+                    fields = session.sql(coerced).schema.fields
+                    fixed = coerced
+                except Exception:  # noqa: BLE001 — retry neutralized
+                    trusted = False  # auto-generated names may differ
+                    try:
+                        fields = session.sql(
+                            neutralize_bool_slots(branch_sql)
+                        ).schema.fields
+                    except Exception:  # noqa: BLE001 — conservative
+                        fields = None
             result = (
                 None
                 if fields is None
@@ -3877,6 +3906,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                         for f in fields
                     ],
                     trusted,
+                    fixed,
                 )
             )
             if result is not None:
@@ -4675,6 +4705,39 @@ def _summarize_df(session: SparkSession, df: DataFrame) -> DataFrame:
         "q25 double, q50 double, q75 double, count bigint, "
         "null_percentage double",
     ).coalesce(1)
+
+
+def _ym_safe(df: DataFrame) -> DataFrame:
+    """YearMonthIntervalType result columns cannot cross into Python
+    (PySpark's fromInternal raises NOT_IMPLEMENTED — collecting such a
+    df crashes any protocol path), so render them DUCK-STYLE text
+    Spark-side before collection ('1 year 2 months', via the
+    duck_ym_text kernel over Spark's canonical interval string — r14).
+    Duplicate output names skip the transform (column selection is
+    name-based): such a df keeps its loud PySpark failure."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ym = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.YearMonthIntervalType)
+    ]
+    if not ym:
+        return df
+    names = [f.name for f in df.schema.fields]
+    if len({n.lower() for n in names}) != len(names):
+        return df
+    cols = []
+    for f in df.schema.fields:
+        qn = f.name.replace("`", "``")
+        if isinstance(f.dataType, T.YearMonthIntervalType):
+            cols.append(
+                F.expr(f"duck_ym_text(CAST(`{qn}` AS STRING))").alias(f.name)
+            )
+        else:
+            cols.append(F.col(f"`{qn}`"))
+    return df.select(*cols)
 
 
 def _bit_oids_for(stmt: str, ncols: int) -> dict[int, int]:

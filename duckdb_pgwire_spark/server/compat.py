@@ -4463,10 +4463,13 @@ def _rewrite_int_cast_rounding(sql: str) -> str:
             break
         s, e, repl = hit
         sql = sql[:s] + repl + sql[e:]
-    # x::VARCHAR where x is detectably DOUBLE: DuckDB's float text is
-    # shortest-round-trip ('1e+20', '1.0', 'inf' — r10 sweep); Spark's
-    # is Java's ('1.0E20'). Exponent literals compute here; ::DOUBLE
-    # chains go through the duck_double_text twin of the wire encoder.
+    # x::VARCHAR where x is detectably DOUBLE / FLOAT / ym-interval:
+    # DuckDB's float text is shortest-round-trip ('1e+20', '1.0',
+    # 'inf' — r10 sweep) where Spark's is Java's ('1.0E20'); REAL goes
+    # through the Grisu3 float32 kernel and year-month intervals
+    # through the ym kernel (r14). Exponent literals compute here.
+    # Both the ``::`` and the ``CAST(x AS VARCHAR)`` spellings route
+    # through the same classifier.
     guard = 0
     while guard < 100:
         guard += 1
@@ -4479,66 +4482,127 @@ def _rewrite_int_cast_rounding(sql: str) -> str:
             if start is None:
                 continue
             op = sql[start : m.start()].strip()
-            if _EXP_LIT_RE.fullmatch(op):
-                try:
-                    text = repr(float(op))
-                except ValueError:
-                    continue
-                hit = (start, m.end(), "'" + text + "'")
+            # a bare-string operand whose left context is the INTERVAL
+            # keyword is a typed literal: pull the keyword in so the
+            # ym classifier sees it (r14)
+            if _BOOL_STR_LIT_RE.fullmatch(op):
+                km = re.search(r"(?i)INTERVAL\s*$", sql[:start])
+                if km is not None and all(mask[km.start() : start]):
+                    start = km.start()
+                    op = sql[start : m.start()].strip()
+            repl = _vc_kernel_repl(op)
+            if repl is not None:
+                hit = (start, m.end(), repl)
                 break
-            # a parenthesized cast keeps its inner type: test the tails
-            # on the stripped core so (0.1::FLOAT4)::VARCHAR reaches
-            # the float kernels too (r14); replacement keeps op intact
-            core = op
-            while (
-                core.startswith("(")
-                and core.endswith(")")
-                and _paren_balanced(core[1:-1])
+        if hit is None:
+            break
+        s, e, repl = hit
+        sql = sql[:s] + repl + sql[e:]
+    # CAST(x AS VARCHAR) function spelling — same classification over
+    # the inner operand (r14: this form previously kept Spark-native
+    # float text)
+    guard = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        hit = None
+        for m in re.finditer(r"(?i)\bCAST\s*\(", sql):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            if re.search(
+                r"duck_(?:ym|dtivl)_text\(\s*$", sql[: m.start()]
             ):
-                core = core[1:-1].strip()
-            if _F32_TAIL_RE.search(core) and not _F32_TAIL_RE.search(op):
-                hit = (
-                    start,
-                    m.end(),
-                    f"(CASE WHEN {op} IS NULL THEN CAST(NULL AS STRING)"
-                    f" ELSE duck_float32_text{op if op.startswith('(') else f'({op})'} END)",
-                )
-                break
-            if (
-                _FLOAT_TAIL_RE.search(core)
-                and not _FLOAT_TAIL_RE.search(op)
-                and not _F32_TAIL_RE.search(core)
-            ):
-                hit = (
-                    start,
-                    m.end(),
-                    f"(CASE WHEN {op} IS NULL THEN CAST(NULL AS STRING)"
-                    f" ELSE duck_double_text{op if op.startswith('(') else f'({op})'} END)",
-                )
-                break
-            if _F32_TAIL_RE.search(op):
-                # single-precision chain tail: the engine renders REAL
-                # through its Grisu3 float32 kernel (floattext.py, r14)
-                hit = (
-                    start,
-                    m.end(),
-                    f"(CASE WHEN ({op}) IS NULL THEN CAST(NULL AS STRING)"
-                    f" ELSE duck_float32_text({op}) END)",
-                )
-                break
-            if _FLOAT_TAIL_RE.search(op):
-                hit = (
-                    start,
-                    m.end(),
-                    f"(CASE WHEN ({op}) IS NULL THEN CAST(NULL AS STRING)"
-                    f" ELSE duck_double_text({op}) END)",
-                )
+                continue  # our own emitted inner cast — terminal
+            close = _match_paren(sql, mask, m.end() - 1)
+            if close is None:
+                continue
+            inner = sql[m.end() : close]
+            am = re.search(
+                r"(?i)\s+AS\s+" + _VARCHAR_TYPE_NAMES + r"\s*$", inner
+            )
+            if am is None or not _paren_balanced(inner[: am.start()]):
+                continue
+            op = inner[: am.start()].strip()
+            repl = _vc_kernel_repl(op)
+            if repl is not None:
+                hit = (m.start(), close + 1, repl)
                 break
         if hit is None:
             return sql
         s, e, repl = hit
         sql = sql[:s] + repl + sql[e:]
     return sql
+
+
+def _vc_kernel_repl(op: str) -> str | None:
+    """DuckDB-text replacement for a VARCHAR cast of ``op``, or None
+    to keep the native cast: exponent literals fold at rewrite time;
+    float64/float32 cast tails route to the duck_double_text /
+    duck_float32_text kernels (parenthesized operands test their
+    stripped core); ym-interval literals to duck_ym_text (r14)."""
+    if _EXP_LIT_RE.fullmatch(op):
+        try:
+            return "'" + repr(float(op)) + "'"
+        except ValueError:
+            return None
+    core = op
+    while (
+        core.startswith("(")
+        and core.endswith(")")
+        and _paren_balanced(core[1:-1])
+    ):
+        core = core[1:-1].strip()
+    if re.match(r"(?i)^\s*INTERVAL\b", core):
+        if _ym_only_interval(core):
+            # year-month interval ::VARCHAR renders duck-style
+            # ('1 year 2 months'); Spark's text is "INTERVAL '14' MONTH"
+            return f"duck_ym_text(CAST({op} AS STRING))"
+        if _dt_only_interval(core):
+            # day-time interval ::VARCHAR: '3 days', '25:00:00'
+            # (hours unbounded), '1 day 02:00:00' — via the canonical-
+            # string parser kernel (r14); mixed ym+dt stays native
+            return f"duck_dtivl_text(CAST({op} AS STRING))"
+    if _F32_TAIL_RE.search(core) or _F32_TAIL_RE.search(op):
+        return (
+            f"(CASE WHEN ({op}) IS NULL THEN CAST(NULL AS STRING)"
+            f" ELSE duck_float32_text({op}) END)"
+        )
+    if _FLOAT_TAIL_RE.search(core) or _FLOAT_TAIL_RE.search(op):
+        return (
+            f"(CASE WHEN ({op}) IS NULL THEN CAST(NULL AS STRING)"
+            f" ELSE duck_double_text({op}) END)"
+        )
+    return None
+
+
+_YM_WORD_RE = re.compile(r"(?i)[a-z_]+")
+
+
+def _ym_only_interval(op: str) -> bool:
+    """True when an ``INTERVAL …`` operand's unit words are all
+    year/month family — the ym ::VARCHAR fold applies (r14). Mixed or
+    day-time units keep the native/day-time paths."""
+    words = {
+        w.lower()
+        for w in _YM_WORD_RE.findall(op)
+        if w.lower() != "interval"
+    }
+    return bool(words) and words <= {"year", "years", "month", "months"}
+
+
+def _dt_only_interval(op: str) -> bool:
+    """True when an ``INTERVAL …`` operand's unit words are all
+    day-time family (r14; the weeks spelling folds to days upstream)."""
+    words = {
+        w.lower()
+        for w in _YM_WORD_RE.findall(op)
+        if w.lower() != "interval"
+    }
+    return bool(words) and words <= {
+        "day", "days", "hour", "hours", "minute", "minutes",
+        "second", "seconds", "millisecond", "milliseconds",
+        "microsecond", "microseconds", "week", "weeks", "to",
+    }
 
 
 def _paren_balanced(s: str) -> bool:
@@ -5551,6 +5615,36 @@ def rewrite_int_bool_contexts(
                 if ch.isalpha() or ch == "_":
                     wm = re.match(r"[A-Za-z_]\w*", sql[j:])
                     kw = wm.group(0).upper() if wm else ""
+                    if kw == "CASE":
+                        # a CASE expression IS a slot value: jump over
+                        # its matching END so `WHERE CASE WHEN a THEN 0
+                        # ELSE 1 END` yields the whole block as the
+                        # fragment for the typer leg (r14 combined-fuzz
+                        # find: duck coerces the CASE's numeric RESULT)
+                        cd = 0
+                        j3 = j
+                        while j3 < len(sql):
+                            if mask[j3] and (
+                                j3 == 0 or not (
+                                    sql[j3 - 1].isalnum()
+                                    or sql[j3 - 1] == "_"
+                                )
+                            ):
+                                wm3 = re.match(
+                                    r"(?i)(CASE|END)\b", sql[j3:]
+                                )
+                                if wm3 is not None:
+                                    cd += 1 if wm3.group(1).upper() == "CASE" else -1
+                                    j3 += wm3.end()
+                                    if cd == 0:
+                                        break
+                                    continue
+                            j3 += 1
+                        if cd != 0:
+                            end = j  # unbalanced: treat as before
+                            break
+                        j = j3
+                        continue
                     if kw in _BOOL_CTX_R_KWS:
                         end = j
                         break
@@ -5699,11 +5793,20 @@ def rewrite_int_bool_contexts(
             if typer is None:
                 typer = typer_factory(text)
                 typers[text] = typer
-            tk = typer(frag)
+            # a fragment with its OWN inner boolean slots (a CASE
+            # expression's WHEN arms — r14 combined-fuzz find) must be
+            # coerced inside-out first: the probe can't analyze
+            # `CASE WHEN a THEN …` while `a` is still an INT, and the
+            # final wrap must carry the inner rewrite too (cheap legs
+            # only — no nested probes)
+            frag_rw = rewrite_int_bool_contexts(
+                frag, num_cols, str_cols, None, skip_cols
+            )
+            tk = typer(frag_rw)
             if tk == "num":
-                edits.append((fs, fe, f"(({frag}) <> 0)"))
+                edits.append((fs, fe, f"(({frag_rw}) <> 0)"))
             elif tk == "str":
-                edits.append((fs, fe, _bool_str_wrap(f"({frag})")))
+                edits.append((fs, fe, _bool_str_wrap(f"({frag_rw})")))
     if not edits:
         return sql
     out: list[str] = []
@@ -5866,10 +5969,19 @@ def rewrite_setop_mixed_types(
             if new_inner != out[gs + 1 : ge]:
                 out = out[: gs + 1] + new_inner + out[ge:]
             cursor = gs + 1 + len(new_inner) + 1
+    def _drop_fixed(sc):
+        # a ctx-merged probe's coerced text embeds the OUTER CTE defs:
+        # not substitutable as a branch body (r14)
+        return None if sc is None else (sc[0], sc[1], None)
+
     bs = (
         branch_schema
         if not ctx_prefix
-        else (lambda t: branch_schema(_merge_with_prefix(ctx_prefix, t)))
+        else (
+            lambda t: _drop_fixed(
+                branch_schema(_merge_with_prefix(ctx_prefix, t))
+            )
+        )
     )
     return _setop_rewrite_toplevel(out, bs)
 
@@ -5943,13 +6055,18 @@ def _setop_rewrite_toplevel(sql: str, branch_schema) -> str:
         branches.append(sql[bs:be])
     schemas = []
     trusted: list[bool] = []
+    fixed_texts: list[str | None] = []
     for b in branches:
         sc = branch_schema(prefix + b)
         if sc is None:
             return sql
-        cols, tr = sc
+        cols, tr, *rest = sc
         schemas.append(cols)
         trusted.append(tr)
+        # the coerced branch text (3rd element, r14) substitutes for
+        # the ORIGINAL body when this branch gets a wrapper — only
+        # prefix-free probes (the text IS the branch verbatim)
+        fixed_texts.append(rest[0] if rest and not prefix else None)
     ncols = len(schemas[0])
     if any(len(sc) != ncols for sc in schemas):
         return sql
@@ -6156,8 +6273,13 @@ def _setop_rewrite_toplevel(sql: str, branch_schema) -> str:
                 items.append(f"CAST({col} AS FLOAT) AS {out_name}")
             else:
                 items.append(f"CAST({col} AS INT) AS {out_name}")
+        # embed the COERCED branch text when the schema probe needed
+        # it (r14): the wrapper's alias list hides the inner columns
+        # from the later bool pass's probes, so its slots must already
+        # be rewritten here
+        body = (fixed_texts[bi] or b).strip()
         wrapped.append(
-            f"SELECT {', '.join(items)} FROM ({b.strip()})"
+            f"SELECT {', '.join(items)} FROM ({body})"
             f" __setw{bi}({alias_list}) "
         )
     out = [sql[:body_start]]

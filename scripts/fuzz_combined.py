@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import random
 import sys
+import tempfile
 from pathlib import Path
 
 import duckdb
@@ -57,17 +58,14 @@ ROWS = [
 ]
 
 
-def row_sql(r, duck: bool) -> str:
+def row_sql(r) -> str:
     a, b, s, arr, stx, sty = r
     lit = lambda v: "NULL" if v is None else repr(v)  # noqa: E731
     if arr is None:
         arr_t = "NULL"
     else:
         arr_t = "[" + ", ".join("NULL" if x is None else str(x) for x in arr) + "]"
-    if duck:
-        st = f"{{'x': {lit(stx)}, 'y': {lit(sty)}}}"
-    else:
-        st = f"named_struct('x', CAST({lit(stx)} AS INT), 'y', CAST({lit(sty)} AS STRING))"
+    st = f"{{'x': {lit(stx)}, 'y': {lit(sty)}}}"
     return f"({lit(a)}, {lit(b)}, {lit(s)}, {arr_t}, {st})"
 
 
@@ -75,18 +73,19 @@ def setup(spark, con):
     for t in ("fz", "fzt", "fzs"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         con.execute(f"DROP TABLE IF EXISTS {t}")
+    loc = tempfile.mkdtemp(prefix="fuzz_fz_")
     con.execute(
         "CREATE TABLE fz(a INT, b DOUBLE, s VARCHAR, arr INT[],"
         " st STRUCT(x INT, y VARCHAR))"
     )
     spark.sql(
         "CREATE TABLE fz(a INT, b DOUBLE, s STRING, arr ARRAY<INT>,"
-        " st STRUCT<x: INT, y: STRING>) USING parquet"
+        f" st STRUCT<x: INT, y: STRING>) USING parquet LOCATION '{loc}/fz'"
     )
-    for duck in (True, False):
-        vals = ", ".join(row_sql(r, duck) for r in ROWS)
-        stmt = f"INSERT INTO fz VALUES {vals}"
-        (con.execute(stmt) if duck else spark.sql(stmt))
+    vals = ", ".join(row_sql(r) for r in ROWS)
+    stmt = f"INSERT INTO fz VALUES {vals}"
+    con.execute(stmt)
+    spark.sql(rewrite(stmt))
 
 
 def reset_dml(spark, con):
@@ -97,7 +96,10 @@ def reset_dml(spark, con):
         con.execute(f"DROP TABLE IF EXISTS {t}")
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         con.execute(f"CREATE TABLE {t}{cols_d}")
-        spark.sql(f"CREATE TABLE {t}{cols_s} USING parquet")
+        loc = tempfile.mkdtemp(prefix=f"fuzz_{t}_")
+        spark.sql(
+            f"CREATE TABLE {t}{cols_s} USING parquet LOCATION '{loc}/{t}'"
+        )
     rows = "(1, 0, [1,NULL]), (2, 0, [1,1]), (3, 0, [9]), (4, 0, NULL)"
     srows = "(1, 10, [1,2]), (2, 20, [1,NULL]), (3, 30, [0]), (5, 50, [9])"
     for stmt in (f"INSERT INTO fzt VALUES {rows}", f"INSERT INTO fzs VALUES {srows}"):

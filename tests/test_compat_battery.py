@@ -455,6 +455,23 @@ BATTERY = [
     "SELECT CAST('23:30:00' AS TIME) + INTERVAL '2:45:00' AS a,"
     " TIMESTAMP '2024-01-01 10:00:00' + INTERVAL '2:45:00' AS b,"
     " INTERVAL '2:45:00' + INTERVAL '0:15:00' AS c",
+    # r14: interval ::VARCHAR renders duck text in BOTH cast spellings
+    # (ym via duck_ym_text, day-time via duck_dtivl_text — hours stay
+    # unbounded, days-only drops the zero time part)
+    "SELECT CAST(INTERVAL 14 MONTH AS VARCHAR) AS a,"
+    " INTERVAL '1 year 1 month'::VARCHAR AS b,"
+    " (INTERVAL 24 MONTH)::VARCHAR AS c, INTERVAL '2 years'::VARCHAR AS d",
+    "SELECT (INTERVAL 3 DAY)::VARCHAR AS a,"
+    " INTERVAL '90 minutes'::VARCHAR AS b,"
+    " (INTERVAL 25 HOUR)::VARCHAR AS c,"
+    " (INTERVAL '3 days 4 hours')::VARCHAR AS d,"
+    " CAST(INTERVAL '-1 day -2 hours' AS VARCHAR) AS e,"
+    " (INTERVAL '0:00:00.5')::VARCHAR AS f, (INTERVAL 0 DAY)::VARCHAR AS g",
+    # r14: CAST(x AS VARCHAR) function spelling reaches the float
+    # kernels like the :: form
+    "SELECT CAST(1e20 AS VARCHAR) AS a, CAST(1.5::FLOAT AS VARCHAR) AS b,"
+    " CAST(46977.5625::FLOAT AS VARCHAR) AS c,"
+    " CAST(0.1::FLOAT AS VARCHAR) AS d",
     # ---- r10 sweep: windows/series/intervals/numeric-text/grouping
     # year-month interval constructors promote DATE to TIMESTAMP in
     # either operand order, like INTERVAL literals
@@ -1386,6 +1403,49 @@ def test_composite_3vl_reaches_insert_and_ctas(spark, oracle):
     finally:
         for s in ("comp_ins", "comp_ctas"):
             spark.sql(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_combined_fuzz_small(spark):
+    """Reduced-trial wrapper of scripts/fuzz_combined.py (r14, VERDICT
+    item 9): set-op widening × bool-coercion × composite 3VL × DML ×
+    typed printf mixed in one statement shape, diffed vs DuckDB. The
+    full ≥240-trial net runs standalone; this keeps the generator
+    itself green per round. Seed fixed — failures reproduce."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import duckdb as _duck
+
+    import fuzz_combined as fc
+
+    register_udfs(spark)
+    con = _duck.connect()
+    fc.setup(spark, con)
+    rng = __import__("random").Random(14)
+    fails = []
+    for _ in range(40):
+        sql = fc.gen_select(rng)
+        try:
+            want = fc.canon(con.execute(sql).fetchall())
+            derr = None
+        except Exception as e:  # noqa: BLE001
+            want, derr = None, str(e)[:120]
+        try:
+            have = fc.canon(
+                [tuple(r) for r in fc.run_spark_select(spark, sql)]
+            )
+            serr = None
+        except Exception as e:  # noqa: BLE001
+            have, serr = None, str(e)[:120]
+        if (derr is None) != (serr is None) or (
+            derr is None and want != have
+        ):
+            fails.append((sql, derr or want, serr or have))
+    for t in ("fz",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        con.execute(f"DROP TABLE IF EXISTS {t}")
+    assert not fails, fails[:5]
 
 
 def test_dml_joint_scope_types_source_columns(spark, oracle):

@@ -335,6 +335,16 @@ def test_wire_bit_oid_and_float4_text(client):
     assert res["rows"] == [["46977.5625", "0.1"]]
 
 
+def test_wire_ym_interval_renders(client):
+    """r14: a YearMonthIntervalType result column previously CRASHED
+    collection (PySpark fromInternal NOT_IMPLEMENTED); the _ym_safe
+    transform renders duck text Spark-side."""
+    (res,) = client.query(
+        "SELECT INTERVAL 14 MONTH AS ym, INTERVAL 3 DAY AS dt"
+    )
+    assert res["rows"] == [["1 year 2 months", "3 days"]]
+
+
 def test_reference_compat_drops_unmapped_columns(spark):
     """Documenting the reference quirk (SURVEY.md §1.2): with
     reference_compat=True, `SELECT true, 1` returns ONE column because
