@@ -118,7 +118,30 @@ MIX_LITS = [("1", "int"), ("2.5", "num"), ("'7'", "str"), ("'x'", "strx"),
 
 
 def gen_select(rng) -> str:
-    kind = rng.randrange(4)
+    kind = rng.randrange(5)
+    if kind == 4:  # TIME ± INTERVAL wraparound + interval text renders
+        pick = rng.randrange(4)
+        h, mi = rng.randrange(24), rng.randrange(60)
+        n = rng.randrange(1, 80)
+        if pick == 0:
+            return (
+                f"SELECT TIME '{h:02d}:{mi:02d}:00'"
+                f" {rng.choice(['+', '-'])} INTERVAL {n} HOUR AS t"
+            )
+        if pick == 1:
+            return (
+                f"SELECT TIME '{h:02d}:{mi:02d}:00'"
+                f" {rng.choice(['+', '-'])} INTERVAL {n} MINUTE AS t"
+            )
+        if pick == 2:
+            return (
+                f"SELECT (INTERVAL {n} HOUR)::VARCHAR AS t,"
+                f" (INTERVAL {n % 40} MONTH)::VARCHAR AS m"
+            )
+        return (
+            f"SELECT (INTERVAL '{n % 6} days {h} hours"
+            f" {mi} minutes')::VARCHAR AS t"
+        )
     if kind == 0:  # bool-context × composite in one WHERE
         parts = rng.sample(BOOL_ATOMS, 2) + [rng.choice(COMP_PREDS)]
         rng.shuffle(parts)

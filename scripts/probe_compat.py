@@ -1098,6 +1098,37 @@ BATTERY: dict[str, list[str]] = {
         "SELECT n_name FROM nation ORDER BY n_name OFFSET 2 LIMIT 3",
         "SELECT n_name FROM nation ORDER BY n_name LIMIT ALL OFFSET 22",
     ],
+    "r14_closures": [
+        # Grisu3 float32 text (the certification-failure class)
+        "SELECT 46977.5625::FLOAT::VARCHAR AS a,"
+        " 3948464128.0::FLOAT::VARCHAR AS b,"
+        " 1.00390625::FLOAT::VARCHAR AS c, 0.1::FLOAT::VARCHAR AS d",
+        "SELECT CAST(1e20 AS VARCHAR) AS a,"
+        " CAST(46977.5625::FLOAT AS VARCHAR) AS b",
+        # TIME ± INTERVAL mod-24h wrap + colon interval shorthand
+        "SELECT TIME '23:30:00' + INTERVAL 1 HOUR AS a,"
+        " TIME '00:30:00' - INTERVAL 1 HOUR AS b,"
+        " TIME '12:00:00' + INTERVAL 36 HOUR AS c",
+        "SELECT TIME '12:00:00' + INTERVAL '1 day 2 hours' AS a,"
+        " INTERVAL 1 HOUR + TIME '23:30:00' AS b,"
+        " CAST('23:30:00' AS TIME) + INTERVAL '2:45:00' AS c",
+        # interval ::VARCHAR duck text, both spellings
+        "SELECT CAST(INTERVAL 14 MONTH AS VARCHAR) AS a,"
+        " INTERVAL '1 year 1 month'::VARCHAR AS b,"
+        " (INTERVAL 24 MONTH)::VARCHAR AS c",
+        "SELECT (INTERVAL 3 DAY)::VARCHAR AS a,"
+        " (INTERVAL 25 HOUR)::VARCHAR AS b,"
+        " (INTERVAL '3 days 4 hours')::VARCHAR AS c,"
+        " (INTERVAL '0:00:00.5')::VARCHAR AS d",
+        # ym interval RESULT columns render duck text on the wire
+        "SELECT INTERVAL 14 MONTH AS ym, INTERVAL '2 years' AS y2",
+        # typed printf/format over columns: accepted kinds
+        "SELECT printf('%s', d_date) AS a FROM"
+        " (SELECT DATE '2024-01-02' AS d_date) t",
+        "SELECT printf('%d', true) AS a, format('{}', 42) AS b",
+        # BIT select items carry OID 1560 (values compare as text)
+        "SELECT '0101'::BIT AS b, '0101'::BIT & '0011'::BIT AS a",
+    ],
 }
 
 
@@ -1134,6 +1165,11 @@ def norm_cell(v: object) -> str | None:
 # Cases where a DIFF is understood and accepted, with the reason —
 # counted as 'known' so the mismatch census only surfaces NEW drift.
 KNOWN_DIFFS: dict[str, str] = {
+    "SELECT INTERVAL 14 MONTH AS ym, INTERVAL '2 years' AS y2":
+        "duckdb python client renders ym intervals as 30-day "
+        "timedeltas (420 days); the engine's own text is "
+        "'1 year 2 months' (proved by the ::VARCHAR probes, r14) — "
+        "same class as the documented age() artifact",
     "SELECT current_schema() AS cs": "identity: Spark default db answers",
     "SELECT current_database() AS cd": "identity: Spark default db answers",
     "SELECT version() AS v": "identity: PG-compatible banner",
