@@ -2534,6 +2534,7 @@ class PgWireServer:
         df = await self._exec(
             session, tag, lambda: session.sql(rewrite(inner_sql))
         )
+        df = _ym_safe(df)  # ym interval columns cannot collect (r14)
         fields = df.schema.fields
         ncols = len(fields)
         writer.write(P.copy_out_response(ncols))
@@ -3885,6 +3886,13 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                     )
                     fields = session.sql(coerced).schema.fields
                     fixed = coerced
+                    # names stay trusted only while the SELECT LIST is
+                    # byte-identical — a coerced UNALIASED select item
+                    # (`SELECT a AND b` → `(a <> 0) AND …`) changes its
+                    # auto-generated name (review r14)
+                    trusted = _select_head(coerced) == _select_head(
+                        branch_sql
+                    )
                 except Exception:  # noqa: BLE001 — retry neutralized
                     trusted = False  # auto-generated names may differ
                     try:
@@ -4738,6 +4746,26 @@ def _ym_safe(df: DataFrame) -> DataFrame:
         else:
             cols.append(F.col(f"`{qn}`"))
     return df.select(*cols)
+
+
+def _select_head(sql: str) -> str:
+    """Text up to the first paren-depth-0 FROM (the select list) —
+    used to detect whether a rewrite touched output names (r14)."""
+    from .compat import _code_mask
+
+    mask = _code_mask(sql)
+    d = 0
+    for m in re.finditer(r"(?i)\bFROM\b|[()]", sql):
+        if not mask[m.start()]:
+            continue
+        tok = m.group(0)
+        if tok == "(":
+            d += 1
+        elif tok == ")":
+            d -= 1
+        elif d == 0:
+            return sql[: m.start()]
+    return sql
 
 
 def _bit_oids_for(stmt: str, ncols: int) -> dict[int, int]:
