@@ -3184,8 +3184,12 @@ def _printf_kind(dt) -> str:
         return "int"
     if isinstance(dt, T.BooleanType):
         return "bool"
-    if isinstance(dt, T.FloatType | T.DoubleType | T.DecimalType):
-        return "float"
+    if isinstance(dt, T.FloatType):
+        return "f32"  # float family, single-precision render (r14)
+    if isinstance(dt, T.DoubleType):
+        return "f64"
+    if isinstance(dt, T.DecimalType):
+        return "dec"
     if isinstance(dt, T.NullType):
         return "null"
     if isinstance(

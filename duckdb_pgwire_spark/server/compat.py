@@ -7944,16 +7944,18 @@ def _rewrite_distinct_on(sql: str) -> str:
 
 
 def _scan_top_level(sql: str):
-    """Yield (index, char) for characters at paren depth 0 outside
-    string literals — the positions where clause keywords live."""
+    """Yield (index, char) for characters at paren AND bracket depth 0
+    outside string literals — the positions where clause keywords and
+    argument separators live (brackets count since r14: a comma inside
+    a ``[1,2]`` list literal must not split printf/format args)."""
     depth = 0
     for is_lit, seg_start, seg in _segments_with_offsets(sql):
         if is_lit:
             continue
         for k, c in enumerate(seg):
-            if c == "(":
+            if c in "([":
                 depth += 1
-            elif c == ")":
+            elif c in ")]":
                 depth -= 1
             elif depth == 0:
                 yield seg_start + k, c
@@ -9511,14 +9513,38 @@ def _rewrite_format(sql: str) -> str:
             spec2 = bm.group(2) or ""
             if spec2 and spec2[-1] in "dfsxXoeEgG":
                 fmt_convs[fidx] = spec2[-1]
-        rest = [
-            f"CAST({_pf_mark(a, fmt_convs.get(n + 1, ''))} AS {casts[n + 1]})"
-            if (n + 1) in casts
-            else (
-                _pf_mark(a, fmt_convs[n + 1]) if (n + 1) in fmt_convs else a
-            )
-            for n, a in enumerate(args[1:])
-        ]
+        # positions actually consumed by a directive: generic args get
+        # the '?'-marked CAST AS STRING (duck renders dates/composites
+        # as their SQL text where Java prints raw internals — r14);
+        # explicit {:s} args cast too; extra args beyond the
+        # directives stay untouched (duck ignores them)
+        used = {
+            int(um.group(1))
+            for um in re.finditer(r"%(\d+)\$", printf)
+        }
+        rest = []
+        for n, a in enumerate(args[1:]):
+            if (n + 1) in casts:
+                rest.append(
+                    f"CAST({_pf_mark(a, fmt_convs.get(n + 1, ''))}"
+                    f" AS {casts[n + 1]})"
+                )
+            elif (n + 1) in fmt_convs:  # explicit {:s}
+                rest.append(
+                    f"CAST({_pf_mark(a, fmt_convs[n + 1])} AS STRING)"
+                )
+            elif (n + 1) in used:  # generic {}
+                # literal/cast-tail args fold to duck text at rewrite
+                # time (exponent literals, ::FLOAT chains, interval
+                # literals) — the '?' marker covers typed COLUMNS via
+                # the app leg
+                k = _vc_kernel_repl(a)
+                rest.append(
+                    k if k is not None
+                    else f"CAST({_pf_mark(a, '?')} AS STRING)"
+                )
+            else:
+                rest.append(a)
         if rest and re.search(
             r"%\d+\$[-+ #0]*\d*(?:\.\d+)?[fFeEgG]", printf
         ):
@@ -9572,7 +9598,7 @@ def _pf_mark(a: str, conv: str) -> str:
     schema-aware app leg, which types the expression and swaps a
     mismatch for a NULL-guarded raise_error. NULL literals skip (duck
     returns NULL for any NULL argument before type dispatch)."""
-    if conv not in "sdiuxXofFeEgG" or _PF_NULL_LIT_RE.match(a):
+    if conv not in "sdiuxXofFeEgG?" or _PF_NULL_LIT_RE.match(a):
         return a
     return f"/*__duck_pf:{conv}*/({a})"
 
@@ -9748,7 +9774,7 @@ def _rewrite_printf(sql: str) -> str:
     return sql
 
 
-_PF_MARK_RE = re.compile(r"/\*__duck_pf:([sdiuxXofFeEgG])\*/")
+_PF_MARK_RE = re.compile(r"/\*__duck_pf:([sdiuxXofFeEgG?])\*/")
 
 
 def _pf_mismatch(conv: str, kind: str | None) -> str | None:
@@ -9756,9 +9782,13 @@ def _pf_mismatch(conv: str, kind: str | None) -> str | None:
     label to refuse with, or None when the argument kind formats.
     int-family and bool format under d-specs; bool refuses under
     f-specs AS 'int'; date/timestamp/interval/blob/composites are all
-    'string' kind (format under %s, refuse under numerics)."""
+    'string' kind (format under %s, refuse under numerics). The float
+    family arrives fine-grained (f32/f64/dec — the generic-arg leg
+    needs the width) and labels as 'float' here."""
     if kind in (None, "null", "other"):
         return None
+    if kind in ("f32", "f64", "dec"):
+        kind = "float"
     if conv == "s":
         return kind if kind in ("int", "float") else None
     if conv in "diuxXo":
@@ -9828,7 +9858,27 @@ def rewrite_printf_typed(sql: str, typer) -> str:
             continue
         p = sql[j : k + 1]  # parenthesized argument expression
         conv = m.group(1)
-        label = _pf_mismatch(conv, typer(p))
+        kind = typer(p)
+        if conv == "?":
+            # format()'s GENERIC {} placeholder (r14): never refuses —
+            # but duck renders floats with its own kernels where the
+            # emitted CAST AS STRING would produce Java text
+            out.append(sql[last : m.start()])
+            if kind == "f64":
+                out.append(
+                    f"(CASE WHEN {p} IS NULL THEN CAST(NULL AS STRING)"
+                    f" ELSE duck_double_text(CAST({p} AS DOUBLE)) END)"
+                )
+            elif kind == "f32":
+                out.append(
+                    f"(CASE WHEN {p} IS NULL THEN CAST(NULL AS STRING)"
+                    f" ELSE duck_float32_text(CAST({p} AS FLOAT)) END)"
+                )
+            else:
+                out.append(p)
+            last = k + 1
+            continue
+        label = _pf_mismatch(conv, kind)
         out.append(sql[last : m.start()])
         if label is None:
             out.append(p)  # typed OK or untypeable: drop the marker

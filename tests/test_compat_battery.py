@@ -472,6 +472,13 @@ BATTERY = [
     "SELECT CAST(1e20 AS VARCHAR) AS a, CAST(1.5::FLOAT AS VARCHAR) AS b,"
     " CAST(46977.5625::FLOAT AS VARCHAR) AS c,"
     " CAST(0.1::FLOAT AS VARCHAR) AS d",
+    # r14: format()'s generic {} renders args as duck SQL text (Java
+    # printed DATE/TIMESTAMP as raw internal ints, doubles as 1.0E20)
+    "SELECT format('{}', DATE '2024-01-02') AS a,"
+    " format('{}', TIMESTAMP '2024-01-02 03:04:05') AS b,"
+    " format('{} {}', DATE '2024-01-02', true) AS c,"
+    " format('{}', 1e20) AS d, format('{}', [1,2]) AS e,"
+    " format('{:s}', DATE '2024-01-02') AS f",
     # ---- r10 sweep: windows/series/intervals/numeric-text/grouping
     # year-month interval constructors promote DATE to TIMESTAMP in
     # either operand order, like INTERVAL literals
