@@ -166,7 +166,13 @@ def gen_select(rng) -> str:
             f"SELECT a, ({p}) AS p FROM fz"
             f" WHERE ({rng.choice(BOOL_ATOMS)}) IS NOT NULL OR ({p})"
         )
-    # printf over typed columns in a coercion context
+    # printf/format over typed columns in a coercion context
+    if rng.random() < 0.4:  # format generic {} renders duck SQL text
+        col = rng.choice(["a", "b", "s", "arr", "st", "a + 1", "b * 2"])
+        return (
+            f"SELECT format('{{}} x', {col}) AS t FROM fz"
+            f" WHERE ({rng.choice(BOOL_ATOMS)})"
+        )
     conv, col = rng.choice(
         [("%d", "a"), ("%f", "b"), ("%s", "s"), ("%d", "a + 1"), ("%f", "b * 2")]
     )
