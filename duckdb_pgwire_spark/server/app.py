@@ -3534,6 +3534,8 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     has_tb = "/*__duck_tb" in sql
     # printf/format argument markers (r14): typed mismatch checking
     has_pf = "/*__duck_pf:" in sql
+    # || concat with special-typed columns (r14): duck stringifies
+    has_pipe = "||" in sql
     # numeric COLUMN in a boolean context (duck coerces via <> 0, r13).
     # This gate is BROAD (nearly every statement has a WHERE/AND) —
     # a deliberate trade: `WHERE v` vs `WHERE flag` cannot be told
@@ -3548,7 +3550,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         has_sum or has_len or has_columns or has_replace or has_enum
         or has_date_ivl or has_vc_cast or has_cmp or has_floorceil
         or has_div or has_avg or has_tb or has_boolctx or has_setop
-        or has_pf
+        or has_pf or has_pipe
     ):
         return sql
     from pyspark.sql import types as T
@@ -3562,6 +3564,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     dec_cols: set[str] = set()
     date_cols: set[str] = set()
     time_cols: set[str] = set()
+    vc_kind_seen: dict[str, set] = {}
     str_cols: set[str] = set()
     bool_cols: set[str] = set()
     ordered_cols: list[str] = []
@@ -3612,6 +3615,19 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             for f in fields
             if type(f.dataType).__name__ == "TimeType"
         )
+        for f in fields:  # scalar VARCHAR-cast kinds (r14): a name
+            # seen with two different kinds (or any other type) drops
+            if isinstance(f.dataType, T.DoubleType):
+                k = "f64"
+            elif isinstance(f.dataType, T.FloatType):
+                k = "f32"
+            elif isinstance(f.dataType, T.DayTimeIntervalType):
+                k = "dtivl"
+            elif isinstance(f.dataType, T.YearMonthIntervalType):
+                k = "ym"
+            else:
+                k = "other"
+            vc_kind_seen.setdefault(f.name.lower(), set()).add(k)
         double_cols.update(
             f.name.lower()
             for f in fields
@@ -3819,6 +3835,24 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             return vc_base(expr)
 
         sql = rewrite_composite_varchar(sql, complex_cols, f32_cols, vc_typer)
+    # scalar special-typed column casts to VARCHAR + literal-adjacent
+    # || concat operands render duck text (r14): doubles gave Java
+    # '1.0E20', intervals Spark's own spelling, composite || errored
+    vc_kinds = {
+        n: next(iter(ks))
+        for n, ks in vc_kind_seen.items()
+        if len(ks) == 1 and "other" not in ks
+    }
+    if has_vc_cast and vc_kinds:
+        from .compat import rewrite_scalar_varchar_cols
+
+        sql = rewrite_scalar_varchar_cols(sql, vc_kinds)
+    if has_pipe and (vc_kinds or complex_cols):
+        from .compat import rewrite_pipe_concat_special_cols
+
+        sql = rewrite_pipe_concat_special_cols(
+            sql, vc_kinds, complex_cols, f32_cols
+        )
     if has_pf:
         # printf/format typed-argument check (r14, VERDICT item 3):
         # duck refuses a mismatched COLUMN argument per non-null row

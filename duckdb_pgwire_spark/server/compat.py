@@ -11014,6 +11014,139 @@ _COMPOSITE_FN_HEAD_RE = re.compile(
 )
 
 
+_SCALAR_VC_COLON_RE = re.compile(
+    r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\s*::\s*STRING\b"
+)
+_SCALAR_VC_CAST_RE = re.compile(
+    r"(?i)\bCAST\s*\(\s*((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\s+AS\s+STRING\s*\)"
+)
+
+
+def _scalar_vc_repl(op: str, kind: str) -> str:
+    if kind == "f64":
+        return (
+            f"(CASE WHEN {op} IS NULL THEN CAST(NULL AS STRING)"
+            f" ELSE duck_double_text(CAST({op} AS DOUBLE)) END)"
+        )
+    if kind == "f32":
+        return (
+            f"(CASE WHEN {op} IS NULL THEN CAST(NULL AS STRING)"
+            f" ELSE duck_float32_text(CAST({op} AS FLOAT)) END)"
+        )
+    if kind == "dtivl":
+        return f"duck_dtivl_text(CAST({op} AS STRING))"
+    return f"duck_ym_text(CAST({op} AS STRING))"  # ym
+
+
+def rewrite_scalar_varchar_cols(sql: str, kinds: dict[str, str]) -> str:
+    """Schema leg (r14): ``col::VARCHAR`` / ``CAST(col AS VARCHAR)``
+    where col is a known DOUBLE / FLOAT / interval COLUMN renders duck
+    text — Spark's cast gives Java float text ('1.0E20') and its own
+    interval spelling ("INTERVAL '3' DAY"). Runs on the post-rename
+    text (VARCHAR family is already STRING); user ``concat()`` args are
+    covered for free (the null-skip lowering emits CAST(arg AS STRING)
+    per argument). ``kinds``: lowercase base name → f64|f32|dtivl|ym.
+    SINGLE-pass application — the emitted kernels embed identifier
+    casts of their own and must not re-match."""
+    if not kinds or "STRING" not in sql.upper():
+        return sql
+    mask = _code_mask(sql)
+    edits: list[tuple[int, int, str]] = []
+    for pat in (_SCALAR_VC_COLON_RE, _SCALAR_VC_CAST_RE):
+        for m in pat.finditer(sql):
+            if not all(mask[m.start() : m.end()]):
+                continue
+            base = m.group(1).split(".")[-1].lower()
+            kind = kinds.get(base)
+            if kind is None:
+                continue
+            edits.append((m.start(), m.end(), _scalar_vc_repl(m.group(1), kind)))
+    if not edits:
+        return sql
+    out: list[str] = []
+    pos = 0
+    for s, e, repl in sorted(edits):
+        if s < pos:
+            continue
+        out.append(sql[pos:s])
+        out.append(repl)
+        pos = e
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def rewrite_pipe_concat_special_cols(
+    sql: str, kinds: dict[str, str], complex_cols=frozenset(),
+    cf32_cols=frozenset(),
+) -> str:
+    """Schema leg (r14): ``'lit' || special_col`` (either order) is a
+    STRING concatenation in duck whenever one side is a string literal
+    — render the special-typed COLUMN side with the duck kernels
+    (doubles gave Java text; composite columns failed Spark's
+    same-type concat outright). Only the literal-adjacent decidable
+    shape rewrites; expression operands stay native (conservative)."""
+    if "||" not in sql or not (kinds or complex_cols):
+        return sql
+    guard = 0
+    while guard < 50:
+        guard += 1
+        mask = _code_mask(sql)
+        hit = None
+        for m in re.finditer(r"\|\|", sql):
+            if not all(mask[m.start() : m.start() + 2]):
+                continue
+            left = sql[: m.start()]
+            right = sql[m.start() + 2 :]
+            lm = re.search(r"'(?:[^']|'')*'\s*$", left)
+            # the column must be the WHOLE operand: a tighter-binding
+            # operator after it (`'x' || big * 2` — * wins) means the
+            # concat operand is the larger expression; bail
+            rm_ = re.match(
+                r"\s*((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)"
+                r"(?![\w.(])(?!\s*[*/%+\-\[])",
+                right,
+            )
+            if lm and rm_:
+                col = rm_.group(1)
+                repl = _pipe_col_repl(col, kinds, complex_cols, cf32_cols)
+                if repl is not None:
+                    s = m.start() + 2 + rm_.start(1)
+                    e = m.start() + 2 + rm_.end(1)
+                    hit = (s, e, repl)
+                    break
+            lm2 = re.search(
+                r"(?:^|[(,;]|\b(?:SELECT|THEN|ELSE|WHEN)\b)\s*"
+                r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\s*$",
+                left,
+                re.IGNORECASE,
+            )
+            rm2 = re.match(r"\s*'(?:[^']|'')*'", right)
+            if lm2 and rm2 and all(mask[lm2.start(1) : m.start()]):
+                col = lm2.group(1)
+                repl = _pipe_col_repl(col, kinds, complex_cols, cf32_cols)
+                if repl is not None:
+                    hit = (lm2.start(1), lm2.end(1), repl)
+                    break
+        if hit is None:
+            return sql
+        s, e, repl = hit
+        sql = sql[:s] + repl + sql[e:]
+    return sql
+
+
+def _pipe_col_repl(
+    col: str, kinds: dict[str, str], complex_cols, cf32_cols
+) -> str | None:
+    base = col.split(".")[-1].lower()
+    kind = kinds.get(base)
+    if kind is not None:
+        return _scalar_vc_repl(col, kind)
+    if base in complex_cols:
+        fn = "duck_varchar_f32" if base in cf32_cols else "duck_varchar"
+        return f"{fn}({col})"
+    return None
+
+
 def rewrite_composite_varchar(
     sql: str, complex_cols=frozenset(), f32_cols=frozenset(), typer=None
 ) -> str:

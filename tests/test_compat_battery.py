@@ -1412,6 +1412,59 @@ def test_composite_3vl_reaches_insert_and_ctas(spark, oracle):
             spark.sql(f"DROP TABLE IF EXISTS {s}")
 
 
+def test_special_col_varchar_and_concat(spark, oracle):
+    """r14: scalar DOUBLE/FLOAT/interval COLUMN casts to VARCHAR and
+    literal-adjacent || concat operands render duck text (Spark gave
+    Java '1.0E20', its own interval spelling, and errored on composite
+    ||); user concat() args ride the same kernels via the lowered
+    CAST(arg AS STRING) shape."""
+    import tempfile
+
+    from duckdb_pgwire_spark.server.app import _hugeint_sums
+
+    register_udfs(spark)
+    spark.sql("DROP TABLE IF EXISTS vccc")
+    oracle.execute("DROP TABLE IF EXISTS vccc")
+    oracle.execute(
+        "CREATE TABLE vccc AS SELECT 1e20::DOUBLE big,"
+        " 46977.5625::FLOAT r, INTERVAL 3 DAY iv, INTERVAL 14 MONTH ym,"
+        " {'a':1} st, [1,2] arr"
+    )
+    loc = tempfile.mkdtemp(prefix="vccc_")
+    spark.sql(
+        "CREATE TABLE vccc(big DOUBLE, r FLOAT, iv INTERVAL DAY,"
+        " ym INTERVAL MONTH, st STRUCT<a:INT>, arr ARRAY<INT>)"
+        f" USING parquet LOCATION '{loc}/vccc'"
+    )
+    spark.sql(
+        "INSERT INTO vccc SELECT CAST(1e20 AS DOUBLE),"
+        " CAST(46977.5625 AS FLOAT), INTERVAL 3 DAY, INTERVAL 14 MONTH,"
+        " named_struct('a',1), array(1,2)"
+    )
+    try:
+        for q in [
+            "SELECT big::VARCHAR AS a, r::VARCHAR AS b, iv::VARCHAR AS c,"
+            " ym::VARCHAR AS d FROM vccc",
+            "SELECT 'x' || big AS a, big || 'x' AS b, 'x' || arr AS c,"
+            " 'x' || st AS d, 'x' || iv AS e, 'x' || ym AS f,"
+            " 'x' || r AS g FROM vccc",
+            "SELECT concat('x', big) AS a, concat('x', iv) AS b,"
+            " concat('x', ym) AS c FROM vccc",
+            "SELECT 'x' || big || 'y' AS a, arr || arr AS b FROM vccc",
+        ]:
+            want = [tuple(r) for r in oracle.execute(q).fetchall()]
+            got = [
+                tuple(r)
+                for r in spark.sql(_hugeint_sums(spark, rewrite(q))).collect()
+            ]
+            assert [
+                tuple(_canon(v, 1) for v in r) for r in want
+            ] == [tuple(_canon(v, 1) for v in r) for r in got], (q, want, got)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vccc")
+        oracle.execute("DROP TABLE IF EXISTS vccc")
+
+
 def test_combined_fuzz_small(spark):
     """Reduced-trial wrapper of scripts/fuzz_combined.py (r14, VERDICT
     item 9): set-op widening × bool-coercion × composite 3VL × DML ×
