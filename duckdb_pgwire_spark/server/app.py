@@ -3244,6 +3244,18 @@ def _vc_leaf(dt):
         if _enum_emulation_type(dt) is not None:
             return "atomic"
         return "cf32" if _float_kinds(dt, set()) == {"f32"} else "complex"
+    # scalar special kinds (r14): expression operands of a VARCHAR
+    # cast render through the duck kernels (the bare-catalog-column
+    # fast path is rewrite_scalar_varchar_cols; this leg reaches
+    # derived aliases and computed expressions)
+    if isinstance(dt, T.DoubleType):
+        return "f64"
+    if isinstance(dt, T.FloatType):
+        return "f32"
+    if isinstance(dt, T.DayTimeIntervalType):
+        return "dtivl"
+    if isinstance(dt, T.YearMonthIntervalType):
+        return "ym"
     return "atomic"
 
 
@@ -3847,11 +3859,17 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         from .compat import rewrite_scalar_varchar_cols
 
         sql = rewrite_scalar_varchar_cols(sql, vc_kinds)
-    if has_pipe and (vc_kinds or complex_cols):
-        from .compat import rewrite_pipe_concat_special_cols
+    if has_pipe:
+        from .compat import (
+            neutralize_bool_slots,
+            rewrite_pipe_concat_special_cols,
+        )
 
         sql = rewrite_pipe_concat_special_cols(
-            sql, vc_kinds, complex_cols, f32_cols
+            sql, vc_kinds, complex_cols, f32_cols,
+            typer=_make_expr_typer(
+                session, neutralize_bool_slots(sql), leaf=_vc_leaf
+            ),
         )
     if has_pf:
         # printf/format typed-argument check (r14, VERDICT item 3):

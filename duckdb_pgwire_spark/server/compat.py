@@ -11077,7 +11077,7 @@ def rewrite_scalar_varchar_cols(sql: str, kinds: dict[str, str]) -> str:
 
 def rewrite_pipe_concat_special_cols(
     sql: str, kinds: dict[str, str], complex_cols=frozenset(),
-    cf32_cols=frozenset(),
+    cf32_cols=frozenset(), typer=None,
 ) -> str:
     """Schema leg (r14): ``'lit' || special_col`` (either order) is a
     STRING concatenation in duck whenever one side is a string literal
@@ -11114,6 +11114,30 @@ def rewrite_pipe_concat_special_cols(
                     e = m.start() + 2 + rm_.end(1)
                     hit = (s, e, repl)
                     break
+            if lm and typer is not None:
+                # paren-group right operand: `'v=' || (expr)` — the
+                # analysis typer resolves the expression's kind (r14)
+                pm = re.match(r"\s*\(", right)
+                if pm is not None:
+                    open_i = m.start() + 2 + pm.end() - 1
+                    close = _match_paren(sql, mask, open_i)
+                    if close is not None:
+                        grp = sql[open_i : close + 1]
+                        nxt = _skip_ws(sql, close + 1)
+                        follows_op = (
+                            nxt < len(sql)
+                            and sql[nxt] in "*/%+-["
+                            and sql[nxt : nxt + 2] != "||"
+                        )
+                        if not follows_op and "duck_" not in grp:
+                            tk = typer(grp)
+                            if tk in ("f64", "f32", "dtivl", "ym"):
+                                hit = (
+                                    open_i,
+                                    close + 1,
+                                    _scalar_vc_repl(grp, tk),
+                                )
+                                break
             lm2 = re.search(
                 r"(?:^|[(,;]|\b(?:SELECT|THEN|ELSE|WHEN)\b)\s*"
                 r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\s*$",
@@ -11208,6 +11232,11 @@ def rewrite_composite_varchar(
                 return "duck_varchar_f32"
             if tk == "complex":
                 return "duck_varchar"
+            if tk in ("f64", "f32", "dtivl", "ym"):
+                # scalar special kinds (r14): typed EXPRESSIONS render
+                # through the duck kernels; the replacement is a full
+                # expression, not a function name
+                return ("scalar", tk)
         return None
 
     segs = _abs_segments(sql)
@@ -11225,7 +11254,11 @@ def rewrite_composite_varchar(
         fn = render_fn(op)
         if fn is None:
             continue
-        edits.append((ls, m.end(), f"{fn}({op})"))
+        edits.append((
+            ls, m.end(),
+            _scalar_vc_repl(f"({op})", fn[1])
+            if isinstance(fn, tuple) else f"{fn}({op})",
+        ))
     for m in _CAST_HEAD_RE.finditer(sql):
         if not all(mask[m.start() : m.end()]):
             continue
@@ -11264,7 +11297,11 @@ def rewrite_composite_varchar(
         fn = render_fn(op)
         if fn is None:
             continue
-        edits.append((m.start(), i, f"{fn}({op})"))
+        edits.append((
+            m.start(), i,
+            _scalar_vc_repl(f"({op})", fn[1])
+            if isinstance(fn, tuple) else f"{fn}({op})",
+        ))
     if not edits:
         return sql
     edits.sort()

@@ -1128,6 +1128,14 @@ BATTERY: dict[str, list[str]] = {
         "SELECT printf('%d', true) AS a, format('{}', 42) AS b",
         # BIT select items carry OID 1560 (values compare as text)
         "SELECT '0101'::BIT AS b, '0101'::BIT & '0011'::BIT AS a",
+        # format generic {} renders duck SQL text
+        "SELECT format('{}', DATE '2024-01-02') AS a,"
+        " format('{} {}', DATE '2024-01-02', true) AS b,"
+        " format('{}', 1e20) AS c",
+        # scalar special-typed column VARCHAR casts + || concat
+        "SELECT (l_extendedprice * 1e15)::VARCHAR AS a,"
+        " 'v=' || (l_extendedprice * 1e15) AS b"
+        " FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 3",
     ],
 }
 
