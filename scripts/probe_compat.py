@@ -1220,6 +1220,13 @@ def rows_equal(wire_rows: list[list[str | None]], duck_rows: list[tuple]) -> boo
 
 def main() -> None:
     cats = sys.argv[1:] or list(BATTERY)
+    # the CREATE OR REPLACE probes leave managed-table dirs that a
+    # FRESH process can't re-create over (LOCATION_ALREADY_EXISTS, the
+    # stale-warehouse trap — r14): clean our probe tables first
+    import shutil
+
+    for d in Path("spark-warehouse").glob("probe_*"):
+        shutil.rmtree(d, ignore_errors=True)
     spark = build_session(app_name="probe", cpus=8)
     register_views(spark, SF_DIR)
     register_udfs(spark)
