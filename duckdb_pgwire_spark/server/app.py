@@ -3141,6 +3141,18 @@ def _type_tree(dt):
 _SETOP_GATE_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE)
 
 
+def _code_pipe_present(sql: str) -> bool:
+    """True when a ``||`` exists OUTSIDE string literals/comments —
+    the has_pipe gate must not fire on `WHERE s = 'a||b'` (r15,
+    ADVICE item 4)."""
+    from .compat import _code_mask
+
+    mask = _code_mask(sql)
+    return any(
+        all(mask[m.start() : m.end()]) for m in re.finditer(r"\|\|", sql)
+    )
+
+
 def _setop_kind(dt) -> str:
     """DataType → the set-op widening pass's kind label (r13)."""
     from pyspark.sql import types as T
@@ -3428,6 +3440,105 @@ def _dml_bool_coercion(session: SparkSession, sql: str) -> str:
     )
 
 
+def _f32_narrow(typer, f32_names):
+    """Wrap a _vc_leaf/_printf_kind typer so an 'f64' verdict narrows
+    to 'f32' when DUCK's promotion keeps the expression FLOAT (r15
+    fuzz find): Spark widens FLOAT×INT arithmetic to DOUBLE, so the
+    analyzed type alone picks the wrong render kernel for f * 2."""
+    from .compat import duck_f32_arith
+
+    def t2(expr: str):
+        k = typer(expr)
+        if k == "f64" and duck_f32_arith(expr, f32_names):
+            return "f32"
+        return k
+
+    return t2
+
+
+def _dml_pipe_concat(session: SparkSession, sql: str) -> str:
+    """``||`` operands with special-typed / composite columns in DML
+    statements (r15): the SELECT path plumbs
+    rewrite_pipe_concat_special_cols via _hugeint_sums; DML dispatch
+    bypasses it, so ``'x' || arr_col`` in an UPDATE/DELETE predicate
+    failed Spark's same-type concat (or rendered Java float text)
+    where duck stringifies with its own text. Same joint-scope typer
+    discipline as the composite legs."""
+    if "||" not in sql or not _code_pipe_present(sql):
+        return sql
+    from pyspark.sql import types as T
+
+    from .compat import (
+        rewrite_pipe_concat_special_cols,
+        statement_tables,
+    )
+
+    tables = list(statement_tables(sql))
+    tm = _DML_TARGET_RE.match(sql)
+    if tm is not None and tm.group(1) not in tables:
+        tables.append(tm.group(1))
+    kind_seen: dict[str, set] = {}
+    shape_seen: dict[str, set] = {}
+    for name in tables:
+        for f in _schema_fields(session, name) or []:
+            low = f.name.lower()
+            if (
+                isinstance(
+                    f.dataType, T.ArrayType | T.MapType | T.StructType
+                )
+                and _enum_emulation_type(f.dataType) is None
+            ):
+                shape_seen.setdefault(low, set()).add(
+                    "cf32"
+                    if _float_kinds(f.dataType, set()) == {"f32"}
+                    else "complex"
+                )
+                kind_seen.setdefault(low, set()).add("other")
+                continue
+            if isinstance(f.dataType, T.DoubleType):
+                k = "f64"
+            elif isinstance(f.dataType, T.FloatType):
+                k = "f32"
+            elif isinstance(f.dataType, T.DayTimeIntervalType):
+                k = "dtivl"
+            elif isinstance(f.dataType, T.YearMonthIntervalType):
+                k = "ym"
+            else:
+                k = "other"
+            kind_seen.setdefault(low, set()).add(k)
+            shape_seen.setdefault(low, set()).add("atomic")
+    kinds = {
+        n: next(iter(ks))
+        for n, ks in kind_seen.items()
+        if len(ks) == 1 and "other" not in ks
+    }
+    f32_cols = {n for n, ks in shape_seen.items() if ks == {"cf32"}}
+    complex_cols = f32_cols | {
+        n for n, ks in shape_seen.items() if ks == {"complex"}
+    }
+    if not (kinds or complex_cols):
+        return sql
+    head = sql.lstrip().split(None, 1)[0].upper()
+    target = (
+        tm.group(1)
+        if tm is not None
+        and head in ("UPDATE", "DELETE")
+        and len({t.lower() for t in tables}) <= 1
+        and re.search(r"(?i)\bUSING\b", sql) is None
+        else _dml_joint_scope(sql)
+    )
+    scalar_f32 = {n for n, k in kinds.items() if k == "f32"}
+    return rewrite_pipe_concat_special_cols(
+        sql, kinds, complex_cols, f32_cols,
+        typer_factory=lambda: _f32_narrow(
+            _make_expr_typer(
+                session, sql, from_table=target, leaf=_vc_leaf
+            ),
+            scalar_f32,
+        ),
+    )
+
+
 def _dml_composite_ord(session: SparkSession, sql: str) -> str:
     """Schema-typed composite ORDERING + EQUALITY for DML statements
     (r13, closes the r12 residue): UPDATE SET expressions / WHERE
@@ -3439,6 +3550,7 @@ def _dml_composite_ord(session: SparkSession, sql: str) -> str:
     NULL-bearing composite keys is the worst residue class (VERDICT
     r12 item 1)."""
     sql = _dml_bool_coercion(session, sql)
+    sql = _dml_pipe_concat(session, sql)
     if _HAS_CMP_RE.search(sql) is None:
         return sql
     from pyspark.sql import types as T
@@ -3473,7 +3585,14 @@ def _dml_composite_ord(session: SparkSession, sql: str) -> str:
                 ambiguous.add(low)
             ctypes[low] = tr
     for low in ambiguous:
-        ctypes.pop(low, None)
+        # r15 (VERDICT item 7): a name that is complex in ≥1 scope but
+        # typed differently across scopes keeps an "ambig" marker —
+        # the compat legs route QUALIFIED references (t.arr) through
+        # the joint-scope analysis typer, which resolves them exactly;
+        # bare references stay conservative (duck itself refuses them
+        # as ambiguous)
+        if low in ctypes:
+            ctypes[low] = "ambig"
     from .compat import _COMPLEX_EXPR_HINT_RE
 
     if not ctypes and _COMPLEX_EXPR_HINT_RE.search(sql) is None:
@@ -3546,8 +3665,10 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     has_tb = "/*__duck_tb" in sql
     # printf/format argument markers (r14): typed mismatch checking
     has_pf = "/*__duck_pf:" in sql
-    # || concat with special-typed columns (r14): duck stringifies
-    has_pipe = "||" in sql
+    # || concat with special-typed columns (r14): duck stringifies.
+    # Literal-masked (r15, ADVICE item 4): a '||' inside a string
+    # literal must not pull the statement through the schema scan
+    has_pipe = "||" in sql and _code_pipe_present(sql)
     # numeric COLUMN in a boolean context (duck coerces via <> 0, r13).
     # This gate is BROAD (nearly every statement has a WHERE/AND) —
     # a deliberate trade: `WHERE v` vs `WHERE flag` cannot be told
@@ -3783,7 +3904,10 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                     ambiguous.add(lowname)
                 ctypes[lowname] = tr
         for lowname in ambiguous:
-            ctypes.pop(lowname, None)
+            # r15 (VERDICT item 7): keep an "ambig" marker instead of
+            # dropping the name — qualified references resolve through
+            # the analysis typer, bare ones stay conservative
+            ctypes[lowname] = "ambig"
         if ctypes or _COMPLEX_EXPR_HINT_RE.search(sql):
             from .compat import (
                 propagate_complex_aliases,
@@ -3822,8 +3946,11 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             for fields4 in tbl_fields.values()
             for f in fields4
         }
-        vc_base = _make_expr_typer(
-            session, neutralize_bool_slots(sql), leaf=_vc_leaf
+        vc_base = _f32_narrow(
+            _make_expr_typer(
+                session, neutralize_bool_slots(sql), leaf=_vc_leaf
+            ),
+            {n for n, ks in vc_kind_seen.items() if ks == {"f32"}},
         )
 
         def vc_typer(expr: str):
@@ -3865,10 +3992,16 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             rewrite_pipe_concat_special_cols,
         )
 
+        # the typer is built LAZILY on the first paren-group candidate
+        # (r15, ADVICE item 4): most ||-bearing statements have no
+        # special-typed operand and skip the probe-session setup
         sql = rewrite_pipe_concat_special_cols(
             sql, vc_kinds, complex_cols, f32_cols,
-            typer=_make_expr_typer(
-                session, neutralize_bool_slots(sql), leaf=_vc_leaf
+            typer_factory=lambda: _f32_narrow(
+                _make_expr_typer(
+                    session, neutralize_bool_slots(sql), leaf=_vc_leaf
+                ),
+                {n for n, k in vc_kinds.items() if k == "f32"},
             ),
         )
     if has_pf:
@@ -3887,10 +4020,13 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         # probes run on a copy with the marked casts NULLed out — the
         # Java-coercion fallback itself may not analyze (CAST(date AS
         # BIGINT)), which would starve every probe point
-        pf_typer = _make_expr_typer(
-            session,
-            neutralize_bool_slots(neutralize_pf_casts(sql)),
-            leaf=_printf_kind,
+        pf_typer = _f32_narrow(
+            _make_expr_typer(
+                session,
+                neutralize_bool_slots(neutralize_pf_casts(sql)),
+                leaf=_printf_kind,
+            ),
+            {n for n, ks in vc_kind_seen.items() if ks == {"f32"}},
         )
         sql = rewrite_printf_typed(sql, pf_typer)
     if has_len:  # array_cols may be empty — the always-array function
@@ -3957,6 +4093,43 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                         ).schema.fields
                     except Exception:  # noqa: BLE001 — conservative
                         fields = None
+            # r15 fuzz find: Spark widens FLOAT×INT select items to
+            # DOUBLE where duck keeps FLOAT — narrow the branch kind
+            # so a widened set-op renders the float32 text ('0.2',
+            # not the f64 digits of the widened value)
+            items = None
+            if fields is not None:
+                from .compat import duck_f32_arith, split_top_level
+
+                f32n = {
+                    n for n, ks in vc_kind_seen.items() if ks == {"f32"}
+                }
+                hm = re.match(
+                    r"(?is)^\s*SELECT\s+(?:DISTINCT\s+|ALL\s+)?",
+                    fixed or branch_sql,
+                )
+                if hm is not None and f32n:
+                    raw = split_top_level(
+                        _select_head(fixed or branch_sql)[hm.end() :]
+                    )
+                    if len(raw) == len(fields):
+                        items = [
+                            re.sub(
+                                r"(?is)\s+AS\s+(`[^`]*`|\w+)\s*$", "", it
+                            ).strip()
+                            for it in raw
+                        ]
+
+            def _kind_for(ci: int, f) -> str:
+                k = _setop_kind(f.dataType)
+                if (
+                    k == "float64"
+                    and items is not None
+                    and duck_f32_arith(items[ci], f32n)
+                ):
+                    return "float32"
+                return k
+
             result = (
                 None
                 if fields is None
@@ -3964,10 +4137,10 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                     [
                         (
                             f.name,
-                            _setop_kind(f.dataType),
+                            _kind_for(ci, f),
                             f.dataType.simpleString(),
                         )
-                        for f in fields
+                        for ci, f in enumerate(fields)
                     ],
                     trusted,
                     fixed,

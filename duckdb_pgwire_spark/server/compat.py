@@ -1606,6 +1606,353 @@ def _exp_lit_text(lit: str) -> str | None:
         return None
 
 
+_PIPE_UNIT_WORDS = frozenset({
+    "day", "days", "hour", "hours", "minute", "minutes", "second",
+    "seconds", "millisecond", "milliseconds", "microsecond",
+    "microseconds", "week", "weeks", "month", "months", "year",
+    "years", "to",
+})
+_PIPE_BOUND_KW = frozenset({
+    "from", "where", "group", "having", "order", "limit", "offset",
+    "union", "intersect", "except", "as", "and", "or", "not", "in",
+    "is", "like", "ilike", "similar", "between", "when", "then",
+    "else", "end", "case", "join", "on", "using", "asc", "desc",
+    "nulls", "over", "filter", "qualify", "window", "returning",
+    "collate", "escape", "for", "cross", "inner", "left", "right",
+    "full", "semi", "anti", "natural", "set", "values", "select",
+    "by", "distinct", "all", "exclude", "replace",
+})
+_PRIMARY_END_CHARS = ")]'`\""
+
+
+def _pipe_operand_span(
+    sql: str, mask: list[bool], i: int
+) -> tuple[int, int]:
+    """(end, ops) of the right-hand ``||`` operand starting at ``i``
+    under DUCK precedence — arithmetic, ``::`` casts and subscripts
+    bind tighter than ``||`` there, so the operand extends over them
+    up to the next depth-0 ``||``, comparison, comma, closing paren,
+    clause keyword, or implicit alias. ``ops`` counts the top-level
+    operator tokens that make the span an EXPRESSION rather than a
+    single primary (r15)."""
+    n = len(sql)
+    depth = 0
+    ops = 0
+    j = i
+    while j < n:
+        c = sql[j]
+        if not mask[j]:
+            j += 1
+            continue
+        if c == "(":
+            depth += 1
+            j += 1
+            continue
+        if c == "[":
+            if depth == 0:
+                k = j - 1
+                while k > i and sql[k - 1 : k].isspace():
+                    k -= 1
+                if k > i and sql[k - 1] in _PRIMARY_END_CHARS + "_." or (
+                    k > i and sql[k - 1].isalnum()
+                ):
+                    ops += 1  # subscript of a primary
+            depth += 1
+            j += 1
+            continue
+        if c in ")]":
+            if depth == 0:
+                return j, ops
+            depth -= 1
+            j += 1
+            continue
+        if depth:
+            j += 1
+            continue
+        if c in ",;":
+            return j, ops
+        if c == "|":
+            return j, ops  # next || (or a PG custom op — stop either way)
+        if c in "&^=<>!":
+            return j, ops
+        if c == ":" and sql[j + 1 : j + 2] == ":":
+            ops += 1  # cast binds tighter than || in duck
+            j += 2
+            continue
+        if c == "-" and sql[j + 1 : j + 2] == ">":
+            j += 3 if sql[j + 2 : j + 3] == ">" else 2
+            continue
+        if c in "+-":
+            if (
+                j > 0
+                and sql[j - 1] in "eE"
+                and j + 1 < n
+                and sql[j + 1].isdigit()
+                and re.search(
+                    r"(?<![\w.])(?:\d+\.?\d*|\.\d+)[eE]$", sql[:j]
+                )
+            ):
+                j += 1  # exponent sign inside a numeric literal
+                continue
+            ops += 1
+            j += 1
+            continue
+        if c in "*/%":
+            ops += 1
+            j += 1
+            continue
+        if c.isdigit() or (c == "." and sql[j + 1 : j + 2].isdigit()):
+            nm = re.match(
+                r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?", sql[j:]
+            )
+            j += nm.end()
+            continue
+        if c.isalpha() or c == "_":
+            wm = re.match(r"[A-Za-z_]\w*", sql[j:])
+            w = wm.group(0).lower()
+            if w in _PIPE_BOUND_KW:
+                return j, ops
+            if w not in _PIPE_UNIT_WORDS:
+                k = j - 1
+                while k >= i and sql[k].isspace():
+                    k -= 1
+                if k >= i and (
+                    sql[k].isalnum() or sql[k] in _PRIMARY_END_CHARS
+                ):
+                    return j, ops  # implicit alias after a primary
+            j += wm.end()
+            continue
+        if c in "`\"":
+            k = j - 1
+            while k >= i and sql[k].isspace():
+                k -= 1
+            if k >= i and (
+                sql[k].isalnum() or sql[k] in _PRIMARY_END_CHARS
+            ):
+                return j, ops  # quoted implicit alias
+            j += 1
+            continue
+        j += 1
+    return n, ops
+
+
+def _pipe_left_operand_span(
+    sql: str, mask: list[bool], i: int
+) -> tuple[int, int]:
+    """(start, ops) of the LEFT ``||`` operand ending at ``i``
+    (exclusive), scanning backwards under the same duck precedence —
+    symmetric to _pipe_operand_span, without the alias case (r15)."""
+    depth = 0
+    ops = 0
+    j = i - 1
+    while j >= 0:
+        c = sql[j]
+        if not mask[j]:
+            j -= 1
+            continue
+        if c in ")]":
+            depth += 1
+            j -= 1
+            continue
+        if c in "([":
+            if depth == 0:
+                return j + 1, ops
+            depth -= 1
+            j -= 1
+            continue
+        if depth:
+            j -= 1
+            continue
+        if c in ",;":
+            return j + 1, ops
+        if c == "|":
+            return j + 1, ops
+        if c in "&^=<>!":
+            return j + 1, ops
+        if c == ":" and j > 0 and sql[j - 1] == ":":
+            ops += 1
+            j -= 2
+            continue
+        if c in "+-":
+            if (
+                j > 0
+                and sql[j - 1] in "eE"
+                and j + 1 < len(sql)
+                and sql[j + 1].isdigit()
+                and re.search(
+                    r"(?<![\w.])(?:\d+\.?\d*|\.\d+)[eE]$", sql[:j]
+                )
+            ):
+                j -= 1
+                continue
+            # binary only when something precedes it; a leading unary
+            # sign stays part of the span without counting
+            k = j - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k >= 0 and (
+                sql[k].isalnum() or sql[k] in _PRIMARY_END_CHARS
+            ):
+                ops += 1
+                j -= 1
+                continue
+            return j, ops  # unary sign starts the operand
+        if c in "*/%":
+            ops += 1
+            j -= 1
+            continue
+        if c.isalnum() or c == "_":
+            ws = j
+            while ws > 0 and (sql[ws - 1].isalnum() or sql[ws - 1] == "_"):
+                ws -= 1
+            w = sql[ws : j + 1].lower()
+            if not w[0].isdigit() and w in _PIPE_BOUND_KW:
+                return j + 1, ops
+            j = ws - 1
+            continue
+        j -= 1
+    return 0, ops
+
+
+_NUMERIC_EXPR_RE = re.compile(r"^[\d\s.eE+\-*/()]+$")
+
+
+def _fold_double_lit_expr(expr: str) -> str | None:
+    """duck's DOUBLE text for a literal-only numeric arithmetic
+    expression, or None. Folds only when duck's result type is DOUBLE
+    (an eE literal, or '/' — duck's '/' is always double); int and
+    decimal arithmetic renders identically on Spark natively. IEEE
+    double + - * / match Python's float exactly (r15)."""
+    expr = expr.strip()
+    if (
+        not _NUMERIC_EXPR_RE.fullmatch(expr)
+        or "**" in expr
+        or "//" in expr
+    ):
+        return None
+    if not (_EXP_LIT_RE.search(expr) or "/" in expr):
+        return None
+    import ast
+
+    def ev(n) -> float:
+        if isinstance(n, ast.Expression):
+            return ev(n.body)
+        if isinstance(n, ast.Constant) and isinstance(
+            n.value, (int, float)
+        ):
+            return float(n.value)
+        if isinstance(n, ast.BinOp) and isinstance(
+            n.op, (ast.Add, ast.Sub, ast.Mult, ast.Div)
+        ):
+            lv, rv = ev(n.left), ev(n.right)
+            if isinstance(n.op, ast.Add):
+                return lv + rv
+            if isinstance(n.op, ast.Sub):
+                return lv - rv
+            if isinstance(n.op, ast.Mult):
+                return lv * rv
+            return lv / rv  # ZeroDivisionError → no fold: the
+            # div-zero pass owns duck's NULL-on-zero semantics
+        if isinstance(n, ast.UnaryOp) and isinstance(
+            n.op, (ast.USub, ast.UAdd)
+        ):
+            v = ev(n.operand)
+            return -v if isinstance(n.op, ast.USub) else v
+        raise ValueError("unsupported node")
+
+    try:
+        v = ev(ast.parse(expr, mode="eval"))
+    except (SyntaxError, ValueError, ZeroDivisionError):
+        return None
+    return repr(v)
+
+
+def _rewrite_pipe_precedence(sql: str) -> str:
+    """duck/PG bind arithmetic, ``::`` casts and subscripts TIGHTER
+    than ``||``; Spark parses ``||`` in the SAME tier as ``+``/``-``
+    (left-assoc), so ``'x' || 2 + 1`` is ``'x' || 3`` in duck but
+    ``('x' || 2) + 1`` — a cast error — in Spark (probed r15).
+    Parenthesize every ``||`` operand span that is an unparenthesized
+    EXPRESSION, so Spark parses duck's tree AND the operand becomes a
+    paren group the schema-typed render legs already handle (VERDICT
+    r14 item 2 + the parse-divergence class found while closing it).
+    Bare eE literals are left for the shortest-text fold."""
+    if "||" not in sql:
+        return sql
+    guard = 0
+    while guard < 100:
+        guard += 1
+        mask = _code_mask(sql)
+        hit = None
+        for m in re.finditer(r"\|\|", sql):
+            if not all(mask[m.start() : m.start() + 2]):
+                continue
+            if sql[m.start() - 1 : m.start()] == "|" or (
+                sql[m.end() : m.end() + 1] == "|"
+            ):
+                continue  # |||: not a concat we understand
+            i = m.end()
+            end, ops = _pipe_operand_span(sql, mask, i)
+            span = sql[i:end].strip()
+            ls, lops = _pipe_left_operand_span(sql, mask, m.start())
+            lspan = sql[ls : m.start()].strip()
+            # INTERVAL operand adjacent to a string literal: duck
+            # stringifies with its interval text ('25:00:00'); Spark's
+            # implicit cast gives "INTERVAL '25' HOUR" (r15). Literal-
+            # only arithmetic folds with duck's component semantics.
+            if re.match(
+                r"(?i)^[-+( ]*INTERVAL\b", span
+            ) and re.search(r"'(?:[^']|'')*'\s*$", sql[: m.start()]):
+                folded = _fold_interval_expr(span)
+                repl = (
+                    "'" + folded.replace("'", "''") + "'"
+                    if folded is not None
+                    else (_vc_kernel_repl(span) if ops == 0 else None)
+                )
+                if repl is not None:
+                    hit = (i, end, f" {repl} ")
+                    break
+            if re.match(
+                r"(?i)^[-+( ]*INTERVAL\b", lspan
+            ) and re.match(r"\s*'", sql[m.end() :]):
+                folded = _fold_interval_expr(lspan)
+                repl = (
+                    "'" + folded.replace("'", "''") + "'"
+                    if folded is not None
+                    else (_vc_kernel_repl(lspan) if lops == 0 else None)
+                )
+                if repl is not None:
+                    hit = (ls, m.start(), f" {repl} ")
+                    break
+            # literal-only DOUBLE arithmetic operand adjacent to a
+            # string literal folds to duck's shortest-round-trip text
+            # at rewrite time ('x' || 1e19 * 2 → 'x2e+19'; Java would
+            # print 2.0E19). Only shapes duck computes as DOUBLE fold
+            # (an eE literal or a '/' present) — int/decimal
+            # arithmetic matches Spark natively (r15).
+            if ops and re.search(r"'(?:[^']|'')*'\s*$", sql[: m.start()]):
+                t = _fold_double_lit_expr(span)
+                if t is not None:
+                    hit = (i, end, f" '{t}' ")
+                    break
+            if lops and re.match(r"\s*'", sql[m.end() :]):
+                t = _fold_double_lit_expr(lspan)
+                if t is not None:
+                    hit = (ls, m.start(), f" '{t}' ")
+                    break
+            if ops and span and not _EXP_OPERAND_RE.fullmatch(span):
+                hit = (i, end, f" ({span}) ")
+                break
+            if lops and lspan and not _EXP_OPERAND_RE.fullmatch(lspan):
+                hit = (ls, m.start(), f" ({lspan}) ")
+                break
+        if hit is None:
+            return sql
+        s, e, repl = hit
+        sql = sql[:s] + repl + sql[e:]
+    return sql
+
+
 def _rewrite_concat_double_lits(sql: str) -> str:
     """Bare eE numeric literals are DOUBLE in DuckDB, and concat / ||
     stringify them shortest-round-trip ('x' || 1e-7 = 'x1e-07');
@@ -4005,6 +4352,13 @@ _F32_TAIL_RE = re.compile(
     r"|AS\s+(?:FLOAT4|FLOAT|REAL)\s*\))\s*$",
     re.IGNORECASE,
 )
+# any double-precision cast ANYWHERE in an operand (not just the
+# tail): with a trailing f32 cast on a mere sub-operand, duck's
+# REAL+DOUBLE promotion makes the whole expression DOUBLE (r15)
+_F64_CAST_ANY_RE = re.compile(
+    r"(?:::\s*(?:DOUBLE|FLOAT8)(?!\w)|\bAS\s+(?:DOUBLE|FLOAT8)\s*\))",
+    re.IGNORECASE,
+)
 _DEC_TAIL_RE = re.compile(
     r"(?:::\s*(?:DECIMAL|NUMERIC)(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
     r"|AS\s+(?:DECIMAL|NUMERIC)(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*\))\s*$",
@@ -4552,6 +4906,12 @@ def _vc_kernel_repl(op: str) -> str | None:
         and _paren_balanced(core[1:-1])
     ):
         core = core[1:-1].strip()
+    if re.match(r"(?i)^\s*[-+(]*\s*INTERVAL\b", core):
+        # literal-only interval arithmetic: duck's component-wise fold
+        # (r15, VERDICT item 3 — 25 HOUR + 0 DAY stays '25:00:00')
+        folded = _fold_interval_expr(core)
+        if folded is not None:
+            return "'" + folded.replace("'", "''") + "'"
     if re.match(r"(?i)^\s*INTERVAL\b", core):
         if _ym_only_interval(core):
             # year-month interval ::VARCHAR renders duck-style
@@ -4563,9 +4923,20 @@ def _vc_kernel_repl(op: str) -> str | None:
             # string parser kernel (r14); mixed ym+dt stays native
             return f"duck_dtivl_text(CAST({op} AS STRING))"
     if _F32_TAIL_RE.search(core) or _F32_TAIL_RE.search(op):
+        # r15 (ADVICE): a trailing FLOAT/REAL cast on a SUB-operand of
+        # a mixed-width expression does not make the result float32 —
+        # duck promotes REAL+DOUBLE to DOUBLE (probed: typeof(0.1::
+        # DOUBLE + 0.2::REAL) = DOUBLE). Classify f32 only when the
+        # f32 cast spans the whole core, or no DOUBLE/FLOAT8 cast
+        # appears anywhere in the operand.
+        if _f32_cast_spans_core(core) or not _F64_CAST_ANY_RE.search(op):
+            return (
+                f"(CASE WHEN ({op}) IS NULL THEN CAST(NULL AS STRING)"
+                f" ELSE duck_float32_text({op}) END)"
+            )
         return (
             f"(CASE WHEN ({op}) IS NULL THEN CAST(NULL AS STRING)"
-            f" ELSE duck_float32_text({op}) END)"
+            f" ELSE duck_double_text({op}) END)"
         )
     if _FLOAT_TAIL_RE.search(core) or _FLOAT_TAIL_RE.search(op):
         return (
@@ -4575,7 +4946,307 @@ def _vc_kernel_repl(op: str) -> str | None:
     return None
 
 
+_F32_ARITH_TOK_RE = re.compile(
+    r"[A-Za-z_][\w.]*|\d+\.?\d*(?:[eE][+-]?\d+)?|\S"
+)
+
+
+def duck_f32_arith(expr: str, f32_names) -> bool:
+    """True when DuckDB types this arithmetic expression FLOAT where
+    Spark widens it to DOUBLE (r15 fuzz find): every identifier leaf
+    is a known float32 column, every literal is an integer, and the
+    operators are + - * / % (probed: duck keeps FLOAT through all of
+    them when a FLOAT operand is present — only int/int '/' is
+    DOUBLE; Spark widens FLOAT×INT to DOUBLE). The render legs narrow
+    their f64 kernel pick to f32 for this class — float32(double
+    result) equals duck's float32 arithmetic for these shapes (one
+    rounding step either way)."""
+    if not f32_names or "'" in expr or '"' in expr or "//" in expr:
+        return False
+    seen = False
+    for t in _F32_ARITH_TOK_RE.findall(expr):
+        if re.match(r"[A-Za-z_]", t):
+            if t.split(".")[-1].lower() not in f32_names:
+                return False
+            seen = True
+        elif re.match(r"\d", t):
+            if "." in t or "e" in t.lower():
+                return False
+        elif t in "+-*/%()":
+            continue
+        else:
+            return False
+    return seen
+
+
+def _f32_cast_spans_core(core: str) -> bool:
+    """True when a trailing FLOAT/FLOAT4/REAL cast covers the WHOLE
+    ``core`` expression — i.e. the result type really is float32 no
+    matter what widths appear inside (r15, ADVICE item 1).
+
+    Two spellings: ``CAST(anything AS REAL)`` whose open paren closes
+    at the end of core, and ``<operand>::REAL`` whose ``::`` operand
+    starts at position 0 of core (chain-aware)."""
+    m = re.match(r"(?i)^\s*(?:TRY_)?CAST\s*\(", core)
+    if m and _F32_TAIL_RE.search(core):
+        mask = _code_mask(core)
+        close = _match_paren(core, mask, m.end() - 1)
+        if close is not None and core[close + 1 :].strip() == "":
+            return True
+    tm = None
+    for tm_cand in re.finditer(
+        r"(?i)::\s*(?:FLOAT4|FLOAT|REAL)(?!\s*8)(?!\w)\s*$", core
+    ):
+        tm = tm_cand
+    if tm is not None:
+        mask = _code_mask(core)
+        start = _cast_chain_operand_start(core, mask, tm.start())
+        if start is not None and core[:start].strip() == "":
+            return True
+    return False
+
+
 _YM_WORD_RE = re.compile(r"(?i)[a-z_]+")
+
+_IVL_UNIT_FACTORS = {
+    # unit → (months, days, micros) per 1 of the unit (duck: months,
+    # days and micros are SEPARATE components, no normalization)
+    "year": (12, 0, 0), "years": (12, 0, 0),
+    "decade": (120, 0, 0), "decades": (120, 0, 0),
+    "century": (1200, 0, 0), "centuries": (1200, 0, 0),
+    "millennium": (12000, 0, 0), "millennia": (12000, 0, 0),
+    "quarter": (3, 0, 0), "quarters": (3, 0, 0),
+    "month": (1, 0, 0), "months": (1, 0, 0),
+    "week": (0, 7, 0), "weeks": (0, 7, 0),
+    "day": (0, 1, 0), "days": (0, 1, 0),
+    "hour": (0, 0, 3_600_000_000), "hours": (0, 0, 3_600_000_000),
+    "minute": (0, 0, 60_000_000), "minutes": (0, 0, 60_000_000),
+    "second": (0, 0, 1_000_000), "seconds": (0, 0, 1_000_000),
+    "millisecond": (0, 0, 1_000), "milliseconds": (0, 0, 1_000),
+    "microsecond": (0, 0, 1), "microseconds": (0, 0, 1),
+}
+_IVL_SEG_RE = re.compile(
+    r"\s*([+-]?\d+(?:\.\d+)?)\s*([a-zA-Z]+)"
+    r"|\s*([+-]?\d+:\d+:\d+(?:\.\d+)?)"
+)
+
+
+def _ivl_add(
+    acc: tuple[int, int, int], qs: str, unit: str
+) -> tuple[int, int, int] | None:
+    """Accumulate ``qs`` (possibly fractional) of ``unit`` onto a
+    (months, days, micros) triple with duck's fraction CASCADE
+    (probed r15): '1.5 months' → 1 month 15 days (frac × 30 days),
+    '1.999 days' → 1 day + frac × 86400 s; integers stay exact."""
+    u = unit.lower()
+    fac = _IVL_UNIT_FACTORS.get(u)
+    if fac is None:
+        return None
+    months, days, micros = acc
+    if "." not in qs:
+        q = int(qs)
+        return (months + fac[0] * q, days + fac[1] * q, micros + fac[2] * q)
+    q = float(qs)
+    if fac[0]:
+        tm = q * fac[0]
+        im = int(tm)
+        months += im
+        if u in _IVL_YEAR_UNITS:
+            # year-family fractions TRUNCATE at months (probed:
+            # '1.04 years' is just '1 year')
+            return (months, days, micros)
+        # month/quarter fractions cascade ONE level, to whole days
+        # ('0.035 months' is '1 day', no time part)
+        days += int((tm - im) * 30)
+        return (months, days, micros)
+    if fac[1]:
+        td = q * fac[1]
+        idd = int(td)
+        days += idd
+        micros += round((td - idd) * 86_400_000_000)
+        return (months, days, micros)
+    return (months, days, micros + round(q * fac[2]))
+
+
+_IVL_YEAR_UNITS = frozenset({
+    "year", "years", "decade", "decades", "century", "centuries",
+    "millennium", "millennia",
+})
+
+
+def _duck_interval_lit_triple(text: str) -> tuple[int, int, int] | None:
+    """(months, days, micros) of a duck INTERVAL literal, or None when
+    the shape isn't understood (fractional quantities, 2-field colon
+    times — those keep the existing native/refusal paths). Covers
+    ``INTERVAL 25 HOUR``, ``INTERVAL '1 day 2 hours'``,
+    ``INTERVAL '-1 month 32 days -25 hours'``,
+    ``INTERVAL '36:30:05.123456'`` (r15)."""
+    m = re.match(r"(?i)^\s*INTERVAL\s+", text)
+    if m is None:
+        return None
+    body = text[m.end() :].strip()
+    qm = re.match(r"'((?:[^']|'')*)'\s*(?:([a-zA-Z]+)\s*)?$", body)
+    if qm:
+        inner, unit = qm.group(1), qm.group(2)
+        if unit is not None:
+            # INTERVAL 'n' UNIT (single quoted quantity)
+            if not re.fullmatch(r"[+-]?\d+(?:\.\d+)?", inner.strip()):
+                return None
+            return _ivl_add((0, 0, 0), inner.strip(), unit)
+        acc: tuple[int, int, int] | None = (0, 0, 0)
+        pos = 0
+        inner = inner.strip()
+        while pos < len(inner):
+            sm = _IVL_SEG_RE.match(inner, pos)
+            if sm is None or sm.end() == pos or acc is None:
+                return None
+            if sm.group(3) is not None:
+                t = sm.group(3)
+                sgn = -1 if t.startswith("-") else 1
+                t = t.lstrip("+-")
+                hh, mi, ss = t.split(":")
+                acc = (
+                    acc[0],
+                    acc[1],
+                    acc[2]
+                    + sgn
+                    * (
+                        int(hh) * 3_600_000_000
+                        + int(mi) * 60_000_000
+                        + round(float(ss) * 1_000_000)
+                    ),
+                )
+            else:
+                acc = _ivl_add(acc, sm.group(1), sm.group(2))
+            pos = sm.end()
+        return acc
+    um = re.match(r"([+-]?\d+)\s+([a-zA-Z]+)\s*$", body)
+    if um:
+        # unquoted quantities are integer-only (duck's parser refuses
+        # INTERVAL 1.5 DAY — probed r15)
+        return _ivl_add((0, 0, 0), um.group(1), um.group(2))
+    return None
+
+
+def _duck_interval_render(months: int, days: int, micros: int) -> str:
+    """DuckDB's interval text from its component triple (probed r14/
+    r15): sign per component, hours UNBOUNDED from micros, the time
+    part omitted when zero unless everything is zero."""
+    parts: list[str] = []
+    if months:
+        y, mo = divmod(abs(months), 12)
+        sgn = "-" if months < 0 else ""
+        if y:
+            parts.append(f"{sgn}{y} year" + ("s" if y != 1 else ""))
+        if mo:
+            parts.append(f"{sgn}{mo} month" + ("s" if mo != 1 else ""))
+    if days:
+        parts.append(f"{days} day" + ("s" if abs(days) != 1 else ""))
+    if micros or not parts:
+        sgn = "-" if micros < 0 else ""
+        a = abs(micros)
+        h, rem = divmod(a, 3_600_000_000)
+        mi, rem = divmod(rem, 60_000_000)
+        s2, us = divmod(rem, 1_000_000)
+        t = f"{sgn}{h:02d}:{mi:02d}:{s2:02d}"
+        if us:
+            t += f".{us:06d}".rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
+def _fold_interval_expr(expr: str) -> str | None:
+    """duck's EXACT text for a literal-only interval EXPRESSION —
+    +, -, unary -, * int, / int over INTERVAL literals, evaluated
+    with duck's component-wise arithmetic (probed r15: '/' is
+    per-component integer division — INTERVAL '3 days' / 2 is
+    '1 day', not '1 day 12:00:00'; '*' multiplies each component;
+    '+'/'-' never renormalize, so 25 HOUR + 0 DAY stays '25:00:00'
+    where Spark's DAY TO HOUR type would print '1 day 01:00:00').
+    None when any token isn't a literal — column-valued computed
+    intervals carry no component provenance in Spark's single-micros
+    value and stay a documented known (r15, VERDICT item 3)."""
+    toks = _ivl_tokenize(expr)
+    if toks is None:
+        return None
+    val, pos = _ivl_parse_sum(toks, 0)
+    if val is None or pos != len(toks):
+        return None
+    return _duck_interval_render(*val)
+
+
+_IVL_TOK_RE = re.compile(
+    r"(?i)\s*(INTERVAL\s+(?:'(?:[^']|'')*'(?:\s*[a-zA-Z]+)?"
+    r"|[+-]?\d+\s+[a-zA-Z]+)|\d+|[()*/+-])"
+)
+
+
+def _ivl_tokenize(expr: str) -> list[str] | None:
+    toks: list[str] = []
+    pos = 0
+    while pos < len(expr):
+        m = _IVL_TOK_RE.match(expr, pos)
+        if m is None:
+            return None if expr[pos:].strip() else toks
+        toks.append(m.group(1))
+        pos = m.end()
+    return toks
+
+
+def _ivl_parse_sum(toks, i):
+    val, i = _ivl_parse_term(toks, i)
+    if val is None:
+        return None, i
+    while i < len(toks) and toks[i] in "+-":
+        op = toks[i]
+        rhs, i = _ivl_parse_term(toks, i + 1)
+        if rhs is None:
+            return None, i
+        s = 1 if op == "+" else -1
+        val = tuple(a + s * b for a, b in zip(val, rhs))
+    return val, i
+
+
+def _ivl_parse_term(toks, i):
+    val, i = _ivl_parse_atom(toks, i)
+    if val is None:
+        return None, i
+    while i < len(toks) and toks[i] in "*/":
+        op = toks[i]
+        if i + 1 >= len(toks) or not toks[i + 1].isdigit():
+            return None, i
+        k = int(toks[i + 1])
+        if op == "*":
+            val = tuple(c * k for c in val)
+        else:
+            if k == 0:
+                return None, i
+            # duck's interval division truncates toward zero per
+            # component (probed: -3 days / 2 = -1 day)
+            val = tuple(int(c / k) for c in val)
+        i += 2
+    return val, i
+
+
+def _ivl_parse_atom(toks, i):
+    if i >= len(toks):
+        return None, i
+    t = toks[i]
+    if t == "-":
+        val, j = _ivl_parse_atom(toks, i + 1)
+        if val is None:
+            return None, j
+        return tuple(-c for c in val), j
+    if t == "+":
+        return _ivl_parse_atom(toks, i + 1)
+    if t == "(":
+        val, j = _ivl_parse_sum(toks, i + 1)
+        if val is None or j >= len(toks) or toks[j] != ")":
+            return None, j
+        return val, j + 1
+    if re.match(r"(?i)^INTERVAL\b", t):
+        return _duck_interval_lit_triple(t), i + 1
+    return None, i
 
 
 def _ym_only_interval(op: str) -> bool:
@@ -9552,7 +10223,9 @@ def _rewrite_format(sql: str) -> str:
             # %g stripping, inf/nan) — same decomposition as printf()
             cc = _printf_concat(printf, args[1:], checked=set(fmt_convs))
             if cc is not None:
-                nullc = " OR ".join(f"({a}) IS NULL" for a in args[1:])
+                nullc = " OR ".join(
+                f"({_pf_null_term(a)}) IS NULL" for a in args[1:]
+            )
                 repl = (
                     f"(CASE WHEN {nullc} THEN CAST(NULL AS STRING)"
                     f" ELSE {cc} END)"
@@ -9566,7 +10239,9 @@ def _rewrite_format(sql: str) -> str:
             )
             # duck format() is NULL on ANY NULL argument (probed r11);
             # Java's formatter renders the text 'null'
-            nullc = " OR ".join(f"({a}) IS NULL" for a in args[1:])
+            nullc = " OR ".join(
+                f"({_pf_null_term(a)}) IS NULL" for a in args[1:]
+            )
             repl = (
                 f"(CASE WHEN {nullc} THEN CAST(NULL AS STRING)"
                 f" ELSE {repl} END)"
@@ -9586,6 +10261,18 @@ _PRINTF_DIR_RE = re.compile(
 
 
 _PF_NULL_LIT_RE = re.compile(r"(?i)^\s*NULL\s*$")
+
+
+def _pf_null_term(a: str) -> str:
+    """Spark-parseable text for a printf/format argument's NULL guard
+    (r15 fuzz find): an interval-literal argument folds to its duck
+    text in the format BODY, but the guard embedded the ORIGINAL text
+    — Spark's parser refuses fractional interval literals outright."""
+    if re.match(r"(?i)^\s*[-+( ]*INTERVAL\b", a):
+        folded = _fold_interval_expr(a)
+        if folded is not None:
+            return "'" + folded.replace("'", "''") + "'"
+    return a
 
 
 def _pf_mark(a: str, conv: str) -> str:
@@ -9765,7 +10452,9 @@ def _rewrite_printf(sql: str) -> str:
             )
         if args[1:]:
             # duck printf() is NULL on ANY NULL argument (probed r11)
-            nullc = " OR ".join(f"({a}) IS NULL" for a in args[1:])
+            nullc = " OR ".join(
+                f"({_pf_null_term(a)}) IS NULL" for a in args[1:]
+            )
             repl = (
                 f"(CASE WHEN {nullc} THEN CAST(NULL AS STRING)"
                 f" ELSE {repl} END)"
@@ -9879,16 +10568,41 @@ def rewrite_printf_typed(sql: str, typer) -> str:
             last = k + 1
             continue
         label = _pf_mismatch(conv, kind)
-        out.append(sql[last : m.start()])
         if label is None:
+            out.append(sql[last : m.start()])
             out.append(p)  # typed OK or untypeable: drop the marker
-        else:
-            out.append(
-                f"(CASE WHEN {p} IS NULL THEN {p} ELSE raise_error("
-                f"'Invalid type specifier \"{conv}\" for formatting"
-                f" a value of type {label}') END)"
-            )
-        last = k + 1
+            last = k + 1
+            continue
+        # r15 (ADVICE): the marker sits INSIDE a Java-coercion CAST
+        # (``CAST(marker(arg) AS BIGINT)``); leaving the argument-typed
+        # THEN branch inside that cast fails Spark ANALYSIS ('cannot
+        # cast DATE to BIGINT') — loud on zero-row/all-NULL inputs
+        # where duck quietly returns NULL. Replace the WHOLE cast span
+        # with a CASE that types to the cast target, keeping the
+        # refusal per-row.
+        start, end, ty = m.start(), k + 1, None
+        cm = None
+        for c in re.finditer(r"(?i)\bCAST\s*\(\s*$", sql[: m.start()]):
+            cm = c
+        if cm is not None and all(mask[cm.start() : m.start()]):
+            open_i = sql.rindex("(", cm.start(), m.start())
+            cend = _match_paren(sql, mask, open_i)
+            if cend is not None and cend >= k:
+                tm = re.match(
+                    r"(?i)\s*AS\s+([A-Za-z_][\w ]*(?:\(\s*\d+"
+                    r"(?:\s*,\s*\d+)?\s*\))?)\s*$",
+                    sql[k + 1 : cend],
+                )
+                if tm is not None and cm.start() >= last:
+                    start, end, ty = cm.start(), cend + 1, tm.group(1).strip()
+        out.append(sql[last:start])
+        null_branch = f"CAST(NULL AS {ty})" if ty is not None else p
+        out.append(
+            f"(CASE WHEN {p} IS NULL THEN {null_branch} ELSE raise_error("
+            f"'Invalid type specifier \"{conv}\" for formatting"
+            f" a value of type {label}') END)"
+        )
+        last = end
     out.append(sql[last:])
     return "".join(out)
 
@@ -11033,6 +11747,14 @@ def _scalar_vc_repl(op: str, kind: str) -> str:
             f"(CASE WHEN {op} IS NULL THEN CAST(NULL AS STRING)"
             f" ELSE duck_float32_text(CAST({op} AS FLOAT)) END)"
         )
+    if kind in ("dtivl", "ym"):
+        # literal-only interval ARITHMETIC folds with duck's component
+        # semantics at rewrite time (r15, VERDICT item 3): Spark's
+        # single-micros value would re-componentize 25 HOUR + 0 DAY as
+        # '1 day 01:00:00' where duck keeps '25:00:00'
+        folded = _fold_interval_expr(op)
+        if folded is not None:
+            return "'" + folded.replace("'", "''") + "'"
     if kind == "dtivl":
         return f"duck_dtivl_text(CAST({op} AS STRING))"
     return f"duck_ym_text(CAST({op} AS STRING))"  # ym
@@ -11077,15 +11799,19 @@ def rewrite_scalar_varchar_cols(sql: str, kinds: dict[str, str]) -> str:
 
 def rewrite_pipe_concat_special_cols(
     sql: str, kinds: dict[str, str], complex_cols=frozenset(),
-    cf32_cols=frozenset(), typer=None,
+    cf32_cols=frozenset(), typer=None, typer_factory=None,
 ) -> str:
     """Schema leg (r14): ``'lit' || special_col`` (either order) is a
     STRING concatenation in duck whenever one side is a string literal
     — render the special-typed COLUMN side with the duck kernels
     (doubles gave Java text; composite columns failed Spark's
-    same-type concat outright). Only the literal-adjacent decidable
-    shape rewrites; expression operands stay native (conservative)."""
-    if "||" not in sql or not (kinds or complex_cols):
+    same-type concat outright). Expression operands arrive as paren
+    groups (the r15 precedence pass wraps unparenthesized ones) and
+    resolve through the analysis typer — built LAZILY via
+    ``typer_factory`` on the first candidate, so statements whose
+    ``||`` never touches a special type skip the schema scan (r15,
+    ADVICE item 4)."""
+    if "||" not in sql or not (kinds or complex_cols or typer_factory):
         return sql
     guard = 0
     while guard < 50:
@@ -11103,7 +11829,7 @@ def rewrite_pipe_concat_special_cols(
             # concat operand is the larger expression; bail
             rm_ = re.match(
                 r"\s*((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)"
-                r"(?![\w.(])(?!\s*[*/%+\-\[])",
+                r"(?![\w.(:])(?!\s*[*/%+\-\[])",
                 right,
             )
             if lm and rm_:
@@ -11114,7 +11840,7 @@ def rewrite_pipe_concat_special_cols(
                     e = m.start() + 2 + rm_.end(1)
                     hit = (s, e, repl)
                     break
-            if lm and typer is not None:
+            if lm:
                 # paren-group right operand: `'v=' || (expr)` — the
                 # analysis typer resolves the expression's kind (r14)
                 pm = re.match(r"\s*\(", right)
@@ -11130,7 +11856,10 @@ def rewrite_pipe_concat_special_cols(
                             and sql[nxt : nxt + 2] != "||"
                         )
                         if not follows_op and "duck_" not in grp:
-                            tk = typer(grp)
+                            if typer is None and typer_factory is not None:
+                                typer = typer_factory()
+                                typer_factory = None
+                            tk = typer(grp) if typer is not None else None
                             if tk in ("f64", "f32", "dtivl", "ym"):
                                 hit = (
                                     open_i,
@@ -11138,24 +11867,84 @@ def rewrite_pipe_concat_special_cols(
                                     _scalar_vc_repl(grp, tk),
                                 )
                                 break
+            rm2 = re.match(r"\s*'(?:[^']|'')*'", right)
             lm2 = re.search(
                 r"(?:^|[(,;]|\b(?:SELECT|THEN|ELSE|WHEN)\b)\s*"
                 r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\s*$",
                 left,
                 re.IGNORECASE,
             )
-            rm2 = re.match(r"\s*'(?:[^']|'')*'", right)
             if lm2 and rm2 and all(mask[lm2.start(1) : m.start()]):
                 col = lm2.group(1)
                 repl = _pipe_col_repl(col, kinds, complex_cols, cf32_cols)
                 if repl is not None:
                     hit = (lm2.start(1), lm2.end(1), repl)
                     break
+            if rm2 and left.rstrip().endswith(")"):
+                # paren-group LEFT operand: `(expr) || 'x'` (r15) —
+                # same typer resolution as the right-group leg; the
+                # group must be the whole operand (a tighter-binding
+                # operator before it means it's a sub-expression)
+                close_i = len(left.rstrip()) - 1
+                open_i = _match_paren_back(sql, mask, close_i)
+                if open_i is not None:
+                    prev_txt = sql[:open_i].rstrip()
+                    if prev_txt and (
+                        prev_txt[-1].isalnum() or prev_txt[-1] == "_"
+                    ):
+                        # a keyword before the group is fine; an
+                        # identifier means a function call — bail
+                        wm2 = re.search(r"[A-Za-z_]\w*$", prev_txt)
+                        prev_ok = (
+                            wm2 is not None
+                            and wm2.group(0).lower() in _PIPE_PRE_GROUP_KW
+                        )
+                    else:
+                        prev_ok = not prev_txt or prev_txt[
+                            -1
+                        ] not in "*/%+-[.)]`'\""
+                    grp = sql[open_i : close_i + 1]
+                    if prev_ok and "duck_" not in grp:
+                        if typer is None and typer_factory is not None:
+                            typer = typer_factory()
+                            typer_factory = None
+                        tk = typer(grp) if typer is not None else None
+                        if tk in ("f64", "f32", "dtivl", "ym"):
+                            hit = (
+                                open_i,
+                                close_i + 1,
+                                _scalar_vc_repl(grp, tk),
+                            )
+                            break
         if hit is None:
             return sql
         s, e, repl = hit
         sql = sql[:s] + repl + sql[e:]
     return sql
+
+
+_PIPE_PRE_GROUP_KW = frozenset({
+    "select", "distinct", "all", "when", "then", "else", "and", "or",
+    "where", "having", "on", "by", "set", "union", "intersect",
+    "except", "returning", "not", "in",
+})
+
+
+def _match_paren_back(
+    sql: str, mask: list[bool], close_i: int
+) -> int | None:
+    """Index of the ``(`` matching the ``)`` at ``close_i`` (r15)."""
+    depth = 0
+    for j in range(close_i, -1, -1):
+        if not mask[j]:
+            continue
+        if sql[j] == ")":
+            depth += 1
+        elif sql[j] == "(":
+            depth -= 1
+            if depth == 0:
+                return j
+    return None
 
 
 def _pipe_col_repl(
@@ -11575,6 +12364,12 @@ def rewrite_composite_col_eq(
         op = op.strip()
         if re.fullmatch(r"[A-Za-z_][\w.`]*", op.replace("`", "")):
             t = complex_types.get(op.split(".")[-1].strip("`").lower())
+            if t == "ambig":
+                # same name, different complex types across scopes
+                # (r15, VERDICT item 7): a QUALIFIED reference resolves
+                # through the joint-scope analysis typer; a bare one
+                # fails the probe like duck's own ambiguity refusal
+                return _typer_tree(op, complex_types, typer)
             # _typed_eq3/_seq3 duplicate subexpressions per level —
             # skip pathologically deep types (native fallback) rather
             # than emit ~2^depth SQL (review r11)
@@ -11833,10 +12628,15 @@ def _typer_tree(op: str, complex_types: dict, typer):
 
 def _col_tree_for(op: str, complex_types: dict):
     """Resolve a bare/qualified identifier to its complex type tree
-    (depth-capped like the eq leg)."""
+    (depth-capped like the eq leg). The "ambig" marker (same name,
+    different complex types across scopes — r15) resolves to None
+    here; callers with a typer fall through to the analysis probe,
+    which types QUALIFIED references exactly."""
     op = op.strip()
     if re.fullmatch(r"[A-Za-z_][\w.`]*", op.replace("`", "")):
         t = complex_types.get(op.split(".")[-1].strip("`").lower())
+        if t == "ambig":
+            return None
         if t is not None and _tree_depth_of(t) > 4:
             return None
         return t
@@ -12781,6 +13581,8 @@ def rewrite(sql: str) -> str:
     sql = _strip_numeric_underscores(sql)
     sql = _rewrite_lambda_index_base(sql)  # 1-based duck index lambdas
     # BEFORE any pass emits Spark-semantics filter/transform lambdas
+    sql = _rewrite_pipe_precedence(sql)  # duck binds arithmetic
+    # tighter than ||, Spark same-tier: paren-group expression operands
     sql = _rewrite_concat_double_lits(sql)  # eE literals in concat/||
     # take DuckDB's shortest-round-trip text BEFORE concat rewrites
     sql = _rewrite_case_fns(sql)  # user upper/lower only — duck simple
@@ -12947,9 +13749,77 @@ def bit_select_oids(sql: str) -> tuple[dict[int, int], int]:
         t = re.sub(r"(?is)\s+AS\s+(`[^`]*`|\w+)\s*$", "", item).strip()
         if _BIT_NONBIT_HEAD_RE.match(t):
             continue
-        if _BIT_SHAPE_RE.search(t) or _BIT_HEAD_RE.match(t):
-            out[i] = 1560
+        if not (_BIT_SHAPE_RE.search(t) or _BIT_HEAD_RE.match(t)):
+            continue
+        # r15 (ADVICE item 3): a ::BIT somewhere inside the item does
+        # not make the RESULT a bit — a top-level comparison/boolean
+        # operator yields BOOLEAN ('0101'::BIT = '0101'::BIT) and a
+        # trailing cast to a non-BIT type yields that type
+        # (('101'::BIT)::VARCHAR). Keep the native OID for both.
+        top = _top_level_code(t)
+        if _BIT_TOP_CMP_RE.search(top) or _BIT_TOP_KW_RE.search(top):
+            continue
+        cm = None
+        for c in re.finditer(r"::\s*([A-Za-z_]\w*)\s*$", top):
+            cm = c
+        if cm is not None and cm.group(1).upper() not in (
+            "BIT",
+            "BITSTRING",
+        ):
+            continue
+        ct = _whole_item_cast_type(t)
+        if ct is not None and ct.upper() not in ("BIT", "BITSTRING"):
+            continue
+        out[i] = 1560
     return out, len(items)
+
+
+def _top_level_code(t: str) -> str:
+    """Copy of ``t`` with literals/comments and everything nested
+    inside parens/brackets blanked to spaces — only depth-0 code
+    survives, so operator/keyword scans see the item's OUTERMOST
+    structure (r15)."""
+    mask = _code_mask(t)
+    buf: list[str] = []
+    depth = 0
+    for i, c in enumerate(t):
+        if mask[i] and c in "([":
+            depth += 1
+            buf.append(" ")
+        elif mask[i] and c in ")]":
+            depth -= 1
+            buf.append(" ")
+        else:
+            buf.append(c if depth == 0 and mask[i] else " ")
+    return "".join(buf)
+
+
+# depth-0 comparison operators (result BOOLEAN): excludes the bit
+# shifts << >>, json arrows -> ->>, lambda =>, and cast ::
+_BIT_TOP_CMP_RE = re.compile(
+    r"(?<![<>=!|:^-])(?:!=|<>|<=|>=|==|=|<(?![<=>])|(?<![->=])>(?![>=]))"
+)
+_BIT_TOP_KW_RE = re.compile(
+    r"(?i)\b(?:AND|OR|NOT|IS|IN|LIKE|ILIKE|BETWEEN|SIMILAR)\b"
+)
+
+
+def _whole_item_cast_type(t: str) -> str | None:
+    """Target type name when the WHOLE item is ``CAST(... AS TYPE)`` /
+    ``TRY_CAST(... AS TYPE)``, else None (r15)."""
+    m = re.match(r"(?i)^\s*(?:TRY_)?CAST\s*\(", t)
+    if m is None:
+        return None
+    mask = _code_mask(t)
+    close = _match_paren(t, mask, m.end() - 1)
+    if close is None or t[close + 1 :].strip() != "":
+        return None
+    inner = t[m.end() : close]
+    am = None
+    for c in re.finditer(r"(?i)\s+AS\s+([A-Za-z_]\w*)", inner):
+        if _paren_balanced(inner[: c.start()]):
+            am = c
+    return am.group(1) if am is not None else None
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:

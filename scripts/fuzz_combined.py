@@ -48,25 +48,29 @@ def canon(rows):
 
 
 ROWS = [
-    # (a INT, b DOUBLE, s VARCHAR-boolish, arr INT[], stx INT, sty VARCHAR)
-    (1, 0.5, "true", [1, None], 1, "a"),
-    (0, -1.5, "false", [1, 1], 2, "b"),
-    (None, 2.5, "1", [9], None, "c"),
-    (2, None, "0", None, 1, None),
-    (3, 0.0, None, [1, 2], 3, "d"),
-    (-1, 3.5, "true", [2, None, 1], 1, "a"),
+    # (a INT, b DOUBLE, s VARCHAR-boolish, arr INT[], stx INT,
+    #  sty VARCHAR, f FLOAT-as-text) — the big-double and f32 values
+    # stress the duck text kernels through ||/CAST/set-ops (r15)
+    (1, 0.5, "true", [1, None], 1, "a", "0.25"),
+    (0, -1.5, "false", [1, 1], 2, "b", "46977.5625"),
+    (None, 2.5, "1", [9], None, "c", "0.1"),
+    (2, None, "0", None, 1, None, None),
+    (3, 0.0, None, [1, 2], 3, "d", "-1e20"),
+    (-1, 3.5, "true", [2, None, 1], 1, "a", "3.0"),
+    (4, 2.5e19, "0", [3], 2, "e", "1.5"),
 ]
 
 
 def row_sql(r) -> str:
-    a, b, s, arr, stx, sty = r
+    a, b, s, arr, stx, sty, f = r
     lit = lambda v: "NULL" if v is None else repr(v)  # noqa: E731
     if arr is None:
         arr_t = "NULL"
     else:
         arr_t = "[" + ", ".join("NULL" if x is None else str(x) for x in arr) + "]"
     st = f"{{'x': {lit(stx)}, 'y': {lit(sty)}}}"
-    return f"({lit(a)}, {lit(b)}, {lit(s)}, {arr_t}, {st})"
+    fv = "NULL" if f is None else f"CAST({f} AS FLOAT)"
+    return f"({lit(a)}, {lit(b)}, {lit(s)}, {arr_t}, {st}, {fv})"
 
 
 def setup(spark, con):
@@ -76,11 +80,12 @@ def setup(spark, con):
     loc = tempfile.mkdtemp(prefix="fuzz_fz_")
     con.execute(
         "CREATE TABLE fz(a INT, b DOUBLE, s VARCHAR, arr INT[],"
-        " st STRUCT(x INT, y VARCHAR))"
+        " st STRUCT(x INT, y VARCHAR), f FLOAT)"
     )
     spark.sql(
         "CREATE TABLE fz(a INT, b DOUBLE, s STRING, arr ARRAY<INT>,"
-        f" st STRUCT<x: INT, y: STRING>) USING parquet LOCATION '{loc}/fz'"
+        " st STRUCT<x: INT, y: STRING>, f FLOAT)"
+        f" USING parquet LOCATION '{loc}/fz'"
     )
     vals = ", ".join(row_sql(r) for r in ROWS)
     stmt = f"INSERT INTO fz VALUES {vals}"
@@ -117,8 +122,53 @@ MIX_LITS = [("1", "int"), ("2.5", "num"), ("'7'", "str"), ("'x'", "strx"),
             ("true", "bool"), ("NULL", "null")]
 
 
+# special-typed operands for the cast-render arm (r15, VERDICT item
+# 4): each renders duck text through ||, CAST/::VARCHAR, format {},
+# or a widened set-op branch
+RENDER_OPS = [
+    "b", "b * 2", "- b", "b * 2 + 1", "f", "f * 2", "- f",
+    "f / 2", "f % 3", "f * 2 - 1",
+    "a + 1", "arr", "st", "b::VARCHAR", "1e19 * 3",
+    "INTERVAL 25 HOUR", "INTERVAL '2 days' - INTERVAL '26 hours'",
+    "INTERVAL 14 MONTH", "INTERVAL '1.5 days'",
+    "INTERVAL 7 HOUR + INTERVAL 0 DAY",
+]
+
+
+def gen_render(rng) -> str:
+    op = rng.choice(RENDER_OPS)
+    shape = rng.randrange(4)
+    if shape == 0:  # || adjacency, either side, optional chain
+        if rng.random() < 0.5:
+            e = f"'v=' || {op}"
+        else:
+            e = f"{op} || '!'"
+        if rng.random() < 0.3:
+            e += " || 'z'"
+        return f"SELECT {e} AS t FROM fz WHERE ({rng.choice(BOOL_ATOMS)})"
+    if shape == 1:  # explicit VARCHAR casts (both spellings)
+        cast = (
+            f"CAST({op} AS VARCHAR)"
+            if rng.random() < 0.5
+            else f"({op})::VARCHAR"
+        )
+        return f"SELECT {cast} AS t FROM fz"
+    if shape == 2:  # format generic {} over the operand
+        return f"SELECT format('<{{}}>', {op}) AS t FROM fz"
+    # widened set-op branch: special-typed branch vs a string branch
+    op2 = rng.choice(RENDER_OPS)
+    w = f" WHERE ({rng.choice(BOOL_ATOMS)})" if rng.random() < 0.4 else ""
+    return (
+        f"SELECT {op} AS c FROM fz{w}"
+        f" {rng.choice(['UNION', 'UNION ALL'])}"
+        f" SELECT s AS c FROM fz"
+    )
+
+
 def gen_select(rng) -> str:
-    kind = rng.randrange(5)
+    kind = rng.randrange(6)
+    if kind == 5:  # cast-render compositions (r15)
+        return gen_render(rng)
     if kind == 4:  # TIME ± INTERVAL wraparound + interval text renders
         pick = rng.randrange(4)
         h, mi = rng.randrange(24), rng.randrange(60)
@@ -185,7 +235,13 @@ def gen_select(rng) -> str:
 def gen_dml(rng) -> str:
     comp = rng.choice(
         ["fzs.arr >= [1,2]", "fzs.arr < [1,NULL]", "fzs.arr IS NOT NULL",
-         "fzs.v", "fzs.v - 10"]
+         "fzs.v", "fzs.v - 10",
+         # r15 cast-render × DML: duck stringifies || operands with
+         # its own composite/interval text inside DML predicates too
+         "('x' || fzs.arr) = 'x[1, 2]'",
+         "(fzs.arr || '!') LIKE '[1,%'",
+         "('i' || INTERVAL 25 HOUR) = 'i25:00:00'",
+         "('n=' || fzs.v * 2) = 'n=20'"]
     )
     if rng.random() < 0.5:
         return (

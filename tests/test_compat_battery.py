@@ -472,6 +472,49 @@ BATTERY = [
     "SELECT CAST(1e20 AS VARCHAR) AS a, CAST(1.5::FLOAT AS VARCHAR) AS b,"
     " CAST(46977.5625::FLOAT AS VARCHAR) AS c,"
     " CAST(0.1::FLOAT AS VARCHAR) AS d",
+    # r15 (ADVICE item 1): a trailing REAL cast on a SUB-operand of a
+    # mixed-width expression keeps the DOUBLE renderer — duck promotes
+    # REAL+DOUBLE to DOUBLE; a WHOLE-core REAL cast stays float32
+    "SELECT CAST(0.1::DOUBLE + 0.2::REAL AS VARCHAR) AS a,"
+    " (0.1::DOUBLE + 0.2::REAL)::VARCHAR AS b,"
+    " CAST((0.1::DOUBLE + 0.2)::REAL AS VARCHAR) AS c,"
+    " CAST(CAST(0.1::DOUBLE + 0.2 AS REAL) AS VARCHAR) AS d,"
+    " CAST(1.5 + 0.2::REAL AS VARCHAR) AS e",
+    # r15 (VERDICT item 2 + parse divergence found with it): duck binds
+    # arithmetic TIGHTER than || where Spark parses || in the +/- tier;
+    # expression operands now parenthesize and render with the kernels
+    "SELECT 'x' || 2 + 1 AS a, 'x' || 2 - 1 AS b,"
+    " 'x' || 2.5 * 2 + 1 AS c, upper('a' || 3 + 4) AS d",
+    "SELECT 'x' || 1e19 * 2 AS a, 1e19 * 2 || 'x' AS b,"
+    " 'x' || - (1e19 * 2) AS c, 'x' || 1e19 * 2 || 'y' AS d",
+    # r15: INTERVAL operands of || render duck interval text, and
+    # literal-only interval ARITHMETIC folds with duck's component
+    # semantics (25 HOUR + 0 DAY stays '25:00:00' — Spark's single-
+    # micros DAY TO HOUR type would re-componentize '1 day 01:00:00')
+    "SELECT 'x' || INTERVAL 25 HOUR AS a,"
+    " INTERVAL '1' DAY || 'x' AS b,"
+    " 'x' || INTERVAL 14 MONTH AS c,"
+    " 'x' || INTERVAL '1 day 2 hours' AS d",
+    "SELECT (INTERVAL 25 HOUR + INTERVAL 0 DAY)::VARCHAR AS a,"
+    " 'x' || INTERVAL 25 HOUR + INTERVAL 0 DAY AS b,"
+    " (INTERVAL '2 days' - INTERVAL '26 hours')::VARCHAR AS c,"
+    " (INTERVAL 25 HOUR * 2)::VARCHAR AS d,"
+    " (INTERVAL 36 HOUR / 2)::VARCHAR AS e,"
+    " (INTERVAL '3 days' / 2)::VARCHAR AS f,"
+    " CAST(- INTERVAL '1 day 2 hours' AS VARCHAR) AS g,"
+    " (INTERVAL 1 MONTH + INTERVAL 25 HOUR)::VARCHAR AS h",
+    # r15: fractional interval literal quantities fold with duck's
+    # cascade (year-family truncates at months; month/quarter spill to
+    # whole days; day/week spill to micros) — Spark's own parser
+    # refuses INTERVAL '1.5 days' outright
+    "SELECT (INTERVAL '1.5 days')::VARCHAR AS a,"
+    " (INTERVAL '1.5 months')::VARCHAR AS b,"
+    " (INTERVAL '1.04 years')::VARCHAR AS c,"
+    " (INTERVAL '0.035 months')::VARCHAR AS d,"
+    " (INTERVAL '1.5 quarters')::VARCHAR AS e,"
+    " (INTERVAL '1.999 days')::VARCHAR AS f,"
+    " 'x' || INTERVAL '1.5 days' AS g,"
+    " (INTERVAL '1 decade')::VARCHAR AS h",
     # r14: format()'s generic {} renders args as duck SQL text (Java
     # printed DATE/TIMESTAMP as raw internal ints, doubles as 1.0E20)
     "SELECT format('{}', DATE '2024-01-02') AS a,"
@@ -788,6 +831,17 @@ def test_printf_typed_column_mismatch(spark, oracle):
         )
     ).collect()
     assert empty == []
+    # r15 (ADVICE item 2): the mismatch CASE must replace the WHOLE
+    # Java-coercion CAST — printf('%d', date_col) used to leave the
+    # DATE-typed THEN inside CAST(... AS BIGINT), failing ANALYSIS even
+    # on zero-row/all-NULL inputs where duck is quiet
+    for quiet in [
+        "SELECT printf('%d', d) FROM pfty WHERE false",
+        "SELECT printf('%s', f) FROM pfty WHERE false",
+        "SELECT printf('%d', CASE WHEN i < 0 THEN d END) AS x FROM pfty",
+    ]:
+        got = spark.sql(_hugeint_sums(spark, rewrite(quiet))).collect()
+        assert all(r[0] is None for r in got), quiet
 
 
 def test_zero_slice_step_errors():
@@ -1556,6 +1610,62 @@ def test_dml_joint_scope_types_source_columns(spark, oracle):
         assert want == have, (want, have)
     finally:
         for s in ("jt14", "js14"):
+            spark.sql(f"DROP TABLE IF EXISTS {s}")
+            oracle.execute(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_dml_ambig_complex_qualified_types_via_typer(spark, oracle):
+    """r15 (VERDICT item 7): a column name that is complex with
+    DIFFERENT types across the joint DML scope used to be dropped from
+    the ctypes map entirely, so a predicate where NEITHER comparison
+    side is a constructor literal (qualified ambig column vs a
+    complex-producing expression) stayed native — Spark's
+    NULLs-smallest array order skipped rows duck's NULLs-greatest
+    updates. The "ambig" marker now routes qualified references
+    through the joint-scope analysis typer."""
+    register_udfs(spark)
+    from duckdb_pgwire_spark.server.app import _dml_composite_ord
+    from duckdb_pgwire_spark.operators.dml import parse_update, update_from
+
+    for s in ("jt15", "js15"):
+        spark.sql(f"DROP TABLE IF EXISTS {s}")
+        oracle.execute(f"DROP TABLE IF EXISTS {s}")
+    spark.sql("CREATE TABLE jt15(id INT, k INT, a ARRAY<INT>) USING parquet")
+    spark.sql("CREATE TABLE js15(id INT, a ARRAY<STRING>) USING parquet")
+    oracle.execute("CREATE TABLE jt15(id INT, k INT, a INT[])")
+    oracle.execute("CREATE TABLE js15(id INT, a VARCHAR[])")
+    ins_t = (
+        "INSERT INTO jt15 VALUES (1, 0, [1,NULL]), (2, 0, [1,1]),"
+        " (3, 0, [9])"
+    )
+    ins_s = "INSERT INTO js15 VALUES (1, ['x']), (2, ['y']), (3, ['z'])"
+    for ins in (ins_t, ins_s):
+        oracle.execute(ins)
+        spark.sql(rewrite(ins))
+    try:
+        stmt = (
+            "UPDATE jt15 SET k = 100 FROM js15"
+            " WHERE jt15.id = js15.id AND"
+            " jt15.a >= array_append(array_slice(jt15.a, 1, 1), 2)"
+        )
+        oracle.execute(stmt)  # duck: [1,NULL] >= [1,2] — NULL greatest
+        typed = _dml_composite_ord(spark, rewrite(stmt))
+        parsed = parse_update(typed)
+        assert parsed is not None
+        table, assignments, pred, from_rel = parsed
+        assert from_rel is not None
+        update_from(spark, table, assignments, pred, from_rel)
+        want = sorted(
+            _canon(tuple(r))
+            for r in oracle.execute("SELECT id, k FROM jt15").fetchall()
+        )
+        have = sorted(
+            _canon(tuple(r))
+            for r in spark.sql("SELECT id, k FROM jt15").collect()
+        )
+        assert want == have, (want, have)
+    finally:
+        for s in ("jt15", "js15"):
             spark.sql(f"DROP TABLE IF EXISTS {s}")
             oracle.execute(f"DROP TABLE IF EXISTS {s}")
 

@@ -328,6 +328,16 @@ def test_wire_bit_oid_and_float4_text(client):
     assert res["rows"] == [["0101", "0001", "1"]]
     assert res["oids"][0] == 1560 and res["oids"][1] == 1560
     assert res["oids"][2] != 1560
+    # r15 (ADVICE item 3): a ::BIT inside the item doesn't make the
+    # RESULT a bit — comparisons are BOOLEAN, trailing casts win
+    (res,) = client.query(
+        "SELECT '0101'::BIT = '0101'::BIT AS eq,"
+        " ('101'::BIT)::VARCHAR AS v, '101'::BIT AS b"
+    )
+    assert res["rows"] == [["t", "101", "101"]]
+    assert res["oids"][0] == 16
+    assert res["oids"][1] != 1560
+    assert res["oids"][2] == 1560
     (res,) = client.query(
         "SELECT CAST(46977.5625 AS FLOAT) AS f, 0.1::FLOAT AS g"
     )
