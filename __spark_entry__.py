@@ -26,8 +26,10 @@ from duckdb_pgwire_spark import registry  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
-    defs = registry.load_all()
-    return defs["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    qdef = registry.load_one(
+        "q1_pricing_summary", "duckdb_pgwire_spark.operators.tpch"
+    )
+    return qdef.fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -90,6 +90,17 @@ def load_all() -> dict[str, QueryDef]:
     return dict(_REGISTRY)
 
 
+def load_one(name: str, module: str) -> QueryDef:
+    """Import only ``module`` and return the named definition — the
+    driver's entry() smoke path loads one flagship query, not all 185
+    definitions (r15 hygiene, VERDICT r14 'what's wrong' item 4).
+    Falls back to the full load if the definition moved."""
+    importlib.import_module(module)
+    if name in _REGISTRY:
+        return _REGISTRY[name]
+    return load_all()[name]
+
+
 def _driver_green_rounds() -> dict[str, int]:
     """name → LATEST round the driver verified it green.
 

@@ -3503,14 +3503,17 @@ def _dml_pipe_concat(session: SparkSession, sql: str) -> str:
                 k = "dtivl"
             elif isinstance(f.dataType, T.YearMonthIntervalType):
                 k = "ym"
+            elif isinstance(f.dataType, T.StringType):
+                k = "str"
             else:
                 k = "other"
             kind_seen.setdefault(low, set()).add(k)
             shape_seen.setdefault(low, set()).add("atomic")
+    dml_str_cols = {n for n, ks in kind_seen.items() if ks == {"str"}}
     kinds = {
         n: next(iter(ks))
         for n, ks in kind_seen.items()
-        if len(ks) == 1 and "other" not in ks
+        if len(ks) == 1 and "other" not in ks and "str" not in ks
     }
     f32_cols = {n for n, ks in shape_seen.items() if ks == {"cf32"}}
     complex_cols = f32_cols | {
@@ -3536,6 +3539,7 @@ def _dml_pipe_concat(session: SparkSession, sql: str) -> str:
             ),
             scalar_f32,
         ),
+        str_cols=dml_str_cols,
     )
 
 
@@ -3698,6 +3702,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     date_cols: set[str] = set()
     time_cols: set[str] = set()
     vc_kind_seen: dict[str, set] = {}
+    pipe_str_seen: dict[str, set] = {}
     str_cols: set[str] = set()
     bool_cols: set[str] = set()
     ordered_cols: list[str] = []
@@ -3776,6 +3781,13 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
             for f in fields
             if isinstance(f.dataType, T.StringType)
         )
+        for f in fields:
+            # exact-kind string tracking for the || adjacency leg
+            # (r15): a name that is STRING in one scope but another
+            # type elsewhere must not count as string-adjacent
+            pipe_str_seen.setdefault(f.name.lower(), set()).add(
+                isinstance(f.dataType, T.StringType)
+            )
         bool_cols.update(
             f.name.lower()
             for f in fields
@@ -4003,6 +4015,9 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                 ),
                 {n for n, k in vc_kinds.items() if k == "f32"},
             ),
+            str_cols={
+                n for n, ks in pipe_str_seen.items() if ks == {True}
+            },
         )
     if has_pf:
         # printf/format typed-argument check (r14, VERDICT item 3):

@@ -1867,6 +1867,67 @@ def _fold_double_lit_expr(expr: str) -> str | None:
     return repr(v)
 
 
+_FRAC_IVL_LIT_RE = re.compile(
+    r"(?i)\bINTERVAL\s+'((?:[^']|'')*\.(?:[^']|'')*)'"
+    r"(?:\s*([a-zA-Z]+)\b)?"
+)
+
+
+def _rewrite_fractional_interval_lits(sql: str) -> str:
+    """duck INTERVAL literals with FRACTIONAL quantities are refused
+    outright by Spark's parser (INVALID_TYPED_LITERAL: '1.5 days') —
+    re-express the literal's exact duck value in a Spark-parseable
+    canonical (DAY TO SECOND for day-time, YEAR TO MONTH for
+    year-month), so arithmetic/comparison positions work (r15; render
+    positions fold to duck TEXT earlier in the chain). Fraction spill
+    producing MIXED ym+dt ('1.5 months' = 1 month 15 days) stays
+    native — Spark has no mixed interval value."""
+    if "." not in sql or re.search(r"(?i)\bINTERVAL\s*'", sql) is None:
+        return sql
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    for m in _FRAC_IVL_LIT_RE.finditer(sql):
+        if m.start() < pos or not mask[m.start()]:
+            continue
+        unit = m.group(2)
+        end = m.end()
+        if unit is not None and unit.lower() not in _IVL_UNIT_FACTORS:
+            # the trailing word is an alias/keyword, not a unit
+            unit = None
+            end = m.end(1) + 1
+        text = sql[m.start() : end]
+        triple = _duck_interval_lit_triple(text)
+        if triple is None:
+            continue
+        months, days, micros = triple
+        if months and (days or micros):
+            continue  # mixed ym+dt: unrepresentable in Spark
+        if months:
+            sgn = "-" if months < 0 else ""
+            y, mo = divmod(abs(months), 12)
+            repl = f"INTERVAL '{sgn}{y}-{mo}' YEAR TO MONTH"
+        else:
+            total = days * 86_400_000_000 + micros
+            sgn = "-" if total < 0 else ""
+            a = abs(total)
+            d, rem = divmod(a, 86_400_000_000)
+            h, rem = divmod(rem, 3_600_000_000)
+            mi, rem = divmod(rem, 60_000_000)
+            s, us = divmod(rem, 1_000_000)
+            repl = (
+                f"INTERVAL '{sgn}{d} {h:02d}:{mi:02d}:{s:02d}"
+                f".{us:06d}' DAY TO SECOND"
+            )
+        out.append(sql[pos : m.start()])
+        out.append(repl)
+        pos = end
+    if not out:
+        return sql
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _rewrite_pipe_precedence(sql: str) -> str:
     """duck/PG bind arithmetic, ``::`` casts and subscripts TIGHTER
     than ``||``; Spark parses ``||`` in the SAME tier as ``+``/``-``
@@ -4922,6 +4983,17 @@ def _vc_kernel_repl(op: str) -> str | None:
             # (hours unbounded), '1 day 02:00:00' — via the canonical-
             # string parser kernel (r14); mixed ym+dt stays native
             return f"duck_dtivl_text(CAST({op} AS STRING))"
+    if _F32_CAST_UNIT_RE.search(core) and duck_f32_arith(
+        core, frozenset()
+    ):
+        # f32-cast units composed with integer arithmetic stay FLOAT
+        # in duck (0.1::FLOAT * 2 — r15 census probe); Spark widens
+        # to DOUBLE, so the expression narrows back to FLOAT for the
+        # f32 kernel (the CAST is a no-op when Spark kept FLOAT)
+        return (
+            f"(CASE WHEN ({op}) IS NULL THEN CAST(NULL AS STRING)"
+            f" ELSE duck_float32_text(CAST(({op}) AS FLOAT)) END)"
+        )
     if _F32_TAIL_RE.search(core) or _F32_TAIL_RE.search(op):
         # r15 (ADVICE): a trailing FLOAT/REAL cast on a SUB-operand of
         # a mixed-width expression does not make the result float32 —
@@ -4949,6 +5021,15 @@ def _vc_kernel_repl(op: str) -> str | None:
 _F32_ARITH_TOK_RE = re.compile(
     r"[A-Za-z_][\w.]*|\d+\.?\d*(?:[eE][+-]?\d+)?|\S"
 )
+# a self-contained float32 cast unit: CAST(anything-one-level AS
+# FLOAT/FLOAT4/REAL) or <ident|number|'str'>::FLOAT — an f32 LEAF for
+# the duck-promotion heuristic no matter what its body holds (r15)
+_F32_CAST_UNIT_RE = re.compile(
+    r"(?i)(?:TRY_)?CAST\s*\((?:[^()']|\([^()']*\)|'(?:[^']|'')*')*"
+    r"\s+AS\s+(?:FLOAT4|FLOAT|REAL)\s*\)"
+    r"|(?:[A-Za-z_][\w.]*|\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+"
+    r"|'(?:[^']|'')*')\s*::\s*(?:FLOAT4|FLOAT|REAL)(?!\s*8)(?!\w)"
+)
 
 
 def duck_f32_arith(expr: str, f32_names) -> bool:
@@ -4961,11 +5042,22 @@ def duck_f32_arith(expr: str, f32_names) -> bool:
     their f64 kernel pick to f32 for this class — float32(double
     result) equals duck's float32 arithmetic for these shapes (one
     rounding step either way)."""
-    if not f32_names or "'" in expr or '"' in expr or "//" in expr:
+    if "'" in expr and _F32_CAST_UNIT_RE.search(expr) is None:
+        return False
+    if '"' in expr or "//" in expr:
+        return False
+    # a float32 CAST anywhere is an f32 LEAF regardless of its body
+    # (CAST(0.1 AS FLOAT) * 2 — the r15 census probe shape)
+    expr2, nsub = _F32_CAST_UNIT_RE.subn(" __f32cast ", expr)
+    if "'" in expr2:
+        return False
+    if not f32_names and not nsub:
         return False
     seen = False
-    for t in _F32_ARITH_TOK_RE.findall(expr):
-        if re.match(r"[A-Za-z_]", t):
+    for t in _F32_ARITH_TOK_RE.findall(expr2):
+        if t == "__f32cast":
+            seen = True
+        elif re.match(r"[A-Za-z_]", t):
             if t.split(".")[-1].lower() not in f32_names:
                 return False
             seen = True
@@ -5089,10 +5181,27 @@ def _duck_interval_lit_triple(text: str) -> tuple[int, int, int] | None:
     if qm:
         inner, unit = qm.group(1), qm.group(2)
         if unit is not None:
-            # INTERVAL 'n' UNIT (single quoted quantity)
-            if not re.fullmatch(r"[+-]?\d+(?:\.\d+)?", inner.strip()):
+            # INTERVAL 'n' UNIT (single quoted quantity): fractions
+            # TRUNCATE at the unit itself — '1.5' DAY is '1 day',
+            # '1.5' HOUR is '01:00:00' — except second/millisecond,
+            # which convert exactly ('1.99' SECOND = 00:00:01.99);
+            # microsecond truncates (probed r15)
+            qs = inner.strip()
+            if not re.fullmatch(r"[+-]?\d+(?:\.\d+)?", qs):
                 return None
-            return _ivl_add((0, 0, 0), inner.strip(), unit)
+            u = unit.lower()
+            fac = _IVL_UNIT_FACTORS.get(u)
+            if fac is None:
+                return None
+            if "." not in qs:
+                q = int(qs)
+            elif u in (
+                "second", "seconds", "millisecond", "milliseconds",
+            ):
+                return (0, 0, round(float(qs) * fac[2]))
+            else:
+                q = int(float(qs))
+            return (fac[0] * q, fac[1] * q, fac[2] * q)
         acc: tuple[int, int, int] | None = (0, 0, 0)
         pos = 0
         inner = inner.strip()
@@ -6555,6 +6664,34 @@ def _merge_with_prefix(ctx_prefix: str, t: str) -> str:
     return ctx_prefix + t
 
 
+def _select_items_of(sql_text: str) -> list[str] | None:
+    """Alias-stripped top-level select items of a SELECT-headed text,
+    or None (r15: the set-op widening folds literal-only interval
+    items by their TEXT — Spark's value lost the component split)."""
+    m = re.match(r"(?is)^\s*SELECT\s+(?:DISTINCT\s+|ALL\s+)?", sql_text)
+    if m is None:
+        return None
+    body = sql_text[m.end() :]
+    mask = _code_mask(body)
+    end = len(body)
+    depth = 0
+    for mm in re.finditer(r"(?i)\bFROM\b|[()]", body):
+        if not mask[mm.start()]:
+            continue
+        tok = mm.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            end = mm.start()
+            break
+    return [
+        re.sub(r"(?is)\s+AS\s+(`[^`]*`|\w+)\s*$", "", it).strip()
+        for it in split_top_level(body[:end])
+    ]
+
+
 def rewrite_setop_mixed_types(
     sql: str, branch_schema, ctx_prefix: str = "", _depth: int = 0
 ) -> str:
@@ -6765,6 +6902,16 @@ def _setop_rewrite_toplevel(sql: str, branch_schema) -> str:
             return ("int", 0, _INT_DIGITS.get(typestr, 19))
         if kind == "bool":
             return ("bool", 0, 1)
+        if kind == "interval":
+            # carry the flavor so the string render picks the right
+            # duck text kernel (r15 fuzz find: interval∪varchar widens
+            # to VARCHAR with duck's interval text)
+            low = typestr.lower()
+            return (
+                "interval",
+                "ym" if ("year" in low or "month" in low) else "dtivl",
+                0,
+            )
         return (kind, 0, 0)
 
     _NUM_LADDER = {"bool": 0, "int": 1, "decimal": 2, "float32": 3,
@@ -6788,6 +6935,10 @@ def _setop_rewrite_toplevel(sql: str, branch_schema) -> str:
             "date", "timestamp",
         }
         if ka not in atomics or kb not in atomics:
+            if "string" in (ka, kb) and "interval" in (ka, kb):
+                # duck widens interval∪varchar to VARCHAR with its
+                # interval text (probed r15)
+                return ("string", 0, 0)
             return None
         if "string" in (ka, kb):
             return ("string", 0, 0)
@@ -6915,6 +7066,9 @@ def _setop_rewrite_toplevel(sql: str, branch_schema) -> str:
             return f"CAST(CAST({base} AS DECIMAL(38, {tt[1]})) AS STRING)"
         if tt[0] == "timestamp":
             return f"CAST(CAST({base} AS TIMESTAMP) AS STRING)"
+        if tt[0] == "interval":
+            fn = "duck_ym_text" if tt[1] == "ym" else "duck_dtivl_text"
+            return f"{fn}(CAST({base} AS STRING))"
         return f"CAST({base} AS STRING)"
 
     wrapped: list[str] = []
@@ -6929,6 +7083,16 @@ def _setop_rewrite_toplevel(sql: str, branch_schema) -> str:
         # (set-op result names come from the first branch) and those
         # are trusted by the gate above
         alias_list = ", ".join(f"__sc{ci}" for ci in range(ncols))
+        bsel = (
+            _select_items_of(b)
+            if any(
+                s is not None and s[0] == "string" and s[1][0] == "interval"
+                for s in casts[bi].values()
+            )
+            else None
+        )
+        if bsel is not None and len(bsel) != ncols:
+            bsel = None  # star expansion / arity surprise: kernel path
         items: list[str] = []
         for ci in range(ncols):
             col = f"__sc{ci}"
@@ -6937,8 +7101,18 @@ def _setop_rewrite_toplevel(sql: str, branch_schema) -> str:
             if spec is None:
                 items.append(f"{col} AS {out_name}")
             elif spec[0] == "string":
+                const = None
+                if spec[1][0] == "interval" and bsel is not None:
+                    # a literal-only interval item folds with duck's
+                    # component semantics — the kernel would otherwise
+                    # re-componentize '2 days' - '26 hours' from
+                    # Spark's single-micros value (r15 fuzz find)
+                    folded = _fold_interval_expr(bsel[ci])
+                    if folded is not None:
+                        const = "'" + folded.replace("'", "''") + "'"
                 items.append(
-                    f"{_string_cast(col, spec[1], spec[2])} AS {out_name}"
+                    f"{const or _string_cast(col, spec[1], spec[2])}"
+                    f" AS {out_name}"
                 )
             elif spec[0] == "f32":
                 items.append(f"CAST({col} AS FLOAT) AS {out_name}")
@@ -11797,20 +11971,31 @@ def rewrite_scalar_varchar_cols(sql: str, kinds: dict[str, str]) -> str:
     return "".join(out)
 
 
+_PIPE_LSTR_COL_RE = re.compile(
+    r"(?:^|[(,;]|\|\||\b(?:SELECT|THEN|ELSE|WHEN|AND|OR|WHERE)\b)\s*"
+    r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_PIPE_RSTR_COL_RE = re.compile(
+    r"\s*((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)(?![\w.(:])(?!\s*[*/%+\-\[])"
+)
+
+
 def rewrite_pipe_concat_special_cols(
     sql: str, kinds: dict[str, str], complex_cols=frozenset(),
     cf32_cols=frozenset(), typer=None, typer_factory=None,
+    str_cols=frozenset(),
 ) -> str:
     """Schema leg (r14): ``'lit' || special_col`` (either order) is a
     STRING concatenation in duck whenever one side is a string literal
-    — render the special-typed COLUMN side with the duck kernels
-    (doubles gave Java text; composite columns failed Spark's
-    same-type concat outright). Expression operands arrive as paren
-    groups (the r15 precedence pass wraps unparenthesized ones) and
-    resolve through the analysis typer — built LAZILY via
-    ``typer_factory`` on the first candidate, so statements whose
-    ``||`` never touches a special type skip the schema scan (r15,
-    ADVICE item 4)."""
+    — or, since r15, a known STRING COLUMN — render the special-typed
+    COLUMN side with the duck kernels (doubles gave Java text;
+    composite columns failed Spark's same-type concat outright).
+    Expression operands arrive as paren groups (the r15 precedence
+    pass wraps unparenthesized ones) and resolve through the analysis
+    typer — built LAZILY via ``typer_factory`` on the first candidate,
+    so statements whose ``||`` never touches a special type skip the
+    schema scan (r15, ADVICE item 4)."""
     if "||" not in sql or not (kinds or complex_cols or typer_factory):
         return sql
     guard = 0
@@ -11823,7 +12008,16 @@ def rewrite_pipe_concat_special_cols(
                 continue
             left = sql[: m.start()]
             right = sql[m.start() + 2 :]
-            lm = re.search(r"'(?:[^']|'')*'\s*$", left)
+            lm = re.search(r"'(?:[^']|'')*'\s*$", left) is not None
+            if not lm and str_cols:
+                # a bare string COLUMN as the whole left operand
+                # stringifies the right side exactly like a literal
+                lsm = _PIPE_LSTR_COL_RE.search(left)
+                lm = (
+                    lsm is not None
+                    and lsm.group(1).split(".")[-1].lower() in str_cols
+                    and all(mask[lsm.start(1) : m.start()])
+                )
             # the column must be the WHOLE operand: a tighter-binding
             # operator after it (`'x' || big * 2` — * wins) means the
             # concat operand is the larger expression; bail
@@ -11840,6 +12034,29 @@ def rewrite_pipe_concat_special_cols(
                     e = m.start() + 2 + rm_.end(1)
                     hit = (s, e, repl)
                     break
+            if lm and re.match(r"(?i)\s*[-+(]*\s*INTERVAL\b", right):
+                # INTERVAL literal right operand after a string COLUMN
+                # (r15): the type-blind precedence pass only handles
+                # the literal-adjacent form — this leg knows str_cols
+                end_r, ops_r = _pipe_operand_span(
+                    sql, mask, m.start() + 2
+                )
+                span = sql[m.start() + 2 : end_r].strip()
+                if (
+                    re.match(r"(?i)^[-+( ]*INTERVAL\b", span)
+                    and "duck_" not in span
+                ):
+                    folded = _fold_interval_expr(span)
+                    repl = (
+                        "'" + folded.replace("'", "''") + "'"
+                        if folded is not None
+                        else (
+                            _vc_kernel_repl(span) if ops_r == 0 else None
+                        )
+                    )
+                    if repl is not None:
+                        hit = (m.start() + 2, end_r, f" {repl} ")
+                        break
             if lm:
                 # paren-group right operand: `'v=' || (expr)` — the
                 # analysis typer resolves the expression's kind (r14)
@@ -11867,7 +12084,13 @@ def rewrite_pipe_concat_special_cols(
                                     _scalar_vc_repl(grp, tk),
                                 )
                                 break
-            rm2 = re.match(r"\s*'(?:[^']|'')*'", right)
+            rm2 = re.match(r"\s*'(?:[^']|'')*'", right) is not None
+            if not rm2 and str_cols:
+                rsm = _PIPE_RSTR_COL_RE.match(right)
+                rm2 = (
+                    rsm is not None
+                    and rsm.group(1).split(".")[-1].lower() in str_cols
+                )
             lm2 = re.search(
                 r"(?:^|[(,;]|\b(?:SELECT|THEN|ELSE|WHEN)\b)\s*"
                 r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\s*$",
@@ -11916,6 +12139,26 @@ def rewrite_pipe_concat_special_cols(
                                 _scalar_vc_repl(grp, tk),
                             )
                             break
+            if rm2:
+                # INTERVAL literal LEFT operand before a string COLUMN
+                # (r15) — symmetric to the right-interval leg
+                ls, lops = _pipe_left_operand_span(sql, mask, m.start())
+                lspan = sql[ls : m.start()].strip()
+                if (
+                    re.match(r"(?i)^[-+( ]*INTERVAL\b", lspan)
+                    and "duck_" not in lspan
+                ):
+                    folded = _fold_interval_expr(lspan)
+                    repl = (
+                        "'" + folded.replace("'", "''") + "'"
+                        if folded is not None
+                        else (
+                            _vc_kernel_repl(lspan) if lops == 0 else None
+                        )
+                    )
+                    if repl is not None:
+                        hit = (ls, m.start(), f" {repl} ")
+                        break
         if hit is None:
             return sql
         s, e, repl = hit
@@ -13677,6 +13920,10 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_composite_in(sql)  # pass (array/named_struct heads)
     sql = rewrite_composite_varchar(sql)  # composite ::VARCHAR render
     sql = _rewrite_order_by_nulls(sql)  # after every ORDER-BY-emitting pass
+    sql = _rewrite_fractional_interval_lits(sql)  # LAST: leftover
+    # fractional interval literals (arith/comparison positions — the
+    # render folds above already consumed theirs) become Spark-
+    # parseable canonicals with the exact duck value (r15)
     parts = _split_quoted(sql)
     out: list[str] = []
     for i, (is_lit, seg) in enumerate(parts):

@@ -132,17 +132,20 @@ RENDER_OPS = [
     "INTERVAL 25 HOUR", "INTERVAL '2 days' - INTERVAL '26 hours'",
     "INTERVAL 14 MONTH", "INTERVAL '1.5 days'",
     "INTERVAL 7 HOUR + INTERVAL 0 DAY",
+    "INTERVAL '1.5' HOUR", "INTERVAL '1.99' SECOND",
 ]
 
 
 def gen_render(rng) -> str:
     op = rng.choice(RENDER_OPS)
     shape = rng.randrange(4)
-    if shape == 0:  # || adjacency, either side, optional chain
+    if shape == 0:  # || adjacency, either side, optional chain —
+        # the adjacent side is a string LITERAL or the string COLUMN s
+        adj = rng.choice(["'v='", "s"])
         if rng.random() < 0.5:
-            e = f"'v=' || {op}"
+            e = f"{adj} || {op}"
         else:
-            e = f"{op} || '!'"
+            e = f"{op} || {adj}"
         if rng.random() < 0.3:
             e += " || 'z'"
         return f"SELECT {e} AS t FROM fz WHERE ({rng.choice(BOOL_ATOMS)})"

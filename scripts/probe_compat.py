@@ -1137,6 +1137,65 @@ BATTERY: dict[str, list[str]] = {
         " 'v=' || (l_extendedprice * 1e15) AS b"
         " FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 3",
     ],
+    "r15_closures": [
+        # || precedence: duck binds arithmetic tighter than ||; Spark
+        # parses || in the +/- tier — these errored or printed Java text
+        "SELECT 'x' || 2 + 1 AS a, 'x' || 2 - 1 AS b,"
+        " 'x' || 2.5 * 2 + 1 AS c",
+        "SELECT 'x' || l_extendedprice * 1e15 AS a,"
+        " l_extendedprice * 1e15 || '!' AS b"
+        " FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 3",
+        "SELECT 'x' || 1e19 * 2 AS a, 1e19 * 2 || 'y' AS b",
+        # interval operands of || render duck interval text
+        "SELECT 'x' || INTERVAL 25 HOUR AS a,"
+        " INTERVAL '1' DAY || 'x' AS b, 'x' || INTERVAL 14 MONTH AS c",
+        # literal-only interval arithmetic folds with duck's component
+        # semantics (never renormalized; '/' truncates per component)
+        "SELECT (INTERVAL 25 HOUR + INTERVAL 0 DAY)::VARCHAR AS a,"
+        " (INTERVAL '2 days' - INTERVAL '26 hours')::VARCHAR AS b,"
+        " (INTERVAL 36 HOUR / 2)::VARCHAR AS c,"
+        " (INTERVAL '3 days' / 2)::VARCHAR AS d",
+        # fractional interval quantities (Spark's parser refuses these)
+        "SELECT (INTERVAL '1.5 days')::VARCHAR AS a,"
+        " (INTERVAL '1.5 months')::VARCHAR AS b,"
+        " (INTERVAL '1.04 years')::VARCHAR AS c,"
+        " 'x' || INTERVAL '1.5 days' AS d",
+        # mixed-width float cast tails: REAL on a sub-operand is DOUBLE
+        "SELECT CAST(0.1::DOUBLE + 0.2::REAL AS VARCHAR) AS a,"
+        " CAST((0.1::DOUBLE + 0.2)::REAL AS VARCHAR) AS b",
+        # FLOAT×INT arithmetic renders float32 text (duck keeps FLOAT
+        # where Spark widens to DOUBLE)
+        "SELECT (0.1::FLOAT * 2)::VARCHAR AS a,"
+        " CAST(0.1::FLOAT / 2 AS VARCHAR) AS b,"
+        " 'x' || 0.1::FLOAT * 2 AS c, format('{}', 0.1::FLOAT * 2) AS d",
+        # printf typed mismatch is QUIET on zero-row input (runtime
+        # per-row dispatch, not analysis-time)
+        "SELECT printf('%d', d) AS a FROM"
+        " (SELECT DATE '2024-01-02' AS d) t WHERE 1 = 0",
+        # bit-involving items that are NOT bit-typed keep native OIDs
+        "SELECT '0101'::BIT = '0101'::BIT AS eq,"
+        " ('101'::BIT)::VARCHAR AS v",
+        # interval∪varchar set-op branches widen to VARCHAR with
+        # duck's interval text (literal arithmetic keeps duck's
+        # component provenance via the fold)
+        "SELECT INTERVAL '2 days' - INTERVAL '26 hours' AS c"
+        " UNION ALL SELECT 'x' AS c",
+        "SELECT INTERVAL 7 HOUR + INTERVAL 0 DAY AS c"
+        " UNION ALL SELECT 'y' AS c ORDER BY c",
+        # fractional interval literals in arithmetic positions
+        "SELECT TIMESTAMP '2024-01-01 00:00:00'"
+        " + INTERVAL '1.5 days' AS a,"
+        " DATE '2024-01-01' + INTERVAL '1.5 days' AS b,"
+        " INTERVAL '1.5 days' > INTERVAL '1 day' AS c,"
+        " (INTERVAL '1.5' DAY)::VARCHAR AS d,"
+        " (INTERVAL '1.99' SECOND)::VARCHAR AS e",
+        # string COLUMN adjacency: s || special renders duck text
+        "SELECT n_name || l_extendedprice * 1e15 AS a"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " ORDER BY l_orderkey, l_linenumber LIMIT 3",
+    ],
 }
 
 

@@ -515,6 +515,23 @@ BATTERY = [
     " (INTERVAL '1.999 days')::VARCHAR AS f,"
     " 'x' || INTERVAL '1.5 days' AS g,"
     " (INTERVAL '1 decade')::VARCHAR AS h",
+    # r15: the quoted 'n' UNIT form TRUNCATES fractions at the unit
+    # (except second/millisecond, which convert exactly)
+    "SELECT (INTERVAL '1.5' DAY)::VARCHAR AS a,"
+    " (INTERVAL '1.5' HOUR)::VARCHAR AS b,"
+    " (INTERVAL '1.99' SECOND)::VARCHAR AS c,"
+    " (INTERVAL '1.5' MILLISECOND)::VARCHAR AS d,"
+    " (INTERVAL '1.5' WEEK)::VARCHAR AS e,"
+    " (INTERVAL '-1.5' DAY)::VARCHAR AS f",
+    # r15: fractional interval literals in ARITHMETIC positions —
+    # Spark's parser refuses them; they convert to value-exact
+    # DAY TO SECOND / YEAR TO MONTH canonicals
+    "SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1.5 days' AS a,"
+    " DATE '2024-01-01' + INTERVAL '1.5 days' AS b,"
+    " INTERVAL '1.5 days' > INTERVAL '1 day' AS c,"
+    " TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '-1.5 days' AS d,"
+    " TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '2.5 years' AS e,"
+    " TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1.5' HOUR AS f",
     # r14: format()'s generic {} renders args as duck SQL text (Java
     # printed DATE/TIMESTAMP as raw internal ints, doubles as 1.0E20)
     "SELECT format('{}', DATE '2024-01-02') AS a,"
@@ -1612,6 +1629,71 @@ def test_dml_joint_scope_types_source_columns(spark, oracle):
         for s in ("jt14", "js14"):
             spark.sql(f"DROP TABLE IF EXISTS {s}")
             oracle.execute(f"DROP TABLE IF EXISTS {s}")
+
+
+def test_pipe_concat_string_column_adjacency(spark, oracle):
+    """r15: a known STRING COLUMN adjacent to || stringifies the other
+    operand exactly like a string literal — special-typed columns,
+    f32 arithmetic, composites and interval literals all render duck
+    text (previously only literal-adjacent shapes rewrote; s || big
+    printed Java '1.0E20', s || arr failed analysis)."""
+    from duckdb_pgwire_spark.server.app import _hugeint_sums
+
+    register_udfs(spark)
+    spark.sql("DROP TABLE IF EXISTS tz15")
+    oracle.execute("DROP TABLE IF EXISTS tz15")
+    spark.sql(
+        "CREATE TABLE tz15(s STRING, big DOUBLE, f FLOAT,"
+        " arr ARRAY<INT>, n INT) USING parquet"
+    )
+    oracle.execute(
+        "CREATE TABLE tz15(s VARCHAR, big DOUBLE, f FLOAT,"
+        " arr INT[], n INT)"
+    )
+    ins = (
+        "INSERT INTO tz15 VALUES ('k', 1e20, CAST(0.1 AS FLOAT),"
+        " [1,2], 7), (NULL, NULL, NULL, NULL, NULL)"
+    )
+    oracle.execute(ins)
+    spark.sql(rewrite(ins))
+    try:
+        for q in [
+            "SELECT s || big AS a FROM tz15",
+            "SELECT big || s AS a FROM tz15",
+            "SELECT s || arr AS a FROM tz15",
+            "SELECT arr || s AS a FROM tz15",
+            "SELECT s || f * 2 AS a FROM tz15",
+            "SELECT big * 2 || s AS a FROM tz15",
+            "SELECT s || INTERVAL 25 HOUR AS a FROM tz15",
+            "SELECT INTERVAL '1 day' + INTERVAL '1 hour' || s AS a"
+            " FROM tz15",
+            "SELECT 'x' || s || big AS a FROM tz15",
+            "SELECT s FROM tz15 WHERE s || big = 'k1e+20'",
+            # r15: interval∪varchar set-op widening renders duck
+            # interval text; literal arithmetic keeps duck's component
+            # provenance via the fold ('2 days -26:00:00')
+            "SELECT INTERVAL '2 days' - INTERVAL '26 hours' AS c"
+            " UNION ALL SELECT s AS c FROM tz15",
+            "SELECT INTERVAL 7 HOUR + INTERVAL 0 DAY AS c"
+            " UNION ALL SELECT 'y' AS c",
+        ]:
+            want = sorted(
+                (_canon(tuple(r)) for r in oracle.execute(q).fetchall()),
+                key=repr,
+            )
+            have = sorted(
+                (
+                    _canon(tuple(r))
+                    for r in spark.sql(
+                        _hugeint_sums(spark, rewrite(q))
+                    ).collect()
+                ),
+                key=repr,
+            )
+            assert want == have, (q, want, have)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tz15")
+        oracle.execute("DROP TABLE IF EXISTS tz15")
 
 
 def test_dml_ambig_complex_qualified_types_via_typer(spark, oracle):
