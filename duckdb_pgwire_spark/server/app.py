@@ -1460,6 +1460,7 @@ class PgWireServer:
                 df = await self._exec(
                     session, tag, _select_df, session, p.sql
                 )
+            df = _interval_lit_fold(df, p.sql)
             df = _ym_safe(df)
             kept = [
                 (i, f.dataType)
@@ -2463,6 +2464,7 @@ class PgWireServer:
         """Stream a DataFrame as [RowDescription +] DataRows +
         CommandComplete (the extended protocol sends RowDescription only
         from Describe, never from Execute)."""
+        df = _interval_lit_fold(df, stmt)
         df = _ym_safe(df)
         # Cells are addressed by POSITION throughout: PySpark Row name
         # lookup returns the first matching field, so duplicate output
@@ -2534,6 +2536,7 @@ class PgWireServer:
         df = await self._exec(
             session, tag, lambda: session.sql(rewrite(inner_sql))
         )
+        df = _interval_lit_fold(df, inner_sql)
         df = _ym_safe(df)  # ym interval columns cannot collect (r14)
         fields = df.schema.fields
         ncols = len(fields)
@@ -4957,6 +4960,44 @@ def _summarize_df(session: SparkSession, df: DataFrame) -> DataFrame:
         "q25 double, q50 double, q75 double, count bigint, "
         "null_percentage double",
     ).coalesce(1)
+
+
+def _interval_lit_fold(df: DataFrame, stmt: str) -> DataFrame:
+    """Literal-only day-time interval SELECT items render duck's
+    component-exact text on the wire (r15): Spark's single-micros
+    value re-componentizes '25 HOUR + 0 DAY' as '1 day 01:00:00'
+    where duck keeps '25:00:00'. Intervals are ADVERTISED as TEXT on
+    the wire, so replacing the constant column with its folded text
+    never changes the advertised type. Item-count mismatches (stars,
+    set-ops) and non-literal items keep the canonical
+    componentization (the documented provenance known)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .compat import _fold_interval_expr, _select_items_of
+
+    fields = df.schema.fields
+    if not any(
+        isinstance(f.dataType, T.DayTimeIntervalType) for f in fields
+    ):
+        return df
+    names = [f.name for f in fields]
+    if len({n.lower() for n in names}) != len(names):
+        return df
+    items = _select_items_of(stmt)
+    if items is None or len(items) != len(fields):
+        return df
+    cols = []
+    changed = False
+    for f, it in zip(fields, items):
+        if isinstance(f.dataType, T.DayTimeIntervalType):
+            folded = _fold_interval_expr(it)
+            if folded is not None:
+                cols.append(F.lit(folded).alias(f.name))
+                changed = True
+                continue
+        cols.append(F.col("`" + f.name.replace("`", "``") + "`"))
+    return df.select(*cols) if changed else df
 
 
 def _ym_safe(df: DataFrame) -> DataFrame:

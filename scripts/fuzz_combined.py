@@ -244,7 +244,9 @@ def gen_dml(rng) -> str:
          "('x' || fzs.arr) = 'x[1, 2]'",
          "(fzs.arr || '!') LIKE '[1,%'",
          "('i' || INTERVAL 25 HOUR) = 'i25:00:00'",
-         "('n=' || fzs.v * 2) = 'n=20'"]
+         "('n=' || fzs.v * 2) = 'n=20'",
+         "fzs.arr < [1, NULL] OR ('d' || INTERVAL '1.5 days')"
+         " = 'd1 day 12:00:00'"]
     )
     if rng.random() < 0.5:
         return (

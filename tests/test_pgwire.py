@@ -353,6 +353,18 @@ def test_wire_ym_interval_renders(client):
         "SELECT INTERVAL 14 MONTH AS ym, INTERVAL 3 DAY AS dt"
     )
     assert res["rows"] == [["1 year 2 months", "3 days"]]
+    # r15: literal-only day-time interval ITEMS fold to duck's
+    # component-exact text on the wire — Spark's single-micros value
+    # would re-componentize 25 HOUR + 0 DAY as '1 day 01:00:00'
+    (res,) = client.query(
+        "SELECT INTERVAL 25 HOUR AS a,"
+        " INTERVAL 25 HOUR + INTERVAL 0 DAY AS b,"
+        " INTERVAL '2 days' - INTERVAL '26 hours' AS c,"
+        " INTERVAL 36 HOUR / 2 AS d"
+    )
+    assert res["rows"] == [
+        ["25:00:00", "25:00:00", "2 days -26:00:00", "18:00:00"]
+    ]
 
 
 def test_reference_compat_drops_unmapped_columns(spark):
