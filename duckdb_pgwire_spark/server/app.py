@@ -3114,6 +3114,21 @@ def _make_expr_typer(session: SparkSession, sql: str, from_table=None, leaf=None
                     t = _probe_one(wrapped)
                 if t is not None:
                     trees.append(t)
+        if not trees and hoistable and from_table is None:
+            # statement-hoist probes can ALL fail when the statement
+            # itself doesn't analyze yet (the pipe legs may need THIS
+            # type to fix the very expression that breaks analysis —
+            # r15 fuzz find: arr || f * 2 deadlocked). Fall back to a
+            # bare probe against the FROM table, but only for the
+            # SIMPLE single-bare-table shape where scope confusion is
+            # impossible (no joins, derived tables, CTEs or aliases).
+            ft = _simple_from_table(sql)
+            if ft is not None:
+                t = _probe_one(
+                    f"SELECT ({expr}) AS __ty_probe FROM {ft}"
+                )
+                if t is not None:
+                    trees.append(t)
         tree = trees[0] if trees else None
         if any(t != tree for t in trees):
             tree = None  # scopes disagree: conservative
@@ -3123,6 +3138,28 @@ def _make_expr_typer(session: SparkSession, sql: str, from_table=None, leaf=None
         return tree
 
     return typer
+
+
+_SIMPLE_FROM_RE = re.compile(
+    r"(?is)\bFROM\s+((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\s*"
+    r"(?:WHERE|GROUP|ORDER|LIMIT|HAVING|QUALIFY|OFFSET|;|$)"
+)
+
+
+def _simple_from_table(sql: str) -> str | None:
+    """The statement's single bare FROM table, or None when the shape
+    has any join/derived-table/CTE/alias scope that a bare-table probe
+    could mis-resolve (r15)."""
+    if re.search(r"(?i)\bJOIN\b|\bWITH\b|\bUNION\b|\bINTERSECT\b"
+                 r"|\bEXCEPT\b", sql):
+        return None
+    froms = [
+        m for m in re.finditer(r"(?i)\bFROM\b", sql)
+    ]
+    if len(froms) != 1:
+        return None
+    m = _SIMPLE_FROM_RE.search(sql)
+    return m.group(1) if m is not None else None
 
 
 def _type_tree(dt):
@@ -3482,6 +3519,7 @@ def _dml_pipe_concat(session: SparkSession, sql: str) -> str:
         tables.append(tm.group(1))
     kind_seen: dict[str, set] = {}
     shape_seen: dict[str, set] = {}
+    dml_arr_cols: set[str] = set()
     for name in tables:
         for f in _schema_fields(session, name) or []:
             low = f.name.lower()
@@ -3497,6 +3535,8 @@ def _dml_pipe_concat(session: SparkSession, sql: str) -> str:
                     else "complex"
                 )
                 kind_seen.setdefault(low, set()).add("other")
+                if isinstance(f.dataType, T.ArrayType):
+                    dml_arr_cols.add(low)
                 continue
             if isinstance(f.dataType, T.DoubleType):
                 k = "f64"
@@ -3536,13 +3576,14 @@ def _dml_pipe_concat(session: SparkSession, sql: str) -> str:
     scalar_f32 = {n for n, k in kinds.items() if k == "f32"}
     return rewrite_pipe_concat_special_cols(
         sql, kinds, complex_cols, f32_cols,
-        typer_factory=lambda: _f32_narrow(
+        typer_factory=lambda cur: _f32_narrow(
             _make_expr_typer(
-                session, sql, from_table=target, leaf=_vc_leaf
+                session, cur, from_table=target, leaf=_vc_leaf
             ),
             scalar_f32,
         ),
         str_cols=dml_str_cols,
+        array_cols=dml_arr_cols,
     )
 
 
@@ -4010,17 +4051,21 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         # the typer is built LAZILY on the first paren-group candidate
         # (r15, ADVICE item 4): most ||-bearing statements have no
         # special-typed operand and skip the probe-session setup
+        # the factory takes the CURRENT statement text: the pipe pass
+        # may need earlier replacements applied before a probe can
+        # ANALYZE (r15 fuzz find)
         sql = rewrite_pipe_concat_special_cols(
             sql, vc_kinds, complex_cols, f32_cols,
-            typer_factory=lambda: _f32_narrow(
+            typer_factory=lambda cur: _f32_narrow(
                 _make_expr_typer(
-                    session, neutralize_bool_slots(sql), leaf=_vc_leaf
+                    session, neutralize_bool_slots(cur), leaf=_vc_leaf
                 ),
                 {n for n, k in vc_kinds.items() if k == "f32"},
             ),
             str_cols={
                 n for n, ks in pipe_str_seen.items() if ks == {True}
             },
+            array_cols=array_cols,
         )
     if has_pf:
         # printf/format typed-argument check (r14, VERDICT item 3):

@@ -5177,9 +5177,52 @@ def _duck_interval_lit_triple(text: str) -> tuple[int, int, int] | None:
     if m is None:
         return None
     body = text[m.end() :].strip()
-    qm = re.match(r"'((?:[^']|'')*)'\s*(?:([a-zA-Z]+)\s*)?$", body)
+    qm = re.match(
+        r"'((?:[^']|'')*)'\s*([a-zA-Z]+(?:\s+[a-zA-Z]+)*)?\s*$", body
+    )
     if qm:
         inner, unit = qm.group(1), qm.group(2)
+        if unit is not None and re.search(r"\s", unit):
+            # X TO Y field forms — including the Spark canonicals the
+            # fractional-literal conversion itself emits (r15):
+            # 'd hh:mm:ss.ffffff' DAY TO SECOND / 'y-m' YEAR TO MONTH
+            uw = re.fullmatch(
+                r"(?is)(day|hour|minute|year)\s+to\s+"
+                r"(hour|minute|second|month)",
+                unit.strip(),
+            )
+            if uw is None:
+                return None
+            hi = uw.group(1).lower()
+            t = inner.strip()
+            sgn = -1 if t.startswith("-") else 1
+            t = t.lstrip("+-")
+            if hi == "year":
+                ym = re.fullmatch(r"(\d+)-(\d+)", t)
+                if ym is None:
+                    return None
+                return (sgn * (int(ym.group(1)) * 12 + int(ym.group(2))), 0, 0)
+            days = 0
+            if hi == "day":
+                dm = re.match(r"(\d+)\s*", t)
+                if dm is None:
+                    return None
+                days = int(dm.group(1))
+                t = t[dm.end() :]
+            micros = 0
+            if t:
+                fields = t.split(":")
+                if len(fields) > 3:
+                    return None
+                facs = [3_600_000_000, 60_000_000, 1_000_000]
+                if hi == "minute":
+                    facs = facs[1:]
+                try:
+                    for k, fld in enumerate(fields):
+                        micros += round(float(fld) * facs[k])
+                except (ValueError, IndexError):
+                    return None
+            return (0, sgn * days, sgn * micros)
         if unit is not None:
             # INTERVAL 'n' UNIT (single quoted quantity): fractions
             # TRUNCATE at the unit itself — '1.5' DAY is '1 day',
@@ -5285,7 +5328,8 @@ def _fold_interval_expr(expr: str) -> str | None:
 
 
 _IVL_TOK_RE = re.compile(
-    r"(?i)\s*(INTERVAL\s+(?:'(?:[^']|'')*'(?:\s*[a-zA-Z]+)?"
+    r"(?i)\s*(INTERVAL\s+(?:'(?:[^']|'')*'"
+    r"(?:\s*[a-zA-Z]+(?:\s+TO\s+[a-zA-Z]+)?)?"
     r"|[+-]?\d+\s+[a-zA-Z]+)|\d+|[()*/+-])"
 )
 
@@ -11984,20 +12028,99 @@ _PIPE_RSTR_COL_RE = re.compile(
 def rewrite_pipe_concat_special_cols(
     sql: str, kinds: dict[str, str], complex_cols=frozenset(),
     cf32_cols=frozenset(), typer=None, typer_factory=None,
-    str_cols=frozenset(),
+    str_cols=frozenset(), array_cols=frozenset(),
 ) -> str:
-    """Schema leg (r14): ``'lit' || special_col`` (either order) is a
-    STRING concatenation in duck whenever one side is a string literal
-    — or, since r15, a known STRING COLUMN — render the special-typed
-    COLUMN side with the duck kernels (doubles gave Java text;
-    composite columns failed Spark's same-type concat outright).
-    Expression operands arrive as paren groups (the r15 precedence
-    pass wraps unparenthesized ones) and resolve through the analysis
-    typer — built LAZILY via ``typer_factory`` on the first candidate,
-    so statements whose ``||`` never touches a special type skip the
-    schema scan (r15, ADVICE item 4)."""
+    """Schema leg (r14, generalized r15): duck's ``||`` stringifies
+    BOTH operands with its own text unless both sides are LISTS
+    (probed: 1e20 || 1.5 = '1e+201.5', [1,2] || 3 = '[1, 2]3',
+    INTERVAL 1 DAY || INTERVAL 2 HOUR = '1 day02:00:00'; only
+    list||list concatenates). So a special-typed SCALAR operand
+    (f64/f32/day-time/ym — via a kinds column, a paren-group resolved
+    by the analysis typer, or an INTERVAL literal) always renders with
+    the duck kernels; a COMPLEX column operand renders only when the
+    OTHER side is known non-list (string/number literal, string/kinds
+    column, or an already-rendered kernel call) — array||array must
+    stay native list concat. The typer is built LAZILY via
+    ``typer_factory`` on the first candidate (ADVICE item 4), and
+    groups pay a probe only when their text can plausibly be special
+    (interval/cast/float tokens or a known column name)."""
     if "||" not in sql or not (kinds or complex_cols or typer_factory):
         return sql
+    # the analysis typer is (re)built over the CURRENT text: earlier
+    # replacements can be exactly what makes the statement ANALYZE
+    # (st renders first in `(f*2-1) || st`, and only then does the
+    # probe of the float group resolve — r15 fuzz find). The factory
+    # takes the current text; rebuilds happen only when it changed.
+    typer_state: dict = {"sql": None, "typer": typer}
+
+    def get_typer():
+        if typer is not None:
+            return typer
+        if typer_factory is None:
+            return None
+        if typer_state["sql"] != sql:
+            typer_state["typer"] = typer_factory(sql)
+            typer_state["sql"] = sql
+        return typer_state["typer"]
+
+    def scalarish(side_txt: str, at_tail: bool) -> bool:
+        """Other-side classification for the COMPLEX-column legs:
+        True when that operand is known NOT to be a list."""
+        t = side_txt.rstrip() if at_tail else side_txt.lstrip()
+        if at_tail:
+            if re.search(r"'(?:[^']|'')*'\s*$", t):
+                return True
+            if re.search(r"(?<![\w.])\d+\.?\d*(?:[eE][+-]?\d+)?\s*$", t):
+                return True
+            if t.endswith(")") and "duck_" in t[-400:]:
+                # an already-rendered kernel call (duck_varchar(...),
+                # the CASE-guarded float/interval kernels) — match the
+                # closing paren back to its group and check the head
+                mask_t = _code_mask(t)
+                open_i = _match_paren_back(t, mask_t, len(t) - 1)
+                if open_i is not None:
+                    head = t[:open_i].rstrip()
+                    if re.search(r"duck_\w+$", head) or t[
+                        open_i : open_i + 5
+                    ].upper() == "(CASE":
+                        return True
+            m2 = _PIPE_LSTR_COL_RE.search(t)
+            if m2 is not None:
+                b = m2.group(1).split(".")[-1].lower()
+                return (
+                    b in str_cols
+                    or b in kinds
+                    or (b in complex_cols and b not in array_cols)
+                )
+            return False
+        if re.match(r"'", t):
+            return True
+        if re.match(r"\d+\.?\d*(?:[eE][+-]?\d+)?(?![\w.])", t):
+            return True
+        if re.match(r"(?i)[-+( ]*INTERVAL\b", t) or re.match(
+            r"(?i)(?:duck_\w+|\(CASE)\b", t
+        ):
+            return True
+        m2 = _PIPE_RSTR_COL_RE.match(t)
+        if m2 is not None:
+            b = m2.group(1).split(".")[-1].lower()
+            return (
+                b in str_cols
+                or b in kinds
+                or (b in complex_cols and b not in array_cols)
+            )
+        return False
+
+    def grp_candidate(grp: str) -> bool:
+        """Textual gate before a typer probe on a paren group."""
+        low = grp.lower()
+        if re.search(
+            r"(?i)\binterval\b|::|\bcast\s*\(|\d[eE][+-]?\d", low
+        ):
+            return True
+        toks = set(re.findall(r"[a-z_]\w*", low))
+        return bool(toks & set(kinds)) or bool(toks & set(complex_cols))
+
     guard = 0
     while guard < 50:
         guard += 1
@@ -12008,36 +12131,42 @@ def rewrite_pipe_concat_special_cols(
                 continue
             left = sql[: m.start()]
             right = sql[m.start() + 2 :]
-            lm = re.search(r"'(?:[^']|'')*'\s*$", left) is not None
-            if not lm and str_cols:
-                # a bare string COLUMN as the whole left operand
-                # stringifies the right side exactly like a literal
-                lsm = _PIPE_LSTR_COL_RE.search(left)
-                lm = (
-                    lsm is not None
-                    and lsm.group(1).split(".")[-1].lower() in str_cols
-                    and all(mask[lsm.start(1) : m.start()])
-                )
             # the column must be the WHOLE operand: a tighter-binding
-            # operator after it (`'x' || big * 2` — * wins) means the
-            # concat operand is the larger expression; bail
+            # operator after it means the operand is larger; bail
             rm_ = re.match(
                 r"\s*((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)"
                 r"(?![\w.(:])(?!\s*[*/%+\-\[])",
                 right,
             )
-            if lm and rm_:
+            if rm_:
                 col = rm_.group(1)
-                repl = _pipe_col_repl(col, kinds, complex_cols, cf32_cols)
+                base = col.split(".")[-1].lower()
+                kind = kinds.get(base)
+                repl = None
+                if kind is not None:
+                    # scalar special: duck stringifies it regardless
+                    # of the other side (r15)
+                    repl = _scalar_vc_repl(col, kind)
+                elif base in complex_cols and (
+                    base not in array_cols or scalarish(left, True)
+                ):
+                    # struct/map operands ALWAYS stringify (only
+                    # list||list concatenates); an ARRAY operand needs
+                    # a known non-list other side
+                    fn = (
+                        "duck_varchar_f32"
+                        if base in cf32_cols
+                        else "duck_varchar"
+                    )
+                    repl = f"{fn}({col})"
                 if repl is not None:
                     s = m.start() + 2 + rm_.start(1)
                     e = m.start() + 2 + rm_.end(1)
                     hit = (s, e, repl)
                     break
-            if lm and re.match(r"(?i)\s*[-+(]*\s*INTERVAL\b", right):
-                # INTERVAL literal right operand after a string COLUMN
-                # (r15): the type-blind precedence pass only handles
-                # the literal-adjacent form — this leg knows str_cols
+            if re.match(r"(?i)\s*[-+(]*\s*INTERVAL\b", right):
+                # INTERVAL literal right operand (scalar: always
+                # stringifies — r15)
                 end_r, ops_r = _pipe_operand_span(
                     sql, mask, m.start() + 2
                 )
@@ -12057,57 +12186,64 @@ def rewrite_pipe_concat_special_cols(
                     if repl is not None:
                         hit = (m.start() + 2, end_r, f" {repl} ")
                         break
-            if lm:
-                # paren-group right operand: `'v=' || (expr)` — the
-                # analysis typer resolves the expression's kind (r14)
-                pm = re.match(r"\s*\(", right)
-                if pm is not None:
-                    open_i = m.start() + 2 + pm.end() - 1
-                    close = _match_paren(sql, mask, open_i)
-                    if close is not None:
-                        grp = sql[open_i : close + 1]
-                        nxt = _skip_ws(sql, close + 1)
-                        follows_op = (
-                            nxt < len(sql)
-                            and sql[nxt] in "*/%+-["
-                            and sql[nxt : nxt + 2] != "||"
-                        )
-                        if not follows_op and "duck_" not in grp:
-                            if typer is None and typer_factory is not None:
-                                typer = typer_factory()
-                                typer_factory = None
-                            tk = typer(grp) if typer is not None else None
-                            if tk in ("f64", "f32", "dtivl", "ym"):
-                                hit = (
-                                    open_i,
-                                    close + 1,
-                                    _scalar_vc_repl(grp, tk),
-                                )
-                                break
-            rm2 = re.match(r"\s*'(?:[^']|'')*'", right) is not None
-            if not rm2 and str_cols:
-                rsm = _PIPE_RSTR_COL_RE.match(right)
-                rm2 = (
-                    rsm is not None
-                    and rsm.group(1).split(".")[-1].lower() in str_cols
-                )
+            pm = re.match(r"\s*\(", right)
+            if pm is not None:
+                # paren-group right operand: the analysis typer
+                # resolves the expression's kind; scalar special kinds
+                # render unconditionally (r15)
+                open_i = m.start() + 2 + pm.end() - 1
+                close = _match_paren(sql, mask, open_i)
+                if close is not None:
+                    grp = sql[open_i : close + 1]
+                    nxt = _skip_ws(sql, close + 1)
+                    follows_op = (
+                        nxt < len(sql)
+                        and sql[nxt] in "*/%+-["
+                        and sql[nxt : nxt + 2] != "||"
+                    )
+                    if (
+                        not follows_op
+                        and "duck_" not in grp
+                        and grp_candidate(grp)
+                    ):
+                        t_ = get_typer()
+                        tk = t_(grp) if t_ is not None else None
+                        if tk in ("f64", "f32", "dtivl", "ym"):
+                            hit = (
+                                open_i,
+                                close + 1,
+                                _scalar_vc_repl(grp, tk),
+                            )
+                            break
             lm2 = re.search(
                 r"(?:^|[(,;]|\b(?:SELECT|THEN|ELSE|WHEN)\b)\s*"
                 r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\s*$",
                 left,
                 re.IGNORECASE,
             )
-            if lm2 and rm2 and all(mask[lm2.start(1) : m.start()]):
+            if lm2 and all(mask[lm2.start(1) : m.start()]):
                 col = lm2.group(1)
-                repl = _pipe_col_repl(col, kinds, complex_cols, cf32_cols)
+                base = col.split(".")[-1].lower()
+                kind = kinds.get(base)
+                repl = None
+                if kind is not None:
+                    repl = _scalar_vc_repl(col, kind)
+                elif base in complex_cols and (
+                    base not in array_cols or scalarish(right, False)
+                ):
+                    fn = (
+                        "duck_varchar_f32"
+                        if base in cf32_cols
+                        else "duck_varchar"
+                    )
+                    repl = f"{fn}({col})"
                 if repl is not None:
                     hit = (lm2.start(1), lm2.end(1), repl)
                     break
-            if rm2 and left.rstrip().endswith(")"):
-                # paren-group LEFT operand: `(expr) || 'x'` (r15) —
-                # same typer resolution as the right-group leg; the
-                # group must be the whole operand (a tighter-binding
-                # operator before it means it's a sub-expression)
+            if left.rstrip().endswith(")"):
+                # paren-group LEFT operand — same typer resolution;
+                # the group must be the whole operand (a tighter-
+                # binding operator before it means a sub-expression)
                 close_i = len(left.rstrip()) - 1
                 open_i = _match_paren_back(sql, mask, close_i)
                 if open_i is not None:
@@ -12115,8 +12251,6 @@ def rewrite_pipe_concat_special_cols(
                     if prev_txt and (
                         prev_txt[-1].isalnum() or prev_txt[-1] == "_"
                     ):
-                        # a keyword before the group is fine; an
-                        # identifier means a function call — bail
                         wm2 = re.search(r"[A-Za-z_]\w*$", prev_txt)
                         prev_ok = (
                             wm2 is not None
@@ -12127,11 +12261,13 @@ def rewrite_pipe_concat_special_cols(
                             -1
                         ] not in "*/%+-[.)]`'\""
                     grp = sql[open_i : close_i + 1]
-                    if prev_ok and "duck_" not in grp:
-                        if typer is None and typer_factory is not None:
-                            typer = typer_factory()
-                            typer_factory = None
-                        tk = typer(grp) if typer is not None else None
+                    if (
+                        prev_ok
+                        and "duck_" not in grp
+                        and grp_candidate(grp)
+                    ):
+                        t_ = get_typer()
+                        tk = t_(grp) if t_ is not None else None
                         if tk in ("f64", "f32", "dtivl", "ym"):
                             hit = (
                                 open_i,
@@ -12139,26 +12275,23 @@ def rewrite_pipe_concat_special_cols(
                                 _scalar_vc_repl(grp, tk),
                             )
                             break
-            if rm2:
-                # INTERVAL literal LEFT operand before a string COLUMN
-                # (r15) — symmetric to the right-interval leg
-                ls, lops = _pipe_left_operand_span(sql, mask, m.start())
-                lspan = sql[ls : m.start()].strip()
-                if (
-                    re.match(r"(?i)^[-+( ]*INTERVAL\b", lspan)
-                    and "duck_" not in lspan
-                ):
-                    folded = _fold_interval_expr(lspan)
-                    repl = (
-                        "'" + folded.replace("'", "''") + "'"
-                        if folded is not None
-                        else (
-                            _vc_kernel_repl(lspan) if lops == 0 else None
-                        )
-                    )
-                    if repl is not None:
-                        hit = (ls, m.start(), f" {repl} ")
-                        break
+            ls, lops = _pipe_left_operand_span(sql, mask, m.start())
+            lspan = sql[ls : m.start()].strip()
+            if (
+                re.match(r"(?i)^[-+( ]*INTERVAL\b", lspan)
+                and "duck_" not in lspan
+            ):
+                # INTERVAL literal LEFT operand (scalar: always
+                # stringifies — r15)
+                folded = _fold_interval_expr(lspan)
+                repl = (
+                    "'" + folded.replace("'", "''") + "'"
+                    if folded is not None
+                    else (_vc_kernel_repl(lspan) if lops == 0 else None)
+                )
+                if repl is not None:
+                    hit = (ls, m.start(), f" {repl} ")
+                    break
         if hit is None:
             return sql
         s, e, repl = hit

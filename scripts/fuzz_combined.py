@@ -140,8 +140,10 @@ def gen_render(rng) -> str:
     op = rng.choice(RENDER_OPS)
     shape = rng.randrange(4)
     if shape == 0:  # || adjacency, either side, optional chain —
-        # the adjacent side is a string LITERAL or the string COLUMN s
-        adj = rng.choice(["'v='", "s"])
+        # the adjacent side may be a string LITERAL, the string COLUMN
+        # s, or a NON-string operand (duck stringifies both sides
+        # unless both are lists — r15)
+        adj = rng.choice(["'v='", "s", "b", "a", "arr", "st", "2"])
         if rng.random() < 0.5:
             e = f"{adj} || {op}"
         else:

@@ -1676,6 +1676,16 @@ def test_pipe_concat_string_column_adjacency(spark, oracle):
             " UNION ALL SELECT s AS c FROM tz15",
             "SELECT INTERVAL 7 HOUR + INTERVAL 0 DAY AS c"
             " UNION ALL SELECT 'y' AS c",
+            # r15: duck stringifies BOTH || operands unless both are
+            # lists — no string side needed
+            "SELECT big || f * 2 AS a FROM tz15",
+            "SELECT big || n AS a FROM tz15",
+            "SELECT n || big AS a FROM tz15",
+            "SELECT arr || big AS a FROM tz15",
+            "SELECT big || arr AS a FROM tz15",
+            "SELECT arr || 2 AS a FROM tz15",
+            "SELECT INTERVAL 25 HOUR || big AS a FROM tz15",
+            "SELECT arr || arr AS a FROM tz15",  # list concat: native
         ]:
             want = sorted(
                 (_canon(tuple(r)) for r in oracle.execute(q).fetchall()),
