@@ -3674,6 +3674,48 @@ def _rewrite_concat_null_skip(sql: str) -> str:
     return sql
 
 
+_CONCAT_WS_CALL = re.compile(r"(?<![\w.])concat_ws\s*\(", re.IGNORECASE)
+
+
+def _rewrite_concat_ws_casts(sql: str) -> str:
+    """USER ``concat_ws`` stringifies every value argument with duck's
+    own text ('x-2.5e+19' — r15 probe); cast them AS STRING like
+    concat's args so the later kernel passes render special types.
+    Single pass over user text — the engine's own emitted
+    concat_ws('') calls arrive pre-cast."""
+    if re.search(r"(?i)\bconcat_ws\s*\(", sql) is None:
+        return sql
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    for m in _CONCAT_WS_CALL.finditer(sql):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            break
+        args = [a.strip() for a in split_top_level(sql[m.end() : i - 1])]
+        if len(args) < 2 or not all(args):
+            continue
+        casted = ", ".join(
+            [args[0]] + [f"CAST({a} AS STRING)" for a in args[1:]]
+        )
+        out.append(sql[pos : m.start()])
+        out.append(f"concat_ws({casted})")
+        pos = i
+    if not out:
+        return sql
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 _QUOTED_LIT_RE = re.compile(r"'(?:[^']|'')*'")
 _ENUM_NARY_FNS = frozenset(
     "coalesce nullif greatest least ifnull nvl nvl2 if".split()
@@ -4983,6 +5025,11 @@ def _vc_kernel_repl(op: str) -> str | None:
             # (hours unbounded), '1 day 02:00:00' — via the canonical-
             # string parser kernel (r14); mixed ym+dt stays native
             return f"duck_dtivl_text(CAST({op} AS STRING))"
+    folded_d = _fold_double_lit_expr(core)
+    if folded_d is not None:
+        # literal-only DOUBLE arithmetic (CAST(1e19 * 2 AS STRING) in
+        # concat/concat_ws arg positions — r15)
+        return "'" + folded_d + "'"
     if _F32_CAST_UNIT_RE.search(core) and duck_f32_arith(
         core, frozenset()
     ):
@@ -12015,6 +12062,18 @@ def rewrite_scalar_varchar_cols(sql: str, kinds: dict[str, str]) -> str:
     return "".join(out)
 
 
+_PIPE_LIST_CTOR_RE = re.compile(
+    r"(?i)^\s*(?:array|array_repeat|sequence)\s*\("
+)
+_PIPE_NONLIST_CTOR_RE = re.compile(
+    r"(?i)^\s*(?:named_struct|struct|map|map_from_arrays"
+    r"|map_from_entries|str_to_map)\s*\("
+)
+_PIPE_CTOR_HEADS = frozenset({
+    "array", "array_repeat", "sequence", "named_struct", "struct",
+    "map", "map_from_arrays", "map_from_entries", "str_to_map",
+})
+
 _PIPE_LSTR_COL_RE = re.compile(
     r"(?:^|[(,;]|\|\||\b(?:SELECT|THEN|ELSE|WHEN|AND|OR|WHERE)\b)\s*"
     r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\s*$",
@@ -12164,6 +12223,33 @@ def rewrite_pipe_concat_special_cols(
                     e = m.start() + 2 + rm_.end(1)
                     hit = (s, e, repl)
                     break
+            cm_r = _PIPE_LIST_CTOR_RE.match(right) or (
+                _PIPE_NONLIST_CTOR_RE.match(right)
+            )
+            if cm_r is not None:
+                # composite CONSTRUCTOR right operand (r15): structs/
+                # maps always stringify; an array constructor needs a
+                # known non-list other side (list||list concatenates)
+                open_i = m.end() + cm_r.end() - 1
+                close = _match_paren(sql, mask, open_i)
+                if close is not None:
+                    nxt = _skip_ws(sql, close + 1)
+                    follows_op = (
+                        nxt < len(sql)
+                        and sql[nxt] in "*/%+-["
+                        and sql[nxt : nxt + 2] != "||"
+                    )
+                    span = sql[m.end() : close + 1].strip()
+                    is_list = _PIPE_LIST_CTOR_RE.match(span) is not None
+                    if not follows_op and "duck_" not in span and (
+                        not is_list or scalarish(left, True)
+                    ):
+                        hit = (
+                            m.end(),
+                            close + 1,
+                            f" duck_varchar({span}) ",
+                        )
+                        break
             if re.match(r"(?i)\s*[-+(]*\s*INTERVAL\b", right):
                 # INTERVAL literal right operand (scalar: always
                 # stringifies — r15)
@@ -12252,6 +12338,23 @@ def rewrite_pipe_concat_special_cols(
                         prev_txt[-1].isalnum() or prev_txt[-1] == "_"
                     ):
                         wm2 = re.search(r"[A-Za-z_]\w*$", prev_txt)
+                        if wm2 is not None and wm2.group(0).lower() in (
+                            _PIPE_CTOR_HEADS
+                        ):
+                            # composite CONSTRUCTOR left operand (r15)
+                            span = sql[wm2.start() : close_i + 1]
+                            is_list = (
+                                _PIPE_LIST_CTOR_RE.match(span) is not None
+                            )
+                            if "duck_" not in span and (
+                                not is_list or scalarish(right, False)
+                            ):
+                                hit = (
+                                    wm2.start(),
+                                    close_i + 1,
+                                    f" duck_varchar({span}) ",
+                                )
+                                break
                         prev_ok = (
                             wm2 is not None
                             and wm2.group(0).lower() in _PIPE_PRE_GROUP_KW
@@ -13963,6 +14066,9 @@ def rewrite(sql: str) -> str:
     # take DuckDB's shortest-round-trip text BEFORE concat rewrites
     sql = _rewrite_case_fns(sql)  # user upper/lower only — duck simple
     # case mapping; BEFORE any pass emits Java-semantics upper/lower
+    sql = _rewrite_concat_ws_casts(sql)  # user concat_ws value args
+    # stringify duck-style — BEFORE null_skip emits its own pre-cast
+    # concat_ws('') calls
     sql = _rewrite_concat_null_skip(sql)  # user concat only — BEFORE any
     # pass emits Spark-native concat (RLIKE anchors, split templates)
     sql = _rewrite_bit_strings(sql)  # BIT emulation (after the concat

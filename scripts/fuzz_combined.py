@@ -158,7 +158,11 @@ def gen_render(rng) -> str:
             else f"({op})::VARCHAR"
         )
         return f"SELECT {cast} AS t FROM fz"
-    if shape == 2:  # format generic {} over the operand
+    if shape == 2:  # format generic {} / concat_ws over the operand
+        if rng.random() < 0.4:
+            return (
+                f"SELECT concat_ws('-', 'h', {op}) AS t FROM fz"
+            )
         return f"SELECT format('<{{}}>', {op}) AS t FROM fz"
     # widened set-op branch: special-typed branch vs a string branch
     op2 = rng.choice(RENDER_OPS)

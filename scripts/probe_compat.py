@@ -1182,6 +1182,16 @@ BATTERY: dict[str, list[str]] = {
         " UNION ALL SELECT 'x' AS c",
         "SELECT INTERVAL 7 HOUR + INTERVAL 0 DAY AS c"
         " UNION ALL SELECT 'y' AS c ORDER BY c",
+        # || with NO string side: duck stringifies both operands
+        # unless both are lists
+        "SELECT 1e20 || 1.5 AS a, 1 || 2 AS b,"
+        " INTERVAL 1 DAY || INTERVAL 2 HOUR AS c,"
+        " [1,2] || 3 AS d, 1e20 || [1,2] AS e, [1,2] || [3] AS f",
+        "SELECT l_extendedprice * 1e15 || l_linenumber AS a"
+        " FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 3",
+        # user concat_ws value args stringify duck-style
+        "SELECT concat_ws('-', 'x', 1e19 * 2) AS a,"
+        " concat_ws(',', 'a', INTERVAL 25 HOUR) AS b",
         # fractional interval literals in arithmetic positions
         "SELECT TIMESTAMP '2024-01-01 00:00:00'"
         " + INTERVAL '1.5 days' AS a,"

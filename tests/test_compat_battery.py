@@ -523,6 +523,12 @@ BATTERY = [
     " (INTERVAL '1.5' MILLISECOND)::VARCHAR AS d,"
     " (INTERVAL '1.5' WEEK)::VARCHAR AS e,"
     " (INTERVAL '-1.5' DAY)::VARCHAR AS f",
+    # r15: user concat_ws value args stringify duck-style like
+    # concat's ('x-2e+19', not Java's 'x-2.0E19')
+    "SELECT concat_ws('-', 'x', 1e19 * 2) AS a,"
+    " concat_ws(',', 'a', INTERVAL 25 HOUR) AS b,"
+    " concat_ws('', 'a', NULL, 'b') AS c,"
+    " concat('q', concat_ws('-', 1e20, 0.25::FLOAT)) AS d",
     # r15: fractional interval literals in ARITHMETIC positions —
     # Spark's parser refuses them; they convert to value-exact
     # DAY TO SECOND / YEAR TO MONTH canonicals
