@@ -450,20 +450,22 @@ def _duck_ym_text(v: pd.Series) -> pd.Series:
     transform (_ym_safe — PySpark cannot collect ym values at all) and
     the ::VARCHAR fold (r14). Unrecognized text passes through."""
 
-    def f(s):
-        if s is None:
-            return None
-        m = _SPARK_YM_RE.match(s)
-        if m is None:
-            return s
-        sgn, a, b, unit = m.groups()
-        if b is not None:
-            months = int(a) * 12 + int(b)
-        else:
-            months = int(a) * (12 if unit == "YEAR" else 1)
-        return _duck_ym_render(-months if sgn else months)
+    return v.map(_ym_one)
 
-    return v.map(f)
+
+def _ym_one(s):
+    """One Spark-canonical year-month interval string → duck text."""
+    if s is None:
+        return None
+    m = _SPARK_YM_RE.match(s)
+    if m is None:
+        return s
+    sgn, a, b, unit = m.groups()
+    if b is not None:
+        months = int(a) * 12 + int(b)
+    else:
+        months = int(a) * (12 if unit == "YEAR" else 1)
+    return _duck_ym_render(-months if sgn else months)
 
 
 _SPARK_DT_IVL_RE = re.compile(
@@ -494,6 +496,42 @@ def _duck_dt_render(days: int, micros: int) -> str:
     return " ".join(parts)
 
 
+def _dtivl_one(s):
+    """One Spark-canonical day-time interval string → duck text."""
+    if s is None:
+        return None
+    m = _SPARK_DT_IVL_RE.match(s)
+    if m is None:
+        return s
+    neg, body, u1, u2 = m.groups()
+    days = h = mi = 0
+    sec = 0.0
+    if u1 == "DAY":
+        if " " in body:
+            dpart, tpart = body.split(" ", 1)
+        else:
+            dpart, tpart = body, ""
+        days = int(dpart)
+        fields = tpart.split(":") if tpart else []
+        start = 0
+    else:
+        fields = body.split(":")
+        start = ["HOUR", "MINUTE", "SECOND"].index(u1)
+    order = ["HOUR", "MINUTE", "SECOND"]
+    for k, fld in enumerate(fields):
+        unit = order[start + k]
+        if unit == "SECOND":
+            sec = float(fld)
+        elif unit == "MINUTE":
+            mi = int(fld)
+        else:
+            h = int(fld)
+    micros = (h * 60 + mi) * 60_000_000 + round(sec * 1_000_000)
+    if neg:
+        days, micros = -days, -micros
+    return _duck_dt_render(days, micros)
+
+
 @F.pandas_udf(T.StringType())
 def _duck_dtivl_text(v: pd.Series) -> pd.Series:
     """Spark's canonical DayTimeIntervalType string ("INTERVAL '3' DAY"
@@ -505,42 +543,56 @@ def _duck_dtivl_text(v: pd.Series) -> pd.Series:
     fold into the time part with UNBOUNDED hours — exactly duck's
     component semantics for these literal shapes. Unrecognized text
     passes through."""
+    return v.map(_dtivl_one)
 
-    def f(s):
-        if s is None:
-            return None
-        m = _SPARK_DT_IVL_RE.match(s)
-        if m is None:
-            return s
-        neg, body, u1, u2 = m.groups()
-        days = h = mi = 0
-        sec = 0.0
-        if u1 == "DAY":
-            if " " in body:
-                dpart, tpart = body.split(" ", 1)
-            else:
-                dpart, tpart = body, ""
-            days = int(dpart)
-            fields = tpart.split(":") if tpart else []
-            start = 0
-        else:
-            fields = body.split(":")
-            start = ["HOUR", "MINUTE", "SECOND"].index(u1)
-        order = ["HOUR", "MINUTE", "SECOND"]
-        for k, fld in enumerate(fields):
-            unit = order[start + k]
-            if unit == "SECOND":
-                sec = float(fld)
-            elif unit == "MINUTE":
-                mi = int(fld)
-            else:
-                h = int(fld)
-        micros = (h * 60 + mi) * 60_000_000 + round(sec * 1_000_000)
-        if neg:
-            days, micros = -days, -micros
-        return _duck_dt_render(days, micros)
 
-    return v.map(f)
+def _arr_text_udf(one):
+    """ARRAY<STRING> element-text mapper (r15): element-wise VARCHAR[]
+    casts route through Spark's own ARRAY<STRING> cast first (exact
+    round-trip element texts, NULL elements preserved — a float-typed
+    array UDF could not tell NULL from NaN), then each element re-
+    renders duck-style."""
+
+    def g(v: pd.Series) -> pd.Series:
+        def f(a):
+            if a is None:
+                return None
+            return [None if s is None else one(s) for s in a]
+
+        return v.map(f, na_action=None)
+
+    return g
+
+
+def _f64_text_one(s: str) -> str:
+    x = float(s)
+    return "nan" if x != x else repr(x)
+
+
+def _f32_text_one(s: str) -> str:
+    import struct
+
+    from .floattext import duck_float_text
+
+    # Java's shortest float text round-trips through FLOAT32, not
+    # DOUBLE — snap before the Grisu3 kernel ('46977.562' parses to a
+    # double ≠ the f32 value 46977.5625)
+    v = struct.unpack("<f", struct.pack("<f", float(s)))[0]
+    return duck_float_text(v)
+
+
+_duck_double_text_arr = F.pandas_udf(T.ArrayType(T.StringType()))(
+    _arr_text_udf(_f64_text_one)
+)
+_duck_float32_text_arr = F.pandas_udf(T.ArrayType(T.StringType()))(
+    _arr_text_udf(_f32_text_one)
+)
+_duck_dtivl_text_arr = F.pandas_udf(T.ArrayType(T.StringType()))(
+    _arr_text_udf(_dtivl_one)
+)
+_duck_ym_text_arr = F.pandas_udf(T.ArrayType(T.StringType()))(
+    _arr_text_udf(_ym_one)
+)
 
 
 @F.pandas_udf(T.StringType())
@@ -1396,6 +1448,10 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("duck_float32_text", _duck_float32_text)
     spark.udf.register("duck_ym_text", _duck_ym_text)
     spark.udf.register("duck_dtivl_text", _duck_dtivl_text)
+    spark.udf.register("duck_double_text_arr", _duck_double_text_arr)
+    spark.udf.register("duck_float32_text_arr", _duck_float32_text_arr)
+    spark.udf.register("duck_dtivl_text_arr", _duck_dtivl_text_arr)
+    spark.udf.register("duck_ym_text_arr", _duck_ym_text_arr)
     spark.udf.register("__duck_bit_binop", _duck_bit_binop)
     spark.udf.register("__duck_bit_shift", _duck_bit_shift)
     spark.udf.register("__duck_bit_not", _duck_bit_not)

@@ -3311,6 +3311,16 @@ def _vc_leaf(dt):
     return "atomic"
 
 
+def _vc_arr_leaf(dt):
+    """Typer leaf for element-wise VARCHAR[] casts (r15): the ARRAY's
+    ELEMENT kind decides the duck text kernel."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return ("arr", _vc_leaf(dt.elementType))
+    return "other"
+
+
 def _date_leaf(dt):
     """Typer leaf for the time_bucket expression-operand leg (r13):
     'date' for DateType, 'other' for everything else."""
@@ -4042,6 +4052,20 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         from .compat import rewrite_scalar_varchar_cols
 
         sql = rewrite_scalar_varchar_cols(sql, vc_kinds)
+    if re.search(r"(?i)ARRAY<\s*STRING\s*>", sql) is not None:
+        # element-wise VARCHAR[] casts of special-element arrays
+        # render duck text per element (r15)
+        from .compat import (
+            neutralize_bool_slots,
+            rewrite_array_string_casts,
+        )
+
+        sql = rewrite_array_string_casts(
+            sql,
+            _make_expr_typer(
+                session, neutralize_bool_slots(sql), leaf=_vc_arr_leaf
+            ),
+        )
     if has_pipe:
         from .compat import (
             neutralize_bool_slots,

@@ -1192,6 +1192,11 @@ BATTERY: dict[str, list[str]] = {
         # user concat_ws value args stringify duck-style
         "SELECT concat_ws('-', 'x', 1e19 * 2) AS a,"
         " concat_ws(',', 'a', INTERVAL 25 HOUR) AS b",
+        # element-wise VARCHAR[] casts render duck text per element
+        "SELECT ([1e20, 1.5])::VARCHAR[] AS a,"
+        " CAST([1e20, NULL] AS VARCHAR[]) AS b,"
+        " ([INTERVAL 25 HOUR])::VARCHAR[] AS c,"
+        " ([0.25::FLOAT])::VARCHAR[] AS d",
         # fractional interval literals in arithmetic positions
         "SELECT TIMESTAMP '2024-01-01 00:00:00'"
         " + INTERVAL '1.5 days' AS a,"

@@ -1692,6 +1692,16 @@ def test_pipe_concat_string_column_adjacency(spark, oracle):
             "SELECT arr || 2 AS a FROM tz15",
             "SELECT INTERVAL 25 HOUR || big AS a FROM tz15",
             "SELECT arr || arr AS a FROM tz15",  # list concat: native
+            # r15: element-wise VARCHAR[] casts render duck text per
+            # element via the ARRAY<STRING>-fed array kernels (needs
+            # the app typer leg, so it lives in this test)
+            "SELECT ([1e20, 1.5])::VARCHAR[] AS a FROM tz15",
+            "SELECT CAST([1e20, NULL] AS VARCHAR[]) AS a FROM tz15",
+            "SELECT ([INTERVAL 25 HOUR])::VARCHAR[] AS a FROM tz15",
+            "SELECT ([INTERVAL 14 MONTH])::VARCHAR[] AS a FROM tz15",
+            "SELECT ([0.25::FLOAT, 46977.5625::FLOAT])::VARCHAR[]"
+            " AS a FROM tz15",
+            "SELECT arr::VARCHAR[] AS a FROM tz15",
         ]:
             want = sorted(
                 (_canon(tuple(r)) for r in oracle.execute(q).fetchall()),
