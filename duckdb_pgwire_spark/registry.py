@@ -235,12 +235,16 @@ def ordered_names() -> list[str]:
     # driver's ~50-slot window. Self-correcting: once the tail retires,
     # the tier is empty and the order reduces to the r7 scheme.
     overdue = sorted(
-        # ≥4 rounds stale (was 5 — r12: two NEW unseen entries pushed
-        # the r7 tail's worst slot to 51, past the driver's ~50-entry
-        # window; at ≥4 the whole tail outranks the flagship pin and
-        # drains this round, honoring the r11 verdict's "nothing older
-        # than r8" target)
-        (n for n in defs if n in green and green[n] <= cur - 4),
+        # ≥3 rounds stale (was 4 — r15: the r11-green tier is 50
+        # entries, exactly one driver window, but the 17-entry
+        # flagship half-pin displaced 17 of them past slot 50; r09's
+        # empty file also makes _current_round lag the calendar round
+        # by one. At ≥3 the whole stale tier outranks the pin and
+        # drains in one window, honoring the r14 verdict's "nothing
+        # last-checked before r12" target; the displaced pin half was
+        # green ≤2 rounds ago and re-enters via the staleness sort
+        # next round. Was 5 before r12's same adjustment.)
+        (n for n in defs if n in green and green[n] <= cur - 3),
         key=lambda n: (green[n], order[n]),
     )
     pinned = [n for n in pinned if n not in overdue]

@@ -12406,6 +12406,39 @@ def rewrite_pipe_concat_special_cols(
                                 _scalar_vc_repl(grp, tk),
                             )
                             break
+            chain = _collect_array_chain(
+                sql, mask, m.start(), m.end(), array_cols
+            )
+            if chain is not None:
+                # list||list CHAIN (r15 fuzz find, seed 14): duck's
+                # LIST concat SKIPS NULL operands (NULL||[7] = [7];
+                # all-NULL → NULL) where Spark's concat propagates —
+                # and a chain adjacent to a further non-list || operand
+                # stringifies as ONE combined list, so rendering any
+                # single element would split it.
+                c_start, c_stop, elems = chain
+                text = sql[c_start:c_stop]
+                if "duck_" not in text and "__lcx" not in text:
+                    nullc = " AND ".join(
+                        f"({e}) IS NULL" for e in elems
+                    )
+                    expr = (
+                        f"CASE WHEN {nullc} THEN NULL ELSE"
+                        f" flatten(filter(array({', '.join(elems)}),"
+                        f" __lcx -> __lcx IS NOT NULL)) END"
+                    )
+                    before_c = sql[:c_start].rstrip()
+                    nxt_c = _skip_ws(sql, c_stop)
+                    adj = before_c.endswith("||") or (
+                        sql[nxt_c : nxt_c + 2] == "||"
+                    )
+                    if adj:
+                        # a non-list operand beyond the chain (it
+                        # would be IN the chain otherwise): the
+                        # combined list stringifies
+                        expr = f"duck_varchar({expr})"
+                    hit = (c_start, c_stop, f" ({expr}) ")
+                    break
             lm2 = re.search(
                 r"(?:^|[(,;]|\b(?:SELECT|THEN|ELSE|WHEN)\b)\s*"
                 r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\s*$",
@@ -12512,6 +12545,72 @@ _PIPE_PRE_GROUP_KW = frozenset({
     "where", "having", "on", "by", "set", "union", "intersect",
     "except", "returning", "not", "in",
 })
+
+
+def _collect_array_chain(
+    sql: str, mask: list[bool], m_start: int, m_end: int, array_cols
+):
+    """Maximal ``||``-chain around the operator at [m_start, m_end)
+    whose EVERY element is array-ish (a known array column or a list
+    constructor) — (start, stop, elems) or None (r15)."""
+    if not array_cols and "array" not in sql.lower():
+        return None
+
+    def arrish(e: str) -> bool:
+        if re.fullmatch(r"[A-Za-z_][\w.]*", e):
+            return e.split(".")[-1].lower() in array_cols
+        if _PIPE_LIST_CTOR_RE.match(e) is not None:
+            return True
+        core = e
+        while (
+            core.startswith("(")
+            and core.endswith(")")
+            and _paren_balanced(core[1:-1])
+        ):
+            core = core[1:-1].strip()
+        if re.search(r"(?i)::\s*ARRAY<[^>]*>\s*$", core):
+            return True
+        return (
+            re.match(r"(?i)^(?:TRY_)?CAST\s*\(", core) is not None
+            and re.search(r"(?i)AS\s+ARRAY<[^>]*>\s*\)\s*$", core)
+            is not None
+        )
+
+    # BOTH immediate operands must be array-ish for this || to be a
+    # list concat at all; then extend outward while operands stay so
+    ls, _ = _pipe_left_operand_span(sql, mask, m_start)
+    lseg = sql[ls:m_start].strip()
+    end, _ = _pipe_operand_span(sql, mask, m_end)
+    rseg = sql[m_end:end].strip()
+    if not lseg or not rseg or not arrish(lseg) or not arrish(rseg):
+        return None
+    elems = [lseg, rseg]
+    start, stop = ls, end
+    guard = 0
+    while guard < 20:
+        guard += 1
+        before = sql[:start].rstrip()
+        if not before.endswith("||"):
+            break
+        ls2, _ = _pipe_left_operand_span(sql, mask, len(before) - 2)
+        seg = sql[ls2 : len(before) - 2].strip()
+        if not seg or not arrish(seg):
+            break
+        elems.insert(0, seg)
+        start = ls2
+    guard = 0
+    while guard < 20:
+        guard += 1
+        nxt = _skip_ws(sql, stop)
+        if sql[nxt : nxt + 2] != "||":
+            break
+        end2, _ = _pipe_operand_span(sql, mask, nxt + 2)
+        seg = sql[nxt + 2 : end2].strip()
+        if not seg or not arrish(seg):
+            break
+        elems.append(seg)
+        stop = end2
+    return start, stop, elems
 
 
 def _match_paren_back(

@@ -1192,6 +1192,10 @@ BATTERY: dict[str, list[str]] = {
         # user concat_ws value args stringify duck-style
         "SELECT concat_ws('-', 'x', 1e19 * 2) AS a,"
         " concat_ws(',', 'a', INTERVAL 25 HOUR) AS b",
+        # duck LIST||LIST skips NULL operands; chains adjacent to a
+        # non-list operand stringify the COMBINED list
+        "SELECT [1,2] || [3] || 'z' AS a, [7] || NULL::INT[] AS b,"
+        " NULL::INT[] || [7] AS c, NULL::INT[] || NULL::INT[] AS d",
         # element-wise VARCHAR[] casts render duck text per element
         "SELECT ([1e20, 1.5])::VARCHAR[] AS a,"
         " CAST([1e20, NULL] AS VARCHAR[]) AS b,"

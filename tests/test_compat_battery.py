@@ -1691,7 +1691,16 @@ def test_pipe_concat_string_column_adjacency(spark, oracle):
             "SELECT big || arr AS a FROM tz15",
             "SELECT arr || 2 AS a FROM tz15",
             "SELECT INTERVAL 25 HOUR || big AS a FROM tz15",
-            "SELECT arr || arr AS a FROM tz15",  # list concat: native
+            # r15 (seed-14 find): duck's LIST||LIST SKIPS NULL
+            # operands (NULL||[7] = [7]; all-NULL → NULL) and a chain
+            # adjacent to a non-list operand stringifies the COMBINED
+            # list — the all-array chain folds through a NULL-skipping
+            # flatten
+            "SELECT arr || arr AS a FROM tz15",
+            "SELECT arr || [7] AS a FROM tz15",
+            "SELECT [7] || arr AS a FROM tz15",
+            "SELECT arr || arr || 'z' AS a FROM tz15",
+            "SELECT arr || [7] || 'z' AS a FROM tz15",
             # r15: element-wise VARCHAR[] casts render duck text per
             # element via the ARRAY<STRING>-fed array kernels (needs
             # the app typer leg, so it lives in this test)
