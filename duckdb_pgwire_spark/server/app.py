@@ -2910,6 +2910,7 @@ _HAS_DATE_IVL_RE = re.compile(
 )
 _HAS_COLUMNS_RE = re.compile(r"(?<![\w.])COLUMNS\s*\(", re.IGNORECASE)
 _HAS_FLOORCEIL_RE = re.compile(r"\b(?:floor|ceil|ceiling)\s*\(", re.IGNORECASE)
+_HAS_F32_ITEM_RE = re.compile(r"(?i)\sAS\s+`?[A-Za-z_]")
 _HAS_CMP_RE = re.compile(
     # equality + IN, plus bare ordering ops and BETWEEN (composite
     # ordering leg, r12) — excludes <> <= => <=> :: lambda-> and shifts
@@ -3737,11 +3738,17 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
 
     has_boolctx = _BOOL_CTX_L_RE.search(sql) is not None
     has_setop = _SETOP_GATE_RE.search(sql) is not None
+    # aliased select items with arithmetic (r16): `SELECT f * 2 AS v`
+    # has no comparison op but still needs the f32 narrowing leg
+    has_f32item = (
+        _HAS_F32_ITEM_RE.search(sql) is not None
+        and re.search(r"[+*/%-]", sql) is not None
+    )
     if not (
         has_sum or has_len or has_columns or has_replace or has_enum
         or has_date_ivl or has_vc_cast or has_cmp or has_floorceil
         or has_div or has_avg or has_tb or has_boolctx or has_setop
-        or has_pf or has_pipe
+        or has_pf or has_pipe or has_f32item
     ):
         return sql
     from pyspark.sql import types as T
@@ -3943,6 +3950,52 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         from .compat import rewrite_decimal_avg
 
         sql = rewrite_decimal_avg(sql, dec_cols)
+    if has_cmp or has_f32item:
+        # FLOAT COLUMN arithmetic/comparison and aliased-select-item
+        # positions (r16, VERDICT item 1): duck keeps FLOAT through
+        # + - * / % and compares a FLOAT side against int/decimal/
+        # string-literal sides in FLOAT; Spark widens to DOUBLE, so
+        # `WHERE f * 2 > 0.3` can disagree on boundary rows and
+        # `SELECT f * 2 AS v` reaches the wire as FLOAT8. Schema leg
+        # of compat.rewrite_f32_* (cast units ran type-blind inside
+        # rewrite()).
+        f32_scalar = {
+            n for n, ks in vc_kind_seen.items() if ks == {"f32"}
+        }
+        low_sql = sql.lower()
+        if f32_scalar and any(n in low_sql for n in f32_scalar):
+            from .compat import (
+                f32_alias_kinds,
+                rewrite_f32_comparisons,
+                rewrite_f32_select_items,
+            )
+
+            f32_kinds: dict[str, object] = {}
+            for n2, ks in vc_kind_seen.items():
+                if ks == {"f32"}:
+                    f32_kinds[n2] = "f32"
+                elif ks == {"f64"}:
+                    f32_kinds[n2] = "f64"
+            for n2 in int_cols:
+                f32_kinds.setdefault(n2, "int")
+            for fields5 in tbl_fields.values():
+                for f5 in fields5:
+                    low5 = f5.name.lower()
+                    if low5 in dec_cols and low5 not in f32_kinds:
+                        f32_kinds[low5] = ("dec", f5.dataType.scale)
+            # an explicit alias can rebind a name to another type:
+            # drop rebound names (the vc_typer shadow precedent);
+            # f32_alias_kinds re-adds them with the EXPRESSION's kind
+            for n2 in [k for k in f32_kinds if k in low_sql]:
+                if re.search(
+                    rf"(?i)\bAS\s+`?{re.escape(n2)}`?\b", sql
+                ):
+                    f32_kinds.pop(n2)
+            sql = rewrite_f32_select_items(sql, f32_kinds)
+            merged = dict(f32_kinds)
+            for a2, k2 in f32_alias_kinds(sql, f32_kinds).items():
+                merged.setdefault(a2, k2)
+            sql = rewrite_f32_comparisons(sql, merged)
     from .compat import _COMPLEX_EXPR_HINT_RE
 
     if has_cmp and (

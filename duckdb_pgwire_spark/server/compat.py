@@ -5145,6 +5145,1040 @@ def _f32_cast_spans_core(core: str) -> bool:
     return False
 
 
+# ---------------------------------------------------------------------------
+# FLOAT×INT value/comparison positions (r16, VERDICT item 1).
+#
+# DuckDB keeps FLOAT through + - * / % whenever a FLOAT operand is
+# present (probed: FLOAT op {INT, BIGINT, HUGEINT, DECIMAL} are all
+# FLOAT, including '/'; only an all-integer or decimal-only '/'
+# escapes to DOUBLE), and COMPARES a FLOAT side against INTEGER /
+# DECIMAL / VARCHAR-literal sides in FLOAT (probed: 0.3::FLOAT = 0.3
+# is TRUE, 16777217 = 16777216::FLOAT is TRUE, 0.3::FLOAT = '0.3' is
+# TRUE); FLOAT vs DOUBLE compares in DOUBLE. Spark widens FLOAT×INT
+# arithmetic to DOUBLE and compares FLOAT vs DECIMAL in DOUBLE, so
+# `WHERE f * 2 > 0.3` can disagree on boundary-value rows — a ROW
+# MEMBERSHIP divergence, not just render text. Reference semantics
+# via src/duckdb_pgwire_extension.cpp:52 delegation to DuckDB.
+#
+# Emulation: narrow PER OP — every f32-result binary op is wrapped in
+# CAST(… AS FLOAT) and every int/dec subtree meeting an f32 op is
+# cast to FLOAT at that boundary (duck evaluates the integer subtree
+# in integer arithmetic first, then promotes the RESULT). The
+# float64→float32 double rounding is INNOCUOUS for + - * / (binary64
+# carries 53 ≥ 2·24+2 significand bits — Figueroa's theorem), so
+# Spark's widened op + narrowing cast equals duck's single-rounded
+# float32 op bit-for-bit; % is exact in either width. Comparison
+# sides then promote like duck: int/dec/string-literal opposite
+# sides cast to FLOAT when the other side is f32-typed, a DOUBLE
+# side leaves the comparison in f64 (native Spark already matches —
+# the narrowed f32 value widens back exactly).
+# ---------------------------------------------------------------------------
+
+
+class _F32Bail(Exception):
+    """Operand outside the emulable f32-arithmetic grammar."""
+
+
+_F32_KIND_OF_TYPE = {
+    "float": "f32", "float4": "f32", "real": "f32",
+    "double": "f64", "float8": "f64",
+    "tinyint": "int", "smallint": "int", "int": "int",
+    "integer": "int", "bigint": "int", "long": "int",
+    "int1": "int", "int2": "int", "int4": "int", "int8": "int",
+    "byte": "int", "short": "int", "hugeint": "int",
+    "decimal": "dec", "numeric": "dec",
+}
+
+_F32_NUM_TOK_RE = re.compile(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+_F32_IDENT_TOK_RE = re.compile(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*")
+_F32_CAST_AS_RE = re.compile(
+    r"(?i)\bAS\s+([A-Za-z_][\w]*)\s*"
+    r"(?:\(\s*\d+\s*(?:,\s*(\d+)\s*)?\))?\s*$"
+)
+_F32_DEC_LIT_RE = re.compile(r"(\d*)\.(\d*)|(\d+)")
+
+
+def _f32_of_dec(text: str, scale) -> str:
+    """Spark SQL reproducing duck's DECIMAL→FLOAT conversion of the
+    decimal-typed ``text``: float32(unscaled) / float32(10^scale) with
+    an f32 division (probed model, 8/8 against DuckDB — NOT the
+    correctly-rounded cast: 33554434.0000::FLOAT is 33554436 in duck,
+    33554432 correctly rounded)."""
+    t = text.strip()
+    while (
+        len(t) >= 2
+        and t[0] == "("
+        and t[-1] == ")"
+        and _paren_balanced(t[1:-1])
+    ):
+        t = t[1:-1].strip()
+    if "/*__duck_ddiv*/" in t:
+        # a decimal_div-synthesized double cast: the body is the
+        # original decimal-typed operand
+        m = re.match(r"(?is)^(?:TRY_)?CAST\s*\((.*)\s+AS\s+DOUBLE\s*\)$", t)
+        if m is not None:
+            t = m.group(1).replace("/*__duck_ddiv*/", "").strip()
+    lm = _F32_DEC_LIT_RE.fullmatch(t)
+    if lm is not None:
+        if lm.group(3) is not None:
+            unscaled, s = lm.group(3), 0
+        else:
+            unscaled = (lm.group(1) + lm.group(2)) or "0"
+            s = len(lm.group(2))
+        unscaled = unscaled.lstrip("0") or "0"
+        # literals fold to the exact resulting f32 value in Python
+        # (f64→f32 double rounding is innocuous, so dividing the two
+        # f32-rounded values in f64 and narrowing IS duck's f32
+        # division) — a plain foldable constant keeps VALUES inline
+        # tables and filter pushdown intact
+        import math
+        import struct
+
+        def _f32v(x: float) -> float:
+            return struct.unpack("<f", struct.pack("<f", x))[0]
+
+        try:
+            val = _f32v(_f32v(float(unscaled)) / _f32v(10.0**s))
+        except (OverflowError, struct.error):
+            raise _F32Bail from None
+        if not math.isfinite(val):
+            return "CAST('Infinity' AS FLOAT)"
+        return f"CAST({val!r} AS FLOAT)"
+    if not isinstance(scale, int) or scale < 0 or scale > 18:
+        raise _F32Bail
+    if scale == 0:
+        return f"CAST(({t}) AS FLOAT)"
+    return (
+        f"CAST((CAST(({t}) * {10 ** scale} AS FLOAT)"
+        f" / CAST(1E{scale} AS FLOAT)) AS FLOAT)"
+    )
+
+
+def _f32_of(res, orig: str) -> str:
+    """The FLOAT-typed Spark text for one operand node, following
+    duck's promotion: f32 keeps its (narrowed) text, DECIMAL goes
+    through the unscaled/power model, INT and string literals take the
+    correctly-rounded cast (probed: duck's int→float and strtof are
+    correctly rounded)."""
+    k = res[0]
+    if k == "f32":
+        return res[1] if res[2] else orig
+    if k == "dec":
+        return _f32_of_dec(orig, res[3])
+    return f"CAST(({orig}) AS FLOAT)"
+
+
+class _F32Expr:
+    """Recursive-descent typer/narrower for one comparison side: an
+    arithmetic chain over typed columns (``kinds``: lowercase bare
+    name → 'f32'/'f64'/'int'/'dec'), f32/f64/int/decimal CAST and
+    ``::`` cast units, integer and decimal literals, parens, unary
+    sign, and the div-zero pass's ``nullif(x, 0)`` wrapper. parse()
+    returns (kind, narrowed, changed, scale) with kind ∈ {'f32','int',
+    'dec','f64','str','null'} and scale the duck decimal scale for
+    'dec' nodes (the DECIMAL→FLOAT model needs it); ``narrowed``
+    computes duck-f32 semantics. Anything else raises _F32Bail
+    (conservative skip)."""
+
+    def __init__(self, s: str, kinds):
+        self.s = s
+        self.n = len(s)
+        self.kinds = kinds
+        self.segs = _abs_segments(s)
+        self.mask = _code_mask(s)
+        self.i = 0
+
+    def parse(self):
+        node = self._expr()
+        self._ws()
+        if self.i < self.n:
+            raise _F32Bail
+        return node
+
+    def _ws(self):
+        while self.i < self.n:
+            if self.s[self.i].isspace():
+                self.i += 1
+                continue
+            kind, _a, b = _seg_at(self.segs, self.i)
+            if kind not in ("code", "lit"):  # comment segment
+                self.i = b
+                continue
+            break
+
+    def _expr(self):
+        left = self._term()
+        while True:
+            self._ws()
+            if self.i >= self.n:
+                return left
+            ch = self.s[self.i]
+            if ch not in "+-" or not self.mask[self.i]:
+                return left
+            nxt = self.s[self.i + 1] if self.i + 1 < self.n else ""
+            if ch == "-" and nxt in ">-":
+                return left  # -> arrow / -- comment
+            self.i += 1
+            left = self._bin(left, ch, self._term())
+
+    def _term(self):
+        left = self._factor()
+        while True:
+            self._ws()
+            if self.i >= self.n:
+                return left
+            ch = self.s[self.i]
+            if ch not in "*/%" or not self.mask[self.i]:
+                return left
+            nxt = self.s[self.i + 1] if self.i + 1 < self.n else ""
+            if (ch == "*" and nxt == "*") or (ch == "/" and nxt == "/"):
+                return left  # power / floor-div: leftovers bail upstream
+            self.i += 1
+            left = self._bin(left, ch, self._factor())
+
+    def _factor(self):
+        self._ws()
+        signs = 0
+        while self.i < self.n and self.s[self.i] in "+-":
+            nxt = self.s[self.i + 1] if self.i + 1 < self.n else ""
+            if self.s[self.i] == "-" and nxt in ">-":
+                raise _F32Bail
+            if self.s[self.i] == "-":
+                signs += 1
+            self.i += 1
+            self._ws()
+        node = self._postfix(self._primary())
+        if signs:
+            kind, txt, changed, scale = node
+            if kind in ("str", "null"):
+                raise _F32Bail
+            # negation is exact in every width — sign count preserved
+            node = (kind, ("- " * signs) + f"({txt})", changed, scale)
+        return node
+
+    def _primary(self):
+        self._ws()
+        if self.i >= self.n:
+            raise _F32Bail
+        ch = self.s[self.i]
+        kind0, _a0, b0 = _seg_at(self.segs, self.i)
+        if kind0 == "lit":
+            txt = self.s[self.i : b0]
+            self.i = b0
+            return ("str", txt, False, None)
+        if ch == "(":
+            close = _walk_brackets_fwd(self.s, self.segs, self.i)
+            if close <= 0:
+                raise _F32Bail
+            inner = _F32Expr(
+                self.s[self.i + 1 : close - 1], self.kinds
+            ).parse()
+            self.i = close
+            k, txt, changed, scale = inner
+            return (k, f"({txt})", changed, scale)
+        m = _F32_NUM_TOK_RE.match(self.s, self.i)
+        if m is not None and (ch.isdigit() or ch == "."):
+            txt = m.group(0)
+            self.i = m.end()
+            low = txt.lower()
+            if "e" in low:
+                return ("f64", txt, False, None)  # sci literals: DOUBLE
+            if "." in txt:
+                return ("dec", txt, False, len(txt.split(".", 1)[1]))
+            return ("int", txt, False, 0)
+        m = _F32_IDENT_TOK_RE.match(self.s, self.i)
+        if m is None:
+            raise _F32Bail
+        word = m.group(0)
+        up = word.upper()
+        j = m.end()
+        while j < self.n and self.s[j].isspace():
+            j += 1
+        if j < self.n and self.s[j] == "(":
+            if up in ("CAST", "TRY_CAST"):
+                close = _walk_brackets_fwd(self.s, self.segs, j)
+                if close <= 0:
+                    raise _F32Bail
+                body = self.s[j + 1 : close - 1]
+                am = _F32_CAST_AS_RE.search(body)
+                k = (
+                    _F32_KIND_OF_TYPE.get(am.group(1).lower())
+                    if am is not None
+                    and _seg_at(_abs_segments(body), am.start())[0]
+                    == "code"
+                    else None
+                )
+                if k is None:
+                    raise _F32Bail
+                scale = 0
+                if k == "dec":
+                    if am.group(2) is None and "(" not in am.group(0):
+                        # bare DECIMAL: duck defaults to (18,3),
+                        # Spark to (10,0) — not emulable here
+                        raise _F32Bail
+                    scale = int(am.group(2) or 0)
+                txt = self.s[self.i : close]
+                self.i = close
+                if k == "f64" and "/*__duck_ddiv*/" in body:
+                    # a double-cast SYNTHESIZED by _rewrite_decimal_div
+                    # around a then-untyped operand: re-type from the
+                    # operand itself — duck typed the ORIGINAL operand,
+                    # so an f32 body keeps duck's FLOAT division (cast
+                    # dropped; the narrowing re-derives the value) and
+                    # an int/dec body keeps its duck kind for the
+                    # promotion walk (cast text preserved)
+                    inner = _f32_side(
+                        body[: am.start()].replace("/*__duck_ddiv*/", ""),
+                        self.kinds,
+                    )
+                    if inner is not None and inner[0] == "f32":
+                        return inner
+                    if inner is not None and inner[0] in ("int", "dec"):
+                        return (inner[0], txt, False, inner[3])
+                return (k, txt, False, scale)
+            if up == "NULLIF":
+                # the div-zero pass wraps denominators in nullif(x, 0)
+                # — type-transparent; recurse into the first argument
+                close = _walk_brackets_fwd(self.s, self.segs, j)
+                if close <= 0:
+                    raise _F32Bail
+                args = split_top_level(self.s[j + 1 : close - 1])
+                if len(args) != 2 or args[1].strip() != "0":
+                    raise _F32Bail
+                k, txt, changed, scale = _F32Expr(
+                    args[0], self.kinds
+                ).parse()
+                self.i = close
+                return (k, f"nullif({txt}, 0)", changed, scale)
+            if up in ("MIN", "MAX", "FIRST", "LAST", "ANY_VALUE", "ABS"):
+                # type-preserving over FLOAT in duck (probed r16:
+                # min/max/first/any_value/abs(FLOAT) are FLOAT); the
+                # value is an existing f32 (or exact |f32|), so the
+                # node passes its argument's kind through
+                node = self._passthru_call(word, j, same_kind=True)
+                if node is not None:
+                    return node
+                raise _F32Bail
+            if up in ("SUM", "AVG"):
+                # duck sum/avg(FLOAT) accumulate in DOUBLE — same as
+                # Spark over float inputs; the f32 ARGUMENT still
+                # narrows so the per-row values match
+                node = self._passthru_call(word, j, same_kind=False)
+                if node is not None and node[0] == "f32":
+                    return ("f64", node[1], node[2], None)
+                raise _F32Bail
+            if up == "COALESCE":
+                # all-f32 coalesce stays FLOAT in duck (probed r16)
+                close = _walk_brackets_fwd(self.s, self.segs, j)
+                if close <= 0:
+                    raise _F32Bail
+                args = split_top_level(self.s[j + 1 : close - 1])
+                if not args:
+                    raise _F32Bail
+                parsed = [_F32Expr(a, self.kinds).parse() for a in args]
+                if any(pn[0] != "f32" for pn in parsed):
+                    raise _F32Bail
+                changed = any(pn[2] for pn in parsed)
+                texts = [
+                    pn[1] if pn[2] else a.strip()
+                    for pn, a in zip(parsed, args)
+                ]
+                self.i = close
+                return ("f32", f"{word}(" + ", ".join(texts) + ")",
+                        changed, 0)
+            raise _F32Bail  # other function call: not emulable here
+        if up == "NULL":
+            self.i = m.end()
+            return ("null", word, False, None)
+        k = self.kinds.get(word.split(".")[-1].lower())
+        if k is None:
+            raise _F32Bail
+        self.i = m.end()
+        if isinstance(k, tuple):  # ('dec', scale) column
+            return (k[0], word, False, k[1])
+        return (k, word, False, 0)
+
+    def _postfix(self, node):
+        while True:
+            save = self.i
+            self._ws()
+            if not self.s.startswith("::", self.i) or (
+                self.i < self.n and not self.mask[self.i]
+            ):
+                self.i = save
+                return node
+            j = self.i + 2
+            while j < self.n and self.s[j].isspace():
+                j += 1
+            m = re.match(r"[A-Za-z_]\w*", self.s[j:])
+            if m is None:
+                raise _F32Bail
+            k = _F32_KIND_OF_TYPE.get(m.group(0).lower())
+            if k is None:
+                raise _F32Bail
+            j += m.end()
+            pm = re.match(
+                r"\s*\(\s*\d+\s*(?:,\s*(\d+)\s*)?\)", self.s[j:]
+            )
+            if pm is not None:
+                j += pm.end()
+            if re.match(r"\s*\[", self.s[j:]):
+                raise _F32Bail  # array suffix
+            scale = 0
+            if k == "dec":
+                if pm is None:
+                    raise _F32Bail  # bare ::DECIMAL: duck (18,3)
+                scale = int(pm.group(1) or 0)
+            _k0, txt, changed, _s0 = node
+            node = (k, f"{txt}{self.s[self.i:j]}", changed, scale)
+            self.i = j
+
+    def _passthru_call(self, word: str, j: int, same_kind: bool):
+        """Parse ``word(single-arg)`` where the argument is an
+        emulable numeric expression; None when the shape is off
+        (DISTINCT, multiple args, trailing OVER/FILTER bail via the
+        caller's leftover check)."""
+        close = _walk_brackets_fwd(self.s, self.segs, j)
+        if close <= 0:
+            return None
+        args = split_top_level(self.s[j + 1 : close - 1])
+        if len(args) != 1 or re.match(
+            r"(?is)\s*(?:DISTINCT|ALL)\b", args[0]
+        ):
+            return None
+        try:
+            k, txt, changed, scale = _F32Expr(
+                args[0], self.kinds
+            ).parse()
+        except _F32Bail:
+            return None
+        if k in ("str", "null"):
+            return None
+        body = txt if changed else args[0].strip()
+        self.i = close
+        return (k, f"{word}({body})", changed, scale)
+
+    def _bin(self, left, op, right):
+        lk, lt, lc, ls = left
+        rk, rt, rc, rs = right
+        if lk in ("str", "null") or rk in ("str", "null"):
+            raise _F32Bail
+        if "f32" in (lk, rk) and "f64" not in (lk, rk):
+            kind = "f32"
+        elif op == "/":
+            kind = "f64"  # duck '/' without a FLOAT operand is DOUBLE
+        elif "f64" in (lk, rk):
+            kind = "f64"
+        elif "dec" in (lk, rk):
+            kind = "dec"
+        else:
+            kind = "int"
+        if kind == "f32":
+            la = _f32_of(left, lt)
+            ra = _f32_of(right, rt)
+            return ("f32", f"CAST(({la} {op} {ra}) AS FLOAT)", True, 0)
+        scale = 0
+        if kind == "dec":
+            # duck decimal result scales: +,-,% take max, * adds
+            scale = (
+                (ls or 0) + (rs or 0)
+                if op == "*"
+                else max(ls or 0, rs or 0)
+            )
+        return (kind, f"{lt} {op} {rt}", lc or rc, scale)
+
+
+def _f32_side(expr: str, kinds) -> tuple | None:
+    """(kind, narrowed, changed) for one comparison side, or None when
+    the side is outside the emulable grammar."""
+    if not expr or not expr.strip():
+        return None
+    try:
+        return _F32Expr(expr, kinds).parse()
+    except _F32Bail:
+        return None
+    except RecursionError:  # pathological nesting: conservative
+        return None
+
+
+# characters that mean "this chain is a sub-expression of a larger
+# operator expression we cannot see" — skip the site (e.g. `@f > 1`,
+# `x ^ 2 > f`, `a || b = f`); '!' is duck postfix factorial
+_F32_ADJ_STOP = frozenset("+-*/%^!|&~@[")
+
+
+def _scan_left_arith(sql: str, segs, end: int) -> int:
+    """Start of the arithmetic chain ending at ``end``: the tight left
+    operand extended leftward over binary + - * / % joins and leading
+    unary signs (a sign whose own left side is not an operand)."""
+    s = _scan_left_operand(sql, segs, end)
+    if s >= end:
+        return s
+    while True:
+        j = s
+        while j > 0 and sql[j - 1].isspace():
+            j -= 1
+        if j == 0:
+            break
+        ch = sql[j - 1]
+        if ch not in "+-*/%" or _seg_at(segs, j - 1)[0] != "code":
+            break
+        if j >= 2 and sql[j - 2] in "*/%<>=!^|&~@" and ch in "*/":
+            break  # the second char of // ** or a shift/arrow tail
+        s2 = _scan_left_operand(sql, segs, j - 1)
+        if s2 < j - 1:
+            s = s2
+            continue
+        if ch in "+-":
+            # no operand to the left: a unary sign — absorb it into
+            # the chain (the parser's factor handles leading signs)
+            s = j - 1
+            continue
+        break
+    return s
+
+
+def _scan_right_arith(sql: str, segs, start: int) -> int:
+    """End of the arithmetic chain starting at ``start``: the tight
+    right operand extended rightward over binary + - * / % joins."""
+    e = _scan_right_operand(sql, segs, start)
+    if e <= start:
+        return e
+    n = len(sql)
+    while True:
+        k = e
+        while k < n and sql[k].isspace():
+            k += 1
+        if k >= n:
+            break
+        ch = sql[k]
+        if ch not in "+-*/%" or _seg_at(segs, k)[0] != "code":
+            break
+        nxt = sql[k + 1] if k + 1 < n else ""
+        if (ch == "/" and nxt == "/") or (ch == "*" and nxt == "*"):
+            break
+        if ch == "-" and nxt in ">-":
+            break
+        e2 = _scan_right_operand(sql, segs, k + 1)
+        if e2 <= k + 1:
+            break
+        e = e2
+    return e
+
+
+def _f32_chain_adjacent_op(sql: str, ls: int, rend: int) -> bool:
+    """True when the span [ls, rend) sits inside a larger operator
+    expression (an arithmetic/pipe/power char touches either end) —
+    the parsers above would then see only a fragment."""
+    j = ls
+    while j > 0 and sql[j - 1].isspace():
+        j -= 1
+    if j > 0 and sql[j - 1] in _F32_ADJ_STOP:
+        return True
+    k = rend
+    n = len(sql)
+    while k < n and sql[k].isspace():
+        k += 1
+    return k < n and sql[k] in _F32_ADJ_STOP
+
+
+def _f32_new_sides(lres, rres, lhs: str, rhs: str):
+    """(new_l, new_r) after duck's f32 comparison promotion, or None
+    when nothing changes. A DOUBLE or unknown opposite side leaves the
+    comparison in f64 (Spark-native, already duck-exact)."""
+    lk = lres[0] if lres is not None else None
+    rk = rres[0] if rres is not None else None
+    if lk != "f32" and rk != "f32":
+        return None
+
+    def narrowed(res, orig):
+        _k, txt, changed, _s = res
+        return txt if changed else orig
+
+    nl, nr = lhs, rhs
+    try:
+        if lk == "f32":
+            nl = narrowed(lres, lhs)
+        if rk == "f32":
+            nr = narrowed(rres, rhs)
+        if lk == "f32" and rk in ("int", "dec", "str"):
+            nr = _f32_of(rres, rhs)
+        elif rk == "f32" and lk in ("int", "dec", "str"):
+            nl = _f32_of(lres, lhs)
+    except _F32Bail:
+        return None
+    if nl == lhs and nr == rhs:
+        return None
+    return nl, nr
+
+
+_F32_DECLIT_CAST_RE = re.compile(
+    r"(?i)(?:TRY_)?CAST\s*\(\s*(\d*\.\d+|\d+\.)\s+AS\s+"
+    r"(?:FLOAT4|FLOAT|REAL)(?!\s*8)\s*\)"
+    r"|(?<![\w.])(\d*\.\d+|\d+\.)\s*::\s*(?:FLOAT4|FLOAT|REAL)"
+    r"(?!\s*8)(?!\w)"
+)
+
+
+def rewrite_f32_declit_casts(sql: str) -> str:
+    """Explicit DECIMAL-literal → FLOAT casts take duck's conversion
+    model (r16): float32(unscaled) / float32(10^scale) — probed, duck
+    does NOT round the decimal value directly (0.333333333333333::
+    FLOAT differs from the correctly-rounded float in the last ulp).
+    Sites where both the unscaled value (≤ 2^24) and the power (scale
+    ≤ 10) are f32-exact convert identically either way and stay
+    native — most literals in practice."""
+    out: list[str] = []
+    pos = 0
+    mask = None
+    for m in _F32_DECLIT_CAST_RE.finditer(sql):
+        lit = m.group(1) or m.group(2)
+        frac = lit.split(".", 1)[1]
+        unscaled = int(lit.replace(".", "") or "0")
+        s = len(frac)
+        if unscaled <= (1 << 24) and s <= 10:
+            continue  # exactly-representable both ways: keep native
+        if mask is None:
+            mask = _code_mask(sql)
+        if not all(mask[m.start() : m.end()]):
+            continue
+        if m.start() < pos:
+            continue
+        try:
+            repl = _f32_of_dec(lit, s)
+        except _F32Bail:
+            continue
+        out.append(sql[pos : m.start()])
+        out.append(repl)
+        pos = m.end()
+    if not out:
+        return sql
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+_F32_CMP_GATE_RE = re.compile(
+    r"(?i)[<>=]|!=|\bBETWEEN\b|\bIN\s*\("
+)
+_F32_BETWEEN_RE = re.compile(r"(?i)\b(?:NOT\s+)?BETWEEN\b")
+_F32_IN_RE = re.compile(r"(?i)\b(?:NOT\s+)?IN\s*\(")
+
+
+# -------------------------------------------------------------------
+# Multi-row scalar subqueries (r16, VERDICT item 7): duck returns the
+# FIRST row where Spark raises SCALAR_SUBQUERY_TOO_MANY_ROWS. With a
+# top-level ORDER BY the first row is deterministic, so LIMIT 1
+# injection reproduces duck exactly; without one duck's pick is
+# scan-order-dependent and the loud Spark error stays (NOTES.md).
+# -------------------------------------------------------------------
+
+_SCALAR_SUBQ_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+_SUBQ_SKIP_WORDS = frozenset((
+    "FROM", "JOIN", "IN", "EXISTS", "ANY", "ALL", "SOME", "AS",
+    "UNION", "INTERSECT", "EXCEPT", "LATERAL", "TABLE", "VALUES",
+    "USING",
+))
+_SUBQ_VALUE_KWS = frozenset((
+    "SELECT", "WHERE", "HAVING", "QUALIFY", "WHEN", "THEN", "ELSE",
+    "AND", "OR", "NOT", "ON", "BY", "RETURNING", "SET", "BETWEEN",
+))
+_SUBQ_TAIL_KW_RE = re.compile(
+    r"(?i)\b(ORDER\s+BY|LIMIT|OFFSET|FETCH)\b"
+)
+
+
+def _rewrite_scalar_subq_order_limit(sql: str) -> str:
+    """Inject ``LIMIT 1`` into VALUE-position scalar subqueries that
+    carry a deterministic top-level ORDER BY and no LIMIT/OFFSET/FETCH
+    of their own."""
+    if _SCALAR_SUBQ_RE.search(sql) is None:
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    depth: list[int] = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    clause_kws = [
+        k for k in _CLAUSE_KW_RE.finditer(sql) if all(mask[k.start() : k.end()])
+    ]
+    inserts: list[int] = []
+    for m in _SCALAR_SUBQ_RE.finditer(sql):
+        if not all(mask[m.start() : m.end()]):
+            continue
+        # position class: operator operand / value keyword / paren-or-
+        # comma with a non-FROM enclosing clause
+        j = m.start()
+        while j > 0 and sql[j - 1].isspace():
+            j -= 1
+        if j == 0:
+            continue
+        prevc = sql[j - 1]
+        wm = re.search(r"[A-Za-z_]\w*$", sql[:j])
+        if wm is not None and j == wm.end():
+            w = wm.group(0).upper()
+            if w in _SUBQ_SKIP_WORDS:
+                continue
+            if w not in _SUBQ_VALUE_KWS:
+                continue  # function call head / unknown keyword
+        elif prevc in "=<>!+-*/%|":
+            pass
+        elif prevc in "(,":
+            sd = depth[m.start()]
+            last = None
+            for k in clause_kws:
+                if k.start() >= m.start():
+                    break
+                if depth[k.start()] == sd:
+                    last = k.group(1).upper()
+            if last in ("FROM", "JOIN", "VALUES", "UNION",
+                        "INTERSECT", "EXCEPT"):
+                continue
+        else:
+            continue
+        close = _walk_brackets_fwd(sql, segs, m.start())
+        if close <= 0:
+            continue
+        body = sql[m.start() + 1 : close - 1]
+        bmask = _code_mask(body)
+        bdepths = []
+        dpt = 0
+        for bi, bch in enumerate(body):
+            if bmask[bi] and bch == ")":
+                dpt -= 1
+            bdepths.append(dpt)
+            if bmask[bi] and bch == "(":
+                dpt += 1
+        has_order = has_stop = False
+        for bm in _SUBQ_TAIL_KW_RE.finditer(body):
+            if not all(bmask[bm.start() : bm.end()]):
+                continue
+            if bdepths[bm.start()] != 0:
+                continue
+            if bm.group(1).upper().startswith("ORDER"):
+                has_order = True
+            else:
+                has_stop = True
+        if has_order and not has_stop:
+            inserts.append(close - 1)
+    if not inserts:
+        return sql
+    out: list[str] = []
+    pos = 0
+    for at in sorted(inserts):
+        out.append(sql[pos:at])
+        out.append(" LIMIT 1")
+        pos = at
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+_F32_ITEM_ALIAS_RE = re.compile(
+    r"(?is)\sAS\s+(`[^`]+`|[A-Za-z_]\w*)\s*$"
+)
+_F32_SELECT_RE = re.compile(r"(?i)\bSELECT\b")
+_F32_LIST_END_RE = re.compile(
+    r"(?i)\b(FROM|WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT"
+    r"|OFFSET|UNION|INTERSECT|EXCEPT|INTO)\b"
+)
+
+
+def _f32_aliased_items(sql: str):
+    """Yield (abs_expr_start, abs_expr_end, expr_text, alias) for every
+    explicitly-AS-aliased select item in every SELECT scope."""
+    if _F32_SELECT_RE.search(sql) is None:
+        return
+    mask = _code_mask(sql)
+    depth: list[int] = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    for sm in _F32_SELECT_RE.finditer(sql):
+        if not all(mask[sm.start() : sm.end()]):
+            continue
+        sd = depth[sm.start()]
+        start = sm.end()
+        dm = re.match(r"\s+(?:DISTINCT|ALL)\b", sql[start:], re.IGNORECASE)
+        if dm:
+            start += dm.end()
+        end = len(sql)
+        for km in _F32_LIST_END_RE.finditer(sql, start):
+            if all(mask[km.start() : km.end()]) and depth[km.start()] == sd:
+                end = km.start()
+                break
+        # the scope may close before any clause keyword: first point
+        # where depth drops below the SELECT's own depth
+        k2 = start
+        while k2 < end:
+            if mask[k2] and sql[k2] == ")" and depth[k2] <= sd - 1:
+                end = k2
+                break
+            k2 += 1
+        pos2 = start
+        for item in split_top_level(sql[start:end]):
+            ist = pos2
+            pos2 += len(item) + 1
+            am = _F32_ITEM_ALIAS_RE.search(item)
+            if am is None:
+                continue
+            imask = _code_mask(item)
+            if not all(imask[am.start() : am.start() + 3]):
+                continue
+            expr = item[: am.start()]
+            if not _paren_balanced(expr):
+                continue  # the AS sits inside parens (CAST tail)
+            alias = am.group(1).strip("`").lower()
+            lead = len(expr) - len(expr.lstrip())
+            yield ist + lead, ist + am.start(), expr.strip(), alias
+
+
+def f32_alias_kinds(sql: str, kinds) -> dict:
+    """alias → numeric kind for SELECT-list aliases whose expression
+    types through the f32 grammar (r16): a derived table's
+    ``f * 2 AS v`` makes outer ``v > 0.6`` an f32 comparison in duck.
+    Conflicting same-name aliases drop out."""
+    found: dict = {}
+    dropped: set = set()
+    for _a, _b, expr, alias in _f32_aliased_items(sql):
+        res = _f32_side(expr, kinds)
+        if res is None or res[0] in ("str", "null"):
+            dropped.add(alias)
+            continue
+        k = (res[0], res[3]) if res[0] == "dec" else res[0]
+        if found.get(alias, k) != k:
+            dropped.add(alias)
+        found[alias] = k
+    return {a: k for a, k in found.items() if a not in dropped}
+
+
+def rewrite_f32_select_items(sql: str, kinds) -> str:
+    """ALIASED select items that are f32 arithmetic narrow per-op
+    (r16): duck sends `SELECT f * 2 AS x` as FLOAT4 with the f32
+    value; Spark's widened DOUBLE reaches the wire as FLOAT8 with
+    extra digits. Only items carrying an explicit ``AS alias`` are
+    touched — wrapping an unaliased item would change its
+    auto-generated column name. Applies to every SELECT scope (a
+    derived table's narrowed item also fixes outer references)."""
+    repls: list[tuple[int, int, str]] = []
+    for a, b, expr, _alias in _f32_aliased_items(sql):
+        res = _f32_side(expr, kinds)
+        if res is None or res[0] != "f32" or not res[2]:
+            continue
+        repls.append((a, b, res[1]))
+    if not repls:
+        return sql
+    out2: list[str] = []
+    pos3 = 0
+    for a, b, txt in sorted(repls):
+        if a < pos3:
+            continue
+        out2.append(sql[pos3:a])
+        out2.append(txt)
+        pos3 = b
+    out2.append(sql[pos3:])
+    return "".join(out2)
+
+
+def rewrite_f32_comparisons(sql: str, kinds) -> str:
+    """Comparison/value-position leg of the FLOAT×INT closure (r16):
+    rewrite ``=``/``<>``/ordering/BETWEEN/IN sites where one side is
+    f32-typed per ``_F32Expr`` so Spark evaluates duck's FLOAT
+    arithmetic and FLOAT comparison promotion. ``kinds`` maps bare
+    lowercase column names to 'f32'/'f64'/'int'/'dec' (empty for the
+    type-blind pass over explicit f32 cast units)."""
+    if _F32_CMP_GATE_RE.search(sql) is None:
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    depth: list[int] = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    clause_kws = [
+        k for k in _CLAUSE_KW_RE.finditer(sql) if all(mask[k.start() : k.end()])
+    ]
+    sites = sorted(
+        list(_CMP_OP_RE.finditer(sql)) + list(_ORD_OP_RE.finditer(sql)),
+        key=lambda m: m.start(),
+    )
+    out: list[str] = []
+    pos = 0
+    changed_any = False
+    for m in sites:
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        if m.group(0) == "=" and _is_set_assignment_eq(
+            sql, mask, clause_kws, depth, m.start()
+        ):
+            continue
+        ls = _scan_left_arith(sql, segs, m.start())
+        rend = _scan_right_arith(sql, segs, m.end())
+        if ls >= m.start() or rend <= m.end():
+            continue
+        if _f32_chain_adjacent_op(sql, ls, rend):
+            continue
+        lhs = sql[ls : m.start()].strip()
+        rhs = sql[m.end() : rend].strip()
+        lres = _f32_side(lhs, kinds)
+        rres = _f32_side(rhs, kinds)
+        new = _f32_new_sides(lres, rres, lhs, rhs)
+        if new is None:
+            continue
+        out.append(sql[pos:ls])
+        out.append(f"{new[0]} {m.group(0)} {new[1]}")
+        pos = rend
+        changed_any = True
+    out.append(sql[pos:])
+    sql = "".join(out)
+    sql = _rewrite_f32_between(sql, kinds)
+    sql = _rewrite_f32_in(sql, kinds)
+    return sql
+
+
+def _rewrite_f32_between(sql: str, kinds) -> str:
+    """``x BETWEEN lo AND hi`` with an f32-typed needle: narrow the
+    needle and cast int/dec/str bounds to FLOAT (duck desugars to two
+    comparisons with per-pair promotion)."""
+    if _F32_BETWEEN_RE.search(sql) is None:
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    for m in _F32_BETWEEN_RE.finditer(sql):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        ls = _scan_left_arith(sql, segs, m.start())
+        if ls >= m.start():
+            continue
+        lo_end = _scan_right_arith(sql, segs, m.end())
+        if lo_end <= m.end():
+            continue
+        am = re.match(r"\s*AND\b", sql[lo_end:], re.IGNORECASE)
+        if am is None:
+            continue
+        hi_start = lo_end + am.end()
+        hi_end = _scan_right_arith(sql, segs, hi_start)
+        if hi_end <= hi_start:
+            continue
+        if _f32_chain_adjacent_op(sql, ls, hi_end):
+            continue
+        needle = sql[ls : m.start()].strip()
+        lo = sql[m.end() : lo_end].strip()
+        hi = sql[hi_start:hi_end].strip()
+        nres = _f32_side(needle, kinds)
+        if nres is None or nres[0] != "f32":
+            continue
+        lres = _f32_side(lo, kinds)
+        rres = _f32_side(hi, kinds)
+        # duck types BETWEEN with ONE common type over all three
+        # operands (probed: 0.3::FLOAT BETWEEN 0.3::DOUBLE AND 0.3 is
+        # FALSE — the DECIMAL bound went to DOUBLE with the rest), so
+        # any f64/unknown operand leaves the whole site native
+        ok = ("f32", "int", "dec", "str", "null")
+        if lres is None or rres is None or lres[0] not in ok or rres[0] not in ok:
+            continue
+
+        def _bound(res, orig):
+            if res[0] in ("f32", "null"):
+                return res[1] if res[2] else orig
+            return _f32_of(res, orig)
+
+        try:
+            lo2, hi2 = _bound(lres, lo), _bound(rres, hi)
+        except _F32Bail:
+            continue
+        new_needle = nres[1] if nres[2] else needle
+        if new_needle == needle and lo2 == lo and hi2 == hi:
+            continue
+        kw = sql[m.start() : m.end()]
+        out.append(sql[pos:ls])
+        out.append(f"{new_needle} {kw} {lo2} AND {hi2}")
+        pos = hi_end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _rewrite_f32_in(sql: str, kinds) -> str:
+    """``x IN (items)`` with an f32-typed needle: narrow the needle
+    and cast int/dec/str items to FLOAT. Subquery items and any item
+    outside the grammar leave the site native (duck then compares in
+    the wider type, which Spark already matches)."""
+    if _F32_IN_RE.search(sql) is None:
+        return sql
+    segs = _abs_segments(sql)
+    mask = _code_mask(sql)
+    out: list[str] = []
+    pos = 0
+    for m in _F32_IN_RE.finditer(sql):
+        if m.start() < pos or not all(mask[m.start() : m.end()]):
+            continue
+        ls = _scan_left_arith(sql, segs, m.start())
+        if ls >= m.start():
+            continue
+        needle = sql[ls : m.start()].strip()
+        nres = _f32_side(needle, kinds)
+        if nres is None or nres[0] != "f32":
+            continue
+        open_ = sql.index("(", m.start(), m.end())
+        close = _walk_brackets_fwd(sql, segs, open_)
+        if close <= 0:
+            continue
+        if _f32_chain_adjacent_op(sql, ls, close):
+            continue
+        items = split_top_level(sql[open_ + 1 : close - 1])
+        if not items or any(not a.strip() for a in items):
+            continue
+        if re.match(
+            r"\s*(SELECT|WITH|VALUES|TABLE|FROM)\b", items[0], re.IGNORECASE
+        ):
+            continue
+        ires = [_f32_side(a.strip(), kinds) for a in items]
+        if any(
+            r is None or r[0] not in ("f32", "int", "dec", "str", "null")
+            for r in ires
+        ):
+            # an unknown/f64 item promotes the whole IN to f64 — the
+            # native double comparison already matches duck
+            continue
+        new_items = []
+        changed = nres[2]
+        try:
+            for a, r in zip(items, ires):
+                a = a.strip()
+                if r[0] == "f32":
+                    new_items.append(r[1] if r[2] else a)
+                    changed = changed or r[2]
+                elif r[0] == "null":
+                    new_items.append(a)
+                else:
+                    new_items.append(_f32_of(r, a))
+                    changed = True
+        except _F32Bail:
+            continue
+        if not changed:
+            continue
+        new_needle = nres[1] if nres[2] else needle
+        kw = sql[m.start() : open_ + 1]
+        out.append(sql[pos:ls])
+        out.append(f"{new_needle} {kw}" + ", ".join(new_items) + ")")
+        pos = close
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 _YM_WORD_RE = re.compile(r"(?i)[a-z_]+")
 
 _IVL_UNIT_FACTORS = {
@@ -11268,8 +12302,18 @@ def _rewrite_decimal_div(sql: str) -> str:
         rhs = sql[m.end() : re_].strip()
         if not (_decimalish(lhs) or _decimalish(rhs)):
             continue
+        if _F32_CAST_UNIT_RE.fullmatch(lhs) or _F32_CAST_UNIT_RE.fullmatch(
+            rhs
+        ):
+            # an f32 cast-unit operand makes duck's '/' FLOAT, not
+            # DOUBLE (r16) — the comparison leg owns those sites
+            continue
         out.append(sql[pos:ls])
-        out.append(f"CAST({lhs} AS DOUBLE) / ")
+        # the marker comment lets the f32 comparison leg (r16) see
+        # through this SYNTHESIZED cast: a FLOAT column lhs keeps
+        # duck's FLOAT division there, while user-written double
+        # casts stay opaque f64
+        out.append(f"CAST({lhs} /*__duck_ddiv*/ AS DOUBLE) / ")
         pos = m.end()
     out.append(sql[pos:])
     return "".join(out)
@@ -14337,6 +15381,8 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_corr(sql)  # NULL on zero variance, not ANSI div-zero
     sql = _rewrite_quantified_subq(sql)
     sql = _rewrite_projection_in_subq(sql)  # after: ANY/ALL → IN first
+    sql = _rewrite_scalar_subq_order_limit(sql)  # duck first-row
+    # semantics for ORDER-BY-deterministic multi-row scalar subqueries
     sql = _rewrite_positional_join(sql)
     sql = _rewrite_dot_calls(sql)  # (expr).fn() before nary sees fn
     sql = _rewrite_table_fns(sql)  # FROM-position fns BEFORE the nary
@@ -14351,6 +15397,16 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_qualify(sql)
     sql = _rewrite_ilike_fold(sql)  # duck ILIKE = simple-fold LIKE —
     # after the ~~*/ilike_escape emitters
+    if _F32_CAST_UNIT_RE.search(sql) is not None:
+        # explicit decimal-literal → FLOAT casts first (duck's
+        # unscaled/power conversion model), then f32 cast units in
+        # comparison positions: duck's FLOAT arithmetic + FLOAT
+        # comparison promotion (r16; the column leg runs schema-aware
+        # in app._hugeint_sums). BEFORE decimal_div/div_zero so
+        # emitted '/' still gets their guards
+        sql = rewrite_f32_declit_casts(sql)
+        sql = rewrite_f32_select_items(sql, {})
+        sql = rewrite_f32_comparisons(sql, f32_alias_kinds(sql, {}))
     sql = _rewrite_decimal_div(sql)  # duck '/' is ALWAYS double —
     # after '/'-emitting passes (// fractional), BEFORE div_zero hides
     # decimal denominators inside nullif()
