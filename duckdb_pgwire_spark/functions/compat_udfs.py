@@ -496,13 +496,12 @@ def _duck_dt_render(days: int, micros: int) -> str:
     return " ".join(parts)
 
 
-def _dtivl_one(s):
-    """One Spark-canonical day-time interval string → duck text."""
-    if s is None:
-        return None
+def _dtivl_parse(s):
+    """Spark-canonical day-time interval string → (days, micros), or
+    None when the text is not canonical."""
     m = _SPARK_DT_IVL_RE.match(s)
     if m is None:
-        return s
+        return None
     neg, body, u1, u2 = m.groups()
     days = h = mi = 0
     sec = 0.0
@@ -529,7 +528,52 @@ def _dtivl_one(s):
     micros = (h * 60 + mi) * 60_000_000 + round(sec * 1_000_000)
     if neg:
         days, micros = -days, -micros
-    return _duck_dt_render(days, micros)
+    return days, micros
+
+
+def _dtivl_one(s):
+    """One Spark-canonical day-time interval string → duck text."""
+    if s is None:
+        return None
+    p = _dtivl_parse(s)
+    if p is None:
+        return s
+    return _duck_dt_render(*p)
+
+
+_DAY_US = 86_400_000_000
+
+
+def _dtivl_prov_one(s, ld, lus):
+    """duck text for a day-time interval whose PROVENANCE is a
+    timestamp subtraction (canonical 24h-truncating component split)
+    plus literal components (ld days, lus micros): recover the
+    subtraction's total from Spark's single-micros value, re-split it
+    canonically, then add the literal components back WITHOUT
+    renormalizing — duck's '3 days 27:00:00' (r16, VERDICT item 3)."""
+    if s is None:
+        return None
+    p = _dtivl_parse(s)
+    if p is None:
+        return s
+    total = p[0] * _DAY_US + p[1]
+    base = total - int(ld) * _DAY_US - int(lus)
+    q, r = divmod(abs(base), _DAY_US)
+    if base < 0:
+        q, r = -q, -r
+    return _duck_dt_render(q + int(ld), r + int(lus))
+
+
+@F.pandas_udf(T.StringType())
+def _duck_dtivl_text_prov(
+    v: pd.Series, ld: pd.Series, lus: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            None if s is None else _dtivl_prov_one(s, a, b)
+            for s, a, b in zip(v, ld, lus)
+        ]
+    )
 
 
 @F.pandas_udf(T.StringType())
@@ -1448,6 +1492,7 @@ def register_compat_udfs(spark: SparkSession) -> None:
     spark.udf.register("duck_float32_text", _duck_float32_text)
     spark.udf.register("duck_ym_text", _duck_ym_text)
     spark.udf.register("duck_dtivl_text", _duck_dtivl_text)
+    spark.udf.register("duck_dtivl_text_prov", _duck_dtivl_text_prov)
     spark.udf.register("duck_double_text_arr", _duck_double_text_arr)
     spark.udf.register("duck_float32_text_arr", _duck_float32_text_arr)
     spark.udf.register("duck_dtivl_text_arr", _duck_dtivl_text_arr)

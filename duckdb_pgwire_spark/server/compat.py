@@ -4967,7 +4967,7 @@ def _rewrite_int_cast_rounding(sql: str) -> str:
             if not all(mask[m.start() : m.end()]):
                 continue
             if re.search(
-                r"duck_(?:ym|dtivl)_text\(\s*$", sql[: m.start()]
+                r"duck_(?:ym|dtivl)_text(?:_prov)?\(\s*$", sql[: m.start()]
             ):
                 continue  # our own emitted inner cast — terminal
             close = _match_paren(sql, mask, m.end() - 1)
@@ -5015,6 +5015,15 @@ def _vc_kernel_repl(op: str) -> str | None:
         folded = _fold_interval_expr(core)
         if folded is not None:
             return "'" + folded.replace("'", "''") + "'"
+    prov = _ivl_prov_split(core)
+    if prov is not None:
+        # timestamp-subtraction provenance ± interval literals (r16,
+        # VERDICT item 3): duck's components never renormalize —
+        # ts1 - ts2 + INTERVAL 25 HOUR is '3 days 27:00:00'
+        return (
+            f"duck_dtivl_text_prov(CAST({op} AS STRING),"
+            f" {prov[0]}, {prov[1]})"
+        )
     if re.match(r"(?i)^\s*INTERVAL\b", core):
         if _ym_only_interval(core):
             # year-month interval ::VARCHAR renders duck-style
@@ -13037,6 +13046,164 @@ _COMPOSITE_FN_HEAD_RE = re.compile(
 )
 
 
+_TS_OPERAND_RE = re.compile(
+    r"(?is)^\s*(?:"
+    r"(?:TIMESTAMPTZ|TIMESTAMP|DATE|TIME)\s*'(?:[^']|'')*'"
+    r"|(?:TRY_)?CAST\s*\(.*\s+AS\s+(?:TIMESTAMP\w*|DATE|TIME)\s*\)"
+    r"|.*::\s*(?:TIMESTAMP\w*|DATE|TIME)"
+    r"|(?:to_timestamp|make_timestamp|to_date|make_date|now|"
+    r"current_timestamp|current_date)\s*\(.*\)"
+    r"|(?:now|current_timestamp|current_date)"
+    r")\s*$"
+)
+
+
+_DATE_ONLY_OPERAND_RE = re.compile(
+    r"(?is)^\s*(?:DATE\s*'(?:[^']|'')*'"
+    r"|(?:TRY_)?CAST\s*\(.*\s+AS\s+DATE\s*\)"
+    r"|.*::\s*DATE"
+    r"|(?:to_date|make_date|current_date)\s*\(.*\)"
+    r"|current_date)\s*$"
+)
+
+
+def _tsdiff_head(head: str, typer=None) -> bool:
+    """True when ``head`` is a temporal SUBTRACTION ``A - B`` — the
+    one day-time-interval provenance whose duck components equal the
+    canonical 24h-truncating split of the total (probed r16). A/B
+    validate syntactically (temporal literal/cast/constructor) or via
+    the analysis typer ('atomic' here can only be a temporal operand:
+    the WHOLE expression already typed day-time interval, and an
+    atomic-minus-atomic that yields one is temporal-temporal)."""
+    s = head.strip()
+    while (
+        len(s) >= 2 and s[0] == "(" and s[-1] == ")"
+        and _paren_balanced(s[1:-1])
+    ):
+        s = s[1:-1].strip()
+    mask = _code_mask(s)
+    d = 0
+    for i, ch in enumerate(s):
+        if not mask[i]:
+            continue
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        elif ch == "-" and d == 0 and i > 0:
+            nxt = s[i + 1] if i + 1 < len(s) else ""
+            if nxt in ">-" or s[i - 1] in "<-":
+                continue
+            a, b = s[:i], s[i + 1 :]
+            if not a.strip() or not b.strip():
+                continue
+            ok = 0
+            n_date = 0
+            for side in (a, b):
+                if _TS_OPERAND_RE.match(side):
+                    ok += 1
+                    if _DATE_ONLY_OPERAND_RE.match(side):
+                        n_date += 1
+                elif typer is not None and typer(f"({side})") == "atomic":
+                    ok += 1
+            if ok == 2 and n_date < 2:
+                # DATE - DATE is a BIGINT day count in duck, not an
+                # interval — never an interval-render head
+                return True
+    return False
+
+
+def _ivl_prov_split(op: str, typer=None):
+    """(ld_days, lus_micros) when ``op`` is ± sums of day-time
+    INTERVAL literals around EXACTLY ONE canonical-provenance head (a
+    temporal subtraction); None otherwise. Components add linearly,
+    so the head's sign and the literals' positions don't matter — the
+    render kernel subtracts the literal offsets from Spark's total,
+    re-splits, and adds them back."""
+    s = op.strip()
+    while (
+        len(s) >= 2 and s[0] == "(" and s[-1] == ")"
+        and _paren_balanced(s[1:-1])
+    ):
+        s = s[1:-1].strip()
+    mask = _code_mask(s)
+    terms: list[tuple[int, str]] = []
+    d = 0
+    sign = 1
+    start = 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if mask[i]:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch in "+-" and d == 0 and i > start:
+                nxt = s[i + 1] if i + 1 < len(s) else ""
+                prev = s[i - 1] if i > 0 else ""
+                if not (ch == "-" and (nxt in ">-" or prev in "<-")):
+                    seg = s[start:i].strip()
+                    if seg:
+                        terms.append((sign, seg))
+                        sign = -1 if ch == "-" else 1
+                        start = i + 1
+        i += 1
+    seg = s[start:].strip()
+    if seg:
+        terms.append((sign, seg))
+    if len(terms) < 2:
+        return None
+    pre = [0, 0, 0]
+    post = [0, 0, 0]
+    n_post = 0
+    run: list[tuple[int, str]] = []
+    run_done = False
+    for sg, term in terms:
+        toks = _ivl_tokenize(term)
+        if toks:
+            val, pos2 = _ivl_parse_sum(toks, 0)
+            if val is not None and pos2 == len(toks):
+                acc = post if run else pre
+                for ci in range(3):
+                    acc[ci] += sg * val[ci]
+                if run:
+                    run_done = True
+                    n_post += 1
+                continue
+        if run_done:
+            return None  # non-contiguous opaque terms
+        run.append((sg, term))
+    if not run:
+        return None
+    # the opaque run must BE (±)(A - B): a single parenthesized term,
+    # or exactly two terms of opposite sign (linearity makes the
+    # overall sign irrelevant — components subtract cleanly).
+    # Left-associativity decides what a PRE-head literal means: before
+    # a bare `tsA - tsB` it folds INTO the timestamp (part of the
+    # canonical total — zero offset); before a parenthesized interval
+    # head it is an interval+interval component addition (offset).
+    if len(run) == 1:
+        head = run[0][1]
+        lm = pre[0] + post[0]
+        ld = pre[1] + post[1]
+        lus = pre[2] + post[2]
+        if not any(pre) and n_post == 0:
+            return None  # no literal terms at all
+    elif len(run) == 2 and run[0][0] != run[1][0]:
+        head = f"{run[0][1]} - {run[1][1]}"
+        if n_post == 0:
+            return None  # pre-head literals only: already canonical
+        lm, ld, lus = post
+    else:
+        return None
+    if lm != 0:
+        return None
+    if not _tsdiff_head(head, typer):
+        return None
+    return ld, lus
+
+
 _SCALAR_VC_COLON_RE = re.compile(
     r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\s*::\s*STRING\b"
 )
@@ -13045,7 +13212,7 @@ _SCALAR_VC_CAST_RE = re.compile(
 )
 
 
-def _scalar_vc_repl(op: str, kind: str) -> str:
+def _scalar_vc_repl(op: str, kind: str, typer=None) -> str:
     if kind == "f64":
         return (
             f"(CASE WHEN {op} IS NULL THEN CAST(NULL AS STRING)"
@@ -13065,6 +13232,16 @@ def _scalar_vc_repl(op: str, kind: str) -> str:
         if folded is not None:
             return "'" + folded.replace("'", "''") + "'"
     if kind == "dtivl":
+        prov = _ivl_prov_split(op, typer)
+        if prov is not None:
+            # temporal-subtraction provenance ± interval literals
+            # (r16, VERDICT item 3): duck's components never
+            # renormalize — ts1 - ts2 + INTERVAL 25 HOUR renders
+            # '3 days 27:00:00', not '4 days 03:00:00'
+            return (
+                f"duck_dtivl_text_prov(CAST({op} AS STRING),"
+                f" {prov[0]}, {prov[1]})"
+            )
         return f"duck_dtivl_text(CAST({op} AS STRING))"
     return f"duck_ym_text(CAST({op} AS STRING))"  # ym
 
@@ -13772,7 +13949,7 @@ def rewrite_composite_varchar(
             continue
         edits.append((
             ls, m.end(),
-            _scalar_vc_repl(f"({op})", fn[1])
+            _scalar_vc_repl(f"({op})", fn[1], typer)
             if isinstance(fn, tuple) else f"{fn}({op})",
         ))
     for m in _CAST_HEAD_RE.finditer(sql):
@@ -13815,7 +13992,7 @@ def rewrite_composite_varchar(
             continue
         edits.append((
             m.start(), i,
-            _scalar_vc_repl(f"({op})", fn[1])
+            _scalar_vc_repl(f"({op})", fn[1], typer)
             if isinstance(fn, tuple) else f"{fn}({op})",
         ))
     if not edits:

@@ -644,6 +644,20 @@ BATTERY = [
     " ORDER BY x DESC) AS v",
     "SELECT (SELECT x + 1 FROM (VALUES (3), (1)) t(x) ORDER BY x) AS v,"
     " (SELECT x FROM (VALUES (5), (9)) t(x) ORDER BY x LIMIT 1) AS w",
+    # timestamp-subtraction interval provenance (r16, VERDICT item 3):
+    # duck's components never renormalize after ± INTERVAL literals —
+    # '3 days 27:00:00', not '4 days 03:00:00'
+    "SELECT (TIMESTAMP '2024-01-05 03:00:00'"
+    " - TIMESTAMP '2024-01-02 01:00:00' + INTERVAL 25 HOUR)::VARCHAR"
+    " AS a,"
+    " (TIMESTAMP '2024-01-05 03:00:00'"
+    " - TIMESTAMP '2024-01-02 01:00:00' - INTERVAL 5 HOUR)::VARCHAR"
+    " AS b",
+    "SELECT (INTERVAL 30 HOUR + (TIMESTAMP '2024-01-03 01:00:00'"
+    " - TIMESTAMP '2024-01-02 01:00:00'))::VARCHAR AS a,"
+    " (INTERVAL 2 HOUR + TIMESTAMP '2024-01-05 03:00:00'"
+    " - TIMESTAMP '2024-01-02 01:00:00' + INTERVAL '1 day')::VARCHAR"
+    " AS b",
 ]
 
 # fixture-table statements need the views registered on both engines
@@ -1949,3 +1963,61 @@ def test_f32_column_comparison_promotion(spark, oracle):
     finally:
         spark.sql("DROP TABLE IF EXISTS f32cmp")
         oracle.execute("DROP TABLE IF EXISTS f32cmp")
+
+
+def test_tsdiff_interval_provenance_columns(spark, oracle):
+    """Column-valued `ts1 - ts2 ± INTERVAL literal` renders duck's
+    unnormalized components via the provenance kernel (r16, VERDICT
+    item 3): the subtraction's canonical 24h split is recovered from
+    Spark's single-micros value, the literal components re-added
+    WITHOUT renormalizing. Interval COLUMN heads (no derivable
+    provenance) stay the documented opaque remainder."""
+    register_udfs(spark)
+    from duckdb_pgwire_spark.server.app import _hugeint_sums
+
+    import tempfile
+
+    spark.sql("DROP TABLE IF EXISTS ivprov")
+    oracle.execute("DROP TABLE IF EXISTS ivprov")
+    loc = tempfile.mkdtemp(prefix="ivprov_")
+    spark.sql(
+        "CREATE TABLE ivprov(id INT, t1 TIMESTAMP, t2 TIMESTAMP)"
+        f" USING parquet LOCATION '{loc}/t'"
+    )
+    oracle.execute("CREATE TABLE ivprov(id INT, t1 TIMESTAMP, t2 TIMESTAMP)")
+    ins = (
+        "INSERT INTO ivprov VALUES"
+        " (1, TIMESTAMP '2024-01-05 03:00:00',"
+        "  TIMESTAMP '2024-01-02 01:00:00'),"
+        " (2, TIMESTAMP '2024-01-02 01:00:00',"
+        "  TIMESTAMP '2024-01-05 03:00:00'),"
+        " (3, TIMESTAMP '2024-01-02 23:00:00',"
+        "  TIMESTAMP '2024-01-02 01:00:00'),"
+        " (4, NULL, TIMESTAMP '2024-01-01 00:00:00')"
+    )
+    oracle.execute(ins)
+    spark.sql(rewrite(ins))
+    probes = [
+        "SELECT id, (t1 - t2 + INTERVAL 25 HOUR)::VARCHAR AS v"
+        " FROM ivprov ORDER BY id",
+        "SELECT id, (t1 - t2 - INTERVAL 5 HOUR)::VARCHAR AS v"
+        " FROM ivprov ORDER BY id",
+        "SELECT id, (INTERVAL 30 HOUR + (t1 - t2))::VARCHAR AS v"
+        " FROM ivprov ORDER BY id",
+        "SELECT id, (t1 - t2 + INTERVAL 2 HOUR - INTERVAL '1 day')"
+        "::VARCHAR AS v FROM ivprov ORDER BY id",
+    ]
+    try:
+        for q in probes:
+            want = [
+                tuple(str(x) for x in r)
+                for r in oracle.execute(q).fetchall()
+            ]
+            have = [
+                tuple(str(x) for x in r)
+                for r in spark.sql(_hugeint_sums(spark, rewrite(q))).collect()
+            ]
+            assert want == have, (q, want, have)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivprov")
+        oracle.execute("DROP TABLE IF EXISTS ivprov")
