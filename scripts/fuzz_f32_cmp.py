@@ -182,7 +182,16 @@ def gen_trial(rng, con):
             thr = rng.choice(["0.3", "0.6", "1"])
     else:
         thr = rng.choice(["0.3", "0.6", "1", "16777217", "0.20000000298"])
-    if rng.random() < 0.5:
+    shape = rng.random()
+    if shape < 0.12:
+        lo, hi = sorted([thr, rng.choice(["0.3", "1", "2.5"])])
+        return f"SELECT id FROM f32t WHERE {expr} BETWEEN {lo} AND {hi}"
+    if shape < 0.2:
+        other = rng.choice(["0.3", "1", "16777217"])
+        return f"SELECT id FROM f32t WHERE {expr} IN ({thr}, {other})"
+    if shape < 0.28:
+        return f"SELECT id, {expr} AS v FROM f32t"
+    if shape < 0.64:
         return f"SELECT id FROM f32t WHERE {expr} {op} {thr}"
     return f"SELECT id FROM f32t WHERE {thr} {op} {expr}"
 

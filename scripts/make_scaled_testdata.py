@@ -79,6 +79,35 @@ def main(factor: int, src: str, out: str) -> None:
                 if field.name in keys:
                     off = pa.scalar(i * base[field.name], type=field.type)
                     col = pc.add(col, off)
+                elif name == "documents" and field.name == "text":
+                    # perturb each copy's text (r16): plain replication
+                    # makes every doc a 16-way near-duplicate, so
+                    # dup-verification workloads grow QUADRATICALLY in
+                    # the factor (measured: 332 → 684,992 LSH candidate
+                    # pairs at 16×) — a fixture artifact, not how a
+                    # real corpus scales. A deterministic per-copy WORD
+                    # SHUFFLE destroys the copy's 3-gram shingle
+                    # overlap (duplicate DENSITY stays scale-constant
+                    # like real data) while preserving the word
+                    # multiset — token counts, quality ratios and
+                    # language-id statistics keep their distribution.
+                    import random as _random
+                    import zlib
+
+                    vals = []
+                    for v in col.to_pylist():
+                        if v is None:
+                            vals.append(None)
+                            continue
+                        w = v.split(" ")
+                        # seed by (copy, text) — identical texts keep
+                        # shuffling identically WITHIN a copy, so the
+                        # base corpus's duplicate structure replicates
+                        # at constant density instead of dissolving
+                        seed = (i << 32) ^ zlib.crc32(v.encode())
+                        _random.Random(seed).shuffle(w)
+                        vals.append(" ".join(w))
+                    col = pa.array(vals, type=field.type)
                 cols.append(col)
             copies.append(pa.Table.from_arrays(cols, schema=t.schema))
         pq.write_table(pa.concat_tables(copies), f"{out}/{name}.parquet")
