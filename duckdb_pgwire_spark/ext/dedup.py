@@ -490,6 +490,12 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l", F.col("n"))
         .localCheckpoint()
     )
+    # Convergence statistic (r16): min-propagation is MONOTONE — every
+    # node's label only ever decreases and the node set is fixed, so
+    # sum(l) is unchanged iff NO label changed. One metadata-scale
+    # aggregate per round replaces the old changed-count shuffle JOIN
+    # of new vs old labels (a full extra shuffle per round).
+    prev_sum = labels.agg(F.sum("l")).collect()[0][0]
     for _ in range(20):  # backstop; exits on convergence below
         neighbor = (
             edges.join(labels, edges.src == labels.n)
@@ -498,15 +504,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = (
             labels.union(neighbor).groupBy("n").agg(F.min("l").alias("l"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "n")
-            .filter(F.col("a.l") != F.col("b.l"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("l")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("n").alias("doc_id"), F.col("l").alias("cluster_id"))
 
 

@@ -2910,7 +2910,6 @@ _HAS_DATE_IVL_RE = re.compile(
 )
 _HAS_COLUMNS_RE = re.compile(r"(?<![\w.])COLUMNS\s*\(", re.IGNORECASE)
 _HAS_FLOORCEIL_RE = re.compile(r"\b(?:floor|ceil|ceiling)\s*\(", re.IGNORECASE)
-_HAS_F32_ITEM_RE = re.compile(r"(?i)\sAS\s+`?[A-Za-z_]")
 _HAS_CMP_RE = re.compile(
     # equality + IN, plus bare ordering ops and BETWEEN (composite
     # ordering leg, r12) — excludes <> <= => <=> :: lambda-> and shifts
@@ -3738,12 +3737,12 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
 
     has_boolctx = _BOOL_CTX_L_RE.search(sql) is not None
     has_setop = _SETOP_GATE_RE.search(sql) is not None
-    # aliased select items with arithmetic (r16): `SELECT f * 2 AS v`
-    # has no comparison op but still needs the f32 narrowing leg
-    has_f32item = (
-        _HAS_F32_ITEM_RE.search(sql) is not None
-        and re.search(r"[+*/%-]", sql) is not None
-    )
+    # select items with arithmetic (r16): `SELECT f * 2 [AS v]` has no
+    # comparison op but still needs the f32 narrowing leg. Broad gate
+    # (any arithmetic char), the has_boolctx trade: the schema fields
+    # are memoized and the f32 block itself gates on an f32 column
+    # name appearing in the text
+    has_f32item = re.search(r"[+*/%-]", sql) is not None
     if not (
         has_sum or has_len or has_columns or has_replace or has_enum
         or has_date_ivl or has_vc_cast or has_cmp or has_floorceil

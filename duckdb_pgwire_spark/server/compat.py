@@ -5597,6 +5597,61 @@ class _F32Expr:
         return (kind, f"{lt} {op} {rt}", lc or rc, scale)
 
 
+def _f32_autoname(expr: str, kinds) -> str | None:
+    """The auto-generated column name BOTH Spark and duck would give
+    the unaliased expression (probed r16: both print nested binary
+    arithmetic as '({l} {op} {r})' over leaf texts), or None when the
+    shapes differ (unary minus: Spark '(- f)' vs duck '-(f)'; casts;
+    qualified names). Restricted to bare unqualified identifiers and
+    numeric literals joined by binary + - * / %."""
+
+    def walk(s: str):
+        s = s.strip()
+        while (
+            len(s) >= 2 and s[0] == "(" and s[-1] == ")"
+            and _paren_balanced(s[1:-1])
+        ):
+            # parens change the TEXT but not Spark's pretty name
+            s = s[1:-1].strip()
+        mask = _code_mask(s)
+        d = 0
+        # lowest-precedence operator, rightmost (left-assoc)
+        best = None
+        for i2, ch in enumerate(s):
+            if not mask[i2]:
+                continue
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif d == 0 and ch in "+-*/%" and i2 > 0:
+                prev = s[i2 - 1]
+                nxt = s[i2 + 1] if i2 + 1 < len(s) else ""
+                if ch == "-" and (nxt in ">-" or prev in "<-"):
+                    continue
+                if prev in "+-*/%(" or prev.isspace() and (
+                    s[: i2].rstrip()[-1:] in "+-*/%("
+                ):
+                    return None  # unary sign present: names diverge
+                prec = 0 if ch in "+-" else 1
+                if best is None or prec <= best[0]:
+                    best = (prec, i2, ch)
+        if best is None:
+            if re.fullmatch(r"[A-Za-z_]\w*", s):
+                return s
+            if re.fullmatch(r"\d+", s) or re.fullmatch(r"\d*\.\d+", s):
+                return s
+            return None
+        _prec, i2, ch = best
+        ln = walk(s[:i2])
+        rn = walk(s[i2 + 1 :])
+        if ln is None or rn is None:
+            return None
+        return f"({ln} {ch} {rn})"
+
+    return walk(expr)
+
+
 def _f32_side(expr: str, kinds) -> tuple | None:
     """(kind, narrowed, changed) for one comparison side, or None when
     the side is outside the emulable grammar."""
@@ -5937,6 +5992,14 @@ def _f32_aliased_items(sql: str):
             pos2 += len(item) + 1
             am = _F32_ITEM_ALIAS_RE.search(item)
             if am is None:
+                # unaliased item: yield the full span with alias None
+                lead = len(item) - len(item.lstrip())
+                yield (
+                    ist + lead,
+                    ist + len(item.rstrip()),
+                    item.strip(),
+                    None,
+                )
                 continue
             imask = _code_mask(item)
             if not all(imask[am.start() : am.start() + 3]):
@@ -5957,6 +6020,8 @@ def f32_alias_kinds(sql: str, kinds) -> dict:
     found: dict = {}
     dropped: set = set()
     for _a, _b, expr, alias in _f32_aliased_items(sql):
+        if alias is None:
+            continue
         res = _f32_side(expr, kinds)
         if res is None or res[0] in ("str", "null"):
             dropped.add(alias)
@@ -5977,9 +6042,27 @@ def rewrite_f32_select_items(sql: str, kinds) -> str:
     auto-generated column name. Applies to every SELECT scope (a
     derived table's narrowed item also fixes outer references)."""
     repls: list[tuple[int, int, str]] = []
-    for a, b, expr, _alias in _f32_aliased_items(sql):
+    # an UNALIASED item can only narrow when (a) both engines would
+    # auto-name the original identically (restricted grammar — probed
+    # r16: Spark and duck both print '(f * 2)') so an explicit alias
+    # preserves the wire name, and (b) no DISTINCT/ORDER BY could
+    # rebind against the original expression text (conservative
+    # statement-level gate)
+    can_unaliased = (
+        re.search(r"(?i)\b(DISTINCT|ORDER)\b", sql) is None
+    )
+    for a, b, expr, alias in _f32_aliased_items(sql):
         res = _f32_side(expr, kinds)
         if res is None or res[0] != "f32" or not res[2]:
+            continue
+        if alias is None:
+            if not can_unaliased:
+                continue
+            name = _f32_autoname(expr, kinds)
+            if name is None:
+                continue
+            bt = name.replace("`", "``")
+            repls.append((a, b, f"{res[1]} AS `{bt}`"))
             continue
         repls.append((a, b, res[1]))
     if not repls:

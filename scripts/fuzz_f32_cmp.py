@@ -102,6 +102,9 @@ CENSUS = [
     "SELECT 0.1::FLOAT * 3 BETWEEN 0.3 AND 0.3 AS a",
     # aliased select items send duck's FLOAT value (r16)
     "SELECT id, f * 2 AS v FROM f32t",
+    # unaliased items narrow too when the auto-name is engine-shared
+    "SELECT id, f * 2 FROM f32t",
+    "SELECT id, f * 3.0 - 1 FROM f32t",
     "SELECT id, f * 3.0 - 1 AS v FROM f32t",
     "SELECT max(f) * 2 AS v FROM f32t",
     "SELECT v FROM (SELECT id, f * 2 AS v FROM f32t) q WHERE v > 0.6",
