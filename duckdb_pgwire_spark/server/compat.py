@@ -5227,6 +5227,22 @@ def _f32_of_dec(text: str, scale) -> str:
         m = re.match(r"(?is)^(?:TRY_)?CAST\s*\((.*)\s+AS\s+DOUBLE\s*\)$", t)
         if m is not None:
             t = m.group(1).replace("/*__duck_ddiv*/", "").strip()
+    sign = ""
+    sm = re.match(r"\s*-\s*", t)
+    while sm is not None:
+        # negation is exact in every width: fold the sign around the
+        # converted magnitude (a signed literal otherwise missed the
+        # literal fast path and scale>18 bailed — r16 fuzz find)
+        sign = "" if sign else "-"
+        t = t[sm.end() :]
+        while (
+            len(t) >= 2 and t[0] == "(" and t[-1] == ")"
+            and _paren_balanced(t[1:-1])
+        ):
+            t = t[1:-1].strip()
+        sm = re.match(r"\s*-\s*", t)
+    if sign:
+        return f"({sign}{_f32_of_dec(t, scale)})"
     lm = _F32_DEC_LIT_RE.fullmatch(t)
     if lm is not None:
         if lm.group(3) is not None:
@@ -5565,7 +5581,30 @@ class _F32Expr:
             return None
         body = txt if changed else args[0].strip()
         self.i = close
-        return (k, f"{word}({body})", changed, scale)
+        # an OVER clause makes this a window call — same typing (duck
+        # min/max/first/any_value/abs windows keep FLOAT, sum/avg go
+        # DOUBLE; probed r16), so consume it into the node text
+        save = self.i
+        self._ws()
+        om = re.match(r"(?is)OVER\s*", self.s[self.i :])
+        over = ""
+        if om is not None:
+            j2 = self.i + om.end()
+            if j2 < self.n and self.s[j2] == "(":
+                close2 = _walk_brackets_fwd(self.s, self.segs, j2)
+                if close2 <= 0:
+                    return None
+                over = " " + self.s[self.i : close2].strip()
+                self.i = close2
+            else:
+                wm2 = re.match(r"[A-Za-z_]\w*", self.s[j2:])
+                if wm2 is None:
+                    return None
+                over = " " + self.s[self.i : j2 + wm2.end()].strip()
+                self.i = j2 + wm2.end()
+        else:
+            self.i = save
+        return (k, f"{word}({body}){over}", changed, scale)
 
     def _bin(self, left, op, right):
         lk, lt, lc, ls = left
@@ -5671,11 +5710,32 @@ def _f32_side(expr: str, kinds) -> tuple | None:
 _F32_ADJ_STOP = frozenset("+-*/%^!|&~@[")
 
 
+def _scan_left_operand_win(sql: str, segs, end: int) -> int:
+    """_scan_left_operand extended over window suffixes: ``fn(...)
+    OVER (spec)`` / ``fn(...) OVER name`` is ONE value operand — the
+    tight scan alone would stop at the spec or the name and hand the
+    parsers a fragment."""
+    s = _scan_left_operand(sql, segs, end)
+    if s >= end:
+        return s
+    if re.match(r"(?is)OVER\b", sql[s:end]):
+        # the tight operand was "(spec)" with head word OVER
+        s2 = _scan_left_operand(sql, segs, s)
+        return s2 if s2 < s else end
+    om = re.search(r"(?is)\bOVER\s*$", sql[:s])
+    if om is not None:
+        # "fn(...) OVER (spec)" / "fn(...) OVER name": the tight scan
+        # stopped at the spec or the name (OVER is a bracket keyword)
+        s2 = _scan_left_operand(sql, segs, om.start())
+        return s2 if s2 < om.start() else end
+    return s
+
+
 def _scan_left_arith(sql: str, segs, end: int) -> int:
     """Start of the arithmetic chain ending at ``end``: the tight left
     operand extended leftward over binary + - * / % joins and leading
     unary signs (a sign whose own left side is not an operand)."""
-    s = _scan_left_operand(sql, segs, end)
+    s = _scan_left_operand_win(sql, segs, end)
     if s >= end:
         return s
     while True:
@@ -5689,7 +5749,7 @@ def _scan_left_arith(sql: str, segs, end: int) -> int:
             break
         if j >= 2 and sql[j - 2] in "*/%<>=!^|&~@" and ch in "*/":
             break  # the second char of // ** or a shift/arrow tail
-        s2 = _scan_left_operand(sql, segs, j - 1)
+        s2 = _scan_left_operand_win(sql, segs, j - 1)
         if s2 < j - 1:
             s = s2
             continue
@@ -5702,12 +5762,33 @@ def _scan_left_arith(sql: str, segs, end: int) -> int:
     return s
 
 
+def _scan_right_win_suffix(sql: str, segs, e: int) -> int:
+    """Extend a right-operand end over a window suffix: ``OVER (spec)``
+    or ``OVER name`` belongs to the call operand just scanned."""
+    n = len(sql)
+    k = e
+    while k < n and sql[k].isspace():
+        k += 1
+    m = re.match(r"(?is)OVER\b", sql[k:])
+    if m is None:
+        return e
+    j = k + m.end()
+    while j < n and sql[j].isspace():
+        j += 1
+    if j < n and sql[j] == "(":
+        close = _walk_brackets_fwd(sql, segs, j)
+        return close if close > 0 else e
+    wm = re.match(r"[A-Za-z_]\w*", sql[j:])
+    return j + wm.end() if wm is not None else e
+
+
 def _scan_right_arith(sql: str, segs, start: int) -> int:
     """End of the arithmetic chain starting at ``start``: the tight
     right operand extended rightward over binary + - * / % joins."""
     e = _scan_right_operand(sql, segs, start)
     if e <= start:
         return e
+    e = _scan_right_win_suffix(sql, segs, e)
     n = len(sql)
     while True:
         k = e
@@ -5726,7 +5807,7 @@ def _scan_right_arith(sql: str, segs, start: int) -> int:
         e2 = _scan_right_operand(sql, segs, k + 1)
         if e2 <= k + 1:
             break
-        e = e2
+        e = _scan_right_win_suffix(sql, segs, e2)
     return e
 
 
