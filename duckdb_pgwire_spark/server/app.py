@@ -3963,11 +3963,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         }
         low_sql = sql.lower()
         if f32_scalar and any(n in low_sql for n in f32_scalar):
-            from .compat import (
-                f32_alias_kinds,
-                rewrite_f32_comparisons,
-                rewrite_f32_select_items,
-            )
+            from .compat import rewrite_f32_positions
 
             f32_kinds: dict[str, object] = {}
             for n2, ks in vc_kind_seen.items():
@@ -3990,11 +3986,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                     rf"(?i)\bAS\s+`?{re.escape(n2)}`?\b", sql
                 ):
                     f32_kinds.pop(n2)
-            sql = rewrite_f32_select_items(sql, f32_kinds)
-            merged = dict(f32_kinds)
-            for a2, k2 in f32_alias_kinds(sql, f32_kinds).items():
-                merged.setdefault(a2, k2)
-            sql = rewrite_f32_comparisons(sql, merged)
+            sql = rewrite_f32_positions(sql, f32_kinds)
     from .compat import _COMPLEX_EXPR_HINT_RE
 
     if has_cmp and (

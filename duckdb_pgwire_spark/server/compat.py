@@ -6352,6 +6352,189 @@ def _rewrite_f32_in(sql: str, kinds) -> str:
     return "".join(out)
 
 
+_F32_GROUPBY_RE = re.compile(r"(?i)\bGROUP\s+BY\b")
+_F32_ORDERBY_RE = re.compile(r"(?i)\bORDER\s+BY\b")
+_F32_GB_END_RE = re.compile(
+    r"(?i)\b(HAVING|QUALIFY|WINDOW|ORDER|LIMIT|OFFSET|UNION"
+    r"|INTERSECT|EXCEPT|GROUP)\b"
+)
+_F32_GB_SET_HEAD_RE = re.compile(r"(?is)^(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(")
+_F32_ORD_TAIL_RE = re.compile(
+    r"(?is)(\s+(?:ASC|DESC))?(\s+NULLS\s+(?:FIRST|LAST))?\s*$"
+)
+
+
+def _f32_clause_items(sql: str, kw_re, end_re):
+    """Yield (abs_start, abs_end, text) for each top-level item of
+    every ``kw_re`` clause (GROUP BY / ORDER BY list scanner for the
+    f32 mirror pass). The list ends at the first same-depth clause
+    keyword from ``end_re`` or when the enclosing scope closes."""
+    if kw_re.search(sql) is None:
+        return
+    mask = _code_mask(sql)
+    depth: list[int] = []
+    d = 0
+    for i, ch in enumerate(sql):
+        if mask[i] and ch == ")":
+            d -= 1
+        depth.append(d)
+        if mask[i] and ch == "(":
+            d += 1
+    for km in kw_re.finditer(sql):
+        if not all(mask[km.start() : km.end()]):
+            continue
+        sd = depth[km.start()]
+        start = km.end()
+        end = len(sql)
+        for em in end_re.finditer(sql, start):
+            if all(mask[em.start() : em.end()]) and depth[em.start()] == sd:
+                end = em.start()
+                break
+        k2 = start
+        while k2 < end:
+            if mask[k2] and sql[k2] == ")" and depth[k2] <= sd - 1:
+                end = k2
+                break
+            k2 += 1
+        pos = start
+        for item in split_top_level(sql[start:end]):
+            ist = pos
+            pos += len(item) + 1
+            lead = len(item) - len(item.lstrip())
+            txt = item.strip()
+            if txt:
+                yield ist + lead, ist + lead + len(txt), txt
+
+
+def _f32_norm(expr: str) -> str:
+    # whitespace is insignificant between SQL tokens: `f*2` and
+    # `f * 2` must mirror to the same key (quoted identifiers with
+    # internal spaces can't type through the f32 arith grammar anyway)
+    return "".join(expr.lower().split())
+
+
+def _f32_group_narrowings(sql: str, kinds):
+    """(replacements, mirror) for grouping expressions that type as
+    f32 arithmetic: every such expression narrows with the IDENTICAL
+    ``_f32_side`` text used by the select-item and comparison legs, so
+    Spark's semantic grouping match still succeeds after narrowing
+    (r17, ADVICE item 1 — half-narrowing raised MISSING_AGGREGATION /
+    UNRESOLVED_COLUMN on previously-valid grouped FLOAT queries).
+    Narrowing the grouping key is also duck-correct in itself: duck
+    groups on the FLOAT-rounded value. CUBE/ROLLUP/GROUPING SETS
+    narrow their leaf expressions in place; ``ALL`` and positional
+    ordinals pass through."""
+    reps: list[tuple[int, int, str]] = []
+    mirror: dict[str, str] = {}
+
+    def _one(a: int, b: int, expr: str) -> None:
+        if re.fullmatch(r"(?is)ALL|\d+", expr):
+            return
+        res = _f32_side(expr, kinds)
+        if res is None or res[0] != "f32" or not res[2]:
+            return
+        reps.append((a, b, res[1]))
+        mirror[_f32_norm(expr)] = res[1]
+
+    for a, b, item in _f32_clause_items(sql, _F32_GROUPBY_RE, _F32_GB_END_RE):
+        hm = _F32_GB_SET_HEAD_RE.match(item)
+        if hm is None:
+            _one(a, b, item)
+            continue
+        if not item.endswith(")"):
+            continue
+        inner = item[hm.end() : -1]
+        off = a + hm.end()
+        is_sets = hm.group(1).upper().startswith("GROUPING")
+        pos = 0
+        for part in split_top_level(inner):
+            pst = pos
+            pos += len(part) + 1
+            lead = len(part) - len(part.lstrip())
+            p = part.strip()
+            if is_sets and p.startswith("(") and p.endswith(")"):
+                ip = 0
+                for leaf in split_top_level(p[1:-1]):
+                    llead = len(leaf) - len(leaf.lstrip())
+                    lt = leaf.strip()
+                    if lt:
+                        la = pst + lead + 1 + ip + llead
+                        _one(off + la, off + la + len(lt), lt)
+                    ip += len(leaf) + 1
+            elif p:
+                _one(off + pst + lead, off + pst + lead + len(p), p)
+    return reps, mirror
+
+
+def rewrite_f32_group_order(sql: str, kinds) -> str:
+    """Apply the grouping-expression narrowings and mirror them onto
+    ORDER BY items whose text matches a narrowed grouping expression
+    (sort expressions re-resolve against grouping expressions in
+    aggregated scopes; an un-mirrored text would no longer match)."""
+    reps, mirror = _f32_group_narrowings(sql, kinds)
+    if not reps:
+        return sql
+    for a, b, item in _f32_clause_items(sql, _F32_ORDERBY_RE, _F32_GB_END_RE):
+        tm = _F32_ORD_TAIL_RE.search(item)
+        core = item[: tm.start()] if tm else item
+        nt = mirror.get(_f32_norm(core))
+        if nt is not None:
+            tail = item[tm.start() :] if tm else ""
+            reps.append((a, b, nt + tail))
+    out: list[str] = []
+    pos = 0
+    for a, b, txt in sorted(reps):
+        if a < pos:
+            continue
+        out.append(sql[pos:a])
+        out.append(txt)
+        pos = b
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def f32_grouped_bail(sql: str, kinds) -> bool:
+    """True when a grouped statement cannot narrow consistently: a
+    grouping expression would narrow, but an UNALIASED select item
+    with the same text is skipped by the select-item gate
+    (DISTINCT/ORDER rebind guard or un-autonamable expression) — the
+    half state breaks grouping resolution, so the whole statement
+    keeps native typing (pre-r16 behavior, documented residue)."""
+    if _F32_GROUPBY_RE.search(sql) is None:
+        return False
+    can_unaliased = re.search(r"(?i)\b(DISTINCT|ORDER)\b", sql) is None
+    skipped: set[str] = set()
+    for _a, _b, expr, alias in _f32_aliased_items(sql):
+        if alias is not None:
+            continue
+        res = _f32_side(expr, kinds)
+        if res is None or res[0] != "f32" or not res[2]:
+            continue
+        if not can_unaliased or _f32_autoname(expr, kinds) is None:
+            skipped.add(_f32_norm(expr))
+    if not skipped:
+        return False
+    _reps, mirror = _f32_group_narrowings(sql, kinds)
+    return bool(skipped & set(mirror))
+
+
+def rewrite_f32_positions(sql: str, base_kinds) -> str:
+    """Single orchestrator for the f32 narrowing legs (r17): ONE kind
+    map (schema/cast-unit kinds + select-alias kinds) drives the
+    select-item, comparison, and GROUP BY/ORDER BY mirror passes, so
+    every position sharing an expression text narrows identically and
+    Spark's semantic grouping match holds. Bails whole-statement on
+    the one inconsistent corner (``f32_grouped_bail``)."""
+    merged = dict(base_kinds)
+    for a, k in f32_alias_kinds(sql, base_kinds).items():
+        merged.setdefault(a, k)
+    if f32_grouped_bail(sql, merged):
+        return sql
+    sql = rewrite_f32_select_items(sql, merged)
+    sql = rewrite_f32_comparisons(sql, merged)
+    return rewrite_f32_group_order(sql, merged)
+
+
 _YM_WORD_RE = re.compile(r"(?i)[a-z_]+")
 
 _IVL_UNIT_FACTORS = {
@@ -15746,8 +15929,7 @@ def rewrite(sql: str) -> str:
         # in app._hugeint_sums). BEFORE decimal_div/div_zero so
         # emitted '/' still gets their guards
         sql = rewrite_f32_declit_casts(sql)
-        sql = rewrite_f32_select_items(sql, {})
-        sql = rewrite_f32_comparisons(sql, f32_alias_kinds(sql, {}))
+        sql = rewrite_f32_positions(sql, {})
     sql = _rewrite_decimal_div(sql)  # duck '/' is ALWAYS double —
     # after '/'-emitting passes (// fractional), BEFORE div_zero hides
     # decimal denominators inside nullif()

@@ -2021,3 +2021,61 @@ def test_tsdiff_interval_provenance_columns(spark, oracle):
     finally:
         spark.sql("DROP TABLE IF EXISTS ivprov")
         oracle.execute("DROP TABLE IF EXISTS ivprov")
+
+
+def test_f32_grouped_statements_match_duckdb(spark, oracle, tmp_path):
+    """r17 (ADVICE item 1): f32 narrowing in select items / HAVING must
+    mirror onto the GROUP BY (and grouped ORDER BY) expressions — the
+    half-narrowed form raised MISSING_AGGREGATION / UNRESOLVED_COLUMN
+    on previously-valid grouped FLOAT queries. Values must also match
+    duck, which groups on the FLOAT-rounded key."""
+    from duckdb_pgwire_spark.server.app import _hugeint_sums
+
+    register_udfs(spark)
+    spark.sql("DROP TABLE IF EXISTS f32g")
+    oracle.execute("DROP TABLE IF EXISTS f32g")
+    spark.sql(
+        "CREATE TABLE f32g(f FLOAT, g INT) USING parquet"
+        f" LOCATION '{tmp_path}/f32g'"
+    )
+    oracle.execute("CREATE TABLE f32g(f FLOAT, g INT)")
+    ins = (
+        "INSERT INTO f32g VALUES (CAST(0.1 AS FLOAT), 1),"
+        " (CAST(0.1 AS FLOAT), 2), (CAST(0.3 AS FLOAT), 1),"
+        " (CAST(16777216 AS FLOAT), 2), (NULL, 1)"
+    )
+    oracle.execute(ins)
+    spark.sql(rewrite(ins))
+    probes = [
+        "SELECT f * 2 AS v FROM f32g GROUP BY f * 2 ORDER BY v",
+        "SELECT f * 2 AS v, count(*) AS c FROM f32g"
+        " GROUP BY f * 2 HAVING f * 2 > 0.15 ORDER BY v",
+        "SELECT f * 2 AS v FROM f32g GROUP BY f*2 ORDER BY f * 2 DESC",
+        "SELECT f + g AS v, count(*) AS c FROM f32g"
+        " GROUP BY f + g ORDER BY v, c",
+        "SELECT f * 2 AS v, g, count(*) AS c FROM f32g"
+        " GROUP BY GROUPING SETS ((f * 2, g), (g)) ORDER BY v, g, c",
+        "SELECT f * 3 AS v FROM f32g GROUP BY 1 ORDER BY v",
+        "SELECT f * 3 AS v FROM f32g GROUP BY v ORDER BY v",
+        # ungrouped narrowing unaffected
+        "SELECT f * 2 AS v FROM f32g WHERE f * 2 > 0.15 ORDER BY v",
+    ]
+    try:
+        for q in probes:
+            want = sorted(
+                (_canon(tuple(r)) for r in oracle.execute(q).fetchall()),
+                key=repr,
+            )
+            have = sorted(
+                (
+                    _canon(tuple(r))
+                    for r in spark.sql(
+                        _hugeint_sums(spark, rewrite(q))
+                    ).collect()
+                ),
+                key=repr,
+            )
+            assert want == have, (q, want, have)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS f32g")
+        oracle.execute("DROP TABLE IF EXISTS f32g")
