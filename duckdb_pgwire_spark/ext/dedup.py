@@ -479,6 +479,15 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     label). Cluster id = smallest doc_id in the component.
     """
     pairs = minhash_candidate_pairs(spark, sf_dir)
+    return propagate_min_labels(pairs)
+
+
+def propagate_min_labels(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair graph
+    (doc_a, doc_b) → (doc_id, cluster_id). Factored out of
+    dedup_cluster_components so the convergence machinery is testable
+    on synthetic graphs (r17: labels near 2^62 must still converge —
+    see the DECIMAL accumulation note below)."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -495,7 +504,12 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum(l) is unchanged iff NO label changed. One metadata-scale
     # aggregate per round replaces the old changed-count shuffle JOIN
     # of new vs old labels (a full extra shuffle per round).
-    prev_sum = labels.agg(F.sum("l")).collect()[0][0]
+    # DECIMAL(38,0) accumulation (r17, VERDICT item 4): at extreme
+    # doc-id magnitudes (10^10+ ids near 2^62) a LONG sum of labels can
+    # wrap modulo 2^64 and alias two different label states; the exact
+    # decimal sum makes sum-unchanged <=> fixpoint airtight.
+    _lsum = F.sum(F.col("l").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lsum).collect()[0][0]
     for _ in range(20):  # backstop; exits on convergence below
         neighbor = (
             edges.join(labels, edges.src == labels.n)
@@ -504,7 +518,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = (
             labels.union(neighbor).groupBy("n").agg(F.min("l").alias("l"))
         ).localCheckpoint()
-        new_sum = new_labels.agg(F.sum("l")).collect()[0][0]
+        new_sum = new_labels.agg(_lsum).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
             break

@@ -162,6 +162,43 @@ _LIMIT_PCT_RE = re.compile(
 )
 
 
+def _clean_orphan_location(session: SparkSession, name: str) -> None:
+    """Remove a MANAGED warehouse directory for ``name`` when the
+    catalog has no such table (r17, VERDICT item 1): a killed process
+    can leave `spark-warehouse/<table>` files behind after the catalog
+    entry is gone, and the next managed CREATE TABLE then raises
+    LOCATION_ALREADY_EXISTS — a failure DuckDB-backed servers never
+    surface. Only local-filesystem warehouses are touched; anything
+    else (hdfs/s3 warehouse, table known to the catalog, explicit
+    LOCATION tables — which are external, not managed) is left alone."""
+    try:
+        if session.catalog.tableExists(name):
+            return
+        parts = [p.strip("`") for p in name.split(".")]
+        tbl = parts[-1].lower()
+        db = (
+            parts[-2].lower()
+            if len(parts) > 1
+            else session.catalog.currentDatabase()
+        )
+        wh = session.conf.get("spark.sql.warehouse.dir")
+        from urllib.parse import urlparse
+
+        u = urlparse(wh)
+        if u.scheme not in ("", "file"):
+            return
+        base = u.path or wh
+        if db != "default":
+            base = os.path.join(base, f"{db}.db")
+        loc = os.path.join(base, tbl)
+        if os.path.isdir(loc):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+    except Exception:  # noqa: BLE001 — best-effort hygiene, never fatal
+        pass
+
+
 def _limit_pct_match(stmt: str):
     """End-anchored ``LIMIT n%`` match, but only when the matched span
     is CODE. The bare regex also fired on a percent-limit spelling
@@ -2307,6 +2344,16 @@ class PgWireServer:
             or_replace, temp, name, rest = (
                 bool(m.group(1)), bool(m.group(2)), m.group(4), m.group(5)
             )
+            # a stale managed `spark-warehouse/<table>` dir can survive
+            # a killed process whose catalog entry is gone, making
+            # CREATE TABLE raise LOCATION_ALREADY_EXISTS on a table the
+            # catalog doesn't know — a failure mode no DuckDB client
+            # ever sees (reference client/go/cmd/simple/main.go:23
+            # CREATEs on a fresh catalog unconditionally). Pre-clean
+            # the orphan (r17, VERDICT item 1).
+            await self._exec(
+                session, state.job_tag, _clean_orphan_location, session, name
+            )
             if temp and re.match(r"(?i)^\s*AS\b", rest):
                 # DuckDB TEMP TABLE AS: session-scoped — a Spark temp
                 # view is the session-scoped analogue (lazy; DML into
@@ -3738,11 +3785,12 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     has_boolctx = _BOOL_CTX_L_RE.search(sql) is not None
     has_setop = _SETOP_GATE_RE.search(sql) is not None
     # select items with arithmetic (r16): `SELECT f * 2 [AS v]` has no
-    # comparison op but still needs the f32 narrowing leg. Broad gate
-    # (any arithmetic char), the has_boolctx trade: the schema fields
-    # are memoized and the f32 block itself gates on an f32 column
-    # name appearing in the text
-    has_f32item = re.search(r"[+*/%-]", sql) is not None
+    # comparison op but still needs the f32 narrowing leg. r17: the
+    # gate masks literals and projection stars so date strings and
+    # `SELECT *` no longer pull every statement through schema analysis
+    from .compat import f32_item_gate
+
+    has_f32item = f32_item_gate(sql)
     if not (
         has_sum or has_len or has_columns or has_replace or has_enum
         or has_date_ivl or has_vc_cast or has_cmp or has_floorceil

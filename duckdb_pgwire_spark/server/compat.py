@@ -5269,12 +5269,20 @@ def _f32_of_dec(text: str, scale) -> str:
         if not math.isfinite(val):
             return "CAST('Infinity' AS FLOAT)"
         return f"CAST({val!r} AS FLOAT)"
-    if not isinstance(scale, int) or scale < 0 or scale > 18:
+    if not isinstance(scale, int) or scale < 0 or scale > 38:
         raise _F32Bail
     if scale == 0:
         return f"CAST(({t}) AS FLOAT)"
+    # unscaled value via the decimal's STRING render (r17, ADVICE
+    # item 2): a DECIMAL(p,s) always prints sign + digits + exactly s
+    # fraction digits, so stripping the '.' yields the exact unscaled
+    # integer for ANY p ≤ 38 — the old `(expr) * 10^scale` DECIMAL
+    # multiply overflowed Spark's 38-digit ceiling on high-precision
+    # columns and returned NULL (non-ANSI) where duck has a finite
+    # float. parseFloat of the digit string is the correctly-rounded
+    # float32(unscaled) duck computes from the int128.
     return (
-        f"CAST((CAST(({t}) * {10 ** scale} AS FLOAT)"
+        f"CAST((CAST(replace(CAST(({t}) AS STRING), '.', '') AS FLOAT)"
         f" / CAST(1E{scale} AS FLOAT)) AS FLOAT)"
     )
 
@@ -5935,7 +5943,17 @@ _SUBQ_TAIL_KW_RE = re.compile(
 def _rewrite_scalar_subq_order_limit(sql: str) -> str:
     """Inject ``LIMIT 1`` into VALUE-position scalar subqueries that
     carry a deterministic top-level ORDER BY and no LIMIT/OFFSET/FETCH
-    of their own."""
+    of their own.
+
+    Tie caveat (r17, ADVICE item 3 — documented known): when the sort
+    key has TIES, duck's "first row" and Spark's LIMIT 1 pick are both
+    implementation-defined and may differ — a silently different (but
+    equally valid under the query's own ordering) value. Detecting a
+    provably-total ORDER BY requires schema/uniqueness knowledge a
+    text rewrite doesn't have; ORDER-BY-with-ties is self-inflicted
+    nondeterminism on duck too (its row depends on scan order), so the
+    injection stays. Subqueries with NO order at all keep the loud
+    SCALAR_SUBQUERY_TOO_MANY_ROWS (decision of record, r16)."""
     if _SCALAR_SUBQ_RE.search(sql) is None:
         return sql
     segs = _abs_segments(sql)
@@ -6350,6 +6368,29 @@ def _rewrite_f32_in(sql: str, kinds) -> str:
         pos = close
     out.append(sql[pos:])
     return "".join(out)
+
+
+_F32_GATE_STRIP_RE = re.compile(
+    r"(?i)\b(?:select|returning|distinct)\s+\*|\.\s*\*|\(\s*\*\s*\)|,\s*\*"
+)
+_F32_GATE_OP_RE = re.compile(r"[+/%]|[\w`\")\]]\s*[*-]\s*[\w`\"(]")
+
+
+def f32_item_gate(sql: str) -> bool:
+    """Cheap pre-gate for the schema-aware f32 select-item leg (r17,
+    ADVICE item 4): the old ``[+*/%-]`` scan over the RAW text matched
+    nearly every statement (date literals '2024-01-01', ``SELECT *``,
+    negative numbers in strings), pulling no-arithmetic queries through
+    schema analysis. Now: literals are masked out, projection stars
+    (`SELECT *`, `t.*`, `count(*)`) are stripped, and ``*``/``-`` must
+    sit BETWEEN operand-looking tokens."""
+    for is_lit, seg in _split_quoted(sql):
+        if is_lit:
+            continue
+        seg = _F32_GATE_STRIP_RE.sub(" ", seg)
+        if _F32_GATE_OP_RE.search(seg) is not None:
+            return True
+    return False
 
 
 _F32_GROUPBY_RE = re.compile(r"(?i)\bGROUP\s+BY\b")

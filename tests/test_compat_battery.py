@@ -2079,3 +2079,58 @@ def test_f32_grouped_statements_match_duckdb(spark, oracle, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS f32g")
         oracle.execute("DROP TABLE IF EXISTS f32g")
+
+
+def test_f32_high_precision_decimal_no_overflow(spark, oracle, tmp_path):
+    """r17 (ADVICE item 2): the f32-of-DECIMAL emission used
+    `(expr) * 10^scale`, which overflows Spark's DECIMAL(38) ceiling on
+    high-precision columns and yields NULL (non-ANSI) where duck has a
+    finite float — silent row-membership divergence. The unscaled value
+    now routes through the decimal's exact STRING render."""
+    from duckdb_pgwire_spark.server.app import _hugeint_sums
+
+    register_udfs(spark)
+    spark.sql("DROP TABLE IF EXISTS decf")
+    oracle.execute("DROP TABLE IF EXISTS decf")
+    spark.sql(
+        "CREATE TABLE decf(d DECIMAL(38,10), e DECIMAL(20,4), f FLOAT)"
+        f" USING parquet LOCATION '{tmp_path}/decf'"
+    )
+    oracle.execute("CREATE TABLE decf(d DECIMAL(38,10), e DECIMAL(20,4), f FLOAT)")
+    ins = (
+        "INSERT INTO decf VALUES"
+        " (12345678901234567890123456.7890123456, 33554434.0000,"
+        "  CAST(0.1 AS FLOAT)),"
+        " (99999999999999999999999999.9999999999, 0.3000,"
+        "  CAST(0.3 AS FLOAT)),"
+        " (-0.0000000001, -123.4500, CAST(16777216 AS FLOAT)),"
+        " (NULL, NULL, NULL)"
+    )
+    oracle.execute(ins)
+    spark.sql(rewrite(ins))
+    probes = [
+        "SELECT f, d FROM decf WHERE f < d",
+        "SELECT f, e FROM decf WHERE f = e OR f < e",
+        "SELECT (f < d) AS a, (f = e) AS b, (e > f) AS c FROM decf",
+        "SELECT f FROM decf WHERE f BETWEEN e AND d",
+        "SELECT (e = 33554434.0000) AS x, (f*2 > e) AS y FROM decf",
+    ]
+    try:
+        for q in probes:
+            want = sorted(
+                (_canon(tuple(r)) for r in oracle.execute(q).fetchall()),
+                key=repr,
+            )
+            have = sorted(
+                (
+                    _canon(tuple(r))
+                    for r in spark.sql(
+                        _hugeint_sums(spark, rewrite(q))
+                    ).collect()
+                ),
+                key=repr,
+            )
+            assert want == have, (q, want, have)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS decf")
+        oracle.execute("DROP TABLE IF EXISTS decf")

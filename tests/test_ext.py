@@ -1001,3 +1001,32 @@ def test_jpegcodec_round_trips_and_refusals():
         w2, h2 = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
         v, v2 = (doc_id * 37) % 256, (doc_id * 11) % 256
         assert sum(img2.gray) == 64 * v2 + (w2 * h2 - 64) * v
+
+
+def test_propagate_min_labels_huge_ids(spark):
+    """r17 (VERDICT item 4): the monotone-sum convergence statistic
+    accumulates in DECIMAL(38,0), so label sums near 2^62 cannot wrap
+    modulo 2^64 and alias two different label states. Two components
+    with ids around 2^62 must converge to their min-id cluster."""
+    from duckdb_pgwire_spark.ext.dedup import propagate_min_labels
+
+    base = 1 << 62
+    pairs = spark.createDataFrame(
+        [
+            (base + 1, base + 2),
+            (base + 2, base + 3),  # chain → cluster base+1
+            (base + 10, base + 11),  # separate pair → cluster base+10
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in propagate_min_labels(pairs).collect()
+    }
+    assert got == {
+        (base + 1, base + 1),
+        (base + 2, base + 1),
+        (base + 3, base + 1),
+        (base + 10, base + 10),
+        (base + 11, base + 10),
+    }

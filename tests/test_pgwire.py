@@ -5359,3 +5359,30 @@ def test_wire_default_null_sort_order(client, oracle):
         assert "error" not in r, (sql, r)
         got = [tuple(x) for x in r["rows"]]
         assert got == want, (sql, got, want)
+
+
+def test_wire_create_table_orphaned_warehouse_dir(client, spark):
+    """r17 (VERDICT item 1): a stale managed `spark-warehouse/<table>`
+    dir left by a killed process must not make wire CREATE TABLE raise
+    LOCATION_ALREADY_EXISTS on a table the catalog doesn't know — the
+    reference's Go client CREATEs unconditionally on a fresh catalog
+    (client/go/cmd/simple/main.go:23) and never sees that failure."""
+    import os
+    from urllib.parse import urlparse
+
+    spark.sql("DROP TABLE IF EXISTS orphan_tgt")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    u = urlparse(wh)
+    loc = os.path.join(u.path or wh, "orphan_tgt")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "part-stale.parquet"), "wb") as fh:
+        fh.write(b"stale")
+    try:
+        (res,) = client.query("CREATE TABLE orphan_tgt(a bigint)")
+        assert "error" not in res, res
+        (res,) = client.query("INSERT INTO orphan_tgt VALUES (1), (2)")
+        assert "error" not in res, res
+        (back,) = client.query("SELECT count(*) AS n FROM orphan_tgt")
+        assert back["rows"] == [["2"]]
+    finally:
+        client.query("DROP TABLE IF EXISTS orphan_tgt")
