@@ -56,6 +56,26 @@ INDEX_WARMUP = {
     "sample_dsir_gumbel_topk",
 }
 
+# Queries returning O(input) rows, where the bench.py collect() makes
+# the measured wall ~90% driver-side Arrow transfer at sf1 (r16 noop-
+# sink splits: plans scale 1.8-3.2x at 16x data while collect walls
+# scale 8.6-16.3x). A noop-sink wall rides bench_full.json next to the
+# collect wall so a PLAN regression stays visible through the transfer
+# noise (r17, VERDICT item 5). The stdout contract line is unchanged.
+PLAN_SPLIT = {"win_agg_frames", "fn_string_basic", "fn_date_extract"}
+
+
+def _time_noop_sink(fn, spark, sf_dir: str) -> float:
+    """Median wall of executing the plan into the no-op sink — same
+    executor work, zero driver transfer."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
 # Headline set: the flagship TPC-H-style queries plus one representative
 # per operator family (join, agg, window, setop, function groups, each
 # [EXT] pipeline). Full registry coverage is correctness's job
@@ -205,6 +225,7 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     warmups: dict[str, float] = {}
+    plan_walls: dict[str, float] = {}
     for name in names:
         try:
             med, warm = _time_query(
@@ -213,6 +234,10 @@ def main() -> None:
             per_query[name] = round(med, 4)
             if name in INDEX_WARMUP:
                 warmups[name] = round(warm, 4)
+            if name in PLAN_SPLIT:
+                plan_walls[name] = round(
+                    _time_noop_sink(defs[name].fn, spark, SF_DIR), 4
+                )
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             per_query[name] = -1.0
@@ -278,6 +303,7 @@ def main() -> None:
         },
         "class_subtotals_sec": dict(sorted(subtotals.items())),
         "index_warmup_sec": warmups,
+        "plan_noop_sink_sec": plan_walls,
     }
     if os.environ.get("SPARK_GRAFT_SCALE_CHECK") == "1":
         full["scale_check_x16"] = _scale_check(spark, defs)
@@ -285,7 +311,9 @@ def main() -> None:
         "bench: class_subtotals_sec="
         + json.dumps(full["class_subtotals_sec"], separators=(",", ":"))
         + " index_warmup_sec="
-        + json.dumps(full["index_warmup_sec"], separators=(",", ":")),
+        + json.dumps(full["index_warmup_sec"], separators=(",", ":"))
+        + " plan_noop_sink_sec="
+        + json.dumps(full["plan_noop_sink_sec"], separators=(",", ":")),
         file=sys.stderr,
     )
     Path(__file__).resolve().parent.joinpath("bench_full.json").write_text(

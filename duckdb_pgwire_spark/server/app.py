@@ -3985,10 +3985,6 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         sql = rewrite_columns_star(sql, ordered_cols)
     if has_replace and ordered_cols:
         sql = rewrite_star_replace(sql, ordered_cols)
-    if has_floorceil and double_cols:
-        from .compat import rewrite_double_floor_ceil
-
-        sql = rewrite_double_floor_ceil(sql, double_cols)
     if has_div and dec_cols:
         from .compat import rewrite_decimal_col_div
 
@@ -4035,6 +4031,14 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
                 ):
                     f32_kinds.pop(n2)
             sql = rewrite_f32_positions(sql, f32_kinds)
+    if has_floorceil and double_cols:
+        # AFTER the f32 legs (r17): a FLOAT column is in double_cols,
+        # and wrapping `ceil(f)` into the DOUBLE guard first would
+        # hide the call from the f32 typer's floor/ceil narrowing —
+        # f32 emissions dodge this leg via double-parens arguments
+        from .compat import rewrite_double_floor_ceil
+
+        sql = rewrite_double_floor_ceil(sql, double_cols)
     from .compat import _COMPLEX_EXPR_HINT_RE
 
     if has_cmp and (

@@ -5301,6 +5301,85 @@ def _f32_of(res, orig: str) -> str:
     return f"CAST(({orig}) AS FLOAT)"
 
 
+def _f32_floor_guard(fn: str, b: str) -> str:
+    """Spark floor/ceil return BIGINT (NaN→0, ±inf/huge overflow);
+    duck's keep FLOAT. NaN/±inf/≥2^63 magnitudes pass through (every
+    f32 ≥ 2^24 is already integral), zero results with a negative
+    input keep duck's -0.0 (the rewrite_double_floor_ceil shape)."""
+    # the double-parens around the argument keep _FLOOR_CEIL_RE (the
+    # later bare-column DOUBLE leg) from re-wrapping this emission
+    return (
+        f"(CASE WHEN isnan({b}) OR abs({b}) >= 9.2e18"
+        f" THEN CAST(({b}) AS FLOAT)"
+        f" WHEN {fn}(({b})) = 0"
+        f" AND startswith(CAST(({b}) AS STRING), '-')"
+        f" THEN CAST('-0.0' AS FLOAT)"
+        f" ELSE CAST({fn}(({b})) AS FLOAT) END)"
+    )
+
+
+def _f32_trunc_text(b: str) -> str:
+    return (
+        f"(CASE WHEN ({b}) < 0 THEN {_f32_floor_guard('ceil', b)}"
+        f" ELSE {_f32_floor_guard('floor', b)} END)"
+    )
+
+
+_F32_TRUNC_WHEN_RE = re.compile(r"(?i)\s*WHEN\s*\(")
+_F32_TRUNC_CEIL_RE = re.compile(r"(?i)\s*<\s*0\s+THEN\s+ceil\s*\(")
+_F32_TRUNC_FLOOR_RE = re.compile(r"(?i)\s*ELSE\s+floor\s*\(")
+_F32_TRUNC_END_RE = re.compile(r"(?i)\s*END\b")
+_F32_TRUNC_CASE_RE = re.compile(r"(?i)\bCASE(?=\s+WHEN\s*\()")
+
+
+def _walk_trunc_template(s: str, segs, after_case: int):
+    """Structural match of the dialect pass's numeric-trunc template
+    starting right AFTER its ``CASE`` keyword: ``WHEN (b) < 0 THEN
+    ceil(b) ELSE floor(b) END`` with the IDENTICAL b in all three
+    spots. Returns (b, end_index) or None."""
+    mm = _F32_TRUNC_WHEN_RE.match(s, after_case)
+    if mm is None:
+        return None
+    p1 = mm.end() - 1
+    c1 = _walk_brackets_fwd(s, segs, p1)
+    if c1 <= 0:
+        return None
+    b1 = s[p1 + 1 : c1 - 1]
+    mm = _F32_TRUNC_CEIL_RE.match(s, c1)
+    if mm is None:
+        return None
+    p2 = mm.end() - 1
+    c2 = _walk_brackets_fwd(s, segs, p2)
+    if c2 <= 0 or s[p2 + 1 : c2 - 1] != b1:
+        return None
+    mm = _F32_TRUNC_FLOOR_RE.match(s, c2)
+    if mm is None:
+        return None
+    p3 = mm.end() - 1
+    c3 = _walk_brackets_fwd(s, segs, p3)
+    if c3 <= 0 or s[p3 + 1 : c3 - 1] != b1:
+        return None
+    mm = _F32_TRUNC_END_RE.match(s, c3)
+    if mm is None:
+        return None
+    return b1, mm.end()
+
+
+def _f32_trunc_spans(sql: str, segs, mask) -> list[tuple[int, int]]:
+    """Spans of trunc-template CASEs in ``sql`` — the comparison leg
+    must not narrow the template's INTERNAL ``< 0`` site (that would
+    break the three-identical-copies shape the typer's _trunc_case
+    recognizer needs, leaving the ceil/floor branches un-narrowed)."""
+    spans: list[tuple[int, int]] = []
+    for m in _F32_TRUNC_CASE_RE.finditer(sql):
+        if not mask[m.start()]:
+            continue
+        hit = _walk_trunc_template(sql, segs, m.end())
+        if hit is not None:
+            spans.append((m.start(), hit[1]))
+    return spans
+
+
 class _F32Expr:
     """Recursive-descent typer/narrower for one comparison side: an
     arithmetic chain over typed columns (``kinds``: lowercase bare
@@ -5483,11 +5562,14 @@ class _F32Expr:
                 ).parse()
                 self.i = close
                 return (k, f"nullif({txt}, 0)", changed, scale)
-            if up in ("MIN", "MAX", "FIRST", "LAST", "ANY_VALUE", "ABS"):
+            if up in ("MIN", "MAX", "FIRST", "LAST", "ANY_VALUE", "ABS",
+                      "FIRST_VALUE", "LAST_VALUE"):
                 # type-preserving over FLOAT in duck (probed r16:
-                # min/max/first/any_value/abs(FLOAT) are FLOAT); the
-                # value is an existing f32 (or exact |f32|), so the
-                # node passes its argument's kind through
+                # min/max/first/any_value/abs(FLOAT) are FLOAT; r17
+                # adds first_value/last_value — window value functions
+                # keep the argument type, probed); the value is an
+                # existing f32 (or exact |f32|), so the node passes its
+                # argument's kind through
                 node = self._passthru_call(word, j, same_kind=True)
                 if node is not None:
                     return node
@@ -5519,7 +5601,55 @@ class _F32Expr:
                 self.i = close
                 return ("f32", f"{word}(" + ", ".join(texts) + ")",
                         changed, 0)
+            if up == "ROUND":
+                # duck round(FLOAT[, n]) returns FLOAT, rounding the
+                # f32 value half-away-from-zero (r17 probe: Spark's
+                # round over a FLOAT-typed operand matches value-for-
+                # value on the boundary grid — incl. n=-2 and n=7 —
+                # EXCEPT signed zero: duck keeps -0.0 for negative
+                # inputs rounding to zero, Spark bleaches the sign)
+                node = self._round_call(word, j)
+                if node is not None:
+                    return node
+                raise _F32Bail
+            if up in ("TRUNC", "CEIL", "CEILING", "FLOOR"):
+                # duck floor/ceil/trunc(FLOAT) return FLOAT (the
+                # integral value is exactly representable: below 2^24
+                # it fits, at/above 2^24 every f32 IS integral); Spark
+                # floor/ceil return BIGINT — NaN/±inf/≥2^63 magnitudes
+                # pass through, zero results keep duck's signed zero
+                # (same shape as rewrite_double_floor_ceil, r11)
+                node = self._floorlike_call(up, j)
+                if node is not None:
+                    return node
+                raise _F32Bail
+            if up in ("LAG", "LEAD", "NTH_VALUE"):
+                # window value functions keep the argument type in duck
+                # (probed r17: lag/lead/nth_value(FLOAT) are FLOAT,
+                # lag(f, 1, dflt) casts the DEFAULT to the value's
+                # FLOAT — so the default narrows to f32 too)
+                node = self._offset_window_call(word, up, j)
+                if node is not None:
+                    return node
+                raise _F32Bail
+            if up in ("GREATEST", "LEAST"):
+                # duck greatest/least WIDEN to DOUBLE whenever any
+                # operand is FLOAT (probed r17: greatest(f, g),
+                # greatest(f, 0.5), greatest(f, i) are all DOUBLE) —
+                # f32 ARITHMETIC inside an operand still computes in
+                # f32 first, then widens exactly. Spark's own type
+                # resolution would pick FLOAT for float×int (lossy for
+                # ints ≥2^24), so every operand is forced to DOUBLE.
+                node = self._extremum_call(word, j)
+                if node is not None:
+                    return node
+                raise _F32Bail
             raise _F32Bail  # other function call: not emulable here
+        if up == "CASE":
+            node = self._trunc_case(m.end())
+            if node is not None:
+                return node
+            raise _F32Bail
         if up == "NULL":
             self.i = m.end()
             return ("null", word, False, None)
@@ -5592,27 +5722,199 @@ class _F32Expr:
         # an OVER clause makes this a window call — same typing (duck
         # min/max/first/any_value/abs windows keep FLOAT, sum/avg go
         # DOUBLE; probed r16), so consume it into the node text
+        over = self._consume_over()
+        if over is None:
+            return None
+        return (k, f"{word}({body}){over}", changed, scale)
+
+    def _consume_over(self) -> str | None:
+        """Consume a trailing ``OVER (...)`` / ``OVER w`` clause into
+        the node text. Returns '' when no OVER follows, None on a
+        malformed clause (caller bails)."""
         save = self.i
         self._ws()
         om = re.match(r"(?is)OVER\s*", self.s[self.i :])
-        over = ""
-        if om is not None:
-            j2 = self.i + om.end()
-            if j2 < self.n and self.s[j2] == "(":
-                close2 = _walk_brackets_fwd(self.s, self.segs, j2)
-                if close2 <= 0:
-                    return None
-                over = " " + self.s[self.i : close2].strip()
-                self.i = close2
-            else:
-                wm2 = re.match(r"[A-Za-z_]\w*", self.s[j2:])
-                if wm2 is None:
-                    return None
-                over = " " + self.s[self.i : j2 + wm2.end()].strip()
-                self.i = j2 + wm2.end()
-        else:
+        if om is None:
             self.i = save
-        return (k, f"{word}({body}){over}", changed, scale)
+            return ""
+        j2 = self.i + om.end()
+        if j2 < self.n and self.s[j2] == "(":
+            close2 = _walk_brackets_fwd(self.s, self.segs, j2)
+            if close2 <= 0:
+                return None
+            over = " " + self.s[self.i : close2].strip()
+            self.i = close2
+            return over
+        wm2 = re.match(r"[A-Za-z_]\w*", self.s[j2:])
+        if wm2 is None:
+            return None
+        over = " " + self.s[self.i : j2 + wm2.end()].strip()
+        self.i = j2 + wm2.end()
+        return over
+
+    def _round_call(self, word: str, j: int):
+        """``round(f32expr[, int-literal])`` → f32. Spark's round over
+        a FLOAT operand matches duck value-for-value (probed r17 grid:
+        scales -2, 0, 1, 2, 7; the 2^24 edge; 3e38); only the signed
+        zero of negative inputs rounding to 0 needs the guard."""
+        close = _walk_brackets_fwd(self.s, self.segs, j)
+        if close <= 0:
+            return None
+        args = split_top_level(self.s[j + 1 : close - 1])
+        if len(args) not in (1, 2):
+            return None
+        if len(args) == 2 and re.fullmatch(
+            r"\s*-?\d+\s*", args[1]
+        ) is None:
+            return None
+        try:
+            res = _F32Expr(args[0], self.kinds).parse()
+        except _F32Bail:
+            return None
+        if res[0] != "f32":
+            return None
+        b = res[1] if res[2] else args[0].strip()
+        rb = (
+            f"round({b}, {args[1].strip()})"
+            if len(args) == 2
+            else f"round({b})"
+        )
+        self.i = close
+        txt = (
+            f"(CASE WHEN {rb} = 0"
+            f" AND startswith(CAST(({b}) AS STRING), '-')"
+            f" THEN CAST('-0.0' AS FLOAT)"
+            f" ELSE CAST({rb} AS FLOAT) END)"
+        )
+        return ("f32", txt, True, 0)
+
+    def _floorlike_call(self, up: str, j: int):
+        """``floor/ceil/ceiling/trunc(f32expr)`` → f32 via Spark's
+        BIGINT floor/ceil with the NaN/±inf/≥2^63 passthrough and
+        signed-zero guards (the rewrite_double_floor_ceil shape)."""
+        close = _walk_brackets_fwd(self.s, self.segs, j)
+        if close <= 0:
+            return None
+        args = split_top_level(self.s[j + 1 : close - 1])
+        if len(args) != 1:
+            return None
+        try:
+            res = _F32Expr(args[0], self.kinds).parse()
+        except _F32Bail:
+            return None
+        if res[0] != "f32":
+            return None
+        b = res[1] if res[2] else args[0].strip()
+        self.i = close
+        if up == "TRUNC":
+            txt = _f32_trunc_text(b)
+        else:
+            txt = _f32_floor_guard(
+                "ceil" if up in ("CEIL", "CEILING") else "floor", b
+            )
+        return ("f32", txt, True, 0)
+
+    def _trunc_case(self, start: int):
+        """Recognize the dialect pass's numeric-trunc template —
+        ``CASE WHEN (b) < 0 THEN ceil(b) ELSE floor(b) END`` with the
+        IDENTICAL b in all three spots — as trunc(b): rewrite() runs
+        before the schema-aware f32 legs, so the typer only ever sees
+        the already-rewritten shape (r17)."""
+        hit = _walk_trunc_template(self.s, self.segs, start)
+        if hit is None:
+            return None
+        b1, end = hit
+        try:
+            res = _F32Expr(b1, self.kinds).parse()
+        except _F32Bail:
+            return None
+        if res[0] != "f32":
+            return None
+        b = res[1] if res[2] else b1.strip()
+        self.i = end
+        return ("f32", _f32_trunc_text(b), True, 0)
+
+    def _offset_window_call(self, word: str, up: str, j: int):
+        """``lag/lead(expr[, n[, default]]) OVER …`` and
+        ``nth_value(expr, n) OVER …`` — value-preserving window calls:
+        the node keeps the argument's kind/scale. The 3-arg default
+        narrows to f32 (duck casts it to the value's FLOAT type,
+        probed r17); non-f32 3-arg forms bail (mixed-type default
+        coercion not modeled)."""
+        close = _walk_brackets_fwd(self.s, self.segs, j)
+        if close <= 0:
+            return None
+        args = split_top_level(self.s[j + 1 : close - 1])
+        if up == "NTH_VALUE":
+            if len(args) != 2 or re.fullmatch(
+                r"\s*\d+\s*", args[1]
+            ) is None:
+                return None
+        elif len(args) not in (1, 2, 3) or (
+            len(args) >= 2
+            and re.fullmatch(r"\s*-?\d+\s*", args[1]) is None
+        ):
+            return None
+        try:
+            res = _F32Expr(args[0], self.kinds).parse()
+        except _F32Bail:
+            return None
+        if res[0] in ("str", "null"):
+            return None
+        parts = [res[1] if res[2] else args[0].strip()]
+        changed = res[2]
+        if len(args) >= 2:
+            parts.append(args[1].strip())
+        if up != "NTH_VALUE" and len(args) == 3:
+            if res[0] != "f32":
+                return None
+            try:
+                dres = _F32Expr(args[2], self.kinds).parse()
+            except _F32Bail:
+                return None
+            if dres[0] in ("str", "null"):
+                return None
+            dflt = _f32_of(dres, args[2].strip())
+            changed = changed or dflt != args[2].strip()
+            parts.append(dflt)
+        self.i = close
+        over = self._consume_over()
+        if not over:  # malformed OR absent: lag/lead need a window
+            return None
+        return (res[0], f"{word}({', '.join(parts)}){over}",
+                changed, res[3])
+
+    def _extremum_call(self, word: str, j: int):
+        """``greatest/least(a, b, …)`` with ≥1 f32 operand → f64: duck
+        widens every operand to DOUBLE (probed r17), so each operand —
+        f32 arithmetic narrowed first — is forced to DOUBLE; Spark's
+        own float×int resolution would compute in FLOAT and lose int
+        precision at 2^24."""
+        close = _walk_brackets_fwd(self.s, self.segs, j)
+        if close <= 0:
+            return None
+        args = split_top_level(self.s[j + 1 : close - 1])
+        if len(args) < 2:
+            return None
+        parsed = []
+        for a in args:
+            try:
+                r = _F32Expr(a, self.kinds).parse()
+            except _F32Bail:
+                return None
+            if r[0] in ("str", "null"):
+                return None
+            parsed.append(r)
+        if not any(r[0] == "f32" for r in parsed):
+            return None
+        texts = [
+            "CAST(("
+            + (r[1] if r[2] else a.strip())
+            + ") AS DOUBLE)"
+            for r, a in zip(parsed, args)
+        ]
+        self.i = close
+        return ("f64", f"{word}(" + ", ".join(texts) + ")", True, None)
 
     def _bin(self, left, op, right):
         lk, lt, lc, ls = left
@@ -5841,8 +6143,15 @@ def _f32_new_sides(lres, rres, lhs: str, rhs: str):
     comparison in f64 (Spark-native, already duck-exact)."""
     lk = lres[0] if lres is not None else None
     rk = rres[0] if rres is not None else None
+    l_chg = lres is not None and lres[2]
+    r_chg = rres is not None and rres[2]
     if lk != "f32" and rk != "f32":
-        return None
+        # r17: a CHANGED f64 side (greatest/least widening, sum/avg
+        # over narrowed f32 arguments) still substitutes its narrowed
+        # text — the comparison itself stays in DOUBLE (duck-native on
+        # both sides), only the side's inner f32 arithmetic differs
+        if not ((lk == "f64" and l_chg) or (rk == "f64" and r_chg)):
+            return None
 
     def narrowed(res, orig):
         _k, txt, changed, _s = res
@@ -5850,9 +6159,9 @@ def _f32_new_sides(lres, rres, lhs: str, rhs: str):
 
     nl, nr = lhs, rhs
     try:
-        if lk == "f32":
+        if lk in ("f32", "f64"):
             nl = narrowed(lres, lhs)
-        if rk == "f32":
+        if rk in ("f32", "f64"):
             nr = narrowed(rres, rhs)
         if lk == "f32" and rk in ("int", "dec", "str"):
             nr = _f32_of(rres, rhs)
@@ -6152,7 +6461,11 @@ def rewrite_f32_select_items(sql: str, kinds) -> str:
     )
     for a, b, expr, alias in _f32_aliased_items(sql):
         res = _f32_side(expr, kinds)
-        if res is None or res[0] != "f32" or not res[2]:
+        # r17: f64 items whose text CHANGED (greatest/least widening,
+        # sum/avg over narrowed f32 args) substitute too — the item
+        # stays DOUBLE on the wire (duck's type), only the inner f32
+        # arithmetic narrows
+        if res is None or res[0] not in ("f32", "f64") or not res[2]:
             continue
         if alias is None:
             if not can_unaliased:
@@ -6204,12 +6517,15 @@ def rewrite_f32_comparisons(sql: str, kinds) -> str:
         list(_CMP_OP_RE.finditer(sql)) + list(_ORD_OP_RE.finditer(sql)),
         key=lambda m: m.start(),
     )
+    trunc_spans = _f32_trunc_spans(sql, segs, mask)
     out: list[str] = []
     pos = 0
     changed_any = False
     for m in sites:
         if m.start() < pos or not all(mask[m.start() : m.end()]):
             continue
+        if any(a2 <= m.start() < b2 for a2, b2 in trunc_spans):
+            continue  # inside a trunc template: the typer owns it
         if m.group(0) == "=" and _is_set_assignment_eq(
             sql, mask, clause_kws, depth, m.start()
         ):
@@ -6270,10 +6586,23 @@ def _rewrite_f32_between(sql: str, kinds) -> str:
         lo = sql[m.end() : lo_end].strip()
         hi = sql[hi_start:hi_end].strip()
         nres = _f32_side(needle, kinds)
-        if nres is None or nres[0] != "f32":
+        if nres is None or nres[0] not in ("f32", "f64"):
             continue
         lres = _f32_side(lo, kinds)
         rres = _f32_side(hi, kinds)
+        if nres[0] == "f64":
+            # r17: a CHANGED f64 needle (greatest/least widening) —
+            # the common type is DOUBLE, native for the bounds; only
+            # narrowed texts substitute, no FLOAT casts
+            if not nres[2]:
+                continue
+            lo2 = lres[1] if lres is not None and lres[2] else lo
+            hi2 = rres[1] if rres is not None and rres[2] else hi
+            kw = sql[m.start() : m.end()]
+            out.append(sql[pos:ls])
+            out.append(f"{nres[1]} {kw} {lo2} AND {hi2}")
+            pos = hi_end
+            continue
         # duck types BETWEEN with ONE common type over all three
         # operands (probed: 0.3::FLOAT BETWEEN 0.3::DOUBLE AND 0.3 is
         # FALSE — the DECIMAL bound went to DOUBLE with the rest), so
@@ -6321,8 +6650,10 @@ def _rewrite_f32_in(sql: str, kinds) -> str:
             continue
         needle = sql[ls : m.start()].strip()
         nres = _f32_side(needle, kinds)
-        if nres is None or nres[0] != "f32":
+        if nres is None or nres[0] not in ("f32", "f64"):
             continue
+        if nres[0] == "f64" and not nres[2]:
+            continue  # unchanged f64 needle: native already duck-exact
         open_ = sql.index("(", m.start(), m.end())
         close = _walk_brackets_fwd(sql, segs, open_)
         if close <= 0:
@@ -6337,6 +6668,20 @@ def _rewrite_f32_in(sql: str, kinds) -> str:
         ):
             continue
         ires = [_f32_side(a.strip(), kinds) for a in items]
+        if nres[0] == "f64":
+            # r17: a CHANGED f64 needle (greatest/least widening) —
+            # duck compares the list in DOUBLE, which native Spark
+            # already does for the ITEMS; only narrowed texts
+            # substitute, no FLOAT casts
+            new_items = [
+                (r[1] if r is not None and r[2] else a.strip())
+                for a, r in zip(items, ires)
+            ]
+            kw = sql[m.start() : open_ + 1]
+            out.append(sql[pos:ls])
+            out.append(f"{nres[1]} {kw}" + ", ".join(new_items) + ")")
+            pos = close
+            continue
         if any(
             r is None or r[0] not in ("f32", "int", "dec", "str", "null")
             for r in ires
@@ -6472,7 +6817,9 @@ def _f32_group_narrowings(sql: str, kinds):
         if re.fullmatch(r"(?is)ALL|\d+", expr):
             return
         res = _f32_side(expr, kinds)
-        if res is None or res[0] != "f32" or not res[2]:
+        # f64-changed keys narrow too (r17) — the select-item leg
+        # substitutes them, so the grouping text must stay identical
+        if res is None or res[0] not in ("f32", "f64") or not res[2]:
             return
         reps.append((a, b, res[1]))
         mirror[_f32_norm(expr)] = res[1]
@@ -6549,7 +6896,7 @@ def f32_grouped_bail(sql: str, kinds) -> bool:
         if alias is not None:
             continue
         res = _f32_side(expr, kinds)
-        if res is None or res[0] != "f32" or not res[2]:
+        if res is None or res[0] not in ("f32", "f64") or not res[2]:
             continue
         if not can_unaliased or _f32_autoname(expr, kinds) is None:
             skipped.add(_f32_norm(expr))
@@ -6571,8 +6918,14 @@ def rewrite_f32_positions(sql: str, base_kinds) -> str:
         merged.setdefault(a, k)
     if f32_grouped_bail(sql, merged):
         return sql
-    sql = rewrite_f32_select_items(sql, merged)
+    # comparisons BEFORE select items (r17): the round/floor/ceil
+    # guards the r17 function tier emits contain internal ``= 0``
+    # comparisons — scanning items first would make the comparison
+    # leg re-narrow inside its own sibling's emission (harmless but
+    # quadratic); on the original text the two legs touch disjoint
+    # spans, so the order only matters for emitted text
     sql = rewrite_f32_comparisons(sql, merged)
+    sql = rewrite_f32_select_items(sql, merged)
     return rewrite_f32_group_order(sql, merged)
 
 

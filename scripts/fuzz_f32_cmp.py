@@ -112,6 +112,41 @@ CENSUS = [
     "SELECT id FROM f32t WHERE abs(f) * 3 = 0.3",
     "SELECT id FROM f32t WHERE coalesce(f, g) * 2 > 0.6",
     "SELECT min(f) * 2 AS v FROM f32t WHERE f > 0",
+    # ---- r17 function tier (VERDICT item 2): round/trunc/ceil/floor
+    # keep FLOAT in duck; signed zero and the 2^24 edge are the traps
+    "SELECT id FROM f32t WHERE round(f, 1) > 0.2",
+    "SELECT id FROM f32t WHERE round(f * 2, 1) = 0.2",
+    "SELECT id FROM f32t WHERE round(f) = 0",
+    "SELECT id FROM f32t WHERE round(f, -2) = 16777200",
+    "SELECT id FROM f32t WHERE ceil(f) = 1",
+    "SELECT id FROM f32t WHERE floor(f * 2) <= 0",
+    "SELECT id FROM f32t WHERE trunc(f) = 0",
+    "SELECT id, round(f * 3, 2) AS v FROM f32t",
+    "SELECT id, round(f, 1) AS v FROM f32t",
+    "SELECT id, trunc(f) AS v FROM f32t",
+    "SELECT id, ceil(f * 2) AS v FROM f32t",
+    "SELECT id, floor(f) AS v FROM f32t",
+    "SELECT id FROM f32t WHERE abs(round(f, 1) * 2 - 0.4) < 0.01",
+    # greatest/least widen to DOUBLE in duck whenever a FLOAT operand
+    # is present (f32 arithmetic inside operands still narrows first)
+    "SELECT id FROM f32t WHERE greatest(f, 0.3) > 0.3",
+    "SELECT id FROM f32t WHERE least(f * 2, g) < 0.6",
+    "SELECT id, greatest(f, i) AS v FROM f32t",
+    "SELECT id, least(f, 0.3, f * 3) AS v FROM f32t",
+    "SELECT id, greatest(f * 2, g) AS v FROM f32t",
+    # window value functions keep the argument's FLOAT; the lag/lead
+    # DEFAULT casts to the value type (f32-narrowed)
+    "SELECT id, lag(f) OVER (ORDER BY id) AS v FROM f32t",
+    "SELECT id, lag(f * 2, 1, 0.123) OVER (ORDER BY id) AS v FROM f32t",
+    "SELECT id, lead(f, 2, f) OVER (ORDER BY id) AS v FROM f32t",
+    "SELECT id, lead(f * 3, 1) OVER (ORDER BY id) AS v FROM f32t",
+    "SELECT id, nth_value(f * 2, 3) OVER"
+    " (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+    " UNBOUNDED FOLLOWING) AS v FROM f32t",
+    "SELECT id, first_value(f * 3) OVER (ORDER BY id) AS v FROM f32t",
+    "SELECT id, last_value(f) OVER (ORDER BY id) AS v FROM f32t",
+    "SELECT v FROM (SELECT id, round(f * 2, 1) AS v FROM f32t) q"
+    " WHERE v > 0.2",
 ]
 
 
@@ -160,6 +195,13 @@ ARITH_TEMPLATES = [
     "f * {k}", "f + {k}", "f - {k}", "{k} * f", "f / {k}",
     "f % {k}", "f * {k} + {j}", "f * {k} - {j}", "(f + {j}) * {k}",
     "-f * {k}", "f * g", "f + g * {k}", "f * {k} / {j}",
+    # r17 function tier: round/trunc/ceil/floor nodes inside chains,
+    # greatest/least widening, window-free scalar shapes only (the
+    # window functions get their own select-item arm in gen_trial)
+    "round(f * {k}, 1)", "round(f, 2) * {k}", "trunc(f * {k})",
+    "ceil(f) * {k}", "floor(f * {k}) + {j}", "round(f * {k})",
+    "greatest(f * {k}, g)", "least(f, g * {k})",
+    "greatest(f, {j}) * {k}",
 ]
 CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
 
@@ -186,6 +228,19 @@ def gen_trial(rng, con):
     else:
         thr = rng.choice(["0.3", "0.6", "1", "16777217", "0.20000000298"])
     shape = rng.random()
+    if shape < 0.08:
+        # r17: window value functions in select-item position — the
+        # only position they can appear; default arg narrows to f32
+        wfn = rng.choice([
+            f"lag({expr}) OVER (ORDER BY id)",
+            f"lag({expr}, 1, {rng.choice(['0.123', '0.3', 'g'])})"
+            " OVER (ORDER BY id)",
+            f"lead({expr}, 2) OVER (ORDER BY id)",
+            f"first_value({expr}) OVER (ORDER BY id)",
+            f"nth_value({expr}, 2) OVER (ORDER BY id ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+        ])
+        return f"SELECT id, {wfn} AS v FROM f32t"
     if shape < 0.12:
         lo, hi = sorted([thr, rng.choice(["0.3", "1", "2.5"])])
         return f"SELECT id FROM f32t WHERE {expr} BETWEEN {lo} AND {hi}"

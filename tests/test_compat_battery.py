@@ -2134,3 +2134,87 @@ def test_f32_high_precision_decimal_no_overflow(spark, oracle, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS decf")
         oracle.execute("DROP TABLE IF EXISTS decf")
+
+
+def test_f32_function_tier_matches_duckdb(spark, oracle, tmp_path):
+    """r17 (VERDICT item 2): the probed f32 pass-through set extends
+    beyond {min,max,first,last,any_value,abs,sum,avg,coalesce} —
+    round/trunc/ceil/floor(FLOAT) keep FLOAT (trunc arrives as the
+    dialect pass's CASE template and is recognized structurally),
+    lag/lead/nth_value/first_value/last_value keep the argument type
+    with the lag/lead DEFAULT cast to the value's FLOAT, and
+    greatest/least widen every operand to DOUBLE (f32 arithmetic
+    inside operands narrows first). The full census/fuzz net is
+    scripts/fuzz_f32_cmp.py."""
+    from duckdb_pgwire_spark.server.app import _hugeint_sums
+
+    register_udfs(spark)
+    spark.sql("DROP TABLE IF EXISTS f32fn")
+    oracle.execute("DROP TABLE IF EXISTS f32fn")
+    spark.sql(
+        "CREATE TABLE f32fn(id INT, f FLOAT, g FLOAT, i INT)"
+        f" USING parquet LOCATION '{tmp_path}/f32fn'"
+    )
+    oracle.execute("CREATE TABLE f32fn(id INT, f FLOAT, g FLOAT, i INT)")
+    ins = (
+        "INSERT INTO f32fn VALUES"
+        " (1, CAST(0.15 AS FLOAT), CAST(0.3 AS FLOAT), 1),"
+        " (2, CAST(-2.5 AS FLOAT), CAST(0.7 AS FLOAT), 16777217),"
+        " (3, CAST(16777215 AS FLOAT), CAST(-0.2 AS FLOAT), 3),"
+        " (4, CAST(123456.789 AS FLOAT), CAST(2.675 AS FLOAT), -5),"
+        " (5, NULL, CAST(1.005 AS FLOAT), 0)"
+    )
+    oracle.execute(ins)
+    spark.sql(rewrite(ins))
+    probes = [
+        # round keeps FLOAT; signed zero of negative→0 rounds kept
+        "SELECT id, round(f, 1) AS v FROM f32fn",
+        "SELECT id, round(f * 2, 2) AS v FROM f32fn",
+        "SELECT id, round(g) AS v FROM f32fn",
+        "SELECT id FROM f32fn WHERE round(f * 2, 1) > 0.3",
+        # trunc/ceil/floor: FLOAT-typed, f32 math inside
+        "SELECT id, trunc(f) AS v FROM f32fn",
+        "SELECT id, trunc(f * 3) AS v FROM f32fn",
+        "SELECT id, ceil(f) * 3 AS v FROM f32fn",
+        "SELECT id, floor(f * 2) AS v FROM f32fn",
+        "SELECT id FROM f32fn WHERE trunc(f * 3) = 50331644",
+        # greatest/least widen to DOUBLE; operands narrow first
+        "SELECT id, greatest(f * 3, g) AS v FROM f32fn",
+        "SELECT id, least(f, g * 7) AS v FROM f32fn",
+        "SELECT id, greatest(f, i) AS v FROM f32fn",
+        "SELECT id FROM f32fn WHERE greatest(f * 3, g) > 0.45",
+        # window value functions keep FLOAT; defaults narrow
+        "SELECT id, lag(f * 2) OVER (ORDER BY id) AS v FROM f32fn",
+        "SELECT id, lag(f, 1, 0.123) OVER (ORDER BY id) AS v"
+        " FROM f32fn",
+        "SELECT id, lead(f * 3, 1, g) OVER (ORDER BY id) AS v"
+        " FROM f32fn",
+        "SELECT id, nth_value(f * 2, 3) OVER (ORDER BY id ROWS"
+        " BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v"
+        " FROM f32fn",
+        "SELECT id, first_value(f * 3) OVER (ORDER BY id) AS v"
+        " FROM f32fn",
+        "SELECT id, last_value(f * 2) OVER (ORDER BY id) AS v"
+        " FROM f32fn",
+        "SELECT id, lag(trunc(f * 3)) OVER (ORDER BY id) AS v"
+        " FROM f32fn",
+    ]
+    try:
+        for q in probes:
+            want = sorted(
+                (_canon(tuple(r)) for r in oracle.execute(q).fetchall()),
+                key=repr,
+            )
+            have = sorted(
+                (
+                    _canon(tuple(r))
+                    for r in spark.sql(
+                        _hugeint_sums(spark, rewrite(q))
+                    ).collect()
+                ),
+                key=repr,
+            )
+            assert want == have, (q, want, have)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS f32fn")
+        oracle.execute("DROP TABLE IF EXISTS f32fn")
