@@ -239,6 +239,73 @@ def _resolve_default_exprs(
     ]
 
 
+def f32_fix_assignments(
+    session: SparkSession,
+    assignments: list[tuple[str, str]],
+    tables: tuple[str, ...],
+) -> list[tuple[str, str]]:
+    """Narrow UPDATE/MERGE SET chains PER-OP like duck (r17, closes the
+    NOTES r16 residue): ``SET x = f * 2 + g * 3`` stores duck's
+    float32-per-operation value (probed — the stored value matches
+    f32(f32(f*2)+f32(g*3)), NOT the narrow-once f32(f64 chain); they
+    differ in the last ulp). Each RHS types through the f32 grammar
+    with the statement tables' schema kinds; unparseable expressions
+    stay native (the store-time cast then narrows once — the old
+    behavior, exact for single-op chains)."""
+    field_lists = []
+    for t in tables:
+        try:
+            field_lists.append(session.table(t).schema.fields)
+        except Exception:  # noqa: BLE001 — subquery/missing rel: skip
+            continue
+    return _f32_fix_pairs(assignments, _f32_kinds_of_fields(field_lists))
+
+
+def _f32_kinds_of_fields(field_lists) -> dict:
+    """bare lowercase column name → f32/f64/int/('dec', scale) over
+    the given schema field lists; names seen with conflicting or
+    non-numeric types drop (the typer then bails conservatively)."""
+    from pyspark.sql import types as T
+
+    kind_map: dict[str, set] = {}
+    for fields in field_lists:
+        for f in fields:
+            dt = f.dataType
+            if isinstance(dt, T.FloatType):
+                k = "f32"
+            elif isinstance(dt, T.DoubleType):
+                k = "f64"
+            elif isinstance(
+                dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
+            ):
+                k = "int"
+            elif isinstance(dt, T.DecimalType):
+                k = ("dec", dt.scale)
+            else:
+                k = "other"
+            kind_map.setdefault(f.name.lower(), set()).add(k)
+    kinds = {
+        n: next(iter(ks)) for n, ks in kind_map.items() if len(ks) == 1
+    }
+    return {n: k for n, k in kinds.items() if k != "other"}
+
+
+def _f32_fix_pairs(
+    pairs: list[tuple[str, str]], kinds: dict
+) -> list[tuple[str, str]]:
+    from ..server.compat import _f32_side
+
+    if not any(k == "f32" for k in kinds.values()):
+        return pairs
+    out = []
+    for col, expr in pairs:
+        res = _f32_side(expr, kinds)
+        if res is not None and res[0] in ("f32", "f64") and res[2]:
+            expr = res[1]
+        out.append((col, expr))
+    return out
+
+
 def update_table(
     session: SparkSession,
     table: str,
@@ -248,6 +315,7 @@ def update_table(
     """Rewrite-on-write UPDATE; returns the matched-row count."""
     cols = session.table(table).columns
     assignments = _resolve_default_exprs(session, table, assignments)
+    assignments = f32_fix_assignments(session, assignments, (table,))
     assignments, pred = _enum_fix_exprs(session, table, assignments, pred)
     set_map = {c.lower(): e for c, e in assignments}
     if pred is None:
@@ -578,6 +646,29 @@ def merge_into(session: SparkSession, spec: MergeSpec) -> int:
         [_upd_count(fm) for fm in fms] + [_ins_count(fm) for fm in nm_fms],
     )
 
+    # MERGE UPDATE arms narrow SET chains per-op like plain UPDATE
+    # (r17): kinds from the target schema + the analyzed source schema
+    # (analysis only, no execution); unknown names bail the typer
+    try:
+        src_fields = session.sql(
+            f"SELECT * FROM ({spec.source_sql}) __merge_f32_probe"
+        ).schema.fields
+    except Exception:  # noqa: BLE001 — unanalyzable source: target only
+        src_fields = []
+    merge_kinds = _f32_kinds_of_fields(
+        [session.table(spec.target).schema.fields, src_fields]
+    )
+    for cl in matched:
+        if cl.action == "update":
+            cl.assignments = _f32_fix_pairs(cl.assignments, merge_kinds)
+    for cl in not_matched:
+        cl.insert_exprs = [
+            e
+            for _c, e in _f32_fix_pairs(
+                [("__v", e) for e in cl.insert_exprs], merge_kinds
+            )
+        ]
+
     sel_parts = []
     for c in cols:
         whens = []
@@ -706,6 +797,7 @@ def update_returning(
     (PG: RETURNING sees the NEW values). Returns the snapshot; the
     affected count is its row count."""
     cols = session.table(table).columns
+    assignments = f32_fix_assignments(session, assignments, (table,))
     set_map = {c.lower(): e for c, e in assignments}
     proj = ", ".join(
         f"({set_map[c.lower()]}) AS {c}" if c.lower() in set_map else c for c in cols
@@ -808,6 +900,11 @@ def update_from(
     assignments = _resolve_default_exprs(session, table, assignments)
     leaf = table.split(".")[-1]
     src_rel, src_alias = from_rel
+    assignments = f32_fix_assignments(
+        session,
+        assignments,
+        (table,) if " " in src_rel else (table, src_rel),
+    )
     src_sql = src_rel if " " in src_rel else f"SELECT * FROM {src_rel}"
     set_map = {c.lower(): e for c, e in assignments}
     collist = ", ".join(cols)

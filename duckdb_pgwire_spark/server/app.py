@@ -3537,6 +3537,50 @@ def _dml_bool_coercion(session: SparkSession, sql: str) -> str:
     )
 
 
+def _dml_f32_narrow(session: SparkSession, sql: str) -> str:
+    """Schema-aware f32 comparison narrowing for DML statements (r17):
+    duck evaluates ``UPDATE t SET … WHERE f * 3 = 0.3`` with FLOAT
+    per-op arithmetic and FLOAT comparison promotion — the SELECT path
+    gets this via _hugeint_sums' rewrite_f32_positions, but DML
+    dispatch bypasses that, so boundary rows could silently mutate the
+    WRONG set (probed: duck matches f=0.1 on f*3=0.3; the un-narrowed
+    DOUBLE comparison matches nothing). Comparison/BETWEEN/IN legs
+    only — SET assignment '=' sites are excluded inside the leg
+    (_is_set_assignment_eq), and SET RHS chains narrow per-op in
+    operators.dml._f32_fix_exprs."""
+    from pyspark.sql import types as T
+
+    from .compat import rewrite_f32_comparisons, statement_tables
+
+    tables = list(statement_tables(sql))
+    tm = _DML_TARGET_RE.match(sql)
+    if tm is not None and tm.group(1) not in tables:
+        tables.append(tm.group(1))
+    kind_map: dict[str, set] = {}
+    for name in tables:
+        for f in _schema_fields(session, name) or []:
+            dt = f.dataType
+            if isinstance(dt, T.FloatType):
+                k = "f32"
+            elif isinstance(dt, T.DoubleType):
+                k = "f64"
+            elif isinstance(
+                dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
+            ):
+                k = "int"
+            elif isinstance(dt, T.DecimalType):
+                k = ("dec", dt.scale)
+            else:
+                k = "other"  # forces a conflict drop → typer bails
+            kind_map.setdefault(f.name.lower(), set()).add(k)
+    kinds = {n: next(iter(ks)) for n, ks in kind_map.items() if len(ks) == 1}
+    kinds = {n: k for n, k in kinds.items() if k != "other"}
+    low = sql.lower()
+    if not any(k == "f32" and n in low for n, k in kinds.items()):
+        return sql
+    return rewrite_f32_comparisons(sql, kinds)
+
+
 def _f32_narrow(typer, f32_names):
     """Wrap a _vc_leaf/_printf_kind typer so an 'f64' verdict narrows
     to 'f32' when DUCK's promotion keeps the expression FLOAT (r15
@@ -3658,6 +3702,7 @@ def _dml_composite_ord(session: SparkSession, sql: str) -> str:
     sql = _dml_pipe_concat(session, sql)
     if _HAS_CMP_RE.search(sql) is None:
         return sql
+    sql = _dml_f32_narrow(session, sql)
     from pyspark.sql import types as T
 
     from .compat import (

@@ -6175,7 +6175,11 @@ def _f32_new_sides(lres, rres, lhs: str, rhs: str):
 
 
 _F32_DECLIT_CAST_RE = re.compile(
-    r"(?i)(?:TRY_)?CAST\s*\(\s*(\d*\.\d+|\d+\.)\s+AS\s+"
+    # the functional CAST form includes an optional SIGN (r17 wire-DML
+    # test find: `CAST(-7.3… AS FLOAT)` missed the model and stored the
+    # correctly-rounded value); the :: form does NOT — duck parses
+    # `-7.3::FLOAT` as -(7.3::FLOAT), cast binds tighter than negation
+    r"(?i)(?:TRY_)?CAST\s*\(\s*(-?\s*\d*\.\d+|-?\s*\d+\.)\s+AS\s+"
     r"(?:FLOAT4|FLOAT|REAL)(?!\s*8)\s*\)"
     r"|(?<![\w.])(\d*\.\d+|\d+\.)\s*::\s*(?:FLOAT4|FLOAT|REAL)"
     r"(?!\s*8)(?!\w)"
@@ -6195,8 +6199,9 @@ def rewrite_f32_declit_casts(sql: str) -> str:
     mask = None
     for m in _F32_DECLIT_CAST_RE.finditer(sql):
         lit = m.group(1) or m.group(2)
-        frac = lit.split(".", 1)[1]
-        unscaled = int(lit.replace(".", "") or "0")
+        core = lit.lstrip("- \t")  # sign folds exactly (_f32_of_dec)
+        frac = core.split(".", 1)[1]
+        unscaled = int(core.replace(".", "") or "0")
         s = len(frac)
         if unscaled <= (1 << 24) and s <= 10:
             continue  # exactly-representable both ways: keep native

@@ -5386,3 +5386,95 @@ def test_wire_create_table_orphaned_warehouse_dir(client, spark):
         assert back["rows"] == [["2"]]
     finally:
         client.query("DROP TABLE IF EXISTS orphan_tgt")
+
+
+def test_wire_update_f32_per_op_narrowing(client, oracle, spark):
+    """r17 (VERDICT item 2 residue): duck evaluates UPDATE SET chains
+    PER-OP in FLOAT (probed: the stored value is f32(f32(f*2)+f32(g*3)),
+    which differs from narrow-once-at-store in the last ulp) and
+    UPDATE/DELETE predicates with FLOAT comparison promotion (duck's
+    `WHERE f * 3 = 0.3` matches f=0.1). DML dispatch bypasses
+    _hugeint_sums, so these ride _dml_f32_narrow + f32_fix_assignments."""
+    _fresh_wire_table(spark, "f32dml")
+    stmts = [
+        "CREATE TABLE f32dml(id int, x float, f float, g float)",
+        "INSERT INTO f32dml VALUES"
+        " (1, 0, CAST(0.1 AS FLOAT), CAST(0.3 AS FLOAT)),"
+        " (2, 0, CAST(-7.31271505355835 AS FLOAT),"
+        "  CAST(6.94867467880249 AS FLOAT)),"
+        " (3, 0, CAST(16777215 AS FLOAT), CAST(0.15 AS FLOAT))",
+        # multi-op SET chain: per-op f32, separating values on row 2
+        "UPDATE f32dml SET x = f * 2 + g * 3",
+        # boundary predicate: matches ONLY under f32 promotion
+        "UPDATE f32dml SET x = x + 100 WHERE f * 3 = 0.3",
+        "DELETE FROM f32dml WHERE g * 2 = 0.3",
+    ]
+    try:
+        for s in stmts:
+            oracle.execute(s)
+            (r,) = client.query(s)
+            assert "error" not in r, (s, r)
+        want = [
+            (row[0], float(row[1]))
+            for row in oracle.execute(
+                "SELECT id, CAST(x AS DOUBLE) AS x FROM f32dml ORDER BY id"
+            ).fetchall()
+        ]
+        (res,) = client.query(
+            "SELECT id, CAST(x AS DOUBLE) AS x FROM f32dml ORDER BY id"
+        )
+        assert "error" not in res, res
+        got = [(int(r[0]), float(r[1])) for r in res["rows"]]
+        assert got == want, (got, want)
+    finally:
+        client.query("DROP TABLE IF EXISTS f32dml")
+
+
+def test_wire_merge_f32_per_op_narrowing(client, oracle, spark):
+    """r17: MERGE UPDATE/INSERT arm expressions compute per-op in
+    FLOAT in duck, and the ON condition promotes f32 arithmetic like
+    any comparison — same legs as plain UPDATE (merge_kinds from the
+    target schema + analyzed source schema)."""
+    _fresh_wire_table(spark, "f32mt")
+    _fresh_wire_table(spark, "f32ms")
+    stmts = [
+        "CREATE TABLE f32mt(id int, x float, f float)",
+        "CREATE TABLE f32ms(id int, g float)",
+        "INSERT INTO f32mt VALUES"
+        " (1, 0, CAST(0.1 AS FLOAT)),"
+        " (2, 0, CAST(-7.31271505355835 AS FLOAT))",
+        "INSERT INTO f32ms VALUES"
+        " (1, CAST(0.3 AS FLOAT)), (2, CAST(6.94867467880249 AS FLOAT)),"
+        " (3, CAST(0.15 AS FLOAT))",
+    ]
+    # duckdb 1.0 has no MERGE; the oracle runs the semantic equivalent
+    merge = (
+        "MERGE INTO f32mt t USING f32ms s ON t.id = s.id"
+        " WHEN MATCHED THEN UPDATE SET x = t.f * 2 + s.g * 3"
+        " WHEN NOT MATCHED THEN INSERT (id, x, f)"
+        " VALUES (s.id, s.g * 2 + 1, s.g)"
+    )
+    oracle_equiv = [
+        "UPDATE f32mt SET x = f32mt.f * 2 + s.g * 3"
+        " FROM f32ms s WHERE f32mt.id = s.id",
+        "INSERT INTO f32mt SELECT s.id, s.g * 2 + 1, s.g FROM f32ms s"
+        " WHERE s.id NOT IN (SELECT id FROM f32mt)",
+    ]
+    try:
+        for st in stmts:
+            oracle.execute(st)
+            (r,) = client.query(st)
+            assert "error" not in r, (st, r)
+        for st in oracle_equiv:
+            oracle.execute(st)
+        (r,) = client.query(merge)
+        assert "error" not in r, (merge, r)
+        q = "SELECT id, CAST(x AS DOUBLE) AS x FROM f32mt ORDER BY id"
+        want = [(row[0], float(row[1])) for row in oracle.execute(q).fetchall()]
+        (res,) = client.query(q)
+        assert "error" not in res, res
+        got = [(int(r[0]), float(r[1])) for r in res["rows"]]
+        assert got == want, (got, want)
+    finally:
+        client.query("DROP TABLE IF EXISTS f32mt")
+        client.query("DROP TABLE IF EXISTS f32ms")
