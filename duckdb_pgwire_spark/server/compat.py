@@ -5547,6 +5547,26 @@ class _F32Expr:
                         return inner
                     if inner is not None and inner[0] in ("int", "dec"):
                         return (inner[0], txt, False, inner[3])
+                # narrow the cast BODY (r17 census find): duck computes
+                # `CAST(round(f32×2, 1) AS DOUBLE)` per-op in FLOAT and
+                # widens the RESULT; keeping the text unchanged made
+                # Spark compute the body in DOUBLE. The `::` postfix
+                # form already narrowed its operand — this closes the
+                # functional form the same way.
+                inner = _f32_side(body[: am.start()], self.kinds)
+                if (
+                    inner is not None
+                    and inner[0] in ("f32", "f64")
+                    and inner[2]
+                ):
+                    # txt spans [start, close); the 'CAST (' prefix is
+                    # its first (j + 1 - start) chars — self.i already
+                    # moved to close above
+                    pre = txt[: j + 1 - (close - len(txt))]
+                    txt = (
+                        pre + inner[1] + " " + body[am.start() :] + ")"
+                    )
+                    return (k, txt, True, scale)
                 return (k, txt, False, scale)
             if up == "NULLIF":
                 # the div-zero pass wraps denominators in nullif(x, 0)
@@ -5866,15 +5886,25 @@ class _F32Expr:
         if len(args) >= 2:
             parts.append(args[1].strip())
         if up != "NTH_VALUE" and len(args) == 3:
-            if res[0] != "f32":
-                return None
             try:
                 dres = _F32Expr(args[2], self.kinds).parse()
             except _F32Bail:
                 return None
             if dres[0] in ("str", "null"):
                 return None
-            dflt = _f32_of(dres, args[2].strip())
+            if res[0] == "f32":
+                # duck casts the default to the value's FLOAT
+                dflt = _f32_of(dres, args[2].strip())
+            elif res[0] == "f64":
+                # f64 value (e.g. a greatest/least node): duck casts
+                # the default to DOUBLE — Spark's native cast agrees
+                # for int/dec/f32 defaults; only an f32-CHANGED
+                # default substitutes its narrowed text (r17 seed-19
+                # fuzz find: the old f32-only arm bailed the WHOLE
+                # call, losing the value argument's inner narrowing)
+                dflt = dres[1] if dres[2] else args[2].strip()
+            else:
+                return None  # int/dec value: coercion not modeled
             changed = changed or dflt != args[2].strip()
             parts.append(dflt)
         self.i = close

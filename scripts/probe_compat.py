@@ -1215,6 +1215,43 @@ BATTERY: dict[str, list[str]] = {
         " JOIN nation ON c_nationkey = n_nationkey"
         " ORDER BY l_orderkey, l_linenumber LIMIT 3",
     ],
+    "r17_f32_fn_tier": [
+        # round/trunc/ceil/floor keep FLOAT over f32 operands (typer
+        # tier, VERDICT r16 item 2); the type-blind cast-unit leg
+        # drives these — no catalog column needed
+        "SELECT CAST(round(0.15::FLOAT * 2, 1) AS DOUBLE) AS v",
+        "SELECT CAST(round(2.675::FLOAT, 2) AS DOUBLE) AS v",
+        "SELECT round(CAST(-0.2 AS FLOAT)) AS v",
+        "SELECT round(123456.789::FLOAT, -2) AS v",
+        "SELECT trunc(CAST(-2.7 AS FLOAT)) AS v",
+        "SELECT trunc(0.7::FLOAT * 5) AS v",
+        "SELECT ceil(0.1::FLOAT * 3) AS v",
+        "SELECT floor(CAST(-0.7 AS FLOAT)) AS v",
+        "SELECT (round(0.1::FLOAT * 3, 1) = 0.3) AS a,"
+        " (ceil(2.5::FLOAT) = 3) AS b",
+        # greatest/least widen to DOUBLE whenever a FLOAT operand is
+        # present; f32 arithmetic inside operands narrows first
+        "SELECT greatest(0.1::FLOAT * 3, 0.3) AS v",
+        "SELECT least(0.1::FLOAT * 3, 0.3) AS v",
+        "SELECT greatest(0.1::FLOAT, 1) AS v",
+        # window value functions keep the argument's FLOAT; lag/lead
+        # DEFAULT casts to the value type (alias-kind propagation
+        # types f in the derived table)
+        "SELECT i, CAST(lag(f) OVER (ORDER BY i) AS DOUBLE) AS v FROM"
+        " (SELECT 1 AS i, 0.1::FLOAT AS f UNION ALL SELECT 2,"
+        " 0.3::FLOAT) t ORDER BY i",
+        "SELECT i, CAST(lag(f * 2, 1, 0.123) OVER (ORDER BY i) AS DOUBLE)"
+        " AS v FROM (SELECT 1 AS i, 0.1::FLOAT AS f UNION ALL SELECT 2,"
+        " 0.3::FLOAT) t ORDER BY i",
+        "SELECT i, CAST(first_value(f * 3) OVER (ORDER BY i) AS DOUBLE)"
+        " AS v FROM (SELECT 1 AS i, 0.1::FLOAT AS f UNION ALL SELECT 2,"
+        " 0.3::FLOAT) t ORDER BY i",
+        # SIGNED decimal literal in the functional CAST form takes
+        # duck's unscaled/10^scale model (wire-DML test find)
+        "SELECT CAST(CAST(-7.31271505355835 AS FLOAT) AS DOUBLE) AS v",
+        "SELECT CAST(-0.333333333333333 AS FLOAT) = -0.1::FLOAT * 3"
+        " AS a",
+    ],
 }
 
 
