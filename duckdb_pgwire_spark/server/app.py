@@ -3545,12 +3545,16 @@ def _dml_f32_narrow(session: SparkSession, sql: str) -> str:
     dispatch bypasses that, so boundary rows could silently mutate the
     WRONG set (probed: duck matches f=0.1 on f*3=0.3; the un-narrowed
     DOUBLE comparison matches nothing). Comparison/BETWEEN/IN legs
-    only — SET assignment '=' sites are excluded inside the leg
+    — SET assignment '=' sites are excluded inside the leg
     (_is_set_assignment_eq), and SET RHS chains narrow per-op in
-    operators.dml._f32_fix_exprs."""
+    operators.dml.f32_fix_assignments. Runs the FULL orchestrator
+    (rewrite_f32_positions), so INSERT … SELECT sources staged through
+    stage_insert_rows (RETURNING / ON CONFLICT) and subqueries inside
+    DML predicates get their select items narrowed too — the plain
+    INSERT fall-through already gets this via _hugeint_sums."""
     from pyspark.sql import types as T
 
-    from .compat import rewrite_f32_comparisons, statement_tables
+    from .compat import rewrite_f32_positions, statement_tables
 
     tables = list(statement_tables(sql))
     tm = _DML_TARGET_RE.match(sql)
@@ -3578,7 +3582,7 @@ def _dml_f32_narrow(session: SparkSession, sql: str) -> str:
     low = sql.lower()
     if not any(k == "f32" and n in low for n, k in kinds.items()):
         return sql
-    return rewrite_f32_comparisons(sql, kinds)
+    return rewrite_f32_positions(sql, kinds)
 
 
 def _f32_narrow(typer, f32_names):

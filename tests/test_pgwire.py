@@ -5478,3 +5478,39 @@ def test_wire_merge_f32_per_op_narrowing(client, oracle, spark):
     finally:
         client.query("DROP TABLE IF EXISTS f32mt")
         client.query("DROP TABLE IF EXISTS f32ms")
+
+
+def test_wire_insert_select_f32_narrowing(client, oracle, spark):
+    """r17: INSERT … SELECT sources compute f32 select items per-op in
+    duck — both the plain fall-through (via _hugeint_sums) and the
+    staged RETURNING / ON CONFLICT path (via _dml_f32_narrow's full
+    orchestrator) must narrow them."""
+    _fresh_wire_table(spark, "f32src")
+    _fresh_wire_table(spark, "f32dst")
+    stmts = [
+        "CREATE TABLE f32src(id int, f float)",
+        "CREATE TABLE f32dst(id int, v float)",
+        "INSERT INTO f32src VALUES (1, CAST(0.1 AS FLOAT)),"
+        " (2, CAST(-7.31271505355835 AS FLOAT))",
+        # plain fall-through
+        "INSERT INTO f32dst SELECT id, f * 3 FROM f32src",
+    ]
+    try:
+        for s in stmts:
+            oracle.execute(s)
+            (r,) = client.query(s)
+            assert "error" not in r, (s, r)
+        # staged path (RETURNING)
+        s = ("INSERT INTO f32dst SELECT id + 10, f * 7 FROM f32src"
+             " RETURNING id")
+        oracle.execute(s.replace(" RETURNING id", ""))
+        (r,) = client.query(s)
+        assert "error" not in r, (s, r)
+        q = "SELECT id, CAST(v AS DOUBLE) AS v FROM f32dst ORDER BY id"
+        want = [(row[0], float(row[1])) for row in oracle.execute(q).fetchall()]
+        (res,) = client.query(q)
+        got = [(int(r[0]), float(r[1])) for r in res["rows"]]
+        assert got == want, (got, want)
+    finally:
+        client.query("DROP TABLE IF EXISTS f32src")
+        client.query("DROP TABLE IF EXISTS f32dst")
