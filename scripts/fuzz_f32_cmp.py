@@ -147,6 +147,12 @@ CENSUS = [
     "SELECT id, last_value(f) OVER (ORDER BY id) AS v FROM f32t",
     "SELECT v FROM (SELECT id, round(f * 2, 1) AS v FROM f32t) q"
     " WHERE v > 0.2",
+    # HAVING-position composition over the r17 tier
+    "SELECT i, count(*) AS c FROM f32t GROUP BY i"
+    " HAVING round(max(f), 1) > 0.2",
+    "SELECT i, count(*) AS c FROM f32t GROUP BY i"
+    " HAVING greatest(max(f) * 2, 0.3) > 0.5",
+    "SELECT i, trunc(max(f) * 3) AS v FROM f32t GROUP BY i",
 ]
 
 
