@@ -252,12 +252,9 @@ def f32_fix_assignments(
     with the statement tables' schema kinds; unparseable expressions
     stay native (the store-time cast then narrows once — the old
     behavior, exact for single-op chains)."""
-    field_lists = []
-    for t in tables:
-        try:
-            field_lists.append(session.table(t).schema.fields)
-        except Exception:  # noqa: BLE001 — subquery/missing rel: skip
-            continue
+    from ..server.app import _schema_fields  # memoized catalog probe
+
+    field_lists = [_schema_fields(session, t) or [] for t in tables]
     return _f32_fix_pairs(assignments, _f32_kinds_of_fields(field_lists))
 
 
@@ -646,28 +643,43 @@ def merge_into(session: SparkSession, spec: MergeSpec) -> int:
         [_upd_count(fm) for fm in fms] + [_ins_count(fm) for fm in nm_fms],
     )
 
-    # MERGE UPDATE arms narrow SET chains per-op like plain UPDATE
-    # (r17): kinds from the target schema + the analyzed source schema
-    # (analysis only, no execution); unknown names bail the typer
-    try:
-        src_fields = session.sql(
-            f"SELECT * FROM ({spec.source_sql}) __merge_f32_probe"
-        ).schema.fields
-    except Exception:  # noqa: BLE001 — unanalyzable source: target only
-        src_fields = []
-    merge_kinds = _f32_kinds_of_fields(
-        [session.table(spec.target).schema.fields, src_fields]
-    )
-    for cl in matched:
-        if cl.action == "update":
-            cl.assignments = _f32_fix_pairs(cl.assignments, merge_kinds)
-    for cl in not_matched:
-        cl.insert_exprs = [
-            e
-            for _c, e in _f32_fix_pairs(
-                [("__v", e) for e in cl.insert_exprs], merge_kinds
-            )
-        ]
+    # MERGE UPDATE/INSERT arms narrow SET chains per-op like plain
+    # UPDATE (r17): kinds from the target schema + the analyzed source
+    # schema (analysis only, no execution); unknown names bail the
+    # typer. The schema probes only run when some arm expression
+    # carries arithmetic at all (r17 review: every MERGE paid the
+    # source analysis otherwise; bare-identifier/literal arms cannot
+    # narrow)
+    from ..server.compat import f32_item_gate
+
+    arm_exprs = [
+        e
+        for cl in matched
+        if cl.action == "update"
+        for _c, e in cl.assignments
+    ] + [e for cl in not_matched for e in cl.insert_exprs]
+    if any(f32_item_gate("SELECT " + e) for e in arm_exprs):
+        try:
+            src_fields = session.sql(
+                f"SELECT * FROM ({spec.source_sql}) __merge_f32_probe"
+            ).schema.fields
+        except Exception:  # noqa: BLE001 — unanalyzable: target only
+            src_fields = []
+        merge_kinds = _f32_kinds_of_fields(
+            [session.table(spec.target).schema.fields, src_fields]
+        )
+        for cl in matched:
+            if cl.action == "update":
+                cl.assignments = _f32_fix_pairs(
+                    cl.assignments, merge_kinds
+                )
+        for cl in not_matched:
+            cl.insert_exprs = [
+                e
+                for _c, e in _f32_fix_pairs(
+                    [("__v", e) for e in cl.insert_exprs], merge_kinds
+                )
+            ]
 
     sel_parts = []
     for c in cols:

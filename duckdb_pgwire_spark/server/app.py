@@ -175,12 +175,21 @@ def _clean_orphan_location(session: SparkSession, name: str) -> None:
         if session.catalog.tableExists(name):
             return
         parts = [p.strip("`") for p in name.split(".")]
+        if len(parts) > 2:
+            # catalog-qualified target: the path below is derived
+            # against spark_catalog's warehouse, so a missing
+            # othercat.db.t must NOT delete spark_catalog.db.t's live
+            # data (r17 review find) — skip, the CREATE surfaces its
+            # own error if the location clashes
+            return
         tbl = parts[-1].lower()
         db = (
             parts[-2].lower()
             if len(parts) > 1
             else session.catalog.currentDatabase()
         )
+        if len(parts) > 1 and session.catalog.tableExists(f"{db}.{tbl}"):
+            return  # the LOCAL catalog knows this table: never touch it
         wh = session.conf.get("spark.sql.warehouse.dir")
         from urllib.parse import urlparse
 
@@ -3552,33 +3561,16 @@ def _dml_f32_narrow(session: SparkSession, sql: str) -> str:
     stage_insert_rows (RETURNING / ON CONFLICT) and subqueries inside
     DML predicates get their select items narrowed too — the plain
     INSERT fall-through already gets this via _hugeint_sums."""
-    from pyspark.sql import types as T
-
+    from ..operators.dml import _f32_kinds_of_fields
     from .compat import rewrite_f32_positions, statement_tables
 
     tables = list(statement_tables(sql))
     tm = _DML_TARGET_RE.match(sql)
     if tm is not None and tm.group(1) not in tables:
         tables.append(tm.group(1))
-    kind_map: dict[str, set] = {}
-    for name in tables:
-        for f in _schema_fields(session, name) or []:
-            dt = f.dataType
-            if isinstance(dt, T.FloatType):
-                k = "f32"
-            elif isinstance(dt, T.DoubleType):
-                k = "f64"
-            elif isinstance(
-                dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
-            ):
-                k = "int"
-            elif isinstance(dt, T.DecimalType):
-                k = ("dec", dt.scale)
-            else:
-                k = "other"  # forces a conflict drop → typer bails
-            kind_map.setdefault(f.name.lower(), set()).add(k)
-    kinds = {n: next(iter(ks)) for n, ks in kind_map.items() if len(ks) == 1}
-    kinds = {n: k for n, k in kinds.items() if k != "other"}
+    kinds = _f32_kinds_of_fields(
+        [_schema_fields(session, name) or [] for name in tables]
+    )
     low = sql.lower()
     if not any(k == "f32" and n in low for n, k in kinds.items()):
         return sql
@@ -3704,9 +3696,12 @@ def _dml_composite_ord(session: SparkSession, sql: str) -> str:
     r12 item 1)."""
     sql = _dml_bool_coercion(session, sql)
     sql = _dml_pipe_concat(session, sql)
+    # BEFORE the comparison gate (r17 review find): a staged
+    # INSERT … SELECT f * 2 + g * 3 … RETURNING has no comparison
+    # token, but its select items still need the per-op narrowing
+    sql = _dml_f32_narrow(session, sql)
     if _HAS_CMP_RE.search(sql) is None:
         return sql
-    sql = _dml_f32_narrow(session, sql)
     from pyspark.sql import types as T
 
     from .compat import (

@@ -6753,7 +6753,13 @@ def _rewrite_f32_in(sql: str, kinds) -> str:
 _F32_GATE_STRIP_RE = re.compile(
     r"(?i)\b(?:select|returning|distinct)\s+\*|\.\s*\*|\(\s*\*\s*\)|,\s*\*"
 )
-_F32_GATE_OP_RE = re.compile(r"[+/%]|[\w`\")\]]\s*[*-]\s*[\w`\"(]")
+_F32_GATE_OP_RE = re.compile(
+    # the right operand may start with unary sign(s): `f * -2.5`,
+    # `f - -g` (r17 review find — the first cut required a bare
+    # operand char and silently dropped the narrowing the old
+    # any-arithmetic-char gate applied)
+    r"[+/%]|[\w`\")\]]\s*[*-]\s*(?:[-+]\s*)*[\w`\"(]"
+)
 
 
 def f32_item_gate(sql: str) -> bool:
@@ -6891,10 +6897,29 @@ def _f32_group_narrowings(sql: str, kinds):
 
 def rewrite_f32_group_order(sql: str, kinds) -> str:
     """Apply the grouping-expression narrowings and mirror them onto
-    ORDER BY items whose text matches a narrowed grouping expression
-    (sort expressions re-resolve against grouping expressions in
-    aggregated scopes; an un-mirrored text would no longer match)."""
+    ORDER BY and window PARTITION BY items whose text matches a
+    narrowed grouping expression (both re-resolve against grouping
+    expressions in aggregated scopes; an un-mirrored text would no
+    longer match — the PARTITION BY leg closes the r17 review find:
+    ``sum(count(*)) OVER (PARTITION BY f * 2) … GROUP BY f * 2``
+    raised MISSING_AGGREGATION half-narrowed). In UNGROUPED
+    statements PARTITION BY keys narrow directly — duck partitions on
+    the f32-rounded key, so two f64-distinct values can share a duck
+    partition."""
     reps, mirror = _f32_group_narrowings(sql, kinds)
+    grouped = bool(reps) or (
+        _F32_GROUPBY_RE.search(sql) is not None
+    )
+    for a, b, item in _f32_clause_items(
+        sql, _F32_PARTBY_RE, _F32_PB_END_RE
+    ):
+        nt = mirror.get(_f32_norm(item))
+        if nt is None and not grouped:
+            res = _f32_side(item, kinds)
+            if res is not None and res[0] in ("f32", "f64") and res[2]:
+                nt = res[1]
+        if nt is not None:
+            reps.append((a, b, nt))
     if not reps:
         return sql
     for a, b, item in _f32_clause_items(sql, _F32_ORDERBY_RE, _F32_GB_END_RE):
@@ -6914,6 +6939,10 @@ def rewrite_f32_group_order(sql: str, kinds) -> str:
         pos = b
     out.append(sql[pos:])
     return "".join(out)
+
+
+_F32_PARTBY_RE = re.compile(r"(?i)\bPARTITION\s+BY\b")
+_F32_PB_END_RE = re.compile(r"(?i)\b(ORDER|ROWS|RANGE|GROUPS)\b")
 
 
 def f32_grouped_bail(sql: str, kinds) -> bool:

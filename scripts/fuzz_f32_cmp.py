@@ -153,6 +153,18 @@ CENSUS = [
     "SELECT i, count(*) AS c FROM f32t GROUP BY i"
     " HAVING greatest(max(f) * 2, 0.3) > 0.5",
     "SELECT i, trunc(max(f) * 3) AS v FROM f32t GROUP BY i",
+    # unary-sign right operands must pass the item gate (r17 review)
+    "SELECT id, f * -2.5 AS v FROM f32t",
+    "SELECT id, f * - 3.0 AS v FROM f32t",
+    "SELECT id FROM f32t WHERE f - -g > 0.2",
+    # window PARTITION BY keys narrow: mirrored in grouped scopes,
+    # directly when ungrouped (r17 review — the grouped form raised
+    # MISSING_AGGREGATION half-narrowed)
+    "SELECT f * 2 AS v, sum(count(*)) OVER (PARTITION BY f * 2) AS s"
+    " FROM f32t GROUP BY f * 2",
+    "SELECT id, count(*) OVER (PARTITION BY f * 2) AS c FROM f32t",
+    "SELECT id, count(*) OVER (PARTITION BY trunc(f * 3)"
+    " ORDER BY id) AS c FROM f32t",
 ]
 
 

@@ -5506,6 +5506,15 @@ def test_wire_insert_select_f32_narrowing(client, oracle, spark):
         oracle.execute(s.replace(" RETURNING id", ""))
         (r,) = client.query(s)
         assert "error" not in r, (s, r)
+        # staged path with NO comparison token and a MULTI-OP chain —
+        # the r17 review found _dml_f32_narrow gated behind the
+        # comparison check, so this stored narrow-once instead of
+        # duck's per-op value
+        s = ("INSERT INTO f32dst SELECT id + 20, f * 2 + f * 3"
+             " FROM f32src RETURNING id")
+        oracle.execute(s.replace(" RETURNING id", ""))
+        (r,) = client.query(s)
+        assert "error" not in r, (s, r)
         q = "SELECT id, CAST(v AS DOUBLE) AS v FROM f32dst ORDER BY id"
         want = [(row[0], float(row[1])) for row in oracle.execute(q).fetchall()]
         (res,) = client.query(q)
@@ -5514,3 +5523,36 @@ def test_wire_insert_select_f32_narrowing(client, oracle, spark):
     finally:
         client.query("DROP TABLE IF EXISTS f32src")
         client.query("DROP TABLE IF EXISTS f32dst")
+
+
+def test_clean_orphan_location_guards(spark, tmp_path):
+    """r17 review: the orphan-warehouse pre-clean must never touch (a)
+    catalog-qualified targets (the derived path points into
+    spark_catalog's warehouse while tableExists checked ANOTHER
+    catalog) or (b) a db-qualified name the LOCAL catalog knows."""
+    import os
+    from urllib.parse import urlparse
+
+    from duckdb_pgwire_spark.server.app import _clean_orphan_location
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    u = urlparse(wh)
+    base = u.path or wh
+    # (a) catalog-qualified: a same-named dir in the default warehouse
+    # must survive
+    loc = os.path.join(base, "guard_t")
+    os.makedirs(loc, exist_ok=True)
+    marker = os.path.join(loc, "live.parquet")
+    with open(marker, "wb") as fh:
+        fh.write(b"live")
+    try:
+        _clean_orphan_location(spark, "othercat.default.guard_t")
+        assert os.path.exists(marker), "catalog-qualified clean touched spark_catalog data"
+        # (b) unqualified orphan IS cleaned (the designed behavior)
+        spark.sql("DROP TABLE IF EXISTS guard_t")
+        _clean_orphan_location(spark, "guard_t")
+        assert not os.path.exists(loc)
+    finally:
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
