@@ -5597,10 +5597,29 @@ class _F32Expr:
             if up in ("SUM", "AVG"):
                 # duck sum/avg(FLOAT) accumulate in DOUBLE — same as
                 # Spark over float inputs; the f32 ARGUMENT still
-                # narrows so the per-row values match
-                node = self._passthru_call(word, j, same_kind=False)
+                # narrows so the per-row values match. DISTINCT forms
+                # narrow too (r17): the distinct SET itself is formed
+                # over the f32 values — two f64-distinct products can
+                # be ONE f32 value, changing the sum/avg outright
+                node = self._passthru_call(
+                    word, j, same_kind=False, allow_distinct=True
+                )
                 if node is not None and node[0] == "f32":
                     return ("f64", node[1], node[2], None)
+                raise _F32Bail
+            if up == "COUNT":
+                # count(DISTINCT f32expr): the distinct-set SIZE is
+                # formed over f32 values in duck (r17 probe:
+                # count(DISTINCT f * 3) counts f32 products); plain
+                # count(expr) is nullness-only (narrowing preserves
+                # NULL) — both type BIGINT
+                node = self._passthru_call(
+                    word, j, same_kind=False, allow_distinct=True
+                )
+                if node is not None and node[0] in (
+                    "f32", "f64", "int", "dec"
+                ):
+                    return ("int", node[1], node[2], 0)
                 raise _F32Bail
             if up == "COALESCE":
                 # all-f32 coalesce stays FLOAT in duck (probed r16)
@@ -5716,19 +5735,27 @@ class _F32Expr:
             node = (k, f"{txt}{self.s[self.i:j]}", changed, scale)
             self.i = j
 
-    def _passthru_call(self, word: str, j: int, same_kind: bool):
-        """Parse ``word(single-arg)`` where the argument is an
-        emulable numeric expression; None when the shape is off
-        (DISTINCT, multiple args, trailing OVER/FILTER bail via the
-        caller's leftover check)."""
+    def _passthru_call(
+        self, word: str, j: int, same_kind: bool,
+        allow_distinct: bool = False,
+    ):
+        """Parse ``word([DISTINCT ]single-arg)`` where the argument is
+        an emulable numeric expression; None when the shape is off
+        (DISTINCT outside sum/avg, multiple args, trailing OVER/FILTER
+        bail via the caller's leftover check)."""
         close = _walk_brackets_fwd(self.s, self.segs, j)
         if close <= 0:
             return None
         args = split_top_level(self.s[j + 1 : close - 1])
-        if len(args) != 1 or re.match(
-            r"(?is)\s*(?:DISTINCT|ALL)\b", args[0]
-        ):
+        if len(args) != 1:
             return None
+        prefix = ""
+        dm = re.match(r"(?is)\s*(DISTINCT|ALL)\b", args[0])
+        if dm is not None:
+            if not allow_distinct:
+                return None
+            prefix = dm.group(1).upper() + " "
+            args = [args[0][dm.end() :]]
         try:
             k, txt, changed, scale = _F32Expr(
                 args[0], self.kinds
@@ -5737,7 +5764,7 @@ class _F32Expr:
             return None
         if k in ("str", "null"):
             return None
-        body = txt if changed else args[0].strip()
+        body = prefix + (txt if changed else args[0].strip())
         self.i = close
         # an OVER clause makes this a window call — same typing (duck
         # min/max/first/any_value/abs windows keep FLOAT, sum/avg go

@@ -165,6 +165,12 @@ CENSUS = [
     "SELECT id, count(*) OVER (PARTITION BY f * 2) AS c FROM f32t",
     "SELECT id, count(*) OVER (PARTITION BY trunc(f * 3)"
     " ORDER BY id) AS c FROM f32t",
+    # DISTINCT aggregates form their distinct set over f32 values
+    "SELECT sum(DISTINCT f * 3) AS s FROM f32t",
+    "SELECT avg(DISTINCT f * 2) AS a FROM f32t",
+    "SELECT count(DISTINCT f * 3) AS c FROM f32t",
+    "SELECT count(DISTINCT f / 3.0) AS c FROM f32t",
+    "SELECT i, count(DISTINCT f * 3) AS c FROM f32t GROUP BY i",
 ]
 
 
