@@ -5594,18 +5594,30 @@ class _F32Expr:
                 if node is not None:
                     return node
                 raise _F32Bail
-            if up in ("SUM", "AVG"):
-                # duck sum/avg(FLOAT) accumulate in DOUBLE — same as
-                # Spark over float inputs; the f32 ARGUMENT still
-                # narrows so the per-row values match. DISTINCT forms
-                # narrow too (r17): the distinct SET itself is formed
-                # over the f32 values — two f64-distinct products can
-                # be ONE f32 value, changing the sum/avg outright
+            if up in ("SUM", "AVG", "STDDEV", "STDDEV_SAMP",
+                      "STDDEV_POP", "VARIANCE", "VAR_SAMP", "VAR_POP"):
+                # duck aggregates FLOAT args in DOUBLE — same as Spark
+                # over float inputs; the f32 ARGUMENT still narrows so
+                # the per-row values match (r17 adds the stat family,
+                # probed DOUBLE over FLOAT; Spark-native names only —
+                # corr/skewness/kurtosis arrive pre-decomposed by the
+                # dialect pass and bail conservative). DISTINCT
+                # sum/avg narrow too (r17): the distinct SET itself is
+                # formed over the f32 values — two f64-distinct
+                # products can be ONE f32 value, changing the result
                 node = self._passthru_call(
-                    word, j, same_kind=False, allow_distinct=True
+                    word, j, same_kind=False,
+                    allow_distinct=up in ("SUM", "AVG"),
                 )
                 if node is not None and node[0] == "f32":
                     return ("f64", node[1], node[2], None)
+                raise _F32Bail
+            if up in ("COVAR_SAMP", "COVAR_POP"):
+                # 2-arg stat aggregates: DOUBLE result, each f32 arg
+                # narrows (probed r17)
+                node = self._two_arg_f64_agg(word, j)
+                if node is not None:
+                    return node
                 raise _F32Bail
             if up == "COUNT":
                 # count(DISTINCT f32expr): the distinct-set SIZE is
@@ -5818,6 +5830,18 @@ class _F32Expr:
             res = _F32Expr(args[0], self.kinds).parse()
         except _F32Bail:
             return None
+        if res[0] == "f64" and res[2]:
+            # round over a CHANGED f64 body (e.g. round(stddev(f*2),
+            # 6)): duck round(DOUBLE, n) = Spark's — only the body's
+            # inner f32 arithmetic substitutes (r17)
+            b = res[1]
+            self.i = close
+            rb = (
+                f"round({b}, {args[1].strip()})"
+                if len(args) == 2
+                else f"round({b})"
+            )
+            return ("f64", rb, True, None)
         if res[0] != "f32":
             return None
         b = res[1] if res[2] else args[0].strip()
@@ -5940,6 +5964,43 @@ class _F32Expr:
             return None
         return (res[0], f"{word}({', '.join(parts)}){over}",
                 changed, res[3])
+
+    def _two_arg_f64_agg(self, word: str, j: int):
+        """``covar_samp/covar_pop(a, b)`` with ≥1 f32 operand → f64;
+        both operands narrow their inner f32 arithmetic (Spark's
+        covariance casts inputs to DOUBLE internally — exact widening
+        of the narrowed f32 values)."""
+        close = _walk_brackets_fwd(self.s, self.segs, j)
+        if close <= 0:
+            return None
+        args = split_top_level(self.s[j + 1 : close - 1])
+        if len(args) != 2:
+            return None
+        parsed = []
+        for a in args:
+            try:
+                r = _F32Expr(a, self.kinds).parse()
+            except _F32Bail:
+                return None
+            if r[0] in ("str", "null"):
+                return None
+            parsed.append(r)
+        if not any(r[0] == "f32" for r in parsed):
+            return None
+        texts = [
+            r[1] if r[2] else a.strip() for r, a in zip(parsed, args)
+        ]
+        changed = any(r[2] for r in parsed)
+        self.i = close
+        over = self._consume_over()
+        if over is None:
+            return None
+        return (
+            "f64",
+            f"{word}(" + ", ".join(texts) + f"){over}",
+            changed,
+            None,
+        )
 
     def _extremum_call(self, word: str, j: int):
         """``greatest/least(a, b, …)`` with ≥1 f32 operand → f64: duck
@@ -6203,23 +6264,24 @@ def _f32_new_sides(lres, rres, lhs: str, rhs: str):
     l_chg = lres is not None and lres[2]
     r_chg = rres is not None and rres[2]
     if lk != "f32" and rk != "f32":
-        # r17: a CHANGED f64 side (greatest/least widening, sum/avg
-        # over narrowed f32 arguments) still substitutes its narrowed
-        # text — the comparison itself stays in DOUBLE (duck-native on
-        # both sides), only the side's inner f32 arithmetic differs
-        if not ((lk == "f64" and l_chg) or (rk == "f64" and r_chg)):
+        # r17: a CHANGED non-f32 side (greatest/least widening,
+        # sum/avg/count over narrowed f32 arguments) still substitutes
+        # its narrowed text — the comparison itself keeps its native
+        # type on both sides, only the side's inner f32 arithmetic
+        # (or distinct set) differs
+        if not (l_chg or r_chg):
             return None
 
     def narrowed(res, orig):
+        if res is None:
+            return orig
         _k, txt, changed, _s = res
         return txt if changed else orig
 
     nl, nr = lhs, rhs
     try:
-        if lk in ("f32", "f64"):
-            nl = narrowed(lres, lhs)
-        if rk in ("f32", "f64"):
-            nr = narrowed(rres, rhs)
+        nl = narrowed(lres, lhs)
+        nr = narrowed(rres, rhs)
         if lk == "f32" and rk in ("int", "dec", "str"):
             nr = _f32_of(rres, rhs)
         elif rk == "f32" and lk in ("int", "dec", "str"):
@@ -6527,7 +6589,7 @@ def rewrite_f32_select_items(sql: str, kinds) -> str:
         # sum/avg over narrowed f32 args) substitute too — the item
         # stays DOUBLE on the wire (duck's type), only the inner f32
         # arithmetic narrows
-        if res is None or res[0] not in ("f32", "f64") or not res[2]:
+        if res is None or res[0] in ("str", "null") or not res[2]:
             continue
         if alias is None:
             if not can_unaliased:
@@ -6887,7 +6949,7 @@ def _f32_group_narrowings(sql: str, kinds):
         res = _f32_side(expr, kinds)
         # f64-changed keys narrow too (r17) — the select-item leg
         # substitutes them, so the grouping text must stay identical
-        if res is None or res[0] not in ("f32", "f64") or not res[2]:
+        if res is None or res[0] in ("str", "null") or not res[2]:
             return
         reps.append((a, b, res[1]))
         mirror[_f32_norm(expr)] = res[1]
@@ -6987,7 +7049,7 @@ def f32_grouped_bail(sql: str, kinds) -> bool:
         if alias is not None:
             continue
         res = _f32_side(expr, kinds)
-        if res is None or res[0] not in ("f32", "f64") or not res[2]:
+        if res is None or res[0] in ("str", "null") or not res[2]:
             continue
         if not can_unaliased or _f32_autoname(expr, kinds) is None:
             skipped.add(_f32_norm(expr))

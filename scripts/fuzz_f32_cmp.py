@@ -171,6 +171,18 @@ CENSUS = [
     "SELECT count(DISTINCT f * 3) AS c FROM f32t",
     "SELECT count(DISTINCT f / 3.0) AS c FROM f32t",
     "SELECT i, count(DISTINCT f * 3) AS c FROM f32t GROUP BY i",
+    # stat aggregates: DOUBLE result over f32-narrowed args. `* 3`
+    # separates (f32 product differs at ~1e-8 relative); round(…, 9)
+    # hides only accumulation-order ulps (~1e-15) on the small-f
+    # subset, so a missed narrowing still fails
+    "SELECT round(stddev(f * 3), 9) AS s FROM f32t WHERE abs(f) < 2",
+    "SELECT round(var_pop(f * 3), 9) AS s FROM f32t WHERE abs(f) < 2",
+    "SELECT round(var_samp(f * 3), 9) AS s FROM f32t WHERE abs(f) < 2",
+    "SELECT round(covar_samp(f * 3, g), 9) AS s FROM f32t"
+    " WHERE abs(f) < 2 AND abs(g) < 2",
+    "SELECT round(covar_pop(g, f * 3), 9) AS s FROM f32t"
+    " WHERE abs(f) < 2 AND abs(g) < 2",
+    "SELECT round(stddev_pop(f * 3), 9) AS s FROM f32t WHERE abs(f) < 2",
 ]
 
 
