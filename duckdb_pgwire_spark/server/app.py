@@ -2966,6 +2966,7 @@ _HAS_DATE_IVL_RE = re.compile(
 )
 _HAS_COLUMNS_RE = re.compile(r"(?<![\w.])COLUMNS\s*\(", re.IGNORECASE)
 _HAS_FLOORCEIL_RE = re.compile(r"\b(?:floor|ceil|ceiling)\s*\(", re.IGNORECASE)
+_HAS_LISTAGG_RE = re.compile(r"(?i)\blistagg\s*\(")
 _HAS_CMP_RE = re.compile(
     # equality + IN, plus bare ordering ops and BETWEEN (composite
     # ordering leg, r12) — excludes <> <= => <=> :: lambda-> and shifts
@@ -3835,11 +3836,16 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
     from .compat import f32_item_gate
 
     has_f32item = f32_item_gate(sql)
+    # duck string_agg stringifies float args with ITS float text and
+    # computes f32 chains per-op (r17) — the listagg leg rides the f32
+    # block, so a bare `string_agg(f, ',')` with no arithmetic must
+    # still open it
+    has_listagg = _HAS_LISTAGG_RE.search(sql) is not None
     if not (
         has_sum or has_len or has_columns or has_replace or has_enum
         or has_date_ivl or has_vc_cast or has_cmp or has_floorceil
         or has_div or has_avg or has_tb or has_boolctx or has_setop
-        or has_pf or has_pipe or has_f32item
+        or has_pf or has_pipe or has_f32item or has_listagg
     ):
         return sql
     from pyspark.sql import types as T
@@ -4037,7 +4043,7 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         from .compat import rewrite_decimal_avg
 
         sql = rewrite_decimal_avg(sql, dec_cols)
-    if has_cmp or has_f32item:
+    if has_cmp or has_f32item or has_listagg:
         # FLOAT COLUMN arithmetic/comparison and aliased-select-item
         # positions (r16, VERDICT item 1): duck keeps FLOAT through
         # + - * / % and compares a FLOAT side against int/decimal/
@@ -4049,8 +4055,16 @@ def _hugeint_sums(session: SparkSession, sql: str) -> str:
         f32_scalar = {
             n for n, ks in vc_kind_seen.items() if ks == {"f32"}
         }
+        # listagg over a bare DOUBLE column also needs the kernel
+        # render (duck '1e+20' vs Java '1.0E20') — f64 names open the
+        # block when a listagg call is present
+        fl_scalar = f32_scalar | (
+            {n for n, ks in vc_kind_seen.items() if ks == {"f64"}}
+            if has_listagg
+            else set()
+        )
         low_sql = sql.lower()
-        if f32_scalar and any(n in low_sql for n in f32_scalar):
+        if fl_scalar and any(n in low_sql for n in fl_scalar):
             from .compat import rewrite_f32_positions
 
             f32_kinds: dict[str, object] = {}

@@ -5462,7 +5462,7 @@ class _F32Expr:
         node = self._postfix(self._primary())
         if signs:
             kind, txt, changed, scale = node
-            if kind in ("str", "null"):
+            if kind in ("str", "null", "opq"):
                 raise _F32Bail
             # negation is exact in every width — sign count preserved
             node = (kind, ("- " * signs) + f"({txt})", changed, scale)
@@ -5611,6 +5611,19 @@ class _F32Expr:
                 )
                 if node is not None and node[0] == "f32":
                     return ("f64", node[1], node[2], None)
+                raise _F32Bail
+            if up in ("ARRAY_AGG", "LIST", "HISTOGRAM"):
+                # collection aggregates carry the ARGUMENT's f32
+                # values into the result (probed r17: array_agg(f*3)
+                # is FLOAT[] holding f32 products, histogram keys
+                # likewise) — narrow the argument, leave the result
+                # OPAQUE ('opq'): it substitutes in select items but
+                # never participates in arithmetic/comparisons
+                node = self._passthru_call(
+                    word, j, same_kind=True, allow_distinct=True
+                )
+                if node is not None:
+                    return ("opq", node[1], node[2], None)
                 raise _F32Bail
             if up in ("COVAR_SAMP", "COVAR_POP"):
                 # 2-arg stat aggregates: DOUBLE result, each f32 arg
@@ -5774,7 +5787,7 @@ class _F32Expr:
             ).parse()
         except _F32Bail:
             return None
-        if k in ("str", "null"):
+        if k in ("str", "null", "opq"):
             return None
         body = prefix + (txt if changed else args[0].strip())
         self.i = close
@@ -5930,7 +5943,7 @@ class _F32Expr:
             res = _F32Expr(args[0], self.kinds).parse()
         except _F32Bail:
             return None
-        if res[0] in ("str", "null"):
+        if res[0] in ("str", "null", "opq"):
             return None
         parts = [res[1] if res[2] else args[0].strip()]
         changed = res[2]
@@ -5941,7 +5954,7 @@ class _F32Expr:
                 dres = _F32Expr(args[2], self.kinds).parse()
             except _F32Bail:
                 return None
-            if dres[0] in ("str", "null"):
+            if dres[0] in ("str", "null", "opq"):
                 return None
             if res[0] == "f32":
                 # duck casts the default to the value's FLOAT
@@ -5982,7 +5995,7 @@ class _F32Expr:
                 r = _F32Expr(a, self.kinds).parse()
             except _F32Bail:
                 return None
-            if r[0] in ("str", "null"):
+            if r[0] in ("str", "null", "opq"):
                 return None
             parsed.append(r)
         if not any(r[0] == "f32" for r in parsed):
@@ -6020,7 +6033,7 @@ class _F32Expr:
                 r = _F32Expr(a, self.kinds).parse()
             except _F32Bail:
                 return None
-            if r[0] in ("str", "null"):
+            if r[0] in ("str", "null", "opq"):
                 return None
             parsed.append(r)
         if not any(r[0] == "f32" for r in parsed):
@@ -6037,7 +6050,7 @@ class _F32Expr:
     def _bin(self, left, op, right):
         lk, lt, lc, ls = left
         rk, rt, rc, rs = right
-        if lk in ("str", "null") or rk in ("str", "null"):
+        if lk in ("str", "null", "opq") or rk in ("str", "null", "opq"):
             raise _F32Bail
         if "f32" in (lk, rk) and "f64" not in (lk, rk):
             kind = "f32"
@@ -6261,6 +6274,8 @@ def _f32_new_sides(lres, rres, lhs: str, rhs: str):
     comparison in f64 (Spark-native, already duck-exact)."""
     lk = lres[0] if lres is not None else None
     rk = rres[0] if rres is not None else None
+    if "opq" in (lk, rk):
+        return None  # collection nodes never rewrite comparisons
     l_chg = lres is not None and lres[2]
     r_chg = rres is not None and rres[2]
     if lk != "f32" and rk != "f32":
@@ -6544,6 +6559,104 @@ def _f32_aliased_items(sql: str):
             yield ist + lead, ist + am.start(), expr.strip(), alias
 
 
+_F32_COLLECT_RE = re.compile(
+    r"(?i)\bcollect_(?:list|set)\s*\(\s*(?:DISTINCT\s+)?struct\s*\("
+)
+
+
+def _rewrite_f32_collect_struct(sql: str, kinds) -> str:
+    """Narrow f32 arithmetic inside the dialect pass's array_agg/list
+    template — ``transform(collect_list(struct(<expr> AS v)), …)``
+    (r17): the template is emitted by rewrite() BEFORE the
+    schema-aware legs run, hiding the aggregate's argument from the
+    typer's ARRAY_AGG branch; duck's FLOAT[] carries the f32 element
+    values, so every struct arg that types f32-changed substitutes."""
+    out: list[str] = []
+    pos = 0
+    segs = mask = None
+    for m in _F32_COLLECT_RE.finditer(sql):
+        if m.start() < pos:
+            continue
+        if segs is None:
+            segs = _abs_segments(sql)
+            mask = _code_mask(sql)
+        if not all(mask[m.start() : m.end()]):
+            continue
+        p = m.end() - 1
+        close = _walk_brackets_fwd(sql, segs, p)
+        if close <= 0:
+            continue
+        parts = split_top_level(sql[p + 1 : close - 1])
+        np: list[str] = []
+        changed = False
+        for a in parts:
+            am = re.search(r"(?is)\s+AS\s+\w+\s*$", a)
+            core = a[: am.start()] if am else a
+            suffix = a[am.start() :] if am else ""
+            res = _f32_side(core, kinds)
+            if (
+                res is not None
+                and res[0] not in ("str", "null", "opq")
+                and res[2]
+            ):
+                np.append(res[1] + suffix)
+                changed = True
+            else:
+                np.append(a)
+        if not changed:
+            continue
+        out.append(sql[pos : p + 1])
+        out.append(", ".join(np))
+        pos = close - 1
+    if not out:
+        return sql
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+_F32_LISTAGG_RE = re.compile(r"(?i)\blistagg\s*\(\s*(?:DISTINCT\s+)?")
+
+
+def _rewrite_f32_listagg(sql: str, kinds) -> str:
+    """duck string_agg stringifies its argument with duck's OWN float
+    text (f32 shortest-round-trip, f64 shortest — '16777216.0', not
+    Java's '1.6777216E7') and computes f32 arithmetic per-op BEFORE
+    aggregating (r17 probe). Float-typed first args of the dialect
+    pass's listagg route through the duck_float32_text /
+    duck_double_text kernels over the narrowed expression; non-float
+    kinds render identically in both engines and stay native."""
+    out: list[str] = []
+    pos = 0
+    segs = mask = None
+    for m in _F32_LISTAGG_RE.finditer(sql):
+        if m.start() < pos:
+            continue
+        if segs is None:
+            segs = _abs_segments(sql)
+            mask = _code_mask(sql)
+        if not all(mask[m.start() : m.end()]):
+            continue
+        open_ = sql.index("(", m.start(), m.end())
+        close = _walk_brackets_fwd(sql, segs, open_)
+        if close <= 0:
+            continue
+        args = split_top_level(sql[m.end() : close - 1])
+        if not args or not args[0].strip():
+            continue
+        res = _f32_side(args[0], kinds)
+        if res is None or res[0] not in ("f32", "f64"):
+            continue
+        body = res[1] if res[2] else args[0].strip()
+        repl = _scalar_vc_repl(f"({body})", res[0])
+        out.append(sql[pos : m.end()])
+        out.append(", ".join([repl] + [a.strip() for a in args[1:]]))
+        pos = close - 1
+    if not out:
+        return sql
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def f32_alias_kinds(sql: str, kinds) -> dict:
     """alias → numeric kind for SELECT-list aliases whose expression
     types through the f32 grammar (r16): a derived table's
@@ -6555,7 +6668,7 @@ def f32_alias_kinds(sql: str, kinds) -> dict:
         if alias is None:
             continue
         res = _f32_side(expr, kinds)
-        if res is None or res[0] in ("str", "null"):
+        if res is None or res[0] in ("str", "null", "opq"):
             dropped.add(alias)
             continue
         k = (res[0], res[3]) if res[0] == "dec" else res[0]
@@ -7077,6 +7190,8 @@ def rewrite_f32_positions(sql: str, base_kinds) -> str:
     # leg re-narrow inside its own sibling's emission (harmless but
     # quadratic); on the original text the two legs touch disjoint
     # spans, so the order only matters for emitted text
+    sql = _rewrite_f32_collect_struct(sql, merged)
+    sql = _rewrite_f32_listagg(sql, merged)
     sql = rewrite_f32_comparisons(sql, merged)
     sql = rewrite_f32_select_items(sql, merged)
     return rewrite_f32_group_order(sql, merged)

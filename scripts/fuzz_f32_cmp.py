@@ -183,6 +183,16 @@ CENSUS = [
     "SELECT round(covar_pop(g, f * 3), 9) AS s FROM f32t"
     " WHERE abs(f) < 2 AND abs(g) < 2",
     "SELECT round(stddev_pop(f * 3), 9) AS s FROM f32t WHERE abs(f) < 2",
+    # collection aggregates carry f32 ELEMENT values (opaque result:
+    # arg narrows, the node never joins arithmetic/comparisons)
+    "SELECT array_agg(f * 3) AS a FROM (SELECT f FROM f32t"
+    " WHERE f IS NOT NULL ORDER BY id LIMIT 4) q",
+    "SELECT i, array_agg(f * 3) AS a FROM (SELECT * FROM f32t"
+    " WHERE f IS NOT NULL ORDER BY id LIMIT 6) q GROUP BY i ORDER BY i",
+    # string_agg renders duck's float text over the f32-narrowed arg
+    "SELECT string_agg(f, ',' ORDER BY id) AS s FROM f32t",
+    "SELECT string_agg(f * 3, ',' ORDER BY id) AS s FROM f32t",
+    "SELECT string_agg(d, '|' ORDER BY id) AS s FROM f32t",
 ]
 
 
