@@ -488,16 +488,37 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
     dedup_cluster_components so the convergence machinery is testable
     on synthetic graphs (r17: labels near 2^62 must still converge —
     see the DECIMAL accumulation note below)."""
+    # Single-pass edge expansion (r17 opt, guide §2.4): the old
+    # union-of-two-selects planned the `pairs` subtree TWICE — the whole
+    # minhash pipeline (scan, signature kernel, band shuffle, distinct)
+    # executed double inside the one-time edges job. Exploding a 2-array
+    # of (src,dst)/(dst,src) structs emits both directions from ONE
+    # evaluation.
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint()  # pairs pipeline runs once, not per round
     )
+    # eager=False: the initial-sum collect below materializes the
+    # checkpoint in the SAME job instead of paying a separate
+    # materialization job first (r17 opt, guide §1/§2 — the per-round
+    # cost of this query is scheduler floor × job count, not bytes).
     labels = (
         edges.select(F.col("src").alias("n"))
         .distinct()
         .withColumn("l", F.col("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Convergence statistic (r16): min-propagation is MONOTONE — every
     # node's label only ever decreases and the node set is fixed, so
@@ -515,9 +536,13 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
             edges.join(labels, edges.src == labels.n)
             .select(F.col("dst").alias("n"), "l")
         )
+        # eager=False fuses materialization with the convergence sum:
+        # ONE job per round (compute + cache partitions + aggregate)
+        # instead of an eager-checkpoint job followed by a sum job over
+        # the cached blocks (r17 opt — halves the per-round job count).
         new_labels = (
             labels.union(neighbor).groupBy("n").agg(F.min("l").alias("l"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         new_sum = new_labels.agg(_lsum).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:

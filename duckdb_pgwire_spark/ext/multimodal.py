@@ -202,7 +202,13 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batches → executor-side decode → typed metadata out, one
     Python stage, no driver involvement, partitioning preserved.
     """
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # wide scan (r17 opt, guide §2/§4): the fixture parquet is single-
+    # row-group, so the natural scan is ONE partition and the whole
+    # Python codec stage ran in a single task — widen first so the
+    # heavy map stage parallelizes (the phash plane already did this)
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8).select(
+        "doc_id"
+    )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .imagecodec import decode_image
@@ -299,7 +305,13 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ANY decode defect (huffman, DC prediction, restart resync,
     MCU interleave, IDCT) shifts pix_sum/pix_min/pix_max. Same
     100 TB shape as mm_decode: payload bytes stay executor-local."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # wide scan (r17 opt, guide §2/§4): the fixture parquet is single-
+    # row-group, so the natural scan is ONE partition and the whole
+    # Python codec stage ran in a single task — widen first so the
+    # heavy map stage parallelizes (the phash plane already did this)
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8).select(
+        "doc_id"
+    )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .imagecodec import decode_image
@@ -441,7 +453,13 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decode+resize plane is executor-local (no shuffle); the
     downstream phash/embedding stages consume the fixed-size grids.
     """
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # wide scan (r17 opt, guide §2/§4): the fixture parquet is single-
+    # row-group, so the natural scan is ONE partition and the whole
+    # Python codec stage ran in a single task — widen first so the
+    # heavy map stage parallelizes (the phash plane already did this)
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8).select(
+        "doc_id"
+    )
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .imagecodec import decode_image
@@ -699,7 +717,13 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the encode→decode round trip is still value-gated because any
     decode defect shifts sample_sum/peak/zero-cross.
     """
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # wide scan (r17 opt, guide §2/§4): the fixture parquet is single-
+    # row-group, so the natural scan is ONE partition and the whole
+    # Python codec stage ran in a single task — widen first so the
+    # heavy map stage parallelizes (the phash plane already did this)
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8).select(
+        "doc_id"
+    )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .audiocodec import decode_wav
@@ -768,7 +792,13 @@ def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     a decode-and-frame stage never buffers whole clips per input batch.
     Energy fits comfortably in int64 (32 * 2048² ≈ 2^27 per frame).
     """
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # wide scan (r17 opt, guide §2/§4): the fixture parquet is single-
+    # row-group, so the natural scan is ONE partition and the whole
+    # Python codec stage ran in a single task — widen first so the
+    # heavy map stage parallelizes (the phash plane already did this)
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8).select(
+        "doc_id"
+    )
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .audiocodec import decode_wav
@@ -826,7 +856,13 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     production resampler swaps in a windowed-sinc kernel behind the
     same batch shape.
     """
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # wide scan (r17 opt, guide §2/§4): the fixture parquet is single-
+    # row-group, so the natural scan is ONE partition and the whole
+    # Python codec stage ran in a single task — widen first so the
+    # heavy map stage parallelizes (the phash plane already did this)
+    d = load_table_parallel(spark, sf_dir, "documents", parts=8).select(
+        "doc_id"
+    )
 
     def resample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .audiocodec import decode_wav, encode_wav_pcm16

@@ -1033,19 +1033,34 @@ def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), (F.floor(F.size("w") / 10) - 1).cast("int")),
         lambda i: F.concat_ws(" ", F.slice(F.col("w"), i * 10 + 1, 10)),
     )
-    sp = (
-        d.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 10)
-        .select("doc_id", F.explode(spans).alias("span"))
-        .select("doc_id", F.md5("span").alias("h"))
+    base = d.select("doc_id", w.alias("w")).filter(F.size("w") >= 10)
+    sp = base.select("doc_id", F.explode(spans).alias("span")).select(
+        "doc_id", F.md5("span").alias("h")
     )
-    freq = sp.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
-    return (
-        sp.join(freq, "h")
+    # Single evaluation of the span explode (r17 opt, guide §2.3/§3.3):
+    # the old sp⋈freq self-join planned `sp` TWICE (split + md5 + explode
+    # per side) and shuffled all span instances twice more (freq build +
+    # join). One groupBy(h) now CARRIES the doc list through the same
+    # exchange the frequency count used; duplicated-span instances flow
+    # back as an explode of that list (only dup rows shuffle again), and
+    # the per-doc span total comes straight from the scan projection
+    # (floor(|w|/10) — no explode needed).
+    byh = sp.groupBy("h").agg(F.collect_list("doc_id").alias("docs"))
+    dup = (
+        byh.filter(F.size(F.array_distinct("docs")) >= 2)
+        .select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias(
+        .agg(F.count("*").alias("dup_spans"))
+    )
+    per = base.select(
+        "doc_id", F.floor(F.size("w") / 10).cast("long").alias("n_spans")
+    )
+    return (
+        per.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("dup_spans"), F.lit(0).cast("long")).alias(
                 "dup_spans"
             ),
         )
@@ -1121,9 +1136,19 @@ def text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.filter(F.size("w") >= 10)
         .select("doc_id", F.posexplode(span_hashes).alias("i", "h"))
     )
-    freq = sp.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
+    # Single evaluation of the span explode (r17 opt, guide §2.3/§3.3):
+    # the old sp⋈freq self-join planned `sp` TWICE (split + md5 + explode
+    # per side). One groupBy(h) carries the (doc_id, i) locations through
+    # the same exchange the distinct-doc count used; only locations of
+    # genuinely duplicated spans (≥2 distinct docs) shuffle again for the
+    # per-doc drop-set roll-up.
+    byh = sp.groupBy("h").agg(
+        F.collect_list(F.struct("doc_id", "i")).alias("locs")
+    )
     drops = (
-        sp.join(freq.filter(F.col("ndocs") >= 2), "h")
+        byh.filter(F.size(F.array_distinct(F.col("locs.doc_id"))) >= 2)
+        .select(F.explode("locs").alias("loc"))
+        .select(F.col("loc.doc_id").alias("doc_id"), F.col("loc.i").alias("i"))
         .groupBy("doc_id")
         .agg(F.collect_set("i").alias("drop_idx"))
     )

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Interleaved A/B for the optimization rounds: time OLD and NEW builds
+of the same query alternately in ONE Spark session, so ambient drift
+hits both arms equally.  OLD implementations come from package-internal
+checkouts of HEAD (`ext/_ab_old_*.py`).
+
+Usage: python scripts/ab_interleaved.py <rounds> <query> [query ...]
+Prints per-query paired samples + medians.  SELF-MEASURED ONLY.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from duckdb_pgwire_spark.session import build_session  # noqa: E402
+from duckdb_pgwire_spark.ext import dedup as new_dedup  # noqa: E402
+from duckdb_pgwire_spark.ext import multimodal as new_mm  # noqa: E402
+from duckdb_pgwire_spark.ext import text as new_text  # noqa: E402
+from duckdb_pgwire_spark.ext import _ab_old_dedup as old_dedup  # noqa: E402
+from duckdb_pgwire_spark.ext import _ab_old_multimodal as old_mm  # noqa: E402
+from duckdb_pgwire_spark.ext import _ab_old_text as old_text  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+PAIRS = {
+    "dedup_cluster_components": (old_dedup, new_dedup),
+    "text_dup_span_fraction": (old_text, new_text),
+    "text_strip_dup_spans": (old_text, new_text),
+    "mm_audio_decode": (old_mm, new_mm),
+    "mm_audio_frame_energy": (old_mm, new_mm),
+    "mm_audio_resample": (old_mm, new_mm),
+    "mm_decode": (old_mm, new_mm),
+    "mm_jpeg_decode": (old_mm, new_mm),
+    "mm_resize": (old_mm, new_mm),
+}
+
+
+def main() -> None:
+    rounds = int(sys.argv[1])
+    names = sys.argv[2:]
+    spark = build_session(app_name="ab_interleaved")
+    results = {}
+    for name in names:
+        old_mod, new_mod = PAIRS[name]
+        old_fn = getattr(old_mod, name)
+        new_fn = getattr(new_mod, name)
+        # warm both arms (copy builds, codegen, python worker forks)
+        old_fn(spark, SF_DIR).collect()
+        new_fn(spark, SF_DIR).collect()
+        olds, news = [], []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            old_fn(spark, SF_DIR).collect()
+            olds.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            new_fn(spark, SF_DIR).collect()
+            news.append(time.perf_counter() - t0)
+        mo, mn = statistics.median(olds), statistics.median(news)
+        results[name] = {
+            "old_med": round(mo, 3),
+            "new_med": round(mn, 3),
+            "ratio": round(mn / mo, 3),
+            "old": [round(s, 3) for s in olds],
+            "new": [round(s, 3) for s in news],
+        }
+        print(f"{name:30s} old={mo:.3f} new={mn:.3f} ratio={mn/mo:.2f}")
+        sys.stdout.flush()
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
