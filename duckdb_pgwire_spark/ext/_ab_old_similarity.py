@@ -20,8 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..registry import query
-from ..session import load_table, load_table_parallel, table_row_count
+def query(*_a, **_k):  # A/B checkout: no registry registration
+    return lambda fn: fn
+from ..session import load_table, load_table_parallel
 from .vectorized import cosine_seq_udf, make_lsh_buckets_udf
 
 QUERY_IDS = (0, 1, 2)
@@ -913,13 +914,11 @@ def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     # Anchor set: genuinely metadata-scale — ~TARGET_ANCHORS rows at
-    # ANY corpus size (modulus derives from the corpus cardinality),
-    # shipped to every task inside the kernel closure like the IVF
-    # centroid matrix. r17 opt: the cardinality comes from the parquet
-    # FOOTERS (table_row_count) instead of a df.count() job — one whole
-    # scan job per execution gone, same exact number.
+    # ANY corpus size (count pass is a column-pruned scan; the modulus
+    # derives from it), shipped to every task inside the kernel
+    # closure like the IVF centroid matrix.
     emb = load_table(spark, sf_dir, "embeddings")
-    anchor_mod = max(1, table_row_count(sf_dir, "embeddings") // TARGET_ANCHORS)
+    anchor_mod = max(1, emb.count() // TARGET_ANCHORS)
     anchor_rows = (
         emb.filter(F.col("vec_id") % anchor_mod == 0)
         .select("vec_id", "label", "embedding")

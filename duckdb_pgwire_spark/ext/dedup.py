@@ -798,7 +798,6 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_fingerprint,
         corpus_with_centroids,
     )
-    from .vectorized import cosine_seq_udf
 
     k_fn = lambda n: max(8, n // SEMDEDUP_CELL_TARGET)  # noqa: E731
     v = corpus_df(spark, sf_dir)
@@ -818,24 +817,38 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         v, C = corpus_with_centroids(spark, sf_dir, k=k_fn, v=v, fp=fp)
         assign = _make_ivf_assign_udf(C)
         asg = v.withColumn("cell", assign("embedding"))
-    cosine_seq = cosine_seq_udf()
-    a = asg.select(
-        F.col("vec_id").alias("keep_id"), "cell", F.col("embedding").alias("ea")
-    )
-    b = asg.select("vec_id", "cell", F.col("embedding").alias("eb"))
-    dups = (
-        a.join(b, "cell")
-        .filter(F.col("keep_id") < F.col("vec_id"))
-        .filter(cosine_seq(F.col("ea"), F.col("eb")) > SEMDEDUP_TH)
-        .select("vec_id")
-        .distinct()
-        .withColumn("__dup", F.lit(True))
-    )
-    return (
-        asg.join(dups, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
+    # r17 opt (guide §2.3/§2.4): the a⋈b cell self-join evaluated the
+    # Python assignment stage on BOTH join branches, shuffled the
+    # embedding payload twice, materialized every within-cell pair row
+    # (two full vectors each) before the cosine filter, and then
+    # SortMergeJoined the dup set back onto a THIRD assignment eval
+    # (two more full-corpus exchanges on vec_id — plans/r17pre). The
+    # paper's own shape is "all comparisons happen inside a cell", so
+    # do exactly that: ONE exchange on the cell id, and a grouped Arrow
+    # kernel marks each cell's members in place. Cell population is
+    # ~SEMDEDUP_CELL_TARGET by the k growth law, so the per-group
+    # pairwise matrix is O(CELL_TARGET²) — bounded at any corpus size.
+    # Cosines come from the same sequential-over-dims fold as the old
+    # cosine_seq_udf (shared _cos_to_centroids), so every pair's double
+    # is bit-identical and the SEMDEDUP_TH comparison cannot flip.
+    import pandas as pd
+
+    from .similarity import _cos_to_centroids
+    import numpy as np
+
+    def mark_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        vids = pdf["vec_id"].to_numpy()
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        S = _cos_to_centroids(E, E)
+        dup = ((S > SEMDEDUP_TH) & (vids[:, None] < vids[None, :])).any(
+            axis=0
         )
+        return pd.DataFrame(
+            {"vec_id": vids, "cell": pdf["cell"].to_numpy(), "kept": ~dup}
+        )
+
+    return (
+        asg.select("vec_id", "cell", "embedding")
+        .groupBy("cell")
+        .applyInPandas(mark_cell, "vec_id long, cell int, kept boolean")
     )

@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..registry import query
+def query(*_a, **_k):  # A/B checkout: no registry registration
+    return lambda fn: fn
 from ..session import load_table
 
 
@@ -173,22 +174,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
 
-    # r17 opt (guide §3.1): joining supplier PRE-joined with nation
-    # hid supplier's size behind a join-output estimate, so the planner
-    # fell back to a SortMergeJoin that shuffled the whole li⋈orders
-    # intermediate on l_suppkey (2 Exchanges + 2 Sorts, plans/r17pre).
-    # Join supplier DIRECTLY — its scan-level size estimate lets the
-    # planner broadcast it while it fits (and fall back by estimate on
-    # a cluster where it doesn't: still no hard hint on an SF-scaling
-    # table) — then the constant-size nation⋈region broadcast filters
-    # to the ASIA region. Inner joins commute: same rows.
-    nr = F.broadcast(
-        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    dim = supplier.join(
+        F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(nr, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(dim, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             customer,
             (F.col("o_custkey") == F.col("c_custkey"))
@@ -1151,72 +1143,47 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantifiers into ONE pass. Per (order, supplier) aggregate the max
     ship date plus the date list (map-side combined, one shuffle);
     a shared window over l_orderkey yields each supplier's
-    "max ship date among the OTHER suppliers" (r17: from the order max
-    + tie count + best-below-max — unordered window aggregates, no
-    rank sort), and the EXISTS/NOT EXISTS pair collapses to: other
-    suppliers exist AND line date >= max_other — counted with an array
-    filter, no join back to the fact. Measured 6.5 s → 4.2 s at sf1 vs
-    the semi/anti plan; supplier is broadcast, rollup
-    |suppliers|-bounded.
+    "max ship date among the OTHER suppliers" via the top-2 trick
+    (top1 if you are not the top-1 supplier, else top2), and the
+    EXISTS/NOT EXISTS pair collapses to: other suppliers exist AND
+    line date >= max_other — counted with an array filter, no join
+    back to the fact. Measured 6.5 s → 4.2 s at sf1 vs the semi/anti
+    plan; supplier is broadcast, rollup |suppliers|-bounded.
 
-    Tie note: every top-date tie case yields the same max_other as the
-    old (sup_max DESC, l_suppkey) top-2 selection — deterministic.
+    Tie note: row_number orders (sup_max DESC, l_suppkey), but a top-1
+    date tie makes max_other identical either way — deterministic.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     s = load_table(spark, sf_dir, "supplier")
-    # r17 opt (guide §2.4 share one exchange): the groupBy keyed
-    # (l_orderkey, l_suppkey) and the window keyed l_orderkey each
-    # planned their own full-data Exchange. Repartitioning ONCE on
-    # l_orderkey satisfies both (hash partitioning on a subset of the
-    # grouping keys is a valid clustered distribution), so the
-    # aggregation runs complete-mode in place and the window follows
-    # with just a local sort — one Exchange instead of two. Bytes are
-    # a wash: collect_list has no map-side reduction, so the partial-agg
-    # shuffle carried every ship date anyway.
     ps = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max("l_shipdate").alias("sup_max"),
             F.collect_list("l_shipdate").alias("dates"),
         )
     )
-    # r17 opt: "max ship date among the OTHER suppliers" needs no
-    # rank sort — two UNORDERED window passes (max/count, then the
-    # mx-derived tie markers) replace the four Window ops + Sort of the
-    # row_number top-2 trick. Equivalence: for a supplier below the
-    # order max, max_other = mx; at the max with a tie (>=2 rows at
-    # mx), the "other" side also holds mx; at a unique max, max_other
-    # is the best among the strictly-lower rest — exactly the old
-    # top1/top2 selection for every tie case.
     wo = Window.partitionBy("l_orderkey")
+    w = wo.orderBy(F.col("sup_max").desc(), F.col("l_suppkey"))
     ranked = (
-        ps.withColumn("mx", F.max("sup_max").over(wo))
+        ps.withColumn("rk", F.row_number().over(w))
+        .withColumn("top1", F.max(F.when(F.col("rk") == 1, F.col("sup_max"))).over(wo))
+        .withColumn(
+            "top1_sup", F.max(F.when(F.col("rk") == 1, F.col("l_suppkey"))).over(wo)
+        )
+        .withColumn("top2", F.max(F.when(F.col("rk") == 2, F.col("sup_max"))).over(wo))
         .withColumn("n_sup", F.count("*").over(wo))
-        .withColumn(
-            "n_at_mx",
-            F.sum(
-                F.when(F.col("sup_max") == F.col("mx"), 1).otherwise(0)
-            ).over(wo),
-        )
-        .withColumn(
-            "max_below",
-            F.max(
-                F.when(F.col("sup_max") < F.col("mx"), F.col("sup_max"))
-            ).over(wo),
-        )
     )
     cand = (
         ranked.filter(F.col("n_sup") >= 2)
         .withColumn(
             "max_other",
-            F.when(F.col("sup_max") < F.col("mx"), F.col("mx"))
-            .when(F.col("n_at_mx") >= 2, F.col("mx"))
-            .otherwise(F.col("max_below")),
+            F.when(F.col("l_suppkey") != F.col("top1_sup"), F.col("top1")).otherwise(
+                F.col("top2")
+            ),
         )
         .withColumn(
             "nhit", F.size(F.filter(F.col("dates"), lambda d: d >= F.col("max_other")))

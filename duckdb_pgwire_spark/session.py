@@ -147,6 +147,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — no Spark job.
+
+    A `df.count()` on an unfiltered scan schedules a full column-pruned
+    pass (Spark does not serve COUNT(*) from footers without aggregate
+    pushdown); queries that only need the corpus cardinality for a
+    driver-side formula (sampling modulus, k growth law) pay a whole
+    job + scan for one number. Parquet footers already carry the exact
+    count — read them directly (r17 opt, guide §1.2/§5: fewest jobs
+    first). Handles both single-file fixtures and directory tables.
+    """
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def load_table_parallel(
     spark: SparkSession, sf_dir: str, name: str, parts: int | None = None
 ) -> DataFrame:

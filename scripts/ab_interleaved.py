@@ -26,6 +26,10 @@ from duckdb_pgwire_spark.ext import text as new_text  # noqa: E402
 from duckdb_pgwire_spark.ext import _ab_old_dedup as old_dedup  # noqa: E402
 from duckdb_pgwire_spark.ext import _ab_old_multimodal as old_mm  # noqa: E402
 from duckdb_pgwire_spark.ext import _ab_old_text as old_text  # noqa: E402
+from duckdb_pgwire_spark.ext import _ab_old_similarity as old_sim  # noqa: E402
+from duckdb_pgwire_spark.ext import similarity as new_sim  # noqa: E402
+from duckdb_pgwire_spark.operators import _ab_old_tpch as old_tpch  # noqa: E402
+from duckdb_pgwire_spark.operators import tpch as new_tpch  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -39,6 +43,10 @@ PAIRS = {
     "mm_decode": (old_mm, new_mm),
     "mm_jpeg_decode": (old_mm, new_mm),
     "mm_resize": (old_mm, new_mm),
+    "dedup_semantic_kmeans": (old_dedup, new_dedup),
+    "sim_knn_label_agreement": (old_sim, new_sim),
+    "q5_local_supplier_volume": (old_tpch, new_tpch),
+    "q21_waiting_suppliers": (old_tpch, new_tpch),
 }
 
 
