@@ -337,10 +337,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison count is O(candidates), each one two doc_id equi-join
     lookups into the shingle-set table.
     """
+    # r17 opt (guide §1.2 per-pair work): the filter is pushed into the
+    # broadcast-join condition, so every textual reference to `inter`
+    # is a full array_intersect evaluation over both shingle sets — the
+    # dominant per-pair kernel. `inter >= 0.3*uni` referenced it twice
+    # (both sides of the comparison; arithmetic never short-circuits).
+    # Algebra in exact integers: inter >= 3*(na+nb-inter)/10  ⟺
+    # 13*inter >= 3*(na+nb) — ONE reference, and exactly the oracle's
+    # DECIMAL(1,1) predicate at any magnitude (DuckDB parses 0.3 as
+    # decimal; the old double-0.3 form was the approximation).
     scored = _scored_candidate_pairs(spark, sf_dir).withColumn(
         "uni", F.col("na") + F.col("nb") - F.col("inter")
     )
-    return scored.filter(F.col("inter") >= 0.3 * F.col("uni")).select(
+    return scored.filter(
+        13 * F.col("inter") >= 3 * (F.col("na") + F.col("nb"))
+    ).select(
         "doc_a",
         "doc_b",
         F.round(F.col("inter").cast("double") / F.col("uni"), 6).alias("jaccard"),
@@ -374,10 +385,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded LSH join (never all-pairs), each verified by two doc_id
     equi-join lookups into the shingle-set table.
     """
+    # r17 opt (guide §1.2, same reasoning as dedup_ngram_jaccard): the
+    # OR filter is pushed into the join condition where each arm's
+    # `inter` reference is a full array_intersect evaluation — up to 2
+    # per candidate pair. inter >= 0.8*na OR inter >= 0.8*nb collapses
+    # to inter >= 0.8*least(na,nb) (multiplying by a positive constant
+    # is monotone), and in exact integers that is 5*inter >=
+    # 4*least(na,nb) — ONE array_intersect per pair, and exactly the
+    # oracle's DECIMAL(1,1) arithmetic at any magnitude.
     scored = _scored_candidate_pairs(spark, sf_dir)
     return scored.filter(
-        (F.col("inter") >= 0.8 * F.col("na"))
-        | (F.col("inter") >= 0.8 * F.col("nb"))
+        5 * F.col("inter") >= 4 * F.least("na", "nb")
     ).select(
         "doc_a",
         "doc_b",

@@ -44,6 +44,8 @@ PAIRS = {
     "mm_jpeg_decode": (old_mm, new_mm),
     "mm_resize": (old_mm, new_mm),
     "dedup_semantic_kmeans": (old_dedup, new_dedup),
+    "dedup_containment": (old_dedup, new_dedup),
+    "dedup_ngram_jaccard": (old_dedup, new_dedup),
     "sim_knn_label_agreement": (old_sim, new_sim),
     "q5_local_supplier_volume": (old_tpch, new_tpch),
     "q21_waiting_suppliers": (old_tpch, new_tpch),
@@ -53,6 +55,13 @@ PAIRS = {
 def main() -> None:
     rounds = int(sys.argv[1])
     names = sys.argv[2:]
+    # AB_SINK=noop times the plan via the noop sink (guide §1.4) instead
+    # of collect — for queries whose collect wall is transfer-dominated
+    # or whose collect early-stops a limit the full plan would compute.
+    if os.environ.get("AB_SINK") == "noop":
+        run = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
+    else:
+        run = lambda df: df.collect()  # noqa: E731
     spark = build_session(app_name="ab_interleaved")
     results = {}
     for name in names:
@@ -60,15 +69,15 @@ def main() -> None:
         old_fn = getattr(old_mod, name)
         new_fn = getattr(new_mod, name)
         # warm both arms (copy builds, codegen, python worker forks)
-        old_fn(spark, SF_DIR).collect()
-        new_fn(spark, SF_DIR).collect()
+        run(old_fn(spark, SF_DIR))
+        run(new_fn(spark, SF_DIR))
         olds, news = [], []
         for _ in range(rounds):
             t0 = time.perf_counter()
-            old_fn(spark, SF_DIR).collect()
+            run(old_fn(spark, SF_DIR))
             olds.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            new_fn(spark, SF_DIR).collect()
+            run(new_fn(spark, SF_DIR))
             news.append(time.perf_counter() - t0)
         mo, mn = statistics.median(olds), statistics.median(news)
         results[name] = {
