@@ -23,13 +23,22 @@ from duckdb_pgwire_spark.session import build_session  # noqa: E402
 from duckdb_pgwire_spark.ext import dedup as new_dedup  # noqa: E402
 from duckdb_pgwire_spark.ext import multimodal as new_mm  # noqa: E402
 from duckdb_pgwire_spark.ext import text as new_text  # noqa: E402
-from duckdb_pgwire_spark.ext import _ab_old_dedup as old_dedup  # noqa: E402
-from duckdb_pgwire_spark.ext import _ab_old_multimodal as old_mm  # noqa: E402
-from duckdb_pgwire_spark.ext import _ab_old_text as old_text  # noqa: E402
-from duckdb_pgwire_spark.ext import _ab_old_similarity as old_sim  # noqa: E402
 from duckdb_pgwire_spark.ext import similarity as new_sim  # noqa: E402
-from duckdb_pgwire_spark.operators import _ab_old_tpch as old_tpch  # noqa: E402
 from duckdb_pgwire_spark.operators import tpch as new_tpch  # noqa: E402
+
+# OLD arms are gitignored scratch (duplicating committed history in the
+# package would be dead weight).  Materialize one with e.g.:
+#   git show <old-ref>:duckdb_pgwire_spark/ext/dedup.py \
+#     | sed 's/from \.\.registry import query/def query(*_a, **_k):\n    return lambda fn: fn/' \
+#     > duckdb_pgwire_spark/ext/_ab_old_dedup.py
+try:  # noqa: SIM105
+    from duckdb_pgwire_spark.ext import _ab_old_dedup as old_dedup  # noqa: E402
+    from duckdb_pgwire_spark.ext import _ab_old_multimodal as old_mm  # noqa: E402
+    from duckdb_pgwire_spark.ext import _ab_old_text as old_text  # noqa: E402
+    from duckdb_pgwire_spark.ext import _ab_old_similarity as old_sim  # noqa: E402
+    from duckdb_pgwire_spark.operators import _ab_old_tpch as old_tpch  # noqa: E402
+except ImportError as exc:  # pragma: no cover - harness precondition
+    sys.exit(f"A/B old-arm module missing ({exc}); materialize _ab_old_* from git history first (see comment above)")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
