@@ -569,11 +569,9 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(64 × |text|) character steps (12 s alone at sf1 on the scan's
     # 3 natural partitions). Sampling now happens INSIDE the Arrow
     # decode stage with O(1) Python string indexing (identical values:
-    # ord(t[k]) == ascii(substr(t, k+1, 1)) for any code point), the
+    # ord(t[k]) == ascii(substr(t, k+1, 1)) for any code point), and the
     # input is round-robin widened first (load_table_parallel — never
-    # let a heavy map stage inherit a narrow scan), and the signature
-    # is locally checkpointed so the band self-join's two sides don't
-    # recompute the decode plane.
+    # let a heavy map stage inherit a narrow scan).
     d = load_table_parallel(spark, sf_dir, "documents")
     docs = d.filter(F.length("text") >= PHASH_BITS).select("doc_id", "text")
 
@@ -600,53 +598,63 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 grids.append(decode_image(payload).gray)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "g": grids})
 
+    # r17: pair generation WITHOUT a self-join (same idiom as
+    # minhash_candidate_pairs) — the r16 band self-join planned the whole
+    # band+window subtree once per join side (the localCheckpoint only
+    # de-duplicated the decode plane below it), and the window bucket-cap
+    # cost a full sort per partition. One groupBy on the band bucket now
+    # computes the plane once, caps by size(), and expands i<j pairs
+    # inside the bucket. The 64-bit signature travels as 4 exact 16-bit
+    # integer words (word k == conv(substr(bits, k*16+1, 16), 2, 10),
+    # built by the same v*64 > Σv branch both engines take), so the
+    # bucket shuffle carries (long, 4 ints) instead of (long, 64-char
+    # string) and hamming is the same per-band XOR popcount.
+    word = ", ".join(
+        f"aggregate(slice(g, {k * 16 + 1}, 16), 0, "
+        f"(a, x) -> a * 2 + CASE WHEN x * {PHASH_BITS} > ssum THEN 1 ELSE 0 END)"
+        for k in range(PHASH_BANDS)
+    )
     sig = (
         docs.mapInPandas(decode_grids, schema="doc_id LONG, g ARRAY<INT>")
         .withColumn("ssum", F.expr("aggregate(g, 0, (a, x) -> a + x)"))
-        .select(
-            "doc_id",
-            F.expr(
-                f"array_join(transform(g, v -> CASE WHEN v * {PHASH_BITS} "
-                f"> ssum THEN '1' ELSE '0' END), '')"
-            ).alias("bits"),
-        )
-        .localCheckpoint(eager=False)
+        .select("doc_id", F.expr(f"array({word})").alias("w"))
     )
     bands = sig.select(
-        "doc_id",
-        "bits",
-        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("band_idx"),
-    ).withColumn("band_val", F.expr("substr(bits, band_idx * 16 + 1, 16)"))
-    from pyspark.sql.window import Window
-
-    capped = bands.withColumn(
-        "bucket_n",
-        F.count("*").over(Window.partitionBy("band_idx", "band_val")),
-    ).filter(F.col("bucket_n") <= PHASH_BUCKET_CAP)
-    a = capped.select(
-        "band_idx", "band_val",
-        F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"),
+        "doc_id", "w", F.posexplode("w").alias("band_idx", "band_val")
     )
-    b = capped.select(
-        "band_idx", "band_val",
-        F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b"),
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "w"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= PHASH_BUCKET_CAP))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                    lambda b: F.struct(
+                        a["doc_id"].alias("doc_a"),
+                        a["w"].alias("wa"),
+                        b["doc_id"].alias("doc_b"),
+                        b["w"].alias("wb"),
+                    ),
+                ),
+            )
+        )
     )
     ham = sum(
         F.bit_count(
-            F.conv(F.expr(f"substr(bits_a, {k * 16 + 1}, 16)"), 2, 10).cast("long")
-            .bitwiseXOR(
-                F.conv(F.expr(f"substr(bits_b, {k * 16 + 1}, 16)"), 2, 10).cast("long")
-            )
+            F.expr(f"p.wa[{k}]").bitwiseXOR(F.expr(f"p.wb[{k}]"))
         )
         for k in range(PHASH_BANDS)
     )
     return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        buckets.select(pair.alias("p"))
         # ham is deterministic per pair: computing it BEFORE the
         # multi-band dedup shrinks the distinct's shuffle rows from
         # two 64-char strings to one small integer (r16)
-        .select("doc_a", "doc_b", ham.alias("ham"))
+        .select("p.doc_a", "p.doc_b", ham.alias("ham"))
         .distinct()
         .filter(F.col("ham") <= PHASH_MAX_HAMMING)
     )

@@ -52,6 +52,7 @@ PAIRS = {
     "mm_decode": (old_mm, new_mm),
     "mm_jpeg_decode": (old_mm, new_mm),
     "mm_resize": (old_mm, new_mm),
+    "mm_phash_near_dup": (old_mm, new_mm),
     "dedup_semantic_kmeans": (old_dedup, new_dedup),
     "dedup_containment": (old_dedup, new_dedup),
     "dedup_ngram_jaccard": (old_dedup, new_dedup),
