@@ -1004,25 +1004,39 @@ def sim_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = neigh.groupBy("query_id", "own_label", "label").agg(
         F.count("*").alias("c")
     )
+    # Majority pick AND the own-label agreement count from ONE pass over
+    # votes (r17): the old `maj ⋈ agree` self-join referenced `votes`
+    # twice, and each reference re-planned the whole corpus pipeline —
+    # the MapInPandas scoring kernel (the dominant cost, one full corpus
+    # scan against the anchor matrix) executed TWICE per run (plan nodes
+    # (3) and (21) in plans/r17/sim_knn_label_agreement_before.txt).
+    # votes has at most one row per (query_id, label) and own_label is
+    # functionally dependent on query_id, so `n_agree` is exactly the
+    # partition sum of c where label == own_label (0 when absent —
+    # identical to the old LEFT-join COALESCE), an exact integer window
+    # aggregate over the SAME query_id partitioning the rank window
+    # already established: no join, no second kernel, no new exchange.
     wv = Window.partitionBy("query_id").orderBy(
         F.col("c").desc(), F.col("label")
     )
-    maj = (
-        votes.withColumn("rv", F.row_number().over(wv))
-        .filter(F.col("rv") == 1)
-        .select("query_id", "own_label", F.col("label").alias("majority_label"))
-    )
-    agree = votes.filter(F.col("label") == F.col("own_label")).select(
-        "query_id", F.col("c").alias("n_agree")
-    )
+    wq = Window.partitionBy("query_id")
     return (
-        maj.join(agree, "query_id", "left")
+        votes.withColumn("rv", F.row_number().over(wv))
+        .withColumn(
+            "n_agree_w",
+            F.sum(
+                F.when(F.col("label") == F.col("own_label"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).over(wq),
+        )
+        .filter(F.col("rv") == 1)
         .select(
             F.col("query_id").alias("vec_id"),
             F.col("own_label").cast("int").alias("own_label"),
-            F.col("majority_label").cast("int").alias("majority_label"),
-            F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree"),
-            (F.col("majority_label") == F.col("own_label")).alias("is_clean"),
+            F.col("label").cast("int").alias("majority_label"),
+            F.col("n_agree_w").cast("long").alias("n_agree"),
+            (F.col("label") == F.col("own_label")).alias("is_clean"),
         )
     )
 
