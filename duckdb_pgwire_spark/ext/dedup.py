@@ -444,9 +444,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sequential dot then norms, all in DOUBLE) so the rounded values
     hash-match.
     """
-    from .vectorized import cosine_seq_udf
+    from .vectorized import cosine_seq_nd_udf
 
-    cosine_seq = cosine_seq_udf()
+    # non-deterministic marker = single kernel evaluation in the
+    # withColumn → filter → project tail (guide §4.4; see vectorized.py)
+    cosine_seq = cosine_seq_nd_udf()
     e = load_table_parallel(spark, sf_dir, "embeddings", parts=4)
     v = e.select("vec_id", "label", "embedding")
     a = v.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("ea"))

@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..session import load_table, load_table_parallel, table_row_count
-from .vectorized import cosine_seq_udf, make_lsh_buckets_udf
+from .vectorized import cosine_seq_nd_udf, cosine_seq_udf, make_lsh_buckets_udf
 
 QUERY_IDS = (0, 1, 2)
 TOP_K = 10
@@ -1127,7 +1127,9 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table_parallel(spark, sf_dir, "embeddings", parts=4).select(
         "vec_id", "embedding"
     )
-    cosine_seq = cosine_seq_udf()
+    # non-deterministic marker = single kernel evaluation in the
+    # withColumn → filter → project tail (guide §4.4; see vectorized.py)
+    cosine_seq = cosine_seq_nd_udf()
     return (
         cand.join(
             v.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")),

@@ -81,6 +81,25 @@ def cosine_seq_udf():
     the SQL ``aggregate(zip_with(a, b, (p,q) -> p*q), 0.0, (acc,x) ->
     acc+x)`` form used by the DuckDB oracle — bit-identical doubles.
     """
+    return _cosine_seq_pandas()
+
+
+@functools.cache
+def cosine_seq_nd_udf():
+    """cosine_seq_udf marked non-deterministic (optimization guide
+    §4.4): in the ``withColumn(cos) → filter(cos > th) → project``
+    verify tails, Catalyst pushes the filter below the projection and
+    ends up evaluating the Arrow kernel TWICE per surviving pair (once
+    for the pushed filter, once for the projected value). The kernel is
+    genuinely deterministic; the marker only forbids the optimizer from
+    duplicating/reordering it, yielding a single evaluation. Separate
+    cached instance — ``asNondeterministic()`` mutates the UDF object,
+    so the deterministic sites must not share it.
+    """
+    return _cosine_seq_pandas().asNondeterministic()
+
+
+def _cosine_seq_pandas():
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
