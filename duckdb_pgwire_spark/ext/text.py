@@ -468,7 +468,23 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = tokens.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency FROM tf, not from a second explode of the
+    # corpus (r17, guide §2.4): tf has exactly one row per distinct
+    # (doc_id, word), so counting its rows per word IS
+    # countDistinct(doc_id) — and when the df branch plans the
+    # identical (doc_id, word) exchange the tf side already needs, AQE
+    # ReusedExchange collapses them: the corpus is scanned + exploded
+    # ONCE instead of twice. The tf > 0 filter is a tautology (a
+    # COUNT(*) per existing group is >= 1) whose only job is to
+    # REFERENCE tf: without it RemoveRedundantAggregates prunes the
+    # lower aggregate to a bare distinct (functions=[]), the partial
+    # aggregates stop being canonically equal, and the exchange is not
+    # reused (verified on the final AQE plan both ways).
+    df = (
+        tf.filter(F.col("tf") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "word")
@@ -662,7 +678,13 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table_parallel(spark, sf_dir, "documents")
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     vocab = w.groupBy("word").agg(F.count("*").alias("c"))
-    tot = w.agg(F.count("*").alias("n"))
+    # corpus token total FROM vocab, not from a third explode of the
+    # corpus (r17, guide §2.4): Σ c over the vocabulary IS COUNT(*)
+    # over the exploded tokens (exact integer), and the vocab branch's
+    # exchange is reused for it — corpus explodes per run: 3 → 2 (the
+    # score-side token stream still needs its own pass, it carries
+    # doc_id into the final per-document aggregate).
+    tot = vocab.agg(F.sum("c").alias("n"))
     return (
         w.join(vocab, "word")
         .join(F.broadcast(tot))

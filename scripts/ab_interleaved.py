@@ -57,6 +57,10 @@ PAIRS = {
     "dedup_containment": (old_dedup, new_dedup),
     "dedup_ngram_jaccard": (old_dedup, new_dedup),
     "sim_knn_label_agreement": (old_sim, new_sim),
+    "dedup_embedding_cosine": (old_dedup, new_dedup),
+    "text_tfidf_top_terms": (old_text, new_text),
+    "text_unigram_lm_score": (old_text, new_text),
+    "dedup_embedding_cosine_lsh": (old_sim, new_sim),
     "q5_local_supplier_volume": (old_tpch, new_tpch),
     "q21_waiting_suppliers": (old_tpch, new_tpch),
 }
