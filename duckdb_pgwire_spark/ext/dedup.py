@@ -154,6 +154,49 @@ def _band_rows(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:
     )
 
 
+def capped_member_lists(
+    bands: DataFrame, keys: list[str], member, cap: int, log_name: str = ""
+) -> DataFrame:
+    """Per-bucket sorted member lists with the bucket-size cap enforced
+    BEFORE the collect (r18, guide §2.5/§5): ``collect_list`` buffers a
+    whole bucket in ONE aggregation buffer, and unlike a sort/window
+    buffer an agg buffer's array cannot spill — at web scale a single
+    degenerate band value (the all-identical signature of boilerplate
+    content) would materialize as a multi-GB array in one task before a
+    size filter ever ran. The cap is a ``count(*) OVER (PARTITION BY
+    bucket)`` pre-filter on the SAME exchange the collect needs (the
+    oracle's own QUALIFY shape): WindowExec buffers a partition in a
+    spillable array, so a hot bucket streams through disk, its rows are
+    dropped by the filter, and collect_list never sees more than ``cap``
+    members per bucket. Semantics are identical to the old post-collect
+    size filter: over-cap buckets dropped whole, singletons pairless.
+
+    Measured-and-rejected alternative (r18, plans/r18 notes): a
+    map-side-combinable count + broadcast anti-join of the hot keys —
+    Catalyst's PushDownLeftSemiAntiJoin pushes the anti-join below the
+    shared repartition, the two branches stop canonical-matching, and
+    the signature kernel runs TWICE (interleaved A/B: 1.35 s vs 0.73 s
+    old at sf0.1, jobs 3 → 5). The window form costs one in-partition
+    sort instead and keeps the kernel single-evaluation.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    capped = (
+        bands.withColumn("__n", F.count("*").over(w))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= cap))
+        .drop("__n")
+    )
+    if log_name and os.environ.get("SPARK_GRAFT_LOG_DROPPED_BUCKETS") == "1":
+        n_dropped = (
+            bands.groupBy(*keys).count().filter(F.col("count") > cap).count()
+        )
+        logger.warning("%s: dropped %d over-cap buckets", log_name, n_dropped)
+    return capped.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(member)).alias("ms")
+    )
+
+
 def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b) LSH candidate pairs — shared by dedup_minhash_lsh
     (emits them) and dedup_ngram_jaccard (verifies them exactly)."""
@@ -163,18 +206,18 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluate the whole minhash pipeline twice (the broadcast build side
     # can't reuse the probe side's exchange); the groupBy computes
     # signatures once and shuffles only (bucket, doc_id) rows.
-    grouped = bands.groupBy("band_idx0", "band_val").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
-    )
     # Bucket-size cap (mirrored in the oracle's QUALIFY): buckets above
     # LSH_BUCKET_CAP are boilerplate — one such bucket at web scale is a
-    # single straggler task doing a quadratic expansion.
-    buckets = grouped.filter(
-        (F.size("ids") >= 2) & (F.size("ids") <= LSH_BUCKET_CAP)
-    )
-    if os.environ.get("SPARK_GRAFT_LOG_DROPPED_BUCKETS") == "1":
-        n_dropped = grouped.filter(F.size("ids") > LSH_BUCKET_CAP).count()
-        logger.warning("minhash LSH: dropped %d over-cap buckets", n_dropped)
+    # single straggler task doing a quadratic expansion; the cap is
+    # applied BEFORE the collect (capped_member_lists) so it never
+    # materializes either.
+    buckets = capped_member_lists(
+        bands,
+        ["band_idx0", "band_val"],
+        F.col("doc_id"),
+        LSH_BUCKET_CAP,
+        log_name="minhash LSH",
+    ).withColumnRenamed("ms", "ids")
     pair = F.explode(
         F.flatten(
             F.transform(

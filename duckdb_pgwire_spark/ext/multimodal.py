@@ -622,10 +622,19 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", "w", F.posexplode("w").alias("band_idx", "band_val")
     )
-    buckets = (
-        bands.groupBy("band_idx", "band_val")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "w"))).alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= PHASH_BUCKET_CAP))
+    # r18 skew guard (guide §2.5/§5): the bucket cap is applied as a
+    # window-count pre-filter BEFORE collect_list (capped_member_lists),
+    # so a degenerate band value (near-constant boilerplate images all
+    # sharing one 16-bit band) never materializes as one unbounded
+    # in-memory array in a single aggregation buffer.
+    from .dedup import capped_member_lists
+
+    buckets = capped_member_lists(
+        bands,
+        ["band_idx", "band_val"],
+        F.struct("doc_id", "w"),
+        PHASH_BUCKET_CAP,
+        log_name="phash LSH",
     )
     pair = F.explode(
         F.flatten(

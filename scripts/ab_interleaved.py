@@ -25,6 +25,8 @@ from duckdb_pgwire_spark.ext import multimodal as new_mm  # noqa: E402
 from duckdb_pgwire_spark.ext import text as new_text  # noqa: E402
 from duckdb_pgwire_spark.ext import similarity as new_sim  # noqa: E402
 from duckdb_pgwire_spark.operators import tpch as new_tpch  # noqa: E402
+from duckdb_pgwire_spark.operators import joins as new_joins  # noqa: E402
+from duckdb_pgwire_spark.streaming import windows as new_stw  # noqa: E402
 
 # OLD arms are gitignored scratch (duplicating committed history in the
 # package would be dead weight).  Materialize one with e.g.:
@@ -37,6 +39,8 @@ try:  # noqa: SIM105
     from duckdb_pgwire_spark.ext import _ab_old_text as old_text  # noqa: E402
     from duckdb_pgwire_spark.ext import _ab_old_similarity as old_sim  # noqa: E402
     from duckdb_pgwire_spark.operators import _ab_old_tpch as old_tpch  # noqa: E402
+    from duckdb_pgwire_spark.operators import _ab_old_joins as old_joins  # noqa: E402
+    from duckdb_pgwire_spark.streaming import _ab_old_windows as old_stw  # noqa: E402
 except ImportError as exc:  # pragma: no cover - harness precondition
     sys.exit(f"A/B old-arm module missing ({exc}); materialize _ab_old_* from git history first (see comment above)")
 
@@ -63,6 +67,11 @@ PAIRS = {
     "dedup_embedding_cosine_lsh": (old_sim, new_sim),
     "q5_local_supplier_volume": (old_tpch, new_tpch),
     "q21_waiting_suppliers": (old_tpch, new_tpch),
+    # r18 additions
+    "dedup_minhash_lsh": (old_dedup, new_dedup),
+    "join_asof": (old_joins, new_joins),
+    "q11_important_part_share": (old_tpch, new_tpch),
+    "stream_session_window": (old_stw, new_stw),
 }
 
 

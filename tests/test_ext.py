@@ -245,6 +245,44 @@ def test_lsh_bucket_cap_drops_boilerplate(spark, tmp_path):
     )
 
 
+def test_capped_member_lists_hot_bucket_pre_filtered(spark):
+    """r18 skew guard (VERDICT r17 item 1): a degenerate band value
+    shared by 1e5 rows must be dropped BEFORE the collect_list — via
+    the window count pre-filter on the same exchange — so the hot
+    bucket's member array never materializes in one (un-spillable)
+    aggregation buffer. Checks both the output (hot bucket gone,
+    under-cap bucket intact, singleton pairless) and the plan shape
+    (Window + count filter strictly below the collect aggregate)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from duckdb_pgwire_spark.ext.dedup import capped_member_lists
+    from duckdb_pgwire_spark.plans import inspect as I
+
+    hot = spark.range(100_000).selectExpr(
+        "CAST(0 AS INT) AS band_idx0", "'hot' AS band_val", "id AS doc_id"
+    )
+    cold = spark.createDataFrame(
+        [(1, "twin", 11), (1, "twin", 12), (2, "lonely", 7)],
+        "band_idx0 INT, band_val STRING, doc_id LONG",
+    )
+    out = capped_member_lists(
+        hot.unionByName(cold), ["band_idx0", "band_val"], F.col("doc_id"), cap=64
+    )
+    plan = I.simple_plan(out)
+    # tree prints parents first: the collect agg must appear ABOVE the
+    # window count (i.e. the cap filter runs before the collect)
+    m_agg = re.search(r"collect_list", plan)
+    m_win = re.search(r"\bWindow\b", plan)
+    assert m_agg and m_win and m_agg.start() < m_win.start(), plan
+    assert plan.count("hashpartitioning") <= 2, plan  # window+agg share one exchange
+    rows = out.collect()
+    assert [(r.band_idx0, r.band_val, list(r.ms)) for r in rows] == [
+        (1, "twin", [11, 12])
+    ], rows
+
+
 def test_ivf_lloyd_sampling_cap_path(spark, monkeypatch):
     """The 100 TB guard: above LLOYD_SAMPLE_MAX the Lloyd refinement
     reads a deterministic modulus sample instead of the full corpus.
