@@ -26,44 +26,17 @@ from duckdb_pgwire_spark import registry  # noqa: E402
 from duckdb_pgwire_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# r18 (VERDICT r17 item 7): the whole bench is median-of-5 now. The
+# per-entry EXTRA_RUNS list (r6/r9/r10/r17 additions for spike-prone
+# entries) had grown to 12 of 62 entries and only ever tightened in the
+# flattering direction; one uniform estimator removes the asymmetry.
+# Methodology is otherwise unchanged: one warm-up + N timed runs,
+# median per query. Same-harness comparison run vs the median-of-3
+# baseline recorded in OPTIMIZATION_r18.md (totals agree within the
+# ambient band; no entry moves by more than the documented noise).
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
-# Sub-second queries whose r5→r6 driver deltas (>15%) were shown to be
-# scheduling noise, not plan changes: median-of-5 tightens the estimate
-# (r6 verdict item 7; variance bounds recorded in BASELINE.md).
-# q17 joined r9: its 0.26→0.37 s r7→r8 driver delta was the round's only
-# >1.25x mover (r8 verdict item 5) — median-of-5 to settle noise vs real.
-EXTRA_RUNS = {
-    "sim_topk_bruteforce": 5,
-    "sim_lsh_bucketed": 5,
-    "q17_small_qty_revenue": 5,
-    # r10 verdict item 3: the round's two >1.3x driver movers (plans
-    # unchanged, builder quiet runs flat) — median-of-5 to settle
-    # noise vs real, the q17 precedent.
-    "text_dup_span_fraction": 5,
-    "text_mix_temperature": 5,
-    # r17: host-contention bursts (8-42 s, /proc/stat shows >40% idle +
-    # steal during them — OPTIMIZATION_r17.md containment root cause)
-    # are bimodal, so a median-of-3 window that catches 2 burst runs
-    # reports the burst, not the query. The three entries that showed
-    # repeated burst contamination across r17 bench attempts get
-    # median-of-5 (same q17/r10 EXTRA_RUNS mechanism; isolated quiet
-    # 5-run medians: containment 1.65 s vs a 7.1 s bench median, gumbel
-    # 0.74 vs 3.7, q18 0.98 vs 2.1 in the same session).
-    "dedup_containment": 5,
-    "sample_dsir_gumbel_topk": 5,
-    "q18_large_volume_customers": 5,
-    # r17 session 3: the audio trio's single-job 8-wide pandas stage
-    # occasionally spikes ~2.5x on ONE random member of the trio (r16
-    # driver caught resample at 0.62 s vs 0.38-0.51 steady — cost a
-    # VERDICT item to clear as noise; the session-3 record run caught
-    # frame_energy at 0.65 s vs 0.23-0.27 in the surrounding four
-    # runs). One spike out of 3 samples still shifts a median-of-3;
-    # median-of-5 needs two, same estimator as the entries above.
-    "mm_audio_decode": 5,
-    "mm_audio_frame_energy": 5,
-    "mm_audio_resample": 5,
-}
+EXTRA_RUNS: dict[str, int] = {}
 
 # Queries whose first (warm-up) execution builds a persisted index that
 # steady-state serving amortizes (k-means centroids, LSH band parquet).
@@ -83,7 +56,16 @@ INDEX_WARMUP = {
 # scale 8.6-16.3x). A noop-sink wall rides bench_full.json next to the
 # collect wall so a PLAN regression stays visible through the transfer
 # noise (r17, VERDICT item 5). The stdout contract line is unchanged.
-PLAN_SPLIT = {"win_agg_frames", "fn_string_basic", "fn_date_extract"}
+# r18: + stream_session_window — 99,233 output rows at sf0.1 (sparse
+# user timelines make ~every event its own session), collect 1.1 s vs
+# noop 0.38 s; the plan is Spark's minimal MergingSessions shape
+# (plans/r18/stream_session_window_before.txt).
+PLAN_SPLIT = {
+    "win_agg_frames",
+    "fn_string_basic",
+    "fn_date_extract",
+    "stream_session_window",
+}
 
 
 def _time_noop_sink(fn, spark, sf_dir: str) -> float:

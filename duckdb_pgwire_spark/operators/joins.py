@@ -232,29 +232,17 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (the window partition) end to end.
     """
     ev = load_table(spark, sf_dir, "events")
-    # r18 (guide §2.4 — one pass, not two): the old union-of-two-selects
-    # scanned events TWICE (full scan for probes + filtered scan for
-    # purchase references). One scan now emits both planes: every row
-    # explodes to its probe struct, purchase rows additionally to their
-    # reference struct — identical merged rows, half the input reads.
-    probe = F.struct(
-        F.lit(0).alias("is_ref"),
-        F.lit(None).cast("long").alias("purchase_id"),
-        F.col("event_id").alias("event_id"),
-    )
-    ref = F.struct(
-        F.lit(1).alias("is_ref"),
-        F.col("event_id").alias("purchase_id"),
-        F.lit(None).cast("long").alias("event_id"),
-    )
-    merged = ev.select(
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         "ts",
-        F.explode(
-            F.when(F.col("event_type") == "purchase", F.array(probe, ref))
-            .otherwise(F.array(probe))
-        ).alias("e"),
-    ).select("user_id", "ts", "e.is_ref", "e.purchase_id", "e.event_id")
+        F.lit(1).alias("is_ref"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    probes = ev.select(
+        "user_id", "ts", F.lit(0).alias("is_ref"), F.lit(None).cast("long").alias("purchase_id"),
+        "event_id",
+    )
+    merged = probes.unionByName(purchases.withColumn("event_id", F.lit(None).cast("long")))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "is_ref", "purchase_id")
