@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..session import load_table, load_table_parallel
+from ..session import load_table, load_table_parallel, table_row_count
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # The fixture corpus is synthetic word soup, so predictions are about
@@ -485,13 +485,15 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("df"))
     )
-    n_docs = d.agg(F.count("*").alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df), "word")
-        .join(F.broadcast(n_docs))
-        .withColumn(
-            "score", F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
-        )
+    # corpus cardinality from parquet FOOTER metadata (r18, the r17
+    # sim_knn trick — guide §1.2/§5): `d.agg(count)` scheduled a whole
+    # column-pruned scan job per execution for one number the footers
+    # already carry exactly. Same integer, zero jobs, and the broadcast
+    # single-row join becomes a literal.
+    n_docs = table_row_count(sf_dir, "documents")
+    scored = tf.join(F.broadcast(df), "word").withColumn(
+        "score",
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
     return (

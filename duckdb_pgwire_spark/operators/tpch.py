@@ -603,6 +603,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
+    # r18 (guide §2.4, the q11 pattern): `revenue` is referenced twice
+    # (rows + the scalar MAX), and each DataFrame reference re-plans and
+    # re-executes the filtered lineitem scan + aggregation — AQE does
+    # not reuse the exchange at runtime. Lazy localCheckpoint runs the
+    # pipeline once (O(suppliers) rows cached): jobs 6 → 5, 16× replica
+    # A/B 0.87×, rows identical at sf0.001/0.01/0.1/16×.
+    revenue = revenue.localCheckpoint(eager=False)
     max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     return (
         revenue.join(F.broadcast(max_rev))
@@ -673,6 +680,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
+    # r18 (guide §2.4, the q11 pattern): `costs` is referenced twice
+    # (argmin join probe + the `best` re-aggregation), and the `best`
+    # exchange keys on l_partkey while costs' keys on (l_partkey,
+    # l_suppkey) — no distribution reuse possible, so the semi-filtered
+    # lineitem aggregation ran twice per execution. Lazy localCheckpoint
+    # runs it once (O(part×supplier combos seen) rows): jobs 9 → 8, 16×
+    # replica A/B 0.83×, rows identical at sf0.001/0.01/0.1/16×.
+    costs = costs.localCheckpoint(eager=False)
     best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost")).select(
         F.col("l_partkey").alias("b_partkey"), "best_cost"
     )

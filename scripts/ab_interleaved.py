@@ -71,6 +71,8 @@ PAIRS = {
     "dedup_minhash_lsh": (old_dedup, new_dedup),
     "join_asof": (old_joins, new_joins),
     "q11_important_part_share": (old_tpch, new_tpch),
+    "q15_top_supplier": (old_tpch, new_tpch),
+    "q2_min_cost_supplier": (old_tpch, new_tpch),
     "stream_session_window": (old_stw, new_stw),
 }
 
