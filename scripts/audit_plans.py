@@ -24,15 +24,28 @@ def audit(path: Path) -> list[str]:
     text = path.read_text()
     flags: list[str] = []
 
-    # duplicated Python kernel: same function name in >1 eval node
-    kernels = re.findall(
-        r"(?:ArrowEvalPython|BatchEvalPython)[^\n]*\n?[^\n]*?\[([a-zA-Z_][\w]*)\(", text
-    )
-    # formatted plans put args on the detail line: "(n) ArrowEvalPython\n...Arguments: [fn(col)...]"
-    detail = re.findall(
-        r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython)\nInput[^\n]*\nArguments: \[([a-zA-Z_]\w*)\(",
+    # duplicated Python kernel: same function name in >1 eval node.
+    # Simple-mode plans carry the kernel list on the eval node's OWN
+    # line ("ArrowEvalPython [pyfn(...)], ..."): anchor the capture to
+    # that line (lazy, no newline crossing) — the old optional-newline
+    # form could skip to the NEXT operator line and capture e.g. a
+    # Project's 'substring' instead of the kernel (r17 ADVICE item 1).
+    kernels: list[str] = []
+    for args in re.findall(
+        r"(?:ArrowEvalPython|BatchEvalPython) \[([^\]\n]*)", text
+    ):
+        kernels.extend(re.findall(r"(?:^|, )([A-Za-z_]\w*)\(", args))
+    # formatted plans put args on the detail line: "(n) ArrowEvalPython\n
+    # ...Arguments: [fn1(col)#1, fn2(col)#2]" — capture EVERY top-level
+    # function in the bracket, not just the leading one (r17 ADVICE
+    # item 2): names appear after '[' or ', ' (nested calls inside an
+    # argument list don't).
+    detail: list[str] = []
+    for args in re.findall(
+        r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython)\nInput[^\n]*\nArguments: \[([^\]]*)",
         text,
-    )
+    ):
+        detail.extend(re.findall(r"(?:^|, )([A-Za-z_]\w*)\(", args))
     names = Counter(kernels + detail)
     for fn, n in names.items():
         if n > 1:

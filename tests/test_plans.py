@@ -460,3 +460,50 @@ def test_pii_scrub_zero_exchange(spark):
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
     (cols,) = I.scan_read_columns(df)
     assert cols == {"doc_id", "text"}, cols
+
+
+def test_audit_plans_kernel_regexes(tmp_path):
+    """r17 ADVICE items 1+2: the plan-audit kernel-duplication regexes
+    must (1) anchor the simple-mode capture to the eval node's own line
+    — not skip to the next operator and capture its first function —
+    and (2) count every UDF in a formatted detail node's Arguments
+    list, not just the leading one. No Spark needed: runs the audit on
+    literal plan snippets."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans",
+        Path(__file__).resolve().parent.parent / "scripts" / "audit_plans.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # simple mode: pyfn on the eval line; substring belongs to Project
+    simple = (
+        "ArrowEvalPython [pyfn(a#1)], [out#2], 200\n"
+        "+- Project [substring(x#3, 1, 4) AS y#4]\n"
+        "   +- ArrowEvalPython [pyfn(b#5)], [out2#6], 200\n"
+        "      +- Project [substring(z#7, 1, 4) AS w#8]\n"
+    )
+    p = tmp_path / "simple.txt"
+    p.write_text(simple)
+    flags = mod.audit(p)
+    assert any("'pyfn' evaluated in 2 nodes" in f for f in flags), flags
+    assert not any("substring" in f for f in flags), flags
+
+    # formatted mode: two UDFs in ONE Arguments list + one repeated
+    formatted = (
+        "(3) ArrowEvalPython\n"
+        "Input [2]: [a#1, b#2]\n"
+        "Arguments: [fn_one(a#1)#10, fn_two(b#2)#11], [r#12], 200\n"
+        "\n"
+        "(7) ArrowEvalPython\n"
+        "Input [1]: [c#3]\n"
+        "Arguments: [fn_two(c#3)#13], [s#14], 200\n"
+    )
+    p2 = tmp_path / "formatted.txt"
+    p2.write_text(formatted)
+    flags2 = mod.audit(p2)
+    assert any("'fn_two' evaluated in 2 nodes" in f for f in flags2), flags2
+    assert not any("fn_one" in f for f in flags2), flags2
